@@ -1,0 +1,74 @@
+package graft
+
+/**
+ * Translates the reference dialect
+ *   `CREATE EXTERNAL TABLE [IF NOT EXISTS] t [(c1 T1, ...)]
+ *    STORED AS {CSV|PARQUET|AVRO|NDJSON|JSON} [WITH HEADER ROW]
+ *    [DELIMITER 'x'] [PARTITIONED BY (...)] LOCATION 'path'`
+ * (reference: ballista/client/src/context.rs:416-484, which accepts the
+ * DataFusion `CreateExternalTable` statement and registers a listing
+ * table) into Spark DDL
+ *   `CREATE TABLE t [(schema)] USING fmt OPTIONS (path '...', ...)`.
+ *
+ * Spark's `CREATE TABLE ... USING ... OPTIONS(path ...)` has the same
+ * semantics: an unmanaged table over existing files, schema declared or
+ * inferred, `IF NOT EXISTS` honored, error on duplicate otherwise —
+ * matching the reference's already-exists behavior (context.rs:470-481).
+ */
+object ExternalTableDdl {
+
+  private val head =
+    """(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*)$""".r
+
+  /** Returns Some(sparkSql) if this is a reference-dialect CREATE EXTERNAL
+    * TABLE, None to pass the statement through to Spark untouched. */
+  def translate(sql: String): Option[String] = sql match {
+    case head(ifNotExists, name, rest) =>
+      var r = rest.trim
+      // optional column list: consume a balanced (...) prefix
+      val (colList, afterCols) =
+        if (r.startsWith("(")) {
+          var depth = 0; var i = 0
+          while (i < r.length && (depth != 0 || i == 0 || r.charAt(i - 1) != ')')) {
+            if (r.charAt(i) == '(') depth += 1
+            else if (r.charAt(i) == ')') depth -= 1
+            i += 1
+          }
+          (Some(r.substring(0, i)), r.substring(i).trim)
+        } else (None, r)
+      r = afterCols
+
+      def find(re: scala.util.matching.Regex): Option[String] =
+        re.findFirstMatchIn(r).map(_.group(1))
+
+      val fmt = find("""(?is)STORED\s+AS\s+(\w+)""".r)
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE EXTERNAL TABLE requires STORED AS: $sql"))
+      val location = find("""(?is)LOCATION\s+'([^']*)'""".r)
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE EXTERNAL TABLE requires LOCATION: $sql"))
+      val delimiter = find("""(?is)DELIMITER\s+'([^']*)'""".r)
+      val header = """(?is)WITH\s+HEADER\s+ROW""".r.findFirstIn(r).isDefined
+      val partitionCols = find("""(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r)
+
+      val sparkFmt = fmt.toLowerCase match {
+        case "csv"              => "csv"
+        case "parquet"          => "parquet"
+        case "avro"             => "avro"
+        case "json" | "ndjson"  => "json"
+        case other => throw new IllegalArgumentException(s"unsupported format $other")
+      }
+      val opts = Seq(
+        Some(s"path '${location.replace("'", "''")}'"),
+        if (sparkFmt == "csv") Some(s"header '${header.toString}'") else None,
+        delimiter.map(d => s"delimiter '$d'"),
+        if (sparkFmt == "csv" && colList.isEmpty) Some("inferSchema 'true'") else None
+      ).flatten.mkString(", ")
+
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+      val cols = colList.map(c => s" $c").getOrElse("")
+      val part = partitionCols.map(p => s" PARTITIONED BY ($p)").getOrElse("")
+      Some(s"CREATE TABLE $ine$name$cols USING $sparkFmt OPTIONS ($opts)$part")
+    case _ => None
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Session facade mirroring the reference engine's `BallistaContext`
+ * (reference: ballista/client/src/context.rs:53-120) re-expressed over a
+ * Spark `SparkSession`.
+ *
+ * The reference context holds a table registry, config, and exposes
+ * `read_parquet/read_csv/read_json/read_avro`, `register_*`, and `sql()`
+ * (context.rs:217-521). In Spark all of that is native; this facade adds:
+ *
+ *  - config-key translation from the reference's `ballista.*` knobs
+ *    (reference: ballista/core/src/config.rs:31-53) to Spark SQL confs;
+ *  - `CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION path` translation
+ *    (reference: ballista/client/src/context.rs:416-484) to Spark DDL;
+ *  - `SHOW TABLES`/`SHOW COLUMNS` gating behind the information-schema
+ *    toggle (reference: context.rs:342-371);
+ *  - registration of the function-parity layer (graft.functions).
+ */
+final class GraftSession private (val spark: SparkSession) {
+
+  import GraftSession._
+
+  /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
+  def registerParquet(name: String, path: String): Unit =
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+  /** Register a CSV table (reference: context.rs:247-254,318-331). */
+  def registerCsv(name: String, path: String,
+                  hasHeader: Boolean = true, delimiter: String = ",",
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val r = spark.read.option("header", hasHeader.toString).option("delimiter", delimiter)
+    val df = schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+    df.createOrReplaceTempView(name)
+  }
+
+  /** Register newline-delimited JSON (reference: context.rs:217-224,263-270). */
+  def registerJson(name: String, path: String): Unit =
+    spark.read.json(path).createOrReplaceTempView(name)
+
+  /** Register Avro (reference: context.rs:227-234,272-280). Requires the
+    * spark-avro jar on the classpath; fails with a clear message otherwise. */
+  def registerAvro(name: String, path: String): Unit =
+    spark.read.format("avro").load(path).createOrReplaceTempView(name)
+
+  /** Register all TPC-H-ish parquet tables found in a scale-factor dir. */
+  def registerTables(sfDir: String, names: Seq[String] = defaultTables): Unit =
+    names.foreach(n => registerParquet(n, s"$sfDir/$n.parquet"))
+
+  /**
+   * SQL entry point (reference: context.rs:377-521). Handles the
+   * reference-dialect `CREATE EXTERNAL TABLE` by translating it to Spark
+   * DDL, and gates SHOW statements on the information-schema toggle just
+   * like the reference (context.rs:342-371, core/src/config.rs:200-202).
+   */
+  def sql(sqlText: String): DataFrame = {
+    val trimmed = sqlText.trim
+    if (isShowStatement(trimmed) && !informationSchemaEnabled)
+      throw new IllegalStateException(
+        "SHOW statements are disabled; enable with config " +
+          s"'$InformationSchemaKey=true' (reference semantics: " +
+          "ballista/client/src/context.rs:384-393)")
+    ExternalTableDdl.translate(trimmed) match {
+      case Some(translated) => spark.sql(translated)
+      case None             => spark.sql(sqlText)
+    }
+  }
+
+  def informationSchemaEnabled: Boolean =
+    spark.conf.getOption(InformationSchemaKey).forall(_.toBoolean)
+
+  private def isShowStatement(s: String): Boolean = {
+    val u = s.toUpperCase(java.util.Locale.ROOT)
+    u.startsWith("SHOW TABLES") || u.startsWith("SHOW COLUMNS")
+  }
+}
+
+object GraftSession {
+
+  /** Reference knob → Spark conf mapping (reference: core/src/config.rs:31-53,180-212). */
+  val InformationSchemaKey = "spark.graft.information_schema"
+
+  val defaultTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Translate reference `ballista.*` config keys to Spark SQL confs.
+    * Unknown keys are passed through untouched (reference stores arbitrary
+    * string config, core/src/config.rs:214-247). */
+  def translateConfKey(key: String): String = key match {
+    case "ballista.shuffle.partitions"  => "spark.sql.shuffle.partitions"
+    case "ballista.batch.size"          => "spark.sql.parquet.columnarReaderBatchSize"
+    case "ballista.parquet.pruning"     => "spark.sql.parquet.filterPushdown"
+    case "ballista.collect_statistics"  => "spark.sql.statistics.size.autoUpdate.enabled"
+    case "ballista.with_information_schema" => InformationSchemaKey
+    case "ballista.hash_join_single_partition_threshold" =>
+      "spark.sql.autoBroadcastJoinThreshold"
+    case other => other
+  }
+
+  def builder(): Builder = new Builder
+
+  final class Builder {
+    private var master: String = "local[*]"
+    private var appName: String = "graft"
+    private val conf = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def master(m: String): Builder = { master = m; this }
+    def appName(n: String): Builder = { appName = n; this }
+    /** Accepts both Spark conf keys and reference `ballista.*` keys. */
+    def config(k: String, v: String): Builder = { conf(translateConfKey(k)) = v; this }
+
+    def getOrCreate(): GraftSession = {
+      val b = SparkSession.builder().master(master).appName(appName)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+      conf.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
+      wrap(spark)
+    }
+  }
+
+  /** Wrap an existing SparkSession (used by Verify/Bench/tests). Registers
+    * the function-parity layer. */
+  def wrap(spark: SparkSession): GraftSession = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    new GraftSession(spark)
+  }
+}
