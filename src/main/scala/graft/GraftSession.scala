@@ -71,8 +71,18 @@ final class GraftSession private (val spark: SparkSession) {
     }
   }
 
+  /** Reference defaults `ballista.with_information_schema` to "false"
+    * (reference: ballista/core/src/config.rs:200-202), so SHOW statements
+    * are gated OFF unless explicitly enabled. Non-boolean values are a
+    * config error, not an opaque cast failure. */
   def informationSchemaEnabled: Boolean =
-    spark.conf.getOption(InformationSchemaKey).forall(_.toBoolean)
+    spark.conf.getOption(InformationSchemaKey) match {
+      case None    => false
+      case Some(v) if v.equalsIgnoreCase("true")  => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"invalid boolean for $InformationSchemaKey: '$v'")
+    }
 
   private def isShowStatement(s: String): Boolean = {
     val u = s.toUpperCase(java.util.Locale.ROOT)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.CalendarInterval
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
 /**
  * Function-parity layer: every spelling the reference engine accepts
@@ -23,28 +23,33 @@ object GraftFunctions {
   /** All alias registrations: name → expression builder. */
   private def aliases: Seq[(String, Builder)] = Seq(
     // -- aggregates (proto:529-549) -------------------------------------
-    "approx_distinct" -> { es => HyperLogLogPlusPlus(es.head).toAggregateExpression() },
+    // rsd 0.008 ≈ the reference's fixed 16384-register HLL
+    // (DataFusion approx_distinct), not Spark's looser 0.05 default.
+    "approx_distinct" -> { es =>
+      HyperLogLogPlusPlus(es.head, relativeSD = 0.008).toAggregateExpression() },
     "approx_percentile_cont" -> { es =>
       new ApproximatePercentile(es(0), es(1)).toAggregateExpression() },
     "approx_median" -> { es =>
       new ApproximatePercentile(es.head, Literal(0.5d)).toAggregateExpression() },
+    "array_agg" -> { es => CollectList(es.head).toAggregateExpression() },
     "var" -> { es => VarianceSamp(es.head).toAggregateExpression() },
     "covar" -> { es => CovSample(es(0), es(1)).toAggregateExpression() },
     "correlation" -> { es => Corr(es(0), es(1)).toAggregateExpression() },
     // -- strings (proto:453-511) ----------------------------------------
     "strpos" -> { es => StringInstr(es(0), es(1)) },
-    // -- regex: DataFusion regexp_match returns the matched substrings
-    "regexp_match" -> { es =>
-      RegExpExtractAll(es(0), es(1), if (es.length > 2) es(2) else Literal(0)) },
+    // -- regex (proto:470): see regexpMatchBuilder for semantics
+    "regexp_match" -> regexpMatchBuilder _,
     // -- crypto (proto:456,484,495-498); Spark returns hex strings
     "sha224" -> { es => Sha2(es.head, Literal(224)) },
     "sha384" -> { es => Sha2(es.head, Literal(384)) },
     "sha512" -> { es => Sha2(es.head, Literal(512)) },
     "digest" -> { es => digestBuilder(es) },
-    // -- timestamps at fixed precision (proto:505-507) ------------------
-    "to_timestamp_seconds" -> { es => truncTs(es.head, 1000000L) },
-    "to_timestamp_millis"  -> { es => truncTs(es.head, 1000L) },
-    "to_timestamp_micros"  -> { es => truncTs(es.head, 1L) },
+    // -- timestamps at fixed precision (proto:505-507); integral input is
+    // reinterpreted at the named unit (DataFusion semantics), dispatched
+    // post-resolution by ToTimestampAtUnit.
+    "to_timestamp_seconds" -> { es => ToTimestampAtUnit(es.head, 1000000L) },
+    "to_timestamp_millis"  -> { es => ToTimestampAtUnit(es.head, 1000L) },
+    "to_timestamp_micros"  -> { es => ToTimestampAtUnit(es.head, 1L) },
     // -- misc (proto:449-521) -------------------------------------------
     "arrow_typeof" -> { es => new TypeOf(es.head) },
     "random" -> { _ => new Rand() },
@@ -76,19 +81,57 @@ object GraftFunctions {
     }
   }
 
-  /** Parse-to-timestamp then truncate to the named precision: reference
-    * `to_timestamp_millis` et al parse strings / reinterpret ints at that
-    * unit (DataFusion semantics). Resolution is deferred (input types are
-    * unknown at registration), so integers are handled by the general
-    * cast path: int seconds→timestamp cast matches the seconds variant,
-    * and sub-unit truncation is a no-op for it. */
-  private def truncTs(e: Expression, quantumMicros: Long): Expression = {
-    val ts = Cast(e, TimestampType)
-    if (quantumMicros == 1L) ts
-    else {
-      val us = UnixMicros(ts)
-      MicrosToTimestamp(Subtract(us, Pmod(us, Literal(quantumMicros))))
+  /**
+   * DataFusion `regexp_match(subject, pattern[, flags])` (proto:470):
+   * returns the capture groups of the FIRST match as an array (the full
+   * match when the pattern has no groups), or NULL when there is no
+   * match. The optional third argument is a flags string ('i' =
+   * case-insensitive), applied by rewriting to an inline `(?i)` prefix.
+   * The pattern (and flags) must be string literals — true of every
+   * in-repo reference usage — so the capture-group count is known at
+   * plan time and the whole thing compiles to codegen-capable builtins.
+   */
+  private def regexpMatchBuilder(es: Seq[Expression]): Expression = {
+    val subject = es(0)
+    val rawPattern = es(1) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"regexp_match pattern must be a string literal, got $other")
     }
+    val flags = es.drop(2).headOption.map {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"regexp_match flags must be a string literal, got $other")
+    }.getOrElse("")
+    val inline = flags.filter("imsx".contains(_)) match {
+      case "" => ""
+      case f  => s"(?$f)"
+    }
+    val pattern = Literal(inline + rawPattern)
+    val nGroups = countCaptureGroups(rawPattern)
+    val parts =
+      if (nGroups == 0) Seq(RegExpExtract(subject, pattern, Literal(0)))
+      else (1 to nGroups).map(i => RegExpExtract(subject, pattern, Literal(i)))
+    If(RLike(subject, pattern),
+      CreateArray(parts),
+      Literal(null, ArrayType(StringType)))
+  }
+
+  /** Count unescaped capturing groups `(` (excluding `(?...)` non-capturing forms). */
+  private[functions] def countCaptureGroups(pattern: String): Int = {
+    var i = 0; var n = 0; var inClass = false
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1 // skip escaped char
+        case '[' if !inClass => inClass = true
+        case ']' if inClass  => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 >= pattern.length || pattern.charAt(i + 1) != '?') n += 1
+        case _ =>
+      }
+      i += 1
+    }
+    n
   }
 
   /**
@@ -123,20 +166,20 @@ object GraftFunctions {
       Seq(GraftShim.expression(stride), GraftShim.expression(source),
         GraftShim.expression(origin))))
 
-  @volatile private var registered = Set.empty[SparkSession]
-
-  /** Idempotently register the parity layer on a session. */
-  def registerAll(spark: SparkSession): Unit = synchronized {
-    if (!registered.contains(spark)) {
-      val reg = GraftShim.functionRegistry(spark)
-      aliases.foreach { case (name, b) =>
-        reg.createOrReplaceTempFunction(name, es => b(es), "graft")
-      }
-      // weighted approximate percentile: custom aggregator (SURVEY §2C —
-      // APPROX_PERCENTILE_CONT_WITH_WEIGHT has no Spark builtin)
-      spark.udf.register("approx_percentile_cont_with_weight",
-        org.apache.spark.sql.functions.udaf(new WeightedPercentile()))
-      registered += spark
+  /**
+   * Register the parity layer on a session. Idempotent and cheap
+   * (`createOrReplaceTempFunction` replaces in place), so no per-session
+   * guard is kept — the round-1 `Set[SparkSession]` guard leaked every
+   * session it ever saw.
+   */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = GraftShim.functionRegistry(spark)
+    aliases.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, es => b(es), "scala_udf")
     }
+    // weighted approximate percentile: custom aggregator (SURVEY §2C —
+    // APPROX_PERCENTILE_CONT_WITH_WEIGHT has no Spark builtin)
+    spark.udf.register("approx_percentile_cont_with_weight",
+      org.apache.spark.sql.functions.udaf(new WeightedPercentile()))
   }
 }

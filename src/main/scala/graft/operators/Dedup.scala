@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data
+ * pipelines. All are expressed as declarative DataFrame transforms so
+ * Catalyst plans the shuffles:
+ *
+ *  - exact dedup: hash-partition on a content hash; one shuffle.
+ *  - MinHash+LSH near-dedup: shuffle on (band, band-signature) buckets and
+ *    generate candidate pairs ONLY within buckets — never all-pairs — then
+ *    verify candidates with exact shingle-set Jaccard. Scales as
+ *    O(docs × shingles × hashes) map-side plus bucket-local joins, which
+ *    survives a 100× scale-up as long as bucket cardinality does (the
+ *    band signature keys are ~uniform md5 strings, so it does).
+ *  - blocked exact-Jaccard: all-pairs restricted to explicit small blocks
+ *    (e.g. (lang, source)), for recall evaluation at bounded cost.
+ *
+ * The hash family is md5 over salted shingles — deliberately engine-
+ * portable so the DuckDB oracle can reproduce signatures bit-for-bit.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical content. */
+  def exactKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, sh). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("w"))
+    toks.filter(size(col("w")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', ${(0 until n).map(j => s"w[i + $j]").mkString(", ")}))"
+      )).as("sh"))
+      .distinct()
+  }
+
+  /**
+   * MinHash signatures: `numBands` bands × `rowsPerBand` salted min-hashes.
+   * Hash h ∈ [0, bands·rows): mh_h = min over shingles of
+   * md5(h || '|' || shingle); band key = the r min-hashes of the band
+   * joined in hash order. Returns (id, band, band_key).
+   */
+  def minhashBandKeys(sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val hashIds = array((0 until numHashes).map(lit): _*)
+    val minPerHash = sh
+      .select(col("id"), explode(hashIds).as("h"), col("sh"))
+      .select(col("id"), col("h"),
+        md5(concat(col("h").cast("string"), lit("|"), col("sh"))).as("hv"))
+      .groupBy(col("id"), col("h"))
+      .agg(min(col("hv")).as("mh"))
+    minPerHash
+      .groupBy(col("id"), (col("h") / rowsPerBand).cast("int").as("band"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(struct(h, mh))), s -> s.mh)")).as("band_key"))
+  }
+
+  /** Candidate pairs = distinct (a < b) sharing any band bucket. The join
+    * is bucket-local: shuffle on (band, band_key), never all-pairs. */
+  def lshCandidates(bandKeys: DataFrame): DataFrame = {
+    val a = bandKeys.select(col("band"), col("band_key"), col("id").as("a"))
+    val b = bandKeys.select(col("band"), col("band_key"), col("id").as("b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs. */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("id").as("a"), col("sh")), "a")
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("id").as("b"), col("n_sh").as("n_b")), "b")
+      .select(col("a"), col("b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jac"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: verified pairs with jac ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      numBands: Int = 6, rowsPerBand: Int = 3,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand))
+    jaccard(cands, sh).filter(col("jac") >= threshold)
+      .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** SimHash: 16-bit fingerprint; bit i is the sign of the token-weighted
+    * sum of bit i of md5(token) (high bit of hex nibble i). Identical
+    * duplicates collide; near-duplicates land within small Hamming
+    * distance. Portable across engines by construction. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$i")
+    }
+    val agg = toks.groupBy("id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until 16).map(i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Exact Jaccard over all pairs inside explicit small blocks (bounded
+    * all-pairs — the block columns cap the quadratic term). */
+  def blockedJaccard(docs: DataFrame, idCol: String, textCol: String,
+                     blockCols: Seq[String], shingleN: Int = 3,
+                     threshold: Double = 0.3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), struct(blockCols.map(col): _*).as("blk"),
+      col(textCol).as("txt"))
+    val sh = shingles(base.select(col("id"), col("txt")), "id", "txt", shingleN)
+    val withBlk = base.select(col("id"), col("blk"))
+    val pairs = withBlk.select(col("blk"), col("id").as("a"))
+      .join(withBlk.select(col("blk"), col("id").as("b")), "blk")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    jaccard(pairs, sh).filter(col("jac") >= threshold)
+      .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
+  }
+}

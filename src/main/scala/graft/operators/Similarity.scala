@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - Brute-force cosine top-k: broadcast the (small) query set against the
+ *    full corpus — one pass, no shuffle of the big side; the per-pair dot
+ *    product is a sequential `aggregate` fold over the array, which keeps
+ *    the reduction order deterministic (bit-identical across engines).
+ *  - Sign-LSH bucketed ANN: bucket on the sign pattern of the leading
+ *    dimensions (an axis-aligned random-hyperplane family); candidates are
+ *    generated only within a query's bucket, then refined exactly. At
+ *    100 TB the bucket join shuffles each side once on an 8-bit key — the
+ *    brute-force path stays as the small-query-set tool, the LSH path is
+ *    the scale path (more planes ⇒ smaller buckets).
+ */
+object Similarity {
+
+  /** (id, v: array<double>, norm2) projection of an embeddings table. */
+  private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm2",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+
+  private val dotExpr =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Exact cosine top-k of each query id against the whole corpus. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val all = prep(emb, idCol, vecCol)
+    val q = all.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("norm2").as("qnorm2"))
+    val scored = broadcast(q).join(all, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Sign-LSH bucket id over the first `planes` dimensions. */
+  private def bucketExpr(planes: Int) =
+    (0 until planes).map(i =>
+      when(element_at(col("v"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN: candidates restricted to the query's sign-LSH bucket, refined by
+    * exact cosine. Trades recall for a bucket-local join. */
+  def annSignLsh(emb: DataFrame, idCol: String, vecCol: String,
+                 queryPred: org.apache.spark.sql.Column, k: Int,
+                 planes: Int = 8): DataFrame = {
+    val all = prep(emb, idCol, vecCol).withColumn("bkt", bucketExpr(planes))
+    val q = all.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("norm2").as("qnorm2"), col("bkt"))
+    val scored = broadcast(q).join(all, Seq("bkt"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** recall@k of the ANN result against the exact result, averaged over
+    * queries (self-check harness for the LSH path). */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = ann.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    val totals = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    totals.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hit"), lit(0)).cast("double") / col("n_exact")).as("recall"))
+      .agg(round(avg(col("recall")), 6).as("avg_recall"),
+        count(lit(1)).as("n_queries"))
+  }
+}

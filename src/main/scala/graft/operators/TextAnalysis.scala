@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization,
+ * quality scoring, a language-ID heuristic, and document fingerprinting.
+ * All are composed from codegen'd built-ins (no UDFs in the hot path) and
+ * are embarrassingly parallel — per-row projections that survive any
+ * scale-up; the only aggregations are standard group-bys.
+ */
+object TextAnalysis {
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(stopwords.map(lit): _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  def avgTokenLen(text: Column): Column =
+    length(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Heuristic quality ∈ [0,1]: length sweet-spot × stopword plausibility.
+    * Deterministic per-row double math (portable to the oracle). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio(text) - lit(0.10))
+    round(lenScore * stopScore, 6)
+  }
+
+  /** Stopword-profile language-ID heuristic: English function words push
+    * towards 'en'. A real deployment swaps in per-language n-gram
+    * profiles; the operator shape (scored CASE over per-row token stats)
+    * is the same. */
+  def langIdHeuristic(text: Column): Column =
+    when(stopwordRatio(text) >= 0.02, lit("en")).otherwise(lit("unk"))
+
+  /** Whitespace-normalized content fingerprint (md5). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, " +", " ")))
+
+  /** Polynomial rolling hash of the token stream (base 31, mod 1e9+7 so
+    * the accumulator never overflows a long) — an order-sensitive
+    * fingerprint usable for shift-detection, computed as a deterministic
+    * sequential fold. */
+  def rollingHash(textColName: String): Column =
+    expr(s"aggregate(split(lower($textColName), ' '), " +
+      "CAST(0 AS BIGINT), (acc, w) -> pmod(acc * 31 + crc32(w), 1000000007))")
+
+  /** Per-language corpus stats table. */
+  def corpusStats(docs: DataFrame, langCol: String, textCol: String,
+                  charsCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).cast("bigint").as("total_chars"),
+        (sum(col(charsCol)).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(tokenCount(col(textCol))).cast("bigint").as("total_toks"),
+        expr(s"CAST(percentile($charsCol, 0.5) AS DOUBLE)").as("p50_chars"))
+}

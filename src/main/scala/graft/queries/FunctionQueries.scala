@@ -1,0 +1,197 @@
+package graft.queries
+
+import Registry._
+
+/**
+ * Scalar-function battery mirroring the reference's `ScalarFunction` enum
+ * (reference: ballista/core/proto/datafusion.proto:448-522) and the golden
+ * aggregate tests (reference: ballista/client/src/context.rs:797-1027).
+ * Each family gets one projection query pinned against the DuckDB oracle.
+ * Trig/exp outputs are ROUNDed (libm implementations differ in the last
+ * ulp between JVMs and C); string/integer outputs compare exactly.
+ */
+object FunctionQueries {
+
+  val fnMath = sqlQ("fn_math",
+    """SELECT p_partkey AS p_partkey,
+      |  CAST(ABS(p_size - 25) AS BIGINT) AS abs_v,
+      |  CAST(CEIL(p_retailprice / 100.0) AS BIGINT) AS ceil_v,
+      |  CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS floor_v,
+      |  ROUND(SQRT(CAST(p_size AS DOUBLE)), 6) AS sqrt_v,
+      |  ROUND(EXP(CAST(p_size AS DOUBLE) / 50.0), 6) AS exp_v,
+      |  ROUND(LN(CAST(p_size AS DOUBLE) + 1.0), 6) AS ln_v,
+      |  ROUND(LOG10(CAST(p_size AS DOUBLE) + 1.0), 6) AS log10_v,
+      |  ROUND(LOG2(CAST(p_size AS DOUBLE) + 1.0), 6) AS log2_v,
+      |  ROUND(POWER(CAST(p_size AS DOUBLE), 2.0), 1) AS pow_v,
+      |  CAST(SIGN(p_size - 25) AS BIGINT) AS sign_v,
+      |  ROUND(SIN(CAST(p_size AS DOUBLE)), 6) AS sin_v,
+      |  ROUND(COS(CAST(p_size AS DOUBLE)), 6) AS cos_v,
+      |  ROUND(TAN(CAST(p_size AS DOUBLE) / 100.0), 6) AS tan_v,
+      |  ROUND(ATAN(CAST(p_size AS DOUBLE)), 6) AS atan_v,
+      |  ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 6) AS atan2_v,
+      |  ROUND(ASIN(CAST(p_size AS DOUBLE) / 50.0), 6) AS asin_v,
+      |  ROUND(ACOS(CAST(p_size AS DOUBLE) / 50.0), 6) AS acos_v,
+      |  CAST(p_size % 7 AS BIGINT) AS mod_v
+      |FROM part WHERE p_partkey <= 30 ORDER BY p_partkey""".stripMargin,
+    bench = false)
+
+  val fnString = sqlQ("fn_string",
+    """SELECT p_partkey AS p_partkey,
+      |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+      |  SUBSTR(p_name, 3, 5) AS sub,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS len,
+      |  CONCAT(p_brand, '#', p_type) AS cat,
+      |  CONCAT_WS('-', p_brand, p_type, p_name) AS catws,
+      |  REPLACE(p_name, 'a', 'X') AS rep,
+      |  REVERSE(p_brand) AS rev,
+      |  LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '*') AS rp,
+      |  TRIM('  pad  ') AS tr, LTRIM('  pad') AS ltr, RTRIM('pad  ') AS rtr,
+      |  LEFT(p_name, 4) AS l4, RIGHT(p_name, 4) AS r4,
+      |  SPLIT_PART(p_type, 'A', 1) AS sp1,
+      |  REPEAT(p_brand, 2) AS rep2,
+      |  CAST(ASCII(p_brand) AS BIGINT) AS ascii_v,
+      |  CHR(65 + (p_size % 26)) AS chr_v,
+      |  TRANSLATE(p_name, 'aeiou', '01234') AS trans_v,
+      |  CAST(INSTR(p_name, 'a') AS BIGINT) AS instr_v,
+      |  (p_name LIKE '%a%') AS like_v,
+      |  (p_name ILIKE '%A%') AS ilike_v,
+      |  (p_brand LIKE 'Brand#1%') AS sw_v,
+      |  CAST(STRPOS(p_name, 'e') AS BIGINT) AS strpos_v
+      |FROM part WHERE p_partkey <= 30 ORDER BY p_partkey""".stripMargin,
+    bench = false)
+
+  /** regexp family; DuckDB needs the 'g' flag for replace-all, and the
+    * reference's regexp_match (first-match groups) is checked against
+    * DuckDB regexp_extract. */
+  val fnRegex = sqlQ2("fn_regex",
+    """SELECT doc_id AS doc_id,
+      |  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+      |  REGEXP_REPLACE(text, 'a', '4') AS leeted,
+      |  element_at(regexp_match(text, '(s[a-z]+k)'), 1) AS smatch,
+      |  CAST(text RLIKE 'spark' AS BOOLEAN) AS has_spark
+      |FROM documents WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id AS doc_id,
+      |  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+      |  REGEXP_REPLACE(text, 'a', '4', 'g') AS leeted,
+      |  NULLIF(REGEXP_EXTRACT(text, '(s[a-z]+k)', 1), '') AS smatch,
+      |  REGEXP_MATCHES(text, 'spark') AS has_spark
+      |FROM documents WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin,
+    bench = false)
+
+  /** md5/sha256 pinned to DuckDB; sha224/384/512 + digest() are covered by
+    * scalatest vectors (DuckDB lacks them). */
+  val fnCrypto = sqlQ2("fn_crypto",
+    """SELECT doc_id AS doc_id, MD5(text) AS h_md5, SHA2(text, 256) AS h_sha256
+      |FROM documents WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id AS doc_id, MD5(text) AS h_md5, SHA256(text) AS h_sha256
+      |FROM documents WHERE doc_id <= 20 ORDER BY doc_id""".stripMargin,
+    bench = false)
+
+  val fnDatetime = sqlQ2("fn_datetime",
+    """SELECT o_orderkey AS o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+      |  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+      |  CAST(DAY(o_orderdate) AS BIGINT) AS d,
+      |  CAST(DATE_PART('QUARTER', o_orderdate) AS BIGINT) AS q,
+      |  CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mon,
+      |  CAST(DATE_TRUNC('YEAR', o_orderdate) AS DATE) AS yr,
+      |  CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_us,
+      |  CAST(o_orderdate AS DATE) AS od
+      |FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""".stripMargin,
+    """SELECT o_orderkey AS o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+      |  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+      |  CAST(DAY(o_orderdate) AS BIGINT) AS d,
+      |  CAST(DATE_PART('QUARTER', o_orderdate) AS BIGINT) AS q,
+      |  CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS mon,
+      |  CAST(DATE_TRUNC('YEAR', o_orderdate) AS DATE) AS yr,
+      |  CAST(EPOCH_US(o_orderdate) AS BIGINT) AS epoch_us,
+      |  CAST(o_orderdate AS DATE) AS od
+      |FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""".stripMargin,
+    bench = false)
+
+  /** date_bin (custom expression, reference: datafusion.proto:515) vs
+    * DuckDB time_bucket, on the ns-precision events table (read as ns
+    * longs — SURVEY §1 documents the ns→µs design). */
+  val fnDateBin = sqlQ2("fn_date_bin",
+    """SELECT CAST(unix_micros(date_bin(INTERVAL 15 MINUTE,
+      |         timestamp_micros(CAST(ts DIV 1000 AS BIGINT)),
+      |         TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS bin_us,
+      |  COUNT(*) AS n
+      |FROM events WHERE event_id <= 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    """SELECT CAST(EPOCH_US(time_bucket(INTERVAL '15 minutes',
+      |         CAST(ts AS TIMESTAMP),
+      |         TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS bin_us,
+      |  COUNT(*) AS n
+      |FROM events WHERE event_id <= 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    bench = false)
+
+  /** Pins the integer-unit semantics fixed in round 2 (VERDICT
+    * "What's wrong" #1): to_timestamp_millis(1500) = 1.5 s since epoch. */
+  val fnToTimestamp = sqlQ2("fn_to_timestamp",
+    """SELECT CAST(unix_micros(to_timestamp_seconds(2)) AS BIGINT) AS a,
+      |  CAST(unix_micros(to_timestamp_millis(1500)) AS BIGINT) AS b,
+      |  CAST(unix_micros(to_timestamp_micros(1500000)) AS BIGINT) AS c,
+      |  CAST(unix_micros(to_timestamp_millis('2024-01-02 03:04:05.678999')) AS BIGINT) AS d,
+      |  CAST(unix_micros(to_timestamp_seconds('2024-01-02 03:04:05.678999')) AS BIGINT) AS e""".stripMargin,
+    """SELECT CAST(2000000 AS BIGINT) AS a,
+      |  CAST(1500000 AS BIGINT) AS b,
+      |  CAST(1500000 AS BIGINT) AS c,
+      |  CAST(EPOCH_US(TIMESTAMP '2024-01-02 03:04:05.678') AS BIGINT) AS d,
+      |  CAST(EPOCH_US(TIMESTAMP '2024-01-02 03:04:05') AS BIGINT) AS e""".stripMargin,
+    bench = false)
+
+  val fnConditional = sqlQ("fn_conditional",
+    """SELECT o_orderkey AS o_orderkey,
+      |  NULLIF(o_orderstatus, 'O') AS st_n,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st_c,
+      |  GREATEST(o_totalprice, 250000.0) AS g_v,
+      |  LEAST(o_totalprice, 250000.0) AS l_v,
+      |  CASE WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'mid'
+      |       WHEN o_totalprice > 300000 THEN 'high' ELSE 'low' END AS bucket,
+      |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done' ELSE 'other' END AS st_w,
+      |  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS urgent
+      |FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""".stripMargin,
+    bench = false)
+
+  val fnCast = sqlQ("fn_cast",
+    """SELECT TRY_CAST('12' AS INT) AS a, TRY_CAST('nope' AS INT) AS b,
+      |  CAST(3 AS BIGINT) AS c, CAST('2024-05-06' AS DATE) AS d,
+      |  TRY_CAST('not a date' AS DATE) AS e,
+      |  CAST(42 AS DOUBLE) AS f, CAST('3.5' AS DOUBLE) AS g""".stripMargin,
+    bench = false)
+
+  val fnIntervalArith = sqlQ("fn_interval_arith",
+    """SELECT COUNT(*) AS n_q1_1996,
+      |  CAST(DATE '1996-01-01' + INTERVAL 3 MONTH AS DATE) AS d2
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00' + INTERVAL 3 MONTH""".stripMargin,
+    bench = false)
+
+  /** Tumbling-window aggregation over the event stream table — the
+    * batch shape of a streaming windowed agg (events.ts is ns since
+    * epoch; binned at the hour). */
+  val evWindowAgg = sqlQ2("ev_window_agg",
+    """SELECT event_type AS event_type,
+      |  CAST(unix_micros(date_bin(INTERVAL 1 HOUR,
+      |       timestamp_micros(CAST(ts DIV 1000 AS BIGINT)),
+      |       TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS win_us,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    """SELECT event_type AS event_type,
+      |  CAST(EPOCH_US(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+      |       TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS win_us,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  val all: Seq[Q] = Seq(
+    fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
+    fnToTimestamp, fnConditional, fnCast, fnIntervalArith, evWindowAgg)
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import Registry._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-data pipeline operators over the `documents` and
+ * `embeddings` tables: deduplication (exact / MinHash-LSH / SimHash /
+ * blocked n-gram Jaccard), similarity search (brute-force cosine top-k
+ * and sign-LSH ANN with a recall self-check), text analysis (stats,
+ * quality, language-ID heuristic, fingerprints), and multimodal binary
+ * plumbing. Spark implementations live in graft.operators; each query is
+ * pinned to a DuckDB oracle that reproduces the algorithm bit-for-bit
+ * (portable md5-based hashing, deterministic fold order, exact integer
+ * ratios).
+ */
+object PipelineQueries {
+
+  // ---- deduplication --------------------------------------------------
+
+  val dedupExact = sqlQ("dedup_exact",
+    """SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT COUNT(DISTINCT MD5(text)) FROM documents) AS n_unique,
+      |  (SELECT COUNT(*) FROM (SELECT MIN(doc_id) AS k FROM documents GROUP BY MD5(text)) t) AS n_after""".stripMargin)
+
+  /** Exact keep-first dedup assignment via the DataFrame operator. */
+  val dedupExactKeep = dfQ("dedup_exact_keep",
+    """SELECT MD5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text) ORDER BY content_hash""".stripMargin) { (s, _) =>
+    Dedup.exactKeepFirst(s.table("documents"), "doc_id", "text")
+      .orderBy("content_hash")
+  }
+
+  private val minhashOracle =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+      |),
+      |shi AS (
+      |  SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+      |),
+      |sh AS (
+      |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM shi
+      |),
+      |shh AS (
+      |  SELECT id, sh, unnest(generate_series(0, 17)) AS h FROM sh
+      |),
+      |hv AS (
+      |  SELECT id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || sh)) AS mh
+      |  FROM shh GROUP BY id, h
+      |),
+      |bk AS (
+      |  SELECT id, (h // 3) AS band, STRING_AGG(mh, ',' ORDER BY h) AS band_key
+      |  FROM hv GROUP BY id, (h // 3)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS a, b.id AS b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      |),
+      |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT c.a, c.b, COUNT(*) AS n_inter
+      |  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
+      |  GROUP BY c.a, c.b
+      |)
+      |SELECT i.a AS a_id, i.b AS b_id,
+      |  ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jac
+      |FROM inter i JOIN sizes za ON za.id = i.a JOIN sizes zb ON zb.id = i.b
+      |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** MinHash(18 hashes) + LSH(6 bands × 3 rows) near-dedup, candidates
+    * bucket-local, verified by exact shingle Jaccard ≥ 0.5. */
+  val dedupMinhash = dfQ("dedup_minhash", minhashOracle) { (s, _) =>
+    Dedup.minhashNearDups(s.table("documents"), "doc_id", "text",
+        numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val simhashOracle: String = {
+    val bits = (0 until 16).map { i =>
+      s"(CASE WHEN SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |SELECT id AS doc_id, CAST($bits AS BIGINT) AS simhash FROM toks GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  val dedupSimhash = dfQ("dedup_simhash", simhashOracle) { (s, _) =>
+    Dedup.simhash16(s.table("documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val blockedJaccardOracle =
+    """WITH base AS (SELECT doc_id AS id, lang, source FROM documents),
+      |toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+      |),
+      |shi AS (
+      |  SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+      |),
+      |sh AS (
+      |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM shi
+      |),
+      |pairs AS (
+      |  SELECT a.id AS a, b.id AS b
+      |  FROM base a JOIN base b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+      |),
+      |sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT p.a, p.b, COUNT(*) AS n_inter
+      |  FROM pairs p JOIN sh sa ON sa.id = p.a JOIN sh sb ON sb.id = p.b AND sb.sh = sa.sh
+      |  GROUP BY p.a, p.b
+      |)
+      |SELECT i.a AS a_id, i.b AS b_id,
+      |  ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jac
+      |FROM inter i JOIN sizes za ON za.id = i.a JOIN sizes zb ON zb.id = i.b
+      |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Exact n-gram Jaccard inside (lang, source) blocks — bounded all-pairs. */
+  val dedupNgramJaccard = dfQ("dedup_ngram_jaccard", blockedJaccardOracle) { (s, _) =>
+    Dedup.blockedJaccard(s.table("documents"), "doc_id", "text",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.3)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- similarity search ---------------------------------------------
+
+  private val knnOracle =
+    """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
+      |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2 FROM n WHERE id < 8),
+      |scored AS (
+      |  SELECT q.qid, n.id AS nid,
+      |    list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1] * p[2]))
+      |      / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cos
+      |  FROM q, n WHERE n.id <> q.qid
+      |),
+      |ranked AS (
+      |  SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored
+      |)
+      |SELECT qid, nid, ROUND(cos, 4) AS cos FROM ranked WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 8. */
+  val embedKnnBrute = dfQ("embed_knn_brute", knnOracle) { (s, _) =>
+    Similarity.cosineTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10)
+      .orderBy("qid", "nid")
+  }
+
+  private def annOracle(recall: Boolean): String = {
+    val base =
+      """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2,
+        |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+        |  + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+        |  + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+        |  FROM e),
+        |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2, bkt FROM n WHERE id < 8),
+        |scored AS (
+        |  SELECT q.qid, n.id AS nid,
+        |    list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1] * p[2]))
+        |      / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cos
+        |  FROM q JOIN n ON q.bkt = n.bkt AND n.id <> q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored
+        |),
+        |ann AS (SELECT qid, nid, ROUND(cos, 4) AS cos FROM ranked WHERE rn <= 10)""".stripMargin
+    if (!recall) base + "\nSELECT qid, nid, cos FROM ann ORDER BY qid, nid"
+    else base +
+      """,
+        |allscored AS (
+        |  SELECT q.qid, n.id AS nid,
+        |    list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1] * p[2]))
+        |      / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cos
+        |  FROM q, n WHERE n.id <> q.qid
+        |),
+        |exact AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM allscored) t
+        |  WHERE rn <= 10
+        |),
+        |hits AS (
+        |  SELECT a.qid, COUNT(*) AS n_hit FROM ann a JOIN exact x ON a.qid = x.qid AND a.nid = x.nid
+        |  GROUP BY a.qid
+        |),
+        |totals AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid)
+        |SELECT ROUND(AVG(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact), 6) AS avg_recall,
+        |  COUNT(*) AS n_queries
+        |FROM totals t LEFT JOIN hits h ON h.qid = t.qid""".stripMargin
+  }
+
+  /** Sign-LSH(8 planes) bucketed ANN, exact refine inside the bucket. */
+  val embedAnnLsh = dfQ("embed_ann_lsh", annOracle(recall = false)) { (s, _) =>
+    Similarity.annSignLsh(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, planes = 8)
+      .orderBy("qid", "nid")
+  }
+
+  /** recall@10 of the LSH path vs the exact path — the ANN self-check. */
+  val embedAnnRecall = dfQ("embed_ann_recall", annOracle(recall = true),
+      bench = false) { (s, _) =>
+    val emb = s.table("embeddings")
+    val ann = Similarity.annSignLsh(emb, "vec_id", "embedding", col("id") < 8, 10, 8)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 8, 10)
+    Similarity.recallAtK(ann, exact)
+  }
+
+  // ---- text analysis --------------------------------------------------
+
+  val textStats = dfQ("text_stats",
+    """SELECT lang AS lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_toks,
+      |  CAST(QUANTILE_CONT(n_chars, 0.5) AS DOUBLE) AS p50_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, _) =>
+    TextAnalysis.corpusStats(s.table("documents"), "lang", "text", "n_chars")
+      .orderBy("lang")
+  }
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val textQuality = dfQ("text_quality",
+    s"""SELECT doc_id AS doc_id,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+       |  CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |  ROUND(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
+       |  ROUND(CAST(LENGTH(text) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_tok_len,
+       |  ROUND(LEAST(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0)
+       |    * (1.0 - ABS(CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')) - 0.10)), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, _) =>
+    val t = col("text")
+    s.table("documents").select(
+        col("doc_id").as("doc_id"),
+        TextAnalysis.tokenCount(t).cast("bigint").as("n_toks"),
+        TextAnalysis.stopwordCount(t).cast("bigint").as("n_stop"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_tok_len"),
+        TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val textLangId = dfQ("text_langid",
+    s"""SELECT lang AS lang,
+       |  CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')) >= 0.02 THEN 'en' ELSE 'unk' END AS predicted,
+       |  COUNT(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
+    s.table("documents").select(col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val textFingerprint = dfQ("text_fingerprint",
+    """SELECT doc_id AS doc_id,
+      |  MD5(LOWER(REGEXP_REPLACE(text, ' +', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, _) =>
+    s.table("documents").select(col("doc_id").as("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- multimodal binary plumbing ------------------------------------
+
+  /** Binary column + metadata extraction, SQL-side. */
+  val mmBinaryMeta = sqlQ2("mm_binary_meta",
+    """SELECT doc_id AS doc_id,
+      |  CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes,
+      |  MD5(text) AS content_hash,
+      |  CAST(ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS head_byte
+      |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id AS doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  MD5(text) AS content_hash,
+      |  CAST(ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS head_byte
+      |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin,
+    bench = false)
+
+  /** The typed mapPartitions decode path (stubbed codec), checked against
+    * a SQL-computable truth on ASCII payloads. */
+  val mmFeatures = dfQ("mm_features",
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(ASCII(SUBSTR(text, 1, 1)) AS BIGINT) AS head_byte,
+      |  CAST(ASCII(SUBSTR(text, -1, 1)) AS BIGINT) AS tail_byte
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.extractFeatures(Multimodal.fromDocuments(s.table("documents")))
+      .select(col("media_id"), col("n_bytes"),
+        col("head_byte").cast("bigint").as("head_byte"),
+        col("tail_byte").cast("bigint").as("tail_byte"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    embedKnnBrute, embedAnnLsh, embedAnnRecall,
+    textStats, textQuality, textLangId, textFingerprint,
+    mmBinaryMeta, mmFeatures)
+}

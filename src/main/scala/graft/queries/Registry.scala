@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * One driver-checkable query: a Spark implementation plus (optionally) an
+ * equivalent DuckDB oracle SQL over the same parquet tables (the driver's
+ * correctness gate runs the oracle in DuckDB and hash-compares — see
+ * BASELINE.md "t2 correctness").
+ *
+ * @param bench whether Bench should time this query at sf0.1 (DDL-ish or
+ *              deliberately tiny demos are excluded).
+ */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+/**
+ * Shared query plumbing. Every query sees the testdata tables as temp
+ * views (names mirror the reference's registered-table model,
+ * reference: ballista/client/src/context.rs:53-62) and the graft function
+ * parity layer.
+ */
+object Registry {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  // Cache per (session, dir): registering 10 views per query would re-read
+  // parquet footers hundreds of times per Verify/Bench run.
+  private val prepared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def prepare(spark: SparkSession, dir: String): SparkSession = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // events.parquet uses TIMESTAMP(NANOS), which Spark's reader rejects by
+    // default; read nanos as LongType (ns since epoch) and convert in
+    // queries. Runtime-settable legacy conf.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => }
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (prepared.add(key)) {
+      tableNames.foreach { n =>
+        spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+      }
+    }
+    spark
+  }
+
+  /** A query whose Spark SQL and DuckDB oracle SQL are the same text. */
+  def sqlQ(name: String, sql: String, bench: Boolean = true): Q =
+    Q(name, (s, dir) => prepare(s, dir).sql(sql), Some(sql), bench)
+
+  /** Spark SQL and oracle SQL differ (dialect divergence). */
+  def sqlQ2(name: String, sparkSql: String, oracleSql: String,
+            bench: Boolean = true): Q =
+    Q(name, (s, dir) => prepare(s, dir).sql(sparkSql), Some(oracleSql), bench)
+
+  /** DataFrame-API implementation with a SQL oracle (or None → weak check). */
+  def dfQ(name: String, oracleSql: String, bench: Boolean = true)(
+      f: (SparkSession, String) => DataFrame): Q =
+    Q(name, (s, dir) => f(prepare(s, dir), dir), Option(oracleSql), bench)
+
+  /** All queries, name-keyed. Later groups may not shadow earlier names. */
+  lazy val all: Seq[Q] = {
+    val groups =
+      TpchQueries.all ++ OperatorQueries.all ++ FunctionQueries.all ++
+        PipelineQueries.all
+    val dupes = groups.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    groups
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import Registry._
+
+/**
+ * TPC-H-shaped queries over the driver testdata star schema (no
+ * `partsupp` — q2/q11/q16/q20 shapes are adapted). The reference verifies
+ * all 22 TPC-H queries row-exact (reference:
+ * benchmarks/src/bin/tpch.rs:1295-1415); these reproduce the same operator
+ * shapes: scan→filter→two-phase agg→sort (q1), multi-way joins (q3/q5/q10),
+ * filter-agg (q6), CASE aggregation (q12/q14), scalar subqueries (q17),
+ * IN-subquery + HAVING (q18), NOT EXISTS + top-level agg (q22), and the
+ * q15 view lifecycle.
+ *
+ * Numeric idiom: the driver hash-compares against DuckDB, so every SUM/AVG
+ * over a double column goes through an exact DECIMAL cast (the data is
+ * 2-decimal money / integral quantities) and back to DOUBLE — identical
+ * bits in both engines regardless of accumulation order. Plain double
+ * passthrough columns are bit-identical by construction (same parquet).
+ */
+object TpchQueries {
+
+  /** l_extendedprice * (1 - l_discount), exactly, as DECIMAL(17,4). */
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+  val q1 = sqlQ("tpch_q1",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM($discPrice * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val q3 = sqlQ("tpch_q3",
+    s"""SELECT o.o_orderkey AS o_orderkey,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+       |  CAST(o.o_orderdate AS DATE) AS o_orderdate
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY o.o_orderkey, o.o_orderdate
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin)
+
+  val q5 = sqlQ("tpch_q5",
+    s"""SELECT n.n_name AS n_name,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+       |FROM region r
+       |JOIN nation n ON n.n_regionkey = r.r_regionkey
+       |JOIN customer c ON c.c_nationkey = n.n_nationkey
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n.n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  val q6 = sqlQ("tpch_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin)
+
+  val q10 = sqlQ("tpch_q10",
+    s"""SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+       |  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name AS n_name
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+       |  AND l.l_returnflag = 'R'
+       |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin)
+
+  val q12 = sqlQ("tpch_q12",
+    """SELECT l.l_returnflag AS l_returnflag,
+      |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l.l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  val q14 = sqlQ("tpch_q14",
+    s"""SELECT CAST(100.00 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN $discPrice ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       |     / CAST(SUM($discPrice) AS DOUBLE) AS DOUBLE) AS promo_revenue
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+       |  AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin)
+
+  /** q15 shape: CREATE VIEW → query via the view → MAX scalar subquery.
+    * The DataFrame is analyzed eagerly at `sql()`, so dropping the view
+    * afterwards exercises the full lifecycle (reference:
+    * benchmarks/queries/q15.sql:1-11) without breaking execution. */
+  val q15 = dfQ("tpch_q15",
+    s"""WITH revenue_v AS (
+       |  SELECT l_suppkey AS supplier_no, CAST(SUM($discPrice) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+       |FROM supplier s JOIN revenue_v r ON s.s_suppkey = r.supplier_no
+       |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+       |ORDER BY s_suppkey""".stripMargin) { (spark, _) =>
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW revenue_v AS
+         |SELECT l_suppkey AS supplier_no, CAST(SUM($discPrice) AS DOUBLE) AS total_revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY l_suppkey""".stripMargin)
+    val out = spark.sql(
+      """SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_revenue AS total_revenue
+        |FROM supplier s JOIN revenue_v r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+        |ORDER BY s_suppkey""".stripMargin)
+    spark.sql("DROP VIEW IF EXISTS revenue_v")
+    out
+  }
+
+  /** q17 shape: correlated scalar subquery. AVG over integral-valued
+    * doubles is order-independent (exact in IEEE double), so no decimal
+    * dance is needed for the threshold. */
+  val q17 = sqlQ("tpch_q17",
+    """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1'
+      |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+
+  val q18 = sqlQ("tpch_q18",
+    """SELECT c.c_name AS c_name, o.o_orderkey AS o_orderkey,
+      |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120)
+      |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin)
+
+  /** q22 shape: top-level agg over NOT EXISTS anti-join with a scalar
+    * average threshold (exact via decimal). */
+  val q22 = sqlQ("tpch_q22",
+    """SELECT cntrycode,
+      |  COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+      |  FROM customer c
+      |  WHERE c_acctbal > (
+      |      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |      FROM customer WHERE c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |) t
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin)
+
+  val all: Seq[Q] =
+    Seq(q1, q3, q5, q6, q10, q12, q14, q15, q17, q18, q22)
+}
