@@ -118,7 +118,7 @@ object GraftFunctions {
   }
 
   /** Count unescaped capturing groups `(` (excluding `(?...)` non-capturing forms). */
-  private[functions] def countCaptureGroups(pattern: String): Int = {
+  private[graft] def countCaptureGroups(pattern: String): Int = {
     var i = 0; var n = 0; var inClass = false
     while (i < pattern.length) {
       pattern.charAt(i) match {

@@ -48,25 +48,35 @@ class WeightedPercentile(cap: Int = 2048)
     a
   }
 
-  /** Sort by value, then merge adjacent centroids until size <= cap/2. */
+  /** Sort by value, then merge adjacent centroids until size <= cap/2.
+    * Buckets are bounded by cumulative WEIGHT (not centroid count): when
+    * compress runs repeatedly, surviving centroids carry large weights,
+    * and equal-count chunking would fold a heavy centroid together with
+    * light fresh points, skewing the quantile estimate. */
   private def compress(b: WPBuffer): Unit = {
     sortByValue(b)
     val target = math.max(1, cap / 2)
     if (b.n <= target) return
-    val ratio = b.n.toDouble / target
+    var total = 0.0
+    var t = 0
+    while (t < b.n) { total += b.weights(t); t += 1 }
+    val perBucket = total / target
     val nv = new Array[Double](b.values.length)
     val nw = new Array[Double](b.values.length)
     var out = 0
     var i = 0
+    var cum = 0.0
     while (i < b.n) {
-      val end = math.min(b.n, math.ceil((out + 1) * ratio).toInt)
       var wsum = 0.0; var vsum = 0.0
-      var j = i
-      while (j < end) { wsum += b.weights(j); vsum += b.values(j) * b.weights(j); j += 1 }
-      nv(out) = if (wsum > 0) vsum / wsum else b.values(i)
+      // always take at least one centroid, then fill to the weight quota
+      while (i < b.n && (wsum == 0.0 || out == target - 1 ||
+          cum + wsum + b.weights(i) <= (out + 1) * perBucket)) {
+        wsum += b.weights(i); vsum += b.values(i) * b.weights(i); i += 1
+      }
+      nv(out) = if (wsum > 0) vsum / wsum else 0.0
       nw(out) = wsum
+      cum += wsum
       out += 1
-      i = end
     }
     b.values = nv; b.weights = nw; b.n = out
   }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import Registry._
+import graft.GraftSession
+
+/**
+ * DDL / catalog lifecycle demonstrations (reference:
+ * ballista/client/src/context.rs:416-484 CREATE EXTERNAL TABLE handling,
+ * context.rs:342-393 SHOW gating): an external CSV table is created from
+ * reference-dialect DDL via [[graft.ExternalTableDdl]] and read back, an
+ * external parquet table likewise, and SHOW TABLES / EXPLAIN run as
+ * rows-only checks (no DuckDB-expressible oracle).
+ */
+object DdlQueries {
+
+  /** Reference-dialect CREATE EXTERNAL TABLE → CSV read-back, checked
+    * against the same rows from the parquet oracle. The CSV is produced
+    * from the registered `region` table first, so the content matches. */
+  val ddlExternalCsv = dfQ("ddl_external_csv",
+    """SELECT r_regionkey AS r_regionkey, r_name AS r_name
+      |FROM region ORDER BY r_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val g = GraftSession.wrap(s)
+    val dir = "/tmp/graft_ext_region_csv"
+    s.table("region").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    g.sql("DROP TABLE IF EXISTS ext_region")
+    g.sql(s"CREATE EXTERNAL TABLE ext_region (r_regionkey INT, r_name STRING) " +
+      s"STORED AS CSV WITH HEADER ROW LOCATION '$dir'")
+    g.sql("""SELECT r_regionkey AS r_regionkey, r_name AS r_name
+            |FROM ext_region ORDER BY r_regionkey""".stripMargin)
+  }
+
+  val ddlExternalParquet = dfQ("ddl_external_parquet",
+    """SELECT n_nationkey AS n_nationkey, n_name AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, dir) =>
+    val g = GraftSession.wrap(s)
+    g.sql("DROP TABLE IF EXISTS ext_nation")
+    g.sql(s"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET " +
+      s"LOCATION '$dir/nation.parquet'")
+    g.sql("""SELECT n_nationkey AS n_nationkey, n_name AS n_name
+            |FROM ext_nation ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** SHOW TABLES through the information-schema gate (enabled) — weak
+    * rows-only check (no oracle: catalog contents aren't DuckDB's). */
+  val ddlShowTables = dfQ("ddl_show_tables", null, bench = false) { (s, _) =>
+    s.conf.set(GraftSession.InformationSchemaKey, "true")
+    val g = GraftSession.wrap(s)
+    g.sql("SHOW TABLES")
+  }
+
+  /** EXPLAIN surface (reference: datafusion.proto:981) — rows-only. */
+  val ddlExplain = dfQ("ddl_explain", null, bench = false) { (s, _) =>
+    s.sql("EXPLAIN SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables, ddlExplain)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL translation round-trips + session façade behavior, mirroring the
+  * reference's standalone-context tests (reference:
+  * ballista/client/src/context.rs:416-484, 556-640). */
+class DdlSessionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CREATE EXTERNAL TABLE csv translation") {
+    val out = ExternalTableDdl.translate(
+      "CREATE EXTERNAL TABLE t (a INT, b STRING) STORED AS CSV WITH HEADER ROW " +
+        "DELIMITER '|' LOCATION '/tmp/x'").get
+    assert(out.contains("USING csv"))
+    assert(out.contains("path '/tmp/x'"))
+    assert(out.contains("header 'true'"))
+    assert(out.contains("delimiter '|'"))
+    assert(out.contains("(a INT, b STRING)"))
+  }
+
+  test("CREATE EXTERNAL TABLE parquet + IF NOT EXISTS + partitioning") {
+    val out = ExternalTableDdl.translate(
+      "CREATE EXTERNAL TABLE IF NOT EXISTS t STORED AS PARQUET " +
+        "PARTITIONED BY (dt) LOCATION '/tmp/y'").get
+    assert(out.startsWith("CREATE TABLE IF NOT EXISTS t"))
+    assert(out.contains("USING parquet"))
+    assert(out.contains("PARTITIONED BY (dt)"))
+  }
+
+  test("non-DDL statements pass through untouched") {
+    assert(ExternalTableDdl.translate("SELECT 1").isEmpty)
+    assert(ExternalTableDdl.translate("CREATE TABLE t (a INT) USING parquet").isEmpty)
+  }
+
+  test("external CSV table end-to-end: write, register via DDL, read back") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    spark.range(3).selectExpr("id AS k", "concat('v', id) AS v")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    g.sql("DROP TABLE IF EXISTS spec_csv")
+    g.sql(s"CREATE EXTERNAL TABLE spec_csv (k BIGINT, v STRING) STORED AS CSV " +
+      s"WITH HEADER ROW LOCATION '$dir'")
+    val rows = g.sql("SELECT k, v FROM spec_csv ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("v0", "v1", "v2"))
+    g.sql("DROP TABLE spec_csv")
+  }
+
+  test("SHOW TABLES is gated off by default and on when enabled (reference default false)") {
+    spark.conf.unset(GraftSession.InformationSchemaKey)
+    val g = GraftSession.wrap(spark)
+    intercept[IllegalStateException] { g.sql("SHOW TABLES") }
+    spark.conf.set(GraftSession.InformationSchemaKey, "true")
+    assert(g.sql("SHOW TABLES").columns.nonEmpty)
+    spark.conf.set(GraftSession.InformationSchemaKey, "not_a_bool")
+    intercept[IllegalArgumentException] { g.sql("SHOW TABLES") }
+    spark.conf.unset(GraftSession.InformationSchemaKey)
+  }
+
+  test("CREATE / DROP VIEW lifecycle (q15 shape)") {
+    val g = GraftSession.wrap(spark)
+    g.registerParquet("li_v", s"${TestSpark.sfDir}/lineitem.parquet")
+    g.sql("CREATE OR REPLACE TEMPORARY VIEW rev_v AS " +
+      "SELECT l_suppkey, COUNT(*) AS n FROM li_v GROUP BY l_suppkey")
+    assert(g.sql("SELECT MAX(n) FROM rev_v").collect()(0).getLong(0) > 0)
+    g.sql("DROP VIEW rev_v")
+    intercept[Exception] { g.sql("SELECT * FROM rev_v").collect() }
+  }
+
+  test("ballista.* config keys translate to Spark confs") {
+    assert(GraftSession.translateConfKey("ballista.shuffle.partitions")
+      == "spark.sql.shuffle.partitions")
+    assert(GraftSession.translateConfKey("ballista.with_information_schema")
+      == GraftSession.InformationSchemaKey)
+    assert(GraftSession.translateConfKey("unknown.key") == "unknown.key")
+  }
+
+  test("registerCsv / registerJson read back what was written") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val df = spark.range(5).selectExpr("id", "id * 2 AS d")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    df.coalesce(1).write.mode("overwrite").json(s"$dir/j")
+    g.registerCsv("spec_c", s"$dir/c",
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, d BIGINT")))
+    g.registerJson("spec_j", s"$dir/j")
+    assert(g.sql("SELECT SUM(d) FROM spec_c").collect()(0).getLong(0) == 20L)
+    assert(g.sql("SELECT SUM(d) FROM spec_j").collect()(0).getLong(0) == 20L)
+  }
+}

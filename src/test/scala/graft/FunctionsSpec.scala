@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Golden tests for the function-parity layer, mirroring the reference's
+  * exact-output assertions (reference:
+  * ballista/client/src/context.rs:797-1027). */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(sql: String): Row = spark.sql(sql).collect()(0)
+
+  test("crypto: sha224/sha256/sha384/sha512/md5/digest known vectors") {
+    val r = one(
+      """SELECT sha224('abc') AS a, sha2('abc', 256) AS b, sha384('abc') AS c,
+        |       sha512('abc') AS d, md5('abc') AS e,
+        |       digest('abc', 'sha256') AS f, digest('abc', 'md5') AS g""".stripMargin)
+    assert(r.getString(0) == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(r.getString(1) == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(2) == "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7")
+    assert(r.getString(3) == "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+    assert(r.getString(4) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(5) == r.getString(1))
+    assert(r.getString(6) == r.getString(4))
+  }
+
+  test("to_timestamp_* reinterprets integral input at the named unit") {
+    val r = one(
+      """SELECT unix_micros(to_timestamp_seconds(2)) AS a,
+        |       unix_micros(to_timestamp_millis(1500)) AS b,
+        |       unix_micros(to_timestamp_micros(1500000)) AS c""".stripMargin)
+    assert(r.getLong(0) == 2000000L)
+    assert(r.getLong(1) == 1500000L)
+    assert(r.getLong(2) == 1500000L)
+  }
+
+  test("to_timestamp_* truncates string input down to the unit") {
+    val r = one(
+      """SELECT unix_micros(to_timestamp_millis('2024-01-02 03:04:05.678999')) AS a,
+        |       unix_micros(to_timestamp_seconds('2024-01-02 03:04:05.678999')) AS b,
+        |       unix_micros(to_timestamp_micros('2024-01-02 03:04:05.678999')) AS c""".stripMargin)
+    assert(r.getLong(0) % 1000 == 0)
+    assert(r.getLong(1) % 1000000 == 0)
+    assert(r.getLong(0) == r.getLong(1) + 678000)
+    assert(r.getLong(2) == r.getLong(1) + 678999)
+  }
+
+  test("regexp_match: first-match groups, NULL on miss, 'i' flag") {
+    val r = one(
+      """SELECT regexp_match('aaa', 'a') AS m1,
+        |       regexp_match('foo123bar', '([a-z]+)([0-9]+)') AS m2,
+        |       regexp_match('xyz', 'q') AS m3,
+        |       regexp_match('ABC', 'abc', 'i') AS m4""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("a"))
+    assert(r.getSeq[String](1) == Seq("foo", "123"))
+    assert(r.isNullAt(2))
+    assert(r.getSeq[String](3) == Seq("ABC"))
+  }
+
+  test("countCaptureGroups handles escapes, classes and non-capturing groups") {
+    import graft.functions.GraftFunctions.countCaptureGroups
+    assert(countCaptureGroups("abc") == 0)
+    assert(countCaptureGroups("(a)(b)") == 2)
+    assert(countCaptureGroups("(?:a)(b)") == 1)
+    assert(countCaptureGroups("\\(a\\)(b)") == 1)
+    assert(countCaptureGroups("[(](a)") == 1)
+  }
+
+  test("date_bin snaps onto the stride grid anchored at origin") {
+    val r = one(
+      """SELECT date_bin(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 00:22:33',
+        |                TIMESTAMP '2024-01-01 00:00:00') AS b1,
+        |       date_bin(INTERVAL 2 HOUR, TIMESTAMP '2024-01-01 05:00:00',
+        |                TIMESTAMP '2024-01-01 01:00:00') AS b2""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2024-01-01 00:15:00.0")
+    assert(r.getTimestamp(1).toString == "2024-01-01 05:00:00.0")
+  }
+
+  test("aggregate aliases resolve and compute") {
+    val r = one(
+      """SELECT approx_distinct(x) AS ad, var(x) AS v, correlation(x, y) AS c,
+        |       approx_median(x) AS am, sort_array(array_agg(x)) AS aa
+        |FROM VALUES (1.0D, 2.0D), (2.0D, 4.0D), (3.0D, 6.0D) AS t(x, y)""".stripMargin)
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getSeq[Double](4) == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("strpos / arrow_typeof / make_array aliases") {
+    val r = one(
+      "SELECT strpos('hello', 'll') AS p, arrow_typeof(1.5D) AS t, make_array(1, 2) AS a")
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "double")
+    assert(r.getSeq[Int](2) == Seq(1, 2))
+  }
+
+  test("current_time returns ns-since-midnight within a day") {
+    val r = one("SELECT current_time() AS t")
+    val ns = r.getLong(0)
+    assert(ns >= 0 && ns < 86400L * 1000000000L)
+  }
+
+  test("approx_percentile_cont_with_weight interpolates weighted percentiles") {
+    val r = one(
+      """SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p
+        |FROM VALUES (1.0D, 1.0D), (2.0D, 1.0D), (3.0D, 1.0D) AS t(x, w)""".stripMargin)
+    assert(r.getDouble(0) == 2.0)
+    // a heavy weight drags the percentile toward its value
+    val r2 = one(
+      """SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p
+        |FROM VALUES (1.0D, 100.0D), (2.0D, 1.0D), (3.0D, 1.0D) AS t(x, w)""".stripMargin)
+    assert(r2.getDouble(0) < 1.1)
+  }
+}

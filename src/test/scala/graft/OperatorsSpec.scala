@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit tests for the pipeline operators on tiny synthetic inputs with
+  * hand-checkable answers. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s1"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog today", "en", "s1"), // near dup
+    (4L, "completely different content about spark engines and data", "en", "s2"),
+    (5L, "one two", "en", "s2") // too short for 3-shingles
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exactKeepFirst groups identical content and keeps the lowest id") {
+    val r = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.length == 4) // 1+2 collapse
+    val dupRow = r.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L)
+  }
+
+  test("minhashNearDups finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup, jac = 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("simhash16 is equal for identical docs and in [0, 65536)") {
+    val m = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m.values.forall(v => v >= 0 && v < 65536))
+    assert(m(1L) != m(4L)) // different content → different fingerprint
+  }
+
+  test("blockedJaccard only pairs docs inside the same block") {
+    val pairs = Dedup.blockedJaccard(docs, "doc_id", "text", Seq("lang", "source"),
+        threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 and 5 share block s2 but 5 has no shingles; cross-block pairs absent
+    assert(pairs.forall { case (a, b) => Set(1L, 2L, 3L).contains(a) == Set(1L, 2L, 3L).contains(b) })
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") === 0, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(r.head == (1L, 1.0))
+    assert(r(1)._1 == 2L && r(1)._2 > 0.99)
+  }
+
+  test("annSignLsh recall is 1.0 when buckets coincide") {
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(0.9f, 0.8f)), (2L, Array(0.5f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.annSignLsh(emb, "vec_id", "embedding", col("id") === 0, 2, planes = 2)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") === 0, 2)
+    val rec = Similarity.recallAtK(ann, exact).collect()(0)
+    assert(rec.getDouble(0) == 1.0)
+  }
+
+  test("text analysis columns compute expected values") {
+    val one = Seq((1L, "the cat of the hat")).toDF("doc_id", "text")
+    val r = one.select(
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.stopwordCount(col("text")).as("sc"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langIdHeuristic(col("text")).as("lid")).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 3) // the, of, the
+    assert(r.getString(2).length == 32)
+    assert(r.getString(3) == "en")
+  }
+
+  test("rollingHash is order-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select(TextAnalysis.rollingHash("t1").as("h1"),
+      TextAnalysis.rollingHash("t2").as("h2")).collect()(0)
+    assert(r.getLong(0) != r.getLong(1))
+  }
+
+  test("multimodal extractFeatures computes deterministic stub features") {
+    val docsDf = Seq((7L, "abc", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docsDf)).collect()
+    assert(feats.length == 1)
+    val f = feats(0)
+    assert(f.media_id == 7L && f.n_bytes == 3L)
+    assert(f.head_byte == 'a'.toInt && f.tail_byte == 'c'.toInt)
+    assert(f.byte_checksum == ('a' + 'b' + 'c').toLong)
+  }
+}
