@@ -46,17 +46,25 @@ object Dedup {
    */
   def minhashBandKeys(sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val hashIds = array((0 until numHashes).map(lit): _*)
-    val minPerHash = sh
-      .select(col("id"), explode(hashIds).as("h"), col("sh"))
-      .select(col("id"), col("h"),
-        md5(concat(col("h").cast("string"), lit("|"), col("sh"))).as("hv"))
-      .groupBy(col("id"), col("h"))
-      .agg(min(col("hv")).as("mh"))
-    minPerHash
-      .groupBy(col("id"), (col("h") / rowsPerBand).cast("int").as("band"))
-      .agg(concat_ws(",",
-        expr("transform(sort_array(collect_list(struct(h, mh))), s -> s.mh)")).as("band_key"))
+    // All hashes are computed map-side as columns of one projection and
+    // min-aggregated in a single shuffle — no row explosion. At N shingle
+    // rows this shuffles N×1 rows with k columns instead of N×k rows.
+    val hashed = sh.select(
+      col("id") +: (0 until numHashes).map(h =>
+        md5(concat(lit(s"$h|"), col("sh"))).as(s"h$h")): _*)
+    val mins = hashed.groupBy("id").agg(
+      min(col("h0")).as("h0"),
+      (1 until numHashes).map(h => min(col(s"h$h")).as(s"h$h")): _*)
+    // band key = the band's row-hashes joined in hash order, then unpivot
+    // to (id, band, band_key) rows for the bucket join
+    val withBands = mins.select(
+      col("id") +: (0 until numBands).map { b =>
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}")): _*).as(s"band_$b")
+      }: _*)
+    val stackArgs = (0 until numBands).map(b => s"$b, band_$b").mkString(", ")
+    withBands.select(col("id"),
+      expr(s"stack($numBands, $stackArgs) AS (band, band_key)"))
   }
 
   /** Candidate pairs = distinct (a < b) sharing any band bucket. The join
@@ -120,12 +128,21 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), struct(blockCols.map(col): _*).as("blk"),
       col(textCol).as("txt"))
     val sh = shingles(base.select(col("id"), col("txt")), "id", "txt", shingleN)
-    val withBlk = base.select(col("id"), col("blk"))
-    val pairs = withBlk.select(col("blk"), col("id").as("a"))
-      .join(withBlk.select(col("blk"), col("id").as("b")), "blk")
+    val shBlk = sh.join(base.select(col("id"), col("blk")), "id")
+    // shingle-first co-occurrence join: only shingles two block-mates share
+    // generate rows — never the pairs×shingles cross product
+    val inter = shBlk.select(col("blk"), col("sh"), col("id").as("a"))
+      .join(shBlk.select(col("blk"), col("sh"), col("id").as("b")), Seq("blk", "sh"))
       .filter(col("a") < col("b"))
-      .select("a", "b")
-    jaccard(pairs, sh).filter(col("jac") >= threshold)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("id").as("b"), col("n_sh").as("n_b")), "b")
+      .select(col("a"), col("b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
   }
 }
