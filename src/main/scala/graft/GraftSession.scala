@@ -52,6 +52,20 @@ final class GraftSession private (val spark: SparkSession) {
   def registerTables(sfDir: String, names: Seq[String] = defaultTables): Unit =
     names.foreach(n => registerParquet(n, s"$sfDir/$n.parquet"))
 
+  /** Write a result to parquet (reference `DataFrame::write_parquet`,
+    * tested at ballista/client/src/context.rs:522-536). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.parquet(path)
+
+  /** Write a result to CSV with header (reference `write_csv`,
+    * context.rs:538-553). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").csv(path)
+
+  /** Write newline-delimited JSON (reference `write_json`). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.json(path)
+
   /**
    * SQL entry point (reference: context.rs:377-521). Handles the
    * reference-dialect `CREATE EXTERNAL TABLE` by translating it to Spark

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming layer — a strict SUPERSET of the reference, which
+ * is batch-only (SURVEY §2D: every reference operator is
+ * `ExecutionMode::Bounded`; no watermarks or windows-over-time exist
+ * there). These give the engine the streaming shapes a training-data
+ * pipeline needs: watermarked tumbling-window aggregation, streaming
+ * dedup, and custom keyed state via `mapGroupsWithState`.
+ *
+ * All transforms take/return streaming DataFrames from the public
+ * `readStream`/`writeStream` API, so the same code runs on any source
+ * (file, Kafka, rate) and sink.
+ */
+object StreamingOps {
+
+  /** Watermarked tumbling-window count+sum per key — the canonical
+    * streaming windowed aggregation. Late rows beyond `watermarkDelay`
+    * are dropped and window state is evicted, so state is bounded at any
+    * scale. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowDur: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+      .select(col("window.start").as("win_start"), col(keyCol),
+        col("n"), col("sum_v"))
+
+  /** Streaming exact dedup on a set of key columns: first arrival wins,
+    * duplicate state is dropped once the watermark passes. The streaming
+    * form of [[graft.operators.Dedup.exactKeepFirst]]. */
+  def streamingDedup(events: DataFrame, tsCol: String,
+                     keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  case class KeyCount(key: String, n: Long)
+
+  /** Running per-key event count via explicit keyed state
+    * (`mapGroupsWithState`) — the custom-state primitive the reference
+    * has no analog for. */
+  def runningCounts(events: Dataset[(String, Long)]): Dataset[KeyCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Long, KeyCount](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          KeyCount(key, next)
+      }
+  }
+
+  /** Drive a streaming DataFrame from files into an in-memory table and
+    * block until all available input is processed (test/demo harness). */
+  def runToMemory(stream: DataFrame, queryName: String,
+                  outputMode: OutputMode = OutputMode.Update()): Unit = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** End-to-end Structured Streaming tests over a file source: stream the
+  * events table through the ops and compare against the batch answer. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** events.parquet with ns→timestamp conversion, staged into a temp dir
+    * the file-streaming source can watch. */
+  private lazy val staged: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .select(timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("ts"),
+        col("event_type"), col("value"), col("event_id"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamingEvents = spark.readStream
+    .schema("ts TIMESTAMP, event_type STRING, value DOUBLE, event_id BIGINT")
+    .parquet(staged)
+
+  test("watermarked tumbling-window agg matches the batch answer") {
+    val agg = StreamingOps.tumblingAgg(streamingEvents, "ts", "event_type",
+      "value", "1 hour", "10 minutes")
+    StreamingOps.runToMemory(agg, "win_agg", OutputMode.Append())
+    val streamed = spark.table("win_agg")
+      .select("win_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = spark.read.parquet(staged)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    // append mode only emits windows the watermark closed; everything
+    // emitted must match the batch answer and be non-trivial
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("streaming dedup emits one row per key") {
+    val dd = StreamingOps.streamingDedup(streamingEvents, "ts",
+      Seq("event_type"), "10 minutes")
+    StreamingOps.runToMemory(dd, "dedup_stream", OutputMode.Append())
+    val rows = spark.table("dedup_stream").select("event_type").collect()
+    assert(rows.length == 5) // one per event_type
+  }
+
+  test("mapGroupsWithState running counts accumulate per key") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
+    input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    val counts = StreamingOps.runningCounts(input.toDS())
+    val q = counts.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("a", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("running").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last("a") == 3L && last("b") == 1L)
+  }
+}
