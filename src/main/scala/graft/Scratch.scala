@@ -12,15 +12,12 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_simhash")
-    for (n <- names) {
-      val t0 = System.nanoTime()
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- args) {
+      println(s"================ $n ================")
       val df = SparkEntry.queries(n)(spark, sf)
-      val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
-      println(f"$n%-24s plan ${(t1 - t0) / 1e9}%6.2f s  exec ${(t2 - t1) / 1e9}%6.2f s")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

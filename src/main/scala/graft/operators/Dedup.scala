@@ -96,7 +96,12 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numBands: Int = 6, rowsPerBand: Int = 3,
                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The shingle set feeds three consumers (signatures + both Jaccard
+    // sides); without a persist the text would be re-scanned and
+    // re-shingled per consumer — at corpus scale that triples the
+    // dominant cost. MEMORY_AND_DISK spills instead of OOMing.
     val sh = shingles(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand))
     jaccard(cands, sh).filter(col("jac") >= threshold)
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
@@ -128,6 +133,7 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), struct(blockCols.map(col): _*).as("blk"),
       col(textCol).as("txt"))
     val sh = shingles(base.select(col("id"), col("txt")), "id", "txt", shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shBlk = sh.join(base.select(col("id"), col("blk")), "id")
     // shingle-first co-occurrence join: only shingles two block-mates share
     // generate rows — never the pairs×shingles cross product
