@@ -37,6 +37,8 @@ object GraftFunctions {
     "correlation" -> { es => Corr(es(0), es(1)).toAggregateExpression() },
     // -- strings (proto:453-511) ----------------------------------------
     "strpos" -> { es => StringInstr(es(0), es(1)) },
+    // DataFusion to_hex(int) is lowercase; Spark hex() is uppercase
+    "to_hex" -> { es => Lower(Hex(es.head)) },
     // -- regex (proto:470): see regexpMatchBuilder for semantics
     "regexp_match" -> regexpMatchBuilder _,
     // -- crypto (proto:456,484,495-498); Spark returns hex strings

@@ -143,6 +143,30 @@ object FunctionQueries {
       |  CAST(EPOCH_US(TIMESTAMP '2024-01-02 03:04:05') AS BIGINT) AS e""".stripMargin,
     bench = false)
 
+  /** Remaining scalar surface pinned against literal expected values:
+    * initcap/btrim/octet_length/bit_length/to_hex/from_unixtime (proto:
+    * 471-521), uuid/random shape checks, struct field access
+    * (GetIndexedField, proto:338) and array ops. */
+  val fnMisc = sqlQ2("fn_misc",
+    """SELECT INITCAP('hello world') AS ic,
+      |  BTRIM('xxhixx', 'x') AS bt,
+      |  CAST(OCTET_LENGTH('héllo') AS BIGINT) AS ol,
+      |  CAST(BIT_LENGTH('abc') AS BIGINT) AS bl,
+      |  to_hex(255) AS thx,
+      |  FROM_UNIXTIME(0, 'yyyy-MM-dd HH:mm:ss') AS fu,
+      |  CAST(LENGTH(UUID()) AS BIGINT) AS ul,
+      |  (RAND() >= 0.0 AND RAND() < 1.0) AS rnd_ok,
+      |  named_struct('a', 1, 'b', 'x').a AS st_a,
+      |  split('a b c', ' ')[1] AS arr1,
+      |  element_at(split('a b c', ' '), 3) AS arr2,
+      |  CAST(size(split('a b c', ' ')) AS BIGINT) AS arr_n,
+      |  array_contains(split('a b c', ' '), 'b') AS has_b""".stripMargin,
+    """SELECT 'Hello World' AS ic, 'hi' AS bt, CAST(6 AS BIGINT) AS ol,
+      |  CAST(24 AS BIGINT) AS bl, 'ff' AS thx, '1970-01-01 00:00:00' AS fu,
+      |  CAST(36 AS BIGINT) AS ul, TRUE AS rnd_ok, 1 AS st_a,
+      |  'b' AS arr1, 'c' AS arr2, CAST(3 AS BIGINT) AS arr_n, TRUE AS has_b""".stripMargin,
+    bench = false)
+
   val fnConditional = sqlQ("fn_conditional",
     """SELECT o_orderkey AS o_orderkey,
       |  NULLIF(o_orderstatus, 'O') AS st_n,
@@ -193,5 +217,5 @@ object FunctionQueries {
 
   val all: Seq[Q] = Seq(
     fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
-    fnToTimestamp, fnConditional, fnCast, fnIntervalArith, evWindowAgg)
+    fnToTimestamp, fnMisc, fnConditional, fnCast, fnIntervalArith, evWindowAgg)
 }
