@@ -167,6 +167,20 @@ object FunctionQueries {
       |  'b' AS arr1, 'c' AS arr2, CAST(3 AS BIGINT) AS arr_n, TRUE AS has_b""".stripMargin,
     bench = false)
 
+  /** The custom weighted-percentile UDAF through the full distributed
+    * aggregation path (no DuckDB weighted-quantile oracle exists → the
+    * pin is a bounds check against the exact unweighted percentiles:
+    * price-weighted p50 of quantity must land within the unweighted
+    * [p25, p75] band, which any unit or interpolation bug breaks). */
+  val fnWeightedPercentile = sqlQ2("fn_weighted_percentile",
+    """SELECT
+      |  (approx_percentile_cont_with_weight(l_quantity, l_extendedprice, 0.5)
+      |     BETWEEN PERCENTILE(l_quantity, 0.25) AND PERCENTILE(l_quantity, 0.75)) AS wp50_in_band,
+      |  (approx_percentile_cont_with_weight(l_quantity, l_extendedprice, 0.01)
+      |     <= approx_percentile_cont_with_weight(l_quantity, l_extendedprice, 0.99)) AS monotone
+      |FROM lineitem""".stripMargin,
+    "SELECT TRUE AS wp50_in_band, TRUE AS monotone")
+
   val fnConditional = sqlQ("fn_conditional",
     """SELECT o_orderkey AS o_orderkey,
       |  NULLIF(o_orderstatus, 'O') AS st_n,
@@ -217,5 +231,6 @@ object FunctionQueries {
 
   val all: Seq[Q] = Seq(
     fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
-    fnToTimestamp, fnMisc, fnConditional, fnCast, fnIntervalArith, evWindowAgg)
+    fnToTimestamp, fnMisc, fnWeightedPercentile, fnConditional, fnCast,
+    fnIntervalArith, evWindowAgg)
 }

@@ -47,15 +47,31 @@ class DdlSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE spec_csv")
   }
 
-  test("SHOW TABLES is gated off by default and on when enabled (reference default false)") {
+  test("SHOW TABLES/COLUMNS are gated off by default and on when enabled (reference default false)") {
     spark.conf.unset(GraftSession.InformationSchemaKey)
     val g = GraftSession.wrap(spark)
+    g.registerParquet("show_t", s"${TestSpark.sfDir}/region.parquet")
     intercept[IllegalStateException] { g.sql("SHOW TABLES") }
+    intercept[IllegalStateException] { g.sql("SHOW COLUMNS IN show_t") }
     spark.conf.set(GraftSession.InformationSchemaKey, "true")
     assert(g.sql("SHOW TABLES").columns.nonEmpty)
+    assert(g.sql("SHOW COLUMNS IN show_t").collect()
+      .map(_.getString(0)).contains("r_name"))
     spark.conf.set(GraftSession.InformationSchemaKey, "not_a_bool")
     intercept[IllegalArgumentException] { g.sql("SHOW TABLES") }
     spark.conf.unset(GraftSession.InformationSchemaKey)
+  }
+
+  test("writeParquet / writeCsv / writeJson round-trip") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_write").toString
+    val df = spark.range(4).selectExpr("id", "id * 3 AS t")
+    g.writeParquet(df, s"$dir/p")
+    g.writeCsv(df, s"$dir/c")
+    g.writeJson(df, s"$dir/j")
+    assert(spark.read.parquet(s"$dir/p").count() == 4)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 4)
+    assert(spark.read.json(s"$dir/j").count() == 4)
   }
 
   test("CREATE / DROP VIEW lifecycle (q15 shape)") {
