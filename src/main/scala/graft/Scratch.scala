@@ -5,14 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Throwaway exploration main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // Simulate the driver's smoke session: NO nanosAsLong in the builder —
-    // entry() must still work (prepare() sets it at runtime).
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = SparkEntry.entry(spark).count()
-    println(s"entry rows: $n")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- args) {
+      println(s"======== $n ========")
+      val df = SparkEntry.queries(n)(spark, sf)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
     spark.stop()
   }
 }
