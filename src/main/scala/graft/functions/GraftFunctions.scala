@@ -168,6 +168,18 @@ object GraftFunctions {
       Seq(GraftShim.expression(stride), GraftShim.expression(source),
         GraftShim.expression(origin))))
 
+  /** The alias table as `SparkSessionExtensions.injectFunction`
+    * descriptions — the deployment path for getting the parity layer into
+    * EVERY session of a cluster via `spark.sql.extensions=graft.GraftExtensions`
+    * (no façade call needed). */
+  private[graft] def injectables: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression)] =
+    aliases.map { case (name, b) =>
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, name),
+        b)
+    }
+
   /**
    * Register the parity layer on a session. Idempotent and cheap
    * (`createOrReplaceTempFunction` replaces in place), so no per-session

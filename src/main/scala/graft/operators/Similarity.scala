@@ -70,6 +70,27 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate detection: candidate pairs are
+    * generated ONLY within sign-LSH buckets (both sides shuffle once on
+    * the bucket key — no all-pairs), refined by exact cosine, and the
+    * global top-N most-similar pairs are reported. For a dedup sweep the
+    * caller filters `cos >= threshold` instead of taking top-N. */
+  def bucketNearPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, topN: Int): DataFrame = {
+    val all = prep(emb, idCol, vecCol).withColumn("bkt", bucketExpr(planes))
+    val a = all.select(col("bkt"), col("id").as("a_id"), col("v").as("qv"),
+      col("norm2").as("qnorm2"))
+    val b = all.select(col("bkt"), col("id").as("b_id"), col("v"),
+      col("norm2"))
+    val scored = a.join(b, Seq("bkt")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** recall@k of the ANN result against the exact result, averaged over
     * queries (self-check harness for the LSH path). */
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {

@@ -210,6 +210,43 @@ object PipelineQueries {
     Similarity.recallAtK(ann, exact)
   }
 
+  private val embNearDupOracle =
+    """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2,
+      |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+      |  + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+      |  + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bkt
+      |  FROM e),
+      |scored AS (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      |      / (SQRT(a.norm2) * SQRT(b.norm2)) AS cos
+      |  FROM n a JOIN n b ON a.bkt = b.bkt AND a.id < b.id
+      |)
+      |SELECT a_id, b_id, ROUND(cos, 4) AS cos FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY cos DESC, a_id, b_id) AS rn FROM scored) t
+      |WHERE rn <= 5 ORDER BY a_id, b_id""".stripMargin
+
+  /** Embedding-cosine near-dup: bucket-local candidate pairs, exact
+    * refine, global top-5 most-similar pairs. */
+  val dedupEmbedding = dfQ("dedup_embedding", embNearDupOracle) { (s, _) =>
+    Similarity.bucketNearPairs(s.table("embeddings"), "vec_id", "embedding",
+        planes = 8, topN = 5)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** h2o-db-benchmark-style high-cardinality groupby over the events
+    * stream table (reference runs the h2o groupby suite,
+    * benchmarks/db-benchmark/groupby-datafusion.py). */
+  val evUserStats = sqlQ("ev_user_stats",
+    """SELECT user_id AS user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+      |  CAST(MAX(value) AS DOUBLE) AS max_v,
+      |  CAST(MIN(value) AS DOUBLE) AS min_v,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   // ---- text analysis --------------------------------------------------
 
   val textStats = dfQ("text_stats",
@@ -301,6 +338,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    dedupEmbedding, evUserStats,
     embedKnnBrute, embedAnnLsh, embedAnnRecall,
     textStats, textQuality, textLangId, textFingerprint,
     mmBinaryMeta, mmFeatures)

@@ -180,6 +180,94 @@ object TpchQueries {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin)
 
+  /** q4 shape: EXISTS semi-join into a priority histogram. */
+  val q4 = sqlQ("tpch_q4",
+    """SELECT o_orderpriority AS o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** q7 shape: bidirectional nation-pair volume by year (double nation
+    * join + disjunctive pair filter). */
+  val q7 = sqlQ("tpch_q7",
+    s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year, $discPrice AS volume
+       |  FROM supplier s
+       |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** q8 shape: market-share ratio via conditional aggregation per year. */
+  val q8 = sqlQ("tpch_q8",
+    s"""SELECT o_year,
+       |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year, $discPrice AS volume,
+       |    n1.n_name AS nation
+       |  FROM part p
+       |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+       |  WHERE p.p_type = 'ECONOMY'
+       |) all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  /** q9 shape: profit by nation and year (p_retailprice standing in for
+    * ps_supplycost — no partsupp in the testdata schema). */
+  val q9 = sqlQ("tpch_q9",
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |      - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%a%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** q13 shape: customer order-count distribution via outer join with an
+    * ON-clause residual filter. */
+  val q13 = sqlQ("tpch_q13",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** q19 shape: disjunction of conjunctive band predicates across the
+    * join (pushdown + residual OR filter). */
+  val q19 = sqlQ("tpch_q19",
+    s"""SELECT CAST(SUM($discPrice) AS DOUBLE) AS revenue
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
+       |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40 AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin)
+
   val all: Seq[Q] =
-    Seq(q1, q3, q5, q6, q10, q12, q14, q15, q17, q18, q22)
+    Seq(q1, q3, q4, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18,
+      q19, q22)
 }

@@ -84,6 +84,14 @@ class DdlSessionSpec extends AnyFunSuite {
     intercept[Exception] { g.sql("SELECT * FROM rev_v").collect() }
   }
 
+  test("GraftExtensions injects the full alias surface") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must accept every descriptor
+    assert(graft.functions.GraftFunctions.injectables.size >= 20)
+    assert(graft.functions.GraftFunctions.injectables
+      .map(_._1.funcName).contains("date_bin"))
+  }
+
   test("ballista.* config keys translate to Spark confs") {
     assert(GraftSession.translateConfKey("ballista.shuffle.partitions")
       == "spark.sql.shuffle.partitions")
