@@ -66,9 +66,28 @@ object ExternalTableDdl {
       ).flatten.mkString(", ")
 
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
-      val cols = colList.map(c => s" $c").getOrElse("")
+      val cols = colList.map(c => s" ${normalizeTypes(c)}").getOrElse("")
       val part = partitionCols.map(p => s" PARTITIONED BY ($p)").getOrElse("")
       Some(s"CREATE TABLE $ine$name$cols USING $sparkFmt OPTIONS ($opts)$part")
     case _ => None
+  }
+
+  /** Map reference-dialect (DataFusion/Arrow) column types that Spark DDL
+    * rejects or misreads onto Spark types (SURVEY §1 type table):
+    * bare VARCHAR/TEXT (Spark VARCHAR needs a length) → STRING, unsigned
+    * ints → the next wider signed type, REAL → FLOAT. Case-insensitive,
+    * word-boundary-safe; leaves everything else (INT, BIGINT, DOUBLE,
+    * DECIMAL(p,s), TIMESTAMP, DATE, VARCHAR(n), ...) untouched. */
+  private[graft] def normalizeTypes(colList: String): String = {
+    val rules: Seq[(String, String)] = Seq(
+      """(?i)\bVARCHAR\b(?!\s*\()""" -> "STRING",
+      """(?i)\bTEXT\b""" -> "STRING",
+      """(?i)\bTINYINT\s+UNSIGNED\b""" -> "SMALLINT",
+      """(?i)\bSMALLINT\s+UNSIGNED\b""" -> "INT",
+      """(?i)\b(INT|INTEGER)\s+UNSIGNED\b""" -> "BIGINT",
+      """(?i)\bBIGINT\s+UNSIGNED\b""" -> "DECIMAL(20,0)",
+      """(?i)\bREAL\b""" -> "FLOAT",
+      """(?i)\bBYTEA\b""" -> "BINARY")
+    rules.foldLeft(colList) { case (s, (re, to)) => s.replaceAll(re, to) }
   }
 }

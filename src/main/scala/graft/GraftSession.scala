@@ -23,6 +23,19 @@ final class GraftSession private (val spark: SparkSession) {
 
   import GraftSession._
 
+  /** DataFrame read API (reference: context.rs:217-261 `read_parquet/
+    * read_csv/read_json/read_avro` return lazy DataFrames). */
+  def readParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  def readCsv(path: String, hasHeader: Boolean = true,
+              delimiter: String = ","): DataFrame =
+    spark.read.option("header", hasHeader.toString)
+      .option("delimiter", delimiter).option("inferSchema", "true").csv(path)
+
+  def readJson(path: String): DataFrame = spark.read.json(path)
+
+  def readAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
