@@ -25,13 +25,22 @@ object ExternalTableDdl {
   def translate(sql: String): Option[String] = sql match {
     case head(ifNotExists, name, rest) =>
       var r = rest.trim
-      // optional column list: consume a balanced (...) prefix
+      // optional column list: consume a balanced (...) prefix, ignoring
+      // parens inside single-quoted literals (a column COMMENT or DEFAULT
+      // containing ')' must not end the scan)
       val (colList, afterCols) =
         if (r.startsWith("(")) {
-          var depth = 0; var i = 0
-          while (i < r.length && (depth != 0 || i == 0 || r.charAt(i - 1) != ')')) {
-            if (r.charAt(i) == '(') depth += 1
-            else if (r.charAt(i) == ')') depth -= 1
+          var depth = 0; var i = 0; var inQuote = false
+          var done = false
+          while (i < r.length && !done) {
+            r.charAt(i) match {
+              case '\'' => inQuote = !inQuote
+              case '(' if !inQuote => depth += 1
+              case ')' if !inQuote =>
+                depth -= 1
+                if (depth == 0) done = true
+              case _ =>
+            }
             i += 1
           }
           (Some(r.substring(0, i)), r.substring(i).trim)

@@ -94,7 +94,7 @@ final class GraftSession private (val spark: SparkSession) {
           "ballista/client/src/context.rs:384-393)")
     ExternalTableDdl.translate(trimmed) match {
       case Some(translated) => spark.sql(translated)
-      case None             => spark.sql(sqlText)
+      case None             => spark.sql(SimilarTo.rewrite(sqlText))
     }
   }
 

@@ -181,6 +181,18 @@ object FunctionQueries {
       |FROM lineitem""".stripMargin,
     "SELECT TRUE AS wp50_in_band, TRUE AS monotone")
 
+  /** SIMILAR TO through the session façade's rewrite (graft.SimilarTo);
+    * DuckDB supports SIMILAR TO natively, so the oracle runs it as-is —
+    * both anchored over the full string. */
+  val fnSimilarTo = dfQ("fn_similar_to",
+    """SELECT p_partkey AS p_partkey, p_brand AS p_brand
+      |FROM part WHERE p_brand SIMILAR TO 'Brand#(1|2)' ORDER BY p_partkey""".stripMargin,
+    bench = false) { (s, _) =>
+    graft.GraftSession.wrap(s).sql(
+      """SELECT p_partkey AS p_partkey, p_brand AS p_brand
+        |FROM part WHERE p_brand SIMILAR TO 'Brand#(1|2)' ORDER BY p_partkey""".stripMargin)
+  }
+
   val fnConditional = sqlQ("fn_conditional",
     """SELECT o_orderkey AS o_orderkey,
       |  NULLIF(o_orderstatus, 'O') AS st_n,
@@ -231,6 +243,6 @@ object FunctionQueries {
 
   val all: Seq[Q] = Seq(
     fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
-    fnToTimestamp, fnMisc, fnWeightedPercentile, fnConditional, fnCast,
-    fnIntervalArith, evWindowAgg)
+    fnToTimestamp, fnMisc, fnWeightedPercentile, fnSimilarTo, fnConditional,
+    fnCast, fnIntervalArith, evWindowAgg)
 }

@@ -247,6 +247,62 @@ object PipelineQueries {
       |  COUNT(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  /** Sessionization over the event stream (30-minute inactivity gap):
+    * LAG + windowed running sum assigns session ids, then per-session
+    * stats — the batch form of session windows. */
+  val evSessionize = sqlQ2("ev_sessionize",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts DIV 1000 AS BIGINT) AS ts_us FROM events
+      |),
+      |gaps AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM gaps
+      |)
+      |SELECT user_id AS user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(MIN(ts_us) AS BIGINT) AS sess_start_us,
+      |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin,
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |),
+      |gaps AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM gaps
+      |)
+      |SELECT user_id AS user_id, CAST(sess_id AS BIGINT) AS sess_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(MIN(ts_us) AS BIGINT) AS sess_start_us,
+      |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin)
+
+  /** Corpus token histogram (top 20 tokens by frequency). */
+  val textWordcount = sqlQ2("text_wordcount",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT explode(split(lower(text), ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+
   // ---- text analysis --------------------------------------------------
 
   val textStats = dfQ("text_stats",
@@ -338,7 +394,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
-    dedupEmbedding, evUserStats,
+    dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall,
     textStats, textQuality, textLangId, textFingerprint,
     mmBinaryMeta, mmFeatures)

@@ -84,6 +84,27 @@ class DdlSessionSpec extends AnyFunSuite {
     intercept[Exception] { g.sql("SELECT * FROM rev_v").collect() }
   }
 
+  test("SIMILAR TO rewrites to anchored RLIKE with SQL pattern semantics") {
+    assert(SimilarTo.rewrite("SELECT x SIMILAR TO 'ab%'") ==
+      "SELECT x RLIKE '^ab.*$'")
+    assert(SimilarTo.rewrite("WHERE b NOT SIMILAR TO 'a_c'") ==
+      "WHERE b NOT RLIKE '^a.c$'")
+    assert(SimilarTo.convertPattern("a.b%c_d") == "a\\.b.*c.d")
+    val g = GraftSession.wrap(spark)
+    val r = g.sql("SELECT 'Brand#12' SIMILAR TO 'Brand#(1|2)' AS a, " +
+      "'Brand#1' SIMILAR TO 'Brand#(1|2)' AS b").collect()(0)
+    assert(!r.getBoolean(0) && r.getBoolean(1)) // anchored: Brand#12 no match
+  }
+
+  test("column-list scan tolerates parens inside quoted literals") {
+    val out = ExternalTableDdl.translate(
+      "CREATE EXTERNAL TABLE t (a INT COMMENT 'has ) paren', b STRING) " +
+        "STORED AS CSV LOCATION '/tmp/x'").get
+    assert(out.contains("'has ) paren'"))
+    assert(out.contains("USING csv"))
+    assert(out.contains("path '/tmp/x'"))
+  }
+
   test("GraftExtensions injects the full alias surface") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept every descriptor
