@@ -78,4 +78,44 @@ object Multimodal {
       it.map(fakeDecode)
     }
   }
+
+  case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /** STUB frame sampler: treats the payload as fixed-size frames and
+    * emits every `everyNth` one. A real video pipeline swaps the chunking
+    * for a demuxer; the fan-out shape (one row → many frame rows,
+    * partition-parallel, no shuffle) is what matters at scale. */
+  def frameSample(media: Dataset[MediaRecord], frameSize: Int,
+                  everyNth: Int): Dataset[MediaFrame] = {
+    require(frameSize > 0 && everyNth > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        r.content.grouped(frameSize).zipWithIndex.collect {
+          case (chunk, i) if i % everyNth == 0 =>
+            MediaFrame(r.media_id, i, chunk)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: deterministically shrinks the payload to at most
+    * `maxBytes` (a real image pipeline decodes + rescales + re-encodes
+    * here); metadata stays consistent with the new payload. */
+  def resizeStub(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    require(maxBytes > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val content = if (r.content.length <= maxBytes) r.content
+                      else r.content.take(maxBytes)
+        r.copy(content = content, n_bytes = content.length.toLong)
+      }
+    }
+  }
 }

@@ -63,6 +63,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /**
+   * IVF (inverted-file) ANN: a KMeans codebook partitions the corpus into
+   * `nCells` cells; each query probes only its own cell and refines
+   * exactly. The index build (KMeans fit) happens once and would be
+   * persisted in production; search is then one hash-partitioned join on
+   * the cell id — the same scale shape as the sign-LSH path but with a
+   * data-adaptive partitioning (tighter cells ⇒ better recall per probe).
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int,
+              nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val all = prep(emb, idCol, vecCol)
+      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(all)
+    val assigned = model.transform(all).drop("fv")
+    val q = assigned.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("norm2").as("qnorm2"), col("cell"))
+    val scored = broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))

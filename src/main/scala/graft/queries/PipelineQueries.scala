@@ -201,6 +201,14 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** IVF ANN (KMeans codebook; non-SQL-expressible index build → weak
+    * rows-only check; structural properties are scalatested). */
+  val embedIvf = dfQ("embed_ivf_topk", null) { (s, _) =>
+    Similarity.ivfTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, nCells = 16)
+      .orderBy("qid", "nid")
+  }
+
   /** recall@10 of the LSH path vs the exact path — the ANN self-check. */
   val embedAnnRecall = dfQ("embed_ann_recall", annOracle(recall = true),
       bench = false) { (s, _) =>
@@ -395,7 +403,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
-    embedKnnBrute, embedAnnLsh, embedAnnRecall,
+    embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf,
     textStats, textQuality, textLangId, textFingerprint,
     mmBinaryMeta, mmFeatures)
 }

@@ -95,6 +95,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(0) != r.getLong(1))
   }
 
+  test("ivfTopK returns k in-cell neighbors with sane cosines") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val r = Similarity.ivfTopK(emb, "vec_id", "embedding", col("id") < 3,
+      k = 5, nCells = 4).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    assert(byQ.values.forall(_.length == 5))
+    assert(r.forall(row => math.abs(row.getDouble(2)) <= 1.0001))
+    // IVF candidates ⊂ corpus ⇒ every IVF cosine ≤ the brute-force floor
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("id") < 3, k = 5).collect()
+    val bruteMin = brute.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).min)
+    assert(byQ.forall { case (q, rows) =>
+      rows.map(_.getDouble(2)).max <= brute.filter(_.getLong(0) == q).map(_.getDouble(2)).max + 1e-9 })
+    assert(bruteMin.nonEmpty)
+  }
+
+  test("frameSample chunks payloads and keeps every Nth frame") {
+    import graft.operators.Multimodal
+    val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val frames = Multimodal.frameSample(Multimodal.fromDocuments(docsDf),
+      frameSize = 3, everyNth = 2).collect().sortBy(_.frame_idx)
+    // chunks: abc def ghi j → frames 0, 2 kept
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(new String(frames(0).frame_bytes) == "abc")
+    assert(new String(frames(1).frame_bytes) == "ghi")
+  }
+
+  test("resizeStub truncates payload and keeps metadata consistent") {
+    import graft.operators.Multimodal
+    val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val resized = Multimodal.resizeStub(Multimodal.fromDocuments(docsDf), 4).collect()(0)
+    assert(resized.n_bytes == 4 && new String(resized.content) == "abcd")
+  }
+
   test("multimodal extractFeatures computes deterministic stub features") {
     val docsDf = Seq((7L, "abc", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docsDf)).collect()
