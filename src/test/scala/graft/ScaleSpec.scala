@@ -34,6 +34,39 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("DROP TABLE or_b")
   }
 
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("tpch_q1 plan: pushed filter, pruned columns, two-phase agg, one hash exchange") {
+    val p = planOf("tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("l_orderkey"), "projection should prune unused columns")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("tpch_q3 plan: dimension sides broadcast, fact side never shuffled for joins") {
+    val p = planOf("tpch_q3")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("embed_knn_brute plan: top-k pushed below the shuffle, query side broadcast") {
+    val p = planOf("embed_knn_brute")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("embed_ann_lsh plan: candidates come from a hash join on the bucket key") {
+    val p = planOf("embed_ann_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucketed ANN must not degenerate to a nested-loop join")
+  }
+
   test("salted join matches the plain join exactly") {
     import spark.implicits._
     // one hot key (0) with many rows + a tail
