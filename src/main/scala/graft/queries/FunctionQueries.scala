@@ -206,6 +206,20 @@ object FunctionQueries {
       |FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""".stripMargin,
     bench = false)
 
+  /** Three-valued-logic pins: IN / NOT IN with NULLs — the corner where
+    * engines classically diverge. */
+  val fnNullSemantics = sqlQ("fn_null_semantics",
+    """SELECT (1 IN (1, NULL)) AS a,
+      |  (1 NOT IN (2, NULL)) AS b,
+      |  (NULL IN (1, 2)) AS c,
+      |  (NULL = NULL) AS d,
+      |  (NULL IS NULL) AS e,
+      |  (1 = NULL) AS f,
+      |  COALESCE(NULL, NULL, 3) AS g,
+      |  (NULL AND FALSE) AS h,
+      |  (NULL OR TRUE) AS i""".stripMargin,
+    bench = false)
+
   val fnCast = sqlQ("fn_cast",
     """SELECT TRY_CAST('12' AS INT) AS a, TRY_CAST('nope' AS INT) AS b,
       |  CAST(3 AS BIGINT) AS c, CAST('2024-05-06' AS DATE) AS d,
@@ -244,5 +258,5 @@ object FunctionQueries {
   val all: Seq[Q] = Seq(
     fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
     fnToTimestamp, fnMisc, fnWeightedPercentile, fnSimilarTo, fnConditional,
-    fnCast, fnIntervalArith, evWindowAgg)
+    fnNullSemantics, fnCast, fnIntervalArith, evWindowAgg)
 }

@@ -267,7 +267,77 @@ object TpchQueries {
        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40)
        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40 AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin)
 
+  /** q2 shape: correlated scalar MIN subquery selecting the cheapest
+    * offer per part (partsupp stood in by lineitem prices). */
+  val q2 = sqlQ("tpch_q2",
+    """SELECT s.s_name AS s_name, p.p_partkey AS p_partkey,
+      |  CAST(l.l_extendedprice AS DOUBLE) AS min_price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |WHERE p.p_size = 10
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY min_price DESC, p_partkey, s_name
+      |LIMIT 25""".stripMargin)
+
+  /** q11 shape: group-by with a HAVING threshold derived from a scalar
+    * subquery over the whole relation (partsupp value → supplier-side
+    * lineitem value). */
+  val q11 = sqlQ("tpch_q11",
+    """SELECT l_suppkey AS l_suppkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) > (
+      |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 0.011
+      |  FROM lineitem)
+      |ORDER BY value DESC, l_suppkey""".stripMargin)
+
+  /** q16 shape: NOT IN anti-subquery + COUNT(DISTINCT) histogram. */
+  val q16 = sqlQ("tpch_q16",
+    """SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+      |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |WHERE p.p_size IN (5, 10, 15, 20)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p.p_brand, p.p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin)
+
+  /** q20 shape: nested IN chains with a grouped HAVING threshold. */
+  val q20 = sqlQ("tpch_q20",
+    """SELECT s_name AS s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'p%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100)
+      |ORDER BY s_name""".stripMargin)
+
+  /** q21 shape: EXISTS + NOT EXISTS against the same fact table. */
+  val q21 = sqlQ("tpch_q21",
+    """SELECT s.s_name AS s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_quantity > 45)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin)
+
   val all: Seq[Q] =
-    Seq(q1, q3, q4, q5, q6, q7, q8, q9, q10, q12, q13, q14, q15, q17, q18,
-      q19, q22)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15,
+      q16, q17, q18, q19, q20, q21, q22)
 }
