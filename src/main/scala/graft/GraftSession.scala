@@ -40,16 +40,48 @@ final class GraftSession private (val spark: SparkSession) {
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
 
-  /** Register a CSV table (reference: context.rs:247-254,318-331). */
+  /** Register a CSV table (reference: context.rs:247-254,318-331).
+    * Default is declared-schema (or all-string columns): schema inference
+    * costs a full extra pass over the data — a scale-killer at 100 TB —
+    * so it is opt-in via `inferSchema = true`. */
   def registerCsv(name: String, path: String,
                   hasHeader: Boolean = true, delimiter: String = ",",
-                  schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+                  schema: Option[org.apache.spark.sql.types.StructType] = None,
+                  inferSchema: Boolean = false): Unit = {
     val r = spark.read.option("header", hasHeader.toString).option("delimiter", delimiter)
     val df = schema match {
       case Some(s) => r.schema(s).csv(path)
-      case None    => r.option("inferSchema", "true").csv(path)
+      case None    => r.option("inferSchema", inferSchema.toString).csv(path)
     }
     df.createOrReplaceTempView(name)
+  }
+
+  /**
+   * `EXPLAIN ANALYZE` equivalent (reference `AnalyzeNode`,
+   * datafusion.proto:62): executes the query and returns the physical
+   * operators with their RUNTIME metrics (rows produced, spill sizes,
+   * timing) as a relation — the piece plain `EXPLAIN` lacks.
+   */
+  def explainAnalyze(sqlText: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = sql(sqlText)
+    // Execute THIS plan instance (a .write/.count would re-plan and leave
+    // these operators' metrics untouched).
+    val qe = df.queryExecution
+    qe.toRdd.foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+    // AQE hides the executed operators behind wrapper nodes — descend
+    // into the adaptive plan and each materialized query stage.
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec        => q +: flatten(q.plan)
+      case other                    => other +: other.children.flatMap(flatten)
+    }
+    val rows = flatten(qe.executedPlan).flatMap { p =>
+      p.metrics.toSeq.map { case (name, m) => (p.nodeName, name, m.value) }
+    }
+    import spark.implicits._
+    rows.toDF("operator", "metric", "value")
   }
 
   /** Register newline-delimited JSON (reference: context.rs:217-224,263-270). */

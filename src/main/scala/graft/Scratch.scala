@@ -2,23 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway exploration main (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (n <- args) {
-      println(s"======== $n ========")
-      val df = SparkEntry.queries(n)(spark, sf)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
-    }
+    val g = GraftSession.wrap(spark)
+    g.registerParquet("ea_li", "/root/testdata/sf0.001/lineitem.parquet")
+    val m = g.explainAnalyze("SELECT l_returnflag, COUNT(*) FROM ea_li GROUP BY l_returnflag")
+    m.show(60, false)
     spark.stop()
   }
 }

@@ -62,6 +62,45 @@ class DdlSessionSpec extends AnyFunSuite {
     spark.conf.unset(GraftSession.InformationSchemaKey)
   }
 
+  test("CREATE DATABASE / USE / qualified table lifecycle") {
+    val g = GraftSession.wrap(spark)
+    g.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    g.sql("DROP TABLE IF EXISTS graft_db.t1")
+    g.sql(s"CREATE EXTERNAL TABLE graft_db.t1 STORED AS PARQUET " +
+      s"LOCATION '${TestSpark.sfDir}/region.parquet'")
+    assert(g.sql("SELECT COUNT(*) FROM graft_db.t1").collect()(0).getLong(0) == 5)
+    assert(spark.catalog.databaseExists("graft_db"))
+    g.sql("DROP TABLE graft_db.t1")
+    g.sql("DROP DATABASE graft_db")
+  }
+
+  test("explainAnalyze returns runtime metrics for executed operators") {
+    val g = GraftSession.wrap(spark)
+    g.registerParquet("ea_li", s"${TestSpark.sfDir}/lineitem.parquet")
+    val m = g.explainAnalyze(
+      "SELECT l_returnflag, COUNT(*) FROM ea_li GROUP BY l_returnflag")
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => r.getString(1) == "numOutputRows" && r.getLong(2) > 0),
+      "runtime row counts must be populated")
+    assert(rows.exists(r => r.getString(0) == "Exchange" &&
+      r.getString(1) == "shuffleRecordsWritten" && r.getLong(2) > 0),
+      "shuffle metrics must be populated")
+  }
+
+  test("registerCsv without schema defaults to string columns (no inference pass)") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvdef").toString
+    spark.range(3).selectExpr("id").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    g.registerCsv("csv_def", dir)
+    assert(spark.table("csv_def").schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    g.registerCsv("csv_inf", dir, inferSchema = true)
+    assert(spark.table("csv_inf").schema.fields.exists(_.dataType !=
+      org.apache.spark.sql.types.StringType))
+  }
+
   test("writeParquet / writeCsv / writeJson round-trip") {
     val g = GraftSession.wrap(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_write").toString
