@@ -238,7 +238,49 @@ object OperatorQueries {
       |  AS DOUBLE) AS qsum
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  /** GROUPS frame emulation (reference frames include GROUPS,
+    * datafusion.proto:651-676; Spark has no GROUPS unit): a GROUPS frame
+    * over the ORDER BY peers equals a RANGE frame over their dense_rank.
+    * (DuckDB 1.0 lacks GROUPS too, so the oracle runs the same
+    * dense_rank formulation as an independent computation of the spec.) */
+  val winFrameGroups = sqlQ2("win_frame_groups",
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(o_orderdate AS DATE) AS od,
+      |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      |  FROM orders
+      |)
+      |SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+      |  AS DOUBLE) AS grp_sum
+      |FROM d ORDER BY o_custkey, o_orderkey""".stripMargin,
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      |  FROM orders
+      |)
+      |SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+      |  AS DOUBLE) AS grp_sum
+      |FROM d ORDER BY o_custkey, o_orderkey""".stripMargin)
+
   // ---- set operations -------------------------------------------------
+
+  /** INTERSECT ALL / EXCEPT ALL multiplicity semantics. */
+  val setOpsAll = sqlQ("setop_all",
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT CAST(l_suppkey % 20 AS BIGINT) AS k FROM lineitem WHERE l_orderkey <= 500
+      |  INTERSECT ALL
+      |  SELECT CAST(l_partkey % 20 AS BIGINT) AS k FROM lineitem WHERE l_orderkey <= 500) t
+      |GROUP BY k
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS k, COUNT(*) AS n FROM (
+      |  SELECT CAST(l_suppkey % 20 AS BIGINT) AS k FROM lineitem WHERE l_orderkey <= 500
+      |  EXCEPT ALL
+      |  SELECT CAST(l_partkey % 20 AS BIGINT) AS k FROM lineitem WHERE l_orderkey <= 500) t2
+      |ORDER BY k, n""".stripMargin)
 
   val setUnion = sqlQ("setop_union",
     """SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
@@ -323,8 +365,8 @@ object OperatorQueries {
     joinNullSafe, joinResidual,
     aggRollup, aggCube, aggGroupingSets, aggDistinct, aggFilter, aggStats,
     aggApproxDistinct, aggPercentile, aggArrayAgg,
-    winRanks, winOffsets, winFrameRows, winFrameRange,
-    setUnion, setUnionAll, setIntersect, setExcept,
+    winRanks, winOffsets, winFrameRows, winFrameRange, winFrameGroups,
+    setUnion, setUnionAll, setIntersect, setExcept, setOpsAll,
     sortTopK, limitOffset, distinctRows, valuesInline, selectNoFrom,
     repartitionAgg, preparedStmt)
 }
