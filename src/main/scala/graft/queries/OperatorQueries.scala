@@ -77,6 +77,31 @@ object OperatorQueries {
       .select(c("c_custkey").as("c_custkey")).orderBy("c_custkey")
   }
 
+  /** RIGHT SEMI (reference: datafusion.proto:246 RIGHTSEMI) — Spark has
+    * no right_semi join type; the exact equivalent is left_semi with the
+    * build/probe sides swapped. */
+  val joinRightSemi = dfQ("join_right_semi",
+    """SELECT s_suppkey FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+      |ORDER BY s_suppkey""".stripMargin) { (s, _) =>
+    val l = s.table("lineitem").filter(col("l_quantity") >= 49)
+    val sup = s.table("supplier")
+    sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_semi")
+      .select(col("s_suppkey")).orderBy("s_suppkey")
+  }
+
+  /** RIGHT ANTI (reference: datafusion.proto:247 RIGHTANTI) — mirrored
+    * left_anti. */
+  val joinRightAnti = dfQ("join_right_anti",
+    """SELECT s_suppkey FROM supplier s
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+      |ORDER BY s_suppkey""".stripMargin) { (s, _) =>
+    val l = s.table("lineitem").filter(col("l_quantity") >= 49)
+    val sup = s.table("supplier")
+    sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_anti")
+      .select(col("s_suppkey")).orderBy("s_suppkey")
+  }
+
   val joinCross = sqlQ("join_cross",
     """SELECT r.r_name AS r_name, n.n_name AS n_name
       |FROM region r CROSS JOIN nation n
@@ -361,8 +386,8 @@ object OperatorQueries {
   }
 
   val all: Seq[Q] = Seq(
-    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti, joinCross,
-    joinNullSafe, joinResidual,
+    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
+    joinRightSemi, joinRightAnti, joinCross, joinNullSafe, joinResidual,
     aggRollup, aggCube, aggGroupingSets, aggDistinct, aggFilter, aggStats,
     aggApproxDistinct, aggPercentile, aggArrayAgg,
     winRanks, winOffsets, winFrameRows, winFrameRange, winFrameGroups,

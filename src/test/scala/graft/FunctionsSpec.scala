@@ -97,6 +97,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](2) == Seq(1, 2))
   }
 
+  test("now / current_date / current_timestamp resolve and are current") {
+    val r = one("SELECT now() AS n, current_date() AS d, current_timestamp() AS ts")
+    val nowMs = System.currentTimeMillis()
+    assert(math.abs(r.getTimestamp(0).getTime - nowMs) < 60000)
+    assert(math.abs(r.getTimestamp(2).getTime - nowMs) < 60000)
+    assert(math.abs(r.getDate(1).getTime - nowMs) < 2 * 86400000L)
+  }
+
   test("current_time returns ns-since-midnight within a day") {
     val r = one("SELECT current_time() AS t")
     val ns = r.getLong(0)
