@@ -42,6 +42,10 @@ object Bench {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // operators that persist intermediates (near-dup shingle sets)
+        // re-persist per invocation; drop their blocks so cached storage
+        // doesn't accumulate across the run
+        spark.catalog.clearCache()
         q.name -> times.min
       } catch {
         case e: Throwable =>

@@ -84,19 +84,47 @@ object ExternalTableDdl {
   /** Map reference-dialect (DataFusion/Arrow) column types that Spark DDL
     * rejects or misreads onto Spark types (SURVEY §1 type table):
     * bare VARCHAR/TEXT (Spark VARCHAR needs a length) → STRING, unsigned
-    * ints → the next wider signed type, REAL → FLOAT. Case-insensitive,
-    * word-boundary-safe; leaves everything else (INT, BIGINT, DOUBLE,
-    * DECIMAL(p,s), TIMESTAMP, DATE, VARCHAR(n), ...) untouched. */
+    * ints → the next wider signed type, REAL → FLOAT. Applied ONLY to the
+    * type portion of each column definition — a column NAMED `text` or
+    * `real` (this repo's own documents table has a `text` column) must
+    * not be rewritten; quoted literals (COMMENTs) are left alone too. */
   private[graft] def normalizeTypes(colList: String): String = {
     val rules: Seq[(String, String)] = Seq(
-      """(?i)\bVARCHAR\b(?!\s*\()""" -> "STRING",
-      """(?i)\bTEXT\b""" -> "STRING",
-      """(?i)\bTINYINT\s+UNSIGNED\b""" -> "SMALLINT",
-      """(?i)\bSMALLINT\s+UNSIGNED\b""" -> "INT",
-      """(?i)\b(INT|INTEGER)\s+UNSIGNED\b""" -> "BIGINT",
-      """(?i)\bBIGINT\s+UNSIGNED\b""" -> "DECIMAL(20,0)",
-      """(?i)\bREAL\b""" -> "FLOAT",
-      """(?i)\bBYTEA\b""" -> "BINARY")
-    rules.foldLeft(colList) { case (s, (re, to)) => s.replaceAll(re, to) }
+      """(?i)^VARCHAR\b(?!\s*\()""" -> "STRING",
+      """(?i)^TEXT\b""" -> "STRING",
+      """(?i)^TINYINT\s+UNSIGNED\b""" -> "SMALLINT",
+      """(?i)^SMALLINT\s+UNSIGNED\b""" -> "INT",
+      """(?i)^(INT|INTEGER)\s+UNSIGNED\b""" -> "BIGINT",
+      """(?i)^BIGINT\s+UNSIGNED\b""" -> "DECIMAL(20,0)",
+      """(?i)^REAL\b""" -> "FLOAT",
+      """(?i)^BYTEA\b""" -> "BINARY")
+    val inner = colList.trim.stripPrefix("(").stripSuffix(")")
+    // split at top-level commas (not inside parens or quotes)
+    val cols = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inQuote = false; var start = 0
+    for (i <- inner.indices) inner.charAt(i) match {
+      case '\'' => inQuote = !inQuote
+      case '(' if !inQuote => depth += 1
+      case ')' if !inQuote => depth -= 1
+      case ',' if !inQuote && depth == 0 =>
+        cols += inner.substring(start, i); start = i + 1
+      case _ =>
+    }
+    cols += inner.substring(start)
+    val out = cols.map { c =>
+      val t = c.trim
+      // name = first token (optionally backquoted); the rest is the type
+      // (+ modifiers) — rules anchor at the start of the type portion.
+      val m = """^(`[^`]+`|\S+)\s+(.*)$""".r.findFirstMatchIn(t)
+      m match {
+        case Some(g) =>
+          val typed = rules.foldLeft(g.group(2)) {
+            case (s, (re, to)) => s.replaceAll(re, to)
+          }
+          s"${g.group(1)} $typed"
+        case None => t
+      }
+    }
+    out.mkString("(", ", ", ")")
   }
 }

@@ -28,16 +28,21 @@ object SimilarTo {
       scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '^$converted$$'")
     })
 
-  /** SQL SIMILAR TO pattern → Java regex body (unanchored). */
+  /** SQL SIMILAR TO pattern → Java regex body (unanchored). Inside a
+    * bracket expression `[...]`, `%` and `_` are LITERAL characters in
+    * SIMILAR TO (and in regex), so they pass through unchanged there. */
   private[graft] def convertPattern(p: String): String = {
     val sb = new StringBuilder
     var i = 0
+    var inClass = false
     while (i < p.length) {
       p.charAt(i) match {
-        case '%' => sb.append(".*")
-        case '_' => sb.append('.')
-        case '.' => sb.append("\\.")
-        case c   => sb.append(c)
+        case '[' if !inClass => inClass = true; sb.append('[')
+        case ']' if inClass  => inClass = false; sb.append(']')
+        case '%' if !inClass => sb.append(".*")
+        case '_' if !inClass => sb.append('.')
+        case '.' if !inClass => sb.append("\\.")
+        case c               => sb.append(c)
       }
       i += 1
     }

@@ -119,7 +119,9 @@ object GraftFunctions {
       Literal(null, ArrayType(StringType)))
   }
 
-  /** Count unescaped capturing groups `(` (excluding `(?...)` non-capturing forms). */
+  /** Count unescaped capturing groups `(`. `(?...)` forms are
+    * non-capturing EXCEPT named groups `(?<name>...)` — which Java counts
+    * as capturing — while lookbehinds `(?<=` / `(?<!` are not. */
   private[graft] def countCaptureGroups(pattern: String): Int = {
     var i = 0; var n = 0; var inClass = false
     while (i < pattern.length) {
@@ -128,7 +130,13 @@ object GraftFunctions {
         case '[' if !inClass => inClass = true
         case ']' if inClass  => inClass = false
         case '(' if !inClass =>
-          if (i + 1 >= pattern.length || pattern.charAt(i + 1) != '?') n += 1
+          val next = if (i + 1 < pattern.length) pattern.charAt(i + 1) else ' '
+          if (next != '?') n += 1
+          else {
+            val third = if (i + 2 < pattern.length) pattern.charAt(i + 2) else ' '
+            val fourth = if (i + 3 < pattern.length) pattern.charAt(i + 3) else ' '
+            if (third == '<' && fourth != '=' && fourth != '!') n += 1 // (?<name>...)
+          }
         case _ =>
       }
       i += 1

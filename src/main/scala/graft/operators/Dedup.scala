@@ -99,7 +99,10 @@ object Dedup {
     // The shingle set feeds three consumers (signatures + both Jaccard
     // sides); without a persist the text would be re-scanned and
     // re-shingled per consumer — at corpus scale that triples the
-    // dominant cost. MEMORY_AND_DISK spills instead of OOMing.
+    // dominant cost. MEMORY_AND_DISK spills instead of OOMing. The cache
+    // entry lives until the caller drops it (`spark.catalog.clearCache()`
+    // or unpersist) — repeated invocations in one session should clear
+    // between runs, as Bench does.
     val sh = shingles(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand))

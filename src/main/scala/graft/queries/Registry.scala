@@ -29,10 +29,15 @@ object Registry {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  // Cache per (session, dir): registering 10 views per query would re-read
-  // parquet footers hundreds of times per Verify/Bench run.
-  private val prepared =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // Cache the LAST dir registered per session: registering 10 views per
+  // query would re-read parquet footers hundreds of times per Verify/Bench
+  // run. Temp views are session-global, so the key must be the session
+  // alone — a per-(session, dir) key would skip re-registration when dirs
+  // alternate and silently serve stale views. Weak keys: stopped sessions
+  // must not be retained.
+  private val preparedDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   def prepare(spark: SparkSession, dir: String): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
@@ -41,8 +46,7 @@ object Registry {
     // queries. Runtime-settable legacy conf.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
-    val key = System.identityHashCode(spark) + "|" + dir
-    if (prepared.add(key)) {
+    if (preparedDir.put(spark, dir) != dir) {
       tableNames.foreach { n =>
         spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
       }

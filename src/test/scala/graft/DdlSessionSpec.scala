@@ -129,6 +129,8 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(SimilarTo.rewrite("WHERE b NOT SIMILAR TO 'a_c'") ==
       "WHERE b NOT RLIKE '^a.c$'")
     assert(SimilarTo.convertPattern("a.b%c_d") == "a\\.b.*c.d")
+    // % and _ are literal inside bracket expressions
+    assert(SimilarTo.convertPattern("a[%_]b") == "a[%_]b")
     val g = GraftSession.wrap(spark)
     val r = g.sql("SELECT 'Brand#12' SIMILAR TO 'Brand#(1|2)' AS a, " +
       "'Brand#1' SIMILAR TO 'Brand#(1|2)' AS b").collect()(0)

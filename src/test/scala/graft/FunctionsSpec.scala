@@ -65,6 +65,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(countCaptureGroups("(?:a)(b)") == 1)
     assert(countCaptureGroups("\\(a\\)(b)") == 1)
     assert(countCaptureGroups("[(](a)") == 1)
+    assert(countCaptureGroups("(?<user>[a-z]+)@(\\w+)") == 2) // named groups capture
+    assert(countCaptureGroups("(?<=x)(a)") == 1) // lookbehind does not
+    assert(countCaptureGroups("(?<!x)(a)") == 1)
   }
 
   test("date_bin snaps onto the stride grid anchored at origin") {

@@ -86,6 +86,11 @@ class ScaleSpec extends AnyFunSuite {
       == "(a STRING, b VARCHAR(10), c STRING)")
     assert(normalizeTypes("(u INT UNSIGNED, v BIGINT UNSIGNED, w REAL)")
       == "(u BIGINT, v DECIMAL(20,0), w FLOAT)")
+    // column NAMES colliding with type keywords stay untouched
+    assert(normalizeTypes("(text VARCHAR, real DOUBLE, n DECIMAL(10,2))")
+      == "(text STRING, real DOUBLE, n DECIMAL(10,2))")
+    assert(normalizeTypes("(a INT COMMENT 'use REAL text', b REAL)")
+      == "(a INT COMMENT 'use REAL text', b FLOAT)")
     // end-to-end through the translator
     val out = ExternalTableDdl.translate(
       "CREATE EXTERNAL TABLE t (a VARCHAR, n INT UNSIGNED) STORED AS CSV LOCATION '/tmp/x'").get

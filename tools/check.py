@@ -27,6 +27,12 @@ if run_verify:
 
 oracles = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
+if only:
+    unknown = [n for n in only if n not in oracles]
+    if unknown:
+        print(f"ERROR: unknown query name(s): {unknown}")
+        sys.exit(2)
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
