@@ -34,30 +34,47 @@ object Bench {
     // as engine throughput.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
 
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadavg
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val allTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = qs.map { q =>
       try {
         val times = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          try {
+            val t0 = System.nanoTime()
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } finally {
+            // Drop persisted intermediates (near-dup shingle sets) INSIDE
+            // the iteration loop: iteration 2 must recompute from source,
+            // not report a cached-run time as engine throughput.
+            spark.catalog.clearCache()
+          }
         }
-        // operators that persist intermediates (near-dup shingle sets)
-        // re-persist per invocation; drop their blocks so cached storage
-        // doesn't accumulate across the run
-        spark.catalog.clearCache()
+        allTimes(q.name) = times
         q.name -> times.min
       } catch {
         case e: Throwable =>
           errors(q.name) = e.getClass.getSimpleName
+          spark.catalog.clearCache()
           q.name -> -1.0
       }
     }
-    def jnum(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val tJson = allTimes.map { case (k, ts) =>
+      s""""$k":${ts.map(jnum).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}""")
+    // loadavg start/end make a contended run diagnosable from the artifact
+    // alone (VERDICT r2: a 78× swing on an unchanged binary was load).
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"iterations":$iters,"times":$tJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

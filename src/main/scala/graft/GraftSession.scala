@@ -27,10 +27,20 @@ final class GraftSession private (val spark: SparkSession) {
     * read_csv/read_json/read_avro` return lazy DataFrames). */
   def readParquet(path: String): DataFrame = spark.read.parquet(path)
 
+  /** Default is declared-schema (or all-string columns), matching
+    * `registerCsv`: schema inference costs a full extra pass over the
+    * data — a scale-killer at 100 TB — so it is opt-in. */
   def readCsv(path: String, hasHeader: Boolean = true,
-              delimiter: String = ","): DataFrame =
-    spark.read.option("header", hasHeader.toString)
-      .option("delimiter", delimiter).option("inferSchema", "true").csv(path)
+              delimiter: String = ",",
+              schema: Option[org.apache.spark.sql.types.StructType] = None,
+              inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.option("header", hasHeader.toString)
+      .option("delimiter", delimiter)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", inferSchema.toString).csv(path)
+    }
+  }
 
   def readJson(path: String): DataFrame = spark.read.json(path)
 

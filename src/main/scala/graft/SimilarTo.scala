@@ -24,24 +24,40 @@ object SimilarTo {
   def rewrite(sql: String): String =
     pat.replaceAllIn(sql, m => {
       val not = if (m.group(1) != null) "NOT " else ""
-      val converted = convertPattern(m.group(2))
-      scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '^$converted$$'")
+      // convertPattern yields the true Java regex; the regex is then
+      // embedded in a Spark single-quoted string literal, whose parser
+      // (escapedStringLiterals=false) unescapes backslashes — so every
+      // backslash that must reach the regex engine is doubled here.
+      val regex = convertPattern(m.group(2))
+      val literalBody = regex.replace("\\", "\\\\")
+      scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '^$literalBody$$'")
     })
 
-  /** SQL SIMILAR TO pattern → Java regex body (unanchored). Inside a
+  /** SQL SIMILAR TO pattern → Java regex body (unanchored, real regex —
+    * NOT yet escaped for embedding in a SQL string literal). Inside a
     * bracket expression `[...]`, `%` and `_` are LITERAL characters in
-    * SIMILAR TO (and in regex), so they pass through unchanged there. */
+    * SIMILAR TO (and in regex), so they pass through unchanged there.
+    * `.`, `^`, `$` are literal characters in SIMILAR TO and get regex
+    * escapes; a `\x` escape in the pattern means literal `x`. */
   private[graft] def convertPattern(p: String): String = {
     val sb = new StringBuilder
     var i = 0
     var inClass = false
     while (i < p.length) {
       p.charAt(i) match {
+        case '\\' if i + 1 < p.length =>
+          // SIMILAR TO escape: next char is literal. Alphanumerics must
+          // NOT be re-escaped (regex \d, \w… would change meaning).
+          val c = p.charAt(i + 1)
+          if (c.isLetterOrDigit) sb.append(c) else sb.append('\\').append(c)
+          i += 1
         case '[' if !inClass => inClass = true; sb.append('[')
         case ']' if inClass  => inClass = false; sb.append(']')
         case '%' if !inClass => sb.append(".*")
         case '_' if !inClass => sb.append('.')
         case '.' if !inClass => sb.append("\\.")
+        case '^' if !inClass => sb.append("\\^")
+        case '$' if !inClass => sb.append("\\$")
         case c               => sb.append(c)
       }
       i += 1

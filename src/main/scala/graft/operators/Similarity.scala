@@ -64,22 +64,54 @@ object Similarity {
   }
 
   /**
-   * IVF (inverted-file) ANN: a KMeans codebook partitions the corpus into
-   * `nCells` cells; each query probes only its own cell and refines
-   * exactly. The index build (KMeans fit) happens once and would be
-   * persisted in production; search is then one hash-partitioned join on
-   * the cell id — the same scale shape as the sign-LSH path but with a
-   * data-adaptive partitioning (tighter cells ⇒ better recall per probe).
+   * Deterministic IVF codebook: the corpus vectors with the `nCells`
+   * smallest ids act as seed centroids (the init step of k-means||,
+   * without the iterative refinement — fully SQL-expressible, so the
+   * whole IVF path is oracle-checkable). Output: (cell, cv, cnorm2).
+   * Production builds this ONCE, persists it, and passes it to
+   * `ivfTopK` — the index build is out of the per-query path.
+   */
+  def buildIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int): DataFrame =
+    prep(emb, idCol, vecCol).orderBy("id").limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"),
+        col("norm2").as("cnorm2"))
+
+  /** Cell assignment entirely map-side: the centroid table is collapsed
+    * to ONE row holding an array of (cell, cv, cnorm2) structs, broadcast,
+    * and each corpus row computes its argmax-cosine cell with a single
+    * fold over that array — no shuffle, no `corpus × nCells` explosion.
+    * Ties break to the lowest cell id (strict `>` against the ascending
+    * sort_array order). */
+  private def assignCells(all: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv"), col("cnorm2"))))
+        .as("cents"))
+    all.crossJoin(broadcast(centArr))
+      .withColumn("cell", expr(
+        """aggregate(
+          |  transform(cents, c -> named_struct(
+          |    'cell', c.cell,
+          |    'score', aggregate(zip_with(v, c.cv, (x, y) -> x * y),
+          |               CAST(0 AS DOUBLE), (a, x) -> a + x) / SQRT(c.cnorm2))),
+          |  named_struct('cell', CAST(-1 AS BIGINT),
+          |               'score', CAST('-Infinity' AS DOUBLE)),
+          |  (acc, s) -> IF(s.score > acc.score, s, acc)).cell""".stripMargin))
+      .drop("cents")
+  }
+
+  /**
+   * IVF (inverted-file) ANN over a PREBUILT centroid table: each corpus
+   * row is assigned to its nearest cell (map-side, see `assignCells`),
+   * each query probes only its own cell, candidates are refined by exact
+   * cosine. Search is one hash-partitioned join on the cell id — the same
+   * scale shape as the sign-LSH path but with a data-adaptive partitioning
+   * (tighter cells ⇒ better recall per probe).
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column, k: Int,
-              nCells: Int = 16, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    val all = prep(emb, idCol, vecCol)
-      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(all)
-    val assigned = model.transform(all).drop("fv")
+              centroids: DataFrame): DataFrame = {
+    val assigned = assignCells(prep(emb, idCol, vecCol), centroids)
     val q = assigned.filter(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"),
         col("norm2").as("qnorm2"), col("cell"))
@@ -89,6 +121,14 @@ object Similarity {
         (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
     topK(scored, k)
   }
+
+  /** Convenience: build the deterministic seed codebook inline (cheap,
+    * non-iterative — a top-`nCells` scan, not a KMeans fit). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int,
+              nCells: Int): DataFrame =
+    ivfTopK(emb, idCol, vecCol, queryPred, k,
+      buildIvfCentroids(emb, idCol, vecCol, nCells))
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -112,9 +152,10 @@ object Similarity {
     val scored = a.join(b, Seq("bkt")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cos").desc, col("a_id"), col("b_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topN)
+    // Global top-N as orderBy+limit: Spark plans TakeOrderedAndProject
+    // (per-partition top-N, driver merge of N×partitions rows) — NOT a
+    // single-partition window funnel. Plan-asserted in ScaleSpec.
+    scored.orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(topN)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 

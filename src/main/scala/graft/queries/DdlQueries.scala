@@ -43,17 +43,36 @@ object DdlQueries {
             |FROM ext_nation ORDER BY n_nationkey""".stripMargin)
   }
 
-  /** SHOW TABLES through the information-schema gate (enabled) — weak
-    * rows-only check (no oracle: catalog contents aren't DuckDB's). */
-  val ddlShowTables = dfQ("ddl_show_tables", null, bench = false) { (s, _) =>
+  /** SHOW TABLES through the information-schema gate (enabled), pinned to
+    * the registry table list (reference SHOW gating:
+    * ballista/client/src/context.rs:342-371). Restricting to the known
+    * registry views keeps the result independent of which other queries
+    * (external-table DDL) ran first in the same session; the oracle is the
+    * literal expected list. */
+  val ddlShowTables = dfQ("ddl_show_tables",
+    """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),
+      |  ('events'),('lineitem'),('nation'),('orders'),('part'),('region'),
+      |  ('supplier')) t(table_name) ORDER BY table_name""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions.col
     s.conf.set(GraftSession.InformationSchemaKey, "true")
     val g = GraftSession.wrap(s)
-    g.sql("SHOW TABLES")
+    g.sql("SHOW TABLES").select(col("tableName").as("table_name"))
+      .filter(col("table_name").isin(Registry.tableNames: _*))
+      .orderBy("table_name")
   }
 
-  /** EXPLAIN surface (reference: datafusion.proto:981) — rows-only. */
-  val ddlExplain = dfQ("ddl_explain", null, bench = false) { (s, _) =>
+  /** EXPLAIN surface (reference: datafusion.proto:981) — projected to a
+    * deterministic signature: the plan text exists, contains the hash
+    * aggregate, and reaches the lineitem scan. */
+  val ddlExplain = dfQ("ddl_explain",
+    "SELECT TRUE AS has_plan, TRUE AS has_agg, TRUE AS has_scan",
+    bench = false) { (s, _) =>
     s.sql("EXPLAIN SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      .selectExpr(
+        "length(plan) > 0 AS has_plan",
+        "plan LIKE '%HashAggregate%' AS has_agg",
+        "plan LIKE '%lineitem%' AS has_scan")
   }
 
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables, ddlExplain)

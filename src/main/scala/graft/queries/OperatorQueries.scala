@@ -211,10 +211,12 @@ object OperatorQueries {
   /** array_agg → collect_list alias, order pinned by sort_array
     * (reference golden test: ballista/client/src/context.rs:873-906). */
   val aggArrayAgg = sqlQ2("agg_array_agg",
-    """SELECT l_orderkey AS l_orderkey, SORT_ARRAY(ARRAY_AGG(l_linenumber)) AS lines
+    """SELECT l_orderkey AS l_orderkey,
+      |  ARRAY_JOIN(SORT_ARRAY(ARRAY_AGG(l_linenumber)), ',') AS lines
       |FROM lineitem WHERE l_orderkey <= 40
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    """SELECT l_orderkey AS l_orderkey, LIST_SORT(LIST(l_linenumber)) AS lines
+    """SELECT l_orderkey AS l_orderkey,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS lines
       |FROM lineitem WHERE l_orderkey <= 40
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 

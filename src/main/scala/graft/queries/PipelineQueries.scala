@@ -201,9 +201,35 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
-  /** IVF ANN (KMeans codebook; non-SQL-expressible index build → weak
-    * rows-only check; structural properties are scalatested). */
-  val embedIvf = dfQ("embed_ivf_topk", null) { (s, _) =>
+  /** IVF with the deterministic seed codebook (vectors with the 16
+    * smallest ids) — index build + assignment + probe are all
+    * SQL-expressible, so DuckDB replays the whole path. */
+  private val ivfOracle =
+    """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
+      |cent AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM n ORDER BY id LIMIT 16),
+      |asg AS (
+      |  SELECT id, v, norm2, cell FROM (
+      |    SELECT p.id, p.v, p.norm2, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.id
+      |        ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+      |                 c.cell) AS rn
+      |    FROM n p, cent c) t
+      |  WHERE rn = 1
+      |),
+      |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2, cell FROM asg WHERE id < 8),
+      |scored AS (
+      |  SELECT q.qid, a.id AS nid,
+      |    list_sum(list_transform(list_zip(q.qv, a.v), z -> z[1] * z[2]))
+      |      / (SQRT(q.qnorm2) * SQRT(a.norm2)) AS cos
+      |  FROM q JOIN asg a ON q.cell = a.cell AND a.id <> q.qid
+      |),
+      |ranked AS (
+      |  SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM scored
+      |)
+      |SELECT qid, nid, ROUND(cos, 4) AS cos FROM ranked WHERE rn <= 10 ORDER BY qid, nid""".stripMargin
+
+  val embedIvf = dfQ("embed_ivf_topk", ivfOracle) { (s, _) =>
     Similarity.ivfTopK(s.table("embeddings"), "vec_id", "embedding",
         col("id") < 8, k = 10, nCells = 16)
       .orderBy("qid", "nid")

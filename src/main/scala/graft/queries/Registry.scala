@@ -46,9 +46,17 @@ object Registry {
     // queries. Runtime-settable legacy conf.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
-    if (preparedDir.put(spark, dir) != dir) {
-      tableNames.foreach { n =>
-        spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    if (preparedDir.get(spark) != dir) {
+      // Record the dir only AFTER every view registered: a partial failure
+      // (one missing parquet) must not make the next prepare() skip
+      // re-registration and serve a stale/partial view mix.
+      try {
+        tableNames.foreach { n =>
+          spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+        }
+        preparedDir.put(spark, dir)
+      } catch {
+        case e: Throwable => preparedDir.remove(spark); throw e
       }
     }
     spark

@@ -91,8 +91,8 @@ object TpchQueries {
 
   val q12 = sqlQ("tpch_q12",
     """SELECT l.l_returnflag AS l_returnflag,
-      |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders o
       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

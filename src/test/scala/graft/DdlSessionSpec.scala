@@ -129,12 +129,26 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(SimilarTo.rewrite("WHERE b NOT SIMILAR TO 'a_c'") ==
       "WHERE b NOT RLIKE '^a.c$'")
     assert(SimilarTo.convertPattern("a.b%c_d") == "a\\.b.*c.d")
+    // Literal '.' must survive Spark's string-literal unescaping: the
+    // regex backslash is doubled in the rewritten SQL text.
+    assert(SimilarTo.rewrite("SELECT x SIMILAR TO 'a.b'") ==
+      "SELECT x RLIKE '^a\\\\.b$'")
+    // ^ and $ are literal characters in SIMILAR TO
+    assert(SimilarTo.convertPattern("a^b$c") == "a\\^b\\$c")
+    // \x escape in the pattern means literal x (no regex-class leakage)
+    assert(SimilarTo.convertPattern("a\\%b") == "a\\%b")
+    assert(SimilarTo.convertPattern("a\\db") == "adb")
     // % and _ are literal inside bracket expressions
     assert(SimilarTo.convertPattern("a[%_]b") == "a[%_]b")
     val g = GraftSession.wrap(spark)
     val r = g.sql("SELECT 'Brand#12' SIMILAR TO 'Brand#(1|2)' AS a, " +
       "'Brand#1' SIMILAR TO 'Brand#(1|2)' AS b").collect()(0)
     assert(!r.getBoolean(0) && r.getBoolean(1)) // anchored: Brand#12 no match
+    // executed dot semantics: '.' is literal, not a wildcard
+    val d = g.sql("SELECT 'a.b' SIMILAR TO 'a.b' AS lit, " +
+      "'axb' SIMILAR TO 'a.b' AS wild, 'a_b' SIMILAR TO 'a\\_b' AS esc")
+      .collect()(0)
+    assert(d.getBoolean(0) && !d.getBoolean(1) && d.getBoolean(2))
   }
 
   test("column-list scan tolerates parens inside quoted literals") {
