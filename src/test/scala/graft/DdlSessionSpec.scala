@@ -188,4 +188,21 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT SUM(d) FROM spec_c").collect()(0).getLong(0) == 20L)
     assert(g.sql("SELECT SUM(d) FROM spec_j").collect()(0).getLong(0) == 20L)
   }
+
+  test("readCsv default never runs schema inference (all-string schema)") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_ni").toString
+    spark.range(3).selectExpr("id", "id * 2 AS d")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    // default path: no inference pass → numeric columns stay StringType
+    assert(g.readCsv(dir).schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType))
+    // opt-in inference still works (small ints infer as IntegerType)
+    assert(g.readCsv(dir, inferSchema = true).schema("d").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // declared schema wins over both
+    val s = org.apache.spark.sql.types.StructType.fromDDL("id INT, d INT")
+    assert(g.readCsv(dir, schema = Some(s)).schema("d").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
 }

@@ -67,6 +67,63 @@ class ScaleSpec extends AnyFunSuite {
       "bucketed ANN must not degenerate to a nested-loop join")
   }
 
+  // ---- per-query plan pins for the heaviest bench queries: a future
+  // edit must not silently trade a broadcast for a shuffle or reintroduce
+  // a single-partition funnel (VERDICT r2 "Next round" #7). ----
+
+  test("tpch_q18 plan: top-k distributed, shuffles only for l_orderkey aggs") {
+    val p = planOf("tpch_q18")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast at test SF")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"expected ≤3 exchanges (HAVING agg ×2 + final agg), plan:\n$p")
+  }
+
+  test("tpch_q5 plan: all five joins broadcast, single agg exchange") {
+    val p = planOf("tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, s"plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
+  }
+
+  test("tpch_q9 plan: all four joins broadcast, single agg exchange") {
+    val p = planOf("tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, s"plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
+  }
+
+  test("dedup_minhash plan: candidates bucket-local, no cartesian/NL join") {
+    val p = planOf("dedup_minhash")
+    assert(p.contains("band_key"), "candidate join must use the LSH band key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must never be all-pairs, plan:\n$p")
+  }
+
+  test("win_frame_range plan: one partitioned window, one exchange") {
+    val p = planOf("win_frame_range")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"plan:\n$p")
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      "window must be partitioned (no global ordering)")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+  }
+
+  test("dedup_embedding plan: global top-N is TakeOrderedAndProject, not a single-partition window") {
+    val p = planOf("dedup_embedding")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+  }
+
+  test("embed_ivf_topk plan: prebuilt codebook attach is map-side, top-k pushed down") {
+    val p = planOf("embed_ivf_topk")
+    // centroid array attaches via a 1-row broadcast cross join (map-side)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), s"plan:\n$p")
+    // candidate generation is a hash join on the cell id, never all-pairs
+    assert("BroadcastHashJoin \\[cell".r.findAllIn(p).nonEmpty, s"plan:\n$p")
+    // per-query top-k pushed below the shuffle
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+    // deterministic seed codebook: a distributed top-nCells scan, no KMeans
+    assert(p.contains("TakeOrderedAndProject(limit=16"), s"plan:\n$p")
+  }
+
   test("salted join matches the plain join exactly") {
     import spark.implicits._
     // one hot key (0) with many rows + a tail
