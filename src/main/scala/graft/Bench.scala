@@ -67,14 +67,39 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r03: a full per-query map pushed
+    // the line past the window and the round's numbers were unparseable).
+    // So stdout carries a compact line — total + the headline queries — and
+    // the complete per-query/per-iteration detail goes to a file in the
+    // repo, which the driver's end-of-round commit picks up.
+    val headline: Set[String] =
+      (1 to 22).map(i => s"tpch_q$i").toSet ++ Set(
+        "dedup_minhash", "dedup_embedding", "embed_ivf_topk",
+        "embed_knn_brute", "text_quality", "h2o_q10")
+    val qJson = results.collect { case (k, v) if headline(k) => s""""$k":${jnum(v)}""" }
+      .mkString("{", ",", "}")
     val tJson = allTimes.map { case (k, ts) =>
       s""""$k":${ts.map(jnum).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val allJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$allJson,"errors":$eJson,"iterations":$iters,"times":$tJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
+
+    val loadEnd = loadavg
+    // Stop BEFORE printing the JSON line so executor-shutdown log noise
+    // can't land between the line and the end of stdout (the driver parses
+    // the line out of the last 2000 chars).
+    spark.stop()
     // loadavg start/end make a contended run diagnosable from the artifact
     // alone (VERDICT r2: a 78× swing on an unchanged binary was load).
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"iterations":$iters,"times":$tJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)},"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"n_queries":${results.size},"iterations":$iters,"detail":"$detailPath","loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)},"sf":"$sfDir"}""")
   }
 }

@@ -136,7 +136,11 @@ final class GraftSession private (val spark: SparkSession) {
           "ballista/client/src/context.rs:384-393)")
     ExternalTableDdl.translate(trimmed) match {
       case Some(translated) => spark.sql(translated)
-      case None             => spark.sql(SimilarTo.rewrite(sqlText))
+      case None =>
+        val escaped = spark.conf
+          .getOption("spark.sql.parser.escapedStringLiterals")
+          .exists(_.equalsIgnoreCase("true"))
+        spark.sql(SimilarTo.rewrite(sqlText, escaped))
     }
   }
 

@@ -21,7 +21,16 @@ object SimilarTo {
   private val pat =
     """(?is)\b(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'""".r
 
-  def rewrite(sql: String): String =
+  def rewrite(sql: String): String = rewrite(sql, escapedStringLiterals = false)
+
+  /**
+   * @param escapedStringLiterals the session's
+   *   `spark.sql.parser.escapedStringLiterals`: when true, Spark's string
+   *   parser takes backslashes literally, so the regex must NOT be doubled
+   *   before embedding (doubling would reach the regex engine verbatim and
+   *   change every escape's meaning).
+   */
+  def rewrite(sql: String, escapedStringLiterals: Boolean): String =
     pat.replaceAllIn(sql, m => {
       val not = if (m.group(1) != null) "NOT " else ""
       // convertPattern yields the true Java regex; the regex is then
@@ -29,7 +38,8 @@ object SimilarTo {
       // (escapedStringLiterals=false) unescapes backslashes — so every
       // backslash that must reach the regex engine is doubled here.
       val regex = convertPattern(m.group(2))
-      val literalBody = regex.replace("\\", "\\\\")
+      val literalBody =
+        if (escapedStringLiterals) regex else regex.replace("\\", "\\\\")
       scala.util.matching.Regex.quoteReplacement(s"${not}RLIKE '^$literalBody$$'")
     })
 
@@ -40,6 +50,12 @@ object SimilarTo {
     * `.`, `^`, `$` are literal characters in SIMILAR TO and get regex
     * escapes; a `\x` escape in the pattern means literal `x`. */
   private[graft] def convertPattern(p: String): String = {
+    // Postgres rejects a pattern ending in an unpaired escape ("LIKE
+    // pattern must not end with escape character"); match that instead of
+    // letting a dangling backslash surface later as an opaque
+    // PatternSyntaxException from the regex engine.
+    require(p.reverse.takeWhile(_ == '\\').length % 2 == 0,
+      s"SIMILAR TO pattern must not end with escape character: '$p'")
     val sb = new StringBuilder
     var i = 0
     var inClass = false

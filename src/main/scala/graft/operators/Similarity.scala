@@ -73,7 +73,11 @@ object Similarity {
    */
   def buildIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                         nCells: Int): DataFrame =
-    prep(emb, idCol, vecCol).orderBy("id").limit(nCells)
+    // norm2 > 0: an all-zero seed would make every cell score 0/0 (NaN),
+    // and Spark vs DuckDB NaN ordering diverges — zero vectors can't be
+    // centroids (mirrored in the embed_ivf_topk oracle CTE).
+    prep(emb, idCol, vecCol).filter(col("norm2") > 0).orderBy("id")
+      .limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"),
         col("norm2").as("cnorm2"))
 

@@ -207,7 +207,7 @@ object PipelineQueries {
   private val ivfOracle =
     """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
-      |cent AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM n ORDER BY id LIMIT 16),
+      |cent AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM n WHERE norm2 > 0 ORDER BY id LIMIT 16),
       |asg AS (
       |  SELECT id, v, norm2, cell FROM (
       |    SELECT p.id, p.v, p.norm2, c.cell,

@@ -151,6 +151,33 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(d.getBoolean(0) && !d.getBoolean(1) && d.getBoolean(2))
   }
 
+  test("SIMILAR TO rejects a trailing unpaired escape; paired escapes pass") {
+    // Postgres errors on 'abc\'; match that instead of a downstream
+    // PatternSyntaxException (ADVICE r3).
+    val e = intercept[IllegalArgumentException] {
+      SimilarTo.convertPattern("abc\\")
+    }
+    assert(e.getMessage.contains("must not end with escape character"))
+    intercept[IllegalArgumentException] {
+      SimilarTo.convertPattern("a\\\\\\") // \\ pair + dangling \
+    }
+    assert(SimilarTo.convertPattern("a\\\\") == "a\\\\") // escaped backslash ok
+  }
+
+  test("SIMILAR TO rewrite honors escapedStringLiterals") {
+    // escapedStringLiterals=true: Spark takes the literal verbatim, so the
+    // regex must NOT be backslash-doubled (ADVICE r3).
+    assert(SimilarTo.rewrite("SELECT x SIMILAR TO 'a.b'",
+      escapedStringLiterals = true) == "SELECT x RLIKE '^a\\.b$'")
+    val g = GraftSession.wrap(spark)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      val r = g.sql("SELECT 'a.b' SIMILAR TO 'a.b' AS lit, " +
+        "'axb' SIMILAR TO 'a.b' AS wild").collect()(0)
+      assert(r.getBoolean(0) && !r.getBoolean(1))
+    } finally spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+  }
+
   test("column-list scan tolerates parens inside quoted literals") {
     val out = ExternalTableDdl.translate(
       "CREATE EXTERNAL TABLE t (a INT COMMENT 'has ) paren', b STRING) " +
