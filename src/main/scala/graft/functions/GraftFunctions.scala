@@ -52,6 +52,11 @@ object GraftFunctions {
     "to_timestamp_seconds" -> { es => ToTimestampAtUnit(es.head, 1000000L) },
     "to_timestamp_millis"  -> { es => ToTimestampAtUnit(es.head, 1000L) },
     "to_timestamp_micros"  -> { es => ToTimestampAtUnit(es.head, 1L) },
+    // -- vectors: native codegen dot product (see VecDot scaladoc); the
+    // SQL entry point casts so array<float> embeddings work directly.
+    "vec_dot" -> { es =>
+      VecDot(Cast(es(0), ArrayType(DoubleType)),
+        Cast(es(1), ArrayType(DoubleType))) },
     // -- misc (proto:449-521) -------------------------------------------
     "arrow_typeof" -> { es => new TypeOf(es.head) },
     "random" -> { _ => new Rand() },

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
  *  - blocked exact-Jaccard: all-pairs restricted to explicit small blocks
  *    (e.g. (lang, source)), for recall evaluation at bounded cost.
  *
- * The hash family is md5 over salted shingles — deliberately engine-
- * portable so the DuckDB oracle can reproduce signatures bit-for-bit.
+ * The minhash family is double hashing over one md5 per shingle —
+ * deliberately engine-portable so the DuckDB oracle can reproduce
+ * signatures bit-for-bit (see `minhashBandKeys`).
  */
 object Dedup {
 
@@ -38,20 +39,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Largest prime below 2^53: the double-hashing modulus. 53 bits keeps
+    * every intermediate (x1 + 17·x2 < 2^57) inside BIGINT range in BOTH
+    * engines — DuckDB raises on signed-64 overflow rather than wrapping. */
+  val MinhashPrime: Long = 9007199254740881L
+
   /**
-   * MinHash signatures: `numBands` bands × `rowsPerBand` salted min-hashes.
-   * Hash h ∈ [0, bands·rows): mh_h = min over shingles of
-   * md5(h || '|' || shingle); band key = the r min-hashes of the band
-   * joined in hash order. Returns (id, band, band_key).
+   * MinHash signatures: `numBands` bands × `rowsPerBand` min-hashes.
+   * The hash family is double hashing (Kirsch–Mitzenmacher 2006): ONE
+   * md5 per shingle, split into two 13-hex-digit (52-bit) halves x1/x2,
+   * and hash h ∈ [0, bands·rows) is (x1 + h·x2) mod P. One md5 instead
+   * of 18 cuts the dominant map-side cost ~9× while staying engine-
+   * portable bit-for-bit (DuckDB: CAST('0x'||substring(md5,…) AS
+   * BIGINT)). Band key = the band's min-hashes joined in hash order.
+   * Returns (id, band, band_key).
    */
   def minhashBandKeys(sh: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = numBands * rowsPerBand
     // All hashes are computed map-side as columns of one projection and
     // min-aggregated in a single shuffle — no row explosion. At N shingle
     // rows this shuffles N×1 rows with k columns instead of N×k rows.
-    val hashed = sh.select(
-      col("id") +: (0 until numHashes).map(h =>
-        md5(concat(lit(s"$h|"), col("sh"))).as(s"h$h")): _*)
+    val hashed = sh
+      .withColumn("m", md5(col("sh")))
+      .withColumn("x1", conv(substring(col("m"), 1, 13), 16, 10).cast("long"))
+      .withColumn("x2", conv(substring(col("m"), 14, 13), 16, 10).cast("long"))
+      .select(
+        col("id") +: (0 until numHashes).map(h =>
+          ((col("x1") + lit(h.toLong) * col("x2")) % lit(MinhashPrime))
+            .as(s"h$h")): _*)
     val mins = hashed.groupBy("id").agg(
       min(col("h0")).as("h0"),
       (1 until numHashes).map(h => min(col(s"h$h")).as(s"h$h")): _*)

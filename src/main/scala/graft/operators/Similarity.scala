@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.VecDot
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,15 +20,19 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Native codegen dot product (see [[graft.functions.VecDot]]) — built
+    * directly as a Catalyst expression, so operators work on any session
+    * without the function-registry parity layer. */
+  private def vdot(a: Column, b: Column): Column =
+    GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
+
   /** (id, v: array<double>, norm2) projection of an embeddings table. */
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"),
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm2",
-        expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("norm2", vdot(col("v"), col("v")))
 
-  private val dotExpr =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+  private def dotExpr = vdot(col("qv"), col("v"))
 
   /** Exact cosine top-k of each query id against the whole corpus. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -91,16 +96,17 @@ object Similarity {
     val centArr = centroids.agg(
       sort_array(collect_list(struct(col("cell"), col("cv"), col("cnorm2"))))
         .as("cents"))
+    val scoredCells = transform(col("cents"), c => struct(
+      c.getField("cell").as("cell"),
+      (vdot(col("v"), c.getField("cv")) / sqrt(c.getField("cnorm2")))
+        .as("score")))
+    val best = aggregate(
+      scoredCells,
+      struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("score")),
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s)
+        .otherwise(acc))
     all.crossJoin(broadcast(centArr))
-      .withColumn("cell", expr(
-        """aggregate(
-          |  transform(cents, c -> named_struct(
-          |    'cell', c.cell,
-          |    'score', aggregate(zip_with(v, c.cv, (x, y) -> x * y),
-          |               CAST(0 AS DOUBLE), (a, x) -> a + x) / SQRT(c.cnorm2))),
-          |  named_struct('cell', CAST(-1 AS BIGINT),
-          |               'score', CAST('-Infinity' AS DOUBLE)),
-          |  (acc, s) -> IF(s.score > acc.score, s, acc)).cell""".stripMargin))
+      .withColumn("cell", best.getField("cell"))
       .drop("cents")
   }
 

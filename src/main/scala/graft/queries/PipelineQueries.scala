@@ -43,15 +43,21 @@ object PipelineQueries {
       |sh AS (
       |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM shi
       |),
+      |hx AS (
+      |  SELECT id, CAST('0x' || substring(md5(sh), 1, 13) AS BIGINT) AS x1,
+      |         CAST('0x' || substring(md5(sh), 14, 13) AS BIGINT) AS x2
+      |  FROM sh
+      |),
       |shh AS (
-      |  SELECT id, sh, unnest(generate_series(0, 17)) AS h FROM sh
+      |  SELECT id, x1, x2, unnest(generate_series(0, 17)) AS h FROM hx
       |),
       |hv AS (
-      |  SELECT id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || sh)) AS mh
+      |  SELECT id, h, MIN((x1 + h * x2) % 9007199254740881) AS mh
       |  FROM shh GROUP BY id, h
       |),
       |bk AS (
-      |  SELECT id, (h // 3) AS band, STRING_AGG(mh, ',' ORDER BY h) AS band_key
+      |  SELECT id, (h // 3) AS band,
+      |    STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY h) AS band_key
       |  FROM hv GROUP BY id, (h // 3)
       |),
       |cand AS (

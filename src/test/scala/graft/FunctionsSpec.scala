@@ -114,6 +114,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ns >= 0 && ns < 86400L * 1000000000L)
   }
 
+  test("vec_dot: known vectors, float casts, zip semantics, null elements") {
+    val r = one(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS a,
+        |       vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS b,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D)) AS c,
+        |       vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 9.0D)) AS d,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS e""".stripMargin)
+    assert(r.getDouble(0) == 32.0)       // 4 + 10 + 18
+    assert(r.getDouble(1) == 3.0)        // float input implicitly cast
+    assert(r.getDouble(2) == 3.0)        // common prefix only (zip)
+    assert(r.getDouble(3) == 2.0)        // null element contributes 0
+    assert(r.isNullAt(4))                // null array -> null
+  }
+
+  test("vec_dot survives both codegen and interpreted evaluation") {
+    val sql = "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d"
+    assert(one(sql).getDouble(0) == 11.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(one(sql).getDouble(0) == 11.0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("approx_percentile_cont_with_weight interpolates weighted percentiles") {
     val r = one(
       """SELECT approx_percentile_cont_with_weight(x, w, 0.5) AS p
