@@ -80,7 +80,8 @@ object Registry {
   lazy val all: Seq[Q] = {
     val groups =
       TpchQueries.all ++ OperatorQueries.all ++ FunctionQueries.all ++
-        PipelineQueries.all ++ DdlQueries.all ++ H2oQueries.all
+        PipelineQueries.all ++ DdlQueries.all ++ H2oQueries.all ++
+        AdvancedQueries.all
     val dupes = groups.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
     groups

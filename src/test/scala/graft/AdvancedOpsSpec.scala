@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{RangeJoin, TemporalJoin}
+
+/** Semantics of the as-of and range join operators on hand-built frames
+  * (the registry queries pin them against DuckDB's native ASOF JOIN /
+  * theta join at sf0.01; these cover the edge semantics directly). */
+class AdvancedOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import TemporalJoin.{Backward, Forward}
+
+  private def frames = {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, "r_at_100"), (1L, 150L, "r_at_150"),
+      (3L, 10L, "r_other_key")).toDF("k", "rt", "rv")
+    (left, right)
+  }
+
+  test("asof backward: greatest rt <= t, equality inclusive, null when none") {
+    val (l, r) = frames
+    val out = TemporalJoin.asofJoin(l, r, Seq("k"), "t", "rt")
+      .orderBy("k", "t").collect()
+    // t=100 matches rt=100 (inclusive), t=200 matches rt=150
+    assert(out(0).getAs[String]("rv") == "r_at_100")
+    assert(out(1).getAs[String]("rv") == "r_at_150")
+    // key 2 has no right rows at all -> left kept, right fields null
+    assert(out(2).getAs[String]("tag") == "p3" && out(2).isNullAt(out(2).fieldIndex("rv")))
+  }
+
+  test("asof forward: smallest rt >= t") {
+    val (l, r) = frames
+    val out = TemporalJoin.asofJoin(l, r, Seq("k"), "t", "rt", direction = Forward)
+      .orderBy("k", "t").collect()
+    assert(out(0).getAs[String]("rv") == "r_at_100") // rt=100 >= t=100
+    assert(out(1).isNullAt(out(1).fieldIndex("rv"))) // nothing after t=200
+  }
+
+  test("asof tolerance: too-distant matches nulled, left row kept") {
+    val (l, r) = frames
+    val out = TemporalJoin.asofJoin(l, r, Seq("k"), "t", "rt",
+        direction = Backward, toleranceUs = Some(10L))
+      .orderBy("k", "t").collect()
+    assert(out(0).getAs[String]("rv") == "r_at_100") // gap 0 <= 10
+    assert(out(1).isNullAt(out(1).fieldIndex("rv"))) // gap 50 > 10
+    assert(out.length == 3)
+  }
+
+  test("range join: inclusive bounds, bin-spanning intervals, negatives") {
+    import spark.implicits._
+    val points = Seq(-5L, 0L, 3L, 4L, 9L, 10L, 11L).toDF("p")
+    val ivs = Seq((-6L, -5L, "neg"), (0L, 10L, "wide"), (4L, 4L, "point"))
+      .toDF("lo", "hi", "name")
+    // binWidth 4 forces "wide" [0,10] across bins 0,4,8 and "neg" below 0
+    val out = RangeJoin.pointInterval(points, "p", ivs, "lo", "hi", 4L)
+      .select("p", "name").as[(Long, String)].collect().toSet
+    assert(out == Set(
+      (-5L, "neg"),
+      (0L, "wide"), (3L, "wide"), (4L, "wide"), (9L, "wide"), (10L, "wide"),
+      (4L, "point")))
+  }
+
+  test("range join matches a plain theta join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 500).map(_ => rnd.nextLong() % 1000).toDF("p")
+    val ivs = (1 to 50).map { i =>
+      val lo = rnd.nextLong() % 1000
+      (lo, lo + rnd.nextInt(30), i)
+    }.toDF("lo", "hi", "iv")
+    val binned = RangeJoin.pointInterval(points, "p", ivs, "lo", "hi", 16L)
+      .select("p", "iv").as[(Long, Int)].collect().sorted.toSeq
+    val theta = points.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iv").as[(Long, Int)].collect().sorted.toSeq
+    assert(binned == theta)
+  }
+}

@@ -124,6 +124,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject(limit=16"), s"plan:\n$p")
   }
 
+  test("join_asof plan: union+window shape — one key shuffle, no join explosion") {
+    val p = planOf("join_asof")
+    // the as-of is NOT planned as any join operator (union + carry-forward
+    // window) — no per-pair explosion to begin with
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("windowspecdefinition(user_id"), s"plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+  }
+
+  test("join_range plan: binned equi-join, never a nested-loop/cartesian") {
+    val p = planOf("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyless interval join must bin, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"plan:\n$p")
+  }
+
   test("salted join matches the plain join exactly") {
     import spark.implicits._
     // one hot key (0) with many rows + a tail
