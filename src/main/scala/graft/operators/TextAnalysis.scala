@@ -55,6 +55,19 @@ object TextAnalysis {
     expr(s"aggregate(split(lower($textColName), ' '), " +
       "CAST(0 AS BIGINT), (acc, w) -> pmod(acc * 31 + crc32(w), 1000000007))")
 
+  /** Heavy hitters over a token column via the mergeable bounded-memory
+    * SpaceSaving sketch (see [[graft.functions.SpaceSavingTopK]]) —
+    * partial sketches of ≤ `capacity` counters combine map-side, so the
+    * vocabulary never shuffles in full. Returns (tok, cnt) rows, count
+    * descending. */
+  def approxTopK(toks: DataFrame, tokCol: String, k: Int,
+                 capacity: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.SpaceSavingTopK(k, capacity))
+    toks.agg(sketch(col(tokCol)).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e._1").as("tok"), col("e._2").as("cnt"))
+  }
+
   /** Per-language corpus stats table. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
                   charsCol: String): DataFrame =

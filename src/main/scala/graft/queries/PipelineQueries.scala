@@ -432,10 +432,46 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Frame sampling (video-style fan-out): payload chunked into 64-byte
+    * frames, every 2nd kept. The oracle replays the chunking with
+    * substring arithmetic — valid because the test payloads are ASCII
+    * (byte == char), the same assumption mm_features already pins. */
+  val mmFrames = dfQ("mm_frames",
+    """WITH t AS (SELECT doc_id, text, LENGTH(text) AS n
+      |           FROM documents WHERE doc_id < 20),
+      |u AS (SELECT doc_id, unnest(generate_series(0, (n - 1) // 64)) AS i, text
+      |      FROM t)
+      |SELECT doc_id AS media_id, i AS frame_idx,
+      |  md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+      |  CAST(LENGTH(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS BIGINT) AS frame_len
+      |FROM u WHERE i % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin) { (s, _) =>
+    Multimodal.frameSample(
+        Multimodal.fromDocuments(s.table("documents").filter(col("doc_id") < 20)),
+        frameSize = 64, everyNth = 2)
+      .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(col("frame_bytes")).as("frame_md5"),
+        octet_length(col("frame_bytes")).cast("bigint").as("frame_len"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
+    * — the 100 TB-safe way to get a token histogram without a full
+    * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
+    * counts are exact here and the oracle is plain GROUP BY top-k. */
+  val aggTopkSketch = dfQ("agg_topk_sketch",
+    """SELECT tok, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""".stripMargin) { (s, _) =>
+    val toks = s.table("documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    TextAnalysis.approxTopK(toks, "tok", k = 10, capacity = 64)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf,
     textStats, textQuality, textLangId, textFingerprint,
-    mmBinaryMeta, mmFeatures)
+    mmBinaryMeta, mmFeatures, mmFrames, aggTopkSketch)
 }

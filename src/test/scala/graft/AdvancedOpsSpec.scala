@@ -63,6 +63,29 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (4L, "point")))
   }
 
+  test("SpaceSaving sketch finds the heavy hitter with capacity << cardinality") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // one hot token dominating a 200-item tail; capacity far below the
+    // distinct count forces eviction on every partition
+    val data = (Seq.fill(500)("hot") ++ (1 to 200).map(i => f"tail_$i%03d") ++
+      Seq.fill(500)("hot")).toDF("tok").repartition(8)
+    val out = TextAnalysis.approxTopK(data, "tok", k = 1, capacity = 16).collect()
+    assert(out.length == 1 && out(0).getString(0) == "hot")
+    val est = out(0).getLong(1)
+    assert(est >= 1000L && est <= 1200L,
+      s"count must overestimate (never undercount) within the merge bound, got $est")
+  }
+
+  test("SpaceSaving sketch is exact when capacity covers the vocabulary") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val data = Seq("a", "a", "a", "b", "b", "c").toDF("tok").repartition(3)
+    val out = TextAnalysis.approxTopK(data, "tok", k = 3, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("range join matches a plain theta join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
