@@ -75,5 +75,25 @@ object DdlQueries {
         "plan LIKE '%lineitem%' AS has_scan")
   }
 
-  val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables, ddlExplain)
+  /** EXPLAIN ANALYZE with REAL execution metrics
+    * (GraftSession.explainAnalyze runs the plan and harvests per-operator
+    * SQL metrics): the parquet scan's numOutputRows must equal the true
+    * table row count, which the oracle computes independently — pins that
+    * the metrics are genuinely collected from execution, not echoed from
+    * the plan. (The aggregate nodes' metrics are AQE-stage-instance
+    * dependent and not stable enough to hash-pin.) */
+  val ddlExplainAnalyze = dfQ("ddl_explain_analyze",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS scan_rows FROM lineitem",
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    GraftSession.wrap(s)
+      .explainAnalyze(
+        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      .filter(col("operator").startsWith("Scan") &&
+        col("metric") === "numOutputRows")
+      .agg(max(col("value")).cast("bigint").as("scan_rows"))
+  }
+
+  val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
+    ddlExplain, ddlExplainAnalyze)
 }
