@@ -41,6 +41,21 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked session-window aggregation (gap-based session close) —
+    * the streaming form of the batch `ev_sessionize` query: a session
+    * extends while events keep arriving within `gap` of each other, and
+    * is emitted (and its state evicted) once the watermark passes its
+    * close. State stays bounded by open sessions only. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol),
+        col("n_events"))
+
   case class KeyCount(key: String, n: Long)
 
   /** Running per-key event count via explicit keyed state

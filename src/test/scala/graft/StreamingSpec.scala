@@ -45,6 +45,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch))
   }
 
+  test("session-window agg matches the batch session answer") {
+    val sess = StreamingOps.sessionAgg(streamingEvents, "ts", "event_type",
+      "30 minutes", "10 minutes")
+    StreamingOps.runToMemory(sess, "sess_agg", OutputMode.Append())
+    val streamed = spark.table("sess_agg")
+      .select("sess_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = spark.read.parquet(staged)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+
   test("streaming dedup emits one row per key") {
     val dd = StreamingOps.streamingDedup(streamingEvents, "ts",
       Seq("event_type"), "10 minutes")
