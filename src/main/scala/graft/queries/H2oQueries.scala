@@ -112,5 +112,54 @@ object H2oQueries {
        |FROM x GROUP BY id1, id2, id3, id4, id5, id6
        |ORDER BY id1, id2, id3, id4, id5, id6""".stripMargin)
 
-  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10)
+  // ---- h2o db-benchmark JOIN suite (reference:
+  // benchmarks/db-benchmark/join-datafusion.py q1-q5) adapted to the
+  // testdata's natural size ladder: supplier(small, 100) / part(medium,
+  // 2k) / orders(large, 15k) against lineitem(x, 60k). Output is the
+  // h2o-style checksum row (COUNT + value sums) so the oracle hash stays
+  // cheap while the join itself fully materializes. Joins on the
+  // dimension keys broadcast the small side; the large-side left join
+  // shuffles once on the key.
+
+  /** join q1: big INNER JOIN small on an int key. */
+  val jq1 = sqlQ("h2o_join_q1",
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_v1,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_v2
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin)
+
+  /** join q2: big INNER JOIN medium on an int key. */
+  val jq2 = sqlQ("h2o_join_q2",
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v1,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v2
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)
+
+  /** join q3: big LEFT JOIN medium on an int key (null-preserving). */
+  val jq3 = sqlQ("h2o_join_q3",
+    """SELECT COUNT(*) AS n, COUNT(*) - COUNT(p_partkey) AS n_unmatched,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v1,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v2
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin)
+
+  /** join q4: big LEFT JOIN small on a STRING (factor) key — weights from
+    * an inline VALUES dim; weights are exact binary fractions so the
+    * per-row product is exact before the DECIMAL reduction. */
+  val jq4 = sqlQ("h2o_join_q4",
+    """SELECT COUNT(*) AS n, COUNT(*) - COUNT(wt) AS n_unmatched,
+      |  CAST(SUM(CAST(value * wt AS DECIMAL(14,4))) AS DOUBLE) AS sum_wv
+      |FROM events LEFT JOIN (
+      |  VALUES ('click', 1.5), ('view', 0.5), ('purchase', 2.5),
+      |         ('signup', 1.25)) d(etype, wt)
+      |  ON event_type = etype""".stripMargin)
+
+  /** join q5: big LEFT JOIN large on the high-card key. */
+  val jq5 = sqlQ("h2o_join_q5",
+    """SELECT COUNT(*) AS n, COUNT(*) - COUNT(o_orderkey) AS n_unmatched,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_v1,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v2
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
+
+  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10,
+    jq1, jq2, jq3, jq4, jq5)
 }
