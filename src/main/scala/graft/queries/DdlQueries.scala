@@ -94,6 +94,34 @@ object DdlQueries {
       .agg(max(col("value")).cast("bigint").as("scan_rows"))
   }
 
+  /** Hive-style partitioned write + partition-pruned read-back: the
+    * storage layout a 100 TB corpus ships with (per-language directories;
+    * a lang-filtered scan touches only that partition's files —
+    * plan-asserted in ScaleSpec). The oracle recomputes the same rows
+    * from the unpartitioned source. */
+  val ddlPartitioned = dfQ("ddl_partitioned",
+    """SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id""",
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions.col
+    val dir = "/tmp/graft_part_docs"
+    s.table("documents").write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+  }
+
+  /** SHOW COLUMNS (reference information-schema surface,
+    * ballista/client/src/context.rs:342-371), pinned to the literal
+    * expected column list. */
+  val ddlShowColumns = dfQ("ddl_show_columns",
+    """SELECT * FROM (VALUES ('r_regionkey'), ('r_name')) t(col_name)
+      |ORDER BY col_name""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions.col
+    s.conf.set(GraftSession.InformationSchemaKey, "true")
+    GraftSession.wrap(s).sql("SHOW COLUMNS FROM region")
+      .select(col("col_name")).orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
-    ddlExplain, ddlExplainAnalyze)
+    ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns)
 }

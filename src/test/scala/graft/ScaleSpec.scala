@@ -124,6 +124,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject(limit=16"), s"plan:\n$p")
   }
 
+  test("partitioned write prunes partitions at read (lang=en only)") {
+    val dir = "/tmp/graft_part_docs_test"
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select("doc_id", "lang")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters:") && scan.contains("isnotnull(lang"),
+      s"scan must carry partition filters:\n$scan")
+    // pruning proof via execution metrics: the filtered scan reads
+    // strictly fewer files than the unfiltered one (1 of 5 lang dirs)
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves().head.metrics("numFiles").value
+    }
+    val filtered = filesRead(df)
+    val unfiltered = filesRead(spark.read.parquet(dir).select("doc_id", "lang"))
+    assert(filtered > 0 && filtered < unfiltered,
+      s"expected pruned scan ($filtered) to read fewer files than full scan ($unfiltered)")
+  }
+
   test("join_asof plan: union+window shape — one key shuffle, no join explosion") {
     val p = planOf("join_asof")
     // the as-of is NOT planned as any join operator (union + carry-forward
