@@ -6,20 +6,21 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    queries.Registry.prepare(spark, "/root/testdata/sf0.01")
-    val g = GraftSession.wrap(spark)
-    g.explainAnalyze(
-        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
-      .filter(org.apache.spark.sql.functions.col("metric") === "numOutputRows")
-      .collect()
-      .foreach(r => println(s"${r.getString(0)} | ${r.getString(1)} | ${r.getLong(2)}"))
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.1"
+    val q = queries.Registry.all.find(_.name == "dedup_ngram_jaccard").get
+    for (it <- 1 to 4) {
+      val t0 = System.nanoTime()
+      q.run(spark, sf).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      println(f"it$it ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
