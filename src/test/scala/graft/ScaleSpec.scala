@@ -163,6 +163,68 @@ class ScaleSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"plan:\n$p")
   }
 
+  /** Set confs, run the body, restore previous values — session is shared
+    * across suites, so every conf change must be undone. */
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Execute THIS DataFrame's own QueryExecution (a .write/.count creates
+    * a fresh one, leaving this instance's AQE plan unfinalized). */
+  private def execute(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreachPartition(
+      (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at 100 TB a selective dim filter should semi-join-reduce the fact
+    // scan; Spark's runtime bloom filter does exactly that — pin that our
+    // session shape lets it inject (no broadcast, file-source both sides)
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = "/tmp/graft_bloom_test"
+      spark.range(0, 200000).selectExpr("id AS k", "id % 1000 AS v")
+        .write.mode("overwrite").parquet(s"$dir/big")
+      spark.range(0, 200000, 400).selectExpr("id AS k", "'x' AS name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val j = spark.read.parquet(s"$dir/big")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("name") === "x"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side, plan:\n$plan")
+    }
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    withConfs(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB") {
+      val dir = "/tmp/graft_skew_test"
+      // 90% of rows share key 0 — one shuffle partition dwarfs the rest
+      spark.range(0, 500000)
+        .selectExpr("IF(id % 10 < 9, 0L, id) AS k", "id AS payload")
+        .write.mode("overwrite").parquet(s"$dir/skewed")
+      spark.range(0, 1000).selectExpr("id AS k", "id AS r")
+        .write.mode("overwrite").parquet(s"$dir/right")
+      val sj = spark.read.parquet(s"$dir/skewed")
+        .join(spark.read.parquet(s"$dir/right").hint("merge"), "k")
+      execute(sj) // AQE decides skew handling at runtime — must execute
+      val plan = sj.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the join skewed, plan:\n$plan")
+    }
+  }
+
   test("salted join matches the plain join exactly") {
     import spark.implicits._
     // one hot key (0) with many rows + a tail
