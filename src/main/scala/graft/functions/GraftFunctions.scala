@@ -35,14 +35,35 @@ object GraftFunctions {
     "var" -> { es => VarianceSamp(es.head).toAggregateExpression() },
     "covar" -> { es => CovSample(es(0), es(1)).toAggregateExpression() },
     "correlation" -> { es => Corr(es(0), es(1)).toAggregateExpression() },
+    // -- math (proto:449-468): DataFusion dialect divergences ------------
+    // DataFusion/DuckDB log(x) is base-10 (Spark's log(x) is ln);
+    // two-arg log(base, x) agrees.
+    "log" -> { es =>
+      if (es.size == 1) Log10(es.head) else Logarithm(es(0), es(1)) },
+    // trunc(x[, digits]): truncate toward zero, double-preserving.
+    // x - (x % 1) keeps the dividend's sign, so it truncates toward zero
+    // for negatives too and never overflows a long the way floor() casts
+    // would.
+    "trunc" -> { es =>
+      def t(e: Expression): Expression =
+        Subtract(e, Remainder(e, Literal(1.0d)))
+      val x = Cast(es.head, DoubleType)
+      if (es.size == 1) t(x)
+      else {
+        val scale = Pow(Literal(10.0d), Cast(es(1), DoubleType))
+        Divide(t(Multiply(x, scale)), scale)
+      } },
     // -- strings (proto:453-511) ----------------------------------------
     "strpos" -> { es => StringInstr(es(0), es(1)) },
+    // DataFusion spells it starts_with; Spark's builtin is startswith
+    "starts_with" -> { es => StartsWith(es(0), es(1)) },
     // DataFusion to_hex(int) is lowercase; Spark hex() is uppercase
     "to_hex" -> { es => Lower(Hex(es.head)) },
     // -- regex (proto:470): see regexpMatchBuilder for semantics
     "regexp_match" -> regexpMatchBuilder _,
     // -- crypto (proto:456,484,495-498); Spark returns hex strings
     "sha224" -> { es => Sha2(es.head, Literal(224)) },
+    "sha256" -> { es => Sha2(es.head, Literal(256)) },
     "sha384" -> { es => Sha2(es.head, Literal(384)) },
     "sha512" -> { es => Sha2(es.head, Literal(512)) },
     "digest" -> { es => digestBuilder(es) },

@@ -255,8 +255,23 @@ object FunctionQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** DataFusion-dialect spellings where Spark's builtin of the same name
+    * means something ELSE: log(x) = log10 (Spark: ln), numeric trunc
+    * (Spark: date trunc), starts_with (Spark: startswith). The parity
+    * layer rebinds them; DuckDB agrees with the DataFusion semantics, so
+    * the same SQL text is its own oracle. */
+  val fnDialect = sqlQ("fn_dialect",
+    """SELECT p_partkey AS p_partkey,
+      |  ROUND(log(CAST(p_retailprice AS DOUBLE)), 6) AS log10_v,
+      |  ROUND(log(2.0, CAST(p_size AS DOUBLE) + 1.0), 6) AS log2base_v,
+      |  CAST(trunc(CAST(p_retailprice AS DOUBLE)) AS DOUBLE) AS trunc_v,
+      |  CAST(trunc(-CAST(p_retailprice AS DOUBLE)) AS DOUBLE) AS trunc_neg_v,
+      |  starts_with(p_name, 'a') AS sw_v
+      |FROM part WHERE p_partkey <= 30 ORDER BY p_partkey""".stripMargin,
+    bench = false)
+
   val all: Seq[Q] = Seq(
     fnMath, fnString, fnRegex, fnCrypto, fnDatetime, fnDateBin,
     fnToTimestamp, fnMisc, fnWeightedPercentile, fnSimilarTo, fnConditional,
-    fnNullSemantics, fnCast, fnIntervalArith, evWindowAgg)
+    fnNullSemantics, fnCast, fnIntervalArith, evWindowAgg, fnDialect)
 }

@@ -114,6 +114,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ns >= 0 && ns < 86400L * 1000000000L)
   }
 
+  test("every reference ScalarFunction spelling resolves and evaluates") {
+    // the full 73-entry enum (SURVEY §2C, datafusion.proto:448-522), one
+    // canned invocation per name — a completeness pin for the parity layer
+    val calls = Seq(
+      // math
+      "abs(-1.5)", "acos(0.5)", "asin(0.5)", "atan(0.5)", "atan2(1.0, 1.0)",
+      "ceil(1.2)", "cos(1.0)", "exp(1.0)", "floor(1.2)", "ln(2.0)",
+      "log(100.0)", "log(2.0, 8.0)", "log10(100.0)", "log2(8.0)",
+      "power(2.0, 3.0)", "round(1.234)", "signum(-3)", "sin(1.0)",
+      "sqrt(4.0)", "tan(1.0)", "trunc(-3.7)", "trunc(3.14159, 2)",
+      "random()",
+      // strings
+      "ascii('A')", "bit_length('ab')", "btrim('  x  ')", "char_length('abc')",
+      "chr(65)", "concat('a', 'b')", "concat_ws('-', 'a', 'b')",
+      "initcap('hello world')", "left('abcd', 2)", "lpad('x', 3, '*')",
+      "lower('AB')", "ltrim('  x')", "octet_length('ab')", "repeat('ab', 2)",
+      "replace('aaa', 'a', 'b')", "reverse('abc')", "right('abcd', 2)",
+      "rpad('x', 3, '*')", "rtrim('x  ')", "split_part('a,b,c', ',', 2)",
+      "starts_with('abc', 'ab')", "strpos('abc', 'b')", "substr('abcd', 2, 2)",
+      "to_hex(255)", "translate('abc', 'ab', 'xy')", "trim('  x  ')",
+      "upper('ab')",
+      // regex
+      "regexp_match('ab1', '[0-9]')", "regexp_replace('ab1', '[0-9]', 'x')",
+      // crypto
+      "digest('abc', 'sha256')", "md5('abc')", "sha224('abc')",
+      "sha256('abc')", "sha384('abc')", "sha512('abc')",
+      // date/time
+      "date_part('year', TIMESTAMP '2024-01-02 03:04:05')",
+      "date_trunc('month', TIMESTAMP '2024-01-02 03:04:05')",
+      "date_bin(INTERVAL '1' HOUR, TIMESTAMP '2024-01-02 03:04:05')",
+      "to_timestamp('2024-01-02 03:04:05')", "to_timestamp_millis(1500)",
+      "to_timestamp_micros(1500000)", "to_timestamp_seconds(2)",
+      "from_unixtime(1)", "now()", "current_date()", "current_time()",
+      // misc
+      "array(1, 2)", "make_array(1, 2)", "nullif(1, 2)", "coalesce(NULL, 1)",
+      "struct(1, 2)", "arrow_typeof(1)", "uuid()")
+    calls.foreach { c =>
+      val rows = spark.sql(s"SELECT $c AS v").collect()
+      assert(rows.length == 1, s"$c returned no row")
+    }
+    // dialect-divergent spellings return the DataFusion semantics
+    assert(one("SELECT log(100.0) AS v").getDouble(0) == 2.0)        // base 10
+    assert(one("SELECT trunc(-3.7) AS v").getDouble(0) == -3.0)      // toward 0
+    assert(one("SELECT trunc(3.14159, 2) AS v").getDouble(0) == 3.14)
+    assert(one("SELECT starts_with('abc', 'ab') AS v").getBoolean(0))
+    assert(one("SELECT sha256('abc') AS v").getString(0).startsWith("ba7816bf"))
+  }
+
   test("vec_dot: known vectors, float casts, zip semantics, null elements") {
     val r = one(
       """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS a,
