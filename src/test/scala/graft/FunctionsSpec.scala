@@ -162,6 +162,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("SELECT sha256('abc') AS v").getString(0).startsWith("ba7816bf"))
   }
 
+  test("every reference AggregateFunction spelling resolves and evaluates") {
+    // the 19-entry enum (SURVEY §2C, datafusion.proto:529-549)
+    val aggs = Seq(
+      "min(x)", "max(x)", "sum(x)", "avg(x)", "count(x)",
+      "approx_distinct(x)", "array_agg(x)", "var(x)", "var_samp(x)",
+      "var_pop(x)", "stddev(x)", "stddev_pop(x)", "covar(x, w)",
+      "covar_pop(x, w)", "correlation(x, w)",
+      "approx_percentile_cont(x, 0.5)",
+      "approx_percentile_cont_with_weight(x, w, 0.5)",
+      "approx_median(x)", "median(x)", "grouping(g)")
+    aggs.foreach { a =>
+      val rows = spark.sql(
+        s"""SELECT $a AS v FROM VALUES (1.0D, 1.0D, 'a'), (2.0D, 2.0D, 'a'),
+           |(3.0D, 1.0D, 'b') AS t(x, w, g) GROUP BY g WITH ROLLUP""".stripMargin)
+        .collect()
+      assert(rows.nonEmpty, s"$a returned no rows")
+    }
+  }
+
+  test("every reference BuiltInWindowFunction spelling resolves and evaluates") {
+    // the 11-entry enum (SURVEY §2C, datafusion.proto:583-594)
+    val wins = Seq(
+      "row_number()", "rank()", "dense_rank()", "percent_rank()",
+      "cume_dist()", "ntile(2)", "lag(x)", "lead(x)", "first_value(x)",
+      "last_value(x)", "nth_value(x, 2)")
+    wins.foreach { w =>
+      val rows = spark.sql(
+        s"""SELECT $w OVER (PARTITION BY g ORDER BY x) AS v
+           |FROM VALUES (1, 'a'), (2, 'a'), (3, 'b') AS t(x, g)""".stripMargin)
+        .collect()
+      assert(rows.length == 3, s"$w returned wrong row count")
+    }
+  }
+
   test("vec_dot: known vectors, float casts, zip semantics, null elements") {
     val r = one(
       """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS a,
