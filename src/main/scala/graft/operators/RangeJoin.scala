@@ -39,7 +39,9 @@ object RangeJoin {
                     binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("__bin", binStart(col(pointCol), binWidth))
-    val i = intervals
+    // drop inverted intervals (lo > hi): they match nothing by BETWEEN
+    // semantics, and sequence() would throw on a descending range
+    val i = intervals.filter(col(loCol) <= col(hiCol))
       .withColumn("__bin", explode(sequence(
         binStart(col(loCol), binWidth), binStart(col(hiCol), binWidth),
         lit(binWidth))))

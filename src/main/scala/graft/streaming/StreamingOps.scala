@@ -58,6 +58,42 @@ object StreamingOps {
 
   case class KeyCount(key: String, n: Long)
 
+  /** Tagged union row for [[asofEnrich]]: reference rows (`isRef=true`)
+    * update per-key state, event rows read it. */
+  case class EnrichInput(key: String, ts: Long, isRef: Boolean, value: Double)
+  case class Enriched(key: String, ts: Long, value: Double,
+                      refValue: Option[Double])
+
+  /**
+   * Streaming as-of enrich — the streaming counterpart of
+   * [[graft.operators.TemporalJoin.asofJoin]] in the feature-store sense:
+   * a reference stream continuously updates per-key state, and each event
+   * is emitted with the latest reference value for its key.
+   *
+   * Within a micro-batch, rows are applied in event-time order with
+   * references-before-events at equal timestamps (the backward-inclusive
+   * as-of tie rule); across batches the order is processing order, the
+   * standard contract for streaming enrichment (an event can only see
+   * reference data that has actually arrived). State is one value per
+   * key — bounded by key cardinality.
+   */
+  def asofEnrich(input: Dataset[EnrichInput]): Dataset[Enriched] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[Double, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EnrichInput], state: GroupState[Double]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ts, !r.isRef))
+          val out = Seq.newBuilder[Enriched]
+          for (r <- ordered) {
+            if (r.isRef) state.update(r.value)
+            else out += Enriched(key, r.ts, r.value, state.getOption)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Running per-key event count via explicit keyed state
     * (`mapGroupsWithState`) — the custom-state primitive the reference
     * has no analog for. */

@@ -54,8 +54,10 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val points = Seq(-5L, 0L, 3L, 4L, 9L, 10L, 11L).toDF("p")
     val ivs = Seq((-6L, -5L, "neg"), (0L, 10L, "wide"), (4L, 4L, "point"))
       .toDF("lo", "hi", "name")
+    // an inverted interval matches nothing and must not crash sequence()
+    val ivsWithInverted = ivs.union(Seq((9L, 2L, "inverted")).toDF("lo", "hi", "name"))
     // binWidth 4 forces "wide" [0,10] across bins 0,4,8 and "neg" below 0
-    val out = RangeJoin.pointInterval(points, "p", ivs, "lo", "hi", 4L)
+    val out = RangeJoin.pointInterval(points, "p", ivsWithInverted, "lo", "hi", 4L)
       .select("p", "name").as[(Long, String)].collect().toSet
     assert(out == Set(
       (-5L, "neg"),

@@ -72,6 +72,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 5) // one per event_type
   }
 
+  test("streaming asof enrich applies latest per-key reference state") {
+    import spark.implicits._
+    import StreamingOps.EnrichInput
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EnrichInput](spark)
+    // batch 1: event at ts=5 precedes the ref at ts=10 (within-batch
+    // event-time order) → unenriched; event at ts=15 sees ref value 1.0
+    in.addData(EnrichInput("a", 10, isRef = true, 1.0),
+      EnrichInput("a", 15, isRef = false, 100.0),
+      EnrichInput("a", 5, isRef = false, 50.0))
+    val q = StreamingOps.asofEnrich(in.toDS()).writeStream
+      .format("memory").queryName("asof_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: state persists across batches; key b has no ref
+      in.addData(EnrichInput("a", 20, isRef = false, 200.0),
+        EnrichInput("b", 20, isRef = false, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_enrich").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(("a", 5L)).isEmpty)
+    assert(rows(("a", 15L)).contains(1.0))
+    assert(rows(("a", 20L)).contains(1.0))
+    assert(rows(("b", 20L)).isEmpty)
+  }
+
   test("mapGroupsWithState running counts accumulate per key") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
