@@ -44,7 +44,29 @@ final class GraftSession private (val spark: SparkSession) {
 
   def readJson(path: String): DataFrame = spark.read.json(path)
 
-  def readAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+  /** Read Avro container files (reference `read_avro`, context.rs:227-234).
+    * Backed by [[graft.sources.AvroIO]] on the Avro core library (the
+    * spark-avro connector jar is absent in this environment). */
+  def readAvro(path: String): DataFrame = graft.sources.AvroIO.read(spark, path)
+
+  /** Iceberg table scan — the reference fork's feature delta
+    * (reference: Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92,
+    * distributed_query.rs:44,100). Spark's Iceberg support lives in the
+    * `iceberg-spark-runtime` jar, which is not present in this
+    * environment (zero egress, not in any local cache) — fail fast with
+    * the exact dependency needed rather than a generic lookup error. */
+  def readIceberg(path: String): DataFrame = {
+    val probe = "org.apache.iceberg.spark.source.IcebergSource"
+    val available =
+      try { Class.forName(probe); true } catch { case _: ClassNotFoundException => false }
+    if (!available)
+      throw new UnsupportedOperationException(
+        "Iceberg scan requires the org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 " +
+          "jar on the classpath (add via --jars or libraryDependencies); " +
+          "it is not present in this environment. " +
+          "Reference feature: datafusion-ballista fork Cargo.toml:43-45.")
+    spark.read.format("iceberg").load(path)
+  }
 
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
@@ -98,10 +120,9 @@ final class GraftSession private (val spark: SparkSession) {
   def registerJson(name: String, path: String): Unit =
     spark.read.json(path).createOrReplaceTempView(name)
 
-  /** Register Avro (reference: context.rs:227-234,272-280). Requires the
-    * spark-avro jar on the classpath; fails with a clear message otherwise. */
+  /** Register Avro (reference: context.rs:227-234,272-280). */
   def registerAvro(name: String, path: String): Unit =
-    spark.read.format("avro").load(path).createOrReplaceTempView(name)
+    readAvro(path).createOrReplaceTempView(name)
 
   /** Register all TPC-H-ish parquet tables found in a scale-factor dir. */
   def registerTables(sfDir: String, names: Seq[String] = defaultTables): Unit =
@@ -120,6 +141,10 @@ final class GraftSession private (val spark: SparkSession) {
   /** Write newline-delimited JSON (reference `write_json`). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.json(path)
+
+  /** Write Avro container files (one per partition, snappy). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    graft.sources.AvroIO.write(df, path)
 
   /**
    * SQL entry point (reference: context.rs:377-521). Handles the

@@ -10,50 +10,39 @@ object Scratch {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // --- runtime bloom filter probe
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val dir = "/tmp/graft_bloom"
-    val big = spark.range(0, 2000000).select(col("id").as("k"),
-      (col("id") % 1000).as("v"))
-    val dim = spark.range(0, 2000000, 4000).select(col("id").as("k"),
-      lit("x").as("name"))
-    big.write.mode("overwrite").parquet(s"$dir/big")
-    dim.write.mode("overwrite").parquet(s"$dir/dim")
-    val j = spark.read.parquet(s"$dir/big")
-      .join(spark.read.parquet(s"$dir/dim").filter(col("name") === "x"), "k")
-    j.write.format("noop").mode("overwrite").save()
-    val plan = j.queryExecution.executedPlan.toString
-    println("BLOOM might_contain in plan: " + plan.contains("might_contain"))
-    println("bloomfilter: " + plan.toLowerCase.contains("bloom"))
+    val sf = "/root/testdata/sf0.01"
+    graft.queries.Registry.prepare(spark, sf)
 
-    // --- AQE skew join probe
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
-    val skewed = spark.range(0, 500000).select(
-      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
-      col("id").as("payload"))
-    val right = spark.range(0, 1000).select(col("id").as("k"),
-      col("id").as("r"))
-    skewed.write.mode("overwrite").parquet(s"$dir/skewed")
-    right.write.mode("overwrite").parquet(s"$dir/right")
-    val sj = spark.read.parquet(s"$dir/skewed")
-      .join(spark.read.parquet(s"$dir/right").hint("merge"), "k")
-    sj.queryExecution.toRdd.foreachPartition(
-      (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
-    val sp = sj.queryExecution.executedPlan.toString
-    println("SKEW marker in plan: " + sp.contains("skew=true"))
-    println("SMJ: " + sp.contains("SortMergeJoin"))
-    println(sp.linesIterator.filter(l => l.contains("Join") || l.contains("AQEShuffleRead")).mkString("\n"))
+    // Avro round-trip on region
+    val g = GraftSession.wrap(spark)
+    g.writeAvro(spark.table("region"), "/tmp/scratch_avro_region")
+    val back = g.readAvro("/tmp/scratch_avro_region")
+    back.orderBy("r_regionkey").show(5, 60)
+    println("rows=" + back.count())
+    println("orig schema: " + spark.table("region").schema.simpleString)
+    println("back schema: " + back.schema.simpleString)
+
+    // Nested types round-trip: embeddings has array<float>
+    val emb = spark.table("embeddings").limit(100)
+    println("emb schema: " + emb.schema.simpleString)
+    g.writeAvro(emb, "/tmp/scratch_avro_emb")
+    val embBack = g.readAvro("/tmp/scratch_avro_emb")
+    println("embBack schema: " + embBack.schema.simpleString)
+    println("emb rows=" + embBack.count())
+
+    // Iceberg stub
+    try g.readIceberg("/tmp/nope")
+    catch { case e: UnsupportedOperationException => println("iceberg msg: " + e.getMessage) }
+
+    // run the registered avro_read query end-to-end
+    val q = graft.queries.DdlQueries.ddlAvroRead
+    q.run(spark, sf).show(5, 60)
+
     spark.stop()
   }
 }

@@ -38,6 +38,15 @@ object RangeJoin {
                     intervals: DataFrame, loCol: String, hiCol: String,
                     binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // The residual filter references both sides by bare name — any shared
+    // column would resolve ambiguously after the join, and a pre-existing
+    // __bin would be silently overwritten. Fail early with the offenders.
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"pointInterval inputs must have disjoint column names, shared: " +
+        shared.mkString(", "))
+    val binCol = (points.columns ++ intervals.columns).filter(_ == "__bin")
+    require(binCol.isEmpty, "pointInterval inputs must not contain a __bin column (reserved)")
     val p = points.withColumn("__bin", binStart(col(pointCol), binWidth))
     // drop inverted intervals (lo > hi): they match nothing by BETWEEN
     // semantics, and sequence() would throw on a descending range

@@ -52,6 +52,20 @@ object TemporalJoin {
                toleranceUs: Option[Long] = None): DataFrame = {
     val rPayload = right.columns.filterNot(keys.contains)
     require(rPayload.contains(rightTimeCol), s"$rightTimeCol not in right")
+    // Output is all left columns + right payload columns: overlapping
+    // names would produce ambiguous duplicates — fail early, not at the
+    // first downstream col() reference.
+    val overlap = rPayload.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"asofJoin output would duplicate column(s) ${overlap.mkString(", ")}: " +
+        "rename/prefix right payload columns so left and right names are disjoint")
+    // __-prefixed names are reserved for the union-and-carry-forward
+    // internals (__t/__side/__l/__r/__m) — user columns would silently
+    // collide with them.
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asofJoin inputs must not contain __-prefixed columns (reserved): " +
+        reserved.distinct.mkString(", "))
     val lStructT = left.select(struct(left.columns.map(col): _*).as("s"))
       .schema("s").dataType
     val rStructT = right.select(struct(rPayload.map(col): _*).as("s"))

@@ -13,6 +13,22 @@ import graft.GraftSession
  */
 object DdlQueries {
 
+  /** Per-JVM scratch-path tag: two concurrent sessions (driver verify +
+    * a local bench) must not race on a shared literal /tmp path. */
+  private val tag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** Set a conf for the duration of `f`, restoring the prior value (or
+    * unsetting) after — session state must not leak across queries. */
+  private def withConf[T](s: org.apache.spark.sql.SparkSession,
+                          k: String, v: String)(f: => T): T = {
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, v)
+    try f finally prev match {
+      case Some(p) => s.conf.set(k, p)
+      case None    => s.conf.unset(k)
+    }
+  }
+
   /** Reference-dialect CREATE EXTERNAL TABLE → CSV read-back, checked
     * against the same rows from the parquet oracle. The CSV is produced
     * from the registered `region` table first, so the content matches. */
@@ -21,7 +37,7 @@ object DdlQueries {
       |FROM region ORDER BY r_regionkey""".stripMargin,
     bench = false) { (s, _) =>
     val g = GraftSession.wrap(s)
-    val dir = "/tmp/graft_ext_region_csv"
+    val dir = s"/tmp/graft_ext_region_csv_$tag"
     s.table("region").coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(dir)
     g.sql("DROP TABLE IF EXISTS ext_region")
@@ -55,11 +71,12 @@ object DdlQueries {
       |  ('supplier')) t(table_name) ORDER BY table_name""".stripMargin,
     bench = false) { (s, _) =>
     import org.apache.spark.sql.functions.col
-    s.conf.set(GraftSession.InformationSchemaKey, "true")
-    val g = GraftSession.wrap(s)
-    g.sql("SHOW TABLES").select(col("tableName").as("table_name"))
-      .filter(col("table_name").isin(Registry.tableNames: _*))
-      .orderBy("table_name")
+    withConf(s, GraftSession.InformationSchemaKey, "true") {
+      val g = GraftSession.wrap(s)
+      g.sql("SHOW TABLES").select(col("tableName").as("table_name"))
+        .filter(col("table_name").isin(Registry.tableNames: _*))
+        .orderBy("table_name")
+    }
   }
 
   /** EXPLAIN surface (reference: datafusion.proto:981) — projected to a
@@ -103,7 +120,7 @@ object DdlQueries {
     """SELECT doc_id, lang FROM documents WHERE lang = 'en' ORDER BY doc_id""",
     bench = false) { (s, _) =>
     import org.apache.spark.sql.functions.col
-    val dir = "/tmp/graft_part_docs"
+    val dir = s"/tmp/graft_part_docs_$tag"
     s.table("documents").write.mode("overwrite").partitionBy("lang").parquet(dir)
     s.read.parquet(dir).filter(col("lang") === "en")
       .select(col("doc_id"), col("lang")).orderBy("doc_id")
@@ -117,11 +134,31 @@ object DdlQueries {
       |ORDER BY col_name""".stripMargin,
     bench = false) { (s, _) =>
     import org.apache.spark.sql.functions.col
-    s.conf.set(GraftSession.InformationSchemaKey, "true")
-    GraftSession.wrap(s).sql("SHOW COLUMNS FROM region")
-      .select(col("col_name")).orderBy("col_name")
+    withConf(s, GraftSession.InformationSchemaKey, "true") {
+      GraftSession.wrap(s).sql("SHOW COLUMNS FROM region")
+        .select(col("col_name")).orderBy("col_name")
+    }
+  }
+
+  /** Avro round-trip through the EXECUTABLE Avro path
+    * ([[graft.sources.AvroIO]] on the Avro core library — reference
+    * `read_avro`/`register_avro`, ballista/client/src/context.rs:227-234):
+    * `region` is written as a real Avro object container file and read
+    * back; the oracle recomputes the same rows from the parquet source
+    * (DuckDB's avro extension is not installable offline). */
+  val ddlAvroRead = dfQ("avro_read",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_avro_nation_$tag"
+    val g = GraftSession.wrap(s)
+    g.writeAvro(s.table("nation"), dir)
+    g.readAvro(dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
   }
 
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
-    ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns)
+    ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns,
+    ddlAvroRead)
 }

@@ -293,6 +293,42 @@ object OperatorQueries {
       |  AS DOUBLE) AS grp_sum
       |FROM d ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  /** GROUPS frame with a FOLLOWING bound (reference proto:651-676 allows
+    * FOLLOWING window-frame bounds in GROUPS mode): `GROUPS BETWEEN 1
+    * PRECEDING AND 2 FOLLOWING` ≡ RANGE [-1, +2] over the peers'
+    * dense_rank — dense_rank is dense integers, so a RANGE offset of k
+    * over it is exactly k peer-GROUPS. (DuckDB 1.0 in this environment
+    * rejects native GROUPS mode — "not implemented yet", verified — so
+    * the oracle independently computes the same dense-rank
+    * reformulation.) */
+  val winFrameGroupsFwd = sqlQ2("win_frame_groups_fwd",
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      |  FROM orders
+      |)
+      |SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+      |  AS DOUBLE) AS grp_sum,
+      |  COUNT(*)
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING)
+      |  AS grp_cnt
+      |FROM d ORDER BY o_custkey, o_orderkey""".stripMargin,
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)) AS dr
+      |  FROM orders
+      |)
+      |SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 2 FOLLOWING)
+      |  AS DOUBLE) AS grp_sum,
+      |  CAST(COUNT(*)
+      |    OVER (PARTITION BY o_custkey ORDER BY dr RANGE BETWEEN CURRENT ROW AND 1 FOLLOWING)
+      |  AS BIGINT) AS grp_cnt
+      |FROM d ORDER BY o_custkey, o_orderkey""".stripMargin)
+
   // ---- set operations -------------------------------------------------
 
   /** INTERSECT ALL / EXCEPT ALL multiplicity semantics. */
@@ -393,6 +429,7 @@ object OperatorQueries {
     aggRollup, aggCube, aggGroupingSets, aggDistinct, aggFilter, aggStats,
     aggApproxDistinct, aggPercentile, aggArrayAgg,
     winRanks, winOffsets, winFrameRows, winFrameRange, winFrameGroups,
+    winFrameGroupsFwd,
     setUnion, setUnionAll, setIntersect, setExcept, setOpsAll,
     sortTopK, limitOffset, distinctRows, valuesInline, selectNoFrom,
     repartitionAgg, preparedStmt)

@@ -1,0 +1,317 @@
+package graft.sources
+
+import java.io.File
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Executable Avro container-file source/sink (reference `read_avro` /
+ * `register_avro`: ballista/client/src/context.rs:227-234,272-280; proto
+ * `AvroScanExecNode`: datafusion.proto:1169-1171).
+ *
+ * This environment ships no `spark-avro` connector jar, but the Apache
+ * Avro CORE library (`avro-1.12.1.jar`) IS on the Spark classpath — so
+ * rather than an inert API stub, this reads/writes real Avro object
+ * container files through the public `org.apache.avro` API:
+ *
+ *  - READ: the file list is enumerated driver-side (cheap — same grain as
+ *    Spark's own file-source listing), the writer schema is taken from the
+ *    first container header, and the files are distributed one-per-task
+ *    via `parallelize(files).flatMap(decode)`. Each task streams its file
+ *    through `DataFileReader` — constant memory, no whole-file buffering.
+ *    Scale note: parallelism is per-FILE (a single multi-TB .avro file
+ *    would not be block-split the way the connector's sync-marker splitter
+ *    would); real corpora ship many files, which is exactly this grain.
+ *  - WRITE: one container file per partition via `DataFileWriter`
+ *    (snappy-codec), written under `path/part-NNNNN.avro` — the same
+ *    layout contract as Spark's file sinks on a shared filesystem.
+ *
+ * Type mapping (both directions): null/boolean/int/long/float/double/
+ * string/bytes/fixed, enum→string, record→struct, array→array, map→map,
+ * nullable as the 2-branch union `[null, T]`, plus logical types
+ * date (int) and timestamp-micros/millis (long). Multi-branch non-null
+ * unions are rejected with a clear message (no Spark analog).
+ */
+object AvroIO {
+
+  // ---------------------------------------------------------------- schema
+
+  /** Avro → Spark. Returns (dataType, nullable). */
+  def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.NULL    => (NullType, true)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date")
+        (DateType, false)
+      else (IntegerType, false)
+    case Schema.Type.LONG =>
+      s.getLogicalType match {
+        case lt if lt != null && lt.getName == "timestamp-micros" => (TimestampType, false)
+        case lt if lt != null && lt.getName == "timestamp-millis" => (TimestampType, false)
+        case _ => (LongType, false)
+      }
+    case Schema.Type.FLOAT  => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.ENUM   => (StringType, false)
+    case Schema.Type.BYTES  => (BinaryType, false)
+    case Schema.Type.FIXED  => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = toSparkType(s.getElementType)
+      (ArrayType(et, en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, vn), false)
+    case Schema.Type.RECORD =>
+      val fields = s.getFields.asScala.map { f =>
+        val (dt, n) = toSparkType(f.schema())
+        StructField(f.name(), dt, n)
+      }.toArray
+      (StructType(fields), false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      if (nonNull.size == 1) {
+        val (dt, _) = toSparkType(nonNull.head)
+        (dt, true)
+      } else
+        throw new IllegalArgumentException(
+          s"unsupported Avro union with ${nonNull.size} non-null branches: $s " +
+            "(only [null, T] nullable unions map to Spark)")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  def toSparkSchema(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${s.getType}")
+    toSparkType(s)._1.asInstanceOf[StructType]
+  }
+
+  /** Spark → Avro. Nullable fields become `[null, T]` unions. */
+  def toAvroSchema(st: StructType, recordName: String = "spark_row"): Schema = {
+    def conv(dt: DataType, path: String): Schema = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType | TimestampNTZType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case ArrayType(et, en) => Schema.createArray(nullable(conv(et, path + ".elem"), en))
+      case MapType(StringType, vt, vn) =>
+        Schema.createMap(nullable(conv(vt, path + ".value"), vn))
+      case s: StructType => record(s, path.replace('.', '_'))
+      case d: DecimalType =>
+        // Exactness over compactness: Avro's decimal logical type needs a
+        // fixed/bytes layout choice; string keeps round-trips lossless.
+        Schema.create(Schema.Type.STRING)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported Spark type for Avro write at $path: $other")
+    }
+    def nullable(s: Schema, isNullable: Boolean): Schema =
+      if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
+    def record(s: StructType, name: String): Schema = {
+      val fields = s.fields.map { f =>
+        new Schema.Field(f.name, nullable(conv(f.dataType, name + "." + f.name), f.nullable),
+          null, null.asInstanceOf[AnyRef])
+      }
+      Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+    }
+    record(st, recordName)
+  }
+
+  // ---------------------------------------------------------------- values
+
+  /** Avro runtime value → Spark external Row value, guided by the SPARK
+    * type (so logical date/timestamp longs land as java.sql types). */
+  private def toSparkValue(v: Any, dt: DataType, avro: Schema): Any = {
+    if (v == null) return null
+    val elemSchema =
+      if (avro.getType == Schema.Type.UNION)
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(avro)
+      else avro
+    dt match {
+      case StringType => v.toString // Utf8 | String | enum symbol
+      case BinaryType => v match {
+        case b: ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case f: GenericData.Fixed => f.bytes().clone()
+        case a: Array[Byte] => a
+      }
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()))
+      case TimestampType | TimestampNTZType =>
+        val micros =
+          if (elemSchema.getLogicalType != null &&
+              elemSchema.getLogicalType.getName == "timestamp-millis")
+            v.asInstanceOf[Number].longValue() * 1000L
+          else v.asInstanceOf[Number].longValue()
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case ArrayType(et, _) =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(toSparkValue(_, et, elemSchema.getElementType)).toSeq
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, mv) =>
+          k.toString -> toSparkValue(mv, vt, elemSchema.getValueType)
+        }.toMap
+      case st: StructType =>
+        val rec = v.asInstanceOf[GenericRecord]
+        recordToRow(rec, st, elemSchema)
+      case ByteType  => v.asInstanceOf[Number].byteValue()
+      case ShortType => v.asInstanceOf[Number].shortValue()
+      case _ => v // int/long/float/double/boolean pass through
+    }
+  }
+
+  private def recordToRow(rec: GenericRecord, st: StructType, avro: Schema): Row = {
+    val vals = new Array[Any](st.fields.length)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      vals(i) = toSparkValue(rec.get(f.name), f.dataType, avro.getField(f.name).schema())
+      i += 1
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Spark external Row value → Avro runtime value. */
+  private def toAvroValue(v: Any, dt: DataType, avro: Schema): Any = {
+    if (v == null) return null
+    val target =
+      if (avro.getType == Schema.Type.UNION)
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(avro)
+      else avro
+    dt match {
+      case StringType => v.toString
+      case BinaryType => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+      }
+      case TimestampType | TimestampNTZType =>
+        val inst = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case i: java.time.Instant => i
+          case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+        }
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case ArrayType(et, _) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(toAvroValue(_, et, target.getElementType)).asJava
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[String, Any]].map { case (k, mv) =>
+          k -> toAvroValue(mv, vt, target.getValueType)
+        }.asJava
+      case st: StructType => rowToRecord(v.asInstanceOf[Row], st, target)
+      case _: DecimalType => v.toString
+      case ByteType | ShortType => v.asInstanceOf[Number].intValue()
+      case _ => v
+    }
+  }
+
+  private def rowToRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      rec.put(f.name, toAvroValue(row.get(i), f.dataType, avro.getField(f.name).schema()))
+      i += 1
+    }
+    rec
+  }
+
+  // ------------------------------------------------------------------- I/O
+
+  private def listAvroFiles(path: String): Seq[String] = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles((_, n) => n.endsWith(".avro")).toSeq.map(_.getPath).sorted
+      else if (f.isFile) Seq(f.getPath)
+      else throw new java.io.FileNotFoundException(s"no such Avro path: $path")
+    require(files.nonEmpty, s"no .avro files under $path")
+    files
+  }
+
+  /** Read an Avro container file (or directory of part files) as a
+    * DataFrame. Schema is the writer schema of the first file; files are
+    * decoded one-per-task on executors. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = listAvroFiles(path)
+    val writerSchema = {
+      val r = new DataFileReader[GenericRecord](
+        new File(files.head), new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val sparkSchema = toSparkSchema(writerSchema)
+    val schemaJson = writerSchema.toString // Schema isn't serializable: ship JSON
+    val parallelism = math.min(files.size,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(files, parallelism).flatMap { file =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val st = toSparkSchema(schema)
+      val reader = new DataFileReader[GenericRecord](
+        new File(file), new GenericDatumReader[GenericRecord](schema))
+      // Stream the container; hand the iterator off with a close-on-end.
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = reader.hasNext
+          if (!h) reader.close()
+          h
+        }
+        def next(): Row = recordToRow(reader.next(), st, schema)
+      }
+    }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Write a DataFrame as Avro container files, one per partition, under
+    * `path/part-NNNNN.avro` (snappy codec). Overwrites the directory. */
+  def write(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    val avroSchema = toAvroSchema(st)
+    val schemaJson = avroSchema.toString
+    val dir = new File(path)
+    if (dir.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    val written = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+        val out = new File(path, f"part-$idx%05d.avro")
+        w.create(schema, out)
+        var n = 0L
+        try rows.foreach { r => w.append(rowToRecord(r, st, schema)); n += 1 }
+        finally w.close()
+        Iterator((out.getPath, n))
+      }
+    }.collect() // small: one (path, count) pair per partition
+    require(written.map(_._2).sum >= 0) // force materialization semantics
+  }
+}

@@ -65,6 +65,30 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (4L, "point")))
   }
 
+  test("asof rejects overlapping left/right names and reserved __ columns") {
+    import spark.implicits._
+    val (l, r) = frames
+    // right payload column sharing a left name -> duplicate output column
+    val rClash = r.withColumnRenamed("rv", "tag")
+    val e1 = intercept[IllegalArgumentException](
+      TemporalJoin.asofJoin(l, rClash, Seq("k"), "t", "rt"))
+    assert(e1.getMessage.contains("tag"))
+    // reserved internal name on an input
+    val lRes = l.withColumn("__side", lit(1))
+    val e2 = intercept[IllegalArgumentException](
+      TemporalJoin.asofJoin(lRes, r, Seq("k"), "t", "rt"))
+    assert(e2.getMessage.contains("__side"))
+  }
+
+  test("range join rejects shared column names across inputs") {
+    import spark.implicits._
+    val points = Seq(1L).toDF("p").withColumn("name", lit("x"))
+    val ivs = Seq((0L, 2L, "iv")).toDF("lo", "hi", "name")
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.pointInterval(points, "p", ivs, "lo", "hi", 4L))
+    assert(e.getMessage.contains("name"))
+  }
+
   test("SpaceSaving sketch finds the heavy hitter with capacity << cardinality") {
     import spark.implicits._
     import graft.operators.TextAnalysis

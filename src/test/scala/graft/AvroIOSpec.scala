@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.AvroIO
+
+/** Executable Avro path (reference read_avro/register_avro,
+  * ballista/client/src/context.rs:227-234,272-280) — real container files
+  * through the Avro core library. */
+class AvroIOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = s"/tmp/graft_avro_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("schema round-trips Spark -> Avro -> Spark incl. nested/nullable") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flags", ArrayType(BooleanType, containsNull = false), nullable = true),
+      StructField("attrs", MapType(StringType, IntegerType, valueContainsNull = true), nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType, nullable = true),
+        StructField("b", StringType, nullable = false))), nullable = true),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("d", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    val avro = AvroIO.toAvroSchema(st)
+    val back = AvroIO.toSparkSchema(avro)
+    // Avro [null,T] unions come back nullable; non-union fields non-null.
+    assert(back.fields.map(f => (f.name, f.dataType)).toSeq ===
+      st.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back("id").nullable === false)
+    assert(back("name").nullable === true)
+  }
+
+  test("multi-branch non-null union is rejected with a clear message") {
+    val s = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"x","type":["int","string"]}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](AvroIO.toSparkSchema(s))
+    assert(e.getMessage.contains("union"))
+  }
+
+  test("data round-trips through a real container file, nulls included") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = true),
+      StructField("attrs", MapType(StringType, LongType, valueContainsNull = false), nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType, nullable = true))), nullable = true),
+      StructField("raw", BinaryType, nullable = true),
+      StructField("d", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", Seq(1.5, 2.5), Map("k" -> 7L), Row(42), Array[Byte](1, 2, 3),
+        Date.valueOf("2024-03-01"), Timestamp.valueOf("2024-03-01 12:34:56.789")),
+      Row(2L, null, null, null, null, null, null, null),
+      Row(3L, "gamma", Seq.empty[Double], Map.empty[String, Long], Row(null.asInstanceOf[Any]),
+        Array.empty[Byte], Date.valueOf("1970-01-01"), Timestamp.valueOf("1970-01-01 00:00:00")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), st)
+    AvroIO.write(df, s"$dir/rt")
+    val back = AvroIO.read(spark, s"$dir/rt").orderBy("id").collect()
+    assert(back.length === 3)
+    val r1 = back(0)
+    assert(r1.getLong(0) === 1L)
+    assert(r1.getString(1) === "alpha")
+    assert(r1.getSeq[Double](2) === Seq(1.5, 2.5))
+    assert(r1.getMap[String, Long](3) === Map("k" -> 7L))
+    assert(r1.getStruct(4).getInt(0) === 42)
+    assert(r1.getAs[Array[Byte]](5).toSeq === Seq[Byte](1, 2, 3))
+    assert(r1.getDate(6) === Date.valueOf("2024-03-01"))
+    assert(r1.getTimestamp(7) === Timestamp.valueOf("2024-03-01 12:34:56.789"))
+    val r2 = back(1)
+    assert((1 to 7).forall(r2.isNullAt))
+  }
+
+  test("write produces one container per partition; read parallelizes per file") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select($"id", ($"id" % 10).as("m")).repartition(4)
+    AvroIO.write(df.toDF(), s"$dir/parts")
+    val files = new java.io.File(s"$dir/parts").listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4)
+    val back = AvroIO.read(spark, s"$dir/parts")
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 1000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
+  }
+
+  test("session facade: registerAvro exposes an Avro table to SQL") {
+    val g = GraftSession.wrap(spark)
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    g.writeAvro(nation, s"$dir/nation")
+    g.registerAvro("avro_nation", s"$dir/nation")
+    val n = spark.sql("SELECT COUNT(*) c FROM avro_nation").head.getLong(0)
+    assert(n === nation.count())
+  }
+
+  test("readIceberg fails fast naming the missing runtime jar") {
+    val g = GraftSession.wrap(spark)
+    val e = intercept[UnsupportedOperationException](g.readIceberg("/tmp/nope"))
+    assert(e.getMessage.contains("iceberg-spark-runtime"))
+  }
+}
