@@ -43,7 +43,12 @@ object GraftFunctions {
     // trunc(x[, digits]): truncate toward zero, double-preserving.
     // x - (x % 1) keeps the dividend's sign, so it truncates toward zero
     // for negatives too and never overflows a long the way floor() casts
-    // would.
+    // would. The reference proto's Trunc (datafusion.proto:468) is
+    // single-arg; the 2-arg form is an extension matching later
+    // DataFusion's scale-by-10^d formulation, and deliberately inherits
+    // its binary-float artifacts (trunc(0.29, 2) = 0.28 because
+    // 0.29*100 = 28.999...): decimal-exact truncation is what
+    // CAST(x AS DECIMAL(p, d)) is for.
     "trunc" -> { es =>
       def t(e: Expression): Expression =
         Subtract(e, Remainder(e, Literal(1.0d)))

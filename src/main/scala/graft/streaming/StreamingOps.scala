@@ -74,21 +74,32 @@ object StreamingOps {
    * references-before-events at equal timestamps (the backward-inclusive
    * as-of tie rule); across batches the order is processing order, the
    * standard contract for streaming enrichment (an event can only see
-   * reference data that has actually arrived). State is one value per
-   * key — bounded by key cardinality.
+   * reference data that has actually arrived). State is one (ts, value)
+   * pair per key — bounded by key cardinality.
+   *
+   * @param tolerance optional max |event.ts - ref.ts| (same contract as
+   *   the batch [[graft.operators.TemporalJoin.asofJoin]] toleranceUs):
+   *   a reference farther away in event time is nulled out, keeping the
+   *   event row.
    */
-  def asofEnrich(input: Dataset[EnrichInput]): Dataset[Enriched] = {
+  def asofEnrich(input: Dataset[EnrichInput],
+                 tolerance: Option[Long] = None): Dataset[Enriched] = {
     val spark = input.sparkSession
     import spark.implicits._
     input.groupByKey(_.key)
-      .flatMapGroupsWithState[Double, Enriched](
+      .flatMapGroupsWithState[(Long, Double), Enriched](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[EnrichInput], state: GroupState[Double]) =>
+        (key: String, rows: Iterator[EnrichInput], state: GroupState[(Long, Double)]) =>
           val ordered = rows.toSeq.sortBy(r => (r.ts, !r.isRef))
           val out = Seq.newBuilder[Enriched]
           for (r <- ordered) {
-            if (r.isRef) state.update(r.value)
-            else out += Enriched(key, r.ts, r.value, state.getOption)
+            if (r.isRef) state.update((r.ts, r.value))
+            else {
+              val ref = state.getOption.filter { case (refTs, _) =>
+                tolerance.forall(tol => math.abs(r.ts - refTs) <= tol)
+              }
+              out += Enriched(key, r.ts, r.value, ref.map(_._2))
+            }
           }
           out.result().iterator
       }

@@ -100,6 +100,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(("b", 20L)).isEmpty)
   }
 
+  test("streaming asof enrich: tolerance nulls too-distant refs, keeps events") {
+    import spark.implicits._
+    import StreamingOps.EnrichInput
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EnrichInput](spark)
+    in.addData(
+      EnrichInput("a", 100, isRef = true, 1.0),
+      EnrichInput("a", 105, isRef = false, 10.0), // gap 5  <= 20 → enriched
+      EnrichInput("a", 150, isRef = false, 20.0)) // gap 50 > 20 → nulled
+    val q = StreamingOps.asofEnrich(in.toDS(), tolerance = Some(20L)).writeStream
+      .format("memory").queryName("asof_tol")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("asof_tol").collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows(105L).contains(1.0))
+    assert(rows(150L).isEmpty)
+    assert(rows.size == 2) // both events kept
+  }
+
+  test("streaming asof enrich: multi-batch out-of-order state evolution") {
+    import spark.implicits._
+    import StreamingOps.EnrichInput
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EnrichInput](spark)
+    val q = StreamingOps.asofEnrich(in.toDS()).writeStream
+      .format("memory").queryName("asof_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ref at ts=10
+      in.addData(EnrichInput("k", 10, isRef = true, 1.0))
+      q.processAllAvailable()
+      // batch 2: ref at ts=30 arrives FIRST; then an out-of-order event at
+      // ts=20 in batch 3 — streaming contract: the event sees the latest
+      // ARRIVED ref (2.0), not the event-time-correct 1.0 (documented
+      // processing-order semantics across batches)
+      in.addData(EnrichInput("k", 30, isRef = true, 2.0))
+      q.processAllAvailable()
+      in.addData(EnrichInput("k", 20, isRef = false, 100.0))
+      q.processAllAvailable()
+      // batch 4: within-batch event-time re-ordering still applies — an
+      // event at ts=25 BEFORE the batch's own ref at ts=40 reads 2.0; an
+      // event at ts=45 after it reads 3.0
+      in.addData(
+        EnrichInput("k", 45, isRef = false, 300.0),
+        EnrichInput("k", 40, isRef = true, 3.0),
+        EnrichInput("k", 25, isRef = false, 200.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_ooo").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(rows(20L) == 2.0)
+    assert(rows(25L) == 2.0)
+    assert(rows(45L) == 3.0)
+  }
+
   test("mapGroupsWithState running counts accumulate per key") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)

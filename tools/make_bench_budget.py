@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Derive per-query bench regression budgets from a CLEAN BENCH_DETAIL.json.
+
+Budget = max(3 x min-iteration-time, 1.0 s) per query: 3x headroom absorbs
+JIT/GC/IO jitter, the 1 s floor keeps sub-second queries from flaking the
+gate on scheduler noise. Refuses to derive budgets from a contended run
+(loadavg_start > threshold) -- a budget baked from a loaded machine would
+be uselessly loose.
+
+Usage: tools/make_bench_budget.py [BENCH_DETAIL.json [BENCH_BUDGET.json]]
+"""
+import json
+import sys
+
+MAX_LOADAVG = 2.0
+HEADROOM = 3.0
+FLOOR_S = 1.0
+
+detail_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+budget_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BUDGET.json"
+
+d = json.load(open(detail_path))
+load = d.get("loadavg_start", 99.0)
+if load > MAX_LOADAVG:
+    sys.exit(f"refusing: loadavg_start {load} > {MAX_LOADAVG} (contended run)")
+if d.get("errors"):
+    sys.exit(f"refusing: bench had errors {d['errors']}")
+
+budgets = {
+    name: round(max(HEADROOM * min(times), FLOOR_S), 3)
+    for name, times in sorted(d["times"].items())
+}
+out = {
+    "derived_from": {
+        "sf": d.get("sf"),
+        "loadavg_start": load,
+        "total_sec": d.get("value"),
+    },
+    "headroom": HEADROOM,
+    "floor_sec": FLOOR_S,
+    "max_loadavg_for_gate": MAX_LOADAVG,
+    "budget_sec": budgets,
+}
+json.dump(out, open(budget_path, "w"), indent=1)
+print(f"wrote {budget_path}: {len(budgets)} budgets, "
+      f"total clean {d.get('value')}s at loadavg {load}")
