@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * 10× scale stress harness: derives a ~sf1-equivalent dataset from sf0.1
+ * (union of `copies` perturbed copies), times the heaviest registry
+ * queries at both scales in one process, and writes `BENCH_SCALE.json`
+ * with per-query ratios. The point: the "designed for 100 TB" claims are
+ * plan-shape-verified in ScaleSpec; this adds one order of magnitude of
+ * EMPIRICAL scaling evidence — a query whose time grows ~quadratically
+ * (ratio ≈ copies²) has a pair explosion the plan pins missed.
+ *
+ * Perturbations keep join/dedup semantics honest at 10×:
+ *  - `lineitem`/`orders` copies share an orderkey offset so the join
+ *    relationship is preserved (customers/parts/suppliers stay 1× — at
+ *    scale, fact tables grow faster than dimensions);
+ *  - `documents` text is vowel-rotated per copy so copies are NOT
+ *    near-duplicates of each other (otherwise minhash candidate groups
+ *    grow quadratically in the copy count BY CONSTRUCTION — a data
+ *    artifact, not an engine cost);
+ *  - `embeddings`/`events` ids are offset per copy.
+ *
+ * Usage: tools/run.sh graft.ScaleStress [copies] (default 10)
+ */
+object ScaleStress {
+
+  private val heavyQueries = Seq(
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_exact_keep", "text_quality",
+    "h2o_q10", "h2o_q8", "h2o_join_q5", "agg_cube", "agg_distinct",
+    "tpch_q1", "tpch_q18", "win_frame_range", "fn_weighted_percentile",
+    "join_asof", "embed_knn_brute")
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = s"/tmp/graft_scale${copies}x"
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadavg
+
+    buildScaled(spark, src, dst, copies)
+
+    // Time each query at both scales; all of one scale first so the
+    // Registry's per-session view registration switches dirs exactly once.
+    val qs = queries.Registry.all.filter(q => heavyQueries.contains(q.name))
+    def time(dir: String): Map[String, Double] = qs.map { q =>
+      val times = (1 to 2).map { _ =>
+        try {
+          val t0 = System.nanoTime()
+          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.catalog.clearCache()
+      }
+      q.name -> times.min
+    }.toMap
+    val base = time(src)
+    val scaled = time(dst)
+
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val rows = qs.map(_.name).sorted.map { n =>
+      val r = scaled(n) / math.max(base(n), 1e-3)
+      s""""$n":{"base_sec":${jnum(base(n))},"x${copies}_sec":${jnum(scaled(n))},"ratio":${jnum(r)}}"""
+    }
+    // Sub-quadratic check with a floor: queries under ~0.5 s are
+    // scheduler-overhead-bound at BOTH scales and their ratio is noise.
+    val quadratic = copies.toDouble * copies
+    val suspects = qs.map(_.name)
+      .filter(n => scaled(n) > 0.5 && scaled(n) / math.max(base(n), 1e-3) >= quadratic)
+    val json =
+      s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
+      s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+  }
+
+  /** Union `copies` perturbed copies of each sf0.1 table into `dst`.
+    * Key offsets use a round power of 10 above the observed max so scaled
+    * keys stay disjoint and debuggable. */
+  def buildScaled(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    def offsetFor(df: DataFrame, col0: String): Long = {
+      val mx = df.agg(max(col(col0))).head.getLong(0)
+      var off = 1L
+      while (off <= mx) off *= 10
+      off
+    }
+    def unionCopies(one: Int => DataFrame): DataFrame =
+      (0 until copies).map(one).reduce(_ unionByName _)
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val okOff = math.max(offsetFor(li, "l_orderkey"), offsetFor(ord, "o_orderkey"))
+    unionCopies(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okOff)))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    unionCopies(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okOff)))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dOff = offsetFor(docs, "doc_id")
+    // vowel rotation per copy: copy 0 is the original; other copies have
+    // most shingles changed, so cross-copy Jaccard falls below near-dup
+    // thresholds while length/word statistics stay realistic
+    val vowels = "aeiou"
+    unionCopies { i =>
+      val rot = (vowels.drop(i % 5) + vowels.take(i % 5))
+      docs.withColumn("doc_id", col("doc_id") + lit(i * dOff))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), vowels, rot))
+    }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vOff = offsetFor(emb, "vec_id")
+    unionCopies(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vOff)))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val eOff = offsetFor(ev, "event_id")
+    val uOff = offsetFor(ev, "user_id")
+    unionCopies(i => ev
+      .withColumn("event_id", col("event_id") + lit(i * eOff))
+      .withColumn("user_id", col("user_id") + lit(i * uOff)))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // dimensions stay 1×: facts outgrow dimensions at scale
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+}
