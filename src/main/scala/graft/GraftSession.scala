@@ -159,6 +159,18 @@ final class GraftSession private (val spark: SparkSession) {
         "SHOW statements are disabled; enable with config " +
           s"'$InformationSchemaKey=true' (reference semantics: " +
           "ballista/client/src/context.rs:384-393)")
+    ExternalTableDdl.avroTarget(trimmed) match {
+      case Some((name, location, ifNotExists)) =>
+        // Reference already-exists semantics (context.rs:470-481): error
+        // on duplicate unless IF NOT EXISTS; registered as a temp view —
+        // the reference's registered-table model, same as register_avro.
+        val exists = spark.catalog.tableExists(name)
+        if (exists && !ifNotExists)
+          throw new IllegalStateException(s"table $name already exists")
+        if (!exists) registerAvro(name, location)
+        return spark.emptyDataFrame
+      case None =>
+    }
     ExternalTableDdl.translate(trimmed) match {
       case Some(translated) => spark.sql(translated)
       case None =>

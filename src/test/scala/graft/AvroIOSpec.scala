@@ -101,6 +101,22 @@ class AvroIOSpec extends AnyFunSuite {
     assert(n === nation.count())
   }
 
+  test("CREATE EXTERNAL TABLE ... STORED AS AVRO registers and errors on dup") {
+    val g = GraftSession.wrap(spark)
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    g.writeAvro(nation, s"$dir/ext_nation")
+    g.sql("DROP VIEW IF EXISTS spec_ext_avro")
+    g.sql(s"CREATE EXTERNAL TABLE spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'")
+    assert(spark.sql("SELECT COUNT(*) c FROM spec_ext_avro").head.getLong(0) ===
+      nation.count())
+    // duplicate without IF NOT EXISTS errors (reference context.rs:470-481)
+    val e = intercept[IllegalStateException](
+      g.sql(s"CREATE EXTERNAL TABLE spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'"))
+    assert(e.getMessage.contains("already exists"))
+    // IF NOT EXISTS is a no-op on an existing table
+    g.sql(s"CREATE EXTERNAL TABLE IF NOT EXISTS spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'")
+  }
+
   test("readIceberg fails fast naming the missing runtime jar") {
     val g = GraftSession.wrap(spark)
     val e = intercept[UnsupportedOperationException](g.readIceberg("/tmp/nope"))
