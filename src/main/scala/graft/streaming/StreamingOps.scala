@@ -105,6 +105,37 @@ object StreamingOps {
       }
   }
 
+  case class TopKSnapshot(key: String, items: Seq[(String, Long)])
+
+  /**
+   * Streaming heavy-hitters: a continuously-updated SpaceSaving top-k
+   * per group (e.g. top tokens per language over an unbounded corpus
+   * stream) — the streaming form of the batch `agg_topk_sketch` entry.
+   * State per group is the sketch's hard `capacity` bound, never the
+   * vocabulary, so state size is O(groups × capacity) at any stream
+   * length. Emits the current top-k snapshot for each group touched in
+   * a micro-batch (Update mode).
+   */
+  def streamingTopK(items: Dataset[(String, String)], k: Int, capacity: Int)
+      : Dataset[TopKSnapshot] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    implicit val bufEnc: org.apache.spark.sql.Encoder[graft.functions.SpaceSavingBuffer] =
+      org.apache.spark.sql.Encoders.kryo[graft.functions.SpaceSavingBuffer]
+    items.groupByKey(_._1)
+      .mapGroupsWithState[graft.functions.SpaceSavingBuffer, TopKSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[graft.functions.SpaceSavingBuffer]) =>
+          val sketch = state.getOption.getOrElse(new graft.functions.SpaceSavingBuffer)
+          rows.foreach { case (_, item) =>
+            if (item != null) sketch.add(item, 1L, capacity)
+          }
+          state.update(sketch)
+          TopKSnapshot(key, sketch.topK(k))
+      }
+  }
+
   /** Running per-key event count via explicit keyed state
     * (`mapGroupsWithState`) — the custom-state primitive the reference
     * has no analog for. */

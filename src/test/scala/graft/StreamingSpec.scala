@@ -155,6 +155,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(45L) == 3.0)
   }
 
+  test("streaming SpaceSaving top-k: sketch state accumulates across batches") {
+    import spark.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](spark)
+    val q = StreamingOps.streamingTopK(in.toDS(), k = 2, capacity = 8)
+      .writeStream.format("memory").queryName("stream_topk")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("en", "the"), ("en", "the"), ("en", "cat"), ("de", "der"))
+      q.processAllAvailable()
+      in.addData(("en", "cat"), ("en", "cat"), ("en", "dog"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last Update-mode snapshot for "en": cat=3 > the=2 (state carried
+    // across batches), k=2 truncates dog
+    val last = spark.table("stream_topk").collect()
+      .filter(_.getString(0) == "en").last
+    val items = last.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(items === Seq(("cat", 3L), ("the", 2L)))
+  }
+
   test("mapGroupsWithState running counts accumulate per key") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
