@@ -20,24 +20,11 @@ object ExternalTableDdl {
   private val head =
     """(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*)$""".r
 
-  /** Matches `CREATE EXTERNAL TABLE … STORED AS AVRO … LOCATION p`:
-    * returns (tableName, location, ifNotExists). Spark's `USING avro`
-    * needs the spark-avro connector (absent here), so the session façade
-    * serves AVRO external tables through [[graft.sources.AvroIO]]
-    * instead of the translated DDL. */
-  def avroTarget(sql: String): Option[(String, String, Boolean)] = sql match {
-    case head(ifNotExists, name, rest)
-        if """(?is)STORED\s+AS\s+AVRO\b""".r.findFirstIn(rest).isDefined =>
-      val loc = """(?is)LOCATION\s+'([^']*)'""".r.findFirstMatchIn(rest)
-        .map(_.group(1))
-        .getOrElse(throw new IllegalArgumentException(
-          s"CREATE EXTERNAL TABLE requires LOCATION: $sql"))
-      Some((name, loc, ifNotExists != null))
-    case _ => None
-  }
-
   /** Returns Some(sparkSql) if this is a reference-dialect CREATE EXTERNAL
-    * TABLE, None to pass the statement through to Spark untouched. */
+    * TABLE, None to pass the statement through to Spark untouched.
+    * `STORED AS AVRO` translates to `USING avro`, which resolves to
+    * [[graft.sources.AvroDataSourceV2]] (the session façade removes
+    * `avro` from `spark.sql.sources.useV1SourceList`). */
   def translate(sql: String): Option[String] = sql match {
     case head(ifNotExists, name, rest) =>
       var r = rest.trim

@@ -44,10 +44,13 @@ final class GraftSession private (val spark: SparkSession) {
 
   def readJson(path: String): DataFrame = spark.read.json(path)
 
-  /** Read Avro container files (reference `read_avro`, context.rs:227-234).
-    * Backed by [[graft.sources.AvroIO]] on the Avro core library (the
-    * spark-avro connector jar is absent in this environment). */
-  def readAvro(path: String): DataFrame = graft.sources.AvroIO.read(spark, path)
+  /** Read Avro container files (reference `read_avro`, context.rs:227-234)
+    * through the [[graft.sources.AvroDataSourceV2]] connector (registered
+    * under the `avro` short name; built on the Avro core library — the
+    * spark-avro connector jar is absent in this environment). The V2 path
+    * gives Catalyst column-pruning pushdown into the Avro scan. */
+  def readAvro(path: String): DataFrame =
+    spark.read.format("avro").load(path)
 
   /** Iceberg table scan — the reference fork's feature delta
     * (reference: Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92,
@@ -159,18 +162,6 @@ final class GraftSession private (val spark: SparkSession) {
         "SHOW statements are disabled; enable with config " +
           s"'$InformationSchemaKey=true' (reference semantics: " +
           "ballista/client/src/context.rs:384-393)")
-    ExternalTableDdl.avroTarget(trimmed) match {
-      case Some((name, location, ifNotExists)) =>
-        // Reference already-exists semantics (context.rs:470-481): error
-        // on duplicate unless IF NOT EXISTS; registered as a temp view —
-        // the reference's registered-table model, same as register_avro.
-        val exists = spark.catalog.tableExists(name)
-        if (exists && !ifNotExists)
-          throw new IllegalStateException(s"table $name already exists")
-        if (!exists) registerAvro(name, location)
-        return spark.emptyDataFrame
-      case None =>
-    }
     ExternalTableDdl.translate(trimmed) match {
       case Some(translated) => spark.sql(translated)
       case None =>
@@ -249,9 +240,28 @@ object GraftSession {
   }
 
   /** Wrap an existing SparkSession (used by Verify/Bench/tests). Registers
-    * the function-parity layer. */
+    * the function-parity layer and enables the V2 `avro` source. */
   def wrap(spark: SparkSession): GraftSession = {
     graft.functions.GraftFunctions.registerAll(spark)
+    enableAvroV2(spark)
     new GraftSession(spark)
+  }
+
+  /** Spark forces the `avro` short name onto the (absent) V1 connector via
+    * `spark.sql.sources.useV1SourceList`; removing it there routes the
+    * name to [[graft.sources.AvroDataSourceV2]] (service-registered).
+    * Runtime-settable; idempotent. */
+  def enableAvroV2(spark: SparkSession): Unit = {
+    val key = "spark.sql.sources.useV1SourceList"
+    // Single-arg get returns the SQLConf entry's DEFAULT when unset — an
+    // explicit-default overload would bypass it and clobber the whole
+    // list (sending parquet/csv through V2 and changing every file-scan
+    // plan shape). Only `avro` may be removed.
+    val cur =
+      try spark.conf.get(key)
+      catch { case _: Exception => "avro,csv,json,kafka,orc,parquet,text" }
+    val parts = cur.split(",").map(_.trim).filter(_.nonEmpty)
+    if (parts.contains("avro"))
+      spark.conf.set(key, parts.filterNot(_ == "avro").mkString(","))
   }
 }

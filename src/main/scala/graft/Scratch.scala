@@ -17,31 +17,41 @@ object Scratch {
 
     val sf = "/root/testdata/sf0.01"
     graft.queries.Registry.prepare(spark, sf)
-
-    // Avro round-trip on region
     val g = GraftSession.wrap(spark)
-    g.writeAvro(spark.table("region"), "/tmp/scratch_avro_region")
-    val back = g.readAvro("/tmp/scratch_avro_region")
-    back.orderBy("r_regionkey").show(5, 60)
-    println("rows=" + back.count())
-    println("orig schema: " + spark.table("region").schema.simpleString)
-    println("back schema: " + back.schema.simpleString)
+    println("useV1SourceList before: " + spark.conf.get("spark.sql.sources.useV1SourceList"))
+    spark.conf.set("spark.sql.sources.useV1SourceList",
+      "csv,json,kafka,orc,parquet,text")
+    println("set OK, runtime-settable")
 
-    // Nested types round-trip: embeddings has array<float>
-    val emb = spark.table("embeddings").limit(100)
-    println("emb schema: " + emb.schema.simpleString)
-    g.writeAvro(emb, "/tmp/scratch_avro_emb")
-    val embBack = g.readAvro("/tmp/scratch_avro_emb")
-    println("embBack schema: " + embBack.schema.simpleString)
-    println("emb rows=" + embBack.count())
+    // write container files, then read through the V2 short name
+    g.writeAvro(spark.table("nation"), "/tmp/scratch_v2_nation")
+    val df = spark.read.format("avro").load("/tmp/scratch_v2_nation")
+    println("v2 schema: " + df.schema.simpleString)
+    df.orderBy("n_nationkey").show(3)
 
-    // Iceberg stub
-    try g.readIceberg("/tmp/nope")
-    catch { case e: UnsupportedOperationException => println("iceberg msg: " + e.getMessage) }
+    // column pruning visible in the plan?
+    val pruned = df.select("n_name")
+    pruned.explain("formatted")
+    println("pruned count: " + pruned.count())
 
-    // run the registered avro_read query end-to-end
-    val q = graft.queries.DdlQueries.ddlAvroRead
-    q.run(spark, sf).show(5, 60)
+    // USING avro DDL (catalog table)
+    spark.sql("DROP TABLE IF EXISTS v2_nation")
+    spark.sql("CREATE TABLE v2_nation USING avro OPTIONS (path '/tmp/scratch_v2_nation')")
+    spark.sql("SELECT COUNT(*) c, SUM(n_nationkey) s FROM v2_nation").show()
+
+    // reference-dialect DDL through the translator (no intercept needed?)
+    g.sql("DROP TABLE IF EXISTS v2_nation2")
+    val translated = ExternalTableDdl.translate(
+      "CREATE EXTERNAL TABLE v2_nation2 STORED AS AVRO LOCATION '/tmp/scratch_v2_nation'")
+    println("translated: " + translated)
+    spark.sql(translated.get)
+    spark.sql("SELECT COUNT(*) c FROM v2_nation2").show()
+
+    // array<float> through V2
+    g.writeAvro(spark.table("embeddings").limit(50), "/tmp/scratch_v2_emb")
+    val emb = spark.read.format("avro").load("/tmp/scratch_v2_emb")
+    println("emb v2: " + emb.schema.simpleString + " rows=" + emb.count())
+    emb.select(expr("vec_dot(embedding, embedding)").as("norm2")).show(2)
 
     spark.stop()
   }

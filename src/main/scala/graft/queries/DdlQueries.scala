@@ -158,18 +158,17 @@ object DdlQueries {
       .orderBy("n_nationkey")
   }
 
-  /** Reference-dialect `CREATE EXTERNAL TABLE … STORED AS AVRO` served
-    * through the executable AvroIO path (Spark's `USING avro` needs the
-    * absent spark-avro connector — the session façade registers the
-    * container files as a table instead; reference:
-    * ballista/client/src/context.rs:416-484). */
+  /** Reference-dialect `CREATE EXTERNAL TABLE … STORED AS AVRO`
+    * (reference: ballista/client/src/context.rs:416-484), translated to
+    * `USING avro` and served by the V2 connector
+    * ([[graft.sources.AvroDataSourceV2]]) as a real catalog table. */
   val ddlExternalAvro = dfQ("ddl_external_avro",
     """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""",
     bench = false) { (s, _) =>
     val dir = s"/tmp/graft_extavro_nation_$tag"
     val g = GraftSession.wrap(s)
     g.writeAvro(s.table("nation"), dir)
-    g.sql("DROP VIEW IF EXISTS ext_avro_nation")
+    g.sql("DROP TABLE IF EXISTS ext_avro_nation")
     g.sql(s"CREATE EXTERNAL TABLE ext_avro_nation STORED AS AVRO LOCATION '$dir'")
     g.sql("""SELECT n_nationkey, n_name FROM ext_avro_nation
             |ORDER BY n_nationkey""".stripMargin)

@@ -41,6 +41,7 @@ object Registry {
 
   def prepare(spark: SparkSession, dir: String): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
+    graft.GraftSession.enableAvroV2(spark)
     // events.parquet uses TIMESTAMP(NANOS), which Spark's reader rejects by
     // default; read nanos as LongType (ns since epoch) and convert in
     // queries. Runtime-settable legacy conf.

@@ -139,7 +139,11 @@ object AvroIO {
   // ---------------------------------------------------------------- values
 
   /** Avro runtime value → Spark external Row value, guided by the SPARK
-    * type (so logical date/timestamp longs land as java.sql types). */
+    * type (so logical date/timestamp longs land as java.sql types).
+    * Shared with the V2 connector ([[AvroDataSourceV2]]). */
+  private[sources] def valueToSpark(v: Any, dt: DataType, avro: Schema): Any =
+    toSparkValue(v, dt, avro)
+
   private def toSparkValue(v: Any, dt: DataType, avro: Schema): Any = {
     if (v == null) return null
     val elemSchema =
@@ -239,8 +243,14 @@ object AvroIO {
 
   // ------------------------------------------------------------------- I/O
 
-  private def listAvroFiles(path: String): Seq[String] = {
-    val f = new File(path)
+  /** Catalog tables hand the location over as a `file:` URI; direct API
+    * calls pass plain paths — accept both. */
+  private[sources] def toLocalFile(path: String): File =
+    if (path.startsWith("file:")) new File(new java.net.URI(path))
+    else new File(path)
+
+  private[sources] def listAvroFiles(path: String): Seq[String] = {
+    val f = toLocalFile(path)
     val files =
       if (f.isDirectory)
         f.listFiles((_, n) => n.endsWith(".avro")).toSeq.map(_.getPath).sorted
@@ -312,6 +322,15 @@ object AvroIO {
         Iterator((out.getPath, n))
       }
     }.collect() // small: one (path, count) pair per partition
-    require(written.map(_._2).sum >= 0) // force materialization semantics
+    // An all-empty input wrote no containers; emit one empty container so
+    // the schema (and thus a read-back) survives the round-trip — same
+    // contract as Spark's file sinks writing a schema-bearing empty file.
+    if (written.isEmpty) {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+      w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      w.create(avroSchema, new File(path, "part-00000.avro"))
+      w.close()
+    }
   }
 }

@@ -92,6 +92,15 @@ class AvroIOSpec extends AnyFunSuite {
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) === 499500L)
   }
 
+  test("empty DataFrame round-trips with schema intact") {
+    import spark.implicits._
+    val df = spark.range(0).select($"id", ($"id" % 2 === 0).as("flag")).toDF()
+    AvroIO.write(df, s"$dir/empty")
+    val back = AvroIO.read(spark, s"$dir/empty")
+    assert(back.count() === 0L)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "flag"))
+  }
+
   test("session facade: registerAvro exposes an Avro table to SQL") {
     val g = GraftSession.wrap(spark)
     val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
@@ -101,20 +110,33 @@ class AvroIOSpec extends AnyFunSuite {
     assert(n === nation.count())
   }
 
-  test("CREATE EXTERNAL TABLE ... STORED AS AVRO registers and errors on dup") {
+  test("CREATE EXTERNAL TABLE ... STORED AS AVRO becomes a V2 catalog table") {
     val g = GraftSession.wrap(spark)
     val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
     g.writeAvro(nation, s"$dir/ext_nation")
-    g.sql("DROP VIEW IF EXISTS spec_ext_avro")
+    g.sql("DROP TABLE IF EXISTS spec_ext_avro")
     g.sql(s"CREATE EXTERNAL TABLE spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'")
     assert(spark.sql("SELECT COUNT(*) c FROM spec_ext_avro").head.getLong(0) ===
       nation.count())
-    // duplicate without IF NOT EXISTS errors (reference context.rs:470-481)
-    val e = intercept[IllegalStateException](
+    // duplicate without IF NOT EXISTS errors (reference context.rs:470-481
+    // semantics, enforced by Spark's catalog)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
       g.sql(s"CREATE EXTERNAL TABLE spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'"))
-    assert(e.getMessage.contains("already exists"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
     // IF NOT EXISTS is a no-op on an existing table
     g.sql(s"CREATE EXTERNAL TABLE IF NOT EXISTS spec_ext_avro STORED AS AVRO LOCATION '$dir/ext_nation'")
+  }
+
+  test("V2 avro scan prunes columns (BatchScan readSchema = projection)") {
+    val g = GraftSession.wrap(spark)
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    g.writeAvro(nation, s"$dir/prune_nation")
+    val pruned = g.readAvro(s"$dir/prune_nation").select("n_name")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("BatchScan"))
+    assert(scan.contains("struct<n_name:string>"), s"scan not pruned:\n$scan")
+    assert(pruned.count() === nation.count())
   }
 
   test("readIceberg fails fast naming the missing runtime jar") {
