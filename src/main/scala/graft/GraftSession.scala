@@ -145,9 +145,10 @@ final class GraftSession private (val spark: SparkSession) {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.json(path)
 
-  /** Write Avro container files (one per partition, snappy). */
+  /** Write Avro container files (one per partition, snappy) through the
+    * V2 connector's two-phase committing sink. */
   def writeAvro(df: DataFrame, path: String): Unit =
-    graft.sources.AvroIO.write(df, path)
+    df.write.format("avro").mode("overwrite").save(path)
 
   /**
    * SQL entry point (reference: context.rs:377-521). Handles the

@@ -17,41 +17,30 @@ object Scratch {
 
     val sf = "/root/testdata/sf0.01"
     graft.queries.Registry.prepare(spark, sf)
-    val g = GraftSession.wrap(spark)
-    println("useV1SourceList before: " + spark.conf.get("spark.sql.sources.useV1SourceList"))
-    spark.conf.set("spark.sql.sources.useV1SourceList",
-      "csv,json,kafka,orc,parquet,text")
-    println("set OK, runtime-settable")
 
-    // write container files, then read through the V2 short name
-    g.writeAvro(spark.table("nation"), "/tmp/scratch_v2_nation")
-    val df = spark.read.format("avro").load("/tmp/scratch_v2_nation")
-    println("v2 schema: " + df.schema.simpleString)
-    df.orderBy("n_nationkey").show(3)
+    // V2 write to a FRESH path, then read back
+    val out = "/tmp/scratch_v2w_" + System.nanoTime()
+    spark.table("nation").write.format("avro").mode("overwrite").save(out)
+    val back = spark.read.format("avro").load(out)
+    println("write->read schema: " + back.schema.simpleString)
+    println("rows: " + back.count() + " files: " +
+      new java.io.File(out).listFiles().map(_.getName).sorted.mkString(","))
 
-    // column pruning visible in the plan?
-    val pruned = df.select("n_name")
-    pruned.explain("formatted")
-    println("pruned count: " + pruned.count())
+    // overwrite truncates
+    spark.table("region").write.format("avro").mode("overwrite").save(out)
+    val back2 = spark.read.format("avro").load(out)
+    println("after overwrite: " + back2.schema.simpleString + " rows " + back2.count())
 
-    // USING avro DDL (catalog table)
-    spark.sql("DROP TABLE IF EXISTS v2_nation")
-    spark.sql("CREATE TABLE v2_nation USING avro OPTIONS (path '/tmp/scratch_v2_nation')")
-    spark.sql("SELECT COUNT(*) c, SUM(n_nationkey) s FROM v2_nation").show()
+    // append adds
+    spark.table("region").write.format("avro").mode("append").save(out)
+    println("after append rows: " + spark.read.format("avro").load(out).count())
 
-    // reference-dialect DDL through the translator (no intercept needed?)
-    g.sql("DROP TABLE IF EXISTS v2_nation2")
-    val translated = ExternalTableDdl.translate(
-      "CREATE EXTERNAL TABLE v2_nation2 STORED AS AVRO LOCATION '/tmp/scratch_v2_nation'")
-    println("translated: " + translated)
-    spark.sql(translated.get)
-    spark.sql("SELECT COUNT(*) c FROM v2_nation2").show()
-
-    // array<float> through V2
-    g.writeAvro(spark.table("embeddings").limit(50), "/tmp/scratch_v2_emb")
-    val emb = spark.read.format("avro").load("/tmp/scratch_v2_emb")
-    println("emb v2: " + emb.schema.simpleString + " rows=" + emb.count())
-    emb.select(expr("vec_dot(embedding, embedding)").as("norm2")).show(2)
+    // empty write round-trip
+    val empty = spark.table("region").limit(0)
+    val out2 = out + "_empty"
+    empty.write.format("avro").mode("overwrite").save(out2)
+    val backE = spark.read.format("avro").load(out2)
+    println("empty: " + backE.schema.simpleString + " rows " + backE.count())
 
     spark.stop()
   }

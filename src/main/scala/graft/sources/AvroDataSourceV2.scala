@@ -46,8 +46,18 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroTable.schemaOf(pathOf(options))
+  /** Writes to a not-yet-existing path also route through inferSchema
+    * (the provider cannot see the direction) — return an empty schema
+    * there; reads of a missing path still fail, at scan planning, with
+    * the clear "no such Avro path" message. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = pathOf(options)
+    val f = AvroIO.toLocalFile(p)
+    if (!f.exists() ||
+        (f.isDirectory && !f.listFiles().exists(_.getName.endsWith(".avro"))))
+      new StructType()
+    else AvroTable.schemaOf(p)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -68,13 +78,19 @@ private object AvroTable {
 }
 
 private final class AvroTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avro:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(path, info.schema())
 }
 
 private final class AvroScanBuilder(path: String, full: StructType)
@@ -105,6 +121,119 @@ private final class AvroReaderFactory(requiredJson: String)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
       partition.asInstanceOf[AvroFilePartition].file, requiredJson)
+}
+
+// ------------------------------------------------------------------ write
+
+/** V2 write: each task writes one container file into a run-scoped temp
+  * dir; commit moves them into place (after clearing existing containers
+  * on truncate/overwrite), abort deletes the temp dir — the standard
+  * two-phase file-sink contract on a shared filesystem. */
+private final class AvroWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new AvroWrite(path, schema, doTruncate)
+}
+
+private final class AvroWrite(path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val tmpName = s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-avro-write $path"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = AvroIO.toLocalFile(path)
+    new java.io.File(dir, tmpName).mkdirs()
+    new AvroWriterFactory(dir.getPath, tmpName, schema.json)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = AvroIO.toLocalFile(path)
+    val tmp = new java.io.File(dir, tmpName)
+    if (truncate)
+      Option(dir.listFiles((_, n) => n.endsWith(".avro")))
+        .foreach(_.foreach(_.delete()))
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      val ok = f.renameTo(new java.io.File(dir, f.getName))
+      require(ok, s"commit rename failed for ${f.getPath}")
+    })
+    tmp.delete()
+    // all-empty input: leave a schema-bearing empty container (same
+    // contract as AvroIO.write) so a read-back sees the schema
+    if (Option(dir.listFiles((_, n) => n.endsWith(".avro"))).forall(_.isEmpty)) {
+      val avroSchema = AvroIO.toAvroSchema(schema)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
+      w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      w.create(avroSchema, new java.io.File(dir, "part-00000.avro"))
+      w.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val tmp = new java.io.File(AvroIO.toLocalFile(path), tmpName)
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+    tmp.delete()
+  }
+}
+
+/** Task-side commit messages must not capture the writer (it is not
+  * serializable); file discovery happens from the temp dir at commit. */
+private case object AvroCommitMessage
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private final class AvroWriterFactory(dir: String, tmpName: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new AvroDataWriter(dir, tmpName, schemaJson, partitionId, taskId)
+}
+
+private final class AvroDataWriter(dir: String, tmpName: String,
+                                   schemaJson: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private val sparkSchema = org.apache.spark.sql.types.DataType
+    .fromJson(schemaJson).asInstanceOf[StructType]
+  private val avroSchema = AvroIO.toAvroSchema(sparkSchema)
+  private val fromInternal =
+    ExpressionEncoder(RowEncoder.encoderFor(sparkSchema))
+      .resolveAndBind().createDeserializer()
+  private val file = new java.io.File(new java.io.File(dir, tmpName),
+    f"part-$partitionId%05d-$taskId.avro")
+  private var writer: org.apache.avro.file.DataFileWriter[GenericRecord] = _
+  private var count = 0L
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) {
+      writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
+      writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      writer.create(avroSchema, file)
+    }
+    writer.append(AvroIO.rowToRecordPub(fromInternal(record), sparkSchema, avroSchema))
+    count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    AvroCommitMessage // paths are discoverable from the temp dir
+  }
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    file.delete(): Unit
+  }
+  override def close(): Unit = ()
 }
 
 /** Streams one container file; decodes each record, converts the

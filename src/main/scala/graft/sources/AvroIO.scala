@@ -230,6 +230,9 @@ object AvroIO {
     }
   }
 
+  private[sources] def rowToRecordPub(row: Row, st: StructType, avro: Schema): GenericRecord =
+    rowToRecord(row, st, avro)
+
   private def rowToRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
     val rec = new GenericData.Record(avro)
     var i = 0

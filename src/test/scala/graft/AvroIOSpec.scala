@@ -139,6 +139,25 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("V2 write: fresh save, overwrite truncates, append adds, empty keeps schema") {
+    GraftSession.wrap(spark) // enables the V2 avro short name
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    val region = spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")
+    val out = s"$dir/v2write"
+    nation.write.format("avro").mode("overwrite").save(out)
+    assert(spark.read.format("avro").load(out).count() === nation.count())
+    region.write.format("avro").mode("overwrite").save(out)
+    val over = spark.read.format("avro").load(out)
+    assert(over.schema.fieldNames.toSeq === region.schema.fieldNames.toSeq)
+    assert(over.count() === region.count())
+    region.write.format("avro").mode("append").save(out)
+    assert(spark.read.format("avro").load(out).count() === 2 * region.count())
+    region.limit(0).write.format("avro").mode("overwrite").save(s"$out-empty")
+    val empty = spark.read.format("avro").load(s"$out-empty")
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === region.schema.fieldNames.toSeq)
+  }
+
   test("readIceberg fails fast naming the missing runtime jar") {
     val g = GraftSession.wrap(spark)
     val e = intercept[UnsupportedOperationException](g.readIceberg("/tmp/nope"))
