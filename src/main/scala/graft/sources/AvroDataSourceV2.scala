@@ -94,33 +94,107 @@ private final class AvroTable(path: String, tableSchema: StructType)
 }
 
 private final class AvroScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(path, required)
+  /** Advisory pushdown: keep the evaluable subset for reader-side row
+    * skipping, but return ALL filters so Spark retains its own Filter
+    * node (Avro is row-major — pushdown saves per-row serialization and
+    * downstream work, it cannot skip IO like parquet row groups). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(AvroFilterEval.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new AvroScan(path, required, pushed)
+}
+
+/** Minimal evaluator for source filters over the decoded field values —
+  * unsupported shapes are simply not pushed (Spark re-filters anyway). */
+private object AvroFilterEval extends Serializable {
+  import org.apache.spark.sql.sources._
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | IsNull(_) | IsNotNull(_) |
+         In(_, _) | StringStartsWith(_, _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r)  => supported(l) && supported(r)
+    case Not(c)    => supported(c)
+    case _         => false
+  }
+
+  /** 3-valued-logic-free approximation: returns false only when the row
+    * DEFINITELY fails the filter; unknown comparisons pass the row
+    * through (Spark's own Filter decides). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v)            => cmp(get(a), v).forall(_ == 0)
+    case GreaterThan(a, v)        => cmp(get(a), v).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).forall(_ >= 0)
+    case LessThan(a, v)           => cmp(get(a), v).forall(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(a), v).forall(_ <= 0)
+    case IsNull(a)                => get(a) == null
+    case IsNotNull(a)             => get(a) != null
+    case In(a, vs)                => get(a) == null ||
+      vs.exists(v => cmp(get(a), v).forall(_ == 0))
+    case StringStartsWith(a, p)   => get(a) match {
+      case s: String => s.startsWith(p); case _ => true
+    }
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r)  => eval(l, get) || eval(r, get)
+    case Not(c)    => !definitely(c, get)
+    case _         => true
+  }
+
+  /** True only when the row DEFINITELY satisfies `f` (for Not). */
+  private def definitely(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v)  => get(a) != null && cmp(get(a), v).contains(0)
+    case IsNull(a)      => get(a) == null
+    case IsNotNull(a)   => get(a) != null
+    case _              => false // conservative: Not(other) never prunes
+  }
+
+  /** None = incomparable (null or mismatched types) → do not prune. */
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case (a: java.sql.Date, b: java.sql.Date) => Some(a.compareTo(b))
+    case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
+    case _ => None
+  }
 }
 
 private final case class AvroFilePartition(file: String) extends InputPartition
 
-private final class AvroScan(path: String, required: StructType)
+private final class AvroScan(path: String, required: StructType,
+                             filters: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-avro $path ${required.simpleString}"
+  override def description(): String =
+    s"graft-avro $path ${required.simpleString}" +
+      (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString("[", ", ", "]")}")
 
   override def planInputPartitions(): Array[InputPartition] =
     AvroTable.listFiles(path).map(AvroFilePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json)
+    new AvroReaderFactory(required.json, filters)
 }
 
-private final class AvroReaderFactory(requiredJson: String)
+private final class AvroReaderFactory(
+    requiredJson: String, filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
-      partition.asInstanceOf[AvroFilePartition].file, requiredJson)
+      partition.asInstanceOf[AvroFilePartition].file, requiredJson, filters)
 }
 
 // ------------------------------------------------------------------ write
@@ -238,7 +312,9 @@ private final class AvroDataWriter(dir: String, tmpName: String,
 
 /** Streams one container file; decodes each record, converts the
   * REQUIRED fields only, and serializes through a Row encoder. */
-private final class AvroPartitionReader(file: String, requiredJson: String)
+private final class AvroPartitionReader(
+    file: String, requiredJson: String,
+    filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val required = org.apache.spark.sql.types.DataType
@@ -248,19 +324,27 @@ private final class AvroPartitionReader(file: String, requiredJson: String)
   private val writerSchema: Schema = reader.getSchema
   private val toInternal =
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+  private val fieldIdx = required.fieldNames.zipWithIndex.toMap
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (reader.hasNext) {
+  override def next(): Boolean = {
+    while (reader.hasNext) {
       val rec = reader.next()
       val vals = required.fields.map { f =>
         val avroField = writerSchema.getField(f.name)
         require(avroField != null, s"column ${f.name} absent in Avro file $file")
         AvroIO.valueToSpark(rec.get(f.name), f.dataType, avroField.schema())
       }
-      current = toInternal(Row.fromSeq(vals.toIndexedSeq)).copy()
-      true
-    } else false
+      // pushed-filter row skip BEFORE catalyst serialization — saves the
+      // per-row encoder + downstream cost for rows the query drops anyway
+      val get: String => Any = name => fieldIdx.get(name).map(vals(_)).orNull
+      if (filters.forall(AvroFilterEval.eval(_, get))) {
+        current = toInternal(Row.fromSeq(vals.toIndexedSeq)).copy()
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()

@@ -139,6 +139,28 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("V2 filter pushdown: filters appear on the scan; results exact") {
+    val g = GraftSession.wrap(spark)
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    g.writeAvro(nation, s"$dir/filter_nation")
+    val q = g.readAvro(s"$dir/filter_nation")
+      .filter("n_nationkey >= 5 AND n_name IS NOT NULL")
+      .select("n_nationkey")
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanDesc.contains("PushedFilters"), s"no pushdown:\n$scanDesc")
+    val expected = nation.filter("n_nationkey >= 5").count()
+    assert(q.count() === expected)
+    // strings + In + boundaries
+    val q2 = g.readAvro(s"$dir/filter_nation")
+      .filter("n_name IN ('NATION_3','NATION_7') OR n_nationkey < 1")
+    assert(q2.count() ===
+      nation.filter("n_name IN ('NATION_3','NATION_7') OR n_nationkey < 1").count())
+    // NOT over a supported child must not over-prune
+    val q3 = g.readAvro(s"$dir/filter_nation").filter("NOT (n_nationkey = 3)")
+    assert(q3.count() === nation.filter("NOT (n_nationkey = 3)").count())
+  }
+
   test("V2 write: fresh save, overwrite truncates, append adds, empty keeps schema") {
     GraftSession.wrap(spark) // enables the V2 avro short name
     val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
