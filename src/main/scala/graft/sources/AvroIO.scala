@@ -282,6 +282,11 @@ object AvroIO {
       val st = toSparkSchema(schema)
       val reader = new DataFileReader[GenericRecord](
         new File(file), new GenericDatumReader[GenericRecord](schema))
+      // Close on task completion too — a short-circuited task (limit,
+      // failure) never exhausts the iterator, and the handle would
+      // otherwise live until GC.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
       // Stream the container; hand the iterator off with a close-on-end.
       new Iterator[Row] {
         def hasNext: Boolean = {
