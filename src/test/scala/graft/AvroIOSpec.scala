@@ -139,6 +139,57 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("reads externally-written enum/fixed/reordered-union/millis types") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // a schema our writer never produces: enum, fixed, [T, null] union
+    // (null second), timestamp-millis logical type
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"ext","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"color","type":{"type":"enum","name":"Color",
+        |    "symbols":["RED","GREEN","BLUE"]}},
+        |  {"name":"tag","type":{"type":"fixed","name":"Tag","size":3}},
+        |  {"name":"note","type":["string","null"]},
+        |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}
+        |]}""".stripMargin)
+    val out = new java.io.File(s"$dir/external"); out.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(out, "ext.avro"))
+    def rec(id: Long, color: String, tag: Array[Byte], note: String, ms: Long) = {
+      val r = new GenericData.Record(schema)
+      r.put("id", id)
+      r.put("color", new GenericData.EnumSymbol(schema.getField("color").schema(), color))
+      r.put("tag", new GenericData.Fixed(schema.getField("tag").schema(), tag))
+      r.put("note", note)
+      r.put("ts", ms)
+      r
+    }
+    w.append(rec(1L, "GREEN", Array[Byte](1, 2, 3), "hello", 86400000L))
+    w.append(rec(2L, "RED", Array[Byte](9, 9, 9), null, 0L))
+    w.close()
+
+    val df = AvroIO.read(spark, out.getPath).orderBy("id")
+    assert(df.schema("color").dataType === StringType)
+    assert(df.schema("tag").dataType === BinaryType)
+    assert(df.schema("note").nullable === true)
+    assert(df.schema("ts").dataType === TimestampType)
+    val rows = df.collect()
+    assert(rows(0).getString(1) === "GREEN")
+    assert(rows(0).getAs[Array[Byte]](2).toSeq === Seq[Byte](1, 2, 3))
+    assert(rows(0).getString(3) === "hello")
+    assert(rows(0).getTimestamp(4) === Timestamp.valueOf("1970-01-02 00:00:00"))
+    assert(rows(1).isNullAt(3))
+    // the V2 connector reads the same file identically (normalize the
+    // binary column — Array[Byte] stringifies by identity)
+    def norm(r: Row): String =
+      (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq,
+        Option(r.getString(3)), r.getTimestamp(4)).toString
+    val v2 = spark.read.format("avro").load(out.getPath).orderBy("id").collect()
+    assert(v2.map(norm).toSeq === rows.map(norm).toSeq)
+  }
+
   test("V2 filter pushdown: filters appear on the scan; results exact") {
     val g = GraftSession.wrap(spark)
     val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
