@@ -62,8 +62,12 @@ object AvroIO {
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING => (StringType, false)
     case Schema.Type.ENUM   => (StringType, false)
-    case Schema.Type.BYTES  => (BinaryType, false)
-    case Schema.Type.FIXED  => (BinaryType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.ARRAY =>
       val (et, en) = toSparkType(s.getElementType)
       (ArrayType(et, en), false)
@@ -117,9 +121,10 @@ object AvroIO {
         Schema.createMap(nullable(conv(vt, path + ".value"), vn))
       case s: StructType => record(s, path.replace('.', '_'))
       case d: DecimalType =>
-        // Exactness over compactness: Avro's decimal logical type needs a
-        // fixed/bytes layout choice; string keeps round-trips lossless.
-        Schema.create(Schema.Type.STRING)
+        // the standard Avro decimal logical type: two's-complement
+        // unscaled value in bytes, precision/scale in the schema
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported Spark type for Avro write at $path: $other")
@@ -152,6 +157,14 @@ object AvroIO {
       else avro
     dt match {
       case StringType => v.toString // Utf8 | String | enum symbol
+      case d: DecimalType =>
+        val bytes = v match {
+          case b: ByteBuffer =>
+            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+          case f: GenericData.Fixed => f.bytes()
+          case a: Array[Byte] => a
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
       case BinaryType => v match {
         case b: ByteBuffer =>
           val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
@@ -224,7 +237,14 @@ object AvroIO {
           k -> toAvroValue(mv, vt, target.getValueType)
         }.asJava
       case st: StructType => rowToRecord(v.asInstanceOf[Row], st, target)
-      case _: DecimalType => v.toString
+      case d: DecimalType =>
+        val jbd = v match {
+          case b: java.math.BigDecimal => b
+          case b: BigDecimal           => b.bigDecimal
+        }
+        ByteBuffer.wrap(
+          jbd.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+            .unscaledValue().toByteArray)
       case ByteType | ShortType => v.asInstanceOf[Number].intValue()
       case _ => v
     }

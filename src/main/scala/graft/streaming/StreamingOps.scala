@@ -105,6 +105,33 @@ object StreamingOps {
       }
   }
 
+  /**
+   * Watermarked stream-stream interval join: each left event matches
+   * right events with the same key whose event time falls in
+   * `[left.ts, left.ts + maxDelay]` — the impressions↔clicks attribution
+   * shape. Both sides carry watermarks and the join condition bounds the
+   * time range, so Spark can size and EVICT the join state on both sides
+   * (unbounded state is the stream-stream join scale-killer; the range +
+   * watermark make it O(events within the delay window) per key).
+   *
+   * Inputs must have disjoint column names apart from `keyCol`; the
+   * right time column must be named differently from the left one.
+   */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keyCol: String, maxDelay: String,
+                   watermarkDelay: String): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(shared.isEmpty,
+      s"intervalJoin inputs must only share '$keyCol', also shared: ${shared.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs AND r.$rightTs <= l.$leftTs + INTERVAL $maxDelay"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   case class TopKSnapshot(key: String, items: Seq[(String, Long)])
 
   /**

@@ -139,6 +139,36 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("decimal round-trips through the Avro decimal logical type") {
+    import spark.implicits._
+    val df = Seq("123456.78", "-0.01", "0.00", "99999999.99")
+      .toDF("s").selectExpr("CAST(s AS DECIMAL(10,2)) AS d")
+    AvroIO.write(df, s"$dir/dec")
+    // schema carries the logical type, not a string fallback
+    val avroSchema = {
+      val first = new java.io.File(s"$dir/dec")
+        .listFiles((_, n) => n.endsWith(".avro")).head
+      val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        first,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try r.getSchema finally r.close()
+    }
+    val fieldSchema = avroSchema.getField("d").schema()
+    import scala.jdk.CollectionConverters._
+    val nonNull = fieldSchema.getTypes.asScala
+      .find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    assert(nonNull.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Decimal])
+    val back = AvroIO.read(spark, s"$dir/dec")
+    assert(back.schema("d").dataType === DecimalType(10, 2))
+    assert(back.select("d").collect().map(_.getDecimal(0).toPlainString).sorted.toSeq ===
+      Seq("-0.01", "0.00", "123456.78", "99999999.99"))
+    // V2 reader agrees
+    val v2 = spark.read.format("avro").load(s"$dir/dec")
+    assert(v2.schema("d").dataType === DecimalType(10, 2))
+    assert(v2.agg(org.apache.spark.sql.functions.sum("d")).head.getDecimal(0).toPlainString
+      === "100123456.76")
+  }
+
   test("reads externally-written enum/fixed/reordered-union/millis types") {
     import org.apache.avro.{Schema, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter

@@ -155,6 +155,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(45L) == 3.0)
   }
 
+  test("stream-stream interval join matches clicks within the delay window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val imps = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp, String)](spark)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp, Double)](spark)
+    val joined = StreamingOps.intervalJoin(
+      imps.toDS().toDF("ad_id", "imp_ts", "campaign"), "imp_ts",
+      clicks.toDS().toDF("ad_id", "click_ts", "cost"), "click_ts",
+      keyCol = "ad_id", maxDelay = "10 SECONDS", watermarkDelay = "1 MINUTE")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      imps.addData(("a", ts(0), "camp1"), ("b", ts(5), "camp2"))
+      clicks.addData(
+        ("a", ts(4), 0.5),   // within 10s of a's impression → match
+        ("a", ts(20), 0.7),  // 20s later → outside window
+        ("b", ts(3), 0.9),   // BEFORE b's impression → no match
+        ("c", ts(1), 0.1))   // no impression at all
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib")
+      .select("ad_id", "campaign", "cost").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows === Set(("a", "camp1", 0.5)))
+  }
+
   test("streaming SpaceSaving top-k: sketch state accumulates across batches") {
     import spark.implicits._
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)](spark)
