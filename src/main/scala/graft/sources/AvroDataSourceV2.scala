@@ -53,9 +53,10 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = pathOf(options)
     val f = AvroIO.toLocalFile(p)
-    if (!f.exists() ||
-        (f.isDirectory && !f.listFiles().exists(_.getName.endsWith(".avro"))))
-      new StructType()
+    def hasAvro(d: java.io.File): Boolean =
+      (d.isFile && d.getName.endsWith(".avro")) ||
+        (d.isDirectory && d.listFiles().exists(hasAvro))
+    if (!f.exists() || !hasAvro(f)) new StructType()
     else AvroTable.schemaOf(p)
   }
 
@@ -67,11 +68,50 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 private object AvroTable {
+  /** (file, partition values aligned with partitionCols). */
+  final case class Layout(files: Seq[(String, Seq[String])], partitionCols: Seq[String])
+
+  /** Hive-layout discovery: `.avro` files directly under `path` form an
+    * unpartitioned table; `path/k=v[/k2=v2…]/part.avro` layouts
+    * contribute `k,k2,…` as string partition columns (same contract as
+    * Spark's file sources; values are not type-inferred — cast in the
+    * query). Mixing bare files and partition dirs is rejected. */
+  def discover(path: String): Layout = {
+    val root = AvroIO.toLocalFile(path)
+    if (root.isFile) return Layout(Seq(root.getPath -> Nil), Nil)
+    if (!root.isDirectory)
+      throw new java.io.FileNotFoundException(s"no such Avro path: $path")
+    val acc = Seq.newBuilder[(String, Seq[(String, String)])]
+    def walk(dir: java.io.File, parts: Seq[(String, String)]): Unit =
+      dir.listFiles().toSeq.sortBy(_.getName).foreach { f =>
+        if (f.isFile && f.getName.endsWith(".avro")) acc += f.getPath -> parts
+        else if (f.isDirectory) f.getName.split("=", 2) match {
+          case Array(k, v) => walk(f, parts :+ (k -> v))
+          case _           => // non-hive dir (e.g. _tmp): skip
+        }
+      }
+    walk(root, Nil)
+    val all = acc.result()
+    require(all.nonEmpty, s"no .avro files under $path")
+    val cols = all.head._2.map(_._1)
+    require(all.forall(_._2.map(_._1) == cols),
+      s"inconsistent partition layout under $path: " +
+        all.map(_._2.map(_._1).mkString("/")).distinct.mkString(" vs "))
+    Layout(all.map { case (f, ps) => f -> ps.map(_._2) }, cols)
+  }
+
   def schemaOf(path: String): StructType = {
-    val first = listFiles(path).head
+    val layout = discover(path)
+    val first = layout.files.head._1
     val r = new DataFileReader[GenericRecord](
       new java.io.File(first), new GenericDatumReader[GenericRecord]())
-    try AvroIO.toSparkSchema(r.getSchema) finally r.close()
+    val data = try AvroIO.toSparkSchema(r.getSchema) finally r.close()
+    val clash = layout.partitionCols.toSet.intersect(data.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"partition column(s) ${clash.mkString(", ")} also present in the data schema")
+    layout.partitionCols.foldLeft(data)((s, c) =>
+      s.add(org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType, nullable = false)))
   }
 
   def listFiles(path: String): Seq[String] = AvroIO.listAvroFiles(path)
@@ -171,7 +211,9 @@ private object AvroFilterEval extends Serializable {
   }
 }
 
-private final case class AvroFilePartition(file: String) extends InputPartition
+private final case class AvroFilePartition(
+    file: String, partCols: Seq[String], partValues: Seq[String])
+    extends InputPartition
 
 private final class AvroScan(path: String, required: StructType,
                              filters: Array[org.apache.spark.sql.sources.Filter])
@@ -182,8 +224,28 @@ private final class AvroScan(path: String, required: StructType,
     s"graft-avro $path ${required.simpleString}" +
       (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString("[", ", ", "]")}")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroTable.listFiles(path).map(AvroFilePartition.apply).toArray
+  /** Partition PRUNING happens here: filters whose referenced columns are
+    * all partition columns are evaluated against each file's partition
+    * values, and non-matching files are never opened — the V2 analog of
+    * the parquet source's PartitionFilters (genuine IO skip, unlike the
+    * row-level advisory pushdown). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val layout = AvroTable.discover(path)
+    val partitionFilters = filters.filter(
+      _.references.forall(layout.partitionCols.contains))
+    layout.files
+      .filter { case (_, values) =>
+        val get: String => Any =
+          name => layout.partitionCols.indexOf(name) match {
+            case -1 => null
+            case i  => values(i)
+          }
+        partitionFilters.forall(AvroFilterEval.eval(_, get))
+      }
+      .map { case (f, values) =>
+        AvroFilePartition(f, layout.partitionCols, values)
+      }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required.json, filters)
@@ -192,9 +254,10 @@ private final class AvroScan(path: String, required: StructType,
 private final class AvroReaderFactory(
     requiredJson: String, filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(
-      partition.asInstanceOf[AvroFilePartition].file, requiredJson, filters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AvroFilePartition]
+    new AvroPartitionReader(p, requiredJson, filters)
+  }
 }
 
 // ------------------------------------------------------------------ write
@@ -313,10 +376,13 @@ private final class AvroDataWriter(dir: String, tmpName: String,
 /** Streams one container file; decodes each record, converts the
   * REQUIRED fields only, and serializes through a Row encoder. */
 private final class AvroPartitionReader(
-    file: String, requiredJson: String,
+    partition: AvroFilePartition, requiredJson: String,
     filters: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
+  private val file = partition.file
+  private val partValue: Map[String, String] =
+    partition.partCols.zip(partition.partValues).toMap
   private val required = org.apache.spark.sql.types.DataType
     .fromJson(requiredJson).asInstanceOf[StructType]
   private val reader = new DataFileReader[GenericRecord](
@@ -331,9 +397,13 @@ private final class AvroPartitionReader(
     while (reader.hasNext) {
       val rec = reader.next()
       val vals = required.fields.map { f =>
-        val avroField = writerSchema.getField(f.name)
-        require(avroField != null, s"column ${f.name} absent in Avro file $file")
-        AvroIO.valueToSpark(rec.get(f.name), f.dataType, avroField.schema())
+        partValue.get(f.name) match {
+          case Some(v) => v // partition column: value comes from the path
+          case None =>
+            val avroField = writerSchema.getField(f.name)
+            require(avroField != null, s"column ${f.name} absent in Avro file $file")
+            AvroIO.valueToSpark(rec.get(f.name), f.dataType, avroField.schema())
+        }
       }
       // pushed-filter row skip BEFORE catalyst serialization — saves the
       // per-row encoder + downstream cost for rows the query drops anyway

@@ -139,6 +139,33 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("hive-layout partition discovery + planning-time partition pruning") {
+    val g = GraftSession.wrap(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "n_chars") // lang becomes the partition column
+    val root = s"$dir/part"
+    val langs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    langs.select("lang").distinct().collect().map(_.getString(0)).foreach { l =>
+      val part = langs.filter(s"lang = '$l'").select("doc_id", "n_chars")
+      graft.sources.AvroIO.write(part.coalesce(1), s"$root/lang=$l")
+    }
+    val nLangs = langs.select("lang").distinct().count().toInt
+    val df = spark.read.format("avro").load(root)
+    // partition column appended to the schema, values from the path
+    assert(df.schema.fieldNames.toSeq === Seq("doc_id", "n_chars", "lang"))
+    assert(df.count() === langs.count())
+    assert(df.groupBy("lang").count().count() === nLangs)
+    // partition filter prunes FILES at planning time: one partition left
+    val en = df.filter("lang = 'en'")
+    assert(en.rdd.getNumPartitions === 1, "partition filter did not prune files")
+    assert(en.count() === langs.filter("lang = 'en'").count())
+    // unfiltered scan reads every partition dir
+    assert(df.rdd.getNumPartitions === nLangs)
+    // mixed partition+data filter still correct (data part not prunable)
+    val mixed = df.filter("lang = 'en' AND n_chars > 200")
+    assert(mixed.count() === langs.filter("lang = 'en' AND n_chars > 200").count())
+  }
+
   test("decimal round-trips through the Avro decimal logical type") {
     import spark.implicits._
     val df = Seq("123456.78", "-0.01", "0.00", "99999999.99")
