@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -211,8 +211,13 @@ private object AvroFilterEval extends Serializable {
   }
 }
 
+/** One byte-range split of one container file. The reader syncs to the
+  * first block boundary after `start` and stops once it passes
+  * `start + length` — the standard Avro split contract: every block is
+  * read by exactly one split. */
 private final case class AvroFilePartition(
-    file: String, partCols: Seq[String], partValues: Seq[String])
+    file: String, start: Long, length: Long,
+    partCols: Seq[String], partValues: Seq[String])
     extends InputPartition
 
 private final class AvroScan(path: String, required: StructType,
@@ -233,6 +238,13 @@ private final class AvroScan(path: String, required: StructType,
     val layout = AvroTable.discover(path)
     val partitionFilters = filters.filter(
       _.references.forall(layout.partitionCols.contains))
+    // Split large containers on byte ranges (sync-marker aligned at read
+    // time) so ONE huge file still parallelizes — the same
+    // maxPartitionBytes contract as Spark's file sources.
+    val maxSplit = math.max(4096L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        SparkSession.active.conf.get(
+          "spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}")))
     layout.files
       .filter { case (_, values) =>
         val get: String => Any =
@@ -242,8 +254,14 @@ private final class AvroScan(path: String, required: StructType,
           }
         partitionFilters.forall(AvroFilterEval.eval(_, get))
       }
-      .map { case (f, values) =>
-        AvroFilePartition(f, layout.partitionCols, values)
+      .flatMap { case (f, values) =>
+        val len = new java.io.File(f).length()
+        val nSplits = math.max(1L, (len + maxSplit - 1) / maxSplit)
+        (0L until nSplits).map { i =>
+          val start = i * maxSplit
+          AvroFilePartition(f, start, math.min(maxSplit, len - start),
+            layout.partitionCols, values)
+        }
       }.toArray
   }
 
@@ -387,6 +405,10 @@ private final class AvroPartitionReader(
     .fromJson(requiredJson).asInstanceOf[StructType]
   private val reader = new DataFileReader[GenericRecord](
     new java.io.File(file), new GenericDatumReader[GenericRecord]())
+  // Position to the split: first sync-marker-aligned block after `start`;
+  // stop once past `start + length`. sync(0) is safe (first block).
+  reader.sync(partition.start)
+  private val splitEnd = partition.start + partition.length
   private val writerSchema: Schema = reader.getSchema
   private val toInternal =
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
@@ -394,7 +416,7 @@ private final class AvroPartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (reader.hasNext) {
+    while (reader.hasNext && !reader.pastSync(splitEnd)) {
       val rec = reader.next()
       val vals = required.fields.map { f =>
         partValue.get(f.name) match {

@@ -139,6 +139,39 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("single large container splits into multiple sync-aligned tasks") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // one file, many small blocks (tiny sync interval)
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"big","fields":[
+        |  {"name":"id","type":"long"},{"name":"payload","type":"string"}]}""".stripMargin)
+    val out = new java.io.File(s"$dir/bigfile"); out.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(1024) // block ≈ 1 KB → many sync points
+    w.create(schema, new java.io.File(out, "big.avro"))
+    val n = 20000
+    (0 until n).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong); r.put("payload", s"row-$i-" + "x" * 50)
+      w.append(r)
+    }
+    w.close()
+
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (64 * 1024).toString) // 64 KB splits
+      val df = spark.read.format("avro").load(out.getPath)
+      assert(df.rdd.getNumPartitions > 4,
+        s"expected multiple splits, got ${df.rdd.getNumPartitions}")
+      // every row read exactly once across splits
+      assert(df.count() === n.toLong)
+      assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ===
+        n.toLong * (n - 1) / 2)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("hive-layout partition discovery + planning-time partition pruning") {
     val g = GraftSession.wrap(spark)
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
