@@ -222,9 +222,24 @@ private final case class AvroFilePartition(
 
 private final class AvroScan(path: String, required: StructType,
                              filters: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size = bytes of the files that SURVIVE partition pruning — without
+    * this a V2 scan reports unknown stats and a small Avro dimension
+    * never broadcasts in a join. Row count left empty (compressed
+    * containers; bytes are the planner's broadcast criterion). */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: Long = planInputPartitions()
+        .map(p => p.asInstanceOf[AvroFilePartition].length).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"graft-avro $path ${required.simpleString}" +
       (if (filters.isEmpty) "" else s" PushedFilters: ${filters.mkString("[", ", ", "]")}")

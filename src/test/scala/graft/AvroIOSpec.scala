@@ -139,6 +139,19 @@ class AvroIOSpec extends AnyFunSuite {
     assert(pruned.count() === nation.count())
   }
 
+  test("scan reports size statistics: small avro dim broadcasts in a join") {
+    val g = GraftSession.wrap(spark)
+    val nation = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    g.writeAvro(nation, s"$dir/stats_nation")
+    val lineitem = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val dim = spark.read.format("avro").load(s"$dir/stats_nation")
+    val joined = lineitem.join(dim,
+      lineitem("l_suppkey") % 25 === dim("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small avro side not broadcast:\n$plan")
+  }
+
   test("single large container splits into multiple sync-aligned tasks") {
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
