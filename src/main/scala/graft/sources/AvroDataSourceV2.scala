@@ -248,8 +248,9 @@ private final class AvroScan(path: String, required: StructType,
     * all partition columns are evaluated against each file's partition
     * values, and non-matching files are never opened — the V2 analog of
     * the parquet source's PartitionFilters (genuine IO skip, unlike the
-    * row-level advisory pushdown). */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * row-level advisory pushdown). Planned once per scan (statistics and
+    * batch planning share the listing — no repeated FS walks). */
+  private lazy val planned: Array[InputPartition] = {
     val layout = AvroTable.discover(path)
     val partitionFilters = filters.filter(
       _.references.forall(layout.partitionCols.contains))
@@ -279,6 +280,8 @@ private final class AvroScan(path: String, required: StructType,
         }
       }.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required.json, filters)
