@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for LLM training-data pipelines, beyond the
+ * dedup/similarity families in [[Dedup]] / [[Similarity]]: benchmark
+ * decontamination, fixed-token chunking, sequence packing, PII redaction,
+ * repetition-based quality stats (Gopher-style), and domain blocklist
+ * filtering.
+ *
+ * All operators are declarative DataFrame transforms built from codegen'd
+ * built-ins; the hashing/ratio math mirrors the engine-portable idioms the
+ * dedup family uses so every operator carries a bit-exact DuckDB oracle.
+ *
+ * Scale notes are per-operator; the one non-obvious pattern is the
+ * two-phase distributed prefix sum in [[packOffsets]] — a naive
+ * `Window.orderBy` running sum funnels the whole corpus through ONE
+ * partition, which is exactly the round-2 scale-killer class this repo
+ * plan-pins against.
+ */
+object Curation {
+
+  // ---- benchmark decontamination -------------------------------------
+
+  /**
+   * Training docs that share at least one word n-gram with the eval set:
+   * (id, n_hits) with n_hits = number of distinct contaminated shingles.
+   *
+   * Scale shape: the eval side of the join is an eval-set shingle set —
+   * tiny relative to a 100 TB train corpus by construction (eval
+   * benchmarks are KBs–MBs) — so it is broadcast explicitly; the train
+   * side streams map-side through the broadcast hash join and only the
+   * hit rows reach the per-doc count shuffle. No all-pairs anywhere.
+   */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        isEval: Column, n: Int = 8): DataFrame = {
+    val evalSh = Dedup.shingles(docs.filter(isEval), idCol, textCol, n)
+      .select(col("sh")).distinct()
+    val trainSh = Dedup.shingles(docs.filter(!isEval), idCol, textCol, n)
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  // ---- fixed-token chunking -------------------------------------------
+
+  /**
+   * Split each document's token stream into chunks of `chunkSize` tokens
+   * every `stride` tokens (stride < chunkSize ⇒ overlapping chunks; the
+   * final chunk may be short). Returns
+   * (id, chunk_idx, n_toks, chunk_hash).
+   *
+   * Pure per-row projection + explode — embarrassingly parallel, no
+   * shuffle at all; chunk contents never leave the row they came from.
+   */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+                 chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("s"))
+      .select(
+        col("id"),
+        (col("s") / stride).cast("int").as("chunk_idx"),
+        expr(s"slice(w, s + 1, $chunkSize)").as("c"))
+      .select(
+        col("id"), col("chunk_idx"),
+        size(col("c")).as("n_toks"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+  }
+
+  // ---- sequence packing (concat-and-split) ----------------------------
+
+  /**
+   * Concat-and-split sequence packing: documents are laid out end-to-end
+   * in `idCol` order and the stream is cut every `binTokens` tokens —
+   * the standard LLM pre-training pack. Returns per-doc placement:
+   * (id, n_toks, offset, bin, bin_end, spans) where `offset` is the
+   * exclusive prefix sum of token counts, `bin` = offset / binTokens,
+   * and `spans` counts how many bins the doc straddles.
+   *
+   * The prefix sum is TWO-PHASE so it distributes: docs are grouped into
+   * coarse ranges (`part` = id / partRange), per-part token totals are
+   * aggregated (#parts rows — tiny), the part-level exclusive cumsum runs
+   * over that tiny aggregate (the only unpartitioned window, deliberately
+   * bounded at #parts rows), and each doc's offset = its part's offset +
+   * a within-part running sum (window PARTITIONED by part). A plain
+   * `Window.orderBy(id)` would funnel 100 TB through one partition.
+   */
+  def packOffsets(docs: DataFrame, idCol: String, textCol: String,
+                  binTokens: Long, partRange: Long = 1L << 20): DataFrame = {
+    require(binTokens > 0 && partRange > 0, "binTokens/partRange must be > 0")
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"),
+      (col(idCol).cast("long") / partRange).cast("long").as("part"))
+    // Phase 1: per-part totals, then exclusive cumsum over the TINY
+    // per-part table (one row per partRange of ids).
+    val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
+    val partOffsets = partTotals.select(
+      col("part"),
+      coalesce(
+        sum(col("pt")).over(
+          Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("part_off"))
+    // Phase 2: within-part running sum, window partitioned by part.
+    val within = Window.partitionBy("part").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(partOffsets), "part")
+      .select(col("id"), col("n_toks"),
+        (col("part_off") + coalesce(sum(col("n_toks")).over(within), lit(0L)))
+          .as("offset"))
+      .select(
+        col("id"), col("n_toks"), col("offset"),
+        (col("offset") - pmod(col("offset"), lit(binTokens))).divide(binTokens)
+          .cast("long").as("bin"),
+        greatest(col("offset"), col("offset") + col("n_toks") - 1).as("last"))
+      .select(
+        col("id"), col("n_toks"), col("offset"), col("bin"),
+        ((col("last") - pmod(col("last"), lit(binTokens))) / binTokens)
+          .cast("long").as("bin_end"))
+      .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
+  }
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** Redaction patterns, applied in this order (emails first — they
+    * contain dots and digits that the later patterns could clip). The
+    * regex subset is common to Java regex (Spark) and RE2 (DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** text with emails/IPv4s/phone numbers masked by typed placeholders. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-row match counts for one pattern (0 when no match). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // ---- repetition stats (Gopher-style quality signals) -----------------
+
+  /**
+   * Per-document repetition metrics used as quality filters in the
+   * Gopher/MassiveText cleaning rules:
+   *   - dup_word_frac: 1 − distinct/total tokens
+   *   - top_gram_frac: (count × chars) of the most repeated word 2-gram,
+   *     as a fraction of total characters
+   * Returns (id, n_toks, dup_word_frac, top_gram_frac, flagged).
+   *
+   * Shape: one explode + groupBy per metric, all partitioned by doc id —
+   * per-doc state only, scales linearly with corpus size.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      dupThreshold: Double = 0.9,
+                      gramThreshold: Double = 0.2): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("w"),
+      length(col(textCol)).cast("double").as("n_chars"))
+    val word = toks.select(col("id"),
+      size(col("w")).cast("long").as("n_toks"),
+      (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+        size(col("w")).cast("double")).as("dup_word_frac"),
+      col("n_chars"))
+    // non-distinct 2-grams: the most frequent one's character mass
+    val grams = toks
+      .filter(size(col("w")) >= 2)
+      .select(col("id"), col("n_chars"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))")).as("g"))
+    val top = grams.groupBy("id", "n_chars", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max(col("cnt") * length(col("g")).cast("double") / col("n_chars"))
+        .as("top_gram_frac"))
+    word.join(top, Seq("id"), "left")
+      .select(col("id"), col("n_toks"),
+        round(col("dup_word_frac"), 6).as("dup_word_frac"),
+        round(coalesce(col("top_gram_frac"), lit(0.0)), 6).as("top_gram_frac"),
+        (col("dup_word_frac") > dupThreshold ||
+          coalesce(col("top_gram_frac"), lit(0.0)) > gramThreshold).as("flagged"))
+  }
+
+  // ---- domain blocklist filtering ---------------------------------------
+
+  /**
+   * Drop rows whose URL host is on a blocklist; the blocklist is
+   * broadcast (curation blocklists are thousands of domains — always
+   * small relative to the corpus). Returns the surviving rows with a
+   * `host` column appended.
+   */
+  def domainFilter(docs: DataFrame, urlCol: String,
+                   blocked: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = blocked.toDF("host")
+    docs
+      .withColumn("host", expr(s"parse_url($urlCol, 'HOST')"))
+      .join(broadcast(bl), Seq("host"), "left_anti")
+  }
+}
