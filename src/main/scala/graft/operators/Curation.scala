@@ -66,7 +66,7 @@ object Curation {
         explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("s"))
       .select(
         col("id"),
-        (col("s") / stride).cast("int").as("chunk_idx"),
+        expr(s"s div $stride").cast("int").as("chunk_idx"),
         expr(s"slice(w, s + 1, $chunkSize)").as("c"))
       .select(
         col("id"), col("chunk_idx"),
@@ -98,7 +98,9 @@ object Curation {
     val base = docs.select(
       col(idCol).cast("long").as("id"),
       size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"),
-      (col(idCol).cast("long") / partRange).cast("long").as("part"))
+      // integral `div`, not `/`: long/long Column division is DOUBLE and
+      // silently loses precision above 2^53 (repo invariant).
+      expr(s"CAST($idCol AS BIGINT) div ${partRange}L").as("part"))
     // Phase 1: per-part totals, then exclusive cumsum over the TINY
     // per-part table (one row per partRange of ids).
     val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
@@ -118,13 +120,9 @@ object Curation {
           .as("offset"))
       .select(
         col("id"), col("n_toks"), col("offset"),
-        (col("offset") - pmod(col("offset"), lit(binTokens))).divide(binTokens)
-          .cast("long").as("bin"),
-        greatest(col("offset"), col("offset") + col("n_toks") - 1).as("last"))
-      .select(
-        col("id"), col("n_toks"), col("offset"), col("bin"),
-        ((col("last") - pmod(col("last"), lit(binTokens))) / binTokens)
-          .cast("long").as("bin_end"))
+        expr(s"offset div ${binTokens}L").as("bin"),
+        expr(s"greatest(offset, offset + n_toks - 1) div ${binTokens}L")
+          .as("bin_end"))
       .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
   }
 

@@ -1,0 +1,211 @@
+package graft.queries
+
+import Registry._
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation queries over the `documents` table, exercising every
+ * operator in [[graft.operators.Curation]]: benchmark decontamination,
+ * fixed-token chunking, sequence packing (two-phase distributed prefix
+ * sum), PII redaction, Gopher-style repetition stats, and domain
+ * blocklist filtering. Each query carries a bit-exact DuckDB oracle that
+ * replays the algorithm independently (the packing oracle deliberately
+ * uses the NAIVE single-window prefix sum — proving the two-phase
+ * distributed form computes the identical answer).
+ *
+ * PII / URL inputs are constructed deterministically from testdata
+ * columns (the corpus itself contains no emails/IPs/URLs), identically
+ * on both engines, so the regex/parse paths are genuinely exercised.
+ */
+object CurationQueries {
+
+  // ---- benchmark decontamination -------------------------------------
+
+  /** Eval set = every 17th doc; hits = distinct 3-gram shingles a train
+    * doc shares with ANY eval doc. The eval shingle set is broadcast. */
+  private val decontaminateOracle =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+      |),
+      |shi AS (
+      |  SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3
+      |),
+      |sh AS (
+      |  SELECT DISTINCT id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM shi
+      |),
+      |evalsh AS (SELECT DISTINCT sh FROM sh WHERE id % 17 = 0),
+      |trainsh AS (SELECT id, sh FROM sh WHERE id % 17 <> 0)
+      |SELECT t.id AS id, COUNT(*) AS n_hits
+      |FROM trainsh t JOIN evalsh e ON t.sh = e.sh
+      |GROUP BY t.id ORDER BY id""".stripMargin
+
+  val curDecontaminate = dfQ("cur_decontaminate", decontaminateOracle) { (s, _) =>
+    Curation.contaminationHits(s.table("documents"), "doc_id", "text",
+        isEval = col("doc_id") % 17 === 0, n = 3)
+      .orderBy("id")
+  }
+
+  // ---- fixed-token chunking -------------------------------------------
+
+  /** 16-token chunks every 8 tokens (overlapping); hash pins content. */
+  private val chunkOracle =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
+      |),
+      |u AS (
+      |  SELECT id, w, unnest(generate_series(0, len(w) - 1, 8)) AS s
+      |  FROM toks WHERE len(w) > 0
+      |)
+      |SELECT id, CAST(s // 8 AS INT) AS chunk_idx,
+      |  CAST(len(list_slice(w, s + 1, s + 16)) AS INT) AS n_toks,
+      |  md5(array_to_string(list_slice(w, s + 1, s + 16), ' ')) AS chunk_hash
+      |FROM u ORDER BY id, chunk_idx""".stripMargin
+
+  val curChunk = dfQ("cur_chunk", chunkOracle) { (s, _) =>
+    Curation.chunkFixed(s.table("documents"), "doc_id", "text",
+        chunkSize = 16, stride = 8)
+      .orderBy("id", "chunk_idx")
+  }
+
+  // ---- sequence packing ----------------------------------------------
+
+  /** partRange=32 forces many parts at sf0.01 so phase 1 (per-part
+    * exclusive cumsum) + phase 2 (within-part window) both do real work;
+    * the oracle is the naive GLOBAL window sum the two-phase form must
+    * reproduce exactly. `offset` is renamed: reserved word in DuckDB. */
+  private val packOracle =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |),
+      |o AS (
+      |  SELECT id, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM t
+      |)
+      |SELECT id, n_toks, tok_offset,
+      |  tok_offset // 256 AS bin,
+      |  GREATEST(tok_offset, tok_offset + n_toks - 1) // 256 AS bin_end,
+      |  GREATEST(tok_offset, tok_offset + n_toks - 1) // 256 - tok_offset // 256 + 1 AS spans
+      |FROM o ORDER BY id""".stripMargin
+
+  val curPack = dfQ("cur_pack", packOracle) { (s, _) =>
+    Curation.packOffsets(s.table("documents"), "doc_id", "text",
+        binTokens = 256L, partRange = 32L)
+      .withColumnRenamed("offset", "tok_offset")
+      .orderBy("id")
+  }
+
+  // ---- PII redaction --------------------------------------------------
+
+  /** Deterministic PII synthesis appended to each doc's text: one email,
+    * one IPv4, one phone, all derived from (source, doc_id) identically
+    * in both engines — then redact + per-pattern counts. The regexes are
+    * embedded RAW: DuckDB string literals are standard-SQL (backslash is
+    * literal), so `\b`/`\d` pass through to RE2 unmodified. */
+  private val piiOracle =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact ' || source || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+       |      || '.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.1 or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+       |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+       |    '${Curation.PhoneRe}', '<PHONE>', 'g')) AS red_md5,
+       |  CAST(len(regexp_extract_all(t, '${Curation.EmailRe}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(t, '${Curation.PhoneRe}')) AS BIGINT) AS n_phone
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  val curPii = dfQ("cur_pii", piiOracle) { (s, _) =>
+    val t = concat(col("text"), lit(" contact "), col("source"), lit("@ex"),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".com via 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 or 555-123-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    s.table("documents").select(
+        col("doc_id"),
+        md5(Curation.piiRedact(t)).as("red_md5"),
+        Curation.piiCount(t, Curation.EmailRe).cast("bigint").as("n_email"),
+        Curation.piiCount(t, Curation.Ipv4Re).cast("bigint").as("n_ip"),
+        Curation.piiCount(t, Curation.PhoneRe).cast("bigint").as("n_phone"))
+      .orderBy("doc_id")
+  }
+
+  // ---- repetition stats ----------------------------------------------
+
+  /** Gopher-style repetition flags; oracle replays token + 2-gram mass
+    * math (flag thresholds applied to the UNROUNDED fractions, matching
+    * the operator). */
+  private val repetitionOracle =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w,
+      |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
+      |  FROM documents
+      |),
+      |word AS (
+      |  SELECT id, CAST(len(w) AS BIGINT) AS n_toks,
+      |    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf, n_chars
+      |  FROM toks
+      |),
+      |grams AS (
+      |  SELECT id, n_chars, w[i] || ' ' || w[i+1] AS g
+      |  FROM (SELECT id, n_chars, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM toks WHERE len(w) >= 2)
+      |),
+      |top AS (
+      |  SELECT id, MAX(cnt * CAST(LENGTH(g) AS DOUBLE) / n_chars) AS tgf
+      |  FROM (SELECT id, n_chars, g, COUNT(*) AS cnt FROM grams GROUP BY id, n_chars, g) c
+      |  GROUP BY id
+      |)
+      |SELECT w.id AS id, w.n_toks AS n_toks,
+      |  ROUND(w.dwf, 6) AS dup_word_frac,
+      |  ROUND(COALESCE(t.tgf, 0.0), 6) AS top_gram_frac,
+      |  (w.dwf > 0.9 OR COALESCE(t.tgf, 0.0) > 0.2) AS flagged
+      |FROM word w LEFT JOIN top t ON t.id = w.id ORDER BY id""".stripMargin
+
+  val curRepetition = dfQ("cur_repetition", repetitionOracle) { (s, _) =>
+    Curation.repetitionStats(s.table("documents"), "doc_id", "text")
+      .orderBy("id")
+  }
+
+  // ---- domain blocklist filtering ------------------------------------
+
+  /** Deterministic URL synthesis from (source, doc_id); blocklist drops
+    * three hosts via broadcast anti-join; DuckDB extracts the host with
+    * string ops (no parse_url there). */
+  private val blockedHosts = Seq(
+    "src0.0.example.com", "src1.2.example.com", "src3.4.example.com")
+
+  private val domainOracle =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' || source || '.' || CAST(doc_id % 5 AS VARCHAR)
+       |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents
+       |),
+       |h AS (SELECT doc_id, string_split(url, '/')[3] AS host FROM u)
+       |SELECT doc_id, host FROM h
+       |WHERE host NOT IN (${blockedHosts.map(b => s"'$b'").mkString(", ")})
+       |ORDER BY doc_id""".stripMargin
+
+  val curDomainFilter = dfQ("cur_domain_filter", domainOracle) { (s, _) =>
+    val withUrl = s.table("documents").select(
+      col("doc_id"),
+      concat(lit("https://"), col("source"), lit("."),
+        pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+    Curation.domainFilter(withUrl, "url", blockedHosts)
+      .select(col("doc_id"), col("host"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    curDecontaminate, curChunk, curPack, curPii, curRepetition, curDomainFilter)
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Semantics of the corpus-curation operators on hand-built frames (the
+  * cur_* registry queries pin each against a DuckDB replay at sf0.01;
+  * these cover edge semantics and the scale-shape plan assertions). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("contaminationHits: only train docs sharing an eval shingle, distinct-counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),          // eval (id % 2 == 0 -> eval here)
+      (1L, "the quick brown fox sleeps deeply"),  // train: shares 2 shingles
+      (3L, "completely different text entirely"), // train: no overlap
+      (5L, "quick brown fox jumps high")          // train: shares 2 shingles
+    ).toDF("id", "text")
+    val out = Curation.contaminationHits(docs, "id", "text",
+      isEval = col("id") % 2 === 0, n = 3)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // eval shingles: {the quick brown, quick brown fox, brown fox jumps}
+    assert(got == Map(1L -> 2L, 5L -> 2L)) // doc 3 absent entirely
+    // the eval side must be broadcast (tiny vs a 100 TB train corpus)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("chunkFixed: overlap, short tail chunk, content hash") {
+    import spark.implicits._
+    // 10 tokens, chunkSize 4, stride 2 -> starts 0,2,4,6,8; last is short
+    val docs = Seq((7L, "a b c d e f g h i j")).toDF("id", "text")
+    val out = Curation.chunkFixed(docs, "id", "text", chunkSize = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(out.map(_.getInt(2)).toSeq == Seq(4, 4, 4, 4, 2)) // tail = "i j"
+    // chunk 1 covers tokens c d e f
+    val expect = spark.sql("SELECT md5('c d e f')").collect()(0).getString(0)
+    assert(out(1).getString(3) == expect)
+  }
+
+  test("chunkFixed: empty-token docs dropped, stride validated") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("id", "text")
+    assert(Curation.chunkFixed(docs, "id", "text", 4, 2).count() == 1)
+    intercept[IllegalArgumentException] {
+      Curation.chunkFixed(docs, "id", "text", 4, 0)
+    }
+  }
+
+  test("packOffsets: two-phase prefix sum equals the naive global cumsum") {
+    import spark.implicits._
+    // ids deliberately sparse/unsorted; partRange 4 forces several parts
+    val docs = Seq(
+      (9L, "a b c"), (2L, "x y z w v"), (14L, "q"), (0L, "m n"),
+      (5L, "p q r s"), (11L, "t u")
+    ).toDF("id", "text")
+    val out = Curation.packOffsets(docs, "id", "text",
+        binTokens = 4L, partRange = 4L)
+      .orderBy("id").collect()
+    // id order: 0(2) 2(5) 5(4) 9(3) 11(2) 14(1); exclusive prefix sums:
+    val expOff = Seq(0L, 2L, 7L, 11L, 14L, 16L)
+    assert(out.map(_.getAs[Long]("offset")).toSeq == expOff)
+    // doc id=2: offset 2, 5 tokens -> occupies [2,6] -> bins 0..1, spans 2
+    val d2 = out(1)
+    assert(d2.getAs[Long]("bin") == 0L && d2.getAs[Long]("bin_end") == 1L
+      && d2.getAs[Long]("spans") == 2L)
+    // single-token doc at offset 16 -> bin 4, spans 1
+    val d14 = out(5)
+    assert(d14.getAs[Long]("bin") == 4L && d14.getAs[Long]("spans") == 1L)
+  }
+
+  test("piiRedact masks email/ip/phone; piiCount counts matches") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail a.b+c@ex-ample.co.uk then 192.168.0.1 then 555-123-4567 end", 1, 1, 1),
+      ("no pii here at all", 0, 0, 0),
+      ("two mails x@y.io and z@w.ai", 2, 0, 0)
+    ).toDF("t", "ne", "ni", "np")
+    val out = df.select(
+      Curation.piiRedact(col("t")).as("red"),
+      Curation.piiCount(col("t"), Curation.EmailRe).as("ce"),
+      Curation.piiCount(col("t"), Curation.Ipv4Re).as("ci"),
+      Curation.piiCount(col("t"), Curation.PhoneRe).as("cp"),
+      col("ne"), col("ni"), col("np")).collect()
+    assert(out(0).getString(0) == "mail <EMAIL> then <IP> then <PHONE> end")
+    assert(out(1).getString(0) == "no pii here at all")
+    out.foreach { r =>
+      assert(r.getInt(1) == r.getInt(4) && r.getInt(2) == r.getInt(5)
+        && r.getInt(3) == r.getInt(6), r.toString)
+    }
+  }
+
+  test("repetitionStats: dup-word and top-gram fractions, flag thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // all dup
+      (2L, "a b c d e f g h i j") // all distinct, longest 2-gram 3/19 chars
+    ).toDF("id", "text")
+    val out = Curation.repetitionStats(docs, "id", "text")
+      .orderBy("id").collect()
+    val d1 = out(0)
+    assert(d1.getAs[Double]("dup_word_frac") == 0.9) // 1 - 1/10
+    // "spam spam" 2-gram appears 9x, 9*9/49 chars > 0.2 -> flagged
+    assert(d1.getAs[Boolean]("flagged"))
+    val d2 = out(1)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(!d2.getAs[Boolean]("flagged"))
+  }
+
+  test("domainFilter: blocklisted hosts dropped via broadcast anti-join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://bad.example.com/a/b"),
+      (2L, "https://good.example.com/c"),
+      (3L, "http://bad.example.com/x?y=1"),
+      (4L, "https://also-good.io/")
+    ).toDF("id", "url")
+    val out = Curation.domainFilter(docs, "url", Seq("bad.example.com"))
+    val kept = out.orderBy("id").collect()
+    assert(kept.map(_.getLong(1)).toSeq == Seq(2L, 4L))
+    assert(kept.map(_.getAs[String]("host")).toSeq ==
+      Seq("good.example.com", "also-good.io"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+}
