@@ -31,7 +31,8 @@ object ScaleStress {
     "dedup_exact_keep", "text_quality",
     "h2o_q10", "h2o_q8", "h2o_join_q5", "agg_cube", "agg_distinct",
     "tpch_q1", "tpch_q18", "win_frame_range", "fn_weighted_percentile",
-    "join_asof", "embed_knn_brute")
+    "join_asof", "embed_knn_brute",
+    "cur_decontaminate", "cur_pack", "cur_repetition")
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)

@@ -53,9 +53,12 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = pathOf(options)
     val f = AvroIO.toLocalFile(p)
+    // listFiles() returns null for an unreadable/vanished dir — treat as
+    // empty here (schema inference), fail with a clear name in discover.
     def hasAvro(d: java.io.File): Boolean =
       (d.isFile && d.getName.endsWith(".avro")) ||
-        (d.isDirectory && d.listFiles().exists(hasAvro))
+        (d.isDirectory &&
+          Option(d.listFiles()).getOrElse(Array.empty).exists(hasAvro))
     if (!f.exists() || !hasAvro(f)) new StructType()
     else AvroTable.schemaOf(p)
   }
@@ -83,7 +86,9 @@ private object AvroTable {
       throw new java.io.FileNotFoundException(s"no such Avro path: $path")
     val acc = Seq.newBuilder[(String, Seq[(String, String)])]
     def walk(dir: java.io.File, parts: Seq[(String, String)]): Unit =
-      dir.listFiles().toSeq.sortBy(_.getName).foreach { f =>
+      Option(dir.listFiles()).getOrElse(
+          throw new java.io.IOException(s"cannot list directory: $dir"))
+        .toSeq.sortBy(_.getName).foreach { f =>
         if (f.isFile && f.getName.endsWith(".avro")) acc += f.getPath -> parts
         else if (f.isDirectory) f.getName.split("=", 2) match {
           case Array(k, v) => walk(f, parts :+ (k -> v))
@@ -332,13 +337,29 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = AvroIO.toLocalFile(path)
     val tmp = new java.io.File(dir, tmpName)
+    // Publish ONLY the files named in task commit messages — a task
+    // attempt that died without abort() leaves a partial .avro in the
+    // temp dir which must never be renamed into place alongside its
+    // retry's output (the FileCommitProtocol contract).
+    val committed = messages.flatMap {
+      case AvroCommitMessage(files) => files
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
     if (truncate)
       Option(dir.listFiles((_, n) => n.endsWith(".avro")))
         .foreach(_.foreach(_.delete()))
-    Option(tmp.listFiles()).foreach(_.foreach { f =>
-      val ok = f.renameTo(new java.io.File(dir, f.getName))
-      require(ok, s"commit rename failed for ${f.getPath}")
-    })
+    committed.foreach { name =>
+      val target = new java.io.File(dir, name)
+      // Final names carry this write's UUID, so a collision means a
+      // genuine bug (double commit) — refuse rather than silently
+      // replace (POSIX rename overwrites).
+      require(!target.exists(), s"refusing to overwrite existing $target")
+      val ok = new java.io.File(tmp, name).renameTo(target)
+      require(ok, s"commit rename failed for $name")
+    }
+    // Anything left in the temp dir is a dead attempt's orphan: drop it.
+    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
     tmp.delete()
     // all-empty input: leave a schema-bearing empty container (same
     // contract as AvroIO.write) so a read-back sees the schema
@@ -359,9 +380,10 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
   }
 }
 
-/** Task-side commit messages must not capture the writer (it is not
-  * serializable); file discovery happens from the temp dir at commit. */
-private case object AvroCommitMessage
+/** Task-side commit message: the file name(s) this attempt wrote (empty
+  * for an empty partition). A top-level class — an anonymous subclass
+  * would capture the non-serializable writer. */
+private final case class AvroCommitMessage(files: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private final class AvroWriterFactory(dir: String, tmpName: String, schemaJson: String)
@@ -382,8 +404,12 @@ private final class AvroDataWriter(dir: String, tmpName: String,
   private val fromInternal =
     ExpressionEncoder(RowEncoder.encoderFor(sparkSchema))
       .resolveAndBind().createDeserializer()
+  // The write UUID (from the temp dir name) is part of the FINAL file
+  // name: taskIds restart at 0 in a new Spark application, so a bare
+  // part-<pid>-<taskId> name could collide with a previous append's file
+  // and rename would silently replace it.
   private val file = new java.io.File(new java.io.File(dir, tmpName),
-    f"part-$partitionId%05d-$taskId.avro")
+    f"part-$partitionId%05d-$taskId-${tmpName.stripPrefix("_tmp_")}.avro")
   private var writer: org.apache.avro.file.DataFileWriter[GenericRecord] = _
   private var count = 0L
 
@@ -400,7 +426,7 @@ private final class AvroDataWriter(dir: String, tmpName: String,
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    AvroCommitMessage // paths are discoverable from the temp dir
+    AvroCommitMessage(if (writer != null) Seq(file.getName) else Nil)
   }
   override def abort(): Unit = {
     if (writer != null) writer.close()

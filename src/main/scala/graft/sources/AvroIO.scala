@@ -100,8 +100,12 @@ object AvroIO {
     toSparkType(s)._1.asInstanceOf[StructType]
   }
 
-  /** Spark → Avro. Nullable fields become `[null, T]` unions. */
-  def toAvroSchema(st: StructType, recordName: String = "spark_row"): Schema = {
+  /** Spark → Avro. Nullable fields become `[null, T]` unions.
+    * `timestampMillis` writes timestamp columns with the millis logical
+    * type (ms precision — for consumers that reject micros); the default
+    * is micros, Spark's native precision. */
+  def toAvroSchema(st: StructType, recordName: String = "spark_row",
+                   timestampMillis: Boolean = false): Schema = {
     def conv(dt: DataType, path: String): Schema = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
@@ -114,7 +118,8 @@ object AvroIO {
         org.apache.avro.LogicalTypes.date()
           .addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType | TimestampNTZType =>
-        org.apache.avro.LogicalTypes.timestampMicros()
+        (if (timestampMillis) org.apache.avro.LogicalTypes.timestampMillis()
+         else org.apache.avro.LogicalTypes.timestampMicros())
           .addToSchema(Schema.create(Schema.Type.LONG))
       case ArrayType(et, en) => Schema.createArray(nullable(conv(et, path + ".elem"), en))
       case MapType(StringType, vt, vn) =>
@@ -179,8 +184,17 @@ object AvroIO {
               elemSchema.getLogicalType.getName == "timestamp-millis")
             v.asInstanceOf[Number].longValue() * 1000L
           else v.asInstanceOf[Number].longValue()
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+        // Row encoders expect LocalDateTime for NTZ (a user-supplied NTZ
+        // schema is invited by supportsExternalMetadata) — a Timestamp
+        // here would ClassCastException deep inside the encoder.
+        if (dt == TimestampNTZType)
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        else
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
       case ArrayType(et, _) =>
         v.asInstanceOf[java.util.Collection[Any]].asScala
           .map(toSparkValue(_, et, elemSchema.getElementType)).toSeq
@@ -228,7 +242,13 @@ object AvroIO {
           case i: java.time.Instant => i
           case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
         }
-        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        // write the unit the TARGET schema declares (micros by default;
+        // millis when toAvroSchema ran with timestampMillis = true)
+        if (target.getLogicalType != null &&
+            target.getLogicalType.getName == "timestamp-millis")
+          Math.floorDiv(micros, 1000L)
+        else micros
       case ArrayType(et, _) =>
         v.asInstanceOf[scala.collection.Seq[Any]]
           .map(toAvroValue(_, et, target.getElementType)).asJava
@@ -276,7 +296,9 @@ object AvroIO {
     val f = toLocalFile(path)
     val files =
       if (f.isDirectory)
-        f.listFiles((_, n) => n.endsWith(".avro")).toSeq.map(_.getPath).sorted
+        Option(f.listFiles((_, n) => n.endsWith(".avro")))
+          .getOrElse(throw new java.io.IOException(s"cannot list directory: $f"))
+          .toSeq.map(_.getPath).sorted
       else if (f.isFile) Seq(f.getPath)
       else throw new java.io.FileNotFoundException(s"no such Avro path: $path")
     require(files.nonEmpty, s"no .avro files under $path")

@@ -19,6 +19,14 @@ import org.scalatest.funsuite.AnyFunSuite
  * produces 10–80× swings on an unchanged binary; a gate that cannot tell
  * load from regression would train everyone to ignore it.
  *
+ * loadavg alone is a lagging 1-minute average and has missed contention
+ * twice (r5: a run started right after a heavy verify read 1.86 while
+ * `distinct_rows` ran 18× its clean time). So the gate is additionally
+ * CANARY-NORMALIZED: the budget file carries `canary_sec` thresholds for
+ * trivial fixed-shape queries (distinct_rows/tpch_q6/h2o_q1); if any
+ * canary's best iteration exceeds its threshold, the machine — not the
+ * engine — is slow, and the gate skips regardless of loadavg.
+ *
  * Queries present in the detail but not yet in the budget (newly added)
  * pass with an info note — they get budgets when the budget file is next
  * re-derived from a clean run.
@@ -49,6 +57,21 @@ class BenchBudgetSpec extends AnyFunSuite {
     val budgets = budget.get("budget_sec")
     val times = detail.get("times")
     assert(budgets != null && times != null, "malformed budget/detail JSON")
+
+    // Canary check: a trivial query running far over its clean time means
+    // the detail run was contended even if loadavg looked fine.
+    Option(budget.get("canary_sec")).foreach { canaries =>
+      val slow = canaries.properties().asScala.flatMap { c =>
+        Option(times.get(c.getKey)).flatMap { t =>
+          val best = t.elements().asScala.map(_.asDouble).min
+          if (best > c.getValue.asDouble)
+            Some(f"${c.getKey}: $best%.2fs > canary ${c.getValue.asDouble}%.2fs")
+          else None
+        }
+      }.toSeq
+      assume(slow.isEmpty,
+        s"detail run contended (canary queries slow) — not gateable:\n  ${slow.mkString("\n  ")}")
+    }
 
     val unbudgeted = scala.collection.mutable.ListBuffer.empty[String]
     val over = times.properties().asScala.flatMap { e =>

@@ -15,6 +15,12 @@ import sys
 MAX_LOADAVG = 2.0
 HEADROOM = 3.0
 FLOOR_S = 1.0
+# Trivial fixed-shape queries whose clean time is sub-second and stable;
+# if one of these runs slow, the MACHINE is slow (contention), not the
+# engine -- the gate skips itself. loadavg alone missed this twice (r2/r3
+# parse bug, r5 guard miss: a 1-min average lags a burst that starts with
+# the run).
+CANARIES = ["distinct_rows", "tpch_q6", "h2o_q1"]
 
 detail_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
 budget_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BUDGET.json"
@@ -30,6 +36,12 @@ budgets = {
     name: round(max(HEADROOM * min(times), FLOOR_S), 3)
     for name, times in sorted(d["times"].items())
 }
+canaries = {
+    name: round(max(HEADROOM * min(d["times"][name]), FLOOR_S), 3)
+    for name in CANARIES if name in d["times"]
+}
+if not canaries:
+    sys.exit(f"refusing: none of the canary queries {CANARIES} in detail")
 out = {
     "derived_from": {
         "sf": d.get("sf"),
@@ -39,6 +51,7 @@ out = {
     "headroom": HEADROOM,
     "floor_sec": FLOOR_S,
     "max_loadavg_for_gate": MAX_LOADAVG,
+    "canary_sec": canaries,
     "budget_sec": budgets,
 }
 json.dump(out, open(budget_path, "w"), indent=1)
