@@ -343,10 +343,11 @@ object AvroIO {
   }
 
   /** Write a DataFrame as Avro container files, one per partition, under
-    * `path/part-NNNNN.avro` (snappy codec). Overwrites the directory. */
-  def write(df: DataFrame, path: String): Unit = {
+    * `path/part-NNNNN.avro` (snappy codec). Overwrites the directory.
+    * `timestampMillis` selects the millis logical type for timestamps. */
+  def write(df: DataFrame, path: String, timestampMillis: Boolean = false): Unit = {
     val st = df.schema
-    val avroSchema = toAvroSchema(st)
+    val avroSchema = toAvroSchema(st, timestampMillis = timestampMillis)
     val schemaJson = avroSchema.toString
     val dir = new File(path)
     if (dir.exists()) {

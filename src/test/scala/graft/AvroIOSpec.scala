@@ -339,4 +339,75 @@ class AvroIOSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException](g.readIceberg("/tmp/nope"))
     assert(e.getMessage.contains("iceberg-spark-runtime"))
   }
+
+  test("readAvro (programmatic path) splits one large container via V2") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"big2","fields":[
+        |  {"name":"id","type":"long"},{"name":"payload","type":"string"}]}""".stripMargin)
+    val out = new java.io.File(s"$dir/bigfile2"); out.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.setSyncInterval(1024)
+    w.create(schema, new java.io.File(out, "big.avro"))
+    val n = 20000
+    (0 until n).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong); r.put("payload", s"row-$i-" + "y" * 50)
+      w.append(r)
+    }
+    w.close()
+    val g = GraftSession.wrap(spark)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (64 * 1024).toString)
+      val df = g.readAvro(out.getPath)
+      // the session facade gets the sync-aligned splitter, not per-file grain
+      assert(df.rdd.getNumPartitions > 4,
+        s"expected multiple splits via readAvro, got ${df.rdd.getNumPartitions}")
+      assert(df.count() === n.toLong)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("timestamp-millis WRITE variant round-trips at ms precision") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    // micros deliberately non-zero below the ms: the millis writer must
+    // floor-truncate them (that's the declared precision loss)
+    val t = Timestamp.valueOf("2024-03-01 10:20:30.123456")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, t), Row(2L, null)), 1), st)
+    val out = s"$dir/millis_write"
+    AvroIO.write(df, out, timestampMillis = true)
+    // the container really declares timestamp-millis
+    val f = new java.io.File(out).listFiles((_, n) => n.endsWith(".avro")).head
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val tsField = try r.getSchema.getField("ts").schema() finally r.close()
+    import scala.jdk.CollectionConverters._
+    val nonNull = tsField.getTypes.asScala
+      .find(_.getType != org.apache.avro.Schema.Type.NULL).get
+    assert(nonNull.getLogicalType.getName === "timestamp-millis")
+    // read back: value floored to the millisecond
+    val back = AvroIO.read(spark, out).orderBy("id").collect()
+    assert(back(0).getTimestamp(1) === Timestamp.valueOf("2024-03-01 10:20:30.123"))
+    assert(back(1).isNullAt(1))
+  }
+
+  test("V2 append across writes: uuid-suffixed part names, no overwrite") {
+    GraftSession.wrap(spark)
+    val region = spark.read.parquet(s"${TestSpark.sfDir}/region.parquet")
+    val out = s"$dir/appendsafe"
+    region.coalesce(1).write.format("avro").mode("overwrite").save(out)
+    region.coalesce(1).write.format("avro").mode("append").save(out)
+    val files = new java.io.File(out).listFiles((_, n) => n.endsWith(".avro")).map(_.getName)
+    assert(files.length === 2, files.mkString(", "))
+    // same partitionId (0) in both writes: only the per-write uuid keeps
+    // the names distinct, which is what prevents rename-over-existing
+    assert(files.forall(_.matches("part-\\d{5}-\\d+-[0-9a-f]{8}\\.avro")), files.mkString(", "))
+    assert(files.toSet.size === 2)
+    assert(spark.read.format("avro").load(out).count() === 2 * region.count())
+  }
 }
