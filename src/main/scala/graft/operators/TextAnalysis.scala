@@ -68,6 +68,51 @@ object TextAnalysis {
       .select(col("e._1").as("tok"), col("e._2").as("cnt"))
   }
 
+  /**
+   * CCNet-style unigram language-model quality score: per-document mean
+   * token log-probability under an add-one-smoothed unigram model fit on
+   * the corpus itself (low = rare/garbled tokens; the standard cheap
+   * perplexity proxy for corpus filtering). Returns
+   * (id, n_toks, lp_sum_micro, avg_logprob) — the exact integer micro-nat
+   * sum alongside the human-readable double mean.
+   *
+   * Scale shape (the 100 TB path): the model is a top-`vocabSize`
+   * VOCABULARY aggregate — map-side partial counts, one shuffle bounded
+   * by vocabulary (not corpus) cardinality, top-k via TakeOrdered — and
+   * the resulting ≤vocabSize-row model table is BROADCAST, so scoring is
+   * a map-side hash join plus one per-doc aggregate. Nothing larger than
+   * (id, token) ever shuffles.
+   *
+   * Cross-engine determinism: per-token log-probs are quantized to
+   * integer MICRO-NATS and summed as BIGINT — exact and order-independent
+   * regardless of partitioning; only one final division is floating
+   * point. (`ln` is the single libm call; its inputs are exact integer
+   * ratios, identical in both engines.)
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+    // corpus totals: N counts ALL tokens (OOV included), V = model rows
+    val totals = counts.agg(sum("cnt").cast("long").as("n_total"))
+      .crossJoin(vocab.agg(count(lit(1)).cast("long").as("v_size")))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_total") + col("v_size") + lit(1L)).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum("lp_micro").as("lp_sum_micro"))
+      .select(col("id"), col("n_toks"), col("lp_sum_micro"),
+        (col("lp_sum_micro").cast("double") / col("n_toks") / lit(1e6))
+          .as("avg_logprob"))
+  }
+
   /** Per-language corpus stats table. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
                   charsCol: String): DataFrame =

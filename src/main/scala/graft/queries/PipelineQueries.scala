@@ -468,10 +468,48 @@ object PipelineQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** CCNet-style unigram-LM quality score. vocabSize 20 < the corpus's 31
+    * distinct tokens, so the OOV/add-one-smoothing path is exercised. The
+    * oracle compares exact integer micro-nats (per-token log-probs
+    * quantized then summed as BIGINT — order-independent) plus a
+    * floor-divided integer mean; the rounded DOUBLE mean is tie-prone
+    * cross-engine (sum ≡ n/2 mod n happens at ~1/n per doc), so it stays
+    * out of the hashed columns. */
+  val textUnigramLp = dfQ("text_unigram_lp",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents
+      |),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+      |tot AS (SELECT CAST((SELECT SUM(cnt) FROM counts) AS BIGINT) AS n_total,
+      |               CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS v_size),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(LN(CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE)
+      |        / CAST(tot.n_total + tot.v_size + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id AS doc_id, n_toks, lp_sum_micro,
+      |  CAST((lp_sum_micro - (((lp_sum_micro % n_toks) + n_toks) % n_toks)) / n_toks AS BIGINT) AS avg_lp_micro
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, _) =>
+    TextAnalysis.unigramLogProb(s.table("documents"), "doc_id", "text", 20)
+      .select(col("id").as("doc_id"),
+        col("n_toks"), col("lp_sum_micro"),
+        ((col("lp_sum_micro") - pmod(col("lp_sum_micro"), col("n_toks"))) /
+          col("n_toks")).cast("bigint").as("avg_lp_micro"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf,
-    textStats, textQuality, textLangId, textFingerprint,
+    textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     mmBinaryMeta, mmFeatures, mmFrames, aggTopkSketch)
 }

@@ -95,6 +95,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(0) != r.getLong(1))
   }
 
+  test("unigramLogProb matches hand-computed add-one-smoothed scores") {
+    // corpus: a×3, b×1, c×1 → N=5; vocabSize=2 keeps {a, b} (tie on cnt
+    // broken by token), so c is OOV; denominator = N + V + 1 = 8.
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").collect()
+    val lpA = math.round(math.log(4.0 / 8.0) * 1e6) // -693147
+    val lpB = math.round(math.log(2.0 / 8.0) * 1e6) // -1386294
+    val lpC = math.round(math.log(1.0 / 8.0) * 1e6) // -2079442 (OOV, +1 smoothing)
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 2 * lpA + lpB)
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == lpA + lpC)
+    assert(math.abs(r(0).getDouble(3) - (2 * lpA + lpB) / 3.0 / 1e6) < 1e-9)
+  }
+
   test("ivfTopK returns k in-cell neighbors with sane cosines") {
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val r = Similarity.ivfTopK(emb, "vec_id", "embedding", col("id") < 3,
