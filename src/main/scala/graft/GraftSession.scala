@@ -54,22 +54,32 @@ final class GraftSession private (val spark: SparkSession) {
 
   /** Iceberg table scan — the reference fork's feature delta
     * (reference: Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92,
-    * distributed_query.rs:44,100). Spark's Iceberg support lives in the
-    * `iceberg-spark-runtime` jar, which is not present in this
-    * environment (zero egress, not in any local cache) — fail fast with
-    * the exact dependency needed rather than a generic lookup error. */
-  def readIceberg(path: String): DataFrame = {
-    val probe = "org.apache.iceberg.spark.source.IcebergSource"
-    val available =
-      try { Class.forName(probe); true } catch { case _: ClassNotFoundException => false }
-    if (!available)
-      throw new UnsupportedOperationException(
-        "Iceberg scan requires the org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 " +
-          "jar on the classpath (add via --jars or libraryDependencies); " +
-          "it is not present in this environment. " +
-          "Reference feature: datafusion-ballista fork Cargo.toml:43-45.")
-    spark.read.format("iceberg").load(path)
-  }
+    * distributed_query.rs:44,100), served by the NATIVE read-only snapshot
+    * scan [[graft.sources.IcebergIO]] (public table spec + the in-repo
+    * Avro reader — no runtime jar needed): metadata.json -> Avro manifest
+    * list/manifests -> parquet files scanned by Spark's parquet source,
+    * with v2 position deletes applied as a distributed anti-join.
+    *
+    * @param snapshotId      time travel: read this exact snapshot
+    * @param asOfTimestampMs time travel: latest snapshot at/before this time
+    */
+  def readIceberg(path: String, snapshotId: Option[Long] = None,
+                  asOfTimestampMs: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs)
+
+  /** Iceberg WRITE stays out of scope without the official runtime jar:
+    * a spec-complete writer (commit protocol, optimistic metadata swap,
+    * stats, partition transforms) is the `iceberg-spark-runtime` jar's
+    * job, and that jar is absent on this zero-egress host (probed). Read
+    * parity IS full parity with the reference, which only scans Iceberg
+    * through its extension codec (ballista/core/src/serde/mod.rs:92) and
+    * never writes it. Fail fast naming the exact dependency. */
+  def writeIceberg(df: DataFrame, path: String): Unit =
+    throw new UnsupportedOperationException(
+      "Iceberg write requires the org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 " +
+        "jar (absent in this environment); native support here is read-only " +
+        "(graft.sources.IcebergIO). The reference only READS Iceberg tables " +
+        "(datafusion-ballista fork, ballista/core/src/serde/mod.rs:92).")
 
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import Registry._
+import graft.sources.{IcebergFixture, IcebergIO}
+
+/**
+ * Iceberg scan parity (the reference fork's feature delta — reference:
+ * Cargo.toml:43-45 `iceberg-rust`/`datafusion_iceberg`,
+ * ballista/core/src/serde/mod.rs:38,92, distributed_query.rs:44,100),
+ * served by the NATIVE read-only snapshot scan [[graft.sources.IcebergIO]]
+ * — no runtime jar, just the public table spec + the in-repo Avro reader.
+ *
+ * Oracle pattern is the same parquet-twin used by `avro_read` (DuckDB's
+ * iceberg extension cannot install offline): each query builds a
+ * spec-conformant fixture table from `nation` with [[IcebergFixture]],
+ * scans it through IcebergIO, and the oracle recomputes the expected rows
+ * from the parquet source directly.
+ */
+object IcebergQueries {
+
+  private val tag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** nation in deterministic row order: single file, sorted by key, so a
+    * row's position in the parquet file EQUALS its n_nationkey (keys are
+    * the contiguous range 0..24) — what lets the position-delete oracle be
+    * expressed as a key predicate. */
+  private def nationSorted(s: SparkSession) =
+    s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .repartition(1).sortWithinPartitions("n_nationkey")
+
+  /** Two-snapshot append-only fixture (snap 1: keys < 10; snap 2: rest),
+    * built at most once per JVM per scale dir. */
+  private val basicDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def basicFixture(s: SparkSession, sfDir: String): String =
+    basicDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft_iceberg_basic_${tag}_${basicDirs.size()}"
+      IcebergFixture.deleteRecursively(dir)
+      val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
+      w.append(nationSorted(s).filter("n_nationkey < 10"))
+      w.append(nationSorted(s).filter("n_nationkey >= 10"))
+      dir
+    })
+
+  /** Current-snapshot scan = the full table. */
+  val icebergRead = dfQ("iceberg_read",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.read(s, basicFixture(s, sfDir)).orderBy("n_nationkey")
+  }
+
+  /** Time travel to snapshot 1 (before the second append). */
+  val icebergTimeTravel = dfQ("iceberg_time_travel",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey < 10 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.read(s, basicFixture(s, sfDir), snapshotId = Some(1L))
+      .orderBy("n_nationkey")
+  }
+
+  /** v2 position deletes (merge-on-read): one sorted data file, then a
+    * delete snapshot removing the odd positions == odd keys; applied as a
+    * distributed `_metadata.(file_path,row_index)` anti-join. */
+  val icebergPosDelete = dfQ("iceberg_pos_delete",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey % 2 = 0 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    val dir = s"/tmp/graft_iceberg_posdel_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
+    w.append(nationSorted(s))
+    val oddPositions = (1L until 25L by 2).toSeq
+    w.deletePositions(w.dataFilePaths.head, oddPositions)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete)
+}

@@ -82,7 +82,7 @@ object Registry {
     val groups =
       TpchQueries.all ++ OperatorQueries.all ++ FunctionQueries.all ++
         PipelineQueries.all ++ DdlQueries.all ++ H2oQueries.all ++
-        AdvancedQueries.all ++ CurationQueries.all
+        AdvancedQueries.all ++ CurationQueries.all ++ IcebergQueries.all
     val dupes = groups.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
     groups

@@ -1,0 +1,348 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Writes spec-conformant Apache Iceberg tables (format v1 and v2, Hadoop
+ * `version-hint.text` layout) for testing [[IcebergIO]] — the public
+ * Iceberg table spec (https://iceberg.apache.org/spec/) implemented
+ * directly: `metadata/vN.metadata.json`, Avro manifest lists + manifests
+ * (with the spec's field-ids carried as Avro `field-id` props and the
+ * required container metadata keys), parquet data and position-delete
+ * files.
+ *
+ * This is a FIXTURE writer (unpartitioned, flat schemas, driver-side
+ * commit) — real write support would need the official runtime jar; see
+ * `GraftSession.writeIceberg`. Snapshot ids/timestamps are deterministic
+ * so oracle results never depend on wall-clock.
+ */
+object IcebergFixture {
+
+  private val mapper = new ObjectMapper()
+
+  /** Spark type -> Iceberg primitive type string (flat fixture schemas). */
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType      => "boolean"
+    case IntegerType      => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case DateType         => "date"
+    case TimestampType    => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case StringType       => "string"
+    case BinaryType       => "binary"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"fixture writer supports flat primitive schemas only, got $other")
+  }
+
+  private def schemaJson(st: StructType, schemaId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct")
+    n.put("schema-id", schemaId)
+    val fields = n.putArray("fields")
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", icebergType(f.dataType))
+    }
+    n
+  }
+
+  // --------------------------------------------------- Avro manifest schemas
+
+  /** Manifest-list entry (`manifest_file`, spec field-ids 500-517).
+    * v1 omits the v2-only content/sequence-number fields. */
+  private def manifestListSchema(v: Int): Schema = {
+    val v2Only =
+      """{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},""".stripMargin
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_file","fields":[
+         |{"name":"manifest_path","type":"string","field-id":500},
+         |{"name":"manifest_length","type":"long","field-id":501},
+         |{"name":"partition_spec_id","type":"int","field-id":502},
+         |${if (v >= 2) v2Only else ""}
+         |{"name":"added_snapshot_id","type":"long","field-id":503},
+         |{"name":"added_files_count","type":"int","field-id":504},
+         |{"name":"existing_files_count","type":"int","field-id":505},
+         |{"name":"deleted_files_count","type":"int","field-id":506},
+         |{"name":"added_rows_count","type":"long","field-id":512},
+         |{"name":"existing_rows_count","type":"long","field-id":513},
+         |{"name":"deleted_rows_count","type":"long","field-id":514}
+         |]}""".stripMargin)
+  }
+
+  /** Manifest entry (`manifest_entry` wrapping `data_file`, spec
+    * field-ids 0-4 / 100-143). Unpartitioned: `partition` is the empty
+    * record r102. */
+  private def manifestEntrySchema(v: Int): Schema = {
+    val dataFileFields: Seq[String] = Seq(
+      if (v >= 2) Some("""{"name":"content","type":"int","field-id":134}""") else None,
+      Some("""{"name":"file_path","type":"string","field-id":100}"""),
+      Some("""{"name":"file_format","type":"string","field-id":101}"""),
+      Some("""{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}}"""),
+      Some("""{"name":"record_count","type":"long","field-id":103}"""),
+      Some("""{"name":"file_size_in_bytes","type":"long","field-id":104}"""),
+      if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
+      if (v >= 2) Some(
+        """{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}""")
+      else None).flatten
+    val entryFields: Seq[String] = Seq(
+      Some("""{"name":"status","type":"int","field-id":0}"""),
+      Some("""{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1}"""),
+      if (v >= 2) Some("""{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3}""") else None,
+      if (v >= 2) Some("""{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4}""") else None,
+      Some(s"""{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[${dataFileFields.mkString(",")}]}}""")).flatten
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[${entryFields.mkString(",")}]}""")
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  /** One content file tracked by the writer. */
+  private final case class FileMeta(path: String, content: Int,
+                                    records: Long, bytes: Long)
+
+  /** Incremental fixture-table writer. Each append/delete call commits one
+    * snapshot: writes the files + a new manifest, rewrites the manifest
+    * list, bumps `vN.metadata.json` and `version-hint.text`. */
+  final class Writer(val spark: SparkSession, val dir: String,
+                     val schema: StructType, val formatVersion: Int = 2,
+                     val inlineManifests: Boolean = false) {
+    require(formatVersion == 1 || formatVersion == 2,
+      s"format-version must be 1 or 2, got $formatVersion")
+    require(!(inlineManifests && formatVersion != 1),
+      "inline snapshot manifests are a v1-only form")
+
+    private val metaDir = new File(dir, "metadata")
+    private val dataDir = new File(dir, "data")
+    metaDir.mkdirs(); dataDir.mkdirs()
+
+    private val tableUuid = java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+    // deterministic commit clock: fixed epoch base + 1s per snapshot
+    private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    private var seq = 0L
+    private var version = 0
+    // (manifestPath, manifestLength, content, addedSnapshotId, seq, rows)
+    private var manifests = Vector.empty[(String, Long, Int, Long, Long, Long)]
+    private var snapshotNodes = Vector.empty[ObjectNode]
+
+    /** Paths of the data files written so far, in append order (used by
+      * tests to target position deletes). */
+    def dataFilePaths: Seq[String] =
+      allFiles.filter(_.content == 0).map(_.path)
+    private var allFiles = Vector.empty[FileMeta]
+
+    def currentSnapshotId: Long = seq
+
+    /** Append `df` as one parquet data file; commits snapshot (seq+1). */
+    def append(df: DataFrame): Long = {
+      require(df.schema.fieldNames.sameElements(schema.fieldNames),
+        s"append schema ${df.schema.fieldNames.mkString(",")} != table " +
+          s"schema ${schema.fieldNames.mkString(",")}")
+      val next = seq + 1
+      val target = new File(dataDir, f"data-$next%05d.parquet")
+      val (rows, bytes) = writeParquetFile(df, target)
+      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes)
+      allFiles :+= fm
+      commit(Seq(fm), next, "append")
+      next
+    }
+
+    /** Position-delete `positions` of `dataFilePath`; commits a snapshot
+      * with a delete manifest (v2 only). */
+    def deletePositions(dataFilePath: String, positions: Seq[Long]): Long = {
+      require(formatVersion >= 2, "position deletes require format v2")
+      val next = seq + 1
+      import spark.implicits._
+      val delDf = positions.sorted.map(p => (dataFilePath, p))
+        .toDF("file_path", "pos")
+      val target = new File(dataDir, f"delete-$next%05d.parquet")
+      val (rows, bytes) = writeParquetFile(delDf, target)
+      val fm = FileMeta(target.getAbsolutePath, 1, rows, bytes)
+      allFiles :+= fm
+      commit(Seq(fm), next, "delete")
+      next
+    }
+
+    /** Equality-delete on `values` (v2); exists so tests can verify the
+      * reader's fail-fast on equality deletes. */
+    def deleteEquality(values: DataFrame, fieldIds: Seq[Int]): Long = {
+      require(formatVersion >= 2, "equality deletes require format v2")
+      val next = seq + 1
+      val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
+      val (rows, bytes) = writeParquetFile(values, target)
+      val fm = FileMeta(target.getAbsolutePath, 2, rows, bytes)
+      allFiles :+= fm
+      commit(Seq(fm), next, "delete")
+      next
+    }
+
+    private def writeParquetFile(df: DataFrame, target: File): (Long, Long) = {
+      val tmp = new File(dir, s"_tmp_${target.getName}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = Option(tmp.listFiles((_, n) => n.endsWith(".parquet")))
+        .getOrElse(Array.empty[File]).headOption
+        .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+      Files.move(part.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
+      Option(tmp.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      Files.deleteIfExists(tmp.toPath)
+      (df.count(), target.length())
+    }
+
+    private def writeManifest(files: Seq[FileMeta], snapshotId: Long): (String, Long) = {
+      val es = manifestEntrySchema(formatVersion)
+      val dfSchema = es.getField("data_file").schema()
+      val partSchema = dfSchema.getField("partition").schema()
+      val out = new File(metaDir, f"manifest-$snapshotId%05d.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](es))
+      // spec-required manifest container metadata
+      w.setMeta("schema", schemaJson(schema, 0).toString)
+      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec-id", "0")
+      w.setMeta("format-version", formatVersion.toString)
+      if (formatVersion >= 2)
+        w.setMeta("content", if (files.exists(_.content > 0)) "deletes" else "data")
+      w.create(es, out)
+      try files.foreach { fm =>
+        val e = new GenericData.Record(es)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        if (formatVersion >= 2) {
+          e.put("sequence_number", snapshotId)
+          e.put("file_sequence_number", snapshotId)
+        }
+        val d = new GenericData.Record(dfSchema)
+        if (formatVersion >= 2) d.put("content", fm.content)
+        d.put("file_path", fm.path)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(partSchema))
+        d.put("record_count", fm.records)
+        d.put("file_size_in_bytes", fm.bytes)
+        if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
+        e.put("data_file", d)
+        w.append(e)
+      } finally w.close()
+      (out.getAbsolutePath, out.length())
+    }
+
+    private def writeManifestList(snapshotId: Long): String = {
+      val ls = manifestListSchema(formatVersion)
+      val out = new File(metaDir, f"snap-$snapshotId%05d-manifest-list.avro")
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](ls))
+      w.setMeta("format-version", formatVersion.toString)
+      w.create(ls, out)
+      try manifests.foreach { case (p, len, content, addedSnap, mSeq, rows) =>
+        val r = new GenericData.Record(ls)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        if (formatVersion >= 2) {
+          r.put("content", content)
+          r.put("sequence_number", mSeq)
+          r.put("min_sequence_number", mSeq)
+        }
+        r.put("added_snapshot_id", addedSnap)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
+      } finally w.close()
+      out.getAbsolutePath
+    }
+
+    private def commit(newFiles: Seq[FileMeta], snapshotId: Long,
+                       operation: String): Unit = {
+      val (mPath, mLen) = writeManifest(newFiles, snapshotId)
+      val content = if (newFiles.exists(_.content > 0)) 1 else 0
+      manifests :+= ((mPath, mLen, content, snapshotId, snapshotId,
+        newFiles.map(_.records).sum))
+
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("timestamp-ms", t0 + snapshotId * 1000L)
+      if (formatVersion >= 2) sn.put("sequence-number", snapshotId)
+      sn.put("schema-id", 0)
+      val summary = sn.putObject("summary")
+      summary.put("operation", operation)
+      if (inlineManifests) {
+        val arr = sn.putArray("manifests")
+        manifests.foreach { case (p, _, _, _, _, _) => arr.add(p) }
+      } else {
+        sn.put("manifest-list", writeManifestList(snapshotId))
+      }
+      snapshotNodes :+= sn
+      seq = snapshotId
+      writeMetadataJson()
+    }
+
+    private def writeMetadataJson(): Unit = {
+      version += 1
+      val root = mapper.createObjectNode()
+      root.put("format-version", formatVersion)
+      root.put("table-uuid", tableUuid.toString)
+      root.put("location", new File(dir).getAbsolutePath)
+      if (formatVersion >= 2) root.put("last-sequence-number", seq)
+      root.put("last-updated-ms", t0 + seq * 1000L)
+      root.put("last-column-id", schema.fields.length)
+      if (formatVersion >= 2) {
+        root.put("current-schema-id", 0)
+        root.putArray("schemas").add(schemaJson(schema, 0))
+      } else {
+        root.set[ObjectNode]("schema", schemaJson(schema, 0))
+      }
+      root.put("default-spec-id", 0)
+      val specs: ArrayNode = root.putArray("partition-specs")
+      val spec0 = specs.addObject()
+      spec0.put("spec-id", 0)
+      spec0.putArray("fields")
+      root.put("last-partition-id", 999)
+      root.put("default-sort-order-id", 0)
+      val orders = root.putArray("sort-orders")
+      val order0 = orders.addObject()
+      order0.put("order-id", 0)
+      order0.putArray("fields")
+      root.putObject("properties")
+      root.put("current-snapshot-id", seq)
+      val snaps = root.putArray("snapshots")
+      snapshotNodes.foreach(snaps.add)
+      root.putArray("snapshot-log")
+      root.putArray("metadata-log")
+
+      val mdFile = new File(metaDir, s"v$version.metadata.json")
+      Files.write(mdFile.toPath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      Files.write(new File(metaDir, "version-hint.text").toPath,
+        version.toString.getBytes("UTF-8")): Unit
+    }
+  }
+
+  /** Delete a fixture table directory recursively (test cleanup). */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new File(path))
+  }
+}

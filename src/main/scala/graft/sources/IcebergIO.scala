@@ -1,0 +1,334 @@
+package graft.sources
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Native read-only Apache Iceberg snapshot scan — the reference fork's one
+ * feature delta (reference: Cargo.toml:43-45 `iceberg-rust`/
+ * `datafusion_iceberg`, ballista/core/src/serde/mod.rs:38,92 wiring
+ * `IcebergExtensionCodec`, distributed_query.rs:44,100).
+ *
+ * No Iceberg runtime jar exists in this environment, but none is needed
+ * for READ: the table format is a public spec
+ * (https://iceberg.apache.org/spec/) —
+ *
+ *   `<table>/metadata/vN.metadata.json`  (JSON: schema, snapshots)
+ *     -> snapshot's manifest LIST        (Avro object container file)
+ *     -> manifest files                  (Avro object container files)
+ *     -> live parquet data files         (scanned by Spark's parquet source)
+ *
+ * so the scan is: parse the JSON with Jackson (already on Spark's
+ * classpath), stream the manifest list + manifests through the same Avro
+ * core library [[AvroIO]] is built on, collect the live data-file paths,
+ * and hand them to `spark.read.parquet` — every downstream optimization
+ * (column pruning, predicate pushdown, vectorized read) is Spark-native.
+ *
+ * Supported: format v1 and v2, snapshot selection by id, time travel by
+ * timestamp, v2 POSITION deletes (merge-on-read, applied as a distributed
+ * left-anti join on Spark's `_metadata.file_path`/`_metadata.row_index`
+ * file-source metadata columns — no driver-side row work). Equality
+ * deletes and non-parquet data files fail fast with a clear message.
+ *
+ * Scale notes (100 TB table, ~1e5 data files): metadata-plan grain is the
+ * same as Spark's own `InMemoryFileIndex` — file-level entries on the
+ * driver. Manifests are streamed (constant memory per manifest, never
+ * whole-file buffered); only (path, content, status) tuples are retained.
+ * The delete-side join is row-count-bounded by the delete files, which AQE
+ * broadcast-promotes when small — the common case.
+ */
+object IcebergIO {
+
+  private val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- metadata
+
+  final case class SnapshotInfo(
+      snapshotId: Long,
+      timestampMs: Long,
+      sequenceNumber: Long,
+      manifestList: Option[String], // v2 (and v1 with manifest-list)
+      manifests: Seq[String])       // v1 inline form
+
+  final case class TableMetadata(
+      formatVersion: Int,
+      location: String,
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[SnapshotInfo],
+      schema: StructType,
+      metadataFile: String)
+
+  /** Resolve the current metadata JSON file for a table directory:
+    * `metadata/version-hint.text` (Hadoop-catalog convention) names the
+    * version if present; otherwise the highest `vN.metadata.json` wins.
+    * A direct path to a `*.metadata.json` file is also accepted. */
+  def resolveMetadataFile(tablePath: String): File = {
+    val root = AvroIO.toLocalFile(tablePath)
+    if (root.isFile && root.getName.endsWith(".metadata.json")) return root
+    val mdDir = new File(root, "metadata")
+    require(mdDir.isDirectory,
+      s"not an Iceberg table (no metadata/ directory): $tablePath")
+    val hint = new File(mdDir, "version-hint.text")
+    if (hint.isFile) {
+      val v = new String(
+        java.nio.file.Files.readAllBytes(hint.toPath), "UTF-8").trim
+      val f = new File(mdDir, s"v$v.metadata.json")
+      require(f.isFile, s"version-hint.text names v$v but $f does not exist")
+      f
+    } else {
+      val candidates = Option(mdDir.listFiles((_, n) => n.endsWith(".metadata.json")))
+        .getOrElse(Array.empty[File])
+      require(candidates.nonEmpty, s"no *.metadata.json under $mdDir")
+      val vNum = "^v(\\d+)\\.metadata\\.json$".r
+      candidates.maxBy { f =>
+        f.getName match { case vNum(n) => n.toLong; case _ => -1L }
+      }
+    }
+  }
+
+  /** Iceberg schema JSON -> Spark StructType (primitives + struct/list/map;
+    * spec: https://iceberg.apache.org/spec/#schemas-and-data-types). */
+  private[graft] def toSparkType(t: JsonNode): (DataType, Boolean) = {
+    if (t.isTextual) {
+      val s = t.asText()
+      val dt = s match {
+        case "boolean"     => BooleanType
+        case "int"         => IntegerType
+        case "long"        => LongType
+        case "float"       => FloatType
+        case "double"      => DoubleType
+        case "date"        => DateType
+        case "timestamp"   => TimestampNTZType
+        case "timestamptz" => TimestampType
+        case "string" | "uuid" => StringType
+        case "binary"      => BinaryType
+        case dec if dec.startsWith("decimal(") =>
+          val Array(p, sc) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+          DecimalType(p, sc)
+        case fx if fx.startsWith("fixed") => BinaryType
+        case other =>
+          throw new IllegalArgumentException(s"unsupported Iceberg type: $other")
+      }
+      (dt, false)
+    } else t.get("type").asText() match {
+      case "struct" =>
+        val fields = t.get("fields").elements().asScala.map { f =>
+          val (dt, _) = toSparkType(f.get("type"))
+          StructField(f.get("name").asText(), dt, nullable = !f.get("required").asBoolean())
+        }.toArray
+        (StructType(fields), false)
+      case "list" =>
+        val (et, _) = toSparkType(t.get("element"))
+        (ArrayType(et, containsNull = !t.get("element-required").asBoolean()), false)
+      case "map" =>
+        val (kt, _) = toSparkType(t.get("key"))
+        require(kt == StringType, s"only string map keys supported, got $kt")
+        val (vt, _) = toSparkType(t.get("value"))
+        (MapType(StringType, vt, valueContainsNull = !t.get("value-required").asBoolean()), false)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported Iceberg nested type: $other")
+    }
+  }
+
+  private def schemaOf(root: JsonNode): StructType = {
+    // v2: "schemas" array selected by "current-schema-id"; v1: "schema".
+    val schemaNode =
+      if (root.has("schemas")) {
+        val id = root.get("current-schema-id").asLong()
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asLong() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $id not found in schemas"))
+      } else root.get("schema")
+    toSparkType(schemaNode)._1.asInstanceOf[StructType]
+  }
+
+  def loadMetadata(tablePath: String): TableMetadata = {
+    val mdFile = resolveMetadataFile(tablePath)
+    val root = mapper.readTree(mdFile)
+    val fv = root.get("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version: $fv")
+    val snaps =
+      if (root.has("snapshots"))
+        root.get("snapshots").elements().asScala.map { s =>
+          SnapshotInfo(
+            snapshotId = s.get("snapshot-id").asLong(),
+            timestampMs = s.get("timestamp-ms").asLong(),
+            sequenceNumber =
+              if (s.has("sequence-number")) s.get("sequence-number").asLong() else 0L,
+            manifestList =
+              if (s.has("manifest-list")) Some(s.get("manifest-list").asText()) else None,
+            manifests =
+              if (s.has("manifests"))
+                s.get("manifests").elements().asScala.map(_.asText()).toSeq
+              else Seq.empty)
+        }.toSeq
+      else Seq.empty
+    val current =
+      if (root.has("current-snapshot-id") && root.get("current-snapshot-id").asLong() != -1L)
+        Some(root.get("current-snapshot-id").asLong())
+      else None
+    TableMetadata(fv, root.get("location").asText(), current, snaps,
+      schemaOf(root), mdFile.getPath)
+  }
+
+  // ------------------------------------------------------------ manifests
+
+  /** One live content file discovered from a manifest. `content`:
+    * 0 = data, 1 = position deletes, 2 = equality deletes. */
+  private final case class ContentFile(path: String, content: Int, format: String)
+
+  /** Stream one Avro object container file driver-side as GenericRecords.
+    * Manifest grain only — data rows never pass through here. */
+  private def foreachAvroRecord(path: String)(f: GenericRecord => Unit): Unit = {
+    val reader = new DataFileReader[GenericRecord](
+      localFile(path), new GenericDatumReader[GenericRecord]())
+    try { while (reader.hasNext) f(reader.next()) } finally reader.close()
+  }
+
+  private def localFile(path: String): File = AvroIO.toLocalFile(path)
+
+  /** Field value as int; 0 when the field is absent (v1 files) or null.
+    * Avro's `Record.get(name)` THROWS on absent fields — probe the schema. */
+  private def intFieldOrZero(r: GenericRecord, name: String): Int =
+    if (r.getSchema.getField(name) == null) 0
+    else r.get(name) match { case null => 0; case n: Number => n.intValue() }
+
+  /** Strip a URI scheme so fixture-written absolute paths and
+    * `file:///…` forms compare equal (used on both sides of the
+    * position-delete join). */
+  private[sources] def normalizePath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Collect live content files for a snapshot: manifest list -> manifests
+    * -> entries with status != DELETED (2). */
+  private def liveFiles(snap: SnapshotInfo): Seq[ContentFile] = {
+    // (manifest path, content) — manifest-list `content` field (v2):
+    // 0 = data manifests, 1 = delete manifests; v1 lists are all data.
+    val manifestFiles: Seq[(String, Int)] =
+      snap.manifestList match {
+        case Some(ml) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+          foreachAvroRecord(ml) { r =>
+            buf += ((r.get("manifest_path").toString, intFieldOrZero(r, "content")))
+          }
+          buf.toSeq
+        case None => snap.manifests.map((_, 0))
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
+    manifestFiles.foreach { case (mPath, mContent) =>
+      foreachAvroRecord(mPath) { entry =>
+        val status = entry.get("status").asInstanceOf[Number].intValue()
+        if (status != 2) { // 0 EXISTING / 1 ADDED are live; 2 DELETED is not
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          // v1 data_file has no content field -> data (same as its manifest)
+          val content =
+            if (df.getSchema.getField("content") == null) mContent
+            else intFieldOrZero(df, "content")
+          out += ContentFile(
+            df.get("file_path").toString, content,
+            df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Read an Iceberg table as a DataFrame.
+    *
+    * @param snapshotId      read this exact snapshot (time travel by id)
+    * @param asOfTimestampMs read the latest snapshot committed at or before
+    *                        this epoch-millis timestamp (time travel by time)
+    */
+  def read(spark: SparkSession, tablePath: String,
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None): DataFrame = {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "specify at most one of snapshotId / asOfTimestampMs")
+    val meta = loadMetadata(tablePath)
+    val snap: Option[SnapshotInfo] = snapshotId match {
+      case Some(id) =>
+        Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot $id not found; available: " +
+              meta.snapshots.map(_.snapshotId).sorted.mkString(", "))))
+      case None => asOfTimestampMs match {
+        case Some(ts) =>
+          val eligible = meta.snapshots.filter(_.timestampMs <= ts)
+          require(eligible.nonEmpty,
+            s"no snapshot committed at or before $ts; earliest is " +
+              meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L))
+          Some(eligible.maxBy(_.timestampMs))
+        case None =>
+          meta.currentSnapshotId.map(id => meta.snapshots.find(_.snapshotId == id)
+            .getOrElse(throw new IllegalStateException(
+              s"current-snapshot-id $id missing from snapshots list")))
+      }
+    }
+    snap match {
+      case None => // table exists but has no snapshot yet: empty, schema kept
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], meta.schema)
+      case Some(s) => readSnapshot(spark, meta, s)
+    }
+  }
+
+  private def readSnapshot(spark: SparkSession, meta: TableMetadata,
+                           snap: SnapshotInfo): DataFrame = {
+    val files = liveFiles(snap)
+    val eq = files.filter(_.content == 2)
+    if (eq.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Iceberg equality deletes are not supported by this native scan " +
+          s"(${eq.size} equality-delete file(s), first: ${eq.head.path}); " +
+          "only position deletes are implemented")
+    val badFmt = files.filter(f => f.content == 0 && f.format != "PARQUET")
+    if (badFmt.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"non-parquet Iceberg data files are not supported: " +
+          badFmt.map(f => s"${f.format}:${f.path}").take(3).mkString(", "))
+    val dataPaths = files.filter(_.content == 0).map(f => normalizePath(f.path))
+    val delPaths  = files.filter(_.content == 1).map(f => normalizePath(f.path))
+    if (dataPaths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+
+    val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
+    val base = spark.read.parquet(dataPaths: _*)
+    if (delPaths.isEmpty) base.select(cols: _*)
+    else {
+      // v2 position deletes, merge-on-read: delete files are parquet rows
+      // of (file_path, pos). Spark's file-source metadata column gives
+      // each data row its (file, row-ordinal) identity — the delete is a
+      // distributed left-anti join, no row ever touches the driver.
+      val data = base.select(
+        (cols :+
+          col("_metadata.file_path").as("__gf_file") :+
+          col("_metadata.row_index").as("__gf_pos")): _*)
+      val dels = spark.read.parquet(delPaths: _*).select(
+        regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+          .as("__gf_file"),
+        col("pos").as("__gf_pos"))
+      data
+        .withColumn("__gf_file",
+          regexp_replace(col("__gf_file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+        .join(dels, Seq("__gf_file", "__gf_pos"), "left_anti")
+        .select(cols: _*)
+    }
+  }
+
+  /** Snapshot ids in commit order (by sequence number, then timestamp) —
+    * the table's history surface. */
+  def snapshotIds(tablePath: String): Seq[Long] =
+    loadMetadata(tablePath).snapshots
+      .sortBy(s => (s.sequenceNumber, s.timestampMs)).map(_.snapshotId)
+}

@@ -334,10 +334,12 @@ class AvroIOSpec extends AnyFunSuite {
     assert(empty.schema.fieldNames.toSeq === region.schema.fieldNames.toSeq)
   }
 
-  test("readIceberg fails fast naming the missing runtime jar") {
+  test("readIceberg (native scan) rejects a non-table path with a clear error") {
+    // full read coverage lives in IcebergSpec; here just pin that the
+    // session facade routes to the native scan (no jar probe anymore)
     val g = GraftSession.wrap(spark)
-    val e = intercept[UnsupportedOperationException](g.readIceberg("/tmp/nope"))
-    assert(e.getMessage.contains("iceberg-spark-runtime"))
+    val e = intercept[IllegalArgumentException](g.readIceberg("/tmp/nope"))
+    assert(e.getMessage.contains("metadata"))
   }
 
   test("readAvro (programmatic path) splits one large container via V2") {

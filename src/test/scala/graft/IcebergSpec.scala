@@ -1,0 +1,165 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergFixture, IcebergIO}
+
+/** Native read-only Iceberg snapshot scan (reference fork's feature delta:
+  * Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92) against
+  * spec-conformant fixture tables written by [[IcebergFixture]] — v1 and
+  * v2, snapshot selection, time travel, position deletes, fail-fasts. */
+class IcebergSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val root =
+    s"/tmp/graft_iceberg_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  private def df(rows: (Long, String, Double)*) = {
+    val list = new java.util.ArrayList[Row]()
+    rows.foreach(r => list.add(Row(r._1, r._2, r._3)))
+    spark.createDataFrame(list, schema)
+  }
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+    d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("v2 table: append snapshots, current read, snapshot + as-of time travel") {
+    val dir = s"$root/v2basic"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val s1 = w.append(df((1L, "a", 1.5), (2L, "b", 2.5)))
+    val s2 = w.append(df((3L, "c", 3.5)))
+    assert(IcebergIO.snapshotIds(dir) === Seq(s1, s2))
+
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1))) === Seq(1L, 2L))
+    // as-of: fixture clock is t0 + 1000*snapshotId
+    val meta = IcebergIO.loadMetadata(dir)
+    val t1 = meta.snapshots.find(_.snapshotId == s1).get.timestampMs
+    assert(ids(IcebergIO.read(spark, dir, asOfTimestampMs = Some(t1))) === Seq(1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir, asOfTimestampMs = Some(t1 + 5000))) ===
+      Seq(1L, 2L, 3L))
+  }
+
+  test("schema and values survive the scan (not just ids)") {
+    val dir = s"$root/v2vals"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((7L, "x", 0.25)))
+    val out = IcebergIO.read(spark, dir)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    val r = out.collect().head
+    assert((r.getLong(0), r.getString(1), r.getDouble(2)) === ((7L, "x", 0.25)))
+  }
+
+  test("v2 position deletes applied via metadata-column anti-join") {
+    val dir = s"$root/v2posdel"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val s1 = w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    w.append(df((4L, "d", 4.0)))
+    // file rows are in insertion order (coalesce(1), no shuffle):
+    // positions 0,1,2 = ids 1,2,3 — delete positions 0 and 2.
+    val fileA = w.dataFilePaths.head
+    val s3 = w.deletePositions(fileA, Seq(0L, 2L))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 4L))
+    // before the delete snapshot, all rows still visible
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1))) === Seq(1L, 2L, 3L))
+    assert(IcebergIO.snapshotIds(dir).last === s3)
+  }
+
+  test("v1 table with manifest list reads; v1 inline manifests form reads") {
+    val dirA = s"$root/v1list"
+    val wA = new IcebergFixture.Writer(spark, dirA, schema, formatVersion = 1)
+    wA.append(df((1L, "a", 1.0)))
+    wA.append(df((2L, "b", 2.0)))
+    assert(ids(IcebergIO.read(spark, dirA)) === Seq(1L, 2L))
+
+    val dirB = s"$root/v1inline"
+    val wB = new IcebergFixture.Writer(spark, dirB, schema, formatVersion = 1,
+      inlineManifests = true)
+    wB.append(df((5L, "e", 5.0)))
+    assert(ids(IcebergIO.read(spark, dirB)) === Seq(5L))
+  }
+
+  test("version-hint resolution, and fallback to highest vN without hint") {
+    val dir = s"$root/hint"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    w.append(df((2L, "b", 2.0)))
+    val md = IcebergIO.resolveMetadataFile(dir)
+    assert(md.getName === "v2.metadata.json")
+    // drop the hint: the highest vN.metadata.json must still win
+    new File(new File(dir, "metadata"), "version-hint.text").delete()
+    assert(IcebergIO.resolveMetadataFile(dir).getName === "v2.metadata.json")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    // a direct metadata.json path reads THAT version (v1 = first snapshot)
+    val v1 = new File(new File(dir, "metadata"), "v1.metadata.json")
+    assert(ids(IcebergIO.read(spark, v1.getPath)) === Seq(1L))
+  }
+
+  test("unknown snapshot id fails naming the available ids") {
+    val dir = s"$root/badsnap"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, snapshotId = Some(999L)))
+    assert(e.getMessage.contains("999") && e.getMessage.contains("available"))
+  }
+
+  test("equality deletes fail fast with a clear message") {
+    val dir = s"$root/eqdel"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    import spark.implicits._
+    w.deleteEquality(Seq(1L).toDF("id"), Seq(1))
+    val e = intercept[UnsupportedOperationException](IcebergIO.read(spark, dir))
+    assert(e.getMessage.contains("equality deletes"))
+  }
+
+  test("non-iceberg directory fails fast") {
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, s"$root/definitely_missing"))
+    assert(e.getMessage.contains("metadata"))
+  }
+
+  test("iceberg type mapping covers the spec primitives") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def t(s: String): DataType =
+      IcebergIO.toSparkType(om.readTree("\"" + s + "\""))._1
+    assert(t("int") === IntegerType)
+    assert(t("long") === LongType)
+    assert(t("string") === StringType)
+    assert(t("double") === DoubleType)
+    assert(t("float") === FloatType)
+    assert(t("boolean") === BooleanType)
+    assert(t("date") === DateType)
+    assert(t("timestamp") === TimestampNTZType)
+    assert(t("timestamptz") === TimestampType)
+    assert(t("binary") === BinaryType)
+    assert(t("uuid") === StringType)
+    assert(t("decimal(12, 2)") === DecimalType(12, 2))
+    val nested = om.readTree(
+      """{"type":"struct","fields":[
+        |{"id":1,"name":"a","required":true,"type":"long"},
+        |{"id":2,"name":"b","required":false,"type":"string"}]}""".stripMargin)
+    val st = IcebergIO.toSparkType(nested)._1.asInstanceOf[StructType]
+    assert(st("a").nullable === false && st("b").nullable === true)
+  }
+
+  test("GraftSession.readIceberg serves the native scan; writeIceberg fails fast") {
+    val dir = s"$root/session"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    val g = GraftSession.wrap(spark)
+    assert(ids(g.readIceberg(dir)) === Seq(1L))
+    val e = intercept[UnsupportedOperationException](
+      g.writeIceberg(df((2L, "b", 2.0)), dir))
+    assert(e.getMessage.contains("iceberg-spark-runtime"))
+  }
+}
