@@ -15,12 +15,51 @@ import org.apache.spark.sql.SparkSession
  * JDBC client could run every registry query against this engine.
  *
  * Usage: tools/run.sh graft.ThriftDemo [sfDir] — prints the JDBC rows and
- * `THRIFT_DEMO_OK` on success.
+ * `THRIFT_DEMO_OK` on success. The JDBC plumbing lives in `withJdbc` so
+ * `ThriftServerSpec` regression-tests the same surface in `sbt test`.
  */
 object ThriftDemo {
+
+  /** Probe-bind an ephemeral port (bind 0 → read assigned → close):
+    * guessing inside a fixed range can land on an occupied port, leaving
+    * the server failing to bind while the client retries against nothing
+    * — or worse, talking to a foreign service already listening there. */
+  def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** Start a Thrift server for `spark` on `port`, hand an external JDBC
+    * connection's Statement to `f`, then stop the server. The connect
+    * loop is bounded (~15 s): the port is pre-probed free, so a server
+    * that never comes up is a startup failure, not something to wait
+    * out for minutes. */
+  def withJdbc[A](spark: SparkSession, port: Int)(f: java.sql.Statement => A): A = {
+    // startWithContext reads the port from the Hive conf, which is
+    // seeded from both the SQL conf and system properties — set both.
+    spark.conf.set("hive.server2.thrift.port", port.toString)
+    System.setProperty("hive.server2.thrift.port", port.toString)
+    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:$port/default"
+      var attempt = 0
+      var conn: java.sql.Connection = null
+      while (conn == null) {
+        try conn = DriverManager.getConnection(url, "graft", "")
+        catch {
+          case _: Exception if attempt < 30 => attempt += 1; Thread.sleep(500)
+          case e: Exception => throw e
+        }
+      }
+      try f(conn.createStatement())
+      finally conn.close()
+    } finally server.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = 10000 + (System.nanoTime() % 5000).toInt
     // Derby metastore state + warehouse go to a throwaway dir, not cwd.
     val scratch = java.nio.file.Files.createTempDirectory("graft_thrift").toString
     System.setProperty("derby.system.home", scratch)
@@ -35,7 +74,6 @@ object ThriftDemo {
       // JDBC sessions share THIS session's state (temp views, UDFs) —
       // the same registered-tables model the reference's clients see.
       .config("spark.sql.hive.thriftServer.singleSession", "true")
-      .config("hive.server2.thrift.port", port.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,27 +81,7 @@ object ThriftDemo {
     val g = GraftSession.wrap(spark)
     g.registerTables(sfDir)
 
-    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-      .startWithContext(spark.sqlContext)
-
-    // Wait for the listener, then act as an external JDBC client.
-    Class.forName("org.apache.hive.jdbc.HiveDriver")
-    val url = s"jdbc:hive2://localhost:$port/default"
-    val conn = {
-      var attempt = 0
-      var c: java.sql.Connection = null
-      while (c == null) {
-        try c = DriverManager.getConnection(url, "graft", "")
-        catch {
-          case e: Exception if attempt < 60 =>
-            attempt += 1; Thread.sleep(500)
-          case e: Exception => throw e
-        }
-      }
-      c
-    }
-    try {
-      val st = conn.createStatement()
+    withJdbc(spark, freePort()) { st =>
       // a real aggregation over the registered views, through the wire
       val rs = st.executeQuery(
         """SELECT r_name, count(*) AS n_nations
@@ -79,9 +97,7 @@ object ThriftDemo {
       val rs2 = st.executeQuery("SELECT CAST(approx_distinct(n_name) AS BIGINT) FROM nation")
       require(rs2.next() && rs2.getLong(1) == 25L, "approx_distinct over JDBC")
       println("THRIFT_DEMO_OK")
-    } finally {
-      conn.close()
-      spark.stop()
     }
+    spark.stop()
   }
 }

@@ -22,16 +22,30 @@ case class MediaFeatures(
     tail_byte: Int,
     byte_checksum: Long)
 
+/** Decoded-image features: dimensions, channel count, exact per-channel
+  * pixel sums (integers — partitioning-independent and oracle-exact). */
+case class ImageFeatures(
+    media_id: Long,
+    width: Long,
+    height: Long,
+    n_channels: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long)
+
 /**
  * Multimodal-column handling: treat image/audio/video payloads as opaque
  * `binary` columns with typed metadata, and run decode / feature-extract
  * as a partition-parallel typed transformation.
  *
- * The actual media decode is STUBBED (this container ships no image/audio
- * codecs): [[fakeDecode]] derives deterministic features from the raw
- * bytes. The Spark-side plumbing — binary schema, `Dataset[T]` encoders,
- * `mapPartitions` batching, partition-count control — is real and is what
- * a codec-backed implementation would reuse by swapping the decode fn.
+ * IMAGE decode is REAL: [[decodeImages]] runs the JDK's `javax.imageio`
+ * PNG codec inside `mapPartitions` ([[syntheticPng]] provides
+ * deterministic closed-form fixtures so the decoded stats are
+ * SQL-computable by an engine with no image codec at all). Audio/video
+ * decode remains STUBBED ([[fakeDecode]], [[frameSample]]) — the JDK
+ * ships no codec for those and this container has no media libraries;
+ * the plumbing (binary schema, `Dataset[T]` encoders, `mapPartitions`
+ * batching) is identical and real.
  */
 object Multimodal {
 
@@ -47,6 +61,86 @@ object Multimodal {
         col("source").as("source"),
         octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
       .as[MediaRecord]
+  }
+
+  // ---- real image path (JDK javax.imageio, no external codecs) -------
+
+  /** Deterministic synthetic PNG: dimensions and every pixel are a
+    * closed-form function of `id`, so an engine with NO image codec (the
+    * DuckDB oracle) can independently compute what a REAL decode of these
+    * bytes must yield. PNG is lossless — encode→decode round-trips the
+    * exact channel values. Formulas (Long arithmetic, id kept small):
+    *   w = 8 + id%16, h = 8 + id%12
+    *   r = (id*31 + x*7  + y*13) % 256
+    *   g = (id*17 + x*11 + y*5 ) % 256
+    *   b = (id*29 + x*3  + y*19) % 256
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 16).toInt
+    val h = (8 + id % 12).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+        val b = ((id * 29 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthetic PNG media table keyed by the documents table's ids —
+    * payload generation is partition-parallel (no driver-side loop). */
+  def pngMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < maxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val png = syntheticPng(id)
+        MediaRecord(id, "image", png, "synthetic_png", png.length.toLong)
+      })
+  }
+
+  /** REAL image decode: `javax.imageio` PNG codec in `mapPartitions`,
+    * emitting dimensions, channel count and exact per-channel sums.
+    * `getRGB` converts to packed sRGB regardless of the decoder's
+    * internal raster layout, so the sums are layout-independent. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // ImageIO plugin lookup is per-JVM; per-partition reuse is free
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        require(img != null, s"undecodable image payload for media_id=${rec.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(rec.media_id, w.toLong, h.toLong,
+          img.getRaster.getNumBands.toLong, sr, sg, sb)
+      }
+    }
   }
 
   /** STUB decode: deterministic features from raw bytes. A real pipeline

@@ -86,8 +86,12 @@ object TextAnalysis {
    * Cross-engine determinism: per-token log-probs are quantized to
    * integer MICRO-NATS and summed as BIGINT — exact and order-independent
    * regardless of partitioning; only one final division is floating
-   * point. (`ln` is the single libm call; its inputs are exact integer
-   * ratios, identical in both engines.)
+   * point. (`ln` is the single libm call over exact integer ratios, but
+   * Math.log is spec'd to 1 ulp, not correctly rounded, so it need not
+   * bit-match DuckDB's libm: a token whose ln(ratio)*1e6 lands within
+   * ~1 ulp of a .5 rounding boundary could shift lp_micro by 1. The
+   * residual risk is per-token-TYPE and vanishingly small — green on
+   * this corpus — but the determinism is empirical, not guaranteed.)
    */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int = 1000): DataFrame = {

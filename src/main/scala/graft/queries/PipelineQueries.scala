@@ -454,6 +454,35 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** REAL image decode through the JDK PNG codec: synthesize a
+    * deterministic PNG per doc_id (pixels are a closed form of the id),
+    * decode it back with `javax.imageio` in `mapPartitions`, and emit
+    * dimensions + exact per-channel sums. The oracle has NO image codec —
+    * it replays the closed form over a lateral pixel grid, so a match
+    * proves the encode→decode round trip reproduced every pixel. */
+  val mmDecodePng = dfQ("mm_decode_png",
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 64
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, sx.x, sy.y
+      |  FROM dims d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) sy
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id*29 + x*3 + y*19) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.decodeImages(Multimodal.pngMedia(s.table("documents"), maxId = 64))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
     * — the 100 TB-safe way to get a token histogram without a full
     * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
@@ -511,5 +540,5 @@ object PipelineQueries {
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    mmBinaryMeta, mmFeatures, mmFrames, aggTopkSketch)
+    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, aggTopkSketch)
 }

@@ -60,7 +60,7 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
         (d.isDirectory &&
           Option(d.listFiles()).getOrElse(Array.empty).exists(hasAvro))
     if (!f.exists() || !hasAvro(f)) new StructType()
-    else AvroTable.schemaOf(p)
+    else AvroTable.schemaOf(p, Option(options.get(AvroTable.ReaderSchemaOption)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -71,6 +71,11 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
 }
 
 private object AvroTable {
+  /** Scan option carrying an Avro READER schema (JSON): every file is
+    * resolved against it per Avro's schema-resolution rules — evolution
+    * on read (added fields w/ defaults, drops, reorders, promotions). */
+  val ReaderSchemaOption = "avroReaderSchema"
+
   /** (file, partition values aligned with partitionCols). */
   final case class Layout(files: Seq[(String, Seq[String])], partitionCols: Seq[String])
 
@@ -105,12 +110,17 @@ private object AvroTable {
     Layout(all.map { case (f, ps) => f -> ps.map(_._2) }, cols)
   }
 
-  def schemaOf(path: String): StructType = {
+  def schemaOf(path: String, readerSchemaJson: Option[String] = None): StructType = {
     val layout = discover(path)
-    val first = layout.files.head._1
-    val r = new DataFileReader[GenericRecord](
-      new java.io.File(first), new GenericDatumReader[GenericRecord]())
-    val data = try AvroIO.toSparkSchema(r.getSchema) finally r.close()
+    val data = readerSchemaJson match {
+      case Some(json) =>
+        AvroIO.toSparkSchema(new Schema.Parser().parse(json))
+      case None =>
+        val first = layout.files.head._1
+        val r = new DataFileReader[GenericRecord](
+          new java.io.File(first), new GenericDatumReader[GenericRecord]())
+        try AvroIO.toSparkSchema(r.getSchema) finally r.close()
+    }
     val clash = layout.partitionCols.toSet.intersect(data.fieldNames.toSet)
     require(clash.isEmpty,
       s"partition column(s) ${clash.mkString(", ")} also present in the data schema")
@@ -131,14 +141,16 @@ private final class AvroTable(path: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(path, tableSchema,
+      Option(options.get(AvroTable.ReaderSchemaOption)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new AvroWriteBuilder(path, info.schema())
 }
 
-private final class AvroScanBuilder(path: String, full: StructType)
+private final class AvroScanBuilder(path: String, full: StructType,
+                                    readerSchemaJson: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
@@ -155,7 +167,7 @@ private final class AvroScanBuilder(path: String, full: StructType)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new AvroScan(path, required, pushed)
+  override def build(): Scan = new AvroScan(path, required, pushed, readerSchemaJson)
 }
 
 /** Minimal evaluator for source filters over the decoded field values —
@@ -226,7 +238,8 @@ private final case class AvroFilePartition(
     extends InputPartition
 
 private final class AvroScan(path: String, required: StructType,
-                             filters: Array[org.apache.spark.sql.sources.Filter])
+                             filters: Array[org.apache.spark.sql.sources.Filter],
+                             readerSchemaJson: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -289,15 +302,16 @@ private final class AvroScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json, filters)
+    new AvroReaderFactory(required.json, filters, readerSchemaJson)
 }
 
 private final class AvroReaderFactory(
-    requiredJson: String, filters: Array[org.apache.spark.sql.sources.Filter])
+    requiredJson: String, filters: Array[org.apache.spark.sql.sources.Filter],
+    readerSchemaJson: Option[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
-    new AvroPartitionReader(p, requiredJson, filters)
+    new AvroPartitionReader(p, requiredJson, filters, readerSchemaJson)
   }
 }
 
@@ -349,14 +363,28 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
     if (truncate)
       Option(dir.listFiles((_, n) => n.endsWith(".avro")))
         .foreach(_.foreach(_.delete()))
-    committed.foreach { name =>
-      val target = new java.io.File(dir, name)
-      // Final names carry this write's UUID, so a collision means a
-      // genuine bug (double commit) — refuse rather than silently
-      // replace (POSIX rename overwrites).
-      require(!target.exists(), s"refusing to overwrite existing $target")
-      val ok = new java.io.File(tmp, name).renameTo(target)
-      require(ok, s"commit rename failed for $name")
+    // Publish is not atomic across files (plain POSIX renames), so a
+    // failure mid-loop must not leave a half-published append visible to
+    // concurrent readers: roll back the renames already done in THIS
+    // commit before rethrowing. Spark does not retry BatchWrite.commit,
+    // so after the rollback the directory is exactly as before commit.
+    val published = scala.collection.mutable.ListBuffer.empty[java.io.File]
+    try {
+      committed.foreach { name =>
+        val target = new java.io.File(dir, name)
+        // Final names carry this write's UUID, so a collision means a
+        // genuine bug (double commit) — refuse rather than silently
+        // replace (POSIX rename overwrites).
+        require(!target.exists(), s"refusing to overwrite existing $target")
+        val ok = new java.io.File(tmp, name).renameTo(target)
+        require(ok, s"commit rename failed for $name")
+        published += target
+      }
+    } catch {
+      case e: Throwable =>
+        published.foreach(f => if (!f.delete())
+          System.err.println(s"avro commit rollback: could not unlink $f"))
+        throw e
     }
     // Anything left in the temp dir is a dead attempt's orphan: drop it.
     Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
@@ -439,7 +467,8 @@ private final class AvroDataWriter(dir: String, tmpName: String,
   * REQUIRED fields only, and serializes through a Row encoder. */
 private final class AvroPartitionReader(
     partition: AvroFilePartition, requiredJson: String,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    readerSchemaJson: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val file = partition.file
@@ -447,13 +476,23 @@ private final class AvroPartitionReader(
     partition.partCols.zip(partition.partValues).toMap
   private val required = org.apache.spark.sql.types.DataType
     .fromJson(requiredJson).asInstanceOf[StructType]
+  // With a reader schema, the datum reader resolves this file's writer
+  // schema against it (by-name matching, defaults, promotions) and the
+  // decoded records are SHAPED by the reader schema — so field lookups
+  // below must use it, not the header schema.
+  private val expectedSchema: Option[Schema] =
+    readerSchemaJson.map(new Schema.Parser().parse(_))
   private val reader = new DataFileReader[GenericRecord](
-    new java.io.File(file), new GenericDatumReader[GenericRecord]())
+    new java.io.File(file),
+    expectedSchema match {
+      case Some(rs) => new GenericDatumReader[GenericRecord](null, rs)
+      case None     => new GenericDatumReader[GenericRecord]()
+    })
   // Position to the split: first sync-marker-aligned block after `start`;
   // stop once past `start + length`. sync(0) is safe (first block).
   reader.sync(partition.start)
   private val splitEnd = partition.start + partition.length
-  private val writerSchema: Schema = reader.getSchema
+  private val writerSchema: Schema = expectedSchema.getOrElse(reader.getSchema)
   private val toInternal =
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
   private val fieldIdx = required.fieldNames.zipWithIndex.toMap

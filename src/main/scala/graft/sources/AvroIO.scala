@@ -306,24 +306,38 @@ object AvroIO {
   }
 
   /** Read an Avro container file (or directory of part files) as a
-    * DataFrame. Schema is the writer schema of the first file; files are
-    * decoded one-per-task on executors. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * DataFrame. Schema is the writer schema of the first file — or the
+    * caller's READER schema (`readerSchemaJson`), against which every
+    * file is resolved by Avro's standard schema-resolution rules: fields
+    * match by NAME (reorder-safe), reader-only fields take their
+    * declared defaults, writer-only fields are skipped, and primitive
+    * promotions (int→long, float→double, …) apply. This is schema
+    * EVOLUTION ON READ: a corpus written over years under drifting
+    * schemas reads back uniform — each file resolves independently, so
+    * heterogeneous writer schemas across part files are fine.
+    * Files are decoded one-per-task on executors. */
+  def read(spark: SparkSession, path: String,
+           readerSchemaJson: Option[String] = None): DataFrame = {
     val files = listAvroFiles(path)
-    val writerSchema = {
-      val r = new DataFileReader[GenericRecord](
-        new File(files.head), new GenericDatumReader[GenericRecord]())
-      try r.getSchema finally r.close()
+    val expectedSchema = readerSchemaJson match {
+      case Some(json) => new Schema.Parser().parse(json)
+      case None =>
+        val r = new DataFileReader[GenericRecord](
+          new File(files.head), new GenericDatumReader[GenericRecord]())
+        try r.getSchema finally r.close()
     }
-    val sparkSchema = toSparkSchema(writerSchema)
-    val schemaJson = writerSchema.toString // Schema isn't serializable: ship JSON
+    val sparkSchema = toSparkSchema(expectedSchema)
+    val schemaJson = expectedSchema.toString // Schema isn't serializable: ship JSON
     val parallelism = math.min(files.size,
       math.max(1, spark.sparkContext.defaultParallelism))
     val rdd = spark.sparkContext.parallelize(files, parallelism).flatMap { file =>
       val schema = new Schema.Parser().parse(schemaJson)
       val st = toSparkSchema(schema)
+      // expected (reader) schema fixed here; the writer schema is taken
+      // from each file's own header by DataFileReader — resolution is
+      // per-file, which is what makes mixed-schema directories readable.
       val reader = new DataFileReader[GenericRecord](
-        new File(file), new GenericDatumReader[GenericRecord](schema))
+        new File(file), new GenericDatumReader[GenericRecord](null, schema))
       // Close on task completion too — a short-circuited task (limit,
       // failure) never exhausts the iterator, and the handle would
       // otherwise live until GC.

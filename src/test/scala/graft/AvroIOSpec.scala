@@ -412,4 +412,74 @@ class AvroIOSpec extends AnyFunSuite {
     assert(files.toSet.size === 2)
     assert(spark.read.format("avro").load(out).count() === 2 * region.count())
   }
+
+  test("reader-schema evolution: add-with-default, drop, reorder, promote, union order") {
+    val base = s"$dir/evol"
+    // writer schema: (id long, name [null,string], score int)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a", 10), Row(2L, null, 20)),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("score", IntegerType, nullable = false))))
+    AvroIO.write(df.repartition(1), base)
+
+    // Reader schema exercises four evolutions at once: fields REORDERED
+    // (score first), `score` PROMOTED int→long, `tag` ADDED with a
+    // default, and `name`'s union branch order FLIPPED vs the writer's
+    // [null,string]. Record name must match the writer's for resolution.
+    val readerJson =
+      """{"type":"record","name":"spark_row","namespace":"graft.avro","fields":[
+        |  {"name":"score","type":"long"},
+        |  {"name":"tag","type":"string","default":"none"},
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":["string","null"],"default":"?"}]}""".stripMargin
+
+    val evolved = AvroIO.read(spark, base, Some(readerJson))
+    assert(evolved.schema.fieldNames.toSeq === Seq("score", "tag", "id", "name"))
+    assert(evolved.schema("score").dataType === LongType)
+    val rows = evolved.collect().sortBy(_.getLong(2))
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq ===
+      Seq((10L, "none", 1L, "a"), (20L, "none", 2L, null)))
+
+    // DROP: a reader schema with only `id` skips the other fields
+    val dropJson =
+      """{"type":"record","name":"spark_row","namespace":"graft.avro","fields":[
+        |  {"name":"id","type":"long"}]}""".stripMargin
+    val dropped = AvroIO.read(spark, base, Some(dropJson))
+    assert(dropped.schema.fieldNames.toSeq === Seq("id"))
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+
+    // V2 path: the same reader schema through the `avroReaderSchema`
+    // option, with column pruning on top
+    val v2 = spark.read.format("avro")
+      .option("avroReaderSchema", readerJson).load(base)
+    assert(v2.schema.fieldNames.toSeq === Seq("score", "tag", "id", "name"))
+    val v2rows = v2.selectExpr("id", "tag", "score").collect().sortBy(_.getLong(0))
+    assert(v2rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "none", 10L), (2L, "none", 20L)))
+
+    // MIXED writer schemas across part files in ONE directory: a second
+    // file already carries `tag`; per-file resolution makes the read
+    // uniform — the actual tag where written, the default where not.
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, "c", 30, "real")),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("score", IntegerType, nullable = false),
+        StructField("tag", StringType, nullable = false))))
+    AvroIO.write(df2.repartition(1), s"$dir/evol2")
+    val mixed = new java.io.File(s"$dir/evol_mixed"); mixed.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(base, "part-00000.avro").toPath,
+      new java.io.File(mixed, "a.avro").toPath)
+    java.nio.file.Files.copy(
+      new java.io.File(s"$dir/evol2", "part-00000.avro").toPath,
+      new java.io.File(mixed, "b.avro").toPath)
+    val uni = AvroIO.read(spark, mixed.getPath, Some(readerJson))
+      .collect().sortBy(_.getLong(2))
+    assert(uni.map(r => (r.getLong(2), r.getString(1))).toSeq ===
+      Seq((1L, "none"), (2L, "none"), (3L, "real")))
+  }
 }

@@ -144,6 +144,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(resized.n_bytes == 4 && new String(resized.content) == "abcd")
   }
 
+  test("decodeImages round-trips synthetic PNGs through the real JDK codec") {
+    import graft.operators.Multimodal
+    // local truth: decode one id's PNG bytes directly and replay the
+    // closed form — proves the codec path, not just the Spark plumbing
+    val id = 13L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticPng(id)))
+    assert(img.getWidth == (8 + id % 16).toInt && img.getHeight == (8 + id % 12).toInt)
+    val expectedR = (for { y <- 0 until img.getHeight; x <- 0 until img.getWidth }
+      yield (id * 31 + x * 7 + y * 13) % 256).sum
+    val gotR = (for { y <- 0 until img.getHeight; x <- 0 until img.getWidth }
+      yield ((img.getRGB(x, y) >> 16) & 0xff).toLong).sum
+    assert(gotR == expectedR, "PNG encode->decode must be lossless on the red channel")
+
+    // distributed path: features via mapPartitions over a small id table
+    val docsDf = Seq((3L, "t", "en", "s"), (13L, "t", "en", "s"), (64L, "t", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val feats = Multimodal.decodeImages(Multimodal.pngMedia(docsDf, maxId = 64))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(3L, 13L)) // 64 filtered out
+    assert(feats.forall(_.n_channels == 3L))
+    assert(feats.find(_.media_id == 13L).get.sum_r == expectedR)
+  }
+
   test("multimodal extractFeatures computes deterministic stub features") {
     val docsDf = Seq((7L, "abc", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docsDf)).collect()

@@ -15,6 +15,14 @@ import sys
 MAX_LOADAVG = 2.0
 HEADROOM = 3.0
 FLOOR_S = 1.0
+# Canary thresholds are deliberately TIGHTER than budgets (2x vs 3x, 0.5 s
+# vs 1 s floor): if canaries shared the budget headroom, any global engine
+# regression big enough to trip budgets (>3x) would also trip the canaries
+# and be misread as machine contention, self-skipping the gate (ADVICE r6).
+# With 2x canaries, a 2-3x global slowdown trips budgets while canaries
+# stay green -> the gate FAILS instead of skipping.
+CANARY_HEADROOM = 2.0
+CANARY_FLOOR_S = 0.5
 # Trivial fixed-shape queries whose clean time is sub-second and stable;
 # if one of these runs slow, the MACHINE is slow (contention), not the
 # engine -- the gate skips itself. loadavg alone missed this twice (r2/r3
@@ -37,7 +45,7 @@ budgets = {
     for name, times in sorted(d["times"].items())
 }
 canaries = {
-    name: round(max(HEADROOM * min(d["times"][name]), FLOOR_S), 3)
+    name: round(max(CANARY_HEADROOM * min(d["times"][name]), CANARY_FLOOR_S), 3)
     for name in CANARIES if name in d["times"]
 }
 if not canaries:
