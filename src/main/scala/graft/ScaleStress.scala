@@ -28,11 +28,22 @@ object ScaleStress {
 
   private val heavyQueries = Seq(
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_exact_keep", "text_quality",
+    "dedup_exact_keep", "text_quality", "text_unigram_lp",
     "h2o_q10", "h2o_q8", "h2o_join_q5", "agg_cube", "agg_distinct",
     "tpch_q1", "tpch_q18", "win_frame_range", "fn_weighted_percentile",
     "join_asof", "embed_knn_brute",
-    "cur_decontaminate", "cur_pack", "cur_repetition")
+    "cur_decontaminate", "cur_pack", "cur_repetition",
+    "cur_pii", "cur_domain_filter")
+
+  /** Queries whose shuffle keys include `user_id` — the ones a skewed key
+    * distribution can break (single hot reducer / exploding join
+    * partition). Timed on the skew fixture, same TOTAL row count. */
+  private val skewQueries = Seq("join_asof", "ev_sessionize")
+
+  /** Skewed time may exceed balanced time — one user owning half the
+    * events serializes that key's window — but it must stay a bounded
+    * constant factor (AQE skew split, no pair explosion), not a blowup. */
+  private val skewThreshold = 5.0
 
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
@@ -59,7 +70,7 @@ object ScaleStress {
     // Time each query at both scales; all of one scale first so the
     // Registry's per-session view registration switches dirs exactly once.
     val qs = queries.Registry.all.filter(q => heavyQueries.contains(q.name))
-    def time(dir: String): Map[String, Double] = qs.map { q =>
+    def time(dir: String, quers: Seq[queries.Q]): Map[String, Double] = quers.map { q =>
       val times = (1 to 2).map { _ =>
         try {
           val t0 = System.nanoTime()
@@ -69,8 +80,17 @@ object ScaleStress {
       }
       q.name -> times.min
     }.toMap
-    val base = time(src)
-    val scaled = time(dst)
+    val base = time(src, qs)
+    val scaled = time(dst, qs)
+
+    // Skew stress: same tables, same row counts, but one user owns ~50%
+    // of events — times the user_id-keyed queries against the balanced
+    // baseline.
+    val skewDst = s"/tmp/graft_skew"
+    buildSkewed(spark, src, skewDst)
+    val skewQs = queries.Registry.all.filter(q => skewQueries.contains(q.name))
+    val skewBase = time(src, skewQs)
+    val skewed = time(skewDst, skewQs)
 
     def jnum(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -83,9 +103,19 @@ object ScaleStress {
     val quadratic = copies.toDouble * copies
     val suspects = qs.map(_.name)
       .filter(n => scaled(n) > 0.5 && scaled(n) / math.max(base(n), 1e-3) >= quadratic)
+    val skewRows = skewQs.map(_.name).sorted.map { n =>
+      val r = skewed(n) / math.max(skewBase(n), 1e-3)
+      s""""$n":{"base_sec":${jnum(skewBase(n))},"skew_sec":${jnum(skewed(n))},"ratio":${jnum(r)}}"""
+    }
+    // same 0.5 s noise floor as the quadratic check
+    val skewSuspects = skewQs.map(_.name)
+      .filter(n => skewed(n) > 0.5 &&
+        skewed(n) / math.max(skewBase(n), 1e-3) >= skewThreshold)
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""skew":{"queries":{${skewRows.mkString(",")}},"threshold":${jnum(skewThreshold)},""" +
+      s""""suspect_skew":[${skewSuspects.map("\"" + _ + "\"").mkString(",")}]},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -97,12 +127,6 @@ object ScaleStress {
     * Key offsets use a round power of 10 above the observed max so scaled
     * keys stay disjoint and debuggable. */
   def buildScaled(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
-    def offsetFor(df: DataFrame, col0: String): Long = {
-      val mx = df.agg(max(col(col0))).head.getLong(0)
-      var off = 1L
-      while (off <= mx) off *= 10
-      off
-    }
     def unionCopies(one: Int => DataFrame): DataFrame =
       (0 until copies).map(one).reduce(_ unionByName _)
 
@@ -145,5 +169,31 @@ object ScaleStress {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+  }
+
+  /** Skew fixture: identical tables except `events`, where every
+    * even-event_id row is reassigned to ONE hot user — that user then
+    * owns ~50% of all events while total row count, timestamps and event
+    * payloads stay identical to the source. The worst realistic key-skew
+    * shape for user_id-keyed shuffles (windows, as-of joins). */
+  def buildSkewed(spark: SparkSession, src: String, dst: String): Unit = {
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val hot = offsetFor(ev, "user_id") // above every real id: unambiguous
+    ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(hot))
+          .otherwise(col("user_id")))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  private def offsetFor(df: DataFrame, col0: String): Long = {
+    val mx = df.agg(max(col(col0))).head.getLong(0)
+    var off = 1L
+    while (off <= mx) off *= 10
+    off
   }
 }

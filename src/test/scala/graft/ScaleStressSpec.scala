@@ -24,4 +24,16 @@ class ScaleStressSpec extends AnyFunSuite {
     // sanity: the artifact actually measured something
     assert(root.get("queries").size() >= 10)
   }
+
+  test("skew stress: user_id-keyed queries stay bounded when one user owns half the events") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("skew"), "artifact predates the skew harness — regenerate")
+    val skew = root.get("skew")
+    val suspects = skew.get("suspect_skew").elements().asScala.map(_.asText).toSeq
+    assert(suspects.isEmpty,
+      s"queries blowing past ${skew.get("threshold")}x under key skew: ${suspects.mkString(", ")}")
+    assert(skew.get("queries").size() >= 2)
+  }
 }
