@@ -174,8 +174,10 @@ object DdlQueries {
             |ORDER BY n_nationkey""".stripMargin)
   }
 
-  /** Partitioned Avro corpus: hive-layout write (one dir per lang), then
-    * a partition-filtered read-back through the V2 source — the filter
+  /** Partitioned Avro corpus: hive-layout dynamic-partition write in ONE
+    * distributed job (`AvroIO.writePartitioned` — single shuffle on the
+    * partition column, no driver-side value enumeration), then a
+    * partition-filtered read-back through the V2 source — the filter
     * prunes whole files at planning time (asserted in AvroIOSpec); the
     * oracle recomputes the same rows from the unpartitioned parquet. */
   val ddlAvroPartitioned = dfQ("avro_partitioned",
@@ -185,12 +187,8 @@ object DdlQueries {
     import org.apache.spark.sql.functions.col
     val root = s"/tmp/graft_avro_part_$tag"
     val g = GraftSession.wrap(s)
-    val docs = s.table("documents")
-    docs.select(col("lang")).distinct().collect().map(_.getString(0)).foreach { l =>
-      graft.sources.AvroIO.write(
-        docs.filter(col("lang") === l).select("doc_id", "n_chars").coalesce(1),
-        s"$root/lang=$l")
-    }
+    graft.sources.AvroIO.writePartitioned(
+      s.table("documents").select("doc_id", "n_chars", "lang"), root, "lang")
     g.readAvro(root)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("n_chars"), col("lang"))

@@ -77,5 +77,31 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
-  val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete)
+  /** v2 EQUALITY deletes with the spec's sequence rule: delete every
+    * nation of region 1 by (n_regionkey) value, then re-append ONE of
+    * them — the re-insert's higher data sequence number must survive the
+    * earlier delete. The oracle replays exactly that set algebra on the
+    * parquet source. */
+  val icebergEqDelete = dfQ("iceberg_eq_delete",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey <> 1
+      |   OR n_nationkey = (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1)
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_iceberg_eqdel_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
+    w.append(nationSorted(s))
+    // field id 3 = n_regionkey (fixture ids follow field order)
+    w.deleteEquality(nationSorted(s).select("n_regionkey")
+      .filter(col("n_regionkey") === 1).distinct(), Seq(3))
+    val back = nationSorted(s).filter(col("n_regionkey") === 1)
+      .orderBy("n_nationkey").limit(1)
+    w.append(back)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
+    icebergEqDelete)
 }

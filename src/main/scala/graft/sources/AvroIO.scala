@@ -398,4 +398,52 @@ object AvroIO {
       w.close()
     }
   }
+
+  /** Hive-layout partitioned write (`path/col=value/part-NNNNN.avro`) in
+    * ONE distributed job: a single shuffle on the partition column
+    * co-locates each value's rows, then every task streams its rows into
+    * one container per partition value it holds — the dynamic-partition
+    * write shape. No driver-side value enumeration: at 100 TB the
+    * partition-value set is itself big data; a collect-and-loop writer
+    * (one Spark job per value) is a scheduler DoS. Overwrites `path`. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val partIdx = df.schema.fieldIndex(partCol)
+    val st = StructType(df.schema.fields.filterNot(_.name == partCol))
+    val dataIdx = df.schema.fields.zipWithIndex
+      .collect { case (f, i) if f.name != partCol => i }
+    val avroSchema = toAvroSchema(st)
+    val schemaJson = avroSchema.toString
+    val dir = new File(path)
+    if (dir.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    df.repartition(col(partCol)).rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writers = scala.collection.mutable.HashMap.empty[String, DataFileWriter[GenericRecord]]
+      def writerFor(v: String): DataFileWriter[GenericRecord] =
+        writers.getOrElseUpdate(v, {
+          require(!v.contains('/') && !v.contains('='),
+            s"partition value not path-safe: '$v'")
+          val d = new File(path, s"$partCol=$v"); d.mkdirs()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+          w.create(schema, new File(d, f"part-$idx%05d.avro"))
+          w
+        })
+      try rows.foreach { r =>
+        val v = r.get(partIdx)
+        require(v != null, s"null partition value in column $partCol")
+        val data = Row.fromSeq(dataIdx.toIndexedSeq.map(r.get))
+        writerFor(v.toString).append(rowToRecord(data, st, schema))
+      } finally writers.values.foreach(_.close())
+      Iterator.single(writers.size)
+    }.count(): Unit
+  }
 }

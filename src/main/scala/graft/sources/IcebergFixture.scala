@@ -117,7 +117,8 @@ object IcebergFixture {
 
   /** One content file tracked by the writer. */
   private final case class FileMeta(path: String, content: Int,
-                                    records: Long, bytes: Long)
+                                    records: Long, bytes: Long,
+                                    equalityIds: Seq[Int] = Nil)
 
   /** Incremental fixture-table writer. Each append/delete call commits one
     * snapshot: writes the files + a new manifest, rewrites the manifest
@@ -181,14 +182,17 @@ object IcebergFixture {
       next
     }
 
-    /** Equality-delete on `values` (v2); exists so tests can verify the
-      * reader's fail-fast on equality deletes. */
+    /** Equality-delete on `values` (v2): any data row equal to a delete
+      * row on the columns named by `fieldIds` — and written BEFORE this
+      * snapshot (data sequence number < this delete's) — is deleted.
+      * `values`' column names must match the table columns for the ids. */
     def deleteEquality(values: DataFrame, fieldIds: Seq[Int]): Long = {
       require(formatVersion >= 2, "equality deletes require format v2")
+      require(fieldIds.nonEmpty, "equality delete needs at least one field id")
       val next = seq + 1
       val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(values, target)
-      val fm = FileMeta(target.getAbsolutePath, 2, rows, bytes)
+      val fm = FileMeta(target.getAbsolutePath, 2, rows, bytes, fieldIds)
       allFiles :+= fm
       commit(Seq(fm), next, "delete")
       next
@@ -237,6 +241,8 @@ object IcebergFixture {
         d.put("record_count", fm.records)
         d.put("file_size_in_bytes", fm.bytes)
         if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
+        if (formatVersion >= 2 && fm.equalityIds.nonEmpty)
+          d.put("equality_ids", fm.equalityIds.map(Int.box).asJava)
         e.put("data_file", d)
         w.append(e)
       } finally w.close()

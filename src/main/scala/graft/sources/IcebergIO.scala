@@ -35,8 +35,11 @@ import org.apache.spark.sql.types._
  * Supported: format v1 and v2, snapshot selection by id, time travel by
  * timestamp, v2 POSITION deletes (merge-on-read, applied as a distributed
  * left-anti join on Spark's `_metadata.file_path`/`_metadata.row_index`
- * file-source metadata columns — no driver-side row work). Equality
- * deletes and non-parquet data files fail fast with a clear message.
+ * file-source metadata columns — no driver-side row work), and v2
+ * EQUALITY deletes (anti-join on the equality-id columns with the spec's
+ * sequence-number rule: only rows whose data sequence number is strictly
+ * below the delete's are removed, so later re-inserts survive; null keys
+ * match null). Non-parquet content files fail fast with a clear message.
  *
  * Scale notes (100 TB table, ~1e5 data files): metadata-plan grain is the
  * same as Spark's own `InMemoryFileIndex` — file-level entries on the
@@ -64,6 +67,7 @@ object IcebergIO {
       currentSnapshotId: Option[Long],
       snapshots: Seq[SnapshotInfo],
       schema: StructType,
+      fieldById: Map[Int, String], // top-level field id -> column name
       metadataFile: String)
 
   /** Resolve the current metadata JSON file for a table directory:
@@ -138,18 +142,25 @@ object IcebergIO {
     }
   }
 
-  private def schemaOf(root: JsonNode): StructType = {
+  private def schemaNodeOf(root: JsonNode): JsonNode =
     // v2: "schemas" array selected by "current-schema-id"; v1: "schema".
-    val schemaNode =
-      if (root.has("schemas")) {
-        val id = root.get("current-schema-id").asLong()
-        root.get("schemas").elements().asScala
-          .find(_.get("schema-id").asLong() == id)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $id not found in schemas"))
-      } else root.get("schema")
-    toSparkType(schemaNode)._1.asInstanceOf[StructType]
-  }
+    if (root.has("schemas")) {
+      val id = root.get("current-schema-id").asLong()
+      root.get("schemas").elements().asScala
+        .find(_.get("schema-id").asLong() == id)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id $id not found in schemas"))
+    } else root.get("schema")
+
+  private def schemaOf(root: JsonNode): StructType =
+    toSparkType(schemaNodeOf(root))._1.asInstanceOf[StructType]
+
+  /** Top-level field-id -> column-name map (the spec keys equality
+    * deletes by field id, not name). */
+  private def fieldIdsOf(root: JsonNode): Map[Int, String] =
+    schemaNodeOf(root).get("fields").elements().asScala.map { f =>
+      f.get("id").asInt() -> f.get("name").asText()
+    }.toMap
 
   def loadMetadata(tablePath: String): TableMetadata = {
     val mdFile = resolveMetadataFile(tablePath)
@@ -177,14 +188,19 @@ object IcebergIO {
         Some(root.get("current-snapshot-id").asLong())
       else None
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), mdFile.getPath)
+      schemaOf(root), fieldIdsOf(root), mdFile.getPath)
   }
 
   // ------------------------------------------------------------ manifests
 
   /** One live content file discovered from a manifest. `content`:
-    * 0 = data, 1 = position deletes, 2 = equality deletes. */
-  private final case class ContentFile(path: String, content: Int, format: String)
+    * 0 = data, 1 = position deletes, 2 = equality deletes.
+    * `seq` is the DATA sequence number (entry's, inheriting the
+    * manifest's when null — the v2 inheritance rule); equality deletes
+    * apply only to data files with a strictly smaller one. */
+  private final case class ContentFile(path: String, content: Int,
+                                       format: String, seq: Long,
+                                       equalityIds: Seq[Int])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -211,20 +227,27 @@ object IcebergIO {
   /** Collect live content files for a snapshot: manifest list -> manifests
     * -> entries with status != DELETED (2). */
   private def liveFiles(snap: SnapshotInfo): Seq[ContentFile] = {
-    // (manifest path, content) — manifest-list `content` field (v2):
-    // 0 = data manifests, 1 = delete manifests; v1 lists are all data.
-    val manifestFiles: Seq[(String, Int)] =
+    // (manifest path, content, manifest sequence number) — manifest-list
+    // `content` field (v2): 0 = data manifests, 1 = delete manifests; v1
+    // lists are all data with no sequence numbers (0).
+    val manifestFiles: Seq[(String, Int, Long)] =
       snap.manifestList match {
         case Some(ml) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
           foreachAvroRecord(ml) { r =>
-            buf += ((r.get("manifest_path").toString, intFieldOrZero(r, "content")))
+            val mSeq =
+              if (r.getSchema.getField("sequence_number") == null) 0L
+              else r.get("sequence_number") match {
+                case null => 0L; case n: Number => n.longValue()
+              }
+            buf += ((r.get("manifest_path").toString,
+              intFieldOrZero(r, "content"), mSeq))
           }
           buf.toSeq
-        case None => snap.manifests.map((_, 0))
+        case None => snap.manifests.map((_, 0, 0L))
       }
     val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
-    manifestFiles.foreach { case (mPath, mContent) =>
+    manifestFiles.foreach { case (mPath, mContent, mSeq) =>
       foreachAvroRecord(mPath) { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue()
         if (status != 2) { // 0 EXISTING / 1 ADDED are live; 2 DELETED is not
@@ -233,9 +256,24 @@ object IcebergIO {
           val content =
             if (df.getSchema.getField("content") == null) mContent
             else intFieldOrZero(df, "content")
+          // v2 sequence-number inheritance: a null entry sequence number
+          // takes the manifest's (the ADDED-entry fast-append form)
+          val seq =
+            if (entry.getSchema.getField("sequence_number") == null) mSeq
+            else entry.get("sequence_number") match {
+              case null => mSeq; case n: Number => n.longValue()
+            }
+          val eqIds =
+            if (df.getSchema.getField("equality_ids") == null) Nil
+            else df.get("equality_ids") match {
+              case null => Nil
+              case l: java.util.Collection[_] =>
+                l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+            }
           out += ContentFile(
             df.get("file_path").toString, content,
-            df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT))
+            df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
+            seq, eqIds)
         }
       }
     }
@@ -286,44 +324,75 @@ object IcebergIO {
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo): DataFrame = {
     val files = liveFiles(snap)
-    val eq = files.filter(_.content == 2)
-    if (eq.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"Iceberg equality deletes are not supported by this native scan " +
-          s"(${eq.size} equality-delete file(s), first: ${eq.head.path}); " +
-          "only position deletes are implemented")
-    val badFmt = files.filter(f => f.content == 0 && f.format != "PARQUET")
+    val badFmt = files.filter(_.format != "PARQUET")
     if (badFmt.nonEmpty)
       throw new UnsupportedOperationException(
-        s"non-parquet Iceberg data files are not supported: " +
+        s"non-parquet Iceberg content files are not supported: " +
           badFmt.map(f => s"${f.format}:${f.path}").take(3).mkString(", "))
-    val dataPaths = files.filter(_.content == 0).map(f => normalizePath(f.path))
+    val dataFiles = files.filter(_.content == 0)
     val delPaths  = files.filter(_.content == 1).map(f => normalizePath(f.path))
-    if (dataPaths.isEmpty)
+    val eqFiles   = files.filter(_.content == 2)
+    if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
 
     val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
-    val base = spark.read.parquet(dataPaths: _*)
-    if (delPaths.isEmpty) base.select(cols: _*)
-    else {
-      // v2 position deletes, merge-on-read: delete files are parquet rows
-      // of (file_path, pos). Spark's file-source metadata column gives
-      // each data row its (file, row-ordinal) identity — the delete is a
-      // distributed left-anti join, no row ever touches the driver.
-      val data = base.select(
+    val base = spark.read.parquet(dataFiles.map(f => normalizePath(f.path)): _*)
+    if (delPaths.isEmpty && eqFiles.isEmpty) return base.select(cols: _*)
+
+    // Every merge-on-read path needs the row's file identity: Spark's
+    // file-source metadata column, normalized to scheme-less form so it
+    // compares equal to manifest-recorded paths.
+    var data = base.select(
         (cols :+
           col("_metadata.file_path").as("__gf_file") :+
           col("_metadata.row_index").as("__gf_pos")): _*)
+      .withColumn("__gf_file",
+        regexp_replace(col("__gf_file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+
+    if (delPaths.nonEmpty) {
+      // v2 position deletes, merge-on-read: delete files are parquet rows
+      // of (file_path, pos). The delete is a distributed left-anti join on
+      // (file, row-ordinal) — no row ever touches the driver.
       val dels = spark.read.parquet(delPaths: _*).select(
         regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
           .as("__gf_file"),
         col("pos").as("__gf_pos"))
-      data
-        .withColumn("__gf_file",
-          regexp_replace(col("__gf_file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
-        .join(dels, Seq("__gf_file", "__gf_pos"), "left_anti")
-        .select(cols: _*)
+      data = data.join(dels, Seq("__gf_file", "__gf_pos"), "left_anti")
     }
+
+    if (eqFiles.nonEmpty) {
+      // v2 EQUALITY deletes: a data row is deleted when it equals any
+      // delete row on the columns named by the delete file's equality
+      // field ids AND its data sequence number is strictly below the
+      // delete file's (spec rule — rows re-inserted after the delete
+      // survive). Null keys match null (<=>), per spec. Sequence numbers
+      // reach the rows via a broadcast join on the (tiny, driver-known)
+      // file -> seq list; the delete join itself is distributed and
+      // AQE-broadcast-promoted when the delete set is small.
+      val seqRows = dataFiles.map(f => Row(normalizePath(f.path), f.seq))
+      val seqDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(seqRows, 1),
+        StructType(Seq(StructField("__gf_file", StringType, nullable = false),
+          StructField("__gf_dataseq", LongType, nullable = false))))
+      data = data.join(broadcast(seqDf), Seq("__gf_file"), "left")
+      eqFiles.groupBy(_.equalityIds).foreach { case (ids, group) =>
+        require(ids.nonEmpty, s"equality-delete file without equality_ids: " +
+          group.head.path)
+        val names = ids.map(id => meta.fieldById.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality-delete field id $id not in table schema " +
+              s"(known: ${meta.fieldById.keys.toSeq.sorted.mkString(", ")})")))
+        val dels = group.map { f =>
+          spark.read.parquet(normalizePath(f.path))
+            .select(names.map(n => col(n).as(s"__gf_eq_$n")): _*)
+            .withColumn("__gf_delseq", lit(f.seq))
+        }.reduce(_ unionByName _)
+        val cond = names.map(n => col(n) <=> col(s"__gf_eq_$n"))
+          .reduce(_ && _) && col("__gf_dataseq") < col("__gf_delseq")
+        data = data.join(dels, cond, "left_anti")
+      }
+    }
+    data.select(cols: _*)
   }
 
   /** Snapshot ids in commit order (by sequence number, then timestamp) —

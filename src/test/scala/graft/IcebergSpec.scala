@@ -11,7 +11,8 @@ import graft.sources.{IcebergFixture, IcebergIO}
 /** Native read-only Iceberg snapshot scan (reference fork's feature delta:
   * Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92) against
   * spec-conformant fixture tables written by [[IcebergFixture]] — v1 and
-  * v2, snapshot selection, time travel, position deletes, fail-fasts. */
+  * v2, snapshot selection, time travel, position + equality deletes
+  * (incl. the sequence-number re-insert rule), fail-fasts. */
 class IcebergSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val root =
@@ -112,14 +113,45 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("999") && e.getMessage.contains("available"))
   }
 
-  test("equality deletes fail fast with a clear message") {
+  test("equality deletes remove matching earlier rows, by field id") {
     val dir = s"$root/eqdel"
     val w = new IcebergFixture.Writer(spark, dir, schema)
-    w.append(df((1L, "a", 1.0)))
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
     import spark.implicits._
-    w.deleteEquality(Seq(1L).toDF("id"), Seq(1))
-    val e = intercept[UnsupportedOperationException](IcebergIO.read(spark, dir))
-    assert(e.getMessage.contains("equality deletes"))
+    // field id 1 = "id" (fixture assigns ids in field order)
+    w.deleteEquality(Seq(1L, 3L).toDF("id"), Seq(1))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+  }
+
+  test("equality delete sequence rule: re-inserted rows survive; time travel unaffected") {
+    val dir = s"$root/eqdelseq"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val s1 = w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    import spark.implicits._
+    val s2 = w.deleteEquality(Seq(1L).toDF("id"), Seq(1))
+    // re-insert id=1 AFTER the delete: its data sequence number is higher
+    // than the delete's, so the spec says it must survive
+    w.append(df((1L, "a2", 9.0)))
+    val out = IcebergIO.read(spark, dir)
+    assert(ids(out) === Seq(1L, 2L))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ===
+      Seq((1L, "a2"), (2L, "b")))
+    // time travel: before the delete both original rows exist; at the
+    // delete snapshot id=1 is gone
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1))) === Seq(1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s2))) === Seq(2L))
+  }
+
+  test("multi-column equality delete matches on all named fields") {
+    val dir = s"$root/eqdel2col"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0)))
+    import spark.implicits._
+    // (id=1 AND name="a") only — field ids 1 and 2
+    w.deleteEquality(Seq((1L, "a")).toDF("id", "name"), Seq(1, 2))
+    val out = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq((1L, "b"), (2L, "a")))
   }
 
   test("non-iceberg directory fails fast") {
