@@ -48,9 +48,15 @@ final class GraftSession private (val spark: SparkSession) {
     * through the [[graft.sources.AvroDataSourceV2]] connector (registered
     * under the `avro` short name; built on the Avro core library — the
     * spark-avro connector jar is absent in this environment). The V2 path
-    * gives Catalyst column-pruning pushdown into the Avro scan. */
-  def readAvro(path: String): DataFrame =
-    spark.read.format("avro").load(path)
+    * gives Catalyst column-pruning pushdown into the Avro scan.
+    * `readerSchemaJson` (an Avro schema) enables schema EVOLUTION ON
+    * READ: each file resolves against it per Avro's resolution rules —
+    * added fields take defaults, drops/reorders/promotions apply. */
+  def readAvro(path: String, readerSchemaJson: Option[String] = None): DataFrame = {
+    val r = spark.read.format("avro")
+    readerSchemaJson.foreach(j => r.option("avroReaderSchema", j))
+    r.load(path)
+  }
 
   /** Iceberg table scan — the reference fork's feature delta
     * (reference: Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92,
@@ -62,10 +68,14 @@ final class GraftSession private (val spark: SparkSession) {
     *
     * @param snapshotId      time travel: read this exact snapshot
     * @param asOfTimestampMs time travel: latest snapshot at/before this time
+    * @param partitionFilter identity-partition equality predicates pruned
+    *                        at planning time (files never opened)
     */
   def readIceberg(path: String, snapshotId: Option[Long] = None,
-                  asOfTimestampMs: Option[Long] = None): DataFrame =
-    graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs)
+                  asOfTimestampMs: Option[Long] = None,
+                  partitionFilter: Map[String, Any] = Map.empty): DataFrame =
+    graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
+      partitionFilter)
 
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,

@@ -102,6 +102,23 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Identity-partitioned table + planning-time partition pruning: nation
+    * partitioned by n_regionkey (5 data files), scan with a partition
+    * filter — only the matching file is ever opened (asserted in
+    * IcebergSpec via inputFiles; here the oracle pins the row set). */
+  val icebergPartitionPrune = dfQ("iceberg_partition_prune",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    val dir = s"/tmp/graft_iceberg_part_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema,
+      partitionCols = Seq("n_regionkey"))
+    w.append(nationSorted(s))
+    IcebergIO.read(s, dir, partitionFilter = Map("n_regionkey" -> 2L))
+      .orderBy("n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
-    icebergEqDelete)
+    icebergEqDelete, icebergPartitionPrune)
 }

@@ -88,15 +88,31 @@ object IcebergFixture {
          |]}""".stripMargin)
   }
 
+  /** Avro schema for the `partition` record (r102): one field per
+    * identity-partition column, field-ids from 1000 up (spec: partition
+    * field ids start at 1000). Empty for unpartitioned tables. */
+  private def partitionFieldsJson(partCols: Seq[(String, DataType)]): String =
+    partCols.zipWithIndex.map { case ((n, dt), i) =>
+      val avroT = dt match {
+        case IntegerType => "\"int\""
+        case LongType    => "\"long\""
+        case StringType  => "\"string\""
+        case other => throw new IllegalArgumentException(
+          s"fixture partition column type not supported: $other")
+      }
+      s"""{"name":"$n","type":$avroT,"field-id":${1000 + i}}"""
+    }.mkString(",")
+
   /** Manifest entry (`manifest_entry` wrapping `data_file`, spec
-    * field-ids 0-4 / 100-143). Unpartitioned: `partition` is the empty
-    * record r102. */
-  private def manifestEntrySchema(v: Int): Schema = {
+    * field-ids 0-4 / 100-143). `partition` is the r102 record — empty
+    * for unpartitioned tables, one field per partition column otherwise. */
+  private def manifestEntrySchema(
+      v: Int, partCols: Seq[(String, DataType)] = Nil): Schema = {
     val dataFileFields: Seq[String] = Seq(
       if (v >= 2) Some("""{"name":"content","type":"int","field-id":134}""") else None,
       Some("""{"name":"file_path","type":"string","field-id":100}"""),
       Some("""{"name":"file_format","type":"string","field-id":101}"""),
-      Some("""{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}}"""),
+      Some(s"""{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionFieldsJson(partCols)}]}}"""),
       Some("""{"name":"record_count","type":"long","field-id":103}"""),
       Some("""{"name":"file_size_in_bytes","type":"long","field-id":104}"""),
       if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
@@ -118,18 +134,27 @@ object IcebergFixture {
   /** One content file tracked by the writer. */
   private final case class FileMeta(path: String, content: Int,
                                     records: Long, bytes: Long,
-                                    equalityIds: Seq[Int] = Nil)
+                                    equalityIds: Seq[Int] = Nil,
+                                    partitionValues: Seq[Any] = Nil)
 
   /** Incremental fixture-table writer. Each append/delete call commits one
     * snapshot: writes the files + a new manifest, rewrites the manifest
-    * list, bumps `vN.metadata.json` and `version-hint.text`. */
+    * list, bumps `vN.metadata.json` and `version-hint.text`.
+    * `partitionCols` (identity transform) makes the table PARTITIONED:
+    * appends split into one data file per partition tuple, and the
+    * manifest entries record the tuple in the r102 partition record. */
   final class Writer(val spark: SparkSession, val dir: String,
                      val schema: StructType, val formatVersion: Int = 2,
-                     val inlineManifests: Boolean = false) {
+                     val inlineManifests: Boolean = false,
+                     val partitionCols: Seq[String] = Nil) {
     require(formatVersion == 1 || formatVersion == 2,
       s"format-version must be 1 or 2, got $formatVersion")
     require(!(inlineManifests && formatVersion != 1),
       "inline snapshot manifests are a v1-only form")
+    require(partitionCols.forall(schema.fieldNames.contains),
+      s"partition columns ${partitionCols.mkString(",")} not all in schema")
+    private val partColTypes: Seq[(String, DataType)] =
+      partitionCols.map(n => n -> schema(n).dataType)
 
     private val metaDir = new File(dir, "metadata")
     private val dataDir = new File(dir, "data")
@@ -140,8 +165,8 @@ object IcebergFixture {
     private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
     private var seq = 0L
     private var version = 0
-    // (manifestPath, manifestLength, content, addedSnapshotId, seq, rows)
-    private var manifests = Vector.empty[(String, Long, Int, Long, Long, Long)]
+    // (manifestPath, manifestLength, content, addedSnapshotId, seq, rows, files)
+    private var manifests = Vector.empty[(String, Long, Int, Long, Long, Long, Int)]
     private var snapshotNodes = Vector.empty[ObjectNode]
 
     /** Paths of the data files written so far, in append order (used by
@@ -152,17 +177,35 @@ object IcebergFixture {
 
     def currentSnapshotId: Long = seq
 
-    /** Append `df` as one parquet data file; commits snapshot (seq+1). */
+    /** Append `df`; commits one snapshot (seq+1). Unpartitioned: one
+      * parquet data file. Partitioned: one data file PER partition tuple
+      * present in `df`, each recorded with its tuple in the manifest
+      * (fixture-grain driver-side split — real writers shuffle). */
     def append(df: DataFrame): Long = {
       require(df.schema.fieldNames.sameElements(schema.fieldNames),
         s"append schema ${df.schema.fieldNames.mkString(",")} != table " +
           s"schema ${schema.fieldNames.mkString(",")}")
       val next = seq + 1
-      val target = new File(dataDir, f"data-$next%05d.parquet")
-      val (rows, bytes) = writeParquetFile(df, target)
-      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes)
-      allFiles :+= fm
-      commit(Seq(fm), next, "append")
+      val fms: Seq[FileMeta] =
+        if (partitionCols.isEmpty) {
+          val target = new File(dataDir, f"data-$next%05d.parquet")
+          val (rows, bytes) = writeParquetFile(df, target)
+          Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes))
+        } else {
+          import org.apache.spark.sql.functions.col
+          val tuples = df.select(partitionCols.map(col): _*).distinct()
+            .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
+          tuples.zipWithIndex.map { case (vals, i) =>
+            val part = partitionCols.zip(vals)
+              .map { case (c, v) => df(c) === v }.reduce(_ && _)
+            val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
+            val (rows, bytes) = writeParquetFile(df.filter(part), target)
+            FileMeta(target.getAbsolutePath, 0, rows, bytes,
+              partitionValues = vals)
+          }
+        }
+      allFiles ++= fms
+      commit(fms, next, "append")
       next
     }
 
@@ -170,6 +213,8 @@ object IcebergFixture {
       * with a delete manifest (v2 only). */
     def deletePositions(dataFilePath: String, positions: Seq[Long]): Long = {
       require(formatVersion >= 2, "position deletes require format v2")
+      require(partitionCols.isEmpty,
+        "fixture delete files are unpartitioned-table only")
       val next = seq + 1
       import spark.implicits._
       val delDf = positions.sorted.map(p => (dataFilePath, p))
@@ -189,6 +234,8 @@ object IcebergFixture {
     def deleteEquality(values: DataFrame, fieldIds: Seq[Int]): Long = {
       require(formatVersion >= 2, "equality deletes require format v2")
       require(fieldIds.nonEmpty, "equality delete needs at least one field id")
+      require(partitionCols.isEmpty,
+        "fixture delete files are unpartitioned-table only")
       val next = seq + 1
       val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(values, target)
@@ -211,15 +258,21 @@ object IcebergFixture {
       (df.count(), target.length())
     }
 
+    private def partitionSpecFieldsJson: String =
+      partitionCols.zipWithIndex.map { case (n, i) =>
+        val sourceId = schema.fieldNames.indexOf(n) + 1
+        s"""{"name":"$n","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+      }.mkString("[", ",", "]")
+
     private def writeManifest(files: Seq[FileMeta], snapshotId: Long): (String, Long) = {
-      val es = manifestEntrySchema(formatVersion)
+      val es = manifestEntrySchema(formatVersion, partColTypes)
       val dfSchema = es.getField("data_file").schema()
       val partSchema = dfSchema.getField("partition").schema()
       val out = new File(metaDir, f"manifest-$snapshotId%05d.avro")
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](es))
       // spec-required manifest container metadata
       w.setMeta("schema", schemaJson(schema, 0).toString)
-      w.setMeta("partition-spec", "[]")
+      w.setMeta("partition-spec", partitionSpecFieldsJson)
       w.setMeta("partition-spec-id", "0")
       w.setMeta("format-version", formatVersion.toString)
       if (formatVersion >= 2)
@@ -237,7 +290,14 @@ object IcebergFixture {
         if (formatVersion >= 2) d.put("content", fm.content)
         d.put("file_path", fm.path)
         d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(partSchema))
+        val partRec = new GenericData.Record(partSchema)
+        // delete files in a partitioned table: fixture writes them as
+        // partition-less (global) — leave the record fields unset only
+        // when values exist for this file
+        partitionCols.zip(fm.partitionValues).foreach { case (c, v) =>
+          partRec.put(c, v)
+        }
+        d.put("partition", partRec)
         d.put("record_count", fm.records)
         d.put("file_size_in_bytes", fm.bytes)
         if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
@@ -255,7 +315,7 @@ object IcebergFixture {
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](ls))
       w.setMeta("format-version", formatVersion.toString)
       w.create(ls, out)
-      try manifests.foreach { case (p, len, content, addedSnap, mSeq, rows) =>
+      try manifests.foreach { case (p, len, content, addedSnap, mSeq, rows, nFiles) =>
         val r = new GenericData.Record(ls)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
@@ -266,7 +326,7 @@ object IcebergFixture {
           r.put("min_sequence_number", mSeq)
         }
         r.put("added_snapshot_id", addedSnap)
-        r.put("added_files_count", 1)
+        r.put("added_files_count", nFiles)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
         r.put("added_rows_count", rows)
@@ -282,7 +342,7 @@ object IcebergFixture {
       val (mPath, mLen) = writeManifest(newFiles, snapshotId)
       val content = if (newFiles.exists(_.content > 0)) 1 else 0
       manifests :+= ((mPath, mLen, content, snapshotId, snapshotId,
-        newFiles.map(_.records).sum))
+        newFiles.map(_.records).sum, newFiles.size))
 
       val sn = mapper.createObjectNode()
       sn.put("snapshot-id", snapshotId)
@@ -293,7 +353,7 @@ object IcebergFixture {
       summary.put("operation", operation)
       if (inlineManifests) {
         val arr = sn.putArray("manifests")
-        manifests.foreach { case (p, _, _, _, _, _) => arr.add(p) }
+        manifests.foreach { case (p, _, _, _, _, _, _) => arr.add(p) }
       } else {
         sn.put("manifest-list", writeManifestList(snapshotId))
       }
@@ -321,8 +381,15 @@ object IcebergFixture {
       val specs: ArrayNode = root.putArray("partition-specs")
       val spec0 = specs.addObject()
       spec0.put("spec-id", 0)
-      spec0.putArray("fields")
-      root.put("last-partition-id", 999)
+      val specFields = spec0.putArray("fields")
+      partitionCols.zipWithIndex.foreach { case (n, i) =>
+        val f = specFields.addObject()
+        f.put("name", n)
+        f.put("transform", "identity")
+        f.put("source-id", schema.fieldNames.indexOf(n) + 1)
+        f.put("field-id", 1000 + i)
+      }
+      root.put("last-partition-id", 999 + partitionCols.size)
       root.put("default-sort-order-id", 0)
       val orders = root.putArray("sort-orders")
       val order0 = orders.addObject()

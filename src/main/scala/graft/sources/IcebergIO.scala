@@ -40,6 +40,9 @@ import org.apache.spark.sql.types._
  * sequence-number rule: only rows whose data sequence number is strictly
  * below the delete's are removed, so later re-inserts survive; null keys
  * match null). Non-parquet content files fail fast with a clear message.
+ * Partitioned tables (identity transform) read transparently — identity
+ * source columns live in the data files — and `partitionFilter` prunes
+ * whole data files at planning time from the manifests' partition tuples.
  *
  * Scale notes (100 TB table, ~1e5 data files): metadata-plan grain is the
  * same as Spark's own `InMemoryFileIndex` — file-level entries on the
@@ -68,6 +71,7 @@ object IcebergIO {
       snapshots: Seq[SnapshotInfo],
       schema: StructType,
       fieldById: Map[Int, String], // top-level field id -> column name
+      partitionFields: Seq[(String, String)], // default spec: (name, transform)
       metadataFile: String)
 
   /** Resolve the current metadata JSON file for a table directory:
@@ -187,8 +191,22 @@ object IcebergIO {
       if (root.has("current-snapshot-id") && root.get("current-snapshot-id").asLong() != -1L)
         Some(root.get("current-snapshot-id").asLong())
       else None
+    // default partition spec: v2 "partition-specs"+"default-spec-id";
+    // v1 may use the legacy "partition-spec" array directly
+    val partitionFields: Seq[(String, String)] =
+      if (root.has("partition-specs")) {
+        val specId = if (root.has("default-spec-id")) root.get("default-spec-id").asInt() else 0
+        root.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == specId)
+          .map(_.get("fields").elements().asScala
+            .map(f => f.get("name").asText() -> f.get("transform").asText()).toSeq)
+          .getOrElse(Nil)
+      } else if (root.has("partition-spec"))
+        root.get("partition-spec").elements().asScala
+          .map(f => f.get("name").asText() -> f.get("transform").asText()).toSeq
+      else Nil
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), fieldIdsOf(root), mdFile.getPath)
+      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile.getPath)
   }
 
   // ------------------------------------------------------------ manifests
@@ -200,7 +218,8 @@ object IcebergIO {
     * apply only to data files with a strictly smaller one. */
   private final case class ContentFile(path: String, content: Int,
                                        format: String, seq: Long,
-                                       equalityIds: Seq[Int])
+                                       equalityIds: Seq[Int],
+                                       partitionValues: Map[String, Any])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -270,10 +289,21 @@ object IcebergIO {
               case l: java.util.Collection[_] =>
                 l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
             }
+          // r102 partition record: one field per partition column
+          val partVals: Map[String, Any] = df.get("partition") match {
+            case rec: GenericRecord =>
+              rec.getSchema.getFields.asScala.map { f =>
+                f.name() -> (rec.get(f.name()) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case v => v
+                })
+              }.toMap
+            case _ => Map.empty
+          }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
-            seq, eqIds)
+            seq, eqIds, partVals)
         }
       }
     }
@@ -287,10 +317,19 @@ object IcebergIO {
     * @param snapshotId      read this exact snapshot (time travel by id)
     * @param asOfTimestampMs read the latest snapshot committed at or before
     *                        this epoch-millis timestamp (time travel by time)
+    * @param partitionFilter equality predicates on IDENTITY partition
+    *                        columns, applied at PLANNING time against the
+    *                        manifests' partition tuples — non-matching
+    *                        data files are never opened (the metadata
+    *                        pruning that makes a 1e5-file table scan
+    *                        viable; same contract as the runtime jar's
+    *                        partition pruning). Keys must name identity
+    *                        partition fields of the default spec.
     */
   def read(spark: SparkSession, tablePath: String,
            snapshotId: Option[Long] = None,
-           asOfTimestampMs: Option[Long] = None): DataFrame = {
+           asOfTimestampMs: Option[Long] = None,
+           partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "specify at most one of snapshotId / asOfTimestampMs")
     val meta = loadMetadata(tablePath)
@@ -313,17 +352,36 @@ object IcebergIO {
               s"current-snapshot-id $id missing from snapshots list")))
       }
     }
+    if (partitionFilter.nonEmpty) {
+      val identityCols = meta.partitionFields
+        .collect { case (n, "identity") => n }.toSet
+      val bad = partitionFilter.keys.filterNot(identityCols.contains)
+      require(bad.isEmpty,
+        s"partitionFilter names non-identity-partition column(s): " +
+          s"${bad.mkString(", ")} (identity partition columns: " +
+          s"${identityCols.toSeq.sorted.mkString(", ")})")
+    }
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s)
+      case Some(s) => readSnapshot(spark, meta, s, partitionFilter)
     }
   }
 
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
-                           snap: SnapshotInfo): DataFrame = {
-    val files = liveFiles(snap)
+                           snap: SnapshotInfo,
+                           partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
+    val allFiles = liveFiles(snap)
+    // Planning-time partition pruning: drop DATA files whose manifest
+    // partition tuple fails the equality filter; delete files stay (they
+    // may be global). String-normalized compare keeps Int/Long boxing
+    // differences from defeating an equal value.
+    val files = allFiles.filter { f =>
+      f.content != 0 || partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
+      }
+    }
     val badFmt = files.filter(_.format != "PARQUET")
     if (badFmt.nonEmpty)
       throw new UnsupportedOperationException(

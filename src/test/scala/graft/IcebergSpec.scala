@@ -142,6 +142,21 @@ class IcebergSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s2))) === Seq(2L))
   }
 
+  test("equality-delete plan: equi-join on keys, never a cartesian/nested-loop") {
+    val dir = s"$root/eqdelplan"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    import spark.implicits._
+    w.deleteEquality(Seq(1L).toDF("id"), Seq(1))
+    val plan = IcebergIO.read(spark, dir).queryExecution.executedPlan.toString
+    // the sequence-number inequality must ride an EQUI anti-join on the
+    // key columns, not degrade the join to a nested loop over all pairs
+    assert(!plan.contains("CartesianProduct"),
+      s"equality-delete join planned as cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"equality-delete join planned as nested loop:\n$plan")
+  }
+
   test("multi-column equality delete matches on all named fields") {
     val dir = s"$root/eqdel2col"
     val w = new IcebergFixture.Writer(spark, dir, schema)
@@ -152,6 +167,31 @@ class IcebergSpec extends AnyFunSuite {
     val out = IcebergIO.read(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(t => (t._1, t._2)).toSeq
     assert(out === Seq((1L, "b"), (2L, "a")))
+  }
+
+  test("partitioned table (identity): transparent read + planning-time pruning") {
+    val dir = s"$root/parted"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"))
+    // one append, three partition tuples -> three data files in one snapshot
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0)))
+    assert(w.dataFilePaths.size === 3)
+
+    // unfiltered read sees everything (identity columns live in the files)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 4L))
+
+    // partitionFilter prunes at PLANNING time: only partition a's file is
+    // ever part of the scan
+    val pruned = IcebergIO.read(spark, dir,
+      partitionFilter = Map("name" -> "a"))
+    assert(ids(pruned) === Seq(1L, 3L))
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 surviving data file, scan reads: ${pruned.inputFiles.mkString(", ")}")
+
+    // filters on non-partition columns are rejected with the known list
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, partitionFilter = Map("score" -> 1.0)))
+    assert(e.getMessage.contains("identity") && e.getMessage.contains("name"))
   }
 
   test("non-iceberg directory fails fast") {
