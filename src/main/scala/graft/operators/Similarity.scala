@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.VecDot
 import org.apache.spark.sql.{Column, DataFrame, GraftShim}
 import org.apache.spark.sql.functions._
@@ -130,6 +132,105 @@ object Similarity {
       .select(col("qid"), col("id").as("nid"),
         (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
     topK(scored, k)
+  }
+
+  /**
+   * Distributed Lloyd k-means codebook TRAINER — upgrades the seed-scan
+   * codebook ([[buildIvfCentroids]]) to a data-adaptive one, the index
+   * build step a production IVF runs offline.
+   *
+   * Engineered for exact cross-engine replay (the repo's integer idiom):
+   * vectors are quantized to integer MICRO-units
+   * (`round(x * 1e6) as BIGINT`), so every distance is an exact BIGINT
+   * (order-independent — no float summation-order divergence), seeds are
+   * the k vectors with the smallest `md5(id)` (portable hash, no RNG),
+   * ties break to the lowest cell, and centroid updates use truncating
+   * integer division (Scala `/` == DuckDB `//`). Every iteration is:
+   * map-side assignment against a BROADCAST centroid array (one fold per
+   * row — no corpus×k join), then one (cell, dim)-grain aggregation whose
+   * k×d result is collected to the driver (tiny by construction — this is
+   * the standard iterative-ML driver loop, aggregates only, never rows).
+   *
+   * Returns one row per non-empty cell of the final assignment:
+   * (cell, n_vecs, sum_ids, centroid_l1).
+   */
+  def kmeansCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    require(k > 0 && iters > 0)
+    val spark = emb.sparkSession
+    val q = emb.select(col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: IndexedSeq[IndexedSeq[Long]] = q
+        .withColumn("h", md5(col("id").cast("string")))
+        .orderBy("h", "id").limit(k)
+        .select("qv").collect()
+        .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+      require(cents.size == k, s"corpus smaller than k=$k")
+      var lastAssigned: DataFrame = null
+      for (_ <- 1 to iters) {
+        val assigned = assignKmeansCells(q, cents)
+        val sums: Map[(Long, Int), Long] = assigned
+          .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(sum("v").as("s"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val counts: Map[Long, Long] = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          counts.get(i.toLong) match {
+            // truncating integer division — matches the oracle's `//`
+            case Some(n) => old.indices.map(p => sums((i.toLong, p)) / n)
+            case None    => old // empty cell keeps its centroid
+          }
+        }
+        lastAssigned = assigned
+      }
+      val stats = lastAssigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("id").as("sum_ids"))
+      val l1Rows = cents.zipWithIndex.map { case (cv, i) =>
+        Row(i.toLong, cv.map(math.abs).sum)
+      }
+      val l1 = spark.createDataFrame(
+        new java.util.ArrayList[Row](l1Rows.asJava),
+        T.StructType(Seq(
+          T.StructField("cell", T.LongType, nullable = false),
+          T.StructField("centroid_l1", T.LongType, nullable = false))))
+      stats.join(broadcast(l1), Seq("cell")).orderBy("cell")
+    } finally q.unpersist()
+  }
+
+  /** Map-side nearest-centroid assignment over quantized vectors: exact
+    * BIGINT L2 against a broadcast (cell, cqv) struct array, strict `<`
+    * over the cell-ascending fold so ties take the lowest cell. */
+  private def assignKmeansCells(q: DataFrame,
+                                cents: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val spark = q.sparkSession
+    val rows = cents.zipWithIndex.map { case (cv, i) => Row(i.toLong, cv) }
+    val centDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      T.StructType(Seq(
+        T.StructField("cell", T.LongType, nullable = false),
+        T.StructField("cqv", T.ArrayType(T.LongType, containsNull = false),
+          nullable = false))))
+    val centArr = centDf.agg(
+      sort_array(collect_list(struct(col("cell"), col("cqv")))).as("cents"))
+    val scored = transform(col("cents"), c => struct(
+      aggregate(zip_with(col("qv"), c.getField("cqv"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("dist"),
+      c.getField("cell").as("cell")))
+    val best = aggregate(scored,
+      struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("cell")),
+      (acc, s) => when(s.getField("dist") < acc.getField("dist"), s)
+        .otherwise(acc))
+    q.crossJoin(broadcast(centArr))
+      .withColumn("cell", best.getField("cell"))
+      .drop("cents")
   }
 
   /** Convenience: build the deterministic seed codebook inline (cheap,

@@ -241,6 +241,78 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** Distributed Lloyd k-means codebook trainer (k=4, 2 iterations) in
+    * the exact-integer idiom: micro-quantized vectors, BIGINT L2, md5
+    * seeds, truncating-division centroid updates — so the oracle replays
+    * BOTH Lloyd iterations bit-exactly in SQL (assignment via a lateral
+    * dim-expansion join, update via grouped integer sums). */
+  val embedKmeans = dfQ("embed_kmeans_codebook",
+    """WITH q AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |seeds AS (
+      |  SELECT id, qv, rn - 1 AS cell FROM (
+      |    SELECT id, qv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM q
+      |  ) WHERE rn <= 4
+      |),
+      |qpos AS (
+      |  SELECT q.id, i.i AS pos, q.qv[i.i] AS qval
+      |  FROM q CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(q.qv))) AS i) i
+      |),
+      |c0 AS (
+      |  SELECT s.cell, i.i AS pos, s.qv[i.i] AS cv
+      |  FROM seeds s CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.qv))) AS i) i
+      |),
+      |d1 AS (
+      |  SELECT qp.id, c.cell, SUM((qp.qval - c.cv) * (qp.qval - c.cv)) AS dist
+      |  FROM qpos qp JOIN c0 c ON c.pos = qp.pos GROUP BY qp.id, c.cell
+      |),
+      |a1 AS (
+      |  SELECT id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM d1
+      |  ) WHERE rn = 1
+      |),
+      |n1 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM a1 GROUP BY cell),
+      |s1 AS (SELECT a.cell, qp.pos, CAST(SUM(qp.qval) AS BIGINT) AS s
+      |       FROM a1 a JOIN qpos qp ON qp.id = a.id GROUP BY a.cell, qp.pos),
+      |c1 AS (
+      |  SELECT c.cell, c.pos, COALESCE(s1.s // n1.n, c.cv) AS cv
+      |  FROM c0 c
+      |  LEFT JOIN n1 ON n1.cell = c.cell
+      |  LEFT JOIN s1 ON s1.cell = c.cell AND s1.pos = c.pos
+      |),
+      |d2 AS (
+      |  SELECT qp.id, c.cell, SUM((qp.qval - c.cv) * (qp.qval - c.cv)) AS dist
+      |  FROM qpos qp JOIN c1 c ON c.pos = qp.pos GROUP BY qp.id, c.cell
+      |),
+      |a2 AS (
+      |  SELECT id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM d2
+      |  ) WHERE rn = 1
+      |),
+      |n2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY cell),
+      |s2 AS (SELECT a.cell, qp.pos, CAST(SUM(qp.qval) AS BIGINT) AS s
+      |       FROM a2 a JOIN qpos qp ON qp.id = a.id GROUP BY a.cell, qp.pos),
+      |c2 AS (
+      |  SELECT c.cell, c.pos, COALESCE(s2.s // n2.n, c.cv) AS cv
+      |  FROM c1 c
+      |  LEFT JOIN n2 ON n2.cell = c.cell
+      |  LEFT JOIN s2 ON s2.cell = c.cell AND s2.pos = c.pos
+      |),
+      |sel AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(SUM(id) AS BIGINT) AS sum_ids
+      |  FROM a2 GROUP BY cell
+      |),
+      |l1 AS (SELECT cell, CAST(SUM(ABS(cv)) AS BIGINT) AS centroid_l1 FROM c2 GROUP BY cell)
+      |SELECT sel.cell AS cell, sel.n_vecs AS n_vecs, sel.sum_ids AS sum_ids,
+      |       l1.centroid_l1 AS centroid_l1
+      |FROM sel JOIN l1 USING (cell) ORDER BY cell""".stripMargin) { (s, _) =>
+    Similarity.kmeansCodebook(s.table("embeddings"), "vec_id", "embedding",
+      k = 4, iters = 2)
+  }
+
   /** recall@10 of the LSH path vs the exact path — the ANN self-check. */
   val embedAnnRecall = dfQ("embed_ann_recall", annOracle(recall = true),
       bench = false) { (s, _) =>
@@ -538,7 +610,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
-    embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf,
+    embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, aggTopkSketch)
 }

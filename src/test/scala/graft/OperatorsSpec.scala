@@ -126,6 +126,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bruteMin.nonEmpty)
   }
 
+  test("kmeansCodebook: cells partition the corpus, deterministic, data-adaptive") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val total = emb.count()
+    val out = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(out.map(_.getLong(1)).sum === total, "every vector lands in exactly one cell")
+    assert(out.length >= 2, "degenerate codebook: everything in one cell")
+    // byte-for-byte deterministic: no RNG anywhere in seeds or updates
+    val again = Similarity.kmeansCodebook(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
