@@ -28,7 +28,8 @@ object ScaleStress {
 
   private val heavyQueries = Seq(
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_exact_keep", "text_quality", "text_unigram_lp",
+    "dedup_exact_keep", "text_quality", "text_unigram_lp", "text_bigram_lp",
+    "embed_kmeans_codebook",
     "h2o_q10", "h2o_q8", "h2o_join_q5", "agg_cube", "agg_distinct",
     "tpch_q1", "tpch_q18", "win_frame_range", "fn_weighted_percentile",
     "join_asof", "embed_knn_brute",

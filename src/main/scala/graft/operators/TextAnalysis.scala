@@ -117,6 +117,51 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /**
+   * Bigram-LM quality score — the conditional upgrade of
+   * [[unigramLogProb]]: per-doc mean log P(w_i | w_{i-1}) with add-one
+   * smoothing over a top-`vocabSize` vocabulary (everything else maps to
+   * one OOV bucket FIRST, so the bigram table is bounded by
+   * (vocab+1)² — the corpus-sized raw-bigram shuffle never happens).
+   *
+   * Scale shape: one token-grain shuffle keyed on the doc id (the LAG
+   * window that forms bigrams), vocabulary-bounded count aggregations,
+   * and broadcast model joins; p = (c12+1)/(c1+V+1) over exact integer
+   * counts, quantized to micro-nats and summed as BIGINT (same
+   * determinism envelope as the unigram scorer, incl. the documented
+   * 1-ulp `ln` residual).
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        when(col("in_v").isNotNull, col("tok")).otherwise(lit("<oov>")).as("w"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val bi = mapped.withColumn("w1", lag("w", 1).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("id"), col("w1"), col("w").as("w2"))
+    // model tables: bounded by (vocab+1) and (vocab+1)^2 — broadcastable
+    val c1 = mapped.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vsize = vocab.agg(count(lit(1)).cast("long").as("v_size"))
+    bi.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .select(col("id"),
+        round(log((col("c12") + lit(1L)).cast("double") /
+            (col("c1") + col("v_size") + lit(1L)).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("lp_micro").as("lp_sum_micro"))
+  }
+
   /** Per-language corpus stats table. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
                   charsCol: String): DataFrame =

@@ -607,10 +607,58 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality score: same exact-integer micro-nat envelope as
+    * the unigram scorer, upgraded to conditional P(w2|w1) with add-one
+    * smoothing over a (vocab+1)-bounded alphabet (OOV mapped FIRST so
+    * the bigram model table is (V+1)², never corpus-sized). */
+  val textBigramLp = dfQ("text_bigram_lp",
+    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |toks AS (
+      |  SELECT ws.doc_id, i.i AS pos, ws.w[i.i] AS tok
+      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i
+      |),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+      |mapped AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS w
+      |  FROM toks t LEFT JOIN vocab v USING (tok)
+      |),
+      |bi AS (
+      |  SELECT doc_id, w1, w AS w2 FROM (
+      |    SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      |    FROM mapped) WHERE w1 IS NOT NULL
+      |),
+      |c1 AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM mapped GROUP BY w),
+      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+      |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(LN(CAST(c12.c12 + 1 AS DOUBLE) /
+      |        CAST(c1.c1 + vs.v_size + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id AS doc_id, n_bigrams, lp_sum_micro,
+      |  CAST((lp_sum_micro - (((lp_sum_micro % n_bigrams) + n_bigrams) % n_bigrams)) / n_bigrams AS BIGINT) AS avg_lp_micro
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, _) =>
+    TextAnalysis.bigramLogProb(s.table("documents"), "doc_id", "text", 20)
+      .select(col("id").as("doc_id"),
+        col("n_bigrams"), col("lp_sum_micro"),
+        ((col("lp_sum_micro") - pmod(col("lp_sum_micro"), col("n_bigrams"))) /
+          col("n_bigrams")).cast("bigint").as("avg_lp_micro"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
+    textBigramLp,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, aggTopkSketch)
 }
