@@ -157,8 +157,51 @@ object Similarity {
   def kmeansCodebook(emb: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.{Row, types => T}
-    require(k > 0 && iters > 0)
     val spark = emb.sparkSession
+    val (cents, lastAssigned) = trainKmeans(emb, idCol, vecCol, k, iters)
+    val stats = lastAssigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("id").as("sum_ids"))
+    val l1Rows = cents.zipWithIndex.map { case (cv, i) =>
+      Row(i.toLong, cv.map(math.abs).sum)
+    }
+    val l1 = spark.createDataFrame(
+      new java.util.ArrayList[Row](l1Rows.asJava),
+      T.StructType(Seq(
+        T.StructField("cell", T.LongType, nullable = false),
+        T.StructField("centroid_l1", T.LongType, nullable = false))))
+    stats.join(broadcast(l1), Seq("cell")).orderBy("cell")
+  }
+
+  /** Bridge a TRAINED codebook into the IVF search path: the final
+    * centroids in the (cell, cv, cnorm2) shape [[ivfTopK]] consumes
+    * (micro-units scaled back — exact, /1e6 on integers). Zero-norm
+    * centroids are dropped (same NaN guard as the seed builder). */
+  def kmeansCentroidTable(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val spark = emb.sparkSession
+    val (cents, _) = trainKmeans(emb, idCol, vecCol, k, iters)
+    val rows = cents.zipWithIndex.collect {
+      case (cv, i) if cv.exists(_ != 0L) =>
+        val v = cv.map(_.toDouble / 1e6)
+        Row(i.toLong, v, v.map(x => x * x).sum)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      T.StructType(Seq(
+        T.StructField("cell", T.LongType, nullable = false),
+        T.StructField("cv", T.ArrayType(T.DoubleType, containsNull = false), nullable = false),
+        T.StructField("cnorm2", T.DoubleType, nullable = false))))
+  }
+
+  /** The Lloyd loop shared by [[kmeansCodebook]] and
+    * [[kmeansCentroidTable]]: returns the final quantized centroids and
+    * the last assignment (whose plan captures the PRE-update centroids,
+    * so re-evaluating it later stays deterministic). */
+  private def trainKmeans(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int)
+      : (IndexedSeq[IndexedSeq[Long]], DataFrame) = {
+    require(k > 0 && iters > 0)
     val q = emb.select(col(idCol).cast("long").as("id"),
         expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv"))
@@ -189,17 +232,7 @@ object Similarity {
         }
         lastAssigned = assigned
       }
-      val stats = lastAssigned.groupBy("cell")
-        .agg(count(lit(1)).as("n_vecs"), sum("id").as("sum_ids"))
-      val l1Rows = cents.zipWithIndex.map { case (cv, i) =>
-        Row(i.toLong, cv.map(math.abs).sum)
-      }
-      val l1 = spark.createDataFrame(
-        new java.util.ArrayList[Row](l1Rows.asJava),
-        T.StructType(Seq(
-          T.StructField("cell", T.LongType, nullable = false),
-          T.StructField("centroid_l1", T.LongType, nullable = false))))
-      stats.join(broadcast(l1), Seq("cell")).orderBy("cell")
+      (cents, lastAssigned)
     } finally q.unpersist()
   }
 

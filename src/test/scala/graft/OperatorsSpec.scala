@@ -140,6 +140,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("ivfTopK over a TRAINED k-means codebook: end-to-end composition") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val trained = Similarity.kmeansCentroidTable(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(trained.columns.toSeq === Seq("cell", "cv", "cnorm2"))
+    val res = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("id") < 3, k = 5, centroids = trained).collect()
+    assert(res.nonEmpty)
+    // every query id returns <= k neighbors, none of them itself, and
+    // cosines are valid (the cell-local search returned real candidates)
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.forall { case (q, rows) =>
+      rows.length <= 5 && rows.forall(r => r.getLong(1) != q &&
+        !r.getDouble(2).isNaN && math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    })
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")

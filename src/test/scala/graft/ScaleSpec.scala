@@ -124,6 +124,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject(limit=16"), s"plan:\n$p")
   }
 
+  test("text_bigram_lp plan: model joins broadcast, doc-keyed window shuffle only") {
+    val p = planOf("text_bigram_lp")
+    // the c12/c1/vocab model tables are (V+1)-bounded and must reach the
+    // token stream as broadcasts, never as shuffle joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast model joins, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a model table went through a shuffle join:\n$p")
+    // bigram formation: a window partitioned by doc id, never global
+    assert(p.contains("lag"))
+    assert(!p.contains("SinglePartition"),
+      s"found a single-partition stage (global funnel):\n$p")
+  }
+
+  test("kmeans assignment plan: centroid attach is a one-row broadcast, map-side fold") {
+    val p = planOf("embed_kmeans_codebook")
+    // the centroid array rides a 1-row broadcast crossJoin (NL join over a
+    // single build row = map-side attach); the corpus-by-k join must NOT
+    // materialize as a hash/sort-merge join on a row-exploded centroid set
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid attach went through a shuffle join:\n$p")
+  }
+
   test("partitioned write prunes partitions at read (lang=en only)") {
     val dir = "/tmp/graft_part_docs_test"
     spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
