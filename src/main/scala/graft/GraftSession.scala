@@ -77,6 +77,11 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
       partitionFilter)
 
+  /** Iceberg table history as a relation (the runtime jar's `.history`
+    * metadata table): one row per snapshot in commit order. */
+  def icebergHistory(path: String): DataFrame =
+    graft.sources.IcebergIO.history(spark, path)
+
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,
     * stats, partition transforms) is the `iceberg-spark-runtime` jar's

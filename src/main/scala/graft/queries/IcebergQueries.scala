@@ -119,6 +119,19 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Table history as a relation (the runtime jar's `.history` metadata
+    * table). The fixture's commit clock is deterministic (2024-01-01 UTC
+    * + 1 s per snapshot), so the oracle pins the exact expected rows. */
+  val icebergHistory = dfQ("iceberg_history",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1704067201000 AS BIGINT), 'append'),
+      |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1704067202000 AS BIGINT), 'append'))
+      |  AS t(snapshot_id, sequence_number, committed_at_ms, operation)
+      |ORDER BY snapshot_id""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.history(s, basicFixture(s, sfDir)).orderBy("snapshot_id")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
-    icebergEqDelete, icebergPartitionPrune)
+    icebergEqDelete, icebergPartitionPrune, icebergHistory)
 }

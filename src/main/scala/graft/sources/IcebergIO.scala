@@ -61,6 +61,7 @@ object IcebergIO {
       snapshotId: Long,
       timestampMs: Long,
       sequenceNumber: Long,
+      operation: String,            // summary.operation ("" when absent)
       manifestList: Option[String], // v2 (and v1 with manifest-list)
       manifests: Seq[String])       // v1 inline form
 
@@ -179,6 +180,9 @@ object IcebergIO {
             timestampMs = s.get("timestamp-ms").asLong(),
             sequenceNumber =
               if (s.has("sequence-number")) s.get("sequence-number").asLong() else 0L,
+            operation =
+              if (s.has("summary") && s.get("summary").has("operation"))
+                s.get("summary").get("operation").asText() else "",
             manifestList =
               if (s.has("manifest-list")) Some(s.get("manifest-list").asText()) else None,
             manifests =
@@ -458,4 +462,21 @@ object IcebergIO {
   def snapshotIds(tablePath: String): Seq[Long] =
     loadMetadata(tablePath).snapshots
       .sortBy(s => (s.sequenceNumber, s.timestampMs)).map(_.snapshotId)
+
+  /** Table history as a relation — the `.history`/`.snapshots` metadata
+    * table the runtime jar exposes: one row per snapshot in commit order
+    * (snapshot_id, sequence_number, committed_at_ms, operation). */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val rows = meta.snapshots
+      .sortBy(s => (s.sequenceNumber, s.timestampMs))
+      .map(s => Row(s.snapshotId, s.sequenceNumber, s.timestampMs, s.operation))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false))))
+  }
 }

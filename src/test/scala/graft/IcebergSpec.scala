@@ -194,6 +194,18 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("identity") && e.getMessage.contains("name"))
   }
 
+  test("history relation: commit order, deterministic clock, operations") {
+    val dir = s"$root/hist"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    w.deletePositions(w.dataFilePaths.head, Seq(0L))
+    val h = IcebergIO.history(spark, dir).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h.map(_.getString(3)).toSeq === Seq("append", "delete"))
+    // fixture clock: 2024-01-01T00:00:00Z + 1 s per snapshot
+    assert(h.map(_.getLong(2)).toSeq === Seq(1704067201000L, 1704067202000L))
+  }
+
   test("non-iceberg directory fails fast") {
     val e = intercept[IllegalArgumentException](
       IcebergIO.read(spark, s"$root/definitely_missing"))
