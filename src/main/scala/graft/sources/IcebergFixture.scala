@@ -209,6 +209,23 @@ object IcebergFixture {
       next
     }
 
+    /** Append WITHOUT the schema-equality check — writes a data file
+      * whose columns are a strict subset of the table schema, simulating
+      * a file written BEFORE a column was added (schema evolution on
+      * read: the reader must surface the missing column as nulls). */
+    def appendRaw(df: DataFrame): Long = {
+      require(partitionCols.isEmpty, "appendRaw is unpartitioned-table only")
+      require(df.schema.fieldNames.forall(schema.fieldNames.contains),
+        "appendRaw columns must be a subset of the table schema")
+      val next = seq + 1
+      val target = new File(dataDir, f"data-$next%05d.parquet")
+      val (rows, bytes) = writeParquetFile(df, target)
+      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes)
+      allFiles :+= fm
+      commit(Seq(fm), next, "append")
+      next
+    }
+
     /** Position-delete `positions` of `dataFilePath`; commits a snapshot
       * with a delete manifest (v2 only). */
     def deletePositions(dataFilePath: String, positions: Seq[Long]): Long = {

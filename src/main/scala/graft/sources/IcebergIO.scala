@@ -398,7 +398,14 @@ object IcebergIO {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
 
     val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
-    val base = spark.read.parquet(dataFiles.map(f => normalizePath(f.path)): _*)
+    // Read with the TABLE schema from metadata.json, never inferred from a
+    // data file: on a schema-evolved table the sampled file may predate a
+    // column (it must surface as nulls, not vanish or fail), and explicit
+    // schemas also skip the driver-side footer-sampling pass — material at
+    // 1e5 files. Name-based column matching (the spec is field-id-based;
+    // equivalent here since the fixture/scan never renames columns).
+    val base = spark.read.schema(meta.schema)
+      .parquet(dataFiles.map(f => normalizePath(f.path)): _*)
     if (delPaths.isEmpty && eqFiles.isEmpty) return base.select(cols: _*)
 
     // Every merge-on-read path needs the row's file identity: Spark's

@@ -194,6 +194,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("identity") && e.getMessage.contains("name"))
   }
 
+  test("schema-evolved table: files predating a column read it as null") {
+    val dir = s"$root/evolved"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    // file written "before score existed": only (id, name)
+    val old = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "old")),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))))
+    w.appendRaw(old)
+    w.append(df((2L, "new", 2.5)))
+    val out = IcebergIO.read(spark, dir).collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).isNullAt(2), "pre-evolution row must surface score as null")
+    assert(out(1).getDouble(2) === 2.5)
+  }
+
   test("history relation: commit order, deterministic clock, operations") {
     val dir = s"$root/hist"
     val w = new IcebergFixture.Writer(spark, dir, schema)
