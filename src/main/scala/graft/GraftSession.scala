@@ -152,6 +152,14 @@ final class GraftSession private (val spark: SparkSession) {
   def registerAvro(name: String, path: String): Unit =
     readAvro(path).createOrReplaceTempView(name)
 
+  /** Register an Iceberg table by name — the reference fork registers
+    * Iceberg through the same catalog surface as files
+    * (distributed_query.rs:44,100); snapshot pinned at registration
+    * time (re-register to see later commits). */
+  def registerIceberg(name: String, path: String,
+                      snapshotId: Option[Long] = None): Unit =
+    readIceberg(path, snapshotId).createOrReplaceTempView(name)
+
   /** Register all TPC-H-ish parquet tables found in a scale-factor dir. */
   def registerTables(sfDir: String, names: Seq[String] = defaultTables): Unit =
     names.foreach(n => registerParquet(n, s"$sfDir/$n.parquet"))

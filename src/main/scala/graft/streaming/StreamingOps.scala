@@ -56,6 +56,32 @@ object StreamingOps {
         col("session_window.end").as("sess_end"), col(keyCol),
         col("n_events"))
 
+  /** Score a STREAM of documents against a STATIC unigram model trained
+    * batch-side ([[graft.operators.TextAnalysis.unigramLogProb]]'s model
+    * shape: a (tok, cnt) vocab plus corpus totals) — the deploy-time
+    * form of quality filtering: train once on the existing corpus, score
+    * every incoming document with a stream-static broadcast join. Emits
+    * (id, n_toks, lp_sum_micro, avg_logprob) per arriving doc; the
+    * micro-nat integer arithmetic matches the batch scorer exactly, so
+    * streaming and batch scores for the same doc are identical. */
+  def scoreStreamUnigram(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, nTotal: Long, vSize: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    toks
+      .join(broadcast(vocab.select(col("tok"), col("cnt"))), Seq("tok"), "left")
+      .select(col("id"),
+        round(log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
+            lit(nTotal + vSize + 1L).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        sum("lp_micro").as("lp_sum_micro"))
+      .select(col("id"), col("n_toks"), col("lp_sum_micro"),
+        (col("lp_sum_micro").cast("double") / col("n_toks") / lit(1e6))
+          .as("avg_logprob"))
+  }
+
   case class KeyCount(key: String, n: Long)
 
   /** Tagged union row for [[asofEnrich]]: reference rows (`isRef=true`)

@@ -211,6 +211,19 @@ class IcebergSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) === 2.5)
   }
 
+  test("registerIceberg exposes a snapshot to SQL by name") {
+    val dir = s"$root/reg"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val s1 = w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    w.append(df((3L, "c", 3.0)))
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("ice_t", dir)
+    assert(spark.sql("SELECT count(*) FROM ice_t").head.getLong(0) === 3L)
+    g.registerIceberg("ice_t1", dir, snapshotId = Some(s1))
+    assert(spark.sql("SELECT max(id) FROM ice_t1").head.getLong(0) === 2L)
+    spark.catalog.dropTempView("ice_t"); spark.catalog.dropTempView("ice_t1")
+  }
+
   test("history relation: commit order, deterministic clock, operations") {
     val dir = s"$root/hist"
     val w = new IcebergFixture.Writer(spark, dir, schema)

@@ -220,4 +220,39 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     assert(last("a") == 3L && last("b") == 1L)
   }
+
+  test("streaming unigram scoring matches the batch scorer doc-for-doc") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // train the model BATCH-side: vocab + totals, same derivation as the
+    // batch scorer
+    val toks = docsDf.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(20)
+    val nTotal = counts.agg(sum("cnt")).head.getLong(0)
+    val vSize = vocab.count()
+
+    // stream the SAME documents through the static-model scorer
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val batch1 = docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(batch1.toIndexedSeq)
+    val scored = StreamingOps.scoreStreamUnigram(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      vocab, nTotal, vSize)
+    StreamingOps.runToMemory(scored, "stream_scores", OutputMode.Update())
+
+    val streamed = spark.table("stream_scores").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.TextAnalysis
+      .unigramLogProb(docsDf, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty && streamed.keySet.subsetOf(batch.keySet))
+    // exact integer micro-nat equality: deploy-time streaming scores are
+    // bit-identical to the training-time batch scores
+    streamed.foreach { case (id, s) => assert(s === batch(id),
+      s"doc $id: streaming $s != batch ${batch(id)}") }
+  }
 }
