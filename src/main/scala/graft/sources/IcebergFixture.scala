@@ -146,15 +146,48 @@ object IcebergFixture {
   final class Writer(val spark: SparkSession, val dir: String,
                      val schema: StructType, val formatVersion: Int = 2,
                      val inlineManifests: Boolean = false,
-                     val partitionCols: Seq[String] = Nil) {
+                     val partitionCols: Seq[String] = Nil,
+                     val partitionTransforms: Map[String, String] = Map.empty) {
     require(formatVersion == 1 || formatVersion == 2,
       s"format-version must be 1 or 2, got $formatVersion")
     require(!(inlineManifests && formatVersion != 1),
       "inline snapshot manifests are a v1-only form")
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
+    require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
+      "partitionTransforms keys must be partition columns")
+    partitionTransforms.values.foreach(t =>
+      require(t.matches("truncate\\[\\d+\\]"),
+        s"only truncate[W] transforms supported by the fixture, got $t"))
+
+    /** (spec partition-field name, transform, source col). Identity keeps
+      * the source name; truncate gets the conventional `_trunc` suffix. */
+    private val partFields: Seq[(String, String, String)] =
+      partitionCols.map { c =>
+        partitionTransforms.get(c) match {
+          case Some(t) => (s"${c}_trunc", t, c)
+          case None    => (c, "identity", c)
+        }
+      }
     private val partColTypes: Seq[(String, DataType)] =
-      partitionCols.map(n => n -> schema(n).dataType)
+      partFields.map { case (n, _, src) => n -> schema(src).dataType }
+
+    /** The transform as a Column over the source (identity passthrough;
+      * truncate per spec: floor-mod width binning for ints, prefix for
+      * strings). */
+    private def transformCol(field: (String, String, String))
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{col => c, _}
+      val (_, t, src) = field
+      val W = "\\d+".r.findFirstIn(t).map(_.toInt)
+      (t, schema(src).dataType) match {
+        case ("identity", _)                     => c(src)
+        case (_, IntegerType) | (_, LongType)    => c(src) - pmod(c(src), lit(W.get))
+        case (_, StringType)                     => substring(c(src), 1, W.get)
+        case (_, other) => throw new IllegalArgumentException(
+          s"truncate not supported on $other in the fixture")
+      }
+    }
 
     private val metaDir = new File(dir, "metadata")
     private val dataDir = new File(dir, "data")
@@ -192,12 +225,11 @@ object IcebergFixture {
           val (rows, bytes) = writeParquetFile(df, target)
           Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes))
         } else {
-          import org.apache.spark.sql.functions.col
-          val tuples = df.select(partitionCols.map(col): _*).distinct()
+          val tuples = df.select(partFields.map(transformCol): _*).distinct()
             .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
           tuples.zipWithIndex.map { case (vals, i) =>
-            val part = partitionCols.zip(vals)
-              .map { case (c, v) => df(c) === v }.reduce(_ && _)
+            val part = partFields.zip(vals)
+              .map { case (f, v) => transformCol(f) === v }.reduce(_ && _)
             val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
             val (rows, bytes) = writeParquetFile(df.filter(part), target)
             FileMeta(target.getAbsolutePath, 0, rows, bytes,
@@ -276,9 +308,9 @@ object IcebergFixture {
     }
 
     private def partitionSpecFieldsJson: String =
-      partitionCols.zipWithIndex.map { case (n, i) =>
-        val sourceId = schema.fieldNames.indexOf(n) + 1
-        s"""{"name":"$n","transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+      partFields.zipWithIndex.map { case ((n, t, src), i) =>
+        val sourceId = schema.fieldNames.indexOf(src) + 1
+        s"""{"name":"$n","transform":"$t","source-id":$sourceId,"field-id":${1000 + i}}"""
       }.mkString("[", ",", "]")
 
     private def writeManifest(files: Seq[FileMeta], snapshotId: Long): (String, Long) = {
@@ -311,8 +343,8 @@ object IcebergFixture {
         // delete files in a partitioned table: fixture writes them as
         // partition-less (global) — leave the record fields unset only
         // when values exist for this file
-        partitionCols.zip(fm.partitionValues).foreach { case (c, v) =>
-          partRec.put(c, v)
+        partFields.map(_._1).zip(fm.partitionValues).foreach { case (n, v) =>
+          partRec.put(n, v)
         }
         d.put("partition", partRec)
         d.put("record_count", fm.records)
@@ -399,11 +431,11 @@ object IcebergFixture {
       val spec0 = specs.addObject()
       spec0.put("spec-id", 0)
       val specFields = spec0.putArray("fields")
-      partitionCols.zipWithIndex.foreach { case (n, i) =>
+      partFields.zipWithIndex.foreach { case ((n, t, src), i) =>
         val f = specFields.addObject()
         f.put("name", n)
-        f.put("transform", "identity")
-        f.put("source-id", schema.fieldNames.indexOf(n) + 1)
+        f.put("transform", t)
+        f.put("source-id", schema.fieldNames.indexOf(src) + 1)
         f.put("field-id", 1000 + i)
       }
       root.put("last-partition-id", 999 + partitionCols.size)

@@ -72,7 +72,8 @@ object IcebergIO {
       snapshots: Seq[SnapshotInfo],
       schema: StructType,
       fieldById: Map[Int, String], // top-level field id -> column name
-      partitionFields: Seq[(String, String)], // default spec: (name, transform)
+      // default spec fields: (partition field name, transform, source id)
+      partitionFields: Seq[(String, String, Int)],
       metadataFile: String)
 
   /** Resolve the current metadata JSON file for a table directory:
@@ -197,17 +198,18 @@ object IcebergIO {
       else None
     // default partition spec: v2 "partition-specs"+"default-spec-id";
     // v1 may use the legacy "partition-spec" array directly
-    val partitionFields: Seq[(String, String)] =
+    def specField(f: JsonNode): (String, String, Int) =
+      (f.get("name").asText(), f.get("transform").asText(),
+        if (f.has("source-id")) f.get("source-id").asInt() else -1)
+    val partitionFields: Seq[(String, String, Int)] =
       if (root.has("partition-specs")) {
         val specId = if (root.has("default-spec-id")) root.get("default-spec-id").asInt() else 0
         root.get("partition-specs").elements().asScala
           .find(_.get("spec-id").asInt() == specId)
-          .map(_.get("fields").elements().asScala
-            .map(f => f.get("name").asText() -> f.get("transform").asText()).toSeq)
+          .map(_.get("fields").elements().asScala.map(specField).toSeq)
           .getOrElse(Nil)
       } else if (root.has("partition-spec"))
-        root.get("partition-spec").elements().asScala
-          .map(f => f.get("name").asText() -> f.get("transform").asText()).toSeq
+        root.get("partition-spec").elements().asScala.map(specField).toSeq
       else Nil
     TableMetadata(fv, root.get("location").asText(), current, snaps,
       schemaOf(root), fieldIdsOf(root), partitionFields, mdFile.getPath)
@@ -321,14 +323,19 @@ object IcebergIO {
     * @param snapshotId      read this exact snapshot (time travel by id)
     * @param asOfTimestampMs read the latest snapshot committed at or before
     *                        this epoch-millis timestamp (time travel by time)
-    * @param partitionFilter equality predicates on IDENTITY partition
+    * @param partitionFilter equality predicates on partition SOURCE
     *                        columns, applied at PLANNING time against the
     *                        manifests' partition tuples — non-matching
     *                        data files are never opened (the metadata
     *                        pruning that makes a 1e5-file table scan
     *                        viable; same contract as the runtime jar's
-    *                        partition pruning). Keys must name identity
-    *                        partition fields of the default spec.
+    *                        partition pruning). Identity and truncate[W]
+    *                        transforms are supported (the filter value is
+    *                        transformed before comparing); note this is
+    *                        FILE pruning, not a row filter — with
+    *                        truncate, rows sharing the filter value's
+    *                        bin/prefix survive and the caller applies the
+    *                        exact row predicate as usual.
     */
   def read(spark: SparkSession, tablePath: String,
            snapshotId: Option[Long] = None,
@@ -356,20 +363,40 @@ object IcebergIO {
               s"current-snapshot-id $id missing from snapshots list")))
       }
     }
-    if (partitionFilter.nonEmpty) {
-      val identityCols = meta.partitionFields
-        .collect { case (n, "identity") => n }.toSet
-      val bad = partitionFilter.keys.filterNot(identityCols.contains)
-      require(bad.isEmpty,
-        s"partitionFilter names non-identity-partition column(s): " +
-          s"${bad.mkString(", ")} (identity partition columns: " +
-          s"${identityCols.toSeq.sorted.mkString(", ")})")
+    // Resolve source-column filters to (partition field name -> expected
+    // STORED value): identity passes through; truncate[W] applies the
+    // spec's transform to the filter value (floor-mod width bin for ints,
+    // W-char prefix for strings) so it compares against what manifests
+    // record. Other transforms (bucket, time) are rejected explicitly —
+    // a silently unpruned filter would read as "pruning works" in tests.
+    val truncRe = "^truncate\\[(\\d+)\\]$".r
+    val bySource: Map[String, (String, String)] = meta.partitionFields.flatMap {
+      case (name, t, srcId) => meta.fieldById.get(srcId).map(src => src -> (name, t))
+    }.toMap
+    val resolvedFilter: Map[String, Any] = partitionFilter.map { case (k, v) =>
+      val (fieldName, t) = bySource.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"partitionFilter names non-partition-source column '$k' " +
+            s"(partition sources: ${bySource.keys.toSeq.sorted.mkString(", ")})"))
+      val stored: Any = t match {
+        case "identity" => v
+        case truncRe(w) => v match {
+          case n: Int    => n - Math.floorMod(n, w.toInt)
+          case n: Long   => n - Math.floorMod(n, w.toLong)
+          case s: String => s.take(w.toInt)
+          case other => throw new IllegalArgumentException(
+            s"truncate filter value must be int/long/string, got $other")
+        }
+        case other => throw new UnsupportedOperationException(
+          s"partition transform '$other' on '$k' is not supported for pruning")
+      }
+      fieldName -> stored
     }
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s, partitionFilter)
+      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter)
     }
   }
 

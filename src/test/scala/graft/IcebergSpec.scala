@@ -191,7 +191,36 @@ class IcebergSpec extends AnyFunSuite {
     // filters on non-partition columns are rejected with the known list
     val e = intercept[IllegalArgumentException](
       IcebergIO.read(spark, dir, partitionFilter = Map("score" -> 1.0)))
-    assert(e.getMessage.contains("identity") && e.getMessage.contains("name"))
+    assert(e.getMessage.contains("non-partition-source") && e.getMessage.contains("name"))
+  }
+
+  test("truncate[W] partition transform: split on the transformed value, pruned scan") {
+    val dir = s"$root/trunc"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "truncate[2]"))
+    // prefixes: "aa" (x2), "ab", "zz" -> three data files
+    w.append(df((1L, "aard", 1.0), (2L, "aaron", 2.0), (3L, "abel", 3.0), (4L, "zz", 4.0)))
+    assert(w.dataFilePaths.size === 3)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 4L))
+
+    // filter by SOURCE value: truncate("aaron",2)="aa" -> only that file
+    // survives pruning; the file contains BOTH aa-prefix rows (file
+    // pruning, not a row filter — callers still apply the row predicate)
+    val pruned = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "aaron"))
+    assert(ids(pruned) === Seq(1L, 2L))
+    assert(pruned.inputFiles.length === 1)
+
+    // integer truncate: width-10 bins on id
+    val dir2 = s"$root/trunc_int"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema,
+      partitionCols = Seq("id"),
+      partitionTransforms = Map("id" -> "truncate[10]"))
+    w2.append(df((3L, "a", 1.0), (7L, "b", 2.0), (17L, "c", 3.0), (23L, "d", 4.0)))
+    assert(w2.dataFilePaths.size === 3) // bins 0, 10, 20
+    val p2 = IcebergIO.read(spark, dir2, partitionFilter = Map("id" -> 15L))
+    assert(ids(p2) === Seq(17L)) // bin 10 holds only id=17
+    assert(p2.inputFiles.length === 1)
   }
 
   test("schema-evolved table: files predating a column read it as null") {
