@@ -158,18 +158,19 @@ object Similarity {
                      k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.{Row, types => T}
     val spark = emb.sparkSession
-    val (cents, lastAssigned) = trainKmeans(emb, idCol, vecCol, k, iters)
-    val stats = lastAssigned.groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"), sum("id").as("sum_ids"))
-    val l1Rows = cents.zipWithIndex.map { case (cv, i) =>
-      Row(i.toLong, cv.map(math.abs).sum)
+    val (cents, stats) = trainKmeans(emb, idCol, vecCol, k, iters)
+    // stats were collected DURING the final iteration (k aggregate rows),
+    // so no distributed job re-runs when the caller materializes this
+    val rows = stats.toSeq.sortBy(_._1).map { case (cell, (n, sumIds)) =>
+      Row(cell, n, sumIds, cents(cell.toInt).map(math.abs).sum)
     }
-    val l1 = spark.createDataFrame(
-      new java.util.ArrayList[Row](l1Rows.asJava),
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
       T.StructType(Seq(
         T.StructField("cell", T.LongType, nullable = false),
+        T.StructField("n_vecs", T.LongType, nullable = false),
+        T.StructField("sum_ids", T.LongType, nullable = false),
         T.StructField("centroid_l1", T.LongType, nullable = false))))
-    stats.join(broadcast(l1), Seq("cell")).orderBy("cell")
   }
 
   /** Bridge a TRAINED codebook into the IVF search path: the final
@@ -195,12 +196,13 @@ object Similarity {
   }
 
   /** The Lloyd loop shared by [[kmeansCodebook]] and
-    * [[kmeansCentroidTable]]: returns the final quantized centroids and
-    * the last assignment (whose plan captures the PRE-update centroids,
-    * so re-evaluating it later stays deterministic). */
+    * [[kmeansCentroidTable]]: returns the final quantized centroids plus
+    * the final iteration's per-cell (n_vecs, sum_ids) — collected inside
+    * the loop while the quantized input is still cached, so callers
+    * never re-run the assignment after the cache is dropped. */
   private def trainKmeans(emb: DataFrame, idCol: String, vecCol: String,
                           k: Int, iters: Int)
-      : (IndexedSeq[IndexedSeq[Long]], DataFrame) = {
+      : (IndexedSeq[IndexedSeq[Long]], Map[Long, (Long, Long)]) = {
     require(k > 0 && iters > 0)
     val q = emb.select(col(idCol).cast("long").as("id"),
         expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
@@ -213,27 +215,41 @@ object Similarity {
         .select("qv").collect()
         .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
       require(cents.size == k, s"corpus smaller than k=$k")
-      var lastAssigned: DataFrame = null
+      var stats: Map[Long, (Long, Long)] = Map.empty
       for (_ <- 1 to iters) {
         val assigned = assignKmeansCells(q, cents)
         val sums: Map[(Long, Int), Long] = assigned
           .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy("cell", "pos").agg(sum("v").as("s"))
           .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-        val counts: Map[Long, Long] = assigned.groupBy("cell")
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        stats = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n"), sum("id").as("sum_ids")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
         cents = cents.zipWithIndex.map { case (old, i) =>
-          counts.get(i.toLong) match {
+          stats.get(i.toLong) match {
             // truncating integer division — matches the oracle's `//`
-            case Some(n) => old.indices.map(p => sums((i.toLong, p)) / n)
-            case None    => old // empty cell keeps its centroid
+            case Some((n, _)) => old.indices.map(p => sums((i.toLong, p)) / n)
+            case None         => old // empty cell keeps its centroid
           }
         }
-        lastAssigned = assigned
       }
-      (cents, lastAssigned)
+      (cents, stats)
     } finally q.unpersist()
+  }
+
+  /** One seed-centroid assignment pass, for plan inspection in tests —
+    * the kmeansCodebook OUTPUT plan is a LocalTableScan (stats are
+    * collected during training), so the scale-shape pin must look at the
+    * per-iteration assignment job this returns. */
+  private[graft] def kmeansAssignmentForPlan(emb: DataFrame, idCol: String,
+                                             vecCol: String, k: Int): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val seeds = q.withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h", "id").limit(k)
+      .select("qv").collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    assignKmeansCells(q, seeds)
   }
 
   /** Map-side nearest-centroid assignment over quantized vectors: exact

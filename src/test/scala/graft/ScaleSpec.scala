@@ -139,7 +139,12 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("kmeans assignment plan: centroid attach is a one-row broadcast, map-side fold") {
-    val p = planOf("embed_kmeans_codebook")
+    // the codebook query's OUTPUT is a LocalTableScan (stats collected
+    // during training) — inspect the per-iteration assignment job itself
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .kmeansAssignmentForPlan(emb, "vec_id", "embedding", 4)
+      .queryExecution.executedPlan.toString
     // the centroid array rides a 1-row broadcast crossJoin (NL join over a
     // single build row = map-side attach); the corpus-by-k join must NOT
     // materialize as a hash/sort-merge join on a row-exploded centroid set
