@@ -119,6 +119,29 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** bucket[N]-partitioned table + planning-time pruning: nation hashed
+    * into 4 buckets of n_name (spec murmur3 bucket transform). The
+    * partitionFilter prunes to CANADA's bucket at planning time (file
+    * pruning asserted in IcebergSpec); the exact row predicate is then
+    * applied as usual, so the oracle is a plain name filter. */
+  val icebergBucketPrune = dfQ("iceberg_bucket_prune",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_name = 'NATION_7' ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_iceberg_bucket_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema,
+      partitionCols = Seq("n_name"),
+      partitionTransforms = Map("n_name" -> "bucket[4]"))
+    w.append(nationSorted(s))
+    val out = IcebergIO.read(s, dir, partitionFilter = Map("n_name" -> "NATION_7"))
+      .filter(col("n_name") === "NATION_7").orderBy("n_nationkey")
+    require(out.count() > 0, "bucket-pruned scan must not be empty " +
+      "(an empty result would make the oracle compare vacuous)")
+    out
+  }
+
   /** Table history as a relation (the runtime jar's `.history` metadata
     * table). The fixture's commit clock is deterministic (2024-01-01 UTC
     * + 1 s per snapshot), so the oracle pins the exact expected rows. */
@@ -133,5 +156,5 @@ object IcebergQueries {
   }
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
-    icebergEqDelete, icebergPartitionPrune, icebergHistory)
+    icebergEqDelete, icebergPartitionPrune, icebergBucketPrune, icebergHistory)
 }

@@ -157,33 +157,51 @@ object IcebergFixture {
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
       "partitionTransforms keys must be partition columns")
     partitionTransforms.values.foreach(t =>
-      require(t.matches("truncate\\[\\d+\\]"),
-        s"only truncate[W] transforms supported by the fixture, got $t"))
+      require(t.matches("truncate\\[\\d+\\]") || t.matches("bucket\\[\\d+\\]"),
+        s"only truncate[W] / bucket[N] transforms supported by the fixture, got $t"))
 
     /** (spec partition-field name, transform, source col). Identity keeps
-      * the source name; truncate gets the conventional `_trunc` suffix. */
+      * the source name; truncate/bucket get the conventional suffix. */
     private val partFields: Seq[(String, String, String)] =
       partitionCols.map { c =>
         partitionTransforms.get(c) match {
-          case Some(t) => (s"${c}_trunc", t, c)
-          case None    => (c, "identity", c)
+          case Some(t) if t.startsWith("truncate") => (s"${c}_trunc", t, c)
+          case Some(t)                             => (s"${c}_bucket", t, c)
+          case None                                => (c, "identity", c)
         }
       }
+    // bucket partition fields are always int (the bucket ordinal),
+    // regardless of the source column type
     private val partColTypes: Seq[(String, DataType)] =
-      partFields.map { case (n, _, src) => n -> schema(src).dataType }
+      partFields.map { case (n, t, src) =>
+        n -> (if (t.startsWith("bucket")) IntegerType else schema(src).dataType)
+      }
 
     /** The transform as a Column over the source (identity passthrough;
       * truncate per spec: floor-mod width binning for ints, prefix for
-      * strings). */
+      * strings; bucket per spec via [[IcebergTransforms.bucket]]). */
     private def transformCol(field: (String, String, String))
         : org.apache.spark.sql.Column = {
       import org.apache.spark.sql.functions.{col => c, _}
       val (_, t, src) = field
       val W = "\\d+".r.findFirstIn(t).map(_.toInt)
       (t, schema(src).dataType) match {
-        case ("identity", _)                     => c(src)
-        case (_, IntegerType) | (_, LongType)    => c(src) - pmod(c(src), lit(W.get))
-        case (_, StringType)                     => substring(c(src), 1, W.get)
+        case ("identity", _) => c(src)
+        case (b, dt) if b.startsWith("bucket") =>
+          val n = W.get
+          val u = dt match {
+            case IntegerType => udf((x: java.lang.Integer) =>
+              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.intValue())))
+            case LongType => udf((x: java.lang.Long) =>
+              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.longValue())))
+            case StringType => udf((x: String) =>
+              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
+            case other => throw new IllegalArgumentException(
+              s"bucket not supported on $other in the fixture")
+          }
+          u(c(src))
+        case (_, IntegerType) | (_, LongType) => c(src) - pmod(c(src), lit(W.get))
+        case (_, StringType)                  => substring(c(src), 1, W.get)
         case (_, other) => throw new IllegalArgumentException(
           s"truncate not supported on $other in the fixture")
       }

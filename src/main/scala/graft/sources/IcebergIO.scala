@@ -329,13 +329,14 @@ object IcebergIO {
     *                        data files are never opened (the metadata
     *                        pruning that makes a 1e5-file table scan
     *                        viable; same contract as the runtime jar's
-    *                        partition pruning). Identity and truncate[W]
-    *                        transforms are supported (the filter value is
-    *                        transformed before comparing); note this is
-    *                        FILE pruning, not a row filter — with
-    *                        truncate, rows sharing the filter value's
-    *                        bin/prefix survive and the caller applies the
-    *                        exact row predicate as usual.
+    *                        partition pruning). Identity, truncate[W] and
+    *                        bucket[N] transforms are supported (the
+    *                        filter value is transformed before
+    *                        comparing); note this is FILE pruning, not a
+    *                        row filter — with truncate/bucket, rows
+    *                        sharing the filter value's bin/prefix/bucket
+    *                        survive and the caller applies the exact row
+    *                        predicate as usual.
     */
   def read(spark: SparkSession, tablePath: String,
            snapshotId: Option[Long] = None,
@@ -366,10 +367,13 @@ object IcebergIO {
     // Resolve source-column filters to (partition field name -> expected
     // STORED value): identity passes through; truncate[W] applies the
     // spec's transform to the filter value (floor-mod width bin for ints,
-    // W-char prefix for strings) so it compares against what manifests
-    // record. Other transforms (bucket, time) are rejected explicitly —
-    // a silently unpruned filter would read as "pruning works" in tests.
+    // W-char prefix for strings); bucket[N] applies the spec's
+    // murmur3-based bucket ordinal ([[IcebergTransforms.bucket]]) so it
+    // compares against what manifests record. Other transforms (time) are
+    // rejected explicitly — a silently unpruned filter would read as
+    // "pruning works" in tests.
     val truncRe = "^truncate\\[(\\d+)\\]$".r
+    val bucketRe = "^bucket\\[(\\d+)\\]$".r
     val bySource: Map[String, (String, String)] = meta.partitionFields.flatMap {
       case (name, t, srcId) => meta.fieldById.get(srcId).map(src => src -> (name, t))
     }.toMap
@@ -387,6 +391,7 @@ object IcebergIO {
           case other => throw new IllegalArgumentException(
             s"truncate filter value must be int/long/string, got $other")
         }
+        case bucketRe(n) => Int.box(IcebergTransforms.bucket(n.toInt, v))
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' on '$k' is not supported for pruning")
       }

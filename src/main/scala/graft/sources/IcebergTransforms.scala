@@ -1,0 +1,91 @@
+package graft.sources
+
+/**
+ * Iceberg partition-transform math needed for planning-time pruning —
+ * specifically `bucket[N]`, which the public table spec (Appendix B,
+ * https://iceberg.apache.org/spec/#appendix-b-32-bit-hash-requirements)
+ * defines as
+ *
+ *   bucket(v) = (murmur3_x86_32(serialize(v), seed = 0) & Int.MaxValue) % N
+ *
+ * with a fixed per-type serialization: int/long/date/time/timestamp hash
+ * their value widened to a LITTLE-ENDIAN 8-byte long (so `bucket(34: Int)`
+ * == `bucket(34L)` — the spec's type-promotion guarantee), strings hash
+ * their UTF-8 bytes, binary hashes raw bytes. The spec publishes test
+ * vectors (34 -> 2017239379, "iceberg" -> 1210000089, ...) which
+ * IcebergSpec pins, so this stays anchored to the published algorithm
+ * rather than to itself.
+ *
+ * Reference analog: the fork scans Iceberg through `iceberg-rust`'s
+ * transform module (reference: Cargo.toml:43-45); here only the hash is
+ * needed — pruning compares a transformed filter value against the bucket
+ * ordinals recorded in manifest partition tuples.
+ */
+object IcebergTransforms {
+
+  /** Canonical MurmurHash3 x86 32-bit (Austin Appleby's public-domain
+    * algorithm), the variant the Iceberg spec mandates. Spark's internal
+    * Murmur3 is NOT this for long inputs (it hashes longs natively, not
+    * their little-endian bytes), hence a direct implementation. */
+  private[sources] def murmur3x86_32(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    val len = data.length
+    var h1 = seed
+    val nblocks = len >>> 2
+    var i = 0
+    while (i < nblocks) {
+      val base = i << 2
+      var k1 = (data(base) & 0xff) | ((data(base + 1) & 0xff) << 8) |
+        ((data(base + 2) & 0xff) << 16) | ((data(base + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks << 2
+    if ((len & 3) >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if ((len & 3) >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if ((len & 3) >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= h1 >>> 16
+    h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** Spec serialization for integral types: the value widened to long,
+    * as 8 little-endian bytes. */
+  private def hashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var x = v
+    var i = 0
+    while (i < 8) { b(i) = (x & 0xffL).toByte; x >>>= 8; i += 1 }
+    murmur3x86_32(b, 0)
+  }
+
+  /** The 32-bit hash underlying bucket[N] (before the modulo). */
+  def bucketHash(v: Any): Int = v match {
+    case i: Int         => hashLong(i.toLong)
+    case l: Long        => hashLong(l)
+    case s: String      => murmur3x86_32(s.getBytes("UTF-8"), 0)
+    case b: Array[Byte] => murmur3x86_32(b, 0)
+    case d: java.sql.Date      => hashLong(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => hashLong(d.toEpochDay)
+    case other => throw new IllegalArgumentException(
+      s"bucket transform not supported for value type " +
+        s"${other.getClass.getSimpleName} (int/long/string/binary/date)")
+  }
+
+  /** Bucket ordinal: `(hash & Int.MaxValue) % n` per spec. */
+  def bucket(n: Int, v: Any): Int = {
+    require(n > 0, s"bucket width must be positive, got $n")
+    (bucketHash(v) & Integer.MAX_VALUE) % n
+  }
+}

@@ -223,6 +223,56 @@ class IcebergSpec extends AnyFunSuite {
     assert(p2.inputFiles.length === 1)
   }
 
+  test("bucket transform matches the Iceberg spec's published hash vectors") {
+    import graft.sources.IcebergTransforms._
+    // spec Appendix B test values — int/long promote identically
+    assert(bucketHash(34) === 2017239379)
+    assert(bucketHash(34L) === 2017239379)
+    assert(bucketHash("iceberg") === 1210000089)
+    assert(bucketHash(Array[Byte](0, 1, 2, 3)) === -188683207)
+    assert(bucketHash(java.time.LocalDate.of(2017, 11, 16)) === -653330422)
+    assert(bucket(16, 34) === (2017239379 & Int.MaxValue) % 16)
+    val e = intercept[IllegalArgumentException](bucketHash(1.5))
+    assert(e.getMessage.contains("bucket transform not supported"))
+  }
+
+  test("bucket[N] partition transform: split on bucket ordinal, pruned scan") {
+    import graft.sources.IcebergTransforms
+    val dir = s"$root/bucket"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "bucket[4]"))
+    val names = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    w.append(df(names.zipWithIndex.map {
+      case (n, i) => ((i + 1).toLong, n, i.toDouble) }: _*))
+    // one data file per distinct bucket ordinal present
+    val buckets = names.map(IcebergTransforms.bucket(4, _))
+    assert(w.dataFilePaths.size === buckets.distinct.size)
+    assert(ids(IcebergIO.read(spark, dir)) === (1L to 5L))
+
+    // filter by SOURCE value: only alpha's bucket survives pruning; the
+    // file holds every name sharing that bucket (file pruning, not a row
+    // filter)
+    val target = IcebergTransforms.bucket(4, "alpha")
+    val expected = names.zipWithIndex.collect {
+      case (n, i) if IcebergTransforms.bucket(4, n) == target => (i + 1).toLong }
+    val pruned = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "alpha"))
+    assert(ids(pruned) === expected.sorted)
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 surviving data file, scan reads: ${pruned.inputFiles.mkString(", ")}")
+
+    // long-source bucket: ids 1..5 into 3 buckets
+    val dir2 = s"$root/bucket_long"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema,
+      partitionCols = Seq("id"),
+      partitionTransforms = Map("id" -> "bucket[3]"))
+    w2.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val t2 = IcebergTransforms.bucket(3, 2L)
+    val exp2 = Seq(1L, 2L, 3L).filter(IcebergTransforms.bucket(3, _) == t2)
+    val p2 = IcebergIO.read(spark, dir2, partitionFilter = Map("id" -> 2L))
+    assert(ids(p2) === exp2.sorted)
+  }
+
   test("schema-evolved table: files predating a column read it as null") {
     val dir = s"$root/evolved"
     val w = new IcebergFixture.Writer(spark, dir, schema)
