@@ -142,6 +142,37 @@ object IcebergQueries {
     out
   }
 
+  /** year-partitioned table + planning-time pruning: orders partitioned
+    * by year(o_orderdate) (spec time-transform ordinal = years from
+    * 1970). A filter date anywhere inside 1995 prunes to that year's one
+    * data file; the exact row predicate is then applied as usual. */
+  val icebergTimePrune = dfQ("iceberg_time_prune",
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.{col, year, to_date}
+    val dir = s"/tmp/graft_iceberg_time_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    // testdata o_orderdate is TIMESTAMP_NTZ — the fixture partitions on a
+    // true DATE column (the reference-shape for a year transform)
+    val base = s.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val w = new IcebergFixture.Writer(s, dir, base.schema,
+      partitionCols = Seq("o_orderdate"),
+      partitionTransforms = Map("o_orderdate" -> "year"))
+    w.append(base)
+    val out = IcebergIO.read(s, dir,
+      partitionFilter = Map("o_orderdate" -> java.sql.Date.valueOf("1995-06-15")))
+      .filter(year(col("o_orderdate")) === 1995).orderBy("o_orderkey")
+    require(out.count() > 0, "year-pruned scan must not be empty " +
+      "(an empty result would make the oracle compare vacuous)")
+    out
+  }
+
   /** Table history as a relation (the runtime jar's `.history` metadata
     * table). The fixture's commit clock is deterministic (2024-01-01 UTC
     * + 1 s per snapshot), so the oracle pins the exact expected rows. */
@@ -156,5 +187,6 @@ object IcebergQueries {
   }
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
-    icebergEqDelete, icebergPartitionPrune, icebergBucketPrune, icebergHistory)
+    icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
+    icebergTimePrune, icebergHistory)
 }

@@ -156,25 +156,30 @@ object IcebergFixture {
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
       "partitionTransforms keys must be partition columns")
+    private val timeTransforms = Set("year", "month", "day", "hour")
     partitionTransforms.values.foreach(t =>
-      require(t.matches("truncate\\[\\d+\\]") || t.matches("bucket\\[\\d+\\]"),
-        s"only truncate[W] / bucket[N] transforms supported by the fixture, got $t"))
+      require(t.matches("truncate\\[\\d+\\]") || t.matches("bucket\\[\\d+\\]") ||
+          timeTransforms(t),
+        s"only truncate[W] / bucket[N] / year/month/day/hour transforms " +
+          s"supported by the fixture, got $t"))
 
     /** (spec partition-field name, transform, source col). Identity keeps
-      * the source name; truncate/bucket get the conventional suffix. */
+      * the source name; transforms get the conventional suffix. */
     private val partFields: Seq[(String, String, String)] =
       partitionCols.map { c =>
         partitionTransforms.get(c) match {
           case Some(t) if t.startsWith("truncate") => (s"${c}_trunc", t, c)
-          case Some(t)                             => (s"${c}_bucket", t, c)
+          case Some(t) if t.startsWith("bucket")   => (s"${c}_bucket", t, c)
+          case Some(t)                             => (s"${c}_$t", t, c)
           case None                                => (c, "identity", c)
         }
       }
-    // bucket partition fields are always int (the bucket ordinal),
-    // regardless of the source column type
+    // bucket and time-transform partition fields are always int (the
+    // bucket/period ordinal), regardless of the source column type
     private val partColTypes: Seq[(String, DataType)] =
       partFields.map { case (n, t, src) =>
-        n -> (if (t.startsWith("bucket")) IntegerType else schema(src).dataType)
+        n -> (if (t.startsWith("bucket") || timeTransforms(t)) IntegerType
+              else schema(src).dataType)
       }
 
     /** The transform as a Column over the source (identity passthrough;
@@ -187,6 +192,17 @@ object IcebergFixture {
       val W = "\\d+".r.findFirstIn(t).map(_.toInt)
       (t, schema(src).dataType) match {
         case ("identity", _) => c(src)
+        // spec time-transform ordinals (IcebergTransforms scaladoc):
+        // fixture grain supports date sources (hour: timestamp sources)
+        case ("year", DateType)  => year(c(src)) - lit(1970)
+        case ("month", DateType) =>
+          (year(c(src)) - lit(1970)) * lit(12) + month(c(src)) - lit(1)
+        case ("day", DateType)   => datediff(c(src), to_date(lit("1970-01-01")))
+        case ("hour", TimestampNTZType) | ("hour", TimestampType) =>
+          expr(s"cast(unix_micros(cast($src as timestamp)) div 3600000000 as int)")
+        case (tt, other) if timeTransforms(tt) =>
+          throw new IllegalArgumentException(
+            s"$tt not supported on $other in the fixture")
         case (b, dt) if b.startsWith("bucket") =>
           val n = W.get
           val u = dt match {

@@ -329,12 +329,12 @@ object IcebergIO {
     *                        data files are never opened (the metadata
     *                        pruning that makes a 1e5-file table scan
     *                        viable; same contract as the runtime jar's
-    *                        partition pruning). Identity, truncate[W] and
-    *                        bucket[N] transforms are supported (the
-    *                        filter value is transformed before
-    *                        comparing); note this is FILE pruning, not a
-    *                        row filter — with truncate/bucket, rows
-    *                        sharing the filter value's bin/prefix/bucket
+    *                        partition pruning). Identity, truncate[W],
+    *                        bucket[N] and year/month/day/hour transforms
+    *                        are supported (the filter value is
+    *                        transformed before comparing); note this is
+    *                        FILE pruning, not a row filter — rows sharing
+    *                        the filter value's bin/prefix/bucket/period
     *                        survive and the caller applies the exact row
     *                        predicate as usual.
     */
@@ -368,10 +368,11 @@ object IcebergIO {
     // STORED value): identity passes through; truncate[W] applies the
     // spec's transform to the filter value (floor-mod width bin for ints,
     // W-char prefix for strings); bucket[N] applies the spec's
-    // murmur3-based bucket ordinal ([[IcebergTransforms.bucket]]) so it
-    // compares against what manifests record. Other transforms (time) are
-    // rejected explicitly — a silently unpruned filter would read as
-    // "pruning works" in tests.
+    // murmur3-based bucket ordinal ([[IcebergTransforms.bucket]]);
+    // year/month/day/hour map a date/timestamp filter value to the
+    // spec's epoch-based ordinals — each compares against what manifests
+    // record. Unknown transforms are rejected explicitly — a silently
+    // unpruned filter would read as "pruning works" in tests.
     val truncRe = "^truncate\\[(\\d+)\\]$".r
     val bucketRe = "^bucket\\[(\\d+)\\]$".r
     val bySource: Map[String, (String, String)] = meta.partitionFields.flatMap {
@@ -392,6 +393,10 @@ object IcebergIO {
             s"truncate filter value must be int/long/string, got $other")
         }
         case bucketRe(n) => Int.box(IcebergTransforms.bucket(n.toInt, v))
+        case "year"  => Int.box(IcebergTransforms.yearOrdinal(v))
+        case "month" => Int.box(IcebergTransforms.monthOrdinal(v))
+        case "day"   => Int.box(IcebergTransforms.dayOrdinal(v))
+        case "hour"  => Int.box(IcebergTransforms.hourOrdinal(v))
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' on '$k' is not supported for pruning")
       }

@@ -88,4 +88,49 @@ object IcebergTransforms {
     require(n > 0, s"bucket width must be positive, got $n")
     (bucketHash(v) & Integer.MAX_VALUE) % n
   }
+
+  // ---------------------------------------------------- time transforms
+  // The spec's partition ordinals: year = years from 1970, month = months
+  // from 1970-01, day = days from 1970-01-01, hour = hours from
+  // 1970-01-01T00:00. Timestamps without zone are treated as UTC (the
+  // spec's `timestamp` type carries no zone; `timestamptz` values arrive
+  // here already as instants).
+
+  private def toLocalDate(v: Any): java.time.LocalDate = v match {
+    case d: java.time.LocalDate     => d
+    case d: java.sql.Date           => d.toLocalDate
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case t: java.time.Instant       =>
+      t.atOffset(java.time.ZoneOffset.UTC).toLocalDate
+    case t: java.sql.Timestamp      => t.toLocalDateTime.toLocalDate
+    case other => throw new IllegalArgumentException(
+      s"time transform needs a date/timestamp value, got " +
+        other.getClass.getSimpleName)
+  }
+
+  private def toEpochSecond(v: Any): Long = v match {
+    case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+    case t: java.time.Instant       => t.getEpochSecond
+    case t: java.sql.Timestamp      =>
+      t.toLocalDateTime.toEpochSecond(java.time.ZoneOffset.UTC)
+    case other => throw new IllegalArgumentException(
+      s"hour transform needs a timestamp value, got " +
+        other.getClass.getSimpleName)
+  }
+
+  /** `year` partition ordinal: years from 1970. */
+  def yearOrdinal(v: Any): Int = toLocalDate(v).getYear - 1970
+
+  /** `month` partition ordinal: months from 1970-01. */
+  def monthOrdinal(v: Any): Int = {
+    val d = toLocalDate(v)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  /** `day` partition ordinal: days from 1970-01-01 (the epoch day). */
+  def dayOrdinal(v: Any): Int = Math.toIntExact(toLocalDate(v).toEpochDay)
+
+  /** `hour` partition ordinal: hours from 1970-01-01T00:00 UTC. */
+  def hourOrdinal(v: Any): Int =
+    Math.toIntExact(Math.floorDiv(toEpochSecond(v), 3600L))
 }

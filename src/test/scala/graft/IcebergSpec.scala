@@ -273,6 +273,37 @@ class IcebergSpec extends AnyFunSuite {
     assert(ids(p2) === exp2.sorted)
   }
 
+  test("time partition transforms: spec ordinals + month-pruned scan") {
+    import graft.sources.IcebergTransforms._
+    // spec ordinal examples for 2017-11-16 (/ 22:31:08 UTC)
+    val d = java.time.LocalDate.of(2017, 11, 16)
+    assert(yearOrdinal(d) === 47)
+    assert(monthOrdinal(d) === 574)
+    assert(dayOrdinal(d) === 17486)
+    assert(hourOrdinal(java.time.LocalDateTime.of(2017, 11, 16, 22, 31, 8)) === 419686)
+    assert(hourOrdinal(java.time.Instant.parse("2017-11-16T22:31:08Z")) === 419686)
+
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    val dir = s"$root/time_month"
+    val w = new IcebergFixture.Writer(spark, dir, dschema,
+      partitionCols = Seq("d"), partitionTransforms = Map("d" -> "month"))
+    val list = new java.util.ArrayList[Row]()
+    Seq(1L -> "1995-03-05", 2L -> "1995-03-20", 3L -> "1995-04-02",
+      4L -> "1996-03-05").foreach { case (i, s) =>
+      list.add(Row(i, java.sql.Date.valueOf(s))) }
+    w.append(spark.createDataFrame(list, dschema))
+    assert(w.dataFilePaths.size === 3) // months 1995-03, 1995-04, 1996-03
+
+    // any date inside 1995-03 prunes to that month's single file
+    val pruned = IcebergIO.read(spark, dir,
+      partitionFilter = Map("d" -> java.sql.Date.valueOf("1995-03-15")))
+    assert(ids(pruned) === Seq(1L, 2L))
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 surviving data file, scan reads: ${pruned.inputFiles.mkString(", ")}")
+  }
+
   test("schema-evolved table: files predating a column read it as null") {
     val dir = s"$root/evolved"
     val w = new IcebergFixture.Writer(spark, dir, schema)
