@@ -112,19 +112,44 @@ object Similarity {
       .drop("cents")
   }
 
+  /** Query-side multi-probe assignment: each row gets its `nprobe`
+    * highest-scoring cells (score desc, ties to the lowest cell — the
+    * nprobe=1 slice is exactly [[assignCells]]' argmax). Same map-side
+    * shape: one broadcast centroid array, sort + slice + explode per row.
+    * Output grain: one row per (input row, probed cell). */
+  private def assignQueryCells(rows: DataFrame, centroids: DataFrame,
+                               nprobe: Int): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val centArr = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv"), col("cnorm2"))))
+        .as("cents"))
+    // negated score first so ascending sort_array = score desc, cell asc
+    val scoredCells = transform(col("cents"), c => struct(
+      (-(vdot(col("v"), c.getField("cv")) / sqrt(c.getField("cnorm2"))))
+        .as("negscore"),
+      c.getField("cell").as("cell")))
+    rows.crossJoin(broadcast(centArr))
+      .withColumn("__probe", explode(slice(sort_array(scoredCells), 1, nprobe)))
+      .withColumn("cell", col("__probe.cell"))
+      .drop("cents", "__probe")
+  }
+
   /**
    * IVF (inverted-file) ANN over a PREBUILT centroid table: each corpus
    * row is assigned to its nearest cell (map-side, see `assignCells`),
-   * each query probes only its own cell, candidates are refined by exact
-   * cosine. Search is one hash-partitioned join on the cell id — the same
+   * each query probes its `nprobe` nearest cells, candidates are refined
+   * by exact cosine. Search is one hash-partitioned join on the cell id — the same
    * scale shape as the sign-LSH path but with a data-adaptive partitioning
    * (tighter cells ⇒ better recall per probe).
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: org.apache.spark.sql.Column, k: Int,
-              centroids: DataFrame): DataFrame = {
-    val assigned = assignCells(prep(emb, idCol, vecCol), centroids)
-    val q = assigned.filter(queryPred)
+              centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val all = prep(emb, idCol, vecCol)
+    val assigned = assignCells(all, centroids)
+    // a corpus row lives in exactly ONE cell, and a query's probed cells
+    // are distinct — so no candidate ever appears twice (no dedup pass)
+    val q = assignQueryCells(all.filter(queryPred), centroids, nprobe)
       .select(col("id").as("qid"), col("v").as("qv"),
         col("norm2").as("qnorm2"), col("cell"))
     val scored = broadcast(q).join(assigned, Seq("cell"))
@@ -317,6 +342,25 @@ object Similarity {
     // single-partition window funnel. Plan-asserted in ScaleSpec.
     scored.orderBy(col("cos").desc, col("a_id"), col("b_id")).limit(topN)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Cost side of the IVF recall/cost tradeoff: the mean number of
+    * candidates a single-probe query scans (same-cell corpus rows,
+    * excluding self). Read together with [[recallAtK]] — a codebook with
+    * degenerate giant cells posts high recall only because each probe
+    * re-scans most of the corpus. */
+  def ivfCandidateStats(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: org.apache.spark.sql.Column,
+                        centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val all = prep(emb, idCol, vecCol)
+    val assigned = assignCells(all, centroids)
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    // per query: total corpus rows across its probed cells, minus self
+    // (the query's own cell is always among its probes)
+    assignQueryCells(all.filter(queryPred), centroids, nprobe)
+      .join(cellSizes, Seq("cell"))
+      .groupBy("id").agg((sum("n_cell") - 1).as("cand"))
+      .agg(round(avg(col("cand").cast("double")), 6).as("avg_candidates"))
   }
 
   /** recall@k of the ANN result against the exact result, averaged over

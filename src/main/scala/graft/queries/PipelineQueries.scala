@@ -322,6 +322,206 @@ object PipelineQueries {
     Similarity.recallAtK(ann, exact)
   }
 
+  /** Index-quality harness oracle: recall@10 vs the exact top-10 for BOTH
+    * IVF codebooks — the deterministic seed scan and the k-means-trained
+    * one (k=16, 2 Lloyd iterations). The trained path replays the FULL
+    * training loop in SQL via the exact-integer idiom (micro-quantized
+    * BIGINT vectors, md5 seeds, truncating `//` centroid updates — same
+    * CTE chain as embed_kmeans_codebook at k=16), then reassembles the
+    * final centroids as ordered lists (`list(cv ORDER BY pos)`) so the
+    * double dequantization + norms fold in the same order as the Spark
+    * side's driver-built centroid table. */
+  private val trainedRecallOracle =
+    """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
+      |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2 FROM n WHERE id < 8),
+      |allscored AS (
+      |  SELECT q.qid, n.id AS nid,
+      |    list_sum(list_transform(list_zip(q.qv, n.v), z -> z[1] * z[2]))
+      |      / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cos
+      |  FROM q, n WHERE n.id <> q.qid),
+      |exact AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+      |    FROM allscored) t
+      |  WHERE rn <= 10),
+      |cent_seed AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM n WHERE norm2 > 0 ORDER BY id LIMIT 16),
+      |asg_seed AS (SELECT id, v, norm2, cell FROM (
+      |    SELECT p.id, p.v, p.norm2, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.id
+      |        ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+      |                 c.cell) AS rn
+      |    FROM n p, cent_seed c) t
+      |  WHERE rn = 1),
+      |ivf_seed AS (SELECT qid, nid FROM (
+      |    SELECT sq.qid, a.id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY sq.qid
+      |        ORDER BY list_sum(list_transform(list_zip(sq.qv, a.v), z -> z[1] * z[2]))
+      |          / (SQRT(sq.qnorm2) * SQRT(a.norm2)) DESC, a.id) AS rn
+      |    FROM (SELECT id AS qid, v AS qv, norm2 AS qnorm2, cell FROM asg_seed WHERE id < 8) sq
+      |    JOIN asg_seed a ON sq.cell = a.cell AND a.id <> sq.qid) t
+      |  WHERE rn <= 10),
+      |qq AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT id, qv, rn - 1 AS cell FROM (
+      |    SELECT id, qv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM qq
+      |  ) WHERE rn <= 16),
+      |qpos AS (
+      |  SELECT qq.id, i.i AS pos, qq.qv[i.i] AS qval
+      |  FROM qq CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(qq.qv))) AS i) i),
+      |c0 AS (
+      |  SELECT s.cell, i.i AS pos, s.qv[i.i] AS cv
+      |  FROM seeds s CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.qv))) AS i) i),
+      |d1 AS (
+      |  SELECT qp.id, c.cell, SUM((qp.qval - c.cv) * (qp.qval - c.cv)) AS dist
+      |  FROM qpos qp JOIN c0 c ON c.pos = qp.pos GROUP BY qp.id, c.cell),
+      |a1 AS (SELECT id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM d1
+      |  ) WHERE rn = 1),
+      |n1 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM a1 GROUP BY cell),
+      |s1 AS (SELECT a.cell, qp.pos, CAST(SUM(qp.qval) AS BIGINT) AS s
+      |       FROM a1 a JOIN qpos qp ON qp.id = a.id GROUP BY a.cell, qp.pos),
+      |c1 AS (
+      |  SELECT c.cell, c.pos, COALESCE(s1.s // n1.n, c.cv) AS cv
+      |  FROM c0 c
+      |  LEFT JOIN n1 ON n1.cell = c.cell
+      |  LEFT JOIN s1 ON s1.cell = c.cell AND s1.pos = c.pos),
+      |d2 AS (
+      |  SELECT qp.id, c.cell, SUM((qp.qval - c.cv) * (qp.qval - c.cv)) AS dist
+      |  FROM qpos qp JOIN c1 c ON c.pos = qp.pos GROUP BY qp.id, c.cell),
+      |a2 AS (SELECT id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM d2
+      |  ) WHERE rn = 1),
+      |n2 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY cell),
+      |s2 AS (SELECT a.cell, qp.pos, CAST(SUM(qp.qval) AS BIGINT) AS s
+      |       FROM a2 a JOIN qpos qp ON qp.id = a.id GROUP BY a.cell, qp.pos),
+      |c2 AS (
+      |  SELECT c.cell, c.pos, COALESCE(s2.s // n2.n, c.cv) AS cv
+      |  FROM c1 c
+      |  LEFT JOIN n2 ON n2.cell = c.cell
+      |  LEFT JOIN s2 ON s2.cell = c.cell AND s2.pos = c.pos),
+      |cent_tr AS (
+      |  SELECT cell, list_transform(list(cv ORDER BY pos), x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+      |  FROM c2 GROUP BY cell HAVING SUM(ABS(cv)) > 0),
+      |cent_tr2 AS (SELECT cell, cv, list_sum(list_transform(cv, x -> x * x)) AS cnorm2 FROM cent_tr),
+      |asg_tr AS (SELECT id, v, norm2, cell FROM (
+      |    SELECT p.id, p.v, p.norm2, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.id
+      |        ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+      |                 c.cell) AS rn
+      |    FROM n p, cent_tr2 c) t
+      |  WHERE rn = 1),
+      |ivf_tr AS (SELECT qid, nid FROM (
+      |    SELECT tq.qid, a.id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY tq.qid
+      |        ORDER BY list_sum(list_transform(list_zip(tq.qv, a.v), z -> z[1] * z[2]))
+      |          / (SQRT(tq.qnorm2) * SQRT(a.norm2)) DESC, a.id) AS rn
+      |    FROM (SELECT id AS qid, v AS qv, norm2 AS qnorm2, cell FROM asg_tr WHERE id < 8) tq
+      |    JOIN asg_tr a ON tq.cell = a.cell AND a.id <> tq.qid) t
+      |  WHERE rn <= 10),
+      |totals AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+      |cand_seed AS (
+      |  SELECT ROUND(AVG(CAST(cs.n_cell - 1 AS DOUBLE)), 6) AS avg_candidates
+      |  FROM asg_seed qa
+      |  JOIN (SELECT cell, COUNT(*) AS n_cell FROM asg_seed GROUP BY cell) cs USING (cell)
+      |  WHERE qa.id < 8),
+      |cand_tr AS (
+      |  SELECT ROUND(AVG(CAST(cs.n_cell - 1 AS DOUBLE)), 6) AS avg_candidates
+      |  FROM asg_tr qa
+      |  JOIN (SELECT cell, COUNT(*) AS n_cell FROM asg_tr GROUP BY cell) cs USING (cell)
+      |  WHERE qa.id < 8),
+      |probes_tr4 AS (
+      |  SELECT id, cell FROM (
+      |    SELECT p.id, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY p.id
+      |        ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+      |                 c.cell) AS rn
+      |    FROM n p, cent_tr2 c WHERE p.id < 8) t
+      |  WHERE rn <= 4),
+      |ivf_tr4 AS (SELECT qid, nid FROM (
+      |    SELECT tq.qid, a.id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY tq.qid
+      |        ORDER BY list_sum(list_transform(list_zip(tq.qv, a.v), z -> z[1] * z[2]))
+      |          / (SQRT(tq.qnorm2) * SQRT(a.norm2)) DESC, a.id) AS rn
+      |    FROM (SELECT pr.id AS qid, nn.v AS qv, nn.norm2 AS qnorm2, pr.cell
+      |          FROM probes_tr4 pr JOIN n nn ON nn.id = pr.id) tq
+      |    JOIN asg_tr a ON tq.cell = a.cell AND a.id <> tq.qid) t
+      |  WHERE rn <= 10),
+      |cand_tr4 AS (
+      |  SELECT ROUND(AVG(CAST(cand AS DOUBLE)), 6) AS avg_candidates FROM (
+      |    SELECT pr.id, SUM(cs.n_cell) - 1 AS cand
+      |    FROM probes_tr4 pr
+      |    JOIN (SELECT cell, COUNT(*) AS n_cell FROM asg_tr GROUP BY cell) cs USING (cell)
+      |    GROUP BY pr.id)),
+      |r_seed AS (
+      |  SELECT 'seed' AS codebook,
+      |    ROUND(AVG(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact), 6) AS avg_recall,
+      |    COUNT(*) AS n_queries,
+      |    (SELECT avg_candidates FROM cand_seed) AS avg_candidates
+      |  FROM totals t LEFT JOIN (
+      |    SELECT a.qid, COUNT(*) AS n_hit FROM ivf_seed a
+      |    JOIN exact x ON a.qid = x.qid AND a.nid = x.nid GROUP BY a.qid) h
+      |    ON h.qid = t.qid),
+      |r_tr AS (
+      |  SELECT 'trained' AS codebook,
+      |    ROUND(AVG(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact), 6) AS avg_recall,
+      |    COUNT(*) AS n_queries,
+      |    (SELECT avg_candidates FROM cand_tr) AS avg_candidates
+      |  FROM totals t LEFT JOIN (
+      |    SELECT a.qid, COUNT(*) AS n_hit FROM ivf_tr a
+      |    JOIN exact x ON a.qid = x.qid AND a.nid = x.nid GROUP BY a.qid) h
+      |    ON h.qid = t.qid),
+      |r_tr4 AS (
+      |  SELECT 'trained_p4' AS codebook,
+      |    ROUND(AVG(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact), 6) AS avg_recall,
+      |    COUNT(*) AS n_queries,
+      |    (SELECT avg_candidates FROM cand_tr4) AS avg_candidates
+      |  FROM totals t LEFT JOIN (
+      |    SELECT a.qid, COUNT(*) AS n_hit FROM ivf_tr4 a
+      |    JOIN exact x ON a.qid = x.qid AND a.nid = x.nid GROUP BY a.qid) h
+      |    ON h.qid = t.qid)
+      |SELECT codebook, avg_recall, n_queries, avg_candidates FROM r_seed
+      |UNION ALL SELECT codebook, avg_recall, n_queries, avg_candidates FROM r_tr
+      |UNION ALL SELECT codebook, avg_recall, n_queries, avg_candidates FROM r_tr4
+      |ORDER BY codebook""".stripMargin
+
+  /** Seed-vs-trained IVF recall@10 AND probe cost — the index-quality
+    * comparison a production ANN deployment runs before swapping in a new
+    * codebook. Probe cost (avg candidates scanned) is reported alongside
+    * recall because recall alone misleads: at sf0.01 both codebooks scan
+    * ~30 candidates/probe, but the seed codebook posts far higher recall
+    * only because the query set (id < 8) IS a subset of its seed
+    * centroids — each query probes a cell centered on itself, so its
+    * neighbors are co-located by construction. The trained centroids
+    * move off the queries and neighbors split across cell boundaries
+    * (the classic single-probe IVF failure mode that nprobe > 1 exists
+    * to fix). Both paths (and the k-means training itself) replay
+    * bit-exactly in the oracle. */
+  val embedIvfRecallTrained = dfQ("embed_ivf_recall_trained",
+      trainedRecallOracle, bench = false) { (s, _) =>
+    val emb = s.table("embeddings")
+    val qp = col("id") < 8
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", qp, 10)
+    val seedCents = Similarity.buildIvfCentroids(emb, "vec_id", "embedding", 16)
+    val trainedCents = Similarity.kmeansCentroidTable(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    def row(cents: org.apache.spark.sql.DataFrame, label: String,
+            nprobe: Int = 1) =
+      Similarity.recallAtK(
+          Similarity.ivfTopK(emb, "vec_id", "embedding", qp, 10, cents, nprobe),
+          exact)
+        .crossJoin(Similarity.ivfCandidateStats(emb, "vec_id", "embedding", qp,
+          cents, nprobe))
+        .withColumn("codebook", lit(label))
+    row(seedCents, "seed").unionByName(row(trainedCents, "trained"))
+      .unionByName(row(trainedCents, "trained_p4", nprobe = 4))
+      .select(col("codebook"), col("avg_recall"), col("n_queries"),
+        col("avg_candidates"))
+      .orderBy("codebook")
+  }
+
   private val embNearDupOracle =
     """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2,
@@ -658,6 +858,7 @@ object PipelineQueries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
+    embedIvfRecallTrained,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, aggTopkSketch)

@@ -157,6 +157,32 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("ivfTopK multi-probe: candidates and recall grow monotonically with nprobe") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val trained = Similarity.kmeansCentroidTable(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(p: Int) = {
+      val hits = Similarity.ivfTopK(emb, "vec_id", "embedding", col("id") < 4,
+          5, trained, nprobe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cand = Similarity.ivfCandidateStats(emb, "vec_id", "embedding",
+        col("id") < 4, trained, nprobe = p).collect().head.getDouble(0)
+      (hits.count(exact), cand)
+    }
+    val (h1, c1) = run(1)
+    val (h2, c2) = run(4)
+    // probing a superset of cells can only add candidates; and any new
+    // candidate out-ranking a true top-k member must itself be a true
+    // top-k member, so recall@k never drops as nprobe grows
+    assert(c2 > c1, s"nprobe=4 candidates $c2 not > nprobe=1 $c1")
+    assert(h2 >= h1, s"nprobe=4 hits $h2 < nprobe=1 hits $h1")
+    // nprobe = all cells ≡ brute force: recall must be exactly 1
+    val (hAll, _) = run(8)
+    assert(hAll === exact.size, "probing every cell must equal the exact result")
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
