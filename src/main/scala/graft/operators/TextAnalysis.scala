@@ -162,6 +162,37 @@ object TextAnalysis {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /** A trained bigram LM, the deployable artifact of [[bigramLogProb]]'s
+    * training pass: `vocab` (tok, in_v) for the OOV mapping, `c1`/`c12`
+    * the smoothed-probability count tables (all (vocab+1)²-bounded —
+    * broadcastable), `vSize` the vocabulary size. Consumed by
+    * [[graft.streaming.StreamingOps.scoreStreamBigram]]. */
+  final case class BigramModel(vocab: DataFrame, c1: DataFrame,
+                               c12: DataFrame, vSize: Long)
+
+  /** Train the bigram model batch-side (same derivation as
+    * [[bigramLogProb]]'s internal tables: top-`vocabSize` vocabulary,
+    * OOV mapped FIRST, unigram + bigram counts over the mapped stream). */
+  def bigramModel(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int = 20): BigramModel = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        when(col("in_v").isNotNull, col("tok")).otherwise(lit("<oov>")).as("w"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val bi = mapped.withColumn("w1", lag("w", 1).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("id"), col("w1"), col("w").as("w2"))
+    val c1 = mapped.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    BigramModel(vocab, c1, c12, vocab.count())
+  }
+
   /** Per-language corpus stats table. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
                   charsCol: String): DataFrame =

@@ -82,6 +82,44 @@ object StreamingOps {
           .as("avg_logprob"))
   }
 
+  /** Score a STREAM of documents against a STATIC bigram model trained
+    * batch-side ([[graft.operators.TextAnalysis.bigramModel]]) — the
+    * conditional-probability upgrade of [[scoreStreamUnigram]]. Bigrams
+    * are formed per arriving row by zipping the token array with its own
+    * tail (equivalent to the batch scorer's per-doc lag window, but with
+    * no window operator — streaming-safe); OOV mapping and the smoothed
+    * p = (c12+1)/(c1+V+1) then ride stream-static broadcast joins.
+    * Same micro-nat integer arithmetic as the batch scorer, so scores
+    * for the same doc are bit-identical. Docs with fewer than two
+    * tokens produce no output row (no bigrams — batch parity). */
+  def scoreStreamBigram(docs: DataFrame, idCol: String, textCol: String,
+                        model: graft.operators.TextAnalysis.BigramModel): DataFrame = {
+    val t = split(lower(col(textCol)), " ")
+    val pairs = docs.select(col(idCol).as("id"),
+        explode(arrays_zip(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+          .as("p"))
+      .select(col("id"),
+        col("p").getField("0").as("w1raw"), col("p").getField("1").as("w2raw"))
+    val v1 = model.vocab.select(col("tok").as("w1raw"), col("in_v").as("v1"))
+    val v2 = model.vocab.select(col("tok").as("w2raw"), col("in_v").as("v2"))
+    pairs
+      .join(broadcast(v1), Seq("w1raw"), "left")
+      .join(broadcast(v2), Seq("w2raw"), "left")
+      .select(col("id"),
+        when(col("v1").isNotNull, col("w1raw")).otherwise(lit("<oov>")).as("w1"),
+        when(col("v2").isNotNull, col("w2raw")).otherwise(lit("<oov>")).as("w2"))
+      .join(broadcast(model.c12), Seq("w1", "w2"))
+      .join(broadcast(model.c1), Seq("w1"))
+      .select(col("id"),
+        round(log((col("c12") + lit(1L)).cast("double") /
+            (col("c1") + lit(model.vSize) + lit(1L)).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("lp_micro").as("lp_sum_micro"))
+  }
+
   case class KeyCount(key: String, n: Long)
 
   /** Tagged union row for [[asofEnrich]]: reference rows (`isRef=true`)

@@ -255,4 +255,31 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (id, s) => assert(s === batch(id),
       s"doc $id: streaming $s != batch ${batch(id)}") }
   }
+
+  test("streaming bigram scoring matches the batch scorer doc-for-doc") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.TextAnalysis
+      .bigramModel(docsDf, "doc_id", "text", vocabSize = 20)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val batch1 = docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(batch1.toIndexedSeq)
+    val scored = StreamingOps.scoreStreamBigram(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    StreamingOps.runToMemory(scored, "stream_bigram", OutputMode.Update())
+
+    val streamed = spark.table("stream_bigram").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.operators.TextAnalysis
+      .bigramLogProb(docsDf, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty && streamed.keySet.subsetOf(batch.keySet))
+    // exact integer micro-nat equality: deploy-time streaming scores are
+    // bit-identical to the training-time batch scores
+    streamed.foreach { case (id, s) => assert(s === batch(id),
+      s"doc $id: streaming $s != batch ${batch(id)}") }
+  }
 }
