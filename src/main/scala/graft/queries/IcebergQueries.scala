@@ -186,7 +186,21 @@ object IcebergQueries {
     IcebergIO.history(s, basicFixture(s, sfDir)).orderBy("snapshot_id")
   }
 
+  /** Live files as a relation (the runtime jar's `.files` metadata
+    * table). The basic fixture is fully deterministic — two append
+    * snapshots of nation split at key 10 — so the oracle pins the exact
+    * expected rows (10- and 15-record parquet files, sequence 1 and 2). */
+  val icebergFiles = dfQ("iceberg_files",
+    """SELECT * FROM (VALUES
+      |  ('data-00001.parquet', 0, 'PARQUET', CAST(10 AS BIGINT), CAST(1 AS BIGINT), ''),
+      |  ('data-00002.parquet', 0, 'PARQUET', CAST(15 AS BIGINT), CAST(2 AS BIGINT), ''))
+      |  AS t(file_name, content, file_format, record_count, sequence_number, partition)
+      |ORDER BY sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.files(s, basicFixture(s, sfDir)).orderBy("sequence_number")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
-    icebergTimePrune, icebergHistory)
+    icebergTimePrune, icebergHistory, icebergFiles)
 }

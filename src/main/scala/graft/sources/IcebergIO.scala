@@ -225,7 +225,8 @@ object IcebergIO {
   private final case class ContentFile(path: String, content: Int,
                                        format: String, seq: Long,
                                        equalityIds: Seq[Int],
-                                       partitionValues: Map[String, Any])
+                                       partitionValues: Map[String, Any],
+                                       recordCount: Long)
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -306,10 +307,13 @@ object IcebergIO {
               }.toMap
             case _ => Map.empty
           }
+          val records = df.get("record_count") match {
+            case n: Number => n.longValue(); case _ => -1L
+          }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
-            seq, eqIds, partVals)
+            seq, eqIds, partVals, records)
         }
       }
     }
@@ -506,6 +510,41 @@ object IcebergIO {
   def snapshotIds(tablePath: String): Seq[Long] =
     loadMetadata(tablePath).snapshots
       .sortBy(s => (s.sequenceNumber, s.timestampMs)).map(_.snapshotId)
+
+  /** Live content files of a snapshot as a relation — the `.files`
+    * metadata table the runtime jar exposes: one row per live content
+    * file (file_name is the path's basename so results stay stable
+    * across table locations; content 0 = data, 1 = position deletes,
+    * 2 = equality deletes; partition is the canonical `k=v/k=v` tuple
+    * string, '' for unpartitioned). Metadata grain: rows come from the
+    * manifests, no data file is opened. */
+  def files(spark: SparkSession, tablePath: String,
+            snapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val snap = snapshotId match {
+      case Some(id) => meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $id not found"))
+      case None => meta.currentSnapshotId.flatMap(id =>
+          meta.snapshots.find(_.snapshotId == id))
+        .getOrElse(throw new IllegalArgumentException(
+          s"table has no current snapshot: $tablePath"))
+    }
+    val rows = liveFiles(snap).map { f =>
+      val partStr = f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString("/")
+      Row(new File(normalizePath(f.path)).getName, f.content, f.format,
+        f.recordCount, f.seq, partStr)
+    }.sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("file_name", StringType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("partition", StringType, nullable = false))))
+  }
 
   /** Table history as a relation — the `.history`/`.snapshots` metadata
     * table the runtime jar exposes: one row per snapshot in commit order

@@ -346,6 +346,29 @@ class IcebergSpec extends AnyFunSuite {
     assert(h.map(_.getLong(2)).toSeq === Seq(1704067201000L, 1704067202000L))
   }
 
+  test("files relation: live content files with counts, partitions, deletes") {
+    val dir = s"$root/filesrel"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"))
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    val out = IcebergIO.files(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getString(5)))
+    // one data file per partition tuple, hive-style partition string
+    assert(out.toSeq === Seq(
+      ("data-00001-p000.parquet", 0, 2L, "name=a"),
+      ("data-00001-p001.parquet", 0, 1L, "name=b")))
+
+    // delete files appear with their content kind; snapshot selection works
+    val dir2 = s"$root/filesrel2"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema)
+    w2.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    w2.deletePositions(w2.dataFilePaths.head, Seq(0L))
+    val all2 = IcebergIO.files(spark, dir2).collect()
+    assert(all2.map(_.getInt(1)).toSeq === Seq(0, 1))
+    assert(IcebergIO.files(spark, dir2, snapshotId = Some(1L))
+      .collect().map(_.getInt(1)).toSeq === Seq(0))
+  }
+
   test("non-iceberg directory fails fast") {
     val e = intercept[IllegalArgumentException](
       IcebergIO.read(spark, s"$root/definitely_missing"))
