@@ -186,6 +186,22 @@ object IcebergQueries {
     IcebergIO.history(s, basicFixture(s, sfDir)).orderBy("snapshot_id")
   }
 
+  /** Manifest min/max stats pruning: the basic fixture's two data files
+    * carry n_nationkey bounds [0,9] and [10,24], so `n_nationkey >= 15`
+    * proves the first file irrelevant at PLANNING time (file-level
+    * skipping one level above parquet row-group stats; pruned-file count
+    * asserted in IcebergSpec). The exact row predicate then applies as
+    * usual. */
+  val icebergStatsPrune = dfQ("iceberg_stats_prune",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey >= 15 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    IcebergIO.read(s, basicFixture(s, sfDir),
+        statsFilter = Seq(("n_nationkey", ">=", 15L)))
+      .filter(col("n_nationkey") >= 15).orderBy("n_nationkey")
+  }
+
   /** Live files as a relation (the runtime jar's `.files` metadata
     * table). The basic fixture is fully deterministic — two append
     * snapshots of nation split at key 10 — so the oracle pins the exact
@@ -202,5 +218,5 @@ object IcebergQueries {
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
-    icebergTimePrune, icebergHistory, icebergFiles)
+    icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune)
 }

@@ -115,6 +115,10 @@ object IcebergFixture {
       Some(s"""{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[${partitionFieldsJson(partCols)}]}}"""),
       Some("""{"name":"record_count","type":"long","field-id":103}"""),
       Some("""{"name":"file_size_in_bytes","type":"long","field-id":104}"""),
+      // column bounds (spec 125/128): array-of-(key,value) map form —
+      // Avro maps can't have int keys, so the spec mandates this shape
+      Some("""{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125}"""),
+      Some("""{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}"""),
       if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
       if (v >= 2) Some(
         """{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}""")
@@ -131,11 +135,13 @@ object IcebergFixture {
 
   // ---------------------------------------------------------------- writer
 
-  /** One content file tracked by the writer. */
+  /** One content file tracked by the writer. `bounds`: per-column
+    * (field id, lower, upper) in the spec's single-value binary form. */
   private final case class FileMeta(path: String, content: Int,
                                     records: Long, bytes: Long,
                                     equalityIds: Seq[Int] = Nil,
-                                    partitionValues: Seq[Any] = Nil)
+                                    partitionValues: Seq[Any] = Nil,
+                                    bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil)
 
   /** Incremental fixture-table writer. Each append/delete call commits one
     * snapshot: writes the files + a new manifest, rewrites the manifest
@@ -257,7 +263,8 @@ object IcebergFixture {
         if (partitionCols.isEmpty) {
           val target = new File(dataDir, f"data-$next%05d.parquet")
           val (rows, bytes) = writeParquetFile(df, target)
-          Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes))
+          Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes,
+            bounds = fileBounds(df)))
         } else {
           val tuples = df.select(partFields.map(transformCol): _*).distinct()
             .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
@@ -265,9 +272,10 @@ object IcebergFixture {
             val part = partFields.zip(vals)
               .map { case (f, v) => transformCol(f) === v }.reduce(_ && _)
             val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
-            val (rows, bytes) = writeParquetFile(df.filter(part), target)
+            val slice = df.filter(part)
+            val (rows, bytes) = writeParquetFile(slice, target)
             FileMeta(target.getAbsolutePath, 0, rows, bytes,
-              partitionValues = vals)
+              partitionValues = vals, bounds = fileBounds(slice))
           }
         }
       allFiles ++= fms
@@ -286,7 +294,8 @@ object IcebergFixture {
       val next = seq + 1
       val target = new File(dataDir, f"data-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(df, target)
-      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes)
+      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes,
+        bounds = fileBounds(df))
       allFiles :+= fm
       commit(Seq(fm), next, "append")
       next
@@ -326,6 +335,30 @@ object IcebergFixture {
       allFiles :+= fm
       commit(Seq(fm), next, "delete")
       next
+    }
+
+    /** Per-file column min/max for the manifest bounds (spec 125/128):
+      * one agg over the file's rows, eligible primitive columns only,
+      * all-null columns omitted (no bound → never pruned — the
+      * conservative direction). */
+    private def fileBounds(df: DataFrame): Seq[(Int, Array[Byte], Array[Byte])] = {
+      import org.apache.spark.sql.functions.{col => c, max, min}
+      val supported: Set[DataType] =
+        Set(IntegerType, LongType, StringType, DateType, DoubleType, FloatType)
+      val eligible = df.schema.fields.toSeq
+        .filter(f => supported.contains(f.dataType))
+        .map(f => f.name -> (schema.fieldNames.indexOf(f.name) + 1))
+      if (eligible.isEmpty) return Nil
+      val aggs = eligible.flatMap { case (n, _) => Seq(min(c(n)), max(c(n))) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      eligible.zipWithIndex.flatMap { case ((_, fid), j) =>
+        (Option(row.get(2 * j)), Option(row.get(2 * j + 1))) match {
+          case (Some(lo), Some(hi)) => Some((fid,
+            IcebergTransforms.serializeBound(lo),
+            IcebergTransforms.serializeBound(hi)))
+          case _ => None
+        }
+      }
     }
 
     private def writeParquetFile(df: DataFrame, target: File): (Long, Long) = {
@@ -383,6 +416,22 @@ object IcebergFixture {
         d.put("partition", partRec)
         d.put("record_count", fm.records)
         d.put("file_size_in_bytes", fm.bytes)
+        if (fm.bounds.nonEmpty) {
+          def boundsArr(fieldName: String, lower: Boolean) = {
+            // union ["null", array] -> the array branch
+            val arrSchema = dfSchema.getField(fieldName).schema().getTypes.get(1)
+            val a = new GenericData.Array[GenericRecord](fm.bounds.size, arrSchema)
+            fm.bounds.foreach { case (fid, lo, hi) =>
+              val r = new GenericData.Record(arrSchema.getElementType)
+              r.put("key", fid)
+              r.put("value", java.nio.ByteBuffer.wrap(if (lower) lo else hi))
+              a.add(r)
+            }
+            a
+          }
+          d.put("lower_bounds", boundsArr("lower_bounds", lower = true))
+          d.put("upper_bounds", boundsArr("upper_bounds", lower = false))
+        }
         if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
         if (formatVersion >= 2 && fm.equalityIds.nonEmpty)
           d.put("equality_ids", fm.equalityIds.map(Int.box).asJava)

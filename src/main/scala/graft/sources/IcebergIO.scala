@@ -226,7 +226,9 @@ object IcebergIO {
                                        format: String, seq: Long,
                                        equalityIds: Seq[Int],
                                        partitionValues: Map[String, Any],
-                                       recordCount: Long)
+                                       recordCount: Long,
+                                       lowerBounds: Map[Int, Array[Byte]],
+                                       upperBounds: Map[Int, Array[Byte]])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -310,14 +312,83 @@ object IcebergIO {
           val records = df.get("record_count") match {
             case n: Number => n.longValue(); case _ => -1L
           }
+          // field-id-keyed column bounds (spec 125/128): the array-of-
+          // (key,value)-records map form real writers emit (Avro maps
+          // can't have int keys); absent/null → no stats, never pruned
+          def boundsMap(field: String): Map[Int, Array[Byte]] =
+            if (df.getSchema.getField(field) == null) Map.empty
+            else df.get(field) match {
+              case l: java.util.Collection[_] =>
+                l.asScala.map { e =>
+                  val r = e.asInstanceOf[GenericRecord]
+                  val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+                  val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+                  r.get("key").asInstanceOf[Number].intValue() -> arr
+                }.toMap
+              case _ => Map.empty
+            }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
-            seq, eqIds, partVals, records)
+            seq, eqIds, partVals, records,
+            boundsMap("lower_bounds"), boundsMap("upper_bounds"))
         }
       }
     }
     out.toSeq
+  }
+
+  // -------------------------------------------------- stats-based pruning
+
+  /** Normalize a filter value into the comparison domain of the column's
+    * Spark type (Int for int/date, Long, Double, String). */
+  private def normalizeStat(dt: DataType, v: Any): Any = (dt, v) match {
+    case (IntegerType, i: Int)  => i
+    case (IntegerType, l: Long) => Math.toIntExact(l)
+    case (DateType, d: java.sql.Date)       => Math.toIntExact(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Math.toIntExact(d.toEpochDay)
+    case (DateType, i: Int)     => i
+    case (LongType, i: Int)     => i.toLong
+    case (LongType, l: Long)    => l
+    case (FloatType | DoubleType, n: Number) => n.doubleValue()
+    case (StringType, s: String) => s
+    case (dt0, v0) => throw new IllegalArgumentException(
+      s"statsFilter value ${v0.getClass.getSimpleName} not comparable " +
+        s"against a $dt0 column")
+  }
+
+  /** Deserialize a stored bound into the same comparison domain. */
+  private def boundValue(dt: DataType, b: Array[Byte]): Any = dt match {
+    case IntegerType | DateType => IcebergTransforms.deserializeBound("int", b)
+    case LongType   => IcebergTransforms.deserializeBound("long", b)
+    case FloatType  => IcebergTransforms.deserializeBound("float", b)
+      .asInstanceOf[Float].toDouble
+    case DoubleType => IcebergTransforms.deserializeBound("double", b)
+    case StringType => IcebergTransforms.deserializeBound("string", b)
+    case other => throw new IllegalArgumentException(
+      s"statsFilter not supported on $other columns")
+  }
+
+  private def statLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Int)       => x < y
+    case (x: Long, y: Long)     => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalStateException(s"incomparable stats: $a / $b")
+  }
+
+  /** Can a row satisfying `<op> v` exist in a file whose column spans
+    * [lo, hi]? Missing bounds (None) keep the file — stats pruning is
+    * only ever an optimization, never a correctness gate. */
+  private def statsKeep(op: String, lo: Option[Any], hi: Option[Any],
+                        v: Any): Boolean = op match {
+    case "="  => lo.forall(l => !statLt(v, l)) && hi.forall(h => !statLt(h, v))
+    case "<"  => lo.forall(l => statLt(l, v))
+    case "<=" => lo.forall(l => !statLt(v, l))
+    case ">"  => hi.forall(h => statLt(v, h))
+    case ">=" => hi.forall(h => !statLt(h, v))
+    case other => throw new IllegalArgumentException(
+      s"statsFilter op must be one of = < <= > >=, got '$other'")
   }
 
   // ----------------------------------------------------------------- read
@@ -342,10 +413,22 @@ object IcebergIO {
     *                        survive and the caller applies the exact row
     *                        predicate as usual.
     */
+  /** @param statsFilter (column, op, value) predicates with op in
+    *                     `= < <= > >=`, applied at PLANNING time against
+    *                     the manifests' per-file column bounds
+    *                     (`lower_bounds`/`upper_bounds`, spec fields
+    *                     125/128) — a data file whose [min, max] range
+    *                     provably excludes the predicate is never opened.
+    *                     Like partitionFilter this is FILE pruning: the
+    *                     caller still applies the exact row predicate
+    *                     (which Spark ALSO pushes into the parquet
+    *                     row-group stats — this is the manifest level
+    *                     above that). Files without stats are kept. */
   def read(spark: SparkSession, tablePath: String,
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
-           partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
+           partitionFilter: Map[String, Any] = Map.empty,
+           statsFilter: Seq[(String, String, Any)] = Nil): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "specify at most one of snapshotId / asOfTimestampMs")
     val meta = loadMetadata(tablePath)
@@ -410,22 +493,41 @@ object IcebergIO {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter)
+      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter, statsFilter)
     }
   }
 
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo,
-                           partitionFilter: Map[String, Any] = Map.empty): DataFrame = {
+                           partitionFilter: Map[String, Any] = Map.empty,
+                           statsFilter: Seq[(String, String, Any)] = Nil): DataFrame = {
     val allFiles = liveFiles(snap)
-    // Planning-time partition pruning: drop DATA files whose manifest
-    // partition tuple fails the equality filter; delete files stay (they
-    // may be global). String-normalized compare keeps Int/Long boxing
+    // Resolve stats predicates once: (field id, op, Spark type,
+    // normalized value); unknown columns fail loudly.
+    val idByField = meta.fieldById.map(_.swap)
+    val resolvedStats: Seq[(Int, String, DataType, Any)] = statsFilter.map {
+      case (name, op, v) =>
+        val fid = idByField.getOrElse(name, throw new IllegalArgumentException(
+          s"statsFilter names unknown column '$name' " +
+            s"(known: ${idByField.keys.toSeq.sorted.mkString(", ")})"))
+        val dt = meta.schema(name).dataType
+        (fid, op, dt, normalizeStat(dt, v))
+    }
+    // Planning-time pruning: drop DATA files whose manifest partition
+    // tuple fails the equality filter, or whose column bounds provably
+    // exclude every stats predicate; delete files stay (they may be
+    // global). String-normalized compare keeps Int/Long boxing
     // differences from defeating an equal value.
     val files = allFiles.filter { f =>
-      f.content != 0 || partitionFilter.forall { case (k, v) =>
-        f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
-      }
+      f.content != 0 || (
+        partitionFilter.forall { case (k, v) =>
+          f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
+        } &&
+        resolvedStats.forall { case (fid, op, dt, v) =>
+          statsKeep(op,
+            f.lowerBounds.get(fid).map(boundValue(dt, _)),
+            f.upperBounds.get(fid).map(boundValue(dt, _)), v)
+        })
     }
     val badFmt = files.filter(_.format != "PARQUET")
     if (badFmt.nonEmpty)

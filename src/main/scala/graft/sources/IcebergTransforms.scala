@@ -133,4 +133,48 @@ object IcebergTransforms {
   /** `hour` partition ordinal: hours from 1970-01-01T00:00 UTC. */
   def hourOrdinal(v: Any): Int =
     Math.toIntExact(Math.floorDiv(toEpochSecond(v), 3600L))
+
+  // ------------------------------------------- single-value serialization
+  // The spec's binary form for manifest column bounds (Appendix D):
+  // int/date = 4-byte little-endian, long/timestamp = 8-byte LE,
+  // float/double = IEEE bits LE, string = UTF-8 bytes.
+
+  private def le(bits: Long, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var x = bits; var i = 0
+    while (i < n) { b(i) = (x & 0xffL).toByte; x >>>= 8; i += 1 }
+    b
+  }
+
+  private def leToLong(b: Array[Byte]): Long = {
+    var x = 0L; var i = b.length - 1
+    while (i >= 0) { x = (x << 8) | (b(i) & 0xffL); i -= 1 }
+    x
+  }
+
+  /** Serialize a bound value to the spec's binary single-value form. */
+  def serializeBound(v: Any): Array[Byte] = v match {
+    case i: Int             => le(i.toLong, 4)
+    case l: Long            => le(l, 8)
+    case f: Float           => le(java.lang.Float.floatToIntBits(f).toLong, 4)
+    case d: Double          => le(java.lang.Double.doubleToLongBits(d), 8)
+    case s: String          => s.getBytes("UTF-8")
+    case d: java.sql.Date   => le(d.toLocalDate.toEpochDay, 4)
+    case d: java.time.LocalDate => le(d.toEpochDay, 4)
+    case other => throw new IllegalArgumentException(
+      s"bound serialization not supported for ${other.getClass.getSimpleName}")
+  }
+
+  /** Deserialize a bound for comparisons, by the column's Iceberg type
+    * class: "int"/"date" → Int, "long" → Long, "float" → Float,
+    * "double" → Double, "string" → String. */
+  def deserializeBound(typeName: String, b: Array[Byte]): Any = typeName match {
+    case "int" | "date"          => leToLong(b).toInt
+    case "long" | "timestamp" | "timestamptz" => leToLong(b)
+    case "float"  => java.lang.Float.intBitsToFloat(leToLong(b).toInt)
+    case "double" => java.lang.Double.longBitsToDouble(leToLong(b))
+    case "string" => new String(b, "UTF-8")
+    case other => throw new IllegalArgumentException(
+      s"bound deserialization not supported for Iceberg type '$other'")
+  }
 }

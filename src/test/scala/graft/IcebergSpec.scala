@@ -304,6 +304,56 @@ class IcebergSpec extends AnyFunSuite {
       s"expected 1 surviving data file, scan reads: ${pruned.inputFiles.mkString(", ")}")
   }
 
+  test("single-value bound serialization round-trips per the spec's binary form") {
+    import graft.sources.IcebergTransforms._
+    // little-endian per spec Appendix D
+    assert(serializeBound(34).toSeq === Seq[Byte](34, 0, 0, 0))
+    assert(serializeBound(-1).toSeq === Seq[Byte](-1, -1, -1, -1))
+    assert(serializeBound(34L).toSeq === Seq[Byte](34, 0, 0, 0, 0, 0, 0, 0))
+    assert(serializeBound("ab").toSeq === "ab".getBytes("UTF-8").toSeq)
+    assert(deserializeBound("int", serializeBound(-12345)) === -12345)
+    assert(deserializeBound("long", serializeBound(Long.MinValue)) === Long.MinValue)
+    assert(deserializeBound("double", serializeBound(2.5d)) === 2.5d)
+    assert(deserializeBound("string", serializeBound("iceberg")) === "iceberg")
+    assert(deserializeBound("int",
+      serializeBound(java.time.LocalDate.of(2017, 11, 16))) === 17486)
+  }
+
+  test("statsFilter prunes files by manifest column bounds") {
+    val dir = s"$root/stats"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    // two files with disjoint id ranges and distinct name ranges
+    w.append(df((1L, "apple", 1.0), (5L, "cherry", 2.0)))
+    w.append(df((10L, "melon", 3.0), (20L, "zebra", 4.0)))
+
+    // long bounds: only the second file can hold id >= 10
+    val p1 = IcebergIO.read(spark, dir, statsFilter = Seq(("id", ">=", 10L)))
+    assert(ids(p1) === Seq(10L, 20L))
+    assert(p1.inputFiles.length === 1, p1.inputFiles.mkString(", "))
+    // equality inside the first file's range keeps only that file
+    val p2 = IcebergIO.read(spark, dir, statsFilter = Seq(("id", "=", 5)))
+    assert(ids(p2) === Seq(1L, 5L))
+    assert(p2.inputFiles.length === 1)
+    // string bounds prune lexicographically
+    val p3 = IcebergIO.read(spark, dir, statsFilter = Seq(("name", "<", "d")))
+    assert(ids(p3) === Seq(1L, 5L))
+    assert(p3.inputFiles.length === 1)
+    // a predicate no file can satisfy scans nothing and returns empty
+    val p4 = IcebergIO.read(spark, dir, statsFilter = Seq(("id", ">", 100)))
+    assert(p4.count() === 0L)
+    // conjunction across columns composes
+    val p5 = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("id", "<=", 20L), ("name", ">=", "m")))
+    assert(p5.inputFiles.length === 1)
+    // unknown column / bad op fail loudly
+    val e1 = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, statsFilter = Seq(("nope", "=", 1))).count())
+    assert(e1.getMessage.contains("unknown column"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, statsFilter = Seq(("id", "!=", 1))).count())
+    assert(e2.getMessage.contains("op must be"))
+  }
+
   test("schema-evolved table: files predating a column read it as null") {
     val dir = s"$root/evolved"
     val w = new IcebergFixture.Writer(spark, dir, schema)
