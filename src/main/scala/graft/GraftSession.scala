@@ -68,19 +68,30 @@ final class GraftSession private (val spark: SparkSession) {
     *
     * @param snapshotId      time travel: read this exact snapshot
     * @param asOfTimestampMs time travel: latest snapshot at/before this time
-    * @param partitionFilter identity-partition equality predicates pruned
-    *                        at planning time (files never opened)
+    * @param partitionFilter partition equality predicates pruned at
+    *                        planning time (identity / truncate / bucket /
+    *                        year/month/day/hour transforms; files never
+    *                        opened)
+    * @param statsFilter     (column, op, value) predicates pruned against
+    *                        manifest min/max column bounds at planning
+    *                        time (op in `= < <= > >=`)
     */
   def readIceberg(path: String, snapshotId: Option[Long] = None,
                   asOfTimestampMs: Option[Long] = None,
-                  partitionFilter: Map[String, Any] = Map.empty): DataFrame =
+                  partitionFilter: Map[String, Any] = Map.empty,
+                  statsFilter: Seq[(String, String, Any)] = Nil): DataFrame =
     graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
-      partitionFilter)
+      partitionFilter, statsFilter)
 
   /** Iceberg table history as a relation (the runtime jar's `.history`
     * metadata table): one row per snapshot in commit order. */
   def icebergHistory(path: String): DataFrame =
     graft.sources.IcebergIO.history(spark, path)
+
+  /** Iceberg live content files as a relation (the runtime jar's
+    * `.files` metadata table) — metadata grain, no data file opened. */
+  def icebergFiles(path: String, snapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.files(spark, path, snapshotId)
 
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,

@@ -455,6 +455,10 @@ class IcebergSpec extends AnyFunSuite {
     w.append(df((1L, "a", 1.0)))
     val g = GraftSession.wrap(spark)
     assert(ids(g.readIceberg(dir)) === Seq(1L))
+    // pruning surfaces pass through the façade
+    assert(ids(g.readIceberg(dir, statsFilter = Seq(("id", ">", 5)))) === Nil)
+    assert(g.icebergFiles(dir).count() === 1L)
+    assert(g.icebergHistory(dir).count() === 1L)
     val e = intercept[UnsupportedOperationException](
       g.writeIceberg(df((2L, "b", 2.0)), dir))
     assert(e.getMessage.contains("iceberg-spark-runtime"))
