@@ -120,6 +120,37 @@ object StreamingOps {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /** Streaming ingest curation — the deploy-time filter chain a
+    * training-data pipeline runs on ARRIVING documents, composed from
+    * the batch [[graft.operators.Curation]]/[[graft.operators.TextAnalysis]]
+    * per-row ops (all codegen'd projections, so they lift to a stream
+    * unchanged) plus watermarked exact dedup:
+    *
+    *  1. exact dedup on the whitespace-normalized content fingerprint —
+    *     first arrival wins, dup state evicted past the watermark
+    *     (bounded state: the streaming form of `dedup_exact_keep`);
+    *  2. language gate (langIdHeuristic == 'en') and quality gate
+    *     (qualityScore >= minQuality) — Gopher-style cheap filters;
+    *  3. PII redaction (email/IP/phone → placeholder tokens) on the
+    *     text that survives.
+    *
+    * Emits (id, ts, lang, quality, text) per kept doc, append-mode-safe
+    * (no aggregation — projections, a filter, and keyed dedup state). */
+  def curateStream(docs: DataFrame, idCol: String, tsCol: String,
+                   textCol: String, minQuality: Double,
+                   watermarkDelay: String): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    docs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .withColumn("lang", TextAnalysis.langIdHeuristic(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("lang") === "en" && col("quality") >= minQuality)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
+        col("quality"), Curation.piiRedact(col(textCol)).as("text"))
+  }
+
   case class KeyCount(key: String, n: Long)
 
   /** Tagged union row for [[asofEnrich]]: reference rows (`isRef=true`)

@@ -256,6 +256,41 @@ class StreamingSpec extends AnyFunSuite {
       s"doc $id: streaming $s != batch ${batch(id)}") }
   }
 
+  test("streaming curation: dedup + language/quality gates + PII redaction") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val good = "the cat sat on the mat and it is happy"
+    val good2 = "a dog runs in the park and it is fast"
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(Seq(
+      (1L, ts, good), (2L, ts, good),   // exact dup pair — one survives
+      (3L, ts, good2), (4L, ts, good2), // second dup pair
+      (5L, ts, "xyzzy qwerty"),         // no stopwords -> lang 'unk', dropped
+      (6L, ts, "contact me at bob@example.com and the info is here")))
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "ts", "text", minQuality = 0.05, watermarkDelay = "10 seconds")
+    StreamingOps.runToMemory(curated, "curated", OutputMode.Append())
+
+    val out = spark.table("curated").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // one survivor per dup pair, the PII doc kept, the 'unk' doc dropped
+    assert(out.size === 3, s"got ${out.keySet}")
+    assert(out.keySet.count(Set(1L, 2L)) === 1)
+    assert(out.keySet.count(Set(3L, 4L)) === 1)
+    assert(out.contains(6L) && !out.contains(5L))
+    // PII is redacted in the emitted text
+    assert(out(6L).contains("<EMAIL>") && !out(6L).contains("@"),
+      s"text not redacted: ${out(6L)}")
+    // batch parity: the same gates computed batch-side agree
+    val batchQ = Seq((6L, "contact me at bob@example.com and the info is here"))
+      .toDF("doc_id", "text")
+      .select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"),
+        graft.operators.Curation.piiRedact(col("text")).as("t")).head()
+    assert(batchQ.getString(1) === out(6L))
+  }
+
   test("streaming bigram scoring matches the batch scorer doc-for-doc") {
     import spark.implicits._
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
