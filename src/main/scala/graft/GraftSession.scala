@@ -79,9 +79,10 @@ final class GraftSession private (val spark: SparkSession) {
   def readIceberg(path: String, snapshotId: Option[Long] = None,
                   asOfTimestampMs: Option[Long] = None,
                   partitionFilter: Map[String, Any] = Map.empty,
-                  statsFilter: Seq[(String, String, Any)] = Nil): DataFrame =
+                  statsFilter: Seq[(String, String, Any)] = Nil,
+                  ref: Option[String] = None): DataFrame =
     graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
-      partitionFilter, statsFilter)
+      partitionFilter, statsFilter, ref)
 
   /** Iceberg table history as a relation (the runtime jar's `.history`
     * metadata table): one row per snapshot in commit order. */
@@ -92,6 +93,11 @@ final class GraftSession private (val spark: SparkSession) {
     * `.files` metadata table) — metadata grain, no data file opened. */
   def icebergFiles(path: String, snapshotId: Option[Long] = None): DataFrame =
     graft.sources.IcebergIO.files(spark, path, snapshotId)
+
+  /** Iceberg per-partition aggregates (the runtime jar's `.partitions`
+    * metadata table) — metadata grain, no data file opened. */
+  def icebergPartitions(path: String, snapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.partitions(spark, path, snapshotId)
 
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,

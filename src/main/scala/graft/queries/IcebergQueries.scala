@@ -202,6 +202,25 @@ object IcebergQueries {
       .filter(col("n_nationkey") >= 15).orderBy("n_nationkey")
   }
 
+  /** Per-partition aggregates as a relation (the runtime jar's
+    * `.partitions` metadata table): nation identity-partitioned by
+    * n_regionkey gives one file per region per append, so the relation
+    * must equal a plain GROUP BY over the source — a real recomputation
+    * oracle, not a pinned-values one. */
+  val icebergPartitions = dfQ("iceberg_partitions",
+    """SELECT CONCAT('n_regionkey=', n_regionkey) AS partition,
+      |       CAST(1 AS BIGINT) AS file_count,
+      |       COUNT(*) AS record_count
+      |FROM nation GROUP BY n_regionkey ORDER BY partition""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    val dir = s"/tmp/graft_iceberg_partsrel_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema,
+      partitionCols = Seq("n_regionkey"))
+    w.append(nationSorted(s))
+    IcebergIO.partitions(s, dir).orderBy("partition")
+  }
+
   /** Live files as a relation (the runtime jar's `.files` metadata
     * table). The basic fixture is fully deterministic — two append
     * snapshots of nation split at key 10 — so the oracle pins the exact
@@ -218,5 +237,6 @@ object IcebergQueries {
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
-    icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune)
+    icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune,
+    icebergPartitions)
 }

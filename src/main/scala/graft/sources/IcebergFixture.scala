@@ -241,6 +241,16 @@ object IcebergFixture {
     // (manifestPath, manifestLength, content, addedSnapshotId, seq, rows, files)
     private var manifests = Vector.empty[(String, Long, Int, Long, Long, Long, Int)]
     private var snapshotNodes = Vector.empty[ObjectNode]
+    private var tags = Map.empty[String, Long]
+
+    /** Tag the CURRENT snapshot with a named ref (spec `refs`, type
+      * "tag") — readable back via `IcebergIO.read(…, ref = Some(name))`.
+      * Rewrites the metadata json (a metadata-only commit). */
+    def tag(name: String): Unit = {
+      require(seq > 0, "cannot tag an empty table (no snapshot yet)")
+      tags += name -> seq
+      writeMetadataJson()
+    }
 
     /** Paths of the data files written so far, in append order (used by
       * tests to target position deletes). */
@@ -529,6 +539,18 @@ object IcebergFixture {
       order0.putArray("fields")
       root.putObject("properties")
       root.put("current-snapshot-id", seq)
+      // named refs: the main branch tracks the current snapshot; tags pin
+      if (seq > 0) {
+        val refs = root.putObject("refs")
+        val main = refs.putObject("main")
+        main.put("snapshot-id", seq)
+        main.put("type", "branch")
+        tags.foreach { case (n, sid) =>
+          val t = refs.putObject(n)
+          t.put("snapshot-id", sid)
+          t.put("type", "tag")
+        }
+      }
       val snaps = root.putArray("snapshots")
       snapshotNodes.foreach(snaps.add)
       root.putArray("snapshot-log")

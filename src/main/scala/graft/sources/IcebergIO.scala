@@ -74,7 +74,8 @@ object IcebergIO {
       fieldById: Map[Int, String], // top-level field id -> column name
       // default spec fields: (partition field name, transform, source id)
       partitionFields: Seq[(String, String, Int)],
-      metadataFile: String)
+      metadataFile: String,
+      refs: Map[String, Long]) // branch/tag name -> snapshot id
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -211,8 +212,17 @@ object IcebergIO {
       } else if (root.has("partition-spec"))
         root.get("partition-spec").elements().asScala.map(specField).toSeq
       else Nil
+    // named refs (branches and tags): "refs": {name: {"snapshot-id": N,
+    // "type": "branch"|"tag"}} — both kinds resolve to a snapshot here
+    // (read-only scan; retention policies are a writer concern)
+    val refs: Map[String, Long] =
+      if (root.has("refs"))
+        root.get("refs").properties().asScala.map { e =>
+          e.getKey -> e.getValue.get("snapshot-id").asLong()
+        }.toMap
+      else Map.empty
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile.getPath)
+      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile.getPath, refs)
   }
 
   // ------------------------------------------------------------ manifests
@@ -428,11 +438,21 @@ object IcebergIO {
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
            partitionFilter: Map[String, Any] = Map.empty,
-           statsFilter: Seq[(String, String, Any)] = Nil): DataFrame = {
-    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
-      "specify at most one of snapshotId / asOfTimestampMs")
+           statsFilter: Seq[(String, String, Any)] = Nil,
+           ref: Option[String] = None): DataFrame = {
+    require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
+      "specify at most one of snapshotId / asOfTimestampMs / ref")
     val meta = loadMetadata(tablePath)
-    val snap: Option[SnapshotInfo] = snapshotId match {
+    // a named ref (branch or tag, metadata.json "refs") is just a pinned
+    // snapshot id — `VERSION AS OF 'tag'` in engine dialects
+    val resolvedSnapshotId: Option[Long] = ref match {
+      case Some(r) => Some(meta.refs.getOrElse(r,
+        throw new IllegalArgumentException(
+          s"ref '$r' not found; available refs: " +
+            meta.refs.keys.toSeq.sorted.mkString(", "))))
+      case None => snapshotId
+    }
+    val snap: Option[SnapshotInfo] = resolvedSnapshotId match {
       case Some(id) =>
         Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
           throw new IllegalArgumentException(
@@ -620,22 +640,28 @@ object IcebergIO {
     * 2 = equality deletes; partition is the canonical `k=v/k=v` tuple
     * string, '' for unpartitioned). Metadata grain: rows come from the
     * manifests, no data file is opened. */
+  private def snapshotOf(meta: TableMetadata, snapshotId: Option[Long],
+                         tablePath: String): SnapshotInfo = snapshotId match {
+    case Some(id) => meta.snapshots.find(_.snapshotId == id).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $id not found"))
+    case None => meta.currentSnapshotId.flatMap(id =>
+        meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table has no current snapshot: $tablePath"))
+  }
+
+  /** Canonical `k=v/k=v` partition-tuple string ('' when unpartitioned). */
+  private def partitionString(f: ContentFile): String =
+    f.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString("/")
+
   def files(spark: SparkSession, tablePath: String,
             snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
-    val snap = snapshotId match {
-      case Some(id) => meta.snapshots.find(_.snapshotId == id).getOrElse(
-        throw new IllegalArgumentException(s"snapshot $id not found"))
-      case None => meta.currentSnapshotId.flatMap(id =>
-          meta.snapshots.find(_.snapshotId == id))
-        .getOrElse(throw new IllegalArgumentException(
-          s"table has no current snapshot: $tablePath"))
-    }
+    val snap = snapshotOf(meta, snapshotId, tablePath)
     val rows = liveFiles(snap).map { f =>
-      val partStr = f.partitionValues.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString("/")
       Row(new File(normalizePath(f.path)).getName, f.content, f.format,
-        f.recordCount, f.seq, partStr)
+        f.recordCount, f.seq, partitionString(f))
     }.sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -646,6 +672,27 @@ object IcebergIO {
         StructField("record_count", LongType, nullable = false),
         StructField("sequence_number", LongType, nullable = false),
         StructField("partition", StringType, nullable = false))))
+  }
+
+  /** Per-partition aggregates of a snapshot's live DATA files — the
+    * `.partitions` metadata table: (partition, file_count, record_count)
+    * in canonical partition-string order. Metadata grain: computed from
+    * the manifests' per-file record counts, no data file opened. */
+  def partitions(spark: SparkSession, tablePath: String,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val rows = liveFiles(snap).filter(_.content == 0)
+      .groupBy(partitionString).toSeq.sortBy(_._1)
+      .map { case (part, fs) =>
+        Row(part, fs.size.toLong, fs.map(_.recordCount).sum)
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("file_count", LongType, nullable = false),
+        StructField("record_count", LongType, nullable = false))))
   }
 
   /** Table history as a relation — the `.history`/`.snapshots` metadata

@@ -419,6 +419,35 @@ class IcebergSpec extends AnyFunSuite {
       .collect().map(_.getInt(1)).toSeq === Seq(0))
   }
 
+  test("refs: tags and the main branch resolve to snapshots by name") {
+    val dir = s"$root/refs"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0)))
+    w.tag("v1")
+    w.append(df((2L, "b", 2.0)))
+    // tag pins the first snapshot; main tracks the head
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("v1"))) === Seq(1L))
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("main"))) === Seq(1L, 2L))
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, ref = Some("nope")))
+    assert(e.getMessage.contains("available refs") &&
+      e.getMessage.contains("main") && e.getMessage.contains("v1"))
+    // ref is mutually exclusive with the other time-travel selectors
+    intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, snapshotId = Some(1L), ref = Some("v1")))
+  }
+
+  test("partitions relation: per-partition file and record aggregates") {
+    val dir = s"$root/partsrel"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"))
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    w.append(df((4L, "a", 4.0)))
+    val out = IcebergIO.partitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("name=a", 2L, 3L), ("name=b", 1L, 1L)))
+  }
+
   test("non-iceberg directory fails fast") {
     val e = intercept[IllegalArgumentException](
       IcebergIO.read(spark, s"$root/definitely_missing"))
