@@ -319,6 +319,29 @@ class IcebergSpec extends AnyFunSuite {
       serializeBound(java.time.LocalDate.of(2017, 11, 16))) === 17486)
   }
 
+  test("bound serialization and bucket transform hold across a randomized domain") {
+    import graft.sources.IcebergTransforms._
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic sweep
+    (1 to 500).foreach { _ =>
+      val i = rnd.nextInt()
+      assert(deserializeBound("int", serializeBound(i)) === i)
+      val l = rnd.nextLong()
+      assert(deserializeBound("long", serializeBound(l)) === l)
+      val d = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 10)
+      assert(deserializeBound("double", serializeBound(d)) === d)
+      val s = rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      assert(deserializeBound("string", serializeBound(s)) === s)
+    }
+    (1 to 500).foreach { _ =>
+      val v = rnd.nextInt()
+      val n = 1 + rnd.nextInt(1000)
+      val b = bucket(n, v)
+      assert(b >= 0 && b < n)
+      // the spec's type-promotion guarantee: bucket(int) == bucket(long)
+      assert(b === bucket(n, v.toLong))
+    }
+  }
+
   test("statsFilter prunes files by manifest column bounds") {
     val dir = s"$root/stats"
     val w = new IcebergFixture.Writer(spark, dir, schema)
