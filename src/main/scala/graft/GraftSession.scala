@@ -99,6 +99,11 @@ final class GraftSession private (val spark: SparkSession) {
   def icebergPartitions(path: String, snapshotId: Option[Long] = None): DataFrame =
     graft.sources.IcebergIO.partitions(spark, path, snapshotId)
 
+  /** Iceberg manifest-list entries (the runtime jar's `.manifests`
+    * metadata table) — only the manifest list itself is read. */
+  def icebergManifests(path: String, snapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.manifests(spark, path, snapshotId)
+
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,
     * stats, partition transforms) is the `iceberg-spark-runtime` jar's

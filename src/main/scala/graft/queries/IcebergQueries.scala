@@ -221,6 +221,22 @@ object IcebergQueries {
     IcebergIO.partitions(s, dir).orderBy("partition")
   }
 
+  /** Manifest-list entries as a relation (the runtime jar's `.manifests`
+    * metadata table) over the deterministic basic fixture: one data
+    * manifest per append snapshot. */
+  val icebergManifests = dfQ("iceberg_manifests",
+    """SELECT * FROM (VALUES
+      |  ('manifest-00001.avro', 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+      |  ('manifest-00002.avro', 0, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(15 AS BIGINT)))
+      |  AS t(manifest_name, content, sequence_number, added_snapshot_id,
+      |       added_files_count, added_rows_count)
+      |ORDER BY sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.manifests(s, basicFixture(s, sfDir)).orderBy("sequence_number")
+  }
+
   /** Live files as a relation (the runtime jar's `.files` metadata
     * table). The basic fixture is fully deterministic — two append
     * snapshots of nation split at key 10 — so the oracle pins the exact
@@ -238,5 +254,5 @@ object IcebergQueries {
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
     icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune,
-    icebergPartitions)
+    icebergPartitions, icebergManifests)
 }

@@ -117,6 +117,7 @@ object IcebergFixture {
       Some("""{"name":"file_size_in_bytes","type":"long","field-id":104}"""),
       // column bounds (spec 125/128): array-of-(key,value) map form —
       // Avro maps can't have int keys, so the spec mandates this shape
+      Some("""{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110}"""),
       Some("""{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125}"""),
       Some("""{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}"""),
       if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
@@ -141,7 +142,8 @@ object IcebergFixture {
                                     records: Long, bytes: Long,
                                     equalityIds: Seq[Int] = Nil,
                                     partitionValues: Seq[Any] = Nil,
-                                    bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil)
+                                    bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil,
+                                    nullCounts: Seq[(Int, Long)] = Nil)
 
   /** Incremental fixture-table writer. Each append/delete call commits one
     * snapshot: writes the files + a new manifest, rewrites the manifest
@@ -273,8 +275,9 @@ object IcebergFixture {
         if (partitionCols.isEmpty) {
           val target = new File(dataDir, f"data-$next%05d.parquet")
           val (rows, bytes) = writeParquetFile(df, target)
+          val (bounds, nulls) = fileStats(df)
           Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes,
-            bounds = fileBounds(df)))
+            bounds = bounds, nullCounts = nulls))
         } else {
           val tuples = df.select(partFields.map(transformCol): _*).distinct()
             .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
@@ -284,8 +287,9 @@ object IcebergFixture {
             val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
             val slice = df.filter(part)
             val (rows, bytes) = writeParquetFile(slice, target)
+            val (bounds, nulls) = fileStats(slice)
             FileMeta(target.getAbsolutePath, 0, rows, bytes,
-              partitionValues = vals, bounds = fileBounds(slice))
+              partitionValues = vals, bounds = bounds, nullCounts = nulls)
           }
         }
       allFiles ++= fms
@@ -304,8 +308,9 @@ object IcebergFixture {
       val next = seq + 1
       val target = new File(dataDir, f"data-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(df, target)
+      val (bounds, nulls) = fileStats(df)
       val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes,
-        bounds = fileBounds(df))
+        bounds = bounds, nullCounts = nulls)
       allFiles :+= fm
       commit(Seq(fm), next, "append")
       next
@@ -351,24 +356,30 @@ object IcebergFixture {
       * one agg over the file's rows, eligible primitive columns only,
       * all-null columns omitted (no bound → never pruned — the
       * conservative direction). */
-    private def fileBounds(df: DataFrame): Seq[(Int, Array[Byte], Array[Byte])] = {
-      import org.apache.spark.sql.functions.{col => c, max, min}
+    private def fileStats(df: DataFrame)
+        : (Seq[(Int, Array[Byte], Array[Byte])], Seq[(Int, Long)]) = {
+      import org.apache.spark.sql.functions.{col => c, lit, max, min, sum, when}
       val supported: Set[DataType] =
         Set(IntegerType, LongType, StringType, DateType, DoubleType, FloatType)
-      val eligible = df.schema.fields.toSeq
-        .filter(f => supported.contains(f.dataType))
-        .map(f => f.name -> (schema.fieldNames.indexOf(f.name) + 1))
-      if (eligible.isEmpty) return Nil
-      val aggs = eligible.flatMap { case (n, _) => Seq(min(c(n)), max(c(n))) }
+      def fid(n: String) = schema.fieldNames.indexOf(n) + 1
+      val boundCols = df.schema.fields.toSeq
+        .filter(f => supported.contains(f.dataType)).map(f => f.name)
+      val allCols = df.schema.fields.toSeq.map(_.name)
+      val aggs = boundCols.flatMap(n => Seq(min(c(n)), max(c(n)))) ++
+        allCols.map(n => sum(when(c(n).isNull, 1L).otherwise(0L)))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
-      eligible.zipWithIndex.flatMap { case ((_, fid), j) =>
+      val bounds = boundCols.zipWithIndex.flatMap { case (n, j) =>
         (Option(row.get(2 * j)), Option(row.get(2 * j + 1))) match {
-          case (Some(lo), Some(hi)) => Some((fid,
+          case (Some(lo), Some(hi)) => Some((fid(n),
             IcebergTransforms.serializeBound(lo),
             IcebergTransforms.serializeBound(hi)))
           case _ => None
         }
       }
+      val nulls = allCols.zipWithIndex.map { case (n, j) =>
+        fid(n) -> row.getLong(2 * boundCols.size + j)
+      }
+      (bounds, nulls)
     }
 
     private def writeParquetFile(df: DataFrame, target: File): (Long, Long) = {
@@ -441,6 +452,17 @@ object IcebergFixture {
           }
           d.put("lower_bounds", boundsArr("lower_bounds", lower = true))
           d.put("upper_bounds", boundsArr("upper_bounds", lower = false))
+        }
+        if (fm.nullCounts.nonEmpty) {
+          val ncSchema = dfSchema.getField("null_value_counts").schema().getTypes.get(1)
+          val a = new GenericData.Array[GenericRecord](fm.nullCounts.size, ncSchema)
+          fm.nullCounts.foreach { case (fid, n) =>
+            val r = new GenericData.Record(ncSchema.getElementType)
+            r.put("key", fid)
+            r.put("value", n)
+            a.add(r)
+          }
+          d.put("null_value_counts", a)
         }
         if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
         if (formatVersion >= 2 && fm.equalityIds.nonEmpty)

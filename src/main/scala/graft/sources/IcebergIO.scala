@@ -238,7 +238,8 @@ object IcebergIO {
                                        partitionValues: Map[String, Any],
                                        recordCount: Long,
                                        lowerBounds: Map[Int, Array[Byte]],
-                                       upperBounds: Map[Int, Array[Byte]])
+                                       upperBounds: Map[Int, Array[Byte]],
+                                       nullCounts: Map[Int, Long])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -337,11 +338,23 @@ object IcebergIO {
                 }.toMap
               case _ => Map.empty
             }
+          // per-column null-row counts (spec field 110), same map form
+          val nullCounts: Map[Int, Long] =
+            if (df.getSchema.getField("null_value_counts") == null) Map.empty
+            else df.get("null_value_counts") match {
+              case l: java.util.Collection[_] =>
+                l.asScala.map { e =>
+                  val r = e.asInstanceOf[GenericRecord]
+                  r.get("key").asInstanceOf[Number].intValue() ->
+                    r.get("value").asInstanceOf[Number].longValue()
+                }.toMap
+              case _ => Map.empty
+            }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
             seq, eqIds, partVals, records,
-            boundsMap("lower_bounds"), boundsMap("upper_bounds"))
+            boundsMap("lower_bounds"), boundsMap("upper_bounds"), nullCounts)
         }
       }
     }
@@ -424,11 +437,13 @@ object IcebergIO {
     *                        predicate as usual.
     */
   /** @param statsFilter (column, op, value) predicates with op in
-    *                     `= < <= > >=`, applied at PLANNING time against
-    *                     the manifests' per-file column bounds
-    *                     (`lower_bounds`/`upper_bounds`, spec fields
-    *                     125/128) — a data file whose [min, max] range
-    *                     provably excludes the predicate is never opened.
+    *                     `= < <= > >=` plus `is null` / `is not null`
+    *                     (value ignored), applied at PLANNING time
+    *                     against the manifests' per-file column bounds
+    *                     and null counts (`lower_bounds`/`upper_bounds`/
+    *                     `null_value_counts`, spec fields 125/128/110) —
+    *                     a data file whose stats provably exclude the
+    *                     predicate is never opened.
     *                     Like partitionFilter this is FILE pruning: the
     *                     caller still applies the exact row predicate
     *                     (which Spark ALSO pushes into the parquet
@@ -525,13 +540,16 @@ object IcebergIO {
     // Resolve stats predicates once: (field id, op, Spark type,
     // normalized value); unknown columns fail loudly.
     val idByField = meta.fieldById.map(_.swap)
+    val nullOps = Set("is null", "is not null")
     val resolvedStats: Seq[(Int, String, DataType, Any)] = statsFilter.map {
       case (name, op, v) =>
         val fid = idByField.getOrElse(name, throw new IllegalArgumentException(
           s"statsFilter names unknown column '$name' " +
             s"(known: ${idByField.keys.toSeq.sorted.mkString(", ")})"))
         val dt = meta.schema(name).dataType
-        (fid, op, dt, normalizeStat(dt, v))
+        // null-ness ops compare against null_value_counts, not bounds —
+        // the value operand is ignored
+        (fid, op, dt, if (nullOps(op)) null else normalizeStat(dt, v))
     }
     // Planning-time pruning: drop DATA files whose manifest partition
     // tuple fails the equality filter, or whose column bounds provably
@@ -543,10 +561,18 @@ object IcebergIO {
         partitionFilter.forall { case (k, v) =>
           f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
         } &&
-        resolvedStats.forall { case (fid, op, dt, v) =>
-          statsKeep(op,
-            f.lowerBounds.get(fid).map(boundValue(dt, _)),
-            f.upperBounds.get(fid).map(boundValue(dt, _)), v)
+        resolvedStats.forall {
+          // a null row can exist iff the file's null count is > 0; a
+          // non-null row iff nulls < record count. Unknown counts keep.
+          case (fid, "is null", _, _) =>
+            f.nullCounts.get(fid).forall(_ > 0L)
+          case (fid, "is not null", _, _) =>
+            f.recordCount < 0L ||
+              f.nullCounts.get(fid).forall(_ < f.recordCount)
+          case (fid, op, dt, v) =>
+            statsKeep(op,
+              f.lowerBounds.get(fid).map(boundValue(dt, _)),
+              f.upperBounds.get(fid).map(boundValue(dt, _)), v)
         })
     }
     val badFmt = files.filter(_.format != "PARQUET")
@@ -672,6 +698,46 @@ object IcebergIO {
         StructField("record_count", LongType, nullable = false),
         StructField("sequence_number", LongType, nullable = false),
         StructField("partition", StringType, nullable = false))))
+  }
+
+  /** Manifest-list entries as a relation — the `.manifests` metadata
+    * table: one row per manifest of the snapshot (content 0 = data
+    * manifests, 1 = delete manifests). The v1 inline-manifests form has
+    * no list-level metadata, so it reports content 0, sequence 0 and -1
+    * counts. Metadata grain: only the manifest LIST is read. */
+  def manifests(spark: SparkSession, tablePath: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val rows: Seq[Row] = snap.manifestList match {
+      case Some(ml) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        foreachAvroRecord(ml) { r =>
+          def longOr(n: String, dflt: Long): Long =
+            if (r.getSchema.getField(n) == null) dflt
+            else r.get(n) match { case x: Number => x.longValue(); case _ => dflt }
+          buf += Row(
+            new File(normalizePath(r.get("manifest_path").toString)).getName,
+            intFieldOrZero(r, "content"),
+            longOr("sequence_number", 0L),
+            longOr("added_snapshot_id", -1L),
+            longOr("added_files_count", -1L),
+            longOr("added_rows_count", -1L))
+        }
+        buf.toSeq
+      case None => snap.manifests.map(p =>
+        Row(new File(normalizePath(p)).getName, 0, 0L, -1L, -1L, -1L))
+    }
+    val sorted = rows.sortBy(r => (r.getInt(1), r.getLong(2), r.getString(0)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(sorted).asJava),
+      StructType(Seq(
+        StructField("manifest_name", StringType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("added_snapshot_id", LongType, nullable = false),
+        StructField("added_files_count", LongType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = false))))
   }
 
   /** Per-partition aggregates of a snapshot's live DATA files — the

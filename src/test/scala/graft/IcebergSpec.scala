@@ -442,6 +442,29 @@ class IcebergSpec extends AnyFunSuite {
       .collect().map(_.getInt(1)).toSeq === Seq(0))
   }
 
+  test("is null / is not null stats pruning via null_value_counts") {
+    val dir = s"$root/nullstats"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0))) // no nulls anywhere
+    val list = new java.util.ArrayList[Row]()
+    list.add(Row(3L, null, 3.0)) // name entirely null in this file
+    w.append(spark.createDataFrame(list, schema))
+
+    // IS NULL prunes to the file that records null rows for the column
+    val pNull = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("name", "is null", null)))
+    assert(ids(pNull) === Seq(3L))
+    assert(pNull.inputFiles.length === 1)
+    // IS NOT NULL prunes the all-null file (nulls == record count)
+    val pNotNull = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("name", "is not null", null)))
+    assert(ids(pNotNull) === Seq(1L, 2L))
+    assert(pNotNull.inputFiles.length === 1)
+    // a never-null column: IS NULL excludes every file, scans nothing
+    assert(IcebergIO.read(spark, dir,
+      statsFilter = Seq(("id", "is null", null))).count() === 0L)
+  }
+
   test("refs: tags and the main branch resolve to snapshots by name") {
     val dir = s"$root/refs"
     val w = new IcebergFixture.Writer(spark, dir, schema)
@@ -469,6 +492,25 @@ class IcebergSpec extends AnyFunSuite {
     val out = IcebergIO.partitions(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq(("name=a", 2L, 3L), ("name=b", 1L, 1L)))
+  }
+
+  test("manifests relation: one row per manifest, delete manifests flagged") {
+    val dir = s"$root/manifestsrel"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    w.deletePositions(w.dataFilePaths.head, Seq(0L))
+    val out = IcebergIO.manifests(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("manifest-00001.avro", 0, 1L, 1L),
+      ("manifest-00002.avro", 1, 2L, 1L)))
+    // v1 inline form: no list-level metadata, content 0 / seq 0
+    val dir2 = s"$root/manifestsrel_v1"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema,
+      formatVersion = 1, inlineManifests = true)
+    w2.append(df((1L, "a", 1.0)))
+    val v1 = IcebergIO.manifests(spark, dir2).collect()
+    assert(v1.length === 1 && v1.head.getInt(1) === 0 && v1.head.getLong(2) === 0L)
   }
 
   test("non-iceberg directory fails fast") {
