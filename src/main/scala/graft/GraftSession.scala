@@ -84,6 +84,16 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
       partitionFilter, statsFilter, ref)
 
+  /** Iceberg read with automatic pushdown: pruning (partition + manifest
+    * stats) is derived from the condition's supported conjuncts and the
+    * full condition is applied as an exact row filter. */
+  def readIcebergWhere(path: String, condition: org.apache.spark.sql.Column,
+                       snapshotId: Option[Long] = None,
+                       asOfTimestampMs: Option[Long] = None,
+                       ref: Option[String] = None): DataFrame =
+    graft.sources.IcebergIO.readWhere(spark, path, condition, snapshotId,
+      asOfTimestampMs, ref)
+
   /** Iceberg table history as a relation (the runtime jar's `.history`
     * metadata table): one row per snapshot in commit order. */
   def icebergHistory(path: String): DataFrame =

@@ -221,6 +221,25 @@ object IcebergQueries {
     IcebergIO.partitions(s, dir).orderBy("partition")
   }
 
+  /** Automatic pushdown: readWhere derives partition pruning (region
+    * equality) AND manifest-stats pruning (key range) from ONE Spark
+    * predicate, then applies it exactly — the runtime jar's scan-pushdown
+    * contract without manual filter plumbing. */
+  val icebergPushdownWhere = dfQ("iceberg_pushdown_where",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey = 2 AND n_nationkey >= 5 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_iceberg_where_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema,
+      partitionCols = Seq("n_regionkey"))
+    w.append(nationSorted(s))
+    IcebergIO.readWhere(s, dir,
+        col("n_regionkey") === 2L && col("n_nationkey") >= 5L)
+      .orderBy("n_nationkey")
+  }
+
   /** Manifest-list entries as a relation (the runtime jar's `.manifests`
     * metadata table) over the deterministic basic fixture: one data
     * manifest per append snapshot. */
@@ -254,5 +273,5 @@ object IcebergQueries {
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
     icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune,
-    icebergPartitions, icebergManifests)
+    icebergPartitions, icebergManifests, icebergPushdownWhere)
 }

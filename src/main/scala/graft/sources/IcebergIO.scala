@@ -532,6 +532,89 @@ object IcebergIO {
     }
   }
 
+  /** Read with a Spark predicate Column — the pushdown UX: pruning
+    * predicates are DERIVED from the condition's supported conjuncts
+    * automatically (partition equality → partition pruning; attribute-
+    * vs-literal comparisons and null checks → manifest stats pruning),
+    * and the FULL condition is then applied as an exact row filter. So
+    * results are always exact and pruning is best-effort — the same
+    * contract as the runtime jar's scan pushdown. Unsupported conjuncts
+    * (ORs, expressions over multiple columns, unsupported types) simply
+    * contribute no pruning. */
+  def readWhere(spark: SparkSession, tablePath: String,
+                condition: org.apache.spark.sql.Column,
+                snapshotId: Option[Long] = None,
+                asOfTimestampMs: Option[Long] = None,
+                ref: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.GraftShim.PredNode
+    val meta = loadMetadata(tablePath)
+    // partition source -> transform; derived equality prunes partitions
+    // only for transforms that accept raw literal values (identity /
+    // truncate / bucket) — time transforms need date/timestamp OBJECTS,
+    // but Catalyst date literals are day ordinals, so they stay
+    // stats-pruned only
+    val partitionSources: Map[String, String] = meta.partitionFields
+      .flatMap { case (_, t, srcId) => meta.fieldById.get(srcId).map(_ -> t) }
+      .toMap
+    def partitionPrunable(t: String): Boolean =
+      t == "identity" || t.startsWith("truncate[") || t.startsWith("bucket[")
+    val statTypes: Set[DataType] = Set(IntegerType, LongType, StringType,
+      DateType, DoubleType, FloatType)
+    // The DSL builds a ColumnNode tree (string operator names) — walk
+    // the shim's neutral view of THAT, not the analyzed Catalyst
+    // expression, so derivation needs no relation to resolve against.
+    // Node literals carry plain Scala values (no UTF8String unwrapping).
+    def attr(e: PredNode): Option[String] = e match {
+      case PredNode.Attr(n) => Some(n)
+      case _ => None
+    }
+    def literal(e: PredNode): Option[Any] = e match {
+      case PredNode.Lit(v) if v != null => Some(v)
+      case _ => None
+    }
+    val statsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Any)]
+    val partBuf = scala.collection.mutable.Map.empty[String, Any]
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case o => o
+    }
+    def known(n: String): Boolean = meta.schema.fieldNames.contains(n)
+    def add(n: String, op: String, v: Any): Unit = {
+      if (statTypes(meta.schema(n).dataType)) statsBuf += ((n, op, v))
+      if (op == "=" && partitionSources.get(n).exists(partitionPrunable))
+        partBuf(n) = v
+    }
+    def comparison(op: String, l: PredNode, r: PredNode): Unit =
+      (attr(l), literal(r)) match {
+        case (Some(n), Some(v)) if known(n) => add(n, op, v)
+        case _ => (attr(r), literal(l)) match {
+          case (Some(n), Some(v)) if known(n) => add(n, flip(op), v)
+          case _ => ()
+        }
+      }
+    def visit(e: PredNode): Unit = e match {
+      case PredNode.Fn(fname, args) =>
+        fname.toLowerCase(java.util.Locale.ROOT) match {
+          case "and" => args.foreach(visit(_))
+          case op @ ("=" | "==" | "<" | "<=" | ">" | ">=") if args.size == 2 =>
+            comparison(if (op == "==") "=" else op, args(0), args(1))
+          case "isnull" if args.size == 1 =>
+            attr(args.head).filter(known).foreach(n =>
+              statsBuf += ((n, "is null", null)))
+          case "isnotnull" if args.size == 1 =>
+            attr(args.head).filter(known).foreach(n =>
+              statsBuf += ((n, "is not null", null)))
+          case _ => () // unsupported conjunct — no pruning from it
+        }
+      case _ => ()
+    }
+    visit(GraftShim.predicateTree(condition))
+    read(spark, tablePath, snapshotId, asOfTimestampMs,
+        partBuf.toMap, statsBuf.toSeq, ref)
+      .filter(condition)
+  }
+
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo,
                            partitionFilter: Map[String, Any] = Map.empty,

@@ -465,6 +465,39 @@ class IcebergSpec extends AnyFunSuite {
       statsFilter = Seq(("id", "is null", null))).count() === 0L)
   }
 
+  test("readWhere derives pruning from a Spark predicate and filters exactly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = s"$root/where"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "apple", 1.0), (5L, "cherry", 2.0)))
+    w.append(df((10L, "melon", 3.0), (20L, "zebra", 4.0)))
+    // stats pruning from the conjunct + the exact row filter on top
+    val q = IcebergIO.readWhere(spark, dir, col("id") >= 15L)
+    assert(ids(q) === Seq(20L)) // exact rows, not the whole surviving file
+    assert(q.inputFiles.length === 1)
+    // literal-first orientation flips the operator
+    val q2 = IcebergIO.readWhere(spark, dir, lit(5L) >= col("id"))
+    assert(ids(q2) === Seq(1L, 5L))
+    assert(q2.inputFiles.length === 1)
+    // OR conditions contribute no pruning but results stay exact
+    val q3 = IcebergIO.readWhere(spark, dir,
+      col("id") === 1L || col("id") === 20L)
+    assert(ids(q3) === Seq(1L, 20L))
+    assert(q3.inputFiles.length === 2)
+    // IS NULL conjunct rides the null-count stats
+    assert(IcebergIO.readWhere(spark, dir, col("name").isNull).count() === 0L)
+
+    // partition-source equality prunes through the partition tuple
+    val dir2 = s"$root/where_part"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema,
+      partitionCols = Seq("name"))
+    w2.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    val q4 = IcebergIO.readWhere(spark, dir2,
+      col("name") === "a" && col("score") > 1.0)
+    assert(ids(q4) === Seq(3L))
+    assert(q4.inputFiles.length === 1)
+  }
+
   test("refs: tags and the main branch resolve to snapshots by name") {
     val dir = s"$root/refs"
     val w = new IcebergFixture.Writer(spark, dir, schema)
