@@ -5,12 +5,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
-    val e = GraftShim.expression(col("id") >= 15L)
-    println("CLASS: " + e.getClass.getName)
-    println("TREE: " + e)
-    val e2 = GraftShim.expression(col("name") === "a" && col("score") > 1.0)
-    println("CLASS2: " + e2.getClass.getName)
-    println("TREE2: " + e2)
+    println("ISIN: " + GraftShim.predicateTree(col("id").isin(1L, 5L, 9L)))
+    println("BETWEEN: " + GraftShim.predicateTree(col("id").between(2, 7)))
     spark.stop()
   }
 }

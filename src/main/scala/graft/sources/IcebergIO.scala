@@ -410,8 +410,10 @@ object IcebergIO {
     case "<=" => lo.forall(l => !statLt(v, l))
     case ">"  => hi.forall(h => statLt(v, h))
     case ">=" => hi.forall(h => !statLt(h, v))
+    case "in" => v.asInstanceOf[Seq[Any]].exists(x =>
+      lo.forall(l => !statLt(x, l)) && hi.forall(h => !statLt(h, x)))
     case other => throw new IllegalArgumentException(
-      s"statsFilter op must be one of = < <= > >=, got '$other'")
+      s"statsFilter op must be one of = < <= > >= in, got '$other'")
   }
 
   // ----------------------------------------------------------------- read
@@ -605,6 +607,15 @@ object IcebergIO {
           case "isnotnull" if args.size == 1 =>
             attr(args.head).filter(known).foreach(n =>
               statsBuf += ((n, "is not null", null)))
+          case "in" if args.size >= 2 =>
+            // IN-list: stats-prunable (any listed value inside [lo, hi]
+            // keeps the file); partition pruning stays out (equality map)
+            (attr(args.head), args.tail.map(literal)) match {
+              case (Some(n), vs) if known(n) && vs.forall(_.isDefined) &&
+                  statTypes(meta.schema(n).dataType) =>
+                statsBuf += ((n, "in", vs.flatten))
+              case _ => ()
+            }
           case _ => () // unsupported conjunct — no pruning from it
         }
       case _ => ()
@@ -631,8 +642,16 @@ object IcebergIO {
             s"(known: ${idByField.keys.toSeq.sorted.mkString(", ")})"))
         val dt = meta.schema(name).dataType
         // null-ness ops compare against null_value_counts, not bounds —
-        // the value operand is ignored
-        (fid, op, dt, if (nullOps(op)) null else normalizeStat(dt, v))
+        // the value operand is ignored; "in" takes a Seq of values
+        val nv =
+          if (nullOps(op)) null
+          else if (op == "in") v match {
+            case s: Seq[_] => s.map(normalizeStat(dt, _))
+            case other => throw new IllegalArgumentException(
+              s"statsFilter 'in' needs a Seq value, got $other")
+          }
+          else normalizeStat(dt, v)
+        (fid, op, dt, nv)
     }
     // Planning-time pruning: drop DATA files whose manifest partition
     // tuple fails the equality filter, or whose column bounds provably

@@ -486,6 +486,18 @@ class IcebergSpec extends AnyFunSuite {
     assert(q3.inputFiles.length === 2)
     // IS NULL conjunct rides the null-count stats
     assert(IcebergIO.readWhere(spark, dir, col("name").isNull).count() === 0L)
+    // IN-list: values spanning both files keep both; values inside one
+    // file's range prune to it; values outside every range scan nothing
+    val qIn = IcebergIO.readWhere(spark, dir, col("id").isin(1L, 20L))
+    assert(ids(qIn) === Seq(1L, 20L) && qIn.inputFiles.length === 2)
+    val qIn2 = IcebergIO.readWhere(spark, dir, col("id").isin(2L, 3L))
+    assert(qIn2.count() === 0L && qIn2.inputFiles.length === 1)
+    assert(IcebergIO.readWhere(spark, dir, col("id").isin(100L, 200L))
+      .count() === 0L)
+    // explicit statsFilter form of IN
+    val qIn3 = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("id", "in", Seq(5L, 6L))))
+    assert(qIn3.inputFiles.length === 1)
 
     // partition-source equality prunes through the partition tuple
     val dir2 = s"$root/where_part"
