@@ -315,7 +315,9 @@ object AvroIO {
     * EVOLUTION ON READ: a corpus written over years under drifting
     * schemas reads back uniform — each file resolves independently, so
     * heterogeneous writer schemas across part files are fine.
-    * Files are decoded one-per-task on executors. */
+    * Large containers split on byte ranges (sync-marker aligned at read
+    * time, `spark.sql.files.maxPartitionBytes` contract — same as the V2
+    * connector), so even ONE huge file parallelizes across tasks. */
   def read(spark: SparkSession, path: String,
            readerSchemaJson: Option[String] = None): DataFrame = {
     val files = listAvroFiles(path)
@@ -328,31 +330,47 @@ object AvroIO {
     }
     val sparkSchema = toSparkSchema(expectedSchema)
     val schemaJson = expectedSchema.toString // Schema isn't serializable: ship JSON
-    val parallelism = math.min(files.size,
-      math.max(1, spark.sparkContext.defaultParallelism))
-    val rdd = spark.sparkContext.parallelize(files, parallelism).flatMap { file =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val st = toSparkSchema(schema)
-      // expected (reader) schema fixed here; the writer schema is taken
-      // from each file's own header by DataFileReader — resolution is
-      // per-file, which is what makes mixed-schema directories readable.
-      val reader = new DataFileReader[GenericRecord](
-        new File(file), new GenericDatumReader[GenericRecord](null, schema))
-      // Close on task completion too — a short-circuited task (limit,
-      // failure) never exhausts the iterator, and the handle would
-      // otherwise live until GC.
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => reader.close()))
-      // Stream the container; hand the iterator off with a close-on-end.
-      new Iterator[Row] {
-        def hasNext: Boolean = {
-          val h = reader.hasNext
-          if (!h) reader.close()
-          h
-        }
-        def next(): Row = recordToRow(reader.next(), st, schema)
-      }
+    val maxSplit = math.max(4096L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+          s"${128L * 1024 * 1024}")))
+    // (file, start, length) byte-range splits: the reader syncs to the
+    // first block boundary after `start` and stops once past the end —
+    // every Avro block is read by exactly one split.
+    val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
+      val len = new File(f).length()
+      val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
+      (0L until n).map(i =>
+        (f, i * maxSplit, math.min(maxSplit, len - i * maxSplit)))
     }
+    // one task per split, the same grain as the V2 connector (splits are
+    // already bounded by maxPartitionBytes, so tasks stay right-sized)
+    val rdd = spark.sparkContext.parallelize(splits, splits.size)
+      .flatMap { case (file, start, length) =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val st = toSparkSchema(schema)
+        // expected (reader) schema fixed here; the writer schema is taken
+        // from each file's own header by DataFileReader — resolution is
+        // per-file, which is what makes mixed-schema directories readable.
+        val reader = new DataFileReader[GenericRecord](
+          new File(file), new GenericDatumReader[GenericRecord](null, schema))
+        // Close on task completion too — a short-circuited task (limit,
+        // failure) never exhausts the iterator, and the handle would
+        // otherwise live until GC.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.sync(start) // sync(0) is safe: positions at the first block
+        val end = start + length
+        // Stream the range; hand the iterator off with a close-on-end.
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close()
+            h
+          }
+          def next(): Row = recordToRow(reader.next(), st, schema)
+        }
+      }
     spark.createDataFrame(rdd, sparkSchema)
   }
 

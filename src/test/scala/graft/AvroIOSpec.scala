@@ -369,6 +369,16 @@ class AvroIOSpec extends AnyFunSuite {
       assert(df.rdd.getNumPartitions > 4,
         s"expected multiple splits via readAvro, got ${df.rdd.getNumPartitions}")
       assert(df.count() === n.toLong)
+
+      // the RDD path (AvroIO.read) honors the same split contract: every
+      // row read exactly once across sync-aligned ranges
+      val rdd = graft.sources.AvroIO.read(spark, out.getPath)
+      assert(rdd.rdd.getNumPartitions > 4,
+        s"expected multiple splits via AvroIO.read, got ${rdd.rdd.getNumPartitions}")
+      assert(rdd.count() === n.toLong)
+      import org.apache.spark.sql.functions.{countDistinct, sum}
+      val agg = rdd.agg(sum("id"), countDistinct("id")).head()
+      assert(agg.getLong(0) === n.toLong * (n - 1) / 2 && agg.getLong(1) === n.toLong)
     } finally spark.conf.set(key, prev)
   }
 
