@@ -510,6 +510,33 @@ class IcebergSpec extends AnyFunSuite {
     assert(q4.inputFiles.length === 1)
   }
 
+  test("stats pruning stays conservative on schema-evolved files") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/evostats"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    // a file written before `score` existed: no bounds for that column
+    val old = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "old")),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))))
+    w.appendRaw(old)
+    w.append(df((2L, "new", 9.5)))
+
+    // file pruning alone must KEEP the boundless old file
+    val q = IcebergIO.read(spark, dir, statsFilter = Seq(("score", ">=", 5.0)))
+    assert(ids(q) === Seq(1L, 2L))
+    // readWhere's exact row filter then drops the null-score old rows
+    val q2 = IcebergIO.readWhere(spark, dir, col("score") >= 5.0)
+    assert(ids(q2) === Seq(2L))
+    // bounds exclude the new file; the old file survives (conservative)
+    // but contributes nothing after the exact filter
+    val q3 = IcebergIO.readWhere(spark, dir, col("score") < 1.0)
+    assert(q3.count() === 0L)
+    assert(q3.inputFiles.length === 1,
+      s"only the boundless old file should scan: ${q3.inputFiles.mkString(", ")}")
+  }
+
   test("refs: tags and the main branch resolve to snapshots by name") {
     val dir = s"$root/refs"
     val w = new IcebergFixture.Writer(spark, dir, schema)
