@@ -221,6 +221,15 @@ object IcebergQueries {
     IcebergIO.partitions(s, dir).orderBy("partition")
   }
 
+  /** Named refs as a relation: the basic fixture's main branch tracks
+    * the head snapshot (2 appends -> snapshot 2). */
+  val icebergRefs = dfQ("iceberg_refs",
+    """SELECT 'main' AS ref_name, CAST(2 AS BIGINT) AS snapshot_id
+      |ORDER BY ref_name""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.refs(s, basicFixture(s, sfDir)).orderBy("ref_name")
+  }
+
   /** Automatic pushdown: readWhere derives partition pruning (region
     * equality) AND manifest-stats pruning (key range) from ONE Spark
     * predicate, then applies it exactly — the runtime jar's scan-pushdown
@@ -273,5 +282,5 @@ object IcebergQueries {
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
     icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune,
-    icebergPartitions, icebergManifests, icebergPushdownWhere)
+    icebergPartitions, icebergManifests, icebergPushdownWhere, icebergRefs)
 }

@@ -863,6 +863,21 @@ object IcebergIO {
         StructField("record_count", LongType, nullable = false))))
   }
 
+  /** Named refs as a relation — the `.refs` metadata table: one row per
+    * branch/tag in metadata.json (name, snapshot_id). Ref TYPE is kept
+    * out: the fixture always writes it, but the scan treats branches and
+    * tags identically (read-only), so the relation pins only what the
+    * reader actually uses. */
+  def refs(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, sid) => Row(n, sid) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("ref_name", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false))))
+  }
+
   /** Table history as a relation — the `.history`/`.snapshots` metadata
     * table the runtime jar exposes: one row per snapshot in commit order
     * (snapshot_id, sequence_number, committed_at_ms, operation). */

@@ -537,6 +537,42 @@ class IcebergSpec extends AnyFunSuite {
       s"only the boundless old file should scan: ${q3.inputFiles.mkString(", ")}")
   }
 
+  test("randomized pruning soundness: pruned + exact filter == full filter") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7) // fixed seed — deterministic
+    val dir = s"$root/fuzz"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    (1 to 4).foreach { _ =>
+      val rows = (1 to 8).map(_ => (rnd.nextInt(100).toLong,
+        rnd.alphanumeric.take(1).mkString, rnd.nextInt(100) / 10.0))
+      w.append(df(rows: _*))
+    }
+    val full = IcebergIO.read(spark, dir)
+    val ops = Seq("=", "<", "<=", ">", ">=")
+    (1 to 20).foreach { i =>
+      val c = Seq("id", "name", "score")(rnd.nextInt(3))
+      val op = ops(rnd.nextInt(ops.size))
+      val v: Any = c match {
+        case "id"    => rnd.nextInt(100).toLong
+        case "name"  => rnd.alphanumeric.take(1).mkString
+        case "score" => rnd.nextInt(100) / 10.0
+      }
+      val cond = op match {
+        case "="  => col(c) === v
+        case "<"  => col(c) < v
+        case "<=" => col(c) <= v
+        case ">"  => col(c) > v
+        case ">=" => col(c) >= v
+      }
+      // soundness: file pruning must never drop a matching row — the
+      // pruned scan after the exact predicate equals the unpruned one
+      val pruned = IcebergIO.read(spark, dir, statsFilter = Seq((c, op, v)))
+      val a = pruned.filter(cond).collect().map(_.toSeq.toString).sorted.toSeq
+      val b = full.filter(cond).collect().map(_.toSeq.toString).sorted.toSeq
+      assert(a === b, s"iteration $i: pruning dropped rows for $c $op $v")
+    }
+  }
+
   test("refs: tags and the main branch resolve to snapshots by name") {
     val dir = s"$root/refs"
     val w = new IcebergFixture.Writer(spark, dir, schema)
