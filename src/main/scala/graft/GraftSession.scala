@@ -189,8 +189,23 @@ final class GraftSession private (val spark: SparkSession) {
     * (distributed_query.rs:44,100); snapshot pinned at registration
     * time (re-register to see later commits). */
   def registerIceberg(name: String, path: String,
-                      snapshotId: Option[Long] = None): Unit =
+                      snapshotId: Option[Long] = None,
+                      metadataTables: Boolean = false): Unit = {
     readIceberg(path, snapshotId).createOrReplaceTempView(name)
+    // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
+    // tables, surfaced as `<name>_history` etc. temp views (dot suffixes
+    // need a catalog plugin; underscore views are the session analog)
+    if (metadataTables) {
+      icebergHistory(path).createOrReplaceTempView(s"${name}_history")
+      icebergFiles(path, snapshotId).createOrReplaceTempView(s"${name}_files")
+      icebergPartitions(path, snapshotId)
+        .createOrReplaceTempView(s"${name}_partitions")
+      icebergManifests(path, snapshotId)
+        .createOrReplaceTempView(s"${name}_manifests")
+      graft.sources.IcebergIO.refs(spark, path)
+        .createOrReplaceTempView(s"${name}_refs")
+    }
+  }
 
   /** Register all TPC-H-ish parquet tables found in a scale-factor dir. */
   def registerTables(sfDir: String, names: Seq[String] = defaultTables): Unit =

@@ -404,7 +404,20 @@ class IcebergSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ice_t").head.getLong(0) === 3L)
     g.registerIceberg("ice_t1", dir, snapshotId = Some(s1))
     assert(spark.sql("SELECT max(id) FROM ice_t1").head.getLong(0) === 2L)
-    spark.catalog.dropTempView("ice_t"); spark.catalog.dropTempView("ice_t1")
+
+    // metadataTables = true surfaces the metadata relations to SQL
+    g.registerIceberg("ice_m", dir, metadataTables = true)
+    assert(spark.sql("SELECT count(*) FROM ice_m_history").head.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_files").head.getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT record_count FROM ice_m_partitions").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_manifests").head.getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT snapshot_id FROM ice_m_refs WHERE ref_name = 'main'")
+      .head.getLong(0) === 2L)
+    Seq("ice_t", "ice_t1", "ice_m", "ice_m_history", "ice_m_files",
+      "ice_m_partitions", "ice_m_manifests", "ice_m_refs")
+      .foreach(spark.catalog.dropTempView(_))
   }
 
   test("history relation: commit order, deterministic clock, operations") {
