@@ -89,10 +89,11 @@ object IcebergFixture {
   }
 
   /** Avro schema for the `partition` record (r102): one field per
-    * identity-partition column, field-ids from 1000 up (spec: partition
-    * field ids start at 1000). Empty for unpartitioned tables. */
-  private def partitionFieldsJson(partCols: Seq[(String, DataType)]): String =
-    partCols.zipWithIndex.map { case ((n, dt), i) =>
+    * partition field, field-ids from 1000 up (spec: partition field ids
+    * start at 1000). Nullable fields (void transform) get a null-first
+    * union with a null default. Empty for unpartitioned tables. */
+  private def partitionFieldsJson(partCols: Seq[(String, DataType, Boolean)]): String =
+    partCols.zipWithIndex.map { case ((n, dt, nullable), i) =>
       val avroT = dt match {
         case IntegerType => "\"int\""
         case LongType    => "\"long\""
@@ -100,14 +101,17 @@ object IcebergFixture {
         case other => throw new IllegalArgumentException(
           s"fixture partition column type not supported: $other")
       }
-      s"""{"name":"$n","type":$avroT,"field-id":${1000 + i}}"""
+      if (nullable)
+        s"""{"name":"$n","type":["null",$avroT],"default":null,"field-id":${1000 + i}}"""
+      else
+        s"""{"name":"$n","type":$avroT,"field-id":${1000 + i}}"""
     }.mkString(",")
 
   /** Manifest entry (`manifest_entry` wrapping `data_file`, spec
     * field-ids 0-4 / 100-143). `partition` is the r102 record — empty
     * for unpartitioned tables, one field per partition column otherwise. */
   private def manifestEntrySchema(
-      v: Int, partCols: Seq[(String, DataType)] = Nil): Schema = {
+      v: Int, partCols: Seq[(String, DataType, Boolean)] = Nil): Schema = {
     val dataFileFields: Seq[String] = Seq(
       if (v >= 2) Some("""{"name":"content","type":"int","field-id":134}""") else None,
       Some("""{"name":"file_path","type":"string","field-id":100}"""),
@@ -167,9 +171,9 @@ object IcebergFixture {
     private val timeTransforms = Set("year", "month", "day", "hour")
     partitionTransforms.values.foreach(t =>
       require(t.matches("truncate\\[\\d+\\]") || t.matches("bucket\\[\\d+\\]") ||
-          timeTransforms(t),
-        s"only truncate[W] / bucket[N] / year/month/day/hour transforms " +
-          s"supported by the fixture, got $t"))
+          timeTransforms(t) || t == "void",
+        s"only truncate[W] / bucket[N] / year/month/day/hour / void " +
+          s"transforms supported by the fixture, got $t"))
 
     /** (spec partition-field name, transform, source col). Identity keeps
       * the source name; transforms get the conventional suffix. */
@@ -182,12 +186,14 @@ object IcebergFixture {
           case None                                => (c, "identity", c)
         }
       }
-    // bucket and time-transform partition fields are always int (the
-    // bucket/period ordinal), regardless of the source column type
-    private val partColTypes: Seq[(String, DataType)] =
+    // bucket/time/void partition fields are always int (the ordinal, or
+    // void's always-null placeholder), regardless of source column type;
+    // void fields are the only nullable ones
+    private val partColTypes: Seq[(String, DataType, Boolean)] =
       partFields.map { case (n, t, src) =>
-        n -> (if (t.startsWith("bucket") || timeTransforms(t)) IntegerType
-              else schema(src).dataType)
+        val dt = if (t.startsWith("bucket") || timeTransforms(t) || t == "void")
+          IntegerType else schema(src).dataType
+        (n, dt, t == "void")
       }
 
     /** The transform as a Column over the source (identity passthrough;
@@ -200,6 +206,7 @@ object IcebergFixture {
       val W = "\\d+".r.findFirstIn(t).map(_.toInt)
       (t, schema(src).dataType) match {
         case ("identity", _) => c(src)
+        case ("void", _)     => lit(null).cast("int")
         // spec time-transform ordinals (IcebergTransforms scaladoc):
         // fixture grain supports date sources (hour: timestamp sources)
         case ("year", DateType)  => year(c(src)) - lit(1970)
@@ -282,8 +289,11 @@ object IcebergFixture {
           val tuples = df.select(partFields.map(transformCol): _*).distinct()
             .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
           tuples.zipWithIndex.map { case (vals, i) =>
+            // <=> not ===: void-transform tuples are null
             val part = partFields.zip(vals)
-              .map { case (f, v) => transformCol(f) === v }.reduce(_ && _)
+              .map { case (f, v) =>
+                transformCol(f) <=> org.apache.spark.sql.functions.lit(v) }
+              .reduce(_ && _)
             val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
             val slice = df.filter(part)
             val (rows, bytes) = writeParquetFile(slice, target)

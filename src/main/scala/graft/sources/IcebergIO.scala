@@ -521,6 +521,11 @@ object IcebergIO {
         case "month" => Int.box(IcebergTransforms.monthOrdinal(v))
         case "day"   => Int.box(IcebergTransforms.dayOrdinal(v))
         case "hour"  => Int.box(IcebergTransforms.hourOrdinal(v))
+        // void (the spec's dropped-partition-field placeholder in v1
+        // evolution): void(v) is null for every v and manifests record
+        // null, so the filter matches every file — correct "no pruning
+        // possible" semantics rather than an error on evolved tables
+        case "void"  => null
         case other => throw new UnsupportedOperationException(
           s"partition transform '$other' on '$k' is not supported for pruning")
       }

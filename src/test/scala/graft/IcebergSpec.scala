@@ -273,6 +273,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(ids(p2) === exp2.sorted)
   }
 
+  test("void partition transform (v1 dropped-field form): reads, filter matches all") {
+    val dir = s"$root/voidpart"
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "void"))
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    w.append(df((3L, "c", 3.0)))
+    // every tuple is null -> one file per append, transparent read
+    assert(w.dataFilePaths.size === 2)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // a filter on the voided source column matches every file ("no
+    // pruning possible", not an error — evolved tables hit this)
+    val p = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "a"))
+    assert(ids(p) === Seq(1L, 2L, 3L))
+    assert(p.inputFiles.length === 2)
+  }
+
   test("time partition transforms: spec ordinals + month-pruned scan") {
     import graft.sources.IcebergTransforms._
     // spec ordinal examples for 2017-11-16 (/ 22:31:08 UTC)
