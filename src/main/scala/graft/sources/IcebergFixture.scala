@@ -371,9 +371,13 @@ object IcebergFixture {
       import org.apache.spark.sql.functions.{col => c, lit, max, min, sum, when}
       val supported: Set[DataType] =
         Set(IntegerType, LongType, StringType, DateType, DoubleType, FloatType)
+      def boundable(dt: DataType): Boolean = dt match {
+        case _: DecimalType => true
+        case other => supported.contains(other)
+      }
       def fid(n: String) = schema.fieldNames.indexOf(n) + 1
       val boundCols = df.schema.fields.toSeq
-        .filter(f => supported.contains(f.dataType)).map(f => f.name)
+        .filter(f => boundable(f.dataType)).map(f => f.name)
       val allCols = df.schema.fields.toSeq.map(_.name)
       val aggs = boundCols.flatMap(n => Seq(min(c(n)), max(c(n)))) ++
         allCols.map(n => sum(when(c(n).isNull, 1L).otherwise(0L)))

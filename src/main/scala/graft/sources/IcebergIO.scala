@@ -375,6 +375,14 @@ object IcebergIO {
     case (LongType, l: Long)    => l
     case (FloatType | DoubleType, n: Number) => n.doubleValue()
     case (StringType, s: String) => s
+    // decimals compare via BigDecimal.compareTo, which is scale-blind —
+    // no rescaling to the column's scale needed
+    case (_: DecimalType, d: java.math.BigDecimal) => d
+    case (_: DecimalType, d: BigDecimal)           => d.underlying()
+    case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+      d.toJavaBigDecimal
+    case (_: DecimalType, i: Int)  => java.math.BigDecimal.valueOf(i.toLong)
+    case (_: DecimalType, l: Long) => java.math.BigDecimal.valueOf(l)
     case (dt0, v0) => throw new IllegalArgumentException(
       s"statsFilter value ${v0.getClass.getSimpleName} not comparable " +
         s"against a $dt0 column")
@@ -388,6 +396,7 @@ object IcebergIO {
       .asInstanceOf[Float].toDouble
     case DoubleType => IcebergTransforms.deserializeBound("double", b)
     case StringType => IcebergTransforms.deserializeBound("string", b)
+    case dt: DecimalType => IcebergTransforms.deserializeDecimal(b, dt.scale)
     case other => throw new IllegalArgumentException(
       s"statsFilter not supported on $other columns")
   }
@@ -397,6 +406,8 @@ object IcebergIO {
     case (x: Long, y: Long)     => x < y
     case (x: Double, y: Double) => x < y
     case (x: String, y: String) => x < y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) < 0
     case _ => throw new IllegalStateException(s"incomparable stats: $a / $b")
   }
 
@@ -568,6 +579,10 @@ object IcebergIO {
       t == "identity" || t.startsWith("truncate[") || t.startsWith("bucket[")
     val statTypes: Set[DataType] = Set(IntegerType, LongType, StringType,
       DateType, DoubleType, FloatType)
+    def statsPrunable(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case other => statTypes(other)
+    }
     // The DSL builds a ColumnNode tree (string operator names) — walk
     // the shim's neutral view of THAT, not the analyzed Catalyst
     // expression, so derivation needs no relation to resolve against.
@@ -588,7 +603,12 @@ object IcebergIO {
     }
     def known(n: String): Boolean = meta.schema.fieldNames.contains(n)
     def add(n: String, op: String, v: Any): Unit = {
-      if (statTypes(meta.schema(n).dataType)) statsBuf += ((n, op, v))
+      val dt = meta.schema(n).dataType
+      // pre-validate the literal converts (derived pruning must SKIP an
+      // unconvertible conjunct, never fail the read)
+      if (statsPrunable(dt) &&
+          scala.util.Try(normalizeStat(dt, v)).isSuccess)
+        statsBuf += ((n, op, v))
       if (op == "=" && partitionSources.get(n).exists(partitionPrunable))
         partBuf(n) = v
     }
@@ -617,7 +637,9 @@ object IcebergIO {
             // keeps the file); partition pruning stays out (equality map)
             (attr(args.head), args.tail.map(literal)) match {
               case (Some(n), vs) if known(n) && vs.forall(_.isDefined) &&
-                  statTypes(meta.schema(n).dataType) =>
+                  statsPrunable(meta.schema(n).dataType) &&
+                  scala.util.Try(vs.flatten.map(
+                    normalizeStat(meta.schema(n).dataType, _))).isSuccess =>
                 statsBuf += ((n, "in", vs.flatten))
               case _ => ()
             }

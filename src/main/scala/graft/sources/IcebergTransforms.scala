@@ -152,7 +152,10 @@ object IcebergTransforms {
     x
   }
 
-  /** Serialize a bound value to the spec's binary single-value form. */
+  /** Serialize a bound value to the spec's binary single-value form.
+    * Decimals are the UNSCALED value as minimal big-endian
+    * two's-complement bytes (exactly `BigInteger.toByteArray`); the
+    * scale is carried by the column type, not the bytes. */
   def serializeBound(v: Any): Array[Byte] = v match {
     case i: Int             => le(i.toLong, 4)
     case l: Long            => le(l, 8)
@@ -161,9 +164,16 @@ object IcebergTransforms {
     case s: String          => s.getBytes("UTF-8")
     case d: java.sql.Date   => le(d.toLocalDate.toEpochDay, 4)
     case d: java.time.LocalDate => le(d.toEpochDay, 4)
+    case d: java.math.BigDecimal => d.unscaledValue().toByteArray
+    case d: BigDecimal      => d.underlying().unscaledValue().toByteArray
     case other => throw new IllegalArgumentException(
       s"bound serialization not supported for ${other.getClass.getSimpleName}")
   }
+
+  /** Deserialize a decimal bound: big-endian two's-complement unscaled
+    * bytes + the column's scale. */
+  def deserializeDecimal(b: Array[Byte], scale: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(new java.math.BigInteger(b), scale)
 
   /** Deserialize a bound for comparisons, by the column's Iceberg type
     * class: "int"/"date" → Int, "long" → Long, "float" → Float,

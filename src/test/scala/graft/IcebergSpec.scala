@@ -567,6 +567,41 @@ class IcebergSpec extends AnyFunSuite {
       s"only the boundless old file should scan: ${q3.inputFiles.mkString(", ")}")
   }
 
+  test("decimal bounds: spec serde round-trips and prunes") {
+    import graft.sources.IcebergTransforms._
+    // 12.34 -> unscaled 1234 -> big-endian minimal two's complement
+    assert(serializeBound(new java.math.BigDecimal("12.34")).toSeq ===
+      Seq[Byte](0x04, 0xD2.toByte))
+    assert(deserializeDecimal(
+      serializeBound(new java.math.BigDecimal("12.34")), 2) ===
+      new java.math.BigDecimal("12.34"))
+    assert(deserializeDecimal(
+      serializeBound(new java.math.BigDecimal("-0.07")), 2) ===
+      new java.math.BigDecimal("-0.07"))
+
+    import org.apache.spark.sql.functions.col
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = false)))
+    def drow(id: Long, p: String) = Row(id, new java.math.BigDecimal(p))
+    val dir = s"$root/decstats"
+    val w = new IcebergFixture.Writer(spark, dir, dschema)
+    w.append(spark.createDataFrame(
+      java.util.Arrays.asList(drow(1, "1.50"), drow(2, "4.25")), dschema))
+    w.append(spark.createDataFrame(
+      java.util.Arrays.asList(drow(3, "10.00"), drow(4, "99.99")), dschema))
+    // explicit statsFilter with a BigDecimal value
+    val p1 = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("price", ">=", new java.math.BigDecimal("5"))))
+    assert(ids(p1) === Seq(3L, 4L))
+    assert(p1.inputFiles.length === 1)
+    // derived via readWhere (DSL decimal literal)
+    val p2 = IcebergIO.readWhere(spark, dir,
+      col("price") < new java.math.BigDecimal("2.00"))
+    assert(ids(p2) === Seq(1L))
+    assert(p2.inputFiles.length === 1)
+  }
+
   test("randomized pruning soundness: pruned + exact filter == full filter") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(7) // fixed seed — deterministic
