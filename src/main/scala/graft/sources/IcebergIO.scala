@@ -363,6 +363,62 @@ object IcebergIO {
 
   // -------------------------------------------------- stats-based pruning
 
+  /** Boolean predicate tree over per-file stats, so OR combinations can
+    * prune too (a file is skipped only when EVERY OR branch excludes
+    * it). `Unknown` is the conservative leaf: always keep. */
+  private[sources] sealed trait StatsPred
+  private[sources] object StatsPred {
+    final case class Leaf(col: String, op: String, v: Any) extends StatsPred
+    final case class AndP(l: StatsPred, r: StatsPred) extends StatsPred
+    final case class OrP(l: StatsPred, r: StatsPred) extends StatsPred
+    case object Unknown extends StatsPred
+  }
+
+  private def statsTreeOf(seq: Seq[(String, String, Any)]): StatsPred =
+    if (seq.isEmpty) StatsPred.Unknown
+    else seq.map { case (c, o, v) => StatsPred.Leaf(c, o, v): StatsPred }
+      .reduce(StatsPred.AndP(_, _))
+
+  /** Compile the tree into one per-file keep function; leaf resolution
+    * (field ids, type normalization) happens once here, not per file. */
+  private def compileStatsPred(meta: TableMetadata,
+                               pred: StatsPred): ContentFile => Boolean = {
+    val idByField = meta.fieldById.map(_.swap)
+    def leafFn(c: String, op: String, v: Any): ContentFile => Boolean = {
+      val fid = idByField.getOrElse(c, throw new IllegalArgumentException(
+        s"statsFilter names unknown column '$c' " +
+          s"(known: ${idByField.keys.toSeq.sorted.mkString(", ")})"))
+      val dt = meta.schema(c).dataType
+      op match {
+        // a null row can exist iff the file's null count is > 0; a
+        // non-null row iff nulls < record count. Unknown counts keep.
+        case "is null" => f => f.nullCounts.get(fid).forall(_ > 0L)
+        case "is not null" => f =>
+          f.recordCount < 0L || f.nullCounts.get(fid).forall(_ < f.recordCount)
+        case _ =>
+          val nv =
+            if (op == "in") v match {
+              case s: Seq[_] => s.map(normalizeStat(dt, _))
+              case other => throw new IllegalArgumentException(
+                s"statsFilter 'in' needs a Seq value, got $other")
+            }
+            else normalizeStat(dt, v)
+          f => statsKeep(op,
+            f.lowerBounds.get(fid).map(boundValue(dt, _)),
+            f.upperBounds.get(fid).map(boundValue(dt, _)), nv)
+      }
+    }
+    def go(p: StatsPred): ContentFile => Boolean = p match {
+      case StatsPred.Unknown      => _ => true
+      case StatsPred.Leaf(c, o, v) => leafFn(c, o, v)
+      case StatsPred.AndP(l, r) =>
+        val lf = go(l); val rf = go(r); f => lf(f) && rf(f)
+      case StatsPred.OrP(l, r) =>
+        val lf = go(l); val rf = go(r); f => lf(f) || rf(f)
+    }
+    go(pred)
+  }
+
   /** Normalize a filter value into the comparison domain of the column's
     * Spark type (Int for int/date, Long, Double, String). */
   private def normalizeStat(dt: DataType, v: Any): Any = (dt, v) match {
@@ -467,7 +523,16 @@ object IcebergIO {
            asOfTimestampMs: Option[Long] = None,
            partitionFilter: Map[String, Any] = Map.empty,
            statsFilter: Seq[(String, String, Any)] = Nil,
-           ref: Option[String] = None): DataFrame = {
+           ref: Option[String] = None): DataFrame =
+    readImpl(spark, tablePath, snapshotId, asOfTimestampMs, partitionFilter,
+      statsTreeOf(statsFilter), ref)
+
+  private def readImpl(spark: SparkSession, tablePath: String,
+                       snapshotId: Option[Long],
+                       asOfTimestampMs: Option[Long],
+                       partitionFilter: Map[String, Any],
+                       statsPred: StatsPred,
+                       ref: Option[String]): DataFrame = {
     require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
       "specify at most one of snapshotId / asOfTimestampMs / ref")
     val meta = loadMetadata(tablePath)
@@ -546,7 +611,7 @@ object IcebergIO {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter, statsFilter)
+      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter, statsPred)
     }
   }
 
@@ -556,9 +621,12 @@ object IcebergIO {
     * vs-literal comparisons and null checks → manifest stats pruning),
     * and the FULL condition is then applied as an exact row filter. So
     * results are always exact and pruning is best-effort — the same
-    * contract as the runtime jar's scan pushdown. Unsupported conjuncts
-    * (ORs, expressions over multiple columns, unsupported types) simply
-    * contribute no pruning. */
+    * contract as the runtime jar's scan pushdown. OR combinations prune
+    * too: a file is skipped only when EVERY branch excludes it (an
+    * unsupported branch keeps the file). Partition equalities prune only
+    * along the top-level AND spine — an equality under an OR must not.
+    * Unsupported conjuncts (expressions over multiple columns,
+    * unsupported types) simply contribute no pruning. */
   def readWhere(spark: SparkSession, tablePath: String,
                 condition: org.apache.spark.sql.Column,
                 snapshotId: Option[Long] = None,
@@ -595,43 +663,49 @@ object IcebergIO {
       case PredNode.Lit(v) if v != null => Some(v)
       case _ => None
     }
-    val statsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Any)]
     val partBuf = scala.collection.mutable.Map.empty[String, Any]
     def flip(op: String): String = op match {
       case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
       case o => o
     }
     def known(n: String): Boolean = meta.schema.fieldNames.contains(n)
-    def add(n: String, op: String, v: Any): Unit = {
+    // pre-validate the literal converts (derived pruning must SKIP an
+    // unconvertible leaf, never fail the read). `conj` marks the pure-AND
+    // spine: only there may a partition equality prune.
+    def leaf(n: String, op: String, v: Any, conj: Boolean): StatsPred = {
       val dt = meta.schema(n).dataType
-      // pre-validate the literal converts (derived pruning must SKIP an
-      // unconvertible conjunct, never fail the read)
-      if (statsPrunable(dt) &&
-          scala.util.Try(normalizeStat(dt, v)).isSuccess)
-        statsBuf += ((n, op, v))
-      if (op == "=" && partitionSources.get(n).exists(partitionPrunable))
+      if (conj && op == "=" && partitionSources.get(n).exists(partitionPrunable))
         partBuf(n) = v
+      if (statsPrunable(dt) && scala.util.Try(normalizeStat(dt, v)).isSuccess)
+        StatsPred.Leaf(n, op, v)
+      else StatsPred.Unknown
     }
-    def comparison(op: String, l: PredNode, r: PredNode): Unit =
+    def comparison(op: String, l: PredNode, r: PredNode,
+                   conj: Boolean): StatsPred =
       (attr(l), literal(r)) match {
-        case (Some(n), Some(v)) if known(n) => add(n, op, v)
+        case (Some(n), Some(v)) if known(n) => leaf(n, op, v, conj)
         case _ => (attr(r), literal(l)) match {
-          case (Some(n), Some(v)) if known(n) => add(n, flip(op), v)
-          case _ => ()
+          case (Some(n), Some(v)) if known(n) => leaf(n, flip(op), v, conj)
+          case _ => StatsPred.Unknown
         }
       }
-    def visit(e: PredNode): Unit = e match {
+    def visit(e: PredNode, conj: Boolean): StatsPred = e match {
       case PredNode.Fn(fname, args) =>
         fname.toLowerCase(java.util.Locale.ROOT) match {
-          case "and" => args.foreach(visit(_))
+          case "and" if args.nonEmpty =>
+            args.map(visit(_, conj)).reduce(StatsPred.AndP(_, _))
+          case "or" if args.nonEmpty =>
+            args.map(visit(_, false)).reduce(StatsPred.OrP(_, _))
           case op @ ("=" | "==" | "<" | "<=" | ">" | ">=") if args.size == 2 =>
-            comparison(if (op == "==") "=" else op, args(0), args(1))
+            comparison(if (op == "==") "=" else op, args(0), args(1), conj)
           case "isnull" if args.size == 1 =>
-            attr(args.head).filter(known).foreach(n =>
-              statsBuf += ((n, "is null", null)))
+            attr(args.head).filter(known)
+              .map(n => StatsPred.Leaf(n, "is null", null): StatsPred)
+              .getOrElse(StatsPred.Unknown)
           case "isnotnull" if args.size == 1 =>
-            attr(args.head).filter(known).foreach(n =>
-              statsBuf += ((n, "is not null", null)))
+            attr(args.head).filter(known)
+              .map(n => StatsPred.Leaf(n, "is not null", null): StatsPred)
+              .getOrElse(StatsPred.Unknown)
           case "in" if args.size >= 2 =>
             // IN-list: stats-prunable (any listed value inside [lo, hi]
             // keeps the file); partition pruning stays out (equality map)
@@ -640,69 +714,37 @@ object IcebergIO {
                   statsPrunable(meta.schema(n).dataType) &&
                   scala.util.Try(vs.flatten.map(
                     normalizeStat(meta.schema(n).dataType, _))).isSuccess =>
-                statsBuf += ((n, "in", vs.flatten))
-              case _ => ()
+                StatsPred.Leaf(n, "in", vs.flatten)
+              case _ => StatsPred.Unknown
             }
-          case _ => () // unsupported conjunct — no pruning from it
+          case _ => StatsPred.Unknown // unsupported — no pruning from it
         }
-      case _ => ()
+      case _ => StatsPred.Unknown
     }
-    visit(GraftShim.predicateTree(condition))
-    read(spark, tablePath, snapshotId, asOfTimestampMs,
-        partBuf.toMap, statsBuf.toSeq, ref)
+    val tree = visit(GraftShim.predicateTree(condition), conj = true)
+    readImpl(spark, tablePath, snapshotId, asOfTimestampMs,
+        partBuf.toMap, tree, ref)
       .filter(condition)
   }
 
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo,
                            partitionFilter: Map[String, Any] = Map.empty,
-                           statsFilter: Seq[(String, String, Any)] = Nil): DataFrame = {
+                           statsPred: StatsPred = StatsPred.Unknown): DataFrame = {
     val allFiles = liveFiles(snap)
-    // Resolve stats predicates once: (field id, op, Spark type,
-    // normalized value); unknown columns fail loudly.
-    val idByField = meta.fieldById.map(_.swap)
-    val nullOps = Set("is null", "is not null")
-    val resolvedStats: Seq[(Int, String, DataType, Any)] = statsFilter.map {
-      case (name, op, v) =>
-        val fid = idByField.getOrElse(name, throw new IllegalArgumentException(
-          s"statsFilter names unknown column '$name' " +
-            s"(known: ${idByField.keys.toSeq.sorted.mkString(", ")})"))
-        val dt = meta.schema(name).dataType
-        // null-ness ops compare against null_value_counts, not bounds —
-        // the value operand is ignored; "in" takes a Seq of values
-        val nv =
-          if (nullOps(op)) null
-          else if (op == "in") v match {
-            case s: Seq[_] => s.map(normalizeStat(dt, _))
-            case other => throw new IllegalArgumentException(
-              s"statsFilter 'in' needs a Seq value, got $other")
-          }
-          else normalizeStat(dt, v)
-        (fid, op, dt, nv)
-    }
+    // Resolve stats predicates once (field ids, type normalization) into
+    // one per-file keep function; unknown columns fail loudly.
+    val keepByStats = compileStatsPred(meta, statsPred)
     // Planning-time pruning: drop DATA files whose manifest partition
-    // tuple fails the equality filter, or whose column bounds provably
-    // exclude every stats predicate; delete files stay (they may be
-    // global). String-normalized compare keeps Int/Long boxing
-    // differences from defeating an equal value.
+    // tuple fails the equality filter, or whose column bounds/null
+    // counts provably exclude the stats predicate tree; delete files
+    // stay (they may be global). String-normalized compare keeps
+    // Int/Long boxing differences from defeating an equal value.
     val files = allFiles.filter { f =>
       f.content != 0 || (
         partitionFilter.forall { case (k, v) =>
           f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
-        } &&
-        resolvedStats.forall {
-          // a null row can exist iff the file's null count is > 0; a
-          // non-null row iff nulls < record count. Unknown counts keep.
-          case (fid, "is null", _, _) =>
-            f.nullCounts.get(fid).forall(_ > 0L)
-          case (fid, "is not null", _, _) =>
-            f.recordCount < 0L ||
-              f.nullCounts.get(fid).forall(_ < f.recordCount)
-          case (fid, op, dt, v) =>
-            statsKeep(op,
-              f.lowerBounds.get(fid).map(boundValue(dt, _)),
-              f.upperBounds.get(fid).map(boundValue(dt, _)), v)
-        })
+        } && keepByStats(f))
     }
     val badFmt = files.filter(_.format != "PARQUET")
     if (badFmt.nonEmpty)

@@ -529,6 +529,33 @@ class IcebergSpec extends AnyFunSuite {
       statsFilter = Seq(("id", "in", Seq(5L, 6L))))
     assert(qIn3.inputFiles.length === 1)
 
+    // OR prunes when EVERY branch excludes a file: add a third file so
+    // the middle one is excluded by both branches
+    val dir3 = s"$root/where_or"
+    val w3 = new IcebergFixture.Writer(spark, dir3, schema)
+    w3.append(df((1L, "a", 1.0), (5L, "b", 2.0)))
+    w3.append(df((10L, "c", 3.0), (20L, "d", 4.0)))
+    w3.append(df((30L, "e", 5.0), (40L, "f", 6.0)))
+    val qOr = IcebergIO.readWhere(spark, dir3,
+      col("id") <= 5L || col("id") >= 30L)
+    assert(ids(qOr) === Seq(1L, 5L, 30L, 40L))
+    assert(qOr.inputFiles.length === 2,
+      s"middle file must be OR-pruned: ${qOr.inputFiles.mkString(", ")}")
+    // an unsupported OR branch keeps every file (conservative)
+    val qOr2 = IcebergIO.readWhere(spark, dir3,
+      col("id") <= 5L || (col("score") * 2 > 100.0))
+    assert(ids(qOr2) === Seq(1L, 5L))
+    assert(qOr2.inputFiles.length === 3)
+    // a partition equality under OR must NOT partition-prune
+    val dirOp = s"$root/where_or_part"
+    val wOp = new IcebergFixture.Writer(spark, dirOp, schema,
+      partitionCols = Seq("name"))
+    wOp.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    val qOp = IcebergIO.readWhere(spark, dirOp,
+      col("name") === "a" || col("id") === 2L)
+    assert(ids(qOp) === Seq(1L, 2L))
+    assert(qOp.inputFiles.length === 2)
+
     // partition-source equality prunes through the partition tuple
     val dir2 = s"$root/where_part"
     val w2 = new IcebergFixture.Writer(spark, dir2, schema,
