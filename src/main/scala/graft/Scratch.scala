@@ -5,8 +5,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
-    println("ISIN: " + GraftShim.predicateTree(col("id").isin(1L, 5L, 9L)))
-    println("BETWEEN: " + GraftShim.predicateTree(col("id").between(2, 7)))
+    println("NEQ: " + GraftShim.predicateTree(col("id") =!= 5L))
+    println("NOT: " + GraftShim.predicateTree(!(col("id") > 5L)))
+    println("NOTFN: " + GraftShim.predicateTree(not(col("id").isin(1L, 2L))))
     spark.stop()
   }
 }

@@ -397,10 +397,10 @@ object IcebergIO {
           f.recordCount < 0L || f.nullCounts.get(fid).forall(_ < f.recordCount)
         case _ =>
           val nv =
-            if (op == "in") v match {
+            if (op == "in" || op == "not in") v match {
               case s: Seq[_] => s.map(normalizeStat(dt, _))
               case other => throw new IllegalArgumentException(
-                s"statsFilter 'in' needs a Seq value, got $other")
+                s"statsFilter '$op' needs a Seq value, got $other")
             }
             else normalizeStat(dt, v)
           f => statsKeep(op,
@@ -479,9 +479,21 @@ object IcebergIO {
     case ">=" => hi.forall(h => !statLt(h, v))
     case "in" => v.asInstanceOf[Seq[Any]].exists(x =>
       lo.forall(l => !statLt(x, l)) && hi.forall(h => !statLt(h, x)))
+    // negated forms: a row differing from v can exist unless the file is
+    // CONSTANT at v (lo == hi == v). All-null files have no bounds and
+    // are kept; a constant-v file with extra null rows still prunes
+    // correctly (nulls match neither the predicate nor its negation).
+    case "<>" => !(lo.isDefined && hi.isDefined &&
+      statEq(lo.get, v) && statEq(hi.get, v))
+    case "not in" =>
+      val vs = v.asInstanceOf[Seq[Any]]
+      !(lo.isDefined && hi.isDefined && statEq(lo.get, hi.get) &&
+        vs.exists(statEq(lo.get, _)))
     case other => throw new IllegalArgumentException(
-      s"statsFilter op must be one of = < <= > >= in, got '$other'")
+      s"statsFilter op must be one of = <> < <= > >= in/'not in', got '$other'")
   }
+
+  private def statEq(a: Any, b: Any): Boolean = !statLt(a, b) && !statLt(b, a)
 
   // ----------------------------------------------------------------- read
 
@@ -689,11 +701,30 @@ object IcebergIO {
           case _ => StatsPred.Unknown
         }
       }
+    // NOT pushes through De Morgan; leaves flip to their negated ops.
+    // Sound with nulls: a negated comparison is null for null rows (they
+    // match neither side), and the negated-leaf file checks only prune
+    // constant-non-null files.
+    def negate(p: StatsPred): StatsPred = p match {
+      case StatsPred.Unknown    => StatsPred.Unknown
+      case StatsPred.AndP(l, r) => StatsPred.OrP(negate(l), negate(r))
+      case StatsPred.OrP(l, r)  => StatsPred.AndP(negate(l), negate(r))
+      case StatsPred.Leaf(c, op, v) =>
+        val neg = Map("=" -> "<>", "<>" -> "=", "<" -> ">=", ">=" -> "<",
+          "<=" -> ">", ">" -> "<=", "in" -> "not in", "not in" -> "in",
+          "is null" -> "is not null", "is not null" -> "is null")
+        neg.get(op).map(o => StatsPred.Leaf(c, o, v): StatsPred)
+          .getOrElse(StatsPred.Unknown)
+    }
     def visit(e: PredNode, conj: Boolean): StatsPred = e match {
       case PredNode.Fn(fname, args) =>
         fname.toLowerCase(java.util.Locale.ROOT) match {
           case "and" if args.nonEmpty =>
             args.map(visit(_, conj)).reduce(StatsPred.AndP(_, _))
+          // negation: derive the inner tree NON-conjunctively (a
+          // partition equality under NOT must not prune), then flip it
+          case "!" | "not" if args.size == 1 =>
+            negate(visit(args.head, false))
           case "or" if args.nonEmpty =>
             args.map(visit(_, false)).reduce(StatsPred.OrP(_, _))
           case op @ ("=" | "==" | "<" | "<=" | ">" | ">=") if args.size == 2 =>

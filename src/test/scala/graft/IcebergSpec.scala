@@ -546,6 +546,28 @@ class IcebergSpec extends AnyFunSuite {
       col("id") <= 5L || (col("score") * 2 > 100.0))
     assert(ids(qOr2) === Seq(1L, 5L))
     assert(qOr2.inputFiles.length === 3)
+    // NOT pushdown: a constant-valued file is pruned by =!= / not-in
+    val dirN = s"$root/where_not"
+    val wN = new IcebergFixture.Writer(spark, dirN, schema)
+    wN.append(df((5L, "a", 1.0), (5L, "b", 2.0))) // constant id = 5
+    wN.append(df((7L, "c", 3.0), (9L, "d", 4.0)))
+    val qNe = IcebergIO.readWhere(spark, dirN, col("id") =!= 5L)
+    assert(ids(qNe) === Seq(7L, 9L))
+    assert(qNe.inputFiles.length === 1,
+      s"constant-5 file must be pruned by =!=: ${qNe.inputFiles.mkString(", ")}")
+    val qNin = IcebergIO.readWhere(spark, dirN,
+      org.apache.spark.sql.functions.not(col("id").isin(5L, 6L)))
+    assert(ids(qNin) === Seq(7L, 9L))
+    assert(qNin.inputFiles.length === 1)
+    // De Morgan: NOT(id >= 7 AND id <= 9) == id < 7 OR id > 9
+    val qDm = IcebergIO.readWhere(spark, dirN,
+      !(col("id") >= 7L && col("id") <= 9L))
+    assert(ids(qDm) === Seq(5L, 5L))
+    assert(qDm.inputFiles.length === 1)
+    // negated null check rides the null counts
+    assert(IcebergIO.readWhere(spark, dirN, !col("name").isNull)
+      .count() === 4L)
+
     // a partition equality under OR must NOT partition-prune
     val dirOp = s"$root/where_or_part"
     val wOp = new IcebergFixture.Writer(spark, dirOp, schema,
