@@ -687,6 +687,51 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized readWhere soundness: derived tree pruning never drops rows") {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(13) // fixed seed — deterministic
+    val dir = s"$root/fuzz2"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 6).map(_ => (rnd.nextInt(60).toLong,
+        rnd.alphanumeric.take(1).mkString, rnd.nextInt(60) / 10.0))
+      w.append(df(rows: _*))
+    }
+    val full = IcebergIO.read(spark, dir)
+    def leafPred(): Column = {
+      val c = Seq("id", "name", "score")(rnd.nextInt(3))
+      def v(): Any = c match {
+        case "id"    => rnd.nextInt(60).toLong
+        case "name"  => rnd.alphanumeric.take(1).mkString
+        case "score" => rnd.nextInt(60) / 10.0
+      }
+      rnd.nextInt(7) match {
+        case 0 => col(c) === lit(v())
+        case 1 => col(c) < lit(v())
+        case 2 => col(c) <= lit(v())
+        case 3 => col(c) > lit(v())
+        case 4 => col(c) >= lit(v())
+        case 5 => col(c).isNull
+        case 6 => col(c).isin(v(), v())
+      }
+    }
+    def randPred(depth: Int): Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leafPred()
+      else rnd.nextInt(3) match {
+        case 0 => randPred(depth - 1) && randPred(depth - 1)
+        case 1 => randPred(depth - 1) || randPred(depth - 1)
+        case 2 => not(randPred(depth - 1))
+      }
+    (1 to 25).foreach { i =>
+      val p = randPred(2)
+      val a = IcebergIO.readWhere(spark, dir, p)
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      val b = full.filter(p).collect().map(_.toSeq.toString).sorted.toSeq
+      assert(a === b, s"iteration $i: derived pruning broke predicate $p")
+    }
+  }
+
   test("refs: tags and the main branch resolve to snapshots by name") {
     val dir = s"$root/refs"
     val w = new IcebergFixture.Writer(spark, dir, schema)
