@@ -173,6 +173,40 @@ object IcebergQueries {
     out
   }
 
+  /** DATE-identity-partitioned table + derived pruning — the most common
+    * real Iceberg layout (tables identity-partitioned by a date column).
+    * Manifests store the partition value as the epoch-day INT while the
+    * predicate literal is a java.sql.Date; the scan normalizes the
+    * literal to the stored form before comparing (a String-compare of the
+    * objects would silently prune EVERY file and return wrong empty
+    * results — the round-7 advisory bug this entry pins). */
+  val icebergDatePrune = dfQ("iceberg_date_prune",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(DATE_TRUNC('year', o_orderdate) AS DATE) AS o_year
+      |FROM orders
+      |WHERE CAST(DATE_TRUNC('year', o_orderdate) AS DATE) = DATE '1995-01-01'
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.{col, date_trunc, to_date}
+    val dir = s"/tmp/graft_iceberg_date_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    // year-start DATE column -> one partition (and data file) per year
+    val base = s.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(date_trunc("year", col("o_orderdate"))).as("o_year"))
+      .repartition(1).sortWithinPartitions("o_orderkey")
+    val w = new IcebergFixture.Writer(s, dir, base.schema,
+      partitionCols = Seq("o_year"))
+    w.append(base)
+    val out = IcebergIO.readWhere(s, dir,
+        col("o_year") === java.sql.Date.valueOf("1995-01-01"))
+      .orderBy("o_orderkey")
+    require(out.count() > 0, "date-identity-pruned scan must not be empty " +
+      "(an empty result would make the oracle compare vacuous — and empty " +
+      "IS the failure mode of the un-normalized literal compare)")
+    out
+  }
+
   /** Table history as a relation (the runtime jar's `.history` metadata
     * table). The fixture's commit clock is deterministic (2024-01-01 UTC
     * + 1 s per snapshot), so the oracle pins the exact expected rows. */
@@ -281,6 +315,7 @@ object IcebergQueries {
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
-    icebergTimePrune, icebergHistory, icebergFiles, icebergStatsPrune,
-    icebergPartitions, icebergManifests, icebergPushdownWhere, icebergRefs)
+    icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
+    icebergStatsPrune, icebergPartitions, icebergManifests,
+    icebergPushdownWhere, icebergRefs)
 }

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.io.{InputStream, ObjectInputStream, ObjectOutputStream, OutputStream}
+
+import org.apache.avro.file.SeekableInput
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/**
+ * URI-scheme-aware file access for the in-repo sources ([[AvroIO]],
+ * [[IcebergIO]], [[AvroDataSourceV2]]): every open/list/create resolves
+ * through `org.apache.hadoop.fs.FileSystem` — the same per-scheme
+ * registry Spark's own file sources use — so `s3a://`, `hdfs://`,
+ * `abfs://`, `gs://`, `file://` and plain local paths all work wherever
+ * the matching Hadoop connector is on the classpath. This is what makes
+ * the hand-built sources usable on a real cluster whose data lives in an
+ * object store, not just on local disk.
+ *
+ * Reference analog: the fork registers S3 (+ OSS compat), Azure, GCS and
+ * HDFS object stores resolved per URI at session build
+ * (reference: ballista/core/src/object_store_registry/mod.rs:26-90,
+ * wired into every session via utils.rs:70). Here the registry IS
+ * Hadoop's (`fs.<scheme>.impl` + bundled defaults), configured through
+ * the session's `hadoopConfiguration` — so `spark.hadoop.*` settings
+ * (credentials, endpoints, per-bucket overrides) apply to these sources
+ * exactly as they do to Spark's parquet scans.
+ *
+ * Executor-side opens (Avro split readers, V2 write tasks) receive the
+ * driver's configuration through [[GraftFs.SerializableConf]] — Hadoop's
+ * `Configuration` is a `Writable`, not `Serializable`, so closures ship
+ * it via the standard write/readFields envelope.
+ */
+object GraftFs {
+
+  /** The active session's Hadoop configuration (so `spark.hadoop.*` and
+    * programmatic `hadoopConfiguration.set` both apply); plain defaults
+    * when no session is active (pure-library use). */
+  def conf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  /** Serialization envelope for shipping a `Configuration` into task
+    * closures (the standard Spark pattern — `Configuration` is Writable,
+    * not Serializable). */
+  final class SerializableConf(@transient private var c: Configuration)
+      extends Serializable {
+    def value: Configuration = c
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      c.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new Configuration(false)
+      c.readFields(in)
+    }
+  }
+
+  def serializableConf(): SerializableConf = new SerializableConf(conf())
+
+  def fs(path: Path, c: Configuration): FileSystem = path.getFileSystem(c)
+  def fs(path: String, c: Configuration): FileSystem = fs(new Path(path), c)
+  def fs(path: String): FileSystem = fs(path, conf())
+
+  /** FileStatus, or None when the path does not exist. */
+  def status(path: String, c: Configuration = conf()): Option[FileStatus] = {
+    val p = new Path(path)
+    try Some(fs(p, c).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  def exists(path: String, c: Configuration = conf()): Boolean =
+    status(path, c).isDefined
+  def isFile(path: String, c: Configuration = conf()): Boolean =
+    status(path, c).exists(_.isFile)
+  def isDirectory(path: String, c: Configuration = conf()): Boolean =
+    status(path, c).exists(_.isDirectory)
+
+  /** Children of a directory, sorted by name (deterministic planning). */
+  def list(dir: String, c: Configuration = conf()): Seq[FileStatus] = {
+    val p = new Path(dir)
+    fs(p, c).listStatus(p).toSeq.sortBy(_.getPath.getName)
+  }
+
+  /** Open for reading (buffered by the underlying FileSystem). */
+  def open(path: String, c: Configuration = conf()): InputStream = {
+    val p = new Path(path)
+    fs(p, c).open(p)
+  }
+
+  /** Open as an Avro `SeekableInput` (byte-range split readers need
+    * seek); `FsInput` is avro-mapred's Hadoop adapter. */
+  def openSeekable(path: String, c: Configuration = conf()): SeekableInput =
+    new FsInput(new Path(path), c)
+
+  /** Create (overwrite) a file for writing. */
+  def create(path: String, c: Configuration = conf()): OutputStream = {
+    val p = new Path(path)
+    fs(p, c).create(p, true)
+  }
+
+  def mkdirs(path: String, c: Configuration = conf()): Unit = {
+    val p = new Path(path)
+    fs(p, c).mkdirs(p): Unit
+  }
+
+  def delete(path: String, recursive: Boolean,
+             c: Configuration = conf()): Boolean = {
+    val p = new Path(path)
+    fs(p, c).delete(p, recursive)
+  }
+
+  /** Rename within one FileSystem; false on failure (Hadoop contract). */
+  def rename(src: String, dst: String, c: Configuration = conf()): Boolean = {
+    val s = new Path(src)
+    fs(s, c).rename(s, new Path(dst))
+  }
+
+  /** Whole small file as UTF-8 (metadata grain only — version hints,
+    * JSON metadata; never data files). */
+  def readUtf8(path: String, c: Configuration = conf()): String = {
+    val in = open(path, c)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** `dir/child` with the parent's scheme preserved. */
+  def child(dir: String, name: String): String =
+    new Path(dir, name).toString
+}

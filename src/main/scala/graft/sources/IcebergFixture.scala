@@ -94,10 +94,20 @@ object IcebergFixture {
     * union with a null default. Empty for unpartitioned tables. */
   private def partitionFieldsJson(partCols: Seq[(String, DataType, Boolean)]): String =
     partCols.zipWithIndex.map { case ((n, dt, nullable), i) =>
+      // spec partition-data representation: date = epoch-day int,
+      // timestamp = epoch-micros long (logical types annotate the raw
+      // int/long — GenericDatumWriter writes the primitive unchanged)
       val avroT = dt match {
         case IntegerType => "\"int\""
         case LongType    => "\"long\""
         case StringType  => "\"string\""
+        case DateType    => """{"type":"int","logicalType":"date"}"""
+        case TimestampType =>
+          """{"type":"long","logicalType":"timestamp-micros"}"""
+        case TimestampNTZType =>
+          """{"type":"long","logicalType":"local-timestamp-micros"}"""
+        case d: DecimalType =>
+          s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
         case other => throw new IllegalArgumentException(
           s"fixture partition column type not supported: $other")
       }
@@ -122,6 +132,9 @@ object IcebergFixture {
       // column bounds (spec 125/128): array-of-(key,value) map form —
       // Avro maps can't have int keys, so the spec mandates this shape
       Some("""{"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110}"""),
+      // NaN counts (spec field 137): bounds exclude NaN, so readers need
+      // these to prune float/double columns soundly
+      Some("""{"name":"nan_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k138_v139","fields":[{"name":"key","type":"int","field-id":138},{"name":"value","type":"long","field-id":139}]},"logicalType":"map"}],"default":null,"field-id":137}"""),
       Some("""{"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125}"""),
       Some("""{"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}"""),
       if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
@@ -147,7 +160,8 @@ object IcebergFixture {
                                     equalityIds: Seq[Int] = Nil,
                                     partitionValues: Seq[Any] = Nil,
                                     bounds: Seq[(Int, Array[Byte], Array[Byte])] = Nil,
-                                    nullCounts: Seq[(Int, Long)] = Nil)
+                                    nullCounts: Seq[(Int, Long)] = Nil,
+                                    nanCounts: Seq[(Int, Long)] = Nil)
 
   /** Incremental fixture-table writer. Each append/delete call commits one
     * snapshot: writes the files + a new manifest, rewrites the manifest
@@ -227,6 +241,8 @@ object IcebergFixture {
               if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.longValue())))
             case StringType => udf((x: String) =>
               if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
+            case DateType => udf((x: java.sql.Date) =>
+              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
             case other => throw new IllegalArgumentException(
               s"bucket not supported on $other in the fixture")
           }
@@ -282,9 +298,9 @@ object IcebergFixture {
         if (partitionCols.isEmpty) {
           val target = new File(dataDir, f"data-$next%05d.parquet")
           val (rows, bytes) = writeParquetFile(df, target)
-          val (bounds, nulls) = fileStats(df)
+          val (bounds, nulls, nans) = fileStats(df)
           Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes,
-            bounds = bounds, nullCounts = nulls))
+            bounds = bounds, nullCounts = nulls, nanCounts = nans))
         } else {
           val tuples = df.select(partFields.map(transformCol): _*).distinct()
             .collect().map(_.toSeq).sortBy(_.mkString("/")).toSeq
@@ -297,9 +313,10 @@ object IcebergFixture {
             val target = new File(dataDir, f"data-$next%05d-p$i%03d.parquet")
             val slice = df.filter(part)
             val (rows, bytes) = writeParquetFile(slice, target)
-            val (bounds, nulls) = fileStats(slice)
+            val (bounds, nulls, nans) = fileStats(slice)
             FileMeta(target.getAbsolutePath, 0, rows, bytes,
-              partitionValues = vals, bounds = bounds, nullCounts = nulls)
+              partitionValues = vals, bounds = bounds, nullCounts = nulls,
+              nanCounts = nans)
           }
         }
       allFiles ++= fms
@@ -318,9 +335,9 @@ object IcebergFixture {
       val next = seq + 1
       val target = new File(dataDir, f"data-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(df, target)
-      val (bounds, nulls) = fileStats(df)
+      val (bounds, nulls, nans) = fileStats(df)
       val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes,
-        bounds = bounds, nullCounts = nulls)
+        bounds = bounds, nullCounts = nulls, nanCounts = nans)
       allFiles :+= fm
       commit(Seq(fm), next, "append")
       next
@@ -365,22 +382,34 @@ object IcebergFixture {
     /** Per-file column min/max for the manifest bounds (spec 125/128):
       * one agg over the file's rows, eligible primitive columns only,
       * all-null columns omitted (no bound → never pruned — the
-      * conservative direction). */
+      * conservative direction). Per spec, float/double bounds EXCLUDE
+      * NaN (Spark's raw min/max would surface NaN as the upper bound —
+      * NaN orders greatest); the NaN rows are counted separately
+      * (`nan_value_counts`, spec field 137) so readers can prune
+      * soundly. */
     private def fileStats(df: DataFrame)
-        : (Seq[(Int, Array[Byte], Array[Byte])], Seq[(Int, Long)]) = {
-      import org.apache.spark.sql.functions.{col => c, lit, max, min, sum, when}
+        : (Seq[(Int, Array[Byte], Array[Byte])], Seq[(Int, Long)],
+           Seq[(Int, Long)]) = {
+      import org.apache.spark.sql.functions.{col => c, isnan, lit, max, min, sum, when}
       val supported: Set[DataType] =
         Set(IntegerType, LongType, StringType, DateType, DoubleType, FloatType)
       def boundable(dt: DataType): Boolean = dt match {
         case _: DecimalType => true
         case other => supported.contains(other)
       }
+      def floating(dt: DataType) = dt == FloatType || dt == DoubleType
       def fid(n: String) = schema.fieldNames.indexOf(n) + 1
-      val boundCols = df.schema.fields.toSeq
-        .filter(f => boundable(f.dataType)).map(f => f.name)
+      val boundFields = df.schema.fields.toSeq.filter(f => boundable(f.dataType))
+      val boundCols = boundFields.map(_.name)
       val allCols = df.schema.fields.toSeq.map(_.name)
-      val aggs = boundCols.flatMap(n => Seq(min(c(n)), max(c(n)))) ++
-        allCols.map(n => sum(when(c(n).isNull, 1L).otherwise(0L)))
+      val nanCols = df.schema.fields.toSeq
+        .filter(f => floating(f.dataType)).map(_.name)
+      def nonNan(f: StructField) =
+        if (floating(f.dataType)) when(isnan(c(f.name)), null).otherwise(c(f.name))
+        else c(f.name)
+      val aggs = boundFields.flatMap(f => Seq(min(nonNan(f)), max(nonNan(f)))) ++
+        allCols.map(n => sum(when(c(n).isNull, 1L).otherwise(0L))) ++
+        nanCols.map(n => sum(when(isnan(c(n)), 1L).otherwise(0L)))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       val bounds = boundCols.zipWithIndex.flatMap { case (n, j) =>
         (Option(row.get(2 * j)), Option(row.get(2 * j + 1))) match {
@@ -393,7 +422,10 @@ object IcebergFixture {
       val nulls = allCols.zipWithIndex.map { case (n, j) =>
         fid(n) -> row.getLong(2 * boundCols.size + j)
       }
-      (bounds, nulls)
+      val nans = nanCols.zipWithIndex.map { case (n, j) =>
+        fid(n) -> row.getLong(2 * boundCols.size + allCols.size + j)
+      }
+      (bounds, nulls, nans)
     }
 
     private def writeParquetFile(df: DataFrame, target: File): (Long, Long) = {
@@ -444,9 +476,28 @@ object IcebergFixture {
         val partRec = new GenericData.Record(partSchema)
         // delete files in a partitioned table: fixture writes them as
         // partition-less (global) — leave the record fields unset only
-        // when values exist for this file
+        // when values exist for this file. Values convert to the spec's
+        // STORED partition representation (date → epoch-day int,
+        // timestamp → epoch-micros long) — the tuple collect() hands
+        // back JVM objects.
         partFields.map(_._1).zip(fm.partitionValues).foreach { case (n, v) =>
-          partRec.put(n, v)
+          partRec.put(n, v match {
+            case d: java.sql.Date =>
+              Int.box(Math.toIntExact(d.toLocalDate.toEpochDay))
+            case t: java.sql.Timestamp =>
+              val i = t.toInstant
+              Long.box(Math.addExact(
+                Math.multiplyExact(i.getEpochSecond, 1000000L),
+                (i.getNano / 1000).toLong))
+            case t: java.time.LocalDateTime =>
+              val i = t.toInstant(java.time.ZoneOffset.UTC)
+              Long.box(Math.addExact(
+                Math.multiplyExact(i.getEpochSecond, 1000000L),
+                (i.getNano / 1000).toLong))
+            case b: java.math.BigDecimal =>
+              java.nio.ByteBuffer.wrap(b.unscaledValue().toByteArray)
+            case other => other
+          })
         }
         d.put("partition", partRec)
         d.put("record_count", fm.records)
@@ -467,17 +518,20 @@ object IcebergFixture {
           d.put("lower_bounds", boundsArr("lower_bounds", lower = true))
           d.put("upper_bounds", boundsArr("upper_bounds", lower = false))
         }
-        if (fm.nullCounts.nonEmpty) {
-          val ncSchema = dfSchema.getField("null_value_counts").schema().getTypes.get(1)
-          val a = new GenericData.Array[GenericRecord](fm.nullCounts.size, ncSchema)
-          fm.nullCounts.foreach { case (fid, n) =>
-            val r = new GenericData.Record(ncSchema.getElementType)
-            r.put("key", fid)
-            r.put("value", n)
-            a.add(r)
+        def putLongMap(field: String, counts: Seq[(Int, Long)]): Unit =
+          if (counts.nonEmpty) {
+            val cs = dfSchema.getField(field).schema().getTypes.get(1)
+            val a = new GenericData.Array[GenericRecord](counts.size, cs)
+            counts.foreach { case (fid, n) =>
+              val r = new GenericData.Record(cs.getElementType)
+              r.put("key", fid)
+              r.put("value", n)
+              a.add(r)
+            }
+            d.put(field, a)
           }
-          d.put("null_value_counts", a)
-        }
+        putLongMap("null_value_counts", fm.nullCounts)
+        putLongMap("nan_value_counts", fm.nanCounts)
         if (formatVersion == 1) d.put("block_size_in_bytes", 67108864L)
         if (formatVersion >= 2 && fm.equalityIds.nonEmpty)
           d.put("equality_ids", fm.equalityIds.map(Int.box).asJava)

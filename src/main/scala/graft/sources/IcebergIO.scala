@@ -239,7 +239,8 @@ object IcebergIO {
                                        recordCount: Long,
                                        lowerBounds: Map[Int, Array[Byte]],
                                        upperBounds: Map[Int, Array[Byte]],
-                                       nullCounts: Map[Int, Long])
+                                       nullCounts: Map[Int, Long],
+                                       nanCounts: Map[Int, Long])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
     * Manifest grain only — data rows never pass through here. */
@@ -338,10 +339,12 @@ object IcebergIO {
                 }.toMap
               case _ => Map.empty
             }
-          // per-column null-row counts (spec field 110), same map form
-          val nullCounts: Map[Int, Long] =
-            if (df.getSchema.getField("null_value_counts") == null) Map.empty
-            else df.get("null_value_counts") match {
+          // per-column long counts in the same map form: null rows (spec
+          // field 110) and NaN rows (spec field 137 — bounds exclude NaN,
+          // so float/double pruning must know whether NaN rows exist)
+          def longMap(field: String): Map[Int, Long] =
+            if (df.getSchema.getField(field) == null) Map.empty
+            else df.get(field) match {
               case l: java.util.Collection[_] =>
                 l.asScala.map { e =>
                   val r = e.asInstanceOf[GenericRecord]
@@ -354,7 +357,8 @@ object IcebergIO {
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
             seq, eqIds, partVals, records,
-            boundsMap("lower_bounds"), boundsMap("upper_bounds"), nullCounts)
+            boundsMap("lower_bounds"), boundsMap("upper_bounds"),
+            longMap("null_value_counts"), longMap("nan_value_counts"))
         }
       }
     }
@@ -403,9 +407,21 @@ object IcebergIO {
                 s"statsFilter '$op' needs a Seq value, got $other")
             }
             else normalizeStat(dt, v)
-          f => statsKeep(op,
-            f.lowerBounds.get(fid).map(boundValue(dt, _)),
-            f.upperBounds.get(fid).map(boundValue(dt, _)), nv)
+          // NaN soundness: Spark orders NaN GREATER than every value (and
+          // NaN = NaN true), while Iceberg bounds exclude NaN — a file of
+          // {1.0, NaN} has bounds [1.0, 1.0] yet its NaN row satisfies
+          // `x > 5.0`. So for float/double, ops a NaN row could satisfy
+          // (> >= = <> in/'not in') may prune only when the file is PROVEN
+          // NaN-free via nan_value_counts (spec field 137); absent counts
+          // keep the file. `<`/`<=` stay prunable: no NaN row satisfies
+          // them, and bounds correctly cover the non-NaN values.
+          val nanUnsafe = (dt == FloatType || dt == DoubleType) &&
+            (op match { case "<" | "<=" => false; case _ => true })
+          f =>
+            (nanUnsafe && !f.nanCounts.get(fid).contains(0L)) ||
+              statsKeep(op,
+                f.lowerBounds.get(fid).map(boundValue(dt, _)),
+                f.upperBounds.get(fid).map(boundValue(dt, _)), nv)
       }
     }
     def go(p: StatsPred): ContentFile => Boolean = p match {
@@ -495,6 +511,68 @@ object IcebergIO {
 
   private def statEq(a: Any, b: Any): Boolean = !statLt(a, b) && !statLt(b, a)
 
+  // ------------------------------------------- partition-value resolution
+
+  private def epochMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      (i.getNano / 1000).toLong)
+
+  /** Normalize an identity-partition filter literal to the representation
+    * manifests STORE (spec partition-data types: date is the epoch-day
+    * int, timestamp the epoch-micros long — not the JVM object the
+    * caller's predicate carries). int/long/string/boolean pass through.
+    * Anything else (e.g. decimal, stored as unscaled bytes) throws —
+    * the explicit partitionFilter API surfaces that; the derived
+    * readWhere path Try-guards it and simply skips pruning. */
+  private[graft] def identityStored(v: Any): Any = v match {
+    case _: Int | _: Long | _: String | _: Boolean => v
+    case d: java.sql.Date =>
+      Int.box(Math.toIntExact(d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Int.box(Math.toIntExact(d.toEpochDay))
+    case t: java.sql.Timestamp  => Long.box(epochMicros(t.toInstant))
+    case t: java.time.Instant   => Long.box(epochMicros(t))
+    // timestamp-without-zone (Spark TimestampNTZ): stored micros are
+    // from the epoch with the wall-clock read as UTC, per spec
+    case t: java.time.LocalDateTime =>
+      Long.box(epochMicros(t.toInstant(java.time.ZoneOffset.UTC)))
+    case other => throw new IllegalArgumentException(
+      s"identity partition filter value of type " +
+        s"${other.getClass.getSimpleName} has no stored-form normalization")
+  }
+
+  private val truncRe  = "^truncate\\[(\\d+)\\]$".r
+  private val bucketRe = "^bucket\\[(\\d+)\\]$".r
+
+  /** Resolve a raw filter literal to the STORED partition value for one
+    * transform — what manifest partition tuples record and pruning
+    * compares against. Identity normalizes date/timestamp objects to the
+    * spec's epoch ordinals; truncate[W] applies the spec's floor-mod /
+    * prefix binning; bucket[N] the spec's murmur3 ordinal
+    * ([[IcebergTransforms.bucket]]); year/month/day/hour the epoch-based
+    * time ordinals. `void` is null for every value (matches all files —
+    * correct "no pruning possible" semantics on evolved tables). Unknown
+    * transforms and unconvertible values throw — derived pruning
+    * Try-guards this and skips the leaf instead. */
+  private[graft] def storedPartitionValue(transform: String, v: Any): Any =
+    transform match {
+      case "identity" => identityStored(v)
+      case truncRe(w) => v match {
+        case n: Int    => n - Math.floorMod(n, w.toInt)
+        case n: Long   => n - Math.floorMod(n, w.toLong)
+        case s: String => s.take(w.toInt)
+        case other => throw new IllegalArgumentException(
+          s"truncate filter value must be int/long/string, got $other")
+      }
+      case bucketRe(n) => Int.box(IcebergTransforms.bucket(n.toInt, v))
+      case "year"  => Int.box(IcebergTransforms.yearOrdinal(v))
+      case "month" => Int.box(IcebergTransforms.monthOrdinal(v))
+      case "day"   => Int.box(IcebergTransforms.dayOrdinal(v))
+      case "hour"  => Int.box(IcebergTransforms.hourOrdinal(v))
+      case "void"  => null
+      case other => throw new UnsupportedOperationException(
+        s"partition transform '$other' is not supported for pruning")
+    }
+
   // ----------------------------------------------------------------- read
 
   /** Read an Iceberg table as a DataFrame.
@@ -577,16 +655,12 @@ object IcebergIO {
       }
     }
     // Resolve source-column filters to (partition field name -> expected
-    // STORED value): identity passes through; truncate[W] applies the
-    // spec's transform to the filter value (floor-mod width bin for ints,
-    // W-char prefix for strings); bucket[N] applies the spec's
-    // murmur3-based bucket ordinal ([[IcebergTransforms.bucket]]);
-    // year/month/day/hour map a date/timestamp filter value to the
-    // spec's epoch-based ordinals — each compares against what manifests
-    // record. Unknown transforms are rejected explicitly — a silently
-    // unpruned filter would read as "pruning works" in tests.
-    val truncRe = "^truncate\\[(\\d+)\\]$".r
-    val bucketRe = "^bucket\\[(\\d+)\\]$".r
+    // STORED value) via [[storedPartitionValue]] — the filter literal is
+    // transformed/normalized into exactly what manifests record before
+    // comparing. Unknown transforms and unconvertible values are rejected
+    // loudly here (the EXPLICIT filter API) — a silently unpruned filter
+    // would read as "pruning works" in tests; the derived readWhere path
+    // Try-guards the same helper and skips pruning instead.
     val bySource: Map[String, (String, String)] = meta.partitionFields.flatMap {
       case (name, t, srcId) => meta.fieldById.get(srcId).map(src => src -> (name, t))
     }.toMap
@@ -595,29 +669,7 @@ object IcebergIO {
         throw new IllegalArgumentException(
           s"partitionFilter names non-partition-source column '$k' " +
             s"(partition sources: ${bySource.keys.toSeq.sorted.mkString(", ")})"))
-      val stored: Any = t match {
-        case "identity" => v
-        case truncRe(w) => v match {
-          case n: Int    => n - Math.floorMod(n, w.toInt)
-          case n: Long   => n - Math.floorMod(n, w.toLong)
-          case s: String => s.take(w.toInt)
-          case other => throw new IllegalArgumentException(
-            s"truncate filter value must be int/long/string, got $other")
-        }
-        case bucketRe(n) => Int.box(IcebergTransforms.bucket(n.toInt, v))
-        case "year"  => Int.box(IcebergTransforms.yearOrdinal(v))
-        case "month" => Int.box(IcebergTransforms.monthOrdinal(v))
-        case "day"   => Int.box(IcebergTransforms.dayOrdinal(v))
-        case "hour"  => Int.box(IcebergTransforms.hourOrdinal(v))
-        // void (the spec's dropped-partition-field placeholder in v1
-        // evolution): void(v) is null for every v and manifests record
-        // null, so the filter matches every file — correct "no pruning
-        // possible" semantics rather than an error on evolved tables
-        case "void"  => null
-        case other => throw new UnsupportedOperationException(
-          s"partition transform '$other' on '$k' is not supported for pruning")
-      }
-      fieldName -> stored
+      fieldName -> storedPartitionValue(t, v)
     }
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
@@ -647,16 +699,18 @@ object IcebergIO {
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.GraftShim.PredNode
     val meta = loadMetadata(tablePath)
-    // partition source -> transform; derived equality prunes partitions
-    // only for transforms that accept raw literal values (identity /
-    // truncate / bucket) — time transforms need date/timestamp OBJECTS,
-    // but Catalyst date literals are day ordinals, so they stay
-    // stats-pruned only
+    // partition source -> transform. A derived equality prunes partitions
+    // whenever [[storedPartitionValue]] can resolve the literal for the
+    // column's transform — the DSL's node literals carry raw JVM objects
+    // (java.sql.Date / Timestamp included), so identity, truncate, bucket
+    // AND the time transforms all derive. The Try below is the contract
+    // guard: an unconvertible literal (e.g. a decimal under truncate)
+    // must SKIP the leaf, never fail the read.
     val partitionSources: Map[String, String] = meta.partitionFields
       .flatMap { case (_, t, srcId) => meta.fieldById.get(srcId).map(_ -> t) }
       .toMap
-    def partitionPrunable(t: String): Boolean =
-      t == "identity" || t.startsWith("truncate[") || t.startsWith("bucket[")
+    def partitionPrunable(t: String, v: Any): Boolean =
+      t != "void" && scala.util.Try(storedPartitionValue(t, v)).isSuccess
     val statTypes: Set[DataType] = Set(IntegerType, LongType, StringType,
       DateType, DoubleType, FloatType)
     def statsPrunable(dt: DataType): Boolean = dt match {
@@ -686,7 +740,8 @@ object IcebergIO {
     // spine: only there may a partition equality prune.
     def leaf(n: String, op: String, v: Any, conj: Boolean): StatsPred = {
       val dt = meta.schema(n).dataType
-      if (conj && op == "=" && partitionSources.get(n).exists(partitionPrunable))
+      if (conj && op == "=" &&
+          partitionSources.get(n).exists(partitionPrunable(_, v)))
         partBuf(n) = v
       if (statsPrunable(dt) && scala.util.Try(normalizeStat(dt, v)).isSuccess)
         StatsPred.Leaf(n, op, v)

@@ -810,6 +810,181 @@ class IcebergSpec extends AnyFunSuite {
     assert(st("a").nullable === false && st("b").nullable === true)
   }
 
+  test("date-identity partitions: literal normalizes to the stored epoch day") {
+    import org.apache.spark.sql.functions.col
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    def drow(id: Long, s: String) = Row(id, java.sql.Date.valueOf(s))
+    val dir = s"$root/dateident"
+    val w = new IcebergFixture.Writer(spark, dir, dschema,
+      partitionCols = Seq("d"))
+    w.append(spark.createDataFrame(java.util.Arrays.asList(
+      drow(1, "2024-03-15"), drow(2, "2024-03-15"), drow(3, "2024-07-01")),
+      dschema))
+    assert(w.dataFilePaths.size === 2)
+
+    // manifests store the epoch-day INT; the filter's java.sql.Date must
+    // normalize to it — not String-compare the object (which silently
+    // pruned EVERY file and returned wrong empty results)
+    val p = IcebergIO.read(spark, dir,
+      partitionFilter = Map("d" -> java.sql.Date.valueOf("2024-03-15")))
+    assert(ids(p) === Seq(1L, 2L))
+    assert(p.inputFiles.length === 1)
+
+    // derived path: a date equality in the predicate prunes too
+    val q = IcebergIO.readWhere(spark, dir,
+      col("d") === java.sql.Date.valueOf("2024-03-15"))
+    assert(ids(q) === Seq(1L, 2L))
+    assert(q.inputFiles.length === 1,
+      s"derived date pruning should scan 1 file: ${q.inputFiles.mkString(", ")}")
+    // and a non-matching date matches nothing without failing
+    assert(IcebergIO.readWhere(spark, dir,
+      col("d") === java.sql.Date.valueOf("1999-01-01")).count() === 0L)
+  }
+
+  test("timestamp-identity partitions: literal normalizes to stored micros") {
+    import org.apache.spark.sql.functions.col
+    val tschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampNTZType, nullable = false)))
+    def trow(id: Long, s: String) = Row(id, java.time.LocalDateTime.parse(s))
+    val dir = s"$root/tsident"
+    val w = new IcebergFixture.Writer(spark, dir, tschema,
+      partitionCols = Seq("ts"))
+    w.append(spark.createDataFrame(java.util.Arrays.asList(
+      trow(1, "2024-01-01T00:00:00"), trow(2, "2024-01-01T00:00:00"),
+      trow(3, "2024-06-30T12:30:00")), tschema))
+    assert(w.dataFilePaths.size === 2)
+    val p = IcebergIO.read(spark, dir, partitionFilter =
+      Map("ts" -> java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
+    assert(ids(p) === Seq(1L, 2L))
+    assert(p.inputFiles.length === 1)
+    val q = IcebergIO.readWhere(spark, dir,
+      col("ts") === java.time.LocalDateTime.parse("2024-01-01T00:00:00"))
+    assert(ids(q) === Seq(1L, 2L))
+    assert(q.inputFiles.length === 1)
+  }
+
+  test("readWhere derives time-transform partition pruning from date literals") {
+    import org.apache.spark.sql.functions.col
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    def drow(id: Long, s: String) = Row(id, java.sql.Date.valueOf(s))
+    val dir = s"$root/timederived"
+    val w = new IcebergFixture.Writer(spark, dir, dschema,
+      partitionCols = Seq("d"), partitionTransforms = Map("d" -> "month"))
+    w.append(spark.createDataFrame(java.util.Arrays.asList(
+      drow(1, "1995-03-05"), drow(2, "1995-03-20"), drow(3, "1995-04-02"),
+      drow(4, "1996-03-05")), dschema))
+    assert(w.dataFilePaths.size === 3)
+    // a date equality under a month transform prunes to that month's file
+    // (the predicate's literal is the raw Date object, so the transform
+    // ordinal is computable at planning time)
+    val q = IcebergIO.readWhere(spark, dir,
+      col("d") === java.sql.Date.valueOf("1995-03-05"))
+    assert(ids(q) === Seq(1L))
+    assert(q.inputFiles.length === 1,
+      s"month-transform derived pruning should scan 1 file: " +
+        q.inputFiles.mkString(", "))
+    // bucket-on-date derives as well (bucketHash supports dates)
+    val dir2 = s"$root/bucketdate"
+    val w2 = new IcebergFixture.Writer(spark, dir2, dschema,
+      partitionCols = Seq("d"), partitionTransforms = Map("d" -> "bucket[4]"))
+    w2.append(spark.createDataFrame(java.util.Arrays.asList(
+      drow(1, "2017-11-16"), drow(2, "2017-11-17"), drow(3, "2017-11-18"),
+      drow(4, "2017-11-19")), dschema))
+    val q2 = IcebergIO.readWhere(spark, dir2,
+      col("d") === java.sql.Date.valueOf("2017-11-16"))
+    assert(ids(q2) === Seq(1L))
+  }
+
+  test("readWhere skips (never fails) on literals a transform can't convert") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.IcebergIO.{identityStored, storedPartitionValue}
+    // the helper itself throws for unconvertible combinations...
+    intercept[IllegalArgumentException](
+      storedPartitionValue("truncate[2]", java.sql.Date.valueOf("2024-01-01")))
+    intercept[IllegalArgumentException](
+      storedPartitionValue("bucket[4]", 1.5))
+    intercept[IllegalArgumentException](
+      storedPartitionValue("year", "not-a-date"))
+    intercept[IllegalArgumentException](
+      identityStored(new java.math.BigDecimal("1.50")))
+    // ...but the derived path Try-guards it: an identity partition on a
+    // DECIMAL column (stored as unscaled bytes — no literal
+    // normalization exists) must read fine with partition pruning
+    // skipped, not fail
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = false)))
+    def drow(id: Long, p: String) = Row(id, new java.math.BigDecimal(p))
+    val dir = s"$root/skipconvert"
+    val w = new IcebergFixture.Writer(spark, dir, dschema,
+      partitionCols = Seq("price"))
+    w.append(spark.createDataFrame(java.util.Arrays.asList(
+      drow(1, "1.50"), drow(2, "1.50"), drow(3, "99.00")), dschema))
+    assert(w.dataFilePaths.size === 2)
+    val q = IcebergIO.readWhere(spark, dir,
+      col("price") === new java.math.BigDecimal("1.50"))
+    assert(ids(q) === Seq(1L, 2L))
+    // partition pruning skipped, but decimal STATS pruning still applies
+    // (bounds [1.50,1.50] vs [99.00,99.00]) — one file scanned anyway
+    assert(q.inputFiles.length === 1,
+      s"decimal stats pruning should still engage: ${q.inputFiles.mkString(", ")}")
+    // the EXPLICIT partitionFilter API surfaces the unconvertibility loudly
+    val e = intercept[IllegalArgumentException](IcebergIO.read(spark, dir,
+      partitionFilter = Map("price" -> new java.math.BigDecimal("1.50"))))
+    assert(e.getMessage.contains("no stored-form normalization"))
+    // sanity: a convertible transform still prunes (string truncate)
+    val dir2 = s"$root/skipconvert2"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "truncate[2]"))
+    w2.append(df((1L, "aard", 1.0), (2L, "zulu", 2.0)))
+    val q2 = IcebergIO.readWhere(spark, dir2, col("name") === "aard")
+    assert(ids(q2) === Seq(1L))
+    assert(q2.inputFiles.length === 1)
+  }
+
+  test("NaN rows: float/double stats pruning stays sound (Spark orders NaN greatest)") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/nanstats"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    // file A: bounds [1.0, 2.0] but holds a NaN row (bounds exclude NaN)
+    w.append(df((1L, "a", 1.0), (2L, "b", Double.NaN), (3L, "c", 2.0)))
+    // file B: NaN-free, bounds [10.0, 11.0]
+    w.append(df((4L, "d", 10.0), (5L, "e", 11.0)))
+
+    // score > 5.0 is satisfied by NaN in Spark semantics — file A must
+    // NOT be pruned on its [1.0, 2.0] bounds (nan_value_counts says a
+    // NaN row exists); both the NaN row and file B's rows come back
+    val q = IcebergIO.readWhere(spark, dir, col("score") > 5.0)
+    assert(ids(q) === Seq(2L, 4L, 5L))
+    assert(q.inputFiles.length === 2,
+      s"NaN-holding file must survive '>': ${q.inputFiles.mkString(", ")}")
+    // <> against a constant-valued file: same rule via the explicit API
+    val dir2 = s"$root/nanstats2"
+    val w2 = new IcebergFixture.Writer(spark, dir2, schema)
+    w2.append(df((1L, "a", 7.0), (2L, "b", Double.NaN)))
+    val p = IcebergIO.read(spark, dir2, statsFilter = Seq(("score", "<>", 7.0)))
+    assert(ids(p) === Seq(1L, 2L), "constant-plus-NaN file must not prune on <>")
+
+    // soundness never costs pruning where it's safe: `<` can never be
+    // satisfied by NaN, so file B still prunes for score < 5.0 …
+    val qLt = IcebergIO.readWhere(spark, dir, col("score") < 5.0)
+    assert(ids(qLt) === Seq(1L, 3L))
+    assert(qLt.inputFiles.length === 1)
+    // … and proven-NaN-free files still prune for `>` (file A must scan —
+    // its NaN row satisfies score > 20.0 in Spark semantics)
+    val qGt = IcebergIO.readWhere(spark, dir, col("score") > 20.0)
+    assert(ids(qGt) === Seq(2L))
+    assert(qGt.inputFiles.length === 1,
+      "file B is proven NaN-free by nan_value_counts and bounds-pruned; " +
+        "file A must still scan: " + qGt.inputFiles.mkString(", "))
+  }
+
   test("GraftSession.readIceberg serves the native scan; writeIceberg fails fast") {
     val dir = s"$root/session"
     val w = new IcebergFixture.Writer(spark, dir, schema)
