@@ -84,6 +84,16 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergIO.read(spark, path, snapshotId, asOfTimestampMs,
       partitionFilter, statsFilter, ref)
 
+  /** LIVE Iceberg scan: metadata re-resolves and `WHERE`-derived pruning
+    * applies at each query's optimization time (see
+    * [[graft.sources.IcebergTableScan]]) — what [[registerIceberg]]
+    * registers, exposed for DataFrame-API use: `readIcebergLive(p)
+    * .filter(...)` prunes exactly like the SQL surface. */
+  def readIcebergLive(path: String, snapshotId: Option[Long] = None,
+                      ref: Option[String] = None): DataFrame =
+    graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
+      ref = ref)
+
   /** Iceberg read with automatic pushdown: pruning (partition + manifest
     * stats) is derived from the condition's supported conjuncts and the
     * full condition is applied as an exact row filter. */
@@ -113,6 +123,12 @@ final class GraftSession private (val spark: SparkSession) {
     * metadata table) — only the manifest list itself is read. */
   def icebergManifests(path: String, snapshotId: Option[Long] = None): DataFrame =
     graft.sources.IcebergIO.manifests(spark, path, snapshotId)
+
+  /** Iceberg snapshots as a relation (the runtime jar's `.snapshots`
+    * metadata table): every snapshot with parent linkage and summary —
+    * only `metadata.json` is read. */
+  def icebergSnapshots(path: String): DataFrame =
+    graft.sources.IcebergIO.snapshots(spark, path)
 
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,
@@ -186,15 +202,22 @@ final class GraftSession private (val spark: SparkSession) {
 
   /** Register an Iceberg table by name — the reference fork registers
     * Iceberg through the same catalog surface as files
-    * (distributed_query.rs:44,100); snapshot pinned at registration
-    * time (re-register to see later commits). */
+    * (distributed_query.rs:44,100). The view is LIVE: each query
+    * re-resolves `metadata.json` at optimization time
+    * ([[graft.sources.IcebergTableScan]]), so commits made after
+    * registration are visible without re-registering, and SQL `WHERE`
+    * predicates drive partition + manifest-stats pruning (the
+    * `readWhere` derivation, now on the SQL surface). Pass `snapshotId`
+    * to pin (snapshots are immutable, so the pin is stable). */
   def registerIceberg(name: String, path: String,
                       snapshotId: Option[Long] = None,
                       metadataTables: Boolean = false): Unit = {
-    readIceberg(path, snapshotId).createOrReplaceTempView(name)
+    graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId)
+      .createOrReplaceTempView(name)
     // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
     // tables, surfaced as `<name>_history` etc. temp views (dot suffixes
-    // need a catalog plugin; underscore views are the session analog)
+    // need a catalog plugin; underscore views are the session analog).
+    // These stay registration-time SNAPSHOTS (driver-computed relations).
     if (metadataTables) {
       icebergHistory(path).createOrReplaceTempView(s"${name}_history")
       icebergFiles(path, snapshotId).createOrReplaceTempView(s"${name}_files")
@@ -202,6 +225,7 @@ final class GraftSession private (val spark: SparkSession) {
         .createOrReplaceTempView(s"${name}_partitions")
       icebergManifests(path, snapshotId)
         .createOrReplaceTempView(s"${name}_manifests")
+      icebergSnapshots(path).createOrReplaceTempView(s"${name}_snapshots")
       graft.sources.IcebergIO.refs(spark, path)
         .createOrReplaceTempView(s"${name}_refs")
     }

@@ -44,6 +44,56 @@ object IcebergQueries {
       dir
     })
 
+  /** Bench-grain fixture: `orders` identity-partitioned by
+    * `o_bucket = o_orderkey % 200`, TWO appendFast snapshots (even keys,
+    * then odd) — ~400 data files with per-file stats, so the bench
+    * entries regression-protect MANIFEST PLANNING cost (the scan path's
+    * driver-side component) at a realistic file count, not a 2-file toy.
+    * Built once per JVM per scale dir; iteration 1 of a bench run pays
+    * the build, and Bench reports min-of-2 so the build never bills as
+    * scan throughput. */
+  private val benchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def benchFixture(s: SparkSession, sfDir: String): String =
+    benchDirs.computeIfAbsent(sfDir, { _ =>
+      import org.apache.spark.sql.functions.{col, pmod}
+      val dir = s"/tmp/graft_iceberg_bench_${tag}_${benchDirs.size()}"
+      IcebergFixture.deleteRecursively(dir)
+      val src = s.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          pmod(col("o_orderkey"), org.apache.spark.sql.functions.lit(200L))
+            .cast("int").as("o_bucket"))
+      val w = new IcebergFixture.Writer(s, dir, src.schema,
+        partitionCols = Seq("o_bucket"))
+      w.appendFast(src.filter("o_orderkey % 2 = 0"))
+      w.appendFast(src.filter("o_orderkey % 2 = 1"))
+      dir
+    })
+
+  /** Full scan of the ~400-file bench table, forced through an exact
+    * aggregate — times manifest planning + the vectorized parquet scan. */
+  val icebergBenchScan = dfQ("iceberg_bench_scan",
+    """SELECT COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      |       COUNT(DISTINCT o_orderkey % 200) AS nbuckets
+      |FROM orders""".stripMargin) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    IcebergIO.read(s, benchFixture(s, sfDir)).agg(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"),
+      countDistinct(col("o_bucket")).as("nbuckets"))
+  }
+
+  /** Selective readWhere over the bench table: partition pruning keeps
+    * 2 of ~400 files — times the DERIVATION + pruning path end-to-end. */
+  val icebergBenchPrune = dfQ("iceberg_bench_prune",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 200 = 7 ORDER BY o_orderkey""".stripMargin) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    IcebergIO.readWhere(s, benchFixture(s, sfDir), col("o_bucket") === 7)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Current-snapshot scan = the full table. */
   val icebergRead = dfQ("iceberg_read",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -283,6 +333,51 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Snapshots as a relation (the runtime jar's `.snapshots` metadata
+    * table) over the deterministic basic fixture: two append snapshots,
+    * parent-linked, fixed t0-derived commit times; the summary map is
+    * surfaced through its `operation` entry (map columns don't compare
+    * stably across engines). */
+  val icebergSnapshots = dfQ("iceberg_snapshots",
+    """SELECT * FROM (VALUES
+      |  (CAST(1704067201000 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+      |   'append', 'snap-00001-manifest-list.avro', 'append'),
+      |  (CAST(1704067202000 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+      |   'append', 'snap-00002-manifest-list.avro', 'append'))
+      |  AS t(committed_at_ms, snapshot_id, parent_id, operation,
+      |       manifest_list, summary_operation)
+      |ORDER BY snapshot_id""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.{col, element_at}
+    IcebergIO.snapshots(s, basicFixture(s, sfDir))
+      .withColumn("summary_operation", element_at(col("summary"), "operation"))
+      .drop("summary")
+      .orderBy("snapshot_id")
+  }
+
+  /** SQL-surface twin of `iceberg_pushdown_where`: the table registers
+    * as a LIVE view ([[graft.sources.IcebergTableScan]]) and a plain SQL
+    * `WHERE` drives the same partition + stats pruning at optimization
+    * time — no readWhere call anywhere. Pruning effectiveness (fewer
+    * files scanned) is plan-asserted in IcebergSqlSpec; here the oracle
+    * pins exactness. */
+  val icebergSqlPushdown = dfQ("iceberg_sql_pushdown",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_regionkey = 2 AND n_nationkey >= 5 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    val dir = s"/tmp/graft_iceberg_sqlpd_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema,
+      partitionCols = Seq("n_regionkey"))
+    w.append(nationSorted(s))
+    graft.sources.IcebergTableScan.dataFrame(s, dir)
+      .createOrReplaceTempView(s"iceberg_sqlpd_$tag")
+    s.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey FROM iceberg_sqlpd_$tag
+         |WHERE n_regionkey = 2 AND n_nationkey >= 5
+         |ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** Manifest-list entries as a relation (the runtime jar's `.manifests`
     * metadata table) over the deterministic basic fixture: one data
     * manifest per append snapshot. */
@@ -317,5 +412,6 @@ object IcebergQueries {
     icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
-    icebergPushdownWhere, icebergRefs)
+    icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
+    icebergRefs, icebergBenchScan, icebergBenchPrune)
 }

@@ -52,14 +52,13 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
     * the clear "no such Avro path" message. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = pathOf(options)
-    val f = AvroIO.toLocalFile(p)
-    // listFiles() returns null for an unreadable/vanished dir — treat as
-    // empty here (schema inference), fail with a clear name in discover.
-    def hasAvro(d: java.io.File): Boolean =
-      (d.isFile && d.getName.endsWith(".avro")) ||
-        (d.isDirectory &&
-          Option(d.listFiles()).getOrElse(Array.empty).exists(hasAvro))
-    if (!f.exists() || !hasAvro(f)) new StructType()
+    val c = GraftFs.conf()
+    def anyAvro(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      (st.isFile && st.getPath.getName.endsWith(".avro")) ||
+        (st.isDirectory &&
+          GraftFs.list(st.getPath.toString, c).exists(anyAvro))
+    val hasAvro = GraftFs.status(p, c).exists(anyAvro)
+    if (!hasAvro) new StructType()
     else AvroTable.schemaOf(p, Option(options.get(AvroTable.ReaderSchemaOption)))
   }
 
@@ -76,38 +75,44 @@ private object AvroTable {
     * on read (added fields w/ defaults, drops, reorders, promotions). */
   val ReaderSchemaOption = "avroReaderSchema"
 
-  /** (file, partition values aligned with partitionCols). */
-  final case class Layout(files: Seq[(String, Seq[String])], partitionCols: Seq[String])
+  /** (file, byte length, partition values aligned with partitionCols) —
+    * lengths ride along from the one listing pass so split planning
+    * needs no per-file stat RPC (material at 1e5 files on an object
+    * store). */
+  final case class Layout(files: Seq[(String, Long, Seq[String])],
+                          partitionCols: Seq[String])
 
   /** Hive-layout discovery: `.avro` files directly under `path` form an
     * unpartitioned table; `path/k=v[/k2=v2…]/part.avro` layouts
     * contribute `k,k2,…` as string partition columns (same contract as
     * Spark's file sources; values are not type-inferred — cast in the
-    * query). Mixing bare files and partition dirs is rejected. */
+    * query). Mixing bare files and partition dirs is rejected. All
+    * listing goes through the Hadoop FS API ([[GraftFs]]). */
   def discover(path: String): Layout = {
-    val root = AvroIO.toLocalFile(path)
-    if (root.isFile) return Layout(Seq(root.getPath -> Nil), Nil)
-    if (!root.isDirectory)
-      throw new java.io.FileNotFoundException(s"no such Avro path: $path")
-    val acc = Seq.newBuilder[(String, Seq[(String, String)])]
-    def walk(dir: java.io.File, parts: Seq[(String, String)]): Unit =
-      Option(dir.listFiles()).getOrElse(
-          throw new java.io.IOException(s"cannot list directory: $dir"))
-        .toSeq.sortBy(_.getName).foreach { f =>
-        if (f.isFile && f.getName.endsWith(".avro")) acc += f.getPath -> parts
-        else if (f.isDirectory) f.getName.split("=", 2) match {
-          case Array(k, v) => walk(f, parts :+ (k -> v))
+    val c = GraftFs.conf()
+    val root = GraftFs.status(path, c).getOrElse(
+      throw new java.io.FileNotFoundException(s"no such Avro path: $path"))
+    if (root.isFile)
+      return Layout(Seq((root.getPath.toString, root.getLen, Nil)), Nil)
+    val acc = Seq.newBuilder[(String, Long, Seq[(String, String)])]
+    def walk(dir: String, parts: Seq[(String, String)]): Unit =
+      GraftFs.list(dir, c).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.endsWith(".avro"))
+          acc += ((s.getPath.toString, s.getLen, parts))
+        else if (s.isDirectory) n.split("=", 2) match {
+          case Array(k, v) => walk(s.getPath.toString, parts :+ (k -> v))
           case _           => // non-hive dir (e.g. _tmp): skip
         }
       }
-    walk(root, Nil)
+    walk(root.getPath.toString, Nil)
     val all = acc.result()
     require(all.nonEmpty, s"no .avro files under $path")
-    val cols = all.head._2.map(_._1)
-    require(all.forall(_._2.map(_._1) == cols),
+    val cols = all.head._3.map(_._1)
+    require(all.forall(_._3.map(_._1) == cols),
       s"inconsistent partition layout under $path: " +
-        all.map(_._2.map(_._1).mkString("/")).distinct.mkString(" vs "))
-    Layout(all.map { case (f, ps) => f -> ps.map(_._2) }, cols)
+        all.map(_._3.map(_._1).mkString("/")).distinct.mkString(" vs "))
+    Layout(all.map { case (f, len, ps) => (f, len, ps.map(_._2)) }, cols)
   }
 
   def schemaOf(path: String, readerSchemaJson: Option[String] = None): StructType = {
@@ -118,7 +123,7 @@ private object AvroTable {
       case None =>
         val first = layout.files.head._1
         val r = new DataFileReader[GenericRecord](
-          new java.io.File(first), new GenericDatumReader[GenericRecord]())
+          GraftFs.openSeekable(first), new GenericDatumReader[GenericRecord]())
         try AvroIO.toSparkSchema(r.getSchema) finally r.close()
     }
     val clash = layout.partitionCols.toSet.intersect(data.fieldNames.toSet)
@@ -280,7 +285,7 @@ private final class AvroScan(path: String, required: StructType,
         SparkSession.active.conf.get(
           "spark.sql.files.maxPartitionBytes", s"${128L * 1024 * 1024}")))
     layout.files
-      .filter { case (_, values) =>
+      .filter { case (_, _, values) =>
         val get: String => Any =
           name => layout.partitionCols.indexOf(name) match {
             case -1 => null
@@ -288,8 +293,7 @@ private final class AvroScan(path: String, required: StructType,
           }
         partitionFilters.forall(AvroFilterEval.eval(_, get))
       }
-      .flatMap { case (f, values) =>
-        val len = new java.io.File(f).length()
+      .flatMap { case (f, len, values) =>
         val nSplits = math.max(1L, (len + maxSplit - 1) / maxSplit)
         (0L until nSplits).map { i =>
           val start = i * maxSplit
@@ -302,16 +306,17 @@ private final class AvroScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json, filters, readerSchemaJson)
+    new AvroReaderFactory(required.json, filters, readerSchemaJson,
+      GraftFs.serializableConf())
 }
 
 private final class AvroReaderFactory(
     requiredJson: String, filters: Array[org.apache.spark.sql.sources.Filter],
-    readerSchemaJson: Option[String])
+    readerSchemaJson: Option[String], sconf: GraftFs.SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroFilePartition]
-    new AvroPartitionReader(p, requiredJson, filters, readerSchemaJson)
+    new AvroPartitionReader(p, requiredJson, filters, readerSchemaJson, sconf)
   }
 }
 
@@ -343,14 +348,14 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
   override def description(): String = s"graft-avro-write $path"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = AvroIO.toLocalFile(path)
-    new java.io.File(dir, tmpName).mkdirs()
-    new AvroWriterFactory(dir.getPath, tmpName, schema.json)
+    val c = GraftFs.conf()
+    GraftFs.mkdirs(GraftFs.child(path, tmpName), c)
+    new AvroWriterFactory(path, tmpName, schema.json, GraftFs.serializableConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = AvroIO.toLocalFile(path)
-    val tmp = new java.io.File(dir, tmpName)
+    val c = GraftFs.conf()
+    val tmp = GraftFs.child(path, tmpName)
     // Publish ONLY the files named in task commit messages — a task
     // attempt that died without abort() leaves a partial .avro in the
     // temp dir which must never be renamed into place alongside its
@@ -360,51 +365,52 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
       case other =>
         throw new IllegalStateException(s"unexpected commit message: $other")
     }
-    if (truncate)
-      Option(dir.listFiles((_, n) => n.endsWith(".avro")))
-        .foreach(_.foreach(_.delete()))
-    // Publish is not atomic across files (plain POSIX renames), so a
-    // failure mid-loop must not leave a half-published append visible to
-    // concurrent readers: roll back the renames already done in THIS
-    // commit before rethrowing. Spark does not retry BatchWrite.commit,
-    // so after the rollback the directory is exactly as before commit.
-    val published = scala.collection.mutable.ListBuffer.empty[java.io.File]
+    def avroChildren(): Seq[String] =
+      GraftFs.list(path, c).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".avro")).map(_.getPath.toString)
+    if (truncate) avroChildren().foreach(GraftFs.delete(_, recursive = false, c))
+    // Publish is not atomic across files (per-file FileSystem renames),
+    // so a failure mid-loop must not leave a half-published append
+    // visible to concurrent readers: roll back the renames already done
+    // in THIS commit before rethrowing. Spark does not retry
+    // BatchWrite.commit, so after the rollback the directory is exactly
+    // as before commit.
+    val published = scala.collection.mutable.ListBuffer.empty[String]
     try {
       committed.foreach { name =>
-        val target = new java.io.File(dir, name)
+        val target = GraftFs.child(path, name)
         // Final names carry this write's UUID, so a collision means a
         // genuine bug (double commit) — refuse rather than silently
-        // replace (POSIX rename overwrites).
-        require(!target.exists(), s"refusing to overwrite existing $target")
-        val ok = new java.io.File(tmp, name).renameTo(target)
+        // replace.
+        require(!GraftFs.exists(target, c),
+          s"refusing to overwrite existing $target")
+        val ok = GraftFs.rename(GraftFs.child(tmp, name), target, c)
         require(ok, s"commit rename failed for $name")
         published += target
       }
     } catch {
       case e: Throwable =>
-        published.foreach(f => if (!f.delete())
+        published.foreach(f => if (!GraftFs.delete(f, recursive = false, c))
           System.err.println(s"avro commit rollback: could not unlink $f"))
         throw e
     }
     // Anything left in the temp dir is a dead attempt's orphan: drop it.
-    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
-    tmp.delete()
+    GraftFs.delete(tmp, recursive = true, c): Unit
     // all-empty input: leave a schema-bearing empty container (same
     // contract as AvroIO.write) so a read-back sees the schema
-    if (Option(dir.listFiles((_, n) => n.endsWith(".avro"))).forall(_.isEmpty)) {
+    if (avroChildren().isEmpty) {
       val avroSchema = AvroIO.toAvroSchema(schema)
       val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
         new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
       w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      w.create(avroSchema, new java.io.File(dir, "part-00000.avro"))
+      w.create(avroSchema, GraftFs.create(GraftFs.child(path, "part-00000.avro"), c))
       w.close()
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val tmp = new java.io.File(AvroIO.toLocalFile(path), tmpName)
-    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
-    tmp.delete()
+    GraftFs.delete(GraftFs.child(path, tmpName), recursive = true,
+      GraftFs.conf()): Unit
   }
 }
 
@@ -414,15 +420,18 @@ private final class AvroWrite(path: String, schema: StructType, truncate: Boolea
 private final case class AvroCommitMessage(files: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private final class AvroWriterFactory(dir: String, tmpName: String, schemaJson: String)
+private final class AvroWriterFactory(dir: String, tmpName: String,
+                                      schemaJson: String,
+                                      sconf: GraftFs.SerializableConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new AvroDataWriter(dir, tmpName, schemaJson, partitionId, taskId)
+    new AvroDataWriter(dir, tmpName, schemaJson, partitionId, taskId, sconf)
 }
 
 private final class AvroDataWriter(dir: String, tmpName: String,
-                                   schemaJson: String, partitionId: Int, taskId: Long)
+                                   schemaJson: String, partitionId: Int,
+                                   taskId: Long, sconf: GraftFs.SerializableConf)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -436,8 +445,9 @@ private final class AvroDataWriter(dir: String, tmpName: String,
   // name: taskIds restart at 0 in a new Spark application, so a bare
   // part-<pid>-<taskId> name could collide with a previous append's file
   // and rename would silently replace it.
-  private val file = new java.io.File(new java.io.File(dir, tmpName),
-    f"part-$partitionId%05d-$taskId-${tmpName.stripPrefix("_tmp_")}.avro")
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-${tmpName.stripPrefix("_tmp_")}.avro"
+  private val file = GraftFs.child(GraftFs.child(dir, tmpName), fileName)
   private var writer: org.apache.avro.file.DataFileWriter[GenericRecord] = _
   private var count = 0L
 
@@ -446,7 +456,7 @@ private final class AvroDataWriter(dir: String, tmpName: String,
       writer = new org.apache.avro.file.DataFileWriter[GenericRecord](
         new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
       writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      writer.create(avroSchema, file)
+      writer.create(avroSchema, GraftFs.create(file, sconf.value))
     }
     writer.append(AvroIO.rowToRecordPub(fromInternal(record), sparkSchema, avroSchema))
     count += 1
@@ -454,11 +464,11 @@ private final class AvroDataWriter(dir: String, tmpName: String,
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    AvroCommitMessage(if (writer != null) Seq(file.getName) else Nil)
+    AvroCommitMessage(if (writer != null) Seq(fileName) else Nil)
   }
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    file.delete(): Unit
+    GraftFs.delete(file, recursive = false, sconf.value): Unit
   }
   override def close(): Unit = ()
 }
@@ -468,7 +478,8 @@ private final class AvroDataWriter(dir: String, tmpName: String,
 private final class AvroPartitionReader(
     partition: AvroFilePartition, requiredJson: String,
     filters: Array[org.apache.spark.sql.sources.Filter],
-    readerSchemaJson: Option[String] = None)
+    readerSchemaJson: Option[String],
+    sconf: GraftFs.SerializableConf)
     extends PartitionReader[InternalRow] {
 
   private val file = partition.file
@@ -483,7 +494,7 @@ private final class AvroPartitionReader(
   private val expectedSchema: Option[Schema] =
     readerSchemaJson.map(new Schema.Parser().parse(_))
   private val reader = new DataFileReader[GenericRecord](
-    new java.io.File(file),
+    GraftFs.openSeekable(file, sconf.value),
     expectedSchema match {
       case Some(rs) => new GenericDatumReader[GenericRecord](null, rs)
       case None     => new GenericDatumReader[GenericRecord]()

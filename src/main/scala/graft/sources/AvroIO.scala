@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.File
 import java.nio.ByteBuffer
 
 import scala.jdk.CollectionConverters._
@@ -285,25 +284,29 @@ object AvroIO {
   }
 
   // ------------------------------------------------------------------- I/O
+  // All file access resolves through the Hadoop FileSystem API
+  // ([[GraftFs]]) — object-store URIs (s3a://, hdfs://, abfs://, gs://),
+  // explicit file:// URIs (catalog tables hand locations over that way)
+  // and plain local paths all work with one code path.
 
-  /** Catalog tables hand the location over as a `file:` URI; direct API
-    * calls pass plain paths — accept both. */
-  private[sources] def toLocalFile(path: String): File =
-    if (path.startsWith("file:")) new File(new java.net.URI(path))
-    else new File(path)
-
-  private[sources] def listAvroFiles(path: String): Seq[String] = {
-    val f = toLocalFile(path)
+  /** `.avro` files under `path` as (full path, length) — one FileStatus
+    * pass so split planning needs no per-file RPC. */
+  private[sources] def listAvroStatuses(path: String): Seq[(String, Long)] = {
+    val c = GraftFs.conf()
+    val st = GraftFs.status(path, c).getOrElse(
+      throw new java.io.FileNotFoundException(s"no such Avro path: $path"))
     val files =
-      if (f.isDirectory)
-        Option(f.listFiles((_, n) => n.endsWith(".avro")))
-          .getOrElse(throw new java.io.IOException(s"cannot list directory: $f"))
-          .toSeq.map(_.getPath).sorted
-      else if (f.isFile) Seq(f.getPath)
-      else throw new java.io.FileNotFoundException(s"no such Avro path: $path")
+      if (st.isDirectory)
+        GraftFs.list(path, c)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+          .map(s => s.getPath.toString -> s.getLen)
+      else Seq(st.getPath.toString -> st.getLen)
     require(files.nonEmpty, s"no .avro files under $path")
     files
   }
+
+  private[sources] def listAvroFiles(path: String): Seq[String] =
+    listAvroStatuses(path).map(_._1)
 
   /** Read an Avro container file (or directory of part files) as a
     * DataFrame. Schema is the writer schema of the first file — or the
@@ -320,12 +323,14 @@ object AvroIO {
     * connector), so even ONE huge file parallelizes across tasks. */
   def read(spark: SparkSession, path: String,
            readerSchemaJson: Option[String] = None): DataFrame = {
-    val files = listAvroFiles(path)
+    val files = listAvroStatuses(path)
+    val sconf = GraftFs.serializableConf()
     val expectedSchema = readerSchemaJson match {
       case Some(json) => new Schema.Parser().parse(json)
       case None =>
         val r = new DataFileReader[GenericRecord](
-          new File(files.head), new GenericDatumReader[GenericRecord]())
+          GraftFs.openSeekable(files.head._1, sconf.value),
+          new GenericDatumReader[GenericRecord]())
         try r.getSchema finally r.close()
     }
     val sparkSchema = toSparkSchema(expectedSchema)
@@ -336,9 +341,9 @@ object AvroIO {
           s"${128L * 1024 * 1024}")))
     // (file, start, length) byte-range splits: the reader syncs to the
     // first block boundary after `start` and stops once past the end —
-    // every Avro block is read by exactly one split.
-    val splits: Seq[(String, Long, Long)] = files.flatMap { f =>
-      val len = new File(f).length()
+    // every Avro block is read by exactly one split. Lengths come from
+    // the single listing pass — no per-file stat RPC.
+    val splits: Seq[(String, Long, Long)] = files.flatMap { case (f, len) =>
       val n = math.max(1L, (len + maxSplit - 1) / maxSplit)
       (0L until n).map(i =>
         (f, i * maxSplit, math.min(maxSplit, len - i * maxSplit)))
@@ -353,7 +358,8 @@ object AvroIO {
         // from each file's own header by DataFileReader — resolution is
         // per-file, which is what makes mixed-schema directories readable.
         val reader = new DataFileReader[GenericRecord](
-          new File(file), new GenericDatumReader[GenericRecord](null, schema))
+          GraftFs.openSeekable(file, sconf.value),
+          new GenericDatumReader[GenericRecord](null, schema))
         // Close on task completion too — a short-circuited task (limit,
         // failure) never exhausts the iterator, and the handle would
         // otherwise live until GC.
@@ -381,15 +387,10 @@ object AvroIO {
     val st = df.schema
     val avroSchema = toAvroSchema(st, timestampMillis = timestampMillis)
     val schemaJson = avroSchema.toString
-    val dir = new File(path)
-    if (dir.exists()) {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir)
-    }
-    dir.mkdirs()
+    val sconf = GraftFs.serializableConf()
+    if (GraftFs.exists(path, sconf.value))
+      GraftFs.delete(path, recursive = true, sconf.value): Unit
+    GraftFs.mkdirs(path, sconf.value)
     val written = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
@@ -397,12 +398,12 @@ object AvroIO {
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-        val out = new File(path, f"part-$idx%05d.avro")
-        w.create(schema, out)
+        val out = GraftFs.child(path, f"part-$idx%05d.avro")
+        w.create(schema, GraftFs.create(out, sconf.value))
         var n = 0L
         try rows.foreach { r => w.append(rowToRecord(r, st, schema)); n += 1 }
         finally w.close()
-        Iterator((out.getPath, n))
+        Iterator((out, n))
       }
     }.collect() // small: one (path, count) pair per partition
     // An all-empty input wrote no containers; emit one empty container so
@@ -412,7 +413,8 @@ object AvroIO {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avroSchema))
       w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-      w.create(avroSchema, new File(path, "part-00000.avro"))
+      w.create(avroSchema,
+        GraftFs.create(GraftFs.child(path, "part-00000.avro"), sconf.value))
       w.close()
     }
   }
@@ -432,15 +434,10 @@ object AvroIO {
       .collect { case (f, i) if f.name != partCol => i }
     val avroSchema = toAvroSchema(st)
     val schemaJson = avroSchema.toString
-    val dir = new File(path)
-    if (dir.exists()) {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir)
-    }
-    dir.mkdirs()
+    val sconf = GraftFs.serializableConf()
+    if (GraftFs.exists(path, sconf.value))
+      GraftFs.delete(path, recursive = true, sconf.value): Unit
+    GraftFs.mkdirs(path, sconf.value)
     df.repartition(col(partCol)).rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val writers = scala.collection.mutable.HashMap.empty[String, DataFileWriter[GenericRecord]]
@@ -448,11 +445,13 @@ object AvroIO {
         writers.getOrElseUpdate(v, {
           require(!v.contains('/') && !v.contains('='),
             s"partition value not path-safe: '$v'")
-          val d = new File(path, s"$partCol=$v"); d.mkdirs()
+          val d = GraftFs.child(path, s"$partCol=$v")
+          GraftFs.mkdirs(d, sconf.value)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
-          w.create(schema, new File(d, f"part-$idx%05d.avro"))
+          w.create(schema,
+            GraftFs.create(GraftFs.child(d, f"part-$idx%05d.avro"), sconf.value))
           w
         })
       try rows.foreach { r =>

@@ -173,7 +173,8 @@ object IcebergFixture {
                      val schema: StructType, val formatVersion: Int = 2,
                      val inlineManifests: Boolean = false,
                      val partitionCols: Seq[String] = Nil,
-                     val partitionTransforms: Map[String, String] = Map.empty) {
+                     val partitionTransforms: Map[String, String] = Map.empty,
+                     val recordScheme: Option[String] = None) {
     require(formatVersion == 1 || formatVersion == 2,
       s"format-version must be 1 or 2, got $formatVersion")
     require(!(inlineManifests && formatVersion != 1),
@@ -188,6 +189,13 @@ object IcebergFixture {
           timeTransforms(t) || t == "void",
         s"only truncate[W] / bucket[N] / year/month/day/hour / void " +
           s"transforms supported by the fixture, got $t"))
+
+    /** Recorded form of an absolute path: prefixed with `recordScheme`
+      * when set (e.g. "grafttest" → "grafttest:///…") so tests can prove
+      * every manifest/data open resolves through the Hadoop FS scheme
+      * registry, never `java.io.File`. */
+    private def rec(p: String): String =
+      recordScheme.map(s => s"$s://$p").getOrElse(p)
 
     /** (spec partition-field name, transform, source col). Identity keeps
       * the source name; transforms get the conventional suffix. */
@@ -299,7 +307,7 @@ object IcebergFixture {
           val target = new File(dataDir, f"data-$next%05d.parquet")
           val (rows, bytes) = writeParquetFile(df, target)
           val (bounds, nulls, nans) = fileStats(df)
-          Seq(FileMeta(target.getAbsolutePath, 0, rows, bytes,
+          Seq(FileMeta(rec(target.getAbsolutePath), 0, rows, bytes,
             bounds = bounds, nullCounts = nulls, nanCounts = nans))
         } else {
           val tuples = df.select(partFields.map(transformCol): _*).distinct()
@@ -314,7 +322,7 @@ object IcebergFixture {
             val slice = df.filter(part)
             val (rows, bytes) = writeParquetFile(slice, target)
             val (bounds, nulls, nans) = fileStats(slice)
-            FileMeta(target.getAbsolutePath, 0, rows, bytes,
+            FileMeta(rec(target.getAbsolutePath), 0, rows, bytes,
               partitionValues = vals, bounds = bounds, nullCounts = nulls,
               nanCounts = nans)
           }
@@ -322,6 +330,111 @@ object IcebergFixture {
       allFiles ++= fms
       commit(fms, next, "append")
       next
+    }
+
+    /** Bench-grain append for identity-partitioned tables: ONE
+      * shuffle-write job produces every data file (repartition by the
+      * partition column puts each value in exactly one task; partitionBy
+      * on a DUPLICATE of the column splits per value while keeping the
+      * source column in the files, as the spec's identity layout does)
+      * and ONE grouped aggregate computes all per-file stats. The
+      * per-tuple loop in [[append]] runs two jobs per partition — fine
+      * at test grain, prohibitive at the hundreds of files a bench
+      * fixture needs. Restrictions: exactly one identity partition
+      * column, int/long/string, no nulls, path-safe string values. */
+    def appendFast(df: DataFrame): Long = {
+      import org.apache.spark.sql.functions.{col => c}
+      require(partFields.size == 1 && partFields.head._2 == "identity",
+        "appendFast supports exactly one identity partition column")
+      require(df.schema.fieldNames.sameElements(schema.fieldNames),
+        s"appendFast schema ${df.schema.fieldNames.mkString(",")} != table " +
+          s"schema ${schema.fieldNames.mkString(",")}")
+      val pcol = partitionCols.head
+      val pdt = schema(pcol).dataType
+      require(Seq(IntegerType, LongType, StringType).contains(pdt),
+        s"appendFast partition type must be int/long/string, got $pdt")
+      val next = seq + 1
+      val tmp = new File(dir, s"_tmp_fast_$next")
+      df.withColumn("__gf_p", c(pcol)).repartition(c(pcol))
+        .write.partitionBy("__gf_p").mode("overwrite").parquet(tmp.getPath)
+      val stats = groupedFileStats(df, pcol)
+      val partDirs = Option(tmp.listFiles(
+          (f: File) => f.isDirectory && f.getName.startsWith("__gf_p=")))
+        .getOrElse(Array.empty[File]).toSeq
+      require(partDirs.nonEmpty, s"appendFast wrote no partitions under $tmp")
+      def parsed(d: File): Any = {
+        val s = d.getName.stripPrefix("__gf_p=")
+        require(!s.contains("%"),
+          s"appendFast partition value needs hive-unescaping (unsupported): $s")
+        pdt match {
+          case IntegerType => Int.box(s.toInt)
+          case LongType    => Long.box(s.toLong)
+          case _           => s
+        }
+      }
+      val ordered = partDirs.map(d => parsed(d) -> d).sortBy(_._1.toString)
+      val fms = ordered.zipWithIndex.map { case ((v, d), i) =>
+        val parts = Option(d.listFiles((_, n) => n.endsWith(".parquet")))
+          .getOrElse(Array.empty[File]).toSeq
+        require(parts.size == 1,
+          s"expected exactly one file per partition value, got ${parts.size} in $d")
+        val target = new File(dataDir, f"data-$next%05d-p$i%04d.parquet")
+        Files.move(parts.head.toPath, target.toPath, StandardCopyOption.REPLACE_EXISTING)
+        val (rows, bounds, nulls, nans) = stats(v)
+        FileMeta(rec(target.getAbsolutePath), 0, rows, target.length(),
+          partitionValues = Seq(v), bounds = bounds, nullCounts = nulls,
+          nanCounts = nans)
+      }
+      deleteRecursively(tmp.getPath)
+      allFiles ++= fms
+      commit(fms, next, "append")
+      next
+    }
+
+    /** Per-partition-value [[fileStats]] in ONE grouped aggregate:
+      * value -> (row count, bounds, null counts, nan counts). */
+    private def groupedFileStats(df: DataFrame, pcol: String)
+        : Map[Any, (Long, Seq[(Int, Array[Byte], Array[Byte])],
+                    Seq[(Int, Long)], Seq[(Int, Long)])] = {
+      import org.apache.spark.sql.functions.{col => c, count, isnan, lit, max, min, sum, when}
+      val supported: Set[DataType] =
+        Set(IntegerType, LongType, StringType, DateType, DoubleType, FloatType)
+      def boundable(dt: DataType): Boolean = dt match {
+        case _: DecimalType => true
+        case other => supported.contains(other)
+      }
+      def floating(dt: DataType) = dt == FloatType || dt == DoubleType
+      def fid(n: String) = schema.fieldNames.indexOf(n) + 1
+      val boundFields = df.schema.fields.toSeq.filter(f => boundable(f.dataType))
+      val boundCols = boundFields.map(_.name)
+      val allCols = df.schema.fields.toSeq.map(_.name)
+      val nanCols = df.schema.fields.toSeq
+        .filter(f => floating(f.dataType)).map(_.name)
+      def nonNan(f: StructField) =
+        if (floating(f.dataType)) when(isnan(c(f.name)), null).otherwise(c(f.name))
+        else c(f.name)
+      val aggs = Seq(count(lit(1))) ++
+        boundFields.flatMap(f => Seq(min(nonNan(f)), max(nonNan(f)))) ++
+        allCols.map(n => sum(when(c(n).isNull, 1L).otherwise(0L))) ++
+        nanCols.map(n => sum(when(isnan(c(n)), 1L).otherwise(0L)))
+      df.groupBy(c(pcol)).agg(aggs.head, aggs.tail: _*).collect().map { row =>
+        val base = 2 // group key + count
+        val bounds = boundCols.zipWithIndex.flatMap { case (n, j) =>
+          (Option(row.get(base + 2 * j)), Option(row.get(base + 2 * j + 1))) match {
+            case (Some(lo), Some(hi)) => Some((fid(n),
+              IcebergTransforms.serializeBound(lo),
+              IcebergTransforms.serializeBound(hi)))
+            case _ => None
+          }
+        }
+        val nulls = allCols.zipWithIndex.map { case (n, j) =>
+          fid(n) -> row.getLong(base + 2 * boundCols.size + j)
+        }
+        val nans = nanCols.zipWithIndex.map { case (n, j) =>
+          fid(n) -> row.getLong(base + 2 * boundCols.size + allCols.size + j)
+        }
+        (row.get(0): Any) -> ((row.getLong(1), bounds, nulls, nans))
+      }.toMap
     }
 
     /** Append WITHOUT the schema-equality check — writes a data file
@@ -336,7 +449,7 @@ object IcebergFixture {
       val target = new File(dataDir, f"data-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(df, target)
       val (bounds, nulls, nans) = fileStats(df)
-      val fm = FileMeta(target.getAbsolutePath, 0, rows, bytes,
+      val fm = FileMeta(rec(target.getAbsolutePath), 0, rows, bytes,
         bounds = bounds, nullCounts = nulls, nanCounts = nans)
       allFiles :+= fm
       commit(Seq(fm), next, "append")
@@ -355,7 +468,7 @@ object IcebergFixture {
         .toDF("file_path", "pos")
       val target = new File(dataDir, f"delete-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(delDf, target)
-      val fm = FileMeta(target.getAbsolutePath, 1, rows, bytes)
+      val fm = FileMeta(rec(target.getAbsolutePath), 1, rows, bytes)
       allFiles :+= fm
       commit(Seq(fm), next, "delete")
       next
@@ -373,7 +486,7 @@ object IcebergFixture {
       val next = seq + 1
       val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(values, target)
-      val fm = FileMeta(target.getAbsolutePath, 2, rows, bytes, fieldIds)
+      val fm = FileMeta(rec(target.getAbsolutePath), 2, rows, bytes, fieldIds)
       allFiles :+= fm
       commit(Seq(fm), next, "delete")
       next
@@ -538,7 +651,7 @@ object IcebergFixture {
         e.put("data_file", d)
         w.append(e)
       } finally w.close()
-      (out.getAbsolutePath, out.length())
+      (rec(out.getAbsolutePath), out.length())
     }
 
     private def writeManifestList(snapshotId: Long): String = {
@@ -566,7 +679,7 @@ object IcebergFixture {
         r.put("deleted_rows_count", 0L)
         w.append(r)
       } finally w.close()
-      out.getAbsolutePath
+      rec(out.getAbsolutePath)
     }
 
     private def commit(newFiles: Seq[FileMeta], snapshotId: Long,
@@ -578,6 +691,7 @@ object IcebergFixture {
 
       val sn = mapper.createObjectNode()
       sn.put("snapshot-id", snapshotId)
+      if (seq > 0) sn.put("parent-snapshot-id", seq) // previous commit
       sn.put("timestamp-ms", t0 + snapshotId * 1000L)
       if (formatVersion >= 2) sn.put("sequence-number", snapshotId)
       sn.put("schema-id", 0)
@@ -599,7 +713,7 @@ object IcebergFixture {
       val root = mapper.createObjectNode()
       root.put("format-version", formatVersion)
       root.put("table-uuid", tableUuid.toString)
-      root.put("location", new File(dir).getAbsolutePath)
+      root.put("location", rec(new File(dir).getAbsolutePath))
       if (formatVersion >= 2) root.put("last-sequence-number", seq)
       root.put("last-updated-ms", t0 + seq * 1000L)
       root.put("last-column-id", schema.fields.length)

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -63,7 +61,9 @@ object IcebergIO {
       sequenceNumber: Long,
       operation: String,            // summary.operation ("" when absent)
       manifestList: Option[String], // v2 (and v1 with manifest-list)
-      manifests: Seq[String])       // v1 inline form
+      manifests: Seq[String],       // v1 inline form
+      parentId: Option[Long] = None,          // parent-snapshot-id
+      summary: Map[String, String] = Map.empty) // full summary map
 
   final case class TableMetadata(
       formatVersion: Int,
@@ -80,28 +80,32 @@ object IcebergIO {
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
     * version if present; otherwise the highest `vN.metadata.json` wins.
-    * A direct path to a `*.metadata.json` file is also accepted. */
-  def resolveMetadataFile(tablePath: String): File = {
-    val root = AvroIO.toLocalFile(tablePath)
-    if (root.isFile && root.getName.endsWith(".metadata.json")) return root
-    val mdDir = new File(root, "metadata")
-    require(mdDir.isDirectory,
+    * A direct path to a `*.metadata.json` file is also accepted. All
+    * access goes through the Hadoop FileSystem API ([[GraftFs]]), so
+    * object-store table roots (s3a://…, hdfs://…) resolve too. */
+  def resolveMetadataFile(tablePath: String): String = {
+    val c = GraftFs.conf()
+    val rootStatus = GraftFs.status(tablePath, c)
+    if (rootStatus.exists(_.isFile) && tablePath.endsWith(".metadata.json"))
+      return tablePath
+    val mdDir = GraftFs.child(tablePath, "metadata")
+    require(GraftFs.isDirectory(mdDir, c),
       s"not an Iceberg table (no metadata/ directory): $tablePath")
-    val hint = new File(mdDir, "version-hint.text")
-    if (hint.isFile) {
-      val v = new String(
-        java.nio.file.Files.readAllBytes(hint.toPath), "UTF-8").trim
-      val f = new File(mdDir, s"v$v.metadata.json")
-      require(f.isFile, s"version-hint.text names v$v but $f does not exist")
+    val hint = GraftFs.child(mdDir, "version-hint.text")
+    if (GraftFs.isFile(hint, c)) {
+      val v = GraftFs.readUtf8(hint, c).trim
+      val f = GraftFs.child(mdDir, s"v$v.metadata.json")
+      require(GraftFs.isFile(f, c),
+        s"version-hint.text names v$v but $f does not exist")
       f
     } else {
-      val candidates = Option(mdDir.listFiles((_, n) => n.endsWith(".metadata.json")))
-        .getOrElse(Array.empty[File])
+      val candidates = GraftFs.list(mdDir, c)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".metadata.json"))
       require(candidates.nonEmpty, s"no *.metadata.json under $mdDir")
       val vNum = "^v(\\d+)\\.metadata\\.json$".r
-      candidates.maxBy { f =>
-        f.getName match { case vNum(n) => n.toLong; case _ => -1L }
-      }
+      candidates.maxBy { s =>
+        s.getPath.getName match { case vNum(n) => n.toLong; case _ => -1L }
+      }.getPath.toString
     }
   }
 
@@ -171,7 +175,7 @@ object IcebergIO {
 
   def loadMetadata(tablePath: String): TableMetadata = {
     val mdFile = resolveMetadataFile(tablePath)
-    val root = mapper.readTree(mdFile)
+    val root = mapper.readTree(GraftFs.readUtf8(mdFile))
     val fv = root.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version: $fv")
     val snaps =
@@ -190,7 +194,15 @@ object IcebergIO {
             manifests =
               if (s.has("manifests"))
                 s.get("manifests").elements().asScala.map(_.asText()).toSeq
-              else Seq.empty)
+              else Seq.empty,
+            parentId =
+              if (s.has("parent-snapshot-id"))
+                Some(s.get("parent-snapshot-id").asLong()) else None,
+            summary =
+              if (s.has("summary"))
+                s.get("summary").properties().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
+              else Map.empty)
         }.toSeq
       else Seq.empty
     val current =
@@ -222,7 +234,7 @@ object IcebergIO {
         }.toMap
       else Map.empty
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile.getPath, refs)
+      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs)
   }
 
   // ------------------------------------------------------------ manifests
@@ -243,14 +255,13 @@ object IcebergIO {
                                        nanCounts: Map[Int, Long])
 
   /** Stream one Avro object container file driver-side as GenericRecords.
-    * Manifest grain only — data rows never pass through here. */
+    * Manifest grain only — data rows never pass through here. Opens via
+    * the Hadoop FS API so manifest lists on object stores read too. */
   private def foreachAvroRecord(path: String)(f: GenericRecord => Unit): Unit = {
     val reader = new DataFileReader[GenericRecord](
-      localFile(path), new GenericDatumReader[GenericRecord]())
+      GraftFs.openSeekable(path), new GenericDatumReader[GenericRecord]())
     try { while (reader.hasNext) f(reader.next()) } finally reader.close()
   }
-
-  private def localFile(path: String): File = AvroIO.toLocalFile(path)
 
   /** Field value as int; 0 when the field is absent (v1 files) or null.
     * Avro's `Record.get(name)` THROWS on absent fields — probe the schema. */
@@ -258,9 +269,10 @@ object IcebergIO {
     if (r.getSchema.getField(name) == null) 0
     else r.get(name) match { case null => 0; case n: Number => n.intValue() }
 
-  /** Strip a URI scheme so fixture-written absolute paths and
-    * `file:///…` forms compare equal (used on both sides of the
-    * position-delete join). */
+  /** Strip a URI scheme so manifest-recorded paths and Spark's
+    * `_metadata.file_path` forms compare equal (used ONLY as a join /
+    * comparison key — never as a read path, which must keep its scheme
+    * so object-store URIs resolve to the right FileSystem). */
   private[sources] def normalizePath(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
@@ -697,8 +709,34 @@ object IcebergIO {
                 asOfTimestampMs: Option[Long] = None,
                 ref: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.GraftShim
-    import org.apache.spark.sql.GraftShim.PredNode
+    readPruned(spark, tablePath, GraftShim.predicateTree(condition),
+        snapshotId, asOfTimestampMs, ref)
+      .filter(condition)
+  }
+
+  /** Pruned scan from an already-derived predicate tree, WITHOUT the
+    * exact row filter on top (callers that keep their own Filter node —
+    * the SQL-pushdown rule — must not double-filter). */
+  private[graft] def readPruned(spark: SparkSession, tablePath: String,
+                                predTree: org.apache.spark.sql.GraftShim.PredNode,
+                                snapshotId: Option[Long] = None,
+                                asOfTimestampMs: Option[Long] = None,
+                                ref: Option[String] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
+    val (partFilter, tree) = derivePruning(meta, predTree)
+    readImpl(spark, tablePath, snapshotId, asOfTimestampMs, partFilter,
+      tree, ref)
+  }
+
+  /** Derive (partition-equality filter, stats predicate tree) from a
+    * neutral predicate tree — shared by [[readWhere]] (Column DSL) and
+    * the SQL pushdown rule (catalyst expressions via
+    * `GraftShim.predicateTreeOf`). */
+  private[graft] def derivePruning(
+      meta: TableMetadata,
+      root: org.apache.spark.sql.GraftShim.PredNode)
+      : (Map[String, Any], StatsPred) = {
+    import org.apache.spark.sql.GraftShim.PredNode
     // partition source -> transform. A derived equality prunes partitions
     // whenever [[storedPartitionValue]] can resolve the literal for the
     // column's transform — the DSL's node literals carry raw JVM objects
@@ -807,10 +845,8 @@ object IcebergIO {
         }
       case _ => StatsPred.Unknown
     }
-    val tree = visit(GraftShim.predicateTree(condition), conj = true)
-    readImpl(spark, tablePath, snapshotId, asOfTimestampMs,
-        partBuf.toMap, tree, ref)
-      .filter(condition)
+    val tree = visit(root, conj = true)
+    (partBuf.toMap, tree)
   }
 
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
@@ -838,7 +874,7 @@ object IcebergIO {
         s"non-parquet Iceberg content files are not supported: " +
           badFmt.map(f => s"${f.format}:${f.path}").take(3).mkString(", "))
     val dataFiles = files.filter(_.content == 0)
-    val delPaths  = files.filter(_.content == 1).map(f => normalizePath(f.path))
+    val delPaths  = files.filter(_.content == 1).map(_.path)
     val eqFiles   = files.filter(_.content == 2)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
@@ -850,8 +886,11 @@ object IcebergIO {
     // schemas also skip the driver-side footer-sampling pass — material at
     // 1e5 files. Name-based column matching (the spec is field-id-based;
     // equivalent here since the fixture/scan never renames columns).
+    // Paths read AS RECORDED in the manifest (scheme intact): on an
+    // object-store table these are s3a://…/hdfs://… URIs that must reach
+    // the matching FileSystem, not the default one.
     val base = spark.read.schema(meta.schema)
-      .parquet(dataFiles.map(f => normalizePath(f.path)): _*)
+      .parquet(dataFiles.map(_.path): _*)
     if (delPaths.isEmpty && eqFiles.isEmpty) return base.select(cols: _*)
 
     // Every merge-on-read path needs the row's file identity: Spark's
@@ -898,7 +937,7 @@ object IcebergIO {
             s"equality-delete field id $id not in table schema " +
               s"(known: ${meta.fieldById.keys.toSeq.sorted.mkString(", ")})")))
         val dels = group.map { f =>
-          spark.read.parquet(normalizePath(f.path))
+          spark.read.parquet(f.path)
             .select(names.map(n => col(n).as(s"__gf_eq_$n")): _*)
             .withColumn("__gf_delseq", lit(f.seq))
         }.reduce(_ unionByName _)
@@ -933,6 +972,10 @@ object IcebergIO {
         s"table has no current snapshot: $tablePath"))
   }
 
+  /** Basename of a path or URI (pure string op — no filesystem touch). */
+  private def baseName(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getName
+
   /** Canonical `k=v/k=v` partition-tuple string ('' when unpartitioned). */
   private def partitionString(f: ContentFile): String =
     f.partitionValues.toSeq.sortBy(_._1)
@@ -943,7 +986,7 @@ object IcebergIO {
     val meta = loadMetadata(tablePath)
     val snap = snapshotOf(meta, snapshotId, tablePath)
     val rows = liveFiles(snap).map { f =>
-      Row(new File(normalizePath(f.path)).getName, f.content, f.format,
+      Row(baseName(f.path), f.content, f.format,
         f.recordCount, f.seq, partitionString(f))
     }.sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
     spark.createDataFrame(
@@ -974,7 +1017,7 @@ object IcebergIO {
             if (r.getSchema.getField(n) == null) dflt
             else r.get(n) match { case x: Number => x.longValue(); case _ => dflt }
           buf += Row(
-            new File(normalizePath(r.get("manifest_path").toString)).getName,
+            baseName(r.get("manifest_path").toString),
             intFieldOrZero(r, "content"),
             longOr("sequence_number", 0L),
             longOr("added_snapshot_id", -1L),
@@ -983,7 +1026,7 @@ object IcebergIO {
         }
         buf.toSeq
       case None => snap.manifests.map(p =>
-        Row(new File(normalizePath(p)).getName, 0, 0L, -1L, -1L, -1L))
+        Row(baseName(p), 0, 0L, -1L, -1L, -1L))
     }
     val sorted = rows.sortBy(r => (r.getInt(1), r.getLong(2), r.getString(0)))
     spark.createDataFrame(
@@ -1048,5 +1091,30 @@ object IcebergIO {
         StructField("sequence_number", LongType, nullable = false),
         StructField("committed_at_ms", LongType, nullable = false),
         StructField("operation", StringType, nullable = false))))
+  }
+
+  /** Snapshots as a relation — the runtime jar's `.snapshots` metadata
+    * table: one row per snapshot (not just the current-lineage rows
+    * `.history` shows), with parent linkage, the manifest-list file name
+    * and the full summary map. Metadata grain: only `metadata.json` is
+    * read. */
+  def snapshots(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    val rows = meta.snapshots
+      .sortBy(s => (s.sequenceNumber, s.timestampMs))
+      .map(s => Row(s.timestampMs, s.snapshotId,
+        s.parentId.map(Long.box).orNull, s.operation,
+        s.manifestList.map(baseName).orNull, s.summary))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType, nullable = true),
+        StructField("operation", StringType, nullable = false),
+        StructField("manifest_list", StringType, nullable = true),
+        StructField("summary",
+          MapType(StringType, StringType, valueContainsNull = false),
+          nullable = false))))
   }
 }

@@ -45,4 +45,64 @@ object GraftShim {
     }
     conv(c.node)
   }
+
+  /** Convert an ANALYZED catalyst predicate to the neutral view — the
+    * SQL-surface analog of [[predicateTree]]: same `Fn` operator names,
+    * literals converted back to external Scala values
+    * (`CatalystTypeConverters.convertToScala` — UTF8String → String,
+    * int days → java.sql.Date, long micros → java.sql.Timestamp) so the
+    * downstream derivation sees exactly what the DSL path sees. */
+  def predicateTreeOf(e: Expression): PredNode = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit(v: Any, dt: org.apache.spark.sql.types.DataType): PredNode =
+      PredNode.Lit(CatalystTypeConverters.convertToScala(v, dt))
+    def conv(x: Expression): PredNode = x match {
+      case And(l, r)                => PredNode.Fn("and", Seq(conv(l), conv(r)))
+      case Or(l, r)                 => PredNode.Fn("or", Seq(conv(l), conv(r)))
+      case Not(c)                   => PredNode.Fn("not", Seq(conv(c)))
+      case EqualTo(l, r)            => PredNode.Fn("=", Seq(conv(l), conv(r)))
+      case LessThan(l, r)           => PredNode.Fn("<", Seq(conv(l), conv(r)))
+      case LessThanOrEqual(l, r)    => PredNode.Fn("<=", Seq(conv(l), conv(r)))
+      case GreaterThan(l, r)        => PredNode.Fn(">", Seq(conv(l), conv(r)))
+      case GreaterThanOrEqual(l, r) => PredNode.Fn(">=", Seq(conv(l), conv(r)))
+      case IsNull(c)                => PredNode.Fn("isnull", Seq(conv(c)))
+      case IsNotNull(c)             => PredNode.Fn("isnotnull", Seq(conv(c)))
+      case In(v, list)              => PredNode.Fn("in", conv(v) +: list.map(conv))
+      // the optimizer rewrites long IN-lists to InSet (internal values,
+      // no per-element Literal nodes) — convert via the child's type
+      case s @ InSet(v, hset)       =>
+        PredNode.Fn("in", conv(v) +: hset.toSeq.map(lit(_, v.dataType)))
+      case a: AttributeReference    => PredNode.Attr(a.name)
+      case l: Literal               => lit(l.value, l.dataType)
+      case _                        => PredNode.Other
+    }
+    conv(e)
+  }
+
+  /** Build a DataFrame over a raw logical plan (`Dataset.ofRows` is
+    * private[sql]). */
+  def dataFrame(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan. */
+  def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Output attributes for a schema (fresh exprIds). */
+  def attributes(schema: types.StructType): Seq[catalyst.expressions.Attribute] =
+    catalyst.types.DataTypeUtils.toAttributes(schema)
+
+  /** Install an extra optimizer rule on a LIVE session (idempotent) —
+    * the post-creation analog of `SparkSessionExtensions
+    * .injectOptimizerRule`, which only applies at session build. */
+  def addOptimization(
+      spark: SparkSession,
+      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
+  def activeSession: SparkSession = SparkSession.active
 }

@@ -93,11 +93,11 @@ class IcebergSpec extends AnyFunSuite {
     val w = new IcebergFixture.Writer(spark, dir, schema)
     w.append(df((1L, "a", 1.0)))
     w.append(df((2L, "b", 2.0)))
-    val md = IcebergIO.resolveMetadataFile(dir)
-    assert(md.getName === "v2.metadata.json")
+    def name(p: String): String = new org.apache.hadoop.fs.Path(p).getName
+    assert(name(IcebergIO.resolveMetadataFile(dir)) === "v2.metadata.json")
     // drop the hint: the highest vN.metadata.json must still win
     new File(new File(dir, "metadata"), "version-hint.text").delete()
-    assert(IcebergIO.resolveMetadataFile(dir).getName === "v2.metadata.json")
+    assert(name(IcebergIO.resolveMetadataFile(dir)) === "v2.metadata.json")
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
     // a direct metadata.json path reads THAT version (v1 = first snapshot)
     val v1 = new File(new File(dir, "metadata"), "v1.metadata.json")

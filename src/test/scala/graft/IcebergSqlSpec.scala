@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergFixture, IcebergIO, IcebergTableScan}
+
+/**
+ * SQL-surface Iceberg scan ([[IcebergTableScan]] + `IcebergScanRule`):
+ * live metadata re-resolution per query, and `WHERE`-driven partition +
+ * manifest-stats pruning PLAN-ASSERTED (fewer parquet files reach the
+ * materialized relation under a selective predicate).
+ */
+class IcebergSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val root = s"/tmp/graft_icesql_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private val st = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("grp", StringType, nullable = true)))
+  private def rows(xs: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+
+  /** Parquet files of every materialized relation in the optimized plan —
+    * the pruning observable: fewer files == manifest pruning worked. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.toSeq
+        case _                   => Seq.empty[String]
+      }
+    }.flatten
+
+  test("SQL WHERE drives partition pruning: fewer files scanned") {
+    val dir = s"$root/part"
+    val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "a"))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_part")
+    val full = spark.sql("SELECT * FROM ice_sql_part")
+    assert(scannedFiles(full).size === 3) // one file per grp
+    val pruned = spark.sql("SELECT * FROM ice_sql_part WHERE grp = 'b'")
+    assert(scannedFiles(pruned).size === 1)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("SQL WHERE drives manifest-stats pruning across append snapshots") {
+    val dir = s"$root/stats"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "a"))   // bounds id in [1,2]
+    w.append(rows(10L -> "b", 11L -> "b")) // bounds id in [10,11]
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_stats")
+    val pruned = spark.sql("SELECT id FROM ice_sql_stats WHERE id >= 10")
+    assert(scannedFiles(pruned).size === 1)
+    assert(pruned.collect().map(_.getLong(0)).sorted === Array(10L, 11L))
+  }
+
+  test("registered view is LIVE: a later append is visible without re-register") {
+    val dir = s"$root/live"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a"))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_live")
+    assert(spark.sql("SELECT count(*) FROM ice_sql_live").head().getLong(0) === 1L)
+    w.append(rows(2L -> "b"))
+    assert(spark.sql("SELECT count(*) FROM ice_sql_live").head().getLong(0) === 2L)
+  }
+
+  test("snapshotId pin stays pinned across later commits") {
+    val dir = s"$root/pin"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a"))
+    IcebergTableScan.dataFrame(spark, dir, snapshotId = Some(1L))
+      .createOrReplaceTempView("ice_sql_pin")
+    w.append(rows(2L -> "b"))
+    assert(spark.sql("SELECT count(*) FROM ice_sql_pin").head().getLong(0) === 1L)
+  }
+
+  test("pruning soundness through SQL: OR / NOT / IN match full-scan + filter") {
+    val dir = s"$root/sound"
+    // unpartitioned, two append snapshots (distinct stats bounds), null
+    // included — the fixture's identity-partition records are
+    // non-nullable, so null-bearing soundness runs on the stats path
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "c"))
+    w.append(rows(4L -> "a", 5L -> null))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_sound")
+    val full = IcebergIO.read(spark, dir)
+    val preds = Seq(
+      "grp = 'a' OR id >= 5",
+      "NOT (grp = 'a')",
+      "grp IN ('a', 'b')",
+      // > 10 elements: the optimizer rewrites to InSet — the converter
+      // must still derive the in-list
+      "id IN (1,2,3,4,5,6,7,8,9,10,11,12)",
+      "grp IS NULL",
+      "grp IS NOT NULL AND id < 3")
+    preds.foreach { p =>
+      val viaSql = spark.sql(s"SELECT id FROM ice_sql_sound WHERE $p")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val viaFull = full.filter(p).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaSql === viaFull, s"predicate: $p")
+    }
+  }
+
+  test("self-join of the registered view resolves (MultiInstanceRelation)") {
+    val dir = s"$root/selfjoin"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "b"))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_sj")
+    val n = spark.sql(
+      """SELECT a.id FROM ice_sql_sj a JOIN ice_sql_sj b ON a.id = b.id""")
+      .count()
+    assert(n === 2L)
+  }
+
+  test("projection + filter + aggregate over the view") {
+    val dir = s"$root/agg"
+    val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b", 5L -> "b"))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_agg")
+    val got = spark.sql(
+      """SELECT grp, sum(id) AS s FROM ice_sql_agg
+        |WHERE grp = 'b' GROUP BY grp""".stripMargin).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "b")
+    assert(got.head.getLong(1) === 11L)
+  }
+
+  test("readIcebergLive DataFrame filter prunes like the SQL surface") {
+    val dir = s"$root/livedf"
+    val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "c"))
+    val g = GraftSession.wrap(spark)
+    val df = g.readIcebergLive(dir).filter(col("grp") === "b")
+    assert(scannedFiles(df).size === 1)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+}
