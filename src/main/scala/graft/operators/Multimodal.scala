@@ -75,7 +75,12 @@ object Multimodal {
     *   g = (id*17 + x*11 + y*5 ) % 256
     *   b = (id*29 + x*3  + y*19) % 256
     */
-  def syntheticPng(id: Long): Array[Byte] = {
+  def syntheticPng(id: Long): Array[Byte] = syntheticImage(id, "png")
+
+  /** Same closed-form pixels, any LOSSLESS `javax.imageio` writer format
+    * ("png", "bmp", "gif" — gif only for ≤256-color images, not used
+    * here). Lossless is what makes the exact-channel-sum oracle valid. */
+  def syntheticImage(id: Long, format: String): Array[Byte] = {
     val w = (8 + id % 16).toInt
     val h = (8 + id % 12).toInt
     val img = new java.awt.image.BufferedImage(
@@ -93,20 +98,28 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no $format image writer available in this JDK")
     out.toByteArray
   }
 
   /** Synthetic PNG media table keyed by the documents table's ids —
     * payload generation is partition-parallel (no driver-side loop). */
-  def pngMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+  def pngMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] =
+    imageMedia(docs, maxId, "png")
+
+  /** Synthetic image media in any lossless `javax.imageio` format —
+    * [[decodeImages]] is codec-generic (`ImageIO.read` sniffs the
+    * container), so the same decode path serves every format. */
+  def imageMedia(docs: DataFrame, maxId: Long,
+                 format: String): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).filter(col("doc_id") < maxId)
       .as[Long]
       .mapPartitions(_.map { id =>
-        val png = syntheticPng(id)
-        MediaRecord(id, "image", png, "synthetic_png", png.length.toLong)
+        val bytes = syntheticImage(id, format)
+        MediaRecord(id, "image", bytes, s"synthetic_$format", bytes.length.toLong)
       })
   }
 

@@ -755,6 +755,34 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** BMP twin of `mm_decode_png`, reusing [[Multimodal.decodeImages]]
+    * UNCHANGED — proves the decode path is codec-generic (`ImageIO.read`
+    * sniffs the container), not PNG-special-cased. BMP is lossless, so
+    * the same closed-form pixel oracle applies. */
+  val mmDecodeBmp = dfQ("mm_decode_bmp",
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 64
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, sx.x, sy.y
+      |  FROM dims d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) sy
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS n_channels,
+      |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id*29 + x*3 + y*19) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.decodeImages(
+        Multimodal.imageMedia(s.table("documents"), maxId = 64, format = "bmp"))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
     * — the 100 TB-safe way to get a token histogram without a full
     * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
@@ -861,5 +889,6 @@ object PipelineQueries {
     embedIvfRecallTrained,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp,
-    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, aggTopkSketch)
+    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp,
+    aggTopkSketch)
 }

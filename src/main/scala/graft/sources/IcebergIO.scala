@@ -254,12 +254,17 @@ object IcebergIO {
                                        nullCounts: Map[Int, Long],
                                        nanCounts: Map[Int, Long])
 
-  /** Stream one Avro object container file driver-side as GenericRecords.
-    * Manifest grain only — data rows never pass through here. Opens via
-    * the Hadoop FS API so manifest lists on object stores read too. */
-  private def foreachAvroRecord(path: String)(f: GenericRecord => Unit): Unit = {
+  /** Stream one Avro object container file as GenericRecords. Manifest
+    * grain only — data rows never pass through here. Opens via the
+    * Hadoop FS API so manifest lists on object stores read too; pass an
+    * explicit conf when running executor-side (the default resolves the
+    * driver's active session). */
+  private def foreachAvroRecord(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration = GraftFs.conf())(
+      f: GenericRecord => Unit): Unit = {
     val reader = new DataFileReader[GenericRecord](
-      GraftFs.openSeekable(path), new GenericDatumReader[GenericRecord]())
+      GraftFs.openSeekable(path, conf), new GenericDatumReader[GenericRecord]())
     try { while (reader.hasNext) f(reader.next()) } finally reader.close()
   }
 
@@ -276,9 +281,19 @@ object IcebergIO {
   private[sources] def normalizePath(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
+  /** Below this manifest count, planning stays a driver loop (a Spark
+    * job per read would dominate at toy table sizes); at or above it,
+    * manifests parse DISTRIBUTED — one flatMap task per manifest slice,
+    * returning only the kept entry tuples — which keeps very large
+    * tables (1e7 files across 1e4+ manifests) plannable. */
+  private[graft] val ParallelManifestThreshold = 8
+
   /** Collect live content files for a snapshot: manifest list -> manifests
-    * -> entries with status != DELETED (2). */
-  private def liveFiles(snap: SnapshotInfo): Seq[ContentFile] = {
+    * -> entries with status != DELETED (2). Manifest parsing runs on
+    * executors when the manifest count crosses
+    * [[ParallelManifestThreshold]] (constant driver memory per task
+    * result; `collect` carries file metadata only, never rows). */
+  private def liveFiles(spark: SparkSession, snap: SnapshotInfo): Seq[ContentFile] = {
     // (manifest path, content, manifest sequence number) — manifest-list
     // `content` field (v2): 0 = data manifests, 1 = delete manifests; v1
     // lists are all data with no sequence numbers (0).
@@ -298,9 +313,27 @@ object IcebergIO {
           buf.toSeq
         case None => snap.manifests.map((_, 0, 0L))
       }
+    if (manifestFiles.size < ParallelManifestThreshold) {
+      val c = GraftFs.conf()
+      manifestFiles.flatMap { case (p, mc, ms) => parseManifest(p, mc, ms, c) }
+    } else {
+      val sconf = GraftFs.serializableConf()
+      val slices = math.min(manifestFiles.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(manifestFiles, slices)
+        .flatMap { case (p, mc, ms) => parseManifest(p, mc, ms, sconf.value) }
+        .collect().toSeq
+    }
+  }
+
+  /** Parse ONE manifest into its live content-file entries — pure
+    * function of (path, manifest content kind, manifest sequence), safe
+    * on executors (explicit Hadoop conf, no session access). */
+  private def parseManifest(mPath: String, mContent: Int, mSeq: Long,
+                            conf: org.apache.hadoop.conf.Configuration)
+      : Seq[ContentFile] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
-    manifestFiles.foreach { case (mPath, mContent, mSeq) =>
-      foreachAvroRecord(mPath) { entry =>
+    foreachAvroRecord(mPath, conf) { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue()
         if (status != 2) { // 0 EXISTING / 1 ADDED are live; 2 DELETED is not
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
@@ -372,7 +405,6 @@ object IcebergIO {
             boundsMap("lower_bounds"), boundsMap("upper_bounds"),
             longMap("null_value_counts"), longMap("nan_value_counts"))
         }
-      }
     }
     out.toSeq
   }
@@ -853,7 +885,7 @@ object IcebergIO {
                            snap: SnapshotInfo,
                            partitionFilter: Map[String, Any] = Map.empty,
                            statsPred: StatsPred = StatsPred.Unknown): DataFrame = {
-    val allFiles = liveFiles(snap)
+    val allFiles = liveFiles(spark, snap)
     // Resolve stats predicates once (field ids, type normalization) into
     // one per-file keep function; unknown columns fail loudly.
     val keepByStats = compileStatsPred(meta, statsPred)
@@ -985,7 +1017,7 @@ object IcebergIO {
             snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
     val snap = snapshotOf(meta, snapshotId, tablePath)
-    val rows = liveFiles(snap).map { f =>
+    val rows = liveFiles(spark, snap).map { f =>
       Row(baseName(f.path), f.content, f.format,
         f.recordCount, f.seq, partitionString(f))
     }.sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
@@ -1048,7 +1080,7 @@ object IcebergIO {
                  snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
     val snap = snapshotOf(meta, snapshotId, tablePath)
-    val rows = liveFiles(snap).filter(_.content == 0)
+    val rows = liveFiles(spark, snap).filter(_.content == 0)
       .groupBy(partitionString).toSeq.sortBy(_._1)
       .map { case (part, fs) =>
         Row(part, fs.size.toLong, fs.map(_.recordCount).sum)

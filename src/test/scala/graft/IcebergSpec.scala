@@ -999,4 +999,34 @@ class IcebergSpec extends AnyFunSuite {
       g.writeIceberg(df((2L, "b", 2.0)), dir))
     assert(e.getMessage.contains("iceberg-spark-runtime"))
   }
+
+  test("manifest planning runs DISTRIBUTED above the threshold, same results") {
+    val dir = s"$root/manymanifests"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val n = graft.sources.IcebergIO.ParallelManifestThreshold + 2
+    (1 to n).foreach(i => w.append(df((i.toLong, s"n$i", i * 0.5))))
+    // a listener proves a Spark job ran during planning (files() opens
+    // no data file, so any job it triggers IS the manifest-parse job)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val files = IcebergIO.files(spark, dir)
+      val rows = files.collect() // files() plans eagerly; collect for rows
+      Thread.sleep(500) // listener delivery is async
+      assert(rows.length === n)
+      assert(rows.map(_.getLong(3)).sum === n.toLong) // 1 record per file
+      assert(jobs.get() >= 1, "expected a distributed manifest-parse job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // pruning results identical to the driver-side path's semantics:
+    // stats-pruned scan keeps exactly the matching rows
+    assert(ids(IcebergIO.read(spark, dir,
+      statsFilter = Seq(("id", ">=", 5L)))) === (5L to n.toLong))
+    assert(ids(IcebergIO.readWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") <= 3L)) === Seq(1L, 2L, 3L))
+  }
 }
