@@ -130,6 +130,14 @@ final class GraftSession private (val spark: SparkSession) {
   def icebergSnapshots(path: String): DataFrame =
     graft.sources.IcebergIO.snapshots(spark, path)
 
+  /** Incremental APPEND scan: rows added after `fromSnapshotId` up to
+    * `toSnapshotId` (default current) — process only new data per run;
+    * fails loudly on non-append snapshots in the range. */
+  def readIcebergIncremental(path: String, fromSnapshotId: Long,
+                             toSnapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.readIncremental(spark, path, fromSnapshotId,
+      toSnapshotId)
+
   /** Iceberg WRITE stays out of scope without the official runtime jar:
     * a spec-complete writer (commit protocol, optimistic metadata swap,
     * stats, partition transforms) is the `iceberg-spark-runtime` jar's
@@ -211,8 +219,10 @@ final class GraftSession private (val spark: SparkSession) {
     * to pin (snapshots are immutable, so the pin is stable). */
   def registerIceberg(name: String, path: String,
                       snapshotId: Option[Long] = None,
-                      metadataTables: Boolean = false): Unit = {
-    graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId)
+                      metadataTables: Boolean = false,
+                      ref: Option[String] = None): Unit = {
+    graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
+        ref = ref)
       .createOrReplaceTempView(name)
     // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
     // tables, surfaced as `<name>_history` etc. temp views (dot suffixes

@@ -333,6 +333,18 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Incremental append scan over the basic fixture: snapshot 1 holds
+    * keys < 10, snapshot 2 the rest — reading "changes after snapshot 1"
+    * must return exactly the second append, never re-reading the first
+    * (the primitive a daily pipeline uses to process only new data). */
+  val icebergIncremental = dfQ("iceberg_incremental",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey >= 10 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.readIncremental(s, basicFixture(s, sfDir), fromSnapshotId = 1L)
+      .orderBy("n_nationkey")
+  }
+
   /** Snapshots as a relation (the runtime jar's `.snapshots` metadata
     * table) over the deterministic basic fixture: two append snapshots,
     * parent-linked, fixed t0-derived commit times; the summary map is
@@ -413,5 +425,5 @@ object IcebergQueries {
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
-    icebergRefs, icebergBenchScan, icebergBenchPrune)
+    icebergIncremental, icebergRefs, icebergBenchScan, icebergBenchPrune)
 }

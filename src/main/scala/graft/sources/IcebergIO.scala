@@ -987,6 +987,54 @@ object IcebergIO {
     loadMetadata(tablePath).snapshots
       .sortBy(s => (s.sequenceNumber, s.timestampMs)).map(_.snapshotId)
 
+  /** Incremental APPEND scan: rows added strictly AFTER `fromSnapshotId`
+    * up to and including `toSnapshotId` (default: current snapshot) —
+    * the runtime jar's incremental read, the primitive a downstream
+    * pipeline uses to process only new data per run. Matching its
+    * contract, every snapshot in the range must be an `append`
+    * (overwrite/delete commits make "rows added" ill-defined — fail
+    * loudly, never return a best guess); v2 only (v1 has no sequence
+    * numbers to bound the range with). Implementation: the `to`
+    * snapshot's live data files whose data sequence number falls inside
+    * the range — append-only means none of them were deleted since. */
+  def readIncremental(spark: SparkSession, tablePath: String,
+                      fromSnapshotId: Long,
+                      toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    require(meta.formatVersion >= 2,
+      "incremental read needs v2 sequence numbers")
+    def snapOf(id: Long): SnapshotInfo =
+      meta.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not found; available: " +
+            meta.snapshots.map(_.snapshotId).sorted.mkString(", ")))
+    val fromSeq = snapOf(fromSnapshotId).sequenceNumber
+    val toSnap = toSnapshotId match {
+      case Some(id) => snapOf(id)
+      case None => meta.currentSnapshotId.map(snapOf).getOrElse(
+        throw new IllegalArgumentException(s"table has no snapshot: $tablePath"))
+    }
+    require(toSnap.sequenceNumber >= fromSeq,
+      s"toSnapshot ${toSnap.snapshotId} (seq ${toSnap.sequenceNumber}) " +
+        s"precedes fromSnapshot $fromSnapshotId (seq $fromSeq)")
+    val inRange = meta.snapshots.filter(s =>
+      s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber)
+    val nonAppend = inRange.filterNot(_.operation == "append")
+    if (nonAppend.nonEmpty)
+      throw new UnsupportedOperationException(
+        "incremental read supports append-only ranges; snapshot(s) " +
+          nonAppend.map(s => s"${s.snapshotId} (${s.operation})").mkString(", ") +
+          " are not appends")
+    val files = liveFiles(spark, toSnap).filter(f =>
+      f.content == 0 && f.seq > fromSeq && f.seq <= toSnap.sequenceNumber)
+    val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    else
+      spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
+        .select(cols: _*)
+  }
+
   /** Live content files of a snapshot as a relation — the `.files`
     * metadata table the runtime jar exposes: one row per live content
     * file (file_name is the path's basename so results stay stable

@@ -286,4 +286,33 @@ object StreamingOps {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Streaming read of an APPEND-ONLY Iceberg table: each micro-batch
+    * picks up data files committed since the last one — the streaming
+    * twin of [[graft.sources.IcebergIO.readIncremental]], composed from
+    * Spark's file-stream source over the table's `data/` directory with
+    * the schema taken from `metadata.json` (never inferred). The
+    * brief-preferred composition: no custom `Source` needed, and the
+    * file-stream checkpoint provides exactly-once file tracking.
+    *
+    * Contract (checked up front, matching the runtime jar's streaming
+    * read): the table must be append-only SO FAR — any existing
+    * overwrite/delete snapshot fails fast, because a file-grain stream
+    * cannot express row deletes. Files from commits made AFTER the
+    * stream starts are picked up as they land; an uncommitted writer's
+    * in-progress temp files are NOT visible because both fixture and
+    * real writers materialize data files fully before the metadata
+    * swap, and `_`-prefixed/temp paths are ignored by the file source. */
+  def icebergAppendStream(spark: SparkSession, tablePath: String): DataFrame = {
+    val meta = graft.sources.IcebergIO.loadMetadata(tablePath)
+    val nonAppend = meta.snapshots.filterNot(_.operation == "append")
+    if (nonAppend.nonEmpty)
+      throw new UnsupportedOperationException(
+        "streaming read supports append-only tables; snapshot(s) " +
+          nonAppend.map(s => s"${s.snapshotId} (${s.operation})").mkString(", ") +
+          " are not appends")
+    spark.readStream
+      .schema(meta.schema)
+      .parquet(graft.sources.GraftFs.child(tablePath, "data"))
+  }
 }

@@ -1000,6 +1000,30 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("iceberg-spark-runtime"))
   }
 
+  test("incremental append scan: exact range, empty tail, non-append fails") {
+    val dir = s"$root/incremental"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0))) // snap 1
+    w.append(df((3L, "c", 3.0)))                 // snap 2
+    w.append(df((4L, "d", 4.0)))                 // snap 3
+    assert(ids(IcebergIO.readIncremental(spark, dir, 1L)) === Seq(3L, 4L))
+    assert(ids(IcebergIO.readIncremental(spark, dir, 1L,
+      toSnapshotId = Some(2L))) === Seq(3L))
+    // from == current: nothing new
+    assert(IcebergIO.readIncremental(spark, dir, 3L).count() === 0L)
+    // schema preserved on the empty result
+    assert(IcebergIO.readIncremental(spark, dir, 3L)
+      .schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    // a delete snapshot inside the range must fail loudly, not guess
+    w.deleteEquality(df((3L, "c", 3.0)).select("id"), Seq(1)) // snap 4
+    val e = intercept[UnsupportedOperationException](
+      IcebergIO.readIncremental(spark, dir, 1L))
+    assert(e.getMessage.contains("append-only"))
+    // ...but a range that stops before the delete still reads
+    assert(ids(IcebergIO.readIncremental(spark, dir, 1L,
+      toSnapshotId = Some(3L))) === Seq(3L, 4L))
+  }
+
   test("manifest planning runs DISTRIBUTED above the threshold, same results") {
     val dir = s"$root/manymanifests"
     val w = new IcebergFixture.Writer(spark, dir, schema)

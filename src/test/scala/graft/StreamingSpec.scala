@@ -317,4 +317,36 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (id, s) => assert(s === batch(id),
       s"doc $id: streaming $s != batch ${batch(id)}") }
   }
+
+  test("Iceberg append stream picks up files committed after the stream starts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = s"/tmp/graft_ice_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def rows(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    val w = new graft.sources.IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "b"))
+    val stream = StreamingOps.icebergAppendStream(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("ice_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ice_stream").count() === 2)
+      // a commit AFTER the stream started lands in the next micro-batch
+      w.append(rows(3L -> "c"))
+      q.processAllAvailable()
+      assert(spark.table("ice_stream").select("id")
+        .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    } finally q.stop()
+    // non-append history fails fast (file-grain stream can't delete rows)
+    w.deleteEquality(rows(1L -> "a").select("id"), Seq(1))
+    val e = intercept[UnsupportedOperationException](
+      StreamingOps.icebergAppendStream(spark, dir))
+    assert(e.getMessage.contains("append-only"))
+  }
 }
