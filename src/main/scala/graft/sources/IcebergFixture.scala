@@ -482,11 +482,34 @@ object IcebergFixture {
       require(formatVersion >= 2, "equality deletes require format v2")
       require(fieldIds.nonEmpty, "equality delete needs at least one field id")
       require(partitionCols.isEmpty,
-        "fixture delete files are unpartitioned-table only")
+        "fixture delete files are unpartitioned-table only " +
+          "(use deleteEqualityInPartition on partitioned tables)")
       val next = seq + 1
       val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
       val (rows, bytes) = writeParquetFile(values, target)
       val fm = FileMeta(rec(target.getAbsolutePath), 2, rows, bytes, fieldIds)
+      allFiles :+= fm
+      commit(Seq(fm), next, "delete")
+      next
+    }
+
+    /** PARTITION-SCOPED equality delete (v2, partitioned tables): the
+      * delete file carries the partition tuple in its manifest entry and
+      * — per spec — applies ONLY to data rows of that partition. One
+      * tuple value per partition field, in `partitionCols` order. */
+    def deleteEqualityInPartition(values: DataFrame, fieldIds: Seq[Int],
+                                  partitionVals: Seq[Any]): Long = {
+      require(formatVersion >= 2, "equality deletes require format v2")
+      require(fieldIds.nonEmpty, "equality delete needs at least one field id")
+      require(partitionCols.nonEmpty,
+        "deleteEqualityInPartition needs a partitioned table")
+      require(partitionVals.size == partFields.size,
+        s"expected ${partFields.size} partition value(s), got ${partitionVals.size}")
+      val next = seq + 1
+      val target = new File(dataDir, f"eqdelete-$next%05d.parquet")
+      val (rows, bytes) = writeParquetFile(values, target)
+      val fm = FileMeta(rec(target.getAbsolutePath), 2, rows, bytes, fieldIds,
+        partitionValues = partitionVals)
       allFiles :+= fm
       commit(Seq(fm), next, "delete")
       next

@@ -961,7 +961,36 @@ object IcebergIO {
         StructType(Seq(StructField("__gf_file", StringType, nullable = false),
           StructField("__gf_dataseq", LongType, nullable = false))))
       data = data.join(broadcast(seqDf), Seq("__gf_file"), "left")
-      eqFiles.groupBy(_.equalityIds).foreach { case (ids, group) =>
+      // Scope: a delete file written into a PARTITION applies only to
+      // that partition's rows (spec); only an unpartitioned-spec delete
+      // file (empty tuple) is global. Identity transforms over
+      // int/long/string sources are supported — the stored tuple value
+      // IS the source value, so the row-side condition is a plain
+      // column equality; anything else fails loudly rather than
+      // silently over- or under-deleting.
+      def partitionScope(partVals: Map[String, Any]): Option[Column] =
+        if (partVals.isEmpty) None
+        else Some(meta.partitionFields.map { case (fieldName, transform, srcId) =>
+          if (transform != "identity")
+            throw new UnsupportedOperationException(
+              s"partition-scoped equality deletes only supported for " +
+                s"identity transforms, got '$transform' on field '$fieldName'")
+          val src = meta.fieldById.getOrElse(srcId,
+            throw new IllegalArgumentException(
+              s"partition source field id $srcId not in table schema"))
+          val dt = meta.schema(src).dataType
+          if (!Seq(IntegerType, LongType, StringType).contains(dt))
+            throw new UnsupportedOperationException(
+              s"partition-scoped equality deletes only supported for " +
+                s"int/long/string identity sources, got $dt on '$src'")
+          val v = partVals.getOrElse(fieldName,
+            throw new IllegalArgumentException(
+              s"delete-file partition tuple missing field '$fieldName'"))
+          col(src) <=> lit(v)
+        }.reduce(_ && _))
+      eqFiles.groupBy(f => (f.equalityIds, f.partitionValues))
+        .toSeq.sortBy(_._2.head.path) // deterministic plan order
+        .foreach { case ((ids, partVals), group) =>
         require(ids.nonEmpty, s"equality-delete file without equality_ids: " +
           group.head.path)
         val names = ids.map(id => meta.fieldById.getOrElse(id,
@@ -973,8 +1002,10 @@ object IcebergIO {
             .select(names.map(n => col(n).as(s"__gf_eq_$n")): _*)
             .withColumn("__gf_delseq", lit(f.seq))
         }.reduce(_ unionByName _)
-        val cond = names.map(n => col(n) <=> col(s"__gf_eq_$n"))
+        val eqCond = names.map(n => col(n) <=> col(s"__gf_eq_$n"))
           .reduce(_ && _) && col("__gf_dataseq") < col("__gf_delseq")
+        val cond = partitionScope(partVals)
+          .map(eqCond && _).getOrElse(eqCond)
         data = data.join(dels, cond, "left_anti")
       }
     }

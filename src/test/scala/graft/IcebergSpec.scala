@@ -1000,6 +1000,27 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("iceberg-spark-runtime"))
   }
 
+  test("partition-scoped equality delete removes rows ONLY in its partition") {
+    val dir = s"$root/eqscope"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = true)))
+    def rows2(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st2)
+    val w = new IcebergFixture.Writer(spark, dir, st2,
+      partitionCols = Seq("grp"))
+    // id=1 exists in BOTH partitions — the global-application bug this
+    // guards against would delete both
+    w.append(rows2(1L -> "a", 2L -> "a", 1L -> "b", 3L -> "b"))
+    w.deleteEqualityInPartition(
+      rows2(1L -> "a").select("id"), fieldIds = Seq(1),
+      partitionVals = Seq("a"))
+    val got = IcebergIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, "b"), (2L, "a"), (3L, "b")))
+  }
+
   test("incremental append scan: exact range, empty tail, non-append fails") {
     val dir = s"$root/incremental"
     val w = new IcebergFixture.Writer(spark, dir, schema)
