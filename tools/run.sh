@@ -18,6 +18,6 @@ exec java \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false \
-  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Xmx${SPARK_DRIVER_MEM:-24g} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLS" "$@"
