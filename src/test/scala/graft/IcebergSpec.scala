@@ -1000,6 +1000,56 @@ class IcebergSpec extends AnyFunSuite {
     assert(e.getMessage.contains("iceberg-spark-runtime"))
   }
 
+  test("randomized SQL-surface soundness: rule pruning never drops rows") {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(17) // fixed seed — deterministic
+    val dir = s"$root/fuzz3"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 6).map(_ => (rnd.nextInt(60).toLong,
+        rnd.alphanumeric.take(1).mkString, rnd.nextInt(60) / 10.0))
+      w.append(df(rows: _*))
+    }
+    val full = IcebergIO.read(spark, dir)
+    // the registered LIVE view: .filter over it goes through
+    // IcebergScanRule -> predicateTreeOf -> the shared derivation
+    val live = graft.sources.IcebergTableScan.dataFrame(spark, dir)
+    def leafPred(): Column = {
+      val c = Seq("id", "name", "score")(rnd.nextInt(3))
+      def v(): Any = c match {
+        case "id"    => rnd.nextInt(60).toLong
+        case "name"  => rnd.alphanumeric.take(1).mkString
+        case "score" => rnd.nextInt(60) / 10.0
+      }
+      rnd.nextInt(8) match {
+        case 0 => col(c) === lit(v())
+        case 1 => col(c) < lit(v())
+        case 2 => col(c) <= lit(v())
+        case 3 => col(c) > lit(v())
+        case 4 => col(c) >= lit(v())
+        case 5 => col(c).isNull
+        case 6 => col(c).isin(v(), v())
+        // 12-element list: the optimizer rewrites to InSet — covers the
+        // catalyst-side conversion the DSL fuzz can't reach
+        case 7 => col(c).isin(Seq.fill(12)(v()): _*)
+      }
+    }
+    def randPred(depth: Int): Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leafPred()
+      else rnd.nextInt(3) match {
+        case 0 => randPred(depth - 1) && randPred(depth - 1)
+        case 1 => randPred(depth - 1) || randPred(depth - 1)
+        case 2 => not(randPred(depth - 1))
+      }
+    (1 to 25).foreach { i =>
+      val p = randPred(2)
+      val a = live.filter(p).collect().map(_.toSeq.toString).sorted.toSeq
+      val b = full.filter(p).collect().map(_.toSeq.toString).sorted.toSeq
+      assert(a === b, s"iteration $i: SQL-surface pruning broke predicate $p")
+    }
+  }
+
   test("partition-scoped equality delete removes rows ONLY in its partition") {
     val dir = s"$root/eqscope"
     val st2 = StructType(Seq(
