@@ -227,17 +227,16 @@ final class GraftSession private (val spark: SparkSession) {
     // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
     // tables, surfaced as `<name>_history` etc. temp views (dot suffixes
     // need a catalog plugin; underscore views are the session analog).
-    // These stay registration-time SNAPSHOTS (driver-computed relations).
+    // LIVE like the data view: each query re-resolves the metadata
+    // ([[graft.sources.IcebergMetaScan]]), so a commit after
+    // registration shows up in `<name>_files` etc. without
+    // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
-      icebergHistory(path).createOrReplaceTempView(s"${name}_history")
-      icebergFiles(path, snapshotId).createOrReplaceTempView(s"${name}_files")
-      icebergPartitions(path, snapshotId)
-        .createOrReplaceTempView(s"${name}_partitions")
-      icebergManifests(path, snapshotId)
-        .createOrReplaceTempView(s"${name}_manifests")
-      icebergSnapshots(path).createOrReplaceTempView(s"${name}_snapshots")
-      graft.sources.IcebergIO.refs(spark, path)
-        .createOrReplaceTempView(s"${name}_refs")
+      Seq("history", "files", "partitions", "manifests", "snapshots", "refs")
+        .foreach { kind =>
+          graft.sources.IcebergMetaScan.dataFrame(spark, path, kind, snapshotId)
+            .createOrReplaceTempView(s"${name}_$kind")
+        }
     }
   }
 

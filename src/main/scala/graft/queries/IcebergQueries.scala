@@ -94,6 +94,22 @@ object IcebergQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The bench table through the SQL surface: registered live view +
+    * plain `WHERE` — times metadata re-resolution + rule-driven pruning
+    * + the pruned scan, i.e. the per-query overhead a SQL user actually
+    * pays (readWhere's cost plus the optimizer-time materialization). */
+  val icebergBenchSql = dfQ("iceberg_bench_sql",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 200 = 7 ORDER BY o_orderkey""".stripMargin) { (s, sfDir) =>
+    val dir = benchFixture(s, sfDir)
+    graft.sources.IcebergTableScan.dataFrame(s, dir)
+      .createOrReplaceTempView(s"iceberg_bench_sql_$tag")
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM iceberg_bench_sql_$tag
+         |WHERE o_bucket = 7 ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Current-snapshot scan = the full table. */
   val icebergRead = dfQ("iceberg_read",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -425,5 +441,6 @@ object IcebergQueries {
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
-    icebergIncremental, icebergRefs, icebergBenchScan, icebergBenchPrune)
+    icebergIncremental, icebergRefs, icebergBenchScan, icebergBenchPrune,
+    icebergBenchSql)
 }

@@ -67,10 +67,58 @@ object IcebergTableScan {
 }
 
 /**
- * Replaces [[IcebergTableScan]] leaves with the materialized (pruned)
- * scan. Runs in `experimental.extraOptimizations` — after the main
- * operator-optimization batches, so filters have been pushed down to sit
- * directly above the leaf and every derivable conjunct is visible.
+ * A LIVE Iceberg metadata relation (`.files`, `.history`, …): like
+ * [[IcebergTableScan]], a placeholder leaf materialized per query at
+ * optimization time, so `<name>_files` etc. reflect commits made after
+ * registration — the dot-suffix metadata tables of the runtime jar
+ * re-resolve per query, and now so do these. Metadata relations are
+ * driver-computed local relations (manifest grain, no data files), so no
+ * pushdown is derived — materialize-and-align is all that's needed.
+ */
+final case class IcebergMetaScan(
+    tablePath: String,
+    kind: String, // history | files | partitions | manifests | snapshots | refs
+    snapshotId: Option[Long],
+    output: Seq[Attribute]) extends LeafNode
+    with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(1) << 20) // metadata grain: small
+  override def newInstance(): IcebergMetaScan =
+    copy(output = output.map(_.newInstance()))
+}
+
+object IcebergMetaScan {
+  private[sources] def relation(spark: org.apache.spark.sql.SparkSession,
+                                tablePath: String, kind: String,
+                                snapshotId: Option[Long])
+      : org.apache.spark.sql.DataFrame = kind match {
+    case "history"    => IcebergIO.history(spark, tablePath)
+    case "files"      => IcebergIO.files(spark, tablePath, snapshotId)
+    case "partitions" => IcebergIO.partitions(spark, tablePath, snapshotId)
+    case "manifests"  => IcebergIO.manifests(spark, tablePath, snapshotId)
+    case "snapshots"  => IcebergIO.snapshots(spark, tablePath)
+    case "refs"       => IcebergIO.refs(spark, tablePath)
+    case other => throw new IllegalArgumentException(
+      s"unknown Iceberg metadata relation: $other")
+  }
+
+  /** A DataFrame over the metadata relation that re-resolves per query. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                kind: String, snapshotId: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    GraftShim.addOptimization(spark, IcebergScanRule)
+    val schema = relation(spark, tablePath, kind, snapshotId).schema
+    GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
+      GraftShim.attributes(schema)))
+  }
+}
+
+/**
+ * Replaces [[IcebergTableScan]] / [[IcebergMetaScan]] leaves with the
+ * materialized (pruned) scan. Runs in `experimental.extraOptimizations`
+ * — after the main operator-optimization batches, so filters have been
+ * pushed down to sit directly above the leaf and every derivable
+ * conjunct is visible.
  */
 object IcebergScanRule extends Rule[LogicalPlan] {
 
@@ -80,6 +128,11 @@ object IcebergScanRule extends Rule[LogicalPlan] {
       Filter(cond, aligned(rel, Some(cond)))
     case rel: IcebergTableScan =>
       aligned(rel, None)
+    case m: IcebergMetaScan =>
+      val spark = GraftShim.activeSession
+      align(m.output, GraftShim.analyzedPlan(
+        IcebergMetaScan.relation(spark, m.tablePath, m.kind, m.snapshotId)),
+        s"${m.tablePath}#${m.kind}")
   }
 
   /** Materialize the scan and re-expose it under the leaf's original
@@ -94,12 +147,16 @@ object IcebergScanRule extends Rule[LogicalPlan] {
         IcebergIO.read(spark, rel.tablePath, rel.snapshotId,
           rel.asOfTimestampMs, ref = rel.ref)
     }
-    val child = GraftShim.analyzedPlan(df)
+    align(rel.output, GraftShim.analyzedPlan(df), rel.tablePath)
+  }
+
+  private def align(output: Seq[Attribute], child: LogicalPlan,
+                    what: String): LogicalPlan = {
     val byName = child.output.map(a => a.name -> a).toMap
-    val projections: Seq[NamedExpression] = rel.output.map { old =>
+    val projections: Seq[NamedExpression] = output.map { old =>
       val now = byName.getOrElse(old.name, throw new IllegalStateException(
-        s"column '${old.name}' registered for ${rel.tablePath} no longer " +
-          s"exists (current: ${child.output.map(_.name).mkString(", ")}) — " +
+        s"column '${old.name}' registered for $what no longer exists " +
+          s"(current: ${child.output.map(_.name).mkString(", ")}) — " +
           "re-register the table"))
       Alias(now, old.name)(exprId = old.exprId)
     }

@@ -432,8 +432,17 @@ class IcebergSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT snapshot_id FROM ice_m_refs WHERE ref_name = 'main'")
       .head.getLong(0) === 2L)
+    // LIVE metadata views: a commit after registration is visible in
+    // the data view AND every metadata view without re-registering
+    w.append(df((4L, "d", 4.0)))
+    assert(spark.sql("SELECT count(*) FROM ice_t").head.getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_history").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_files").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_snapshots").head.getLong(0) === 3L)
+    // ...while the snapshot-pinned registration stays pinned
+    assert(spark.sql("SELECT max(id) FROM ice_t1").head.getLong(0) === 2L)
     Seq("ice_t", "ice_t1", "ice_m", "ice_m_history", "ice_m_files",
-      "ice_m_partitions", "ice_m_manifests", "ice_m_refs")
+      "ice_m_partitions", "ice_m_manifests", "ice_m_snapshots", "ice_m_refs")
       .foreach(spark.catalog.dropTempView(_))
   }
 
