@@ -112,11 +112,46 @@ object ScaleStress {
     val skewSuspects = skewQs.map(_.name)
       .filter(n => skewed(n) > 0.5 &&
         skewed(n) / math.max(skewBase(n), 1e-3) >= skewThreshold)
+
+    // Iceberg planning scale: metadata-only planning (manifest parse +
+    // pruning structures, no data file opened) must grow ~linearly in
+    // the live-file count. 10× the files with 3× headroom; floor guards
+    // sub-100ms noise.
+    def planningFixture(buckets: Int): String = {
+      val dir = s"/tmp/graft_scale_ice_$buckets"
+      graft.sources.IcebergFixture.deleteRecursively(dir)
+      val sdf = spark.read.parquet(s"$src/orders.parquet")
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(buckets.toLong)).cast("int").as("o_bucket"))
+      val w = new graft.sources.IcebergFixture.Writer(spark, dir, sdf.schema,
+        partitionCols = Seq("o_bucket"))
+      w.appendFast(sdf.filter("o_orderkey % 2 = 0"))
+      w.appendFast(sdf.filter("o_orderkey % 2 = 1"))
+      dir
+    }
+    def planTime(dir: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.IcebergIO.files(spark, dir).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val planSmallDir = planningFixture(20)  // 2 appends x 20 buckets = 40
+    val planLargeDir = planningFixture(200) // 2 appends x 200 = 400
+    val planSmall = planTime(planSmallDir)
+    val planLarge = planTime(planLargeDir)
+    val planRatio = planLarge / math.max(planSmall, 1e-3)
+    val planThreshold = 30.0 // 10x files, 3x headroom
+    val planSuspect = planLarge > 0.5 && planRatio >= planThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""skew":{"queries":{${skewRows.mkString(",")}},"threshold":${jnum(skewThreshold)},""" +
       s""""suspect_skew":[${skewSuspects.map("\"" + _ + "\"").mkString(",")}]},""" +
+      s""""iceberg_planning":{"files_small":40,"files_large":400,""" +
+      s""""sec_small":${jnum(planSmall)},"sec_large":${jnum(planLarge)},""" +
+      s""""ratio":${jnum(planRatio)},"threshold":${jnum(planThreshold)},""" +
+      s""""suspect":${planSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -158,6 +158,33 @@ object DdlQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Bench-grain Avro scan: `orders` written ONCE per JVM per scale dir
+    * as snappy Avro containers, then read back through the V2 connector
+    * and forced through an exact aggregate — regression-protects the
+    * Avro decode path (container split planning + per-record decode +
+    * pruned conversion) at realistic row counts, which the 25-row
+    * correctness fixtures cannot. */
+  private val avroBenchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val avroBenchScan = dfQ("avro_bench_scan",
+    """SELECT COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+      |       COUNT(DISTINCT o_custkey) AS ncust
+      |FROM orders""".stripMargin) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    val dir = avroBenchDirs.computeIfAbsent(sfDir, { _ =>
+      val d = s"/tmp/graft_avro_bench_${tag}_${avroBenchDirs.size()}"
+      graft.sources.AvroIO.write(
+        s.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice"), d)
+      d
+    })
+    val g = GraftSession.wrap(s) // routes the avro short name through V2
+    g.readAvro(dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"),
+      countDistinct(col("o_custkey")).as("ncust"))
+  }
+
   /** Reference-dialect `CREATE EXTERNAL TABLE … STORED AS AVRO`
     * (reference: ballista/client/src/context.rs:416-484), translated to
     * `USING avro` and served by the V2 connector
@@ -197,5 +224,5 @@ object DdlQueries {
 
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
     ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns,
-    ddlAvroRead, ddlExternalAvro, ddlAvroPartitioned)
+    ddlAvroRead, ddlExternalAvro, ddlAvroPartitioned, avroBenchScan)
 }

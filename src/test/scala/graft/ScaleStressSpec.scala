@@ -36,4 +36,17 @@ class ScaleStressSpec extends AnyFunSuite {
       s"queries blowing past ${skew.get("threshold")}x under key skew: ${suspects.mkString(", ")}")
     assert(skew.get("queries").size() >= 2)
   }
+
+  test("Iceberg planning cost scales ~linearly in the live-file count") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("iceberg_planning"),
+      "artifact predates the planning harness — regenerate")
+    val p = root.get("iceberg_planning")
+    assert(!p.get("suspect").asBoolean,
+      s"planning a ${p.get("files_large")}-file table took " +
+        s"${p.get("ratio")}x the ${p.get("files_small")}-file time " +
+        s"(threshold ${p.get("threshold")}x for 10x files)")
+  }
 }
