@@ -220,9 +220,10 @@ final class GraftSession private (val spark: SparkSession) {
   def registerIceberg(name: String, path: String,
                       snapshotId: Option[Long] = None,
                       metadataTables: Boolean = false,
-                      ref: Option[String] = None): Unit = {
+                      ref: Option[String] = None,
+                      asOfTimestampMs: Option[Long] = None): Unit = {
     graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
-        ref = ref)
+        asOfTimestampMs = asOfTimestampMs, ref = ref)
       .createOrReplaceTempView(name)
     // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
     // tables, surfaced as `<name>_history` etc. temp views (dot suffixes
