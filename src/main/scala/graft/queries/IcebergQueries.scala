@@ -406,6 +406,38 @@ object IcebergQueries {
          |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** End-to-end pipeline showcase: documents land in an Iceberg table
+    * partitioned by language, a curation read prunes at planning time
+    * (lang partition + n_chars stats from ONE predicate), the curated
+    * projection (token count + content fingerprint) is written to Avro
+    * containers, and the final answer is the Avro READ-BACK — source,
+    * pruned scan, transform and sink all verified in one oracle (which
+    * replays the logic over the parquet twin). */
+  val icebergPipeline = dfQ("pipe_iceberg_to_avro",
+    """SELECT doc_id,
+      |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+      |  md5(text) AS fp
+      |FROM documents WHERE lang = 'en' AND n_chars >= 200
+      |ORDER BY doc_id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_pipe_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val docs = s.table("documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val w = new IcebergFixture.Writer(s, dir, docs.schema,
+      partitionCols = Seq("lang"))
+    w.append(docs)
+    val curated = IcebergIO.readWhere(s, dir,
+        col("lang") === "en" && col("n_chars") >= 200L)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("bigint").as("n_toks"),
+        md5(col("text")).as("fp"))
+    val out = s"/tmp/graft_iceberg_pipe_avro_$tag"
+    graft.sources.AvroIO.write(curated, out)
+    graft.sources.AvroIO.read(s, out).orderBy("doc_id")
+  }
+
   /** Manifest-list entries as a relation (the runtime jar's `.manifests`
     * metadata table) over the deterministic basic fixture: one data
     * manifest per append snapshot. */
@@ -441,6 +473,6 @@ object IcebergQueries {
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
-    icebergIncremental, icebergRefs, icebergBenchScan, icebergBenchPrune,
-    icebergBenchSql)
+    icebergIncremental, icebergRefs, icebergPipeline, icebergBenchScan,
+    icebergBenchPrune, icebergBenchSql)
 }

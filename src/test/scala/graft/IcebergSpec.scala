@@ -1014,7 +1014,11 @@ class IcebergSpec extends AnyFunSuite {
     import org.apache.spark.sql.Column
     val rnd = new scala.util.Random(17) // fixed seed — deterministic
     val dir = s"$root/fuzz3"
-    val w = new IcebergFixture.Writer(spark, dir, schema)
+    // PARTITIONED by name (identity): partition-equality derivation is
+    // fuzzed alongside stats pruning — an `=` on the partition column
+    // under AND prunes files; under OR/NOT it must not
+    val w = new IcebergFixture.Writer(spark, dir, schema,
+      partitionCols = Seq("name"))
     (1 to 3).foreach { _ =>
       val rows = (1 to 6).map(_ => (rnd.nextInt(60).toLong,
         rnd.alphanumeric.take(1).mkString, rnd.nextInt(60) / 10.0))
