@@ -79,6 +79,31 @@ class IcebergSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ice_sql_pin").head().getLong(0) === 1L)
   }
 
+  test("snapshot pin + WHERE: pruning derives against the pinned snapshot") {
+    val dir = s"$root/pinwhere"
+    val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))
+    w.append(rows(1L -> "a", 2L -> "b"))
+    w.append(rows(3L -> "b"))
+    IcebergTableScan.dataFrame(spark, dir, snapshotId = Some(1L))
+      .createOrReplaceTempView("ice_sql_pw")
+    val got = spark.sql("SELECT id FROM ice_sql_pw WHERE grp = 'b'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L)) // snapshot 2's id=3 must not appear
+  }
+
+  test("asOfTimestampMs registration reads the snapshot current at that time") {
+    val dir = s"$root/asof"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a"))
+    w.append(rows(2L -> "b"))
+    val t1 = IcebergIO.loadMetadata(dir).snapshots
+      .find(_.snapshotId == 1L).get.timestampMs
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("ice_sql_asof", dir, asOfTimestampMs = Some(t1))
+    assert(spark.sql("SELECT max(id) FROM ice_sql_asof").head.getLong(0) === 1L)
+    spark.catalog.dropTempView("ice_sql_asof")
+  }
+
   test("pruning soundness through SQL: OR / NOT / IN match full-scan + filter") {
     val dir = s"$root/sound"
     // unpartitioned, two append snapshots (distinct stats bounds), null
