@@ -235,7 +235,8 @@ final class GraftSession private (val spark: SparkSession) {
     if (metadataTables) {
       Seq("history", "files", "partitions", "manifests", "snapshots", "refs")
         .foreach { kind =>
-          graft.sources.IcebergMetaScan.dataFrame(spark, path, kind, snapshotId)
+          graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
+              snapshotId, asOfTimestampMs, ref)
             .createOrReplaceTempView(s"${name}_$kind")
         }
     }

@@ -172,7 +172,7 @@ object DdlQueries {
       |FROM orders""".stripMargin) { (s, sfDir) =>
     import org.apache.spark.sql.functions._
     val dir = avroBenchDirs.computeIfAbsent(sfDir, { _ =>
-      val d = s"/tmp/graft_avro_bench_${tag}_${avroBenchDirs.size()}"
+      val d = s"/tmp/graft_avro_bench_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.sources.AvroIO.write(
         s.read.parquet(s"$sfDir/orders.parquet")
           .select("o_orderkey", "o_custkey", "o_totalprice"), d)

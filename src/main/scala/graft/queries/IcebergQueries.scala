@@ -36,7 +36,9 @@ object IcebergQueries {
   private val basicDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def basicFixture(s: SparkSession, sfDir: String): String =
     basicDirs.computeIfAbsent(sfDir, { _ =>
-      val dir = s"/tmp/graft_iceberg_basic_${tag}_${basicDirs.size()}"
+      // key the path on the SCALE DIR, not map size: two dirs first-touched
+      // concurrently would both observe size()==0 and collide
+      val dir = s"/tmp/graft_iceberg_basic_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       IcebergFixture.deleteRecursively(dir)
       val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
       w.append(nationSorted(s).filter("n_nationkey < 10"))
@@ -56,7 +58,7 @@ object IcebergQueries {
   private def benchFixture(s: SparkSession, sfDir: String): String =
     benchDirs.computeIfAbsent(sfDir, { _ =>
       import org.apache.spark.sql.functions.{col, pmod}
-      val dir = s"/tmp/graft_iceberg_bench_${tag}_${benchDirs.size()}"
+      val dir = s"/tmp/graft_iceberg_bench_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       IcebergFixture.deleteRecursively(dir)
       val src = s.read.parquet(s"$sfDir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),

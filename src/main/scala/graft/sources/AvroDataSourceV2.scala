@@ -53,10 +53,16 @@ final class AvroDataSourceV2 extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = pathOf(options)
     val c = GraftFs.conf()
+    // a subdirectory vanishing between status and list (or being
+    // unreadable) counts as empty here — schema inference must fall
+    // through to the empty-schema write path, not surface a raw Hadoop
+    // error; a real READ of the path still fails with a clear message
+    // in discover()
     def anyAvro(st: org.apache.hadoop.fs.FileStatus): Boolean =
       (st.isFile && st.getPath.getName.endsWith(".avro")) ||
         (st.isDirectory &&
-          GraftFs.list(st.getPath.toString, c).exists(anyAvro))
+          scala.util.Try(GraftFs.list(st.getPath.toString, c))
+            .getOrElse(Seq.empty).exists(anyAvro))
     val hasAvro = GraftFs.status(p, c).exists(anyAvro)
     if (!hasAvro) new StructType()
     else AvroTable.schemaOf(p, Option(options.get(AvroTable.ReaderSchemaOption)))

@@ -1012,6 +1012,35 @@ object IcebergIO {
     data.select(cols: _*)
   }
 
+  /** Resolve at most one of snapshotId / asOfTimestampMs / ref to a
+    * concrete snapshot id (None = current). Shared by the live metadata
+    * views so a pinned registration describes its own snapshot. */
+  private[graft] def resolveSnapshotId(tablePath: String,
+                                       snapshotId: Option[Long],
+                                       asOfTimestampMs: Option[Long],
+                                       ref: Option[String]): Option[Long] = {
+    require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
+      "specify at most one of snapshotId / asOfTimestampMs / ref")
+    if (snapshotId.isDefined) snapshotId
+    else if (asOfTimestampMs.isEmpty && ref.isEmpty) None
+    else {
+      val meta = loadMetadata(tablePath)
+      ref match {
+        case Some(r) => Some(meta.refs.getOrElse(r,
+          throw new IllegalArgumentException(
+            s"ref '$r' not found; available refs: " +
+              meta.refs.keys.toSeq.sorted.mkString(", "))))
+        case None =>
+          val ts = asOfTimestampMs.get
+          val eligible = meta.snapshots.filter(_.timestampMs <= ts)
+          require(eligible.nonEmpty,
+            s"no snapshot committed at or before $ts; earliest is " +
+              meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L))
+          Some(eligible.maxBy(_.timestampMs).snapshotId)
+      }
+    }
+  }
+
   /** Snapshot ids in commit order (by sequence number, then timestamp) —
     * the table's history surface. */
   def snapshotIds(tablePath: String): Seq[Long] =
@@ -1048,8 +1077,34 @@ object IcebergIO {
     require(toSnap.sequenceNumber >= fromSeq,
       s"toSnapshot ${toSnap.snapshotId} (seq ${toSnap.sequenceNumber}) " +
         s"precedes fromSnapshot $fromSnapshotId (seq $fromSeq)")
-    val inRange = meta.snapshots.filter(s =>
-      s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber)
+    // The append-only check must cover exactly the snapshots BETWEEN
+    // from and to on `to`'s ANCESTOR lineage — a delete on a side branch
+    // contributes nothing to toSnap's live files and must not fail the
+    // read. Walk parent-snapshot-id links when the metadata records
+    // them; fall back to the sequence-number range otherwise (older
+    // metadata), which is conservative in the side-branch direction.
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    @annotation.tailrec
+    def walk(cur: SnapshotInfo, acc: List[SnapshotInfo])
+        : Option[List[SnapshotInfo]] =
+      if (cur.snapshotId == fromSnapshotId) Some(acc)
+      else cur.parentId match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"snapshot $fromSnapshotId is not an ancestor of " +
+              s"${toSnap.snapshotId} — incremental ranges must follow one lineage")
+        case Some(pid) => byId.get(pid) match {
+          case Some(p) => walk(p, cur :: acc)
+          case None => None // expired parent: degrade to the range check
+        }
+      }
+    val parentsRecorded = meta.snapshots.exists(_.parentId.isDefined)
+    val inRange: Seq[SnapshotInfo] =
+      if (parentsRecorded) walk(toSnap, Nil).getOrElse(
+        meta.snapshots.filter(s =>
+          s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber))
+      else meta.snapshots.filter(s =>
+        s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber)
     val nonAppend = inRange.filterNot(_.operation == "append")
     if (nonAppend.nonEmpty)
       throw new UnsupportedOperationException(
@@ -1092,6 +1147,67 @@ object IcebergIO {
     f.partitionValues.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=${String.valueOf(v)}" }.mkString("/")
 
+  // Fixed relation schemas (shared with the live SQL metadata views,
+  // which need a schema WITHOUT materializing the relation).
+  private[graft] val filesSchema: StructType =
+    StructType(Seq(
+        StructField("file_name", StringType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("partition", StringType, nullable = false)))
+
+  private[graft] val manifestsSchema: StructType =
+    StructType(Seq(
+        StructField("manifest_name", StringType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("added_snapshot_id", LongType, nullable = false),
+        StructField("added_files_count", LongType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = false)))
+
+  private[graft] val partitionsSchema: StructType =
+    StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("file_count", LongType, nullable = false),
+        StructField("record_count", LongType, nullable = false)))
+
+  private[graft] val refsSchema: StructType =
+    StructType(Seq(
+        StructField("ref_name", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false)))
+
+  private[graft] val historySchema: StructType =
+    StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false)))
+
+  private[graft] val snapshotsSchema: StructType =
+    StructType(Seq(
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType, nullable = true),
+        StructField("operation", StringType, nullable = false),
+        StructField("manifest_list", StringType, nullable = true),
+        StructField("summary",
+          MapType(StringType, StringType, valueContainsNull = false),
+          nullable = false)))
+
+  /** Schema of a metadata relation kind without touching the table. */
+  private[graft] def metaSchema(kind: String): StructType = kind match {
+    case "history"    => historySchema
+    case "files"      => filesSchema
+    case "partitions" => partitionsSchema
+    case "manifests"  => manifestsSchema
+    case "snapshots"  => snapshotsSchema
+    case "refs"       => refsSchema
+    case other => throw new IllegalArgumentException(
+      s"unknown Iceberg metadata relation: $other")
+  }
+
   def files(spark: SparkSession, tablePath: String,
             snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
@@ -1102,13 +1218,7 @@ object IcebergIO {
     }.sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField("file_name", StringType, nullable = false),
-        StructField("content", IntegerType, nullable = false),
-        StructField("file_format", StringType, nullable = false),
-        StructField("record_count", LongType, nullable = false),
-        StructField("sequence_number", LongType, nullable = false),
-        StructField("partition", StringType, nullable = false))))
+      filesSchema)
   }
 
   /** Manifest-list entries as a relation — the `.manifests` metadata
@@ -1142,13 +1252,7 @@ object IcebergIO {
     val sorted = rows.sortBy(r => (r.getInt(1), r.getLong(2), r.getString(0)))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(sorted).asJava),
-      StructType(Seq(
-        StructField("manifest_name", StringType, nullable = false),
-        StructField("content", IntegerType, nullable = false),
-        StructField("sequence_number", LongType, nullable = false),
-        StructField("added_snapshot_id", LongType, nullable = false),
-        StructField("added_files_count", LongType, nullable = false),
-        StructField("added_rows_count", LongType, nullable = false))))
+      manifestsSchema)
   }
 
   /** Per-partition aggregates of a snapshot's live DATA files — the
@@ -1166,10 +1270,7 @@ object IcebergIO {
       }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField("partition", StringType, nullable = false),
-        StructField("file_count", LongType, nullable = false),
-        StructField("record_count", LongType, nullable = false))))
+      partitionsSchema)
   }
 
   /** Named refs as a relation — the `.refs` metadata table: one row per
@@ -1182,9 +1283,7 @@ object IcebergIO {
     val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, sid) => Row(n, sid) }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField("ref_name", StringType, nullable = false),
-        StructField("snapshot_id", LongType, nullable = false))))
+      refsSchema)
   }
 
   /** Table history as a relation — the `.history`/`.snapshots` metadata
@@ -1197,11 +1296,7 @@ object IcebergIO {
       .map(s => Row(s.snapshotId, s.sequenceNumber, s.timestampMs, s.operation))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField("snapshot_id", LongType, nullable = false),
-        StructField("sequence_number", LongType, nullable = false),
-        StructField("committed_at_ms", LongType, nullable = false),
-        StructField("operation", StringType, nullable = false))))
+      historySchema)
   }
 
   /** Snapshots as a relation — the runtime jar's `.snapshots` metadata
@@ -1218,14 +1313,6 @@ object IcebergIO {
         s.manifestList.map(baseName).orNull, s.summary))
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(
-        StructField("committed_at_ms", LongType, nullable = false),
-        StructField("snapshot_id", LongType, nullable = false),
-        StructField("parent_id", LongType, nullable = true),
-        StructField("operation", StringType, nullable = false),
-        StructField("manifest_list", StringType, nullable = true),
-        StructField("summary",
-          MapType(StringType, StringType, valueContainsNull = false),
-          nullable = false))))
+      snapshotsSchema)
   }
 }

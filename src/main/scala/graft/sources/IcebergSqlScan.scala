@@ -79,6 +79,8 @@ final case class IcebergMetaScan(
     tablePath: String,
     kind: String, // history | files | partitions | manifests | snapshots | refs
     snapshotId: Option[Long],
+    asOfTimestampMs: Option[Long],
+    ref: Option[String],
     output: Seq[Attribute]) extends LeafNode
     with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
   override def computeStats(): Statistics =
@@ -88,28 +90,38 @@ final case class IcebergMetaScan(
 }
 
 object IcebergMetaScan {
+  /** Materialize the relation, honoring the SAME pin the data view has:
+    * a ref/as-of registration must describe the snapshot it serves, not
+    * silently the current one (refs re-resolve per query, like the data
+    * view — a moved branch is picked up). history/snapshots/refs are
+    * whole-table relations and take no pin (runtime-jar semantics). */
   private[sources] def relation(spark: org.apache.spark.sql.SparkSession,
-                                tablePath: String, kind: String,
-                                snapshotId: Option[Long])
-      : org.apache.spark.sql.DataFrame = kind match {
-    case "history"    => IcebergIO.history(spark, tablePath)
-    case "files"      => IcebergIO.files(spark, tablePath, snapshotId)
-    case "partitions" => IcebergIO.partitions(spark, tablePath, snapshotId)
-    case "manifests"  => IcebergIO.manifests(spark, tablePath, snapshotId)
-    case "snapshots"  => IcebergIO.snapshots(spark, tablePath)
-    case "refs"       => IcebergIO.refs(spark, tablePath)
-    case other => throw new IllegalArgumentException(
-      s"unknown Iceberg metadata relation: $other")
+                                m: IcebergMetaScan)
+      : org.apache.spark.sql.DataFrame = {
+    lazy val pinned: Option[Long] = IcebergIO.resolveSnapshotId(
+      m.tablePath, m.snapshotId, m.asOfTimestampMs, m.ref)
+    m.kind match {
+      case "history"    => IcebergIO.history(spark, m.tablePath)
+      case "files"      => IcebergIO.files(spark, m.tablePath, pinned)
+      case "partitions" => IcebergIO.partitions(spark, m.tablePath, pinned)
+      case "manifests"  => IcebergIO.manifests(spark, m.tablePath, pinned)
+      case "snapshots"  => IcebergIO.snapshots(spark, m.tablePath)
+      case "refs"       => IcebergIO.refs(spark, m.tablePath)
+      case other => throw new IllegalArgumentException(
+        s"unknown Iceberg metadata relation: $other")
+    }
   }
 
-  /** A DataFrame over the metadata relation that re-resolves per query. */
+  /** A DataFrame over the metadata relation that re-resolves per query.
+    * The schema is a per-kind constant — nothing is materialized here. */
   def dataFrame(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-                kind: String, snapshotId: Option[Long] = None)
+                kind: String, snapshotId: Option[Long] = None,
+                asOfTimestampMs: Option[Long] = None,
+                ref: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     GraftShim.addOptimization(spark, IcebergScanRule)
-    val schema = relation(spark, tablePath, kind, snapshotId).schema
     GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
-      GraftShim.attributes(schema)))
+      asOfTimestampMs, ref, GraftShim.attributes(IcebergIO.metaSchema(kind))))
   }
 }
 
@@ -130,8 +142,8 @@ object IcebergScanRule extends Rule[LogicalPlan] {
       aligned(rel, None)
     case m: IcebergMetaScan =>
       val spark = GraftShim.activeSession
-      align(m.output, GraftShim.analyzedPlan(
-        IcebergMetaScan.relation(spark, m.tablePath, m.kind, m.snapshotId)),
+      align(m.output, GraftShim.optimizedPlan(
+        IcebergMetaScan.relation(spark, m)),
         s"${m.tablePath}#${m.kind}")
   }
 
@@ -147,7 +159,11 @@ object IcebergScanRule extends Rule[LogicalPlan] {
         IcebergIO.read(spark, rel.tablePath, rel.snapshotId,
           rel.asOfTimestampMs, ref = rel.ref)
     }
-    align(rel.output, GraftShim.analyzedPlan(df), rel.tablePath)
+    // OPTIMIZED, not analyzed: this splices into the host plan during
+    // the last optimizer batch, so the sub-plan must not re-enter the
+    // main batches (a ResolvedHint from the delete-path broadcast would
+    // otherwise survive to physical planning and throw)
+    align(rel.output, GraftShim.optimizedPlan(df), rel.tablePath)
   }
 
   private def align(output: Seq[Attribute], child: LogicalPlan,

@@ -89,6 +89,14 @@ object GraftShim {
   def analyzedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** A DataFrame's OPTIMIZED logical plan. Sub-plans spliced into a host
+    * plan during the last optimizer batch must already be optimized —
+    * an analyzed sub-plan would skip every main batch, and e.g. a
+    * surviving `ResolvedHint` (from `broadcast(df)`) makes physical
+    * planning throw ("should have been replaced by join hint"). */
+  def optimizedPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.optimizedPlan
+
   /** Output attributes for a schema (fresh exprIds). */
   def attributes(schema: types.StructType): Seq[catalyst.expressions.Attribute] =
     catalyst.types.DataTypeUtils.toAttributes(schema)

@@ -79,6 +79,55 @@ class IcebergSqlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ice_sql_pin").head().getLong(0) === 1L)
   }
 
+  test("SQL surface over a table with EQUALITY deletes (broadcast sub-plan)") {
+    // regression: the materialized sub-plan embeds broadcast(seqDf); an
+    // ANALYZED splice left its ResolvedHint alive into physical planning
+    // ("should have been replaced by join hint") — the rule must splice
+    // the OPTIMIZED sub-plan
+    val dir = s"$root/eqdel_sql"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "a"))
+    w.deleteEquality(rows(1L -> "a").select("id"), Seq(1))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_eqd")
+    assert(spark.sql("SELECT id FROM ice_sql_eqd")
+      .collect().map(_.getLong(0)).sorted === Array(2L, 3L))
+    // WHERE over the delete-bearing table: pruning + merge-on-read
+    assert(spark.sql("SELECT id FROM ice_sql_eqd WHERE grp = 'a'")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("SQL surface over a table with POSITION deletes") {
+    val dir = s"$root/posdel_sql"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a", 2L -> "b", 3L -> "c"))
+    w.deletePositions(w.dataFilePaths.head, Seq(0L))
+    IcebergTableScan.dataFrame(spark, dir).createOrReplaceTempView("ice_sql_pd")
+    assert(spark.sql("SELECT id FROM ice_sql_pd")
+      .collect().map(_.getLong(0)).sorted === Array(2L, 3L))
+    assert(spark.sql("SELECT count(*) FROM ice_sql_pd WHERE id >= 2")
+      .head.getLong(0) === 2L)
+  }
+
+  test("metadata views honor a ref pin") {
+    val dir = s"$root/metaref"
+    val w = new IcebergFixture.Writer(spark, dir, st)
+    w.append(rows(1L -> "a"))
+    w.tag("v1")
+    w.append(rows(2L -> "b"))
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("ice_sql_mref", dir, ref = Some("v1"),
+      metadataTables = true)
+    // the data view serves the tag's snapshot...
+    assert(spark.sql("SELECT count(*) FROM ice_sql_mref").head.getLong(0) === 1L)
+    // ...and _files describes THAT snapshot, not the current one
+    assert(spark.sql("SELECT count(*) FROM ice_sql_mref_files")
+      .head.getLong(0) === 1L)
+    Seq("ice_sql_mref", "ice_sql_mref_history", "ice_sql_mref_files",
+      "ice_sql_mref_partitions", "ice_sql_mref_manifests",
+      "ice_sql_mref_snapshots", "ice_sql_mref_refs")
+      .foreach(spark.catalog.dropTempView(_))
+  }
+
   test("snapshot pin + WHERE: pruning derives against the pinned snapshot") {
     val dir = s"$root/pinwhere"
     val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))

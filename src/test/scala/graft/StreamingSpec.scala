@@ -342,6 +342,16 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("ice_stream").select("id")
         .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+      // a delete FILE appearing in data/ mid-stream (what a later delete
+      // commit writes) must NOT stream as phantom rows — the glob filter
+      // admits only data files
+      val delBytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$dir/data").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/data/eqdelete-99999.parquet"), delBytes)
+      q.processAllAvailable()
+      assert(spark.table("ice_stream").count() === 3)
     } finally q.stop()
     // non-append history fails fast (file-grain stream can't delete rows)
     w.deleteEquality(rows(1L -> "a").select("id"), Seq(1))
