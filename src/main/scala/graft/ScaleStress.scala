@@ -135,8 +135,11 @@ object ScaleStress {
         graft.sources.IcebergIO.files(spark, dir).count(): Unit
         (System.nanoTime() - t0) / 1e9
       }.min
-    val planSmallDir = planningFixture(20)  // 2 appends x 20 buckets = 40
-    val planLargeDir = planningFixture(200) // 2 appends x 200 = 400
+    // NOTE file counts: the even/odd key split against an EVEN modulus
+    // populates only half the residues per append — each append writes
+    // buckets/2 files, so the tables hold exactly `buckets` files total.
+    val planSmallDir = planningFixture(20)  // 20 data files
+    val planLargeDir = planningFixture(200) // 200 data files
     val planSmall = planTime(planSmallDir)
     val planLarge = planTime(planLargeDir)
     val planRatio = planLarge / math.max(planSmall, 1e-3)
@@ -148,7 +151,7 @@ object ScaleStress {
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""skew":{"queries":{${skewRows.mkString(",")}},"threshold":${jnum(skewThreshold)},""" +
       s""""suspect_skew":[${skewSuspects.map("\"" + _ + "\"").mkString(",")}]},""" +
-      s""""iceberg_planning":{"files_small":40,"files_large":400,""" +
+      s""""iceberg_planning":{"files_small":20,"files_large":200,""" +
       s""""sec_small":${jnum(planSmall)},"sec_large":${jnum(planLarge)},""" +
       s""""ratio":${jnum(planRatio)},"threshold":${jnum(planThreshold)},""" +
       s""""suspect":${planSuspect}},""" +

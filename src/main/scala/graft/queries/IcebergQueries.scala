@@ -48,7 +48,8 @@ object IcebergQueries {
 
   /** Bench-grain fixture: `orders` identity-partitioned by
     * `o_bucket = o_orderkey % 200`, TWO appendFast snapshots (even keys,
-    * then odd) — ~400 data files with per-file stats, so the bench
+    * then odd; each populates the 100 same-parity residues) — 200 data
+    * files with per-file stats, so the bench
     * entries regression-protect MANIFEST PLANNING cost (the scan path's
     * driver-side component) at a realistic file count, not a 2-file toy.
     * Built once per JVM per scale dir; iteration 1 of a bench run pays
@@ -71,7 +72,7 @@ object IcebergQueries {
       dir
     })
 
-  /** Full scan of the ~400-file bench table, forced through an exact
+  /** Full scan of the 200-file bench table, forced through an exact
     * aggregate — times manifest planning + the vectorized parquet scan. */
   val icebergBenchScan = dfQ("iceberg_bench_scan",
     """SELECT COUNT(*) AS n,
@@ -86,7 +87,7 @@ object IcebergQueries {
   }
 
   /** Selective readWhere over the bench table: partition pruning keeps
-    * 2 of ~400 files — times the DERIVATION + pruning path end-to-end. */
+    * 2 of 200 files — times the DERIVATION + pruning path end-to-end. */
   val icebergBenchPrune = dfQ("iceberg_bench_prune",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_orderkey % 200 = 7 ORDER BY o_orderkey""".stripMargin) { (s, sfDir) =>

@@ -780,7 +780,15 @@ object IcebergFixture {
       }
       val snaps = root.putArray("snapshots")
       snapshotNodes.foreach(snaps.add)
-      root.putArray("snapshot-log")
+      // snapshot-log: MAIN-lineage (timestamp, snapshot) entries — every
+      // fixture commit is on main, so the log mirrors commit order; this
+      // is what as-of time travel resolves against per spec
+      val slog = root.putArray("snapshot-log")
+      snapshotNodes.foreach { sn =>
+        val e = slog.addObject()
+        e.put("timestamp-ms", sn.get("timestamp-ms").asLong())
+        e.put("snapshot-id", sn.get("snapshot-id").asLong())
+      }
       root.putArray("metadata-log")
 
       val mdFile = new File(metaDir, s"v$version.metadata.json")

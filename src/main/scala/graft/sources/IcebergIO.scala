@@ -75,7 +75,8 @@ object IcebergIO {
       // default spec fields: (partition field name, transform, source id)
       partitionFields: Seq[(String, String, Int)],
       metadataFile: String,
-      refs: Map[String, Long]) // branch/tag name -> snapshot id
+      refs: Map[String, Long], // branch/tag name -> snapshot id
+      snapshotLog: Seq[(Long, Long)] = Seq.empty) // main lineage (ts, id)
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -233,8 +234,17 @@ object IcebergIO {
           e.getKey -> e.getValue.get("snapshot-id").asLong()
         }.toMap
       else Map.empty
+    // snapshot-log: the MAIN-lineage (timestamp, snapshot) history — the
+    // correct basis for as-of resolution (a side-branch commit's
+    // timestamp must not win time travel on the main table)
+    val snapshotLog: Seq[(Long, Long)] =
+      if (root.has("snapshot-log"))
+        root.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
+      else Seq.empty
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs)
+      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
+      snapshotLog)
   }
 
   // ------------------------------------------------------------ manifests
@@ -667,37 +677,23 @@ object IcebergIO {
                        partitionFilter: Map[String, Any],
                        statsPred: StatsPred,
                        ref: Option[String]): DataFrame = {
-    require(Seq(snapshotId, asOfTimestampMs, ref).count(_.isDefined) <= 1,
-      "specify at most one of snapshotId / asOfTimestampMs / ref")
     val meta = loadMetadata(tablePath)
-    // a named ref (branch or tag, metadata.json "refs") is just a pinned
-    // snapshot id — `VERSION AS OF 'tag'` in engine dialects
-    val resolvedSnapshotId: Option[Long] = ref match {
-      case Some(r) => Some(meta.refs.getOrElse(r,
-        throw new IllegalArgumentException(
-          s"ref '$r' not found; available refs: " +
-            meta.refs.keys.toSeq.sorted.mkString(", "))))
-      case None => snapshotId
-    }
-    val snap: Option[SnapshotInfo] = resolvedSnapshotId match {
-      case Some(id) =>
-        Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
-          throw new IllegalArgumentException(
-            s"snapshot $id not found; available: " +
-              meta.snapshots.map(_.snapshotId).sorted.mkString(", "))))
-      case None => asOfTimestampMs match {
-        case Some(ts) =>
-          val eligible = meta.snapshots.filter(_.timestampMs <= ts)
-          require(eligible.nonEmpty,
-            s"no snapshot committed at or before $ts; earliest is " +
-              meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L))
-          Some(eligible.maxBy(_.timestampMs))
+    // ONE resolution policy for snapshotId / as-of / ref (named refs are
+    // pinned snapshot ids — `VERSION AS OF 'tag'` in engine dialects;
+    // as-of follows snapshot-log when present): [[resolveSnapshotId]],
+    // shared with the live metadata views.
+    val snap: Option[SnapshotInfo] =
+      resolveSnapshotId(meta, snapshotId, asOfTimestampMs, ref) match {
+        case Some(id) =>
+          Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot $id not found; available: " +
+                meta.snapshots.map(_.snapshotId).sorted.mkString(", "))))
         case None =>
           meta.currentSnapshotId.map(id => meta.snapshots.find(_.snapshotId == id)
             .getOrElse(throw new IllegalStateException(
               s"current-snapshot-id $id missing from snapshots list")))
       }
-    }
     // Resolve source-column filters to (partition field name -> expected
     // STORED value) via [[storedPartitionValue]] — the filter literal is
     // transformed/normalized into exactly what manifests record before
@@ -1013,9 +1009,13 @@ object IcebergIO {
   }
 
   /** Resolve at most one of snapshotId / asOfTimestampMs / ref to a
-    * concrete snapshot id (None = current). Shared by the live metadata
-    * views so a pinned registration describes its own snapshot. */
-  private[graft] def resolveSnapshotId(tablePath: String,
+    * concrete snapshot id (None = current) — THE single copy of the
+    * pin-resolution policy, shared by the data scan ([[readImpl]]) and
+    * the live metadata views. As-of resolves against `snapshot-log`
+    * (the MAIN lineage) when the metadata records it — a side branch's
+    * commit timestamp must not win time travel — and falls back to
+    * max-timestamp over all snapshots for metadata without a log. */
+  private[graft] def resolveSnapshotId(meta: TableMetadata,
                                        snapshotId: Option[Long],
                                        asOfTimestampMs: Option[Long],
                                        ref: Option[String]): Option[Long] = {
@@ -1023,23 +1023,34 @@ object IcebergIO {
       "specify at most one of snapshotId / asOfTimestampMs / ref")
     if (snapshotId.isDefined) snapshotId
     else if (asOfTimestampMs.isEmpty && ref.isEmpty) None
-    else {
-      val meta = loadMetadata(tablePath)
-      ref match {
-        case Some(r) => Some(meta.refs.getOrElse(r,
-          throw new IllegalArgumentException(
-            s"ref '$r' not found; available refs: " +
-              meta.refs.keys.toSeq.sorted.mkString(", "))))
-        case None =>
-          val ts = asOfTimestampMs.get
+    else ref match {
+      case Some(r) => Some(meta.refs.getOrElse(r,
+        throw new IllegalArgumentException(
+          s"ref '$r' not found; available refs: " +
+            meta.refs.keys.toSeq.sorted.mkString(", "))))
+      case None =>
+        val ts = asOfTimestampMs.get
+        if (meta.snapshotLog.nonEmpty) {
+          val eligible = meta.snapshotLog.filter(_._1 <= ts)
+          require(eligible.nonEmpty,
+            s"no snapshot committed at or before $ts; earliest is " +
+              meta.snapshotLog.map(_._1).min)
+          Some(eligible.maxBy(_._1)._2)
+        } else {
           val eligible = meta.snapshots.filter(_.timestampMs <= ts)
           require(eligible.nonEmpty,
             s"no snapshot committed at or before $ts; earliest is " +
               meta.snapshots.map(_.timestampMs).minOption.getOrElse(-1L))
           Some(eligible.maxBy(_.timestampMs).snapshotId)
-      }
+        }
     }
   }
+
+  private[graft] def resolveSnapshotId(tablePath: String,
+                                       snapshotId: Option[Long],
+                                       asOfTimestampMs: Option[Long],
+                                       ref: Option[String]): Option[Long] =
+    resolveSnapshotId(loadMetadata(tablePath), snapshotId, asOfTimestampMs, ref)
 
   /** Snapshot ids in commit order (by sequence number, then timestamp) —
     * the table's history surface. */
@@ -1084,27 +1095,22 @@ object IcebergIO {
     // them; fall back to the sequence-number range otherwise (older
     // metadata), which is conservative in the side-branch direction.
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // parent-snapshot-id is OPTIONAL per spec, so any break in the chain
+    // (absent link mid-history, expired parent) degrades to the
+    // sequence-range check — conservative: it may reject a side-branch
+    // delete a complete lineage would have ignored, but it never
+    // silently mis-selects files.
     @annotation.tailrec
     def walk(cur: SnapshotInfo, acc: List[SnapshotInfo])
         : Option[List[SnapshotInfo]] =
       if (cur.snapshotId == fromSnapshotId) Some(acc)
-      else cur.parentId match {
-        case None =>
-          throw new IllegalArgumentException(
-            s"snapshot $fromSnapshotId is not an ancestor of " +
-              s"${toSnap.snapshotId} — incremental ranges must follow one lineage")
-        case Some(pid) => byId.get(pid) match {
-          case Some(p) => walk(p, cur :: acc)
-          case None => None // expired parent: degrade to the range check
-        }
+      else cur.parentId.flatMap(byId.get) match {
+        case Some(p) => walk(p, cur :: acc)
+        case None    => None // chain break (or from not an ancestor)
       }
-    val parentsRecorded = meta.snapshots.exists(_.parentId.isDefined)
-    val inRange: Seq[SnapshotInfo] =
-      if (parentsRecorded) walk(toSnap, Nil).getOrElse(
-        meta.snapshots.filter(s =>
-          s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber))
-      else meta.snapshots.filter(s =>
-        s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber)
+    val inRange: Seq[SnapshotInfo] = walk(toSnap, Nil).getOrElse(
+      meta.snapshots.filter(s =>
+        s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber))
     val nonAppend = inRange.filterNot(_.operation == "append")
     if (nonAppend.nonEmpty)
       throw new UnsupportedOperationException(
@@ -1209,8 +1215,12 @@ object IcebergIO {
   }
 
   def files(spark: SparkSession, tablePath: String,
-            snapshotId: Option[Long] = None): DataFrame = {
-    val meta = loadMetadata(tablePath)
+            snapshotId: Option[Long] = None): DataFrame =
+    filesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def filesOf(spark: SparkSession, meta: TableMetadata,
+                               tablePath: String,
+                               snapshotId: Option[Long]): DataFrame = {
     val snap = snapshotOf(meta, snapshotId, tablePath)
     val rows = liveFiles(spark, snap).map { f =>
       Row(baseName(f.path), f.content, f.format,
@@ -1227,8 +1237,12 @@ object IcebergIO {
     * no list-level metadata, so it reports content 0, sequence 0 and -1
     * counts. Metadata grain: only the manifest LIST is read. */
   def manifests(spark: SparkSession, tablePath: String,
-                snapshotId: Option[Long] = None): DataFrame = {
-    val meta = loadMetadata(tablePath)
+                snapshotId: Option[Long] = None): DataFrame =
+    manifestsOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def manifestsOf(spark: SparkSession, meta: TableMetadata,
+                                   tablePath: String,
+                                   snapshotId: Option[Long]): DataFrame = {
     val snap = snapshotOf(meta, snapshotId, tablePath)
     val rows: Seq[Row] = snap.manifestList match {
       case Some(ml) =>
@@ -1260,8 +1274,12 @@ object IcebergIO {
     * in canonical partition-string order. Metadata grain: computed from
     * the manifests' per-file record counts, no data file opened. */
   def partitions(spark: SparkSession, tablePath: String,
-                 snapshotId: Option[Long] = None): DataFrame = {
-    val meta = loadMetadata(tablePath)
+                 snapshotId: Option[Long] = None): DataFrame =
+    partitionsOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def partitionsOf(spark: SparkSession, meta: TableMetadata,
+                                    tablePath: String,
+                                    snapshotId: Option[Long]): DataFrame = {
     val snap = snapshotOf(meta, snapshotId, tablePath)
     val rows = liveFiles(spark, snap).filter(_.content == 0)
       .groupBy(partitionString).toSeq.sortBy(_._1)
@@ -1278,8 +1296,10 @@ object IcebergIO {
     * out: the fixture always writes it, but the scan treats branches and
     * tags identically (read-only), so the relation pins only what the
     * reader actually uses. */
-  def refs(spark: SparkSession, tablePath: String): DataFrame = {
-    val meta = loadMetadata(tablePath)
+  def refs(spark: SparkSession, tablePath: String): DataFrame =
+    refsOf(spark, loadMetadata(tablePath))
+
+  private[sources] def refsOf(spark: SparkSession, meta: TableMetadata): DataFrame = {
     val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, sid) => Row(n, sid) }
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -1289,8 +1309,10 @@ object IcebergIO {
   /** Table history as a relation — the `.history`/`.snapshots` metadata
     * table the runtime jar exposes: one row per snapshot in commit order
     * (snapshot_id, sequence_number, committed_at_ms, operation). */
-  def history(spark: SparkSession, tablePath: String): DataFrame = {
-    val meta = loadMetadata(tablePath)
+  def history(spark: SparkSession, tablePath: String): DataFrame =
+    historyOf(spark, loadMetadata(tablePath))
+
+  private[sources] def historyOf(spark: SparkSession, meta: TableMetadata): DataFrame = {
     val rows = meta.snapshots
       .sortBy(s => (s.sequenceNumber, s.timestampMs))
       .map(s => Row(s.snapshotId, s.sequenceNumber, s.timestampMs, s.operation))
@@ -1304,8 +1326,10 @@ object IcebergIO {
     * `.history` shows), with parent linkage, the manifest-list file name
     * and the full summary map. Metadata grain: only `metadata.json` is
     * read. */
-  def snapshots(spark: SparkSession, tablePath: String): DataFrame = {
-    val meta = loadMetadata(tablePath)
+  def snapshots(spark: SparkSession, tablePath: String): DataFrame =
+    snapshotsOf(spark, loadMetadata(tablePath))
+
+  private[sources] def snapshotsOf(spark: SparkSession, meta: TableMetadata): DataFrame = {
     val rows = meta.snapshots
       .sortBy(s => (s.sequenceNumber, s.timestampMs))
       .map(s => Row(s.timestampMs, s.snapshotId,

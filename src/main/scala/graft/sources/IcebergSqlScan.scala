@@ -98,15 +98,18 @@ object IcebergMetaScan {
   private[sources] def relation(spark: org.apache.spark.sql.SparkSession,
                                 m: IcebergMetaScan)
       : org.apache.spark.sql.DataFrame = {
+    // ONE metadata load per materialization: the pin resolves against
+    // the same TableMetadata the relation is built from
+    val meta = IcebergIO.loadMetadata(m.tablePath)
     lazy val pinned: Option[Long] = IcebergIO.resolveSnapshotId(
-      m.tablePath, m.snapshotId, m.asOfTimestampMs, m.ref)
+      meta, m.snapshotId, m.asOfTimestampMs, m.ref)
     m.kind match {
-      case "history"    => IcebergIO.history(spark, m.tablePath)
-      case "files"      => IcebergIO.files(spark, m.tablePath, pinned)
-      case "partitions" => IcebergIO.partitions(spark, m.tablePath, pinned)
-      case "manifests"  => IcebergIO.manifests(spark, m.tablePath, pinned)
-      case "snapshots"  => IcebergIO.snapshots(spark, m.tablePath)
-      case "refs"       => IcebergIO.refs(spark, m.tablePath)
+      case "history"    => IcebergIO.historyOf(spark, meta)
+      case "files"      => IcebergIO.filesOf(spark, meta, m.tablePath, pinned)
+      case "partitions" => IcebergIO.partitionsOf(spark, meta, m.tablePath, pinned)
+      case "manifests"  => IcebergIO.manifestsOf(spark, meta, m.tablePath, pinned)
+      case "snapshots"  => IcebergIO.snapshotsOf(spark, meta)
+      case "refs"       => IcebergIO.refsOf(spark, meta)
       case other => throw new IllegalArgumentException(
         s"unknown Iceberg metadata relation: $other")
     }

@@ -322,6 +322,22 @@ object StreamingOps {
         "streaming read supports append-only tables; snapshot(s) " +
           nonAppend.map(s => s"${s.snapshotId} (${s.operation})").mkString(", ") +
           " are not appends")
+    // Fail LOUDLY when the glob misses the table's actual data files
+    // (e.g. a real writer's uuid naming): a silently empty stream is the
+    // worst failure mode. The current snapshot's live file names are
+    // already in the metadata — check them at construction.
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$dataFileGlob")
+    val names = graft.sources.IcebergIO.files(spark, tablePath)
+      .filter("content = 0").select("file_name")
+      .collect().map(_.getString(0))
+    val misses = names.filterNot(n =>
+      matcher.matches(java.nio.file.Paths.get(n)))
+    if (misses.nonEmpty)
+      throw new IllegalArgumentException(
+        s"dataFileGlob '$dataFileGlob' does not match existing data " +
+          s"file(s) ${misses.take(3).mkString(", ")} — the stream would " +
+          "be silently empty; pass a glob matching this writer's naming")
     spark.readStream
       .schema(meta.schema)
       .option("pathGlobFilter", dataFileGlob)
