@@ -221,45 +221,12 @@ object IcebergFixture {
     /** The transform as a Column over the source (identity passthrough;
       * truncate per spec: floor-mod width binning for ints, prefix for
       * strings; bucket per spec via [[IcebergTransforms.bucket]]). */
+    /** The shared writer/reader transform mapping
+      * ([[IcebergTransforms.sparkColumn]]) bound to this table's schema. */
     private def transformCol(field: (String, String, String))
         : org.apache.spark.sql.Column = {
-      import org.apache.spark.sql.functions.{col => c, _}
       val (_, t, src) = field
-      val W = "\\d+".r.findFirstIn(t).map(_.toInt)
-      (t, schema(src).dataType) match {
-        case ("identity", _) => c(src)
-        case ("void", _)     => lit(null).cast("int")
-        // spec time-transform ordinals (IcebergTransforms scaladoc):
-        // fixture grain supports date sources (hour: timestamp sources)
-        case ("year", DateType)  => year(c(src)) - lit(1970)
-        case ("month", DateType) =>
-          (year(c(src)) - lit(1970)) * lit(12) + month(c(src)) - lit(1)
-        case ("day", DateType)   => datediff(c(src), to_date(lit("1970-01-01")))
-        case ("hour", TimestampNTZType) | ("hour", TimestampType) =>
-          expr(s"cast(unix_micros(cast($src as timestamp)) div 3600000000 as int)")
-        case (tt, other) if timeTransforms(tt) =>
-          throw new IllegalArgumentException(
-            s"$tt not supported on $other in the fixture")
-        case (b, dt) if b.startsWith("bucket") =>
-          val n = W.get
-          val u = dt match {
-            case IntegerType => udf((x: java.lang.Integer) =>
-              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.intValue())))
-            case LongType => udf((x: java.lang.Long) =>
-              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.longValue())))
-            case StringType => udf((x: String) =>
-              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
-            case DateType => udf((x: java.sql.Date) =>
-              if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
-            case other => throw new IllegalArgumentException(
-              s"bucket not supported on $other in the fixture")
-          }
-          u(c(src))
-        case (_, IntegerType) | (_, LongType) => c(src) - pmod(c(src), lit(W.get))
-        case (_, StringType)                  => substring(c(src), 1, W.get)
-        case (_, other) => throw new IllegalArgumentException(
-          s"truncate not supported on $other in the fixture")
-      }
+      IcebergTransforms.sparkColumn(t, src, schema(src).dataType)
     }
 
     private val metaDir = new File(dir, "metadata")

@@ -967,22 +967,38 @@ object IcebergIO {
       def partitionScope(partVals: Map[String, Any]): Option[Column] =
         if (partVals.isEmpty) None
         else Some(meta.partitionFields.map { case (fieldName, transform, srcId) =>
-          if (transform != "identity")
-            throw new UnsupportedOperationException(
-              s"partition-scoped equality deletes only supported for " +
-                s"identity transforms, got '$transform' on field '$fieldName'")
-          val src = meta.fieldById.getOrElse(srcId,
-            throw new IllegalArgumentException(
-              s"partition source field id $srcId not in table schema"))
-          val dt = meta.schema(src).dataType
-          if (!Seq(IntegerType, LongType, StringType).contains(dt))
-            throw new UnsupportedOperationException(
-              s"partition-scoped equality deletes only supported for " +
-                s"int/long/string identity sources, got $dt on '$src'")
-          val v = partVals.getOrElse(fieldName,
-            throw new IllegalArgumentException(
-              s"delete-file partition tuple missing field '$fieldName'"))
-          col(src) <=> lit(v)
+          // void: single all-null tuple — the whole table is in scope
+          if (transform == "void") lit(true)
+          else {
+            val src = meta.fieldById.getOrElse(srcId,
+              throw new IllegalArgumentException(
+                s"partition source field id $srcId not in table schema"))
+            val dt = meta.schema(src).dataType
+            val v = partVals.getOrElse(fieldName,
+              throw new IllegalArgumentException(
+                s"delete-file partition tuple missing field '$fieldName'"))
+            // identity on date/timestamp stores epoch ORDINALS in the
+            // manifest while the row column is a date/timestamp — a
+            // plain comparison would silently mis-scope; only the types
+            // whose stored form IS the source value are safe
+            if (transform == "identity" &&
+                !Seq(IntegerType, LongType, StringType).contains(dt))
+              throw new UnsupportedOperationException(
+                s"partition-scoped equality deletes on identity-" +
+                  s"partitioned $dt (field '$fieldName') are not supported")
+            // per-row stored tuple via the SAME transform mapping the
+            // writer uses; an unsupported (transform, type) combination
+            // fails loudly — silent mis-scoping would corrupt results
+            val rowStored =
+              try IcebergTransforms.sparkColumn(transform, src, dt)
+              catch {
+                case e: IllegalArgumentException =>
+                  throw new UnsupportedOperationException(
+                    s"partition-scoped equality delete on field " +
+                      s"'$fieldName': ${e.getMessage}")
+              }
+            rowStored <=> lit(v)
+          }
         }.reduce(_ && _))
       eqFiles.groupBy(f => (f.equalityIds, f.partitionValues))
         .toSeq.sortBy(_._2.head.path) // deterministic plan order

@@ -187,4 +187,59 @@ object IcebergTransforms {
     case other => throw new IllegalArgumentException(
       s"bound deserialization not supported for Iceberg type '$other'")
   }
+
+  /**
+   * The STORED partition value of `transform` over source column `src`
+   * as a Spark Column — shared by the fixture writer (computing the
+   * tuple to record) and the scan's partition-scoped delete join
+   * (recomputing the tuple per data row). One mapping, so writer and
+   * reader can never disagree on a transform's Spark form.
+   */
+  def sparkColumn(transformName: String, src: String,
+                  dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    // NB: `transform` would clash with functions.transform once the
+    // wildcard import is in scope
+    import org.apache.spark.sql.functions.{col => c, _}
+    import org.apache.spark.sql.types._
+    val W = "\\d+".r.findFirstIn(transformName).map(_.toInt)
+    (transformName, dt) match {
+      case ("identity", _) => c(src)
+      case ("void", _)     => lit(null).cast("int")
+      // spec time-transform ordinals; date sources (hour: timestamps)
+      case ("year", DateType)  => year(c(src)) - lit(1970)
+      case ("month", DateType) =>
+        (year(c(src)) - lit(1970)) * lit(12) + month(c(src)) - lit(1)
+      case ("day", DateType)   => datediff(c(src), to_date(lit("1970-01-01")))
+      case ("hour", TimestampNTZType) | ("hour", TimestampType) =>
+        expr(s"cast(unix_micros(cast($src as timestamp)) div 3600000000 as int)")
+      case (tt, other) if Set("year", "month", "day", "hour")(tt) =>
+        throw new IllegalArgumentException(
+          s"$tt transform not supported on $other")
+      case (b, srcDt) if b.startsWith("bucket") =>
+        val n = W.get
+        val u = srcDt match {
+          case IntegerType => udf((x: java.lang.Integer) =>
+            if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.intValue())))
+          case LongType => udf((x: java.lang.Long) =>
+            if (x == null) null else Int.box(IcebergTransforms.bucket(n, x.longValue())))
+          case StringType => udf((x: String) =>
+            if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
+          case DateType => udf((x: java.sql.Date) =>
+            if (x == null) null else Int.box(IcebergTransforms.bucket(n, x)))
+          case other => throw new IllegalArgumentException(
+            s"bucket transform not supported on $other")
+        }
+        u(c(src))
+      case (t, IntegerType) if t.startsWith("truncate") =>
+        c(src) - pmod(c(src), lit(W.get))
+      case (t, LongType) if t.startsWith("truncate") =>
+        c(src) - pmod(c(src), lit(W.get))
+      case (t, StringType) if t.startsWith("truncate") =>
+        substring(c(src), 1, W.get)
+      case (t, other) =>
+        throw new IllegalArgumentException(
+          s"transform '$t' not supported on $other")
+    }
+  }
 }

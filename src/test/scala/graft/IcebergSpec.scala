@@ -1084,6 +1084,32 @@ class IcebergSpec extends AnyFunSuite {
     assert(got === Seq((1L, "b"), (2L, "a"), (3L, "b")))
   }
 
+  test("partition-scoped equality delete on a BUCKET-partitioned table") {
+    import graft.sources.IcebergTransforms
+    val dir = s"$root/eqscope_bucket"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = true)))
+    def rows2(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st2)
+    // two grp values landing in DIFFERENT buckets (computed, not assumed)
+    val g1 = "a"
+    val b1 = IcebergTransforms.bucket(4, g1)
+    val g2 = ('b' to 'z').map(_.toString)
+      .find(g => IcebergTransforms.bucket(4, g) != b1).get
+    val w = new IcebergFixture.Writer(spark, dir, st2,
+      partitionCols = Seq("grp"),
+      partitionTransforms = Map("grp" -> "bucket[4]"))
+    // id=1 exists in BOTH buckets; the scoped delete must only hit b1's
+    w.append(rows2(1L -> g1, 2L -> g1, 1L -> g2))
+    w.deleteEqualityInPartition(rows2(1L -> g1).select("id"),
+      fieldIds = Seq(1), partitionVals = Seq(b1))
+    val got = IcebergIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === Seq((1L, g2), (2L, g1)))
+  }
+
   test("incremental append scan: exact range, empty tail, non-append fails") {
     val dir = s"$root/incremental"
     val w = new IcebergFixture.Writer(spark, dir, schema)
