@@ -83,13 +83,59 @@ object Dedup {
   }
 
   /** Candidate pairs = distinct (a < b) sharing any band bucket. The join
-    * is bucket-local: shuffle on (band, band_key), never all-pairs. */
-  def lshCandidates(bandKeys: DataFrame): DataFrame = {
-    val a = bandKeys.select(col("band"), col("band_key"), col("id").as("a"))
-    val b = bandKeys.select(col("band"), col("band_key"), col("id").as("b"))
+    * is bucket-local: shuffle on (band, band_key), never all-pairs.
+    *
+    * `maxBucket` is a safety valve against mega-buckets: a bucket holding
+    * B ids yields B·(B-1)/2 candidate pairs, so one flood of
+    * near-identical (but not byte-identical — those are collapsed
+    * upstream, see `minhashNearDups`) documents can go quadratic. When
+    * set, buckets with more than `maxBucket` ids are EXCLUDED from
+    * candidate generation — a recall trade the caller opts into; audit
+    * exactly what was dropped with `lshOversizeBuckets` (same threshold).
+    * The default keeps exact all-pairs-within-bucket semantics and the
+    * original plan shape (no window inserted). */
+  def lshCandidates(bandKeys: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val src =
+      if (maxBucket == Int.MaxValue) bandKeys
+      else {
+        // bucket-size window shares the (band, band_key) partitioning the
+        // join needs anyway — one extra sort within partitions, no shuffle
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+        bandKeys.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucket)
+          .drop("__bucket_n")
+      }
+    val a = src.select(col("band"), col("band_key"), col("id").as("a"))
+    val b = src.select(col("band"), col("band_key"), col("id").as("b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** The loud-accounting side of `lshCandidates(maxBucket)`: every bucket
+    * the cap would drop, with its size — run (and log/persist) this
+    * whenever a cap is in force so dropped recall is visible, never
+    * silent. */
+  def lshOversizeBuckets(bandKeys: DataFrame, maxBucket: Int): DataFrame =
+    bandKeys.groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Exact-duplicate collapse: one representative (lowest id) per
+    * distinct text, as (id, txt). Byte-identical texts share every band
+    * key, so collapsing BEFORE shingling keeps duplicate groups from
+    * forming quadratic LSH buckets (see `minhashNearDups`). */
+  def collapseExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("ch"))
+      // texts within a group are identical; min() just picks one
+      .agg(min(col(idCol)).as("id"), min(col(textCol)).as("txt"))
+      .select("id", "txt")
+
+  /** (rep, member) mapping from every doc id to its exact-dup group's
+    * representative (lowest id; rep == member for unique texts). */
+  def exactDupMembers(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withHash = docs.select(md5(col(textCol)).as("ch"), col(idCol).as("member"))
+    val reps = withHash.groupBy("ch").agg(min(col("member")).as("rep"))
+    withHash.join(reps, "ch").select("rep", "member")
   }
 
   /** Exact Jaccard over shingle sets for given candidate pairs. */
@@ -107,21 +153,62 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jac"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: verified pairs with jac ≥ threshold. */
+  /** Full MinHash-LSH near-dup pipeline: verified pairs with jac ≥ threshold.
+    *
+    * Mega-bucket guard: byte-identical texts share EVERY band key, so a
+    * duplicate-heavy corpus (the norm in web-scale training data) would
+    * put each whole duplicate group into single LSH buckets and the
+    * candidate join would go quadratic in the group size. The pipeline
+    * therefore collapses each distinct text to one representative
+    * (lowest id) BEFORE shingling — LSH + Jaccard verification run over
+    * DISTINCT texts only — and fans verified pairs back out to group
+    * members at the end. The output is exactly the uncollapsed all-pairs
+    * semantics (members share their representative's shingle set, so
+    * cross-group Jaccard is unchanged, and intra-group pairs are
+    * jac = 1.0 by definition — emitted only for texts long enough to
+    * shingle, matching the uncollapsed pipeline), but COMPUTE is linear
+    * in distinct texts: 1000 copies of one doc cost the same as one.
+    * Output cardinality is still inherently quadratic in dup-group size
+    * — that is the price of asking for all pairs, paid only at emission.
+    *
+    * `maxBucket` (opt-in) additionally caps candidate generation for
+    * near-identical-but-not-byte-identical floods; see `lshCandidates`
+    * and audit drops with `lshOversizeBuckets`. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numBands: Int = 6, rowsPerBand: Int = 3,
-                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // The shingle set feeds three consumers (signatures + both Jaccard
-    // sides); without a persist the text would be re-scanned and
-    // re-shingled per consumer — at corpus scale that triples the
-    // dominant cost. MEMORY_AND_DISK spills instead of OOMing. The cache
-    // entry lives until the caller drops it (`spark.catalog.clearCache()`
-    // or unpersist) — repeated invocations in one session should clear
-    // between runs, as Bench does.
-    val sh = shingles(docs, idCol, textCol, shingleN)
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val reps = collapseExact(docs, idCol, textCol)
+    val memberOf = exactDupMembers(docs, idCol, textCol)
+    // The shingle set feeds four consumers (signatures, both Jaccard
+    // sides, the shingled-rep filter); without a persist the text would
+    // be re-scanned and re-shingled per consumer — at corpus scale that
+    // multiplies the dominant cost. MEMORY_AND_DISK spills instead of
+    // OOMing. The cache entry lives until the caller drops it
+    // (`spark.catalog.clearCache()` or unpersist) — repeated invocations
+    // in one session should clear between runs, as Bench does.
+    val sh = shingles(reps, "id", "txt", shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand))
-    jaccard(cands, sh).filter(col("jac") >= threshold)
+    val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand), maxBucket)
+    val repPairs = jaccard(cands, sh).filter(col("jac") >= threshold)
+    // fan cross-group rep pairs out to all member pairs; member ids may
+    // order differently than rep ids, so re-normalize with least/greatest
+    val cross = repPairs
+      .join(memberOf.select(col("rep").as("a"), col("member").as("ma")), "a")
+      .join(memberOf.select(col("rep").as("b"), col("member").as("mb")), "b")
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("jac"))
+    // intra-group pairs: jac = 1.0 exactly (identical shingle sets), only
+    // for groups whose text shingles at all — too-short texts produce no
+    // candidates in the uncollapsed pipeline either
+    val shingledReps = sh.select(col("id").as("rep")).distinct()
+    val dupMembers = memberOf.join(shingledReps, "rep")
+    val intra = dupMembers.select(col("rep"), col("member").as("a"))
+      .join(dupMembers.select(col("rep"), col("member").as("b")), "rep")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("jac"))
+      .filter(lit(1.0) >= threshold)
+    cross.unionByName(intra)
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
   }
 

@@ -37,6 +37,46 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(skew.get("queries").size() >= 2)
   }
 
+  test("LSH mega-bucket guard: 1000 exact copies stay linear in distinct texts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base + " today"
+    val other = "completely different content about spark engines and data processing"
+    val docs = ((1 to 1000).map(i => (i.toLong, base)) ++
+      Seq((2001L, near), (2002L, other))).toDF("doc_id", "text")
+
+    // the collapse: 3 distinct texts → the LSH/verify pipeline sees 3 rows,
+    // so candidate generation is bounded by distinct-text pairs, not the
+    // 1000-deep duplicate group
+    val reps = Dedup.collapseExact(docs, "doc_id", "text")
+    assert(reps.count() == 3)
+    val sh = Dedup.shingles(reps, "id", "txt")
+    val collapsedCands = Dedup.lshCandidates(Dedup.minhashBandKeys(sh, 6, 3))
+    assert(collapsedCands.count() <= 3,
+      "collapsed candidates must be bounded by distinct-text pairs")
+
+    // without the collapse the duplicate group floods one bucket per band;
+    // the opt-in cap drops exactly those buckets, and the audit surface
+    // reports them (loud, never silent)
+    val rawKeys = Dedup.minhashBandKeys(Dedup.shingles(docs, "doc_id", "text"), 6, 3)
+    val oversize = Dedup.lshOversizeBuckets(rawKeys, 100).collect()
+    assert(oversize.length == 6, s"expected the dup group's 6 band buckets, got ${oversize.mkString(",")}")
+    assert(oversize.forall(_.getLong(2) >= 1000L))
+    assert(Dedup.lshCandidates(rawKeys, maxBucket = 100).count() <= 3)
+
+    // end-to-end semantics preserved: every intra-group pair at jac = 1.0
+    // plus the near-dup fanned out to all 1000 members
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val intra = pairs.filter(p => p._1 <= 1000 && p._2 <= 1000)
+    assert(intra.length == 1000 * 999 / 2 && intra.forall(_._3 == 1.0))
+    val crossNear = pairs.filter(_._2 == 2001L)
+    assert(crossNear.length == 1000 && crossNear.forall(_._3 > 0.89))
+    assert(!pairs.exists(p => p._1 == 2002L || p._2 == 2002L))
+  }
+
   test("Iceberg planning cost scales ~linearly in the live-file count") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
