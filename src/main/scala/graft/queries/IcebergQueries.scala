@@ -171,6 +171,37 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** PARTITION-SCOPED equality delete on an identity-DATE partition:
+    * nation spread over three date partitions (d = 2024-01-01 + key%3,
+    * identity transform — the manifest stores the epoch-day ordinal),
+    * then one delete file `n_regionkey = 1` written INTO the
+    * 2024-01-01 partition. Region-1 rows in the OTHER two partitions
+    * must survive — the scan re-derives the stored epoch-day ordinal
+    * per row ([[graft.sources.IcebergTransforms.storedColumn]]); a
+    * plain date-vs-int comparison would never match (under-delete) and
+    * an unscoped join would kill all region-1 rows (over-delete). */
+  val icebergEqDeleteDate = dfQ("iceberg_eq_delete_date",
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  DATE '2024-01-01' + CAST(n_nationkey % 3 AS INT) AS d
+      |FROM nation
+      |WHERE NOT (n_regionkey = 1 AND n_nationkey % 3 = 0)
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val dir = s"/tmp/graft_iceberg_eqdel_date_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val src = nationSorted(s).withColumn("d",
+      date_add(to_date(lit("2024-01-01")), (col("n_nationkey") % 3).cast("int")))
+    val w = new IcebergFixture.Writer(s, dir, src.schema,
+      partitionCols = Seq("d"))
+    w.append(src)
+    // field id 3 = n_regionkey (fixture ids follow field order)
+    w.deleteEqualityInPartition(
+      src.select("n_regionkey").filter(col("n_regionkey") === 1).distinct(),
+      Seq(3), Seq(java.sql.Date.valueOf("2024-01-01")))
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
   /** Identity-partitioned table + planning-time partition pruning: nation
     * partitioned by n_regionkey (5 data files), scan with a partition
     * filter — only the matching file is ever opened (asserted in
@@ -472,7 +503,8 @@ object IcebergQueries {
   }
 
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
-    icebergEqDelete, icebergPartitionPrune, icebergBucketPrune,
+    icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
+    icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,

@@ -977,20 +977,15 @@ object IcebergIO {
             val v = partVals.getOrElse(fieldName,
               throw new IllegalArgumentException(
                 s"delete-file partition tuple missing field '$fieldName'"))
-            // identity on date/timestamp stores epoch ORDINALS in the
-            // manifest while the row column is a date/timestamp — a
-            // plain comparison would silently mis-scope; only the types
-            // whose stored form IS the source value are safe
-            if (transform == "identity" &&
-                !Seq(IntegerType, LongType, StringType).contains(dt))
-              throw new UnsupportedOperationException(
-                s"partition-scoped equality deletes on identity-" +
-                  s"partitioned $dt (field '$fieldName') are not supported")
-            // per-row stored tuple via the SAME transform mapping the
-            // writer uses; an unsupported (transform, type) combination
-            // fails loudly — silent mis-scoping would corrupt results
+            // per-row STORED tuple via the same mapping the writer
+            // records: identity over date/timestamp re-derives the
+            // spec's epoch ordinals (manifests store epoch-day ints /
+            // epoch-micros longs, not the JVM objects the row column
+            // carries — a plain comparison would silently mis-scope);
+            // an unsupported (transform, type) combination fails
+            // loudly — silent mis-scoping would corrupt results
             val rowStored =
-              try IcebergTransforms.sparkColumn(transform, src, dt)
+              try IcebergTransforms.storedColumn(transform, src, dt)
               catch {
                 case e: IllegalArgumentException =>
                   throw new UnsupportedOperationException(

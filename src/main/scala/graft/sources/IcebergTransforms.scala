@@ -188,6 +188,56 @@ object IcebergTransforms {
       s"bound deserialization not supported for Iceberg type '$other'")
   }
 
+  /** Epoch-micros of a timestamp column as a SQL fragment, session-TZ
+    * independent. TimestampType is an instant — `unix_micros` is exact.
+    * TimestampNTZType is a wall clock the spec reads as UTC; a
+    * `cast(x as timestamp)` would re-interpret it in the SESSION zone
+    * (latent mis-scoping in a non-UTC session — ADVICE r8), so the
+    * micros are assembled arithmetically from date + time-of-day
+    * fields, which are zone-free on NTZ: epoch-day × 86400000000 +
+    * hour/minute + `date_part('SECOND')` (a DECIMAL(8,6) carrying the
+    * sub-second fraction exactly). Valid for pre-1970 values too —
+    * negative epoch-day plus a non-negative intra-day offset. */
+  private def epochMicrosSql(src: String,
+                             dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => s"unix_micros($src)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        s"cast(datediff(cast($src as date), date'1970-01-01') as bigint) " +
+          s"* 86400000000 + hour($src) * 3600000000 + " +
+          s"minute($src) * 60000000 + " +
+          s"cast(date_part('SECOND', $src) * 1000000 as bigint)"
+      case other => throw new IllegalArgumentException(
+        s"epoch micros not defined on $other")
+    }
+
+  /** The value a MANIFEST partition tuple stores for `transform` over
+    * `src`, recomputed per data row. Differs from [[sparkColumn]] only
+    * for identity over date/timestamp: the writer computes the tuple
+    * from the raw column and converts to the spec's epoch ordinals when
+    * serializing the manifest, so a reader re-deriving the stored tuple
+    * (the partition-scoped delete join) must apply the same ordinal
+    * mapping. Identity over other unsupported types (e.g. decimal,
+    * stored as unscaled bytes) still throws — callers fail loudly
+    * rather than silently mis-scope. */
+  def storedColumn(transformName: String, src: String,
+                   dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col => c, _}
+    import org.apache.spark.sql.types._
+    (transformName, dt) match {
+      case ("identity", IntegerType | LongType | StringType | BooleanType) =>
+        c(src)
+      case ("identity", DateType) =>
+        datediff(c(src), to_date(lit("1970-01-01")))
+      case ("identity", TimestampType | TimestampNTZType) =>
+        expr(s"cast((${epochMicrosSql(src, dt)}) as bigint)")
+      case ("identity", other) => throw new IllegalArgumentException(
+        s"identity partition over $other has no stored-form mapping")
+      case _ => sparkColumn(transformName, src, dt)
+    }
+  }
+
   /**
    * The STORED partition value of `transform` over source column `src`
    * as a Spark Column — shared by the fixture writer (computing the
@@ -212,7 +262,7 @@ object IcebergTransforms {
         (year(c(src)) - lit(1970)) * lit(12) + month(c(src)) - lit(1)
       case ("day", DateType)   => datediff(c(src), to_date(lit("1970-01-01")))
       case ("hour", TimestampNTZType) | ("hour", TimestampType) =>
-        expr(s"cast(unix_micros(cast($src as timestamp)) div 3600000000 as int)")
+        expr(s"cast((${epochMicrosSql(src, dt)}) div 3600000000 as int)")
       case (tt, other) if Set("year", "month", "day", "hour")(tt) =>
         throw new IllegalArgumentException(
           s"$tt transform not supported on $other")

@@ -1110,6 +1110,76 @@ class IcebergSpec extends AnyFunSuite {
     assert(got === Seq((1L, g2), (2L, g1)))
   }
 
+  test("partition-scoped equality delete on an identity-DATE partition") {
+    val dir = s"$root/eqscope_date"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true)))
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-03-05")
+    def rows2(xs: (Long, java.sql.Date)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st2)
+    val w = new IcebergFixture.Writer(spark, dir, st2, partitionCols = Seq("d"))
+    // id=1 exists in BOTH date partitions: the manifest stores the
+    // epoch-day ordinal, so the scan must re-derive it per row — a raw
+    // date-vs-int compare would under-delete, an unscoped join over-delete
+    w.append(rows2(1L -> d1, 2L -> d1, 1L -> d2))
+    w.deleteEqualityInPartition(rows2(1L -> d1).select("id"),
+      fieldIds = Seq(1), partitionVals = Seq(d1))
+    val got = IcebergIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString)).sorted.toSeq
+    assert(got === Seq((1L, d2.toString), (2L, d1.toString)))
+  }
+
+  test("partition-scoped equality delete on an identity-TIMESTAMP_NTZ partition") {
+    val dir = s"$root/eqscope_ntz"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampNTZType, nullable = true)))
+    // sub-second fraction exercises the exact DECIMAL(8,6) micros assembly
+    val t1 = java.time.LocalDateTime.of(2024, 1, 1, 3, 30, 15, 123456000)
+    val t2 = java.time.LocalDateTime.of(2024, 3, 5, 22, 0, 0)
+    def rows2(xs: (Long, java.time.LocalDateTime)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st2)
+    val w = new IcebergFixture.Writer(spark, dir, st2, partitionCols = Seq("ts"))
+    w.append(rows2(1L -> t1, 2L -> t1, 1L -> t2))
+    w.deleteEqualityInPartition(rows2(1L -> t1).select("id"),
+      fieldIds = Seq(1), partitionVals = Seq(t1))
+    val got = IcebergIO.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+      .sortBy(r => (r._1, r._2.toString)).toSeq
+    assert(got === Seq((1L, t2), (2L, t1)))
+  }
+
+  test("storedColumn on TIMESTAMP_NTZ is session-time-zone independent") {
+    import graft.sources.IcebergTransforms
+    val t = java.time.LocalDateTime.of(2024, 1, 1, 3, 30, 15, 123456000)
+    // spec: NTZ wall clock reads as UTC
+    val expected = t.toInstant(java.time.ZoneOffset.UTC)
+    val expectedMicros = expected.getEpochSecond * 1000000L + expected.getNano / 1000L
+    val st2 = StructType(Seq(StructField("ts", TimestampNTZType, nullable = true)))
+    val df1 = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(Row(t))), st2)
+    val key = "spark.sql.session.timeZone"
+    val tz0 = spark.conf.get(key)
+    try {
+      Seq("UTC", "America/New_York", "Asia/Kolkata").foreach { tz =>
+        spark.conf.set(key, tz)
+        val micros = df1
+          .select(IcebergTransforms.storedColumn("identity", "ts", TimestampNTZType))
+          .head.getLong(0)
+        assert(micros === expectedMicros, s"identity micros drifted in session TZ $tz")
+        val hourOrd = df1
+          .select(IcebergTransforms.sparkColumn("hour", "ts", TimestampNTZType))
+          .head.getInt(0)
+        assert(hourOrd === (expectedMicros / 3600000000L).toInt,
+          s"hour ordinal drifted in session TZ $tz")
+      }
+    } finally spark.conf.set(key, tz0)
+  }
+
   test("incremental append scan: exact range, empty tail, non-append fails") {
     val dir = s"$root/incremental"
     val w = new IcebergFixture.Writer(spark, dir, schema)
