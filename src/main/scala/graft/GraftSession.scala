@@ -90,9 +90,10 @@ final class GraftSession private (val spark: SparkSession) {
     * registers, exposed for DataFrame-API use: `readIcebergLive(p)
     * .filter(...)` prunes exactly like the SQL surface. */
   def readIcebergLive(path: String, snapshotId: Option[Long] = None,
+                      asOfTimestampMs: Option[Long] = None,
                       ref: Option[String] = None): DataFrame =
     graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
-      ref = ref)
+      asOfTimestampMs, ref)
 
   /** Iceberg read with automatic pushdown: pruning (partition + manifest
     * stats) is derived from the condition's supported conjuncts and the

@@ -40,8 +40,15 @@ final case class IcebergTableScan(
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long],
     ref: Option[String],
-    output: Seq[Attribute]) extends LeafNode
+    output: Seq[Attribute])(
+    // second parameter list (Spark's ExternalRDD pattern): the OWNING
+    // session rides along outside the case-class equality/tree args, so
+    // materialization in a multi-session JVM uses this session's Hadoop
+    // conf, never the active-session thread-local at rule-apply time
+    @transient val session: org.apache.spark.sql.SparkSession)
+    extends LeafNode
     with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
+  override protected def otherCopyArgs: Seq[AnyRef] = session :: Nil
   // Conservative placeholder: the leaf is replaced before physical
   // planning (join selection reads stats from the materialized parquet
   // relation, never from here).
@@ -49,7 +56,7 @@ final case class IcebergTableScan(
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
   // self-joins of a registered view need per-instance attribute ids
   override def newInstance(): IcebergTableScan =
-    copy(output = output.map(_.newInstance()))
+    copy(output = output.map(_.newInstance()))(session)
 }
 
 object IcebergTableScan {
@@ -62,7 +69,7 @@ object IcebergTableScan {
     GraftShim.addOptimization(spark, IcebergScanRule)
     val schema = IcebergIO.loadMetadata(tablePath).schema
     GraftShim.dataFrame(spark, IcebergTableScan(tablePath, snapshotId,
-      asOfTimestampMs, ref, GraftShim.attributes(schema)))
+      asOfTimestampMs, ref, GraftShim.attributes(schema))(spark))
   }
 }
 
@@ -81,12 +88,15 @@ final case class IcebergMetaScan(
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long],
     ref: Option[String],
-    output: Seq[Attribute]) extends LeafNode
+    output: Seq[Attribute])(
+    @transient val session: org.apache.spark.sql.SparkSession)
+    extends LeafNode
     with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
+  override protected def otherCopyArgs: Seq[AnyRef] = session :: Nil
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(1) << 20) // metadata grain: small
   override def newInstance(): IcebergMetaScan =
-    copy(output = output.map(_.newInstance()))
+    copy(output = output.map(_.newInstance()))(session)
 }
 
 object IcebergMetaScan {
@@ -124,7 +134,8 @@ object IcebergMetaScan {
       : org.apache.spark.sql.DataFrame = {
     GraftShim.addOptimization(spark, IcebergScanRule)
     GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
-      asOfTimestampMs, ref, GraftShim.attributes(IcebergIO.metaSchema(kind))))
+      asOfTimestampMs, ref,
+      GraftShim.attributes(IcebergIO.metaSchema(kind)))(spark))
   }
 }
 
@@ -144,16 +155,18 @@ object IcebergScanRule extends Rule[LogicalPlan] {
     case rel: IcebergTableScan =>
       aligned(rel, None)
     case m: IcebergMetaScan =>
-      val spark = GraftShim.activeSession
       align(m.output, GraftShim.optimizedPlan(
-        IcebergMetaScan.relation(spark, m)),
+        IcebergMetaScan.relation(m.session, m)),
         s"${m.tablePath}#${m.kind}")
   }
 
   /** Materialize the scan and re-expose it under the leaf's original
     * attribute ids (the surrounding plan references those). */
   private def aligned(rel: IcebergTableScan, cond: Option[Expression]): LogicalPlan = {
-    val spark = GraftShim.activeSession
+    // the session captured at dataFrame() construction — NOT the
+    // active-session thread-local, which in a multi-session JVM may be a
+    // different session with a different Hadoop conf
+    val spark = rel.session
     val df = cond match {
       case Some(c) =>
         IcebergIO.readPruned(spark, rel.tablePath, GraftShim.predicateTreeOf(c),
