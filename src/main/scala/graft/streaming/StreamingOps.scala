@@ -325,14 +325,17 @@ object StreamingOps {
     // Fail LOUDLY when the glob misses the table's actual data files
     // (e.g. a real writer's uuid naming): a silently empty stream is the
     // worst failure mode. The current snapshot's live file names are
-    // already in the metadata — check them at construction.
-    val matcher = java.nio.file.FileSystems.getDefault
-      .getPathMatcher(s"glob:$dataFileGlob")
+    // already in the metadata — check them at construction, with
+    // Hadoop's GlobFilter, i.e. EXACTLY the matcher `pathGlobFilter`
+    // applies at runtime (java.nio glob semantics differ on escaping /
+    // `**` / character-class edges, so a nio-validated glob could still
+    // match differently once streaming).
+    val matcher = new org.apache.hadoop.fs.GlobFilter(dataFileGlob)
     val names = graft.sources.IcebergIO.files(spark, tablePath)
       .filter("content = 0").select("file_name")
       .collect().map(_.getString(0))
     val misses = names.filterNot(n =>
-      matcher.matches(java.nio.file.Paths.get(n)))
+      matcher.accept(new org.apache.hadoop.fs.Path(n)))
     if (misses.nonEmpty)
       throw new IllegalArgumentException(
         s"dataFileGlob '$dataFileGlob' does not match existing data " +
