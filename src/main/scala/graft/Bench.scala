@@ -14,6 +14,32 @@ import org.apache.spark.sql.SparkSession
  *    `"errors"` map, never as a fast success.
  */
 object Bench {
+
+  /** The budget gate's loadavg threshold (`max_loadavg_for_gate` in
+    * BENCH_BUDGET.json; the gate's own default when absent). */
+  def maxLoadForGate(budgetPath: String): Double =
+    try {
+      val f = new java.io.File(budgetPath)
+      if (!f.isFile) 2.0
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f).get("max_loadavg_for_gate"))
+        .map(_.asDouble).getOrElse(2.0)
+    } catch { case _: Throwable => 2.0 }
+
+  /** Where the per-query detail goes. A CONTENDED run (loadavg_start
+    * above the budget gate's threshold) must never overwrite the
+    * gateable detail file: BenchBudgetSpec self-skips on a contended
+    * detail, so an overwrite would disarm the live gate until the next
+    * regen (every driver bench run did exactly that — VERDICT r8). The
+    * contended result is still written, to a `.contended` side file,
+    * so the run stays diagnosable. */
+  def detailTarget(requested: String, loadavgStart: Double,
+                   maxLoad: Double): String =
+    if (loadavgStart <= maxLoad) requested
+    else if (requested.endsWith(".json"))
+      requested.stripSuffix(".json") + ".contended.json"
+    else requested + ".contended"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,7 +111,12 @@ object Bench {
     val tJson = allTimes.map { case (k, ts) =>
       s""""$k":${ts.map(jnum).mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val allJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString("{", ",", "}")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailReq = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailPath = detailTarget(detailReq, loadStart,
+      maxLoadForGate("BENCH_BUDGET.json"))
+    if (detailPath != detailReq)
+      System.err.println(f"contended run (loadavg_start $loadStart%.2f): " +
+        s"writing $detailPath and leaving the gateable $detailReq untouched")
     val detail =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$allJson,"errors":$eJson,"iterations":$iters,"times":$tJson,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(

@@ -137,11 +137,33 @@ class BenchBudgetSpec extends AnyFunSuite {
     val stale = exempt.diff(registry.keySet).toSeq.sorted
     assert(stale.isEmpty,
       s"BENCH_EXEMPT.json names entries that no longer exist: ${stale.mkString(", ")}")
-    // an entry that IS benchmarked must not also be exempted — one source
-    // of truth per entry
-    val both = exempt.intersect(registry.filter(_._2).keySet.filter(budgeted)).toSeq.sorted
+    // an entry that IS budgeted must not also be exempted — one source
+    // of truth per entry (the FULL budgeted set, not just bench=true:
+    // a bench=false entry with a leftover budget row plus an exemption
+    // would otherwise hide in the gap — ADVICE r8)
+    val both = exempt.intersect(budgeted.intersect(registry.keySet)).toSeq.sorted
     assert(both.isEmpty,
       s"entries both budgeted and exempted: ${both.mkString(", ")}")
+  }
+
+  // VERDICT r8 "what's wrong" #1: every driver bench run overwrote the
+  // gateable BENCH_DETAIL.json with a contended result, self-disarming
+  // the live gate until the next regen. Bench now diverts contended runs
+  // to a .contended side file; this pins the decision function so the
+  // refusal can't regress silently.
+  test("a contended bench run diverts its detail to a side file") {
+    val thr = Bench.maxLoadForGate("BENCH_BUDGET.json")
+    // the threshold mirrors the budget gate's own (default 2.0)
+    parse("BENCH_BUDGET.json").foreach { b =>
+      val expected =
+        Option(b.get("max_loadavg_for_gate")).map(_.asDouble).getOrElse(2.0)
+      assert(thr === expected)
+    }
+    assert(Bench.detailTarget("BENCH_DETAIL.json", thr + 0.01, thr)
+      === "BENCH_DETAIL.contended.json")
+    assert(Bench.detailTarget("BENCH_DETAIL.json", thr, thr)
+      === "BENCH_DETAIL.json")
+    assert(Bench.detailTarget("out/detail", 99.0, thr) === "out/detail.contended")
   }
 
   // Round 6 shipped a contended BENCH_DETAIL.json, which made the gate
@@ -194,3 +216,4 @@ class BenchBudgetSpec extends AnyFunSuite {
         s"(tools/run.sh graft.Bench; tools/make_bench_budget.py) and commit:\n  ${headIssues.mkString("\n  ")}")
   }
 }
+
