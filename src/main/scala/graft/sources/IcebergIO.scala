@@ -1096,9 +1096,40 @@ object IcebergIO {
       case None => meta.currentSnapshotId.map(snapOf).getOrElse(
         throw new IllegalArgumentException(s"table has no snapshot: $tablePath"))
     }
+    incrementalImpl(spark, meta, fromSeq, Some(fromSnapshotId), toSnap)
+  }
+
+  /** Rows appended with sequence numbers in `(fromSeq, toSeq]` — the
+    * streaming source's batch planner: offsets are sequence numbers, so
+    * `fromSeq = 0` means "from the beginning of the table". `toSeq`
+    * must name an existing snapshot (the offset the source itself
+    * reported); a non-append snapshot in the range fails loudly, which
+    * is exactly how a mid-stream delete commit surfaces. */
+  private[graft] def readIncrementalBySeq(spark: SparkSession,
+                                          tablePath: String,
+                                          fromSeq: Long,
+                                          toSeq: Long): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    require(meta.formatVersion >= 2,
+      "incremental read needs v2 sequence numbers")
+    val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot with sequence number $toSeq (expired?); available: " +
+          meta.snapshots.map(_.sequenceNumber).sorted.mkString(", ")))
+    incrementalImpl(spark, meta, fromSeq, None, toSnap)
+  }
+
+  /** Shared incremental-scan body. `fromId` is the exclusive lower bound
+    * as a snapshot id when the caller named one (the lineage walk stops
+    * exactly there); with `fromId = None` the walk stops at the first
+    * ancestor whose sequence number is ≤ `fromSeq` (or the table root for
+    * `fromSeq = 0`). */
+  private def incrementalImpl(spark: SparkSession, meta: TableMetadata,
+                              fromSeq: Long, fromId: Option[Long],
+                              toSnap: SnapshotInfo): DataFrame = {
     require(toSnap.sequenceNumber >= fromSeq,
       s"toSnapshot ${toSnap.snapshotId} (seq ${toSnap.sequenceNumber}) " +
-        s"precedes fromSnapshot $fromSnapshotId (seq $fromSeq)")
+        s"precedes fromSeq $fromSeq")
     // The append-only check must cover exactly the snapshots BETWEEN
     // from and to on `to`'s ANCESTOR lineage — a delete on a side branch
     // contributes nothing to toSnap's live files and must not fail the
@@ -1114,10 +1145,13 @@ object IcebergIO {
     @annotation.tailrec
     def walk(cur: SnapshotInfo, acc: List[SnapshotInfo])
         : Option[List[SnapshotInfo]] =
-      if (cur.snapshotId == fromSnapshotId) Some(acc)
+      if (fromId.contains(cur.snapshotId)) Some(acc)
+      else if (fromId.isEmpty && cur.sequenceNumber <= fromSeq) Some(acc)
       else cur.parentId.flatMap(byId.get) match {
         case Some(p) => walk(p, cur :: acc)
-        case None    => None // chain break (or from not an ancestor)
+        case None if fromId.isEmpty && cur.parentId.isEmpty && fromSeq == 0 =>
+          Some(cur :: acc) // reached the root: complete from-the-beginning lineage
+        case None => None // chain break (or from not an ancestor)
       }
     val inRange: Seq[SnapshotInfo] = walk(toSnap, Nil).getOrElse(
       meta.snapshots.filter(s =>

@@ -310,9 +310,19 @@ object StreamingOps {
     * LATER delete commit out of the stream — position/equality delete
     * files land in the same `data/` directory and would otherwise be
     * read as phantom table rows. A writer whose data files don't match
-    * the glob needs it overridden; snapshot-exact streaming (detecting
-    * mid-stream deletes, arbitrary file names) needs a metadata-driven
-    * custom Source, which is the runtime jar's approach. */
+    * the glob needs it overridden; [[icebergSnapshotStream]] is the
+    * metadata-driven source without either caveat — this file-grain
+    * variant remains for pipelines that want the plain file-source
+    * option surface (maxFilesPerTrigger etc.). */
+  /** SNAPSHOT-exact Iceberg stream ([[graft.sources.IcebergStreamSource]]):
+    * micro-batches planned from the snapshot log via sequence-number
+    * offsets — arbitrary data file names work (no glob), a mid-stream
+    * delete commit fails the query loudly instead of streaming phantom
+    * rows, and restarts resume from the checkpointed sequence number.
+    * Prefer this over the file-grain [[icebergAppendStream]]. */
+  def icebergSnapshotStream(spark: SparkSession, tablePath: String): DataFrame =
+    spark.readStream.format("graft-iceberg").option("path", tablePath).load()
+
   def icebergAppendStream(spark: SparkSession, tablePath: String,
                           dataFileGlob: String = "data-*.parquet"): DataFrame = {
     val meta = graft.sources.IcebergIO.loadMetadata(tablePath)

@@ -113,4 +113,27 @@ object GraftShim {
   }
 
   def activeSession: SparkSession = SparkSession.active
+
+  /** Re-expose a BATCH DataFrame as a streaming one — what a v1
+    * streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`). File-source relations get the
+    * `isStreaming = true` flag `FileStreamSource` itself uses; a
+    * relation-free plan (empty batch: LocalRelation / empty RDD) is
+    * rebuilt as a streaming empty-row DataFrame over its schema. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    var marked = false
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: execution.datasources.LogicalRelation =>
+        marked = true; lr.copy(isStreaming = true)
+    }
+    if (marked) dataFrame(spark, plan)
+    else {
+      require(df.isEmpty,
+        "asStreaming only lifts file-source relations or empty batches")
+      spark.internalCreateDataFrame(
+        spark.sparkContext.emptyRDD[catalyst.InternalRow], df.schema,
+        isStreaming = true)
+    }
+  }
 }
