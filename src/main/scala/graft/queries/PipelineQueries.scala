@@ -522,6 +522,102 @@ object PipelineQueries {
       .orderBy("codebook")
   }
 
+  /** Oracle for the nprobe recall CURVE: seed codebook (the 16 smallest
+    * non-zero ids — SQL-expressible, no training replay needed), one
+    * (recall@10, candidate-cost) row per probe level. The per-level CTEs
+    * are generated from one template so all four levels share the exact
+    * assignment / probe-ranking / refine semantics. */
+  private val recallCurveOracle = {
+    val probeLevels = Seq(1, 2, 4, 8)
+    val perLevel = probeLevels.map { p =>
+      s"""ann$p AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT pr.qid, a.id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.qid
+         |        ORDER BY list_sum(list_transform(list_zip(q.qv, a.v), z -> z[1] * z[2]))
+         |          / (SQRT(q.qnorm2) * SQRT(a.norm2)) DESC, a.id) AS rn
+         |    FROM probes pr
+         |    JOIN q ON q.qid = pr.qid
+         |    JOIN asg a ON a.cell = pr.cell AND a.id <> pr.qid
+         |    WHERE pr.prn <= $p) t
+         |  WHERE rn <= 10),
+         |cand$p AS (
+         |  SELECT ROUND(AVG(CAST(cand AS DOUBLE)), 6) AS avg_candidates FROM (
+         |    SELECT pr.qid, SUM(s.n_cell) - 1 AS cand
+         |    FROM probes pr JOIN sizes s USING (cell)
+         |    WHERE pr.prn <= $p GROUP BY pr.qid)),
+         |r$p AS (
+         |  SELECT $p AS nprobe,
+         |    ROUND(AVG(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_exact), 6) AS avg_recall,
+         |    COUNT(*) AS n_queries,
+         |    (SELECT avg_candidates FROM cand$p) AS avg_candidates
+         |  FROM totals t LEFT JOIN (
+         |    SELECT a.qid, COUNT(*) AS n_hit FROM ann$p a
+         |    JOIN exact x ON a.qid = x.qid AND a.nid = x.nid GROUP BY a.qid) h
+         |    ON h.qid = t.qid)""".stripMargin
+    }.mkString(",\n")
+    val union = probeLevels.map(p =>
+      s"SELECT nprobe, avg_recall, n_queries, avg_candidates FROM r$p")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
+       |cent AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM n WHERE norm2 > 0 ORDER BY id LIMIT 16),
+       |asg AS (
+       |  SELECT id, v, norm2, cell FROM (
+       |    SELECT p.id, p.v, p.norm2, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY p.id
+       |        ORDER BY list_sum(list_transform(list_zip(p.v, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+       |                 c.cell) AS rn
+       |    FROM n p, cent c) t
+       |  WHERE rn = 1),
+       |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2 FROM n WHERE id < 8),
+       |probes AS (
+       |  SELECT q.qid, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv), z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC,
+       |               c.cell) AS prn
+       |  FROM q, cent c),
+       |allscored AS (
+       |  SELECT q.qid, nn.id AS nid,
+       |    list_sum(list_transform(list_zip(q.qv, nn.v), z -> z[1] * z[2]))
+       |      / (SQRT(q.qnorm2) * SQRT(nn.norm2)) AS cos
+       |  FROM q, n nn WHERE nn.id <> q.qid),
+       |exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM allscored) t
+       |  WHERE rn <= 10),
+       |totals AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY qid),
+       |sizes AS (SELECT cell, COUNT(*) AS n_cell FROM asg GROUP BY cell),
+       |$perLevel
+       |$union
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** The nprobe recall CURVE (p = 1, 2, 4, 8) over the seed codebook —
+    * the recall/cost tradeoff sheet a deployment reads to pick its probe
+    * level, and an end-to-end pin of the multi-probe monotonicity
+    * property in the driver's gate (scalatest pins it per-run; this pins
+    * it cross-engine): recall@10 must never drop as nprobe grows, while
+    * avg candidates (the cost side) grows roughly linearly. */
+  val embedIvfRecallCurve = dfQ("embed_ivf_recall_curve",
+      recallCurveOracle, bench = false) { (s, _) =>
+    val emb = s.table("embeddings")
+    val qp = col("id") < 8
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", qp, 10)
+    val cents = Similarity.buildIvfCentroids(emb, "vec_id", "embedding", 16)
+    Seq(1, 2, 4, 8).map { p =>
+      Similarity.recallAtK(
+          Similarity.ivfTopK(emb, "vec_id", "embedding", qp, 10, cents, p),
+          exact)
+        .crossJoin(Similarity.ivfCandidateStats(emb, "vec_id", "embedding",
+          qp, cents, p))
+        .withColumn("nprobe", lit(p))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("avg_recall"), col("n_queries"),
+        col("avg_candidates"))
+      .orderBy("nprobe")
+  }
+
   private val embNearDupOracle =
     """WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2,
@@ -886,7 +982,7 @@ object PipelineQueries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
-    embedIvfRecallTrained,
+    embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp,
