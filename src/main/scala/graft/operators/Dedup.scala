@@ -99,11 +99,17 @@ object Dedup {
       if (maxBucket == Int.MaxValue) bandKeys
       else {
         // bucket-size window shares the (band, band_key) partitioning the
-        // join needs anyway — one extra sort within partitions, no shuffle
+        // join needs anyway — one extra sort within partitions, no
+        // shuffle. The filtered frame feeds BOTH sides of the self-join
+        // below; persisted so the window (and the band-key computation
+        // under it) runs once, not once per side. Rows are (id, band,
+        // band_key) — small; spills rather than OOMs. Caller clears the
+        // cache between runs (same convention as minhashNearDups).
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
         bandKeys.withColumn("__bucket_n", count(lit(1)).over(w))
           .filter(col("__bucket_n") <= maxBucket)
           .drop("__bucket_n")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val a = src.select(col("band"), col("band_key"), col("id").as("a"))
     val b = src.select(col("band"), col("band_key"), col("id").as("b"))
@@ -178,8 +184,23 @@ object Dedup {
                       numBands: Int = 6, rowsPerBand: Int = 3,
                       shingleN: Int = 3, threshold: Double = 0.5,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    val reps = collapseExact(docs, idCol, textCol)
-    val memberOf = exactDupMembers(docs, idCol, textCol)
+    // ONE text scan + md5 pass feeds both the representative set and the
+    // (rep, member) mapping — collapseExact/exactDupMembers each rescan
+    // and rehash the corpus, which at scale doubles the dominant text
+    // cost. memberOf is also persisted: it drives the two fan-out joins
+    // AND the intra self-join, and is tiny (two id columns).
+    val hashed = docs
+      .select(md5(col(textCol)).as("ch"), col(idCol).as("member"),
+        col(textCol).as("txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repsByCh = hashed.groupBy("ch")
+      // texts within a group are identical; min() just picks one
+      .agg(min(col("member")).as("id"), min(col("txt")).as("txt"))
+    val reps = repsByCh.select("id", "txt")
+    val memberOf = hashed.select("ch", "member")
+      .join(repsByCh.select(col("ch"), col("id").as("rep")), "ch")
+      .select("rep", "member")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The shingle set feeds four consumers (signatures, both Jaccard
     // sides, the shingled-rep filter); without a persist the text would
     // be re-scanned and re-shingled per consumer — at corpus scale that

@@ -959,60 +959,73 @@ object IcebergIO {
       data = data.join(broadcast(seqDf), Seq("__gf_file"), "left")
       // Scope: a delete file written into a PARTITION applies only to
       // that partition's rows (spec); only an unpartitioned-spec delete
-      // file (empty tuple) is global. Identity transforms over
-      // int/long/string sources are supported — the stored tuple value
-      // IS the source value, so the row-side condition is a plain
-      // column equality; anything else fails loudly rather than
-      // silently over- or under-deleting.
-      def partitionScope(partVals: Map[String, Any]): Option[Column] =
-        if (partVals.isEmpty) None
-        else Some(meta.partitionFields.map { case (fieldName, transform, srcId) =>
-          // void: single all-null tuple — the whole table is in scope
-          if (transform == "void") lit(true)
-          else {
-            val src = meta.fieldById.getOrElse(srcId,
-              throw new IllegalArgumentException(
-                s"partition source field id $srcId not in table schema"))
-            val dt = meta.schema(src).dataType
-            val v = partVals.getOrElse(fieldName,
-              throw new IllegalArgumentException(
-                s"delete-file partition tuple missing field '$fieldName'"))
-            // per-row STORED tuple via the same mapping the writer
-            // records: identity over date/timestamp re-derives the
-            // spec's epoch ordinals (manifests store epoch-day ints /
-            // epoch-micros longs, not the JVM objects the row column
-            // carries — a plain comparison would silently mis-scope);
-            // an unsupported (transform, type) combination fails
-            // loudly — silent mis-scoping would corrupt results
-            val rowStored =
-              try IcebergTransforms.storedColumn(transform, src, dt)
-              catch {
-                case e: IllegalArgumentException =>
-                  throw new UnsupportedOperationException(
-                    s"partition-scoped equality delete on field " +
-                      s"'$fieldName': ${e.getMessage}")
-              }
-            rowStored <=> lit(v)
-          }
-        }.reduce(_ && _))
-      eqFiles.groupBy(f => (f.equalityIds, f.partitionValues))
+      // file (empty tuple) is global.
+      // ONE anti-join per distinct equality-id set (usually one), not one
+      // per (ids, partition-tuple) group: with per-tuple joins the plan
+      // grows linearly in distinct delete partitions — thousands of
+      // tuples would mean thousands of stacked joins. Instead every
+      // delete file's rows carry their scope as COLUMNS (the stored
+      // partition tuple values, null + scoped=false for a global file),
+      // the files union into one relation, and the scope check moves
+      // into the single join condition — plan size constant in the
+      // number of delete files/partitions. The `<=>` key columns still
+      // extract as hash-join keys; seq + scope ride as residual filter.
+      eqFiles.groupBy(_.equalityIds)
         .toSeq.sortBy(_._2.head.path) // deterministic plan order
-        .foreach { case ((ids, partVals), group) =>
+        .foreach { case (ids, group) =>
         require(ids.nonEmpty, s"equality-delete file without equality_ids: " +
           group.head.path)
         val names = ids.map(id => meta.fieldById.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality-delete field id $id not in table schema " +
               s"(known: ${meta.fieldById.keys.toSeq.sorted.mkString(", ")})")))
+        // Scope machinery only when some file in the group is actually
+        // partition-scoped: deriving the row-side stored tuple for an
+        // unsupported (transform, type) must not fail a group of purely
+        // GLOBAL deletes that never consults it.
+        val anyScoped = group.exists(_.partitionValues.nonEmpty)
+        // non-void fields; void contributes no constraint (all-null
+        // tuple, whole table in scope)
+        val scopeFields =
+          if (!anyScoped) Seq.empty else meta.partitionFields.filter(_._2 != "void")
+        // row-side STORED tuple per scope field — same mapping the
+        // writer records (epoch ordinals for date/timestamp identity);
+        // unsupported combinations fail loudly, never silently mis-scope
+        val rowStored = scopeFields.map { case (fieldName, transform, srcId) =>
+          val src = meta.fieldById.getOrElse(srcId,
+            throw new IllegalArgumentException(
+              s"partition source field id $srcId not in table schema"))
+          val dt = meta.schema(src).dataType
+          try IcebergTransforms.storedColumn(transform, src, dt)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new UnsupportedOperationException(
+                s"partition-scoped equality delete on field " +
+                  s"'$fieldName': ${e.getMessage}")
+          }
+        }
         val dels = group.map { f =>
+          val scoped = f.partitionValues.nonEmpty
+          val scopeVals = scopeFields.zipWithIndex.map { case ((fieldName, _, _), i) =>
+            val v = if (!scoped) null
+              else f.partitionValues.getOrElse(fieldName,
+                throw new IllegalArgumentException(
+                  s"delete-file partition tuple missing field '$fieldName'"))
+            lit(v).as(s"__gf_part_$i")
+          }
           spark.read.parquet(f.path)
-            .select(names.map(n => col(n).as(s"__gf_eq_$n")): _*)
-            .withColumn("__gf_delseq", lit(f.seq))
+            .select(names.map(n => col(n).as(s"__gf_eq_$n")) ++
+              (lit(f.seq).as("__gf_delseq") +:
+                lit(scoped).as("__gf_scoped") +: scopeVals): _*)
         }.reduce(_ unionByName _)
         val eqCond = names.map(n => col(n) <=> col(s"__gf_eq_$n"))
           .reduce(_ && _) && col("__gf_dataseq") < col("__gf_delseq")
-        val cond = partitionScope(partVals)
-          .map(eqCond && _).getOrElse(eqCond)
+        val cond = rowStored.zipWithIndex
+          .map { case (stored, i) =>
+            // a GLOBAL delete row (scoped=false) matches every partition
+            !col("__gf_scoped") || (stored <=> col(s"__gf_part_$i"))
+          }
+          .foldLeft(eqCond)(_ && _)
         data = data.join(dels, cond, "left_anti")
       }
     }

@@ -262,7 +262,14 @@ object IcebergTransforms {
         (year(c(src)) - lit(1970)) * lit(12) + month(c(src)) - lit(1)
       case ("day", DateType)   => datediff(c(src), to_date(lit("1970-01-01")))
       case ("hour", TimestampNTZType) | ("hour", TimestampType) =>
-        expr(s"cast((${epochMicrosSql(src, dt)}) div 3600000000 as int)")
+        // Spec ordinal is FLOOR(micros / hour) — Java impl uses
+        // Math.floorDiv — but SQL `div` truncates toward zero, which
+        // differs for pre-1970 values off an hour boundary
+        // (1969-12-31T23:30 is hour -1, not 0). pmod is non-negative,
+        // so (m - pmod(m, w)) is the largest multiple of w ≤ m and the
+        // div below is exact floor division, overflow-free (no doubles).
+        val m = s"(${epochMicrosSql(src, dt)})"
+        expr(s"cast(($m - pmod($m, 3600000000)) div 3600000000 as int)")
       case (tt, other) if Set("year", "month", "day", "hour")(tt) =>
         throw new IllegalArgumentException(
           s"$tt transform not supported on $other")

@@ -122,12 +122,19 @@ object GraftShim {
     * rebuilt as a streaming empty-row DataFrame over its schema. */
   def asStreaming(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
-    var marked = false
+    var marked = 0
     val plan = df.queryExecution.analyzed.transform {
       case lr: execution.datasources.LogicalRelation =>
-        marked = true; lr.copy(isStreaming = true)
+        marked += 1; lr.copy(isStreaming = true)
     }
-    if (marked) dataFrame(spark, plan)
+    // Exactly-one guard: if the batch plan ever grows a second relation
+    // (e.g. a join against a static side), blanket-marking would turn
+    // the static side into a phantom second streaming source — a
+    // stream-stream join with different semantics. Fail loudly instead.
+    require(marked <= 1,
+      s"asStreaming expects a single file-source relation, found $marked — " +
+        "mark the intended source explicitly before joining static relations")
+    if (marked == 1) dataFrame(spark, plan)
     else {
       require(df.isEmpty,
         "asStreaming only lifts file-source relations or empty batches")

@@ -157,6 +157,37 @@ class IcebergSpec extends AnyFunSuite {
       s"equality-delete join planned as nested loop:\n$plan")
   }
 
+  test("many partition-scoped delete files consolidate into ONE anti-join") {
+    val dir = s"$root/eqdelmany"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = true)))
+    def rows2(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st2)
+    val w = new IcebergFixture.Writer(spark, dir, st2,
+      partitionCols = Seq("grp"))
+    val groups = (0 until 20).map(i => f"g$i%02d")
+    // ids 1..3 in every partition; delete id=1 in each partition (one
+    // scoped delete FILE per partition) + one GLOBAL-shaped delete is not
+    // possible on a partitioned fixture, so mix scoped tuples instead
+    w.append(rows2(groups.flatMap(g => Seq(1L -> g, 2L -> g, 3L -> g)): _*))
+    groups.foreach { g =>
+      w.deleteEqualityInPartition(rows2(1L -> g).select("id"),
+        fieldIds = Seq(1), partitionVals = Seq(g))
+    }
+    val df2 = IcebergIO.read(spark, dir)
+    // plan must not grow with the number of delete files/partitions: one
+    // seq-attach join + one consolidated anti-join, however many tuples
+    val joins = df2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size <= 2,
+      s"expected a constant 2-join plan, got ${joins.size} joins")
+    val got = df2.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === groups.sorted.flatMap(g => Seq(2L -> g, 3L -> g)).sortBy(t => (t._1, t._2)))
+  }
+
   test("multi-column equality delete matches on all named fields") {
     val dir = s"$root/eqdel2col"
     val w = new IcebergFixture.Writer(spark, dir, schema)
@@ -1178,6 +1209,35 @@ class IcebergSpec extends AnyFunSuite {
           s"hour ordinal drifted in session TZ $tz")
       }
     } finally spark.conf.set(key, tz0)
+  }
+
+  test("hour transform FLOORS pre-1970 timestamps (spec floorDiv, not SQL div)") {
+    import graft.sources.IcebergTransforms
+    // 1969-12-31T23:30 is 30 min before epoch → hour ordinal -1; a
+    // truncating division would yield 0 and silently mis-prune /
+    // mis-scope against an externally written hour-partitioned table.
+    val vecs = Seq(
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 30, 0) -> -1,
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 0, 0)  -> -1, // boundary
+      java.time.LocalDateTime.of(1969, 12, 31, 0, 15, 0)  -> -24,
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 30, 0)    -> 0)
+    val st = StructType(Seq(StructField("ts", TimestampNTZType, nullable = true)))
+    vecs.foreach { case (t, want) =>
+      assert(IcebergTransforms.hourOrdinal(t) === want, s"driver-side $t")
+      val rows = new java.util.ArrayList[Row](java.util.Arrays.asList(Row(t)))
+      val got = spark.createDataFrame(rows, st)
+        .select(IcebergTransforms.sparkColumn("hour", "ts", TimestampNTZType))
+        .head.getInt(0)
+      assert(got === want, s"SQL-side hour ordinal for $t")
+      // TimestampType (instant) path takes the unix_micros branch — same floor
+      val inst = t.atZone(java.time.ZoneOffset.UTC).toInstant
+      val rows2 = new java.util.ArrayList[Row](java.util.Arrays.asList(Row(inst)))
+      val st2 = StructType(Seq(StructField("ts", TimestampType, nullable = true)))
+      val got2 = spark.createDataFrame(rows2, st2)
+        .select(IcebergTransforms.sparkColumn("hour", "ts", TimestampType))
+        .head.getInt(0)
+      assert(got2 === want, s"instant-side hour ordinal for $t")
+    }
   }
 
   test("incremental append scan: exact range, empty tail, non-append fails") {
