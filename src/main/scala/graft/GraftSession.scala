@@ -139,19 +139,21 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergIO.readIncremental(spark, path, fromSnapshotId,
       toSnapshotId)
 
-  /** Iceberg WRITE stays out of scope without the official runtime jar:
-    * a spec-complete writer (commit protocol, optimistic metadata swap,
-    * stats, partition transforms) is the `iceberg-spark-runtime` jar's
-    * job, and that jar is absent on this zero-egress host (probed). Read
-    * parity IS full parity with the reference, which only scans Iceberg
-    * through its extension codec (ballista/core/src/serde/mod.rs:92) and
-    * never writes it. Fail fast naming the exact dependency. */
-  def writeIceberg(df: DataFrame, path: String): Unit =
-    throw new UnsupportedOperationException(
-      "Iceberg write requires the org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 " +
-        "jar (absent in this environment); native support here is read-only " +
-        "(graft.sources.IcebergIO). The reference only READS Iceberg tables " +
-        "(datafusion-ballista fork, ballista/core/src/serde/mod.rs:92).")
+  /** Iceberg WRITE via the native spec implementation
+    * ([[graft.sources.IcebergWrite]] — Hadoop-catalog layout, one
+    * distributed data job, per-file stats, optimistic vN commit). A
+    * missing table is created unpartitioned from `df`'s schema, then
+    * appended; an existing table gets a plain append. Beyond-parity
+    * surface: the reference only READS Iceberg (datafusion-ballista
+    * fork, ballista/core/src/serde/mod.rs:92). For partitioned creates
+    * or overwrite semantics call [[graft.sources.IcebergWrite]]
+    * directly. */
+  def writeIceberg(df: DataFrame, path: String): Unit = {
+    if (!graft.sources.GraftFs.exists(
+        graft.sources.GraftFs.child(path, "metadata")))
+      graft.sources.IcebergWrite.create(spark, path, df.schema)
+    graft.sources.IcebergWrite.append(df, path): Unit
+  }
 
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =

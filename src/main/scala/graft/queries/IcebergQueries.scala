@@ -113,6 +113,28 @@ object IcebergQueries {
          |WHERE o_bucket = 7 ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** WRITE throughput: create + one distributed append of the full
+    * orders slice through [[graft.sources.IcebergWrite]] (data job,
+    * per-file stats read-back, manifest + optimistic commit), verified
+    * by an exact read-back aggregate. The dir is recreated each
+    * iteration so every timing covers the whole write path. */
+  val icebergBenchWrite = dfQ("iceberg_bench_write",
+    """SELECT COUNT(*) AS n, MAX(o_orderkey) AS max_key,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders""".stripMargin) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_bench_write_${tag}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    IcebergFixture.deleteRecursively(dir)
+    val src = s.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.IcebergWrite.create(s, dir, src.schema)
+    graft.sources.IcebergWrite.append(src, dir)
+    IcebergIO.read(s, dir).agg(
+      count(lit(1)).as("n"), max("o_orderkey").as("max_key"),
+      sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   /** Current-snapshot scan = the full table. */
   val icebergRead = dfQ("iceberg_read",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -502,12 +524,48 @@ object IcebergQueries {
     IcebergIO.files(s, basicFixture(s, sfDir)).orderBy("sequence_number")
   }
 
+  /** End-to-end WRITE parity ([[graft.sources.IcebergWrite]]): create a
+    * partitioned table, append two order slices through the distributed
+    * write path (data job + per-file stats + optimistic commit), then
+    * read back with partition pruning and aggregate. The oracle replays
+    * the slices straight off the parquet source — byte-identical results
+    * prove the commit recorded exactly the appended rows, the partition
+    * tuples scope correctly, and the pruned read loses nothing. */
+  val icebergWriteRoundtrip = dfQ("iceberg_write_roundtrip",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderkey % 3 IN (0, 1)
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_write_rt_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderpriority"))
+    graft.sources.IcebergWrite.append(orders.filter(col("o_orderkey") % 3 === 0), dir)
+    graft.sources.IcebergWrite.append(orders.filter(col("o_orderkey") % 3 === 1), dir)
+    IcebergIO.readWhere(s, dir,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
-    icebergIncremental, icebergRefs, icebergPipeline, icebergBenchScan,
-    icebergBenchPrune, icebergBenchSql)
+    icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
+    icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -101,6 +101,16 @@ object GraftFs {
     fs(p, c).create(p, true)
   }
 
+  /** Create a file that must NOT already exist (overwrite = false) —
+    * the optimistic-concurrency primitive the Iceberg commit protocol
+    * needs: two writers racing to publish the same metadata version see
+    * exactly one winner. Throws the FileSystem's already-exists error
+    * for the loser. */
+  def createNew(path: String, c: Configuration = conf()): OutputStream = {
+    val p = new Path(path)
+    fs(p, c).create(p, false)
+  }
+
   def mkdirs(path: String, c: Configuration = conf()): Unit = {
     val p = new Path(path)
     fs(p, c).mkdirs(p): Unit

@@ -32,7 +32,7 @@ object IcebergFixture {
   private val mapper = new ObjectMapper()
 
   /** Spark type -> Iceberg primitive type string (flat fixture schemas). */
-  private def icebergType(dt: DataType): String = dt match {
+  private[sources] def icebergType(dt: DataType): String = dt match {
     case BooleanType      => "boolean"
     case IntegerType      => "int"
     case LongType         => "long"
@@ -48,7 +48,7 @@ object IcebergFixture {
       s"fixture writer supports flat primitive schemas only, got $other")
   }
 
-  private def schemaJson(st: StructType, schemaId: Int): ObjectNode = {
+  private[sources] def schemaJson(st: StructType, schemaId: Int): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")
     n.put("schema-id", schemaId)
@@ -67,7 +67,7 @@ object IcebergFixture {
 
   /** Manifest-list entry (`manifest_file`, spec field-ids 500-517).
     * v1 omits the v2-only content/sequence-number fields. */
-  private def manifestListSchema(v: Int): Schema = {
+  private[sources] def manifestListSchema(v: Int): Schema = {
     val v2Only =
       """{"name":"content","type":"int","field-id":517},
         |{"name":"sequence_number","type":"long","field-id":515},
@@ -92,7 +92,7 @@ object IcebergFixture {
     * partition field, field-ids from 1000 up (spec: partition field ids
     * start at 1000). Nullable fields (void transform) get a null-first
     * union with a null default. Empty for unpartitioned tables. */
-  private def partitionFieldsJson(partCols: Seq[(String, DataType, Boolean)]): String =
+  private[sources] def partitionFieldsJson(partCols: Seq[(String, DataType, Boolean)]): String =
     partCols.zipWithIndex.map { case ((n, dt, nullable), i) =>
       // spec partition-data representation: date = epoch-day int,
       // timestamp = epoch-micros long (logical types annotate the raw
@@ -120,7 +120,7 @@ object IcebergFixture {
   /** Manifest entry (`manifest_entry` wrapping `data_file`, spec
     * field-ids 0-4 / 100-143). `partition` is the r102 record — empty
     * for unpartitioned tables, one field per partition column otherwise. */
-  private def manifestEntrySchema(
+  private[sources] def manifestEntrySchema(
       v: Int, partCols: Seq[(String, DataType, Boolean)] = Nil): Schema = {
     val dataFileFields: Seq[String] = Seq(
       if (v >= 2) Some("""{"name":"content","type":"int","field-id":134}""") else None,

@@ -269,7 +269,7 @@ object IcebergIO {
     * Hadoop FS API so manifest lists on object stores read too; pass an
     * explicit conf when running executor-side (the default resolves the
     * driver's active session). */
-  private def foreachAvroRecord(
+  private[sources] def foreachAvroRecord(
       path: String,
       conf: org.apache.hadoop.conf.Configuration = GraftFs.conf())(
       f: GenericRecord => Unit): Unit = {

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftFs, IcebergFixture, IcebergIO, IcebergWrite}
+
+/** Native Iceberg WRITE path ([[IcebergWrite]]): create/append/overwrite
+  * via one distributed job + spec commit protocol, round-tripped through
+  * the in-repo reader (and its pruning machinery — written stats and
+  * partition tuples must PRUNE, not just parse). */
+class IcebergWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val root =
+    s"/tmp/graft_iceberg_write_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  private def df(rows: (Long, String, Double)*) = {
+    val list = new java.util.ArrayList[Row]()
+    rows.foreach(r => list.add(Row(r._1, r._2, r._3)))
+    spark.createDataFrame(list, schema)
+  }
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+    d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("create -> empty read -> append -> append: content + time travel") {
+    val dir = s"$root/basic"
+    IcebergWrite.create(spark, dir, schema)
+    val empty = IcebergIO.read(spark, dir)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "name", "score"))
+    assert(empty.count() === 0L)
+
+    val s1 = IcebergWrite.append(df((1L, "a", 1.5), (2L, "b", 2.5)), dir)
+    val s2 = IcebergWrite.append(df((3L, "c", 3.5)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1))) === Seq(1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s2))) === Seq(1L, 2L, 3L))
+    // values, not just ids
+    val r = IcebergIO.read(spark, dir).filter(col("id") === 3L).collect().head
+    assert((r.getLong(0), r.getString(1), r.getDouble(2)) === ((3L, "c", 3.5)))
+    // history surfaces both snapshots on the main lineage
+    assert(IcebergIO.snapshotIds(dir) === Seq(s1, s2))
+  }
+
+  test("create is refused on an existing table; append checks schema") {
+    val dir = s"$root/guards"
+    IcebergWrite.create(spark, dir, schema)
+    intercept[IllegalArgumentException](IcebergWrite.create(spark, dir, schema))
+    val bad = df((1L, "a", 1.0)).withColumnRenamed("score", "points")
+    intercept[IllegalArgumentException](IcebergWrite.append(bad, dir))
+  }
+
+  test("overwrite replaces live content; old snapshot stays time-travelable") {
+    val dir = s"$root/overwrite"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    val s2 = IcebergWrite.overwrite(df((9L, "z", 9.0)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(9L))
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1))) === Seq(1L, 2L))
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(meta.currentSnapshotId === Some(s2))
+  }
+
+  test("identity-partitioned write: planning-time pruning + stats prune") {
+    val dir = s"$root/parted"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0)), dir)
+    // one data file per partition tuple
+    val files = IcebergIO.files(spark, dir).collect()
+    assert(files.length === 3)
+    // partition pruning on the written tuples: only a's file is scanned
+    val pruned = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "a"))
+    assert(pruned.inputFiles.length === 1)
+    assert(ids(pruned) === Seq(1L, 3L))
+    // manifest stats (bounds) prune too: id >= 4 excludes a/b files
+    val statsPruned = IcebergIO.readWhere(spark, dir, col("id") >= 4L)
+    assert(statsPruned.inputFiles.length === 1)
+    assert(ids(statsPruned) === Seq(4L))
+  }
+
+  test("bucket + truncate transform writes prune and round-trip") {
+    val dir = s"$root/bucketed"
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "bucket[4]"))
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), dir)
+    val full = ids(IcebergIO.read(spark, dir))
+    assert(full === Seq(1L, 2L, 3L))
+    // bucket pruning keeps every row in b's bucket (hash collisions are
+    // legitimate — compute expected membership, don't assume distinct)
+    val bBucket = graft.sources.IcebergTransforms.bucket(4, "b")
+    val expected = Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)
+      .filter(kv => graft.sources.IcebergTransforms.bucket(4, kv._1) == bBucket)
+      .map(_._2).sorted
+    val pruned = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "b"))
+    assert(ids(pruned) === expected)
+    assert(pruned.inputFiles.length <= 2)
+
+    val dir2 = s"$root/truncated"
+    IcebergWrite.create(spark, dir2, schema,
+      partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "truncate[1]"))
+    IcebergWrite.append(df((1L, "aa", 1.0), (2L, "ab", 2.0), (3L, "bz", 3.0)), dir2)
+    val p2 = IcebergIO.read(spark, dir2, partitionFilter = Map("name" -> "ab"))
+    assert(ids(p2) === Seq(1L, 2L)) // shares the 'a' truncate bucket
+    assert(p2.inputFiles.length === 1)
+  }
+
+  test("date-identity partition records epoch-day ordinals; prunes by date") {
+    val dir = s"$root/dated"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    def rows2(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        xs.map(x => Row(x._1, java.sql.Date.valueOf(x._2))): _*)), st2)
+    IcebergWrite.create(spark, dir, st2, partitionCols = Seq("d"))
+    IcebergWrite.append(
+      rows2(1L -> "1995-03-05", 2L -> "1995-03-05", 3L -> "2001-07-01"), dir)
+    val pruned = IcebergIO.read(spark, dir,
+      partitionFilter = Map("d" -> java.sql.Date.valueOf("1995-03-05")))
+    assert(ids(pruned) === Seq(1L, 2L))
+    assert(pruned.inputFiles.length === 1)
+  }
+
+  test("null partition value and hive-escaped string values round-trip") {
+    val dir = s"$root/specialvals"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, null, 1.0), (2L, "a b/c%d", 2.0), (3L, "plain", 3.0)), dir)
+    val out = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>")))
+      .sorted.toSeq
+    assert(out === Seq((1L, "<null>"), (2L, "a b/c%d"), (3L, "plain")))
+    assert(ids(IcebergIO.read(spark, dir,
+      partitionFilter = Map("name" -> "a b/c%d"))) === Seq(2L))
+  }
+
+  test("maxRecordsPerFile splits files with exact per-file record counts") {
+    val dir = s"$root/split"
+    IcebergWrite.create(spark, dir, schema)
+    val many = spark.range(0, 10).selectExpr(
+      "id", "cast(id as string) as name", "cast(id as double) as score")
+    IcebergWrite.append(many.coalesce(1), dir, maxRecordsPerFile = Some(3L))
+    val files = IcebergIO.files(spark, dir).collect()
+    assert(files.length === 4) // 3+3+3+1
+    assert(files.map(_.getAs[Long]("record_count")).sum === 10L)
+    assert(files.forall(_.getAs[Long]("record_count") <= 3L))
+    assert(ids(IcebergIO.read(spark, dir)) === (0L until 10L))
+  }
+
+  test("append to a fixture table with equality deletes: seq rule holds") {
+    val dir = s"$root/mixed"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    import spark.implicits._
+    w.deleteEquality(Seq(1L).toDF("id"), Seq(1)) // deletes the first id=1
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+    // a RE-INSERTED id=1 lands at a HIGHER sequence number than the
+    // delete -> survives, while the original stays deleted
+    IcebergWrite.append(df((1L, "again", 1.5), (3L, "c", 3.0)), dir)
+    val out = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((1L, "again"), (2L, "b"), (3L, "c")))
+  }
+
+  test("concurrent commit: the second publisher of a version fails loudly") {
+    val dir = s"$root/race"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir) // publishes v2
+    // simulate a racing writer that already published v3
+    val out = GraftFs.create(GraftFs.child(GraftFs.child(dir, "metadata"),
+      "v3.metadata.json"))
+    out.write("{}".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](
+      IcebergWrite.append(df((2L, "b", 2.0)), dir))
+    assert(e.getMessage.contains("concurrent commit"))
+    // the table still reads at its last good version
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
+  test("format v1 create + append round-trips") {
+    val dir = s"$root/v1"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 1)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+  }
+
+  test("written tables register and answer SQL through the live scan") {
+    val dir = s"$root/sqlsurface"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)), dir)
+    val g = graft.GraftSession.wrap(spark)
+    g.registerIceberg("written_ice", dir)
+    val got = spark.sql(
+      "SELECT name, count(*) AS n FROM written_ice GROUP BY name ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+    // a write AFTER registration is visible (live view)
+    IcebergWrite.append(df((4L, "b", 4.0)), dir)
+    val got2 = spark.sql(
+      "SELECT count(*) AS n FROM written_ice WHERE name = 'b'")
+      .collect().head.getLong(0)
+    assert(got2 === 2L)
+  }
+}

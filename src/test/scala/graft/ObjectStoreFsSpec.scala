@@ -100,6 +100,27 @@ class ObjectStoreFsSpec extends AnyFunSuite {
       Array(2L, 3L))
   }
 
+  test("IcebergWrite create/append/overwrite entirely over grafttest://") {
+    val dir = s"$root/iceberg_fs_write"
+    val table = gt(dir)
+    // every metadata/manifest/data byte — including the distributed
+    // data-file job's staging dir, the stats read-back, the renames and
+    // the optimistic vN publish — must cross the scheme registry
+    graft.sources.IcebergWrite.create(spark, table, st,
+      partitionCols = Seq("name"))
+    graft.sources.IcebergWrite.append(df, table)
+    val got = IcebergIO.read(spark, table)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted ===
+      Array(1L, 2L, 3L))
+    // recorded data paths carry the scheme (read as recorded)
+    val paths = IcebergIO.files(spark, table).collect()
+      .map(_.getAs[String]("file_name"))
+    assert(paths.nonEmpty)
+    graft.sources.IcebergWrite.overwrite(
+      df.filter(org.apache.spark.sql.functions.col("id") === 2L), table)
+    assert(IcebergIO.read(spark, table).count() === 1L)
+  }
+
   test("Iceberg partition pruning via readWhere over grafttest://") {
     val dir = s"$root/iceberg_fs_prune"
     val w = new IcebergFixture.Writer(spark, dir, st,
