@@ -60,7 +60,7 @@ final class GraftSession private (val spark: SparkSession) {
 
   /** Iceberg table scan — the reference fork's feature delta
     * (reference: Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92,
-    * distributed_query.rs:44,100), served by the NATIVE read-only snapshot
+    * distributed_query.rs:44,100), served by the NATIVE snapshot
     * scan [[graft.sources.IcebergIO]] (public table spec + the in-repo
     * Avro reader — no runtime jar needed): metadata.json -> Avro manifest
     * list/manifests -> parquet files scanned by Spark's parquet source,

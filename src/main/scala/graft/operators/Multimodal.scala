@@ -33,6 +33,18 @@ case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+/** Decoded-audio features: container format fields + exact integer
+  * sample statistics (partitioning-independent and oracle-exact). */
+case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Long,
+    n_channels: Long,
+    bits_per_sample: Long,
+    n_samples: Long,
+    sum_samples: Long,
+    min_sample: Long,
+    max_sample: Long)
+
 /**
  * Multimodal-column handling: treat image/audio/video payloads as opaque
  * `binary` columns with typed metadata, and run decode / feature-extract
@@ -41,10 +53,15 @@ case class ImageFeatures(
  * IMAGE decode is REAL: [[decodeImages]] runs the JDK's `javax.imageio`
  * PNG codec inside `mapPartitions` ([[syntheticPng]] provides
  * deterministic closed-form fixtures so the decoded stats are
- * SQL-computable by an engine with no image codec at all). Audio/video
- * decode remains STUBBED ([[fakeDecode]], [[frameSample]]) — the JDK
- * ships no codec for those and this container has no media libraries;
- * the plumbing (binary schema, `Dataset[T]` encoders, `mapPartitions`
+ * SQL-computable by an engine with no image codec at all).
+ *
+ * AUDIO decode is REAL for WAV/PCM: [[decodeAudio]] parses the RIFF
+ * container + PCM frames through the JDK's `javax.sound.sampled`
+ * ([[syntheticWav]] provides closed-form 16-bit mono fixtures for the
+ * same codec-free oracle trick). COMPRESSED audio (mp3/ogg) and video
+ * remain STUBBED ([[fakeDecode]], [[frameSample]]) — the JDK ships no
+ * codec for those and this container has no media libraries; the
+ * plumbing (binary schema, `Dataset[T]` encoders, `mapPartitions`
  * batching) is identical and real.
  */
 object Multimodal {
@@ -152,6 +169,103 @@ object Multimodal {
         }
         ImageFeatures(rec.media_id, w.toLong, h.toLong,
           img.getRaster.getNumBands.toLong, sr, sg, sb)
+      }
+    }
+  }
+
+  // ---- real audio path (JDK javax.sound.sampled, WAV/PCM only) -------
+
+  /** Deterministic synthetic WAV (RIFF container, 16-bit signed mono PCM
+    * at 8 kHz): sample count and every sample are a closed form of `id`,
+    * so an engine with NO audio codec can compute what a REAL decode
+    * must yield. PCM is lossless — encode→decode round-trips exactly.
+    * Formulas (Long arithmetic, id kept small):
+    *   n = 64 + id%64 samples
+    *   s(i) = (id*31 + i*17) % 65536 - 32768
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian per fmt below
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+    out.toByteArray
+  }
+
+  /** Synthetic WAV media table keyed by the documents table's ids —
+    * payload generation is partition-parallel (no driver-side loop). */
+  def wavMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < maxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = syntheticWav(id)
+        MediaRecord(id, "audio", bytes, "synthetic_wav", bytes.length.toLong)
+      })
+  }
+
+  /** REAL audio decode: the JDK's `javax.sound.sampled` parses the RIFF
+    * header and hands back PCM frames; integer sample stats (count, sum,
+    * min, max) are exact and layout-independent. PCM_SIGNED 8/16-bit is
+    * supported (both endiannesses); anything else — compressed codecs,
+    * float PCM — fails loudly rather than guessing. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.content))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"undecodable audio payload for media_id=${rec.media_id}", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media_id=${rec.media_id}: only PCM_SIGNED is decodable " +
+            s"without external codecs, got ${fmt.getEncoding}")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"media_id=${rec.media_id}: unsupported sample width $bits")
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        require(bytes.length % bytesPerSample == 0,
+          s"media_id=${rec.media_id}: truncated PCM payload")
+        val n = bytes.length / bytesPerSample
+        var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+        var i = 0
+        while (i < n) {
+          val s: Int =
+            if (bits == 8) bytes(i).toInt
+            else if (fmt.isBigEndian)
+              (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else
+              (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        AudioFeatures(rec.media_id, fmt.getSampleRate.toLong,
+          fmt.getChannels.toLong, bits.toLong,
+          n.toLong / fmt.getChannels, sum,
+          if (n == 0) 0L else mn, if (n == 0) 0L else mx)
       }
     }
   }

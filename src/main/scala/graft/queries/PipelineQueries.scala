@@ -879,6 +879,32 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** REAL audio decode through the JDK WAV/PCM parser: synthesize a
+    * deterministic 16-bit mono WAV per doc_id (samples are a closed form
+    * of the id), decode it back with `javax.sound.sampled` in
+    * `mapPartitions`, and emit format fields + exact sample stats. The
+    * oracle has NO audio codec — it replays the closed form over a
+    * generated sample index, so a match proves the RIFF encode→decode
+    * round trip reproduced every sample. */
+  val mmDecodeWav = dfQ("mm_decode_wav",
+    """WITH t AS (SELECT doc_id, 64 + doc_id % 64 AS n
+      |           FROM documents WHERE doc_id < 64),
+      |u AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM t),
+      |s AS (SELECT doc_id, n, (doc_id*31 + i*17) % 65536 - 32768 AS smp FROM u)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS n_channels,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
+      |  CAST(MIN(smp) AS BIGINT) AS min_sample,
+      |  CAST(MAX(smp) AS BIGINT) AS max_sample
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.decodeAudio(Multimodal.wavMedia(s.table("documents"), maxId = 64))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
     * — the 100 TB-safe way to get a token histogram without a full
     * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
@@ -985,6 +1011,6 @@ object PipelineQueries {
     embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp,
-    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp,
+    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav,
     aggTopkSketch)
 }

@@ -225,6 +225,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.find(_.media_id == 13L).get.sum_r == expectedR)
   }
 
+  test("decodeAudio round-trips synthetic WAVs through the real JDK parser") {
+    import graft.operators.Multimodal
+    // local truth: decode one id's WAV bytes directly and replay the
+    // closed form — proves the RIFF/PCM path, not just the Spark plumbing
+    val id = 13L
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticWav(id)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    val n = (64 + id % 64).toInt
+    val expectedSum = (0 until n).map(i => (id * 31 + i * 17) % 65536 - 32768).sum
+
+    // distributed path
+    val docsDf = Seq((3L, "t", "en", "s"), (13L, "t", "en", "s"), (64L, "t", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val feats = Multimodal.decodeAudio(Multimodal.wavMedia(docsDf, maxId = 64))
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(3L, 13L)) // 64 filtered out
+    val f13 = feats.find(_.media_id == 13L).get
+    assert(f13.n_samples == n.toLong)
+    assert(f13.sum_samples == expectedSum,
+      "WAV encode->decode must reproduce every PCM sample")
+    assert(f13.bits_per_sample == 16L && f13.n_channels == 1L)
+
+    // non-audio bytes fail loudly, naming the media id
+    import spark.implicits._
+    val junk = Seq(graft.operators.MediaRecord(99L, "audio",
+      Array[Byte](1, 2, 3, 4), "junk", 4L)).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeAudio(junk).collect())
+    assert(e.getMessage.contains("media_id=99") ||
+      Option(e.getCause).exists(_.getMessage.contains("media_id=99")))
+  }
+
   test("multimodal extractFeatures computes deterministic stub features") {
     val docsDf = Seq((7L, "abc", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docsDf)).collect()
