@@ -33,6 +33,15 @@ case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+/** One decoded frame of a multi-frame (video-style) media item: temporal
+  * index + dimensions + exact gray-channel pixel sum. */
+case class FrameFeatures(
+    media_id: Long,
+    frame_idx: Long,
+    width: Long,
+    height: Long,
+    sum_gray: Long)
+
 /** Decoded-audio features: container format fields + exact integer
   * sample statistics (partitioning-independent and oracle-exact). */
 case class AudioFeatures(
@@ -58,11 +67,19 @@ case class AudioFeatures(
  * AUDIO decode is REAL for WAV/PCM: [[decodeAudio]] parses the RIFF
  * container + PCM frames through the JDK's `javax.sound.sampled`
  * ([[syntheticWav]] provides closed-form 16-bit mono fixtures for the
- * same codec-free oracle trick). COMPRESSED audio (mp3/ogg) and video
- * remain STUBBED ([[fakeDecode]], [[frameSample]]) — the JDK ships no
- * codec for those and this container has no media libraries; the
- * plumbing (binary schema, `Dataset[T]` encoders, `mapPartitions`
- * batching) is identical and real.
+ * same codec-free oracle trick).
+ *
+ * MULTI-FRAME (video-shape) decode is REAL for animated GIF:
+ * [[decodeFrames]] walks every frame via `javax.imageio`
+ * ([[syntheticGif]] provides closed-form grayscale animations) — the
+ * one-row→many-frame-rows temporal fan-out a video pipeline has, with a
+ * real codec in the loop.
+ *
+ * COMPRESSED audio (mp3/ogg) and true video codecs (h264 etc.) remain
+ * STUBBED ([[fakeDecode]], [[frameSample]]) — the JDK ships no codec
+ * for those and this container has no media libraries; the plumbing
+ * (binary schema, `Dataset[T]` encoders, `mapPartitions` batching) is
+ * identical and real.
  */
 object Multimodal {
 
@@ -169,6 +186,101 @@ object Multimodal {
         }
         ImageFeatures(rec.media_id, w.toLong, h.toLong,
           img.getRaster.getNumBands.toLong, sr, sg, sb)
+      }
+    }
+  }
+
+  // ---- real multi-frame path (animated GIF via javax.imageio) --------
+
+  /** Deterministic synthetic ANIMATED GIF: frame count, dimensions and
+    * every pixel are a closed form of `id`. Frames are 8-bit grayscale —
+    * at most 256 distinct colors, so the GIF palette encodes them
+    * LOSSLESSLY and an engine with no codec at all can compute what a
+    * real decode must yield. Formulas (Long arithmetic, id kept small):
+    *   frames = 2 + id%4,  w = 8 + id%8,  h = 8 + id%6
+    *   gray(f, x, y) = (id*31 + f*59 + x*7 + y*13) % 256
+    */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val frames = (2 + id % 4).toInt
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 6).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF image writer available in this JDK")
+    val wr = writers.next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0,
+            ((id * 31 + f * 59 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Synthetic animated-GIF media table keyed by the documents table's
+    * ids — payload generation is partition-parallel. */
+  def gifMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < maxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = syntheticGif(id)
+        MediaRecord(id, "video", bytes, "synthetic_gif", bytes.length.toLong)
+      })
+  }
+
+  /** REAL multi-frame decode (the video shape: one media row fans out to
+    * many frame rows, partition-parallel, no shuffle): `javax.imageio`
+    * walks every frame of an animated container and emits per-frame
+    * dimensions + the exact gray-channel pixel sum. Works for any
+    * multi-frame format the JDK can read (animated GIF in practice —
+    * the JDK ships no real video codec, which is exactly why the
+    * fixtures are GIF); an undecodable payload fails loudly. */
+  def decodeFrames(media: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(rec.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"undecodable multi-frame payload for media_id=${rec.media_id}")
+        val rd = readers.next()
+        rd.setInput(iis)
+        val n = rd.getNumImages(true) // force a full frame count scan
+        (0 until n).map { f =>
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff // gray: r == g == b
+              x += 1
+            }
+            y += 1
+          }
+          FrameFeatures(rec.media_id, f.toLong, w.toLong, h.toLong, sum)
+        }
       }
     }
   }

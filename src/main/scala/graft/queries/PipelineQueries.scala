@@ -905,6 +905,34 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** REAL multi-frame (video-shape) decode through the JDK's animated-GIF
+    * reader: synthesize a deterministic grayscale animation per doc_id
+    * (frame count + every pixel are a closed form of the id), walk every
+    * frame with `javax.imageio` in `mapPartitions`, and emit per-frame
+    * dimensions + exact gray sums. The oracle has NO codec — it replays
+    * the closed form over a (frame, x, y) lateral grid, so a match
+    * proves the multi-frame encode→decode round trip reproduced every
+    * pixel of every frame. */
+  val mmDecodeGifFrames = dfQ("mm_decode_gif_frames",
+    """WITH t AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 8 AS w,
+      |         8 + doc_id % 6 AS h
+      |  FROM documents WHERE doc_id < 32),
+      |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM t),
+      |px AS (
+      |  SELECT d.doc_id, d.fi, d.w, d.h, sx.x, sy.y
+      |  FROM f d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) sy)
+      |SELECT doc_id AS media_id, fi AS frame_idx,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(SUM((doc_id*31 + fi*59 + x*7 + y*13) % 256) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, fi ORDER BY media_id, frame_idx""".stripMargin) { (s, _) =>
+    Multimodal.decodeFrames(Multimodal.gifMedia(s.table("documents"), maxId = 32))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
     * — the 100 TB-safe way to get a token histogram without a full
     * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
@@ -1011,6 +1039,6 @@ object PipelineQueries {
     embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp,
-    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav,
+    mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     aggTopkSketch)
 }

@@ -260,6 +260,24 @@ class OperatorsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("media_id=99")))
   }
 
+  test("decodeFrames walks every animated-GIF frame losslessly") {
+    import graft.operators.Multimodal
+    val id = 13L
+    val (nf, w, h) = ((2 + id % 4).toInt, (8 + id % 8).toInt, (8 + id % 6).toInt)
+    def gray(f: Int, x: Int, y: Int) = (id * 31 + f * 59 + x * 7 + y * 13) % 256
+    val docsDf = Seq((13L, "t", "en", "s"), (32L, "t", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val frames = Multimodal.decodeFrames(Multimodal.gifMedia(docsDf, maxId = 32))
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(13L)) // 32 filtered out
+    assert(frames.length == nf, "every animation frame must surface as a row")
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      assert(fr.frame_idx == i.toLong && fr.width == w.toLong && fr.height == h.toLong)
+      val expected = (for { y <- 0 until h; x <- 0 until w } yield gray(i, x, y)).sum
+      assert(fr.sum_gray == expected, s"frame $i gray sum must round-trip exactly")
+    }
+  }
+
   test("multimodal extractFeatures computes deterministic stub features") {
     val docsDf = Seq((7L, "abc", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docsDf)).collect()
