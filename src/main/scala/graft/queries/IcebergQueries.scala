@@ -560,6 +560,35 @@ object IcebergQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Merge-on-read DELETE parity ([[graft.sources.IcebergWrite]]
+    * `deleteWhere`): append orders, delete a keyed slice by predicate
+    * (position-delete file written by a distributed scan — no data file
+    * rewritten), then aggregate the survivors. The oracle replays the
+    * complement filter straight off the parquet source. */
+  val icebergDeleteWhere = dfQ("iceberg_delete_where",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_delete_rt_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderpriority"))
+    graft.sources.IcebergWrite.append(orders, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("o_orderkey") % 7 === 3)
+    IcebergIO.read(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
@@ -567,5 +596,6 @@ object IcebergQueries {
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
+    icebergDeleteWhere,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -254,7 +254,7 @@ object IcebergIO {
     * `seq` is the DATA sequence number (entry's, inheriting the
     * manifest's when null — the v2 inheritance rule); equality deletes
     * apply only to data files with a strictly smaller one. */
-  private final case class ContentFile(path: String, content: Int,
+  private[sources] final case class ContentFile(path: String, content: Int,
                                        format: String, seq: Long,
                                        equalityIds: Seq[Int],
                                        partitionValues: Map[String, Any],
@@ -303,7 +303,7 @@ object IcebergIO {
     * executors when the manifest count crosses
     * [[ParallelManifestThreshold]] (constant driver memory per task
     * result; `collect` carries file metadata only, never rows). */
-  private def liveFiles(spark: SparkSession, snap: SnapshotInfo): Seq[ContentFile] = {
+  private[sources] def liveFiles(spark: SparkSession, snap: SnapshotInfo): Seq[ContentFile] = {
     // (manifest path, content, manifest sequence number) — manifest-list
     // `content` field (v2): 0 = data manifests, 1 = delete manifests; v1
     // lists are all data with no sequence numbers (0).

@@ -49,13 +49,16 @@ object IcebergWrite {
 
   private val mapper = new ObjectMapper()
 
-  /** One new data file staged for the commit. Bounds are (field id,
+  /** One new content file staged for the commit (content: 0 = data,
+    * 1 = position deletes, 2 = equality deletes). Bounds are (field id,
     * lower, upper) in the spec's single-value binary form. */
   private final case class NewFile(path: String, records: Long, bytes: Long,
                                    partitionValues: Seq[Any],
                                    bounds: Seq[(Int, Array[Byte], Array[Byte])],
                                    nullCounts: Seq[(Int, Long)],
-                                   nanCounts: Seq[(Int, Long)])
+                                   nanCounts: Seq[(Int, Long)],
+                                   content: Int = 0,
+                                   equalityIds: Seq[Int] = Nil)
 
   /** Table-creation entry point: writes `metadata/v1.metadata.json` (+
     * version hint) for an EMPTY table — readable immediately (zero
@@ -138,6 +141,118 @@ object IcebergWrite {
   def overwrite(df: DataFrame, tablePath: String,
                 maxRecordsPerFile: Option[Long] = None): Long =
     commitData(df, tablePath, maxRecordsPerFile, operation = "overwrite")
+
+  /** Merge-on-read DELETE by predicate: rows of the current snapshot
+    * matching `cond` are removed via a v2 POSITION-delete file — the
+    * data files are never rewritten. One distributed scan computes the
+    * matching (file, row-ordinal) pairs; the reader applies them as an
+    * anti-join. Positions name exact files, so this is partition-safe on
+    * any table (the delete file is recorded partition-less). Re-deleting
+    * an already-deleted row is a harmless no-op. Returns the snapshot
+    * id. */
+  def deleteWhere(spark: SparkSession, tablePath: String, cond: Column): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2, "position deletes require format v2")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot delete from an empty table: $tablePath"))
+    val dataFiles = IcebergIO.liveFiles(spark, snap).filter(_.content == 0)
+    require(dataFiles.nonEmpty, s"no live data files in $tablePath")
+    // raw scan WITHOUT applying existing deletes — re-deleting an
+    // already-removed position changes nothing in the reader's anti-join
+    val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
+    val matches = spark.read.schema(meta.schema)
+      .parquet(dataFiles.map(_.path): _*)
+      .filter(cond)
+      .select(dec(col("_metadata.file_path")).as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      // spec: position delete rows sorted by (file, position); coalesce
+      // AFTER the sort keeps the order in the single output file
+      .orderBy("file_path", "pos")
+      .coalesce(1)
+    commitDelete(spark, tablePath, meta, root, priorVersion, matches,
+      content = 1, equalityIds = Nil)
+  }
+
+  /** Equality DELETE: any current-or-earlier row equal to a `values` row
+    * on ALL of `values`' columns is removed (v2 equality-delete file;
+    * the sequence-number rule means rows appended AFTER this delete
+    * survive). UNPARTITIONED tables only: a global equality delete on a
+    * partitioned table cannot be represented without per-partition
+    * scoping, and silently mis-scoping would corrupt results. Returns
+    * the snapshot id. */
+  def deleteEquality(values: DataFrame, tablePath: String): Long = {
+    val spark = values.sparkSession
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2, "equality deletes require format v2")
+    require(meta.partitionFields.isEmpty,
+      "deleteEquality supports unpartitioned tables only (a partitioned " +
+        "table needs partition-scoped delete files; use deleteWhere, " +
+        "which is position-based and partition-safe)")
+    val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
+    val ids = values.schema.fields.toSeq.map { f =>
+      val id = fieldIdByName.getOrElse(f.name,
+        throw new IllegalArgumentException(
+          s"delete column '${f.name}' not in table schema " +
+            s"(known: ${fieldIdByName.keys.toSeq.sorted.mkString(", ")})"))
+      require(meta.schema(f.name).dataType == f.dataType,
+        s"delete column '${f.name}' type ${f.dataType} != table type " +
+          s"${meta.schema(f.name).dataType}")
+      id
+    }
+    commitDelete(spark, tablePath, meta, root, priorVersion,
+      values.coalesce(1), content = 2, equalityIds = ids)
+  }
+
+  /** Stage one delete parquet file + commit the delete snapshot. The
+    * delete manifest declares its partition-record fields NULLABLE and
+    * leaves them unset: position deletes name exact files so partition
+    * scope is irrelevant, and equality deletes only reach here on
+    * unpartitioned tables (empty tuple = global, per spec). */
+  private def commitDelete(spark: SparkSession, tablePath: String,
+                           meta: IcebergIO.TableMetadata, root: ObjectNode,
+                           priorVersion: Int, rows: DataFrame, content: Int,
+                           equalityIds: Seq[Int]): Long = {
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
+    rows.write.mode("overwrite").parquet(tmp)
+    try {
+      val staged = listParquetLeaves(tmp)
+      require(staged.size == 1,
+        s"expected one staged delete file, got ${staged.size}")
+      val records = spark.read.parquet(staged.head.getPath.toString).count()
+      val kind = if (content == 1) "posdelete" else "eqdelete"
+      val to = GraftFs.child(GraftFs.child(tablePath, "data"),
+        s"$kind-$snapshotId-${staged.head.getPath.getName}")
+      if (!GraftFs.rename(staged.head.getPath.toString, to))
+        throw new java.io.IOException(
+          s"rename failed: ${staged.head.getPath} -> $to")
+      val nf = NewFile(to, records, GraftFs.status(to).map(_.getLen).getOrElse(0L),
+        partitionValues = Nil, bounds = Nil, nullCounts = Nil, nanCounts = Nil,
+        content = content, equalityIds = equalityIds)
+      // nullable partition record: fields stay unset in the delete entry
+      val partColTypes = meta.partitionFields.map { case (name, t, srcId) =>
+        val src = meta.fieldById(srcId)
+        (name, storedType(t, meta.schema(src).dataType), true)
+      }
+      commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
+        Seq(nf), snapshotId, newSeq, operation = "delete",
+        carryForward = true)
+    } finally {
+      GraftFs.delete(tmp, recursive = true)
+    }
+  }
+
+  /** Decode SparkPath's URL-encoding without structural changes —
+    * literal '+' is preserved (plain URLDecoder would space it). */
+  private def decodeSparkPath(s: String): String =
+    try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    catch { case _: Exception => s }
 
   /** Fixture-convention spec field name for (source col, transform). */
   private def partFieldName(src: String, transform: String): String =
@@ -267,48 +382,65 @@ object IcebergWrite {
         }
 
       // ---- 4. manifest + manifest list + metadata, then publish
-      val metaDir = GraftFs.child(tablePath, "metadata")
-      val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, partColTypes,
-        files, snapshotId, newSeq)
-      val carried: Seq[GenericRecord] =
-        if (operation == "overwrite") Nil else priorManifestEntries(meta)
-      val mlPath = writeManifestList(metaDir, fv, carried,
-        (mPath, mLen, snapshotId, newSeq, files.map(_.records).sum, files.size))
-
-      val now = System.currentTimeMillis()
-      val newRoot = root.deepCopy()
-      if (fv >= 2) newRoot.put("last-sequence-number", newSeq)
-      val priorUpdated = Option(newRoot.get("last-updated-ms")).map(_.asLong).getOrElse(now)
-      newRoot.put("last-updated-ms", now)
-      newRoot.put("current-snapshot-id", snapshotId)
-      val sn = mapper.createObjectNode()
-      sn.put("snapshot-id", snapshotId)
-      meta.currentSnapshotId.foreach(p => sn.put("parent-snapshot-id", p))
-      sn.put("timestamp-ms", now)
-      if (fv >= 2) sn.put("sequence-number", newSeq)
-      Option(newRoot.get("current-schema-id")).foreach(n => sn.put("schema-id", n.asInt))
-      sn.putObject("summary").put("operation", operation)
-      sn.put("manifest-list", mlPath)
-      arrayNode(newRoot, "snapshots").add(sn)
-      val slog = arrayNode(newRoot, "snapshot-log").addObject()
-      slog.put("timestamp-ms", now)
-      slog.put("snapshot-id", snapshotId)
-      val mlog = arrayNode(newRoot, "metadata-log").addObject()
-      mlog.put("timestamp-ms", priorUpdated)
-      mlog.put("metadata-file", meta.metadataFile)
-      val refs = Option(newRoot.get("refs")) match {
-        case Some(o: ObjectNode) => o
-        case _ => newRoot.putObject("refs")
-      }
-      val mainRef = refs.putObject("main")
-      mainRef.put("snapshot-id", snapshotId)
-      mainRef.put("type", "branch")
-
-      publish(metaDir, priorVersion + 1, newRoot)
-      snapshotId
+      commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
+        files, snapshotId, newSeq, operation,
+        carryForward = operation != "overwrite")
     } finally {
       GraftFs.delete(tmp, recursive = true)
     }
+  }
+
+  /** Shared commit tail: write the new manifest + manifest list (prior
+    * entries carried forward unless this is an overwrite), build the new
+    * metadata json, publish optimistically. Returns the snapshot id. */
+  private def commitSnapshot(tablePath: String, meta: IcebergIO.TableMetadata,
+                             root: ObjectNode, priorVersion: Int,
+                             partColTypes: Seq[(String, DataType, Boolean)],
+                             files: Seq[NewFile], snapshotId: Long,
+                             newSeq: Long, operation: String,
+                             carryForward: Boolean): Long = {
+    val fv = meta.formatVersion
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, partColTypes,
+      files, snapshotId, newSeq)
+    val carried: Seq[GenericRecord] =
+      if (carryForward) priorManifestEntries(meta) else Nil
+    val mContent = if (files.exists(_.content > 0)) 1 else 0
+    val mlPath = writeManifestList(metaDir, fv, carried,
+      (mPath, mLen, mContent, snapshotId, newSeq, files.map(_.records).sum,
+        files.size))
+
+    val now = System.currentTimeMillis()
+    val newRoot = root.deepCopy()
+    if (fv >= 2) newRoot.put("last-sequence-number", newSeq)
+    val priorUpdated = Option(newRoot.get("last-updated-ms")).map(_.asLong).getOrElse(now)
+    newRoot.put("last-updated-ms", now)
+    newRoot.put("current-snapshot-id", snapshotId)
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    meta.currentSnapshotId.foreach(p => sn.put("parent-snapshot-id", p))
+    sn.put("timestamp-ms", now)
+    if (fv >= 2) sn.put("sequence-number", newSeq)
+    Option(newRoot.get("current-schema-id")).foreach(n => sn.put("schema-id", n.asInt))
+    sn.putObject("summary").put("operation", operation)
+    sn.put("manifest-list", mlPath)
+    arrayNode(newRoot, "snapshots").add(sn)
+    val slog = arrayNode(newRoot, "snapshot-log").addObject()
+    slog.put("timestamp-ms", now)
+    slog.put("snapshot-id", snapshotId)
+    val mlog = arrayNode(newRoot, "metadata-log").addObject()
+    mlog.put("timestamp-ms", priorUpdated)
+    mlog.put("metadata-file", meta.metadataFile)
+    val refs = Option(newRoot.get("refs")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("refs")
+    }
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", snapshotId)
+    mainRef.put("type", "branch")
+
+    publish(metaDir, priorVersion + 1, newRoot)
+    snapshotId
   }
 
   private def arrayNode(root: ObjectNode, name: String) =
@@ -369,7 +501,9 @@ object IcebergWrite {
       }.mkString("[", ",", "]"))
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", fv.toString)
-    if (fv >= 2) w.setMeta("content", "data")
+    if (fv >= 2)
+      w.setMeta("content",
+        if (files.exists(_.content > 0)) "deletes" else "data")
     w.create(es, GraftFs.create(out))
     try files.foreach { fm =>
       val e = new GenericData.Record(es)
@@ -380,7 +514,7 @@ object IcebergWrite {
         e.put("file_sequence_number", seq)
       }
       val d = new GenericData.Record(dfSchema)
-      if (fv >= 2) d.put("content", 0)
+      if (fv >= 2) d.put("content", fm.content)
       d.put("file_path", fm.path)
       d.put("file_format", "PARQUET")
       val partRec = new GenericData.Record(partSchema)
@@ -428,6 +562,8 @@ object IcebergWrite {
       putLongMap("null_value_counts", fm.nullCounts)
       putLongMap("nan_value_counts", fm.nanCounts)
       if (fv == 1) d.put("block_size_in_bytes", 67108864L)
+      if (fv >= 2 && fm.equalityIds.nonEmpty)
+        d.put("equality_ids", fm.equalityIds.map(Int.box).asJava)
       e.put("data_file", d)
       w.append(e)
     } finally w.close()
@@ -440,10 +576,10 @@ object IcebergWrite {
     * defensively across schema revisions) + the new manifest's entry. */
   private def writeManifestList(metaDir: String, fv: Int,
                                 carried: Seq[GenericRecord],
-                                added: (String, Long, Long, Long, Long, Int)): String = {
+                                added: (String, Long, Int, Long, Long, Long, Int)): String = {
     val ls = IcebergFixture.manifestListSchema(fv)
     val out = GraftFs.child(metaDir,
-      f"snap-${added._3}%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
+      f"snap-${added._4}%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](ls))
     w.setMeta("format-version", fv.toString)
@@ -471,13 +607,13 @@ object IcebergWrite {
         r.put("deleted_rows_count", num(old, "deleted_rows_count", 0L))
         w.append(r)
       }
-      val (mPath, mLen, snapId, seq, rows, nFiles) = added
+      val (mPath, mLen, mContent, snapId, seq, rows, nFiles) = added
       val r = new GenericData.Record(ls)
       r.put("manifest_path", mPath)
       r.put("manifest_length", mLen)
       r.put("partition_spec_id", 0)
       if (fv >= 2) {
-        r.put("content", 0)
+        r.put("content", mContent)
         r.put("sequence_number", seq)
         r.put("min_sequence_number", seq)
       }

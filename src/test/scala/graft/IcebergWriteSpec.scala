@@ -195,6 +195,69 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
   }
 
+  test("deleteWhere removes exactly the matching rows (partitioned, MoR)") {
+    val dir = s"$root/delwhere"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "b", 4.0)), dir)
+    val preDelete = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    val s2 = IcebergWrite.deleteWhere(spark, dir, col("score") >= 3.0)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    // merge-on-read: data files untouched, time travel sees everything
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(preDelete))) ===
+      Seq(1L, 2L, 3L, 4L))
+    assert(IcebergIO.loadMetadata(dir).currentSnapshotId === Some(s2))
+    // a second delete on top composes
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+    // deleting an already-deleted row is a no-op, not an error
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+  }
+
+  test("deleteWhere works against a fixture-written table") {
+    val dir = s"$root/delwhere_fixture"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    w.append(df((3L, "c", 3.0)))
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "b")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L))
+  }
+
+  test("deleteEquality: global key delete + re-insert survives (seq rule)") {
+    val dir = s"$root/deleq"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    import spark.implicits._
+    IcebergWrite.deleteEquality(Seq(1L).toDF("id"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+    // re-inserted id=1 has a HIGHER data sequence number -> survives
+    IcebergWrite.append(df((1L, "again", 1.5)), dir)
+    val out = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out === Seq((1L, "again"), (2L, "b")))
+    // unknown column and partitioned tables fail loudly
+    intercept[IllegalArgumentException](
+      IcebergWrite.deleteEquality(Seq(1L).toDF("nope"), dir))
+    val pdir = s"$root/deleq_parted"
+    IcebergWrite.create(spark, pdir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0)), pdir)
+    intercept[IllegalArgumentException](
+      IcebergWrite.deleteEquality(Seq(1L).toDF("id"), pdir))
+  }
+
+  test("overwrite drops prior deletes along with prior data") {
+    val dir = s"$root/del_then_overwrite"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+    IcebergWrite.overwrite(df((1L, "back", 9.0)), dir)
+    // the overwrite's manifest list holds ONLY the new files — the old
+    // position delete must not leak onto the new data
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
   test("written tables register and answer SQL through the live scan") {
     val dir = s"$root/sqlsurface"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
