@@ -142,6 +142,57 @@ object IcebergWrite {
                 maxRecordsPerFile: Option[Long] = None): Long =
     commitData(df, tablePath, maxRecordsPerFile, operation = "overwrite")
 
+  /** Compaction (the `rewrite_data_files` maintenance action): read the
+    * live rows — existing position/equality deletes APPLIED — and commit
+    * them as one fresh set of right-sized files (operation `replace`).
+    * Small files merge, accumulated delete files fall away, and row
+    * content is unchanged; prior snapshots stay time-travelable (old
+    * files are not removed from disk — see [[expireSnapshots]]). The
+    * small-file problem is THE maintenance cost of a long-lived MoR
+    * table at scale; `maxRecordsPerFile` bounds the output file grain.
+    * Returns the snapshot id. */
+  def compact(spark: SparkSession, tablePath: String,
+              maxRecordsPerFile: Option[Long] = None): Long =
+    commitData(IcebergIO.read(spark, tablePath), tablePath,
+      maxRecordsPerFile, operation = "replace")
+
+  /** Expire snapshots older than `olderThanMs` (metadata-only commit:
+    * snapshots + snapshot-log entries are dropped; data/manifest files
+    * stay on disk — removing them is a separate GC concern). The current
+    * snapshot, every ref target, and the `retainLast` most recent
+    * snapshots always survive, mirroring the reference maintenance
+    * action's safety rails. Dangling parent-snapshot-ids are fine: the
+    * incremental reader's lineage walk degrades gracefully. Returns the
+    * number of snapshots expired. */
+  def expireSnapshots(tablePath: String, olderThanMs: Long,
+                      retainLast: Int = 1): Int = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    val keep: Set[Long] = {
+      val pinned = meta.currentSnapshotId.toSet ++ meta.refs.values
+      val recent = meta.snapshots.sortBy(-_.timestampMs)
+        .take(retainLast).map(_.snapshotId)
+      val young = meta.snapshots.filter(_.timestampMs >= olderThanMs)
+        .map(_.snapshotId)
+      pinned ++ recent ++ young
+    }
+    val expired = meta.snapshots.map(_.snapshotId).filterNot(keep).toSet
+    if (expired.isEmpty) return 0
+    val newRoot = root.deepCopy()
+    def filterArray(name: String, idField: String): Unit = {
+      val arr = arrayNode(newRoot, name)
+      val kept = (0 until arr.size).map(arr.get)
+        .filterNot(n => expired.contains(n.get(idField).asLong))
+      arr.removeAll()
+      kept.foreach(arr.add)
+    }
+    filterArray("snapshots", "snapshot-id")
+    filterArray("snapshot-log", "snapshot-id")
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+    expired.size
+  }
+
   /** Merge-on-read DELETE by predicate: rows of the current snapshot
     * matching `cond` are removed via a v2 POSITION-delete file — the
     * data files are never rewritten. One distributed scan computes the
@@ -382,9 +433,11 @@ object IcebergWrite {
         }
 
       // ---- 4. manifest + manifest list + metadata, then publish
+      // overwrite/replace reference ONLY the new files — prior data (and
+      // prior deletes) drop out of the live view
       commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
         files, snapshotId, newSeq, operation,
-        carryForward = operation != "overwrite")
+        carryForward = operation == "append")
     } finally {
       GraftFs.delete(tmp, recursive = true)
     }

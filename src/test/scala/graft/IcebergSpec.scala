@@ -1025,7 +1025,7 @@ class IcebergSpec extends AnyFunSuite {
         "file A must still scan: " + qGt.inputFiles.mkString(", "))
   }
 
-  test("GraftSession.readIceberg serves the native scan; writeIceberg fails fast") {
+  test("GraftSession.readIceberg serves the native scan; writeIceberg appends") {
     val dir = s"$root/session"
     val w = new IcebergFixture.Writer(spark, dir, schema)
     w.append(df((1L, "a", 1.0)))
@@ -1035,9 +1035,13 @@ class IcebergSpec extends AnyFunSuite {
     assert(ids(g.readIceberg(dir, statsFilter = Seq(("id", ">", 5)))) === Nil)
     assert(g.icebergFiles(dir).count() === 1L)
     assert(g.icebergHistory(dir).count() === 1L)
-    val e = intercept[UnsupportedOperationException](
-      g.writeIceberg(df((2L, "b", 2.0)), dir))
-    assert(e.getMessage.contains("iceberg-spark-runtime"))
+    // writeIceberg appends to an existing table through IcebergWrite …
+    g.writeIceberg(df((2L, "b", 2.0)), dir)
+    assert(ids(g.readIceberg(dir)) === Seq(1L, 2L))
+    // … and creates-then-appends for a missing one
+    val dir2 = s"$root/session_new"
+    g.writeIceberg(df((7L, "x", 7.0)), dir2)
+    assert(ids(g.readIceberg(dir2)) === Seq(7L))
   }
 
   test("randomized SQL-surface soundness: rule pruning never drops rows") {

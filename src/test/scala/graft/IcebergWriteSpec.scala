@@ -258,6 +258,50 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
   }
 
+  test("compact merges small files, applies deletes, preserves content") {
+    val dir = s"$root/compact"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    // 3 appends x 2 partitions = 6 small files, plus a delete file
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.append(df((3L, "a", 3.0), (4L, "b", 4.0)), dir)
+    IcebergWrite.append(df((5L, "a", 5.0), (6L, "b", 6.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 4L)
+    val before = IcebergIO.files(spark, dir).collect()
+    assert(before.length === 7) // 6 data + 1 position-delete
+    val preCompact = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    IcebergWrite.compact(spark, dir)
+    // live view: one file per partition, delete files gone, rows identical
+    val after = IcebergIO.files(spark, dir).collect()
+    assert(after.length === 2, s"got ${after.length} files after compaction")
+    assert(after.forall(_.getAs[Int]("content") === 0))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 5L, 6L))
+    // pre-compaction snapshot still time-travels with its deletes applied
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(preCompact))) ===
+      Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("expireSnapshots drops old metadata but keeps current + refs") {
+    val dir = s"$root/expire"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val s2 = IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    val s3 = IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    val metaBefore = IcebergIO.loadMetadata(dir)
+    assert(metaBefore.snapshots.size === 3)
+    // everything is "old" vs a future cutoff, but current must survive
+    val n = IcebergWrite.expireSnapshots(dir, olderThanMs = Long.MaxValue)
+    assert(n === 2)
+    val metaAfter = IcebergIO.loadMetadata(dir)
+    assert(metaAfter.snapshots.map(_.snapshotId).toSet === Set(s3))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // expired snapshots no longer time-travelable
+    intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, snapshotId = Some(s1)).collect())
+    // idempotent once everything young is kept
+    assert(IcebergWrite.expireSnapshots(dir, olderThanMs = 0L) === 0)
+    assert(s2 > s1) // ordering sanity for the ids used above
+  }
+
   test("written tables register and answer SQL through the live scan") {
     val dir = s"$root/sqlsurface"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
