@@ -184,21 +184,21 @@ object Dedup {
                       numBands: Int = 6, rowsPerBand: Int = 3,
                       shingleN: Int = 3, threshold: Double = 0.5,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // ONE text scan + md5 pass feeds both the representative set and the
-    // (rep, member) mapping — collapseExact/exactDupMembers each rescan
-    // and rehash the corpus, which at scale doubles the dominant text
-    // cost. memberOf is also persisted: it drives the two fan-out joins
-    // AND the intra self-join, and is tiny (two id columns).
-    val hashed = docs
-      .select(md5(col(textCol)).as("ch"), col(idCol).as("member"),
-        col(textCol).as("txt"))
+    // The tiny (content-hash, id) projection is computed once and
+    // persisted: it feeds the rep-id aggregation AND the member mapping,
+    // so the member path never rescans or rehashes the corpus. The TEXT
+    // column is deliberately NOT cached — reps keep the one unavoidable
+    // text shuffle (min per hash group) straight off the source; an
+    // experiment caching (ch, member, txt) measured no faster at sf0.1
+    // and a corpus-sized cache is the riskier bet at scale. memberOf IS
+    // persisted: it drives the two fan-out joins AND the intra
+    // self-join, and is two id columns wide.
+    val keyed = docs
+      .select(md5(col(textCol)).as("ch"), col(idCol).as("member"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repsByCh = hashed.groupBy("ch")
-      // texts within a group are identical; min() just picks one
-      .agg(min(col("member")).as("id"), min(col("txt")).as("txt"))
-    val reps = repsByCh.select("id", "txt")
-    val memberOf = hashed.select("ch", "member")
-      .join(repsByCh.select(col("ch"), col("id").as("rep")), "ch")
+    val reps = collapseExact(docs, idCol, textCol)
+    val memberOf = keyed
+      .join(keyed.groupBy("ch").agg(min(col("member")).as("rep")), "ch")
       .select("rep", "member")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The shingle set feeds four consumers (signatures, both Jaccard

@@ -93,13 +93,21 @@ object IcebergIO {
     require(GraftFs.isDirectory(mdDir, c),
       s"not an Iceberg table (no metadata/ directory): $tablePath")
     val hint = GraftFs.child(mdDir, "version-hint.text")
-    if (GraftFs.isFile(hint, c)) {
-      val v = GraftFs.readUtf8(hint, c).trim
-      val f = GraftFs.child(mdDir, s"v$v.metadata.json")
-      require(GraftFs.isFile(f, c),
-        s"version-hint.text names v$v but $f does not exist")
-      f
-    } else {
+    val hinted: Option[String] =
+      if (!GraftFs.isFile(hint, c)) None
+      else {
+        // The hint write is not atomic on every FS (truncate-then-write):
+        // a concurrent reader can observe it empty or pointing at a
+        // version mid-publish. The Iceberg Hadoop-table convention is to
+        // fall back to a directory listing in exactly that case — never
+        // fail a read on a transient hint state (matches
+        // HadoopTableOperations' refresh behavior).
+        val v = GraftFs.readUtf8(hint, c).trim
+        val f = GraftFs.child(mdDir, s"v$v.metadata.json")
+        if (v.nonEmpty && v.forall(_.isDigit) && GraftFs.isFile(f, c)) Some(f)
+        else None
+      }
+    hinted.getOrElse {
       val candidates = GraftFs.list(mdDir, c)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".metadata.json"))
       require(candidates.nonEmpty, s"no *.metadata.json under $mdDir")

@@ -142,6 +142,51 @@ object IcebergWrite {
                 maxRecordsPerFile: Option[Long] = None): Long =
     commitData(df, tablePath, maxRecordsPerFile, operation = "overwrite")
 
+  /** Schema evolution: ADD a nullable column at the end of the table
+    * schema (metadata-only commit — no snapshot, no data file touched).
+    * Existing data files simply lack the column and the reader surfaces
+    * it as nulls (the spec's add-column semantics, already exercised by
+    * the scan's evolved-table tests); appends AFTER this must carry the
+    * new column. Existing field ids are preserved verbatim — the new
+    * field takes `last-column-id + 1`. */
+  def addColumn(tablePath: String, name: String, dataType: DataType): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(!meta.schema.fieldNames.contains(name),
+      s"column '$name' already exists in $tablePath")
+    val newRoot = root.deepCopy()
+    val fid = Option(newRoot.get("last-column-id")).map(_.asInt)
+      .getOrElse(meta.schema.size) + 1
+    newRoot.put("last-column-id", fid)
+    def appendField(schemaNode: ObjectNode): Unit = {
+      val f = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      f.put("id", fid)
+      f.put("name", name)
+      f.put("required", false)
+      f.put("type", IcebergFixture.icebergType(dataType)): Unit
+    }
+    if (newRoot.has("schemas")) {
+      val schemas = newRoot.get("schemas")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val curId = newRoot.get("current-schema-id").asInt
+      val cur = (0 until schemas.size).map(schemas.get)
+        .find(_.get("schema-id").asInt == curId)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id $curId not found"))
+      val evolved = cur.deepCopy().asInstanceOf[ObjectNode]
+      val newSchemaId = (0 until schemas.size)
+        .map(schemas.get(_).get("schema-id").asInt).max + 1
+      evolved.put("schema-id", newSchemaId)
+      appendField(evolved)
+      schemas.add(evolved)
+      newRoot.put("current-schema-id", newSchemaId)
+    } else {
+      appendField(newRoot.get("schema").asInstanceOf[ObjectNode])
+    }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
   /** Compaction (the `rewrite_data_files` maintenance action): read the
     * live rows — existing position/equality deletes APPLIED — and commit
     * them as one fresh set of right-sized files (operation `replace`).

@@ -302,6 +302,47 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(s2 > s1) // ordering sanity for the ids used above
   }
 
+  test("addColumn evolves the schema; old files read as nulls") {
+    val dir = s"$root/evolve"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.addColumn(dir, "extra", LongType)
+    // the pre-evolution file surfaces the new column as null
+    val evolved = IcebergIO.read(spark, dir)
+    assert(evolved.schema.fieldNames.toSeq === Seq("id", "name", "score", "extra"))
+    assert(evolved.collect().head.isNullAt(3))
+    // a duplicate add fails loudly; appends must now carry the column
+    intercept[IllegalArgumentException](IcebergWrite.addColumn(dir, "extra", LongType))
+    intercept[IllegalArgumentException](IcebergWrite.append(df((9L, "x", 9.0)), dir))
+    val wide = df((2L, "b", 2.0)).withColumn("extra", col("id") * 100L)
+    IcebergWrite.append(wide, dir)
+    val got = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sorted.toSeq
+    assert(got === Seq((1L, -1L), (2L, 200L)))
+    // equality delete keyed on the NEW column's field id resolves by id
+    import spark.implicits._
+    IcebergWrite.deleteEquality(Seq(200L).toDF("extra"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
+  test("empty or stale version-hint falls back to the newest metadata") {
+    val dir = s"$root/hintrace"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val hint = GraftFs.child(GraftFs.child(dir, "metadata"), "version-hint.text")
+    // a concurrent writer's truncate-then-write window: hint is EMPTY
+    val out = GraftFs.create(hint); out.close()
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+    // hint names a version that does not exist (mid-publish observation)
+    val out2 = GraftFs.create(hint)
+    out2.write("999".getBytes("UTF-8")); out2.close()
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+    // and a later append repairs the hint
+    IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+  }
+
   test("written tables register and answer SQL through the live scan") {
     val dir = s"$root/sqlsurface"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
