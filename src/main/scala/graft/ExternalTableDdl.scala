@@ -20,6 +20,28 @@ object ExternalTableDdl {
   private val head =
     """(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*)$""".r
 
+  /** `CREATE EXTERNAL TABLE [IF NOT EXISTS] t STORED AS ICEBERG
+    * LOCATION 'path'` → (ifNotExists, name, location). Handled apart
+    * from [[translate]] because Iceberg has no Spark `USING` connector
+    * in this repo — the session registers the live rule-based scan view
+    * instead. A column list is rejected: the table's own metadata is
+    * the schema authority (declaring a conflicting one would silently
+    * mislead). */
+  def translateIceberg(sql: String): Option[(Boolean, String, String)] =
+    sql match {
+      case head(ifNotExists, name, rest)
+          if """(?is)STORED\s+AS\s+ICEBERG\b""".r.findFirstIn(rest).isDefined =>
+        require(!rest.trim.startsWith("("),
+          "STORED AS ICEBERG takes no column list — the schema comes " +
+            "from the table's own metadata")
+        val location = """(?is)LOCATION\s+'([^']*)'""".r
+          .findFirstMatchIn(rest).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            s"CREATE EXTERNAL TABLE requires LOCATION: $sql"))
+        Some((ifNotExists != null, name, location))
+      case _ => None
+    }
+
   /** Returns Some(sparkSql) if this is a reference-dialect CREATE EXTERNAL
     * TABLE, None to pass the statement through to Spark untouched.
     * `STORED AS AVRO` translates to `USING avro`, which resolves to

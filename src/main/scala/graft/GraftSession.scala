@@ -281,6 +281,19 @@ final class GraftSession private (val spark: SparkSession) {
         "SHOW statements are disabled; enable with config " +
           s"'$InformationSchemaKey=true' (reference semantics: " +
           "ballista/client/src/context.rs:384-393)")
+    ExternalTableDdl.translateIceberg(trimmed) match {
+      case Some((ifNotExists, name, location)) =>
+        // `STORED AS ICEBERG` has no Spark USING connector here — it
+        // registers the LIVE rule-based scan view (same surface as
+        // registerIceberg; schema/partitioning come from the table's own
+        // metadata, so a column list in the DDL is rejected upstream)
+        if (spark.catalog.tableExists(name)) {
+          if (!ifNotExists) throw new IllegalArgumentException(
+            s"table $name already exists (use IF NOT EXISTS)")
+        } else registerIceberg(name, location)
+        return spark.emptyDataFrame
+      case None =>
+    }
     ExternalTableDdl.translate(trimmed) match {
       case Some(translated) => spark.sql(translated)
       case None =>

@@ -146,6 +146,30 @@ object ScaleStress {
     val planThreshold = 30.0 // 10x files, 3x headroom
     val planSuspect = planLarge > 0.5 && planRatio >= planThreshold
 
+    // Iceberg WRITE scale: same row volume into 10x the partitions
+    // (20 vs 200 identity buckets) — the data job is row-bound and the
+    // commit is O(files) manifest serialization, so wall time must grow
+    // far sub-linearly in the partition count. Fresh dir per trial so
+    // every timing covers create + one full append.
+    def writeTime(buckets: Int): Double =
+      (1 to 2).map { trial =>
+        val dir = s"/tmp/graft_scale_icew_${buckets}_$trial"
+        graft.sources.IcebergFixture.deleteRecursively(dir)
+        val sdf = spark.read.parquet(s"$src/orders.parquet")
+          .select(col("o_orderkey"),
+            pmod(col("o_orderkey"), lit(buckets.toLong)).cast("int").as("o_bucket"))
+        val t0 = System.nanoTime()
+        graft.sources.IcebergWrite.create(spark, dir, sdf.schema,
+          partitionCols = Seq("o_bucket"))
+        graft.sources.IcebergWrite.append(sdf, dir): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val wSmall = writeTime(20)
+    val wLarge = writeTime(200)
+    val wRatio = wLarge / math.max(wSmall, 1e-3)
+    val wThreshold = 6.0 // 10x files, same rows; O(files) commit + headroom
+    val wSuspect = wLarge > 0.5 && wRatio >= wThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -155,6 +179,10 @@ object ScaleStress {
       s""""sec_small":${jnum(planSmall)},"sec_large":${jnum(planLarge)},""" +
       s""""ratio":${jnum(planRatio)},"threshold":${jnum(planThreshold)},""" +
       s""""suspect":${planSuspect}},""" +
+      s""""iceberg_write":{"parts_small":20,"parts_large":200,""" +
+      s""""sec_small":${jnum(wSmall)},"sec_large":${jnum(wLarge)},""" +
+      s""""ratio":${jnum(wRatio)},"threshold":${jnum(wThreshold)},""" +
+      s""""suspect":${wSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

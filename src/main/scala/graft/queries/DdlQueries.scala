@@ -201,6 +201,29 @@ object DdlQueries {
             |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** `STORED AS ICEBERG` DDL: create the table with the native writer,
+    * register it through the reference-dialect CREATE EXTERNAL TABLE
+    * (live rule-based scan view), and query it with plain SQL — pruning
+    * and all (the view shares readWhere's derivation). The oracle
+    * recomputes from the parquet source. */
+  val ddlExternalIceberg = dfQ("ddl_external_iceberg",
+    """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM nation WHERE n_nationkey >= 10
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_exticeberg_nation_$tag"
+    val g = GraftSession.wrap(s)
+    graft.sources.IcebergFixture.deleteRecursively(dir)
+    val src = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, src.schema)
+    graft.sources.IcebergWrite.append(src, dir)
+    g.sql("DROP VIEW IF EXISTS ext_ice_nation")
+    g.sql(s"CREATE EXTERNAL TABLE ext_ice_nation STORED AS ICEBERG LOCATION '$dir'")
+    g.sql("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+            |FROM ext_ice_nation WHERE n_nationkey >= 10
+            |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
   /** Partitioned Avro corpus: hive-layout dynamic-partition write in ONE
     * distributed job (`AvroIO.writePartitioned` — single shuffle on the
     * partition column, no driver-side value enumeration), then a
@@ -224,5 +247,5 @@ object DdlQueries {
 
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
     ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns,
-    ddlAvroRead, ddlExternalAvro, ddlAvroPartitioned, avroBenchScan)
+    ddlAvroRead, ddlExternalAvro, ddlExternalIceberg, ddlAvroPartitioned, avroBenchScan)
 }

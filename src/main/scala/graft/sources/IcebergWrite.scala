@@ -131,8 +131,10 @@ object IcebergWrite {
     * files ADD to the table — prior snapshots, manifests, and delete
     * files are carried forward untouched. */
   def append(df: DataFrame, tablePath: String,
-             maxRecordsPerFile: Option[Long] = None): Long =
-    commitData(df, tablePath, maxRecordsPerFile, operation = "append")
+             maxRecordsPerFile: Option[Long] = None,
+             summaryExtra: Map[String, String] = Map.empty): Long =
+    commitData(df, tablePath, maxRecordsPerFile, operation = "append",
+      summaryExtra = summaryExtra)
 
   /** Replace the table's contents with `df` in one new snapshot (full
     * overwrite: the new manifest list references ONLY the new files, so
@@ -378,7 +380,8 @@ object IcebergWrite {
 
   private def commitData(df: DataFrame, tablePath: String,
                          maxRecordsPerFile: Option[Long],
-                         operation: String): Long = {
+                         operation: String,
+                         summaryExtra: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
@@ -482,7 +485,7 @@ object IcebergWrite {
       // prior deletes) drop out of the live view
       commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
         files, snapshotId, newSeq, operation,
-        carryForward = operation == "append")
+        carryForward = operation == "append", summaryExtra = summaryExtra)
     } finally {
       GraftFs.delete(tmp, recursive = true)
     }
@@ -496,7 +499,8 @@ object IcebergWrite {
                              partColTypes: Seq[(String, DataType, Boolean)],
                              files: Seq[NewFile], snapshotId: Long,
                              newSeq: Long, operation: String,
-                             carryForward: Boolean): Long = {
+                             carryForward: Boolean,
+                             summaryExtra: Map[String, String] = Map.empty): Long = {
     val fv = meta.formatVersion
     val metaDir = GraftFs.child(tablePath, "metadata")
     val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, partColTypes,
@@ -520,7 +524,9 @@ object IcebergWrite {
     sn.put("timestamp-ms", now)
     if (fv >= 2) sn.put("sequence-number", newSeq)
     Option(newRoot.get("current-schema-id")).foreach(n => sn.put("schema-id", n.asInt))
-    sn.putObject("summary").put("operation", operation)
+    val summary = sn.putObject("summary")
+    summary.put("operation", operation)
+    summaryExtra.foreach { case (k, v) => summary.put(k, v) }
     sn.put("manifest-list", mlPath)
     arrayNode(newRoot, "snapshots").add(sn)
     val slog = arrayNode(newRoot, "snapshot-log").addObject()

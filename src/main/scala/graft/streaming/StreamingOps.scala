@@ -287,6 +287,52 @@ object StreamingOps {
     finally q.stop()
   }
 
+  /** Highest stream batch id already committed to the table (recorded in
+    * each sink snapshot's summary) — the sink's replay cursor. */
+  def lastStreamBatchId(tablePath: String): Option[Long] =
+    graft.sources.IcebergIO.loadMetadata(tablePath).snapshots
+      .flatMap(_.summary.get(StreamBatchKey))
+      .map(_.toLong).maxOption
+
+  private[graft] val StreamBatchKey = "graft-stream-batch-id"
+
+  /** Idempotent per-batch commit for the Iceberg sink: append `batch`
+    * stamped with `batchId` UNLESS a snapshot already carries an equal
+    * or higher id — a foreachBatch replay after a failure between the
+    * table commit and the checkpoint advance re-offers the same batch,
+    * and committing it twice would duplicate rows. Returns true when the
+    * batch was committed, false when it was recognized as a replay. */
+  def commitStreamBatch(batch: DataFrame, tablePath: String,
+                        batchId: Long): Boolean = {
+    val replay = lastStreamBatchId(tablePath).exists(_ >= batchId)
+    if (!replay)
+      graft.sources.IcebergWrite.append(batch, tablePath,
+        summaryExtra = Map(StreamBatchKey -> batchId.toString)): Unit
+    !replay
+  }
+
+  /** EXACTLY-ONCE streaming APPEND sink into a native Iceberg table
+    * ([[graft.sources.IcebergWrite]]): each micro-batch lands as one
+    * snapshot stamped with its batch id, and restarts skip batches the
+    * table has already absorbed ([[commitStreamBatch]]) — the classic
+    * foreachBatch idempotent-sink recipe, with the table's own snapshot
+    * summary as the transaction log (no side files). The table must
+    * exist ([[graft.sources.IcebergWrite.create]] it first, partitioned
+    * or not — the append path handles both). */
+  def icebergAppendSink(stream: DataFrame, tablePath: String,
+                        checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at wiring time, not first batch: the sink never creates
+    graft.sources.IcebergIO.loadMetadata(tablePath): Unit
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitStreamBatch(batch.toDF(), tablePath, batchId): Unit
+      }
+      .start()
+  }
+
   /** Streaming read of an APPEND-ONLY Iceberg table: each micro-batch
     * picks up data files committed since the last one — the streaming
     * twin of [[graft.sources.IcebergIO.readIncremental]], composed from

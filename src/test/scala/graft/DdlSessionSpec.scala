@@ -113,6 +113,38 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(spark.read.json(s"$dir/j").count() == 4)
   }
 
+  test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG registers the live view") {
+    import org.apache.spark.sql.types._
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl_ice").toString + "/t"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(2L, "b")))
+    graft.sources.IcebergWrite.create(spark, dir, st)
+    graft.sources.IcebergWrite.append(spark.createDataFrame(rows, st), dir)
+    g.sql("DROP VIEW IF EXISTS ddl_ice_t")
+    g.sql(s"CREATE EXTERNAL TABLE ddl_ice_t STORED AS ICEBERG LOCATION '$dir'")
+    assert(g.sql("SELECT id FROM ddl_ice_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the view is LIVE: a commit after registration is visible
+    val more = new java.util.ArrayList[org.apache.spark.sql.Row](
+      java.util.List.of(org.apache.spark.sql.Row(3L, "c")))
+    graft.sources.IcebergWrite.append(spark.createDataFrame(more, st), dir)
+    assert(g.sql("SELECT COUNT(*) AS n FROM ddl_ice_t").head.getLong(0) === 3L)
+    // duplicate create errors; IF NOT EXISTS is a no-op
+    val e = intercept[IllegalArgumentException](
+      g.sql(s"CREATE EXTERNAL TABLE ddl_ice_t STORED AS ICEBERG LOCATION '$dir'"))
+    assert(e.getMessage.contains("already exists"))
+    g.sql(s"CREATE EXTERNAL TABLE IF NOT EXISTS ddl_ice_t STORED AS ICEBERG LOCATION '$dir'")
+    // a column list is rejected loudly
+    intercept[IllegalArgumentException](
+      g.sql(s"CREATE EXTERNAL TABLE ddl_ice_2 (id BIGINT) STORED AS ICEBERG LOCATION '$dir'"))
+    g.sql("DROP VIEW IF EXISTS ddl_ice_t")
+  }
+
   test("CREATE / DROP VIEW lifecycle (q15 shape)") {
     val g = GraftSession.wrap(spark)
     g.registerParquet("li_v", s"${TestSpark.sfDir}/lineitem.parquet")

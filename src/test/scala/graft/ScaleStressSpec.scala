@@ -89,4 +89,18 @@ class ScaleStressSpec extends AnyFunSuite {
         s"${p.get("ratio")}x the ${p.get("files_small")}-file time " +
         s"(threshold ${p.get("threshold")}x for 10x files)")
   }
+
+  test("Iceberg write cost stays data-bound as the partition count grows") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("iceberg_write"),
+      "artifact predates the write harness — regenerate")
+    val w = root.get("iceberg_write")
+    assert(!w.get("suspect").asBoolean,
+      s"writing the same rows into ${w.get("parts_large")} partitions took " +
+        s"${w.get("ratio")}x the ${w.get("parts_small")}-partition time " +
+        s"(threshold ${w.get("threshold")}x for 10x files — the commit " +
+        "must stay O(files) serialization, the data job row-bound)")
+  }
 }

@@ -436,4 +436,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
+  test("iceberg sink: exactly-once across replays and restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ice_sink").toString
+    val table = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val st = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    graft.sources.IcebergWrite.create(spark, table, st)
+
+    // direct idempotence on a SEPARATE table (its batch ids would
+    // otherwise collide with the real stream's, which start at 0)
+    def mk(xs: (String, Long)*) = xs.toDF("k", "v")
+    val t2 = s"$root/t2"
+    graft.sources.IcebergWrite.create(spark, t2, st)
+    assert(StreamingOps.commitStreamBatch(mk("a" -> 1L), t2, 0L))
+    assert(!StreamingOps.commitStreamBatch(mk("a" -> 1L), t2, 0L),
+      "replay of batch 0 must be skipped")
+    assert(StreamingOps.lastStreamBatchId(t2).contains(0L))
+    assert(graft.sources.IcebergIO.read(spark, t2).count() === 1L)
+
+    // end-to-end: memory stream -> sink; then STOP and RESTART on the
+    // same checkpoint — rows must not duplicate
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
+    in.addData(("b", 2L), ("c", 3L))
+    val q = StreamingOps.icebergAppendSink(in.toDF().toDF("k", "v"), table, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val after1 = graft.sources.IcebergIO.read(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(after1 === Seq(("b", 2L), ("c", 3L)))
+
+    in.addData(("d", 4L))
+    val q2 = StreamingOps.icebergAppendSink(in.toDF().toDF("k", "v"), table, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val after2 = graft.sources.IcebergIO.read(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(after2 === Seq(("b", 2L), ("c", 3L), ("d", 4L)),
+      "restart on the same checkpoint must not duplicate rows")
+
+    // the sink's snapshots carry their batch ids in the summary
+    assert(StreamingOps.lastStreamBatchId(table).exists(_ >= 1L))
+    // wiring against a missing table fails at construction
+    intercept[IllegalArgumentException](
+      StreamingOps.icebergAppendSink(in.toDF().toDF("k", "v"),
+        s"$root/nope", s"$root/ckpt2"))
+  }
+
 }
