@@ -155,6 +155,18 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergWrite.append(df, path): Unit
   }
 
+  /** Atomic MERGE/UPSERT into a native Iceberg table: table rows whose
+    * `keyCols` tuple matches a `df` row are replaced, unmatched rows
+    * insert — ONE snapshot (equality-delete manifest + data manifest at
+    * the same sequence number). A missing table is created first (then
+    * the upsert degenerates to an append). */
+  def upsertIceberg(df: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    if (!graft.sources.GraftFs.exists(
+        graft.sources.GraftFs.child(path, "metadata")))
+      graft.sources.IcebergWrite.create(spark, path, df.schema)
+    graft.sources.IcebergWrite.upsert(df, path, keyCols): Unit
+  }
+
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)

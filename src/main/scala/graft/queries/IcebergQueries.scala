@@ -589,6 +589,100 @@ object IcebergQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Partition-scoped equality DELETE through the writer
+    * ([[graft.sources.IcebergWrite]] `deleteEquality` on a PARTITIONED
+    * table): the delete keys (`o_custkey`) span many partitions and do
+    * not include the partition source, so the writer derives scope by
+    * joining the keys against the current data and emits one scoped
+    * delete file per affected partition (a single global file would
+    * read back null-partition-scoped and over/under-delete). The oracle
+    * replays the complement predicate off the parquet source. */
+  val icebergEqDeleteScoped = dfQ("iceberg_eq_delete_scoped",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_custkey % 50 <> 7
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_eqdel_scoped_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderpriority"))
+    graft.sources.IcebergWrite.append(orders, dir)
+    graft.sources.IcebergWrite.deleteEquality(
+      orders.select("o_custkey").filter(pmod(col("o_custkey"), lit(50)) === 7)
+        .distinct(), dir)
+    IcebergIO.read(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Atomic MERGE/UPSERT ([[graft.sources.IcebergWrite]] `upsert`): one
+    * snapshot carries the equality-delete manifest (on the key) AND the
+    * data manifest at the same sequence number — updated rows replaced
+    * (two of them MOVING partition), new rows inserted, everything else
+    * untouched. The oracle recomputes the merged state in SQL. */
+  val icebergUpsert = dfQ("iceberg_upsert",
+    """WITH up AS (
+      |  SELECT n_nationkey, 'UPDATED_' || n_name AS n_name,
+      |         (n_regionkey + 2) % 5 AS n_regionkey
+      |  FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name, (n_regionkey + 1) % 5
+      |  FROM nation WHERE n_nationkey < 3)
+      |SELECT n_nationkey, n_name, n_regionkey FROM (
+      |  SELECT * FROM up
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |  WHERE n_nationkey >= 5) t
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_upsert_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema,
+      partitionCols = Seq("n_regionkey"))
+    graft.sources.IcebergWrite.append(nation, dir)
+    val updates = nation.filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey"),
+        concat(lit("UPDATED_"), col("n_name")).as("n_name"),
+        ((col("n_regionkey") + 2) % 5).as("n_regionkey"))
+    val inserts = nation.filter(col("n_nationkey") < 3)
+      .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        ((col("n_regionkey") + 1) % 5).as("n_regionkey"))
+    graft.sources.IcebergWrite.upsert(updates.unionByName(inserts), dir,
+      Seq("n_nationkey"))
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
+  /** Snapshot ROLLBACK ([[graft.sources.IcebergWrite]]
+    * `setCurrentSnapshot`): append two slices, roll main back to the
+    * first snapshot, read — the restored state must be exactly slice
+    * one (the later snapshot stays time-travelable but is off the main
+    * head). The oracle replays slice one off the parquet source. */
+  val icebergRollback = dfQ("iceberg_rollback",
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey < 10
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_rollback_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    val s1 = graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 10"), dir)
+    graft.sources.IcebergWrite.setCurrentSnapshot(dir, s1)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
@@ -596,6 +690,6 @@ object IcebergQueries {
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
-    icebergDeleteWhere,
+    icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

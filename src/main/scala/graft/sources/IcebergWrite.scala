@@ -240,6 +240,83 @@ object IcebergWrite {
     expired.size
   }
 
+  /** Roll the table back (or forward) to `snapshotId`: a metadata-only
+    * commit that makes it the current snapshot again — the
+    * `rollback_to_snapshot` / `set_current_snapshot` maintenance action.
+    * Later snapshots stay in metadata (still time-travelable by id,
+    * still expirable); `main` and the snapshot log move, so subsequent
+    * reads and as-of time travel resolve to the restored state. */
+  def setCurrentSnapshot(tablePath: String, snapshotId: Long): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not in table (have: " +
+        s"${meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})")
+    if (meta.currentSnapshotId.contains(snapshotId)) return
+    val now = System.currentTimeMillis()
+    val newRoot = root.deepCopy()
+    newRoot.put("current-snapshot-id", snapshotId)
+    newRoot.put("last-updated-ms", now)
+    val slog = arrayNode(newRoot, "snapshot-log").addObject()
+    slog.put("timestamp-ms", now)
+    slog.put("snapshot-id", snapshotId)
+    val refs = Option(newRoot.get("refs")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("refs")
+    }
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", snapshotId)
+    mainRef.put("type", "branch")
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Create a named TAG pinning `snapshotId` (immutable bookmark; the
+    * reader resolves it via `read(ref = Some(name))`). Fails on a
+    * duplicate name — refs are create-once, drop, re-create. */
+  def createTag(tablePath: String, name: String, snapshotId: Long): Unit =
+    createRef(tablePath, name, snapshotId, "tag")
+
+  /** Create a named BRANCH at `snapshotId`. This writer only commits to
+    * `main`, so a created branch is a readable pin like a tag until an
+    * external engine moves it — but the type is recorded faithfully. */
+  def createBranch(tablePath: String, name: String, snapshotId: Long): Unit =
+    createRef(tablePath, name, snapshotId, "branch")
+
+  private def createRef(tablePath: String, name: String, snapshotId: Long,
+                        refType: String): Unit = {
+    require(name != "main", "'main' moves with commits/setCurrentSnapshot")
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not in table (have: " +
+        s"${meta.snapshots.map(_.snapshotId).sorted.mkString(", ")})")
+    require(!meta.refs.contains(name), s"ref '$name' already exists")
+    val newRoot = root.deepCopy()
+    val refs = Option(newRoot.get("refs")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("refs")
+    }
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
+    newRoot.put("last-updated-ms", System.currentTimeMillis())
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Drop a named ref (tag or branch). `main` is not droppable. A
+    * dropped ref's snapshot becomes eligible for [[expireSnapshots]]. */
+  def dropRef(tablePath: String, name: String): Unit = {
+    require(name != "main", "cannot drop the main branch")
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.refs.contains(name),
+      s"ref '$name' not found (have: ${meta.refs.keys.toSeq.sorted.mkString(", ")})")
+    val newRoot = root.deepCopy()
+    newRoot.get("refs").asInstanceOf[ObjectNode].remove(name): Unit
+    newRoot.put("last-updated-ms", System.currentTimeMillis())
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
   /** Merge-on-read DELETE by predicate: rows of the current snapshot
     * matching `cond` are removed via a v2 POSITION-delete file — the
     * data files are never rewritten. One distributed scan computes the
@@ -275,23 +352,84 @@ object IcebergWrite {
   }
 
   /** Equality DELETE: any current-or-earlier row equal to a `values` row
-    * on ALL of `values`' columns is removed (v2 equality-delete file;
+    * on ALL of `values`' columns is removed (v2 equality-delete files;
     * the sequence-number rule means rows appended AFTER this delete
-    * survive). UNPARTITIONED tables only: a global equality delete on a
-    * partitioned table cannot be represented without per-partition
-    * scoping, and silently mis-scoping would corrupt results. Returns
+    * survive). An unpartitioned table gets ONE global delete file; a
+    * partitioned table gets PARTITION-SCOPED files — one per affected
+    * partition, derived by joining `values` against the current data
+    * ([[stageScopedEqDelete]]; writing a single global file there would
+    * read back as scoped to the NULL partition and mis-apply). Returns
     * the snapshot id. */
   def deleteEquality(values: DataFrame, tablePath: String): Long = {
     val spark = values.sparkSession
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
     require(meta.formatVersion >= 2, "equality deletes require format v2")
-    require(meta.partitionFields.isEmpty,
-      "deleteEquality supports unpartitioned tables only (a partitioned " +
-        "table needs partition-scoped delete files; use deleteWhere, " +
-        "which is position-based and partition-safe)")
+    require(values.columns.nonEmpty, "deleteEquality needs at least one column")
+    require(!values.columns.exists(_.startsWith("__gf")),
+      "__gf-prefixed delete columns collide with internal names")
+    val ids = resolveEqualityIds(values, meta)
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val files =
+      if (meta.partitionFields.isEmpty)
+        Seq(stageSingleDeleteFile(spark, tablePath, values.coalesce(1),
+          snapshotId, content = 2, equalityIds = ids))
+      else stageScopedEqDelete(values, tablePath, meta, snapshotId, ids)
+    commitStaged(tablePath, meta, root, priorVersion,
+      deletePartColTypes(meta), files, snapshotId, newSeq,
+      operation = "delete", carryForward = true)
+  }
+
+  /** MERGE-style UPSERT in ONE atomic snapshot: table rows whose
+    * `keyCols` tuple matches a `df` row are replaced by it; unmatched
+    * `df` rows are inserted; everything else is untouched. The commit
+    * carries an equality-delete manifest (on the keys) and a data
+    * manifest at the SAME sequence number — the spec's strict
+    * `data seq < delete seq` rule applies the delete to prior data only,
+    * never to the rows being upserted, so no ordering between the two
+    * manifests matters and a reader sees either the old or the new state
+    * (never a mix). Partitioned tables get partition-scoped delete
+    * files; upserting into an empty table degenerates to an append.
+    * `df` must carry the full table schema (whole-row replacement).
+    * Returns the snapshot id. */
+  def upsert(df: DataFrame, tablePath: String, keyCols: Seq[String],
+             maxRecordsPerFile: Option[Long] = None): Long = {
+    val spark = df.sparkSession
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2, "upsert requires format v2 (equality deletes)")
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} not all in the upsert frame")
+    require(!keyCols.exists(_.startsWith("__gf")),
+      "__gf-prefixed key columns collide with internal names")
+    requireTableSchema(df, meta)
+    val keys = df.select(keyCols.map(col): _*).distinct()
+    val ids = resolveEqualityIds(keys, meta)
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val delFiles =
+      if (meta.currentSnapshotId.isEmpty) Nil // empty table: plain append
+      else if (meta.partitionFields.isEmpty)
+        Seq(stageSingleDeleteFile(spark, tablePath, keys.coalesce(1),
+          snapshotId, content = 2, equalityIds = ids))
+      else stageScopedEqDelete(keys, tablePath, meta, snapshotId, ids)
+    val (dataFiles, partColTypes) =
+      stageDataFiles(df, tablePath, meta, snapshotId, maxRecordsPerFile)
+    commitStaged(tablePath, meta, root, priorVersion, partColTypes,
+      delFiles ++ dataFiles, snapshotId, newSeq,
+      operation = "overwrite", carryForward = true)
+  }
+
+  /** Resolve the delete/upsert-key columns of `values` to table field
+    * ids, name- and type-checked against the table schema. */
+  private def resolveEqualityIds(values: DataFrame,
+                                 meta: IcebergIO.TableMetadata): Seq[Int] = {
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
-    val ids = values.schema.fields.toSeq.map { f =>
+    values.schema.fields.toSeq.map { f =>
       val id = fieldIdByName.getOrElse(f.name,
         throw new IllegalArgumentException(
           s"delete column '${f.name}' not in table schema " +
@@ -301,22 +439,24 @@ object IcebergWrite {
           s"${meta.schema(f.name).dataType}")
       id
     }
-    commitDelete(spark, tablePath, meta, root, priorVersion,
-      values.coalesce(1), content = 2, equalityIds = ids)
   }
 
-  /** Stage one delete parquet file + commit the delete snapshot. The
-    * delete manifest declares its partition-record fields NULLABLE and
-    * leaves them unset: position deletes name exact files so partition
-    * scope is irrelevant, and equality deletes only reach here on
-    * unpartitioned tables (empty tuple = global, per spec). */
-  private def commitDelete(spark: SparkSession, tablePath: String,
-                           meta: IcebergIO.TableMetadata, root: ObjectNode,
-                           priorVersion: Int, rows: DataFrame, content: Int,
-                           equalityIds: Seq[Int]): Long = {
-    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-    val newSeq =
-      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+  /** The delete-manifest partition column types: same stored types as
+    * the data manifest, all NULLABLE (position deletes leave the tuple
+    * unset; scoped equality deletes may carry a null partition value). */
+  private def deletePartColTypes(meta: IcebergIO.TableMetadata)
+      : Seq[(String, DataType, Boolean)] =
+    meta.partitionFields.map { case (name, t, srcId) =>
+      val src = meta.fieldById(srcId)
+      (name, storedType(t, meta.schema(src).dataType), true)
+    }
+
+  /** Stage `rows` as ONE delete parquet under `data/` (position deletes,
+    * or a GLOBAL equality delete on an unpartitioned table — its
+    * manifest entry records no partition tuple). */
+  private def stageSingleDeleteFile(spark: SparkSession, tablePath: String,
+                                    rows: DataFrame, snapshotId: Long,
+                                    content: Int, equalityIds: Seq[Int]): NewFile = {
     val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
     rows.write.mode("overwrite").parquet(tmp)
     try {
@@ -330,20 +470,123 @@ object IcebergWrite {
       if (!GraftFs.rename(staged.head.getPath.toString, to))
         throw new java.io.IOException(
           s"rename failed: ${staged.head.getPath} -> $to")
-      val nf = NewFile(to, records, GraftFs.status(to).map(_.getLen).getOrElse(0L),
+      NewFile(to, records, GraftFs.status(to).map(_.getLen).getOrElse(0L),
         partitionValues = Nil, bounds = Nil, nullCounts = Nil, nanCounts = Nil,
         content = content, equalityIds = equalityIds)
-      // nullable partition record: fields stay unset in the delete entry
-      val partColTypes = meta.partitionFields.map { case (name, t, srcId) =>
-        val src = meta.fieldById(srcId)
-        (name, storedType(t, meta.schema(src).dataType), true)
-      }
-      commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
-        Seq(nf), snapshotId, newSeq, operation = "delete",
-        carryForward = true)
     } finally {
       GraftFs.delete(tmp, recursive = true)
     }
+  }
+
+  /** Stage equality-delete files for a PARTITIONED table, one per
+    * affected partition (the spec scopes a delete file to the partition
+    * it is written into). Scope derivation: the sequence rule means an
+    * equality delete can only remove rows that exist NOW, so joining
+    * `values` against the current data (null-safe on every delete
+    * column) yields exactly the (partition tuple, delete row) pairs any
+    * reader needs — correct even when the delete columns don't include
+    * the partition source. ONE distributed join + ONE partitioned write
+    * job (repartition on the stored tuple, one file per tuple) + ONE
+    * read-back agg for per-file counts and tuples; partitions with no
+    * matching row get no delete file, and a `values` row matching rows
+    * in several partitions lands in each of them. */
+  private def stageScopedEqDelete(values: DataFrame, tablePath: String,
+                                  meta: IcebergIO.TableMetadata,
+                                  snapshotId: Long,
+                                  equalityIds: Seq[Int]): Seq[NewFile] = {
+    val spark = values.sparkSession
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+    val dataFiles = snap.toSeq
+      .flatMap(s => IcebergIO.liveFiles(spark, s)).filter(_.content == 0)
+    if (dataFiles.isEmpty) return Nil // nothing live -> nothing to delete
+    val storedCols = meta.partitionFields.map { case (_, transform, srcId) =>
+      val src = meta.fieldById.getOrElse(srcId,
+        throw new IllegalArgumentException(
+          s"partition source field id $srcId not in table schema"))
+      IcebergTransforms.storedColumn(transform, src, meta.schema(src).dataType)
+    }
+    val valueCols = values.columns.toSeq
+    // rename the delete columns so the join condition is unambiguous
+    val vren = valueCols.foldLeft(values)(
+      (d, n) => d.withColumnRenamed(n, s"__gf_v_$n"))
+    val data = spark.read.schema(meta.schema).parquet(dataFiles.map(_.path): _*)
+    val joined = data.join(vren,
+      valueCols.map(n => col(n) <=> col(s"__gf_v_$n")).reduce(_ && _), "inner")
+    val sel = storedCols.zipWithIndex.map { case (c0, i) => c0.as(s"__gf_s$i") } ++
+      valueCols.map(n => col(s"__gf_v_$n").as(n))
+    val rows = joined.select(sel: _*).distinct()
+    // one file per tuple: same repartition + partitionBy shape as the
+    // data commit. The stored tuple stays IN the file as extra columns
+    // (legal — the reader selects equality columns by name) so the
+    // read-back recovers each file's tuple without dir-name parsing.
+    val withP = storedCols.indices.foldLeft(rows)(
+      (d, i) => d.withColumn(s"__gf_p$i", col(s"__gf_s$i")))
+    val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
+    withP.repartition(storedCols.indices.map(i => col(s"__gf_p$i")): _*)
+      .write.mode("overwrite")
+      .partitionBy(storedCols.indices.map(i => s"__gf_p$i"): _*)
+      .parquet(tmp)
+    try {
+      val staged = listParquetLeaves(tmp)
+      if (staged.isEmpty) return Nil // no current row matches: no-op
+      // per-file record count + the (constant-per-file) stored tuple in
+      // ONE read-back agg — same discipline as the data commit
+      val rb = spark.read.parquet(staged.map(_.getPath.toString): _*)
+        .withColumn("__gf_f", regexp_replace(col("_metadata.file_path"),
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+      val aggs = count(lit(1)) +:
+        storedCols.indices.map(i => min(col(s"__gf_s$i")))
+      val stats: Map[String, (Long, Seq[Any])] =
+        rb.groupBy(col("__gf_f")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { row =>
+            val raw = row.getString(0)
+            val key = try new java.net.URI(raw).getPath
+              catch { case _: Exception => raw }
+            key -> ((row.getLong(1),
+              storedCols.indices.map(i => row.get(2 + i): Any)))
+          }.toMap
+      val dataDir = GraftFs.child(tablePath, "data")
+      GraftFs.mkdirs(dataDir)
+      var renamed = List.empty[(String, String)]
+      try staged.zipWithIndex.map { case (s, i) =>
+        val from = s.getPath.toString
+        val to = GraftFs.child(dataDir,
+          s"eqdelete-$snapshotId-$i-${s.getPath.getName}")
+        if (!GraftFs.rename(from, to))
+          throw new java.io.IOException(s"rename failed: $from -> $to")
+        renamed ::= (from, to)
+        val key = IcebergIO.normalizePath(from)
+        val (records, tuple) = stats.getOrElse(key,
+          throw new IllegalStateException(s"no stats for staged delete file $from"))
+        NewFile(to, records, s.getLen, partitionValues = tuple,
+          bounds = Nil, nullCounts = Nil, nanCounts = Nil,
+          content = 2, equalityIds = equalityIds)
+      } catch {
+        case e: Throwable =>
+          renamed.foreach { case (from, to) => GraftFs.rename(to, from) }
+          throw e
+      }
+    } finally {
+      GraftFs.delete(tmp, recursive = true)
+    }
+  }
+
+  /** Stage one delete parquet file + commit the delete snapshot —
+    * [[deleteWhere]]'s commit tail (position deletes name exact files,
+    * so their manifest partition tuple stays unset). */
+  private def commitDelete(spark: SparkSession, tablePath: String,
+                           meta: IcebergIO.TableMetadata, root: ObjectNode,
+                           priorVersion: Int, rows: DataFrame, content: Int,
+                           equalityIds: Seq[Int]): Long = {
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val nf = stageSingleDeleteFile(spark, tablePath, rows, snapshotId,
+      content, equalityIds)
+    commitStaged(tablePath, meta, root, priorVersion,
+      deletePartColTypes(meta), Seq(nf), snapshotId, newSeq,
+      operation = "delete", carryForward = true)
   }
 
   /** Decode SparkPath's URL-encoding without structural changes —
@@ -378,28 +621,47 @@ object IcebergWrite {
       case _ => srcType
     }
 
-  private def commitData(df: DataFrame, tablePath: String,
-                         maxRecordsPerFile: Option[Long],
-                         operation: String,
-                         summaryExtra: Map[String, String] = Map.empty): Long = {
-    val spark = df.sparkSession
-    val meta = IcebergIO.loadMetadata(tablePath)
-    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
-    val fv = meta.formatVersion
-    val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
-
-    // schema check by NAME + TYPE (nullability not enforced — parquet
-    // carries actual nulls; a required table column receiving nulls
-    // would fail spec-reader expectations, caller's responsibility)
+  /** Schema check by NAME + TYPE (nullability not enforced — parquet
+    * carries actual nulls; a required table column receiving nulls
+    * would fail spec-reader expectations, caller's responsibility). */
+  private def requireTableSchema(df: DataFrame,
+                                 meta: IcebergIO.TableMetadata): Unit = {
     val dfSig = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
     val tblSig = meta.schema.fields.map(f => (f.name, f.dataType)).toSeq
     require(dfSig == tblSig,
       s"append schema ${dfSig.mkString(",")} != table schema ${tblSig.mkString(",")}")
+  }
 
+  private def commitData(df: DataFrame, tablePath: String,
+                         maxRecordsPerFile: Option[Long],
+                         operation: String,
+                         summaryExtra: Map[String, String] = Map.empty): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    requireTableSchema(df, meta)
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val newSeq =
-      if (fv >= 2) Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+      if (meta.formatVersion >= 2)
+        Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
       else snapshotId
+    val (files, partColTypes) =
+      stageDataFiles(df, tablePath, meta, snapshotId, maxRecordsPerFile)
+    commitStaged(tablePath, meta, root, priorVersion, partColTypes,
+      files, snapshotId, newSeq, operation,
+      carryForward = operation == "append", summaryExtra = summaryExtra)
+  }
+
+  /** Stage `df`'s rows as new data files under `data/` (ONE distributed
+    * write job + ONE stats read-back + renames); returns the staged
+    * [[NewFile]]s and the spec's partition column types. The caller owns
+    * the commit — [[upsert]] stages delete files alongside and commits
+    * both manifests as one snapshot. */
+  private def stageDataFiles(df: DataFrame, tablePath: String,
+                             meta: IcebergIO.TableMetadata, snapshotId: Long,
+                             maxRecordsPerFile: Option[Long])
+      : (Seq[NewFile], Seq[(String, DataType, Boolean)]) = {
+    val spark = df.sparkSession
+    val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
 
     // ---- partition machinery from the TABLE's spec (authoritative —
     // works against externally created tables too)
@@ -479,17 +741,33 @@ object IcebergWrite {
             renamed.foreach { case (from, to) => GraftFs.rename(to, from) }
             throw e
         }
-
-      // ---- 4. manifest + manifest list + metadata, then publish
-      // overwrite/replace reference ONLY the new files — prior data (and
-      // prior deletes) drop out of the live view
-      commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
-        files, snapshotId, newSeq, operation,
-        carryForward = operation == "append", summaryExtra = summaryExtra)
+      (files, partColTypes)
     } finally {
       GraftFs.delete(tmp, recursive = true)
     }
   }
+
+  /** Commit staged files; on ANY commit failure (losing the optimistic-
+    * concurrency race being the expected one) best-effort delete the
+    * staged files so the loser leaves no orphans in `data/`, then
+    * rethrow. Orphaned manifests are harmless (never referenced). */
+  private def commitStaged(tablePath: String, meta: IcebergIO.TableMetadata,
+                           root: ObjectNode, priorVersion: Int,
+                           partColTypes: Seq[(String, DataType, Boolean)],
+                           files: Seq[NewFile], snapshotId: Long,
+                           newSeq: Long, operation: String,
+                           carryForward: Boolean,
+                           summaryExtra: Map[String, String] = Map.empty): Long =
+    try commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
+      files, snapshotId, newSeq, operation, carryForward, summaryExtra)
+    catch {
+      case e: Throwable =>
+        files.foreach { f =>
+          try { GraftFs.delete(f.path, recursive = false): Unit }
+          catch { case _: Exception => () }
+        }
+        throw e
+    }
 
   /** Shared commit tail: write the new manifest + manifest list (prior
     * entries carried forward unless this is an overwrite), build the new
@@ -503,14 +781,25 @@ object IcebergWrite {
                              summaryExtra: Map[String, String] = Map.empty): Long = {
     val fv = meta.formatVersion
     val metaDir = GraftFs.child(tablePath, "metadata")
-    val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, partColTypes,
-      files, snapshotId, newSeq)
+    // v2 keeps data and delete files in SEPARATE manifests (a manifest's
+    // content is all-data or all-deletes); one commit may carry both
+    // kinds — upsert publishes a delete manifest + a data manifest in
+    // ONE snapshot at the SAME sequence number, and the spec's strict
+    // `data seq < delete seq` rule keeps the delete off its own rows
+    val added = files.groupBy(f => if (f.content > 0) 1 else 0).toSeq
+      .sortBy(_._1).map { case (kind, group) =>
+        // delete manifests declare partition fields NULLABLE: position
+        // deletes leave the tuple unset; scoped equality deletes set it
+        val pct = if (kind == 0) partColTypes
+          else partColTypes.map { case (n, t, _) => (n, t, true) }
+        val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, pct,
+          group, snapshotId, newSeq, manifestContent = kind)
+        (mPath, mLen, kind, snapshotId, newSeq, group.map(_.records).sum,
+          group.size)
+      }
     val carried: Seq[GenericRecord] =
       if (carryForward) priorManifestEntries(meta) else Nil
-    val mContent = if (files.exists(_.content > 0)) 1 else 0
-    val mlPath = writeManifestList(metaDir, fv, carried,
-      (mPath, mLen, mContent, snapshotId, newSeq, files.map(_.records).sum,
-        files.size))
+    val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId)
 
     val now = System.currentTimeMillis()
     val newRoot = root.deepCopy()
@@ -588,7 +877,7 @@ object IcebergWrite {
   private def writeManifest(metaDir: String, fv: Int, schema: StructType,
                             partColTypes: Seq[(String, DataType, Boolean)],
                             files: Seq[NewFile], snapshotId: Long,
-                            seq: Long): (String, Long) = {
+                            seq: Long, manifestContent: Int): (String, Long) = {
     val es = IcebergFixture.manifestEntrySchema(fv, partColTypes)
     val dfSchema = es.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -606,8 +895,7 @@ object IcebergWrite {
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", fv.toString)
     if (fv >= 2)
-      w.setMeta("content",
-        if (files.exists(_.content > 0)) "deletes" else "data")
+      w.setMeta("content", if (manifestContent == 1) "deletes" else "data")
     w.create(es, GraftFs.create(out))
     try files.foreach { fm =>
       val e = new GenericData.Record(es)
@@ -677,13 +965,15 @@ object IcebergWrite {
   }
 
   /** Write the new manifest list: carried prior entries (converted
-    * defensively across schema revisions) + the new manifest's entry. */
+    * defensively across schema revisions) + one entry per new manifest
+    * (data and delete manifests of a mixed commit each get their own). */
   private def writeManifestList(metaDir: String, fv: Int,
                                 carried: Seq[GenericRecord],
-                                added: (String, Long, Int, Long, Long, Long, Int)): String = {
+                                added: Seq[(String, Long, Int, Long, Long, Long, Int)],
+                                snapshotId: Long): String = {
     val ls = IcebergFixture.manifestListSchema(fv)
     val out = GraftFs.child(metaDir,
-      f"snap-${added._4}%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
+      f"snap-$snapshotId%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](ls))
     w.setMeta("format-version", fv.toString)
@@ -711,24 +1001,25 @@ object IcebergWrite {
         r.put("deleted_rows_count", num(old, "deleted_rows_count", 0L))
         w.append(r)
       }
-      val (mPath, mLen, mContent, snapId, seq, rows, nFiles) = added
-      val r = new GenericData.Record(ls)
-      r.put("manifest_path", mPath)
-      r.put("manifest_length", mLen)
-      r.put("partition_spec_id", 0)
-      if (fv >= 2) {
-        r.put("content", mContent)
-        r.put("sequence_number", seq)
-        r.put("min_sequence_number", seq)
+      added.foreach { case (mPath, mLen, mContent, snapId, seq, rows, nFiles) =>
+        val r = new GenericData.Record(ls)
+        r.put("manifest_path", mPath)
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", 0)
+        if (fv >= 2) {
+          r.put("content", mContent)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+        }
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", nFiles)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        w.append(r)
       }
-      r.put("added_snapshot_id", snapId)
-      r.put("added_files_count", nFiles)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      w.append(r)
     } finally w.close()
     out
   }

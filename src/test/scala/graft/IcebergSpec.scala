@@ -1042,6 +1042,15 @@ class IcebergSpec extends AnyFunSuite {
     val dir2 = s"$root/session_new"
     g.writeIceberg(df((7L, "x", 7.0)), dir2)
     assert(ids(g.readIceberg(dir2)) === Seq(7L))
+    // upsertIceberg: replace-by-key + insert in one snapshot; creates
+    // missing tables like writeIceberg does
+    g.upsertIceberg(df((7L, "X", 7.5), (8L, "y", 8.0)), dir2, Seq("id"))
+    val rows = g.readIceberg(dir2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((7L, "X"), (8L, "y")))
+    val dir3 = s"$root/session_up_new"
+    g.upsertIceberg(df((1L, "n", 1.0)), dir3, Seq("id"))
+    assert(ids(g.readIceberg(dir3)) === Seq(1L))
   }
 
   test("randomized SQL-surface soundness: rule pruning never drops rows") {

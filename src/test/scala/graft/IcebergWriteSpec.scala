@@ -236,14 +236,143 @@ class IcebergWriteSpec extends AnyFunSuite {
     val out = IcebergIO.read(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(out === Seq((1L, "again"), (2L, "b")))
-    // unknown column and partitioned tables fail loudly
+    // unknown column and reserved-prefix names fail loudly
     intercept[IllegalArgumentException](
       IcebergWrite.deleteEquality(Seq(1L).toDF("nope"), dir))
-    val pdir = s"$root/deleq_parted"
-    IcebergWrite.create(spark, pdir, schema, partitionCols = Seq("name"))
-    IcebergWrite.append(df((1L, "a", 1.0)), pdir)
     intercept[IllegalArgumentException](
-      IcebergWrite.deleteEquality(Seq(1L).toDF("id"), pdir))
+      IcebergWrite.deleteEquality(Seq(1L).toDF("__gf_x"), dir))
+  }
+
+  test("deleteEquality on a partitioned table writes partition-scoped files") {
+    val dir = s"$root/deleq_scoped"
+    import spark.implicits._
+    val rows = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "a", "p2"),
+      (4L, "c", "p2"), (5L, "a", "p3"), (6L, null.asInstanceOf[String], "p3"),
+      (8L, "d", null.asInstanceOf[String]))
+      .toDF("id", "k", "p")
+    IcebergWrite.create(spark, dir, rows.schema, partitionCols = Seq("p"))
+    IcebergWrite.append(rows, dir)
+    // 'a' spans three partitions, null-k matches null (<=>), and 'd'
+    // lives in the NULL partition — the delete columns do NOT include
+    // the partition source, so scope is derived by joining against the
+    // current data
+    IcebergWrite.deleteEquality(
+      Seq("a", "d", null.asInstanceOf[String]).toDF("k"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 4L))
+    // the .files relation shows content-2 files each scoped to ONE
+    // partition (a global file would read back null-partition-scoped)
+    val delFiles = IcebergIO.files(spark, dir)
+      .filter(col("content") === 2)
+      .select("partition").collect().map(_.getString(0)).sorted.toSeq
+    assert(delFiles === Seq("p=null", "p=p1", "p=p2", "p=p3"),
+      s"expected one scoped delete file per affected partition, got $delFiles")
+    // seq rule: a NEW 'a' row appended after the delete survives
+    IcebergWrite.append(Seq((7L, "a", "p1")).toDF("id", "k", "p"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 4L, 7L))
+    // values with no matching current row stage no delete file (no-op)
+    val before = IcebergIO.files(spark, dir)
+      .filter(col("content") === 2).count()
+    IcebergWrite.deleteEquality(Seq("zzz").toDF("k"), dir)
+    assert(IcebergIO.files(spark, dir)
+      .filter(col("content") === 2).count() === before)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 4L, 7L))
+  }
+
+  test("upsert: one atomic snapshot updates + inserts, partitioned") {
+    val dir = s"$root/upsert_part"
+    import spark.implicits._
+    val base = Seq((1L, "one", "p1"), (2L, "two", "p1"), (3L, "three", "p2"))
+      .toDF("id", "v", "p")
+    IcebergWrite.create(spark, dir, base.schema, partitionCols = Seq("p"))
+    IcebergWrite.append(base, dir)
+    // id=2 moves partition p1 -> p2 (the delete scopes to OLD p1, the
+    // new row lands in p2); id=4 is a pure insert
+    val up = Seq((2L, "TWO", "p2"), (4L, "four", "p3")).toDF("id", "v", "p")
+    val snapsBefore = IcebergIO.snapshotIds(dir).size
+    IcebergWrite.upsert(up, dir, Seq("id"))
+    assert(IcebergIO.snapshotIds(dir).size === snapsBefore + 1,
+      "upsert must publish exactly ONE snapshot")
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "one", "p1"), (2L, "TWO", "p2"),
+      (3L, "three", "p2"), (4L, "four", "p3")))
+    // idempotent re-upsert of the same rows changes nothing
+    IcebergWrite.upsert(up, dir, Seq("id"))
+    val again = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(again === got)
+  }
+
+  test("upsert: unpartitioned, empty-table degenerate, and guards") {
+    val dir = s"$root/upsert_flat"
+    IcebergWrite.create(spark, dir, schema)
+    // empty table: no delete manifest, plain append
+    IcebergWrite.upsert(df((1L, "x", 1.0)), dir, Seq("id"))
+    IcebergWrite.upsert(df((1L, "y", 2.0), (2L, "z", 3.0)), dir, Seq("id"))
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "y"), (2L, "z")))
+    // composite key upsert
+    IcebergWrite.upsert(df((2L, "z", 9.0)), dir, Seq("id", "name"))
+    assert(IcebergIO.read(spark, dir).filter(col("id") === 2L)
+      .collect().head.getDouble(2) === 9.0)
+    intercept[IllegalArgumentException](
+      IcebergWrite.upsert(df((1L, "a", 1.0)), dir, Nil))
+    intercept[IllegalArgumentException](
+      IcebergWrite.upsert(df((1L, "a", 1.0)), dir, Seq("nope")))
+    // v1 tables cannot upsert (no equality deletes)
+    val v1dir = s"$root/upsert_v1"
+    IcebergWrite.create(spark, v1dir, schema, formatVersion = 1)
+    intercept[IllegalArgumentException](
+      IcebergWrite.upsert(df((1L, "a", 1.0)), v1dir, Seq("id")))
+  }
+
+  test("setCurrentSnapshot rolls back; later snapshots stay reachable") {
+    val dir = s"$root/rollback"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val s2 = IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    IcebergWrite.setCurrentSnapshot(dir, s1)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+    // rolled-past snapshot: still time-travelable by id
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s2))) === Seq(1L, 2L))
+    // as-of AFTER the rollback resolves to the restored state (the
+    // snapshot log records the rollback as the newest entry)
+    assert(ids(IcebergIO.read(spark, dir,
+      asOfTimestampMs = Some(System.currentTimeMillis()))) === Seq(1L))
+    // appending after a rollback forks from the restored snapshot
+    IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L))
+    // unknown snapshot fails loudly; same-snapshot rollback is a no-op
+    intercept[IllegalArgumentException](
+      IcebergWrite.setCurrentSnapshot(dir, 424242L))
+    val v = IcebergIO.loadMetadata(dir).metadataFile
+    IcebergWrite.setCurrentSnapshot(dir, IcebergIO.loadMetadata(dir)
+      .currentSnapshotId.get)
+    assert(IcebergIO.loadMetadata(dir).metadataFile === v,
+      "no-op rollback must not publish a new metadata version")
+  }
+
+  test("createTag / createBranch / dropRef lifecycle") {
+    val dir = s"$root/refs"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val s2 = IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    IcebergWrite.createTag(dir, "v1.0", s1)
+    IcebergWrite.createBranch(dir, "audit", s2)
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("v1.0"))) === Seq(1L))
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("audit"))) === Seq(1L, 2L))
+    // refs pin their snapshot through expiration
+    assert(IcebergWrite.expireSnapshots(dir, Long.MaxValue) === 0)
+    // guards: duplicate name, unknown snapshot, main is reserved
+    intercept[IllegalArgumentException](IcebergWrite.createTag(dir, "v1.0", s2))
+    intercept[IllegalArgumentException](IcebergWrite.createTag(dir, "x", 999L))
+    intercept[IllegalArgumentException](IcebergWrite.createTag(dir, "main", s1))
+    intercept[IllegalArgumentException](IcebergWrite.dropRef(dir, "main"))
+    intercept[IllegalArgumentException](IcebergWrite.dropRef(dir, "ghost"))
+    IcebergWrite.dropRef(dir, "v1.0")
+    intercept[IllegalArgumentException](
+      IcebergIO.read(spark, dir, ref = Some("v1.0")).count())
   }
 
   test("overwrite drops prior deletes along with prior data") {
