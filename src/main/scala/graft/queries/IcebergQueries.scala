@@ -662,6 +662,28 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Schema evolution DROP ([[graft.sources.IcebergWrite]]
+    * `dropColumn`): metadata-only — the bytes stay in the files but the
+    * reader's projection (always the CURRENT schema) no longer selects
+    * them, and a later append carries the reduced schema. The oracle
+    * recomputes the narrowed union off the parquet source. */
+  val icebergDropColumn = dfQ("iceberg_drop_column",
+    """SELECT n_nationkey, n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_dropcol_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.dropColumn(s, dir, "n_name")
+    // post-drop appends carry the narrowed schema
+    graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey >= 10").drop("n_name"), dir)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
   /** Snapshot ROLLBACK ([[graft.sources.IcebergWrite]]
     * `setCurrentSnapshot`): append two slices, roll main back to the
     * first snapshot, read — the restored state must be exactly slice
@@ -691,5 +713,6 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
+    icebergDropColumn,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

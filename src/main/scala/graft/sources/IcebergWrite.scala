@@ -156,11 +156,15 @@ object IcebergWrite {
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
     require(!meta.schema.fieldNames.contains(name),
       s"column '$name' already exists in $tablePath")
+    require(!droppedNames(root).contains(name),
+      s"column name '$name' was previously dropped — re-adding it would " +
+        "resurrect the old bytes under name-based column resolution; " +
+        "pick a fresh name")
     val newRoot = root.deepCopy()
     val fid = Option(newRoot.get("last-column-id")).map(_.asInt)
       .getOrElse(meta.schema.size) + 1
     newRoot.put("last-column-id", fid)
-    def appendField(schemaNode: ObjectNode): Unit = {
+    evolveSchema(newRoot) { schemaNode =>
       val f = schemaNode.get("fields")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
       f.put("id", fid)
@@ -168,6 +172,69 @@ object IcebergWrite {
       f.put("required", false)
       f.put("type", IcebergFixture.icebergType(dataType)): Unit
     }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Schema evolution: DROP a column (metadata-only commit). Existing
+    * data files keep the bytes, but the reader's projection — always the
+    * CURRENT table schema — no longer selects them (the spec's
+    * drop-column semantics). Rejected loudly when the column is a
+    * partition source (the spec forbids dropping a field the active
+    * partition spec depends on) or when a LIVE equality-delete file
+    * references it (the reader could no longer resolve the delete). The
+    * dropped name is tombstoned in the `graft.dropped-columns` table
+    * property so a later [[addColumn]] of the same name is refused —
+    * under name-based column resolution the old bytes would silently
+    * resurrect into the supposedly-fresh column. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.schema.fieldNames.contains(name),
+      s"column '$name' not in table schema " +
+        s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(meta.schema.size > 1, "cannot drop the only column")
+    val fid = meta.fieldById.map(_.swap).apply(name)
+    require(!meta.partitionFields.map(_._3).contains(fid),
+      s"column '$name' (field id $fid) is a partition source — the " +
+        "active partition spec depends on it")
+    val eqRefs = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
+      .flatMap(s => IcebergIO.liveFiles(spark, s))
+      .filter(f => f.content == 2 && f.equalityIds.contains(fid))
+    require(eqRefs.isEmpty,
+      s"column '$name' is referenced by ${eqRefs.size} live equality-" +
+        "delete file(s); compact the table first to fold them away")
+    val newRoot = root.deepCopy()
+    evolveSchema(newRoot) { schemaNode =>
+      val arr = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val kept = (0 until arr.size).map(arr.get)
+        .filterNot(_.get("name").asText == name)
+      arr.removeAll()
+      kept.foreach(arr.add)
+    }
+    val props = Option(newRoot.get("properties")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("properties")
+    }
+    val prior = Option(props.get("graft.dropped-columns"))
+      .map(_.asText).filter(_.nonEmpty)
+    props.put("graft.dropped-columns", (prior.toSeq :+ name).mkString(","))
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Names tombstoned by [[dropColumn]] (empty when none). */
+  private def droppedNames(root: ObjectNode): Set[String] =
+    Option(root.get("properties"))
+      .flatMap(p => Option(p.get("graft.dropped-columns")))
+      .map(_.asText).filter(_.nonEmpty)
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+
+  /** Apply `mutate` to a copy of the CURRENT schema node: v2 appends the
+    * evolved copy to `schemas` under a fresh schema-id (history kept);
+    * v1 mutates the single `schema` node in place. Never rebuilds via
+    * schemaJson — external tables may carry non-positional field ids. */
+  private def evolveSchema(newRoot: ObjectNode)(mutate: ObjectNode => Unit): Unit =
     if (newRoot.has("schemas")) {
       val schemas = newRoot.get("schemas")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
@@ -180,14 +247,12 @@ object IcebergWrite {
       val newSchemaId = (0 until schemas.size)
         .map(schemas.get(_).get("schema-id").asInt).max + 1
       evolved.put("schema-id", newSchemaId)
-      appendField(evolved)
+      mutate(evolved)
       schemas.add(evolved)
-      newRoot.put("current-schema-id", newSchemaId)
+      newRoot.put("current-schema-id", newSchemaId): Unit
     } else {
-      appendField(newRoot.get("schema").asInstanceOf[ObjectNode])
+      mutate(newRoot.get("schema").asInstanceOf[ObjectNode])
     }
-    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
-  }
 
   /** Compaction (the `rewrite_data_files` maintenance action): read the
     * live rows — existing position/equality deletes APPLIED — and commit
@@ -395,7 +460,8 @@ object IcebergWrite {
     * `df` must carry the full table schema (whole-row replacement).
     * Returns the snapshot id. */
   def upsert(df: DataFrame, tablePath: String, keyCols: Seq[String],
-             maxRecordsPerFile: Option[Long] = None): Long = {
+             maxRecordsPerFile: Option[Long] = None,
+             summaryExtra: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
@@ -421,7 +487,8 @@ object IcebergWrite {
       stageDataFiles(df, tablePath, meta, snapshotId, maxRecordsPerFile)
     commitStaged(tablePath, meta, root, priorVersion, partColTypes,
       delFiles ++ dataFiles, snapshotId, newSeq,
-      operation = "overwrite", carryForward = true)
+      operation = "overwrite", carryForward = true,
+      summaryExtra = summaryExtra)
   }
 
   /** Resolve the delete/upsert-key columns of `values` to table field
@@ -500,32 +567,53 @@ object IcebergWrite {
     val dataFiles = snap.toSeq
       .flatMap(s => IcebergIO.liveFiles(spark, s)).filter(_.content == 0)
     if (dataFiles.isEmpty) return Nil // nothing live -> nothing to delete
-    val storedCols = meta.partitionFields.map { case (_, transform, srcId) =>
-      val src = meta.fieldById.getOrElse(srcId,
-        throw new IllegalArgumentException(
-          s"partition source field id $srcId not in table schema"))
-      IcebergTransforms.storedColumn(transform, src, meta.schema(src).dataType)
-    }
+    val partSources: Seq[(String, String, DataType)] = // (transform, src, type)
+      meta.partitionFields.map { case (_, transform, srcId) =>
+        val src = meta.fieldById.getOrElse(srcId,
+          throw new IllegalArgumentException(
+            s"partition source field id $srcId not in table schema"))
+        (transform, src, meta.schema(src).dataType)
+      }
     val valueCols = values.columns.toSeq
-    // rename the delete columns so the join condition is unambiguous
-    val vren = valueCols.foldLeft(values)(
-      (d, n) => d.withColumnRenamed(n, s"__gf_v_$n"))
-    val data = spark.read.schema(meta.schema).parquet(dataFiles.map(_.path): _*)
-    val joined = data.join(vren,
-      valueCols.map(n => col(n) <=> col(s"__gf_v_$n")).reduce(_ && _), "inner")
-    val sel = storedCols.zipWithIndex.map { case (c0, i) => c0.as(s"__gf_s$i") } ++
-      valueCols.map(n => col(s"__gf_v_$n").as(n))
-    val rows = joined.select(sel: _*).distinct()
+    val rows =
+      if (partSources.forall { case (_, src, _) => valueCols.contains(src) }) {
+        // every partition source is among the delete columns: the stored
+        // tuple is computable from the values THEMSELVES — no table scan.
+        // Sound because a data row equal on ALL delete columns shares the
+        // source values, hence the derived tuple; a tuple with no live
+        // rows just yields a delete file that applies to nothing.
+        val stored = partSources.zipWithIndex.map { case ((t, src, dt), i) =>
+          IcebergTransforms.storedColumn(t, src, dt).as(s"__gf_s$i")
+        }
+        values.select(stored ++ valueCols.map(col): _*).distinct()
+      } else {
+        // the delete columns don't pin the partition: derive scope by
+        // joining against the current data (the sequence rule means the
+        // delete can only affect rows that exist NOW, so the join yields
+        // exactly the (tuple, delete row) pairs any reader needs)
+        val vren = valueCols.foldLeft(values)( // unambiguous join keys
+          (d, n) => d.withColumnRenamed(n, s"__gf_v_$n"))
+        val data = spark.read.schema(meta.schema)
+          .parquet(dataFiles.map(_.path): _*)
+        val joined = data.join(vren,
+          valueCols.map(n => col(n) <=> col(s"__gf_v_$n")).reduce(_ && _),
+          "inner")
+        val stored = partSources.zipWithIndex.map { case ((t, src, dt), i) =>
+          IcebergTransforms.storedColumn(t, src, dt).as(s"__gf_s$i")
+        }
+        joined.select(stored ++
+          valueCols.map(n => col(s"__gf_v_$n").as(n)): _*).distinct()
+      }
     // one file per tuple: same repartition + partitionBy shape as the
     // data commit. The stored tuple stays IN the file as extra columns
     // (legal — the reader selects equality columns by name) so the
     // read-back recovers each file's tuple without dir-name parsing.
-    val withP = storedCols.indices.foldLeft(rows)(
+    val withP = partSources.indices.foldLeft(rows)(
       (d, i) => d.withColumn(s"__gf_p$i", col(s"__gf_s$i")))
     val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
-    withP.repartition(storedCols.indices.map(i => col(s"__gf_p$i")): _*)
+    withP.repartition(partSources.indices.map(i => col(s"__gf_p$i")): _*)
       .write.mode("overwrite")
-      .partitionBy(storedCols.indices.map(i => s"__gf_p$i"): _*)
+      .partitionBy(partSources.indices.map(i => s"__gf_p$i"): _*)
       .parquet(tmp)
     try {
       val staged = listParquetLeaves(tmp)
@@ -536,7 +624,7 @@ object IcebergWrite {
         .withColumn("__gf_f", regexp_replace(col("_metadata.file_path"),
           "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
       val aggs = count(lit(1)) +:
-        storedCols.indices.map(i => min(col(s"__gf_s$i")))
+        partSources.indices.map(i => min(col(s"__gf_s$i")))
       val stats: Map[String, (Long, Seq[Any])] =
         rb.groupBy(col("__gf_f")).agg(aggs.head, aggs.tail: _*)
           .collect().map { row =>
@@ -544,7 +632,7 @@ object IcebergWrite {
             val key = try new java.net.URI(raw).getPath
               catch { case _: Exception => raw }
             key -> ((row.getLong(1),
-              storedCols.indices.map(i => row.get(2 + i): Any)))
+              partSources.indices.map(i => row.get(2 + i): Any)))
           }.toMap
       val dataDir = GraftFs.child(tablePath, "data")
       GraftFs.mkdirs(dataDir)
@@ -716,6 +804,22 @@ object IcebergWrite {
       val stats = perFileStats(spark, meta.schema, fieldIdByName,
         staged.map(_.getPath.toString), storedCols)
 
+      // a staged file absent from the stats map contributed no rows to
+      // the read-back — an EMPTY part file (a plan with empty partitions
+      // writes one per task, e.g. compacting after an anti-join delete).
+      // Skip them (tmp cleanup removes the bytes), but VERIFY emptiness
+      // first: absence must never paper over a file-path keying bug.
+      val (statless, withStats) = staged.partition(
+        s => !stats.contains(IcebergIO.normalizePath(s.getPath.toString)))
+      if (statless.nonEmpty) {
+        val n = spark.read.schema(meta.schema)
+          .parquet(statless.map(_.getPath.toString): _*).count()
+        require(n == 0L,
+          s"read-back produced no stats for ${statless.size} staged " +
+            s"file(s) holding $n rows — file-path keying bug: " +
+            statless.map(_.getPath).take(3).mkString(", "))
+      }
+
       // ---- 3. promote staged files into data/ (rename, rollback on
       // partial failure — same discipline as the Avro V2 commit)
       val dataDir = GraftFs.child(tablePath, "data")
@@ -723,7 +827,7 @@ object IcebergWrite {
       var renamed = List.empty[(String, String)] // (from, to)
       val files: Seq[NewFile] =
         try {
-          staged.zipWithIndex.map { case (s, i) =>
+          withStats.zipWithIndex.map { case (s, i) =>
             val from = s.getPath.toString
             // the index disambiguates: one partitionBy task writes the
             // SAME basename into every partition dir it touches

@@ -311,6 +311,48 @@ object StreamingOps {
     !replay
   }
 
+  /** [[commitStreamBatch]]'s UPSERT twin: merge `batch` by `keyCols`
+    * ([[graft.sources.IcebergWrite.upsert]] — one atomic snapshot)
+    * unless the batch id was already absorbed. Duplicate keys WITHIN a
+    * batch are rejected loudly — both rows would land and the sink's
+    * by-key promise would silently break; dedupe upstream
+    * (`dropDuplicates`/aggregation) to pick a winner first. */
+  def commitStreamBatchUpsert(batch: DataFrame, tablePath: String,
+                              keyCols: Seq[String], batchId: Long): Boolean = {
+    val replay = lastStreamBatchId(tablePath).exists(_ >= batchId)
+    if (!replay) {
+      val n = batch.count()
+      val k = batch.select(keyCols.map(col): _*).distinct().count()
+      require(n == k,
+        s"batch $batchId carries duplicate keys (${n - k} extra rows on " +
+          s"${keyCols.mkString(",")}) — dedupe upstream before the upsert sink")
+      graft.sources.IcebergWrite.upsert(batch, tablePath, keyCols,
+        summaryExtra = Map(StreamBatchKey -> batchId.toString)): Unit
+    }
+    !replay
+  }
+
+  /** EXACTLY-ONCE streaming UPSERT sink: each micro-batch MERGES into
+    * the table by `keyCols` — late re-deliveries of a key overwrite the
+    * previous row instead of duplicating it, which composes streaming
+    * ingestion with keyed deduplication in one operator. Same replay
+    * protection as [[icebergAppendSink]] (batch ids in the snapshot
+    * summary); each batch's keys must be unique after upstream dedupe
+    * ([[commitStreamBatchUpsert]] enforces this loudly). */
+  def icebergUpsertSink(stream: DataFrame, tablePath: String,
+                        keyCols: Seq[String], checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at wiring time, not first batch: the sink never creates
+    graft.sources.IcebergIO.loadMetadata(tablePath): Unit
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitStreamBatchUpsert(batch.toDF(), tablePath, keyCols, batchId): Unit
+      }
+      .start()
+  }
+
   /** EXACTLY-ONCE streaming APPEND sink into a native Iceberg table
     * ([[graft.sources.IcebergWrite]]): each micro-batch lands as one
     * snapshot stamped with its batch id, and restarts skip batches the

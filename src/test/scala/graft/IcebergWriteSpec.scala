@@ -278,6 +278,57 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 4L, 7L))
   }
 
+  test("scoped eq-delete + upsert on transform-partitioned tables") {
+    import spark.implicits._
+    // bucket[4] on the key: the scoped delete must land in each key's
+    // murmur3 bucket, and the upsert's delete must scope the same way
+    val bdir = s"$root/scoped_bucket"
+    IcebergWrite.create(spark, bdir, schema, partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "bucket[4]"))
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), bdir)
+    IcebergWrite.deleteEquality(Seq("b").toDF("name"), bdir)
+    assert(ids(IcebergIO.read(spark, bdir)) === Seq(1L, 3L))
+    IcebergWrite.upsert(df((1L, "a", 10.0), (4L, "d", 4.0)), bdir, Seq("id"))
+    val got = IcebergIO.read(spark, bdir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 10.0), (3L, 3.0), (4L, 4.0)))
+
+    // truncate[1]: two keys SHARE a partition — deleting one must not
+    // take the other with it (the delete rows are key-scoped, the
+    // partition tuple only bounds where they apply)
+    val tdir = s"$root/scoped_trunc"
+    IcebergWrite.create(spark, tdir, schema, partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "truncate[1]"))
+    IcebergWrite.append(df((1L, "aa", 1.0), (2L, "ab", 2.0), (3L, "bz", 3.0)), tdir)
+    IcebergWrite.deleteEquality(Seq("aa").toDF("name"), tdir)
+    assert(ids(IcebergIO.read(spark, tdir)) === Seq(2L, 3L),
+      "'ab' shares the truncate partition with 'aa' and must survive")
+
+    // date identity: manifests store epoch-day ordinals
+    val ddir = s"$root/scoped_date"
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true)))
+    val drows = {
+      val list = new java.util.ArrayList[Row]()
+      Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-02-15"))
+        .foreach { case (i, d) =>
+          list.add(Row(i, java.sql.Date.valueOf(d)))
+        }
+      spark.createDataFrame(list, dschema)
+    }
+    IcebergWrite.create(spark, ddir, dschema, partitionCols = Seq("d"))
+    IcebergWrite.append(drows, ddir)
+    val delDates = {
+      val list = new java.util.ArrayList[Row]()
+      list.add(Row(java.sql.Date.valueOf("2024-01-01")))
+      spark.createDataFrame(list,
+        StructType(Seq(StructField("d", DateType, nullable = true))))
+    }
+    IcebergWrite.deleteEquality(delDates, ddir)
+    assert(ids(IcebergIO.read(spark, ddir)) === Seq(3L))
+  }
+
   test("upsert: one atomic snapshot updates + inserts, partitioned") {
     val dir = s"$root/upsert_part"
     import spark.implicits._
@@ -453,6 +504,48 @@ class IcebergWriteSpec extends AnyFunSuite {
     import spark.implicits._
     IcebergWrite.deleteEquality(Seq(200L).toDF("extra"), dir)
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
+  test("dropColumn hides the bytes; guards partition/delete refs + re-add") {
+    val dir = s"$root/drop"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.dropColumn(spark, dir, "name")
+    val narrowed = IcebergIO.read(spark, dir)
+    assert(narrowed.schema.fieldNames.toSeq === Seq("id", "score"))
+    assert(narrowed.count() === 2L)
+    // appends must now carry the REDUCED schema
+    intercept[IllegalArgumentException](IcebergWrite.append(df((3L, "c", 3.0)), dir))
+    IcebergWrite.append(df((3L, "c", 3.0)).drop("name"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // re-adding the dropped NAME is refused (old bytes would resurrect
+    // under name-based resolution); a fresh name is fine
+    intercept[IllegalArgumentException](
+      IcebergWrite.addColumn(dir, "name", StringType))
+    IcebergWrite.addColumn(dir, "name2", StringType)
+    assert(IcebergIO.read(spark, dir).schema.fieldNames.toSeq
+      === Seq("id", "score", "name2"))
+    // unknown column / partition source / eq-delete reference all reject
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, dir, "ghost"))
+    val pdir = s"$root/drop_part"
+    IcebergWrite.create(spark, pdir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0)), pdir)
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, pdir, "name"))
+    val edir = s"$root/drop_eq"
+    IcebergWrite.create(spark, edir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), edir)
+    import spark.implicits._
+    IcebergWrite.deleteEquality(Seq("a").toDF("name"), edir)
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, edir, "name"))
+    // compacting folds the delete away, after which the drop is legal
+    IcebergWrite.compact(spark, edir)
+    IcebergWrite.dropColumn(spark, edir, "name")
+    assert(IcebergIO.read(spark, edir).schema.fieldNames.toSeq
+      === Seq("id", "score"))
+    assert(ids(IcebergIO.read(spark, edir)) === Seq(2L))
   }
 
   test("empty or stale version-hint falls back to the newest metadata") {

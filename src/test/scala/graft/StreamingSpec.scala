@@ -484,4 +484,43 @@ class StreamingSpec extends AnyFunSuite {
         s"$root/nope", s"$root/ckpt2"))
   }
 
+  test("iceberg upsert sink: keyed merge, exactly-once across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ice_upsink").toString
+    val table = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val st = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    graft.sources.IcebergWrite.create(spark, table, st)
+    def read() = graft.sources.IcebergIO.read(spark, table)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)](spark)
+    in.addData(("a", 1L), ("b", 2L))
+    val q = StreamingOps.icebergUpsertSink(in.toDF().toDF("k", "v"),
+      table, Seq("k"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(read() === Seq(("a", 1L), ("b", 2L)))
+
+    // restart on the SAME checkpoint: 'a' is UPDATED (not duplicated),
+    // 'c' inserts — streaming ingestion + keyed dedup in one operator
+    in.addData(("a", 10L), ("c", 3L))
+    val q2 = StreamingOps.icebergUpsertSink(in.toDF().toDF("k", "v"),
+      table, Seq("k"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(read() === Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+
+    // replay of an absorbed batch id is skipped
+    def mk(xs: (String, Long)*) = xs.toDF("k", "v")
+    assert(!StreamingOps.commitStreamBatchUpsert(mk("a" -> 99L), table, Seq("k"), 0L))
+    assert(read() === Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+    // duplicate keys within one batch fail loudly, table untouched
+    intercept[IllegalArgumentException](
+      StreamingOps.commitStreamBatchUpsert(
+        mk("d" -> 1L, "d" -> 2L), table, Seq("k"), 99L))
+    assert(read() === Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+  }
+
 }
