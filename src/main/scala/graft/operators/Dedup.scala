@@ -277,4 +277,68 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
   }
+
+  /** Connected components over an undirected pair list — the canonical
+    * final step of fuzzy dedup: near-dup PAIRS (from `minhashNearDups`,
+    * `blockedJaccard`, embedding buckets, …) become dedup GROUPS, each
+    * labeled by its minimum member id, so a keep-one-representative
+    * filter is a single `id === comp` predicate.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with its own id; each round replaces a node's label with
+    * the min of its own and its neighbors' labels. The minimum id of a
+    * component reaches every member in at most `diameter` rounds — and
+    * dedup graphs are near-cliques (duplicate clusters), so the loop
+    * converges in a handful of rounds even at corpus scale. Each round
+    * is one shuffled join + one aggregate, all distributed; the driver
+    * sees ONLY the per-round changed-label count (a scalar), never row
+    * data. Labels are persisted per round and the previous round is
+    * unpersisted, so peak footprint is two (id, comp) frames.
+    *
+    * Fails loudly (rather than returning a partial labeling) if
+    * `maxIter` rounds don't converge — a graph with diameter > maxIter
+    * is not a dedup-cluster shape and the caller should raise the bound
+    * deliberately.
+    *
+    * Returns (id, comp): every id that appears in `pairs`, labeled with
+    * the minimum id reachable from it. Reference semantics analog:
+    * duplicate-cluster grouping in web-scale dedup pipelines (the
+    * reference engine has no graph surface; this is the Spark-native
+    * completion of its dedup story). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetrize once; edges feed every round
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(lvl)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      // min neighbor label per node, folded into the node's own label
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
+        .groupBy("u").agg(min(col("vc")).as("nc"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .persist(lvl)
+      changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter if the pair " +
+        "graph genuinely has that diameter")
+    edges.unpersist()
+    labels
+  }
 }

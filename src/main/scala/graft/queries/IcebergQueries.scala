@@ -684,6 +684,35 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Maintenance GC ([[graft.sources.IcebergWrite]] `compact` →
+    * `expireSnapshots` → `removeOrphanFiles`): fold deletes away,
+    * drop history, physically sweep every file no retained snapshot
+    * references — then prove the surviving table still answers exactly.
+    * The oracle replays the delete's complement off the parquet
+    * source. */
+  val icebergGc = dfQ("iceberg_gc",
+    """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM nation WHERE n_nationkey % 3 <> 1
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_gc_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir,
+      pmod(col("n_nationkey"), lit(3)) === 1)
+    graft.sources.IcebergWrite.compact(s, dir)
+    graft.sources.IcebergWrite.expireSnapshots(dir, Long.MaxValue)
+    graft.sources.IcebergWrite.removeOrphanFiles(dir,
+      System.currentTimeMillis() + 60000)
+    IcebergIO.read(s, dir)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
   /** Snapshot ROLLBACK ([[graft.sources.IcebergWrite]]
     * `setCurrentSnapshot`): append two slices, roll main back to the
     * first snapshot, read — the restored state must be exactly slice
@@ -713,6 +742,6 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
-    icebergDropColumn,
+    icebergDropColumn, icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -33,8 +33,12 @@ object PipelineQueries {
       .orderBy("content_hash")
   }
 
-  private val minhashOracle =
-    """WITH toks AS (
+  /** Shared CTE chain: documents → shingles → minhash band keys →
+    * bucket-local candidates → verified Jaccard pairs at ≥ 0.5
+    * (`pairsj`). Composed into both the pair oracle (`dedup_minhash`)
+    * and the connected-components group oracle (`dedup_groups`). */
+  private val minhashCtes =
+    """toks AS (
       |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents
       |),
       |shi AS (

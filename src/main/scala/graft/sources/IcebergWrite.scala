@@ -305,6 +305,60 @@ object IcebergWrite {
     expired.size
   }
 
+  /** Physically delete files under the table root that NO snapshot in
+    * the current metadata references — the GC half [[expireSnapshots]]
+    * deliberately leaves to a separate action (expire first, then
+    * sweep). Referenced = every content file named by any retained
+    * snapshot's manifests (ANY entry status — an older snapshot may
+    * still read a DELETED entry's file), every manifest and manifest
+    * list, and every `*.metadata.json` + the version hint (metadata
+    * history stays; its expired-snapshot manifests do not). Only files
+    * modified BEFORE `olderThanMs` are removed, so a concurrent
+    * writer's freshly staged files survive the sweep (the
+    * remove-orphan-files safety valve; default 3 days back). Returns
+    * the deleted paths. */
+  def removeOrphanFiles(tablePath: String,
+                        olderThanMs: Long =
+                          System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+      : Seq[String] = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    def ref(p: String): Unit = { referenced += IcebergIO.normalizePath(p): Unit }
+    def refManifest(m: String): Unit = {
+      ref(m)
+      IcebergIO.foreachAvroRecord(m) { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        ref(df.get("file_path").toString)
+      }
+    }
+    meta.snapshots.foreach { s =>
+      s.manifestList match {
+        case Some(ml) =>
+          ref(ml)
+          val manifests = scala.collection.mutable.ArrayBuffer.empty[String]
+          IcebergIO.foreachAvroRecord(ml)(
+            r => manifests += r.get("manifest_path").toString)
+          manifests.foreach(refManifest)
+        case None => s.manifests.foreach(refManifest)
+      }
+    }
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def keepByName(n: String): Boolean =
+      n.endsWith(".metadata.json") || n == "version-hint.text" ||
+        n == "_SUCCESS"
+    def walk(d: String): Unit = GraftFs.list(d).foreach { st =>
+      val p = st.getPath.toString
+      if (st.isDirectory) walk(p)
+      else if (!keepByName(st.getPath.getName) &&
+        !referenced.contains(IcebergIO.normalizePath(p)) &&
+        st.getModificationTime < olderThanMs) {
+        if (GraftFs.delete(p, recursive = false)) deleted += p
+      }
+    }
+    walk(tablePath)
+    deleted.toSeq
+  }
+
   /** Roll the table back (or forward) to `snapshotId`: a metadata-only
     * commit that makes it the current snapshot again — the
     * `rollback_to_snapshot` / `set_current_snapshot` maintenance action.

@@ -378,6 +378,35 @@ class IcebergWriteSpec extends AnyFunSuite {
       IcebergWrite.upsert(df((1L, "a", 1.0)), v1dir, Seq("id")))
   }
 
+  test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
+    val dir = s"$root/orphans"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.compact(spark, dir)
+    val future = System.currentTimeMillis() + 60_000
+    // every snapshot is still retained -> nothing is orphaned yet
+    assert(IcebergWrite.removeOrphanFiles(dir, future).isEmpty)
+    // drop history, then sweep: the pre-compact data files, the
+    // position-delete file, and the expired snapshots' manifests +
+    // manifest lists all become orphans
+    assert(IcebergWrite.expireSnapshots(dir, Long.MaxValue) > 0)
+    // the olderThan guard protects everything first (simulates a sweep
+    // racing an in-flight commit's fresh files)
+    assert(IcebergWrite.removeOrphanFiles(dir, 0L).isEmpty)
+    val swept = IcebergWrite.removeOrphanFiles(dir, future)
+    assert(swept.nonEmpty)
+    assert(swept.exists(_.contains("posdelete")),
+      s"the folded-away position delete must be swept, got: $swept")
+    // table content is untouched; metadata history files stay
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L))
+    assert(GraftFs.exists(GraftFs.child(GraftFs.child(dir, "metadata"),
+      "version-hint.text")))
+    // a second sweep finds nothing left
+    assert(IcebergWrite.removeOrphanFiles(dir, future).isEmpty)
+  }
+
   test("setCurrentSnapshot rolls back; later snapshots stay reachable") {
     val dir = s"$root/rollback"
     IcebergWrite.create(spark, dir, schema)
