@@ -74,11 +74,16 @@ object PipelineQueries {
       |  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
       |  GROUP BY c.a, c.b
       |)
-      |SELECT i.a AS a_id, i.b AS b_id,
-      |  ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jac
-      |FROM inter i JOIN sizes za ON za.id = i.a JOIN sizes zb ON zb.id = i.b
-      |WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
+      |pairsj AS (
+      |  SELECT i.a AS a_id, i.b AS b_id,
+      |    ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jac
+      |  FROM inter i JOIN sizes za ON za.id = i.a JOIN sizes zb ON zb.id = i.b
+      |  WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+      |)""".stripMargin
+
+  private val minhashOracle =
+    "WITH " + minhashCtes +
+      "\nSELECT a_id, b_id, jac FROM pairsj ORDER BY a_id, b_id"
 
   /** MinHash(18 hashes) + LSH(6 bands × 3 rows) near-dedup, candidates
     * bucket-local, verified by exact shingle Jaccard ≥ 0.5. */
@@ -86,6 +91,35 @@ object PipelineQueries {
     Dedup.minhashNearDups(s.table("documents"), "doc_id", "text",
         numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Transitive closure over the verified near-dup pairs: DuckDB
+    * recursive CTE computes, per doc, the minimum id reachable through
+    * the (symmetrized) pair graph — the same labeling
+    * `Dedup.connectedComponents` converges to by min-label propagation. */
+  private val groupsOracle =
+    "WITH RECURSIVE " + minhashCtes + """,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairsj
+      |  UNION SELECT b_id AS u, a_id AS v FROM pairsj
+      |),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      |)
+      |SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** Near-dup cluster grouping: minhash pairs → connected components
+    * (min-label propagation, loud non-convergence) — the collapse step
+    * a dedup pipeline runs after pair generation. */
+  val dedupGroups = dfQ("dedup_groups", groupsOracle) { (s, _) =>
+    val pairs = Dedup.minhashNearDups(s.table("documents"), "doc_id", "text",
+      numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
   }
 
   private val simhashOracle: String = {
@@ -1037,7 +1071,8 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupExactKeep, dedupMinhash, dedupSimhash, dedupNgramJaccard,
+    dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
+    dedupNgramJaccard,
     dedupEmbedding, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve,

@@ -26,6 +26,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dupRow.getLong(1) == 1L)
   }
 
+  test("connectedComponents labels chains and islands with the min id") {
+    // two components: a 4-node path {1,2,3,4} and an island pair {7,9}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is below the diameter") {
+    // path of 6 nodes: min label needs 5 propagation rounds to reach the end
+    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "a", "b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("minhashNearDups finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
