@@ -375,8 +375,6 @@ object GraftSession {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        // TIMESTAMP(NANOS) parquet (no Spark ns type) reads as ns longs
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       conf.foreach { case (k, v) => b.config(k, v) }
       val spark = b.getOrCreate()
       wrap(spark)

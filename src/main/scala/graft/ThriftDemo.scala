@@ -69,7 +69,6 @@ object ThriftDemo {
       .appName("graft-thrift-demo")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       // JDBC sessions share THIS session's state (temp views, UDFs) —
       // the same registered-tables model the reference's clients see.

@@ -308,9 +308,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // symmetrize once; edges feed every round
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // Symmetrize in ONE projection (explode of both orientations), not a
+    // self-union: a union references the input plan twice, and when
+    // `pairs` is an expensive unpersisted pipeline (minhash candidate
+    // join + Jaccard verification) both branches would recompute it —
+    // measured 2× the whole pair pipeline at sf0.1. One pass, then the
+    // tiny edge list persists and feeds every round.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(lvl)
     var labels = edges.select(col("u").as("id")).distinct()

@@ -24,18 +24,18 @@ object AdvancedQueries {
     val ev = s.table("events")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"))
+        expr(Registry.EventsTsUs).as("ts_us"))
     val c = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"),
-        expr("CAST(ts DIV 1000 AS BIGINT)").as("click_ts_us"))
+        expr(Registry.EventsTsUs).as("click_ts_us"))
       .agg(max("event_id").as("click_id"))
     (p, c)
   }
 
   private val asofBackOracle =
-    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
       |           FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_ts_us,
+      |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
       |             MAX(event_id) AS click_id
       |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
       |SELECT p.event_id AS event_id, p.user_id AS user_id,
@@ -54,9 +54,9 @@ object AdvancedQueries {
   }
 
   private val asofFwdOracle =
-    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
       |           FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_ts_us,
+      |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
       |             MAX(event_id) AS click_id
       |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
       |SELECT p.event_id AS event_id, p.user_id AS user_id,
@@ -76,9 +76,9 @@ object AdvancedQueries {
   }
 
   private val asofTolOracle =
-    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
       |           FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS click_ts_us,
+      |c AS (SELECT user_id, epoch_us(ts) AS click_ts_us,
       |             MAX(event_id) AS click_id
       |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
       |SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts_us AS ts_us,

@@ -111,11 +111,12 @@ object FunctionQueries {
     bench = false)
 
   /** date_bin (custom expression, reference: datafusion.proto:515) vs
-    * DuckDB time_bucket, on the ns-precision events table (read as ns
-    * longs — SURVEY §1 documents the ns→µs design). */
+    * DuckDB time_bucket, on the events table (ts is TIMESTAMP_MICROS,
+    * read as TIMESTAMP_NTZ — Registry.EventsTsUs documents the
+    * contract). */
   val fnDateBin = sqlQ2("fn_date_bin",
     """SELECT CAST(unix_micros(date_bin(INTERVAL 15 MINUTE,
-      |         timestamp_micros(CAST(ts DIV 1000 AS BIGINT)),
+      |         CAST(ts AS TIMESTAMP),
       |         TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS bin_us,
       |  COUNT(*) AS n
       |FROM events WHERE event_id <= 500
@@ -236,12 +237,12 @@ object FunctionQueries {
     bench = false)
 
   /** Tumbling-window aggregation over the event stream table — the
-    * batch shape of a streaming windowed agg (events.ts is ns since
-    * epoch; binned at the hour). */
+    * batch shape of a streaming windowed agg (events.ts is
+    * TIMESTAMP_MICROS; binned at the hour). */
   val evWindowAgg = sqlQ2("ev_window_agg",
     """SELECT event_type AS event_type,
       |  CAST(unix_micros(date_bin(INTERVAL 1 HOUR,
-      |       timestamp_micros(CAST(ts DIV 1000 AS BIGINT)),
+      |       CAST(ts AS TIMESTAMP),
       |       TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS win_us,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v

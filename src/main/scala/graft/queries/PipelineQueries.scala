@@ -73,7 +73,7 @@ object PipelineQueries {
       |  SELECT c.a, c.b, COUNT(*) AS n_inter
       |  FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b AND sb.sh = sa.sh
       |  GROUP BY c.a, c.b
-      |)
+      |),
       |pairsj AS (
       |  SELECT i.a AS a_id, i.b AS b_id,
       |    ROUND(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jac
@@ -698,7 +698,7 @@ object PipelineQueries {
     * stats — the batch form of session windows. */
   val evSessionize = sqlQ2("ev_sessionize",
     """WITH ev AS (
-      |  SELECT user_id, CAST(ts DIV 1000 AS BIGINT) AS ts_us FROM events
+      |  SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
       |),
       |gaps AS (
       |  SELECT user_id, ts_us,
@@ -719,7 +719,7 @@ object PipelineQueries {
       |FROM sess GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin,
     """WITH ev AS (
-      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
       |),
       |gaps AS (
       |  SELECT user_id, ts_us,

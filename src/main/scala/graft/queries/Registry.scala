@@ -39,21 +39,35 @@ object Registry {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** `events.ts` as BIGINT microseconds since epoch — the ONE Spark-side
+    * spelling of the testdata timestamp contract. The physical type has
+    * moved between driver regenerations (TIMESTAMP(NANOS) through round
+    * 10, TIMESTAMP_MICROS since round 11); it now reads as TIMESTAMP_NTZ,
+    * and every session pins spark.sql.session.timeZone=UTC so the cast is
+    * exact. DuckDB twin fragment: `epoch_us(ts)`. prepare() asserts the
+    * contract loudly so the next testdata change fails here, not as six
+    * scattered DATATYPE_MISMATCHes. */
+  val EventsTsUs = "unix_micros(CAST(ts AS TIMESTAMP))"
+
   def prepare(spark: SparkSession, dir: String): SparkSession = {
     graft.functions.GraftFunctions.registerAll(spark)
     graft.GraftSession.enableAvroV2(spark)
-    // events.parquet uses TIMESTAMP(NANOS), which Spark's reader rejects by
-    // default; read nanos as LongType (ns since epoch) and convert in
-    // queries. Runtime-settable legacy conf.
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => }
     if (preparedDir.get(spark) != dir) {
       // Record the dir only AFTER every view registered: a partial failure
       // (one missing parquet) must not make the next prepare() skip
       // re-registration and serve a stale/partial view mix.
       try {
         tableNames.foreach { n =>
-          spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+          val df = spark.read.parquet(s"$dir/$n.parquet")
+          if (n == "events") {
+            val t = df.schema("ts").dataType
+            require(t.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
+                || t.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+              s"testdata contract moved: events.ts reads as $t, expected a " +
+                "timestamp type — update Registry.EventsTsUs and its " +
+                "consumers (see CLAUDE.md round-12 notes)")
+          }
+          df.createOrReplaceTempView(n)
         }
         preparedDir.put(spark, dir)
       } catch {

@@ -10,12 +10,13 @@ import graft.streaming.StreamingOps
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** events.parquet with ns→timestamp conversion, staged into a temp dir
-    * the file-streaming source can watch. */
+  /** events.parquet with its TIMESTAMP_NTZ ts cast to TIMESTAMP (UTC
+    * session), staged into a temp dir the file-streaming source can
+    * watch. */
   private lazy val staged: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      .select(timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("ts"),
+      .select(expr("CAST(ts AS TIMESTAMP)").as("ts"),
         col("event_type"), col("value"), col("event_id"))
       .write.mode("overwrite").parquet(dir)
     dir

@@ -59,6 +59,11 @@ for name, sql in sorted(oracles.items()):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     pdir = Path(OUT) / name
+    marker = Path(OUT) / f"{name}._ERROR"
+    if marker.exists():
+        print(f"FAIL {name}: Spark threw: {marker.read_text().strip()[:160]}")
+        fail += 1
+        continue
     if not pdir.exists():
         print(f"FAIL {name}: no spark output")
         fail += 1
