@@ -2,43 +2,65 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import graft.sources.{IcebergIO, IcebergWrite}
+import graft.operators.Dedup
 
 /** Scratchpad main — overwrite freely. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .appName("scratch").master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", false)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
       .getOrCreate()
-    import spark.implicits._
-
-    val dir = "/tmp/graft_scratch_compact_eq"
-    graft.sources.IcebergFixture.deleteRecursively(dir)
-    val st = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("name", StringType, nullable = true),
-      StructField("score", DoubleType, nullable = true)))
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
-      java.util.List.of(org.apache.spark.sql.Row(1L, "a", 1.0),
-        org.apache.spark.sql.Row(2L, "b", 2.0)))
-    IcebergWrite.create(spark, dir, st)
-    IcebergWrite.append(spark.createDataFrame(rows, st), dir)
-    IcebergWrite.deleteEquality(Seq("a").toDF("name"), dir)
-
-    val live = IcebergIO.read(spark, dir)
-    val tmp = s"$dir/_probe_tmp"
-    live.write.mode("overwrite").parquet(tmp)
-    val staged = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
-    println("staged: " + staged.map(_.getPath).mkString(", "))
-    val rb = spark.read.schema(st).parquet(staged.map(_.getPath): _*)
-      .withColumn("__gf_f",
-        regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
-    println("read-back rows:")
-    rb.select(col("__gf_f"), col("id")).collect().foreach(r =>
-      println("  key=" + r.getString(0) + " id=" + r.getLong(1)))
+    spark.sparkContext.setLogLevel("WARN")
+    queries.Registry.prepare(spark, sfDir)
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to 2).foreach { it =>
+      println(s"=== iteration $it")
+      val pairs = Dedup.minhashNearDups(spark.table("documents"), "doc_id", "text",
+        numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val edges = pairs
+        .select(explode(array(
+          struct(col("a_id").as("u"), col("b_id").as("v")),
+          struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct()
+        .persist(lvl)
+      t("edges materialize")(println("  n_edges=" + edges.count()))
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .persist(lvl)
+      t("labels init")(labels.count())
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        t(s"round $rounds") {
+          val nbrMin = edges
+            .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
+            .groupBy("u").agg(min(col("vc")).as("nc"))
+          val next = labels
+            .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+            .persist(lvl)
+          changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+            .filter(col("comp") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+          println(s"  changed=$changed")
+        }
+      }
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -321,25 +321,31 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(lvl)
-    var labels = edges.select(col("u").as("id")).distinct()
+    // `persisted` tracks the CACHED frame of the current round (labels may
+    // be a projection of it, and unpersist on a derived frame is a no-op).
+    var persisted = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(lvl)
+    var labels = persisted
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIter) {
-      // min neighbor label per node, folded into the node's own label
+      // min neighbor label per node, folded into the node's own label.
+      // The OLD label rides along in the persisted frame so the
+      // convergence check is a filter+count over it, not a third join
+      // back against the previous round.
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
         .groupBy("u").agg(min(col("vc")).as("nc"))
       val next = labels
         .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
         .persist(lvl)
-      changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") =!= col("old")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("comp"))
       rounds += 1
     }
     require(changed == 0,
