@@ -684,6 +684,39 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Schema evolution RENAME ([[graft.sources.IcebergWrite]]
+    * `renameColumn`): metadata-only — the field keeps its id, and the
+    * reader resolves columns BY FIELD ID on writer-stamped tables, so
+    * pre-rename data files AND an equality delete keyed on the renamed
+    * column (old name in the delete file, same id) still resolve. The
+    * fixture renames on a PARTITIONED table, deletes by the new name
+    * (scope derived through a by-id read of old files), then appends
+    * under the new name. The oracle replays the surviving union. */
+  val icebergRenameColumn = dfQ("iceberg_rename_column",
+    """SELECT n_nationkey, n_name AS n_label, n_regionkey
+      |FROM nation
+      |WHERE NOT (n_nationkey < 10 AND n_regionkey = 2)
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_rename_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema,
+      partitionCols = Seq("n_regionkey"))
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.renameColumn(dir, "n_name", "n_label")
+    // equality delete keyed on the RENAMED column; the partition scope
+    // derives by joining against the pre-rename files (by-id read)
+    graft.sources.IcebergWrite.deleteEquality(
+      nation.filter("n_nationkey < 10 AND n_regionkey = 2")
+        .select(col("n_name").as("n_label")), dir)
+    graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey >= 10").withColumnRenamed("n_name", "n_label"),
+      dir)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
   /** Maintenance GC ([[graft.sources.IcebergWrite]] `compact` →
     * `expireSnapshots` → `removeOrphanFiles`): fold deletes away,
     * drop history, physically sweep every file no retained snapshot
@@ -742,6 +775,6 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
-    icebergDropColumn, icebergGc,
+    icebergDropColumn, icebergRenameColumn, icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -76,7 +76,8 @@ object IcebergIO {
       partitionFields: Seq[(String, String, Int)],
       metadataFile: String,
       refs: Map[String, Long], // branch/tag name -> snapshot id
-      snapshotLog: Seq[(Long, Long)] = Seq.empty) // main lineage (ts, id)
+      snapshotLog: Seq[(Long, Long)] = Seq.empty, // main lineage (ts, id)
+      properties: Map[String, String] = Map.empty) // table properties
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -250,10 +251,65 @@ object IcebergIO {
         root.get("snapshot-log").elements().asScala.map(e =>
           (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
       else Seq.empty
+    val properties: Map[String, String] =
+      if (root.has("properties"))
+        root.get("properties").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty
     TableMetadata(fv, root.get("location").asText(), current, snaps,
       schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
-      snapshotLog)
+      snapshotLog, properties)
   }
+
+  // ------------------------------------------------- field-id resolution
+
+  /** Table property stamped by [[IcebergWrite.create]]: every data and
+    * delete parquet file of this table carries spec field ids in its
+    * schema, so the scan may resolve columns BY ID (the spec's column
+    * resolution rule) instead of by name — which is what makes
+    * [[IcebergWrite.renameColumn]] safe: files written under the old
+    * name still resolve. External tables without the property keep the
+    * name-based path (their files' id discipline is unknown; an id read
+    * over an id-less file would error or null out). */
+  val FieldIdsProp = "graft.write.field-ids"
+
+  private[sources] def resolveByFieldIds(meta: TableMetadata): Boolean =
+    meta.properties.get(FieldIdsProp).contains("true")
+
+  /** Spark's parquet reader/writer honors the `parquet.field.id` entry
+    * in a StructField's metadata (public `spark.sql.parquet.fieldId.*`
+    * confs). Top-level ids suffice: rename/drop/add operate on
+    * top-level columns, and unannotated nested fields fall back to
+    * name matching per field. */
+  private[graft] def withFieldIds(schema: StructType,
+                                  idByName: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      idByName.get(f.name) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+          .build())
+        case None => f
+      }
+    })
+
+  /** The id-annotated READ schema for a table's data files, enabling the
+    * session's field-id resolution on the way (runtime-settable conf; a
+    * no-op for scans whose schema carries no id metadata). */
+  private[sources] def dataReadSchema(spark: SparkSession,
+                                      meta: TableMetadata): StructType =
+    if (resolveByFieldIds(meta)) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      withFieldIds(meta.schema, meta.fieldById.map(_.swap))
+    } else meta.schema
+
+  /** Drop the id annotations from a result frame — reader OUTPUT schemas
+    * must not leak the resolution mechanism (schema equality in callers
+    * and tests compares metadata). */
+  private def stripFieldIds(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(_.metadata.contains("parquet.field.id")))
+      df.select(df.schema.fields.map(f =>
+        col(f.name).as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
+    else df
 
   // ------------------------------------------------------------ manifests
 
@@ -920,14 +976,17 @@ object IcebergIO {
     // data file: on a schema-evolved table the sampled file may predate a
     // column (it must surface as nulls, not vanish or fail), and explicit
     // schemas also skip the driver-side footer-sampling pass — material at
-    // 1e5 files. Name-based column matching (the spec is field-id-based;
-    // equivalent here since the fixture/scan never renames columns).
+    // 1e5 files. Column matching is BY FIELD ID (the spec's resolution
+    // rule) on tables our writer stamped ([[FieldIdsProp]]) — that is
+    // what makes renamed columns resolve in pre-rename files — and by
+    // NAME on external tables of unknown id discipline.
     // Paths read AS RECORDED in the manifest (scheme intact): on an
     // object-store table these are s3a://…/hdfs://… URIs that must reach
     // the matching FileSystem, not the default one.
-    val base = spark.read.schema(meta.schema)
+    val base = spark.read.schema(dataReadSchema(spark, meta))
       .parquet(dataFiles.map(_.path): _*)
-    if (delPaths.isEmpty && eqFiles.isEmpty) return base.select(cols: _*)
+    if (delPaths.isEmpty && eqFiles.isEmpty)
+      return stripFieldIds(base.select(cols: _*))
 
     // Every merge-on-read path needs the row's file identity: Spark's
     // file-source metadata column, normalized to scheme-less form so it
@@ -1021,8 +1080,19 @@ object IcebergIO {
                   s"delete-file partition tuple missing field '$fieldName'"))
             lit(v).as(s"__gf_part_$i")
           }
-          spark.read.parquet(f.path)
-            .select(names.map(n => col(n).as(s"__gf_eq_$n")) ++
+          // Equality columns resolve by field id too on stamped tables:
+          // a delete file written BEFORE a rename carries the old column
+          // name, and the spec keys the delete by equality_ids, not name.
+          val rd =
+            if (resolveByFieldIds(meta)) {
+              val eqSchema = StructType(ids.zip(names).map { case (id, n) =>
+                StructField(n, meta.schema(n).dataType, nullable = true,
+                  metadata = new MetadataBuilder()
+                    .putLong("parquet.field.id", id.toLong).build())
+              })
+              spark.read.schema(eqSchema).parquet(f.path)
+            } else spark.read.parquet(f.path)
+          rd.select(names.map(n => col(n).as(s"__gf_eq_$n")) ++
               (lit(f.seq).as("__gf_delseq") +:
                 lit(scoped).as("__gf_scoped") +: scopeVals): _*)
         }.reduce(_ unionByName _)
@@ -1037,7 +1107,7 @@ object IcebergIO {
         data = data.join(dels, cond, "left_anti")
       }
     }
-    data.select(cols: _*)
+    stripFieldIds(data.select(cols: _*))
   }
 
   /** Resolve at most one of snapshotId / asOfTimestampMs / ref to a
@@ -1189,8 +1259,10 @@ object IcebergIO {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else
-      spark.read.schema(meta.schema).parquet(files.map(_.path): _*)
-        .select(cols: _*)
+      stripFieldIds(
+        spark.read.schema(dataReadSchema(spark, meta))
+          .parquet(files.map(_.path): _*)
+          .select(cols: _*))
   }
 
   /** Live content files of a snapshot as a relation — the `.files`

@@ -119,7 +119,11 @@ object IcebergWrite {
     val order0 = root.putArray("sort-orders").addObject()
     order0.put("order-id", 0)
     order0.putArray("fields")
-    root.putObject("properties")
+    // Stamp the field-id discipline: every data/delete parquet this
+    // writer produces carries spec field ids, so the reader resolves
+    // columns by id (spec rule) and renameColumn is safe. External
+    // tables lack the property and keep the name-based read path.
+    root.putObject("properties").put(IcebergIO.FieldIdsProp, "true")
     root.put("current-snapshot-id", -1L) // spec: -1 = no current snapshot
     root.putArray("snapshots")
     root.putArray("snapshot-log")
@@ -220,6 +224,45 @@ object IcebergWrite {
     val prior = Option(props.get("graft.dropped-columns"))
       .map(_.asText).filter(_.nonEmpty)
     props.put("graft.dropped-columns", (prior.toSeq :+ name).mkString(","))
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Schema evolution: RENAME a top-level column (metadata-only commit —
+    * the field keeps its id, only the name changes; spec rename
+    * semantics). Safe ONLY on tables whose files resolve by field id
+    * ([[IcebergIO.FieldIdsProp]], stamped by [[create]]): pre-rename
+    * data files — and equality-delete files keyed on the field — carry
+    * the OLD name but the SAME id, so the by-id reader still resolves
+    * them; a name-based reader would silently surface nulls instead.
+    * External tables without the property are refused loudly. Partition
+    * sources may be renamed (the spec references them by source-id; the
+    * spec FIELD name, e.g. `x_bucket`, is its own name and stays). */
+  def renameColumn(tablePath: String, oldName: String, newName: String): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(IcebergIO.resolveByFieldIds(meta),
+      s"renameColumn needs field-id column resolution (table property " +
+        s"${IcebergIO.FieldIdsProp}=true, stamped by IcebergWrite.create): " +
+        s"$tablePath lacks it, and a name-resolved read of pre-rename " +
+        "files would silently return nulls for the renamed column")
+    require(meta.schema.fieldNames.contains(oldName),
+      s"column '$oldName' not in table schema " +
+        s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(!meta.schema.fieldNames.contains(newName),
+      s"column '$newName' already exists in $tablePath")
+    require(newName.nonEmpty && !newName.startsWith("__gf"),
+      s"invalid new column name '$newName'")
+    require(!droppedNames(root).contains(newName),
+      s"column name '$newName' was previously dropped — reusing it " +
+        "invites confusion with the tombstoned column; pick a fresh name")
+    val newRoot = root.deepCopy()
+    evolveSchema(newRoot) { schemaNode =>
+      val arr = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      (0 until arr.size).map(arr.get)
+        .find(_.get("name").asText == oldName)
+        .foreach(f => f.asInstanceOf[ObjectNode].put("name", newName): Unit)
+    }
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
@@ -457,7 +500,7 @@ object IcebergWrite {
     // raw scan WITHOUT applying existing deletes — re-deleting an
     // already-removed position changes nothing in the reader's anti-join
     val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
-    val matches = spark.read.schema(meta.schema)
+    val matches = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
       .parquet(dataFiles.map(_.path): _*)
       .filter(cond)
       .select(dec(col("_metadata.file_path")).as("file_path"),
@@ -579,7 +622,12 @@ object IcebergWrite {
                                     rows: DataFrame, snapshotId: Long,
                                     content: Int, equalityIds: Seq[Int]): NewFile = {
     val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
-    rows.write.mode("overwrite").parquet(tmp)
+    // delete files carry field ids too: position deletes the spec's
+    // reserved ids, equality deletes the table ids they key on
+    val idByName =
+      if (content == 1) PosDeleteFieldIds
+      else rows.columns.zip(equalityIds).toMap
+    stampFieldIds(rows, idByName).write.mode("overwrite").parquet(tmp)
     try {
       val staged = listParquetLeaves(tmp)
       require(staged.size == 1,
@@ -647,7 +695,7 @@ object IcebergWrite {
         // exactly the (tuple, delete row) pairs any reader needs)
         val vren = valueCols.foldLeft(values)( // unambiguous join keys
           (d, n) => d.withColumnRenamed(n, s"__gf_v_$n"))
-        val data = spark.read.schema(meta.schema)
+        val data = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
           .parquet(dataFiles.map(_.path): _*)
         val joined = data.join(vren,
           valueCols.map(n => col(n) <=> col(s"__gf_v_$n")).reduce(_ && _),
@@ -662,7 +710,8 @@ object IcebergWrite {
     // data commit. The stored tuple stays IN the file as extra columns
     // (legal — the reader selects equality columns by name) so the
     // read-back recovers each file's tuple without dir-name parsing.
-    val withP = partSources.indices.foldLeft(rows)(
+    val rowsIds = stampFieldIds(rows, valueCols.zip(equalityIds).toMap)
+    val withP = partSources.indices.foldLeft(rowsIds)(
       (d, i) => d.withColumn(s"__gf_p$i", col(s"__gf_s$i")))
     val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
     withP.repartition(partSources.indices.map(i => col(s"__gf_p$i")): _*)
@@ -763,6 +812,26 @@ object IcebergWrite {
       case _ => srcType
     }
 
+  /** Reserved spec field ids of the position-delete file schema
+    * (Iceberg spec "Reserved field ids"). */
+  private val PosDeleteFieldIds = Map("file_path" -> 2147483546, "pos" -> 2147483545)
+
+  /** Annotate `df`'s columns with `parquet.field.id` metadata so Spark's
+    * parquet writer stamps spec field ids into the files (public
+    * `spark.sql.parquet.fieldId.write.enabled` machinery) — the physical
+    * half of the [[IcebergIO.FieldIdsProp]] contract. Columns absent
+    * from `idByName` (internal `__gf_*` duplicates) stay unstamped. */
+  private def stampFieldIds(df: DataFrame, idByName: Map[String, Int]): DataFrame = {
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fields.toSeq.map { f =>
+      idByName.get(f.name) match {
+        case Some(id) => col(f.name).as(f.name, new MetadataBuilder()
+          .putLong("parquet.field.id", id.toLong).build())
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
   /** Schema check by NAME + TYPE (nullability not enforced — parquet
     * carries actual nulls; a required table column receiving nulls
     * would fail spec-reader expectations, caller's responsibility). */
@@ -822,13 +891,17 @@ object IcebergWrite {
         (name, storedType(t, dt), t == "void" || meta.schema(src).nullable)
       }
 
-    // ---- 1. ONE distributed write job into a staging dir
+    // ---- 1. ONE distributed write job into a staging dir. Table
+    // columns are stamped with their spec field ids (the reader's
+    // by-id resolution contract); the __gf_p* duplicates never reach
+    // the files (partitionBy consumes them).
+    val dfIds = stampFieldIds(df, fieldIdByName)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_$snapshotId")
     val writer0 = {
       val base =
-        if (partFields.isEmpty) df
+        if (partFields.isEmpty) dfIds
         else {
-          val withStored = storedCols.zipWithIndex.foldLeft(df) {
+          val withStored = storedCols.zipWithIndex.foldLeft(dfIds) {
             case (d, (c0, i)) => d.withColumn(s"__gf_p$i", c0)
           }
           // repartition on the stored tuple: every tuple in exactly one

@@ -611,4 +611,81 @@ class IcebergWriteSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(got2 === 2L)
   }
+
+  test("renameColumn: pre-rename files resolve by field id; appends carry the new name") {
+    val dir = s"$root/rename"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.renameColumn(dir, "name", "label")
+    val renamed = IcebergIO.read(spark, dir)
+    assert(renamed.schema.fieldNames.toSeq === Seq("id", "label", "score"))
+    // pre-rename file content surfaces under the NEW name (by-id
+    // resolution), never as nulls
+    assert(renamed.orderBy("id").collect().map(_.getString(1)).toSeq
+      === Seq("a", "b"))
+    // appends must carry the renamed schema
+    intercept[IllegalArgumentException](IcebergWrite.append(df((3L, "c", 3.0)), dir))
+    IcebergWrite.append(
+      df((3L, "c", 3.0)).withColumnRenamed("name", "label"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // guards: unknown source, duplicate target, internal prefix
+    intercept[IllegalArgumentException](IcebergWrite.renameColumn(dir, "ghost", "x"))
+    intercept[IllegalArgumentException](IcebergWrite.renameColumn(dir, "label", "id"))
+    intercept[IllegalArgumentException](IcebergWrite.renameColumn(dir, "label", "__gf_x"))
+  }
+
+  test("renameColumn: equality deletes keyed on the field resolve across the rename") {
+    val dir = s"$root/rename_eq"
+    import spark.implicits._
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), dir)
+    // delete BEFORE the rename: the delete file stores the OLD name
+    IcebergWrite.deleteEquality(Seq("a").toDF("name"), dir)
+    IcebergWrite.renameColumn(dir, "name", "label")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L))
+    // delete AFTER the rename, keyed on the NEW name, hitting an OLD file
+    IcebergWrite.deleteEquality(Seq("b").toDF("label"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(3L))
+  }
+
+  test("renameColumn: partition source rename keeps pruning + deleteWhere + upsert working") {
+    val dir = s"$root/rename_part"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "x", 1.0), (2L, "y", 2.0)), dir)
+    IcebergWrite.renameColumn(dir, "name", "tag")
+    IcebergWrite.append(df((3L, "x", 3.0)).withColumnRenamed("name", "tag"), dir)
+    // partition pruning through the renamed SOURCE column name
+    assert(ids(IcebergIO.read(spark, dir,
+      partitionFilter = Map("tag" -> "x"))) === Seq(1L, 3L))
+    // position delete by predicate over the renamed column (matches a
+    // pre-rename file by id-resolved read)
+    IcebergWrite.deleteWhere(spark, dir, col("tag") === "y")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L))
+    // whole-row upsert with the renamed schema
+    IcebergWrite.upsert(
+      df((1L, "x", 10.0), (9L, "z", 9.0)).withColumnRenamed("name", "tag"),
+      dir, keyCols = Seq("id"))
+    val got = IcebergIO.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 10.0), (3L, 3.0), (9L, 9.0)))
+  }
+
+  test("renameColumn is refused on tables without the field-id property") {
+    val dir = s"$root/rename_ext"
+    // a fixture-written table has no graft.write.field-ids property —
+    // exactly the external-table shape the guard exists for
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(dir, "name", "label"))
+    assert(e.getMessage.contains("field-id"))
+  }
+
+  test("reader output schema carries no field-id metadata leak") {
+    val dir = s"$root/rename_meta"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val out = IcebergIO.read(spark, dir)
+    assert(out.schema.fields.forall(!_.metadata.contains("parquet.field.id")))
+  }
 }
