@@ -17,85 +17,87 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val dir = s"/tmp/graft_rename_${java.util.UUID.randomUUID}"
-
-    // 1. unpartitioned: create, append, eq-delete, rename, append, read
-    val t1 = s"$dir/t1"
+    val dir = s"/tmp/graft_evolve_${java.util.UUID.randomUUID}"
     val schema = StructType(Seq(
-      StructField("id", LongType), StructField("name", StringType),
-      StructField("v", DoubleType)))
+      StructField("id", LongType), StructField("region", StringType),
+      StructField("cat", LongType), StructField("v", DoubleType)))
+
+    // 1. unpartitioned -> partition by region -> repartition by cat
+    val t1 = s"$dir/t1"
     IcebergWrite.create(spark, t1, schema)
-    IcebergWrite.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
-      .toDF("id", "name", "v"), t1)
-    IcebergWrite.deleteEquality(Seq(2L).toDF("id"), t1)
-    IcebergWrite.renameColumn(t1, "name", "label")
-    IcebergWrite.append(Seq((4L, "d", 4.0)).toDF("id", "label", "v"), t1)
-    val r1 = IcebergIO.read(spark, t1).orderBy("id")
-    r1.show()
-    val rows = r1.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    assert(rows == Seq((1L, "a", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)), rows)
-    assert(r1.schema.fieldNames.toSeq == Seq("id", "label", "v"))
-    // eq-delete AFTER rename on renamed column, hitting pre-rename rows
-    IcebergWrite.deleteEquality(Seq("c").toDF("label"), t1)
-    val rows2 = IcebergIO.read(spark, t1).orderBy("id")
-      .collect().map(_.getLong(0)).toSeq
-    assert(rows2 == Seq(1L, 4L), rows2)
-    println("t1 (unpartitioned rename + eq-deletes) OK")
+    IcebergWrite.append(Seq((1L, "eu", 1L, 1.0), (2L, "us", 2L, 2.0))
+      .toDF("id", "region", "cat", "v"), t1)
+    IcebergWrite.updatePartitionSpec(t1, Seq("region"))
+    IcebergWrite.append(Seq((3L, "eu", 1L, 3.0), (4L, "us", 2L, 4.0))
+      .toDF("id", "region", "cat", "v"), t1)
+    IcebergWrite.updatePartitionSpec(t1, Seq("cat"),
+      Map("cat" -> "bucket[4]"))
+    IcebergWrite.append(Seq((5L, "eu", 3L, 5.0)).toDF("id", "region", "cat", "v"), t1)
 
-    // 2. partitioned on the renamed column (identity): rename SOURCE
-    val t2 = s"$dir/t2"
-    IcebergWrite.create(spark, t2, schema, partitionCols = Seq("name"))
-    IcebergWrite.append(Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "name", "v"), t2)
-    IcebergWrite.renameColumn(t2, "name", "tag")
-    IcebergWrite.append(Seq((3L, "x", 3.0)).toDF("id", "tag", "v"), t2)
-    // pruning through the renamed source
-    val pruned = IcebergIO.read(spark, t2, partitionFilter = Map("tag" -> "x"))
+    // full read sees all rows across all three specs
+    val all = IcebergIO.read(spark, t1).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(1L, 2L, 3L, 4L, 5L), all)
+    println("t1 full read across 3 specs OK")
+
+    // pruning on region: files of spec0 (unpartitioned) + spec2 (cat) are
+    // KEPT (their specs can't resolve the filter); spec1 files prune.
+    // Results must still be exact — pruning is planning-level only, and
+    // the caller applies the row filter.
+    val eu = IcebergIO.read(spark, t1, partitionFilter = Map("region" -> "eu"))
+      .filter(col("region") === "eu")
       .orderBy("id").collect().map(_.getLong(0)).toSeq
-    assert(pruned == Seq(1L, 3L), pruned)
-    // deleteWhere on renamed column (predicate over pre-rename files)
-    IcebergWrite.deleteWhere(spark, t2, col("tag") === "y")
-    val left = IcebergIO.read(spark, t2).orderBy("id").collect().map(_.getLong(0)).toSeq
-    assert(left == Seq(1L, 3L), left)
-    println("t2 (partition-source rename + prune + deleteWhere) OK")
+    assert(eu == Seq(1L, 3L, 5L), eu)
+    println("t1 partition filter across specs OK")
 
-    // 3. upsert after rename
-    IcebergWrite.upsert(Seq((1L, "x", 10.0), (9L, "z", 9.0)).toDF("id", "tag", "v"),
-      t2, keyCols = Seq("id"))
-    val up = IcebergIO.read(spark, t2).orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
-    assert(up == Seq((1L, 10.0), (3L, 3.0), (9L, 9.0)), up)
-    println("t3 (upsert after rename) OK")
+    // metadata sanity: three specs, default is the last
+    val meta = IcebergIO.loadMetadata(t1)
+    assert(meta.specsById.keySet == Set(0, 1, 2), meta.specsById.keySet)
+    assert(meta.defaultSpecId == 2)
+    assert(meta.partitionFields.map(_._2) == Seq("bucket[4]"))
 
-    // 4. refusal on a property-less (fixture/external) table
-    val t4 = s"$dir/t4"
-    IcebergWrite.create(spark, t4, schema)
-    // simulate an external table: strip the property from metadata
-    val meta = IcebergIO.loadMetadata(t4)
+    // 2. eq-delete across specs: delete by id (values join derives scope
+    // per current spec; files under old specs handled by per-spec scoping)
+    IcebergWrite.deleteEquality(Seq(1L, 4L).toDF("id"), t1)
+    val left = IcebergIO.read(spark, t1).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L, 5L), left)
+    println("t1 eq-delete across specs OK")
+
+    // 3. deleteWhere (position) across specs
+    IcebergWrite.deleteWhere(spark, t1, col("id") === 3L)
+    val left2 = IcebergIO.read(spark, t1).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(left2 == Seq(2L, 5L), left2)
+    println("t1 deleteWhere across specs OK")
+
+    // 4. compact folds everything into the CURRENT spec
+    IcebergWrite.compact(spark, t1)
+    val left3 = IcebergIO.read(spark, t1).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(left3 == Seq(2L, 5L), left3)
+    println("t1 compact after evolution OK")
+
+    // 5. un-partition: Nil spec
+    val t2 = s"$dir/t2"
+    IcebergWrite.create(spark, t2, schema, partitionCols = Seq("region"))
+    IcebergWrite.append(Seq((1L, "eu", 1L, 1.0)).toDF("id", "region", "cat", "v"), t2)
+    IcebergWrite.updatePartitionSpec(t2, Nil)
+    IcebergWrite.append(Seq((2L, "us", 2L, 2.0)).toDF("id", "region", "cat", "v"), t2)
+    assert(IcebergIO.read(spark, t2).count() == 2)
+    println("t2 un-partition OK")
+
+    // 6. field-id reuse: re-partitioning by region again reuses its id
+    IcebergWrite.updatePartitionSpec(t2, Seq("region"))
+    val m2 = IcebergIO.loadMetadata(t2)
+    assert(m2.partitionFieldIds == m2.specsById.keySet.toSeq.sorted.headOption
+      .map(_ => m2.partitionFieldIds).getOrElse(Nil)) // shape check
+    // spec0 and spec2 both partition by identity(region): same field id 1000
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.readTree(new java.io.File(meta.metadataFile))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    node.putObject("properties")
-    java.nio.file.Files.write(java.nio.file.Paths.get(meta.metadataFile),
-      om.writeValueAsBytes(node))
-    // drop the Hadoop local-FS checksum sidecar the out-of-band edit broke
-    val p = java.nio.file.Paths.get(meta.metadataFile)
-    java.nio.file.Files.deleteIfExists(p.getParent.resolve("." + p.getFileName + ".crc")): Unit
-    val refused = try { IcebergWrite.renameColumn(t4, "name", "label"); false }
-      catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("field-id") }
-    assert(refused, "rename on property-less table must be refused")
-    println("t4 (external-table refusal) OK")
+    val node = om.readTree(new java.io.File(m2.metadataFile))
+    val specsNode = node.get("partition-specs")
+    val fid0 = specsNode.get(0).get("fields").get(0).get("field-id").asInt
+    val fid2 = specsNode.get(2).get("fields").get(0).get("field-id").asInt
+    assert(fid0 == fid2, s"$fid0 != $fid2 — field id not reused")
+    println("t2 field-id reuse OK")
 
-    // 5. time travel to a pre-rename snapshot still reads (old schema names
-    // come from the CURRENT schema — Iceberg semantics: schema is table-
-    // level, not snapshot-level)
-    val snaps = IcebergIO.loadMetadata(t1).snapshots.map(_.snapshotId).sorted
-    val tt = IcebergIO.read(spark, t1, snapshotId = Some(snaps.head))
-    assert(tt.schema.fieldNames.toSeq == Seq("id", "label", "v"))
-    assert(tt.count() == 3)
-    println("t5 (time travel across rename) OK")
-
-    println("ALL RENAME SMOKE TESTS PASSED")
+    println("ALL PARTITION-EVOLUTION SMOKE TESTS PASSED")
     spark.stop()
   }
 }

@@ -717,6 +717,40 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Partition-spec EVOLUTION ([[graft.sources.IcebergWrite]]
+    * `updatePartitionSpec`): three appends under three different specs
+    * (unpartitioned → identity(n_regionkey) → bucket(n_nationkey)), an
+    * equality delete spanning them, then a partition-filtered read — the
+    * reader prunes each file against the spec it was written under and
+    * keeps files whose spec can't resolve the filter, so results stay
+    * exact. The oracle replays the surviving region-2 slice. */
+  val icebergPartitionEvolution = dfQ("iceberg_partition_evolution",
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation
+      |WHERE n_regionkey = 2 AND n_nationkey % 5 <> 0
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_evolve_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 8"), dir)
+    graft.sources.IcebergWrite.updatePartitionSpec(dir, Seq("n_regionkey"))
+    graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey >= 8 AND n_nationkey < 16"), dir)
+    graft.sources.IcebergWrite.updatePartitionSpec(dir, Seq("n_nationkey"),
+      Map("n_nationkey" -> "bucket[4]"))
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 16"), dir)
+    // eq-delete across all three specs
+    graft.sources.IcebergWrite.deleteEquality(
+      nation.filter("n_nationkey % 5 = 0").select("n_nationkey"), dir)
+    // partition filter resolves per spec; exactness via the row filter
+    IcebergIO.read(s, dir, partitionFilter = Map("n_regionkey" -> 2))
+      .filter(col("n_regionkey") === 2)
+      .orderBy("n_nationkey")
+  }
+
   /** Maintenance GC ([[graft.sources.IcebergWrite]] `compact` →
     * `expireSnapshots` → `removeOrphanFiles`): fold deletes away,
     * drop history, physically sweep every file no retained snapshot
@@ -775,6 +809,7 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
-    icebergDropColumn, icebergRenameColumn, icebergGc,
+    icebergDropColumn, icebergRenameColumn, icebergPartitionEvolution,
+    icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -77,7 +77,15 @@ object IcebergIO {
       metadataFile: String,
       refs: Map[String, Long], // branch/tag name -> snapshot id
       snapshotLog: Seq[(Long, Long)] = Seq.empty, // main lineage (ts, id)
-      properties: Map[String, String] = Map.empty) // table properties
+      properties: Map[String, String] = Map.empty, // table properties
+      defaultSpecId: Int = 0,
+      // EVERY partition spec (partition evolution): spec id -> fields.
+      // `partitionFields` above stays the DEFAULT spec's fields — the one
+      // new writes use; files written under older specs are matched
+      // against their own spec via the manifest's recorded spec id.
+      specsById: Map[Int, Seq[(String, String, Int)]] = Map.empty,
+      // default spec's partition field ids, aligned with partitionFields
+      partitionFieldIds: Seq[Int] = Seq.empty)
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -219,20 +227,32 @@ object IcebergIO {
       if (root.has("current-snapshot-id") && root.get("current-snapshot-id").asLong() != -1L)
         Some(root.get("current-snapshot-id").asLong())
       else None
-    // default partition spec: v2 "partition-specs"+"default-spec-id";
-    // v1 may use the legacy "partition-spec" array directly
+    // partition specs: v2 "partition-specs"+"default-spec-id" (ALL specs
+    // kept — partition evolution leaves old files under their original
+    // spec); v1 may use the legacy "partition-spec" array directly
     def specField(f: JsonNode): (String, String, Int) =
       (f.get("name").asText(), f.get("transform").asText(),
         if (f.has("source-id")) f.get("source-id").asInt() else -1)
+    val defaultSpecId =
+      if (root.has("default-spec-id")) root.get("default-spec-id").asInt() else 0
+    val specsById: Map[Int, Seq[(String, String, Int)]] =
+      if (root.has("partition-specs"))
+        root.get("partition-specs").elements().asScala.map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(specField).toSeq
+        }.toMap
+      else if (root.has("partition-spec"))
+        Map(0 -> root.get("partition-spec").elements().asScala.map(specField).toSeq)
+      else Map.empty
     val partitionFields: Seq[(String, String, Int)] =
-      if (root.has("partition-specs")) {
-        val specId = if (root.has("default-spec-id")) root.get("default-spec-id").asInt() else 0
+      specsById.getOrElse(defaultSpecId, Nil)
+    val partitionFieldIds: Seq[Int] =
+      if (root.has("partition-specs"))
         root.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == specId)
-          .map(_.get("fields").elements().asScala.map(specField).toSeq)
+          .find(_.get("spec-id").asInt() == defaultSpecId)
+          .map(_.get("fields").elements().asScala.map(f =>
+            if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq)
           .getOrElse(Nil)
-      } else if (root.has("partition-spec"))
-        root.get("partition-spec").elements().asScala.map(specField).toSeq
       else Nil
     // named refs (branches and tags): "refs": {name: {"snapshot-id": N,
     // "type": "branch"|"tag"}} — both kinds resolve to a snapshot here
@@ -258,7 +278,7 @@ object IcebergIO {
       else Map.empty
     TableMetadata(fv, root.get("location").asText(), current, snaps,
       schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
-      snapshotLog, properties)
+      snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds)
   }
 
   // ------------------------------------------------- field-id resolution
@@ -326,7 +346,11 @@ object IcebergIO {
                                        lowerBounds: Map[Int, Array[Byte]],
                                        upperBounds: Map[Int, Array[Byte]],
                                        nullCounts: Map[Int, Long],
-                                       nanCounts: Map[Int, Long])
+                                       nanCounts: Map[Int, Long],
+                                       // the partition spec this file was
+                                       // written under (partition evolution:
+                                       // old files keep their old spec)
+                                       specId: Int = 0)
 
   /** Stream one Avro object container file as GenericRecords. Manifest
     * grain only — data rows never pass through here. Opens via the
@@ -368,13 +392,15 @@ object IcebergIO {
     * [[ParallelManifestThreshold]] (constant driver memory per task
     * result; `collect` carries file metadata only, never rows). */
   private[sources] def liveFiles(spark: SparkSession, snap: SnapshotInfo): Seq[ContentFile] = {
-    // (manifest path, content, manifest sequence number) — manifest-list
-    // `content` field (v2): 0 = data manifests, 1 = delete manifests; v1
-    // lists are all data with no sequence numbers (0).
-    val manifestFiles: Seq[(String, Int, Long)] =
+    // (manifest path, content, manifest sequence number, spec id) —
+    // manifest-list `content` field (v2): 0 = data manifests, 1 = delete
+    // manifests; v1 lists are all data with no sequence numbers (0).
+    // `partition_spec_id` (field 502) names the spec the manifest's files
+    // were written under — partition evolution keys pruning on it.
+    val manifestFiles: Seq[(String, Int, Long, Int)] =
       snap.manifestList match {
         case Some(ml) =>
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Int)]
           foreachAvroRecord(ml) { r =>
             val mSeq =
               if (r.getSchema.getField("sequence_number") == null) 0L
@@ -382,20 +408,21 @@ object IcebergIO {
                 case null => 0L; case n: Number => n.longValue()
               }
             buf += ((r.get("manifest_path").toString,
-              intFieldOrZero(r, "content"), mSeq))
+              intFieldOrZero(r, "content"), mSeq,
+              intFieldOrZero(r, "partition_spec_id")))
           }
           buf.toSeq
-        case None => snap.manifests.map((_, 0, 0L))
+        case None => snap.manifests.map((_, 0, 0L, 0))
       }
     if (manifestFiles.size < ParallelManifestThreshold) {
       val c = GraftFs.conf()
-      manifestFiles.flatMap { case (p, mc, ms) => parseManifest(p, mc, ms, c) }
+      manifestFiles.flatMap { case (p, mc, ms, sp) => parseManifest(p, mc, ms, sp, c) }
     } else {
       val sconf = GraftFs.serializableConf()
       val slices = math.min(manifestFiles.size,
         math.max(1, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(manifestFiles, slices)
-        .flatMap { case (p, mc, ms) => parseManifest(p, mc, ms, sconf.value) }
+        .flatMap { case (p, mc, ms, sp) => parseManifest(p, mc, ms, sp, sconf.value) }
         .collect().toSeq
     }
   }
@@ -404,6 +431,7 @@ object IcebergIO {
     * function of (path, manifest content kind, manifest sequence), safe
     * on executors (explicit Hadoop conf, no session access). */
   private def parseManifest(mPath: String, mContent: Int, mSeq: Long,
+                            mSpecId: Int,
                             conf: org.apache.hadoop.conf.Configuration)
       : Seq[ContentFile] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
@@ -477,7 +505,8 @@ object IcebergIO {
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
             seq, eqIds, partVals, records,
             boundsMap("lower_bounds"), boundsMap("upper_bounds"),
-            longMap("null_value_counts"), longMap("nan_value_counts"))
+            longMap("null_value_counts"), longMap("nan_value_counts"),
+            specId = mSpecId)
         }
     }
     out.toSeq
@@ -761,25 +790,53 @@ object IcebergIO {
     // Resolve source-column filters to (partition field name -> expected
     // STORED value) via [[storedPartitionValue]] — the filter literal is
     // transformed/normalized into exactly what manifests record before
-    // comparing. Unknown transforms and unconvertible values are rejected
-    // loudly here (the EXPLICIT filter API) — a silently unpruned filter
-    // would read as "pruning works" in tests; the derived readWhere path
-    // Try-guards the same helper and skips pruning instead.
-    val bySource: Map[String, (String, String)] = meta.partitionFields.flatMap {
-      case (name, t, srcId) => meta.fieldById.get(srcId).map(src => src -> (name, t))
-    }.toMap
-    val resolvedFilter: Map[String, Any] = partitionFilter.map { case (k, v) =>
-      val (fieldName, t) = bySource.getOrElse(k,
-        throw new IllegalArgumentException(
-          s"partitionFilter names non-partition-source column '$k' " +
-            s"(partition sources: ${bySource.keys.toSeq.sorted.mkString(", ")})"))
-      fieldName -> storedPartitionValue(t, v)
-    }
+    // comparing. The DEFAULT spec resolves loudly (the EXPLICIT filter
+    // API contract — a silently unpruned filter would read as "pruning
+    // works" in tests; the derived readWhere path Try-guards the same
+    // helper upstream and skips pruning instead). With partition
+    // evolution, OLDER specs resolve best-effort PER SPEC: a spec that
+    // lacks the source column, or whose transform can't convert the
+    // literal, contributes no pruning for its files — they are KEPT.
+    val resolvedBySpec: Map[Int, Map[String, Any]] =
+      if (partitionFilter.isEmpty) Map.empty
+      else {
+        def sourcesOf(fields: Seq[(String, String, Int)]): Map[String, (String, String)] =
+          fields.flatMap { case (name, t, srcId) =>
+            meta.fieldById.get(srcId).map(src => src -> (name, t))
+          }.toMap
+        // loud contract: the filter must name a partition source of SOME
+        // spec (with evolution, an old spec's source is still filterable
+        // — its files prune, newer-spec files are kept conservatively)
+        val allSources: Set[String] =
+          meta.specsById.values.flatMap(f => sourcesOf(f).keys).toSet ++
+            sourcesOf(meta.partitionFields).keys
+        partitionFilter.keys.foreach { k =>
+          require(allSources.contains(k),
+            s"partitionFilter names non-partition-source column '$k' " +
+              s"(partition sources: ${allSources.toSeq.sorted.mkString(", ")})")
+        }
+        val specs =
+          if (meta.specsById.nonEmpty) meta.specsById
+          else Map(meta.defaultSpecId -> meta.partitionFields)
+        specs.map { case (sid, fields) =>
+          val bySrc = sourcesOf(fields)
+          sid -> partitionFilter.flatMap { case (k, v) =>
+            bySrc.get(k).map { case (name, t) =>
+              // the DEFAULT spec resolves loudly (explicit-API contract:
+              // an unconvertible literal is a caller bug, not a skip);
+              // older specs are best-effort — a failed conversion just
+              // contributes no pruning for that spec's files
+              if (sid == meta.defaultSpecId) Some(name -> storedPartitionValue(t, v))
+              else scala.util.Try(storedPartitionValue(t, v)).toOption.map(name -> _)
+            }.getOrElse(None)
+          }
+        }
+      }
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s, resolvedFilter, statsPred)
+      case Some(s) => readSnapshot(spark, meta, s, resolvedBySpec, statsPred)
     }
   }
 
@@ -943,21 +1000,25 @@ object IcebergIO {
 
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo,
-                           partitionFilter: Map[String, Any] = Map.empty,
+                           filterBySpec: Map[Int, Map[String, Any]] = Map.empty,
                            statsPred: StatsPred = StatsPred.Unknown): DataFrame = {
     val allFiles = liveFiles(spark, snap)
     // Resolve stats predicates once (field ids, type normalization) into
     // one per-file keep function; unknown columns fail loudly.
     val keepByStats = compileStatsPred(meta, statsPred)
     // Planning-time pruning: drop DATA files whose manifest partition
-    // tuple fails the equality filter, or whose column bounds/null
-    // counts provably exclude the stats predicate tree; delete files
-    // stay (they may be global). String-normalized compare keeps
-    // Int/Long boxing differences from defeating an equal value.
+    // tuple fails the equality filter — resolved against the SPEC each
+    // file was written under (partition evolution) — or whose column
+    // bounds/null counts provably exclude the stats predicate tree;
+    // delete files stay (they may be global). A file whose spec has no
+    // resolution for a filtered source, or whose tuple lacks the field,
+    // is KEPT (pruning is best-effort, dropping would lose rows).
+    // String-normalized compare keeps Int/Long boxing differences from
+    // defeating an equal value.
     val files = allFiles.filter { f =>
       f.content != 0 || (
-        partitionFilter.forall { case (k, v) =>
-          f.partitionValues.get(k).exists(pv => String.valueOf(pv) == String.valueOf(v))
+        filterBySpec.getOrElse(f.specId, Map.empty).forall { case (k, v) =>
+          f.partitionValues.get(k).forall(pv => String.valueOf(pv) == String.valueOf(v))
         } && keepByStats(f))
     }
     val badFmt = files.filter(_.format != "PARQUET")
@@ -1037,9 +1098,9 @@ object IcebergIO {
       // into the single join condition — plan size constant in the
       // number of delete files/partitions. The `<=>` key columns still
       // extract as hash-join keys; seq + scope ride as residual filter.
-      eqFiles.groupBy(_.equalityIds)
+      eqFiles.groupBy(f => (f.equalityIds, f.specId))
         .toSeq.sortBy(_._2.head.path) // deterministic plan order
-        .foreach { case (ids, group) =>
+        .foreach { case ((ids, delSpecId), group) =>
         require(ids.nonEmpty, s"equality-delete file without equality_ids: " +
           group.head.path)
         val names = ids.map(id => meta.fieldById.getOrElse(id,
@@ -1052,9 +1113,13 @@ object IcebergIO {
         // GLOBAL deletes that never consults it.
         val anyScoped = group.exists(_.partitionValues.nonEmpty)
         // non-void fields; void contributes no constraint (all-null
-        // tuple, whole table in scope)
+        // tuple, whole table in scope). A scoped delete file applies to
+        // the partition of ITS OWN spec (partition evolution: a delete
+        // committed under an older spec keeps that spec's scope).
         val scopeFields =
-          if (!anyScoped) Seq.empty else meta.partitionFields.filter(_._2 != "void")
+          if (!anyScoped) Seq.empty
+          else meta.specsById.getOrElse(delSpecId, meta.partitionFields)
+            .filter(_._2 != "void")
         // row-side STORED tuple per scope field — same mapping the
         // writer records (epoch ordinals for date/timestamp identity);
         // unsupported combinations fail loudly, never silently mis-scope

@@ -198,9 +198,12 @@ object IcebergWrite {
         s"(have: ${meta.schema.fieldNames.mkString(", ")})")
     require(meta.schema.size > 1, "cannot drop the only column")
     val fid = meta.fieldById.map(_.swap).apply(name)
-    require(!meta.partitionFields.map(_._3).contains(fid),
-      s"column '$name' (field id $fid) is a partition source — the " +
-        "active partition spec depends on it")
+    // ANY spec, not just the default: after partition evolution, files
+    // written under an older spec still scope/prune through its sources
+    require(!meta.specsById.values.flatten.map(_._3).toSet.contains(fid) &&
+        !meta.partitionFields.map(_._3).contains(fid),
+      s"column '$name' (field id $fid) is a partition source — a " +
+        "partition spec (current or prior) depends on it")
     val eqRefs = meta.currentSnapshotId
       .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
       .flatMap(s => IcebergIO.liveFiles(spark, s))
@@ -263,6 +266,73 @@ object IcebergWrite {
         .find(_.get("name").asText == oldName)
         .foreach(f => f.asInstanceOf[ObjectNode].put("name", newName): Unit)
     }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Partition-spec EVOLUTION (metadata-only commit): make
+    * `partitionCols`/`partitionTransforms` the table's new DEFAULT spec.
+    * Existing files stay under the spec they were written with — the
+    * reader prunes each file against its OWN spec (manifests record the
+    * spec id) and keeps files whose spec can't resolve a filter; new
+    * appends write under the new spec. Passing `Nil` un-partitions
+    * future writes. Field ids follow the spec's reuse rule: a field
+    * equivalent to one in ANY prior spec (same source id + transform)
+    * keeps its id; fresh fields take ids above `last-partition-id`. */
+  def updatePartitionSpec(tablePath: String, partitionCols: Seq[String],
+                          partitionTransforms: Map[String, String] = Map.empty): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "partition-spec evolution requires format v2")
+    require(root.has("partition-specs"),
+      "table metadata has no partition-specs array (legacy v1 layout)")
+    require(partitionCols.distinct == partitionCols,
+      s"duplicate partition columns: ${partitionCols.mkString(",")}")
+    require(partitionCols.forall(meta.schema.fieldNames.contains),
+      s"partition columns ${partitionCols.mkString(",")} not all in schema " +
+        s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
+      "partitionTransforms keys must be partition columns")
+    // validate every transform resolves against its source type NOW —
+    // same create-time discipline; an evolve that only fails at the next
+    // append helps nobody
+    partitionCols.foreach { c0 =>
+      val t = partitionTransforms.getOrElse(c0, "identity")
+      IcebergTransforms.storedColumn(t, c0, meta.schema(c0).dataType): Unit
+    }
+    val fieldIdByName = meta.fieldById.map(_.swap)
+    val newRoot = root.deepCopy()
+    val specs = newRoot.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    // (source-id, transform) -> existing partition-field id, across ALL
+    // prior specs (the spec's id-reuse rule)
+    val existingIds: Map[(Int, String), Int] =
+      (0 until specs.size).flatMap { i =>
+        val fields = specs.get(i).get("fields")
+        (0 until fields.size).map(fields.get).map { f =>
+          (f.get("source-id").asInt, f.get("transform").asText) ->
+            f.get("field-id").asInt
+        }
+      }.toMap
+    val newSpecId =
+      (0 until specs.size).map(specs.get(_).get("spec-id").asInt).max + 1
+    var lastPartId =
+      Option(newRoot.get("last-partition-id")).map(_.asInt).getOrElse(999)
+    val spec = specs.addObject()
+    spec.put("spec-id", newSpecId)
+    val arr = spec.putArray("fields")
+    partitionCols.foreach { c0 =>
+      val t = partitionTransforms.getOrElse(c0, "identity")
+      val srcId = fieldIdByName(c0)
+      val fid = existingIds.getOrElse((srcId, t), { lastPartId += 1; lastPartId })
+      val f = arr.addObject()
+      f.put("name", partFieldName(c0, t))
+      f.put("transform", t)
+      f.put("source-id", srcId)
+      f.put("field-id", fid): Unit
+    }
+    newRoot.put("default-spec-id", newSpecId)
+    newRoot.put("last-partition-id", lastPartId)
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
@@ -1024,13 +1094,15 @@ object IcebergWrite {
         val pct = if (kind == 0) partColTypes
           else partColTypes.map { case (n, t, _) => (n, t, true) }
         val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema, pct,
-          group, snapshotId, newSeq, manifestContent = kind)
+          group, snapshotId, newSeq, manifestContent = kind,
+          specId = meta.defaultSpecId, specFieldIds = meta.partitionFieldIds)
         (mPath, mLen, kind, snapshotId, newSeq, group.map(_.records).sum,
           group.size)
       }
     val carried: Seq[GenericRecord] =
       if (carryForward) priorManifestEntries(meta) else Nil
-    val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId)
+    val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId,
+      specId = meta.defaultSpecId)
 
     val now = System.currentTimeMillis()
     val newRoot = root.deepCopy()
@@ -1108,7 +1180,9 @@ object IcebergWrite {
   private def writeManifest(metaDir: String, fv: Int, schema: StructType,
                             partColTypes: Seq[(String, DataType, Boolean)],
                             files: Seq[NewFile], snapshotId: Long,
-                            seq: Long, manifestContent: Int): (String, Long) = {
+                            seq: Long, manifestContent: Int,
+                            specId: Int = 0,
+                            specFieldIds: Seq[Int] = Nil): (String, Long) = {
     val es = IcebergFixture.manifestEntrySchema(fv, partColTypes)
     val dfSchema = es.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -1121,9 +1195,10 @@ object IcebergWrite {
       partColTypes.zipWithIndex.map { case ((n, _, _), i) =>
         // transform/source-id live in the table metadata; manifest
         // container metadata repeats name/field-id for spec readers
-        s"""{"name":"$n","field-id":${1000 + i}}"""
+        val fid = specFieldIds.lift(i).filter(_ >= 0).getOrElse(1000 + i)
+        s"""{"name":"$n","field-id":$fid}"""
       }.mkString("[", ",", "]"))
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", fv.toString)
     if (fv >= 2)
       w.setMeta("content", if (manifestContent == 1) "deletes" else "data")
@@ -1201,7 +1276,8 @@ object IcebergWrite {
   private def writeManifestList(metaDir: String, fv: Int,
                                 carried: Seq[GenericRecord],
                                 added: Seq[(String, Long, Int, Long, Long, Long, Int)],
-                                snapshotId: Long): String = {
+                                snapshotId: Long,
+                                specId: Int = 0): String = {
     val ls = IcebergFixture.manifestListSchema(fv)
     val out = GraftFs.child(metaDir,
       f"snap-$snapshotId%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
@@ -1236,7 +1312,7 @@ object IcebergWrite {
         val r = new GenericData.Record(ls)
         r.put("manifest_path", mPath)
         r.put("manifest_length", mLen)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", specId)
         if (fv >= 2) {
           r.put("content", mContent)
           r.put("sequence_number", seq)

@@ -688,4 +688,71 @@ class IcebergWriteSpec extends AnyFunSuite {
     val out = IcebergIO.read(spark, dir)
     assert(out.schema.fields.forall(!_.metadata.contains("parquet.field.id")))
   }
+
+  test("partition evolution: files stay under their spec; reads and deletes span specs") {
+    val dir = s"$root/evolve"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema) // spec 0: unpartitioned
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.updatePartitionSpec(dir, Seq("name")) // spec 1: identity(name)
+    IcebergWrite.append(df((3L, "a", 3.0), (4L, "b", 4.0)), dir)
+    IcebergWrite.updatePartitionSpec(dir, Seq("id"),
+      Map("id" -> "bucket[4]")) // spec 2: bucket(id)
+    IcebergWrite.append(df((5L, "a", 5.0)), dir)
+
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(meta.specsById.keySet === Set(0, 1, 2))
+    assert(meta.defaultSpecId === 2)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 4L, 5L))
+
+    // a filter on spec 1's source prunes spec-1 files and KEEPS files of
+    // specs that cannot resolve it; the row filter keeps results exact
+    val a = IcebergIO.read(spark, dir, partitionFilter = Map("name" -> "a"))
+      .filter(col("name") === "a")
+    assert(ids(a) === Seq(1L, 3L, 5L))
+
+    // deletes across specs
+    import spark.implicits._
+    IcebergWrite.deleteEquality(Seq(1L, 4L).toDF("id"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L, 5L))
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 3L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 5L))
+    // compact folds everything into the CURRENT spec; content unchanged
+    IcebergWrite.compact(spark, dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 5L))
+
+    // un-partition (empty spec) and keep appending
+    IcebergWrite.updatePartitionSpec(dir, Nil)
+    IcebergWrite.append(df((6L, "c", 6.0)), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 5L, 6L))
+
+    // dropping a source referenced by ANY spec (old spec 1 uses name) is
+    // refused even though the current spec doesn't use it
+    intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, dir, "name"))
+  }
+
+  test("partition evolution reuses field ids for equivalent fields") {
+    val dir = s"$root/evolve_reuse"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.updatePartitionSpec(dir, Nil)
+    IcebergWrite.updatePartitionSpec(dir, Seq("name"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(
+      new java.io.File(IcebergIO.loadMetadata(dir).metadataFile))
+    val specs = node.get("partition-specs")
+    assert(specs.size === 3)
+    val fid0 = specs.get(0).get("fields").get(0).get("field-id").asInt
+    val fid2 = specs.get(2).get("fields").get(0).get("field-id").asInt
+    assert(fid0 === fid2, "equivalent partition field must reuse its id")
+    // a NEW field gets a fresh id above last-partition-id
+    IcebergWrite.updatePartitionSpec(dir, Seq("name", "id"))
+    val node2 = om.readTree(
+      new java.io.File(IcebergIO.loadMetadata(dir).metadataFile))
+    val f3 = node2.get("partition-specs").get(3).get("fields")
+    assert(f3.get(0).get("field-id").asInt === fid0)
+    assert(f3.get(1).get("field-id").asInt === fid0 + 1)
+  }
 }
