@@ -662,6 +662,50 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Atomic UPDATE ([[graft.sources.IcebergWrite]] `updateWhere`): each
+    * matching row is position-deleted and rewritten with the SET
+    * expressions applied against the OLD row, in one snapshot
+    * (merge-on-read — no data file rewritten). Two sequential updates:
+    * a price bump keyed on the partition column, then a PARTITION-MOVING
+    * status rewrite. The oracle replays both as composed CASE
+    * expressions (valid because update 1 ran before update 2 touched
+    * the status column it filters on). */
+  val icebergUpdateWhere = dfQ("iceberg_update_where",
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_custkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM u WHERE o_orderkey % 37 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_update_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderstatus"))
+    graft.sources.IcebergWrite.append(orders, dir)
+    // update 1: bump finished orders' price (reads the old price)
+    graft.sources.IcebergWrite.updateWhere(s, dir,
+      col("o_orderstatus") === "F",
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1.5))))
+    // update 2: PARTITION-MOVING — rewrites the partition source column,
+    // so the new rows land under o_orderstatus=X while the position
+    // delete removes them from their old partitions
+    graft.sources.IcebergWrite.updateWhere(s, dir,
+      pmod(col("o_custkey"), lit(7L)) === 0L,
+      Map("o_orderstatus" -> lit("X")))
+    IcebergIO.read(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(37L)) === 0L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Schema evolution DROP ([[graft.sources.IcebergWrite]]
     * `dropColumn`): metadata-only — the bytes stay in the files but the
     * reader's projection (always the CURRENT schema) no longer selects
@@ -808,7 +852,8 @@ object IcebergQueries {
     icebergStatsPrune, icebergPartitions, icebergManifests,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
-    icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert, icebergRollback,
+    icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
+    icebergUpdateWhere, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)

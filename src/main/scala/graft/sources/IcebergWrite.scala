@@ -658,6 +658,91 @@ object IcebergWrite {
       summaryExtra = summaryExtra)
   }
 
+  /** SQL-UPDATE semantics in ONE atomic snapshot: every current row
+    * matching `cond` is replaced by a copy with the `assignments`
+    * applied (each SET expression evaluates against the OLD row —
+    * simultaneous assignment, exactly SQL UPDATE; an assignment never
+    * sees another assignment's result). The commit carries a
+    * position-delete manifest (the matched rows' (file, pos) pairs)
+    * and a data manifest (the rewritten rows) at the SAME sequence
+    * number — position deletes name explicit old-file paths, so the
+    * spec's `data seq <= delete seq` rule can't touch the new files
+    * and a reader sees either the old or the new state, never a mix.
+    * Merge-on-read: no existing data file is rewritten. Assignments to
+    * partition SOURCE columns work — the rewritten rows land in their
+    * new partitions (the stored tuple is recomputed from the new
+    * values) while the position delete removes them from the old ones.
+    * Matching no rows commits a no-op snapshot. Returns the snapshot
+    * id. Reference analog: DML over registered tables
+    * (`reference/ballista/client/src/context.rs:522-553` writes; the
+    * reference itself has no UPDATE — this rounds out the writer's
+    * DML set alongside [[deleteWhere]]/[[deleteEquality]]/[[upsert]]). */
+  def updateWhere(spark: SparkSession, tablePath: String, cond: Column,
+                  assignments: Map[String, Column],
+                  maxRecordsPerFile: Option[Long] = None): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2, "updateWhere requires format v2 (position deletes)")
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    assignments.keys.foreach { n =>
+      require(meta.schema.fieldNames.contains(n),
+        s"assignment column '$n' not in table schema " +
+          s"(known: ${meta.schema.fieldNames.sorted.mkString(", ")})")
+    }
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot update an empty table: $tablePath"))
+    val rawFiles = IcebergIO.liveFiles(spark, snap).filter(_.content == 0)
+    require(rawFiles.nonEmpty, s"no live data files in $tablePath")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // (1) position pairs from the RAW files (existing deletes NOT
+    // applied — re-deleting an already-removed position is a no-op in
+    // the reader's anti-join, same contract as deleteWhere)
+    val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
+    val posRows = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
+      .parquet(rawFiles.map(_.path): _*)
+      .filter(cond)
+      .select(dec(col("_metadata.file_path")).as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .orderBy("file_path", "pos")
+      .coalesce(1)
+    val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
+      content = 1, equalityIds = Nil)
+
+    try {
+      // (2) rewritten rows from the CURRENT state (existing deletes
+      // applied — a previously-deleted row must not be resurrected).
+      // ONE projection applies every assignment against the old row.
+      val updated = IcebergIO.read(spark, tablePath).filter(cond)
+        .select(meta.schema.fields.toSeq.map { f =>
+          assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+        }: _*)
+      requireTableSchema(updated, meta)
+      val (dataFiles, partColTypes) =
+        stageDataFiles(updated, tablePath, meta, snapshotId, maxRecordsPerFile)
+      // no matched positions -> drop the empty delete file; an empty
+      // `files` list commits a clean no-op snapshot
+      val del =
+        if (delFile.records == 0) {
+          GraftFs.delete(delFile.path, recursive = false); Nil
+        } else Seq(delFile)
+      commitStaged(tablePath, meta, root, priorVersion, partColTypes,
+        del ++ dataFiles, snapshotId, newSeq,
+        operation = "overwrite", carryForward = true)
+    } catch {
+      case e: Throwable =>
+        // commitStaged rolls back only the files it was handed — if
+        // staging the data side throws first, reclaim the delete file
+        try { GraftFs.delete(delFile.path, recursive = false): Unit }
+        catch { case _: Exception => () }
+        throw e
+    }
+  }
+
   /** Resolve the delete/upsert-key columns of `values` to table field
     * ids, name- and type-checked against the table schema. */
   private def resolveEqualityIds(values: DataFrame,

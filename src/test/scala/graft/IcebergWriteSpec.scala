@@ -378,6 +378,90 @@ class IcebergWriteSpec extends AnyFunSuite {
       IcebergWrite.upsert(df((1L, "a", 1.0)), v1dir, Seq("id")))
   }
 
+  test("updateWhere: one snapshot, simultaneous assignment, time travel") {
+    val dir = s"$root/update_basic"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)), dir)
+    val snapsBefore = IcebergIO.snapshotIds(dir).size
+    // SQL UPDATE semantics: every SET expression sees the OLD row —
+    // 'id' changes and 'score' reads the PRE-update id
+    IcebergWrite.updateWhere(spark, dir, col("name") === "a",
+      Map("id" -> (col("id") + 10L),
+          "score" -> col("id").cast("double")))
+    assert(IcebergIO.snapshotIds(dir).size === snapsBefore + 1,
+      "updateWhere must publish exactly ONE snapshot")
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((2L, "b", 2.0), (11L, "a", 1.0), (13L, "a", 3.0)))
+    // the pre-update snapshot is still exactly readable
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s1)))
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("updateWhere: partition-moving assignment + post-move pruning") {
+    val dir = s"$root/update_part"
+    import spark.implicits._
+    val base = Seq((1L, "one", "p1"), (2L, "two", "p1"), (3L, "three", "p2"))
+      .toDF("id", "v", "p")
+    IcebergWrite.create(spark, dir, base.schema, partitionCols = Seq("p"))
+    IcebergWrite.append(base, dir)
+    IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+      Map("p" -> org.apache.spark.sql.functions.lit("p9"),
+          "v" -> org.apache.spark.sql.functions.upper(col("v"))))
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "one", "p1"), (2L, "TWO", "p9"),
+      (3L, "three", "p2")))
+    // the rewritten row is visible under its NEW partition via pruning,
+    // and pruned out of its OLD one
+    assert(IcebergIO.read(spark, dir, partitionFilter = Map("p" -> "p9"))
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(!IcebergIO.read(spark, dir, partitionFilter = Map("p" -> "p1"))
+      .collect().map(_.getLong(0)).contains(2L))
+  }
+
+  test("updateWhere: no-match no-op, deleted rows stay dead, guards") {
+    val dir = s"$root/update_flat"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), dir)
+    // a row removed by a PRIOR delete must not be resurrected by an
+    // update whose predicate would have matched it
+    IcebergWrite.deleteEquality(df((2L, "b", 2.0)).select("id"), dir)
+    IcebergWrite.updateWhere(spark, dir, col("id") <= 3L,
+      Map("score" -> (col("score") + 100.0)))
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 101.0), (3L, 103.0)))
+    // no-match update commits a clean no-op snapshot
+    val snaps = IcebergIO.snapshotIds(dir).size
+    IcebergWrite.updateWhere(spark, dir, col("id") === 999L,
+      Map("score" -> org.apache.spark.sql.functions.lit(0.0)))
+    assert(IcebergIO.snapshotIds(dir).size === snaps + 1)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq === got)
+    // guards: unknown column, wrong result type, empty assignment set,
+    // v1 table (no position deletes), empty table
+    intercept[IllegalArgumentException](IcebergWrite.updateWhere(
+      spark, dir, col("id") === 1L,
+      Map("nope" -> org.apache.spark.sql.functions.lit(1))))
+    intercept[IllegalArgumentException](IcebergWrite.updateWhere(
+      spark, dir, col("id") === 1L,
+      Map("score" -> org.apache.spark.sql.functions.lit("not-a-double"))))
+    intercept[IllegalArgumentException](
+      IcebergWrite.updateWhere(spark, dir, col("id") === 1L, Map.empty))
+    val v1dir = s"$root/update_v1"
+    IcebergWrite.create(spark, v1dir, schema, formatVersion = 1)
+    intercept[IllegalArgumentException](IcebergWrite.updateWhere(
+      spark, v1dir, col("id") === 1L,
+      Map("score" -> org.apache.spark.sql.functions.lit(0.0))))
+    val emptyDir = s"$root/update_empty"
+    IcebergWrite.create(spark, emptyDir, schema)
+    intercept[IllegalArgumentException](IcebergWrite.updateWhere(
+      spark, emptyDir, col("id") === 1L,
+      Map("score" -> org.apache.spark.sql.functions.lit(0.0))))
+  }
+
   test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
     val dir = s"$root/orphans"
     IcebergWrite.create(spark, dir, schema)
