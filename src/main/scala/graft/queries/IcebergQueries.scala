@@ -761,6 +761,37 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Name-mapping UPGRADE ([[graft.sources.IcebergWrite]]
+    * `addNameMapping`, spec "Name Mapping Serialization"): an id-less
+    * EXTERNAL table (the fixture writer plays the external engine) is
+    * upgraded to by-id resolution, renamed, and appended to — the
+    * pre-upgrade data file AND a pre-upgrade equality-delete file keep
+    * resolving through the frozen mapping while post-upgrade files
+    * resolve by stamped ids. The oracle replays the surviving union. */
+  val icebergNameMapping = dfQ("iceberg_name_mapping",
+    """SELECT n_nationkey, n_name AS n_label, n_regionkey
+      |FROM nation
+      |WHERE NOT (n_nationkey < 10 AND n_regionkey = 0)
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_nm_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    val w = new IcebergFixture.Writer(s, dir, nation.schema)
+    w.append(nation.filter("n_nationkey < 10")) // id-less legacy bytes
+    // pre-upgrade equality delete keyed on n_name (fixture field id 2),
+    // itself an id-less file that must resolve through the mapping
+    w.deleteEquality(
+      nation.filter("n_nationkey < 10 AND n_regionkey = 0").select("n_name"),
+      fieldIds = Seq(2))
+    graft.sources.IcebergWrite.addNameMapping(dir)
+    graft.sources.IcebergWrite.renameColumn(dir, "n_name", "n_label")
+    graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey >= 10").withColumnRenamed("n_name", "n_label"),
+      dir)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
   /** Partition-spec EVOLUTION ([[graft.sources.IcebergWrite]]
     * `updatePartitionSpec`): three appends under three different specs
     * (unpartitioned → identity(n_regionkey) → bucket(n_nationkey)), an
@@ -854,7 +885,8 @@ object IcebergQueries {
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
     icebergUpdateWhere, icebergRollback,
-    icebergDropColumn, icebergRenameColumn, icebergPartitionEvolution,
+    icebergDropColumn, icebergRenameColumn, icebergNameMapping,
+    icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

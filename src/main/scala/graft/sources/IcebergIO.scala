@@ -296,6 +296,101 @@ object IcebergIO {
   private[sources] def resolveByFieldIds(meta: TableMetadata): Boolean =
     meta.properties.get(FieldIdsProp).contains("true")
 
+  /** The spec's name-mapping table property ("Name Mapping
+    * Serialization"): a JSON list of `{"field-id": N, "names": [...]}`
+    * entries assigning field ids to id-LESS data files by their column
+    * names. [[IcebergWrite.addNameMapping]] stamps it on an external
+    * (property-less) table to upgrade it to by-id resolution — which is
+    * what unlocks [[IcebergWrite.renameColumn]] there. */
+  val NameMappingProp = "schema.name-mapping.default"
+
+  /** graft bookkeeping next to [[NameMappingProp]]: the table's
+    * last-sequence-number AT UPGRADE TIME. Content files with
+    * seq <= this predate the upgrade and carry no parquet field ids —
+    * they resolve through the name mapping; later files are stamped by
+    * the writer and resolve by id. */
+  val NameMappingSeqProp = "graft.name-mapping.seq"
+
+  /** field id -> upgrade-time column name, parsed from the name-mapping
+    * property (first entry of `names` — the mapping is written once at
+    * upgrade and frozen, so it is exactly the names the pre-upgrade
+    * files were written with). */
+  private[sources] def nameMappingOf(meta: TableMetadata): Option[Map[Int, String]] =
+    meta.properties.get(NameMappingProp).map { json =>
+      val arr = mapper.readTree(json)
+      require(arr.isArray, s"$NameMappingProp is not a JSON array")
+      (0 until arr.size).map { i =>
+        val e = arr.get(i)
+        val names = e.get("names")
+        require(e.has("field-id") && names != null && names.size > 0,
+          s"$NameMappingProp entry $i lacks field-id/names")
+        e.get("field-id").asInt -> names.get(0).asText
+      }.toMap
+    }
+
+  /** Split content files into (pre-upgrade name-mapped, id-stamped) per
+    * [[NameMappingSeqProp]]. Tables without a name mapping have no
+    * legacy group. */
+  private[sources] def legacySplit(meta: TableMetadata,
+      files: Seq[ContentFile]): (Seq[ContentFile], Seq[ContentFile]) =
+    meta.properties.get(NameMappingSeqProp).map(_.toLong) match {
+      case Some(ms) if resolveByFieldIds(meta) => files.partition(_.seq <= ms)
+      case _ => (Seq.empty, files)
+    }
+
+  private[sources] def isLegacyFile(meta: TableMetadata, f: ContentFile): Boolean =
+    resolveByFieldIds(meta) &&
+      meta.properties.get(NameMappingSeqProp).exists(ms => f.seq <= ms.toLong)
+
+  /** Read a set of DATA files with per-group column resolution: files
+    * stamped with parquet field ids resolve BY ID ([[dataReadSchema]]),
+    * pre-upgrade files of a name-mapped table resolve by their
+    * UPGRADE-TIME names (the mapping freezes them) and are aliased to
+    * the current names. Returns one frame per non-empty group — the
+    * common cases (pure graft table, pure external table) yield exactly
+    * one, and the plan is identical to a direct read. Each frame
+    * projects the CURRENT schema columns in table order, plus — when
+    * `withPos` — `__gf_fileraw` (`_metadata.file_path` exactly as Spark
+    * reports it, URL-encoded) and `__gf_pos` (`_metadata.row_index`).
+    * Fields added AFTER the upgrade surface as NULL from legacy files
+    * even when an unrelated same-named column exists in the old bytes
+    * (by-id semantics — a name-based read would resurrect them). */
+  private[sources] def dataBranches(spark: SparkSession, meta: TableMetadata,
+      files: Seq[ContentFile], withPos: Boolean): Seq[DataFrame] = {
+    val (legacy, stamped) = legacySplit(meta, files)
+    def posCols = Seq(col("_metadata.file_path").as("__gf_fileraw"),
+      col("_metadata.row_index").as("__gf_pos"))
+    val out = Seq.newBuilder[DataFrame]
+    if (stamped.nonEmpty) {
+      val base = spark.read.schema(dataReadSchema(spark, meta))
+        .parquet(stamped.map(_.path): _*)
+      out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
+        (if (withPos) posCols else Nil): _*)
+    }
+    if (legacy.nonEmpty) {
+      val mapping = nameMappingOf(meta).getOrElse(
+        throw new IllegalStateException(
+          s"$NameMappingSeqProp set but $NameMappingProp missing"))
+      val idByName = meta.fieldById.map(_.swap)
+      // read ONLY the mapped fields (post-upgrade additions cannot exist
+      // in these files under by-id semantics), with their upgrade-time
+      // names and NO id metadata -> plain name resolution
+      val mapped = meta.schema.fields.toSeq
+        .filter(f => mapping.contains(idByName(f.name)))
+      val legSchema = StructType(mapped.map(f =>
+        StructField(mapping(idByName(f.name)), f.dataType, nullable = true)))
+      val base = spark.read.schema(legSchema).parquet(legacy.map(_.path): _*)
+      val proj = meta.schema.fields.toSeq.map { f =>
+        mapping.get(idByName(f.name)) match {
+          case Some(oldName) => col(oldName).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+      out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
+    }
+    out.result()
+  }
+
   /** Spark's parquet reader/writer honors the `parquet.field.id` entry
     * in a StructField's metadata (public `spark.sql.parquet.fieldId.*`
     * confs). Top-level ids suffice: rename/drop/add operate on
@@ -1044,20 +1139,23 @@ object IcebergIO {
     // Paths read AS RECORDED in the manifest (scheme intact): on an
     // object-store table these are s3a://…/hdfs://… URIs that must reach
     // the matching FileSystem, not the default one.
-    val base = spark.read.schema(dataReadSchema(spark, meta))
-      .parquet(dataFiles.map(_.path): _*)
+    // [[dataBranches]] handles per-group column resolution (by id for
+    // stamped files, by mapped name for a table upgraded via
+    // addNameMapping) — ONE frame, and a plan identical to a plain
+    // read, in the common single-group cases.
     if (delPaths.isEmpty && eqFiles.isEmpty)
-      return stripFieldIds(base.select(cols: _*))
+      return stripFieldIds(
+        dataBranches(spark, meta, dataFiles, withPos = false)
+          .reduce(_ unionByName _))
 
     // Every merge-on-read path needs the row's file identity: Spark's
     // file-source metadata column, normalized to scheme-less form so it
     // compares equal to manifest-recorded paths.
-    var data = base.select(
-        (cols :+
-          col("_metadata.file_path").as("__gf_file") :+
-          col("_metadata.row_index").as("__gf_pos")): _*)
-      .withColumn("__gf_file",
-        regexp_replace(col("__gf_file"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+    var data = dataBranches(spark, meta, dataFiles, withPos = true)
+      .map(_.withColumn("__gf_file",
+        regexp_replace(col("__gf_fileraw"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+        .drop("__gf_fileraw"))
+      .reduce(_ unionByName _)
 
     if (delPaths.nonEmpty) {
       // v2 position deletes, merge-on-read: delete files are parquet rows
@@ -1149,7 +1247,23 @@ object IcebergIO {
           // a delete file written BEFORE a rename carries the old column
           // name, and the spec keys the delete by equality_ids, not name.
           val rd =
-            if (resolveByFieldIds(meta)) {
+            if (isLegacyFile(meta, f)) {
+              // pre-upgrade delete file: id-less bytes whose columns
+              // carry the upgrade-time names — resolve through the name
+              // mapping and alias to the CURRENT names
+              val mapping = nameMappingOf(meta).getOrElse(
+                throw new IllegalStateException(
+                  s"$NameMappingSeqProp set but $NameMappingProp missing"))
+              val legSchema = StructType(ids.zip(names).map { case (id, n) =>
+                StructField(mapping.getOrElse(id,
+                  throw new IllegalArgumentException(
+                    s"equality field id $id not in the name mapping: ${f.path}")),
+                  meta.schema(n).dataType, nullable = true)
+              })
+              spark.read.schema(legSchema).parquet(f.path)
+                .select(ids.zip(names).map { case (id, n) =>
+                  col(mapping(id)).as(n) }: _*)
+            } else if (resolveByFieldIds(meta)) {
               val eqSchema = StructType(ids.zip(names).map { case (id, n) =>
                 StructField(n, meta.schema(n).dataType, nullable = true,
                   metadata = new MetadataBuilder()
@@ -1320,14 +1434,12 @@ object IcebergIO {
           " are not appends")
     val files = liveFiles(spark, toSnap).filter(f =>
       f.content == 0 && f.seq > fromSeq && f.seq <= toSnap.sequenceNumber)
-    val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
     else
       stripFieldIds(
-        spark.read.schema(dataReadSchema(spark, meta))
-          .parquet(files.map(_.path): _*)
-          .select(cols: _*))
+        dataBranches(spark, meta, files, withPos = false)
+          .reduce(_ unionByName _))
   }
 
   /** Live content files of a snapshot as a relation — the `.files`

@@ -230,6 +230,46 @@ object IcebergWrite {
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
+  /** Upgrade an EXTERNAL (property-less) table to field-id column
+    * resolution via the spec's name mapping (`schema.name-mapping.default`,
+    * "Name Mapping Serialization"): a metadata-only commit that freezes
+    * the CURRENT schema's (field id -> name) assignment as the mapping,
+    * records the current sequence number (files at or below it are
+    * id-less and resolve through the mapping; later files are stamped
+    * by this writer and resolve by id), and stamps
+    * [[IcebergIO.FieldIdsProp]] — after which [[renameColumn]] is safe:
+    * pre-upgrade files keep resolving under their frozen names while
+    * the live schema renames freely. A later [[compact]] rewrites
+    * everything id-stamped, and expire+sweep retires the legacy bytes.
+    * v2 only (the legacy/stamped split rides on sequence numbers);
+    * refused when the table already resolves by id. */
+  def addNameMapping(tablePath: String): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "addNameMapping requires format v2 — sequence numbers are what " +
+        "split pre-upgrade (name-mapped) files from id-stamped ones")
+    require(!IcebergIO.resolveByFieldIds(meta),
+      s"table already resolves by field id: $tablePath")
+    val fieldIdByName = meta.fieldById.map(_.swap)
+    val arr = mapper.createArrayNode()
+    meta.schema.fields.foreach { f =>
+      val e = arr.addObject()
+      e.put("field-id", fieldIdByName(f.name))
+      e.putArray("names").add(f.name): Unit
+    }
+    val newRoot = root.deepCopy()
+    val props = Option(newRoot.get("properties")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("properties")
+    }
+    props.put(IcebergIO.NameMappingProp, mapper.writeValueAsString(arr))
+    props.put(IcebergIO.NameMappingSeqProp,
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L).toString)
+    props.put(IcebergIO.FieldIdsProp, "true")
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
   /** Schema evolution: RENAME a top-level column (metadata-only commit —
     * the field keeps its id, only the name changes; spec rename
     * semantics). Safe ONLY on tables whose files resolve by field id
@@ -247,7 +287,8 @@ object IcebergWrite {
       s"renameColumn needs field-id column resolution (table property " +
         s"${IcebergIO.FieldIdsProp}=true, stamped by IcebergWrite.create): " +
         s"$tablePath lacks it, and a name-resolved read of pre-rename " +
-        "files would silently return nulls for the renamed column")
+        "files would silently return nulls for the renamed column; " +
+        "upgrade the table first with IcebergWrite.addNameMapping")
     require(meta.schema.fieldNames.contains(oldName),
       s"column '$oldName' not in table schema " +
         s"(have: ${meta.schema.fieldNames.mkString(", ")})")
@@ -570,11 +611,11 @@ object IcebergWrite {
     // raw scan WITHOUT applying existing deletes — re-deleting an
     // already-removed position changes nothing in the reader's anti-join
     val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
-    val matches = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
-      .parquet(dataFiles.map(_.path): _*)
-      .filter(cond)
-      .select(dec(col("_metadata.file_path")).as("file_path"),
-        col("_metadata.row_index").as("pos"))
+    val matches = IcebergIO.dataBranches(spark, meta, dataFiles, withPos = true)
+      .map(_.filter(cond)
+        .select(dec(col("__gf_fileraw")).as("file_path"),
+          col("__gf_pos").as("pos")))
+      .reduce(_ unionByName _)
       // spec: position delete rows sorted by (file, position); coalesce
       // AFTER the sort keeps the order in the single output file
       .orderBy("file_path", "pos")
@@ -703,11 +744,11 @@ object IcebergWrite {
     // applied — re-deleting an already-removed position is a no-op in
     // the reader's anti-join, same contract as deleteWhere)
     val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
-    val posRows = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
-      .parquet(rawFiles.map(_.path): _*)
-      .filter(cond)
-      .select(dec(col("_metadata.file_path")).as("file_path"),
-        col("_metadata.row_index").as("pos"))
+    val posRows = IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
+      .map(_.filter(cond)
+        .select(dec(col("__gf_fileraw")).as("file_path"),
+          col("__gf_pos").as("pos")))
+      .reduce(_ unionByName _)
       .orderBy("file_path", "pos")
       .coalesce(1)
     val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
@@ -850,8 +891,8 @@ object IcebergWrite {
         // exactly the (tuple, delete row) pairs any reader needs)
         val vren = valueCols.foldLeft(values)( // unambiguous join keys
           (d, n) => d.withColumnRenamed(n, s"__gf_v_$n"))
-        val data = spark.read.schema(IcebergIO.dataReadSchema(spark, meta))
-          .parquet(dataFiles.map(_.path): _*)
+        val data = IcebergIO.dataBranches(spark, meta, dataFiles,
+          withPos = false).reduce(_ unionByName _)
         val joined = data.join(vren,
           valueCols.map(n => col(n) <=> col(s"__gf_v_$n")).reduce(_ && _),
           "inner")
