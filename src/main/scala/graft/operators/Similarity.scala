@@ -307,6 +307,65 @@ object Similarity {
       .drop("cents")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (cluster-then-prune, after
+    * the published SemDeDup recipe): assign every embedding to a
+    * k-means cell — the exact-integer idiom shared with
+    * [[kmeansCodebook]], so the whole path replays in SQL — then,
+    * WITHIN each cell only, mark an item as a semantic duplicate when
+    * its cosine similarity to ANY smaller-id item of the same cell
+    * reaches `threshold` (keep-lowest-id). Scale shape: the assignment
+    * is one map-side pass against broadcast centroids; the pair check
+    * is ONE self-join shuffled on the cell key, so pairwise work is
+    * bounded by the largest cell — never corpus-all-pairs — and grows
+    * linearly with corpus size at fixed k-proportional cell sizes.
+    * `iters = 0` assigns against the deterministic md5-seed codebook
+    * with no Lloyd updates (fully SQL-replayable at any k);
+    * `iters > 0` trains first. Zero-norm vectors are never duplicates
+    * (cosine undefined). Returns (id, cell, dropped) — callers filter
+    * `!dropped` for the surviving corpus. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val cents: IndexedSeq[IndexedSeq[Long]] =
+      if (iters == 0) {
+        val seeds = q.withColumn("h", md5(col("id").cast("string")))
+          .orderBy("h", "id").limit(k)
+          .select("qv").collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+        require(seeds.size == k, s"corpus smaller than k=$k")
+        seeds
+      } else trainKmeans(emb, idCol, vecCol, k, iters)._1
+    // persist the assignment: BOTH sides of the in-cell self-join (and
+    // the final flag projection) reference it — without the persist each
+    // reference re-runs the assignment pass (the unionByName
+    // double-compute lesson, generalized)
+    val assigned = assignKmeansCells(q, cents)
+      .withColumn("n2",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell").as("a_cell"), col("id").as("a_id"),
+      col("qv").as("a_qv"), col("n2").as("a_n2"))
+    val b = assigned.select(col("cell").as("b_cell"), col("id").as("b_id"),
+      col("qv").as("b_qv"), col("n2").as("b_n2"))
+    // exact BIGINT dot over the quantized vectors; the cosine itself is
+    // double, but both engines derive it from identical integers so the
+    // threshold compare is bit-stable cross-engine
+    val cos = aggregate(zip_with(col("a_qv"), col("b_qv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).cast("double") /
+      (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))
+    val dropIds = a.join(b,
+        col("a_cell") === col("b_cell") && col("a_id") < col("b_id") &&
+          col("a_n2") > 0L && col("b_n2") > 0L && cos >= threshold,
+        "inner")
+      .select(col("b_id").as("id")).distinct()
+      .withColumn("__gf_dup", lit(1))
+    assigned.select("id", "cell")
+      .join(dropIds, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__gf_dup").isNotNull.as("dropped"))
+  }
+
   /** Convenience: build the deterministic seed codebook inline (cheap,
     * non-iterative — a top-`nCells` scan, not a KMeans fit). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -682,6 +682,44 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
+    * md5-seed cell assignment (exact-integer idiom) + in-cell
+    * keep-lowest-id cosine pruning at 0.35 — the oracle replays the
+    * assignment via the lateral dim-expansion join and the pruning via
+    * the same in-cell self-join. 69 of 500 vectors drop at sf0.01. */
+  val dedupSemantic = dfQ("dedup_semantic",
+    """WITH q AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT qv, rn - 1 AS cell FROM (
+      |    SELECT qv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM q
+      |  ) WHERE rn <= 8),
+      |qpos AS (SELECT q.id, i.i AS pos, q.qv[i.i] AS qval
+      |  FROM q CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(q.qv))) AS i) i),
+      |c0 AS (SELECT s.cell, i.i AS pos, s.qv[i.i] AS cv
+      |  FROM seeds s CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.qv))) AS i) i),
+      |d1 AS (SELECT qp.id, c.cell, SUM((qp.qval - c.cv) * (qp.qval - c.cv)) AS dist
+      |  FROM qpos qp JOIN c0 c ON c.pos = qp.pos GROUP BY qp.id, c.cell),
+      |asg AS (SELECT id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn FROM d1
+      |  ) WHERE rn = 1),
+      |n AS (SELECT a.id, a.cell, q.qv, list_sum(list_transform(q.qv, x -> x * x)) AS n2
+      |  FROM asg a JOIN q ON q.id = a.id),
+      |drops AS (
+      |  SELECT DISTINCT b.id FROM n a JOIN n b
+      |    ON a.cell = b.cell AND a.id < b.id AND a.n2 > 0 AND b.n2 > 0
+      |   WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)
+      |         / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) >= 0.35)
+      |SELECT n.id AS id, n.cell AS cell, (d.id IS NOT NULL) AS dropped
+      |FROM n LEFT JOIN drops d ON d.id = n.id
+      |ORDER BY n.id""".stripMargin) { (s, _) =>
+    Similarity.semanticDedup(s.table("embeddings"), "vec_id", "embedding",
+        k = 8, iters = 0, threshold = 0.35)
+      .orderBy("id")
+  }
+
   /** h2o-db-benchmark-style high-cardinality groupby over the events
     * stream table (reference runs the h2o groupby suite,
     * benchmarks/db-benchmark/groupby-datafusion.py). */
@@ -1073,7 +1111,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
     dedupNgramJaccard,
-    dedupEmbedding, evUserStats, evSessionize, textWordcount,
+    dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,

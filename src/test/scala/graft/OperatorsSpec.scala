@@ -158,6 +158,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("semanticDedup: partition integrity, threshold monotonicity, keep-first") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val total = emb.count()
+    def drops(tau: Double, iters: Int = 0): Long =
+      Similarity.semanticDedup(emb, "vec_id", "embedding", k = 4,
+        iters = iters, threshold = tau).filter(col("dropped")).count()
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      k = 4, iters = 0, threshold = 0.35).collect()
+    assert(out.length === total, "every vector gets exactly one verdict row")
+    // the LOWEST id of any cell can never be dropped (keep-first rule)
+    val minIds = out.groupBy(_.getLong(1)).values.map(_.minBy(_.getLong(0)))
+    assert(minIds.forall(!_.getBoolean(2)))
+    // monotone: a stricter threshold never drops more
+    val d35 = drops(0.35); val d50 = drops(0.50); val d101 = drops(1.01)
+    assert(d35 >= d50 && d50 >= d101)
+    assert(d101 === 0L, "threshold above 1 must drop nothing")
+    assert(d35 > 0L, "0.35 must drop something on this corpus")
+    // trained assignment composes (Lloyd path), verdicts stay a partition
+    assert(Similarity.semanticDedup(emb, "vec_id", "embedding", k = 4,
+      iters = 2, threshold = 0.35).count() === total)
+  }
+
   test("ivfTopK over a TRAINED k-means codebook: end-to-end composition") {
     val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val trained = Similarity.kmeansCentroidTable(emb, "vec_id", "embedding",
