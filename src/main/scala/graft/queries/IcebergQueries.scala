@@ -761,6 +761,34 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Table SORT ORDER ([[graft.sources.IcebergWrite]] `setSortOrder`):
+    * the writer range-distributes + sorts new files on the declared
+    * key, so per-file bounds are tight and disjoint and a range
+    * predicate over deliberately SCRAMBLED input prunes to the few
+    * overlapping files at planning time (readWhere derives the stats
+    * predicate). The oracle replays the range off the parquet source;
+    * the pruning itself is plan-asserted in IcebergWriteSpec. */
+  val icebergSortOrder = dfQ("iceberg_sort_order",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_sort_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema)
+    graft.sources.IcebergWrite.setSortOrder(dir, Seq("o_orderkey"))
+    // round-robin repartition scrambles the key across every task —
+    // the layout where an unsorted write would prune NOTHING
+    graft.sources.IcebergWrite.append(orders.repartition(8), dir)
+    IcebergIO.readWhere(s, dir,
+        col("o_orderkey").between(1000L, 3000L))
+      .orderBy("o_orderkey")
+  }
+
   /** Name-mapping UPGRADE ([[graft.sources.IcebergWrite]]
     * `addNameMapping`, spec "Name Mapping Serialization"): an id-less
     * EXTERNAL table (the fixture writer plays the external engine) is
@@ -886,7 +914,7 @@ object IcebergQueries {
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
     icebergUpdateWhere, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
-    icebergPartitionEvolution,
+    icebergSortOrder, icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -85,7 +85,14 @@ object IcebergIO {
       // against their own spec via the manifest's recorded spec id.
       specsById: Map[Int, Seq[(String, String, Int)]] = Map.empty,
       // default spec's partition field ids, aligned with partitionFields
-      partitionFieldIds: Seq[Int] = Seq.empty)
+      partitionFieldIds: Seq[Int] = Seq.empty,
+      // the default sort order's IDENTITY source column names, in order
+      // (spec `sort-orders` / `default-sort-order-id`); empty = unsorted
+      // (order 0) or an order this engine can't produce. The writer
+      // range-distributes + sorts new data files by these, which is what
+      // gives statsFilter tight, mostly-disjoint per-file bounds.
+      sortOrderFields: Seq[String] = Seq.empty,
+      defaultSortOrderId: Int = 0)
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -276,9 +283,27 @@ object IcebergIO {
         root.get("properties").properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty
+    // default sort order: only IDENTITY fields are actionable by this
+    // engine (the writer sorts new files by them); a default order with
+    // any other transform is surfaced as empty (ignored, never wrong)
+    val defaultSortOrderId: Int =
+      if (root.has("default-sort-order-id"))
+        root.get("default-sort-order-id").asInt() else 0
+    val sortOrderFields: Seq[String] =
+      if (defaultSortOrderId == 0 || !root.has("sort-orders")) Seq.empty
+      else root.get("sort-orders").elements().asScala
+        .find(_.get("order-id").asInt() == defaultSortOrderId)
+        .map { o =>
+          val fs = o.get("fields").elements().asScala.toSeq
+          if (fs.forall(_.get("transform").asText() == "identity"))
+            fs.flatMap(f => fieldIdsOf(root).get(f.get("source-id").asInt()))
+          else Seq.empty
+        }
+        .getOrElse(Seq.empty)
     TableMetadata(fv, root.get("location").asText(), current, snaps,
       schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
-      snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds)
+      snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds,
+      sortOrderFields, defaultSortOrderId)
   }
 
   // ------------------------------------------------- field-id resolution

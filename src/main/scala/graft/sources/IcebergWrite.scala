@@ -310,6 +310,56 @@ object IcebergWrite {
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
+  /** Set the table's DEFAULT SORT ORDER (metadata-only commit; spec
+    * `sort-orders` / `default-sort-order-id`): subsequent appends
+    * range-distribute and sort new data files on `cols` (identity
+    * transform, ascending, nulls-first), which makes the per-file
+    * min/max bounds tight and mostly DISJOINT — the difference between
+    * statsFilter pruning almost everything and pruning nothing on a
+    * range or point predicate over the sort key. Existing files are
+    * untouched ([[compact]] rewrites them under the new order). An
+    * equivalent existing order is reused (spec order-reuse rule);
+    * passing `Nil` restores the unsorted order 0. */
+  def setSortOrder(tablePath: String, cols: Seq[String]): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(cols.forall(meta.schema.fieldNames.contains),
+      s"sort columns ${cols.mkString(",")} not all in table schema " +
+        s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    val fieldIdByName = meta.fieldById.map(_.swap)
+    val newRoot = root.deepCopy()
+    val orders = arrayNode(newRoot, "sort-orders")
+    val existing: Seq[(Int, Seq[Int])] = (0 until orders.size).map { i =>
+      val o = orders.get(i)
+      val fs = (0 until o.get("fields").size).map(o.get("fields").get)
+      (o.get("order-id").asInt,
+        if (fs.forall(_.get("transform").asText == "identity"))
+          fs.map(_.get("source-id").asInt).toSeq
+        else Seq(-1))
+    }
+    val orderId =
+      if (cols.isEmpty) 0 // unsorted order 0, written by create
+      else {
+        val wanted = cols.map(fieldIdByName)
+        existing.find(_._2 == wanted).map(_._1).getOrElse {
+          val id = (existing.map(_._1) :+ 0).max + 1
+          val o = orders.addObject()
+          o.put("order-id", id)
+          val fs = o.putArray("fields")
+          wanted.foreach { srcId =>
+            val f = fs.addObject()
+            f.put("transform", "identity")
+            f.put("source-id", srcId)
+            f.put("direction", "asc")
+            f.put("null-order", "nulls-first"): Unit
+          }
+          id
+        }
+      }
+    newRoot.put("default-sort-order-id", orderId)
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
   /** Partition-spec EVOLUTION (metadata-only commit): make
     * `partitionCols`/`partitionTransforms` the table's new DEFAULT spec.
     * Existing files stay under the spec they were written with — the
@@ -1093,18 +1143,33 @@ object IcebergWrite {
     // the files (partitionBy consumes them).
     val dfIds = stampFieldIds(df, fieldIdByName)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_$snapshotId")
+    // the default sort order's identity columns (metadata-declared,
+    // [[setSortOrder]]): sorted files carry tight, mostly-disjoint
+    // min/max bounds, which is what lets statsFilter prune at scale
+    val sortCols = meta.sortOrderFields.map(col)
     val writer0 = {
       val base =
-        if (partFields.isEmpty) dfIds
-        else {
+        if (partFields.isEmpty) {
+          if (sortCols.isEmpty) dfIds
+          // RANGE distribution + in-task sort: file k's bound interval
+          // precedes file k+1's — a point/range predicate on the sort
+          // key keeps O(1)/O(selectivity) files, not all of them
+          else dfIds.repartitionByRange(sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+        } else {
           val withStored = storedCols.zipWithIndex.foldLeft(dfIds) {
             case (d, (c0, i)) => d.withColumn(s"__gf_p$i", c0)
           }
           // repartition on the stored tuple: every tuple in exactly one
           // task, so partitionBy emits one file per tuple (per
           // maxRecordsPerFile split)
-          withStored.repartition(
+          val byTuple = withStored.repartition(
             partFields.indices.map(i => col(s"__gf_p$i")): _*)
+          // a task may hold several tuples (hash collision): sort by the
+          // tuple FIRST so each per-partition file stays sort-ordered
+          if (sortCols.isEmpty) byTuple
+          else byTuple.sortWithinPartitions(
+            partFields.indices.map(i => col(s"__gf_p$i")) ++ sortCols: _*)
         }
       val w = base.write.mode("overwrite")
       val w2 = maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))

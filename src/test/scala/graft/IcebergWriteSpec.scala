@@ -462,6 +462,61 @@ class IcebergWriteSpec extends AnyFunSuite {
       Map("score" -> org.apache.spark.sql.functions.lit(0.0))))
   }
 
+  test("sort order: sorted files carry disjoint bounds that prune") {
+    // SCRAMBLED input (round-robin repartition spreads the full key
+    // range over every task) — the degenerate layout where stats
+    // pruning does nothing unless the writer actually sorts
+    val big = spark.range(1000).selectExpr("id",
+      "CAST(id AS STRING) AS name", "CAST(id AS DOUBLE) AS score")
+      .repartition(8)
+    val unsortedDir = s"$root/unsorted_ctl"
+    IcebergWrite.create(spark, unsortedDir, schema)
+    IcebergWrite.append(big, unsortedDir)
+    val ctl = IcebergIO.readWhere(spark, unsortedDir, col("id") === 500L)
+    assert(ctl.inputFiles.length === 8,
+      "control: overlapping bounds must keep every file")
+
+    val dir = s"$root/sorted"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.setSortOrder(dir, Seq("id"))
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(meta.sortOrderFields === Seq("id") && meta.defaultSortOrderId > 0)
+    IcebergWrite.append(big, dir)
+    val pruned = IcebergIO.readWhere(spark, dir, col("id") === 500L)
+    assert(pruned.inputFiles.length === 1,
+      s"sorted write must leave ONE file for a point predicate, " +
+        s"scan reads ${pruned.inputFiles.length}")
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // range predicate: a contiguous slice of files survives, not all
+    val rng = IcebergIO.readWhere(spark, dir,
+      col("id") >= 100L && col("id") < 300L)
+    assert(rng.inputFiles.length < 8 && rng.count() === 200L)
+
+    // order-reuse rule: same columns resolve to the SAME order id
+    val before = meta.defaultSortOrderId
+    IcebergWrite.setSortOrder(dir, Seq("name"))
+    IcebergWrite.setSortOrder(dir, Seq("id"))
+    assert(IcebergIO.loadMetadata(dir).defaultSortOrderId === before)
+    // Nil restores unsorted order 0
+    IcebergWrite.setSortOrder(dir, Nil)
+    assert(IcebergIO.loadMetadata(dir).defaultSortOrderId === 0)
+    assert(IcebergIO.loadMetadata(dir).sortOrderFields === Nil)
+    intercept[IllegalArgumentException](
+      IcebergWrite.setSortOrder(dir, Seq("nope")))
+
+    // partitioned + sorted roundtrip: tuple-first in-task sort keeps
+    // every per-partition file internally ordered; content stays exact
+    val pdir = s"$root/sorted_part"
+    import spark.implicits._
+    val pdata = Seq((5L, "x", "p1"), (1L, "y", "p2"), (3L, "z", "p1"),
+      (2L, "w", "p2")).toDF("id", "v", "p")
+    IcebergWrite.create(spark, pdir, pdata.schema, partitionCols = Seq("p"))
+    IcebergWrite.setSortOrder(pdir, Seq("id"))
+    IcebergWrite.append(pdata, pdir)
+    assert(IcebergIO.read(spark, pdir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
   test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
     val dir = s"$root/orphans"
     IcebergWrite.create(spark, dir, schema)
