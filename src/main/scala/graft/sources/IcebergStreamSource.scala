@@ -44,6 +44,13 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-iceberg stream needs .option(\"path\", <table dir>)"))
 
+  private def maxSnaps(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxSnapshotsPerTrigger").map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -51,6 +58,7 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
     require(schema.isEmpty,
       "graft-iceberg streams read with the TABLE schema from metadata.json; " +
         "a user-supplied schema would silently diverge from the manifests")
+    maxSnaps(parameters): Unit // validate at load() time, synchronously
     (shortName(), IcebergIO.loadMetadata(tablePath(parameters)).schema)
   }
 
@@ -59,26 +67,74 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new IcebergStreamSource(sqlContext.sparkSession, tablePath(parameters))
+    new IcebergStreamSource(sqlContext.sparkSession, tablePath(parameters),
+      maxSnaps(parameters), Some(metadataPath))
 }
 
-class IcebergStreamSource(spark: SparkSession, tablePath: String)
+class IcebergStreamSource(spark: SparkSession, tablePath: String,
+                          maxSnapshotsPerTrigger: Option[Int] = None,
+                          metadataPath: Option[String] = None)
     extends Source {
 
   // pinned at construction: a mid-stream schema evolution is surfaced as
   // a loud failure in getBatch, never as silently misaligned columns
   override val schema: StructType = IcebergIO.loadMetadata(tablePath).schema
 
+  // ---- rate limiting ([[maxSnapshotsPerTrigger]]): a batch covers at
+  // most N snapshots of backlog. The cap needs a BASE — the last
+  // sequence number already handed to the engine — which a v1 Source
+  // must track itself. It survives restarts in a small file under the
+  // source's checkpoint dir (metadataPath): the engine may ask for a
+  // NEW offset before replaying the restored batch, and a cap computed
+  // from zero there would hand back an offset BELOW the checkpoint —
+  // read as new data, committing the stream backwards into duplicates.
+  // The persisted value may exceed the engine's committed offset after
+  // a crash (planned-but-uncommitted batch) — that only makes the next
+  // batch larger, never wrong.
+  private val plannedFile: Option[String] =
+    metadataPath.map(p => GraftFs.child(p, "graft-planned-seq"))
+  private var plannedSeq: Option[Long] =
+    plannedFile.filter(GraftFs.exists(_)).flatMap { f =>
+      scala.util.Try(GraftFs.readUtf8(f).trim.toLong).toOption
+    }
+
+  private def recordPlanned(seq: Long): Unit = {
+    if (!plannedSeq.contains(seq)) {
+      plannedSeq = Some(seq)
+      plannedFile.foreach { f =>
+        val out = GraftFs.create(f) // truncate-and-write, single writer
+        try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
   /** Latest available offset = the current snapshot's sequence number
-    * (one metadata.json read — cheap, no manifest is parsed here). */
+    * (one metadata.json read — cheap, no manifest is parsed here),
+    * capped to `maxSnapshotsPerTrigger` snapshots above the last
+    * planned offset when rate limiting is on. */
   override def getOffset: Option[OffsetV1] = {
     val meta = IcebergIO.loadMetadata(tablePath)
-    meta.currentSnapshotId
+    val cur = meta.currentSnapshotId
       .flatMap(id => meta.snapshots.find(_.snapshotId == id))
-      .map(s => LongOffset(s.sequenceNumber))
+      .map(_.sequenceNumber)
+    val end = (cur, maxSnapshotsPerTrigger) match {
+      case (Some(c), Some(n)) =>
+        val base = plannedSeq.getOrElse(0L)
+        // the Nth distinct backlog sequence number above the base; the
+        // snapshot list is the planning input, no manifest is touched
+        val backlog = meta.snapshots.map(_.sequenceNumber)
+          .filter(s => s > base && s <= c).distinct.sorted
+        backlog.take(n).lastOption.orElse(Some(math.max(base, c)).filter(_ > 0))
+      case _ => cur
+    }
+    end.foreach(recordPlanned)
+    end.map(LongOffset(_))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    // restart recovery: the engine replays the restored range before any
+    // getOffset — adopt its end as the planned base
+    if (plannedSeq.forall(_ < seqOf(end))) recordPlanned(seqOf(end))
     val current = IcebergIO.loadMetadata(tablePath).schema
     if (current != schema)
       throw new IllegalStateException(

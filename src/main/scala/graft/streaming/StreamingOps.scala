@@ -408,8 +408,13 @@ object StreamingOps {
     * delete commit fails the query loudly instead of streaming phantom
     * rows, and restarts resume from the checkpointed sequence number.
     * Prefer this over the file-grain [[icebergAppendStream]]. */
-  def icebergSnapshotStream(spark: SparkSession, tablePath: String): DataFrame =
-    spark.readStream.format("graft-iceberg").option("path", tablePath).load()
+  def icebergSnapshotStream(spark: SparkSession, tablePath: String,
+                            maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-iceberg").option("path", tablePath)
+    maxSnapshotsPerTrigger.fold(r)(n =>
+        r.option("maxSnapshotsPerTrigger", n.toString))
+      .load()
+  }
 
   def icebergAppendStream(spark: SparkSession, tablePath: String,
                           dataFileGlob: String = "data-*.parquet"): DataFrame = {

@@ -406,6 +406,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg snapshot stream: maxSnapshotsPerTrigger paces the backlog") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_rate_$tag"
+    val st = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def rows(xs: Long*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(Row(_)): _*)), st)
+    val w = new graft.sources.IcebergFixture.Writer(spark, dir, st)
+    // a 3-snapshot BACKLOG before the stream starts
+    w.append(rows(1L, 2L))
+    w.append(rows(3L))
+    w.append(rows(4L, 5L))
+    val q = StreamingOps
+      .icebergSnapshotStream(spark, dir, maxSnapshotsPerTrigger = Some(1))
+      .writeStream.format("memory").queryName(s"ice_rate_$tag")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // everything arrives...
+      assert(spark.table(s"ice_rate_$tag").select("id")
+        .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 5L))
+      // ...but paced: one snapshot per micro-batch, so the three-commit
+      // backlog takes exactly three non-empty batches (batch row counts
+      // are the per-snapshot row counts, in commit order)
+      val batches = q.recentProgress.toSeq
+        .map(_.numInputRows).filter(_ > 0)
+      assert(batches === Seq(2L, 1L, 2L),
+        s"expected one snapshot per batch, got $batches")
+      // an uncapped stream would have drained the same backlog in ONE
+      w.append(rows(6L))
+      q.processAllAvailable()
+      assert(spark.table(s"ice_rate_$tag").count() === 6)
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      StreamingOps.icebergSnapshotStream(spark, dir,
+        maxSnapshotsPerTrigger = Some(0)) // validated synchronously at load()
+    }
+  }
+
   test("iceberg snapshot stream: restart resumes from the checkpointed offset") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
