@@ -789,6 +789,36 @@ object IcebergQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Z-ORDER clustering ([[graft.sources.IcebergWrite]] `zorderBy`):
+    * new files are written in Morton order over two int dimensions, so
+    * a range predicate on EITHER column prunes at planning time — a
+    * linear sort order only ever prunes its leading column. The oracle
+    * replays the 2-D range off the parquet source; both-dimension
+    * pruning is plan-asserted in IcebergWriteSpec. */
+  val icebergZorder = dfQ("iceberg_zorder",
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey % 97 AS INT) AS x,
+      |  CAST(o_custkey % 89 AS INT) AS y
+      |FROM orders
+      |WHERE (o_orderkey % 97) BETWEEN 30 AND 49
+      |  AND (o_custkey % 89) BETWEEN 10 AND 19
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_zorder_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val src = s.table("orders").select(col("o_orderkey"),
+      pmod(col("o_orderkey"), lit(97L)).cast("int").as("x"),
+      pmod(col("o_custkey"), lit(89L)).cast("int").as("y"))
+    graft.sources.IcebergWrite.create(s, dir, src.schema)
+    graft.sources.IcebergWrite.zorderBy(dir, Seq("x", "y"))
+    graft.sources.IcebergWrite.append(src.repartition(8), dir,
+      maxRecordsPerFile = Some(2000L))
+    IcebergIO.readWhere(s, dir,
+        col("x").between(30, 49) && col("y").between(10, 19))
+      .orderBy("o_orderkey")
+  }
+
   /** Name-mapping UPGRADE ([[graft.sources.IcebergWrite]]
     * `addNameMapping`, spec "Name Mapping Serialization"): an id-less
     * EXTERNAL table (the fixture writer plays the external engine) is
@@ -914,7 +944,7 @@ object IcebergQueries {
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
     icebergUpdateWhere, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
-    icebergSortOrder, icebergPartitionEvolution,
+    icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
 }

@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, isnan, lit, max, min, regexp_replace, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, isnan, lit, max, min, regexp_replace, shiftleft, sum, when}
 import org.apache.spark.sql.types._
 
 /**
@@ -326,6 +326,9 @@ object IcebergWrite {
     require(cols.forall(meta.schema.fieldNames.contains),
       s"sort columns ${cols.mkString(",")} not all in table schema " +
         s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(cols.isEmpty || !meta.properties.contains(ZorderProp),
+      s"table declares a z-order ($ZorderProp); clear it " +
+        "(zorderBy(path, Nil)) before setting a sort order")
     val fieldIdByName = meta.fieldById.map(_.swap)
     val newRoot = root.deepCopy()
     val orders = arrayNode(newRoot, "sort-orders")
@@ -358,6 +361,73 @@ object IcebergWrite {
       }
     newRoot.put("default-sort-order-id", orderId)
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Table property naming the Z-ORDER clustering columns (graft
+    * extension — the Iceberg spec's sort orders cannot express
+    * interleaved ordering; engines carry z-order as a rewrite strategy,
+    * so the property records intent the way their action APIs do). */
+  val ZorderProp = "graft.zorder.cols"
+
+  /** Declare MULTI-DIMENSIONAL clustering for future appends: new data
+    * files are written in Morton (Z-curve) order over exactly two INT
+    * columns, so per-file min/max bounds are tight on BOTH dimensions
+    * and statsFilter prunes range predicates on EITHER column — where a
+    * linear sort order only ever prunes its leading column. Metadata-
+    * only commit; existing files are untouched ([[compact]] rewrites
+    * them clustered). Mutually exclusive with a non-zero default sort
+    * order (the writer cannot honor both). `Nil` clears. Two columns,
+    * IntegerType only (32-bit ordinals interleave exactly into the
+    * 64-bit z-value; wider types would need value-range compression —
+    * rejected loudly rather than clustered approximately). */
+  def zorderBy(tablePath: String, cols: Seq[String]): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    if (cols.nonEmpty) {
+      require(cols.size == 2,
+        s"zorderBy interleaves exactly 2 columns, got ${cols.size}")
+      require(cols.distinct.size == 2, "zorderBy columns must differ")
+      cols.foreach { c0 =>
+        require(meta.schema.fieldNames.contains(c0),
+          s"zorder column '$c0' not in table schema " +
+            s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+        require(meta.schema(c0).dataType == IntegerType,
+          s"zorder column '$c0' is ${meta.schema(c0).dataType}; only " +
+            "IntegerType interleaves exactly into the 64-bit z-value")
+      }
+      require(meta.sortOrderFields.isEmpty,
+        "table has a default sort order; clear it (setSortOrder(path, Nil)) " +
+          "before declaring a z-order — the writer cannot honor both")
+    }
+    val newRoot = root.deepCopy()
+    val props = Option(newRoot.get("properties")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("properties")
+    }
+    if (cols.isEmpty) props.remove(ZorderProp)
+    else props.put(ZorderProp, cols.mkString(","))
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** 32→64-bit Morton bit-spread (the classic magic-mask cascade) —
+    * pure long arithmetic, whole-stage-codegen'd. */
+  private def spreadBits(c: Column): Column = {
+    val x1 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Z-value of two int columns: sign-flip each to its unsigned 32-bit
+    * ordinal (nulls first, as the smallest ordinal), interleave the
+    * spread bits, and flip the top bit so SIGNED long comparison orders
+    * the 64-bit z-value as unsigned. */
+  private def zValue(a: Column, b: Column): Column = {
+    def ord(c0: Column): Column =
+      (coalesce(c0, lit(Int.MinValue)).cast("long") + lit(2147483648L))
+    spreadBits(ord(a)).bitwiseOR(shiftleft(spreadBits(ord(b)), 1))
+      .bitwiseXOR(lit(Long.MinValue))
   }
 
   /** Partition-spec EVOLUTION (metadata-only commit): make
@@ -1143,10 +1213,23 @@ object IcebergWrite {
     // the files (partitionBy consumes them).
     val dfIds = stampFieldIds(df, fieldIdByName)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_$snapshotId")
-    // the default sort order's identity columns (metadata-declared,
-    // [[setSortOrder]]): sorted files carry tight, mostly-disjoint
-    // min/max bounds, which is what lets statsFilter prune at scale
-    val sortCols = meta.sortOrderFields.map(col)
+    // clustering expressions, from the metadata-declared layout: a
+    // z-order ([[zorderBy]]) clusters on the interleaved Morton value —
+    // tight bounds on BOTH dimensions — else the default sort order's
+    // identity columns ([[setSortOrder]]); sorted files carry tight,
+    // mostly-disjoint min/max bounds, which is what lets statsFilter
+    // prune at scale
+    val sortCols: Seq[Column] = meta.properties.get(ZorderProp) match {
+      case Some(spec) =>
+        val zc = spec.split(",").toSeq
+        zc.foreach(c0 => require(
+          meta.schema.fieldNames.contains(c0) &&
+            meta.schema(c0).dataType == IntegerType,
+          s"z-order column '$c0' ($ZorderProp) missing from the schema " +
+            "or no longer IntegerType — clear or re-declare the z-order"))
+        Seq(zValue(col(zc(0)), col(zc(1))))
+      case None => meta.sortOrderFields.map(col)
+    }
     val writer0 = {
       val base =
         if (partFields.isEmpty) {

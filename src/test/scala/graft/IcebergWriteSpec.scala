@@ -481,16 +481,21 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.setSortOrder(dir, Seq("id"))
     val meta = IcebergIO.loadMetadata(dir)
     assert(meta.sortOrderFields === Seq("id") && meta.defaultSortOrderId > 0)
-    IcebergWrite.append(big, dir)
+    // maxRecordsPerFile splits each (sorted) task output sequentially,
+    // so files stay disjoint even when AQE coalesces the tiny range
+    // shuffle to one partition
+    IcebergWrite.append(big, dir, maxRecordsPerFile = Some(100L))
+    val total = IcebergIO.files(spark, dir).count().toInt
+    assert(total >= 10, s"expected >=10 sorted files, got $total")
     val pruned = IcebergIO.readWhere(spark, dir, col("id") === 500L)
     assert(pruned.inputFiles.length === 1,
       s"sorted write must leave ONE file for a point predicate, " +
-        s"scan reads ${pruned.inputFiles.length}")
+        s"scan reads ${pruned.inputFiles.length} of $total")
     assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(500L))
     // range predicate: a contiguous slice of files survives, not all
     val rng = IcebergIO.readWhere(spark, dir,
       col("id") >= 100L && col("id") < 300L)
-    assert(rng.inputFiles.length < 8 && rng.count() === 200L)
+    assert(rng.inputFiles.length < total && rng.count() === 200L)
 
     // order-reuse rule: same columns resolve to the SAME order id
     val before = meta.defaultSortOrderId
@@ -515,6 +520,59 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.append(pdata, pdir)
     assert(IcebergIO.read(spark, pdir).orderBy("id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("zorder: clustered files prune range predicates on BOTH columns") {
+    // 100x100 grid, SCRAMBLED input — the layout where nothing prunes
+    // unless the writer actually clusters
+    val grid = spark.range(10000).selectExpr(
+      "CAST(id % 100 AS INT) AS x", "CAST(id / 100 AS INT) AS y",
+      "id AS payload").repartition(8)
+    val gridSchema = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("payload", LongType, nullable = false)))
+
+    // control: LINEAR sort on x — prunes x, cannot prune y
+    val xdir = s"$root/z_ctl_xsort"
+    IcebergWrite.create(spark, xdir, gridSchema)
+    IcebergWrite.setSortOrder(xdir, Seq("x"))
+    IcebergWrite.append(grid, xdir, maxRecordsPerFile = Some(500L))
+    val yOnXsort = IcebergIO.readWhere(spark, xdir,
+      col("y") >= 10 && col("y") < 20)
+    val totalFiles = IcebergIO.files(spark, xdir).count().toInt
+    assert(totalFiles >= 20)
+    assert(yOnXsort.inputFiles.length === totalFiles,
+      "x-sorted control must keep EVERY file for a y predicate")
+
+    val zdir = s"$root/z_main"
+    IcebergWrite.create(spark, zdir, gridSchema)
+    IcebergWrite.zorderBy(zdir, Seq("x", "y"))
+    IcebergWrite.append(grid, zdir, maxRecordsPerFile = Some(500L))
+    val zTotal = IcebergIO.files(spark, zdir).count().toInt
+    val yFiles = IcebergIO.readWhere(spark, zdir,
+      col("y") >= 10 && col("y") < 20).inputFiles.length
+    val xFiles = IcebergIO.readWhere(spark, zdir,
+      col("x") >= 10 && col("x") < 20).inputFiles.length
+    assert(yFiles < zTotal && xFiles < zTotal,
+      s"z-order must prune both dimensions: x $xFiles, y $yFiles of $zTotal")
+    // content stays exact under the clustered layout
+    assert(IcebergIO.readWhere(spark, zdir,
+      col("x") === 42 && col("y") === 17).collect()
+      .map(_.getLong(2)).toSeq === Seq(1742L))
+    assert(IcebergIO.read(spark, zdir).count() === 10000L)
+
+    // guards: arity, type, mutual exclusion with sort orders, clear
+    intercept[IllegalArgumentException](
+      IcebergWrite.zorderBy(zdir, Seq("x")))
+    intercept[IllegalArgumentException](
+      IcebergWrite.zorderBy(zdir, Seq("x", "payload"))) // long: rejected
+    intercept[IllegalArgumentException](
+      IcebergWrite.setSortOrder(zdir, Seq("x"))) // z-order declared
+    intercept[IllegalArgumentException](
+      IcebergWrite.zorderBy(xdir, Seq("x", "y"))) // sort order declared
+    IcebergWrite.zorderBy(zdir, Nil)
+    IcebergWrite.setSortOrder(zdir, Seq("x")) // clear unlocks sort order
   }
 
   test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
