@@ -19,6 +19,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style PRE-TOKENIZER grain, simplified to the subset that
+    * behaves identically under java.util.regex and RE2 (DuckDB): a
+    * token is an optionally-space-prefixed letter run, digit run, or
+    * punctuation run, or a whitespace run. No lookahead (RE2 has none)
+    * and no unicode classes (class semantics differ across engines).
+    * This is the "tokens a BPE would start from" count — the budget
+    * number a training pipeline actually bills by — as opposed to
+    * [[tokenCount]]'s whitespace words. */
+  val BpeishPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), w => w.isin(stopwords.map(lit): _*)))
 

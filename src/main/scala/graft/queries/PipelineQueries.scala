@@ -682,6 +682,30 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** BPE-ish token counting ([[TextAnalysis.bpeTokenCount]]): the
+    * pre-tokenizer grain a byte-pair encoder starts from (space-prefixed
+    * letter/digit/punctuation runs), vs the whitespace word count — the
+    * two budget numbers a training pipeline bills by. The corpus text is
+    * clean space-separated words, so the query appends deterministic
+    * digits + punctuation to exercise every regex class; both engines
+    * apply the same augmentation. */
+  val textBpeTokens = dfQ("text_bpe_tokens",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(
+      |    text || ' x' || CAST(doc_id % 100 AS VARCHAR) || '!!',
+      |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS BIGINT) AS n_bpe,
+      |  CAST(len(string_split(lower(
+      |    text || ' x' || CAST(doc_id % 100 AS VARCHAR) || '!!'), ' ')) AS BIGINT) AS n_ws
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val aug = concat(col("text"), lit(" x"),
+      (col("doc_id") % 100).cast("string"), lit("!!"))
+    s.table("documents").select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(aug).as("n_bpe"),
+        TextAnalysis.tokenCount(aug).cast("long").as("n_ws"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * md5-seed cell assignment (exact-integer idiom) + in-cell
     * keep-lowest-id cosine pruning at 0.35 — the oracle replays the
@@ -1112,6 +1136,7 @@ object PipelineQueries {
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
     dedupNgramJaccard,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
+    textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
