@@ -169,6 +169,28 @@ object ScaleStress {
     val wThreshold = 6.0 // 10x files, same rows; O(files) commit + headroom
     val wSuspect = wLarge > 0.5 && wRatio >= wThreshold
 
+    // Semantic-dedup scale: k grows WITH the corpus (the SemDeDup
+    // scaling discipline — cells stay ~constant size), so the in-cell
+    // pairwise work grows linearly in the row count, not quadratically.
+    // A fixed k here would measure a data-shape artifact (10x rows in
+    // the same 8 cells = 100x pairs by construction), not engine cost.
+    def semTime(dir: String, k: Int): Double =
+      (1 to 2).map { _ =>
+        try {
+          val t0 = System.nanoTime()
+          graft.operators.Similarity.semanticDedup(
+              spark.read.parquet(s"$dir/embeddings.parquet"),
+              "vec_id", "embedding", k = k, iters = 0, threshold = 0.35)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.catalog.clearCache()
+      }.min
+    val semSmall = semTime(src, 8)
+    val semLarge = semTime(dst, 8 * copies)
+    val semRatio = semLarge / math.max(semSmall, 1e-3)
+    val semThreshold = 30.0 // 10x rows at constant cell size, 3x headroom
+    val semSuspect = semLarge > 0.5 && semRatio >= semThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -182,6 +204,10 @@ object ScaleStress {
       s""""sec_small":${jnum(wSmall)},"sec_large":${jnum(wLarge)},""" +
       s""""ratio":${jnum(wRatio)},"threshold":${jnum(wThreshold)},""" +
       s""""suspect":${wSuspect}},""" +
+      s""""semantic_dedup":{"k_small":8,"k_large":${8 * copies},""" +
+      s""""sec_small":${jnum(semSmall)},"sec_large":${jnum(semLarge)},""" +
+      s""""ratio":${jnum(semRatio)},"threshold":${jnum(semThreshold)},""" +
+      s""""suspect":${semSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

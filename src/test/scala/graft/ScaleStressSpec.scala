@@ -90,6 +90,20 @@ class ScaleStressSpec extends AnyFunSuite {
         s"(threshold ${p.get("threshold")}x for 10x files)")
   }
 
+  test("semantic dedup scales linearly when k grows with the corpus") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("semantic_dedup"),
+      "artifact predates the semantic-dedup harness — regenerate")
+    val s = root.get("semantic_dedup")
+    assert(!s.get("suspect").asBoolean,
+      s"semanticDedup at 10x rows with k=${s.get("k_large")} took " +
+        s"${s.get("ratio")}x the k=${s.get("k_small")} baseline " +
+        s"(threshold ${s.get("threshold")}x — constant cell size must " +
+        "keep the in-cell pairwise work linear in the corpus)")
+  }
+
   test("Iceberg write cost stays data-bound as the partition count grows") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
