@@ -167,6 +167,22 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergWrite.upsert(df, path, keyCols): Unit
   }
 
+  /** Merge-on-read DELETE from a native Iceberg table: rows matching
+    * `condition` are removed via one v2 position-delete commit — no
+    * data file is rewritten. Returns the snapshot id. */
+  def deleteIcebergWhere(path: String,
+                         condition: org.apache.spark.sql.Column): Long =
+    graft.sources.IcebergWrite.deleteWhere(spark, path, condition)
+
+  /** Atomic SQL UPDATE on a native Iceberg table: rows matching
+    * `condition` are replaced with the `assignments` applied against
+    * the OLD row, in ONE snapshot (position-delete manifest + data
+    * manifest). Returns the snapshot id. */
+  def updateIcebergWhere(path: String,
+                         condition: org.apache.spark.sql.Column,
+                         assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    graft.sources.IcebergWrite.updateWhere(spark, path, condition, assignments)
+
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)

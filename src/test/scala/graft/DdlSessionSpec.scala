@@ -113,6 +113,20 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(spark.read.json(s"$dir/j").count() == 4)
   }
 
+  test("session facade DML: deleteIcebergWhere + updateIcebergWhere") {
+    import org.apache.spark.sql.functions._
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dml").toString + "/t"
+    val df = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    g.writeIceberg(df, dir)
+    g.deleteIcebergWhere(dir, col("id") >= 8L)
+    g.updateIcebergWhere(dir, col("id") < 2L, Map("v" -> (col("v") + 100.0)))
+    val got = g.readIceberg(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((0L, 100.0), (1L, 101.0), (2L, 2.0), (3L, 3.0),
+      (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 7.0)))
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG registers the live view") {
     import org.apache.spark.sql.types._
     val g = GraftSession.wrap(spark)
