@@ -131,6 +131,12 @@ final class GraftSession private (val spark: SparkSession) {
   def icebergSnapshots(path: String): DataFrame =
     graft.sources.IcebergIO.snapshots(spark, path)
 
+  /** Iceberg manifest entries as a relation (the runtime jar's
+    * `.entries` metadata table): one row per manifest entry INCLUDING
+    * DELETED (status 2) rows the live planner never sees. */
+  def icebergEntries(path: String, snapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.entries(spark, path, snapshotId)
+
   /** Incremental APPEND scan: rows added after `fromSnapshotId` up to
     * `toSnapshotId` (default current) — process only new data per run;
     * fails loudly on non-append snapshots in the range. */
@@ -264,7 +270,8 @@ final class GraftSession private (val spark: SparkSession) {
     // registration shows up in `<name>_files` etc. without
     // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
-      Seq("history", "files", "partitions", "manifests", "snapshots", "refs")
+      Seq("history", "files", "entries", "partitions", "manifests",
+          "snapshots", "refs")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)

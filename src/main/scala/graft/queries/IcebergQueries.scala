@@ -524,6 +524,21 @@ object IcebergQueries {
     IcebergIO.files(s, basicFixture(s, sfDir)).orderBy("sequence_number")
   }
 
+  /** `.entries` metadata relation ([[IcebergIO.entries]]): one row per
+    * manifest entry of the snapshot — status, snapshot id (inheriting
+    * the manifest-list's added_snapshot_id in the v2 form), sequence,
+    * file identity, counts. Pinned against the deterministic
+    * two-snapshot fixture, like `iceberg_files`. */
+  val icebergEntries = dfQ("iceberg_entries",
+    """SELECT * FROM (VALUES
+      |  (1, CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'data-00001.parquet', 0, CAST(10 AS BIGINT), ''),
+      |  (1, CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'data-00002.parquet', 0, CAST(15 AS BIGINT), ''))
+      |  AS t(status, snapshot_id, sequence_number, file_name, content, record_count, partition)
+      |ORDER BY sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.entries(s, basicFixture(s, sfDir)).orderBy("sequence_number")
+  }
+
   /** End-to-end WRITE parity ([[graft.sources.IcebergWrite]]): create a
     * partitioned table, append two order slices through the distributed
     * write path (data job + per-file stats + optimistic commit), then
@@ -938,7 +953,7 @@ object IcebergQueries {
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
-    icebergStatsPrune, icebergPartitions, icebergManifests,
+    icebergStatsPrune, icebergPartitions, icebergManifests, icebergEntries,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,

@@ -470,7 +470,16 @@ object IcebergIO {
                                        // the partition spec this file was
                                        // written under (partition evolution:
                                        // old files keep their old spec)
-                                       specId: Int = 0)
+                                       specId: Int = 0,
+                                       // manifest-entry status (0 EXISTING /
+                                       // 1 ADDED / 2 DELETED) — DELETED rows
+                                       // only reach the `.entries` relation,
+                                       // never the live-file planner
+                                       status: Int = 1,
+                                       // the entry's snapshot_id when the
+                                       // manifest records one (None = the
+                                       // inherited added_snapshot_id form)
+                                       snapshotId: Option[Long] = None)
 
   /** Stream one Avro object container file as GenericRecords. Manifest
     * grain only — data rows never pass through here. Opens via the
@@ -552,12 +561,15 @@ object IcebergIO {
     * on executors (explicit Hadoop conf, no session access). */
   private def parseManifest(mPath: String, mContent: Int, mSeq: Long,
                             mSpecId: Int,
-                            conf: org.apache.hadoop.conf.Configuration)
+                            conf: org.apache.hadoop.conf.Configuration,
+                            keepDeleted: Boolean = false)
       : Seq[ContentFile] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
     foreachAvroRecord(mPath, conf) { entry =>
         val status = entry.get("status").asInstanceOf[Number].intValue()
-        if (status != 2) { // 0 EXISTING / 1 ADDED are live; 2 DELETED is not
+        // 0 EXISTING / 1 ADDED are live; 2 DELETED is not (the `.entries`
+        // relation alone asks for deleted rows too)
+        if (status != 2 || keepDeleted) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           // v1 data_file has no content field -> data (same as its manifest)
           val content =
@@ -620,13 +632,18 @@ object IcebergIO {
                 }.toMap
               case _ => Map.empty
             }
+          val entrySnap: Option[Long] =
+            if (entry.getSchema.getField("snapshot_id") == null) None
+            else entry.get("snapshot_id") match {
+              case n: Number => Some(n.longValue()); case _ => None
+            }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
             seq, eqIds, partVals, records,
             boundsMap("lower_bounds"), boundsMap("upper_bounds"),
             longMap("null_value_counts"), longMap("nan_value_counts"),
-            specId = mSpecId)
+            specId = mSpecId, status = status, snapshotId = entrySnap)
         }
     }
     out.toSeq
@@ -1504,6 +1521,16 @@ object IcebergIO {
         StructField("sequence_number", LongType, nullable = false),
         StructField("partition", StringType, nullable = false)))
 
+  private[graft] val entriesSchema: StructType =
+    StructType(Seq(
+        StructField("status", IntegerType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = true),
+        StructField("sequence_number", LongType, nullable = false),
+        StructField("file_name", StringType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("partition", StringType, nullable = false)))
+
   private[graft] val manifestsSchema: StructType =
     StructType(Seq(
         StructField("manifest_name", StringType, nullable = false),
@@ -1546,6 +1573,7 @@ object IcebergIO {
   private[graft] def metaSchema(kind: String): StructType = kind match {
     case "history"    => historySchema
     case "files"      => filesSchema
+    case "entries"    => entriesSchema
     case "partitions" => partitionsSchema
     case "manifests"  => manifestsSchema
     case "snapshots"  => snapshotsSchema
@@ -1569,6 +1597,60 @@ object IcebergIO {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       filesSchema)
+  }
+
+  /** Manifest ENTRIES as a relation — the `.entries` metadata table:
+    * one row per manifest entry of the snapshot, INCLUDING status 2
+    * (DELETED) rows the live-file planner never sees — the audit view
+    * of what each commit added, carried forward, and retired. The
+    * entry's snapshot_id falls back to the manifest-list's
+    * added_snapshot_id (the v2 inheritance form). Metadata grain: only
+    * manifests are read, never a data file. */
+  def entries(spark: SparkSession, tablePath: String,
+              snapshotId: Option[Long] = None): DataFrame =
+    entriesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def entriesOf(spark: SparkSession, meta: TableMetadata,
+                                 tablePath: String,
+                                 snapshotId: Option[Long]): DataFrame = {
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val c = GraftFs.conf()
+    // the list walk retains added_snapshot_id (liveFiles doesn't need it)
+    val manifests: Seq[(String, Int, Long, Int, Option[Long])] =
+      snap.manifestList match {
+        case Some(ml) =>
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Long, Int, Option[Long])]
+          foreachAvroRecord(ml) { r =>
+            val mSeq =
+              if (r.getSchema.getField("sequence_number") == null) 0L
+              else r.get("sequence_number") match {
+                case null => 0L; case n: Number => n.longValue()
+              }
+            val added =
+              if (r.getSchema.getField("added_snapshot_id") == null) None
+              else r.get("added_snapshot_id") match {
+                case n: Number => Some(n.longValue()); case _ => None
+              }
+            buf += ((r.get("manifest_path").toString,
+              intFieldOrZero(r, "content"), mSeq,
+              intFieldOrZero(r, "partition_spec_id"), added))
+          }
+          buf.toSeq
+        case None => snap.manifests.map((_, 0, 0L, 0, None))
+      }
+    val rows = manifests.flatMap { case (p, mc, ms, sp, added) =>
+      parseManifest(p, mc, ms, sp, c, keepDeleted = true).map { f =>
+        Row(f.status,
+          f.snapshotId.orElse(added).map(Long.box).orNull,
+          f.seq, baseName(f.path), f.content, f.recordCount,
+          partitionString(f))
+      }
+    }.sortBy(r => (r.getInt(0), r.getLong(2), r.getInt(4), r.getString(3)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      entriesSchema)
   }
 
   /** Manifest-list entries as a relation — the `.manifests` metadata

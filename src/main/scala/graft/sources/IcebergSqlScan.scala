@@ -116,6 +116,7 @@ object IcebergMetaScan {
     m.kind match {
       case "history"    => IcebergIO.historyOf(spark, meta)
       case "files"      => IcebergIO.filesOf(spark, meta, m.tablePath, pinned)
+      case "entries"    => IcebergIO.entriesOf(spark, meta, m.tablePath, pinned)
       case "partitions" => IcebergIO.partitionsOf(spark, meta, m.tablePath, pinned)
       case "manifests"  => IcebergIO.manifestsOf(spark, meta, m.tablePath, pinned)
       case "snapshots"  => IcebergIO.snapshotsOf(spark, meta)

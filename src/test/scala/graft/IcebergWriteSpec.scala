@@ -575,6 +575,32 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.setSortOrder(zdir, Seq("x")) // clear unlocks sort order
   }
 
+  test(".entries relation: every manifest entry, delete files included") {
+    val dir = s"$root/entries"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    val s2 = IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    val s3 = IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val rows = IcebergIO.entries(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(4), r.getLong(5)))
+    // every data file of both appends plus exactly one position-delete
+    // file (input partitioning decides the data-file count — don't pin)
+    val nFiles = IcebergIO.files(spark, dir).count()
+    assert(rows.length.toLong === nFiles && rows.length >= 3)
+    assert(rows.count(_._3 == 1) === 1 &&
+      rows.count(_._3 == 0) === rows.length - 1)
+    assert(rows.forall(_._1 == 1), "writer manifests carry ADDED entries")
+    assert(rows.map(_._2).toSet === Set(s1, s2, s3),
+      "each entry reports the snapshot that added it")
+    // the delete file holds one (file, pos) row
+    assert(rows.find(_._3 == 1).get._4 === 1L)
+    // registered metadata view serves the same relation live
+    val g = GraftSession.wrap(spark)
+    val vn = s"ent_${java.util.UUID.randomUUID().toString.take(6)}"
+    g.registerIceberg(vn, dir, metadataTables = true)
+    assert(spark.table(s"${vn}_entries").count() === rows.length.toLong)
+  }
+
   test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
     val dir = s"$root/orphans"
     IcebergWrite.create(spark, dir, schema)
