@@ -677,6 +677,41 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** MANIFEST compaction ([[graft.sources.IcebergWrite]]
+    * `rewriteManifests`): fold the per-commit manifests into one per
+    * content kind WITHOUT touching data — entries carry their ORIGINAL
+    * sequence numbers, so an equality delete keeps excluding the rows
+    * it deleted while a LATER re-insert of the same keys survives (the
+    * invariant a rewrite that reset sequence numbers would destroy).
+    * The oracle replays delete + re-insert in SQL. */
+  val icebergRewriteManifests = dfQ("iceberg_rewrite_manifests",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 3 THEN 'REINSERTED'
+      |       ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 37 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_rewrite_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders").select("o_orderkey", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema)
+    graft.sources.IcebergWrite.append(orders, dir)
+    val victims = orders.filter(pmod(col("o_orderkey"), lit(7L)) === 3L)
+    graft.sources.IcebergWrite.deleteEquality(
+      victims.select("o_orderkey").distinct(), dir)
+    // re-insert the deleted keys at a LATER sequence — they must
+    // survive the delete, before and after the manifest rewrite
+    graft.sources.IcebergWrite.append(
+      victims.select(col("o_orderkey"),
+        lit("REINSERTED").as("o_orderpriority")), dir)
+    graft.sources.IcebergWrite.rewriteManifests(s, dir)
+    IcebergIO.read(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(37L)) === 0L)
+      .orderBy("o_orderkey")
+  }
+
   /** Atomic UPDATE ([[graft.sources.IcebergWrite]] `updateWhere`): each
     * matching row is position-deleted and rewritten with the SET
     * expressions applied against the OLD row, in one snapshot
@@ -957,7 +992,7 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergRollback,
+    icebergUpdateWhere, icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,

@@ -479,7 +479,10 @@ object IcebergIO {
                                        // the entry's snapshot_id when the
                                        // manifest records one (None = the
                                        // inherited added_snapshot_id form)
-                                       snapshotId: Option[Long] = None)
+                                       snapshotId: Option[Long] = None,
+                                       // file_size_in_bytes (manifest
+                                       // rewrite carries it forward)
+                                       bytes: Long = 0L)
 
   /** Stream one Avro object container file as GenericRecords. Manifest
     * grain only — data rows never pass through here. Opens via the
@@ -603,6 +606,9 @@ object IcebergIO {
           val records = df.get("record_count") match {
             case n: Number => n.longValue(); case _ => -1L
           }
+          val fileBytes = df.get("file_size_in_bytes") match {
+            case n: Number => n.longValue(); case _ => 0L
+          }
           // field-id-keyed column bounds (spec 125/128): the array-of-
           // (key,value)-records map form real writers emit (Avro maps
           // can't have int keys); absent/null → no stats, never pruned
@@ -643,7 +649,8 @@ object IcebergIO {
             seq, eqIds, partVals, records,
             boundsMap("lower_bounds"), boundsMap("upper_bounds"),
             longMap("null_value_counts"), longMap("nan_value_counts"),
-            specId = mSpecId, status = status, snapshotId = entrySnap)
+            specId = mSpecId, status = status, snapshotId = entrySnap,
+            bytes = fileBytes)
         }
     }
     out.toSeq

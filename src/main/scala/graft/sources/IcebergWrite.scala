@@ -58,7 +58,16 @@ object IcebergWrite {
                                    nullCounts: Seq[(Int, Long)],
                                    nanCounts: Seq[(Int, Long)],
                                    content: Int = 0,
-                                   equalityIds: Seq[Int] = Nil)
+                                   equalityIds: Seq[Int] = Nil,
+                                   // set on a CARRIED (rewriteManifests)
+                                   // entry: status EXISTING + this
+                                   // explicit sequence number — the data
+                                   // seq must survive the rewrite or the
+                                   // delete-application rule breaks
+                                   existingSeq: Option[Long] = None,
+                                   // the snapshot that originally added
+                                   // the file (EXISTING entries)
+                                   addedSnapshotId: Option[Long] = None)
 
   /** Table-creation entry point: writes `metadata/v1.metadata.json` (+
     * version hint) for an EMPTY table — readable immediately (zero
@@ -550,6 +559,93 @@ object IcebergWrite {
     * action's safety rails. Dangling parent-snapshot-ids are fine: the
     * incremental reader's lineage walk degrades gracefully. Returns the
     * number of snapshots expired. */
+  /** MANIFEST compaction (metadata-only): fold the current snapshot's
+    * live entries into ONE manifest per (content kind, partition spec)
+    * and publish a `replace` snapshot whose list names only those — a
+    * table that accumulated one tiny manifest per append plans in
+    * O(groups) manifest opens again without touching a single data
+    * file (compare [[compact]], which rewrites the data too). Entries
+    * are carried as status EXISTING with their ORIGINAL sequence
+    * numbers made explicit — the v2 delete-application rule
+    * (`data seq < delete seq`) must keep holding across the rewrite —
+    * and their original adding snapshot where the manifest recorded
+    * one. Carried stats: record counts, bounds, null/NaN counts,
+    * equality ids, partition tuples, file sizes. (Optional fields this
+    * reader never consumes — value_counts, column_sizes,
+    * split_offsets — are not carried; spec-optional.) Earlier
+    * snapshots keep their own manifest lists and stay time-travelable.
+    * v2 only. Returns the snapshot id. */
+  def rewriteManifests(spark: SparkSession, tablePath: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "rewriteManifests requires format v2 (explicit sequence numbers)")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot rewrite manifests of an empty table: $tablePath"))
+    val files = IcebergIO.liveFiles(spark, snap)
+    require(files.nonEmpty, s"no live content files in $tablePath")
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // per-spec partition field ids, straight off the raw metadata (the
+    // parsed TableMetadata only retains the default spec's)
+    val fieldIdsBySpec: Map[Int, Seq[Int]] =
+      Option(root.get("partition-specs")).map { specs =>
+        specs.elements().asScala.map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(f =>
+              if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+
+    val groups = files.groupBy(f => (if (f.content > 0) 1 else 0, f.specId))
+      .toSeq.sortBy { case ((kind, sid), _) => (kind, sid) }
+    val added = groups.map { case ((kind, sid), group) =>
+        val specFields = meta.specsById.getOrElse(sid, Nil)
+        // rewritten manifests declare every partition field NULLABLE:
+        // the group may mix files whose ORIGINAL manifests differed
+        // (delete manifests are nullable already; identity values can
+        // be null) — nullability is not load-bearing for any reader
+        val pct: Seq[(String, DataType, Boolean)] =
+          specFields.map { case (name, transform, srcId) =>
+            val src = meta.fieldById.getOrElse(srcId,
+              throw new IllegalArgumentException(
+                s"partition source field id $srcId not in table schema"))
+            (name, storedType(transform, meta.schema(src).dataType), true)
+          }
+        val nfs = group.map { f =>
+          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
+          NewFile(f.path, f.recordCount, f.bytes,
+            partitionValues = pct.map { case (n, _, _) =>
+              f.partitionValues.getOrElse(n, null) },
+            bounds = boundKeys.toSeq.sorted.map(k =>
+              (k, f.lowerBounds(k), f.upperBounds(k))),
+            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
+            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
+            content = f.content, equalityIds = f.equalityIds,
+            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+        }
+        val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+          meta.schema, pct, nfs, snapshotId, newSeq,
+          manifestContent = kind, specId = sid,
+          specFieldIds = fieldIdsBySpec.getOrElse(sid, Nil))
+        (mPath, mLen, kind, snapshotId, newSeq,
+          nfs.map(_.records).sum, nfs.size)
+      }
+    // each manifest-list entry records ITS manifest's spec — the reader
+    // keys per-file spec resolution (pruning, delete scoping) on it
+    val mlPath = writeManifestList(metaDir, meta.formatVersion,
+      carried = Nil, added, snapshotId, specId = meta.defaultSpecId,
+      addedSpecIds = groups.map(_._1._2))
+    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation = "replace",
+      summaryExtra = Map("rewritten-manifests" -> "true"))
+  }
+
   def expireSnapshots(tablePath: String, olderThanMs: Long,
                       retainLast: Int = 1): Int = {
     require(retainLast >= 1, "retainLast must be >= 1")
@@ -1377,7 +1473,20 @@ object IcebergWrite {
       if (carryForward) priorManifestEntries(meta) else Nil
     val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId,
       specId = meta.defaultSpecId)
+    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation, summaryExtra)
+  }
 
+  /** The metadata.json tail every snapshot commit shares: bump
+    * last-sequence-number, record the snapshot + log entries, move the
+    * main ref, publish optimistically. */
+  private def publishSnapshot(meta: IcebergIO.TableMetadata,
+                              root: ObjectNode, priorVersion: Int,
+                              metaDir: String, mlPath: String,
+                              snapshotId: Long, newSeq: Long,
+                              operation: String,
+                              summaryExtra: Map[String, String]): Long = {
+    val fv = meta.formatVersion
     val now = System.currentTimeMillis()
     val newRoot = root.deepCopy()
     if (fv >= 2) newRoot.put("last-sequence-number", newSeq)
@@ -1479,11 +1588,16 @@ object IcebergWrite {
     w.create(es, GraftFs.create(out))
     try files.foreach { fm =>
       val e = new GenericData.Record(es)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
+      // a rewrite carries prior files as EXISTING with their ORIGINAL
+      // sequence numbers made explicit (inheritance can't apply — the
+      // new manifest belongs to the rewrite snapshot)
+      e.put("status", if (fm.existingSeq.isDefined) 0 else 1)
+      e.put("snapshot_id",
+        Long.box(fm.addedSnapshotId.getOrElse(snapshotId)))
       if (fv >= 2) {
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
+        val s = fm.existingSeq.getOrElse(seq)
+        e.put("sequence_number", s)
+        e.put("file_sequence_number", s)
       }
       val d = new GenericData.Record(dfSchema)
       if (fv >= 2) d.put("content", fm.content)
@@ -1551,7 +1665,14 @@ object IcebergWrite {
                                 carried: Seq[GenericRecord],
                                 added: Seq[(String, Long, Int, Long, Long, Long, Int)],
                                 snapshotId: Long,
-                                specId: Int = 0): String = {
+                                specId: Int = 0,
+                                // per-added-entry spec ids (aligned with
+                                // `added`; rewriteManifests emits one
+                                // manifest per spec) — empty = all under
+                                // `specId`
+                                addedSpecIds: Seq[Int] = Nil): String = {
+    require(addedSpecIds.isEmpty || addedSpecIds.size == added.size,
+      "addedSpecIds must align with added")
     val ls = IcebergFixture.manifestListSchema(fv)
     val out = GraftFs.child(metaDir,
       f"snap-$snapshotId%05d-manifest-list-${java.util.UUID.randomUUID()}.avro")
@@ -1582,11 +1703,11 @@ object IcebergWrite {
         r.put("deleted_rows_count", num(old, "deleted_rows_count", 0L))
         w.append(r)
       }
-      added.foreach { case (mPath, mLen, mContent, snapId, seq, rows, nFiles) =>
+      added.zipWithIndex.foreach { case ((mPath, mLen, mContent, snapId, seq, rows, nFiles), i) =>
         val r = new GenericData.Record(ls)
         r.put("manifest_path", mPath)
         r.put("manifest_length", mLen)
-        r.put("partition_spec_id", specId)
+        r.put("partition_spec_id", addedSpecIds.lift(i).getOrElse(specId))
         if (fv >= 2) {
           r.put("content", mContent)
           r.put("sequence_number", seq)

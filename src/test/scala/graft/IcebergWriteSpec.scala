@@ -601,6 +601,72 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(spark.table(s"${vn}_entries").count() === rows.length.toLong)
   }
 
+  test("rewriteManifests: folds manifests, sequence rule survives") {
+    val dir = s"$root/rewrite_mf"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), dir)
+    // equality delete on id=2, then RE-INSERT id=2 at a later sequence:
+    // the re-inserted row survives the delete only while its data seq
+    // stays above the delete's — the exact invariant a manifest rewrite
+    // could silently destroy by resetting sequence numbers
+    IcebergWrite.deleteEquality(df((2L, "x", 0.0)).select("id"), dir)
+    IcebergWrite.append(df((2L, "B2", 9.0)), dir)
+    def state() = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val before = state()
+    assert(before === Seq((1L, "a", 1.0), (2L, "B2", 9.0), (3L, "c", 3.0)))
+    val nManifestsBefore = IcebergIO.manifests(spark, dir).count()
+    assert(nManifestsBefore >= 3)
+
+    IcebergWrite.rewriteManifests(spark, dir)
+    // one data manifest + one delete manifest now plan the whole table
+    assert(IcebergIO.manifests(spark, dir).count() === 2)
+    assert(state() === before,
+      "a metadata-only rewrite must not change a single row")
+    // entries carried as EXISTING, attributed to their original snapshot
+    val entries = IcebergIO.entries(spark, dir).collect()
+    assert(entries.forall(_.getInt(0) === 0))
+    assert(entries.map(_.getLong(1)).toSet.contains(s1))
+    // pre-rewrite snapshots stay exactly time-travelable
+    assert(IcebergIO.read(spark, dir, snapshotId = Some(s1))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // a later append coexists with the folded manifests
+    IcebergWrite.append(df((4L, "d", 4.0)), dir)
+    assert(IcebergIO.read(spark, dir).count() === 4)
+    // v1 / empty-table guards
+    val v1dir = s"$root/rewrite_v1"
+    IcebergWrite.create(spark, v1dir, schema, formatVersion = 1)
+    intercept[IllegalArgumentException](
+      IcebergWrite.rewriteManifests(spark, v1dir))
+  }
+
+  test("rewriteManifests groups by partition spec; pruning intact") {
+    val dir = s"$root/rewrite_spec"
+    import spark.implicits._
+    val d = Seq((1L, "p1", 10), (2L, "p2", 20), (3L, "p1", 30))
+      .toDF("id", "p", "x")
+    IcebergWrite.create(spark, dir, d.schema, partitionCols = Seq("p"))
+    IcebergWrite.append(d, dir)
+    // evolve the spec, append under the NEW spec too
+    IcebergWrite.updatePartitionSpec(dir, Seq("x"),
+      Map("x" -> "bucket[4]"))
+    IcebergWrite.append(Seq((4L, "p2", 40)).toDF("id", "p", "x"), dir)
+    val before = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    IcebergWrite.rewriteManifests(spark, dir)
+    // one data manifest PER SPEC (a manifest header carries one spec)
+    assert(IcebergIO.manifests(spark, dir).count() === 2)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === before)
+    // old-spec partition pruning still resolves through the rewrite:
+    // p1 files survive, the p2 file drops, and the NEW-spec file (which
+    // cannot resolve 'p') is kept — never silently over-pruned
+    val pruned = IcebergIO.read(spark, dir,
+      partitionFilter = Map("p" -> "p1"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("removeOrphanFiles sweeps exactly the unreferenced, old files") {
     val dir = s"$root/orphans"
     IcebergWrite.create(spark, dir, schema)
