@@ -189,6 +189,13 @@ final class GraftSession private (val spark: SparkSession) {
                          assignments: Map[String, org.apache.spark.sql.Column]): Long =
     graft.sources.IcebergWrite.updateWhere(spark, path, condition, assignments)
 
+  /** Metadata-only manifest compaction: fold the per-commit manifests
+    * into one per content kind / spec without touching data files —
+    * planning cost maintenance for append-heavy tables. Returns the
+    * snapshot id. */
+  def rewriteIcebergManifests(path: String): Long =
+    graft.sources.IcebergWrite.rewriteManifests(spark, path)
+
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1475,7 +1475,14 @@ object IcebergIO {
     val inRange: Seq[SnapshotInfo] = walk(toSnap, Nil).getOrElse(
       meta.snapshots.filter(s =>
         s.sequenceNumber > fromSeq && s.sequenceNumber <= toSnap.sequenceNumber))
-    val nonAppend = inRange.filterNot(_.operation == "append")
+    // a manifest REWRITE (IcebergWrite.rewriteManifests) publishes a
+    // `replace` snapshot that adds NO data — its entries keep their
+    // original sequence numbers, so the seq-range file selection below
+    // is untouched by it; skipping it keeps live streams alive across
+    // metadata maintenance. A data-rewriting replace (compact) still
+    // fails loudly.
+    val nonAppend = inRange.filterNot(s => s.operation == "append" ||
+      s.summary.get("rewritten-manifests").contains("true"))
     if (nonAppend.nonEmpty)
       throw new UnsupportedOperationException(
         "incremental read supports append-only ranges; snapshot(s) " +

@@ -447,6 +447,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg snapshot stream survives a mid-stream manifest rewrite") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_rw_$tag"
+    graft.sources.IcebergFixture.deleteRecursively(dir)
+    val st = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def rows(xs: Long*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(Row(_)): _*)), st)
+    graft.sources.IcebergWrite.create(spark, dir, st)
+    graft.sources.IcebergWrite.append(rows(1L, 2L), dir)
+    val q = StreamingOps.icebergSnapshotStream(spark, dir)
+      .writeStream.format("memory").queryName(s"ice_rw_$tag")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(s"ice_rw_$tag").count() === 2)
+      // a manifest rewrite adds NO data — the stream must ride across
+      // it (a compact, which rewrites data, still fails the stream)
+      graft.sources.IcebergWrite.rewriteManifests(spark, dir)
+      graft.sources.IcebergWrite.append(rows(3L), dir)
+      q.processAllAvailable()
+      assert(spark.table(s"ice_rw_$tag").select("id").collect()
+        .map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("iceberg snapshot stream: restart resumes from the checkpointed offset") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
