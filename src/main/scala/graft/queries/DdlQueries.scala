@@ -146,6 +146,23 @@ object DdlQueries {
     * `region` is written as a real Avro object container file and read
     * back; the oracle recomputes the same rows from the parquet source
     * (DuckDB's avro extension is not installable offline). */
+  /** NDJSON write/read round-trip through the session façade (reference
+    * `read_json`, client/src/context.rs:217-224) — the same source-twin
+    * oracle shape as `avro_read`: the oracle reads the original table,
+    * so a value mangled by either JSON direction hash-mismatches. */
+  val ddlNdjsonRead = dfQ("ndjson_read",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_ndjson_nation_$tag"
+    val g = GraftSession.wrap(s)
+    g.writeJson(s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey"), dir)
+    g.readJson(dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   val ddlAvroRead = dfQ("avro_read",
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin,
@@ -247,5 +264,6 @@ object DdlQueries {
 
   val all: Seq[Q] = Seq(ddlExternalCsv, ddlExternalParquet, ddlShowTables,
     ddlExplain, ddlExplainAnalyze, ddlPartitioned, ddlShowColumns,
-    ddlAvroRead, ddlExternalAvro, ddlExternalIceberg, ddlAvroPartitioned, avroBenchScan)
+    ddlNdjsonRead, ddlAvroRead, ddlExternalAvro, ddlExternalIceberg,
+    ddlAvroPartitioned, avroBenchScan)
 }
