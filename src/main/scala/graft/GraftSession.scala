@@ -269,6 +269,13 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
         asOfTimestampMs = asOfTimestampMs, ref = ref)
       .createOrReplaceTempView(name)
+    // remember the table dir (session-scoped conf, so it survives
+    // GraftSession.wrap) — the SQL DML surface resolves names through
+    // it. A PINNED registration is a historical view: DML against it is
+    // refused rather than silently hitting the current table.
+    val pinned = snapshotId.isDefined || ref.isDefined || asOfTimestampMs.isDefined
+    spark.conf.set(s"$IcebergTableKeyPrefix${name.toLowerCase(java.util.Locale.ROOT)}",
+      if (pinned) PinnedSentinel else path)
     // the runtime jar's `tbl.history` / `tbl.files` dot-suffix metadata
     // tables, surfaced as `<name>_history` etc. temp views (dot suffixes
     // need a catalog plugin; underscore views are the session analog).
@@ -323,6 +330,28 @@ final class GraftSession private (val spark: SparkSession) {
         "SHOW statements are disabled; enable with config " +
           s"'$InformationSchemaKey=true' (reference semantics: " +
           "ballista/client/src/context.rs:384-393)")
+    // SQL DML over registered native-Iceberg tables: DELETE / UPDATE /
+    // whole-row MERGE route to the merge-on-read writer verbs. Only
+    // statements that SHAPE-match are claimed — everything else falls
+    // through to spark.sql untouched.
+    DmlSql.parse(trimmed) match {
+      case Some(stmt) =>
+        import org.apache.spark.sql.functions.{expr, lit}
+        stmt match {
+          case DmlSql.Delete(t, where) =>
+            graft.sources.IcebergWrite.deleteWhere(spark, icebergPathOf(t),
+              where.map(expr).getOrElse(lit(true)))
+          case DmlSql.Update(t, sets, where) =>
+            graft.sources.IcebergWrite.updateWhere(spark, icebergPathOf(t),
+              where.map(expr).getOrElse(lit(true)),
+              sets.map { case (c, e) => c -> expr(e) }.toMap)
+          case DmlSql.Merge(t, source, keys) =>
+            graft.sources.IcebergWrite.upsert(spark.table(source),
+              icebergPathOf(t), keys)
+        }
+        return spark.emptyDataFrame
+      case None =>
+    }
     ExternalTableDdl.translateIceberg(trimmed) match {
       case Some((ifNotExists, name, location)) =>
         // `STORED AS ICEBERG` has no Spark USING connector here — it
@@ -359,6 +388,20 @@ final class GraftSession private (val spark: SparkSession) {
         s"invalid boolean for $InformationSchemaKey: '$v'")
     }
 
+  /** Resolve a DML target to its Iceberg table dir: registered via
+    * [[registerIceberg]] (or `STORED AS ICEBERG`), unpinned. */
+  private def icebergPathOf(name: String): String =
+    spark.conf.getOption(
+        s"$IcebergTableKeyPrefix${name.toLowerCase(java.util.Locale.ROOT)}") match {
+      case Some(PinnedSentinel) => throw new IllegalArgumentException(
+        s"table '$name' is registered PINNED (snapshot/ref/as-of) — a " +
+          "historical view cannot be a DML target; re-register unpinned")
+      case Some(path) => path
+      case None => throw new IllegalArgumentException(
+        s"DML target '$name' is not a registered Iceberg table " +
+          "(registerIceberg / CREATE EXTERNAL TABLE ... STORED AS ICEBERG)")
+    }
+
   private def isShowStatement(s: String): Boolean = {
     val u = s.toUpperCase(java.util.Locale.ROOT)
     u.startsWith("SHOW TABLES") || u.startsWith("SHOW COLUMNS")
@@ -369,6 +412,11 @@ object GraftSession {
 
   /** Reference knob → Spark conf mapping (reference: core/src/config.rs:31-53,180-212). */
   val InformationSchemaKey = "spark.graft.information_schema"
+
+  /** Session-conf prefix mapping a registered Iceberg view name to its
+    * table dir — the SQL DML surface's name resolution. */
+  val IcebergTableKeyPrefix = "spark.graft.iceberg.table."
+  val PinnedSentinel = "!pinned"
 
   val defaultTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -1,22 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** scratchpad: time dedup_semantic at sf0.1, 2 iterations. */
+import org.apache.spark.sql.functions._
+/** scratchpad: plan audit for the round-12 operators. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.1"
-    val q = graft.queries.Registry.all.find(_.name == "dedup_semantic").get
-    for (i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = q.run(spark, sf).count()
-      println(s"iter $i: ${(System.nanoTime()-t0)/1e9} s, rows=$n")
-      spark.catalog.clearCache()
-    }
+    val sf = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sem = graft.operators.Similarity.semanticDedup(
+      emb, "vec_id", "embedding", k = 8, iters = 0, threshold = 0.35)
+    val plan = sem.queryExecution.executedPlan.toString
+    println("=== dedup_semantic physical plan summary ===")
+    println("cartesian: " + plan.contains("CartesianProduct"))
+    println("bnlj: " + plan.contains("BroadcastNestedLoopJoin"))
+    println("shuffles: " + "Exchange hashpartitioning".r.findAllIn(plan).length)
+    println("broadcasts: " + "BroadcastExchange".r.findAllIn(plan).length)
+    println("smj/shj: " + "SortMergeJoin".r.findAllIn(plan).length + "/" +
+      "ShuffledHashJoin".r.findAllIn(plan).length)
     spark.stop()
   }
 }

@@ -677,6 +677,57 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** SQL DML surface ([[graft.GraftSession]] `sql` + [[graft.DmlSql]]):
+    * DELETE FROM / UPDATE ... SET / whole-row MERGE INTO against a
+    * registered native-Iceberg view, routed to the merge-on-read
+    * writer verbs. The oracle replays the three statements as
+    * set-algebra over the parquet source (delete first, then the
+    * old-row update on survivors, then the merge replacing matched
+    * keys and inserting unmatched ones). */
+  val icebergSqlDml = dfQ("iceberg_sql_dml",
+    """WITH src AS (
+      |  SELECT o_orderkey, 'M' AS o_orderstatus,
+      |         CAST(0.0 AS DOUBLE) AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 13 = 0 OR (o_orderkey % 11 = 5 AND o_orderkey % 2 = 0)),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.5
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 5),
+      |merged AS (
+      |  SELECT * FROM src
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+      |WHERE o_orderkey % 37 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_sqldml_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val g = graft.GraftSession.wrap(s)
+    g.writeIceberg(orders, dir)
+    val vn = s"sqldml_$tag"
+    g.registerIceberg(vn, dir)
+    g.sql(s"DELETE FROM $vn WHERE o_orderkey % 11 = 5")
+    g.sql(s"UPDATE $vn SET o_totalprice = o_totalprice + 1.5 " +
+      "WHERE o_orderstatus = 'F'")
+    orders.filter((pmod(col("o_orderkey"), lit(13L)) === 0L) ||
+        (pmod(col("o_orderkey"), lit(11L)) === 5L &&
+          pmod(col("o_orderkey"), lit(2L)) === 0L))
+      .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+        lit(0.0).as("o_totalprice"))
+      .createOrReplaceTempView(s"${vn}_src")
+    g.sql(s"MERGE INTO $vn t USING ${vn}_src s ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    g.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $vn " +
+      "WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey")
+  }
+
   /** MANIFEST compaction ([[graft.sources.IcebergWrite]]
     * `rewriteManifests`): fold the per-commit manifests into one per
     * content kind WITHOUT touching data — entries carry their ORIGINAL
@@ -992,7 +1043,7 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergRewriteManifests, icebergRollback,
+    icebergUpdateWhere, icebergSqlDml, icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,

@@ -127,6 +127,37 @@ class DdlSessionSpec extends AnyFunSuite {
       (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 7.0)))
   }
 
+  test("SQL DML: DELETE / UPDATE / MERGE route to the Iceberg writer") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqldml").toString + "/t"
+    g.writeIceberg(spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("dml_t", dir)
+    g.sql("DELETE FROM dml_t WHERE id >= 8")
+    g.sql("UPDATE dml_t SET v = coalesce(v, 0) + 100.0 WHERE id < 2")
+    // matched (id 7) replaces, not-matched (id 20) inserts
+    spark.sql("SELECT * FROM VALUES (7L, 0.5D), (20L, 0.5D) AS s(id, v)")
+      .createOrReplaceTempView("dml_src")
+    g.sql("MERGE INTO dml_t t USING dml_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // the registered view is LIVE: all three statements visible at once
+    val got = g.sql("SELECT id, v FROM dml_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((0L, 100.0), (1L, 101.0), (2L, 2.0), (3L, 3.0),
+      (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 0.5), (20L, 0.5)))
+    // guards: unknown target, pinned target, malformed MERGE ON
+    intercept[IllegalArgumentException](g.sql("DELETE FROM nope WHERE 1=1"))
+    val pin = graft.sources.IcebergIO.snapshotIds(dir).head
+    g.registerIceberg("dml_pinned", dir, snapshotId = Some(pin))
+    intercept[IllegalArgumentException](
+      g.sql("DELETE FROM dml_pinned WHERE id = 1"))
+    intercept[IllegalArgumentException](
+      g.sql("MERGE INTO dml_t t USING dml_src s ON t.id > s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    // SET-list splitter respects parens and quoted commas
+    assert(DmlSql.splitTopLevel("a = coalesce(x, 0), b = 'p,q'")
+      === Seq("a = coalesce(x, 0)", "b = 'p,q'"))
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG registers the live view") {
     import org.apache.spark.sql.types._
     val g = GraftSession.wrap(spark)
