@@ -20,6 +20,11 @@ package graft
 object DmlSql {
 
   sealed trait Stmt
+  /** `INSERT INTO t <query>` — positional column alignment, like SQL.
+    * Claimed only when `t` is a REGISTERED Iceberg table (the session
+    * falls through to spark.sql otherwise — catalog parquet tables keep
+    * Spark's own INSERT path). */
+  final case class Insert(table: String, query: String) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)],
                           where: Option[String]) extends Stmt
@@ -29,6 +34,8 @@ object DmlSql {
   final case class Merge(target: String, source: String,
                          keyCols: Seq[String]) extends Stmt
 
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.+?)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe =
@@ -42,6 +49,7 @@ object DmlSql {
 
   /** None = not a DML statement shape this surface owns. */
   def parse(sql: String): Option[Stmt] = sql match {
+    case InsertRe(t, query) => Some(Insert(t, query.trim))
     case DeleteRe(t, where) =>
       Some(Delete(t, Option(where).map(_.trim).filter(_.nonEmpty)))
     case UpdateRe(t, setList, where) =>

@@ -335,9 +335,28 @@ final class GraftSession private (val spark: SparkSession) {
     // statements that SHAPE-match are claimed — everything else falls
     // through to spark.sql untouched.
     DmlSql.parse(trimmed) match {
+      // INSERT is claimed only for REGISTERED Iceberg targets — catalog
+      // parquet tables keep Spark's own (native) INSERT path
+      case Some(DmlSql.Insert(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(stmt) =>
         import org.apache.spark.sql.functions.{expr, lit}
         stmt match {
+          case DmlSql.Insert(t, query) =>
+            val path = icebergPathOf(t)
+            val df = sql(query)
+            val target = graft.sources.IcebergIO.loadMetadata(path).schema
+            require(df.columns.length == target.fields.length,
+              s"INSERT INTO $t: query produces ${df.columns.length} " +
+                s"column(s), table has ${target.fields.length}")
+            // positional alignment + cast to the declared types — SQL
+            // INSERT semantics (names from the query are irrelevant;
+            // toDF renames by POSITION, so auto-generated names with
+            // dots never meet the column parser)
+            val aligned = df.toDF(target.fieldNames.toSeq: _*)
+              .select(target.fields.toSeq.map(f =>
+                org.apache.spark.sql.functions.col(f.name)
+                  .cast(f.dataType).as(f.name)): _*)
+            graft.sources.IcebergWrite.append(aligned, path)
           case DmlSql.Delete(t, where) =>
             graft.sources.IcebergWrite.deleteWhere(spark, icebergPathOf(t),
               where.map(expr).getOrElse(lit(true)))
@@ -388,11 +407,14 @@ final class GraftSession private (val spark: SparkSession) {
         s"invalid boolean for $InformationSchemaKey: '$v'")
     }
 
+  private def icebergPathOpt(name: String): Option[String] =
+    spark.conf.getOption(
+      s"$IcebergTableKeyPrefix${name.toLowerCase(java.util.Locale.ROOT)}")
+
   /** Resolve a DML target to its Iceberg table dir: registered via
     * [[registerIceberg]] (or `STORED AS ICEBERG`), unpinned. */
   private def icebergPathOf(name: String): String =
-    spark.conf.getOption(
-        s"$IcebergTableKeyPrefix${name.toLowerCase(java.util.Locale.ROOT)}") match {
+    icebergPathOpt(name) match {
       case Some(PinnedSentinel) => throw new IllegalArgumentException(
         s"table '$name' is registered PINNED (snapshot/ref/as-of) — a " +
           "historical view cannot be a DML target; re-register unpinned")

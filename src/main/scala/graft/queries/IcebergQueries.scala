@@ -699,7 +699,10 @@ object IcebergQueries {
       |  SELECT * FROM src
       |  UNION ALL
       |  SELECT * FROM base
-      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'I', CAST(2.5 AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 97 = 0)
       |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
       |WHERE o_orderkey % 37 = 0
       |ORDER BY o_orderkey""".stripMargin,
@@ -724,6 +727,8 @@ object IcebergQueries {
       .createOrReplaceTempView(s"${vn}_src")
     g.sql(s"MERGE INTO $vn t USING ${vn}_src s ON t.o_orderkey = s.o_orderkey " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    g.sql(s"INSERT INTO $vn SELECT o_orderkey + 10000000, 'I', " +
+      "CAST(2.5 AS DOUBLE) FROM orders WHERE o_orderkey % 97 = 0")
     g.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $vn " +
       "WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey")
   }

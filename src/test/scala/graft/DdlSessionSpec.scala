@@ -139,11 +139,22 @@ class DdlSessionSpec extends AnyFunSuite {
       .createOrReplaceTempView("dml_src")
     g.sql("MERGE INTO dml_t t USING dml_src s ON t.id = s.id " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    // the registered view is LIVE: all three statements visible at once
+    // INSERT aligns positionally and casts (int literal -> long column)
+    g.sql("INSERT INTO dml_t VALUES (30, 0.25D), (31, 0.25D)")
+    g.sql("INSERT INTO dml_t SELECT id + 40, CAST(9.0 AS DOUBLE) " +
+      "FROM range(2)")
+    // the registered view is LIVE: every statement visible at once
     val got = g.sql("SELECT id, v FROM dml_t ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === Seq((0L, 100.0), (1L, 101.0), (2L, 2.0), (3L, 3.0),
-      (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 0.5), (20L, 0.5)))
+      (4L, 4.0), (5L, 5.0), (6L, 6.0), (7L, 0.5), (20L, 0.5),
+      (30L, 0.25), (31L, 0.25), (40L, 9.0), (41L, 9.0)))
+    // INSERT into an UNREGISTERED name falls through to Spark's own path
+    intercept[org.apache.spark.sql.AnalysisException](
+      g.sql("INSERT INTO not_registered VALUES (1)"))
+    // arity mismatch is loud
+    intercept[IllegalArgumentException](
+      g.sql("INSERT INTO dml_t VALUES (1, 2.0D, 'extra')"))
     // guards: unknown target, pinned target, malformed MERGE ON
     intercept[IllegalArgumentException](g.sql("DELETE FROM nope WHERE 1=1"))
     val pin = graft.sources.IcebergIO.snapshotIds(dir).head
