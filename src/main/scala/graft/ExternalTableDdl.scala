@@ -21,13 +21,15 @@ object ExternalTableDdl {
     """(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*(.*)$""".r
 
   /** `CREATE EXTERNAL TABLE [IF NOT EXISTS] t STORED AS ICEBERG
-    * LOCATION 'path'` → (ifNotExists, name, location). Handled apart
-    * from [[translate]] because Iceberg has no Spark `USING` connector
-    * in this repo — the session registers the live rule-based scan view
-    * instead. A column list is rejected: the table's own metadata is
-    * the schema authority (declaring a conflicting one would silently
-    * mislead). */
-  def translateIceberg(sql: String): Option[(Boolean, String, String)] =
+    * LOCATION 'path' [AS <query>]` → (ifNotExists, name, location,
+    * ctasQuery). Handled apart from [[translate]] because Iceberg has
+    * no Spark `USING` connector in this repo — the session registers
+    * the live rule-based scan view instead (and for the CTAS form,
+    * creates + populates the table from the query first). A column
+    * list is rejected: the table's own metadata (or the CTAS query's
+    * schema) is the schema authority — declaring a conflicting one
+    * would silently mislead. */
+  def translateIceberg(sql: String): Option[(Boolean, String, String, Option[String])] =
     sql match {
       case head(ifNotExists, name, rest)
           if """(?is)STORED\s+AS\s+ICEBERG\b""".r.findFirstIn(rest).isDefined =>
@@ -38,7 +40,9 @@ object ExternalTableDdl {
           .findFirstMatchIn(rest).map(_.group(1))
           .getOrElse(throw new IllegalArgumentException(
             s"CREATE EXTERNAL TABLE requires LOCATION: $sql"))
-        Some((ifNotExists != null, name, location))
+        val ctas = """(?is)\bAS\s+((?:SELECT|WITH|VALUES|FROM|TABLE)\b.+?)\s*;?\s*$""".r
+          .findFirstMatchIn(rest).map(_.group(1).trim)
+        Some((ifNotExists != null, name, location, ctas))
       case _ => None
     }
 

@@ -372,15 +372,25 @@ final class GraftSession private (val spark: SparkSession) {
       case None =>
     }
     ExternalTableDdl.translateIceberg(trimmed) match {
-      case Some((ifNotExists, name, location)) =>
+      case Some((ifNotExists, name, location, ctas)) =>
         // `STORED AS ICEBERG` has no Spark USING connector here — it
         // registers the LIVE rule-based scan view (same surface as
         // registerIceberg; schema/partitioning come from the table's own
-        // metadata, so a column list in the DDL is rejected upstream)
+        // metadata, so a column list in the DDL is rejected upstream).
+        // The CTAS form creates + populates the table from the query
+        // FIRST (refused when the location already holds a table).
         if (spark.catalog.tableExists(name)) {
           if (!ifNotExists) throw new IllegalArgumentException(
             s"table $name already exists (use IF NOT EXISTS)")
-        } else registerIceberg(name, location)
+        } else {
+          ctas.foreach { q =>
+            require(!graft.sources.GraftFs.exists(
+                graft.sources.GraftFs.child(location, "metadata")),
+              s"CTAS location already holds an Iceberg table: $location")
+            writeIceberg(sql(q), location)
+          }
+          registerIceberg(name, location)
+        }
         return spark.emptyDataFrame
       case None =>
     }

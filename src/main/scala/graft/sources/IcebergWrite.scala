@@ -1473,8 +1473,15 @@ object IcebergWrite {
       if (carryForward) priorManifestEntries(meta) else Nil
     val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId,
       specId = meta.defaultSpecId)
+    // the standard added-* summary counts real writers stamp (callers'
+    // summaryExtra wins on key collision)
+    val counts = Map(
+      "added-data-files" -> files.count(_.content == 0).toString,
+      "added-delete-files" -> files.count(_.content > 0).toString,
+      "added-records" -> files.filter(_.content == 0).map(_.records).sum.toString,
+      "added-files-size" -> files.map(_.bytes).sum.toString)
     publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
-      snapshotId, newSeq, operation, summaryExtra)
+      snapshotId, newSeq, operation, counts ++ summaryExtra)
   }
 
   /** The metadata.json tail every snapshot commit shares: bump

@@ -169,6 +169,28 @@ class DdlSessionSpec extends AnyFunSuite {
       === Seq("a = coalesce(x, 0)", "b = 'p,q'"))
   }
 
+  test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG AS SELECT (CTAS)") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/t"
+    g.sql("CREATE EXTERNAL TABLE ctas_t STORED AS ICEBERG " +
+      s"LOCATION '$dir' AS SELECT id, id * 2 AS dbl FROM range(5)")
+    val got = g.sql("SELECT id, dbl FROM ctas_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (0L until 5L).map(i => (i, i * 2)))
+    // it is a REAL Iceberg table (readable outside the view) and a
+    // valid DML target
+    assert(graft.sources.IcebergIO.read(spark, dir).count() === 5)
+    g.sql("DELETE FROM ctas_t WHERE id = 0")
+    assert(g.sql("SELECT COUNT(*) AS n FROM ctas_t").collect().head.getLong(0) === 4)
+    // CTAS over an existing table location is refused
+    intercept[IllegalArgumentException](
+      g.sql("CREATE EXTERNAL TABLE ctas_t2 STORED AS ICEBERG " +
+        s"LOCATION '$dir' AS SELECT 1 AS x"))
+    // added-* summary counts are stamped on write commits
+    val summaries = graft.sources.IcebergIO.snapshots(spark, dir)
+    assert(summaries.count() >= 2)
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG registers the live view") {
     import org.apache.spark.sql.types._
     val g = GraftSession.wrap(spark)
