@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+
+/** Randomized SCHEMA-EVOLUTION fuzz: a seeded sequence of addColumn /
+  * dropColumn / renameColumn / append / compact runs against a table
+  * upgraded from an id-less external fixture (the name-mapping path),
+  * with an in-memory row model carried through every mutation. Old
+  * files must keep resolving by field id across arbitrarily many
+  * renames, dropped columns must never resurrect, and post-evolution
+  * appends must round-trip — per step, not just at the end. */
+class IcebergSchemaFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("25 random schema ops keep every read exact (seed 23)") {
+    val dir = s"/tmp/graft_schema_fuzz_${java.util.UUID.randomUUID().toString.take(8)}"
+    IcebergFixture.deleteRecursively(dir)
+    val rnd = new scala.util.Random(23)
+
+    // live schema as ordered (name -> type); model rows as name->value
+    // maps (absent key = null). Start from an ID-LESS external table so
+    // the whole sequence exercises the name-mapping legacy branch too.
+    var cols: Vector[(String, DataType)] =
+      Vector("id" -> LongType, "a" -> StringType, "b" -> DoubleType)
+    var rows: Vector[Map[String, Any]] = Vector.tabulate(6)(i =>
+      Map("id" -> i.toLong, "a" -> s"a$i", "b" -> (i * 1.5)))
+    var nextId = 6L
+    var colSeq = 0
+
+    def schema = StructType(cols.map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    def df(rs: Seq[Map[String, Any]]) = {
+      val list = new java.util.ArrayList[Row]()
+      rs.foreach(m => list.add(Row(cols.map(c => m.getOrElse(c._1, null)): _*)))
+      spark.createDataFrame(list, schema)
+    }
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df(rows))
+    IcebergWrite.addNameMapping(dir)
+
+    def verify(step: String): Unit = {
+      val got = IcebergIO.read(spark, dir).collect().map { r =>
+        cols.zipWithIndex.flatMap { case ((n, _), i) =>
+          if (r.isNullAt(i)) None else Some(n -> r.get(i))
+        }.toMap
+      }.sortBy(_("id").asInstanceOf[Long])
+      val want = rows.sortBy(_("id").asInstanceOf[Long])
+      assert(got.toSeq === want.toSeq, s"divergence after $step")
+      assert(IcebergIO.read(spark, dir).schema.fieldNames.toSeq
+        === cols.map(_._1), s"schema drift after $step")
+    }
+    verify("upgrade")
+
+    for (step <- 1 to 25) {
+      val op = rnd.nextInt(5)
+      op match {
+        case 0 => // add a fresh column (old rows read it as null)
+          colSeq += 1
+          val n = s"c$colSeq"
+          val t: DataType = if (rnd.nextBoolean()) LongType else StringType
+          IcebergWrite.addColumn(dir, n, t)
+          cols :+= (n -> t)
+        case 1 if cols.size > 2 => // drop a random non-id column
+          val candidates = cols.drop(1)
+          val victim = candidates(rnd.nextInt(candidates.size))._1
+          IcebergWrite.dropColumn(spark, dir, victim)
+          cols = cols.filterNot(_._1 == victim)
+          rows = rows.map(_ - victim)
+        case 2 => // rename a random column (id included — why not)
+          colSeq += 1
+          val i = rnd.nextInt(cols.size)
+          val (old, t) = cols(i)
+          if (old != "id") { // keep the model's sort key stable
+            val nn = s"r$colSeq"
+            IcebergWrite.renameColumn(dir, old, nn)
+            cols = cols.updated(i, nn -> t)
+            rows = rows.map(m => m.get(old) match {
+              case Some(v) => (m - old) + (nn -> v)
+              case None => m
+            })
+          }
+        case 3 => // append rows under the CURRENT schema
+          val fresh = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1
+            cols.map {
+              case ("id", _) => "id" -> (id: Any)
+              case (n, LongType) => n -> (id * 10: Any)
+              case (n, DoubleType) => n -> (id * 0.5: Any)
+              case (n, _) => n -> (s"v$id": Any)
+            }.toMap
+          }
+          IcebergWrite.append(df(fresh), dir)
+          rows ++= fresh
+        case _ => // compact folds the legacy branch + mixed schemas away
+          IcebergWrite.compact(spark, dir)
+      }
+      verify(s"step $step (op $op)")
+    }
+  }
+}
