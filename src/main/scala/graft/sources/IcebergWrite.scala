@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, isnan, lit, max, min, regexp_replace, shiftleft, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, isnan, lit, max, min, regexp_replace, shiftleft, shiftright, sum, when}
 import org.apache.spark.sql.types._
 
 /**
@@ -379,7 +379,7 @@ object IcebergWrite {
   val ZorderProp = "graft.zorder.cols"
 
   /** Declare MULTI-DIMENSIONAL clustering for future appends: new data
-    * files are written in Morton (Z-curve) order over exactly two INT
+    * files are written in Morton (Z-curve) order over 2-4 INT
     * columns, so per-file min/max bounds are tight on BOTH dimensions
     * and statsFilter prunes range predicates on EITHER column — where a
     * linear sort order only ever prunes its leading column. Metadata-
@@ -393,9 +393,9 @@ object IcebergWrite {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
     if (cols.nonEmpty) {
-      require(cols.size == 2,
-        s"zorderBy interleaves exactly 2 columns, got ${cols.size}")
-      require(cols.distinct.size == 2, "zorderBy columns must differ")
+      require(cols.size >= 2 && cols.size <= 4,
+        s"zorderBy interleaves 2 to 4 columns, got ${cols.size}")
+      require(cols.distinct.size == cols.size, "zorderBy columns must differ")
       cols.foreach { c0 =>
         require(meta.schema.fieldNames.contains(c0),
           s"zorder column '$c0' not in table schema " +
@@ -428,15 +428,39 @@ object IcebergWrite {
     x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** Z-value of two int columns: sign-flip each to its unsigned 32-bit
-    * ordinal (nulls first, as the smallest ordinal), interleave the
-    * spread bits, and flip the top bit so SIGNED long comparison orders
-    * the 64-bit z-value as unsigned. */
-  private def zValue(a: Column, b: Column): Column = {
-    def ord(c0: Column): Column =
-      (coalesce(c0, lit(Int.MinValue)).cast("long") + lit(2147483648L))
-    spreadBits(ord(a)).bitwiseOR(shiftleft(spreadBits(ord(b)), 1))
-      .bitwiseXOR(lit(Long.MinValue))
+  /** Generic stride-k bit spread: bit j of `c` (a `bits`-wide value)
+    * lands at position j*k — one OR-fold of masked shifts, all long
+    * arithmetic. Used for 3- and 4-way interleaves; the 2-way case
+    * keeps the cheaper magic-mask cascade. */
+  private def spreadBitsK(c: Column, k: Int, bits: Int): Column =
+    (0 until bits).map(j =>
+      shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k))
+      .reduce(_ bitwiseOR _)
+
+  /** Z-value of 2-4 int columns: sign-flip each to its unsigned 32-bit
+    * ordinal (nulls first, as the smallest ordinal), interleave, and
+    * flip the top bit so SIGNED long comparison orders the packed
+    * value as unsigned. k=2 interleaves the full 32 bits (exact);
+    * k=3/4 keep the LOW 21/16 ordinal bits (values collide only when
+    * 2^21/2^16 apart — exact layout for the bucket/enum/date-ordinal
+    * ranges z-ordering targets; beyond that the curve wraps, which
+    * only coarsens clustering, never correctness: pruning reads the
+    * REAL column bounds, the z-value is layout-only). Taking TOP bits
+    * instead would collapse every small-range column to one cell. */
+  private def zValue(cs: Seq[Column]): Column = {
+    val k = cs.size
+    val bitsPer = 64 / k // 32 / 21 / 16
+    def ord(c0: Column): Column = {
+      val full = coalesce(c0, lit(Int.MinValue)).cast("long") + lit(2147483648L)
+      if (bitsPer == 32) full else full.bitwiseAND(lit((1L << bitsPer) - 1))
+    }
+    val parts = cs.zipWithIndex.map { case (c0, i) =>
+      val spread =
+        if (k == 2) spreadBits(ord(c0))
+        else spreadBitsK(ord(c0), k, bitsPer)
+      shiftleft(spread, i)
+    }
+    parts.reduce(_ bitwiseOR _).bitwiseXOR(lit(Long.MinValue))
   }
 
   /** Partition-spec EVOLUTION (metadata-only commit): make
@@ -1323,7 +1347,7 @@ object IcebergWrite {
             meta.schema(c0).dataType == IntegerType,
           s"z-order column '$c0' ($ZorderProp) missing from the schema " +
             "or no longer IntegerType — clear or re-declare the z-order"))
-        Seq(zValue(col(zc(0)), col(zc(1))))
+        Seq(zValue(zc.map(col)))
       case None => meta.sortOrderFields.map(col)
     }
     val writer0 = {

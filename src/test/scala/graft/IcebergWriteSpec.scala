@@ -562,9 +562,33 @@ class IcebergWriteSpec extends AnyFunSuite {
       .map(_.getLong(2)).toSeq === Seq(1742L))
     assert(IcebergIO.read(spark, zdir).count() === 10000L)
 
+    // 3-way interleave: every clustered dimension prunes
+    val grid3 = spark.range(8000).selectExpr(
+      "CAST(id % 20 AS INT) AS x", "CAST((id / 20) % 20 AS INT) AS y",
+      "CAST(id / 400 AS INT) AS z", "id AS payload").repartition(8)
+    val s3 = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false),
+      StructField("payload", LongType, nullable = false)))
+    val z3dir = s"$root/z3_main"
+    IcebergWrite.create(spark, z3dir, s3)
+    IcebergWrite.zorderBy(z3dir, Seq("x", "y", "z"))
+    IcebergWrite.append(grid3, z3dir, maxRecordsPerFile = Some(400L))
+    val z3Total = IcebergIO.files(spark, z3dir).count().toInt
+    assert(z3Total >= 16)
+    Seq("x", "y", "z").foreach { d =>
+      val n = IcebergIO.readWhere(spark, z3dir,
+        col(d) >= 5 && col(d) < 8).inputFiles.length
+      assert(n < z3Total, s"3-way z-order must prune on $d: $n of $z3Total")
+    }
+    assert(IcebergIO.read(spark, z3dir).count() === 8000L)
+
     // guards: arity, type, mutual exclusion with sort orders, clear
     intercept[IllegalArgumentException](
       IcebergWrite.zorderBy(zdir, Seq("x")))
+    intercept[IllegalArgumentException](
+      IcebergWrite.zorderBy(zdir, Seq("x", "y", "payload", "x", "y")))
     intercept[IllegalArgumentException](
       IcebergWrite.zorderBy(zdir, Seq("x", "payload"))) // long: rejected
     intercept[IllegalArgumentException](
