@@ -265,6 +265,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.find(_.media_id == 13L).get.sum_r == expectedR)
   }
 
+  test("decodeImages handles LOSSY JPEG through the codec-generic path") {
+    import graft.operators.Multimodal
+    // dims survive exactly; channel sums land near the closed form —
+    // JPEG is lossy so the PNG-style exact oracle cannot apply, but a
+    // decode that mangles layout or channels misses by far more than
+    // compression noise on a ~150-pixel tile
+    val docsDf = Seq((13L, "t", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val feats = Multimodal.decodeImages(
+      Multimodal.imageMedia(docsDf, maxId = 64, format = "jpg")).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    val (w, h) = ((8 + 13 % 16), (8 + 13 % 12))
+    assert(f.width === w.toLong && f.height === h.toLong && f.n_channels === 3L)
+    val expR = (for { y <- 0 until h; x <- 0 until w }
+      yield (13L * 31 + x * 7 + y * 13) % 256).sum
+    assert(math.abs(f.sum_r - expR).toDouble / expR < 0.15,
+      s"JPEG red-channel sum ${f.sum_r} too far from $expR")
+  }
+
   test("decodeAudio round-trips synthetic WAVs through the real JDK parser") {
     import graft.operators.Multimodal
     // local truth: decode one id's WAV bytes directly and replay the
