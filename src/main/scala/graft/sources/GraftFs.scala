@@ -105,10 +105,33 @@ object GraftFs {
     * the optimistic-concurrency primitive the Iceberg commit protocol
     * needs: two writers racing to publish the same metadata version see
     * exactly one winner. Throws the FileSystem's already-exists error
-    * for the loser. */
+    * for the loser.
+    *
+    * LOCAL filesystems need the O_EXCL primitive
+    * (`File.createNewFile`): Hadoop's local `create(overwrite=false)`
+    * is CHECK-then-create, so two same-instant publishers can both
+    * pass the check and the later stream silently clobbers the winner
+    * — a lost commit (caught by the concurrent-append spec). HDFS
+    * enforces create-if-absent server-side; bare object stores don't
+    * (the documented Iceberg-on-S3 caveat — pair with a catalog that
+    * provides the atomic swap). */
   def createNew(path: String, c: Configuration = conf()): OutputStream = {
     val p = new Path(path)
-    fs(p, c).create(p, false)
+    fs(p, c) match {
+      case local: org.apache.hadoop.fs.LocalFileSystem =>
+        createNewLocal(local.pathToFile(p))
+      case raw: org.apache.hadoop.fs.RawLocalFileSystem =>
+        createNewLocal(raw.pathToFile(p))
+      case other => other.create(p, false)
+    }
+  }
+
+  private def createNewLocal(file: java.io.File): OutputStream = {
+    Option(file.getParentFile).foreach(_.mkdirs())
+    if (!file.createNewFile()) // atomic O_EXCL
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"File already exists: $file")
+    new java.io.FileOutputStream(file)
   }
 
   def mkdirs(path: String, c: Configuration = conf()): Unit = {

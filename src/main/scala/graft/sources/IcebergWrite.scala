@@ -1057,7 +1057,7 @@ object IcebergWrite {
   private def stageSingleDeleteFile(spark: SparkSession, tablePath: String,
                                     rows: DataFrame, snapshotId: Long,
                                     content: Int, equalityIds: Seq[Int]): NewFile = {
-    val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
+    val tmp = GraftFs.child(tablePath, s"_tmp_delete_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
     // delete files carry field ids too: position deletes the spec's
     // reserved ids, equality deletes the table ids they key on
     val idByName =
@@ -1149,7 +1149,7 @@ object IcebergWrite {
     val rowsIds = stampFieldIds(rows, valueCols.zip(equalityIds).toMap)
     val withP = partSources.indices.foldLeft(rowsIds)(
       (d, i) => d.withColumn(s"__gf_p$i", col(s"__gf_s$i")))
-    val tmp = GraftFs.child(tablePath, s"_tmp_delete_$snapshotId")
+    val tmp = GraftFs.child(tablePath, s"_tmp_delete_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
     withP.repartition(partSources.indices.map(i => col(s"__gf_p$i")): _*)
       .write.mode("overwrite")
       .partitionBy(partSources.indices.map(i => s"__gf_p$i"): _*)
@@ -1332,7 +1332,7 @@ object IcebergWrite {
     // by-id resolution contract); the __gf_p* duplicates never reach
     // the files (partitionBy consumes them).
     val dfIds = stampFieldIds(df, fieldIdByName)
-    val tmp = GraftFs.child(tablePath, s"_tmp_commit_$snapshotId")
+    val tmp = GraftFs.child(tablePath, s"_tmp_commit_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
     // clustering expressions, from the metadata-declared layout: a
     // z-order ([[zorderBy]]) clusters on the interleaved Morton value —
     // tight bounds on BOTH dimensions — else the default sort order's

@@ -187,6 +187,47 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
   }
 
+  test("concurrent appends: optimistic retries land every batch exactly once") {
+    val dir = s"$root/race_real"
+    IcebergWrite.create(spark, dir, schema)
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val rows = df((100L + i, s"w$i", i.toDouble))
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              require(attempts <= 40, s"writer $i starved after 40 attempts")
+              try { IcebergWrite.append(rows, dir); done = true }
+              catch {
+                // the loser of an optimistic race retries against the
+                // newly published metadata (staging dirs are unique per
+                // attempt, so a racing writer never clobbers another's
+                // staged files)
+                case e: IllegalStateException
+                  if e.getMessage.contains("concurrent commit") => ()
+              }
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    // every batch exactly once, one snapshot per batch, strictly
+    // increasing sequence numbers
+    assert(ids(IcebergIO.read(spark, dir)) === (0 until writers).map(100L + _))
+    assert(IcebergIO.snapshotIds(dir).size === writers)
+    val seqs = IcebergIO.files(spark, dir).collect()
+      .map(_.getLong(4)).sorted.toSeq
+    assert(seqs === (1 to writers).map(_.toLong))
+    // no staging debris survives the retries
+    assert(!GraftFs.list(dir).exists(_.getPath.getName.startsWith("_tmp_")))
+  }
+
   test("format v1 create + append round-trips") {
     val dir = s"$root/v1"
     IcebergWrite.create(spark, dir, schema, formatVersion = 1)
