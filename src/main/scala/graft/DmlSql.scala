@@ -39,7 +39,7 @@ object DmlSql {
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
      """\s+USING\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
@@ -52,7 +52,10 @@ object DmlSql {
     case InsertRe(t, query) => Some(Insert(t, query.trim))
     case DeleteRe(t, where) =>
       Some(Delete(t, Option(where).map(_.trim).filter(_.nonEmpty)))
-    case UpdateRe(t, setList, where) =>
+    case UpdateRe(t, rest) =>
+      // the SET/WHERE boundary needs a QUOTE-AWARE scan — a regex split
+      // would cut inside `SET a = 'x WHERE y'`
+      val (setList, where) = splitAtTopLevelWhere(rest)
       val sets = splitTopLevel(setList).map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"malformed SET assignment: '$a'")
@@ -61,7 +64,7 @@ object DmlSql {
           s"SET target must be a plain column name, got '$lhs'")
         lhs -> a.substring(i + 1).trim
       }
-      Some(Update(t, sets, Option(where).map(_.trim).filter(_.nonEmpty)))
+      Some(Update(t, sets, where))
     case MergeRe(t, ta1, ta2, s, sa1, sa2, on) =>
       val tAlias = Seq(Option(ta1), Option(ta2)).flatten.headOption.getOrElse(t)
       val sAlias = Seq(Option(sa1), Option(sa2)).flatten.headOption.getOrElse(s)
@@ -86,6 +89,33 @@ object DmlSql {
       case other => throw new IllegalArgumentException(
         s"MERGE ON supports a pure-AND spine of t.col = s.col equalities; got '$other'")
     }
+  }
+
+  /** Split `rest` (everything after SET) at the FIRST top-level WHERE
+    * keyword — outside parens and single-quoted strings, delimited by
+    * whitespace on both sides. No top-level WHERE = update-all. */
+  private[graft] def splitAtTopLevelWhere(rest: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && (c == 'w' || c == 'W') &&
+            i >= 1 && rest.charAt(i - 1).isWhitespace &&
+            i + 5 < rest.length &&
+            rest.substring(i, i + 5).equalsIgnoreCase("WHERE") &&
+            rest.charAt(i + 5).isWhitespace =>
+          return (rest.substring(0, i).trim,
+            Some(rest.substring(i + 5).trim).filter(_.nonEmpty))
+        case _ =>
+      }
+      i += 1
+    }
+    (rest.trim, None)
   }
 
   /** Split on top-level commas only — parens and single-quoted strings

@@ -167,6 +167,16 @@ class DdlSessionSpec extends AnyFunSuite {
     // SET-list splitter respects parens and quoted commas
     assert(DmlSql.splitTopLevel("a = coalesce(x, 0), b = 'p,q'")
       === Seq("a = coalesce(x, 0)", "b = 'p,q'"))
+    // the SET/WHERE boundary is quote- and paren-aware
+    assert(DmlSql.splitAtTopLevelWhere("a = 'x WHERE y' WHERE id = 1")
+      === (("a = 'x WHERE y'", Some("id = 1"))))
+    assert(DmlSql.splitAtTopLevelWhere("a = f(' WHERE ', b)")
+      === (("a = f(' WHERE ', b)", None)))
+    DmlSql.parse("UPDATE t SET a = 'x WHERE y' WHERE id = 1") match {
+      case Some(DmlSql.Update("t", sets, Some("id = 1"))) =>
+        assert(sets === Seq("a" -> "'x WHERE y'"))
+      case other => fail(s"unexpected parse: $other")
+    }
   }
 
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG AS SELECT (CTAS)") {
