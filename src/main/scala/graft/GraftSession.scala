@@ -196,6 +196,23 @@ final class GraftSession private (val spark: SparkSession) {
   def rewriteIcebergManifests(path: String): Long =
     graft.sources.IcebergWrite.rewriteManifests(spark, path)
 
+  /** Declare the table's default sort order (spec sort-orders): later
+    * appends range-distribute + sort, making per-file bounds tight and
+    * disjoint for stats pruning. Nil restores unsorted. */
+  def setIcebergSortOrder(path: String, cols: Seq[String]): Unit =
+    graft.sources.IcebergWrite.setSortOrder(path, cols)
+
+  /** Declare Morton (Z-curve) clustering over 2-4 int columns: later
+    * appends prune range predicates on ANY clustered dimension. Nil
+    * clears. */
+  def zorderIcebergBy(path: String, cols: Seq[String]): Unit =
+    graft.sources.IcebergWrite.zorderBy(path, cols)
+
+  /** Upgrade an id-less EXTERNAL table to field-id resolution via the
+    * spec's name mapping — unlocking renameColumn there. */
+  def addIcebergNameMapping(path: String): Unit =
+    graft.sources.IcebergWrite.addNameMapping(path)
+
   /** Register a parquet-backed table (reference: context.rs:237-244,306-316). */
   def registerParquet(name: String, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(name)
