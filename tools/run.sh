@@ -3,6 +3,16 @@
 # Usage: tools/run.sh graft.Scratch [args...]
 set -e
 CLS="$1"; shift || true
+# `sbt compile` does NOT copy resources: a fresh classes dir lacks the
+# META-INF DataSourceRegister service file and every `avro` short-name
+# read dies with "Failed to find data source" (bit the round-12
+# correctness run). Self-heal: mirror src/main/resources in.
+RES=/root/repo/src/main/resources
+CLASSES=/root/repo/target/scala-2.13/classes
+if [ -d "$RES" ] && [ -d "$CLASSES" ] && \
+   [ ! -e "$CLASSES/META-INF/services/org.apache.spark.sql.sources.DataSourceRegister" ]; then
+  cp -r "$RES/." "$CLASSES/"
+fi
 exec java \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
