@@ -31,11 +31,12 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     spark.createDataFrame(list, schema)
   }
 
-  test("30 random DML ops match the in-memory model at every step (seed 17)") {
+  for (seed <- Seq(17, 41))
+  test(s"30 random DML ops match the in-memory model at every step (seed $seed)") {
     val dir = s"/tmp/graft_dml_fuzz_${java.util.UUID.randomUUID().toString.take(8)}"
     IcebergFixture.deleteRecursively(dir)
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("p"))
-    val rnd = new scala.util.Random(17)
+    val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
 
@@ -52,9 +53,9 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     }
 
     // seed the table so every verb has something to chew on
-    val seed = freshIds(20).map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
-    IcebergWrite.append(toDf(seed), dir)
-    model ++= seed.map(r => r._1 -> ((r._2, r._3)))
+    val initRows = freshIds(20).map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
+    IcebergWrite.append(toDf(initRows), dir)
+    model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
     for (step <- 1 to 30) {
       val op = rnd.nextInt(6)
