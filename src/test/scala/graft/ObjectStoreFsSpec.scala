@@ -36,6 +36,22 @@ class ObjectStoreFsSpec extends AnyFunSuite {
     new java.util.ArrayList[Row](java.util.List.of(
       Row(1L, "a"), Row(2L, "b"), Row(3L, null))), st)
 
+  test("createNew is atomic over the grafttest:// scheme") {
+    spark // force scheme registration
+    val dir = s"$root/createnew_race"
+    new File(dir).mkdirs()
+    val p = gt(s"$dir/v2.metadata.json")
+    val out = graft.sources.GraftFs.createNew(p)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    // the loser of a publish race must throw, never silently clobber —
+    // the O_EXCL primitive applies to RawLocalFileSystem subclasses,
+    // which is what the custom scheme maps to
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException](
+      graft.sources.GraftFs.createNew(p))
+    // the winner's bytes survive
+    assert(graft.sources.GraftFs.readUtf8(p) === "{}")
+  }
+
   test("AvroIO write + read round-trip over the grafttest:// scheme") {
     val path = gt(s"$root/avro_rt")
     AvroIO.write(df, path)
