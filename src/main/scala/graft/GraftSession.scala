@@ -445,7 +445,13 @@ final class GraftSession private (val spark: SparkSession) {
       case Some(PinnedSentinel) => throw new IllegalArgumentException(
         s"table '$name' is registered PINNED (snapshot/ref/as-of) — a " +
           "historical view cannot be a DML target; re-register unpinned")
-      case Some(path) => path
+      case Some(path) =>
+        // the conf key outlives a dropped temp view — DML against a
+        // name the user dropped must not silently keep resolving
+        require(spark.catalog.tableExists(name),
+          s"table '$name' was registered but its view no longer exists " +
+            "(dropped?); re-register it")
+        path
       case None => throw new IllegalArgumentException(
         s"DML target '$name' is not a registered Iceberg table " +
           "(registerIceberg / CREATE EXTERNAL TABLE ... STORED AS ICEBERG)")

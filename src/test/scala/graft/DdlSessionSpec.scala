@@ -164,6 +164,13 @@ class DdlSessionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       g.sql("MERGE INTO dml_t t USING dml_src s ON t.id > s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    // a DROPPED view must stop resolving as a DML target, even though
+    // the session-conf registration key outlives the view
+    spark.catalog.dropTempView("dml_t")
+    intercept[IllegalArgumentException](
+      g.sql("DELETE FROM dml_t WHERE id = 1"))
+    g.registerIceberg("dml_t", dir) // re-registering restores DML
+    g.sql("DELETE FROM dml_t WHERE id = 999") // resolves again (no-op)
     // SET-list splitter respects parens and quoted commas
     assert(DmlSql.splitTopLevel("a = coalesce(x, 0), b = 'p,q'")
       === Seq("a = coalesce(x, 0)", "b = 'p,q'"))
