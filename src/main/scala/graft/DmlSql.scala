@@ -28,11 +28,31 @@ object DmlSql {
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)],
                           where: Option[String]) extends Stmt
-  /** `MERGE INTO t [AS a] USING s [AS b] ON <equi keys>
-    *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-    * — the whole-row upsert form; keyCols extracted from the ON spine. */
+  /** One parsed `WHEN` clause of a MERGE; `cond` is the optional
+    * `AND <expr>` text, passed through verbatim. */
+  sealed trait MergeWhen { def cond: Option[String] }
+  /** `WHEN MATCHED [AND c] THEN UPDATE SET *` (star = true) or
+    * `... UPDATE SET col = expr, ...`. */
+  final case class WhenUpdate(cond: Option[String],
+                              sets: Seq[(String, String)],
+                              star: Boolean) extends MergeWhen
+  /** `WHEN MATCHED [AND c] THEN DELETE`. */
+  final case class WhenDelete(cond: Option[String]) extends MergeWhen
+  /** `WHEN NOT MATCHED [AND c] THEN INSERT *` (star = true) or
+    * `... INSERT (cols) VALUES (exprs)`. */
+  final case class WhenInsert(cond: Option[String],
+                              cols: Seq[String], exprs: Seq[String],
+                              star: Boolean) extends MergeWhen
+
+  /** `MERGE INTO t [AS a] USING s [AS b] ON <equi keys> WHEN ...` —
+    * keyCols extracted from the ON spine; clauses in statement order
+    * (first applicable wins per row, ANSI semantics). The canonical
+    * whole-row pair (UPDATE SET * / INSERT *, both unconditional)
+    * routes to the upsert fast path at the session layer. */
   final case class Merge(target: String, source: String,
-                         keyCols: Seq[String]) extends Stmt
+                         keyCols: Seq[String],
+                         targetAlias: String, sourceAlias: String,
+                         clauses: Seq[MergeWhen]) extends Stmt
 
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.+?)\s*;?\s*$""".r
@@ -43,9 +63,7 @@ object DmlSql {
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
      """\s+USING\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+AS\s+(\w+)|\s+(\w+))?""" +
-     """\s+ON\s+(.+?)""" +
-     """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
-     """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+     """\s+ON\s+(.+?)\s+WHEN\s+(.+?)\s*;?\s*$""").r
 
   /** None = not a DML statement shape this surface owns. */
   def parse(sql: String): Option[Stmt] = sql match {
@@ -65,11 +83,80 @@ object DmlSql {
         lhs -> a.substring(i + 1).trim
       }
       Some(Update(t, sets, where))
-    case MergeRe(t, ta1, ta2, s, sa1, sa2, on) =>
+    case MergeRe(t, ta1, ta2, s, sa1, sa2, on, whens) =>
       val tAlias = Seq(Option(ta1), Option(ta2)).flatten.headOption.getOrElse(t)
       val sAlias = Seq(Option(sa1), Option(sa2)).flatten.headOption.getOrElse(s)
-      Some(Merge(t, s, mergeKeys(on.trim, tAlias, sAlias)))
+      val clauses = splitAtKeyword(whens, "WHEN").map(parseWhen)
+      require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+      Some(Merge(t, s, mergeKeys(on.trim, tAlias, sAlias), tAlias, sAlias, clauses))
     case _ => None
+  }
+
+  private val MatchedHead = """(?is)^MATCHED(\s.*)?$""".r
+  private val NotMatchedHead = """(?is)^NOT\s+MATCHED(\s.*)?$""".r
+  private val InsertAction =
+    """(?is)^INSERT\s*(?:\*|\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.*)\))\s*$""".r
+
+  /** One `WHEN ...` clause (the leading WHEN already stripped):
+    *   MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET a=e,... | DELETE
+    *   NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
+    * The AND/THEN boundaries are quote/paren-aware scans — a condition
+    * like `s.note = 'x THEN y'` must not truncate. */
+  private def parseWhen(clause: String): MergeWhen = {
+    def condAndAction(rest: String): (Option[String], String) = {
+      val (head, thenPart) = splitAtKeyword2(rest, "THEN")
+      val action = thenPart.getOrElse(throw new IllegalArgumentException(
+        s"MERGE WHEN clause missing THEN: '$clause'"))
+      val cond = head.trim match {
+        case "" => None
+        case c if c.toUpperCase.startsWith("AND ") || c.toUpperCase.startsWith("AND\t") =>
+          Some(c.substring(4).trim)
+        case other => throw new IllegalArgumentException(
+          s"expected [AND <cond>] THEN in MERGE WHEN clause, got '$other'")
+      }
+      (cond, action.trim)
+    }
+    clause.trim match {
+      case NotMatchedHead(rest) =>
+        val (cond, action) = condAndAction(Option(rest).getOrElse(""))
+        action match {
+          case a if a.equalsIgnoreCase("INSERT *") ||
+              a.toUpperCase.replaceAll("\\s+", " ") == "INSERT *" =>
+            WhenInsert(cond, Nil, Nil, star = true)
+          case InsertAction(cols, exprs) if cols != null =>
+            val cs = splitTopLevel(cols)
+            val es = splitTopLevel(exprs)
+            require(cs.nonEmpty && cs.length == es.length,
+              s"INSERT column/value count mismatch: ${cs.length} vs ${es.length}")
+            cs.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"INSERT column must be a plain name, got '$c'"))
+            WhenInsert(cond, cs, es, star = false)
+          case InsertAction(_, _) => WhenInsert(cond, Nil, Nil, star = true)
+          case other => throw new IllegalArgumentException(
+            s"WHEN NOT MATCHED supports INSERT only, got '$other'")
+        }
+      case MatchedHead(rest) =>
+        val (cond, action) = condAndAction(Option(rest).getOrElse(""))
+        val up = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+        action match {
+          case a if a.equalsIgnoreCase("DELETE") => WhenDelete(cond)
+          case up(sets) if sets.trim == "*" => WhenUpdate(cond, Nil, star = true)
+          case up(sets) =>
+            val as = splitTopLevel(sets).map { a =>
+              val i = a.indexOf('=')
+              require(i > 0, s"malformed SET assignment: '$a'")
+              val lhs = a.substring(0, i).trim
+              require(lhs.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"SET target must be a plain column name, got '$lhs'")
+              lhs -> a.substring(i + 1).trim
+            }
+            WhenUpdate(cond, as, star = false)
+          case other => throw new IllegalArgumentException(
+            s"WHEN MATCHED supports UPDATE SET or DELETE, got '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE WHEN clause must start with MATCHED or NOT MATCHED: '$other'")
+    }
   }
 
   /** ON clause of the canonical merge: a pure-AND spine of
@@ -90,6 +177,58 @@ object DmlSql {
         s"MERGE ON supports a pure-AND spine of t.col = s.col equalities; got '$other'")
     }
   }
+
+  /** True when a whitespace-delimited, case-insensitive occurrence of
+    * `kw` starts at `i`. */
+  private def keywordAt(s: String, i: Int, kw: String): Boolean =
+    (i == 0 || s.charAt(i - 1).isWhitespace) &&
+    i + kw.length <= s.length &&
+    s.regionMatches(true, i, kw, 0, kw.length) &&
+    (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace)
+
+  /** Start indices of top-level (outside parens and single-quoted
+    * strings) occurrences of keyword `kw` in `s`. */
+  private def topLevelKeywordPositions(s: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => if (depth == 0 && keywordAt(s, i, kw)) out += i
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Split MERGE clause text at each top-level `kw` (= WHEN) that is
+    * followed by MATCHED / NOT MATCHED — the lookahead keeps an
+    * (unparenthesized) `CASE WHEN` inside a condition from splitting a
+    * clause; parenthesize CASE expressions in merge conditions. The
+    * text BEFORE the first separator is the first segment (the caller
+    * already stripped its leading WHEN). */
+  private[graft] def splitAtKeyword(s: String, kw: String): Seq[String] = {
+    val clauseHead = """(?is)^(MATCHED|NOT\s+MATCHED)\b.*""".r
+    val cuts = topLevelKeywordPositions(s, kw).filter { p =>
+      clauseHead.matches(s.substring(p + kw.length).trim)
+    }
+    val starts = 0 +: cuts.map(_ + kw.length)
+    val ends = cuts :+ s.length
+    starts.zip(ends).map { case (a, b) => s.substring(a, b).trim }
+      .filter(_.nonEmpty)
+  }
+
+  /** Split at the FIRST top-level `kw`; None = keyword absent. */
+  private[graft] def splitAtKeyword2(s: String, kw: String): (String, Option[String]) =
+    topLevelKeywordPositions(s, kw).headOption match {
+      case Some(p) => (s.substring(0, p).trim,
+        Some(s.substring(p + kw.length).trim))
+      case None => (s.trim, None)
+    }
 
   /** Split `rest` (everything after SET) at the FIRST top-level WHERE
     * keyword — outside parens and single-quoted strings, delimited by

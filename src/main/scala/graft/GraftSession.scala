@@ -381,9 +381,40 @@ final class GraftSession private (val spark: SparkSession) {
             graft.sources.IcebergWrite.updateWhere(spark, icebergPathOf(t),
               where.map(expr).getOrElse(lit(true)),
               sets.map { case (c, e) => c -> expr(e) }.toMap)
-          case DmlSql.Merge(t, source, keys) =>
-            graft.sources.IcebergWrite.upsert(spark.table(source),
-              icebergPathOf(t), keys)
+          case DmlSql.Merge(t, source, keys, tAlias, sAlias, clauses) =>
+            import graft.sources.IcebergWrite
+            val path = icebergPathOf(t)
+            clauses match {
+              // canonical whole-row pair -> the equality-delete upsert
+              // fast path (ONE commit, no position-pair scan)
+              case Seq(DmlSql.WhenUpdate(None, _, true),
+                       DmlSql.WhenInsert(None, _, _, true)) =>
+                IcebergWrite.upsert(spark.table(source), path, keys)
+              case _ =>
+                val schema = graft.sources.IcebergIO.loadMetadata(path).schema
+                // star forms expand to every table column from the
+                // source alias; expression text resolves against the
+                // statement's own aliases
+                def allFromSource: Map[String, org.apache.spark.sql.Column] =
+                  schema.fieldNames.map(n =>
+                    n -> org.apache.spark.sql.functions.col(s"$sAlias.$n")).toMap
+                val built = clauses.map {
+                  case DmlSql.WhenUpdate(c, _, true) =>
+                    IcebergWrite.WhenMatchedUpdate(allFromSource, c.map(expr))
+                  case DmlSql.WhenUpdate(c, sets, false) =>
+                    IcebergWrite.WhenMatchedUpdate(
+                      sets.map { case (n, e) => n -> expr(e) }.toMap, c.map(expr))
+                  case DmlSql.WhenDelete(c) =>
+                    IcebergWrite.WhenMatchedDelete(c.map(expr))
+                  case DmlSql.WhenInsert(c, _, _, true) =>
+                    IcebergWrite.WhenNotMatchedInsert(allFromSource, c.map(expr))
+                  case DmlSql.WhenInsert(c, cols, exprs, false) =>
+                    IcebergWrite.WhenNotMatchedInsert(
+                      cols.zip(exprs.map(expr)).toMap, c.map(expr))
+                }
+                IcebergWrite.merge(spark, path, spark.table(source), keys,
+                  built, targetAlias = tAlias, sourceAlias = sAlias)
+            }
         }
         return spark.emptyDataFrame
       case None =>

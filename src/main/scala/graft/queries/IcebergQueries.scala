@@ -733,6 +733,67 @@ object IcebergQueries {
       "WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey")
   }
 
+  /** Conditional `MERGE INTO` ([[graft.sources.IcebergWrite]] `merge` via
+    * the [[graft.DmlSql]] SQL surface): three clauses — conditional
+    * DELETE, conditional UPDATE that MOVES partitions (SET touches the
+    * partition source), and a column-list INSERT for unmatched source
+    * keys — applied first-match-wins in ONE atomic snapshot
+    * (position-delete manifest + data manifest at the same sequence
+    * number). The oracle replays the clause algebra in SQL: a LEFT JOIN
+    * decides each target row's fate, an anti-join produces the
+    * inserts. */
+  val icebergMergeInto = dfQ("iceberg_merge_into",
+    """WITH src AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 50000000
+      |              ELSE o_orderkey END AS o_orderkey,
+      |         o_orderkey % 100 AS delta
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |kept AS (
+      |  SELECT o.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.delta > 33 THEN 'U'
+      |         ELSE o.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.delta > 33
+      |         THEN o.o_totalprice + s.delta
+      |         ELSE o.o_totalprice END AS o_totalprice
+      |  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR s.delta <= 66),
+      |ins AS (
+      |  SELECT s.o_orderkey, 'N' AS o_orderstatus,
+      |         CAST(s.delta AS DOUBLE) AS o_totalprice
+      |  FROM src s LEFT JOIN orders o ON s.o_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM ins) u
+      |WHERE o_orderkey % 4 = 1
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_merge_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderstatus"))
+    graft.sources.IcebergWrite.append(orders, dir)
+    val g = graft.GraftSession.wrap(s)
+    val vn = s"merge_$tag"
+    g.registerIceberg(vn, dir)
+    val key = col("o_orderkey")
+    s.table("orders").filter(pmod(key, lit(7L)) === 0L)
+      .select(when(pmod(key, lit(3L)) === 0L, key + 50000000L)
+        .otherwise(key).as("o_orderkey"),
+        pmod(key, lit(100L)).as("delta"))
+      .createOrReplaceTempView(s"${vn}_src")
+    g.sql(s"""MERGE INTO $vn t USING ${vn}_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND s.delta > 66 THEN DELETE
+             |WHEN MATCHED AND s.delta > 33 THEN UPDATE SET
+             |  o_totalprice = t.o_totalprice + s.delta, o_orderstatus = 'U'
+             |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+             |  VALUES (s.o_orderkey, 'N', s.delta)""".stripMargin)
+    g.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $vn " +
+      "WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey")
+  }
+
   /** MANIFEST compaction ([[graft.sources.IcebergWrite]]
     * `rewriteManifests`): fold the per-commit manifests into one per
     * content kind WITHOUT touching data — entries carry their ORIGINAL
@@ -1048,7 +1109,8 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergSqlDml, icebergRewriteManifests, icebergRollback,
+    icebergUpdateWhere, icebergSqlDml, icebergMergeInto,
+    icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,

@@ -1024,6 +1024,241 @@ object IcebergWrite {
     }
   }
 
+  /** One clause of a conditional [[merge]]. Conditions and assignment /
+    * insert-value expressions reference target columns as
+    * `<targetAlias>.col` and source columns as `<sourceAlias>.col`
+    * (defaults `t` / `s`). A `cond` of None is unconditional; clause
+    * ORDER is the SQL order — the FIRST applicable clause wins per row. */
+  sealed trait MergeClause { def cond: Option[Column] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` —
+    * unassigned columns keep the old row's value; every RHS evaluates
+    * against the OLD target row + its matched source row (simultaneous
+    * assignment, SQL UPDATE semantics). */
+  final case class WhenMatchedUpdate(assignments: Map[String, Column],
+                                     cond: Option[Column] = None) extends MergeClause
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class WhenMatchedDelete(cond: Option[Column] = None) extends MergeClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)` —
+    * unlisted columns insert NULL; conditions/values may reference the
+    * SOURCE alias only (there is no target row, same as SQL). */
+  final case class WhenNotMatchedInsert(values: Map[String, Column],
+                                        cond: Option[Column] = None) extends MergeClause
+
+  /** Full conditional `MERGE INTO` in ONE atomic snapshot — the general
+    * form [[upsert]] (whole-row, unconditional) is the fast path of.
+    * For every current target row with a key-matching source row, the
+    * first applicable WHEN MATCHED clause fires (UPDATE rewrites the
+    * row, DELETE drops it; no applicable clause leaves the row
+    * untouched). Source rows matching no current target row flow
+    * through the WHEN NOT MATCHED clauses. The commit carries a
+    * position-delete manifest (the affected target rows) and a data
+    * manifest (rewrites + inserts) at the SAME sequence number, so a
+    * reader sees the old or the new state, never a mix (same contract
+    * as [[updateWhere]]). Merge-on-read: no existing file is rewritten.
+    *
+    * SQL's cardinality rule is enforced: a target row matched by MORE
+    * than one source row (when any MATCHED clause exists) throws
+    * instead of applying an arbitrary one. Keys compare with plain
+    * equality — NULL keys never match (SQL join semantics; note
+    * [[upsert]]'s equality deletes are null-safe, the spec's `<=>`).
+    *
+    * Scale shape: the matched pairs (target ∩ source — bounded by the
+    * source size, not the table) are persisted once and reused by the
+    * cardinality check + rewrite projection; position pairs come from
+    * one raw-scan join (re-deleting an already-dead position is a
+    * reader no-op, same as [[updateWhere]]); inserts from one anti-join
+    * of the source against current keys. Nothing driver-side scales
+    * with the table. Reference analog: the reference's SQL surface has
+    * no MERGE (client/src/context.rs:377-521 — DDL + SELECT only);
+    * this rounds out the writer DML set to the full ANSI shape. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+            keyCols: Seq[String], clauses: Seq[MergeClause],
+            targetAlias: String = "t", sourceAlias: String = "s",
+            maxRecordsPerFile: Option[Long] = None,
+            summaryExtra: Map[String, String] = Map.empty): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2, "merge requires format v2 (position deletes)")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    require(keyCols.forall(source.columns.contains),
+      s"key columns ${keyCols.mkString(",")} not all in the source frame")
+    require(keyCols.forall(meta.schema.fieldNames.contains),
+      s"key columns ${keyCols.mkString(",")} not all in the table schema")
+    require(!source.columns.exists(_.startsWith("__gf")),
+      "__gf-prefixed source columns collide with internal names")
+    require(targetAlias != sourceAlias, "target and source aliases must differ")
+    val matchedClauses = clauses.filter {
+      case _: WhenNotMatchedInsert => false
+      case _ => true
+    }
+    val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    matchedClauses.foreach {
+      case WhenMatchedUpdate(as, _) =>
+        require(as.nonEmpty, "UPDATE clause needs at least one assignment")
+        as.keys.foreach(n => require(meta.schema.fieldNames.contains(n),
+          s"assignment column '$n' not in table schema"))
+      case _ =>
+    }
+    insertClauses.foreach(c => c.values.keys.foreach(n =>
+      require(meta.schema.fieldNames.contains(n),
+        s"insert column '$n' not in table schema")))
+
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val src = source.alias(sourceAlias)
+    val keyJoin: Column = keyCols
+      .map(k => col(s"$targetAlias.$k") === col(s"$sourceAlias.$k"))
+      .reduce(_ && _)
+    // first-match-wins action index over a clause list (-1 = none)
+    def actionIdx(cs: Seq[MergeClause]): Column =
+      cs.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
+        when(c.cond.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+
+    // ---- empty table: every source row is NOT MATCHED; pure insert
+    if (meta.currentSnapshotId.isEmpty) {
+      val rows = insertRows(src, insertClauses, actionIdx(insertClauses), meta)
+      val (files, partColTypes) =
+        stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
+      return commitStaged(tablePath, meta, root, priorVersion, partColTypes,
+        files, snapshotId, newSeq, operation = "append", carryForward = true,
+        summaryExtra = summaryExtra)
+    }
+
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id)).get
+    val rawFiles = IcebergIO.liveFiles(spark, snap).filter(_.content == 0)
+
+    // ---- matched pairs from the CURRENT state (deletes applied — a
+    // dead row must not be resurrected by an UPDATE). Persisted: the
+    // cardinality check and the rewrite projection both read it, and
+    // its size is bounded by the source, not the table.
+    val cur = IcebergIO.read(spark, tablePath)
+    val pairs = cur.alias(targetAlias).join(src, keyJoin, "inner").persist()
+    try {
+      if (matchedClauses.nonEmpty) {
+        // SQL cardinality rule: >1 source row hitting one target row is
+        // ambiguous. Target keys may repeat legitimately, so the check
+        // is on the SOURCE side: any key duplicated in the source that
+        // also appears among the matched pairs.
+        val dupMatched = source
+          .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__gf_n"))
+          .filter(col("__gf_n") > 1)
+          .join(pairs.select(keyCols.map(k => col(s"$targetAlias.$k").as(k)): _*),
+            keyCols, "left_semi")
+          .limit(1).count()
+        require(dupMatched == 0,
+          "MERGE cardinality violation: a target row matches more than one source row")
+      }
+
+      // ---- (1) position pairs of every AFFECTED target row, from the
+      // RAW files (existing deletes not applied; re-deleting a dead
+      // position is a no-op in the reader's anti-join)
+      val anyMatchedCond =
+        matchedClauses.map(_.cond.getOrElse(lit(true))).reduceOption(_ || _)
+      val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
+      val posRows = anyMatchedCond match {
+        case None =>
+          // no MATCHED clause: nothing to delete — typed empty frame
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("file_path", StringType, nullable = false),
+              StructField("pos", LongType, nullable = false))))
+        case Some(c) =>
+          IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
+            .map(_.alias(targetAlias).join(src, keyJoin, "inner").filter(c)
+              .select(dec(col(s"$targetAlias.__gf_fileraw")).as("file_path"),
+                col(s"$targetAlias.__gf_pos").as("pos")))
+            .reduce(_ unionByName _)
+            .orderBy("file_path", "pos")
+            .coalesce(1)
+      }
+      val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
+        content = 1, equalityIds = Nil)
+      try {
+        // ---- (2) rewrites: first applicable clause per matched pair;
+        // UPDATE rows project through their assignments (old row +
+        // source visible), DELETE rows just drop
+        val mIdx = actionIdx(matchedClauses)
+        val updateIdxs = matchedClauses.zipWithIndex.collect {
+          case (_: WhenMatchedUpdate, i) => i
+        }
+        val rewrites =
+          if (updateIdxs.isEmpty) None
+          else Some(pairs.withColumn("__gf_action", mIdx)
+            .filter(col("__gf_action").isin(updateIdxs.map(Integer.valueOf): _*))
+            .select(meta.schema.fields.toSeq.map { f =>
+              val old = col(s"$targetAlias.${f.name}")
+              matchedClauses.zipWithIndex.foldRight(old) {
+                case ((c: WhenMatchedUpdate, i), acc) =>
+                  val v = c.assignments.get(f.name)
+                    .map(_.cast(f.dataType)).getOrElse(old)
+                  when(col("__gf_action") === i, v).otherwise(acc)
+                case (_, acc) => acc
+              }.as(f.name)
+            }: _*))
+
+        // ---- (3) inserts: source rows matching NO current target key
+        // (left_anti keeps source columns only — a NOT MATCHED clause
+        // referencing the target alias fails resolution, loudly)
+        val inserts =
+          if (insertClauses.isEmpty) None
+          else {
+            val unmatched = src.join(
+              cur.select(keyCols.map(col): _*).distinct().alias(targetAlias),
+              keyJoin, "left_anti")
+            Some(insertRows(unmatched, insertClauses, actionIdx(insertClauses), meta))
+          }
+
+        val newRows = (rewrites.toSeq ++ inserts.toSeq)
+          .reduceOption(_ unionByName _)
+        newRows.foreach(requireTableSchema(_, meta))
+        val (dataFiles, partColTypes) = newRows match {
+          case Some(rows) =>
+            stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
+          case None => (Nil, deletePartColTypes(meta))
+        }
+        val del =
+          if (delFile.records == 0) {
+            GraftFs.delete(delFile.path, recursive = false); Nil
+          } else Seq(delFile)
+        commitStaged(tablePath, meta, root, priorVersion, partColTypes,
+          del ++ dataFiles, snapshotId, newSeq,
+          operation = "overwrite", carryForward = true,
+          summaryExtra = summaryExtra)
+      } catch {
+        case e: Throwable =>
+          try { GraftFs.delete(delFile.path, recursive = false): Unit }
+          catch { case _: Exception => () }
+          throw e
+      }
+    } finally {
+      pairs.unpersist(): Unit
+    }
+  }
+
+  /** Project `frame` (source rows, aliased) through the first applicable
+    * NOT MATCHED clause into full-table-schema insert rows; unlisted
+    * columns insert NULL, every value casts to the declared type (SQL
+    * INSERT semantics). No applicable clause drops the row. */
+  private def insertRows(frame: DataFrame, insertClauses: Seq[WhenNotMatchedInsert],
+                         idx: Column, meta: IcebergIO.TableMetadata): DataFrame = {
+    require(insertClauses.nonEmpty,
+      "merge into an empty table needs a WHEN NOT MATCHED clause")
+    frame.withColumn("__gf_action", idx)
+      .filter(col("__gf_action") =!= -1)
+      .select(meta.schema.fields.toSeq.map { f =>
+        val nul = lit(null).cast(f.dataType)
+        insertClauses.zipWithIndex.foldRight(nul: Column) { case ((c, i), acc) =>
+          when(col("__gf_action") === i,
+            c.values.get(f.name).map(_.cast(f.dataType)).getOrElse(nul))
+            .otherwise(acc)
+        }.as(f.name)
+      }: _*)
+  }
+
   /** Resolve the delete/upsert-key columns of `values` to table field
     * ids, name- and type-checked against the table schema. */
   private def resolveEqualityIds(values: DataFrame,

@@ -186,6 +186,62 @@ class DdlSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL conditional MERGE: clauses, CASE in SET, quoted THEN, parse guards") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmerge").toString + "/t"
+    g.writeIceberg(spark.range(6).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("cm_t", dir)
+    spark.sql("SELECT * FROM VALUES (1L, 10.0D), (2L, 99.0D), (3L, 1.0D), " +
+      "(20L, 5.0D), (21L, 99.0D) AS s(id, d)").createOrReplaceTempView("cm_s")
+    g.sql("""MERGE INTO cm_t t USING cm_s s ON t.id = s.id
+            |WHEN MATCHED AND s.d > 50 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET
+            |  v = t.v + (CASE WHEN s.d > 5 THEN s.d ELSE 0 END)
+            |WHEN NOT MATCHED AND s.d < 50 THEN INSERT (id, v) VALUES (s.id, s.d)""".stripMargin)
+    val got = g.sql("SELECT id, v FROM cm_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 1: +10 (case fires); 2: deleted; 3: +0 (case 1.0 <= 5); 20: inserted;
+    // 21: not matched AND d >= 50 -> dropped; 0,4,5 untouched
+    assert(got === Seq((0L, 0.0), (1L, 11.0), (3L, 3.0), (4L, 4.0),
+      (5L, 5.0), (20L, 5.0)))
+
+    // parse-level checks: quoted THEN survives; clause split is the
+    // MATCHED-lookahead (a string containing WHEN does not split)
+    DmlSql.parse("MERGE INTO a t USING b s ON t.k = s.k " +
+      "WHEN MATCHED AND s.x = 'a THEN b' THEN UPDATE SET y = 'WHEN MATCHED' " +
+      "WHEN NOT MATCHED THEN INSERT *") match {
+      case Some(DmlSql.Merge("a", "b", Seq("k"), "t", "s", cs)) =>
+        assert(cs === Seq(
+          DmlSql.WhenUpdate(Some("s.x = 'a THEN b'"),
+            Seq("y" -> "'WHEN MATCHED'"), star = false),
+          DmlSql.WhenInsert(None, Nil, Nil, star = true)))
+      case other => fail(s"unexpected parse: $other")
+    }
+    // canonical whole-row form still parses (upsert fast path shape)
+    DmlSql.parse("MERGE INTO a USING b ON a.k = b.k WHEN MATCHED THEN " +
+      "UPDATE SET * WHEN NOT MATCHED THEN INSERT *") match {
+      case Some(DmlSql.Merge("a", "b", Seq("k"), "a", "b", Seq(
+        DmlSql.WhenUpdate(None, Nil, true),
+        DmlSql.WhenInsert(None, Nil, Nil, true)))) =>
+      case other => fail(s"unexpected parse: $other")
+    }
+    // guards: NOT MATCHED + DELETE, MATCHED + INSERT, count mismatch
+    intercept[IllegalArgumentException](DmlSql.parse(
+      "MERGE INTO a t USING b s ON t.k = s.k WHEN NOT MATCHED THEN DELETE"))
+    intercept[IllegalArgumentException](DmlSql.parse(
+      "MERGE INTO a t USING b s ON t.k = s.k WHEN MATCHED THEN INSERT *"))
+    intercept[IllegalArgumentException](DmlSql.parse(
+      "MERGE INTO a t USING b s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (x, y) VALUES (1)"))
+    // SQL cardinality rule surfaces through the session layer
+    spark.sql("SELECT * FROM VALUES (1L, 1.0D), (1L, 2.0D) AS s(id, d)")
+      .createOrReplaceTempView("cm_dup")
+    val e = intercept[IllegalArgumentException](
+      g.sql("MERGE INTO cm_t t USING cm_dup s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.d"))
+    assert(e.getMessage.contains("cardinality"))
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG AS SELECT (CTAS)") {
     val g = GraftSession.wrap(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/t"

@@ -1109,4 +1109,119 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(f3.get(0).get("field-id").asInt === fid0)
     assert(f3.get(1).get("field-id").asInt === fid0 + 1)
   }
+
+  // ---- conditional MERGE --------------------------------------------
+
+  private def mergeSrc(rows: (Long, Double, String)*) = {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("delta", DoubleType, nullable = true),
+      StructField("tag", StringType, nullable = true)))
+    val list = new java.util.ArrayList[Row]()
+    rows.foreach(r => list.add(Row(r._1, r._2, r._3)))
+    spark.createDataFrame(list, s)
+  }
+
+  test("merge: first-match-wins clause order, update + delete + conditional insert") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_basic"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)), dir)
+    val snaps0 = IcebergIO.loadMetadata(dir).snapshots.size
+    IcebergWrite.merge(spark, dir,
+      mergeSrc((1L, 5.0, "upd"), (2L, 100.0, "big"), (4L, 50.0, "ins"),
+        (5L, 1.0, "skip")),
+      Seq("id"), Seq(
+        IcebergWrite.WhenMatchedDelete(Some(expr("s.delta > 50"))),
+        IcebergWrite.WhenMatchedUpdate(Map(
+          "score" -> expr("t.score + s.delta"),
+          "name" -> expr("concat(t.name, '_', s.tag)"))),
+        IcebergWrite.WhenNotMatchedInsert(Map(
+          "id" -> expr("s.id"), "name" -> expr("s.tag"),
+          "score" -> expr("s.delta")),
+          cond = Some(expr("s.delta >= 10")))))
+    // ONE new snapshot (atomicity), exact post-state
+    assert(IcebergIO.loadMetadata(dir).snapshots.size === snaps0 + 1)
+    val got = IcebergIO.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a_upd", 15.0), (3L, "c", 30.0),
+      (4L, "ins", 50.0)))
+  }
+
+  test("merge: unconditional first clause shadows later ones; unassigned cols keep old values") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_order"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.merge(spark, dir, mergeSrc((1L, 9.0, "x"), (2L, 9.0, "y")),
+      Seq("id"), Seq(
+        IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("s.delta"))),
+        // unreachable: the unconditional update above always fires first
+        IcebergWrite.WhenMatchedDelete()))
+    val got = IcebergIO.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 9.0), (2L, "b", 9.0)))
+  }
+
+  test("merge: cardinality violation (two source rows hit one target row) throws") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_card"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.merge(spark, dir, mergeSrc((1L, 2.0, "x"), (1L, 3.0, "y")),
+        Seq("id"),
+        Seq(IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("s.delta")))))
+    }
+    assert(e.getMessage.contains("cardinality"))
+    // duplicate UNMATCHED source keys are legal (both insert, SQL semantics)
+    IcebergWrite.merge(spark, dir, mergeSrc((7L, 2.0, "x"), (7L, 3.0, "y")),
+      Seq("id"), Seq(
+        IcebergWrite.WhenMatchedDelete(),
+        IcebergWrite.WhenNotMatchedInsert(Map(
+          "id" -> expr("s.id"), "score" -> expr("s.delta")))))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 7L, 7L))
+  }
+
+  test("merge: previously deleted rows are NOT MATCHED (no resurrection)") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_dead"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.merge(spark, dir, mergeSrc((2L, 99.0, "z")), Seq("id"), Seq(
+      IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("s.delta"))),
+      IcebergWrite.WhenNotMatchedInsert(Map(
+        "id" -> expr("s.id"), "name" -> expr("'fresh'"),
+        "score" -> expr("s.delta")))))
+    val got = IcebergIO.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // id=2 was dead -> NOT MATCHED -> inserted fresh, never updated-in-place
+    assert(got === Seq((1L, "a", 1.0), (2L, "fresh", 99.0)))
+  }
+
+  test("merge: empty table takes the insert-only path; no-op merge commits cleanly") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_empty"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.merge(spark, dir, mergeSrc((1L, 1.5, "a")), Seq("id"), Seq(
+      IcebergWrite.WhenMatchedDelete(),
+      IcebergWrite.WhenNotMatchedInsert(Map(
+        "id" -> expr("s.id"), "score" -> expr("s.delta")))))
+    val got = IcebergIO.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, None, 1.5))) // unlisted column -> NULL
+    // matched-nothing + insert-nothing = a clean no-op snapshot
+    val before = IcebergIO.read(spark, dir).count()
+    IcebergWrite.merge(spark, dir, mergeSrc((1L, 0.0, "a")), Seq("id"), Seq(
+      IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("t.score")),
+        cond = Some(expr("s.delta > 100")))))
+    assert(IcebergIO.read(spark, dir).count() === before)
+  }
 }
