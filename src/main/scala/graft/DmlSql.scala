@@ -54,8 +54,33 @@ object DmlSql {
                          targetAlias: String, sourceAlias: String,
                          clauses: Seq[MergeWhen]) extends Stmt
 
+  /** `ALTER TABLE t ADD COLUMN name TYPE` — metadata-only schema
+    * evolution on a registered Iceberg table (claimed, like INSERT,
+    * only for registered names; catalog tables keep Spark's ALTER). */
+  final case class AlterAddColumn(table: String, colName: String,
+                                  colType: String) extends Stmt
+  /** `ALTER TABLE t RENAME COLUMN a TO b` (needs field-id resolution). */
+  final case class AlterRenameColumn(table: String, from: String,
+                                     to: String) extends Stmt
+  /** `ALTER TABLE t DROP COLUMN a`. */
+  final case class AlterDropColumn(table: String, colName: String) extends Stmt
+  /** `CALL system.<proc>('table', args...)` — the runtime-jar Spark
+    * procedure surface for table maintenance, over registered names.
+    * Args are literal strings/numbers, parsed at the session layer. */
+  final case class Call(procedure: String, args: Seq[String]) extends Stmt
+
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.+?)\s*;?\s*$""".r
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
+  private val AddColRe =
+    """(?is)^ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$""".r
+  private val RenameColRe =
+    """(?is)^RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val DropColRe =
+    """(?is)^DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val CallRe =
+    """(?is)^\s*CALL\s+(?:graft\.)?system\.([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe =
@@ -68,6 +93,15 @@ object DmlSql {
   /** None = not a DML statement shape this surface owns. */
   def parse(sql: String): Option[Stmt] = sql match {
     case InsertRe(t, query) => Some(Insert(t, query.trim))
+    case AlterRe(t, action) => action.trim match {
+      case AddColRe(name, tpe) => Some(AlterAddColumn(t, name, tpe.trim))
+      case RenameColRe(from, to) => Some(AlterRenameColumn(t, from, to))
+      case DropColRe(name) => Some(AlterDropColumn(t, name))
+      case _ => None // other ALTER forms stay Spark's
+    }
+    case CallRe(proc, args) =>
+      Some(Call(proc.toLowerCase(java.util.Locale.ROOT),
+        splitTopLevel(args)))
     case DeleteRe(t, where) =>
       Some(Delete(t, Option(where).map(_.trim).filter(_.nonEmpty)))
     case UpdateRe(t, rest) =>

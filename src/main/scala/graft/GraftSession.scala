@@ -352,9 +352,16 @@ final class GraftSession private (val spark: SparkSession) {
     // statements that SHAPE-match are claimed — everything else falls
     // through to spark.sql untouched.
     DmlSql.parse(trimmed) match {
-      // INSERT is claimed only for REGISTERED Iceberg targets — catalog
-      // parquet tables keep Spark's own (native) INSERT path
+      // INSERT/ALTER are claimed only for REGISTERED Iceberg targets —
+      // catalog parquet tables keep Spark's own INSERT/ALTER paths
       case Some(DmlSql.Insert(t, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AlterAddColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AlterRenameColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
+      // CALL has no Spark-native fallback (needs a catalog plugin):
+      // always claimed, unknown procedures fail loudly
+      case Some(DmlSql.Call(proc, args)) =>
+        return callProcedure(proc, args)
       case Some(stmt) =>
         import org.apache.spark.sql.functions.{expr, lit}
         stmt match {
@@ -415,6 +422,20 @@ final class GraftSession private (val spark: SparkSession) {
                 IcebergWrite.merge(spark, path, spark.table(source), keys,
                   built, targetAlias = tAlias, sourceAlias = sAlias)
             }
+          // schema evolution is metadata-only, but the LIVE view's
+          // attribute set was captured at registration — re-register so
+          // the next query sees the evolved schema
+          case DmlSql.AlterAddColumn(t, name, tpe) =>
+            graft.sources.IcebergWrite.addColumn(icebergPathOf(t), name,
+              org.apache.spark.sql.types.DataType.fromDDL(tpe))
+            registerIceberg(t, icebergPathOf(t))
+          case DmlSql.AlterRenameColumn(t, from, to) =>
+            graft.sources.IcebergWrite.renameColumn(icebergPathOf(t), from, to)
+            registerIceberg(t, icebergPathOf(t))
+          case DmlSql.AlterDropColumn(t, name) =>
+            graft.sources.IcebergWrite.dropColumn(spark, icebergPathOf(t), name)
+            registerIceberg(t, icebergPathOf(t))
+          case _: DmlSql.Call => throw new IllegalStateException("unreachable")
         }
         return spark.emptyDataFrame
       case None =>
@@ -487,6 +508,81 @@ final class GraftSession private (val spark: SparkSession) {
         s"DML target '$name' is not a registered Iceberg table " +
           "(registerIceberg / CREATE EXTERNAL TABLE ... STORED AS ICEBERG)")
     }
+
+  /** `CALL system.<proc>(...)` dispatch — the runtime jar's Spark
+    * procedure surface (table maintenance over registered names),
+    * served by [[graft.sources.IcebergWrite]]'s verbs. Results come
+    * back as DataFrames, like the real procedures. */
+  private def callProcedure(proc: String,
+                            args: Seq[String]): DataFrame = {
+    import spark.implicits._
+    def str(i: Int): String = {
+      val a = args.lift(i).getOrElse(throw new IllegalArgumentException(
+        s"CALL system.$proc: missing argument ${i + 1}"))
+      require(a.length >= 2 && a.head == '\'' && a.last == '\'',
+        s"CALL system.$proc: argument ${i + 1} must be a 'string' literal, got $a")
+      a.substring(1, a.length - 1)
+    }
+    def num(i: Int): Long = {
+      val a = args.lift(i).getOrElse(throw new IllegalArgumentException(
+        s"CALL system.$proc: missing argument ${i + 1}"))
+      try a.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"CALL system.$proc: argument ${i + 1} must be an integer literal, got $a")
+      }
+    }
+    def numOpt(i: Int): Option[Long] = args.lift(i).map(_ => num(i))
+    def arity(n: Int, m: Int): Unit =
+      require(args.length >= n && args.length <= m,
+        s"CALL system.$proc: expected $n${if (m > n) s"-$m" else ""} " +
+          s"argument(s), got ${args.length}")
+    import graft.sources.{IcebergIO, IcebergWrite}
+    proc match {
+      case "rewrite_data_files" | "compact" =>
+        arity(1, 1)
+        Seq(IcebergWrite.compact(spark, icebergPathOf(str(0))))
+          .toDF("snapshot_id")
+      case "rewrite_manifests" =>
+        arity(1, 1)
+        Seq(IcebergWrite.rewriteManifests(spark, icebergPathOf(str(0))))
+          .toDF("snapshot_id")
+      case "expire_snapshots" =>
+        arity(2, 3)
+        val retain = numOpt(2).map(_.toInt).getOrElse(1)
+        Seq(IcebergWrite.expireSnapshots(icebergPathOf(str(0)), num(1), retain))
+          .toDF("expired_count")
+      case "remove_orphan_files" =>
+        arity(1, 2)
+        val path = icebergPathOf(str(0))
+        val removed = numOpt(1) match {
+          case Some(olderThan) => IcebergWrite.removeOrphanFiles(path, olderThan)
+          case None => IcebergWrite.removeOrphanFiles(path)
+        }
+        removed.toDF("orphan_file_location")
+      case "rollback_to_snapshot" | "set_current_snapshot" =>
+        arity(2, 2)
+        IcebergWrite.setCurrentSnapshot(icebergPathOf(str(0)), num(1))
+        Seq(num(1)).toDF("current_snapshot_id")
+      case "create_tag" | "create_branch" =>
+        arity(2, 3)
+        val path = icebergPathOf(str(0))
+        val snap = numOpt(2).orElse(IcebergIO.loadMetadata(path).currentSnapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"CALL system.$proc: table '${str(0)}' is empty — pass a snapshot id"))
+        if (proc == "create_tag") IcebergWrite.createTag(path, str(1), snap)
+        else IcebergWrite.createBranch(path, str(1), snap)
+        Seq((str(1), snap)).toDF("ref", "snapshot_id")
+      case "drop_ref" =>
+        arity(2, 2)
+        IcebergWrite.dropRef(icebergPathOf(str(0)), str(1))
+        Seq(str(1)).toDF("dropped_ref")
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
+          "compact, rewrite_manifests, expire_snapshots, remove_orphan_files, " +
+          "rollback_to_snapshot/set_current_snapshot, create_tag, " +
+          "create_branch, drop_ref)")
+    }
+  }
 
   private def isShowStatement(s: String): Boolean = {
     val u = s.toUpperCase(java.util.Locale.ROOT)

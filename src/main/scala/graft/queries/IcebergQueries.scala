@@ -794,6 +794,39 @@ object IcebergQueries {
       "WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey")
   }
 
+  /** SQL DDL/maintenance surface ([[graft.DmlSql]] ALTER TABLE + CALL
+    * system.*): ADD COLUMN (old rows read NULL), INSERT carrying the
+    * new column, RENAME COLUMN (field-id resolution keeps pre-rename
+    * bytes addressable), then `CALL system.rewrite_data_files` folds
+    * everything into one compacted snapshot — the rewritten files must
+    * carry the evolved schema. Oracle replays the evolution as
+    * set-algebra. */
+  val icebergSqlAlter = dfQ("iceberg_sql_alter",
+    """SELECT n_nationkey, n_name, n_regionkey, category FROM (
+      |  SELECT n_nationkey, n_name, n_regionkey,
+      |         CAST(NULL AS VARCHAR) AS category
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name, n_regionkey, 'NEW'
+      |  FROM nation WHERE n_nationkey < 5) u
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_sqlalter_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val g = graft.GraftSession.wrap(s)
+    g.writeIceberg(
+      s.table("nation").select("n_nationkey", "n_name", "n_regionkey"), dir)
+    val vn = s"sqlalter_$tag"
+    g.registerIceberg(vn, dir)
+    g.sql(s"ALTER TABLE $vn ADD COLUMN cat STRING")
+    g.sql(s"INSERT INTO $vn SELECT n_nationkey + 100, n_name, n_regionkey, " +
+      "'NEW' FROM nation WHERE n_nationkey < 5")
+    g.sql(s"ALTER TABLE $vn RENAME COLUMN cat TO category")
+    g.sql(s"CALL system.rewrite_data_files('$vn')")
+    g.sql(s"SELECT n_nationkey, n_name, n_regionkey, category FROM $vn " +
+      "ORDER BY n_nationkey")
+  }
+
   /** MANIFEST compaction ([[graft.sources.IcebergWrite]]
     * `rewriteManifests`): fold the per-commit manifests into one per
     * content kind WITHOUT touching data — entries carry their ORIGINAL
@@ -1109,7 +1142,7 @@ object IcebergQueries {
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergSqlDml, icebergMergeInto,
+    icebergUpdateWhere, icebergSqlDml, icebergMergeInto, icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergNameMapping,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,

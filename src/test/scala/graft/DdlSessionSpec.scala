@@ -242,6 +242,73 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN routes to schema evolution; view refreshes") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_alter").toString + "/t"
+    g.writeIceberg(spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("alt_t", dir)
+    g.sql("ALTER TABLE alt_t ADD COLUMN note STRING")
+    // the re-registered LIVE view sees the evolved schema immediately
+    assert(g.sql("SELECT id, note FROM alt_t WHERE id = 1").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq === Seq((1L, None)))
+    g.sql("INSERT INTO alt_t VALUES (10, 0.5D, 'x')")
+    g.sql("ALTER TABLE alt_t RENAME COLUMN note TO remark")
+    assert(g.sql("SELECT remark FROM alt_t WHERE id = 10").collect()
+      .map(_.getString(0)).toSeq === Seq("x"))
+    g.sql("ALTER TABLE alt_t DROP COLUMN remark")
+    assert(g.sql("SELECT * FROM alt_t").columns.toSeq === Seq("id", "v"))
+    // ALTER on an unregistered name falls through to Spark's own path
+    intercept[org.apache.spark.sql.AnalysisException](
+      g.sql("ALTER TABLE not_a_graft_table ADD COLUMN x INT"))
+    // unsupported ALTER forms fall through too (parse returns None)
+    assert(DmlSql.parse("ALTER TABLE alt_t SET TBLPROPERTIES ('a'='b')").isEmpty)
+  }
+
+  test("CALL system.* procedures: maintenance surface over registered names") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_call").toString + "/t"
+    g.writeIceberg(spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("call_t", dir)
+    g.sql("DELETE FROM call_t WHERE id = 4")
+    val preSnaps = graft.sources.IcebergIO.snapshotIds(dir).size
+
+    // compact folds the delete away, one new snapshot, data unchanged
+    val sid = g.sql("CALL system.rewrite_data_files('call_t')")
+      .collect().head.getLong(0)
+    assert(graft.sources.IcebergIO.snapshotIds(dir).contains(sid))
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 4L)
+
+    // tag the current snapshot, then roll back to the pre-compact one
+    assert(g.sql("CALL system.create_tag('call_t', 'stable')")
+      .columns.toSeq === Seq("ref", "snapshot_id"))
+    val first = graft.sources.IcebergIO.snapshotIds(dir).min
+    g.sql(s"CALL system.rollback_to_snapshot('call_t', $first)")
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
+    g.sql("CALL system.drop_ref('call_t', 'stable')")
+
+    // expire everything but the current lineage tip
+    val expired = g.sql("CALL system.expire_snapshots('call_t', " +
+      s"${System.currentTimeMillis() + 100000}, 1)").collect().head.getInt(0)
+    assert(expired > 0)
+    assert(graft.sources.IcebergIO.snapshotIds(dir).size < preSnaps + 1)
+
+    // a planted stray file is an orphan; referenced files survive
+    val stray = s"$dir/data/stray-not-referenced.parquet"
+    val os = graft.sources.GraftFs.createNew(stray)
+    os.write("junk".getBytes); os.close()
+    val orphans = g.sql("CALL system.remove_orphan_files('call_t', " +
+      s"${System.currentTimeMillis() + 100000})").collect().map(_.getString(0))
+    assert(orphans.exists(_.endsWith("stray-not-referenced.parquet")))
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
+
+    // guards: unknown procedure, bad arg types, unregistered table
+    intercept[IllegalArgumentException](g.sql("CALL system.nope('call_t')"))
+    intercept[IllegalArgumentException](
+      g.sql("CALL system.rewrite_data_files(42)"))
+    intercept[IllegalArgumentException](
+      g.sql("CALL system.rewrite_data_files('unregistered')"))
+  }
+
   test("CREATE EXTERNAL TABLE ... STORED AS ICEBERG AS SELECT (CTAS)") {
     val g = GraftSession.wrap(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_ctas").toString + "/t"
