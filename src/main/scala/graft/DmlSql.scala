@@ -64,6 +64,9 @@ object DmlSql {
                                      to: String) extends Stmt
   /** `ALTER TABLE t DROP COLUMN a`. */
   final case class AlterDropColumn(table: String, colName: String) extends Stmt
+  /** `ALTER TABLE t ALTER COLUMN a TYPE <type>` — spec type promotion. */
+  final case class AlterWidenColumn(table: String, colName: String,
+                                    colType: String) extends Stmt
   /** `CALL system.<proc>('table', args...)` — the runtime-jar Spark
     * procedure surface for table maintenance, over registered names.
     * Args are literal strings/numbers, parsed at the session layer. */
@@ -79,6 +82,8 @@ object DmlSql {
     """(?is)^RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
   private val DropColRe =
     """(?is)^DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val WidenColRe =
+    """(?is)^ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+)$""".r
   private val CallRe =
     """(?is)^\s*CALL\s+(?:graft\.)?system\.([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
   private val DeleteRe =
@@ -97,6 +102,7 @@ object DmlSql {
       case AddColRe(name, tpe) => Some(AlterAddColumn(t, name, tpe.trim))
       case RenameColRe(from, to) => Some(AlterRenameColumn(t, from, to))
       case DropColRe(name) => Some(AlterDropColumn(t, name))
+      case WidenColRe(name, tpe) => Some(AlterWidenColumn(t, name, tpe.trim))
       case _ => None // other ALTER forms stay Spark's
     }
     case CallRe(proc, args) =>

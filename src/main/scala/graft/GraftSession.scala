@@ -358,6 +358,7 @@ final class GraftSession private (val spark: SparkSession) {
       case Some(DmlSql.AlterAddColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterRenameColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AlterWidenColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       // CALL has no Spark-native fallback (needs a catalog plugin):
       // always claimed, unknown procedures fail loudly
       case Some(DmlSql.Call(proc, args)) =>
@@ -434,6 +435,10 @@ final class GraftSession private (val spark: SparkSession) {
             registerIceberg(t, icebergPathOf(t))
           case DmlSql.AlterDropColumn(t, name) =>
             graft.sources.IcebergWrite.dropColumn(spark, icebergPathOf(t), name)
+            registerIceberg(t, icebergPathOf(t))
+          case DmlSql.AlterWidenColumn(t, name, tpe) =>
+            graft.sources.IcebergWrite.widenColumn(icebergPathOf(t), name,
+              org.apache.spark.sql.types.DataType.fromDDL(tpe))
             registerIceberg(t, icebergPathOf(t))
           case _: DmlSql.Call => throw new IllegalStateException("unreachable")
         }

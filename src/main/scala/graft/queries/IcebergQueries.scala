@@ -827,6 +827,36 @@ object IcebergQueries {
       "ORDER BY n_nationkey")
   }
 
+  /** Type promotion ([[graft.sources.IcebergWrite]] `widenColumn` via
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE`): int -> long is
+    * metadata-only — pre-widen files keep 32-bit bytes and upcast on
+    * scan, post-widen inserts carry genuinely 64-bit values — and both
+    * generations answer one query. Oracle replays the two generations
+    * with explicit casts. */
+  val icebergWidenColumn = dfQ("iceberg_widen_column",
+    """SELECT k, n_name FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 4000000000, n_name
+      |  FROM nation WHERE n_nationkey < 5) u
+      |ORDER BY k""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_widen_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val narrow = s.table("nation")
+      .select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+    graft.sources.IcebergWrite.create(s, dir, narrow.schema)
+    graft.sources.IcebergWrite.append(narrow, dir)
+    val g = graft.GraftSession.wrap(s)
+    val vn = s"widen_$tag"
+    g.registerIceberg(vn, dir)
+    g.sql(s"ALTER TABLE $vn ALTER COLUMN k TYPE BIGINT")
+    g.sql(s"INSERT INTO $vn SELECT n_nationkey + 4000000000, n_name " +
+      "FROM nation WHERE n_nationkey < 5")
+    g.sql(s"SELECT k, n_name FROM $vn ORDER BY k")
+  }
+
   /** MANIFEST compaction ([[graft.sources.IcebergWrite]]
     * `rewriteManifests`): fold the per-commit manifests into one per
     * content kind WITHOUT touching data — entries carry their ORIGINAL
@@ -1144,7 +1174,8 @@ object IcebergQueries {
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
     icebergUpdateWhere, icebergSqlDml, icebergMergeInto, icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
-    icebergDropColumn, icebergRenameColumn, icebergNameMapping,
+    icebergDropColumn, icebergRenameColumn, icebergWidenColumn,
+    icebergNameMapping,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)

@@ -751,12 +751,22 @@ object IcebergIO {
         s"against a $dt0 column")
   }
 
-  /** Deserialize a stored bound into the same comparison domain. */
+  /** Deserialize a stored bound into the same comparison domain.
+    * Length-aware for the spec's type promotions: after widenColumn
+    * (int -> long, float -> double) old files still carry 4-byte
+    * bounds, which must deserialize through the NARROW type (sign
+    * extension / float bit layout) and widen — reading 4 bytes as a
+    * long would drop the sign, as a double would scramble the bits. */
   private def boundValue(dt: DataType, b: Array[Byte]): Any = dt match {
     case IntegerType | DateType => IcebergTransforms.deserializeBound("int", b)
+    case LongType if b.length == 4 =>
+      IcebergTransforms.deserializeBound("int", b).asInstanceOf[Int].toLong
     case LongType   => IcebergTransforms.deserializeBound("long", b)
     case FloatType  => IcebergTransforms.deserializeBound("float", b)
       .asInstanceOf[Float].toDouble
+    case DoubleType if b.length == 4 =>
+      IcebergTransforms.deserializeBound("float", b)
+        .asInstanceOf[Float].toDouble
     case DoubleType => IcebergTransforms.deserializeBound("double", b)
     case StringType => IcebergTransforms.deserializeBound("string", b)
     case dt: DecimalType => IcebergTransforms.deserializeDecimal(b, dt.scale)

@@ -188,6 +188,58 @@ object IcebergWrite {
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
+  /** Schema evolution: WIDEN a column's type — the spec's primitive type
+    * promotions `int -> long` and `float -> double` (metadata-only
+    * commit; the field keeps its id, only the type changes). Existing
+    * data files keep the narrow physical type: the reader always scans
+    * with the CURRENT table schema, and Spark's parquet readers
+    * (vectorized and row-based) upcast int32 -> int64 / float -> double
+    * natively, under both name- and field-id resolution. Equality-delete
+    * files read through the current schema types too, so pre-widen
+    * deletes keep applying; manifest bounds stay valid because the
+    * stats filter deserializes them length-aware (4-byte bounds decode
+    * through the narrow type and widen — `IcebergIO.boundValue`).
+    * Refused for partition sources of ANY spec (manifest partition
+    * tuples store narrow ordinals that planning compares against) and
+    * for z-order columns (the Morton interleave is 32-bit by
+    * construction — clear the z-order first). Decimal precision
+    * widening is NOT offered: Spark's parquet readers reject physical
+    * decimal-width changes, so it would need a rewrite, not metadata. */
+  def widenColumn(tablePath: String, name: String, to: DataType): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.schema.fieldNames.contains(name),
+      s"column '$name' not in table schema " +
+        s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    val from = meta.schema(name).dataType
+    val legal = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(legal, s"unsupported type promotion $from -> $to " +
+      "(the spec allows int -> long and float -> double)")
+    val fid = meta.fieldById.map(_.swap).apply(name)
+    require(!meta.specsById.values.flatten.map(_._3).toSet.contains(fid) &&
+        !meta.partitionFields.map(_._3).contains(fid),
+      s"column '$name' (field id $fid) is a partition source — manifest " +
+        "partition tuples store the narrow type; rewrite, don't widen")
+    val zcols = meta.properties.get(ZorderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim)
+    require(!zcols.contains(name),
+      s"column '$name' is a z-order column (32-bit Morton interleave); " +
+        "clear the z-order first")
+    val newRoot = root.deepCopy()
+    evolveSchema(newRoot) { schemaNode =>
+      val arr = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      (0 until arr.size).map(arr.get).find(_.get("name").asText == name)
+        .foreach { f => f.asInstanceOf[ObjectNode]
+          .put("type", IcebergFixture.icebergType(to)): Unit }
+    }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
   /** Schema evolution: DROP a column (metadata-only commit). Existing
     * data files keep the bytes, but the reader's projection — always the
     * CURRENT table schema — no longer selects them (the spec's

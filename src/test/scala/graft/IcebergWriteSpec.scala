@@ -1110,6 +1110,91 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(f3.get(1).get("field-id").asInt === fid0 + 1)
   }
 
+  // ---- type promotion (widenColumn) ---------------------------------
+
+  test("widenColumn int->long / float->double: old files upcast, deletes apply, appends mix") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/widen"
+    IcebergFixture.deleteRecursively(dir)
+    val narrow = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("x", FloatType, nullable = true)))
+    def rows(vals: (Int, Float)*) = {
+      val list = new java.util.ArrayList[Row]()
+      vals.foreach(v => list.add(Row(v._1, v._2)))
+      spark.createDataFrame(list, narrow)
+    }
+    IcebergWrite.create(spark, dir, narrow)
+    IcebergWrite.append(rows((-5, 1.5f), (2, 2.5f), (3, 3.5f)), dir)
+    // a pre-widen equality delete (narrow-typed delete file)
+    IcebergWrite.deleteEquality(rows((3, 3.5f)).select("k"), dir)
+    IcebergWrite.widenColumn(dir, "k", LongType)
+    IcebergWrite.widenColumn(dir, "x", DoubleType)
+    val got = IcebergIO.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((-5L, 1.5), (2L, 2.5)))
+    // post-widen append writes wide; both generations scan together
+    val wide = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = true)))
+    val list = new java.util.ArrayList[Row]()
+    list.add(Row(10000000000L, 0.25)) // needs 64 bits
+    IcebergWrite.append(spark.createDataFrame(list, wide), dir)
+    assert(IcebergIO.read(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq === Seq(-5L, 2L, 10000000000L))
+  }
+
+  test("widenColumn: narrow 4-byte bounds still stats-prune correctly (sign + float bits)") {
+    val dir = s"$root/widen_stats"
+    IcebergFixture.deleteRecursively(dir)
+    val narrow = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("x", FloatType, nullable = true)))
+    def rows(vals: (Int, Float)*) = {
+      val list = new java.util.ArrayList[Row]()
+      vals.foreach(v => list.add(Row(v._1, v._2)))
+      spark.createDataFrame(list, narrow)
+    }
+    IcebergWrite.create(spark, dir, narrow)
+    // two files with disjoint NEGATIVE-range and positive-range keys —
+    // sign-dropping 4-byte decode would corrupt the negative bounds
+    IcebergWrite.append(rows((-100, -1.5f), (-50, -0.5f)).coalesce(1), dir)
+    IcebergWrite.append(rows((50, 1.5f), (100, 2.5f)).coalesce(1), dir)
+    IcebergWrite.widenColumn(dir, "k", LongType)
+    IcebergWrite.widenColumn(dir, "x", DoubleType)
+    import org.apache.spark.sql.functions.col
+    def filesRead(c: org.apache.spark.sql.Column): Long =
+      IcebergIO.readWhere(spark, dir, c).inputFiles.length.toLong
+    assert(filesRead(col("k") < -40L) === 1L, "negative-range file only")
+    assert(filesRead(col("k") > 40L) === 1L, "positive-range file only")
+    assert(filesRead(col("x") < -0.1) === 1L, "float bounds widen to double")
+    val got = IcebergIO.readWhere(spark, dir, col("k") < -40L)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(-100L, -50L))
+  }
+
+  test("widenColumn guards: partition source, z-order column, illegal promotion") {
+    val dir = s"$root/widen_guard"
+    IcebergFixture.deleteRecursively(dir)
+    val s2 = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("z", IntegerType, nullable = false)))
+    IcebergWrite.create(spark, dir, s2, partitionCols = Seq("k"))
+    assert(intercept[IllegalArgumentException](
+      IcebergWrite.widenColumn(dir, "k", LongType))
+      .getMessage.contains("partition source"))
+    assert(intercept[IllegalArgumentException](
+      IcebergWrite.widenColumn(dir, "z", DoubleType))
+      .getMessage.contains("promotion"))
+    val dir2 = s"$root/widen_guard_z"
+    IcebergFixture.deleteRecursively(dir2)
+    IcebergWrite.create(spark, dir2, s2)
+    IcebergWrite.zorderBy(dir2, Seq("k", "z"))
+    assert(intercept[IllegalArgumentException](
+      IcebergWrite.widenColumn(dir2, "z", LongType))
+      .getMessage.contains("z-order"))
+  }
+
   // ---- conditional MERGE --------------------------------------------
 
   private def mergeSrc(rows: (Long, Double, String)*) = {
