@@ -145,6 +145,17 @@ final class GraftSession private (val spark: SparkSession) {
     graft.sources.IcebergIO.readIncremental(spark, path, fromSnapshotId,
       toSnapshotId)
 
+  /** Row-level CHANGE capture over `(fromSnapshotId, toSnapshotId]` —
+    * the runtime jar's changelog view: inserted/deleted rows per
+    * snapshot with `_change_type` / `_change_ordinal` /
+    * `_commit_snapshot_id` appended; updates surface as delete+insert
+    * pairs at one ordinal; data-preserving replace snapshots
+    * (compaction, manifest rewrites) are skipped. */
+  def readIcebergChangelog(path: String, fromSnapshotId: Option[Long] = None,
+                           toSnapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.readChangelog(spark, path, fromSnapshotId,
+      toSnapshotId)
+
   /** Iceberg WRITE via the native spec implementation
     * ([[graft.sources.IcebergWrite]] — Hadoop-catalog layout, one
     * distributed data job, per-file stats, optimistic vN commit). A

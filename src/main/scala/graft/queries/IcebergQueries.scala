@@ -1164,13 +1164,64 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Row-level change capture ([[IcebergIO.readChangelog]] — the runtime
+    * jar's `create_changelog_view`): a delete commit and an upsert commit
+    * surface as typed change rows with commit ordinals. The oracle
+    * replays both commits' effects in SQL: ordinal 0 deletes the
+    * region-2 rows (snapshot 2); ordinal 1 is the upsert (snapshot 3) —
+    * deletes of the matched keys still live at that point, inserts of
+    * every upserted row. Snapshot ids are deterministic (the writer
+    * assigns max+1 from 1). */
+  val icebergChangelog = dfQ("iceberg_changelog",
+    """WITH up AS (
+      |  SELECT n_nationkey, 'U_' || n_name AS n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey < 4
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name, n_regionkey
+      |  FROM nation WHERE n_nationkey < 2),
+      |ch AS (
+      |  SELECT n_nationkey, n_name, n_regionkey,
+      |         'delete' AS _change_type, 0 AS _change_ordinal,
+      |         CAST(2 AS BIGINT) AS _commit_snapshot_id
+      |  FROM nation WHERE n_regionkey = 2
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, n_regionkey, 'delete', 1, CAST(3 AS BIGINT)
+      |  FROM nation WHERE n_nationkey < 4 AND n_regionkey <> 2
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, n_regionkey, 'insert', 1, CAST(3 AS BIGINT)
+      |  FROM up)
+      |SELECT n_nationkey, n_name, n_regionkey, _change_type,
+      |       _change_ordinal, _commit_snapshot_id
+      |FROM ch
+      |ORDER BY _change_ordinal, _change_type, n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_changelog_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    val s1 = graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_regionkey") === 2)
+    val updates = nation.filter(col("n_nationkey") < 4)
+      .select(col("n_nationkey"),
+        concat(lit("U_"), col("n_name")).as("n_name"), col("n_regionkey"))
+    val inserts = nation.filter(col("n_nationkey") < 2)
+      .select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+        col("n_regionkey"))
+    graft.sources.IcebergWrite.upsert(updates.unionByName(inserts), dir,
+      Seq("n_nationkey"))
+    IcebergIO.readChangelog(s, dir, fromSnapshotId = Some(s1))
+      .orderBy("_change_ordinal", "_change_type", "n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests, icebergEntries,
     icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
-    icebergIncremental, icebergRefs, icebergPipeline, icebergWriteRoundtrip,
+    icebergIncremental, icebergChangelog, icebergRefs, icebergPipeline,
+    icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
     icebergUpdateWhere, icebergSqlDml, icebergMergeInto, icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,

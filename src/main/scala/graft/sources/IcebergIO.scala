@@ -1175,6 +1175,22 @@ object IcebergIO {
           f.partitionValues.get(k).forall(pv => String.valueOf(pv) == String.valueOf(v))
         } && keepByStats(f))
     }
+    mergeRead(spark, meta, files, withIdentity = false)
+  }
+
+  /** Merge-on-read over an EXPLICIT content-file set: reads the data
+    * files in `files` and applies the position/equality delete files in
+    * `files` per the v2 rules. The snapshot scan above is this applied
+    * to a snapshot's pruned live files; the changelog scan
+    * ([[readChangelog]]) calls it with file SUBSETS of two adjacent
+    * snapshots to diff them. With `withIdentity` the result keeps the
+    * row's physical identity — `__gf_file` (scheme-normalized data file
+    * path) and `__gf_pos` (row ordinal in that file) — which is what
+    * makes a before/after anti-join well-defined without comparing row
+    * values (two equal rows in different files stay distinct). */
+  private[sources] def mergeRead(spark: SparkSession, meta: TableMetadata,
+                                 files: Seq[ContentFile],
+                                 withIdentity: Boolean): DataFrame = {
     val badFmt = files.filter(_.format != "PARQUET")
     if (badFmt.nonEmpty)
       throw new UnsupportedOperationException(
@@ -1183,10 +1199,18 @@ object IcebergIO {
     val dataFiles = files.filter(_.content == 0)
     val delPaths  = files.filter(_.content == 1).map(_.path)
     val eqFiles   = files.filter(_.content == 2)
+    val identityFields = Seq(
+      StructField("__gf_file", StringType, nullable = true),
+      StructField("__gf_pos", LongType, nullable = true))
     if (dataFiles.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (withIdentity) StructType(meta.schema.fields.toSeq ++ identityFields)
+        else meta.schema)
 
     val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
+    val outCols: Seq[Column] =
+      if (withIdentity) cols ++ Seq(col("__gf_file"), col("__gf_pos"))
+      else cols
     // Read with the TABLE schema from metadata.json, never inferred from a
     // data file: on a schema-evolved table the sampled file may predate a
     // column (it must surface as nulls, not vanish or fail), and explicit
@@ -1202,7 +1226,7 @@ object IcebergIO {
     // stamped files, by mapped name for a table upgraded via
     // addNameMapping) — ONE frame, and a plan identical to a plain
     // read, in the common single-group cases.
-    if (delPaths.isEmpty && eqFiles.isEmpty)
+    if (delPaths.isEmpty && eqFiles.isEmpty && !withIdentity)
       return stripFieldIds(
         dataBranches(spark, meta, dataFiles, withPos = false)
           .reduce(_ unionByName _))
@@ -1345,7 +1369,7 @@ object IcebergIO {
         data = data.join(dels, cond, "left_anti")
       }
     }
-    stripFieldIds(data.select(cols: _*))
+    stripFieldIds(data.select(outCols: _*))
   }
 
   /** Resolve at most one of snapshotId / asOfTimestampMs / ref to a
@@ -1506,6 +1530,151 @@ object IcebergIO {
       stripFieldIds(
         dataBranches(spark, meta, files, withPos = false)
           .reduce(_ unionByName _))
+  }
+
+  /** The changelog relation's extra columns, appended after the table
+    * schema: the runtime jar's `create_changelog_view` column set. */
+  private[graft] val changelogFields: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_change_ordinal", IntegerType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false))
+
+  /** Row-level CHANGE capture over a snapshot range — the runtime jar's
+    * changelog view (`create_changelog_view` /
+    * `IncrementalChangelogScan`): every row inserted or deleted by each
+    * snapshot in `(fromSnapshotId, toSnapshotId]` on the `to` snapshot's
+    * ancestor lineage, with `_change_type` ('insert' / 'delete'),
+    * `_change_ordinal` (0-based commit position within the range) and
+    * `_commit_snapshot_id` appended. An UPDATE surfaces as its
+    * delete+insert pair at the same ordinal, exactly how the
+    * merge-on-read verbs committed it. `fromSnapshotId = None` starts at
+    * the table's first snapshot (its inserts included).
+    *
+    * Scale shape: per snapshot the scan touches only the CHANGED file
+    * set, never the full table — inserts read the files whose data
+    * sequence number equals the snapshot's; deletes diff the AFFECTED
+    * files between the parent state and this state (removed files,
+    * files named by new position-delete files, and — only when the
+    * snapshot adds equality deletes, whose reach is value-based — the
+    * parent files the eq-delete could apply to). The before/after diff
+    * anti-joins on physical row identity (file, pos), so it is exact
+    * under any mix of position deletes, equality deletes and rewrites,
+    * and never compares row values. Data-preserving `replace` snapshots
+    * (compaction, manifest rewrites) change no rows BY CONTRACT and are
+    * skipped — a changelog consumer survives table maintenance. v2 only
+    * (sequence numbers define "added at this snapshot"). */
+  def readChangelog(spark: SparkSession, tablePath: String,
+                    fromSnapshotId: Option[Long] = None,
+                    toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    require(meta.formatVersion >= 2,
+      "changelog read needs v2 sequence numbers")
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    def snapOf(id: Long): SnapshotInfo = byId.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"snapshot $id not found; available: " +
+          meta.snapshots.map(_.snapshotId).sorted.mkString(", ")))
+    val outSchema = StructType(meta.schema.fields.toSeq ++ changelogFields)
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], outSchema)
+    val toSnapOpt = toSnapshotId.map(snapOf)
+      .orElse(meta.currentSnapshotId.map(snapOf))
+    if (toSnapOpt.isEmpty) return emptyOut // created, nothing committed yet
+    val toSnap = toSnapOpt.get
+    fromSnapshotId.foreach(snapOf) // loud unknown-id check up front
+    if (fromSnapshotId.contains(toSnap.snapshotId)) return emptyOut
+    // Ancestor lineage (from, to], oldest first. Unlike the incremental
+    // scan there is no sequence-range fallback: attributing deletes to
+    // the right snapshot REQUIRES the parent chain, so a broken chain
+    // (expired mid-range snapshot) fails loudly instead of guessing.
+    @annotation.tailrec
+    def walk(cur: SnapshotInfo, acc: List[SnapshotInfo]): List[SnapshotInfo] =
+      if (fromSnapshotId.contains(cur.snapshotId)) acc
+      else cur.parentId match {
+        case Some(p) => walk(byId.getOrElse(p,
+          throw new IllegalStateException(
+            s"parent snapshot $p of ${cur.snapshotId} is expired — " +
+              "changelog over this range is unavailable")), cur :: acc)
+        case None =>
+          require(fromSnapshotId.isEmpty,
+            s"snapshot ${fromSnapshotId.get} is not an ancestor of " +
+              s"${toSnap.snapshotId}")
+          require(cur.sequenceNumber ==
+              meta.snapshots.map(_.sequenceNumber).min,
+            s"snapshot ${cur.snapshotId} records no parent but is not the " +
+              "table's first snapshot — lineage incomplete, changelog " +
+              "unavailable")
+          cur :: acc
+      }
+    val lineage = walk(toSnap, Nil)
+    // Manifests of each snapshot parse once even though a snapshot is
+    // read as itself and as the next one's parent.
+    val filesCache = scala.collection.mutable.Map.empty[Long, Seq[ContentFile]]
+    def filesOf(s: SnapshotInfo): Seq[ContentFile] =
+      filesCache.getOrElseUpdate(s.snapshotId, liveFiles(spark, s))
+    val frames = Seq.newBuilder[DataFrame]
+    var ord = 0
+    lineage.foreach { s =>
+      val dataPreserving = s.operation == "replace" ||
+        s.summary.get("rewritten-manifests").contains("true")
+      if (!dataPreserving) {
+        val sFiles = filesOf(s)
+        val sData = sFiles.filter(_.content == 0)
+        val sDeletes = sFiles.filter(_.content != 0)
+        val sDataPaths = sData.map(f => normalizePath(f.path)).toSet
+        def mark(df: DataFrame, tpe: String): DataFrame = df
+          .withColumn("_change_type", lit(tpe))
+          .withColumn("_change_ordinal", lit(ord))
+          .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        // inserts: rows live in THIS snapshot among the files it added.
+        // Same-snapshot position deletes (a writer may add a file and
+        // delete some of its rows in one commit) apply via sDeletes;
+        // equality deletes never touch same-sequence data (strict <).
+        val newData = sData.filter(_.seq == s.sequenceNumber)
+        if (newData.nonEmpty)
+          frames += mark(
+            mergeRead(spark, meta, newData ++ sDeletes, withIdentity = false),
+            "insert")
+        // deletes: before/after diff of the affected parent files
+        s.parentId.flatMap(byId.get).foreach { p =>
+          val pFiles = filesOf(p)
+          val pData = pFiles.filter(_.content == 0)
+          val pDeletes = pFiles.filter(_.content != 0)
+          val removed = pData.filterNot(f => sDataPaths(normalizePath(f.path)))
+          val newPos = sFiles.filter(f =>
+            f.content == 1 && f.seq == s.sequenceNumber)
+          val newEq = sFiles.filter(f =>
+            f.content == 2 && f.seq == s.sequenceNumber)
+          // files a new position delete names: a metadata-scale read of
+          // the (small) delete files' distinct file_path column — never
+          // row data
+          val posTargets: Set[String] =
+            if (newPos.isEmpty) Set.empty
+            else spark.read.parquet(newPos.map(_.path): _*)
+              .select("file_path").distinct().collect()
+              .map(r => normalizePath(r.getString(0))).toSet
+          val candidates = (removed ++ pData.filter(f =>
+              posTargets(normalizePath(f.path)) ||
+                (newEq.nonEmpty && f.seq < s.sequenceNumber)))
+            .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+          if (candidates.nonEmpty) {
+            val before =
+              mergeRead(spark, meta, candidates ++ pDeletes, withIdentity = true)
+            val still = candidates.filter(f => sDataPaths(normalizePath(f.path)))
+            val deleted =
+              if (still.isEmpty) before
+              else before.join(
+                mergeRead(spark, meta, still ++ sDeletes, withIdentity = true)
+                  .select("__gf_file", "__gf_pos"),
+                Seq("__gf_file", "__gf_pos"), "left_anti")
+            frames += mark(deleted.drop("__gf_file", "__gf_pos"), "delete")
+          }
+        }
+        ord += 1
+      }
+    }
+    val fs = frames.result()
+    if (fs.isEmpty) emptyOut else fs.reduce(_ unionByName _)
   }
 
   /** Live content files of a snapshot as a relation — the `.files`

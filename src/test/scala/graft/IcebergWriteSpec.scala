@@ -1309,4 +1309,101 @@ class IcebergWriteSpec extends AnyFunSuite {
         cond = Some(expr("s.delta > 100")))))
     assert(IcebergIO.read(spark, dir).count() === before)
   }
+
+  /** (change_type, ordinal, snapshot_id, row id) tuples, sorted. */
+  private def changes(dir: String, from: Option[Long] = None,
+                      to: Option[Long] = None): Seq[(String, Int, Long, Long)] =
+    IcebergIO.readChangelog(spark, dir, from, to)
+      .select("_change_type", "_change_ordinal", "_commit_snapshot_id", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("changelog: appends surface as inserts; from-bound is exclusive") {
+    val dir = s"$root/cdc_append"
+    IcebergWrite.create(spark, dir, schema)
+    assert(changes(dir).isEmpty) // no snapshot yet
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    val s2 = IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    assert(changes(dir) === Seq(
+      ("insert", 0, s1, 1L), ("insert", 0, s1, 2L), ("insert", 1, s2, 3L)))
+    assert(changes(dir, from = Some(s1)) === Seq(("insert", 0, s2, 3L)))
+    assert(changes(dir, from = Some(s2)).isEmpty)
+    assert(changes(dir, to = Some(s1)) ===
+      Seq(("insert", 0, s1, 1L), ("insert", 0, s1, 2L)))
+    intercept[IllegalArgumentException](changes(dir, from = Some(999L)))
+  }
+
+  test("changelog: position deletes, updates, and eq-delete upserts") {
+    val dir = s"$root/cdc_verbs"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), dir)
+    // position delete of id=2
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    val s2 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s1)) === Seq(("delete", 0, s2, 2L)))
+    // updateWhere = delete(old) + insert(new) in ONE snapshot/ordinal
+    IcebergWrite.updateWhere(spark, dir, col("id") === 3L,
+      Map("score" -> (col("score") + 10.0)))
+    val s3 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s2)) ===
+      Seq(("delete", 0, s3, 3L), ("insert", 0, s3, 3L)))
+    val upd = IcebergIO.readChangelog(spark, dir, Some(s2))
+      .filter(col("_change_type") === "insert").collect().head
+    assert(upd.getDouble(upd.fieldIndex("score")) === 13.0)
+    // upsert (eq delete + data, same snapshot): update id=1, insert id=9;
+    // the already-deleted id=2 key inserts with NO delete row
+    IcebergWrite.upsert(df((1L, "a2", 5.0), (2L, "b2", 6.0), (9L, "i", 9.0)),
+      dir, Seq("id"))
+    val s4 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s3)) === Seq(
+      ("delete", 0, s4, 1L),
+      ("insert", 0, s4, 1L), ("insert", 0, s4, 2L), ("insert", 0, s4, 9L)))
+    // whole-range view: ordinals count emitted commits in order
+    assert(changes(dir).map(_._2).distinct.sorted === Seq(0, 1, 2, 3))
+  }
+
+  test("changelog: compaction and manifest rewrites emit nothing") {
+    val dir = s"$root/cdc_replace"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val s2 = IcebergIO.snapshotIds(dir).last
+    IcebergWrite.compact(spark, dir)
+    IcebergWrite.rewriteManifests(spark, dir)
+    val s3 = IcebergWrite.append(df((5L, "e", 5.0)), dir)
+    // range spans delete + compact + manifest rewrite + append: the two
+    // data-preserving replace snapshots vanish, ordinals stay dense
+    assert(changes(dir, from = Some(s1)) === Seq(
+      ("delete", 0, s2, 1L), ("insert", 1, s3, 5L)))
+    // overwrite (truncate-and-load) is NOT data-preserving: every prior
+    // live row deletes, every new row inserts
+    IcebergWrite.overwrite(df((7L, "g", 7.0)), dir)
+    val s4 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s3)) === Seq(
+      ("delete", 0, s4, 2L), ("delete", 0, s4, 5L), ("insert", 0, s4, 7L)))
+  }
+
+  test("changelog: partitioned table with partition-moving update") {
+    val dir = s"$root/cdc_part"
+    val pschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    (1L to 6L).foreach(i => rows.add(Row(i, i % 2, i.toDouble)))
+    val base = spark.createDataFrame(rows, pschema)
+    IcebergWrite.create(spark, dir, pschema, partitionCols = Seq("bucket"))
+    val s1 = IcebergWrite.append(base, dir)
+    // move id=4 from bucket 0 to bucket 1 (pos-delete + new-partition file)
+    IcebergWrite.updateWhere(spark, dir, col("id") === 4L,
+      Map("bucket" -> org.apache.spark.sql.functions.lit(1L)))
+    val s2 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s1)) ===
+      Seq(("delete", 0, s2, 4L), ("insert", 0, s2, 4L)))
+    val moved = IcebergIO.readChangelog(spark, dir, Some(s1))
+      .filter(col("_change_type") === "insert").collect().head
+    assert(moved.getLong(moved.fieldIndex("bucket")) === 1L)
+  }
 }
