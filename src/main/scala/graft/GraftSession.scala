@@ -485,8 +485,85 @@ final class GraftSession private (val spark: SparkSession) {
         val escaped = spark.conf
           .getOption("spark.sql.parser.escapedStringLiterals")
           .exists(_.equalsIgnoreCase("true"))
-        spark.sql(SimilarTo.rewrite(sqlText, escaped))
+        spark.sql(SimilarTo.rewrite(rewriteTimeTravel(sqlText), escaped))
     }
+  }
+
+  /** SQL time travel over REGISTERED Iceberg views — the engine-dialect
+    * `t FOR VERSION AS OF <snapshot-id | 'ref'>` / `t FOR TIMESTAMP AS
+    * OF '<ts>'` clauses (Spark grammar; SYSTEM_VERSION / SYSTEM_TIME
+    * synonyms accepted). Spark's parser only accepts these for DSv2
+    * catalog tables, so the session rewrites each clause into a
+    * fresh PINNED temp view over the same table (the one existing
+    * pin-resolution policy, [[graft.sources.IcebergIO]]
+    * `resolveSnapshotId`) before handing the statement to spark.sql.
+    * When no alias follows the clause, the pinned view is aliased back
+    * to the ORIGINAL name so qualified column refs (`t.col`) keep
+    * resolving. Unregistered names pass through untouched and fail with
+    * Spark's own message. */
+  private val TimeTravelRe =
+    ("""(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+""" +
+     """(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+""" +
+     """('(?:[^'])*'|\d+)""").r
+
+  /** Tokens after a time-travel clause that mean "no alias here". */
+  private val PostClauseKeywords = Set(
+    "where", "group", "order", "having", "limit", "union", "intersect",
+    "except", "join", "left", "right", "full", "inner", "cross", "natural",
+    "on", "using", "window", "qualify", "semi", "anti", "for", "when",
+    "then", "else", "end", "offset", "distribute", "cluster", "sort")
+
+  private def rewriteTimeTravel(sqlText: String): String =
+    TimeTravelRe.replaceAllIn(sqlText, m => {
+      val name = m.group(1)
+      icebergPathOpt(name) match {
+        case None => // not a registered Iceberg view: not this surface's
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(PinnedSentinel) => throw new IllegalArgumentException(
+          s"'$name' is registered PINNED — time travel needs an unpinned " +
+            "registration (the pin would silently win over the clause)")
+        case Some(path) =>
+          val kind = m.group(2).toUpperCase(java.util.Locale.ROOT)
+          val raw = m.group(3)
+          val isStr = raw.startsWith("'")
+          val value = if (isStr) raw.substring(1, raw.length - 1) else raw
+          val df = kind match {
+            case "VERSION" | "SYSTEM_VERSION" =>
+              if (isStr) // a string version is a named ref (tag/branch)
+                graft.sources.IcebergTableScan.dataFrame(spark, path, None,
+                  ref = Some(value))
+              else graft.sources.IcebergTableScan.dataFrame(spark, path,
+                Some(value.toLong))
+            case _ =>
+              require(isStr, s"$name FOR TIMESTAMP AS OF needs a " +
+                s"'timestamp' string literal, got $raw")
+              graft.sources.IcebergTableScan.dataFrame(spark, path, None,
+                asOfTimestampMs = Some(parseTsMillis(value)))
+          }
+          val view = s"${name}__asof_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          df.createOrReplaceTempView(view)
+          // peek past the clause: an identifier (or AS) is the user's own
+          // alias — emit the bare view and let it bind; anything else
+          // (keyword, comma, paren, end) gets `AS <name>` so qualified
+          // refs to the original name still resolve
+          val rest = sqlText.substring(m.end)
+          val nextTok = """^\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+            .findFirstMatchIn(rest).map(_.group(1).toLowerCase(java.util.Locale.ROOT))
+          val aliasFollows = nextTok.exists(t => !PostClauseKeywords(t))
+          java.util.regex.Matcher.quoteReplacement(
+            if (aliasFollows) view else s"$view AS $name")
+      }
+    })
+
+  /** `'yyyy-MM-dd[ HH:mm:ss[.SSS]]'` in the session zone (sessions pin
+    * UTC) to epoch millis. */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    val ldt =
+      if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   /** Reference defaults `ballista.with_information_schema` to "false"

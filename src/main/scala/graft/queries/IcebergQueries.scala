@@ -1164,6 +1164,42 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** SQL time travel ([[graft.GraftSession]] `rewriteTimeTravel`):
+    * `FOR VERSION AS OF <id | 'tag'>` and `FOR TIMESTAMP AS OF '<ts>'`
+    * clauses over a registered live Iceberg view, each resolving to a
+    * different pinned snapshot in ONE statement. The oracle replays the
+    * three pins from the fixture's known snapshot contents (snapshot 1 =
+    * keys < 10, tag 'early' = snapshot 1, far-future timestamp =
+    * current). */
+  val icebergSqlTimeTravel = dfQ("iceberg_sql_time_travel",
+    """SELECT 'v1' AS src, n_nationkey FROM nation WHERE n_nationkey < 10
+      |UNION ALL
+      |SELECT 'tag', n_nationkey FROM nation WHERE n_nationkey < 10
+      |UNION ALL
+      |SELECT 'now', n_nationkey FROM nation
+      |ORDER BY src, n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_sqltt_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    val s1 = graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.createTag(dir, "early", s1)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 10"), dir)
+    val g = graft.GraftSession.wrap(s)
+    val vn = s"sqltt_$tag"
+    g.registerIceberg(vn, dir)
+    g.sql(
+      s"""SELECT 'v1' AS src, n_nationkey FROM $vn FOR VERSION AS OF $s1
+         |UNION ALL
+         |SELECT 'tag', $vn.n_nationkey FROM $vn FOR VERSION AS OF 'early'
+         |UNION ALL
+         |SELECT 'now', n_nationkey
+         |FROM $vn FOR TIMESTAMP AS OF '2100-01-01 00:00:00'
+         |ORDER BY src, n_nationkey""".stripMargin)
+  }
+
   /** Row-level change capture ([[IcebergIO.readChangelog]] — the runtime
     * jar's `create_changelog_view`): a delete commit and an upsert commit
     * surface as typed change rows with commit ordinals. The oracle
@@ -1223,7 +1259,8 @@ object IcebergQueries {
     icebergIncremental, icebergChangelog, icebergRefs, icebergPipeline,
     icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergSqlDml, icebergMergeInto, icebergSqlAlter,
+    icebergUpdateWhere, icebergSqlDml, icebergSqlTimeTravel, icebergMergeInto,
+    icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergWidenColumn,
     icebergNameMapping,

@@ -253,4 +253,45 @@ class IcebergSqlSpec extends AnyFunSuite {
     assert(scannedFiles(df).size === 1)
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("SQL time travel: VERSION AS OF id / 'tag', TIMESTAMP AS OF") {
+    import graft.sources.IcebergWrite
+    val dir = s"$root/timetravel"
+    IcebergWrite.create(spark, dir, st)
+    val s1 = IcebergWrite.append(rows(1L -> "a", 2L -> "b"), dir)
+    IcebergWrite.createTag(dir, "v1tag", s1)
+    IcebergWrite.append(rows(3L -> "c"), dir)
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("tt_sql", dir)
+    def ids(q: String): Seq[Long] =
+      g.sql(q).collect().map(_.getLong(0)).toSeq.sorted
+    // live view sees everything; pins see snapshot 1
+    assert(ids("SELECT id FROM tt_sql") === Seq(1L, 2L, 3L))
+    assert(ids(s"SELECT id FROM tt_sql FOR VERSION AS OF $s1") === Seq(1L, 2L))
+    assert(ids("SELECT id FROM tt_sql FOR VERSION AS OF 'v1tag'") === Seq(1L, 2L))
+    assert(ids("SELECT id FROM tt_sql FOR SYSTEM_VERSION AS OF 'v1tag'") ===
+      Seq(1L, 2L))
+    assert(ids("SELECT id FROM tt_sql FOR TIMESTAMP AS OF '2100-01-01'") ===
+      Seq(1L, 2L, 3L))
+    // qualified refs: no alias -> re-aliased to the original name;
+    // a user alias binds as written
+    assert(ids(s"SELECT tt_sql.id FROM tt_sql FOR VERSION AS OF $s1 " +
+      "WHERE tt_sql.grp = 'a'") === Seq(1L))
+    assert(ids(s"SELECT x.id FROM tt_sql FOR VERSION AS OF $s1 AS x") ===
+      Seq(1L, 2L))
+    assert(ids(s"SELECT x.id FROM tt_sql FOR VERSION AS OF $s1 x") ===
+      Seq(1L, 2L))
+    // two pins of the same table in one statement resolve independently
+    val both = g.sql(
+      s"""SELECT (SELECT count(*) FROM tt_sql FOR VERSION AS OF $s1) AS a,
+         |       (SELECT count(*) FROM tt_sql FOR TIMESTAMP AS OF '2100-01-01') AS b
+         |""".stripMargin).collect().head
+    assert((both.getLong(0), both.getLong(1)) === ((2L, 3L)))
+    // unregistered names pass through untouched (Spark's own error)
+    intercept[Exception](g.sql("SELECT * FROM no_such FOR VERSION AS OF 1"))
+    // a pinned registration refuses a second, conflicting pin
+    g.registerIceberg("tt_sql_pin", dir, snapshotId = Some(s1))
+    intercept[IllegalArgumentException](
+      g.sql("SELECT id FROM tt_sql_pin FOR VERSION AS OF 1"))
+  }
 }
