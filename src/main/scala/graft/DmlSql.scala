@@ -25,6 +25,13 @@ object DmlSql {
     * falls through to spark.sql otherwise — catalog parquet tables keep
     * Spark's own INSERT path). */
   final case class Insert(table: String, query: String) extends Stmt
+  /** `INSERT OVERWRITE t <query>` — replace the table's live content
+    * with the query result in one snapshot (prior snapshots stay
+    * time-travelable). */
+  final case class InsertOverwrite(table: String, query: String) extends Stmt
+  /** `TRUNCATE TABLE t` — remove all live rows. Metadata-only at the
+    * session layer: an overwrite snapshot carrying no files. */
+  final case class Truncate(table: String) extends Stmt
   final case class Delete(table: String, where: Option[String]) extends Stmt
   final case class Update(table: String, sets: Seq[(String, String)],
                           where: Option[String]) extends Stmt
@@ -74,6 +81,10 @@ object DmlSql {
 
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.+?)\s*;?\s*$""".r
+  private val InsertOverwriteRe =
+    """(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES|WITH|FROM|TABLE)\b.+?)\s*;?\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
   private val AddColRe =
@@ -98,6 +109,8 @@ object DmlSql {
   /** None = not a DML statement shape this surface owns. */
   def parse(sql: String): Option[Stmt] = sql match {
     case InsertRe(t, query) => Some(Insert(t, query.trim))
+    case InsertOverwriteRe(t, query) => Some(InsertOverwrite(t, query.trim))
+    case TruncateRe(t) => Some(Truncate(t))
     case AlterRe(t, action) => action.trim match {
       case AddColRe(name, tpe) => Some(AlterAddColumn(t, name, tpe.trim))
       case RenameColRe(from, to) => Some(AlterRenameColumn(t, from, to))

@@ -366,6 +366,8 @@ final class GraftSession private (val spark: SparkSession) {
       // INSERT/ALTER are claimed only for REGISTERED Iceberg targets —
       // catalog parquet tables keep Spark's own INSERT/ALTER paths
       case Some(DmlSql.Insert(t, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.InsertOverwrite(t, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.Truncate(t)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterAddColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterRenameColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
@@ -379,20 +381,21 @@ final class GraftSession private (val spark: SparkSession) {
         stmt match {
           case DmlSql.Insert(t, query) =>
             val path = icebergPathOf(t)
-            val df = sql(query)
-            val target = graft.sources.IcebergIO.loadMetadata(path).schema
-            require(df.columns.length == target.fields.length,
-              s"INSERT INTO $t: query produces ${df.columns.length} " +
-                s"column(s), table has ${target.fields.length}")
-            // positional alignment + cast to the declared types — SQL
-            // INSERT semantics (names from the query are irrelevant;
-            // toDF renames by POSITION, so auto-generated names with
-            // dots never meet the column parser)
-            val aligned = df.toDF(target.fieldNames.toSeq: _*)
-              .select(target.fields.toSeq.map(f =>
-                org.apache.spark.sql.functions.col(f.name)
-                  .cast(f.dataType).as(f.name)): _*)
-            graft.sources.IcebergWrite.append(aligned, path)
+            graft.sources.IcebergWrite.append(
+              alignToTable(t, path, sql(query), "INSERT INTO"), path)
+          case DmlSql.InsertOverwrite(t, query) =>
+            val path = icebergPathOf(t)
+            graft.sources.IcebergWrite.overwrite(
+              alignToTable(t, path, sql(query), "INSERT OVERWRITE"), path)
+          case DmlSql.Truncate(t) =>
+            // an overwrite snapshot with no files: metadata-only, prior
+            // snapshots stay time-travelable — never a full rewrite
+            val path = icebergPathOf(t)
+            val schema = graft.sources.IcebergIO.loadMetadata(path).schema
+            graft.sources.IcebergWrite.overwrite(
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+              path)
           case DmlSql.Delete(t, where) =>
             graft.sources.IcebergWrite.deleteWhere(spark, icebergPathOf(t),
               where.map(expr).getOrElse(lit(true)))
@@ -579,6 +582,22 @@ final class GraftSession private (val spark: SparkSession) {
         s"invalid boolean for $InformationSchemaKey: '$v'")
     }
 
+  /** Positional alignment + cast to the table's declared types — SQL
+    * INSERT semantics (names from the query are irrelevant; toDF
+    * renames by POSITION, so auto-generated names with dots never meet
+    * the column parser). Shared by INSERT INTO and INSERT OVERWRITE. */
+  private def alignToTable(name: String, path: String, df: DataFrame,
+                           verb: String): DataFrame = {
+    val target = graft.sources.IcebergIO.loadMetadata(path).schema
+    require(df.columns.length == target.fields.length,
+      s"$verb $name: query produces ${df.columns.length} " +
+        s"column(s), table has ${target.fields.length}")
+    df.toDF(target.fieldNames.toSeq: _*)
+      .select(target.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*)
+  }
+
   private def icebergPathOpt(name: String): Option[String] =
     spark.conf.getOption(
       s"$IcebergTableKeyPrefix${name.toLowerCase(java.util.Locale.ROOT)}")
@@ -669,11 +688,22 @@ final class GraftSession private (val spark: SparkSession) {
         arity(2, 2)
         IcebergWrite.dropRef(icebergPathOf(str(0)), str(1))
         Seq(str(1)).toDF("dropped_ref")
+      case "create_changelog_view" =>
+        // runtime-jar procedure: registers `<name>_changes` as a temp
+        // view of the CDC rows over (from, to] (defaults: the whole
+        // history up to the current snapshot, captured at call time)
+        arity(1, 3)
+        val name = str(0)
+        val path = icebergPathOf(name)
+        val view = s"${name}_changes"
+        IcebergIO.readChangelog(spark, path, numOpt(1), numOpt(2))
+          .createOrReplaceTempView(view)
+        Seq(view).toDF("changelog_view")
       case other => throw new IllegalArgumentException(
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
           "compact, rewrite_manifests, expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
-          "create_branch, drop_ref)")
+          "create_branch, drop_ref, create_changelog_view)")
     }
   }
 

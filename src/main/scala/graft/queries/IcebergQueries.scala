@@ -1164,6 +1164,26 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** `INSERT OVERWRITE` through the SQL DML surface: the table's live
+    * content is replaced by the query result in one snapshot (the
+    * TRUNCATE + changelog-view halves of the same surface are
+    * scalatest-covered — their outputs are session state, not rows).
+    * The oracle is simply the overwriting query itself. */
+  val icebergSqlOverwrite = dfQ("iceberg_sql_overwrite",
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_regionkey = 1 ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    val dir = s"/tmp/graft_iceberg_sqlow_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val g = graft.GraftSession.wrap(s)
+    g.writeIceberg(s.table("nation").select("n_nationkey", "n_name"), dir)
+    val vn = s"sqlow_$tag"
+    g.registerIceberg(vn, dir)
+    g.sql(s"INSERT OVERWRITE $vn SELECT n_nationkey, n_name FROM nation " +
+      "WHERE n_regionkey = 1")
+    g.sql(s"SELECT n_nationkey, n_name FROM $vn ORDER BY n_nationkey")
+  }
+
   /** SQL time travel ([[graft.GraftSession]] `rewriteTimeTravel`):
     * `FOR VERSION AS OF <id | 'tag'>` and `FOR TIMESTAMP AS OF '<ts>'`
     * clauses over a registered live Iceberg view, each resolving to a
@@ -1259,7 +1279,8 @@ object IcebergQueries {
     icebergIncremental, icebergChangelog, icebergRefs, icebergPipeline,
     icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
-    icebergUpdateWhere, icebergSqlDml, icebergSqlTimeTravel, icebergMergeInto,
+    icebergUpdateWhere, icebergSqlDml, icebergSqlOverwrite,
+    icebergSqlTimeTravel, icebergMergeInto,
     icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergWidenColumn,

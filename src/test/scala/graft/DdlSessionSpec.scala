@@ -186,6 +186,40 @@ class DdlSessionSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT OVERWRITE / TRUNCATE / create_changelog_view") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlow").toString + "/t"
+    g.writeIceberg(spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("ow_t", dir)
+    // overwrite replaces live content in one snapshot; casts positionally
+    g.sql("INSERT OVERWRITE ow_t SELECT id + 100, CAST(1.5 AS DOUBLE) FROM range(3)")
+    assert(g.sql("SELECT id FROM ow_t ORDER BY id").collect().map(_.getLong(0))
+      .toSeq === Seq(100L, 101L, 102L))
+    // the pre-overwrite snapshot stays time-travelable
+    val first = graft.sources.IcebergIO.snapshotIds(dir).head
+    assert(g.sql(s"SELECT count(*) AS c FROM ow_t FOR VERSION AS OF $first")
+      .collect().head.getLong(0) === 5L)
+    // changelog view over the whole history: 5 + 3 inserts, 5 deletes
+    val view = g.sql("CALL system.create_changelog_view('ow_t')")
+      .collect().head.getString(0)
+    assert(view === "ow_t_changes")
+    val byType = g.sql(
+      s"SELECT _change_type, count(*) AS c FROM $view GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byType === Seq(("delete", 5L), ("insert", 8L)))
+    // TRUNCATE: metadata-only overwrite commit, no rows after
+    g.sql("TRUNCATE TABLE ow_t")
+    assert(g.sql("SELECT count(*) AS c FROM ow_t").collect().head.getLong(0) === 0L)
+    // truncating commits a snapshot (time travel still sees old data)
+    assert(g.sql(s"SELECT count(*) AS c FROM ow_t FOR VERSION AS OF $first")
+      .collect().head.getLong(0) === 5L)
+    // unregistered names keep Spark's own INSERT OVERWRITE / TRUNCATE
+    intercept[org.apache.spark.sql.AnalysisException](
+      g.sql("INSERT OVERWRITE no_such_t SELECT 1"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      g.sql("TRUNCATE TABLE no_such_t"))
+  }
+
   test("SQL conditional MERGE: clauses, CASE in SET, quoted THEN, parse guards") {
     val g = GraftSession.wrap(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_cmerge").toString + "/t"
