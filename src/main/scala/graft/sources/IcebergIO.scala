@@ -1583,22 +1583,59 @@ object IcebergIO {
     val toSnap = toSnapOpt.get
     fromSnapshotId.foreach(snapOf) // loud unknown-id check up front
     if (fromSnapshotId.contains(toSnap.snapshotId)) return emptyOut
+    changelogImpl(spark, meta, fromSnapshotId, None, toSnap)
+  }
+
+  /** Changes with sequence numbers in `(fromSeq, toSeq]` — the streaming
+    * CDC source's batch planner (offsets are sequence numbers, exactly
+    * like [[readIncrementalBySeq]]); `toSeq` must name an existing
+    * snapshot (the offset the source itself reported). */
+  private[graft] def readChangelogBySeq(spark: SparkSession,
+                                        tablePath: String,
+                                        fromSeq: Long,
+                                        toSeq: Long): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    require(meta.formatVersion >= 2,
+      "changelog read needs v2 sequence numbers")
+    val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot with sequence number $toSeq (expired?); available: " +
+          meta.snapshots.map(_.sequenceNumber).sorted.mkString(", ")))
+    changelogImpl(spark, meta, None, Some(fromSeq), toSnap)
+  }
+
+  /** Shared changelog body. The lineage cut is `fromId` (exclusive
+    * snapshot-id bound) or `fromSeq` (exclusive sequence bound — the
+    * walk stops at the first ancestor at or below it); with neither, the
+    * range is the whole history. */
+  private def changelogImpl(spark: SparkSession, meta: TableMetadata,
+                            fromId: Option[Long], fromSeq: Option[Long],
+                            toSnap: SnapshotInfo): DataFrame = {
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val outSchema = StructType(meta.schema.fields.toSeq ++ changelogFields)
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], outSchema)
     // Ancestor lineage (from, to], oldest first. Unlike the incremental
     // scan there is no sequence-range fallback: attributing deletes to
     // the right snapshot REQUIRES the parent chain, so a broken chain
     // (expired mid-range snapshot) fails loudly instead of guessing.
     @annotation.tailrec
     def walk(cur: SnapshotInfo, acc: List[SnapshotInfo]): List[SnapshotInfo] =
-      if (fromSnapshotId.contains(cur.snapshotId)) acc
+      if (fromId.contains(cur.snapshotId)) acc
+      else if (fromId.isEmpty && fromSeq.exists(cur.sequenceNumber <= _)) acc
       else cur.parentId match {
         case Some(p) => walk(byId.getOrElse(p,
           throw new IllegalStateException(
             s"parent snapshot $p of ${cur.snapshotId} is expired — " +
               "changelog over this range is unavailable")), cur :: acc)
         case None =>
-          require(fromSnapshotId.isEmpty,
-            s"snapshot ${fromSnapshotId.get} is not an ancestor of " +
+          require(fromId.isEmpty,
+            s"snapshot ${fromId.get} is not an ancestor of " +
               s"${toSnap.snapshotId}")
+          // reaching a parentless snapshot is legal only when it IS the
+          // table's oldest — a mid-history chain break must not silently
+          // truncate the range (an expired bottom below a seq cut lands
+          // here too, and the oldest-snapshot check still holds)
           require(cur.sequenceNumber ==
               meta.snapshots.map(_.sequenceNumber).min,
             s"snapshot ${cur.snapshotId} records no parent but is not the " +

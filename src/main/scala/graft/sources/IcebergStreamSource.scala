@@ -51,6 +51,16 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
       n
     }
 
+  /** `.option("changelog", "true")` switches the source to CDC rows. */
+  private def changelogMode(parameters: Map[String, String]): Boolean =
+    parameters.get("changelog") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"invalid boolean for option changelog: '$v'")
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -59,7 +69,11 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
       "graft-iceberg streams read with the TABLE schema from metadata.json; " +
         "a user-supplied schema would silently diverge from the manifests")
     maxSnaps(parameters): Unit // validate at load() time, synchronously
-    (shortName(), IcebergIO.loadMetadata(tablePath(parameters)).schema)
+    val table = IcebergIO.loadMetadata(tablePath(parameters)).schema
+    (shortName(),
+      if (changelogMode(parameters))
+        StructType(table.fields.toSeq ++ IcebergIO.changelogFields)
+      else table)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -68,17 +82,22 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, tablePath(parameters),
-      maxSnaps(parameters), Some(metadataPath))
+      maxSnaps(parameters), Some(metadataPath),
+      changelog = changelogMode(parameters))
 }
 
 class IcebergStreamSource(spark: SparkSession, tablePath: String,
                           maxSnapshotsPerTrigger: Option[Int] = None,
-                          metadataPath: Option[String] = None)
+                          metadataPath: Option[String] = None,
+                          changelog: Boolean = false)
     extends Source {
 
   // pinned at construction: a mid-stream schema evolution is surfaced as
   // a loud failure in getBatch, never as silently misaligned columns
-  override val schema: StructType = IcebergIO.loadMetadata(tablePath).schema
+  private val tableSchema: StructType = IcebergIO.loadMetadata(tablePath).schema
+  override val schema: StructType =
+    if (changelog) StructType(tableSchema.fields.toSeq ++ IcebergIO.changelogFields)
+    else tableSchema
 
   // ---- rate limiting ([[maxSnapshotsPerTrigger]]): a batch covers at
   // most N snapshots of backlog. The cap needs a BASE — the last
@@ -136,18 +155,28 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
     // getOffset — adopt its end as the planned base
     if (plannedSeq.forall(_ < seqOf(end))) recordPlanned(seqOf(end))
     val current = IcebergIO.loadMetadata(tablePath).schema
-    if (current != schema)
+    if (current != tableSchema)
       throw new IllegalStateException(
         s"Iceberg table $tablePath changed schema mid-stream " +
-          s"(was ${schema.simpleString}, now ${current.simpleString}) — " +
+          s"(was ${tableSchema.simpleString}, now ${current.simpleString}) — " +
           "restart the stream to pick up the new schema")
     // start = None on the very first batch (and on restart before any
     // commit): stream the table from the beginning. asStreaming marks
     // the parquet relation with the isStreaming flag the micro-batch
-    // engine asserts on.
-    org.apache.spark.sql.GraftShim.asStreaming(
-      IcebergIO.readIncrementalBySeq(spark, tablePath,
-        start.map(seqOf).getOrElse(0L), seqOf(end)))
+    // engine asserts on; the changelog batch is a multi-relation
+    // composition (per-snapshot diffs), so it streams behind one lazy
+    // RDD leaf instead (asStreamingRdd — the KafkaSource pattern).
+    // CDC mode is what makes delete/upsert commits STREAMABLE: the
+    // append mode fails loudly on them, a changelog consumer gets them
+    // as typed delete+insert rows.
+    if (changelog)
+      org.apache.spark.sql.GraftShim.asStreamingRdd(
+        IcebergIO.readChangelogBySeq(spark, tablePath,
+          start.map(seqOf).getOrElse(0L), seqOf(end)))
+    else
+      org.apache.spark.sql.GraftShim.asStreaming(
+        IcebergIO.readIncrementalBySeq(spark, tablePath,
+          start.map(seqOf).getOrElse(0L), seqOf(end)))
   }
 
   /** Offsets come back from the checkpoint log as [[SerializedOffset]]

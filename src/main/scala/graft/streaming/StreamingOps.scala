@@ -416,6 +416,24 @@ object StreamingOps {
       .load()
   }
 
+  /** Streaming CDC over an Iceberg table: every commit streams as typed
+    * change rows (`_change_type` insert/delete, `_commit_snapshot_id`;
+    * `_change_ordinal` is the commit's position WITHIN its micro-batch —
+    * order across batches by `_commit_snapshot_id`). Unlike
+    * [[icebergSnapshotStream]], delete/update/upsert commits don't fail
+    * the query — an UPDATE arrives as its delete+insert pair — and
+    * data-preserving maintenance (compact, rewriteManifests) streams
+    * nothing. The natural feed for a downstream materialized view or
+    * keyed-state pipeline (`foreachBatch` + [[icebergUpsertSink]]). */
+  def icebergChangelogStream(spark: SparkSession, tablePath: String,
+                             maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft-iceberg").option("path", tablePath)
+      .option("changelog", "true")
+    maxSnapshotsPerTrigger.fold(r)(n =>
+        r.option("maxSnapshotsPerTrigger", n.toString))
+      .load()
+  }
+
   def icebergAppendStream(spark: SparkSession, tablePath: String,
                           dataFileGlob: String = "data-*.parquet"): DataFrame = {
     val meta = graft.sources.IcebergIO.loadMetadata(tablePath)

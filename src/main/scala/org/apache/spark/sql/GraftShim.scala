@@ -143,4 +143,19 @@ object GraftShim {
         isStreaming = true)
     }
   }
+
+  /** Streaming-mark a MULTI-relation batch plan by wrapping its compiled
+    * RDD (the KafkaSource `getBatch` pattern:
+    * `internalCreateDataFrame(rdd, schema, isStreaming = true)`).
+    * The RDD is lazy — nothing executes until the micro-batch runs — and
+    * the whole batch plan (joins, unions, anti-joins) stays distributed
+    * behind one streaming leaf. Use for sources whose batch is a
+    * composition (e.g. the changelog scan's per-snapshot diffs) rather
+    * than a single file relation; [[asStreaming]] remains the
+    * plan-transparent path for single-scan batches. */
+  def asStreamingRdd(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -406,6 +406,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg changelog stream: delete/upsert/compact commits stream as CDC") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergIO, IcebergWrite}
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_cdc_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def rows(xs: (Long, Double)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    IcebergWrite.create(spark, dir, st)
+    IcebergWrite.append(rows(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), dir)
+    val stream = StreamingOps.icebergChangelogStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("id", "v", "_change_type", "_change_ordinal", "_commit_snapshot_id"))
+    val q = stream.writeStream.format("memory").queryName(s"ice_cdc_$tag")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def got(): Seq[(String, Long, Long)] =
+      spark.table(s"ice_cdc_$tag")
+        .select("_change_type", "_commit_snapshot_id", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    try {
+      q.processAllAvailable()
+      assert(got() === Seq(("insert", 1L, 1L), ("insert", 1L, 2L),
+        ("insert", 1L, 3L)))
+      // a DELETE commit streams a typed delete row — the append-mode
+      // source fails loudly here, CDC mode is what makes it streamable
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+      q.processAllAvailable()
+      assert(got().contains(("delete", 2L, 2L)))
+      // an upsert streams its delete+insert pair in one commit
+      IcebergWrite.upsert(rows(1L -> 10.0, 9L -> 9.0), dir, Seq("id"))
+      q.processAllAvailable()
+      assert(got().filter(_._2 == 3L) === Seq(
+        ("delete", 3L, 1L), ("insert", 3L, 1L), ("insert", 3L, 9L)))
+      // data-preserving maintenance streams NOTHING, and the stream
+      // keeps going across it
+      val before = got().size
+      IcebergWrite.compact(spark, dir)
+      IcebergWrite.rewriteManifests(spark, dir)
+      q.processAllAvailable()
+      assert(got().size === before)
+      IcebergWrite.append(rows(5L -> 5.0), dir)
+      q.processAllAvailable()
+      val lastSnap = IcebergIO.snapshotIds(dir).last
+      assert(got().contains(("insert", lastSnap, 5L)))
+    } finally q.stop()
+  }
+
   test("iceberg snapshot stream: maxSnapshotsPerTrigger paces the backlog") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
