@@ -688,6 +688,11 @@ final class GraftSession private (val spark: SparkSession) {
         arity(2, 2)
         IcebergWrite.dropRef(icebergPathOf(str(0)), str(1))
         Seq(str(1)).toDF("dropped_ref")
+      case "fast_forward" =>
+        // publish half of write-audit-publish: move main to a branch head
+        arity(2, 2)
+        Seq(IcebergWrite.fastForward(icebergPathOf(str(0)), str(1)))
+          .toDF("current_snapshot_id")
       case "create_changelog_view" =>
         // runtime-jar procedure: registers `<name>_changes` as a temp
         // view of the CDC rows over (from, to] (defaults: the whole
@@ -703,7 +708,7 @@ final class GraftSession private (val spark: SparkSession) {
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
           "compact, rewrite_manifests, expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
-          "create_branch, drop_ref, create_changelog_view)")
+          "create_branch, drop_ref, fast_forward, create_changelog_view)")
     }
   }
 

@@ -1164,6 +1164,34 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** Write-audit-publish ([[graft.sources.IcebergWrite]] branch append +
+    * `fastForward`): rows staged on a branch are INVISIBLE to main
+    * readers until the fast-forward publishes them atomically. The
+    * Spark side reads main at both phases; the oracle replays the two
+    * states from the known commit contents. */
+  val icebergBranchWap = dfQ("iceberg_branch_wap",
+    """SELECT 'staged' AS phase, n_nationkey FROM nation
+      |WHERE n_nationkey < 10
+      |UNION ALL
+      |SELECT 'published', n_nationkey FROM nation
+      |ORDER BY phase, n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions.lit
+    val dir = s"/tmp/graft_iceberg_wap_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 10"), dir,
+      branch = Some("stage"))
+    val staged = IcebergIO.read(s, dir)
+      .select(lit("staged").as("phase"), org.apache.spark.sql.functions.col("n_nationkey"))
+    graft.sources.IcebergWrite.fastForward(dir, "stage")
+    val published = IcebergIO.read(s, dir)
+      .select(lit("published").as("phase"), org.apache.spark.sql.functions.col("n_nationkey"))
+    staged.unionByName(published).orderBy("phase", "n_nationkey")
+  }
+
   /** `INSERT OVERWRITE` through the SQL DML surface: the table's live
     * content is replaced by the query result in one snapshot (the
     * TRUNCATE + changelog-view halves of the same surface are
@@ -1285,6 +1313,7 @@ object IcebergQueries {
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergWidenColumn,
     icebergNameMapping,
+    icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)

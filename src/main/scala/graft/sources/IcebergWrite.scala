@@ -142,12 +142,23 @@ object IcebergWrite {
 
   /** Append `df` as one new snapshot; returns the snapshot id. The new
     * files ADD to the table — prior snapshots, manifests, and delete
-    * files are carried forward untouched. */
+    * files are carried forward untouched.
+    *
+    * `branch = Some(b)`: the write-audit-publish half of the runtime
+    * jar's branching surface — the snapshot's parent and carried
+    * manifests come from the BRANCH head (a missing branch is created
+    * from the table's current state), only the branch ref moves (main,
+    * `current-snapshot-id` and the snapshot-log are untouched, so
+    * readers of the main lineage never see the staged data), and
+    * sequence numbers stay table-global per the v2 rule. Audit the
+    * branch with `read(ref = Some(b))`, then publish atomically with
+    * [[fastForward]]. */
   def append(df: DataFrame, tablePath: String,
              maxRecordsPerFile: Option[Long] = None,
-             summaryExtra: Map[String, String] = Map.empty): Long =
+             summaryExtra: Map[String, String] = Map.empty,
+             branch: Option[String] = None): Long =
     commitData(df, tablePath, maxRecordsPerFile, operation = "append",
-      summaryExtra = summaryExtra)
+      summaryExtra = summaryExtra, branch = branch)
 
   /** Replace the table's contents with `df` in one new snapshot (full
     * overwrite: the new manifest list references ONLY the new files, so
@@ -1569,10 +1580,16 @@ object IcebergWrite {
   private def commitData(df: DataFrame, tablePath: String,
                          maxRecordsPerFile: Option[Long],
                          operation: String,
-                         summaryExtra: Map[String, String] = Map.empty): Long = {
+                         summaryExtra: Map[String, String] = Map.empty,
+                         branch: Option[String] = None): Long = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
     requireTableSchema(df, meta)
+    branch.foreach { b =>
+      require(b != "main", "write to main is the default — omit `branch`")
+      require(operation == "append",
+        s"branch writes support append only, got '$operation'")
+    }
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val newSeq =
       if (meta.formatVersion >= 2)
@@ -1582,7 +1599,8 @@ object IcebergWrite {
       stageDataFiles(df, tablePath, meta, snapshotId, maxRecordsPerFile)
     commitStaged(tablePath, meta, root, priorVersion, partColTypes,
       files, snapshotId, newSeq, operation,
-      carryForward = operation == "append", summaryExtra = summaryExtra)
+      carryForward = operation == "append", summaryExtra = summaryExtra,
+      branch = branch)
   }
 
   /** Stage `df`'s rows as new data files under `data/` (ONE distributed
@@ -1739,9 +1757,11 @@ object IcebergWrite {
                            files: Seq[NewFile], snapshotId: Long,
                            newSeq: Long, operation: String,
                            carryForward: Boolean,
-                           summaryExtra: Map[String, String] = Map.empty): Long =
+                           summaryExtra: Map[String, String] = Map.empty,
+                           branch: Option[String] = None): Long =
     try commitSnapshot(tablePath, meta, root, priorVersion, partColTypes,
-      files, snapshotId, newSeq, operation, carryForward, summaryExtra)
+      files, snapshotId, newSeq, operation, carryForward, summaryExtra,
+      branch)
     catch {
       case e: Throwable =>
         files.foreach { f =>
@@ -1760,9 +1780,16 @@ object IcebergWrite {
                              files: Seq[NewFile], snapshotId: Long,
                              newSeq: Long, operation: String,
                              carryForward: Boolean,
-                             summaryExtra: Map[String, String] = Map.empty): Long = {
+                             summaryExtra: Map[String, String] = Map.empty,
+                             branch: Option[String] = None): Long = {
     val fv = meta.formatVersion
     val metaDir = GraftFs.child(tablePath, "metadata")
+    // the commit's BASE: the branch head when writing to a branch (a
+    // missing branch bases on the table's current state), else main
+    val baseId: Option[Long] = branch match {
+      case Some(b) => meta.refs.get(b).orElse(meta.currentSnapshotId)
+      case None => meta.currentSnapshotId
+    }
     // v2 keeps data and delete files in SEPARATE manifests (a manifest's
     // content is all-data or all-deletes); one commit may carry both
     // kinds — upsert publishes a delete manifest + a data manifest in
@@ -1781,7 +1808,7 @@ object IcebergWrite {
           group.size)
       }
     val carried: Seq[GenericRecord] =
-      if (carryForward) priorManifestEntries(meta) else Nil
+      if (carryForward) priorManifestEntries(meta, baseId) else Nil
     val mlPath = writeManifestList(metaDir, fv, carried, added, snapshotId,
       specId = meta.defaultSpecId)
     // the standard added-* summary counts real writers stamp (callers'
@@ -1792,28 +1819,33 @@ object IcebergWrite {
       "added-records" -> files.filter(_.content == 0).map(_.records).sum.toString,
       "added-files-size" -> files.map(_.bytes).sum.toString)
     publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
-      snapshotId, newSeq, operation, counts ++ summaryExtra)
+      snapshotId, newSeq, operation, counts ++ summaryExtra, branch, baseId)
   }
 
   /** The metadata.json tail every snapshot commit shares: bump
     * last-sequence-number, record the snapshot + log entries, move the
-    * main ref, publish optimistically. */
+    * target ref, publish optimistically. A main-lineage commit
+    * (`branch = None`) moves `current-snapshot-id`, the main ref and the
+    * snapshot-log; a BRANCH commit moves only its own ref — the main
+    * lineage (and time travel over it) never sees branch snapshots. */
   private def publishSnapshot(meta: IcebergIO.TableMetadata,
                               root: ObjectNode, priorVersion: Int,
                               metaDir: String, mlPath: String,
                               snapshotId: Long, newSeq: Long,
                               operation: String,
-                              summaryExtra: Map[String, String]): Long = {
+                              summaryExtra: Map[String, String],
+                              branch: Option[String] = None,
+                              parentId: Option[Long] = None): Long = {
     val fv = meta.formatVersion
     val now = System.currentTimeMillis()
     val newRoot = root.deepCopy()
     if (fv >= 2) newRoot.put("last-sequence-number", newSeq)
     val priorUpdated = Option(newRoot.get("last-updated-ms")).map(_.asLong).getOrElse(now)
     newRoot.put("last-updated-ms", now)
-    newRoot.put("current-snapshot-id", snapshotId)
     val sn = mapper.createObjectNode()
     sn.put("snapshot-id", snapshotId)
-    meta.currentSnapshotId.foreach(p => sn.put("parent-snapshot-id", p))
+    parentId.orElse(meta.currentSnapshotId)
+      .foreach(p => sn.put("parent-snapshot-id", p))
     sn.put("timestamp-ms", now)
     if (fv >= 2) sn.put("sequence-number", newSeq)
     Option(newRoot.get("current-schema-id")).foreach(n => sn.put("schema-id", n.asInt))
@@ -1822,9 +1854,6 @@ object IcebergWrite {
     summaryExtra.foreach { case (k, v) => summary.put(k, v) }
     sn.put("manifest-list", mlPath)
     arrayNode(newRoot, "snapshots").add(sn)
-    val slog = arrayNode(newRoot, "snapshot-log").addObject()
-    slog.put("timestamp-ms", now)
-    slog.put("snapshot-id", snapshotId)
     val mlog = arrayNode(newRoot, "metadata-log").addObject()
     mlog.put("timestamp-ms", priorUpdated)
     mlog.put("metadata-file", meta.metadataFile)
@@ -1832,12 +1861,79 @@ object IcebergWrite {
       case Some(o: ObjectNode) => o
       case _ => newRoot.putObject("refs")
     }
-    val mainRef = refs.putObject("main")
-    mainRef.put("snapshot-id", snapshotId)
-    mainRef.put("type", "branch")
+    val targetRef = refs.putObject(branch.getOrElse("main"))
+    targetRef.put("snapshot-id", snapshotId)
+    targetRef.put("type", "branch")
+    if (branch.isEmpty) {
+      newRoot.put("current-snapshot-id", snapshotId)
+      val slog = arrayNode(newRoot, "snapshot-log").addObject()
+      slog.put("timestamp-ms", now)
+      slog.put("snapshot-id", snapshotId)
+    }
 
     publish(metaDir, priorVersion + 1, newRoot)
     snapshotId
+  }
+
+  /** Fast-forward MAIN to a branch head — the publish half of
+    * write-audit-publish (the runtime jar's `fast_forward` procedure).
+    * Metadata-only and atomic (one optimistic publish): main must be an
+    * ANCESTOR of the branch head (the branch owns every commit since the
+    * fork), so the move never abandons main-lineage data; anything else
+    * fails loudly — resolve by re-basing the branch, not by a silent
+    * overwrite. The branch ref itself stays (drop it separately). */
+  def fastForward(tablePath: String, branch: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    val head = meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"no such branch '$branch' (refs: " +
+          s"${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    meta.currentSnapshotId.foreach { cur =>
+      if (cur != head) {
+        @annotation.tailrec
+        def ancestorOfHead(id: Option[Long]): Boolean = id match {
+          case None => false
+          case Some(x) if x == cur => true
+          case Some(x) => ancestorOfHead(byId.get(x).flatMap(_.parentId))
+        }
+        require(ancestorOfHead(Some(head)),
+          s"main ($cur) is not an ancestor of branch '$branch' head " +
+            s"($head) — fast-forward would abandon main-lineage commits")
+      }
+    }
+    val now = System.currentTimeMillis()
+    val newRoot = root.deepCopy()
+    newRoot.put("last-updated-ms", now)
+    newRoot.put("current-snapshot-id", head)
+    val refs = Option(newRoot.get("refs")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("refs")
+    }
+    val mainRef = refs.putObject("main")
+    mainRef.put("snapshot-id", head)
+    mainRef.put("type", "branch")
+    // snapshot-log entries for every branch commit main just adopted, in
+    // commit order — time travel over the main lineage must resolve
+    // through them exactly as if they had been committed to main
+    val adopted = {
+      @annotation.tailrec
+      def walk(id: Option[Long], acc: List[Long]): List[Long] = id match {
+        case Some(x) if !meta.currentSnapshotId.contains(x) =>
+          walk(byId.get(x).flatMap(_.parentId), x :: acc)
+        case _ => acc
+      }
+      walk(Some(head), Nil)
+    }
+    val slog = arrayNode(newRoot, "snapshot-log")
+    adopted.foreach { id =>
+      val e = slog.addObject()
+      e.put("timestamp-ms", now)
+      e.put("snapshot-id", id)
+    }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+    head
   }
 
   private def arrayNode(root: ObjectNode, name: String) =
@@ -1862,8 +1958,9 @@ object IcebergWrite {
   /** The current snapshot's manifest-list entries, verbatim, for
     * carry-forward into the new list (the spec rewrites the full
     * manifest list each commit). Empty for an empty table. */
-  private def priorManifestEntries(meta: IcebergIO.TableMetadata): Seq[GenericRecord] = {
-    meta.currentSnapshotId.toSeq.flatMap { id =>
+  private def priorManifestEntries(meta: IcebergIO.TableMetadata,
+                                   baseSnapshotId: Option[Long]): Seq[GenericRecord] = {
+    baseSnapshotId.toSeq.flatMap { id =>
       val snap = meta.snapshots.find(_.snapshotId == id).getOrElse(
         throw new IllegalStateException(s"current snapshot $id missing"))
       val ml = snap.manifestList.getOrElse(

@@ -335,6 +335,16 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(orphans.exists(_.endsWith("stray-not-referenced.parquet")))
     assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
 
+    // branch write + fast_forward: staged rows publish atomically
+    graft.sources.IcebergWrite.append(
+      spark.range(10, 12).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir,
+      branch = Some("stage"))
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
+    val ff = g.sql("CALL system.fast_forward('call_t', 'stage')")
+      .collect().head.getLong(0)
+    assert(graft.sources.IcebergIO.loadMetadata(dir).currentSnapshotId === Some(ff))
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 7L)
+
     // guards: unknown procedure, bad arg types, unregistered table
     intercept[IllegalArgumentException](g.sql("CALL system.nope('call_t')"))
     intercept[IllegalArgumentException](

@@ -1385,6 +1385,45 @@ class IcebergWriteSpec extends AnyFunSuite {
       ("delete", 0, s4, 2L), ("delete", 0, s4, 5L), ("insert", 0, s4, 7L)))
   }
 
+  test("branch append + fast-forward: write-audit-publish lifecycle") {
+    val dir = s"$root/wap"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    // staged commits land on the branch only — main readers see nothing
+    val s2 = IcebergWrite.append(df((3L, "c", 3.0)), dir,
+      branch = Some("audit"))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("audit"))) ===
+      Seq(1L, 2L, 3L))
+    // a second branch commit stacks on the BRANCH head, not on main
+    IcebergWrite.append(df((4L, "d", 4.0)), dir, branch = Some("audit"))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("audit"))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // main's time travel never resolves to a staged snapshot
+    assert(ids(IcebergIO.read(spark, dir,
+      asOfTimestampMs = Some(System.currentTimeMillis()))) === Seq(1L, 2L))
+    // publish: main fast-forwards to the branch head atomically
+    val head = IcebergWrite.fastForward(dir, "audit")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 4L))
+    // the adopted snapshots joined the main lineage: time travel works,
+    // and the changelog walks parent links straight through the fork
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(s2))) ===
+      Seq(1L, 2L, 3L))
+    assert(changes(dir, from = Some(s1)).map(x => (x._1, x._4)) ===
+      Seq(("insert", 3L), ("insert", 4L)))
+    assert(IcebergIO.loadMetadata(dir).currentSnapshotId === Some(head))
+    // guards: unknown branch; diverged main refuses the fast-forward
+    intercept[IllegalArgumentException](IcebergWrite.fastForward(dir, "nope"))
+    IcebergWrite.append(df((9L, "i", 9.0)), dir, branch = Some("audit2"))
+    IcebergWrite.append(df((5L, "e", 5.0)), dir) // main moves past the fork
+    intercept[IllegalArgumentException](
+      IcebergWrite.fastForward(dir, "audit2"))
+    // branch writes refuse main as an explicit target
+    intercept[IllegalArgumentException](
+      IcebergWrite.append(df((6L, "f", 6.0)), dir, branch = Some("main")))
+  }
+
   test("changelog: partitioned table with partition-moving update") {
     val dir = s"$root/cdc_part"
     val pschema = StructType(Seq(
