@@ -936,7 +936,8 @@ object IcebergWrite {
     * ([[stageScopedEqDelete]]; writing a single global file there would
     * read back as scoped to the NULL partition and mis-apply). Returns
     * the snapshot id. */
-  def deleteEquality(values: DataFrame, tablePath: String): Long = {
+  def deleteEquality(values: DataFrame, tablePath: String,
+                     summaryExtra: Map[String, String] = Map.empty): Long = {
     val spark = values.sparkSession
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
@@ -955,7 +956,8 @@ object IcebergWrite {
       else stageScopedEqDelete(values, tablePath, meta, snapshotId, ids)
     commitStaged(tablePath, meta, root, priorVersion,
       deletePartColTypes(meta), files, snapshotId, newSeq,
-      operation = "delete", carryForward = true)
+      operation = "delete", carryForward = true,
+      summaryExtra = summaryExtra)
   }
 
   /** MERGE-style UPSERT in ONE atomic snapshot: table rows whose

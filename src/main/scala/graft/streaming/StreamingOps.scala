@@ -332,6 +332,67 @@ object StreamingOps {
     !replay
   }
 
+  /** [[commitStreamBatch]]'s CDC-APPLY twin: apply a micro-batch of
+    * changelog rows (the [[icebergChangelogStream]] schema) to a keyed
+    * REPLICA table. The batch may span several source commits, so the
+    * NET effect per key is applied: the highest-ordinal change wins
+    * (insert beats delete at one ordinal — that pair is an update).
+    * Net deletes become one equality-delete commit, net inserts one
+    * upsert commit; each is an idempotent net-state application, so a
+    * replay after a crash BETWEEN the two commits converges (the batch
+    * id stamps only the LAST commit — an earlier stamp would mark a
+    * half-applied batch as done). Single-writer per replica, like every
+    * foreachBatch sink here. */
+  def commitStreamBatchCdc(batch: DataFrame, tablePath: String,
+                           keyCols: Seq[String], batchId: Long): Boolean = {
+    val replay = lastStreamBatchId(tablePath).exists(_ >= batchId)
+    if (!replay && !batch.isEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col("_change_ordinal").desc,
+          col("_change_type").desc) // 'insert' sorts after 'delete'
+      val net = batch
+        .withColumn("__gf_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__gf_rn") === 1).drop("__gf_rn")
+        .persist()
+      try {
+        val deletes = net.filter(col("_change_type") === "delete")
+          .select(keyCols.map(col): _*)
+        val upserts = net.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+        val haveUpserts = !upserts.isEmpty
+        if (!deletes.isEmpty)
+          graft.sources.IcebergWrite.deleteEquality(deletes, tablePath,
+            summaryExtra = if (haveUpserts) Map.empty
+              else Map(StreamBatchKey -> batchId.toString)): Unit
+        if (haveUpserts)
+          graft.sources.IcebergWrite.upsert(upserts, tablePath, keyCols,
+            summaryExtra = Map(StreamBatchKey -> batchId.toString)): Unit
+      } finally { net.unpersist(): Unit }
+    }
+    !replay
+  }
+
+  /** Streaming REPLICATION: maintain `replicaPath` as a keyed copy of a
+    * source table by applying its changelog stream
+    * ([[icebergChangelogStream]] → [[commitStreamBatchCdc]] per batch).
+    * After each processed batch the replica's live rows equal the
+    * source's as of the last streamed commit — updates move, deletes
+    * disappear, maintenance commits pass through silently. */
+  def icebergCdcApplySink(changes: DataFrame, replicaPath: String,
+                          keyCols: Seq[String], checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail at wiring time, not first batch: the sink never creates
+    graft.sources.IcebergIO.loadMetadata(replicaPath): Unit
+    changes.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitStreamBatchCdc(batch.toDF(), replicaPath, keyCols, batchId): Unit
+      }
+      .start()
+  }
+
   /** EXACTLY-ONCE streaming UPSERT sink: each micro-batch MERGES into
     * the table by `keyCols` — late re-deliveries of a key overwrite the
     * previous row instead of duplicating it, which composes streaming

@@ -459,6 +459,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg CDC replication: changelog stream + apply sink keep a replica") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{IcebergIO, IcebergWrite}
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val src = s"/tmp/graft_cdc_src_$tag"
+    val dst = s"/tmp/graft_cdc_dst_$tag"
+    val ckpt = s"/tmp/graft_cdc_ckpt_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def rows(xs: (Long, Double)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    IcebergWrite.create(spark, src, st)
+    IcebergWrite.create(spark, dst, st)
+    IcebergWrite.append(rows(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), src)
+    def state(dir: String): Seq[(Long, Double)] =
+      IcebergIO.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val q = StreamingOps.icebergCdcApplySink(
+      StreamingOps.icebergChangelogStream(spark, src), dst, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      assert(state(dst) === state(src))
+      // a burst of commits (update, delete, upsert, maintenance) may land
+      // in ONE micro-batch — the net-effect application must converge
+      IcebergWrite.updateWhere(spark, src, col("id") === 2L,
+        Map("v" -> org.apache.spark.sql.functions.lit(20.0)))
+      IcebergWrite.deleteWhere(spark, src, col("id") === 1L)
+      IcebergWrite.upsert(rows(3L -> 30.0, 7L -> 7.0), src, Seq("id"))
+      IcebergWrite.compact(spark, src)
+      q.processAllAvailable()
+      assert(state(dst) === state(src))
+      assert(state(dst) === Seq((2L, 20.0), (3L, 30.0), (7L, 7.0)))
+      // delete + re-insert of the same key across commits in one batch
+      IcebergWrite.deleteWhere(spark, src, col("id") === 7L)
+      IcebergWrite.append(rows(7L -> 70.0), src)
+      q.processAllAvailable()
+      assert(state(dst) === state(src))
+    } finally q.stop()
+  }
+
   test("iceberg snapshot stream: maxSnapshotsPerTrigger paces the backlog") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
