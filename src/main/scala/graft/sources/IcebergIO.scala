@@ -1690,9 +1690,27 @@ object IcebergIO {
             else spark.read.parquet(newPos.map(_.path): _*)
               .select("file_path").distinct().collect()
               .map(r => normalizePath(r.getString(0))).toSet
+          // eq-delete candidates honor the delete files' PARTITION scope
+          // (a partition-scoped upsert diffs only its partitions, not the
+          // whole parent table): a parent file is a candidate when some
+          // new eq-delete file might apply to it — global file, matching
+          // stored tuple, or (conservatively) a different spec / missing
+          // tuple field. String-normalized compare like the scan's
+          // pruning (Int/Long boxing must not defeat equal values).
+          val eqGlobal = newEq.exists(_.partitionValues.isEmpty)
+          val eqScopes: Seq[(Int, Map[String, Any])] =
+            newEq.filter(_.partitionValues.nonEmpty)
+              .map(f => (f.specId, f.partitionValues))
+          def eqCandidate(f: ContentFile): Boolean =
+            newEq.nonEmpty && f.seq < s.sequenceNumber &&
+              (eqGlobal || eqScopes.exists { case (sid, tuple) =>
+                f.specId != sid || tuple.forall { case (k, v) =>
+                  f.partitionValues.get(k)
+                    .forall(pv => String.valueOf(pv) == String.valueOf(v))
+                }
+              })
           val candidates = (removed ++ pData.filter(f =>
-              posTargets(normalizePath(f.path)) ||
-                (newEq.nonEmpty && f.seq < s.sequenceNumber)))
+              posTargets(normalizePath(f.path)) || eqCandidate(f)))
             .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
           if (candidates.nonEmpty) {
             val before =

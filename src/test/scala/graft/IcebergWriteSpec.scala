@@ -1444,5 +1444,14 @@ class IcebergWriteSpec extends AnyFunSuite {
     val moved = IcebergIO.readChangelog(spark, dir, Some(s1))
       .filter(col("_change_type") === "insert").collect().head
     assert(moved.getLong(moved.fieldIndex("bucket")) === 1L)
+    // partition-SCOPED upsert: the eq-delete candidate set honors the
+    // delete files' partition tuples, and the change rows stay exact
+    val rows2 = new java.util.ArrayList[Row]()
+    rows2.add(Row(1L, 1L, 100.0)) // update key 1 (bucket 1)
+    rows2.add(Row(8L, 0L, 8.0))   // insert key 8 (bucket 0)
+    IcebergWrite.upsert(spark.createDataFrame(rows2, pschema), dir, Seq("id"))
+    val s3 = IcebergIO.snapshotIds(dir).last
+    assert(changes(dir, from = Some(s2)) === Seq(
+      ("delete", 0, s3, 1L), ("insert", 0, s3, 1L), ("insert", 0, s3, 8L)))
   }
 }
