@@ -488,7 +488,12 @@ final class GraftSession private (val spark: SparkSession) {
         val escaped = spark.conf
           .getOption("spark.sql.parser.escapedStringLiterals")
           .exists(_.equalsIgnoreCase("true"))
-        spark.sql(SimilarTo.rewrite(rewriteTimeTravel(sqlText), escaped))
+        val (rewritten, pinViews) = rewriteTimeTravel(sqlText)
+        // spark.sql analyzes eagerly (Dataset.ofRows asserts analysis),
+        // inlining each pinned view's plan — dropping them right after
+        // keeps the catalog from accumulating one view per query
+        try spark.sql(SimilarTo.rewrite(rewritten, escaped))
+        finally pinViews.foreach(v => spark.catalog.dropTempView(v): Unit)
     }
   }
 
@@ -516,8 +521,11 @@ final class GraftSession private (val spark: SparkSession) {
     "on", "using", "window", "qualify", "semi", "anti", "for", "when",
     "then", "else", "end", "offset", "distribute", "cluster", "sort")
 
-  private def rewriteTimeTravel(sqlText: String): String =
-    TimeTravelRe.replaceAllIn(sqlText, m => {
+  /** Returns (rewritten SQL, names of the pinned views it registered) —
+    * the caller drops the views once the statement is analyzed. */
+  private def rewriteTimeTravel(sqlText: String): (String, Seq[String]) = {
+    val created = Seq.newBuilder[String]
+    val rewritten = TimeTravelRe.replaceAllIn(sqlText, m => {
       val name = m.group(1)
       icebergPathOpt(name) match {
         case None => // not a registered Iceberg view: not this surface's
@@ -546,6 +554,7 @@ final class GraftSession private (val spark: SparkSession) {
           val view = s"${name}__asof_" +
             java.util.UUID.randomUUID().toString.take(8)
           df.createOrReplaceTempView(view)
+          created += view
           // peek past the clause: an identifier (or AS) is the user's own
           // alias — emit the bare view and let it bind; anything else
           // (keyword, comma, paren, end) gets `AS <name>` so qualified
@@ -558,6 +567,8 @@ final class GraftSession private (val spark: SparkSession) {
             if (aliasFollows) view else s"$view AS $name")
       }
     })
+    (rewritten, created.result())
+  }
 
   /** `'yyyy-MM-dd[ HH:mm:ss[.SSS]]'` in the session zone (sessions pin
     * UTC) to epoch millis. */

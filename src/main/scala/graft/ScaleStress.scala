@@ -145,6 +145,30 @@ object ScaleStress {
     val planThreshold = 30.0 // 10x files, 3x headroom
     val planSuspect = planLarge > 0.5 && planRatio >= planThreshold
 
+    // Changelog diff scale: a delete commit touching ONE partition must
+    // diff only that partition's files in readChangelog — candidate
+    // selection (position-delete targets, partition-scoped eq deletes)
+    // keeps the before/after scan bounded by AFFECTED files while only
+    // manifest planning grows with the table. 10x the files with 3x
+    // headroom, same floor as the planning gate. Runs on the planning
+    // fixtures (the delete commit lands AFTER their planning timings).
+    def cdcTime(dir: String): Double = {
+      graft.sources.IcebergWrite.deleteWhere(spark, dir,
+        col("o_bucket") === 7 && pmod(col("o_orderkey"), lit(10L)) === 0L): Unit
+      val from = graft.sources.IcebergIO.snapshotIds(dir).takeRight(2).head
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.IcebergIO.readChangelog(spark, dir, Some(from))
+          .count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val cdcSmall = cdcTime(planSmallDir)
+    val cdcLarge = cdcTime(planLargeDir)
+    val cdcRatio = cdcLarge / math.max(cdcSmall, 1e-3)
+    val cdcThreshold = 30.0 // 10x files, 3x headroom
+    val cdcSuspect = cdcLarge > 0.5 && cdcRatio >= cdcThreshold
+
     // Iceberg WRITE scale: same row volume into 10x the partitions
     // (20 vs 200 identity buckets) — the data job is row-bound and the
     // commit is O(files) manifest serialization, so wall time must grow
@@ -200,6 +224,10 @@ object ScaleStress {
       s""""sec_small":${jnum(planSmall)},"sec_large":${jnum(planLarge)},""" +
       s""""ratio":${jnum(planRatio)},"threshold":${jnum(planThreshold)},""" +
       s""""suspect":${planSuspect}},""" +
+      s""""iceberg_changelog":{"files_small":20,"files_large":200,""" +
+      s""""sec_small":${jnum(cdcSmall)},"sec_large":${jnum(cdcLarge)},""" +
+      s""""ratio":${jnum(cdcRatio)},"threshold":${jnum(cdcThreshold)},""" +
+      s""""suspect":${cdcSuspect}},""" +
       s""""iceberg_write":{"parts_small":20,"parts_large":200,""" +
       s""""sec_small":${jnum(wSmall)},"sec_large":${jnum(wLarge)},""" +
       s""""ratio":${jnum(wRatio)},"threshold":${jnum(wThreshold)},""" +

@@ -86,6 +86,23 @@ object IcebergQueries {
       countDistinct(col("o_bucket")).as("nbuckets"))
   }
 
+  /** Changelog scan over the bench table's second append: times the CDC
+    * planner (two snapshots' manifests + the added-file selection) plus
+    * the scan of the ~200 files that append created — the
+    * regression guard for [[IcebergIO.readChangelog]]'s per-snapshot
+    * planning at a realistic file count. The range holds no deletes, so
+    * every change row is an insert (pinned via min(_change_type)). */
+  val icebergBenchChangelog = dfQ("iceberg_bench_changelog",
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey % 200) AS nbuckets,
+      |       'insert' AS ctype
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    IcebergIO.readChangelog(s, benchFixture(s, sfDir),
+        fromSnapshotId = Some(1L))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_bucket")).as("nbuckets"),
+        min(col("_change_type")).as("ctype"))
+  }
+
   /** Selective readWhere over the bench table: partition pruning keeps
     * 2 of 200 files — times the DERIVATION + pruning path end-to-end. */
   val icebergBenchPrune = dfQ("iceberg_bench_prune",
@@ -1316,5 +1333,6 @@ object IcebergQueries {
     icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
-    icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite)
+    icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
+    icebergBenchChangelog)
 }

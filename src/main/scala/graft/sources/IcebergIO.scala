@@ -1664,13 +1664,19 @@ object IcebergIO {
           .withColumn("_change_ordinal", lit(ord))
           .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         // inserts: rows live in THIS snapshot among the files it added.
-        // Same-snapshot position deletes (a writer may add a file and
-        // delete some of its rows in one commit) apply via sDeletes;
-        // equality deletes never touch same-sequence data (strict <).
+        // Only SAME-sequence position deletes can touch them (a writer
+        // may add a file and delete some of its rows in one commit):
+        // older position deletes name older files, and equality deletes
+        // never apply to same-or-later sequence data (strict <) — so the
+        // insert scan carries just those, not every historical delete
+        // file.
         val newData = sData.filter(_.seq == s.sequenceNumber)
+        val newPosForInserts = sFiles.filter(f =>
+          f.content == 1 && f.seq == s.sequenceNumber)
         if (newData.nonEmpty)
           frames += mark(
-            mergeRead(spark, meta, newData ++ sDeletes, withIdentity = false),
+            mergeRead(spark, meta, newData ++ newPosForInserts,
+              withIdentity = false),
             "insert")
         // deletes: before/after diff of the affected parent files
         s.parentId.flatMap(byId.get).foreach { p =>

@@ -287,6 +287,8 @@ class IcebergSqlSpec extends AnyFunSuite {
          |       (SELECT count(*) FROM tt_sql FOR TIMESTAMP AS OF '2100-01-01') AS b
          |""".stripMargin).collect().head
     assert((both.getLong(0), both.getLong(1)) === ((2L, 3L)))
+    // pinned views are transient: analysis inlines them, then they drop
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("__asof_")))
     // unregistered names pass through untouched (Spark's own error)
     intercept[Exception](g.sql("SELECT * FROM no_such FOR VERSION AS OF 1"))
     // a pinned registration refuses a second, conflicting pin

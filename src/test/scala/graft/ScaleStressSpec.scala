@@ -90,6 +90,21 @@ class ScaleStressSpec extends AnyFunSuite {
         s"(threshold ${p.get("threshold")}x for 10x files)")
   }
 
+  test("changelog diff cost is bounded by affected files, not table files") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("iceberg_changelog"),
+      "artifact predates the changelog harness — regenerate")
+    val c = root.get("iceberg_changelog")
+    assert(!c.get("suspect").asBoolean,
+      s"changelog over a one-partition delete on a " +
+        s"${c.get("files_large")}-file table took ${c.get("ratio")}x the " +
+        s"${c.get("files_small")}-file time (threshold " +
+        s"${c.get("threshold")}x — candidate selection must keep the " +
+        "diff bounded by AFFECTED files)")
+  }
+
   test("semantic dedup scales linearly when k grows with the corpus") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
