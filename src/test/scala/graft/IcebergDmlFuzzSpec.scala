@@ -109,5 +109,22 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     assert(IcebergIO.snapshotIds(dir).nonEmpty)
     assert(IcebergIO.entries(spark, dir).count() ===
       IcebergIO.files(spark, dir).count())
+    // CHANGELOG CONSISTENCY over the whole fuzzed history: summing each
+    // row value's inserts minus deletes across every emitted change must
+    // reproduce the final live multiset exactly — the strongest
+    // cross-check of per-snapshot change attribution under every verb
+    // interaction the sequence produced (compact commits are skipped as
+    // data-preserving, so they must not perturb the net).
+    val net = IcebergIO.readChangelog(spark, dir)
+      .groupBy("id", "p", "score")
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .as("n"))
+      .filter(col("n") =!= 0L)
+    assert(net.filter(col("n") =!= 1L).isEmpty,
+      "net multiplicity other than 0/1 — changelog double-counted a row")
+    val replayed = net.select("id", "p", "score").orderBy("id").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
+    assert(replayed === model.toSeq.sortBy(_._1),
+      "changelog replay diverged from the final table state")
   }
 }
