@@ -313,7 +313,8 @@ final class GraftSession private (val spark: SparkSession) {
     // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
       Seq("history", "files", "entries", "partitions", "manifests",
-          "snapshots", "refs")
+          "snapshots", "refs", "all_files", "all_entries", "all_manifests",
+          "metadata_log_entries", "position_deletes")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)

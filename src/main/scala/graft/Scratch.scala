@@ -12,29 +12,38 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/tmp/graft_scratch_widen3"
+    val dir = "/tmp/graft_scratch_meta1"
     IcebergFixture.deleteRecursively(dir)
-    val narrow = StructType(Seq(
+    val schema = StructType(Seq(
       StructField("k", IntegerType, nullable = false),
-      StructField("x", FloatType, nullable = true)))
-    def rows(vals: (Int, Float)*) = {
+      StructField("v", StringType, nullable = true)))
+    def rows(vals: (Int, String)*) = {
       val list = new java.util.ArrayList[Row]()
       vals.foreach(v => list.add(Row(v._1, v._2)))
-      spark.createDataFrame(list, narrow)
+      spark.createDataFrame(list, schema)
     }
-    IcebergWrite.create(spark, dir, narrow)
-    IcebergWrite.append(rows((-100, -1.5f), (-50, -0.5f)), dir)
-    IcebergWrite.append(rows((50, 1.5f), (100, 2.5f)), dir)
-    println("pre-widen files:")
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(rows((1, "a"), (2, "b"), (3, "c")), dir)
+    IcebergWrite.append(rows((4, "d"), (5, "e")), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("k") === 2)
+    println("=== files ===");        IcebergIO.files(spark, dir).show(false)
+    println("=== all_files ===");    IcebergIO.allFiles(spark, dir).show(false)
+    println("=== all_manifests ==="); IcebergIO.allManifests(spark, dir).show(false)
+    println("=== all_entries ===");  IcebergIO.allEntries(spark, dir).show(false)
+    println("=== metadata_log ==="); IcebergIO.metadataLogEntries(spark, dir).show(false)
+    println("=== position_deletes ===")
+    IcebergIO.positionDeletes(spark, dir).show(false)
+    IcebergWrite.compact(spark, dir)
+    println("=== after compact: files / all_files / position_deletes ===")
     IcebergIO.files(spark, dir).show(false)
-    println("pre-widen prune k < -40 (int): " +
-      IcebergIO.readWhere(spark, dir, col("k") < -40).inputFiles.length)
-    IcebergWrite.widenColumn(dir, "k", LongType)
-    IcebergWrite.widenColumn(dir, "x", DoubleType)
-    println("post-widen prune k < -40L: " +
-      IcebergIO.readWhere(spark, dir, col("k") < -40L).inputFiles.length)
-    println("post-widen prune x < -0.1: " +
-      IcebergIO.readWhere(spark, dir, col("x") < -0.1).inputFiles.length)
+    IcebergIO.allFiles(spark, dir).show(false)
+    IcebergIO.positionDeletes(spark, dir).show(false)
+    // registered metadata views
+    val gs = GraftSession.wrap(spark)
+    gs.registerIceberg("t1", dir, metadataTables = true)
+    spark.sql("SELECT * FROM t1_all_files").show(false)
+    spark.sql("SELECT * FROM t1_metadata_log_entries").show(false)
+    spark.sql("SELECT count(*) AS n FROM t1_position_deletes").show(false)
     spark.stop()
   }
 }

@@ -1315,6 +1315,94 @@ object IcebergQueries {
       .orderBy("_change_ordinal", "_change_type", "n_nationkey")
   }
 
+  /** Fixture for the whole-history metadata relations: an
+    * [[graft.sources.IcebergWrite]] table whose CURRENT snapshot hides
+    * history (two appends folded by a compact) — exactly what
+    * `.all_files` must still surface. Data-file names are
+    * nondeterministic (UUID part files), so the oracles pin the
+    * per-sequence aggregates and the deterministic vN.metadata.json
+    * names, never file names. Built once per JVM per scale dir. */
+  private val historyDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def historyFixture(s: SparkSession, sfDir: String): String =
+    historyDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft_iceberg_history_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      IcebergFixture.deleteRecursively(dir)
+      val nation = nationSorted(s)
+      graft.sources.IcebergWrite.create(s, dir, nation.schema)
+      graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 10"), dir)
+      graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 10"), dir)
+      graft.sources.IcebergWrite.compact(s, dir)
+      dir
+    })
+
+  /** `.all_files` over [[historyFixture]]: files of EVERY snapshot,
+    * deduped by path — the two pre-compact appends (10 + 15 rows at
+    * sequence 1/2) must still be listed after the compact replaced them
+    * with a sequence-3 rewrite of all 25. `.files` (current-snapshot
+    * grain) would show only sequence 3. */
+  val icebergAllFiles = dfQ("iceberg_all_files",
+    """SELECT * FROM (VALUES
+      |  (0, CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+      |  (0, CAST(2 AS BIGINT), CAST(15 AS BIGINT)),
+      |  (0, CAST(3 AS BIGINT), CAST(25 AS BIGINT)))
+      |  AS t(content, sequence_number, record_count)
+      |ORDER BY sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    IcebergIO.allFiles(s, historyFixture(s, sfDir))
+      .groupBy("content", "sequence_number")
+      .agg(sum("record_count").as("record_count"))
+      .orderBy("sequence_number")
+  }
+
+  /** `.metadata_log_entries` over [[historyFixture]]: the metadata.json
+    * lineage — v1 (create) through v3 recorded in the metadata-log
+    * array, plus the CURRENT v4 (compact). Timestamps are wall-clock, so
+    * the oracle pins the deterministic file names only. */
+  val icebergMetadataLog = dfQ("iceberg_metadata_log",
+    """SELECT * FROM (VALUES
+      |  ('v1.metadata.json'), ('v2.metadata.json'),
+      |  ('v3.metadata.json'), ('v4.metadata.json'))
+      |  AS t(metadata_file)
+      |ORDER BY metadata_file""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.metadataLogEntries(s, historyFixture(s, sfDir))
+      .select("metadata_file").orderBy("metadata_file")
+  }
+
+  /** Fixture for `.position_deletes`: the deterministic fixture writer
+    * (data-0000N.parquet names), two appends + one position-delete
+    * commit against EACH data file. */
+  private val posDelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def posDelFixture(s: SparkSession, sfDir: String): String =
+    posDelDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft_iceberg_posdel_${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      IcebergFixture.deleteRecursively(dir)
+      val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
+      w.append(nationSorted(s).filter("n_nationkey < 10"))
+      w.append(nationSorted(s).filter("n_nationkey >= 10"))
+      w.deletePositions(w.dataFilePaths.head, Seq(1L, 3L))
+      w.deletePositions(w.dataFilePaths(1), Seq(0L, 2L))
+      dir
+    })
+
+  /** `.position_deletes` over [[posDelFixture]]: the row contents of the
+    * live position-delete files — (target file, position, owning delete
+    * file, sequence). Everything is deterministic here, so the oracle
+    * pins exact rows. */
+  val icebergPositionDeletes = dfQ("iceberg_position_deletes",
+    """SELECT * FROM (VALUES
+      |  ('data-00001.parquet', CAST(1 AS BIGINT), 'delete-00003.parquet', CAST(3 AS BIGINT)),
+      |  ('data-00001.parquet', CAST(3 AS BIGINT), 'delete-00003.parquet', CAST(3 AS BIGINT)),
+      |  ('data-00002.parquet', CAST(0 AS BIGINT), 'delete-00004.parquet', CAST(4 AS BIGINT)),
+      |  ('data-00002.parquet', CAST(2 AS BIGINT), 'delete-00004.parquet', CAST(4 AS BIGINT)))
+      |  AS t(file_name, pos, delete_file_name, sequence_number)
+      |ORDER BY delete_file_name, pos""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.positionDeletes(s, posDelFixture(s, sfDir))
+      .orderBy("delete_file_name", "pos")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
@@ -1333,6 +1421,7 @@ object IcebergQueries {
     icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
+    icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
 }

@@ -92,7 +92,11 @@ object IcebergIO {
       // range-distributes + sorts new data files by these, which is what
       // gives statsFilter tight, mostly-disjoint per-file bounds.
       sortOrderFields: Seq[String] = Seq.empty,
-      defaultSortOrderId: Int = 0)
+      defaultSortOrderId: Int = 0,
+      // "metadata-log": prior metadata.json files as (timestamp-ms, file)
+      // in append order — the `.metadata_log_entries` relation's source
+      metadataLog: Seq[(Long, String)] = Seq.empty,
+      lastUpdatedMs: Long = 0L)
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -300,10 +304,17 @@ object IcebergIO {
           else Seq.empty
         }
         .getOrElse(Seq.empty)
+    val metadataLog: Seq[(Long, String)] =
+      if (root.has("metadata-log"))
+        root.get("metadata-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(), e.get("metadata-file").asText())).toSeq
+      else Seq.empty
+    val lastUpdatedMs: Long =
+      if (root.has("last-updated-ms")) root.get("last-updated-ms").asLong() else 0L
     TableMetadata(fv, root.get("location").asText(), current, snaps,
       schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
       snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds,
-      sortOrderFields, defaultSortOrderId)
+      sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs)
   }
 
   // ------------------------------------------------- field-id resolution
@@ -1823,6 +1834,25 @@ object IcebergIO {
           MapType(StringType, StringType, valueContainsNull = false),
           nullable = false)))
 
+  private[graft] val allManifestsSchema: StructType =
+    StructType(manifestsSchema.fields.toSeq :+
+      StructField("reference_snapshot_id", LongType, nullable = false))
+
+  private[graft] val metadataLogSchema: StructType =
+    StructType(Seq(
+        StructField("committed_at_ms", LongType, nullable = false),
+        StructField("metadata_file", StringType, nullable = false)))
+
+  // scan-backed (the relation READS the delete parquet files), so every
+  // field is declared nullable — the materialized plan's nullability must
+  // never be narrower than the placeholder leaf's
+  private[graft] val positionDeletesSchema: StructType =
+    StructType(Seq(
+        StructField("file_name", StringType, nullable = true),
+        StructField("pos", LongType, nullable = true),
+        StructField("delete_file_name", StringType, nullable = true),
+        StructField("sequence_number", LongType, nullable = true)))
+
   /** Schema of a metadata relation kind without touching the table. */
   private[graft] def metaSchema(kind: String): StructType = kind match {
     case "history"    => historySchema
@@ -1832,6 +1862,11 @@ object IcebergIO {
     case "manifests"  => manifestsSchema
     case "snapshots"  => snapshotsSchema
     case "refs"       => refsSchema
+    case "all_files"            => filesSchema
+    case "all_entries"          => entriesSchema
+    case "all_manifests"        => allManifestsSchema
+    case "metadata_log_entries" => metadataLogSchema
+    case "position_deletes"     => positionDeletesSchema
     case other => throw new IllegalArgumentException(
       s"unknown Iceberg metadata relation: $other")
   }
@@ -2014,5 +2049,168 @@ object IcebergIO {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       snapshotsSchema)
+  }
+
+  // ----------------------------------------- whole-history metadata tables
+
+  /** One manifest-list record, as the `all_*` relations walk it. */
+  private final case class MlRec(path: String, content: Int, seq: Long,
+                                 specId: Int, addedSnapshotId: Long,
+                                 addedFiles: Long, addedRows: Long)
+
+  private def manifestListRecords(snap: SnapshotInfo): Seq[MlRec] =
+    snap.manifestList match {
+      case Some(ml) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[MlRec]
+        foreachAvroRecord(ml) { r =>
+          def longOr(n: String, dflt: Long): Long =
+            if (r.getSchema.getField(n) == null) dflt
+            else r.get(n) match { case x: Number => x.longValue(); case _ => dflt }
+          buf += MlRec(r.get("manifest_path").toString,
+            intFieldOrZero(r, "content"),
+            longOr("sequence_number", 0L),
+            intFieldOrZero(r, "partition_spec_id"),
+            longOr("added_snapshot_id", -1L),
+            longOr("added_files_count", -1L),
+            longOr("added_rows_count", -1L))
+        }
+        buf.toSeq
+      case None => snap.manifests.map(p => MlRec(p, 0, 0L, 0, -1L, -1L, -1L))
+    }
+
+  /** Snapshots in commit order — the deterministic walk every `all_*`
+    * relation shares (seq ties break on timestamp, then id). */
+  private def orderedSnapshots(meta: TableMetadata): Seq[SnapshotInfo] =
+    meta.snapshots.sortBy(s => (s.sequenceNumber, s.timestampMs, s.snapshotId))
+
+  /** The `.all_manifests` metadata table: one row per (manifest,
+    * REFERENCING snapshot) across every valid snapshot — a manifest
+    * carried forward by k commits appears k times, each tagged with the
+    * snapshot whose manifest list references it (the runtime jar's
+    * `reference_snapshot_id` column). Metadata grain: manifest LISTS
+    * only. */
+  def allManifests(spark: SparkSession, tablePath: String): DataFrame =
+    allManifestsOf(spark, loadMetadata(tablePath))
+
+  private[sources] def allManifestsOf(spark: SparkSession,
+                                      meta: TableMetadata): DataFrame = {
+    val rows = orderedSnapshots(meta).flatMap { s =>
+      manifestListRecords(s)
+        .sortBy(m => (m.content, m.seq, baseName(m.path)))
+        .map(m => Row(baseName(m.path), m.content, m.seq,
+          m.addedSnapshotId, m.addedFiles, m.addedRows, s.snapshotId))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      allManifestsSchema)
+  }
+
+  /** The `.all_files` metadata table: every content file referenced LIVE
+    * (status != DELETED) by ANY valid snapshot, deduplicated by path —
+    * files removed from the current snapshot (overwritten, compacted
+    * away, or only ever present on a since-abandoned lineage) still
+    * appear, which is what makes it the orphan/GC audit surface.
+    * Metadata grain: manifests only, no data file opened. */
+  def allFiles(spark: SparkSession, tablePath: String): DataFrame =
+    allFilesOf(spark, loadMetadata(tablePath))
+
+  private[sources] def allFilesOf(spark: SparkSession,
+                                  meta: TableMetadata): DataFrame = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
+    orderedSnapshots(meta).foreach { s =>
+      liveFiles(spark, s).foreach { f =>
+        if (seen.add(normalizePath(f.path))) files += f
+      }
+    }
+    val rows = files.toSeq
+      .map(f => Row(baseName(f.path), f.content, f.format,
+        f.recordCount, f.seq, partitionString(f)))
+      .sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      filesSchema)
+  }
+
+  /** The `.all_entries` metadata table: manifest entries (INCLUDING
+    * status 2 DELETED rows) of every DISTINCT manifest referenced by any
+    * valid snapshot — each manifest parses once even when many snapshots
+    * carry it. Metadata grain: manifests only. */
+  def allEntries(spark: SparkSession, tablePath: String): DataFrame =
+    allEntriesOf(spark, loadMetadata(tablePath))
+
+  private[sources] def allEntriesOf(spark: SparkSession,
+                                    meta: TableMetadata): DataFrame = {
+    val c = GraftFs.conf()
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[MlRec]
+    orderedSnapshots(meta).foreach { s =>
+      manifestListRecords(s).foreach { m =>
+        if (seen.add(normalizePath(m.path))) manifests += m
+      }
+    }
+    val rows = manifests.toSeq.flatMap { m =>
+      parseManifest(m.path, m.content, m.seq, m.specId, c,
+          keepDeleted = true).map { f =>
+        Row(f.status,
+          f.snapshotId
+            .orElse(if (m.addedSnapshotId >= 0) Some(m.addedSnapshotId) else None)
+            .map(Long.box).orNull,
+          f.seq, baseName(f.path), f.content, f.recordCount,
+          partitionString(f))
+      }
+    }.sortBy(r => (r.getInt(0), r.getLong(2), r.getInt(4), r.getString(3)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      entriesSchema)
+  }
+
+  /** The `.metadata_log_entries` metadata table: every prior
+    * metadata.json in commit order (the "metadata-log" array), plus the
+    * CURRENT file stamped with its own last-updated-ms — the table's
+    * metadata lineage, which is what version-travel debugging and
+    * metadata GC read. Metadata grain: only metadata.json itself. */
+  def metadataLogEntries(spark: SparkSession, tablePath: String): DataFrame =
+    metadataLogEntriesOf(spark, loadMetadata(tablePath))
+
+  private[sources] def metadataLogEntriesOf(spark: SparkSession,
+                                            meta: TableMetadata): DataFrame = {
+    val rows = (meta.metadataLog :+ (meta.lastUpdatedMs, meta.metadataFile))
+      .map { case (ts, f) => Row(ts, baseName(f)) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      metadataLogSchema)
+  }
+
+  /** The `.position_deletes` metadata table: the ROW CONTENTS of the
+    * snapshot's live position-delete files — (target data file, position,
+    * owning delete file, its sequence number). Unlike the other metadata
+    * relations this opens the delete files themselves (they are the
+    * relation's rows); data files are never touched. One scan per delete
+    * file so the owning file/sequence ride as literals — plan size is
+    * O(live delete files), the same order as the planning metadata
+    * itself. */
+  def positionDeletes(spark: SparkSession, tablePath: String,
+                      snapshotId: Option[Long] = None): DataFrame =
+    positionDeletesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def positionDeletesOf(spark: SparkSession,
+                                         meta: TableMetadata,
+                                         tablePath: String,
+                                         snapshotId: Option[Long]): DataFrame = {
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val posFiles = liveFiles(spark, snap).filter(_.content == 1)
+      .sortBy(f => (f.seq, baseName(f.path)))
+    if (posFiles.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), positionDeletesSchema)
+    posFiles.map { f =>
+      spark.read.parquet(f.path).select(
+        element_at(split(col("file_path"), "/"), -1).as("file_name"),
+        col("pos").cast("long").as("pos"),
+        lit(baseName(f.path)).as("delete_file_name"),
+        lit(f.seq).as("sequence_number"))
+    }.reduce(_.unionByName(_))
   }
 }

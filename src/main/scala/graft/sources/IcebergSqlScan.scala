@@ -121,6 +121,12 @@ object IcebergMetaScan {
       case "manifests"  => IcebergIO.manifestsOf(spark, meta, m.tablePath, pinned)
       case "snapshots"  => IcebergIO.snapshotsOf(spark, meta)
       case "refs"       => IcebergIO.refsOf(spark, meta)
+      case "all_files"            => IcebergIO.allFilesOf(spark, meta)
+      case "all_entries"          => IcebergIO.allEntriesOf(spark, meta)
+      case "all_manifests"        => IcebergIO.allManifestsOf(spark, meta)
+      case "metadata_log_entries" => IcebergIO.metadataLogEntriesOf(spark, meta)
+      case "position_deletes" =>
+        IcebergIO.positionDeletesOf(spark, meta, m.tablePath, pinned)
       case other => throw new IllegalArgumentException(
         s"unknown Iceberg metadata relation: $other")
     }

@@ -1306,4 +1306,68 @@ class IcebergSpec extends AnyFunSuite {
     assert(ids(IcebergIO.readWhere(spark, dir,
       org.apache.spark.sql.functions.col("id") <= 3L)) === Seq(1L, 2L, 3L))
   }
+
+  test("whole-history relations: all_manifests/all_entries/all_files/" +
+      "metadata_log_entries/position_deletes") {
+    val dir = s"$root/allmeta"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    val s1 = w.append(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    val s2 = w.append(df((3L, "c", 3.0)))
+    val s3 = w.deletePositions(w.dataFilePaths.head, Seq(0L))
+
+    // .all_manifests: one row per (manifest, REFERENCING snapshot) —
+    // snap1 refs {m1}, snap2 {m1,m2}, snap3 {m1,m2,m3} → 6 rows, and the
+    // carried-forward first manifest appears under all three snapshots
+    val am = IcebergIO.allManifests(spark, dir).collect()
+    assert(am.length === 6)
+    assert(Seq(s1, s2, s3).map(sid =>
+      am.count(_.getAs[Long]("reference_snapshot_id") == sid)) === Seq(1, 2, 3))
+    val firstManifest = am.map(_.getString(0)).distinct.sorted.head
+    assert(am.count(_.getString(0) == firstManifest) === 3)
+
+    // .all_entries parses each DISTINCT manifest exactly once → one row
+    // per entry: 2 data files + 1 position-delete file
+    val ae = IcebergIO.allEntries(spark, dir).collect()
+    assert(ae.length === 3)
+    assert(ae.count(_.getAs[Int]("content") == 0) === 2)
+    assert(ae.count(_.getAs[Int]("content") == 1) === 1)
+
+    // .position_deletes: row contents of the live delete file
+    val pd = IcebergIO.positionDeletes(spark, dir).collect()
+    assert(pd.length === 1)
+    assert(pd.head.getString(0) === "data-00001.parquet")
+    assert(pd.head.getLong(1) === 0L)
+    assert(pd.head.getLong(3) === s3)
+
+    // compact folds the deletes away; .files forgets the old files but
+    // .all_files (GC/audit grain) still lists every historical one
+    graft.sources.IcebergWrite.compact(spark, dir)
+    val cur = IcebergIO.files(spark, dir).collect().map(_.getString(0)).toSet
+    assert(!cur.contains("data-00001.parquet"))
+    val allF = IcebergIO.allFiles(spark, dir).collect().map(_.getString(0)).toSet
+    assert(Set("data-00001.parquet", "data-00002.parquet",
+      "delete-00003.parquet").subsetOf(allF))
+    assert(cur.subsetOf(allF))
+    // post-compact the live position-delete relation is empty (schema kept)
+    val pdAfter = IcebergIO.positionDeletes(spark, dir)
+    assert(pdAfter.collect().isEmpty)
+    assert(pdAfter.schema.fieldNames.toSeq ===
+      Seq("file_name", "pos", "delete_file_name", "sequence_number"))
+
+    // .metadata_log_entries: fixture commits keep an empty metadata-log,
+    // so the compact's publish records exactly one prior file + current
+    val ml = IcebergIO.metadataLogEntries(spark, dir).collect()
+    assert(ml.length === 2)
+    assert(ml.map(_.getString(1)).forall(_.endsWith(".metadata.json")))
+
+    // registered SQL metadata views resolve (live, like the data view)
+    val gs = graft.GraftSession.wrap(spark)
+    gs.registerIceberg("allmeta_t", dir, metadataTables = true)
+    assert(spark.sql("SELECT count(*) FROM allmeta_t_all_manifests")
+      .collect().head.getLong(0) >= 6L)
+    assert(spark.sql("SELECT count(*) FROM allmeta_t_position_deletes")
+      .collect().head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM allmeta_t_metadata_log_entries")
+      .collect().head.getLong(0) === 2L)
+  }
 }
