@@ -670,6 +670,10 @@ final class GraftSession private (val spark: SparkSession) {
         arity(1, 1)
         Seq(IcebergWrite.rewriteManifests(spark, icebergPathOf(str(0))))
           .toDF("snapshot_id")
+      case "rewrite_position_deletes" =>
+        arity(1, 1)
+        Seq(IcebergWrite.rewritePositionDeletes(spark, icebergPathOf(str(0))))
+          .toDF("snapshot_id")
       case "expire_snapshots" =>
         arity(2, 3)
         val retain = numOpt(2).map(_.toInt).getOrElse(1)
@@ -718,7 +722,8 @@ final class GraftSession private (val spark: SparkSession) {
         Seq(view).toDF("changelog_view")
       case other => throw new IllegalArgumentException(
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
-          "compact, rewrite_manifests, expire_snapshots, remove_orphan_files, " +
+          "compact, rewrite_manifests, rewrite_position_deletes, " +
+          "expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
           "create_branch, drop_ref, fast_forward, create_changelog_view)")
     }

@@ -1370,6 +1370,41 @@ object IcebergQueries {
       .select("metadata_file").orderBy("metadata_file")
   }
 
+  /** Position-delete compaction parity
+    * ([[graft.sources.IcebergWrite.rewritePositionDeletes]]): append
+    * nation, two position-delete commits by predicate, then fold the two
+    * delete files into one consolidated file — survivors must be
+    * byte-identical to the complement filter replayed off the parquet
+    * source, and exactly ONE live position-delete file must remain. */
+  val icebergRewritePosDeletes = dfQ("iceberg_rewrite_pos_deletes",
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(n_nationkey) AS max_key,
+      |  CAST(1 AS BIGINT) AS pos_delete_files
+      |FROM nation
+      |WHERE n_nationkey % 7 <> 3 AND n_nationkey % 5 <> 1
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_rpd_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 7 === 3)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 5 === 1)
+    graft.sources.IcebergWrite.rewritePositionDeletes(s, dir)
+    val posFiles = IcebergIO.files(s, dir).filter(col("content") === 1)
+      .agg(count(lit(1)).as("pos_delete_files"))
+    IcebergIO.read(s, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_nationkey").as("max_key"))
+      .crossJoin(posFiles)
+      .orderBy("n_regionkey")
+  }
+
   /** Fixture for `.position_deletes`: the deterministic fixture writer
     * (data-0000N.parquet names), two appends + one position-delete
     * commit against EACH data file. */
@@ -1422,6 +1457,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
+    icebergRewritePosDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
 }

@@ -733,6 +733,148 @@ object IcebergWrite {
       summaryExtra = Map("rewritten-manifests" -> "true"))
   }
 
+  /** POSITION-DELETE compaction (the runtime jar's
+    * `rewrite_position_deletes` maintenance action): fold the current
+    * snapshot's live position-delete files into ONE consolidated file —
+    * dropping "dangling" entries whose target data file is no longer
+    * live — and publish a `replace` snapshot. Row visibility is
+    * unchanged BY CONSTRUCTION (the same (file, pos) identities stay
+    * deleted; only their packaging moves), so the snapshot carries the
+    * rewritten-manifests marker and CDC/incremental/streaming readers
+    * skip it like any other data-preserving rewrite. Data manifests are
+    * carried VERBATIM (commit cost independent of table size);
+    * equality-delete entries are carried EXISTING with their ORIGINAL
+    * sequence numbers (the strict `data seq < delete seq` rule must
+    * keep holding). The consolidated file sits at the NEW sequence
+    * number — sound for position deletes, which name exact files: every
+    * named file still satisfies `data seq <= delete seq`, and future
+    * data files have new unique paths. No live position deletes → no-op
+    * (returns the current snapshot id). v2 only.
+    *
+    * Why it matters at scale: every [[deleteWhere]]/[[updateWhere]]
+    * commit adds one more delete file that EVERY subsequent read
+    * anti-joins; after k delete commits merge-on-read pays k extra
+    * scans. This folds them back to one without rewriting a single
+    * data file (compare [[compact]], which pays the full data
+    * rewrite). */
+  def rewritePositionDeletes(spark: SparkSession, tablePath: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "rewritePositionDeletes requires format v2 (position deletes)")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot rewrite deletes of an empty table: $tablePath"))
+    val files = IcebergIO.liveFiles(spark, snap)
+    val posFiles = files.filter(_.content == 1)
+    if (posFiles.isEmpty) return snap.snapshotId
+    val dataFiles = files.filter(_.content == 0)
+    val eqFiles = files.filter(_.content == 2)
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // Consolidated rows: union of the live delete files' (file_path,
+    // pos) pairs, restricted to paths that still name a LIVE data file
+    // (a dangling entry's target was compacted/overwritten away —
+    // dropping it changes nothing any reader can see), deduplicated,
+    // sorted into one file. The live-path set is planning metadata
+    // (O(files)) and rides a broadcast semi-join, never a shuffle of
+    // the delete rows.
+    val livePathsDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        dataFiles.map(f => org.apache.spark.sql.Row(
+          IcebergIO.normalizePath(f.path))).asJava),
+      StructType(Seq(StructField("__gf_lp", StringType, nullable = false))))
+    val raw = spark.read.parquet(posFiles.map(_.path): _*)
+      .select(col("file_path").cast("string").as("file_path"),
+        col("pos").cast("long").as("pos"))
+    val consolidated = raw
+      .join(org.apache.spark.sql.functions.broadcast(livePathsDf),
+        regexp_replace(col("file_path"),
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/") === col("__gf_lp"),
+        "leftsemi")
+      .distinct()
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+    // a 0-record consolidated file (every entry dangling) is not
+    // committed — the snapshot then simply DROPS the old delete files
+    val newDelete: Seq[NewFile] = {
+      val nf = stageSingleDeleteFile(spark, tablePath, consolidated,
+        snapshotId, content = 1, equalityIds = Nil)
+      if (nf.records == 0L) { GraftFs.delete(nf.path, recursive = false); Nil }
+      else Seq(nf)
+    }
+
+    // per-spec partition field ids off the raw metadata (the parsed
+    // TableMetadata retains only the default spec's)
+    val fieldIdsBySpec: Map[Int, Seq[Int]] =
+      Option(root.get("partition-specs")).map { specs =>
+        specs.elements().asScala.map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(f =>
+              if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+    def entryNum(r: GenericRecord, f: String): Long =
+      if (r.getSchema.getField(f) == null) 0L
+      else r.get(f) match { case n: Number => n.longValue(); case _ => 0L }
+    // DATA manifests carry verbatim; the delete side is rebuilt:
+    // equality entries EXISTING at their original seqs (one manifest
+    // per spec, like rewriteManifests), plus the consolidated file
+    val carriedData = priorManifestEntries(meta, Some(snap.snapshotId))
+      .filter(r => entryNum(r, "content") == 0L)
+    val eqAdded = eqFiles.groupBy(_.specId).toSeq.sortBy(_._1)
+      .map { case (sid, group) =>
+        val specFields = meta.specsById.getOrElse(sid, Nil)
+        val pct: Seq[(String, DataType, Boolean)] =
+          specFields.map { case (name, transform, srcId) =>
+            val src = meta.fieldById.getOrElse(srcId,
+              throw new IllegalArgumentException(
+                s"partition source field id $srcId not in table schema"))
+            (name, storedType(transform, meta.schema(src).dataType), true)
+          }
+        val nfs = group.map { f =>
+          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
+          NewFile(f.path, f.recordCount, f.bytes,
+            partitionValues = pct.map { case (n, _, _) =>
+              f.partitionValues.getOrElse(n, null) },
+            bounds = boundKeys.toSeq.sorted.map(k =>
+              (k, f.lowerBounds(k), f.upperBounds(k))),
+            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
+            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
+            content = 2, equalityIds = f.equalityIds,
+            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+        }
+        val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+          meta.schema, pct, nfs, snapshotId, newSeq,
+          manifestContent = 1, specId = sid,
+          specFieldIds = fieldIdsBySpec.getOrElse(sid, Nil))
+        ((mPath, mLen, 1, snapshotId, newSeq,
+          nfs.map(_.records).sum, nfs.size), sid)
+      }
+    val posAdded = newDelete.map { nf =>
+      val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+        meta.schema, deletePartColTypes(meta), Seq(nf), snapshotId, newSeq,
+        manifestContent = 1, specId = meta.defaultSpecId,
+        specFieldIds = meta.partitionFieldIds)
+      ((mPath, mLen, 1, snapshotId, newSeq, nf.records, 1),
+        meta.defaultSpecId)
+    }
+    val added = eqAdded ++ posAdded
+    val mlPath = writeManifestList(metaDir, meta.formatVersion,
+      carried = carriedData, added = added.map(_._1), snapshotId,
+      specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
+    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation = "replace",
+      summaryExtra = Map(
+        "rewritten-manifests" -> "true",
+        "rewritten-position-deletes" -> "true",
+        "added-delete-files" -> newDelete.size.toString,
+        "removed-delete-files" -> posFiles.size.toString))
+  }
+
   def expireSnapshots(tablePath: String, olderThanMs: Long,
                       retainLast: Int = 1): Int = {
     require(retainLast >= 1, "retainLast must be >= 1")

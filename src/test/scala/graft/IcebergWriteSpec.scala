@@ -1454,4 +1454,65 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(changes(dir, from = Some(s2)) === Seq(
       ("delete", 0, s3, 1L), ("insert", 0, s3, 1L), ("insert", 0, s3, 8L)))
   }
+
+  test("rewritePositionDeletes folds delete files; rows, travel, CDC intact") {
+    val dir = s"$root/rpd"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+        .coalesce(1), dir)
+    IcebergWrite.append(df((5L, "e", 5.0), (6L, "f", 6.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 5L)
+    val sEq = IcebergWrite.deleteEquality(df((6L, "f", 6.0)).select("id"), dir)
+    def posCount() = IcebergIO.files(spark, dir)
+      .filter("content = 1").count()
+    assert(posCount() === 2L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 4L))
+
+    val preSnaps = IcebergIO.snapshotIds(dir)
+    val sid = IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(sid === preSnaps.max + 1)
+    // one consolidated position-delete file; row visibility unchanged
+    assert(posCount() === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 4L))
+    // equality delete survived at its ORIGINAL sequence number: a row
+    // re-inserted AFTER the rewrite must not be hit by it
+    val eqSeq = IcebergIO.files(spark, dir).filter("content = 2")
+      .select("sequence_number").collect().map(_.getLong(0)).toSeq
+    assert(eqSeq === Seq(IcebergIO.loadMetadata(dir).snapshots
+      .find(_.snapshotId == sEq).get.sequenceNumber))
+    IcebergWrite.append(df((6L, "f2", 6.5)).coalesce(1), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 4L, 6L))
+    // time travel to the pre-rewrite snapshot is unchanged
+    assert(ids(IcebergIO.read(spark, dir,
+      snapshotId = Some(preSnaps.max))) === Seq(1L, 3L, 4L))
+    // CDC: the rewrite snapshot emits NOTHING (data-preserving replace)
+    val cl = IcebergIO.readChangelog(spark, dir)
+    assert(!cl.select("_commit_snapshot_id").collect()
+      .map(_.getLong(0)).contains(sid))
+  }
+
+  test("rewritePositionDeletes: duplicate (file,pos) dedupes; no-op path") {
+    val dir = s"$root/rpd_dupes"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1))
+    val fileA = w.dataFilePaths.head
+    w.deletePositions(fileA, Seq(0L, 1L))
+    w.deletePositions(fileA, Seq(1L, 2L)) // pos 1 deleted TWICE
+    assert(ids(IcebergIO.read(spark, dir)) === Seq.empty)
+    IcebergWrite.rewritePositionDeletes(spark, dir)
+    val pos = IcebergIO.positionDeletes(spark, dir).collect()
+    assert(pos.length === 3) // 0,1,2 — the duplicate folded away
+    assert(pos.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq.empty)
+
+    // a table with NO live position deletes is a strict no-op
+    val dir2 = s"$root/rpd_noop"
+    IcebergWrite.create(spark, dir2, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)).coalesce(1), dir2)
+    val cur = IcebergIO.loadMetadata(dir2).currentSnapshotId.get
+    assert(IcebergWrite.rewritePositionDeletes(spark, dir2) === cur)
+    assert(IcebergIO.loadMetadata(dir2).snapshots.map(_.snapshotId).max === cur)
+  }
 }
