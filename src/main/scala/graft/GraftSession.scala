@@ -709,6 +709,11 @@ final class GraftSession private (val spark: SparkSession) {
         arity(2, 2)
         Seq(IcebergWrite.fastForward(icebergPathOf(str(0)), str(1)))
           .toDF("current_snapshot_id")
+      case "cherrypick_snapshot" =>
+        // publish ONE audited append onto main without moving the branch
+        arity(2, 2)
+        Seq(IcebergWrite.cherrypickSnapshot(spark, icebergPathOf(str(0)),
+          num(1))).toDF("current_snapshot_id")
       case "create_changelog_view" =>
         // runtime-jar procedure: registers `<name>_changes` as a temp
         // view of the CDC rows over (from, to] (defaults: the whole
@@ -725,7 +730,7 @@ final class GraftSession private (val spark: SparkSession) {
           "compact, rewrite_manifests, rewrite_position_deletes, " +
           "expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
-          "create_branch, drop_ref, fast_forward, create_changelog_view)")
+          "create_branch, drop_ref, fast_forward, cherrypick_snapshot, create_changelog_view)")
     }
   }
 

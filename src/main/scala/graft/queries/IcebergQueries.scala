@@ -1405,6 +1405,43 @@ object IcebergQueries {
       .orderBy("n_regionkey")
   }
 
+  /** Cherry-pick parity
+    * ([[graft.sources.IcebergWrite.cherrypickSnapshot]]): the
+    * pick-one-commit half of write-audit-publish. Main holds keys < 10;
+    * a `wap` branch stages two audited appends (10..19, then >= 20);
+    * ONLY the first is published onto main. The oracle replays the
+    * picked state straight off the parquet source — keys < 20, and the
+    * second staged commit's rows must NOT leak onto main. */
+  val icebergCherrypick = dfQ("iceberg_cherrypick",
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(n_nationkey) AS max_key
+      |FROM nation
+      |WHERE n_nationkey < 20
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_cherry_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    val a1 = graft.sources.IcebergWrite.append(
+      nation.filter(col("n_nationkey") < 10), dir)
+    graft.sources.IcebergWrite.createBranch(dir, "wap", a1)
+    val b1 = graft.sources.IcebergWrite.append(
+      nation.filter(col("n_nationkey").between(10, 19)), dir,
+      branch = Some("wap"))
+    graft.sources.IcebergWrite.append(
+      nation.filter(col("n_nationkey") >= 20), dir, branch = Some("wap"))
+    graft.sources.IcebergWrite.cherrypickSnapshot(s, dir, b1)
+    IcebergIO.read(s, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_nationkey").as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
   /** Fixture for `.position_deletes`: the deterministic fixture writer
     * (data-0000N.parquet names), two appends + one position-delete
     * commit against EACH data file. */
@@ -1457,7 +1494,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
-    icebergRewritePosDeletes,
+    icebergRewritePosDeletes, icebergCherrypick,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
 }

@@ -2080,6 +2080,107 @@ object IcebergWrite {
     head
   }
 
+  /** CHERRY-PICK one APPEND snapshot onto main (the runtime jar's
+    * `cherrypick_snapshot` procedure — the other half of
+    * write-audit-publish when a branch carries several audited commits
+    * and only ONE should publish, or when picking a single commit
+    * without [[fastForward]]'s whole-lineage move). Metadata-only: the
+    * picked snapshot's ADDED data files (`file seq == source snapshot
+    * seq`, the changelog's insert rule) are re-committed on main as a
+    * NEW append at main's NEXT sequence number, stats and partition
+    * tuples carried. Re-sequencing is the correctness core: an
+    * equality delete committed on main AFTER the source snapshot
+    * (`delete seq > source seq`) must NOT erase the picked rows — they
+    * arrive on main NOW, and the spec's strict `data seq < delete seq`
+    * rule is evaluated against the new sequence number, exactly as if
+    * the rows had been freshly appended. Guards: the source must be an
+    * `append` (delete/overwrite/replace commits don't have well-defined
+    * pick semantics onto a diverged main), and none of its files may
+    * already be live on main (re-picking or picking an already
+    * fast-forwarded commit double-counts rows — rejected loudly).
+    * Returns the new main snapshot id. */
+  def cherrypickSnapshot(spark: SparkSession, tablePath: String,
+                         sourceSnapshotId: Long): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "cherrypickSnapshot requires format v2 (sequence numbers)")
+    val source = meta.snapshots.find(_.snapshotId == sourceSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such snapshot: $sourceSnapshotId"))
+    require(source.operation == "append",
+      s"cherry-pick supports append snapshots only; $sourceSnapshotId " +
+        s"is '${source.operation}'")
+    // the source's OWN files: exactly those at its sequence number
+    // (carried-forward parent files have older seqs)
+    val picked = IcebergIO.liveFiles(spark, source)
+      .filter(f => f.content == 0 && f.seq == source.sequenceNumber)
+    require(picked.nonEmpty,
+      s"snapshot $sourceSnapshotId added no data files — nothing to pick")
+    val mainLive: Set[String] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
+      .flatMap(s => IcebergIO.liveFiles(spark, s))
+      .map(f => IcebergIO.normalizePath(f.path)).toSet
+    val dupes = picked.filter(f => mainLive(IcebergIO.normalizePath(f.path)))
+    require(dupes.isEmpty,
+      s"cherry-pick of $sourceSnapshotId would double-count " +
+        s"${dupes.size} file(s) already live on main (first: " +
+        s"${dupes.head.path}) — already applied?")
+
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val fieldIdsBySpec: Map[Int, Seq[Int]] =
+      Option(root.get("partition-specs")).map { specs =>
+        specs.elements().asScala.map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(f =>
+              if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+    // one fresh ADDED manifest per spec the picked files were written
+    // under (status ADDED, seq inherited = newSeq — the re-sequencing)
+    val added = picked.groupBy(_.specId).toSeq.sortBy(_._1)
+      .map { case (sid, group) =>
+        val specFields = meta.specsById.getOrElse(sid, Nil)
+        val pct: Seq[(String, DataType, Boolean)] =
+          specFields.map { case (name, transform, srcId) =>
+            val src = meta.fieldById.getOrElse(srcId,
+              throw new IllegalArgumentException(
+                s"partition source field id $srcId not in table schema"))
+            (name, storedType(transform, meta.schema(src).dataType), true)
+          }
+        val nfs = group.map { f =>
+          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
+          NewFile(f.path, f.recordCount, f.bytes,
+            partitionValues = pct.map { case (n, _, _) =>
+              f.partitionValues.getOrElse(n, null) },
+            bounds = boundKeys.toSeq.sorted.map(k =>
+              (k, f.lowerBounds(k), f.upperBounds(k))),
+            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
+            nanCounts = f.nanCounts.toSeq.sortBy(_._1))
+        }
+        val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+          meta.schema, pct, nfs, snapshotId, newSeq,
+          manifestContent = 0, specId = sid,
+          specFieldIds = fieldIdsBySpec.getOrElse(sid, Nil))
+        ((mPath, mLen, 0, snapshotId, newSeq,
+          nfs.map(_.records).sum, nfs.size), sid)
+      }
+    val carried = priorManifestEntries(meta, meta.currentSnapshotId)
+    val mlPath = writeManifestList(metaDir, meta.formatVersion,
+      carried, added.map(_._1), snapshotId,
+      specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
+    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation = "append",
+      summaryExtra = Map(
+        "cherry-picked-snapshot-id" -> sourceSnapshotId.toString,
+        "added-data-files" -> picked.size.toString,
+        "added-records" -> picked.map(_.recordCount).sum.toString,
+        "added-files-size" -> picked.map(_.bytes).sum.toString))
+  }
+
   private def arrayNode(root: ObjectNode, name: String) =
     Option(root.get(name)) match {
       case Some(a: com.fasterxml.jackson.databind.node.ArrayNode) => a

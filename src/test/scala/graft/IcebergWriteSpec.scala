@@ -1515,4 +1515,57 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergWrite.rewritePositionDeletes(spark, dir2) === cur)
     assert(IcebergIO.loadMetadata(dir2).snapshots.map(_.snapshotId).max === cur)
   }
+
+  test("cherrypickSnapshot publishes ONE branch append onto main") {
+    val dir = s"$root/cherry"
+    IcebergWrite.create(spark, dir, schema)
+    val a1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0))
+      .coalesce(1), dir)
+    IcebergWrite.createBranch(dir, "audit", a1)
+    val b1 = IcebergWrite.append(df((10L, "x", 1.0), (11L, "y", 2.0))
+      .coalesce(1), dir, branch = Some("audit"))
+    val b2 = IcebergWrite.append(df((20L, "z", 3.0)).coalesce(1), dir,
+      branch = Some("audit"))
+    // pick ONLY the first audited commit; main never sees b2's rows
+    val picked = IcebergWrite.cherrypickSnapshot(spark, dir, b1)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 10L, 11L))
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(meta.currentSnapshotId.contains(picked))
+    assert(meta.refs("audit") === b2) // the branch did not move
+    assert(meta.snapshots.find(_.snapshotId == picked).get
+      .summary("cherry-picked-snapshot-id") === b1.toString)
+    // the branch still reads its own lineage
+    assert(ids(IcebergIO.read(spark, dir, ref = Some("audit"))) ===
+      Seq(1L, 2L, 10L, 11L, 20L))
+
+    // re-picking the same snapshot double-counts — rejected loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.cherrypickSnapshot(spark, dir, b1))
+    assert(e.getMessage.contains("double-count"))
+    // picking a non-append commit is rejected
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val del = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.cherrypickSnapshot(spark, dir, del))
+    assert(e2.getMessage.contains("append snapshots only"))
+  }
+
+  test("cherrypick RE-SEQUENCES: a later main eq-delete misses picked rows") {
+    val dir = s"$root/cherry_seq"
+    IcebergWrite.create(spark, dir, schema)
+    val a1 = IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0))
+      .coalesce(1), dir)
+    IcebergWrite.createBranch(dir, "wap", a1)
+    // branch append at sequence 2
+    val b1 = IcebergWrite.append(df((6L, "f", 6.0)).coalesce(1), dir,
+      branch = Some("wap"))
+    // main equality-delete of id=6 at sequence 3 — AFTER the branch
+    // commit in sequence order, but BEFORE the pick in main's history
+    IcebergWrite.deleteEquality(df((6L, "f", 6.0)).select("id"), dir)
+    // the pick lands id=6 at sequence 4: the seq-3 delete must NOT
+    // apply (strict data seq < delete seq) — without re-sequencing the
+    // picked file would keep seq 2 and silently vanish
+    IcebergWrite.cherrypickSnapshot(spark, dir, b1)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 6L))
+  }
 }
