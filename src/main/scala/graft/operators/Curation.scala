@@ -206,4 +206,48 @@ object Curation {
       .withColumn("host", expr(s"parse_url($urlCol, 'HOST')"))
       .join(broadcast(bl), Seq("host"), "left_anti")
   }
+
+  // ---- domain-weighted mixture sampling ------------------------------
+
+  /**
+   * Deterministic domain-weighted MIXTURE sampling — the data-mixing
+   * step of a training pipeline ("train on 50% en, 20% de, ..."),
+   * expressed EXACTLY: integer weights per group, the largest total T
+   * such that every group can supply its share (`T = min_g
+   * floor(n_g·W/w_g)`, W = Σw), then the group keeps `floor(T·w_g/W)`
+   * rows — its lowest-(md5(id), id)-ranked ones, so the selection is
+   * reproducible on any engine and any partitioning. Groups absent from
+   * `weights` are excluded. All arithmetic is positive-integer
+   * truncating division (Spark `div` ≡ DuckDB `//`), so the result is
+   * bit-replayable as SQL.
+   *
+   * Scale shape: group sizes are ONE aggregate; weights/keep-counts are
+   * a per-group table broadcast back; the rank is a per-group window —
+   * one shuffle on the group key, the same cost class as any stratified
+   * sample. Skew note: a group holding most of the corpus makes one
+   * window partition hot; rank-exactness inherently needs the per-group
+   * ordering, and the hash-ordered rank spills sequentially rather than
+   * collecting (same tradeoff `sample_stratified` documents).
+   */
+  def mixDomains(docs: DataFrame, groupCol: String, idCol: String,
+                 weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "mixDomains needs at least one weighted group")
+    require(weights.values.forall(_ > 0), "weights must be positive integers")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totalW = weights.values.map(_.toLong).sum
+    val w = weights.toSeq.sortBy(_._1).toDF(groupCol, "__gf_w")
+    // group sizes (one agg), inner-joined to weights: unweighted drop
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("__gf_n"))
+      .join(broadcast(w), Seq(groupCol))
+    val t = counts.agg(min(expr(s"__gf_n * ${totalW}L div __gf_w")).as("__gf_T"))
+    val keep = counts.crossJoin(broadcast(t))
+      .select(col(groupCol), expr(s"__gf_T * __gf_w div ${totalW}L").as("__gf_keep"))
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.join(broadcast(keep), Seq(groupCol))
+      .withColumn("__gf_rn", row_number().over(byHash))
+      .filter(col("__gf_rn") <= col("__gf_keep"))
+      .drop("__gf_rn", "__gf_keep")
+  }
 }

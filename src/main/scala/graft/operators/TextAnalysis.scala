@@ -175,6 +175,46 @@ object TextAnalysis {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /** Hashing-trick linear scorer over token BIGRAMS — the plumbing of a
+    * fastText-style model-based quality filter: each bigram hashes into
+    * one of `buckets` weight slots, the document's score is the mean
+    * slot weight. The weight vector here derives deterministically from
+    * the slot index (micro-units in [-1000, 1000] off md5 — a stand-in
+    * for trained weights, which would arrive as a broadcast array with
+    * the SAME lookup shape); what the operator exercises for real is
+    * the at-scale layout: bounded state regardless of vocabulary (the
+    * hashing trick's point), no model join at all — bucket and weight
+    * are pure per-row codegen'd arithmetic, so the whole scorer is one
+    * explode + one per-doc aggregate. Docs with fewer than 2 tokens
+    * have no bigram and are absent from the output. All intermediates
+    * stay < 2^53, so the DuckDB oracle replays it bit-exactly.
+    *
+    * Returns (id, n_bigrams, score_sum_micro). */
+  def hashedBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int, seed: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val t = tokens(col(textCol))
+    val pairs = docs.select(col(idCol).as("id"),
+        explode(arrays_zip(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+          .as("p"))
+      .select(col("id"),
+        concat(col("p").getField("0"), lit("_"), col("p").getField("1"))
+          .as("bg"))
+    // slot = 52-bit md5 prefix of (seed, bigram) mod buckets; weight =
+    // 52-bit md5 prefix of ('w', slot) mod 2001, shifted to [-1000,1000]
+    val slot = pmod(
+      conv(substring(md5(concat(lit(seed), lit("_"), col("bg"))), 1, 13),
+        16, 10).cast("long"), lit(buckets.toLong))
+    val weight = pmod(
+      conv(substring(md5(concat(lit("w"), slot.cast("string"))), 1, 13),
+        16, 10).cast("long"), lit(2001L)) - lit(1000L)
+    pairs.select(col("id"), weight.as("w_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("w_micro").as("score_sum_micro"))
+  }
+
   /** A trained bigram LM, the deployable artifact of [[bigramLogProb]]'s
     * training pass: `vocab` (tok, in_v) for the OOV mapping, `c1`/`c12`
     * the smoothed-probability count tables (all (vocab+1)²-bounded —

@@ -206,6 +206,33 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Domain-weighted mixture oracle: the exact integer spec of
+    * [[Curation.mixDomains]] replayed in SQL — weights en:5 de:2 fr:2
+    * es:1 (zh unweighted → excluded), `T = min_g floor(n_g·10/w_g)`,
+    * each group keeps its `floor(T·w_g/10)` lowest-(md5(id), id) rows.
+    * DuckDB `//` and Spark `div` both truncate; all values positive. */
+  private val mixOracle =
+    """WITH w(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)),
+      |c AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n, wt
+      |      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, wt),
+      |t AS (SELECT MIN(n * 10 // wt) AS tt FROM c),
+      |k AS (SELECT lang, (tt * wt) // 10 AS keep FROM c, t),
+      |r AS (SELECT d.lang, d.doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY d.lang
+      |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |      FROM documents d JOIN w ON d.lang = w.lang)
+      |SELECT r.lang AS lang, r.doc_id FROM r JOIN k ON r.lang = k.lang
+      |WHERE rn <= keep
+      |ORDER BY 1, 2""".stripMargin
+
+  val curMixDomains = dfQ("cur_mix_domains", mixOracle) { (s, _) =>
+    Curation.mixDomains(s.table("documents"), "lang", "doc_id",
+        Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1))
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    curDecontaminate, curChunk, curPack, curPii, curRepetition, curDomainFilter)
+    curDecontaminate, curChunk, curPack, curPii, curRepetition,
+    curDomainFilter, curMixDomains)
 }

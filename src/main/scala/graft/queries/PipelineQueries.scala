@@ -1132,6 +1132,37 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Hashing-trick linear scorer
+    * ([[TextAnalysis.hashedBigramScore]]): bigrams hash into 65536
+    * weight slots, weights derive deterministically from the slot index
+    * — the fastText-style quality-filter shape with bounded state
+    * regardless of vocabulary, scored as pure per-row arithmetic (no
+    * model join). Exact-integer end to end, so the oracle replays it
+    * bit-identically. */
+  val textHashedScore = dfQ("text_hashed_score",
+    """WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |           FROM documents),
+      |b AS (
+      |  SELECT id, w[i.i] || '_' || w[i.i + 1] AS bg
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(t.w) - 1)) AS i) i
+      |),
+      |s AS (SELECT id,
+      |        CAST('0x' || substring(md5('s17_' || bg), 1, 13) AS BIGINT)
+      |          % 65536 AS slot
+      |      FROM b),
+      |wt AS (SELECT id,
+      |        (CAST('0x' || substring(md5('w' || CAST(slot AS VARCHAR)), 1, 13)
+      |           AS BIGINT) % 2001) - 1000 AS w_micro
+      |       FROM s)
+      |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(w_micro) AS BIGINT) AS score_sum_micro
+      |FROM wt GROUP BY id ORDER BY id""".stripMargin) { (s, _) =>
+    TextAnalysis.hashedBigramScore(s.table("documents"), "doc_id", "text",
+        buckets = 65536, seed = "s17")
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
     dedupNgramJaccard,
@@ -1140,7 +1171,7 @@ object PipelineQueries {
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp,
+    textBigramLp, textHashedScore,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     aggTopkSketch)
 }

@@ -125,4 +125,46 @@ class CurationSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
   }
+
+  test("mixDomains: exact bottleneck-capped per-group counts, deterministic") {
+    import spark.implicits._
+    // a: 30 rows, b: 10, c: 50 (unweighted -> dropped)
+    val docs = ((0L until 30L).map(i => ("a", i)) ++
+        (100L until 110L).map(i => ("b", i)) ++
+        (200L until 250L).map(i => ("c", i))).toDF("g", "id")
+    // W = 4; T = min(30*4/3, 10*4/1) = min(40, 40) = 40
+    // keep: a = 40*3/4 = 30 (all of it), b = 40*1/4 = 10 (all of it)
+    val out = Curation.mixDomains(docs, "g", "id", Map("a" -> 3, "b" -> 1))
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 30L, "b" -> 10L))
+    // tighter bottleneck: b caps the total. W = 6; T = min(30*6/5,
+    // 10*6/1) = min(36, 60) = 36 -> a keeps 30, b keeps 6
+    val out2 = Curation.mixDomains(docs, "g", "id", Map("a" -> 5, "b" -> 1))
+    val c2 = out2.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2 == Map("a" -> 30L, "b" -> 6L))
+    // deterministic selection: same rows on a rerun, regardless of
+    // partitioning (hash-of-id rank, not rand())
+    val pick1 = out2.filter(col("g") === "b").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val pick2 = Curation.mixDomains(docs.repartition(7), "g", "id",
+        Map("a" -> 5, "b" -> 1))
+      .filter(col("g") === "b").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(pick1 == pick2 && pick1.size == 6)
+  }
+
+  test("hashedBigramScore: bounded weights, <2-token docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "single"), (3L, ""))
+      .toDF("id", "text")
+    val out = graft.operators.TextAnalysis
+      .hashedBigramScore(docs, "id", "text", buckets = 16, seed = "t")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L)) // docs 2, 3 absent
+    val r = out.head
+    assert(r.getLong(1) == 2L) // alpha_beta, beta_gamma
+    assert(math.abs(r.getLong(2)) <= 2000L) // each weight in [-1000, 1000]
+  }
 }
