@@ -207,6 +207,55 @@ object Curation {
       .join(broadcast(bl), Seq("host"), "left_anti")
   }
 
+  // ---- corpus-wide line-grain dedup ----------------------------------
+
+  /**
+   * Corpus-wide LINE-grain exact dedup — the C4/RefinedWeb recipe one
+   * grain below document dedup: boilerplate repeated ACROSS documents
+   * (headers, footers, licence blocks) survives whole-doc dedup but
+   * falls out here. Documents split into consecutive `lineTokens`-token
+   * lines; each distinct line is kept ONLY at its first corpus
+   * occurrence (ordered by (id, line index) — deterministic on any
+   * partitioning); each document is reassembled from its surviving
+   * lines in order. (Real corpora with newline structure would split on
+   * the newline instead; the fixed-token grouping is the
+   * separator-free form and exercises the identical plan.)
+   * Returns (id, n_lines, n_kept, text).
+   *
+   * Scale shape: keep-first is a window PARTITIONED BY LINE (one
+   * shuffle on the line value — the same key class as exact dedup's
+   * content hash, no corpus-wide ordering anywhere); reassembly is one
+   * per-doc aggregate. A pathologically hot line (one string repeated
+   * billions of times) makes one window partition hot — the standard
+   * salting escape applies, but boilerplate lines are exactly the rows
+   * the operator deletes, so the hot key carries no payload worth
+   * preserving.
+   */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int): DataFrame = {
+    require(lineTokens > 0, "lineTokens must be > 0")
+    val lines = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((size(w) + $lineTokens - 1) " +
+            s"div $lineTokens AS INT) - 1), " +
+            s"i -> array_join(slice(w, i * $lineTokens + 1, $lineTokens), ' '))"))
+          .as(Seq("line_idx", "line")))
+    val first = Window.partitionBy("line").orderBy(col("id"), col("line_idx"))
+    lines.withColumn("__rn", row_number().over(first))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        // surviving lines back in document order (collect_list skips the
+        // CASE's nulls; array_sort on the struct orders by line_idx)
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN __rn = 1 THEN struct(line_idx, line) END)), " +
+          "s -> s.line), ' ')").as("text"))
+  }
+
   // ---- domain-weighted mixture sampling ------------------------------
 
   /**

@@ -232,7 +232,37 @@ object CurationQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Line-grain dedup oracle: [[Curation.lineDedup]] at 8-token lines
+    * replayed exactly — fixed-token lines, corpus-wide keep-first by
+    * (id, line_idx), per-doc reassembly hashed (md5('') when a doc
+    * keeps nothing, matching Spark's empty array_join). */
+  private val lineDedupOracle =
+    """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |l AS (
+      |  SELECT id, i.i AS line_idx,
+      |    array_to_string(w[(i.i * 8 + 1):(i.i * 8 + 8)], ' ') AS line
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(0,
+      |       CAST((len(t.w) + 7) // 8 AS INT) - 1)) AS i) i
+      |),
+      |r AS (SELECT id, line_idx, line,
+      |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY id, line_idx) AS rn
+      |      FROM l)
+      |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+      |    ORDER BY line_idx), '')) AS kept_hash
+      |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
+  val curLineDedup = dfQ("cur_line_dedup", lineDedupOracle) { (s, _) =>
+    Curation.lineDedup(s.table("documents"), "doc_id", "text", lineTokens = 8)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains)
+    curDomainFilter, curMixDomains, curLineDedup)
 }

@@ -155,6 +155,23 @@ class CurationSpec extends AnyFunSuite {
     assert(pick1 == pick2 && pick1.size == 6)
   }
 
+  test("lineDedup: cross-doc keep-first, within-doc dupes, order kept") {
+    import spark.implicits._
+    // 2-token lines. doc 1: [a b][c d][a b] — its OWN later dup drops.
+    // doc 2: [c d][e f] — "c d" already seen in doc 1 -> drops.
+    val docs = Seq((1L, "a b c d a b"), (2L, "c d e f")).toDF("id", "text")
+    val out = Curation.lineDedup(docs, "id", "text", lineTokens = 2)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq === Seq(
+      (1L, 3L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f")))
+    // determinism under different partitioning
+    val out2 = Curation.lineDedup(docs.repartition(5), "id", "text", 2)
+      .orderBy("id").collect().map(_.getString(3)).toSeq
+    assert(out2 === Seq("a b c d", "e f"))
+  }
+
   test("hashedBigramScore: bounded weights, <2-token docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "single"), (3L, ""))
