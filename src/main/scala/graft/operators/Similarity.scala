@@ -424,6 +424,123 @@ object Similarity {
 
   /** recall@k of the ANN result against the exact result, averaged over
     * queries (self-check harness for the LSH path). */
+  // ---- product quantization (PQ) -------------------------------------
+
+  /**
+   * Product-quantization ADC search (after Jégou et al.'s PQ recipe):
+   * vectors split into `m` subspaces; each subspace gets a `ksub`-entry
+   * codebook; the corpus is ENCODED to m small codes per vector —
+   * `m·log2(ksub)` bits instead of `d` floats, the memory lever that
+   * keeps a 100 TB embedding corpus's index RAM-resident — and a query
+   * scores a vector by summing per-subspace distances looked up in its
+   * per-query table (asymmetric distance computation: the query side
+   * stays exact, only the corpus side is quantized).
+   *
+   * Exact-integer engineering (the repo's replay idiom): micro-quantized
+   * BIGINT vectors, codebooks seeded from the `ksub` lowest-md5(id)
+   * corpus vectors (shared seed set across subspaces; no RNG), strict
+   * `<` folds so code ties take the lowest index, BIGINT squared-L2
+   * everywhere — the whole path replays bit-identically in SQL.
+   *
+   * Scale shape: encoding is ONE map-side projection against broadcast
+   * codebook literals (no join); the search is the brute-ADC form —
+   * queries broadcast against the encoded corpus, each pair costing m
+   * array lookups instead of a d-dim dot. The production composition
+   * IVF-then-PQ (probe cells, ADC within) follows by feeding
+   * [[ivfTopK]]'s candidate set through the same encoded frame.
+   *
+   * Returns (qid, nid, adist) — approximate squared L2 in micro²-units,
+   * ascending = most similar — for the top `k` per query.
+   */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int,
+             m: Int, ksub: Int): DataFrame = {
+    require(m > 0 && ksub > 0 && k > 0)
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
+    val ds = d / m
+    // seed codebooks: subvectors of the ksub lowest-md5(id) vectors
+    val seeds: IndexedSeq[IndexedSeq[Long]] = q
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy("h", "id").limit(ksub)
+      .select("qv").collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(seeds.size == ksub, s"corpus smaller than ksub=$ksub")
+    def cbLit(j: Int): Column =
+      typedLit(seeds.map(_.slice(j * ds, j * ds + ds)))
+    def subv(j: Int): Column = expr(s"slice(qv, ${j * ds + 1}, $ds)")
+    def subDist(sub: Column, cv: Column): Column =
+      aggregate(zip_with(sub, cv, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // ENCODE: per subspace, argmin over the codebook (ties -> lowest)
+    val codeCols = (0 until m).map { j =>
+      val scored = transform(sequence(lit(0), lit(ksub - 1)), c => struct(
+        subDist(subv(j), element_at(cbLit(j), c + 1)).as("dist"),
+        c.cast("long").as("code")))
+      aggregate(scored,
+        struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("code")),
+        (acc, s) => when(s.getField("dist") < acc.getField("dist"), s)
+          .otherwise(acc))
+        .getField("code").as(s"c$j")
+    }
+    val encoded = q.select(col("id") +: codeCols: _*)
+    // per-query LUTs: dist(query subvector, every codeword), per subspace
+    val lutCols = (0 until m).map { j =>
+      transform(cbLit(j), cv => subDist(subv(j), cv)).as(s"lut$j")
+    }
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid") +: lutCols: _*)
+    val adist = (0 until m)
+      .map(j => element_at(col(s"lut$j"), col(s"c$j").cast("int") + 1))
+      .reduce(_ + _)
+    val scored = broadcast(queries).join(encoded, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("adist"))
+  }
+
+  /**
+   * PQ search with EXACT RE-RANK — the production two-stage shape: the
+   * quantized index shortlists `shortlist` candidates per query by ADC
+   * (cheap, RAM-resident codes), then ONLY those rows' full vectors are
+   * fetched and re-scored exactly; quantization error affects which
+   * rows make the shortlist, never the final ordering. At 100 TB the
+   * full-vector fetch touches `queries × shortlist` rows instead of the
+   * corpus — the re-rank side broadcasts while the corpus streams
+   * through one hash join. Distances are exact squared L2 over the
+   * micro-quantized vectors (BIGINT — replayable).
+   *
+   * Returns (qid, nid, d2) for the top `k` per query, ascending d2.
+   */
+  def pqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: org.apache.spark.sql.Column, k: Int,
+                   m: Int, ksub: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = pqTopK(emb, idCol, vecCol, queryPred, shortlist, m, ksub)
+      .select("qid", "nid")
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    val corpus = q.select(col("id").as("nid"), col("qv").as("nv"))
+    // (queries × shortlist) rows — tiny; broadcast against the corpus
+    val withQ = short.join(broadcast(queries), Seq("qid"))
+    val scored = corpus.join(broadcast(withQ), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(zip_with(col("qqv"), col("nv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("d2"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
     val hits = ann.select(col("qid"), col("nid"))
       .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))

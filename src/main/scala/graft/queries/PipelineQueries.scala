@@ -1132,6 +1132,95 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization ADC oracle: the full
+    * [[Similarity.pqTopK]] recipe replayed in SQL — micro-quantized
+    * vectors, the 8 lowest-md5(id) seed vectors sliced into 4×16-dim
+    * codebooks, per-(item, subspace) argmin encoding (ties to the
+    * lowest code), per-query lookup tables, ADC sum, top-10 by
+    * ascending approximate distance. Everything is BIGINT, so the
+    * compare is bit-exact. */
+  /** The shared PQ pipeline CTEs (16 subspaces × 4 dims, 32-codeword
+    * seed codebooks): quantize, seed, encode (argmin per (item,
+    * subspace), ties to the lowest code), per-query LUT, ADC sum. */
+  private val pqCtes =
+    """WITH e AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+      |      AS code, qv
+      |  FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 32
+      |),
+      |js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |cb AS (SELECT js.j, s.code, s.qv[(js.j * 4 + 1):(js.j * 4 + 4)] AS sub
+      |       FROM seeds s CROSS JOIN js),
+      |subs AS (SELECT e.id, js.j, e.qv[(js.j * 4 + 1):(js.j * 4 + 4)] AS sub
+      |         FROM e CROSS JOIN js),
+      |dists AS (
+      |  SELECT s.id, s.j, cb.code,
+      |    CAST(list_sum(list_transform(list_zip(s.sub, cb.sub),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+      |  FROM subs s JOIN cb ON cb.j = s.j
+      |),
+      |codes AS (
+      |  SELECT id, j, code FROM (
+      |    SELECT id, j, code,
+      |      ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY dist, code) AS rn
+      |    FROM dists) WHERE rn = 1
+      |),
+      |qlut AS (SELECT id AS qid, j, code, dist FROM dists WHERE id < 8),
+      |adist AS (
+      |  SELECT l.qid, c.id AS nid, CAST(SUM(l.dist) AS BIGINT) AS adist
+      |  FROM codes c JOIN qlut l ON l.j = c.j AND l.code = c.code
+      |    AND c.id <> l.qid
+      |  GROUP BY l.qid, c.id
+      |)""".stripMargin
+
+  private val pqOracle = pqCtes +
+    """,
+      |ranked AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |  FROM adist)
+      |SELECT qid, nid, adist FROM ranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin
+
+  /** PQ-encoded ANN (asymmetric distance) for query vectors vec_id < 8:
+    * the 64-dim corpus compressed to 16 codes/vector, scored by table
+    * lookup. */
+  val embedPqAdc = dfQ("embed_pq_adc", pqOracle) { (s, _) =>
+    Similarity.pqTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, m = 16, ksub = 32)
+      .orderBy("qid", "nid")
+  }
+
+  private val pqRerankOracle = pqCtes +
+    """,
+      |short AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |    FROM adist) WHERE rn <= 50),
+      |rr AS (
+      |  SELECT s.qid, s.nid,
+      |    CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      |  FROM short s JOIN e q ON q.id = s.qid JOIN e n ON n.id = s.nid
+      |),
+      |rranked AS (SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+      |  FROM rr)
+      |SELECT qid, nid, d2 FROM rranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin
+
+  /** Two-stage PQ search: ADC shortlist of 50, exact re-rank to the
+    * final top-10 — quantization error only affects shortlist
+    * membership, never the final ordering (the production PQ shape). */
+  val embedPqRerank = dfQ("embed_pq_rerank", pqRerankOracle) { (s, _) =>
+    Similarity.pqRerankTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, m = 16, ksub = 32, shortlist = 50)
+      .orderBy("qid", "nid")
+  }
+
   /** Hashing-trick linear scorer
     * ([[TextAnalysis.hashedBigramScore]]): bigrams hash into 65536
     * weight slots, weights derive deterministically from the slot index
@@ -1169,7 +1258,7 @@ object PipelineQueries {
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
-    embedIvfRecallTrained, embedIvfRecallCurve,
+    embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,

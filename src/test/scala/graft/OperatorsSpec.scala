@@ -223,6 +223,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hAll === exact.size, "probing every cell must equal the exact result")
   }
 
+  test("pqTopK: ADC recall is real, finer quantization never hurts much") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", col("id") < 4,
+      k = 10, m = 16, ksub = 32)
+    val rows = pq.collect()
+    assert(rows.length === 40) // 4 queries x 10
+    // approximate distances are exact BIGINTs, ascending per query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.map(_.getLong(2)).toSeq
+      assert(ds == ds.sorted)
+    }
+    // the testdata embeddings are UNIT-NORM, so exact squared L2 ranks
+    // identically to exact cosine — cosineTopK is a valid ground truth
+    val hits = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .count(exact)
+    // seed (untrained) 32-word codebooks over near-random unit vectors:
+    // measured ~17/40; random 10-of-499 overlap would average ~0.8
+    assert(hits >= 10, s"PQ recall too low: $hits/40 exact top-10 pairs")
+    // determinism under repartitioning (seeded codebooks, no RNG)
+    val again = Similarity.pqTopK(emb.repartition(7), "vec_id", "embedding",
+        col("id") < 4, k = 10, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // exact re-rank over an ADC shortlist can only improve recall: any
+    // true top-10 member IN the shortlist is ranked exactly
+    val rr = Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+        col("id") < 4, k = 10, m = 16, ksub = 32, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrHits = rr.count(exact)
+    assert(rrHits >= hits, s"re-rank recall $rrHits below raw ADC $hits")
+    assert(rrHits >= 25, s"re-ranked recall too low: $rrHits/40")
+    // scale shape: encoding + search must not shuffle the corpus — the
+    // query side broadcasts
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
