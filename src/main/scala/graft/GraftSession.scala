@@ -670,6 +670,12 @@ final class GraftSession private (val spark: SparkSession) {
         arity(1, 1)
         Seq(IcebergWrite.rewriteManifests(spark, icebergPathOf(str(0))))
           .toDF("snapshot_id")
+      case "add_files" =>
+        // migration import: commit existing parquet files as table data
+        // without rewriting a byte
+        arity(2, 2)
+        Seq(IcebergWrite.addFiles(spark, icebergPathOf(str(0)), str(1)))
+          .toDF("snapshot_id")
       case "rewrite_position_deletes" =>
         arity(1, 1)
         Seq(IcebergWrite.rewritePositionDeletes(spark, icebergPathOf(str(0))))
@@ -727,7 +733,7 @@ final class GraftSession private (val spark: SparkSession) {
         Seq(view).toDF("changelog_view")
       case other => throw new IllegalArgumentException(
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
-          "compact, rewrite_manifests, rewrite_position_deletes, " +
+          "compact, rewrite_manifests, rewrite_position_deletes, add_files, " +
           "expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
           "create_branch, drop_ref, fast_forward, cherrypick_snapshot, create_changelog_view)")

@@ -1442,6 +1442,40 @@ object IcebergQueries {
       .orderBy("n_regionkey")
   }
 
+  /** Migration-import parity ([[graft.sources.IcebergWrite.addFiles]]):
+    * nation written as PLAIN parquet (two files), committed into an
+    * Iceberg table as metadata only — no byte rewritten — then read
+    * through the native scan with a merge-on-read delete on top. The
+    * oracle replays the complement filter off the parquet source. */
+  val icebergAddFiles = dfQ("iceberg_add_files",
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(n_nationkey) AS max_key
+      |FROM nation
+      |WHERE n_nationkey % 6 <> 2
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_addfiles_$tag"
+    val src = s"/tmp/graft_iceberg_addfiles_src_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergFixture.deleteRecursively(src)
+    val nation = s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.filter(col("n_nationkey") < 12).coalesce(1).write.parquet(src)
+    nation.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.mode("append").parquet(src)
+    graft.sources.IcebergWrite.create(s, dir, nation.schema,
+      fieldIds = false)
+    graft.sources.IcebergWrite.addFiles(s, dir, src)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 6 === 2)
+    IcebergIO.read(s, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_nationkey").as("max_key"))
+      .orderBy("n_regionkey")
+  }
+
   /** Fixture for `.position_deletes`: the deterministic fixture writer
     * (data-0000N.parquet names), two appends + one position-delete
     * commit against EACH data file. */
@@ -1494,7 +1528,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
-    icebergRewritePosDeletes, icebergCherrypick,
+    icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
 }

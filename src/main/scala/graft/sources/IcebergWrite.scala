@@ -78,7 +78,10 @@ object IcebergWrite {
   def create(spark: SparkSession, tablePath: String, schema: StructType,
              partitionCols: Seq[String] = Nil,
              partitionTransforms: Map[String, String] = Map.empty,
-             formatVersion: Int = 2): Unit = {
+             formatVersion: Int = 2,
+             // false = a NAME-resolution table (no field-id stamping):
+             // what [[addFiles]] imports into — its files carry no ids
+             fieldIds: Boolean = true): Unit = {
     require(formatVersion == 1 || formatVersion == 2,
       s"format-version must be 1 or 2, got $formatVersion")
     require(partitionCols.forall(schema.fieldNames.contains),
@@ -131,8 +134,11 @@ object IcebergWrite {
     // Stamp the field-id discipline: every data/delete parquet this
     // writer produces carries spec field ids, so the reader resolves
     // columns by id (spec rule) and renameColumn is safe. External
-    // tables lack the property and keep the name-based read path.
-    root.putObject("properties").put(IcebergIO.FieldIdsProp, "true")
+    // tables lack the property and keep the name-based read path —
+    // as does a `fieldIds = false` create, the [[addFiles]] import
+    // target (imported files carry no ids).
+    val props = root.putObject("properties")
+    if (fieldIds) props.put(IcebergIO.FieldIdsProp, "true"): Unit
     root.put("current-snapshot-id", -1L) // spec: -1 = no current snapshot
     root.putArray("snapshots")
     root.putArray("snapshot-log")
@@ -159,6 +165,87 @@ object IcebergWrite {
              branch: Option[String] = None): Long =
     commitData(df, tablePath, maxRecordsPerFile, operation = "append",
       summaryExtra = summaryExtra, branch = branch)
+
+  /** MIGRATION import (the runtime jar's `add_files` procedure): commit
+    * EXISTING parquet files as table data WITHOUT rewriting a byte —
+    * the files stay at their source paths (manifests may reference any
+    * URI) and only metadata is written, which is what makes a 100 TB
+    * parquet-lake -> Iceberg migration an O(files) metadata job instead
+    * of an O(bytes) copy. Per-file record counts, column bounds and
+    * null/NaN counts come from ONE grouped read-back aggregate (the
+    * same [[perFileStats]] pass appends use), so stats pruning works on
+    * imported files immediately; empty files are skipped.
+    *
+    * Guards: unpartitioned target only (hive-partitioned import not
+    * built); the target must be a NAME-resolution table
+    * (`create(..., fieldIds = false)` or an external one — imported
+    * files carry no field ids, and a by-id table would read them as
+    * nulls); the source schema must carry every table column with
+    * matching types; a file already live in the table is rejected
+    * (re-import double-counts). Returns the snapshot id. */
+  def addFiles(spark: SparkSession, tablePath: String,
+               sourceDir: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.partitionFields.isEmpty,
+      "addFiles imports into unpartitioned tables only")
+    require(!IcebergIO.resolveByFieldIds(meta),
+      s"table resolves columns by field id (${IcebergIO.FieldIdsProp}) " +
+        "but imported files carry none — import into a name-resolution " +
+        "table (create(..., fieldIds = false)), or append() to rewrite")
+    val leaves = listParquetLeaves(sourceDir)
+    require(leaves.nonEmpty, s"no .parquet files under $sourceDir")
+    // schema gate: every table column present with its type (order-free —
+    // the name-based read projects by name)
+    val srcSig = spark.read
+      .parquet(leaves.map(_.getPath.toString): _*)
+      .schema.fields.map(f => (f.name, f.dataType)).toSet
+    val tblSig = meta.schema.fields.map(f => (f.name, f.dataType)).toSet
+    require(tblSig.subsetOf(srcSig),
+      s"source files lack table columns: ${(tblSig -- srcSig).mkString(", ")}")
+    val live: Set[String] = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
+      .flatMap(s => IcebergIO.liveFiles(spark, s))
+      .map(f => IcebergIO.normalizePath(f.path)).toSet
+    val dupes = leaves.filter(s =>
+      live(IcebergIO.normalizePath(s.getPath.toString)))
+    require(dupes.isEmpty,
+      s"${dupes.size} file(s) already live in the table (first: " +
+        s"${dupes.head.getPath}) — re-import double-counts")
+
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      if (meta.formatVersion >= 2)
+        Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+      else snapshotId
+    val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
+    val stats = perFileStats(spark, meta.schema, fieldIdByName,
+      leaves.map(_.getPath.toString), storedCols = Nil)
+    val (statless, withStats) = leaves.partition(
+      s => !stats.contains(IcebergIO.normalizePath(s.getPath.toString)))
+    if (statless.nonEmpty) {
+      val n = spark.read.schema(meta.schema)
+        .parquet(statless.map(_.getPath.toString): _*).count()
+      require(n == 0L,
+        s"read-back produced no stats for ${statless.size} source " +
+          s"file(s) holding $n rows — file-path keying bug: " +
+          statless.map(_.getPath).take(3).mkString(", "))
+    }
+    val files: Seq[NewFile] = withStats.map { s =>
+      val (records, _, bounds, nulls, nans) =
+        stats(IcebergIO.normalizePath(s.getPath.toString))
+      NewFile(s.getPath.toString, records, s.getLen,
+        partitionValues = Nil, bounds = bounds,
+        nullCounts = nulls, nanCounts = nans)
+    }
+    require(files.nonEmpty, s"every file under $sourceDir is empty")
+    // commitSnapshot directly — NEVER commitStaged: a lost optimistic
+    // race must not delete the USER'S source files
+    commitSnapshot(tablePath, meta, root, priorVersion,
+      deletePartColTypes(meta), files, snapshotId, newSeq,
+      operation = "append", carryForward = true,
+      summaryExtra = Map("added-files-source" -> sourceDir))
+  }
 
   /** Replace the table's contents with `df` in one new snapshot (full
     * overwrite: the new manifest list references ONLY the new files, so

@@ -1516,6 +1516,40 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergIO.loadMetadata(dir2).snapshots.map(_.snapshotId).max === cur)
   }
 
+  test("addFiles imports parquet IN PLACE: stats prune, deletes, guards") {
+    val dir = s"$root/addfiles"
+    val src = s"$root/addfiles_src"
+    // plain parquet source: two files with disjoint id ranges
+    df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1)
+      .write.parquet(src)
+    df((10L, "x", 1.0), (11L, "y", 2.0)).coalesce(1)
+      .write.mode("append").parquet(src)
+    IcebergWrite.create(spark, dir, schema, fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 10L, 11L))
+    // not a byte moved: the table's data/ dir holds NO data files
+    assert(graft.sources.GraftFs.list(s"$dir/data")
+      .forall(_.getPath.getName.startsWith("_")))
+    // per-file bounds landed -> stats pruning works on imported files
+    val pruned = IcebergIO.read(spark, dir,
+      statsFilter = Seq(("id", "<=", 3L)))
+    assert(pruned.inputFiles.length === 1)
+    assert(ids(pruned) === Seq(1L, 2L, 3L))
+    // merge-on-read deletes apply over imported files
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 10L, 11L))
+    // re-import double-counts — rejected
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir, src))
+    assert(e.getMessage.contains("double-count"))
+    // a field-id table rejects id-less imports
+    val dir2 = s"$root/addfiles_ids"
+    IcebergWrite.create(spark, dir2, schema)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir2, src))
+    assert(e2.getMessage.contains("field id"))
+  }
+
   test("cherrypickSnapshot publishes ONE branch append onto main") {
     val dir = s"$root/cherry"
     IcebergWrite.create(spark, dir, schema)
