@@ -452,17 +452,26 @@ object Similarity {
    * Returns (qid, nid, adist) — approximate squared L2 in micro²-units,
    * ascending = most similar — for the top `k` per query.
    */
-  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             queryPred: org.apache.spark.sql.Column, k: Int,
-             m: Int, ksub: Int): DataFrame = {
-    require(m > 0 && ksub > 0 && k > 0)
-    val q = emb.select(col(idCol).cast("long").as("id"),
+  /** (id, qv) micro-quantized BIGINT projection — the PQ family's
+    * shared input frame. */
+  private def microVecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
       expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
-    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+
+  /** The PQ building blocks over a seed codebook: encode columns
+    * (`c0..c{m-1}`), per-query LUT columns (`lut0..`), and the ADC sum.
+    * Seeds come from the `ksub` lowest-md5(id) corpus vectors (shared
+    * seed set across subspaces; deterministic, no RNG). */
+  private final case class PqParts(seeds: IndexedSeq[IndexedSeq[Long]],
+                                   codeCols: Seq[Column],
+                                   lutCols: Seq[Column],
+                                   adist: Column)
+
+  private def pqParts(q: DataFrame, d: Int, m: Int, ksub: Int): PqParts = {
+    require(m > 0 && ksub > 0)
     require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
     val ds = d / m
-    // seed codebooks: subvectors of the ksub lowest-md5(id) vectors
     val seeds: IndexedSeq[IndexedSeq[Long]] = q
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h", "id").limit(ksub)
@@ -486,22 +495,72 @@ object Similarity {
           .otherwise(acc))
         .getField("code").as(s"c$j")
     }
-    val encoded = q.select(col("id") +: codeCols: _*)
-    // per-query LUTs: dist(query subvector, every codeword), per subspace
     val lutCols = (0 until m).map { j =>
       transform(cbLit(j), cv => subDist(subv(j), cv)).as(s"lut$j")
     }
-    val queries = q.filter(queryPred)
-      .select(col("id").as("qid") +: lutCols: _*)
     val adist = (0 until m)
       .map(j => element_at(col(s"lut$j"), col(s"c$j").cast("int") + 1))
       .reduce(_ + _)
-    val scored = broadcast(queries).join(encoded, col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"), adist.as("adist"))
+    PqParts(seeds, codeCols, lutCols, adist)
+  }
+
+  private def pqTopKSelect(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("adist"))
+  }
+
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int,
+             m: Int, ksub: Int): DataFrame = {
+    require(k > 0)
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val pq = pqParts(q, d, m, ksub)
+    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid") +: pq.lutCols: _*)
+    pqTopKSelect(
+      broadcast(queries).join(encoded, col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
+  }
+
+  /**
+   * IVF + PQ — the production composition for web-scale ANN: a coarse
+   * IVF quantizer restricts each query to its `nprobe` most-promising
+   * cells (candidate REDUCTION — the corpus side shuffles once on the
+   * cell key at index-build time and a probe touches `nprobe/nCells` of
+   * the data), and WITHIN those cells scoring is PQ-ADC over the
+   * compressed codes (memory reduction — candidates cost m lookups, no
+   * full vector is fetched). This is the FAISS `IVFx,PQy` shape; both
+   * stages are the deterministic seed-codebook forms, so the whole path
+   * replays in SQL. Returns (qid, nid, adist), top `k` per query.
+   */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: org.apache.spark.sql.Column, k: Int,
+                nCells: Int, nprobe: Int, m: Int, ksub: Int): DataFrame = {
+    require(k > 0)
+    val all = prep(emb, idCol, vecCol)
+    val cents = buildIvfCentroids(emb, idCol, vecCol, nCells)
+    val assigned = assignCells(all, cents).select(col("id"), col("cell"))
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val pq = pqParts(q, d, m, ksub)
+    val encoded = q.select(col("id") +: pq.codeCols: _*)
+      .join(assigned, Seq("id"))
+    val qprobes = assignQueryCells(all.filter(queryPred), cents, nprobe)
+      .select(col("id").as("qid"), col("cell"))
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .join(qprobes, Seq("qid"))
+    // (queries × nprobe) rows broadcast; the encoded corpus streams
+    // through one hash join on the cell key — an item matches at most
+    // once (it lives in exactly one cell)
+    pqTopKSelect(
+      encoded.join(broadcast(queries), Seq("cell"))
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
   }
 
   /**

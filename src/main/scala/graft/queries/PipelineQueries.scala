@@ -1221,6 +1221,54 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** IVF+PQ oracle: the FAISS `IVF16,PQ16` composition replayed — the
+    * seed IVF coarse quantizer (16 cells, cosine argmax, the embed_ivf
+    * CTEs), queries probing their TWO best cells, and ADC over the PQ
+    * codes restricted to same-cell candidates. The IVF side is double
+    * cosine (the sequential-fold dot matches across engines, as
+    * embed_ivf_topk pins); the ADC side stays exact BIGINT. */
+  private val ivfPqOracle = pqCtes +
+    """,
+      |ev AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nn AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS norm2
+      |       FROM ev),
+      |cent AS (SELECT id AS cell, v AS cv, norm2 AS cnorm2 FROM nn
+      |         WHERE norm2 > 0 ORDER BY id LIMIT 16),
+      |cellrank AS (
+      |  SELECT p.id, c.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id
+      |      ORDER BY list_sum(list_transform(list_zip(p.v, c.cv),
+      |        z -> z[1] * z[2])) / SQRT(c.cnorm2) DESC, c.cell) AS rn
+      |  FROM nn p, cent c
+      |),
+      |asg AS (SELECT id, cell FROM cellrank WHERE rn = 1),
+      |qprobe AS (SELECT id AS qid, cell FROM cellrank
+      |           WHERE rn <= 2 AND id < 8),
+      |adist2 AS (
+      |  SELECT l.qid, c.id AS nid, CAST(SUM(l.dist) AS BIGINT) AS adist
+      |  FROM codes c JOIN qlut l ON l.j = c.j AND l.code = c.code
+      |    AND c.id <> l.qid
+      |  JOIN asg ca ON ca.id = c.id
+      |  JOIN qprobe qp ON qp.qid = l.qid AND qp.cell = ca.cell
+      |  GROUP BY l.qid, c.id
+      |),
+      |ranked2 AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |  FROM adist2)
+      |SELECT qid, nid, adist FROM ranked2 WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin
+
+  /** IVF(16 cells, nprobe=2) + PQ(16×32) for queries vec_id < 8 —
+    * candidate reduction AND memory reduction composed, the web-scale
+    * ANN shape. */
+  val embedIvfPq = dfQ("embed_ivfpq", ivfPqOracle) { (s, _) =>
+    Similarity.ivfPqTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, nCells = 16, nprobe = 2, m = 16, ksub = 32)
+      .orderBy("qid", "nid")
+  }
+
   /** Hashing-trick linear scorer
     * ([[TextAnalysis.hashedBigramScore]]): bigrams hash into 65536
     * weight slots, weights derive deterministically from the slot index
@@ -1258,7 +1306,7 @@ object PipelineQueries {
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
-    embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank,
+    embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedIvfPq,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,

@@ -256,6 +256,13 @@ class OperatorsSpec extends AnyFunSuite {
     val rrHits = rr.count(exact)
     assert(rrHits >= hits, s"re-rank recall $rrHits below raw ADC $hits")
     assert(rrHits >= 25, s"re-ranked recall too low: $rrHits/40")
+    // IVF+PQ: every result must come from a probed cell — a full-probe
+    // run (nprobe = nCells) must equal raw ADC exactly (cell filtering
+    // is a no-op when every cell is probed)
+    val full = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        col("id") < 4, k = 10, nCells = 8, nprobe = 8, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     // scale shape: encoding + search must not shuffle the corpus — the
     // query side broadcasts
     val plan = pq.queryExecution.executedPlan.toString
