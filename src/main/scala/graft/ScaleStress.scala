@@ -34,7 +34,13 @@ object ScaleStress {
     "tpch_q1", "tpch_q18", "win_frame_range", "fn_weighted_percentile",
     "join_asof", "embed_knn_brute",
     "cur_decontaminate", "cur_pack", "cur_repetition",
-    "cur_pii", "cur_domain_filter")
+    "cur_pii", "cur_domain_filter",
+    // round-12 fourth session: line-grain dedup (window keyed on the
+    // line value), domain mixture (per-group rank window), hashing-trick
+    // scorer (explode + agg) and PQ-ADC search (encode map-side, search
+    // linear in corpus) — all must scale ~linearly
+    "cur_line_dedup", "cur_mix_domains", "text_hashed_score",
+    "embed_pq_adc")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join
