@@ -1442,6 +1442,46 @@ object IcebergQueries {
       .orderBy("n_regionkey")
   }
 
+  /** Equality→position delete conversion parity
+    * ([[graft.sources.IcebergWrite.convertEqualityDeletes]]): append
+    * nation, equality-delete keys `% 4 == 1`, re-insert key 5 (survives
+    * the eq sequence rule), CONVERT, then re-insert key 9 (must survive
+    * the converted positional form identically). The oracle replays the
+    * final visibility straight off the parquet source; a second result
+    * column pins that ZERO equality-delete files remain live. */
+  val icebergConvertEqDeletes = dfQ("iceberg_convert_eq_deletes",
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(n_nationkey) AS max_key,
+      |  CAST(0 AS BIGINT) AS eq_files
+      |FROM nation
+      |WHERE n_nationkey % 4 <> 1 OR n_nationkey IN (5, 9)
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_cvteq_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteEquality(
+      nation.filter(col("n_nationkey") % 4 === 1).select("n_nationkey"), dir)
+    graft.sources.IcebergWrite.append(
+      nation.filter(col("n_nationkey") === 5), dir)
+    graft.sources.IcebergWrite.convertEqualityDeletes(s, dir)
+    graft.sources.IcebergWrite.append(
+      nation.filter(col("n_nationkey") === 9), dir)
+    val eqCount = IcebergIO.files(s, dir).filter(col("content") === 2)
+      .agg(count(lit(1)).as("eq_files"))
+    IcebergIO.read(s, dir)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_nationkey").as("max_key"))
+      .crossJoin(eqCount)
+      .orderBy("n_regionkey")
+  }
+
   /** Migration-import parity ([[graft.sources.IcebergWrite.addFiles]]):
     * nation written as PLAIN parquet (two files), committed into an
     * Iceberg table as metadata only — no byte rewritten — then read
@@ -1528,7 +1568,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
-    icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles,
+    icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
 }

@@ -962,6 +962,104 @@ object IcebergWrite {
         "removed-delete-files" -> posFiles.size.toString))
   }
 
+  /** Convert accumulated EQUALITY deletes to POSITION deletes — the
+    * third delete-maintenance verb (with [[rewritePositionDeletes]] and
+    * [[compact]]): every read of a table holding equality deletes pays
+    * one value-comparing anti-join per distinct equality-id set, while
+    * position deletes are a single cheap (file, pos) anti-join. The
+    * rows an equality delete kills are FROZEN by the sequence rule
+    * (only data with `seq < delete seq` — all of it already committed),
+    * so naming their exact positions once is semantically equivalent
+    * for every future read: the killed pairs are computed as the
+    * identity diff of the current view WITHOUT vs WITH the equality
+    * deletes applied (two merge-on-read scans + one anti-join — a
+    * maintenance job, cheaper than [[compact]]'s full rewrite), written
+    * as ONE position-delete file at the new sequence number, and the
+    * equality-delete files are dropped. Rows re-inserted AFTER the
+    * conversion still survive — position deletes name old files only —
+    * exactly as they would have under the equality rule. Prior position
+    * deletes are carried EXISTING at their original sequence numbers;
+    * data manifests are carried verbatim. `replace` +
+    * rewritten-manifests markers keep CDC/incremental/streaming readers
+    * skipping it (row visibility is unchanged BY CONSTRUCTION). No live
+    * equality deletes → no-op. v2 only. Follow with
+    * [[rewritePositionDeletes]] to fold everything into one file. */
+  def convertEqualityDeletes(spark: SparkSession, tablePath: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "convertEqualityDeletes requires format v2")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot convert deletes of an empty table: $tablePath"))
+    val files = IcebergIO.liveFiles(spark, snap)
+    val eqFiles = files.filter(_.content == 2)
+    if (eqFiles.isEmpty) return snap.snapshotId
+    val dataFiles = files.filter(_.content == 0)
+    val posFiles = files.filter(_.content == 1)
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // rows the equality deletes kill = identity diff of the view
+    // without vs with them (both apply the position deletes, so the
+    // diff isolates exactly the equality effect)
+    val withoutEq = IcebergIO
+      .mergeRead(spark, meta, dataFiles ++ posFiles, withIdentity = true)
+      .select(col("__gf_file"), col("__gf_pos"))
+    val withEq = IcebergIO.mergeRead(spark, meta, files, withIdentity = true)
+      .select(col("__gf_file"), col("__gf_pos"))
+    val killed = withoutEq
+      .join(withEq, Seq("__gf_file", "__gf_pos"), "left_anti")
+      .select(col("__gf_file").as("file_path"),
+        col("__gf_pos").cast("long").as("pos"))
+      .coalesce(1).sortWithinPartitions("file_path", "pos")
+    // dangling/no-op equality deletes kill nothing -> the snapshot
+    // simply DROPS them
+    val newDelete: Seq[NewFile] = {
+      val nf = stageSingleDeleteFile(spark, tablePath, killed,
+        snapshotId, content = 1, equalityIds = Nil)
+      if (nf.records == 0L) { GraftFs.delete(nf.path, recursive = false); Nil }
+      else Seq(nf)
+    }
+
+    def entryNum(r: GenericRecord, f: String): Long =
+      if (r.getSchema.getField(f) == null) 0L
+      else r.get(f) match { case n: Number => n.longValue(); case _ => 0L }
+    val carriedData = priorManifestEntries(meta, Some(snap.snapshotId))
+      .filter(r => entryNum(r, "content") == 0L)
+    // ONE rebuilt delete manifest: prior position-delete files EXISTING
+    // at their original seqs + the conversion file ADDED at the new seq
+    // (position deletes carry no partition scope — tuple stays unset)
+    val delNfs = posFiles.sortBy(f => (f.seq, f.path)).map { f =>
+      NewFile(f.path, f.recordCount, f.bytes,
+        partitionValues = Nil, bounds = Nil, nullCounts = Nil,
+        nanCounts = Nil, content = 1, equalityIds = Nil,
+        existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+    } ++ newDelete
+    val added =
+      if (delNfs.isEmpty) Nil
+      else {
+        val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+          meta.schema, deletePartColTypes(meta), delNfs, snapshotId, newSeq,
+          manifestContent = 1, specId = meta.defaultSpecId,
+          specFieldIds = meta.partitionFieldIds)
+        Seq(((mPath, mLen, 1, snapshotId, newSeq,
+          delNfs.map(_.records).sum, delNfs.size), meta.defaultSpecId))
+      }
+    val mlPath = writeManifestList(metaDir, meta.formatVersion,
+      carried = carriedData, added = added.map(_._1), snapshotId,
+      specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
+    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation = "replace",
+      summaryExtra = Map(
+        "rewritten-manifests" -> "true",
+        "converted-equality-deletes" -> eqFiles.size.toString,
+        "added-delete-files" -> newDelete.size.toString))
+  }
+
   def expireSnapshots(tablePath: String, olderThanMs: Long,
                       retainLast: Int = 1): Int = {
     require(retainLast >= 1, "retainLast must be >= 1")

@@ -345,6 +345,34 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(graft.sources.IcebergIO.loadMetadata(dir).currentSnapshotId === Some(ff))
     assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 7L)
 
+    // round-12 fourth-session maintenance procedures
+    g.sql("DELETE FROM call_t WHERE id = 10")
+    g.sql("DELETE FROM call_t WHERE id = 11")
+    def posFiles() = graft.sources.IcebergIO.files(spark, dir)
+      .filter("content = 1").count()
+    assert(posFiles() === 2L)
+    g.sql("CALL system.rewrite_position_deletes('call_t')")
+    assert(posFiles() === 1L)
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
+    graft.sources.IcebergWrite.deleteEquality(
+      spark.range(3, 4).selectExpr("id"), dir)
+    g.sql("CALL system.convert_equality_deletes('call_t')")
+    assert(graft.sources.IcebergIO.files(spark, dir)
+      .filter("content = 2").count() === 0L)
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 4L)
+    // cherry-pick one audited branch commit onto main
+    val b1 = graft.sources.IcebergWrite.append(
+      spark.range(20, 21).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir,
+      branch = Some("audit2"))
+    g.sql(s"CALL system.cherrypick_snapshot('call_t', $b1)")
+    assert(g.sql("SELECT count(*) AS n FROM call_t").collect().head.getLong(0) === 5L)
+    // add_files needs a name-resolution table — this one is id-stamped
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_call_src").toString
+    spark.range(30, 32).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    intercept[IllegalArgumentException](
+      g.sql(s"CALL system.add_files('call_t', '$srcDir')"))
+
     // guards: unknown procedure, bad arg types, unregistered table
     intercept[IllegalArgumentException](g.sql("CALL system.nope('call_t')"))
     intercept[IllegalArgumentException](

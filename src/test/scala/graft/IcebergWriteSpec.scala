@@ -1516,6 +1516,66 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergIO.loadMetadata(dir2).snapshots.map(_.snapshotId).max === cur)
   }
 
+  test("convertEqualityDeletes: eq files become positional, rows unchanged") {
+    val dir = s"$root/cvt"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    IcebergWrite.deleteEquality(df((2L, "b", 2.0)).select("id"), dir)
+    // re-insert id=2 AFTER the delete: survives the eq rule, and MUST
+    // keep surviving after the conversion (pos deletes name old files)
+    IcebergWrite.append(df((2L, "b2", 2.5)).coalesce(1), dir)
+    // second eq delete so the conversion folds several files
+    IcebergWrite.deleteEquality(df((3L, "c", 3.0)).select("id"), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    def byContent(c: Int) = IcebergIO.files(spark, dir)
+      .filter(s"content = $c").count()
+    assert(byContent(2) === 2L)
+
+    val sid = IcebergWrite.convertEqualityDeletes(spark, dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L))
+    assert(byContent(2) === 0L) // no equality delete left
+    assert(byContent(1) === 1L) // one conversion file
+    // forward semantics preserved: re-inserting a converted-away key
+    // works exactly as under the equality rule
+    IcebergWrite.append(df((3L, "c2", 3.5)).coalesce(1), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // time travel to the pre-conversion snapshot is unchanged
+    assert(ids(IcebergIO.read(spark, dir, snapshotId = Some(sid - 1))) ===
+      Seq(1L, 2L))
+    // CDC: the conversion emits nothing (data-preserving replace)
+    assert(!IcebergIO.readChangelog(spark, dir)
+      .select("_commit_snapshot_id").collect().map(_.getLong(0))
+      .contains(sid))
+    // composition: rewritePositionDeletes folds pos files to one even
+    // after further positional deletes
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(byContent(1) === 2L)
+    IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(byContent(1) === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L))
+    // no-op path: nothing equality-deleted any more
+    val cur = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    assert(IcebergWrite.convertEqualityDeletes(spark, dir) === cur)
+  }
+
+  test("convertEqualityDeletes on a PARTITION-SCOPED upsert table") {
+    val dir = s"$root/cvt_part"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "x", 1.0), (2L, "x", 2.0), (3L, "y", 3.0)).coalesce(1), dir)
+    // upsert commits a partition-scoped equality delete + data at one seq
+    IcebergWrite.upsert(df((2L, "x", 2.5), (4L, "y", 4.0)), dir, Seq("id"))
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 1.0), (2L, 2.5), (3L, 3.0), (4L, 4.0)))
+    IcebergWrite.convertEqualityDeletes(spark, dir)
+    assert(IcebergIO.files(spark, dir).filter("content = 2").count() === 0L)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 1.0), (2L, 2.5), (3L, 3.0), (4L, 4.0)))
+  }
+
   test("addFiles imports parquet IN PLACE: stats prune, deletes, guards") {
     val dir = s"$root/addfiles"
     val src = s"$root/addfiles_src"
