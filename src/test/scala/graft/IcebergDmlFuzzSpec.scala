@@ -58,7 +58,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
     for (step <- 1 to 30) {
-      val op = rnd.nextInt(6)
+      val op = rnd.nextInt(8)
       op match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(5))
@@ -101,6 +101,10 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
             IcebergWrite.upsert(toDf(rows), dir, Seq("id"))
             model ++= rows.map(r => r._1 -> ((r._2, r._3)))
           }
+        case 6 => // maintenance: fold position-delete files (model unchanged)
+          IcebergWrite.rewritePositionDeletes(spark, dir)
+        case 7 => // maintenance: equality -> positional (model unchanged)
+          IcebergWrite.convertEqualityDeletes(spark, dir)
       }
       if (step % 10 == 0) IcebergWrite.compact(spark, dir)
       if (step % 5 == 0 || step == 30) verify(s"step $step (op $op)")

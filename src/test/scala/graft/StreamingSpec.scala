@@ -446,12 +446,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(got().filter(_._2 == 3L) === Seq(
         ("delete", 3L, 1L), ("insert", 3L, 1L), ("insert", 3L, 9L)))
       // data-preserving maintenance streams NOTHING, and the stream
-      // keeps going across it
+      // keeps going across it — including the delete-maintenance verbs
+      // (their replace snapshots carry the rewritten-manifests marker)
       val before = got().size
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 9L)
+      q.processAllAvailable()
+      val afterDelete = got().size
+      assert(afterDelete === before + 1) // the delete row itself streams
+      IcebergWrite.convertEqualityDeletes(spark, dir) // no-op path here
+      IcebergWrite.rewritePositionDeletes(spark, dir)
       IcebergWrite.compact(spark, dir)
       IcebergWrite.rewriteManifests(spark, dir)
       q.processAllAvailable()
-      assert(got().size === before)
+      assert(got().size === afterDelete)
       IcebergWrite.append(rows(5L -> 5.0), dir)
       q.processAllAvailable()
       val lastSnap = IcebergIO.snapshotIds(dir).last
