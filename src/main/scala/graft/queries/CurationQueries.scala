@@ -262,7 +262,63 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation composition: line-grain dedup → keep docs that
+    * retained at least half their lines → domain-weighted mixture over
+    * the survivors. Every stage is exact-integer/deterministic, so the
+    * whole pipeline replays as ONE SQL statement — the "a training run
+    * could consume this" proof for the composed path, not just the
+    * stages. */
+  private val curateMixOracle =
+    """WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |l AS (
+      |  SELECT id, i.i AS line_idx,
+      |    array_to_string(w[(i.i * 8 + 1):(i.i * 8 + 8)], ' ') AS line
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(0,
+      |       CAST((len(t.w) + 7) // 8 AS INT) - 1)) AS i) i
+      |),
+      |r AS (SELECT id, line_idx, line,
+      |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY id, line_idx) AS rn
+      |      FROM l),
+      |dd AS (SELECT id AS doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |       FROM r GROUP BY id),
+      |surv AS (
+      |  SELECT d.doc_id, d.lang, dd.n_kept
+      |  FROM dd JOIN documents d ON d.doc_id = dd.doc_id
+      |  WHERE dd.n_kept * 2 >= dd.n_lines
+      |),
+      |w2(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)),
+      |c2 AS (SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n, wt
+      |       FROM surv s JOIN w2 ON s.lang = w2.lang GROUP BY s.lang, wt),
+      |t2 AS (SELECT MIN(n * 10 // wt) AS tt FROM c2),
+      |k2 AS (SELECT lang, (tt * wt) // 10 AS keep FROM c2, t2),
+      |rk AS (SELECT s.lang, s.doc_id, s.n_kept,
+      |         ROW_NUMBER() OVER (PARTITION BY s.lang
+      |           ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id) AS rn
+      |       FROM surv s JOIN w2 ON s.lang = w2.lang)
+      |SELECT rk.lang AS lang, rk.doc_id, rk.n_kept
+      |FROM rk JOIN k2 ON rk.lang = k2.lang
+      |WHERE rn <= keep
+      |ORDER BY 1, 2""".stripMargin
+
+  val pipeCurateMix = dfQ("pipe_curate_mix", curateMixOracle,
+      bench = false) { (s, _) =>
+    val ld = Curation.lineDedup(s.table("documents"), "doc_id", "text",
+        lineTokens = 8)
+      .filter(col("n_kept") * 2 >= col("n_lines"))
+      .select(col("id").as("doc_id"), col("n_kept"))
+    val withLang = ld.join(
+      s.table("documents").select("doc_id", "lang"), Seq("doc_id"))
+    Curation.mixDomains(withLang, "lang", "doc_id",
+        Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1))
+      .select("lang", "doc_id", "n_kept")
+      .orderBy("lang", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains, curLineDedup)
+    curDomainFilter, curMixDomains, curLineDedup, pipeCurateMix)
 }

@@ -267,6 +267,35 @@ class ScaleSpec extends AnyFunSuite {
       plain.groupBy("k").count().orderBy("k").collect().toSeq)
   }
 
+  test("cur_line_dedup plan: keep-first is a line-keyed window, no cartesian") {
+    val p = planOf("cur_line_dedup")
+    // the keep-first window partitions BY LINE (never a corpus-wide sort)
+    assert("Window .*partitionBy|Window \\[row_number".r.findAllIn(p).nonEmpty,
+      s"plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("cur_mix_domains plan: keep counts broadcast back, rank per group") {
+    val p = planOf("cur_mix_domains")
+    // the per-group keep table attaches via broadcast, docs never
+    // shuffle for the join
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    // (the tiny counts agg legitimately passes one single-partition
+    // exchange — min over #groups rows; the doc-side rank is group-keyed)
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("embed_pq_adc plan: encode map-side, queries broadcast to the corpus") {
+    val p = planOf("embed_pq_adc")
+    // the search join broadcasts the (tiny) query+LUT side; the encoded
+    // corpus streams — never a shuffle of the corpus for the join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("DDL type normalization maps reference types to Spark types") {
     import graft.ExternalTableDdl.normalizeTypes
     assert(normalizeTypes("(a VARCHAR, b VARCHAR(10), c TEXT)")
