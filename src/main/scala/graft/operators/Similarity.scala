@@ -600,6 +600,54 @@ object Similarity {
       .select(col("qid"), col("nid"), col("d2"))
   }
 
+  /**
+   * PQ ANN as a STREAM-SAFE enrichment: the corpus is PQ-encoded once
+   * and its (id, codes) rows — m small codes per vector, the
+   * RAM-resident form — are collapsed into ONE broadcast array; each
+   * incoming query row computes its LUTs and folds the code array to
+   * its top-k map-side. No shuffle, no window, no stateful op — pure
+   * projections over a broadcast, so the SAME operator runs on a batch
+   * frame or an append-mode stream (the serving-path shape: index in
+   * RAM, queries arriving). Scale note: one executor holds all codes —
+   * 16 bytes/vector means ~60 GB per billion vectors; past that, shard
+   * the corpus into several broadcast arrays and merge the per-shard
+   * top-k (same fold). Arithmetic is identical to [[pqTopK]] (exact
+   * BIGINT ADC, self-matches excluded), so results are bit-equal.
+   */
+  def pqAnnEnrich(queries: DataFrame, idCol: String, vecCol: String,
+                  corpus: DataFrame, corpusIdCol: String,
+                  corpusVecCol: String, k: Int, m: Int,
+                  ksub: Int): DataFrame = {
+    require(k > 0)
+    val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
+    val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
+    val pq = pqParts(cq, d, m, ksub)
+    // ONE row holding every (id, codes) struct — the broadcast index
+    val encodedArr = cq.select(col("id") +: pq.codeCols: _*)
+      .select(struct(col("id"),
+        array((0 until m).map(j => col(s"c$j")): _*).as("codes")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("corpus"))
+    val q = queries.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val withLuts = q.select(col("id").as("qid") +: pq.lutCols: _*)
+      .crossJoin(broadcast(encodedArr))
+    // score every corpus entry with m lookups, sort, keep k — one fold
+    // per query row; (adist, nid) struct order makes sort_array rank by
+    // distance then id, exactly pqTopK's ordering
+    val scored = transform(col("corpus"), c => struct(
+      (0 until m).map(j => element_at(col(s"lut$j"),
+          element_at(c.getField("codes"), j + 1).cast("int") + 1))
+        .reduce(_ + _).as("adist"),
+      c.getField("id").as("nid")))
+    val kept = filter(scored, s => s.getField("nid") =!= col("qid"))
+    withLuts
+      .withColumn("__top", slice(sort_array(kept), 1, k))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__rank", "s")))
+      .select(col("qid"), col("s").getField("nid").as("nid"),
+        col("s").getField("adist").as("adist"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
     val hits = ann.select(col("qid"), col("nid"))
       .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))

@@ -263,6 +263,13 @@ class OperatorsSpec extends AnyFunSuite {
         col("id") < 4, k = 10, nCells = 8, nprobe = 8, m = 16, ksub = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the broadcast-fold enrich form is BIT-EQUAL to the join form
+    // (same arithmetic, same ordering) — it's the stream-safe twin
+    val enr = Similarity.pqAnnEnrich(
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(enr === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
     // scale shape: encoding + search must not shuffle the corpus — the
     // query side broadcasts
     val plan = pq.queryExecution.executedPlan.toString
