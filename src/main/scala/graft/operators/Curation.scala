@@ -278,6 +278,47 @@ object Curation {
    * ordering, and the hash-ordered rank spills sequentially rather than
    * collecting (same tradeoff `sample_stratified` documents).
    */
+  /**
+   * [[mixDomains]] by TOKEN budget instead of row count — the form a
+   * training mixture actually targets ("30% of TOKENS from web, …"):
+   * per-group token totals set the bottleneck-capped budget
+   * (`T = min_g floor(tok_g·W/w_g)`, group budget `floor(T·w_g/W)`
+   * tokens), and each group keeps its lowest-(md5(id), id)-ranked rows
+   * while the EXCLUSIVE running token sum stays under budget — so the
+   * boundary document is included (budgets are met or minimally
+   * overshot, never undershot by a whole document), deterministically
+   * on any engine. Same scale shape as [[mixDomains]]: one totals
+   * aggregate, broadcast budgets, one per-group window.
+   */
+  def mixDomainsByTokens(docs: DataFrame, groupCol: String, idCol: String,
+                         textCol: String,
+                         weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "mixDomainsByTokens needs a weighted group")
+    require(weights.values.forall(_ > 0), "weights must be positive integers")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totalW = weights.values.map(_.toLong).sum
+    val w = weights.toSeq.sortBy(_._1).toDF(groupCol, "__gf_w")
+    val withTok = docs.withColumn("__gf_tok",
+      size(split(col(textCol), " ")).cast("long"))
+    val totals = withTok.groupBy(groupCol)
+      .agg(sum(col("__gf_tok")).as("__gf_n"))
+      .join(broadcast(w), Seq(groupCol))
+    val t = totals.agg(min(expr(s"__gf_n * ${totalW}L div __gf_w")).as("__gf_T"))
+    val budget = totals.crossJoin(broadcast(t))
+      .select(col(groupCol),
+        expr(s"__gf_T * __gf_w div ${totalW}L").as("__gf_budget"))
+    val byHash = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    withTok.join(broadcast(budget), Seq(groupCol))
+      // exclusive prefix sum: the row that CROSSES the budget is kept
+      .withColumn("__gf_cum",
+        coalesce(sum(col("__gf_tok")).over(
+          byHash.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__gf_cum") < col("__gf_budget"))
+      .drop("__gf_cum", "__gf_budget", "__gf_tok")
+  }
+
   def mixDomains(docs: DataFrame, groupCol: String, idCol: String,
                  weights: Map[String, Int]): DataFrame = {
     require(weights.nonEmpty, "mixDomains needs at least one weighted group")

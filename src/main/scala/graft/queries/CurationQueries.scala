@@ -262,6 +262,37 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget mixture oracle: [[Curation.mixDomainsByTokens]]
+    * replayed — per-group token totals, bottleneck-capped budget,
+    * keep-while-exclusive-prefix-sum-under-budget on the md5 rank. */
+  private val mixTokensOracle =
+    """WITH w(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)),
+      |d2 AS (SELECT lang, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |       FROM documents),
+      |c AS (SELECT d2.lang, CAST(SUM(n_tok) AS BIGINT) AS n, wt
+      |      FROM d2 JOIN w ON d2.lang = w.lang GROUP BY d2.lang, wt),
+      |t AS (SELECT MIN(n * 10 // wt) AS tt FROM c),
+      |k AS (SELECT lang, (tt * wt) // 10 AS budget FROM c, t),
+      |r AS (SELECT d2.lang, d2.doc_id, d2.n_tok,
+      |        COALESCE(SUM(n_tok) OVER (PARTITION BY d2.lang
+      |          ORDER BY md5(CAST(d2.doc_id AS VARCHAR)), d2.doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |      FROM d2 JOIN w ON d2.lang = w.lang)
+      |SELECT r.lang AS lang, r.doc_id, r.n_tok
+      |FROM r JOIN k ON r.lang = k.lang
+      |WHERE cum < budget
+      |ORDER BY 1, 2""".stripMargin
+
+  val curMixTokens = dfQ("cur_mix_tokens", mixTokensOracle,
+      bench = false) { (s, _) =>
+    Curation.mixDomainsByTokens(s.table("documents"), "lang", "doc_id",
+        "text", Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1))
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** End-to-end curation composition: line-grain dedup → keep docs that
     * retained at least half their lines → domain-weighted mixture over
     * the survivors. Every stage is exact-integer/deterministic, so the
@@ -320,5 +351,5 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
     curDecontaminate, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains, curLineDedup, pipeCurateMix)
+    curDomainFilter, curMixDomains, curMixTokens, curLineDedup, pipeCurateMix)
 }

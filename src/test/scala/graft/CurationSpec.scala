@@ -155,6 +155,33 @@ class CurationSpec extends AnyFunSuite {
     assert(pick1 == pick2 && pick1.size == 6)
   }
 
+  test("mixDomainsByTokens: budget met or minimally crossed, deterministic") {
+    import spark.implicits._
+    // a: 10 docs x 10 tokens (100 total), b: 4 docs x 5 tokens (20 total)
+    val docs = ((0L until 10L).map(i => ("a", i, Seq.fill(10)("w").mkString(" "))) ++
+        (100L until 104L).map(i => ("b", i, Seq.fill(5)("w").mkString(" "))))
+      .toDF("g", "id", "text")
+    // W = 5; T = min(100*5/4, 20*5/1) = min(125, 100) = 100
+    // budgets: a = 100*4/5 = 80 tokens, b = 100*1/5 = 20 tokens
+    val out = Curation.mixDomainsByTokens(docs, "g", "id", "text",
+      Map("a" -> 4, "b" -> 1))
+    val toks = out.withColumn("t", size(split(col("text"), " ")))
+      .groupBy("g").agg(sum("t").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10-token docs tile the 80-token budget exactly; b keeps all 20
+    assert(toks == Map("a" -> 80L, "b" -> 20L))
+    // a budget that does not tile: the boundary doc is INCLUDED
+    // (exclusive prefix < budget), so the kept mass minimally overshoots
+    val out2 = Curation.mixDomainsByTokens(docs, "g", "id", "text",
+      Map("a" -> 3, "b" -> 1))
+    // W = 4; T = min(100*4/3, 20*4/1) = min(133, 80) = 80
+    // budgets: a = 80*3/4 = 60 (tiles), b = 80*1/4 = 20 (all)
+    val toks2 = out2.withColumn("t", size(split(col("text"), " ")))
+      .groupBy("g").agg(sum("t").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks2 == Map("a" -> 60L, "b" -> 20L))
+  }
+
   test("lineDedup: cross-doc keep-first, within-doc dupes, order kept") {
     import spark.implicits._
     // 2-token lines. doc 1: [a b][c d][a b] — its OWN later dup drops.
