@@ -953,13 +953,22 @@ object IcebergWrite {
     val mlPath = writeManifestList(metaDir, meta.formatVersion,
       carried = carriedData, added = added.map(_._1), snapshotId,
       specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
-    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+    // losing the optimistic race must not orphan OUR consolidated file
+    // (source data is never touched — commitStaged's discipline)
+    try publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
       snapshotId, newSeq, operation = "replace",
       summaryExtra = Map(
         "rewritten-manifests" -> "true",
         "rewritten-position-deletes" -> "true",
         "added-delete-files" -> newDelete.size.toString,
         "removed-delete-files" -> posFiles.size.toString))
+    catch {
+      case e: Throwable =>
+        newDelete.foreach(f =>
+          try { GraftFs.delete(f.path, recursive = false): Unit }
+          catch { case _: Exception => () })
+        throw e
+    }
   }
 
   /** Convert accumulated EQUALITY deletes to POSITION deletes — the
@@ -1052,12 +1061,20 @@ object IcebergWrite {
     val mlPath = writeManifestList(metaDir, meta.formatVersion,
       carried = carriedData, added = added.map(_._1), snapshotId,
       specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
-    publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+    // same lost-race cleanup as rewritePositionDeletes: drop OUR file
+    try publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
       snapshotId, newSeq, operation = "replace",
       summaryExtra = Map(
         "rewritten-manifests" -> "true",
         "converted-equality-deletes" -> eqFiles.size.toString,
         "added-delete-files" -> newDelete.size.toString))
+    catch {
+      case e: Throwable =>
+        newDelete.foreach(f =>
+          try { GraftFs.delete(f.path, recursive = false): Unit }
+          catch { case _: Exception => () })
+        throw e
+    }
   }
 
   def expireSnapshots(tablePath: String, olderThanMs: Long,

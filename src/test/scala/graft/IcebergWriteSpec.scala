@@ -1610,6 +1610,31 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("field id"))
   }
 
+  test("rewritePositionDeletes loses the optimistic race CLEANLY") {
+    val dir = s"$root/rpd_race"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    // simulate a racing writer: occupy the NEXT metadata version
+    val meta = IcebergIO.loadMetadata(dir)
+    val v = meta.metadataFile.replaceAll(".*/v(\\d+)\\.metadata\\.json$", "$1").toInt
+    val blocker = s"$dir/metadata/v${v + 1}.metadata.json"
+    val os = GraftFs.createNew(blocker)
+    os.write(GraftFs.readUtf8(meta.metadataFile).getBytes("UTF-8")); os.close()
+    def dataFiles(): Seq[String] = GraftFs.list(s"$dir/data")
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    val before = dataFiles()
+    try {
+      val e = intercept[Exception](IcebergWrite.rewritePositionDeletes(spark, dir))
+      assert(e.getMessage.toLowerCase.contains("concurrent"))
+      // the loser's consolidated file must NOT linger in data/
+      assert(dataFiles() === before)
+    } finally GraftFs.delete(blocker, recursive = false)
+    // and the verb succeeds once the contention clears
+    IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
   test("cherrypickSnapshot publishes ONE branch append onto main") {
     val dir = s"$root/cherry"
     IcebergWrite.create(spark, dir, schema)
