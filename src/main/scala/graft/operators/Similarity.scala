@@ -220,6 +220,12 @@ object Similarity {
         T.StructField("cnorm2", T.DoubleType, nullable = false))))
   }
 
+  /** Final centroids only — the PQ per-subspace trainer's view of
+    * [[trainKmeans]]. */
+  private def trainKmeansOn(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int): IndexedSeq[IndexedSeq[Long]] =
+    trainKmeans(emb, idCol, vecCol, k, iters)._1
+
   /** The Lloyd loop shared by [[kmeansCodebook]] and
     * [[kmeansCentroidTable]]: returns the final quantized centroids plus
     * the final iteration's per-cell (n_vecs, sum_ids) — collected inside
@@ -478,8 +484,18 @@ object Similarity {
       .select("qv").collect()
       .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
     require(seeds.size == ksub, s"corpus smaller than ksub=$ksub")
-    def cbLit(j: Int): Column =
-      typedLit(seeds.map(_.slice(j * ds, j * ds + ds)))
+    pqPartsFromCodebooks(seeds,
+      (0 until m).map(j => seeds.map(_.slice(j * ds, j * ds + ds))), m, ds,
+      ksub)
+  }
+
+  /** The PQ column machinery over EXPLICIT per-subspace codebooks
+    * (`cbs(j)(c)` = codeword c of subspace j) — shared by the seeded
+    * and the TRAINED forms. */
+  private def pqPartsFromCodebooks(seeds: IndexedSeq[IndexedSeq[Long]],
+                                   cbs: Seq[IndexedSeq[IndexedSeq[Long]]],
+                                   m: Int, ds: Int, ksub: Int): PqParts = {
+    def cbLit(j: Int): Column = typedLit(cbs(j))
     def subv(j: Int): Column = expr(s"slice(qv, ${j * ds + 1}, $ds)")
     def subDist(sub: Column, cv: Column): Column =
       aggregate(zip_with(sub, cv, (a, b) => (a - b) * (a - b)),
@@ -509,6 +525,43 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("adist"))
+  }
+
+  /** TRAINED per-subspace codebooks: one Lloyd run per subspace over
+    * the corpus SUBVECTORS (the shared exact-integer trainer — micro
+    * quantization, md5 seeds, truncating-division updates), so each
+    * 4-dim subquantizer adapts to its own marginal distribution — the
+    * real PQ index build. m·iters driver iterations, each an
+    * aggregates-only job (the standard iterative-ML loop; never rows to
+    * the driver). */
+  private def pqTrainedParts(emb: DataFrame, idCol: String, vecCol: String,
+                             q: DataFrame, d: Int, m: Int, ksub: Int,
+                             iters: Int): PqParts = {
+    require(m > 0 && ksub > 0 && iters > 0)
+    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
+    val ds = d / m
+    val cbs = (0 until m).map { j =>
+      val sub = emb.select(col(idCol).as("__pq_id"),
+        expr(s"slice($vecCol, ${j * ds + 1}, $ds)").as("__pq_sub"))
+      trainKmeansOn(sub, "__pq_id", "__pq_sub", ksub, iters)
+    }
+    pqPartsFromCodebooks(IndexedSeq.empty, cbs, m, ds, ksub)
+  }
+
+  /** [[pqTopK]] with TRAINED codebooks ([[pqTrainedParts]]). */
+  def pqTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: org.apache.spark.sql.Column, k: Int,
+                    m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(k > 0)
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val pq = pqTrainedParts(emb, idCol, vecCol, q, d, m, ksub, iters)
+    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid") +: pq.lutCols: _*)
+    pqTopKSelect(
+      broadcast(queries).join(encoded, col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
   }
 
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,

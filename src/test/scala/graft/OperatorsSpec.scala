@@ -277,6 +277,24 @@ class OperatorsSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"))
   }
 
+  test("pqTopKTrained: per-subspace Lloyd beats the seed codebooks") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("id") < 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.count(exact)
+    val seed = recall(Similarity.pqTopK(emb, "vec_id", "embedding",
+      col("id") < 8, 10, m = 16, ksub = 32))
+    val trained = recall(Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+      col("id") < 8, 10, m = 16, ksub = 32, iters = 1))
+    // fully deterministic path (exact-integer Lloyd, md5 seeds): on this
+    // corpus the measured values are 34 vs 40 of 80 — adapting each
+    // subquantizer to its marginal must never LOSE to the raw seeds
+    assert(trained >= seed, s"trained recall $trained < seed recall $seed")
+    assert(trained >= 38, s"trained recall regressed: $trained/80")
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
