@@ -1669,6 +1669,29 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("append snapshots only"))
   }
 
+  test("cherrypick on a PARTITIONED table carries tuples; pruning works") {
+    val dir = s"$root/cherry_part"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    val a1 = IcebergWrite.append(
+      df((1L, "x", 1.0), (2L, "y", 2.0)).coalesce(1), dir)
+    IcebergWrite.createBranch(dir, "wap", a1)
+    val b1 = IcebergWrite.append(
+      df((10L, "x", 1.5), (11L, "z", 3.0)).coalesce(1), dir,
+      branch = Some("wap"))
+    IcebergWrite.cherrypickSnapshot(spark, dir, b1)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 10L, 11L))
+    // the picked files carried their partition tuples: partition
+    // pruning on the new partition value touches ONLY the picked file
+    val pruned = IcebergIO.read(spark, dir,
+      partitionFilter = Map("name" -> "z"))
+    assert(pruned.inputFiles.length === 1)
+    assert(ids(pruned) === Seq(11L))
+    // the .partitions relation aggregates the picked tuples too
+    val parts = IcebergIO.partitions(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts === Map("name=x" -> 2L, "name=y" -> 1L, "name=z" -> 1L))
+  }
+
   test("cherrypick RE-SEQUENCES: a later main eq-delete misses picked rows") {
     val dir = s"$root/cherry_seq"
     IcebergWrite.create(spark, dir, schema)
