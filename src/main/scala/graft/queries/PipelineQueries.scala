@@ -1221,6 +1221,18 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** The broadcast-fold (serving-shape / stream-safe) PQ form against
+    * the SAME oracle as `embed_pq_adc`: a different physical plan — one
+    * broadcast code array folded per query row instead of a join — must
+    * produce bit-identical results. */
+  val embedPqEnrich = dfQ("embed_pq_enrich", pqOracle, bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions.col
+    val emb = s.table("embeddings")
+    Similarity.pqAnnEnrich(emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", emb, "vec_id", "embedding", k = 10, m = 16, ksub = 32)
+      .orderBy("qid", "nid")
+  }
+
   /** IVF+PQ oracle: the FAISS `IVF16,PQ16` composition replayed — the
     * seed IVF coarse quantizer (16 cells, cosine argmax, the embed_ivf
     * CTEs), queries probing their TWO best cells, and ADC over the PQ
@@ -1306,7 +1318,7 @@ object PipelineQueries {
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
-    embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedIvfPq,
+    embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
