@@ -1355,6 +1355,35 @@ object IcebergQueries {
       .orderBy("sequence_number")
   }
 
+  /** `.all_manifests` over the deterministic two-append basic fixture:
+    * one row per (manifest, REFERENCING snapshot) — snapshot 1
+    * references its own manifest; snapshot 2 references both. */
+  val icebergAllManifests = dfQ("iceberg_all_manifests",
+    """SELECT * FROM (VALUES
+      |  ('manifest-00001.avro', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('manifest-00001.avro', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('manifest-00002.avro', CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+      |  AS t(manifest_name, sequence_number, reference_snapshot_id)
+      |ORDER BY reference_snapshot_id, sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.allManifests(s, basicFixture(s, sfDir))
+      .select("manifest_name", "sequence_number", "reference_snapshot_id")
+      .orderBy("reference_snapshot_id", "sequence_number")
+  }
+
+  /** `.all_entries` over the basic fixture: each DISTINCT manifest
+    * parses once, so the carried-forward first manifest contributes its
+    * entry a single time — 2 rows, not 3. */
+  val icebergAllEntries = dfQ("iceberg_all_entries",
+    """SELECT * FROM (VALUES
+      |  (1, CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'data-00001.parquet', 0, CAST(10 AS BIGINT), ''),
+      |  (1, CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'data-00002.parquet', 0, CAST(15 AS BIGINT), ''))
+      |  AS t(status, snapshot_id, sequence_number, file_name, content, record_count, partition)
+      |ORDER BY sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    IcebergIO.allEntries(s, basicFixture(s, sfDir)).orderBy("sequence_number")
+  }
+
   /** `.metadata_log_entries` over [[historyFixture]]: the metadata.json
     * lineage — v1 (create) through v3 recorded in the metadata-log
     * array, plus the CURRENT v4 (compact). Timestamps are wall-clock, so
@@ -1567,7 +1596,7 @@ object IcebergQueries {
     icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
-    icebergAllFiles, icebergMetadataLog, icebergPositionDeletes,
+    icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)
