@@ -41,6 +41,38 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** LINE-grain streaming dedup — the streaming form of
+    * [[graft.operators.Curation.lineDedup]]: arriving documents split
+    * into consecutive `lineTokens`-token lines (the same projection the
+    * batch operator uses — pure codegen'd expressions, so it lifts to a
+    * stream unchanged), each distinct line kept only at its FIRST
+    * ARRIVAL (keyed watermark dedup state on the line value — evicted
+    * once the watermark passes, so state stays bounded by the window's
+    * distinct lines). Emits the surviving (id, ts, line_idx, line) rows
+    * in append mode; per-doc reassembly is the sink's per-batch
+    * group-by (a second stateful stage would pin the whole doc in state
+    * for no gain — lines of one doc arrive in one row anyway).
+    * Semantics note vs batch: batch keep-first orders by (id,
+    * line_idx); the stream keeps the first ARRIVAL, which equals the
+    * batch choice whenever ingestion follows id order. */
+  def lineDedupStream(docs: DataFrame, idCol: String, tsCol: String,
+                      textCol: String, lineTokens: Int,
+                      watermarkDelay: String): DataFrame = {
+    require(lineTokens > 0, "lineTokens must be > 0")
+    docs
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("id"), col("ts"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((size(w) + $lineTokens - 1) " +
+            s"div $lineTokens AS INT) - 1), " +
+            s"i -> array_join(slice(w, i * $lineTokens + 1, $lineTokens), ' '))"))
+          .as(Seq("line_idx", "line")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("line"))
+  }
+
   /** Watermarked session-window aggregation (gap-based session close) —
     * the streaming form of the batch `ev_sessionize` query: a session
     * extends while events keep arriving within `gap` of each other, and

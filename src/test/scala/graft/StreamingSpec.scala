@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 5) // one per event_type
   }
 
+  test("streaming line dedup: first arrival wins within and across batches") {
+    import spark.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // one batch: doc 2 repeats doc 1's "c d" line — dropped in-batch
+    in.addData((1L, t0, "a b c d"), (2L, t0, "c d e f"))
+    val out = StreamingOps.lineDedupStream(
+      in.toDS().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      lineTokens = 2, watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("line_dedup_s")
+      .outputMode(OutputMode.Append()).start()
+    def got(): Seq[(Long, String)] = spark.table("line_dedup_s")
+      .select("id", "line").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    try {
+      q.processAllAvailable()
+      assert(got() === Seq((1L, "a b"), (1L, "c d"), (2L, "e f")))
+      // next batch: "a b" already seen (cross-batch state) — dropped
+      in.addData((3L, t0, "a b x y"))
+      q.processAllAvailable()
+      assert(got() === Seq((1L, "a b"), (1L, "c d"), (2L, "e f"),
+        (3L, "x y")))
+    } finally q.stop()
+  }
+
   test("streaming PQ ANN enrich: append-mode top-k equals the batch result") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
