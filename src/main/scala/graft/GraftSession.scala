@@ -137,6 +137,26 @@ final class GraftSession private (val spark: SparkSession) {
   def icebergEntries(path: String, snapshotId: Option[Long] = None): DataFrame =
     graft.sources.IcebergIO.entries(spark, path, snapshotId)
 
+  /** Whole-history metadata tables (the runtime jar's `.all_files` /
+    * `.all_entries` / `.all_manifests` / `.metadata_log_entries` /
+    * `.position_deletes`) — the GC/audit grain over every valid
+    * snapshot; see [[graft.sources.IcebergIO]]. */
+  def icebergAllFiles(path: String): DataFrame =
+    graft.sources.IcebergIO.allFiles(spark, path)
+
+  def icebergAllEntries(path: String): DataFrame =
+    graft.sources.IcebergIO.allEntries(spark, path)
+
+  def icebergAllManifests(path: String): DataFrame =
+    graft.sources.IcebergIO.allManifests(spark, path)
+
+  def icebergMetadataLog(path: String): DataFrame =
+    graft.sources.IcebergIO.metadataLogEntries(spark, path)
+
+  def icebergPositionDeletes(path: String,
+                             snapshotId: Option[Long] = None): DataFrame =
+    graft.sources.IcebergIO.positionDeletes(spark, path, snapshotId)
+
   /** Incremental APPEND scan: rows added after `fromSnapshotId` up to
     * `toSnapshotId` (default current) — process only new data per run;
     * fails loudly on non-append snapshots in the range. */
