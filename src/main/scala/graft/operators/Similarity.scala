@@ -633,11 +633,28 @@ object Similarity {
                    queryPred: org.apache.spark.sql.Column, k: Int,
                    m: Int, ksub: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val short = pqTopK(emb, idCol, vecCol, queryPred, shortlist, m, ksub)
-      .select("qid", "nid")
-    val q = emb.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-        .as("qv"))
+    exactRerank(emb, idCol, vecCol, queryPred, k,
+      pqTopK(emb, idCol, vecCol, queryPred, shortlist, m, ksub))
+  }
+
+  /** [[pqRerankTopK]] with TRAINED codebooks for the shortlist stage. */
+  def pqRerankTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: org.apache.spark.sql.Column, k: Int,
+                          m: Int, ksub: Int, shortlist: Int,
+                          iters: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    exactRerank(emb, idCol, vecCol, queryPred, k,
+      pqTopKTrained(emb, idCol, vecCol, queryPred, shortlist, m, ksub, iters))
+  }
+
+  /** The exact second stage both rerank forms share: fetch ONLY the
+    * shortlisted rows' full vectors and score them exactly (squared L2
+    * over the micro-quantized vectors — replayable BIGINTs). */
+  private def exactRerank(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: org.apache.spark.sql.Column, k: Int,
+                          shortWithScores: DataFrame): DataFrame = {
+    val short = shortWithScores.select("qid", "nid")
+    val q = microVecs(emb, idCol, vecCol)
     val queries = q.filter(queryPred)
       .select(col("id").as("qid"), col("qv").as("qqv"))
     val corpus = q.select(col("id").as("nid"), col("qv").as("nv"))

@@ -293,6 +293,13 @@ class OperatorsSpec extends AnyFunSuite {
     // subquantizer to its marginal must never LOSE to the raw seeds
     assert(trained >= seed, s"trained recall $trained < seed recall $seed")
     assert(trained >= 38, s"trained recall regressed: $trained/80")
+    // trained shortlist + exact re-rank composes; the exact second
+    // stage can only improve on the raw trained ADC
+    val trainedRr = recall(Similarity.pqRerankTopKTrained(emb, "vec_id",
+      "embedding", col("id") < 8, 10, m = 16, ksub = 32, shortlist = 50,
+      iters = 1))
+    assert(trainedRr >= trained,
+      s"trained re-rank recall $trainedRr below raw trained $trained")
   }
 
   test("frameSample chunks payloads and keeps every Nth frame") {
