@@ -1545,6 +1545,45 @@ object IcebergQueries {
       .orderBy("n_regionkey")
   }
 
+  /** Hive-layout migration import ([[graft.sources.IcebergWrite.addFiles]]
+    * on an identity-partitioned table — the reference's
+    * `table_partition_cols` listing-table shape,
+    * `client/src/context.rs:425-440`): nation written with Spark's own
+    * `partitionBy` (files physically LACK `n_regionkey`; the value lives
+    * only in the `n_regionkey=K/` directory names), imported as metadata
+    * only, then read through the native scan — the partition column is
+    * INJECTED per file from the manifest tuple — with partition pruning
+    * on the injected column AND a merge-on-read position delete on top.
+    * The oracle replays everything off the raw `nation` table. */
+  val icebergAddFilesHive = dfQ("iceberg_add_files_hive",
+    """SELECT n_regionkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(n_nationkey) AS max_key,
+      |  MIN(n_name) AS min_name
+      |FROM nation
+      |WHERE n_nationkey % 5 <> 3 AND n_regionkey >= 1
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_addfiles_hive_$tag"
+    val src = s"/tmp/graft_iceberg_addfiles_hive_src_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergFixture.deleteRecursively(src)
+    val nation = s.table("nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.partitionBy("n_regionkey").parquet(src)
+    graft.sources.IcebergWrite.create(s, dir, nation.schema,
+      partitionCols = Seq("n_regionkey"), fieldIds = false)
+    graft.sources.IcebergWrite.addFiles(s, dir, src)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 5 === 3)
+    IcebergIO.readWhere(s, dir, col("n_regionkey") >= 1)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), max("n_nationkey").as("max_key"),
+        min("n_name").as("min_name"))
+      .orderBy("n_regionkey")
+  }
+
   /** Fixture for `.position_deletes`: the deterministic fixture writer
     * (data-0000N.parquet names), two appends + one position-delete
     * commit against EACH data file. */
@@ -1597,6 +1636,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
+    icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,
     icebergBenchChangelog)

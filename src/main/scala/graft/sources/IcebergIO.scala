@@ -378,6 +378,129 @@ object IcebergIO {
     resolveByFieldIds(meta) &&
       meta.properties.get(NameMappingSeqProp).exists(ms => f.seq <= ms.toLong)
 
+  /** Stamped by [[IcebergWrite.addFiles]] when it imports a HIVE-LAYOUT
+    * directory (files physically LACK the partition columns — the values
+    * live only in `k=v` directory names, recorded into each file's
+    * manifest partition tuple at import). When present, every read of
+    * this table injects identity-partition SOURCE columns as per-file
+    * constants from the manifest tuple ([[dataBranches]]) instead of
+    * reading them from parquet — the spec's identity-transform constant
+    * rule ("Column Projection": use partition metadata for identity
+    * sources), which is also sound for files that DO carry the column
+    * (identity ⇒ column value == tuple value on every row), so the
+    * injection applies uniformly per spec. The reference serves this
+    * shape natively via `table_partition_cols`
+    * (`reference/ballista/client/src/context.rs:425-440`,
+    * `datafusion.proto:1153`). */
+  val HiveImportProp = "graft.hive-import"
+
+  private[sources] def injectIdentity(meta: TableMetadata): Boolean =
+    meta.properties.get(HiveImportProp).contains("true")
+
+  /** Per-spec identity (spec field name -> source column) pairs, for
+    * specs where injection applies. Empty when the table has no
+    * [[HiveImportProp]]. */
+  private def injectBySpec(meta: TableMetadata): Map[Int, Seq[(String, String)]] =
+    if (!injectIdentity(meta)) Map.empty
+    else {
+      val specs =
+        if (meta.specsById.nonEmpty) meta.specsById
+        else Map(meta.defaultSpecId -> meta.partitionFields)
+      specs.map { case (sid, fields) =>
+        sid -> fields.collect {
+          case (fname, "identity", srcId) if meta.fieldById.contains(srcId) =>
+            (fname, meta.fieldById(srcId))
+        }
+      }.filter(_._2.nonEmpty)
+    }
+
+  /** Manifest-stored partition primitive -> the Spark-side value of the
+    * table column type (identity transform only: date rides as its
+    * epoch-day ordinal, timestamps as epoch micros — the inverse of
+    * [[IcebergTransforms.storedColumn]]). */
+  private def injectedValue(v: Any, dt: DataType, file: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: java.lang.Number, IntegerType) => Int.box(n.intValue())
+    case (n: java.lang.Number, LongType)    => Long.box(n.longValue())
+    case (s: String, StringType)            => s
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (n: java.lang.Number, DateType) =>
+      java.time.LocalDate.ofEpochDay(n.longValue())
+    case (n: java.lang.Number, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(n.longValue(), 1000000L),
+        (Math.floorMod(n.longValue(), 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (n: java.lang.Number, TimestampType) =>
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(n.longValue(), 1000000L),
+        Math.floorMod(n.longValue(), 1000000L) * 1000L)
+    case (other, t) => throw new UnsupportedOperationException(
+      s"cannot inject identity-partition value $other " +
+        s"(${other.getClass.getName}) as $t for file $file")
+  }
+
+  /** Both scheme-normalized key forms a file path can surface as on the
+    * row side: raw (as recorded in the manifest) and URL-encoded (what
+    * Spark's `_metadata.file_path` reports — `SparkPath` encodes via
+    * `Path.toUri`). The broadcast map carries both so the join matches
+    * regardless of escaping (hive dirs with spaces / literal '%'). */
+  private def pathJoinKeys(p: String): Seq[String] = {
+    val raw = normalizePath(p)
+    val enc = try normalizePath(new org.apache.hadoop.fs.Path(p).toUri.toString)
+      catch { case _: Exception => raw }
+    Seq(raw, enc).distinct
+  }
+
+  /** Read one spec group of a hive-imported table: the identity source
+    * columns come from the manifest tuples as per-file constants through
+    * ONE broadcast join keyed on the file path — plan size constant in
+    * the number of files/partitions (a per-tuple literal group would put
+    * one scan relation per distinct partition in the plan). A row whose
+    * file misses the broadcast map raises instead of silently nulling
+    * the column. */
+  private def injectedBranch(spark: SparkSession, meta: TableMetadata,
+                             fields: Seq[(String, String)],
+                             group: Seq[ContentFile],
+                             withPos: Boolean): DataFrame = {
+    val srcCols = fields.map(_._2).distinct
+    val fieldBySrc = fields.map { case (fn, src) => src -> fn }.toMap
+    val reduced = StructType(
+      meta.schema.fields.filterNot(f => srcCols.contains(f.name)))
+    val base = spark.read.schema(reduced).parquet(group.map(_.path): _*)
+      .withColumn("__gf_fileraw", col("_metadata.file_path"))
+      .withColumn("__gf_pos", col("_metadata.row_index"))
+    val valSchema = StructType(
+      StructField("__gf_injkey", StringType, nullable = false) +:
+        srcCols.map(c =>
+          StructField(s"__gf_inj_$c", meta.schema(c).dataType, nullable = true)))
+    val rows: Seq[Row] = group.flatMap { f =>
+      val vals = srcCols.map { c =>
+        injectedValue(f.partitionValues.getOrElse(fieldBySrc(c), null),
+          meta.schema(c).dataType, f.path)
+      }
+      pathJoinKeys(f.path).map(k => Row.fromSeq(k +: vals))
+    }
+    val mapDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), valSchema)
+    val joined = base
+      .withColumn("__gf_injkey0",
+        regexp_replace(col("__gf_fileraw"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+      .join(broadcast(mapDf), col("__gf_injkey0") === col("__gf_injkey"), "left")
+    val proj = meta.schema.fields.toSeq.map { f =>
+      if (srcCols.contains(f.name))
+        when(col("__gf_injkey").isNotNull, col(s"__gf_inj_${f.name}"))
+          .otherwise(raise_error(concat(
+            lit("identity-injection missed file (path-key mismatch): "),
+            col("__gf_fileraw"))).cast(f.dataType))
+          .as(f.name)
+      else col(f.name)
+    }
+    joined.select(proj ++ (if (withPos)
+      Seq(col("__gf_fileraw"), col("__gf_pos")) else Nil): _*)
+  }
+
   /** Read a set of DATA files with per-group column resolution: files
     * stamped with parquet field ids resolve BY ID ([[dataReadSchema]]),
     * pre-upgrade files of a name-mapped table resolve by their
@@ -393,7 +516,14 @@ object IcebergIO {
     * (by-id semantics — a name-based read would resurrect them). */
   private[sources] def dataBranches(spark: SparkSession, meta: TableMetadata,
       files: Seq[ContentFile], withPos: Boolean): Seq[DataFrame] = {
-    val (legacy, stamped) = legacySplit(meta, files)
+    // Hive-import tables ([[HiveImportProp]]): files of a spec with
+    // identity partition fields read those SOURCE columns from the
+    // manifest tuple (per-file constants), not from parquet — imported
+    // files physically lack them. One branch per such spec (bounded by
+    // the spec count, not the partition count).
+    val inj = injectBySpec(meta)
+    val (injected, plain0) = files.partition(f => inj.contains(f.specId))
+    val (legacy, stamped) = legacySplit(meta, plain0)
     def posCols = Seq(col("_metadata.file_path").as("__gf_fileraw"),
       col("_metadata.row_index").as("__gf_pos"))
     val out = Seq.newBuilder[DataFrame]
@@ -423,6 +553,9 @@ object IcebergIO {
         }
       }
       out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
+    }
+    injected.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
+      out += injectedBranch(spark, meta, inj(sid), group, withPos)
     }
     out.result()
   }
@@ -2114,22 +2247,102 @@ object IcebergIO {
   def allFiles(spark: SparkSession, tablePath: String): DataFrame =
     allFilesOf(spark, loadMetadata(tablePath))
 
-  private[sources] def allFilesOf(spark: SparkSession,
-                                  meta: TableMetadata): DataFrame = {
+  /** DISTINCT manifests referenced by any valid snapshot, each paired
+    * with its first-reference ordinal in the commit-order walk — the
+    * shared dedupe the whole-history relations and [[everReferencedPaths]]
+    * build on: a manifest carried forward by k snapshots parses ONCE
+    * (the per-snapshot union of live files equals the union of
+    * non-DELETED entries over these manifests). */
+  private def distinctManifests(meta: TableMetadata): Seq[(MlRec, Int)] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val files = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(MlRec, Int)]
     orderedSnapshots(meta).foreach { s =>
-      liveFiles(spark, s).foreach { f =>
-        if (seen.add(normalizePath(f.path))) files += f
+      manifestListRecords(s).foreach { m =>
+        if (seen.add(normalizePath(m.path))) out += ((m, out.size))
       }
     }
-    val rows = files.toSeq
-      .map(f => Row(baseName(f.path), f.content, f.format,
-        f.recordCount, f.seq, partitionString(f)))
-      .sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      filesSchema)
+    out.toSeq
+  }
+
+  /** Scheme-normalized paths of every content file referenced by ANY
+    * retained snapshot (DELETED entries included — a removed file's
+    * path is still "taken" while history retains it). Metadata grain;
+    * distributed parse past [[ParallelManifestThreshold]] manifests.
+    * [[IcebergWrite.addFiles]]'s path-reuse guard. */
+  private[sources] def everReferencedPaths(spark: SparkSession,
+                                           meta: TableMetadata): Set[String] = {
+    val ms = distinctManifests(meta)
+    if (ms.size < ParallelManifestThreshold) {
+      val c = GraftFs.conf()
+      ms.flatMap { case (m, _) =>
+        parseManifest(m.path, m.content, m.seq, m.specId, c,
+          keepDeleted = true).map(f => normalizePath(f.path))
+      }.toSet
+    } else {
+      val sconf = GraftFs.serializableConf()
+      val slices = math.min(ms.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(ms.map(_._1), slices)
+        .flatMap { m =>
+          parseManifest(m.path, m.content, m.seq, m.specId, sconf.value,
+            keepDeleted = true).map(f => normalizePath(f.path))
+        }.distinct().collect().toSet
+    }
+  }
+
+  private[sources] def allFilesOf(spark: SparkSession,
+                                  meta: TableMetadata): DataFrame = {
+    val ms = distinctManifests(meta)
+    if (ms.size < ParallelManifestThreshold) {
+      // driver loop at toy manifest counts (a Spark job per metadata
+      // query would dominate); entries of the deduped manifests, first
+      // occurrence per path winning — identical to the per-snapshot
+      // walk's first-seen rule, manifests parsed once
+      val c = GraftFs.conf()
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val files = scala.collection.mutable.ArrayBuffer.empty[ContentFile]
+      ms.foreach { case (m, _) =>
+        parseManifest(m.path, m.content, m.seq, m.specId, c).foreach { f =>
+          if (seen.add(normalizePath(f.path))) files += f
+        }
+      }
+      val rows = files.toSeq
+        .map(f => Row(baseName(f.path), f.content, f.format,
+          f.recordCount, f.seq, partitionString(f)))
+        .sortBy(r => (r.getInt(1), r.getLong(4), r.getString(0)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        filesSchema)
+    } else {
+      // DISTRIBUTED: one flatMap task slice per manifest group builds
+      // the rows in executors (millions of files × whole history never
+      // touch driver memory); the first-occurrence-per-path rule becomes
+      // a window over (manifest ordinal, entry ordinal)
+      val sconf = GraftFs.serializableConf()
+      val slices = math.min(ms.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      val rowRdd = spark.sparkContext.parallelize(ms, slices)
+        .flatMap { case (m, ord) =>
+          parseManifest(m.path, m.content, m.seq, m.specId, sconf.value)
+            .zipWithIndex.map { case (f, i) =>
+              Row(normalizePath(f.path), ord, i, baseName(f.path), f.content,
+                f.format, f.recordCount, f.seq, partitionString(f))
+            }
+        }
+      val wideSchema = StructType(
+        Seq(StructField("__gf_key", StringType, nullable = false),
+          StructField("__gf_mord", IntegerType, nullable = false),
+          StructField("__gf_eord", IntegerType, nullable = false)) ++
+          filesSchema.fields)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__gf_key"))
+        .orderBy(col("__gf_mord"), col("__gf_eord"))
+      spark.createDataFrame(rowRdd, wideSchema)
+        .withColumn("__gf_rn", row_number().over(w))
+        .filter(col("__gf_rn") === 1)
+        .select(filesSchema.fieldNames.toSeq.map(col): _*)
+        .orderBy(col("content"), col("sequence_number"), col("file_name"))
+    }
   }
 
   /** The `.all_entries` metadata table: manifest entries (INCLUDING
@@ -2139,31 +2352,45 @@ object IcebergIO {
   def allEntries(spark: SparkSession, tablePath: String): DataFrame =
     allEntriesOf(spark, loadMetadata(tablePath))
 
+  /** One `.all_entries` row. Object-level (NOT nested in
+    * [[allEntriesOf]]): a nested def would make the distributed flatMap
+    * lambda capture the whole (non-serializable) module. */
+  private def entryRow(m: MlRec, f: ContentFile): Row =
+    Row(f.status,
+      f.snapshotId
+        .orElse(if (m.addedSnapshotId >= 0) Some(m.addedSnapshotId) else None)
+        .map(Long.box).orNull,
+      f.seq, baseName(f.path), f.content, f.recordCount,
+      partitionString(f))
+
   private[sources] def allEntriesOf(spark: SparkSession,
                                     meta: TableMetadata): DataFrame = {
-    val c = GraftFs.conf()
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val manifests = scala.collection.mutable.ArrayBuffer.empty[MlRec]
-    orderedSnapshots(meta).foreach { s =>
-      manifestListRecords(s).foreach { m =>
-        if (seen.add(normalizePath(m.path))) manifests += m
-      }
+    val ms = distinctManifests(meta)
+    if (ms.size < ParallelManifestThreshold) {
+      val c = GraftFs.conf()
+      val rows = ms.flatMap { case (m, _) =>
+        parseManifest(m.path, m.content, m.seq, m.specId, c,
+          keepDeleted = true).map(f => entryRow(m, f))
+      }.sortBy(r => (r.getInt(0), r.getLong(2), r.getInt(4), r.getString(3)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        entriesSchema)
+    } else {
+      // DISTRIBUTED (same rationale as [[allFilesOf]]; no dedupe — every
+      // entry of every distinct manifest IS the relation)
+      val sconf = GraftFs.serializableConf()
+      val slices = math.min(ms.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      val rowRdd = spark.sparkContext.parallelize(ms.map(_._1), slices)
+        .flatMap { m =>
+          parseManifest(m.path, m.content, m.seq, m.specId, sconf.value,
+            keepDeleted = true).map(f => entryRow(m, f))
+        }
+      spark.createDataFrame(rowRdd, entriesSchema)
+        .orderBy(col("status"), col("sequence_number"), col("content"),
+          col("file_name"))
     }
-    val rows = manifests.toSeq.flatMap { m =>
-      parseManifest(m.path, m.content, m.seq, m.specId, c,
-          keepDeleted = true).map { f =>
-        Row(f.status,
-          f.snapshotId
-            .orElse(if (m.addedSnapshotId >= 0) Some(m.addedSnapshotId) else None)
-            .map(Long.box).orNull,
-          f.seq, baseName(f.path), f.content, f.recordCount,
-          partitionString(f))
-      }
-    }.sortBy(r => (r.getInt(0), r.getLong(2), r.getInt(4), r.getString(3)))
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      entriesSchema)
   }
 
   /** The `.metadata_log_entries` metadata table: every prior
@@ -2187,10 +2414,13 @@ object IcebergIO {
     * snapshot's live position-delete files — (target data file, position,
     * owning delete file, its sequence number). Unlike the other metadata
     * relations this opens the delete files themselves (they are the
-    * relation's rows); data files are never touched. One scan per delete
-    * file so the owning file/sequence ride as literals — plan size is
-    * O(live delete files), the same order as the planning metadata
-    * itself. */
+    * relation's rows); data files are never touched. ONE multi-path scan
+    * over all live delete files, with the owning file/sequence attached
+    * through a broadcast (path -> name, seq) join on
+    * `_metadata.file_path` — plan size CONSTANT in the number of delete
+    * files (a scan-per-file union put N relations in the plan, and a
+    * neglected table with thousands of un-consolidated delete files hit
+    * analyzer cost before data cost). */
   def positionDeletes(spark: SparkSession, tablePath: String,
                       snapshotId: Option[Long] = None): DataFrame =
     positionDeletesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
@@ -2205,12 +2435,30 @@ object IcebergIO {
     if (posFiles.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), positionDeletesSchema)
-    posFiles.map { f =>
-      spark.read.parquet(f.path).select(
+    val mapSchema = StructType(Seq(
+      StructField("__gf_dkey", StringType, nullable = false),
+      StructField("delete_file_name", StringType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false)))
+    val mapRows: Seq[Row] = posFiles.flatMap(f =>
+      pathJoinKeys(f.path).map(k => Row(k, baseName(f.path), f.seq)))
+    val mapDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava), mapSchema)
+    spark.read.parquet(posFiles.map(_.path): _*)
+      .withColumn("__gf_dkey0",
+        regexp_replace(col("_metadata.file_path"),
+          "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
+      .join(broadcast(mapDf), col("__gf_dkey0") === col("__gf_dkey"), "left")
+      .select(
         element_at(split(col("file_path"), "/"), -1).as("file_name"),
         col("pos").cast("long").as("pos"),
-        lit(baseName(f.path)).as("delete_file_name"),
-        lit(f.seq).as("sequence_number"))
-    }.reduce(_.unionByName(_))
+        // loud on a path-key miss — an inner join would silently drop
+        // the delete rows instead
+        when(col("__gf_dkey").isNotNull, col("delete_file_name"))
+          .otherwise(raise_error(concat(
+            lit("position_deletes: unmatched delete-file path "),
+            col("_metadata.file_path"))).cast("string"))
+          .as("delete_file_name"),
+        col("sequence_number"))
   }
 }

@@ -176,42 +176,114 @@ object IcebergWrite {
     * same [[perFileStats]] pass appends use), so stats pruning works on
     * imported files immediately; empty files are skipped.
     *
-    * Guards: unpartitioned target only (hive-partitioned import not
-    * built); the target must be a NAME-resolution table
+    * Layouts:
+    *  - UNPARTITIONED table: a flat (or arbitrarily nested) directory of
+    *    parquet files, every file carrying every table column.
+    *  - IDENTITY-partitioned table: a HIVE-LAYOUT directory —
+    *    `col=value/` path segments name the partition values, files
+    *    physically LACK the partition columns (the most common real
+    *    migration shape: years of hive-partitioned parquet -> Iceberg;
+    *    the reference serves such listing tables natively via
+    *    `table_partition_cols`, `client/src/context.rs:425-440`,
+    *    `datafusion.proto:1153`). Each file's tuple is parsed from its
+    *    directory path into the manifest, partition-column bounds/null
+    *    counts are stamped from the constants (stats pruning works
+    *    immediately), and the table gains
+    *    [[IcebergIO.HiveImportProp]] so every read injects the columns
+    *    from the manifest tuple ([[IcebergIO.dataBranches]]).
+    *
+    * Guards: the target must be a NAME-resolution table
     * (`create(..., fieldIds = false)` or an external one — imported
     * files carry no field ids, and a by-id table would read them as
-    * nulls); the source schema must carry every table column with
-    * matching types; a file already live in the table is rejected
-    * (re-import double-counts). Returns the snapshot id. */
+    * nulls); EVERY source file's own footer must carry every table
+    * column with matching types (a per-leaf check — a merged-schema
+    * gate would let a mixed directory slip files that read a column as
+    * null); a file referenced by ANY retained snapshot is rejected
+    * (re-import double-counts, and a re-imported previously-removed
+    * path would let still-retained delete files apply to the new rows);
+    * a partitioned target's spec must be identity-only (transformed
+    * values cannot be derived from directory names); hive-layout files
+    * must NOT physically carry a partition column (the directory name
+    * is the single source of truth). Returns the snapshot id. */
   def addFiles(spark: SparkSession, tablePath: String,
                sourceDir: String): Long = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
-    require(meta.partitionFields.isEmpty,
-      "addFiles imports into unpartitioned tables only")
     require(!IcebergIO.resolveByFieldIds(meta),
       s"table resolves columns by field id (${IcebergIO.FieldIdsProp}) " +
         "but imported files carry none — import into a name-resolution " +
         "table (create(..., fieldIds = false)), or append() to rewrite")
+    val hive = meta.partitionFields.nonEmpty
+    if (hive) {
+      val nonIdentity = meta.partitionFields.filter(_._2 != "identity")
+      require(nonIdentity.isEmpty,
+        "hive-layout import requires an identity-only partition spec; " +
+          s"transformed fields ${nonIdentity.map(f => s"${f._1}(${f._2})").mkString(", ")} " +
+          "cannot be derived from directory names")
+    }
+    // (spec field name, source column, source type) — identity only
+    val partSrc: Seq[(String, String, DataType)] =
+      meta.partitionFields.map { case (name, _, srcId) =>
+        val src = meta.fieldById.getOrElse(srcId,
+          throw new IllegalArgumentException(
+            s"partition source field id $srcId not in table schema"))
+        (name, src, meta.schema(src).dataType)
+      }
+    partSrc.foreach { case (_, src, dt) =>
+      require(hiveParseable(dt),
+        s"hive partition column '$src' has type $dt — only " +
+          "int/long/string/date directory values are parseable")
+    }
+    val fileSchema = StructType(
+      meta.schema.fields.filterNot(f => partSrc.exists(_._2 == f.name)))
     val leaves = listParquetLeaves(sourceDir)
     require(leaves.nonEmpty, s"no .parquet files under $sourceDir")
-    // schema gate: every table column present with its type (order-free —
-    // the name-based read projects by name)
-    val srcSig = spark.read
-      .parquet(leaves.map(_.getPath.toString): _*)
+    val leafPaths = leaves.map(_.getPath.toString)
+
+    // per-leaf footer gate: every file individually carries every
+    // (non-partition) table column — a merged-schema check would let a
+    // mixed directory import files that silently read a column as null.
+    // Hive layout additionally forbids the partition columns IN the
+    // files (directory names are the single source of truth).
+    val required = fileSchema.fieldNames.toSet
+    val forbidden = partSrc.map(_._2).toSet
+    leafFooterNames(spark, leafPaths).foreach { case (p, names) =>
+      val missing = required -- names
+      require(missing.isEmpty,
+        s"source file $p lacks table column(s): ${missing.toSeq.sorted.mkString(", ")}")
+      val clash = names.intersect(forbidden)
+      require(clash.isEmpty,
+        s"hive-layout source file $p physically carries partition " +
+          s"column(s) ${clash.toSeq.sorted.mkString(", ")} — the " +
+          "directory name must be the single source of the value")
+    }
+    // type gate: the merged footer schema must agree on every shared
+    // column's type (per-leaf names above + one type signature here)
+    val srcSig = spark.read.parquet(leafPaths: _*)
       .schema.fields.map(f => (f.name, f.dataType)).toSet
-    val tblSig = meta.schema.fields.map(f => (f.name, f.dataType)).toSet
+    val tblSig = fileSchema.fields.map(f => (f.name, f.dataType)).toSet
     require(tblSig.subsetOf(srcSig),
       s"source files lack table columns: ${(tblSig -- srcSig).mkString(", ")}")
-    val live: Set[String] = meta.currentSnapshotId
-      .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
-      .flatMap(s => IcebergIO.liveFiles(spark, s))
-      .map(f => IcebergIO.normalizePath(f.path)).toSet
+
+    // hive tuple per leaf, parsed from its k=v path segments
+    val tupleByLeaf: Map[String, Seq[Any]] =
+      if (!hive) Map.empty
+      else leafPaths.map { p =>
+        p -> hiveTupleOf(sourceDir, p, partSrc)
+      }.toMap
+
+    // reject paths referenced by ANY retained snapshot, not just the
+    // live set: a previously-removed path re-entering while a
+    // still-retained delete file names it would apply old deletes to
+    // the new rows (the unique-path assumption becomes a checked guard)
+    val referenced: Set[String] =
+      IcebergIO.everReferencedPaths(spark, meta)
     val dupes = leaves.filter(s =>
-      live(IcebergIO.normalizePath(s.getPath.toString)))
+      referenced(IcebergIO.normalizePath(s.getPath.toString)))
     require(dupes.isEmpty,
-      s"${dupes.size} file(s) already live in the table (first: " +
-        s"${dupes.head.getPath}) — re-import double-counts")
+      s"${dupes.size} file(s) already referenced by a retained snapshot " +
+        s"(first: ${dupes.head.getPath}) — re-import double-counts " +
+        "or resurrects old deletes")
 
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val newSeq =
@@ -219,12 +291,12 @@ object IcebergWrite {
         Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
       else snapshotId
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
-    val stats = perFileStats(spark, meta.schema, fieldIdByName,
-      leaves.map(_.getPath.toString), storedCols = Nil)
+    val stats = perFileStats(spark, fileSchema, fieldIdByName,
+      leafPaths, storedCols = Nil)
     val (statless, withStats) = leaves.partition(
       s => !stats.contains(IcebergIO.normalizePath(s.getPath.toString)))
     if (statless.nonEmpty) {
-      val n = spark.read.schema(meta.schema)
+      val n = spark.read.schema(fileSchema)
         .parquet(statless.map(_.getPath.toString): _*).count()
       require(n == 0L,
         s"read-back produced no stats for ${statless.size} source " +
@@ -232,19 +304,123 @@ object IcebergWrite {
           statless.map(_.getPath).take(3).mkString(", "))
     }
     val files: Seq[NewFile] = withStats.map { s =>
+      val path = s.getPath.toString
       val (records, _, bounds, nulls, nans) =
-        stats(IcebergIO.normalizePath(s.getPath.toString))
-      NewFile(s.getPath.toString, records, s.getLen,
-        partitionValues = Nil, bounds = bounds,
-        nullCounts = nulls, nanCounts = nans)
+        stats(IcebergIO.normalizePath(path))
+      val tuple = tupleByLeaf.getOrElse(path, Nil)
+      // partition-column stats from the per-file constant: exact bounds
+      // (the value) and null counts (all-or-nothing), so statsFilter
+      // prunes on injected columns exactly as on physical ones
+      val partBounds = partSrc.zip(tuple).flatMap { case ((_, src, dt), v) =>
+        Option(v).map { x =>
+          val b = IcebergTransforms.serializeBound(x)
+          (fieldIdByName(src), b, b)
+        }
+      }
+      val partNulls = partSrc.zip(tuple).map { case ((_, src, _), v) =>
+        fieldIdByName(src) -> (if (v == null) records else 0L)
+      }
+      NewFile(path, records, s.getLen,
+        partitionValues = tuple, bounds = bounds ++ partBounds,
+        nullCounts = nulls ++ partNulls, nanCounts = nans)
     }
     require(files.nonEmpty, s"every file under $sourceDir is empty")
+    // stamp the injection property in the SAME commit (publishSnapshot
+    // deep-copies root, so this mutation only reaches disk with the
+    // snapshot it belongs to)
+    if (hive) {
+      val props = Option(root.get("properties")) match {
+        case Some(o: ObjectNode) => o
+        case _ => root.putObject("properties")
+      }
+      props.put(IcebergIO.HiveImportProp, "true"): Unit
+    }
     // commitSnapshot directly — NEVER commitStaged: a lost optimistic
     // race must not delete the USER'S source files
     commitSnapshot(tablePath, meta, root, priorVersion,
       deletePartColTypes(meta), files, snapshotId, newSeq,
       operation = "append", carryForward = true,
       summaryExtra = Map("added-files-source" -> sourceDir))
+  }
+
+  /** Directory-value parseability for hive-layout import. */
+  private def hiveParseable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** Parse a leaf's hive partition tuple from its `k=v` path segments
+    * into STORED primitives (date -> epoch-day ordinal), in spec-field
+    * order. Values are hive-unescaped; `__HIVE_DEFAULT_PARTITION__`
+    * is the null marker. Every partition column must appear in the
+    * path — loudly. */
+  private def hiveTupleOf(sourceDir: String, leafPath: String,
+                          partSrc: Seq[(String, String, DataType)]): Seq[Any] = {
+    val rel = IcebergIO.normalizePath(leafPath)
+      .stripPrefix(IcebergIO.normalizePath(sourceDir)).stripPrefix("/")
+    val segs = rel.split('/').dropRight(1) // the basename is not a k=v segment
+    val kv: Map[String, String] = segs.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) None else Some(hiveUnescape(s.take(i)) -> hiveUnescape(s.drop(i + 1)))
+    }.toMap
+    partSrc.map { case (_, src, dt) =>
+      val raw = kv.getOrElse(src, throw new IllegalArgumentException(
+        s"hive-layout file $leafPath has no '$src=' path segment " +
+          s"(found: ${kv.keys.toSeq.sorted.mkString(", ")})"))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else dt match {
+        case IntegerType => Int.box(raw.toInt)
+        case LongType    => Long.box(raw.toLong)
+        case StringType  => raw
+        case DateType    =>
+          Int.box(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unparseable hive partition type $other for '$src'")
+      }
+    }
+  }
+
+  /** Hive path-segment unescape: `%xx` sequences only ('+' stays
+    * literal — hive escaping is not application/x-www-form-urlencoded,
+    * so URLDecoder would corrupt it). */
+  private def hiveUnescape(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Per-leaf parquet footer column names — each file's OWN schema, not
+    * a merge. Distributed past [[IcebergIO.ParallelManifestThreshold]]
+    * files (footer opens are O(files); a 1e5-file import must not
+    * serialize them on the driver). */
+  private def leafFooterNames(spark: SparkSession,
+                              paths: Seq[String]): Seq[(String, Set[String])] = {
+    def names(p: String, conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      finally r.close()
+    }
+    if (paths.size < IcebergIO.ParallelManifestThreshold) {
+      val c = GraftFs.conf()
+      paths.map(p => p -> names(p, c))
+    } else {
+      val sconf = GraftFs.serializableConf()
+      val slices = math.min(paths.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(paths, slices)
+        .map(p => p -> names(p, sconf.value)).collect().toSeq
+    }
   }
 
   /** Replace the table's contents with `df` in one new snapshot (full

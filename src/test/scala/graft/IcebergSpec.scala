@@ -6,7 +6,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{IcebergFixture, IcebergIO}
+import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
 
 /** Native read-only Iceberg snapshot scan (reference fork's feature delta:
   * Cargo.toml:43-45, ballista/core/src/serde/mod.rs:92) against
@@ -1369,5 +1369,59 @@ class IcebergSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
     assert(spark.sql("SELECT count(*) FROM allmeta_t_metadata_log_entries")
       .collect().head.getLong(0) === 2L)
+  }
+
+  test("all_files/all_entries run DISTRIBUTED above the threshold; " +
+      "path dedupe survives manifest rewrites") {
+    val dir = s"$root/allmeta_dist"
+    IcebergWrite.create(spark, dir, schema)
+    val n = IcebergIO.ParallelManifestThreshold + 2
+    (1 to n).foreach(i =>
+      IcebergWrite.append(df((i.toLong, s"n$i", i * 0.5)).coalesce(1), dir))
+    // the rewrite puts every path into a SECOND (consolidated) manifest —
+    // the distributed first-occurrence window must still emit each once
+    IcebergWrite.rewriteManifests(spark, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = IcebergIO.allFiles(spark, dir).collect()
+      Thread.sleep(500) // listener delivery is async
+      assert(jobs.get() >= 1, "expected a distributed manifest-parse job")
+      assert(rows.length === n, "each path exactly once despite 2 manifests")
+      assert(rows.map(_.getLong(3)).sum === n.toLong) // 1 record per file
+      // first occurrence wins: sequence numbers are the ORIGINAL ones
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to n.toLong))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // all_entries: every entry of every DISTINCT manifest — n originals
+    // (ADDED) + n carried copies in the consolidated manifest (EXISTING)
+    val ae = IcebergIO.allEntries(spark, dir).collect()
+    assert(ae.length === 2 * n)
+    assert(ae.count(_.getInt(0) == 0) === n)
+    assert(ae.count(_.getInt(0) == 1) === n)
+  }
+
+  test("position_deletes plan stays constant-size at many delete files") {
+    val dir = s"$root/posdel_many"
+    val w = new IcebergFixture.Writer(spark, dir, schema)
+    w.append(df((0L until 60L).map(i => (i, s"x$i", i * 0.1)): _*))
+    val target = w.dataFilePaths.head
+    (0 until 50).foreach(i => w.deletePositions(target, Seq(i.toLong)))
+    val pd = IcebergIO.positionDeletes(spark, dir)
+    // ONE multi-path scan + the broadcast (path -> owner) map — never a
+    // relation per delete file
+    val leaves = pd.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 2,
+      s"expected <= 2 plan leaves at 50 delete files, got ${leaves.size}")
+    val rows = pd.collect()
+    assert(rows.length === 50)
+    assert(rows.map(_.getString(2)).distinct.length === 50) // 50 owners
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until 50L))
+    // and the merge-on-read READ over those files stays correct
+    assert(ids(IcebergIO.read(spark, dir)) === (50L until 60L))
   }
 }

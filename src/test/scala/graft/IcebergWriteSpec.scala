@@ -1610,6 +1610,127 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("field id"))
   }
 
+  test("addFiles HIVE layout: injection, pruning, deletes, later appends") {
+    val dir = s"$root/addfiles_hive"
+    val src = s"$root/addfiles_hive_src"
+    // Spark's own hive layout: files physically LACK `name` — the value
+    // lives only in the `name=K/` directory names (incl. the null dir)
+    df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0),
+      (5L, null, 5.0)).write.partitionBy("name").parquet(src)
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"), fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    // injected values equal the original column, nulls included
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "b", 4.0), (5L, null, 5.0)))
+    // partition pruning works ON THE INJECTED COLUMN (manifest tuples)
+    val all = IcebergIO.read(spark, dir).inputFiles.length
+    val pruned = IcebergIO.readWhere(spark, dir, col("name") === "a")
+    assert(pruned.inputFiles.length < all,
+      s"expected pruning below $all files, scanned ${pruned.inputFiles.length}")
+    assert(ids(pruned) === Seq(1L, 2L))
+    // ...and so does STATS pruning (constant bounds stamped per file)
+    assert(IcebergIO.read(spark, dir,
+      statsFilter = Seq(("name", "=", "a"))).inputFiles.length < all)
+    // merge-on-read deletes with a predicate over the injected column
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "b" && col("id") === 3L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 4L, 5L))
+    // later appends write files that DO carry the column physically —
+    // injection (tuple == column value under identity) stays correct
+    IcebergWrite.append(df((6L, "a", 6.0)), dir)
+    assert(ids(IcebergIO.readWhere(spark, dir, col("name") === "a")) ===
+      Seq(1L, 2L, 6L))
+    assert(IcebergIO.read(spark, dir).filter(col("id") === 6L)
+      .collect().head.getString(1) === "a")
+  }
+
+  test("addFiles HIVE layout: escaped string values and DATE partitions") {
+    // a space (stays literal in the dir name but URL-encodes in
+    // `_metadata.file_path` — exercises the path-key join) and a literal
+    // '%' (hive-escaped as %25 in the dir name)
+    val dir = s"$root/addfiles_hive_esc"
+    val src = s"$root/addfiles_hive_esc_src"
+    df((1L, "a b", 1.0), (2L, "p%q", 2.0)).write.partitionBy("name").parquet(src)
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"), fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("a b", "p%q"))
+    assert(ids(IcebergIO.readWhere(spark, dir, col("name") === "p%q")) === Seq(2L))
+
+    // DATE partition column: dir value parses to the epoch-day ordinal,
+    // reads back as the date, prunes
+    val dschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true)))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, java.sql.Date.valueOf("2021-03-04")))
+    rows.add(Row(2L, java.sql.Date.valueOf("1961-11-23"))) // pre-1970
+    val ddf = spark.createDataFrame(rows, dschema)
+    val ddir = s"$root/addfiles_hive_date"
+    val dsrc = s"$root/addfiles_hive_date_src"
+    ddf.write.partitionBy("d").parquet(dsrc)
+    IcebergWrite.create(spark, ddir, dschema,
+      partitionCols = Seq("d"), fieldIds = false)
+    IcebergWrite.addFiles(spark, ddir, dsrc)
+    assert(IcebergIO.read(spark, ddir).orderBy("id").collect()
+      .map(_.getDate(1).toString).toSeq === Seq("2021-03-04", "1961-11-23"))
+    val dpruned = IcebergIO.readWhere(spark, ddir,
+      col("d") === org.apache.spark.sql.functions.lit(
+        java.sql.Date.valueOf("1961-11-23")))
+    assert(dpruned.inputFiles.length === 1)
+    assert(ids(dpruned) === Seq(2L))
+  }
+
+  test("addFiles HIVE layout guards: mixed footers, carried partition " +
+      "column, non-identity spec, removed-path re-import") {
+    // (a) per-leaf footer gate: a file missing a table column is named
+    val dir1 = s"$root/hive_guard_mixed"
+    val src1 = s"$root/hive_guard_mixed_src"
+    df((1L, "a", 1.0)).coalesce(1).write.parquet(src1)
+    df((2L, "b", 2.0)).drop("score").coalesce(1)
+      .write.mode("append").parquet(src1) // one leaf lacks `score`
+    IcebergWrite.create(spark, dir1, schema, fieldIds = false)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir1, src1))
+    assert(e1.getMessage.contains("lacks table column"))
+    assert(e1.getMessage.contains("score"))
+
+    // (b) a hive-layout file physically carrying the partition column
+    val dir2 = s"$root/hive_guard_carried"
+    val src2 = s"$root/hive_guard_carried_src"
+    df((1L, "a", 1.0)).coalesce(1).write.parquet(s"$src2/name=a")
+    IcebergWrite.create(spark, dir2, schema,
+      partitionCols = Seq("name"), fieldIds = false)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir2, src2))
+    assert(e2.getMessage.contains("physically carries"))
+
+    // (c) transformed specs cannot be derived from directory names
+    val dir3 = s"$root/hive_guard_bucket"
+    IcebergWrite.create(spark, dir3, schema, partitionCols = Seq("name"),
+      partitionTransforms = Map("name" -> "bucket[4]"), fieldIds = false)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir3, s"$root/nonexistent"))
+    assert(e3.getMessage.contains("identity-only"))
+
+    // (d) a path referenced by a RETAINED (no longer live) snapshot is
+    // rejected — a re-imported removed path would let still-retained
+    // delete files apply to the new rows
+    val dir4 = s"$root/hive_guard_removed"
+    val src4 = s"$root/hive_guard_removed_src"
+    df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1).write.parquet(src4)
+    IcebergWrite.create(spark, dir4, schema, fieldIds = false)
+    IcebergWrite.addFiles(spark, dir4, src4)
+    IcebergWrite.overwrite(df((9L, "z", 9.0)), dir4) // imports drop from live
+    val e4 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir4, src4))
+    assert(e4.getMessage.contains("retained snapshot"))
+  }
+
   test("rewritePositionDeletes loses the optimistic race CLEANLY") {
     val dir = s"$root/rpd_race"
     IcebergWrite.create(spark, dir, schema)
