@@ -196,6 +196,13 @@ object ScaleStress {
     val wSmall = writeTime(20)
     val wLarge = writeTime(200)
     val wRatio = wLarge / math.max(wSmall, 1e-3)
+    // Profiled (round 13, warm JVM): at 200 partitions the append
+    // decomposes as ~2.4 s raw Spark partitionBy parquet write + ~0.6 s
+    // stats read-back + <0.1 s rename/manifest/commit; the SAME raw
+    // partitionBy write alone grows ~4x from 20 to 200 files (Spark's
+    // per-small-file committer cost), so the growth is the engine's
+    // intrinsic many-files write cost, not graft metadata overhead —
+    // which stays flat. 6x holds that intrinsic 4x plus timing noise.
     val wThreshold = 6.0 // 10x files, same rows; O(files) commit + headroom
     val wSuspect = wLarge > 0.5 && wRatio >= wThreshold
 
@@ -221,6 +228,71 @@ object ScaleStress {
     val semThreshold = 30.0 // 10x rows at constant cell size, 3x headroom
     val semSuspect = semLarge > 0.5 && semRatio >= semThreshold
 
+    // Whole-history metadata scale: all_files walks EVERY distinct
+    // manifest of every snapshot — rows build in executors past the
+    // parallel threshold, so 10x the manifests (and snapshots) must cost
+    // ~10x, not O(snapshots x manifests) (the pre-r13 per-snapshot walk
+    // re-parsed a carried manifest once per referencing snapshot —
+    // quadratic in history length).
+    def allFilesFixture(n: Int): String = {
+      val dir = s"/tmp/graft_scale_allf_$n"
+      graft.sources.IcebergFixture.deleteRecursively(dir)
+      val one = spark.range(1).select(col("id"))
+      val w = new graft.sources.IcebergFixture.Writer(spark, dir, one.schema)
+      (1 to n).foreach(i =>
+        w.append(spark.range(i.toLong, i.toLong + 1).select(col("id"))))
+      dir
+    }
+    def allFilesTime(dir: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.IcebergIO.allFiles(spark, dir).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val afSmallDir = allFilesFixture(12)  // both above the ||-threshold
+    val afLargeDir = allFilesFixture(120)
+    val afSmall = allFilesTime(afSmallDir)
+    val afLarge = allFilesTime(afLargeDir)
+    val afRatio = afLarge / math.max(afSmall, 1e-3)
+    val afThreshold = 30.0 // 10x manifests+snapshots, 3x headroom
+    val afSuspect = afLarge > 0.5 && afRatio >= afThreshold
+
+    // Domain-mixing skew: one domain holding 90% of the corpus funnels
+    // mixDomains' exact rank through ONE window reducer; the opt-in
+    // skew-cutover path pre-cuts the dominant group map-side (bit-equal
+    // results — CurationSpec pins it). Timed on the 10x corpus: the
+    // cutover path on the skewed grouping must stay within the skew
+    // threshold of itself on a balanced grouping of the SAME rows
+    // (plain-on-skewed is recorded alongside as the evidence of what
+    // the cutover buys).
+    def mixTime(grouped: DataFrame, weights: Map[String, Int],
+                cutover: Option[Long]): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Curation.mixDomains(grouped, "g", "doc_id",
+            weights, cutover)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val mixDocs = spark.read.parquet(s"$dst/documents.parquet")
+      .select(col("doc_id"))
+    val mixBalanced = mixDocs.withColumn("g",
+      concat(lit("g"), pmod(col("doc_id"), lit(10L)).cast("string")))
+    // 90% of rows in "dom", the rest spread over g1..g9 (~1.1% each)
+    val mixSkewed = mixDocs.withColumn("g",
+      when(pmod(col("doc_id"), lit(10L)) < 9, lit("dom"))
+        .otherwise(concat(lit("g"),
+          (pmod(col("doc_id"), lit(9L)) + 1).cast("string"))))
+    val mixW = (Seq("dom") ++ (1 to 9).map(i => s"g$i")).map(_ -> 1).toMap
+    val mixBalW = (0 until 10).map(i => s"g$i" -> 1).toMap
+    val cutAt = Some(100000L)
+    val mixPlainSkew = mixTime(mixSkewed, mixW, None)
+    val mixCutSkew = mixTime(mixSkewed, mixW, cutAt)
+    val mixCutBal = mixTime(mixBalanced, mixBalW, cutAt)
+    val mixRatio = mixCutSkew / math.max(mixCutBal, 1e-3)
+    val mixThreshold = skewThreshold // same bar as the other skew gates
+    val mixSuspect = mixCutSkew > 0.5 && mixRatio >= mixThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -242,6 +314,14 @@ object ScaleStress {
       s""""sec_small":${jnum(semSmall)},"sec_large":${jnum(semLarge)},""" +
       s""""ratio":${jnum(semRatio)},"threshold":${jnum(semThreshold)},""" +
       s""""suspect":${semSuspect}},""" +
+      s""""iceberg_all_files":{"manifests_small":12,"manifests_large":120,""" +
+      s""""sec_small":${jnum(afSmall)},"sec_large":${jnum(afLarge)},""" +
+      s""""ratio":${jnum(afRatio)},"threshold":${jnum(afThreshold)},""" +
+      s""""suspect":${afSuspect}},""" +
+      s""""mix_skew":{"plain_skew_sec":${jnum(mixPlainSkew)},""" +
+      s""""cut_skew_sec":${jnum(mixCutSkew)},"cut_balanced_sec":${jnum(mixCutBal)},""" +
+      s""""ratio":${jnum(mixRatio)},"threshold":${jnum(mixThreshold)},""" +
+      s""""suspect":${mixSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

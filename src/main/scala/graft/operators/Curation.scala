@@ -320,7 +320,25 @@ object Curation {
   }
 
   def mixDomains(docs: DataFrame, groupCol: String, idCol: String,
-                 weights: Map[String, Int]): DataFrame = {
+                 weights: Map[String, Int]): DataFrame =
+    mixDomains(docs, groupCol, idCol, weights, skewCutover = None)
+
+  /** [[mixDomains]] with an opt-in SKEW path: the exact rank funnels each
+    * group through one window partition — correct, but a dominant group
+    * (90% of a 100 TB corpus in one domain) serializes on a single
+    * reducer. With `skewCutover = Some(t)`, groups LARGER than `t` rows
+    * are pre-cut by a DISTRIBUTED md5-prefix filter before the window:
+    * the keep-rank boundary lives near hash-fraction keep/n, so rows
+    * hashing above `(2·keep + 1000)/n` of the hash space provably cannot
+    * make the top-keep and are dropped map-side; the surviving ~2·keep
+    * rows then rank exactly as before. Results are BIT-IDENTICAL to the
+    * unbounded path (the cut is above the boundary by construction), and
+    * the astronomically-unlikely underflow (a group retaining fewer than
+    * `keep` survivors under a uniform 60-bit hash) raises loudly rather
+    * than silently shrinking the mixture. */
+  def mixDomains(docs: DataFrame, groupCol: String, idCol: String,
+                 weights: Map[String, Int],
+                 skewCutover: Option[Long]): DataFrame = {
     require(weights.nonEmpty, "mixDomains needs at least one weighted group")
     require(weights.values.forall(_ > 0), "weights must be positive integers")
     val spark = docs.sparkSession
@@ -332,12 +350,50 @@ object Curation {
       .join(broadcast(w), Seq(groupCol))
     val t = counts.agg(min(expr(s"__gf_n * ${totalW}L div __gf_w")).as("__gf_T"))
     val keep = counts.crossJoin(broadcast(t))
-      .select(col(groupCol), expr(s"__gf_T * __gf_w div ${totalW}L").as("__gf_keep"))
+      .select(col(groupCol), col("__gf_n"),
+        expr(s"__gf_T * __gf_w div ${totalW}L").as("__gf_keep"))
     val byHash = Window.partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.join(broadcast(keep), Seq(groupCol))
+    val joined = docs.join(broadcast(keep), Seq(groupCol))
+    val prefiltered = skewCutover match {
+      case None => joined
+      case Some(cut) =>
+        require(cut > 0, "skewCutover must be positive")
+        // 60-bit hash prefix of the SAME md5 the rank orders by: a row
+        // below the rank boundary has a strictly smaller (md5, id) than
+        // the boundary row, hence an md5 prefix <= the boundary row's —
+        // so any cutoff at a strictly larger prefix value keeps the
+        // whole top-keep set. Cutoff fraction (2*keep + 1000)/n leaves
+        // huge slack over the expected boundary at keep/n while still
+        // cutting a dominant group to ~2*keep rows before the shuffle.
+        val max60 = 1152921504606846976L // 2^60
+        val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val cutoff = least(lit(max60),
+          ceil(lit(max60).cast("double") *
+            (col("__gf_keep") * 2 + lit(1000L)) / col("__gf_n")).cast("long"))
+        joined.filter(col("__gf_n") <= cut || hv < cutoff)
+    }
+    val ranked = prefiltered
       .withColumn("__gf_rn", row_number().over(byHash))
+    val checked = skewCutover match {
+      case None => ranked
+      case Some(_) =>
+        // loud underflow guard: if the cut left fewer than `keep`
+        // survivors in some group, the mixture would silently shrink —
+        // impossible under a uniform hash with the slack above, so any
+        // occurrence is a bug worth a hard stop
+        ranked
+          .withColumn("__gf_cnt",
+            count(lit(1)).over(Window.partitionBy(groupCol)))
+          .filter(when(col("__gf_cnt") < col("__gf_keep"),
+            raise_error(concat(lit("mixDomains skew-cutover underflow in group "),
+              col(groupCol).cast("string"))).cast("boolean"))
+            .otherwise(lit(true)))
+          .drop("__gf_cnt")
+    }
+    checked
       .filter(col("__gf_rn") <= col("__gf_keep"))
-      .drop("__gf_rn", "__gf_keep")
+      .drop("__gf_rn", "__gf_keep", "__gf_n")
   }
 }

@@ -535,7 +535,7 @@ object Similarity {
     * aggregates-only job (the standard iterative-ML loop; never rows to
     * the driver). */
   private def pqTrainedParts(emb: DataFrame, idCol: String, vecCol: String,
-                             q: DataFrame, d: Int, m: Int, ksub: Int,
+                             d: Int, m: Int, ksub: Int,
                              iters: Int): PqParts = {
     require(m > 0 && ksub > 0 && iters > 0)
     require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
@@ -555,7 +555,7 @@ object Similarity {
     require(k > 0)
     val q = microVecs(emb, idCol, vecCol)
     val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
-    val pq = pqTrainedParts(emb, idCol, vecCol, q, d, m, ksub, iters)
+    val pq = pqTrainedParts(emb, idCol, vecCol, d, m, ksub, iters)
     val encoded = q.select(col("id") +: pq.codeCols: _*)
     val queries = q.filter(queryPred)
       .select(col("id").as("qid") +: pq.lutCols: _*)
@@ -610,6 +610,36 @@ object Similarity {
     // (queries × nprobe) rows broadcast; the encoded corpus streams
     // through one hash join on the cell key — an item matches at most
     // once (it lives in exactly one cell)
+    pqTopKSelect(
+      encoded.join(broadcast(queries), Seq("cell"))
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
+  }
+
+  /** [[ivfPqTopK]] with TRAINED PQ codebooks ([[pqTrainedParts]]) inside
+    * the cells — the full `IVFx,PQy(trained)` index build. The coarse
+    * IVF quantizer stays the deterministic seed form (its trained twin
+    * exists separately as [[kmeansCodebook]] + [[ivfTopK]]; training it
+    * here too would change which cells are probed, muddying the
+    * PQ-training comparison the spec pins). */
+  def ivfPqTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: org.apache.spark.sql.Column, k: Int,
+                       nCells: Int, nprobe: Int, m: Int, ksub: Int,
+                       iters: Int): DataFrame = {
+    require(k > 0)
+    val all = prep(emb, idCol, vecCol)
+    val cents = buildIvfCentroids(emb, idCol, vecCol, nCells)
+    val assigned = assignCells(all, cents).select(col("id"), col("cell"))
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val pq = pqTrainedParts(emb, idCol, vecCol, d, m, ksub, iters)
+    val encoded = q.select(col("id") +: pq.codeCols: _*)
+      .join(assigned, Seq("id"))
+    val qprobes = assignQueryCells(all.filter(queryPred), cents, nprobe)
+      .select(col("id").as("qid"), col("cell"))
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .join(qprobes, Seq("qid"))
     pqTopKSelect(
       encoded.join(broadcast(queries), Seq("cell"))
         .filter(col("qid") =!= col("id"))
@@ -691,7 +721,29 @@ object Similarity {
     require(k > 0)
     val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
     val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
-    val pq = pqParts(cq, d, m, ksub)
+    enrichWithParts(queries, idCol, vecCol, cq, pqParts(cq, d, m, ksub), k, m)
+  }
+
+  /** [[pqAnnEnrich]] with TRAINED codebooks ([[pqTrainedParts]]) — the
+    * serving-path form of the trained index: train + encode once from
+    * the corpus, fold per query row; bit-equal to [[pqTopKTrained]]
+    * (same arithmetic, same ordering). */
+  def pqAnnEnrichTrained(queries: DataFrame, idCol: String, vecCol: String,
+                         corpus: DataFrame, corpusIdCol: String,
+                         corpusVecCol: String, k: Int, m: Int,
+                         ksub: Int, iters: Int): DataFrame = {
+    require(k > 0)
+    val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
+    val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
+    enrichWithParts(queries, idCol, vecCol, cq,
+      pqTrainedParts(corpus, corpusIdCol, corpusVecCol, d, m, ksub, iters),
+      k, m)
+  }
+
+  /** The broadcast-fold body both enrich forms share. */
+  private def enrichWithParts(queries: DataFrame, idCol: String,
+                              vecCol: String, cq: DataFrame, pq: PqParts,
+                              k: Int, m: Int): DataFrame = {
     // ONE row holding every (id, codes) struct — the broadcast index
     val encodedArr = cq.select(col("id") +: pq.codeCols: _*)
       .select(struct(col("id"),

@@ -1096,45 +1096,79 @@ object IcebergIO {
     // lacks the source column, or whose transform can't convert the
     // literal, contributes no pruning for its files — they are KEPT.
     val resolvedBySpec: Map[Int, Map[String, Any]] =
-      if (partitionFilter.isEmpty) Map.empty
-      else {
-        def sourcesOf(fields: Seq[(String, String, Int)]): Map[String, (String, String)] =
-          fields.flatMap { case (name, t, srcId) =>
-            meta.fieldById.get(srcId).map(src => src -> (name, t))
-          }.toMap
-        // loud contract: the filter must name a partition source of SOME
-        // spec (with evolution, an old spec's source is still filterable
-        // — its files prune, newer-spec files are kept conservatively)
-        val allSources: Set[String] =
-          meta.specsById.values.flatMap(f => sourcesOf(f).keys).toSet ++
-            sourcesOf(meta.partitionFields).keys
-        partitionFilter.keys.foreach { k =>
-          require(allSources.contains(k),
-            s"partitionFilter names non-partition-source column '$k' " +
-              s"(partition sources: ${allSources.toSeq.sorted.mkString(", ")})")
-        }
-        val specs =
-          if (meta.specsById.nonEmpty) meta.specsById
-          else Map(meta.defaultSpecId -> meta.partitionFields)
-        specs.map { case (sid, fields) =>
-          val bySrc = sourcesOf(fields)
-          sid -> partitionFilter.flatMap { case (k, v) =>
-            bySrc.get(k).map { case (name, t) =>
-              // the DEFAULT spec resolves loudly (explicit-API contract:
-              // an unconvertible literal is a caller bug, not a skip);
-              // older specs are best-effort — a failed conversion just
-              // contributes no pruning for that spec's files
-              if (sid == meta.defaultSpecId) Some(name -> storedPartitionValue(t, v))
-              else scala.util.Try(storedPartitionValue(t, v)).toOption.map(name -> _)
-            }.getOrElse(None)
-          }
-        }
-      }
+      resolveFilterBySpec(meta, partitionFilter)
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], meta.schema)
       case Some(s) => readSnapshot(spark, meta, s, resolvedBySpec, statsPred)
+    }
+  }
+
+  /** Resolve source-column equality filters to per-spec (partition field
+    * name -> expected STORED value) maps ([[storedPartitionValue]]). The
+    * DEFAULT spec resolves loudly (explicit-API contract); older specs
+    * best-effort per spec — a spec lacking the source, or whose
+    * transform can't convert the literal, contributes no pruning for
+    * its files (they are KEPT). Shared by the read path and the DML
+    * verbs' scan pruning. */
+  private def resolveFilterBySpec(meta: TableMetadata,
+      partitionFilter: Map[String, Any]): Map[Int, Map[String, Any]] =
+    if (partitionFilter.isEmpty) Map.empty
+    else {
+      def sourcesOf(fields: Seq[(String, String, Int)]): Map[String, (String, String)] =
+        fields.flatMap { case (name, t, srcId) =>
+          meta.fieldById.get(srcId).map(src => src -> (name, t))
+        }.toMap
+      // loud contract: the filter must name a partition source of SOME
+      // spec (with evolution, an old spec's source is still filterable
+      // — its files prune, newer-spec files are kept conservatively)
+      val allSources: Set[String] =
+        meta.specsById.values.flatMap(f => sourcesOf(f).keys).toSet ++
+          sourcesOf(meta.partitionFields).keys
+      partitionFilter.keys.foreach { k =>
+        require(allSources.contains(k),
+          s"partitionFilter names non-partition-source column '$k' " +
+            s"(partition sources: ${allSources.toSeq.sorted.mkString(", ")})")
+      }
+      val specs =
+        if (meta.specsById.nonEmpty) meta.specsById
+        else Map(meta.defaultSpecId -> meta.partitionFields)
+      specs.map { case (sid, fields) =>
+        val bySrc = sourcesOf(fields)
+        sid -> partitionFilter.flatMap { case (k, v) =>
+          bySrc.get(k).map { case (name, t) =>
+            // the DEFAULT spec resolves loudly (explicit-API contract:
+            // an unconvertible literal is a caller bug, not a skip);
+            // older specs are best-effort — a failed conversion just
+            // contributes no pruning for that spec's files
+            if (sid == meta.defaultSpecId) Some(name -> storedPartitionValue(t, v))
+            else scala.util.Try(storedPartitionValue(t, v)).toOption.map(name -> _)
+          }.getOrElse(None)
+        }
+      }
+    }
+
+  /** Prune a DATA-file set against a predicate Column, best-effort but
+    * always SOUND: the same derived partition-equality + stats-tree
+    * machinery the read path uses — a pruned-out file provably holds no
+    * row matching the condition. What lets the DML verbs
+    * ([[IcebergWrite.deleteWhere]]/[[IcebergWrite.updateWhere]]) skip
+    * scanning files a partition-scoped predicate can't touch, instead
+    * of raw-scanning the whole table per statement. */
+  private[sources] def pruneDataFilesWhere(meta: TableMetadata,
+      files: Seq[ContentFile],
+      condition: org.apache.spark.sql.Column): Seq[ContentFile] = {
+    import org.apache.spark.sql.GraftShim
+    val (partFilter, tree) = derivePruning(meta, GraftShim.predicateTree(condition))
+    val bySpec = resolveFilterBySpec(meta, partFilter)
+    val keepByStats = compileStatsPred(meta, tree)
+    files.filter { f =>
+      f.content != 0 || (
+        bySpec.getOrElse(f.specId, Map.empty).forall { case (k, v) =>
+          f.partitionValues.get(k).forall(pv =>
+            String.valueOf(pv) == String.valueOf(v))
+        } && keepByStats(f))
     }
   }
 

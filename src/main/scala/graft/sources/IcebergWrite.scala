@@ -1431,18 +1431,29 @@ object IcebergWrite {
         s"cannot delete from an empty table: $tablePath"))
     val dataFiles = IcebergIO.liveFiles(spark, snap).filter(_.content == 0)
     require(dataFiles.nonEmpty, s"no live data files in $tablePath")
+    // planning-time pruning of the DELETE's scan: a file whose partition
+    // tuple / stats provably exclude `cond` holds no position to delete
+    // — a partition-scoped DELETE must not raw-scan a 100 TB table
+    val pruned = IcebergIO.pruneDataFilesWhere(meta, dataFiles, cond)
     // raw scan WITHOUT applying existing deletes — re-deleting an
     // already-removed position changes nothing in the reader's anti-join
     val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
-    val matches = IcebergIO.dataBranches(spark, meta, dataFiles, withPos = true)
-      .map(_.filter(cond)
-        .select(dec(col("__gf_fileraw")).as("file_path"),
-          col("__gf_pos").as("pos")))
-      .reduce(_ unionByName _)
-      // spec: position delete rows sorted by (file, position); coalesce
-      // AFTER the sort keeps the order in the single output file
-      .orderBy("file_path", "pos")
-      .coalesce(1)
+    val matches =
+      if (pruned.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false))))
+      else IcebergIO.dataBranches(spark, meta, pruned, withPos = true)
+        .map(_.filter(cond)
+          .select(dec(col("__gf_fileraw")).as("file_path"),
+            col("__gf_pos").as("pos")))
+        .reduce(_ unionByName _)
+        // spec: position delete rows sorted by (file, position); coalesce
+        // AFTER the sort keeps the order in the single output file
+        .orderBy("file_path", "pos")
+        .coalesce(1)
     commitDelete(spark, tablePath, meta, root, priorVersion, matches,
       content = 1, equalityIds = Nil)
   }
@@ -1567,23 +1578,33 @@ object IcebergWrite {
 
     // (1) position pairs from the RAW files (existing deletes NOT
     // applied — re-deleting an already-removed position is a no-op in
-    // the reader's anti-join, same contract as deleteWhere)
+    // the reader's anti-join, same contract as deleteWhere). Pruned
+    // first: files whose tuple/stats exclude `cond` hold no match.
+    val prunedRaw = IcebergIO.pruneDataFilesWhere(meta, rawFiles, cond)
     val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
-    val posRows = IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
-      .map(_.filter(cond)
-        .select(dec(col("__gf_fileraw")).as("file_path"),
-          col("__gf_pos").as("pos")))
-      .reduce(_ unionByName _)
-      .orderBy("file_path", "pos")
-      .coalesce(1)
+    val posRows =
+      if (prunedRaw.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false))))
+      else IcebergIO.dataBranches(spark, meta, prunedRaw, withPos = true)
+        .map(_.filter(cond)
+          .select(dec(col("__gf_fileraw")).as("file_path"),
+            col("__gf_pos").as("pos")))
+        .reduce(_ unionByName _)
+        .orderBy("file_path", "pos")
+        .coalesce(1)
     val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
       content = 1, equalityIds = Nil)
 
     try {
       // (2) rewritten rows from the CURRENT state (existing deletes
       // applied — a previously-deleted row must not be resurrected).
-      // ONE projection applies every assignment against the old row.
-      val updated = IcebergIO.read(spark, tablePath).filter(cond)
+      // readWhere prunes the same way the position side did; ONE
+      // projection applies every assignment against the old row.
+      val updated = IcebergIO.readWhere(spark, tablePath, cond)
         .select(meta.schema.fields.toSeq.map { f =>
           assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
         }: _*)

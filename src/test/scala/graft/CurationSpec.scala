@@ -155,6 +155,32 @@ class CurationSpec extends AnyFunSuite {
     assert(pick1 == pick2 && pick1.size == 6)
   }
 
+  test("mixDomains skew cutover: BIT-IDENTICAL rows, dominant group pre-cut") {
+    import spark.implicits._
+    // one dominant group (90% of rows) + two small ones
+    val docs = ((0L until 9000L).map(i => ("big", i)) ++
+        (10000L until 10500L).map(i => ("s1", i)) ++
+        (20000L until 20500L).map(i => ("s2", i))).toDF("g", "id")
+    val weights = Map("big" -> 2, "s1" -> 1, "s2" -> 1)
+    val plain = Curation.mixDomains(docs, "g", "id", weights)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the cutover path must select EXACTLY the same rows (the hash cut
+    // sits strictly above the rank boundary by construction)
+    val cut = Curation.mixDomains(docs, "g", "id", weights,
+      skewCutover = Some(1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cut === plain)
+    // ...and deterministically so under repartitioning
+    val cut2 = Curation.mixDomains(docs.repartition(13), "g", "id", weights,
+      skewCutover = Some(1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cut2 === plain)
+    // the mixture itself: T = min(9000*4/2, 500*4/1) = 2000 →
+    // big keeps 1000, s1/s2 keep 500 each
+    val counts = cut.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts == Map("big" -> 1000, "s1" -> 500, "s2" -> 500))
+  }
+
   test("mixDomainsByTokens: budget met or minimally crossed, deterministic") {
     import spark.implicits._
     // a: 10 docs x 10 tokens (100 total), b: 4 docs x 5 tokens (20 total)

@@ -1610,6 +1610,41 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("field id"))
   }
 
+  test("deleteWhere/updateWhere PRUNE their scans by partition + stats") {
+    val dir = s"$root/dml_prune"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)).coalesce(1), dir)
+    // predicate excluding EVERY partition: the scan is skipped entirely
+    // and the commit is a clean no-op snapshot
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "zzz")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L))
+    // partition-scoped verbs stay correct (other partitions untouched)
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "a" && col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L))
+    IcebergWrite.updateWhere(spark, dir, col("name") === "b",
+      Map("score" -> (col("score") + 10)))
+    val r = IcebergIO.read(spark, dir).filter(col("id") === 3L).collect().head
+    assert(r.getDouble(2) === 13.0)
+
+    // the decisive proof: physically REMOVE partition b's data file —
+    // a partition-scoped DELETE on partition a must still succeed
+    // because its pruned scan never opens b's file (an unpruned scan
+    // would die on the missing footer)
+    val dir2 = s"$root/dml_prune_hard"
+    IcebergWrite.create(spark, dir2, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir2)
+    val bFile = IcebergIO.files(spark, dir2)
+      .filter(col("content") === 0 &&
+        col("partition").contains("name=b"))
+      .collect().map(_.getString(0)).toSeq
+    assert(bFile.size === 1)
+    GraftFs.delete(s"$dir2/data/${bFile.head}", recursive = false)
+    IcebergWrite.deleteWhere(spark, dir2, col("name") === "a" && col("id") === 1L)
+    assert(ids(IcebergIO.readWhere(spark, dir2, col("name") === "a")) === Nil)
+  }
+
   test("addFiles HIVE layout: injection, pruning, deletes, later appends") {
     val dir = s"$root/addfiles_hive"
     val src = s"$root/addfiles_hive_src"

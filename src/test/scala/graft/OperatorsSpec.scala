@@ -300,6 +300,29 @@ class OperatorsSpec extends AnyFunSuite {
       iters = 1))
     assert(trainedRr >= trained,
       s"trained re-rank recall $trainedRr below raw trained $trained")
+    // the trained broadcast-fold enrich is BIT-EQUAL to the trained join
+    // form (same codebooks, same arithmetic, same ordering)
+    val trainedRows = Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+        col("id") < 8, 10, m = 16, ksub = 32, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val trainedEnr = Similarity.pqAnnEnrichTrained(
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, m = 16, ksub = 32, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trainedEnr === trainedRows)
+    // trained IVF+PQ at full probe must equal trained raw ADC exactly
+    // (cell filtering is a no-op when every cell is probed)
+    val trainedIvf = Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+        col("id") < 8, 10, nCells = 8, nprobe = 8, m = 16, ksub = 32,
+        iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trainedIvf === trainedRows)
+    // ...and at a REAL probe budget the trained cells+codes still beat
+    // the seed ADC's recall floor while scanning a fraction of the corpus
+    val trainedIvf2 = recall(Similarity.ivfPqTopKTrained(emb, "vec_id",
+      "embedding", col("id") < 8, 10, nCells = 8, nprobe = 4, m = 16,
+      ksub = 32, iters = 1))
+    assert(trainedIvf2 >= 20, s"trained IVF+PQ nprobe=4 recall: $trainedIvf2/80")
   }
 
   test("frameSample chunks payloads and keeps every Nth frame") {

@@ -132,4 +132,34 @@ class ScaleStressSpec extends AnyFunSuite {
         s"(threshold ${w.get("threshold")}x for 10x files — the commit " +
         "must stay O(files) serialization, the data job row-bound)")
   }
+
+  test("all_files cost grows ~linearly in distinct manifests, not " +
+      "O(snapshots x manifests)") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("iceberg_all_files"),
+      "artifact predates the all_files harness — regenerate")
+    val a = root.get("iceberg_all_files")
+    assert(!a.get("suspect").asBoolean,
+      s"all_files over ${a.get("manifests_large")} manifests took " +
+        s"${a.get("ratio")}x the ${a.get("manifests_small")}-manifest time " +
+        s"(threshold ${a.get("threshold")}x — distinct manifests must " +
+        "parse once, distributed)")
+  }
+
+  test("mixDomains skew cutover keeps a 90%-dominant group in budget") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("mix_skew"),
+      "artifact predates the mix-skew harness — regenerate")
+    val m = root.get("mix_skew")
+    assert(!m.get("suspect").asBoolean,
+      s"mixDomains with the skew cutover took ${m.get("ratio")}x its " +
+        s"balanced-grouping time on a 90%-dominant corpus (threshold " +
+        s"${m.get("threshold")}x — the hash pre-cut must keep the window " +
+        s"input ~2x the keep budget; plain path for reference: " +
+        s"${m.get("plain_skew_sec")}s vs cutover ${m.get("cut_skew_sec")}s)")
+  }
 }
