@@ -232,6 +232,19 @@ object CurationQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** The SKEW-CUTOVER path of [[Curation.mixDomains]] against the SAME
+    * oracle: the md5-prefix pre-cut is bit-identical to the full rank by
+    * construction (the cut sits strictly above the rank boundary), so
+    * the plain-path SQL replay stays the exact spec. `skewCutover = 1`
+    * forces the cut on EVERY group — the strictest setting. */
+  val curMixSkew = dfQ("cur_mix_skew", mixOracle, bench = false) { (s, _) =>
+    Curation.mixDomains(s.table("documents"), "lang", "doc_id",
+        Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1),
+        skewCutover = Some(1L))
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Line-grain dedup oracle: [[Curation.lineDedup]] at 8-token lines
     * replayed exactly — fixed-token lines, corpus-wide keep-first by
     * (id, line_idx), per-doc reassembly hashed (md5('') when a doc
@@ -351,5 +364,6 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
     curDecontaminate, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains, curMixTokens, curLineDedup, pipeCurateMix)
+    curDomainFilter, curMixDomains, curMixSkew, curMixTokens, curLineDedup,
+    pipeCurateMix)
 }

@@ -1301,13 +1301,18 @@ object IcebergWrite {
     val meta = IcebergIO.loadMetadata(tablePath)
     val referenced = scala.collection.mutable.Set.empty[String]
     def ref(p: String): Unit = { referenced += IcebergIO.normalizePath(p): Unit }
-    def refManifest(m: String): Unit = {
-      ref(m)
-      IcebergIO.foreachAvroRecord(m) { e =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        ref(df.get("file_path").toString)
+    // a manifest carried forward by k snapshots parses ONCE (same dedupe
+    // as the whole-history relations — the naive per-snapshot walk is
+    // O(snapshots x manifests) on long-history tables)
+    val seenManifests = scala.collection.mutable.Set.empty[String]
+    def refManifest(m: String): Unit =
+      if (seenManifests.add(IcebergIO.normalizePath(m))) {
+        ref(m)
+        IcebergIO.foreachAvroRecord(m) { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          ref(df.get("file_path").toString)
+        }
       }
-    }
     meta.snapshots.foreach { s =>
       s.manifestList match {
         case Some(ml) =>

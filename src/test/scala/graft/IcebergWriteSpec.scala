@@ -1720,6 +1720,37 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(dpruned) === Seq(2L))
   }
 
+  test("addFiles HIVE layout lifecycle: compact + orphan sweep never " +
+      "touch the user's source files") {
+    val dir = s"$root/addfiles_hive_gc"
+    val src = s"$root/addfiles_hive_gc_src"
+    df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .write.partitionBy("name").parquet(src)
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"), fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    val srcLeaves = GraftFs.list(s"$src/name=b").map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    // compact rewrites live rows as table-local files (injection still
+    // applies to the new files — identity tuple == column value)
+    IcebergWrite.compact(spark, dir)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "a", 2L -> "b", 3L -> "b"))
+    // post-compact the imported source files are unreferenced history;
+    // expire + sweep must still NEVER delete them (they live OUTSIDE
+    // the table root — the sweep walks only the table directory)
+    IcebergWrite.expireSnapshots(dir,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val removed = IcebergWrite.removeOrphanFiles(dir,
+      olderThanMs = System.currentTimeMillis() + 1000)
+    assert(removed.forall(p => !p.contains("hive_gc_src")),
+      s"sweep touched source files: ${removed.filter(_.contains("src"))}")
+    assert(GraftFs.list(s"$src/name=b").map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq === srcLeaves)
+    assert(IcebergIO.read(spark, dir).count() === 3L)
+  }
+
   test("addFiles HIVE layout guards: mixed footers, carried partition " +
       "column, non-identity spec, removed-path re-import") {
     // (a) per-leaf footer gate: a file missing a table column is named

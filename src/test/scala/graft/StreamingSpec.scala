@@ -463,6 +463,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg snapshot stream over a HIVE-IMPORTED table: injected " +
+      "columns stream (stream-static broadcast shape)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergWrite
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_hive_$tag"
+    val src = s"/tmp/graft_stream_ice_hive_src_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("grp", StringType, nullable = true)))
+    def rows(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    rows(1L -> "a", 2L -> "b").write.partitionBy("grp").parquet(src)
+    IcebergWrite.create(spark, dir, st,
+      partitionCols = Seq("grp"), fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    val q = StreamingOps.icebergSnapshotStream(spark, dir)
+      .writeStream.format("memory").queryName("ice_hive_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // imported rows stream WITH the injected partition column
+      assert(spark.table("ice_hive_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+        Seq(1L -> "a", 2L -> "b"))
+      // a later append (files carry the column physically) streams too,
+      // read through the same injection
+      IcebergWrite.append(rows(3L -> "a").coalesce(1), dir)
+      q.processAllAvailable()
+      assert(spark.table("ice_hive_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+        Seq(1L -> "a", 2L -> "b", 3L -> "a"))
+    } finally q.stop()
+  }
+
   test("iceberg changelog stream: delete/upsert/compact commits stream as CDC") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
