@@ -652,7 +652,7 @@ object IcebergIO {
     * `_metadata.file_path` forms compare equal (used ONLY as a join /
     * comparison key — never as a read path, which must keep its scheme
     * so object-store URIs resolve to the right FileSystem). */
-  private[sources] def normalizePath(p: String): String =
+  private[graft] def normalizePath(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   /** Below this manifest count, planning stays a driver loop (a Spark
@@ -661,6 +661,26 @@ object IcebergIO {
     * returning only the kept entry tuples — which keeps very large
     * tables (1e7 files across 1e4+ manifests) plannable. */
   private[graft] val ParallelManifestThreshold = 8
+
+  /** Scheme-normalized FULL paths of the current snapshot's live data
+    * files (content=0) — empty for a table with no snapshot yet. The
+    * file-grain append stream's construction-time guard input: unlike
+    * the `.files` relation this keeps the directory component, so the
+    * caller can verify WHERE the files live, not just what they are
+    * named (an [[IcebergWrite.addFiles]]-imported table's files sit
+    * outside `<table>/data/` and a directory-scoped stream would
+    * silently never visit them). Metadata grain only. */
+  private[graft] def liveDataFilePaths(spark: SparkSession,
+                                       tablePath: String): Seq[String] = {
+    val meta = loadMetadata(tablePath)
+    meta.currentSnapshotId.flatMap(id =>
+        meta.snapshots.find(_.snapshotId == id)) match {
+      case None => Seq.empty
+      case Some(snap) =>
+        liveFiles(spark, snap).filter(_.content == 0)
+          .map(f => normalizePath(f.path))
+    }
+  }
 
   /** Collect live content files for a snapshot: manifest list -> manifests
     * -> entries with status != DELETED (2). Manifest parsing runs on

@@ -545,11 +545,30 @@ object StreamingOps {
     // `**` / character-class edges, so a nio-validated glob could still
     // match differently once streaming).
     val matcher = new org.apache.hadoop.fs.GlobFilter(dataFileGlob)
-    val names = graft.sources.IcebergIO.files(spark, tablePath)
-      .filter("content = 0").select("file_name")
-      .collect().map(_.getString(0))
-    val misses = names.filterNot(n =>
-      matcher.accept(new org.apache.hadoop.fs.Path(n)))
+    val paths = graft.sources.IcebergIO.liveDataFilePaths(spark, tablePath)
+    // This stream scans ONLY `<table>/data/` — but `addFiles` commits
+    // source files IN PLACE, outside data/. A name-glob check alone is
+    // not enough: a permissive glob (`*.parquet`) matches the imported
+    // names while the directory scan never visits them, and the
+    // imported rows silently vanish from the stream. Require every live
+    // data file to sit DIRECTLY under data/ (the native writer's flat
+    // promote layout) and direct imported-table users to the
+    // metadata-driven snapshot stream, which reads files wherever the
+    // manifests say they are.
+    val dataDir = graft.sources.IcebergIO.normalizePath(
+      graft.sources.GraftFs.child(tablePath, "data"))
+    val outside = paths.filterNot(p =>
+      new org.apache.hadoop.fs.Path(p).getParent.toString == dataDir)
+    if (outside.nonEmpty)
+      throw new IllegalArgumentException(
+        s"live data file(s) outside $dataDir (first: ${outside.head}) — " +
+          "this file-grain stream only scans data/, so those rows would " +
+          "silently never stream (addFiles-imported tables commit source " +
+          "files in place); use icebergSnapshotStream, which follows the " +
+          "manifests wherever the files live")
+    val misses = paths
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      .filterNot(n => matcher.accept(new org.apache.hadoop.fs.Path(n)))
     if (misses.nonEmpty)
       throw new IllegalArgumentException(
         s"dataFileGlob '$dataFileGlob' does not match existing data " +

@@ -32,7 +32,14 @@ object GraftShim {
     case object Other extends PredNode
   }
 
-  /** Convert a Column's un-analyzed node tree to the neutral view. */
+  /** Convert a Column's un-analyzed node tree to the neutral view.
+    * Cast-wrapped literals FOLD (`lit("2020-01-01").cast(DateType)` →
+    * `Lit(java.sql.Date)`) — the single most natural way to write a
+    * date/timestamp/decimal predicate in the DSL; without the fold the
+    * derivation sees a cast node, matches `Other`, and pruning silently
+    * skips (perf-only — the exact filter still runs — but silent). The
+    * SQL path never needed this: constant folding runs before the scan
+    * rule sees the predicate. */
   def predicateTree(c: Column): PredNode = {
     import org.apache.spark.sql.internal
     def conv(n: internal.ColumnNode): PredNode = n match {
@@ -41,9 +48,32 @@ object GraftShim {
       case a: internal.UnresolvedAttribute =>
         PredNode.Attr(a.nameParts.mkString("."))
       case l: internal.Literal => PredNode.Lit(l.value)
+      case ct: internal.Cast =>
+        conv(ct.child) match {
+          case PredNode.Lit(v) => foldCastLiteral(v, ct.dataType)
+          case _ => PredNode.Other
+        }
       case _ => PredNode.Other
     }
     conv(c.node)
+  }
+
+  /** Evaluate a foldable cast of an EXTERNAL Scala literal to `to`,
+    * returning the external result — TRY semantics (a failed conversion
+    * yields `Other`, never a throw and never a dubious `Lit(null)`: in
+    * ANSI mode the user's query would raise at execution, so the
+    * derivation must not pretend the cast produced a comparable value). */
+  private def foldCastLiteral(v: Any, to: types.DataType): PredNode = {
+    import org.apache.spark.sql.catalyst.{expressions => ce, CatalystTypeConverters}
+    try {
+      val lit = ce.Literal(v)
+      if (!ce.Cast.canCast(lit.dataType, to)) return PredNode.Other
+      val out = ce.Cast(lit, to,
+        Some(internal.SQLConf.get.sessionLocalTimeZone), ce.EvalMode.TRY)
+        .eval(null)
+      if (out == null) PredNode.Other
+      else PredNode.Lit(CatalystTypeConverters.convertToScala(out, to))
+    } catch { case scala.util.control.NonFatal(_) => PredNode.Other }
   }
 
   /** Convert an ANALYZED catalyst predicate to the neutral view — the

@@ -746,7 +746,10 @@ class IcebergSpec extends AnyFunSuite {
         case "name"  => rnd.alphanumeric.take(1).mkString
         case "score" => rnd.nextInt(60) / 10.0
       }
-      rnd.nextInt(7) match {
+      def castTgt = c match {
+        case "id" => "bigint"; case "name" => "string"; case "score" => "double"
+      }
+      rnd.nextInt(9) match {
         case 0 => col(c) === lit(v())
         case 1 => col(c) < lit(v())
         case 2 => col(c) <= lit(v())
@@ -754,6 +757,10 @@ class IcebergSpec extends AnyFunSuite {
         case 4 => col(c) >= lit(v())
         case 5 => col(c).isNull
         case 6 => col(c).isin(v(), v())
+        // cast-wrapped literals: the foldCastLiteral path must derive the
+        // same pruning as the raw-literal forms (and stay sound)
+        case 7 => col(c) === lit(v().toString).cast(castTgt)
+        case 8 => col(c) >= lit(v().toString).cast(castTgt)
       }
     }
     def randPred(depth: Int): Column =
@@ -928,6 +935,16 @@ class IcebergSpec extends AnyFunSuite {
     assert(q.inputFiles.length === 1,
       s"month-transform derived pruning should scan 1 file: " +
         q.inputFiles.mkString(", "))
+    // the CAST-LITERAL spelling — the most natural DSL form of a date
+    // predicate — must prune identically (foldCastLiteral evaluates the
+    // foldable cast; before the fold this silently scanned every file)
+    val qc = IcebergIO.readWhere(spark, dir,
+      col("d") === org.apache.spark.sql.functions.lit("1995-03-05")
+        .cast(DateType))
+    assert(ids(qc) === Seq(1L))
+    assert(qc.inputFiles.length === 1,
+      s"cast-literal date pruning should scan 1 file: " +
+        qc.inputFiles.mkString(", "))
     // bucket-on-date derives as well (bucketHash supports dates)
     val dir2 = s"$root/bucketdate"
     val w2 = new IcebergFixture.Writer(spark, dir2, dschema,

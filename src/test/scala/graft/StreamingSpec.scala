@@ -500,6 +500,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-grain append stream REFUSES an addFiles-imported table even " +
+      "under a permissive glob (silent-row-loss guard)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergWrite
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_imp_$tag"
+    val src = s"/tmp/graft_stream_ice_imp_src_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def rows(xs: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    rows(1L -> "a", 2L -> "b").coalesce(1).write.parquet(src)
+    IcebergWrite.create(spark, dir, st, fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+    // Imported files are committed IN PLACE under the source dir —
+    // `*.parquet` matches their NAMES, but the data/-scoped scan would
+    // never visit them: the stream must refuse at construction, not
+    // start empty. (Before this guard, the name-glob check alone passed
+    // and the imported rows silently vanished.)
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.icebergAppendStream(spark, dir, dataFileGlob = "*.parquet"))
+    assert(e.getMessage.contains("icebergSnapshotStream"), e.getMessage)
+    assert(e.getMessage.contains("outside"), e.getMessage)
+    // the default glob fails too (location guard runs first)
+    intercept[IllegalArgumentException](
+      StreamingOps.icebergAppendStream(spark, dir))
+    // the snapshot stream the error points to DOES stream the imported rows
+    val q = StreamingOps.icebergSnapshotStream(spark, dir)
+      .writeStream.format("memory").queryName("ice_imp_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ice_imp_stream").select("id")
+        .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    } finally q.stop()
+  }
+
   test("iceberg changelog stream: delete/upsert/compact commits stream as CDC") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
