@@ -293,6 +293,34 @@ object ScaleStress {
     val mixThreshold = skewThreshold // same bar as the other skew gates
     val mixSuspect = mixCutSkew > 0.5 && mixRatio >= mixThreshold
 
+    // TOKEN-budget mixing under the same 90%-dominant skew: the token
+    // variant's prefix-sum window serializes on one reducer exactly like
+    // the rank window; its cutover pre-cuts on the same md5 prefix with
+    // a token-mass-derived fraction (bit-equal — CurationSpec pins it).
+    def mixTokTime(grouped: DataFrame, weights: Map[String, Int],
+                   cutover: Option[Long]): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Curation.mixDomainsByTokens(grouped, "g", "doc_id",
+            "text", weights, cutover)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val mixTokDocs = spark.read.parquet(s"$dst/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mixTokBalanced = mixTokDocs.withColumn("g",
+      concat(lit("g"), pmod(col("doc_id"), lit(10L)).cast("string")))
+    val mixTokSkewed = mixTokDocs.withColumn("g",
+      when(pmod(col("doc_id"), lit(10L)) < 9, lit("dom"))
+        .otherwise(concat(lit("g"),
+          (pmod(col("doc_id"), lit(9L)) + 1).cast("string"))))
+    val mtPlainSkew = mixTokTime(mixTokSkewed, mixW, None)
+    val mtCutSkew = mixTokTime(mixTokSkewed, mixW, cutAt)
+    val mtCutBal = mixTokTime(mixTokBalanced, mixBalW, cutAt)
+    val mtRatio = mtCutSkew / math.max(mtCutBal, 1e-3)
+    val mtThreshold = skewThreshold
+    val mtSuspect = mtCutSkew > 0.5 && mtRatio >= mtThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -322,6 +350,10 @@ object ScaleStress {
       s""""cut_skew_sec":${jnum(mixCutSkew)},"cut_balanced_sec":${jnum(mixCutBal)},""" +
       s""""ratio":${jnum(mixRatio)},"threshold":${jnum(mixThreshold)},""" +
       s""""suspect":${mixSuspect}},""" +
+      s""""mix_tokens_skew":{"plain_skew_sec":${jnum(mtPlainSkew)},""" +
+      s""""cut_skew_sec":${jnum(mtCutSkew)},"cut_balanced_sec":${jnum(mtCutBal)},""" +
+      s""""ratio":${jnum(mtRatio)},"threshold":${jnum(mtThreshold)},""" +
+      s""""suspect":${mtSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -292,7 +292,27 @@ object Curation {
    */
   def mixDomainsByTokens(docs: DataFrame, groupCol: String, idCol: String,
                          textCol: String,
-                         weights: Map[String, Int]): DataFrame = {
+                         weights: Map[String, Int]): DataFrame =
+    mixDomainsByTokens(docs, groupCol, idCol, textCol, weights,
+      skewCutover = None)
+
+  /** [[mixDomainsByTokens]] with the same opt-in SKEW path as the row
+    * variant: groups with more than `skewCutover` ROWS are pre-cut by a
+    * distributed md5-prefix filter before the per-group window. The kept
+    * set is the hash-order prefix whose exclusive token prefix-sum stays
+    * under the budget — also a hash-prefix — so cutting at a fraction of
+    * hash space comfortably above the boundary (`(2·budget +
+    * 1000·avg_doc_tokens) / group_tokens`) keeps every kept row and the
+    * survivors' prefix sums equal the global ones: BIT-IDENTICAL output.
+    * The loud guard is exact, not probabilistic: if a kept row were cut,
+    * the survivors' total token mass would be STRICTLY below the budget
+    * (every kept row's exclusive prefix sum is < budget, and survivors
+    * precede any cut row in hash order), so `survivor mass >= budget` ⇒
+    * no kept row was lost; underflow raises instead of silently
+    * shrinking the mixture. */
+  def mixDomainsByTokens(docs: DataFrame, groupCol: String, idCol: String,
+                         textCol: String, weights: Map[String, Int],
+                         skewCutover: Option[Long]): DataFrame = {
     require(weights.nonEmpty, "mixDomainsByTokens needs a weighted group")
     require(weights.values.forall(_ > 0), "weights must be positive integers")
     val spark = docs.sparkSession
@@ -302,21 +322,60 @@ object Curation {
     val withTok = docs.withColumn("__gf_tok",
       size(split(col(textCol), " ")).cast("long"))
     val totals = withTok.groupBy(groupCol)
-      .agg(sum(col("__gf_tok")).as("__gf_n"))
+      .agg(sum(col("__gf_tok")).as("__gf_n"),
+        count(lit(1)).as("__gf_rows"))
       .join(broadcast(w), Seq(groupCol))
     val t = totals.agg(min(expr(s"__gf_n * ${totalW}L div __gf_w")).as("__gf_T"))
     val budget = totals.crossJoin(broadcast(t))
-      .select(col(groupCol),
+      .select(col(groupCol), col("__gf_n"), col("__gf_rows"),
         expr(s"__gf_T * __gf_w div ${totalW}L").as("__gf_budget"))
     val byHash = Window.partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    withTok.join(broadcast(budget), Seq(groupCol))
+    val joined = withTok.join(broadcast(budget), Seq(groupCol))
+    val prefiltered = skewCutover match {
+      case None => joined
+      case Some(cut) =>
+        require(cut > 0, "skewCutover must be positive")
+        // 60-bit prefix of the SAME md5 the window orders by (see the
+        // row variant for the prefix-vs-boundary argument). The token
+        // boundary sits near hash fraction budget/group_tokens; cut at
+        // 2× that plus ~1000 average-sized documents of slack —
+        // bottleneck-capped budgets mean budget <= group_tokens, so the
+        // fraction is meaningful, and `least` caps degenerate cases at
+        // the whole hash space (no cut).
+        val max60 = 1152921504606846976L // 2^60
+        val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long")
+        val avgTok = expr("(__gf_n + __gf_rows - 1L) div __gf_rows")
+        val cutoff = least(lit(max60),
+          ceil(lit(max60).cast("double") *
+            (col("__gf_budget") * 2 + lit(1000L) * avgTok) / col("__gf_n"))
+            .cast("long"))
+        joined.filter(col("__gf_rows") <= cut || hv < cutoff)
+    }
+    val withCum = prefiltered
       // exclusive prefix sum: the row that CROSSES the budget is kept
       .withColumn("__gf_cum",
         coalesce(sum(col("__gf_tok")).over(
           byHash.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val checked = skewCutover match {
+      case None => withCum
+      case Some(_) =>
+        // exact loud guard (see scaladoc): survivor token mass < budget
+        // ⟺ some kept row was cut — hard stop, never a silent shrink
+        withCum
+          .withColumn("__gf_smass",
+            sum(col("__gf_tok")).over(Window.partitionBy(groupCol)))
+          .filter(when(col("__gf_smass") < col("__gf_budget"),
+            raise_error(concat(
+              lit("mixDomainsByTokens skew-cutover underflow in group "),
+              col(groupCol).cast("string"))).cast("boolean"))
+            .otherwise(lit(true)))
+          .drop("__gf_smass")
+    }
+    checked
       .filter(col("__gf_cum") < col("__gf_budget"))
-      .drop("__gf_cum", "__gf_budget", "__gf_tok")
+      .drop("__gf_cum", "__gf_budget", "__gf_tok", "__gf_n", "__gf_rows")
   }
 
   def mixDomains(docs: DataFrame, groupCol: String, idCol: String,

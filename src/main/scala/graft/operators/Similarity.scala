@@ -618,17 +618,23 @@ object Similarity {
 
   /** [[ivfPqTopK]] with TRAINED PQ codebooks ([[pqTrainedParts]]) inside
     * the cells — the full `IVFx,PQy(trained)` index build. The coarse
-    * IVF quantizer stays the deterministic seed form (its trained twin
-    * exists separately as [[kmeansCodebook]] + [[ivfTopK]]; training it
-    * here too would change which cells are probed, muddying the
-    * PQ-training comparison the spec pins). */
+    * IVF quantizer DEFAULTS to the deterministic seed form (keeping the
+    * PQ-training comparison the spec pins clean — which cells are
+    * probed stays fixed); `coarseIters > 0` opts into a Lloyd-trained
+    * coarse codebook too ([[kmeansCentroidTable]] — the
+    * `IVFx(trained),PQy(trained)` build): tighter cells raise recall
+    * per probe, at the cost of `coarseIters` extra aggregate-only
+    * training passes at index-build time. */
   def ivfPqTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: org.apache.spark.sql.Column, k: Int,
                        nCells: Int, nprobe: Int, m: Int, ksub: Int,
-                       iters: Int): DataFrame = {
+                       iters: Int, coarseIters: Int = 0): DataFrame = {
     require(k > 0)
+    require(coarseIters >= 0, "coarseIters must be non-negative")
     val all = prep(emb, idCol, vecCol)
-    val cents = buildIvfCentroids(emb, idCol, vecCol, nCells)
+    val cents =
+      if (coarseIters == 0) buildIvfCentroids(emb, idCol, vecCol, nCells)
+      else kmeansCentroidTable(emb, idCol, vecCol, nCells, coarseIters)
     val assigned = assignCells(all, cents).select(col("id"), col("cell"))
     val q = microVecs(emb, idCol, vecCol)
     val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)

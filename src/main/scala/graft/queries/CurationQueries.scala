@@ -306,6 +306,22 @@ object CurationQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** The SKEW-CUTOVER path of [[Curation.mixDomainsByTokens]] against
+    * the SAME oracle as the plain path: the md5-prefix pre-cut is
+    * bit-identical by construction (the cut sits strictly above the
+    * token-budget boundary) and its exact underflow guard raises rather
+    * than shrinking the mixture. `skewCutover = 1` forces the cut on
+    * EVERY group — the strictest setting. */
+  val curMixTokensSkew = dfQ("cur_mix_tokens_skew", mixTokensOracle,
+      bench = false) { (s, _) =>
+    Curation.mixDomainsByTokens(s.table("documents"), "lang", "doc_id",
+        "text", Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1),
+        skewCutover = Some(1L))
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** End-to-end curation composition: line-grain dedup → keep docs that
     * retained at least half their lines → domain-weighted mixture over
     * the survivors. Every stage is exact-integer/deterministic, so the
@@ -364,6 +380,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
     curDecontaminate, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains, curMixSkew, curMixTokens, curLineDedup,
+    curDomainFilter, curMixDomains, curMixSkew, curMixTokens,
+    curMixTokensSkew, curLineDedup,
     pipeCurateMix)
 }

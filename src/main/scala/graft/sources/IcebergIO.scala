@@ -2303,7 +2303,7 @@ object IcebergIO {
 
   /** DISTINCT manifests referenced by any valid snapshot, each paired
     * with its first-reference ordinal in the commit-order walk — the
-    * shared dedupe the whole-history relations and [[everReferencedPaths]]
+    * shared dedupe the whole-history relations and [[referencedAmong]]
     * build on: a manifest carried forward by k snapshots parses ONCE
     * (the per-snapshot union of live files equals the union of
     * non-DELETED entries over these manifests). */
@@ -2318,29 +2318,40 @@ object IcebergIO {
     out.toSeq
   }
 
-  /** Scheme-normalized paths of every content file referenced by ANY
-    * retained snapshot (DELETED entries included — a removed file's
+  /** Which of `candidates` (scheme-normalized paths) are referenced by
+    * ANY retained snapshot (DELETED entries included — a removed file's
     * path is still "taken" while history retains it). Metadata grain;
     * distributed parse past [[ParallelManifestThreshold]] manifests.
-    * [[IcebergWrite.addFiles]]'s path-reuse guard. */
-  private[sources] def everReferencedPaths(spark: SparkSession,
-                                           meta: TableMetadata): Set[String] = {
+    * [[IcebergWrite.addFiles]]'s path-reuse guard. INVERTED membership:
+    * the (small) candidate set ships to the executors and only the
+    * intersection comes back — the whole-history path set (O(every file
+    * ever referenced), the thing being probed) never materializes on
+    * the driver. */
+  private[sources] def referencedAmong(spark: SparkSession,
+                                       meta: TableMetadata,
+                                       candidates: Set[String]): Set[String] = {
+    if (candidates.isEmpty) return Set.empty
     val ms = distinctManifests(meta)
     if (ms.size < ParallelManifestThreshold) {
       val c = GraftFs.conf()
       ms.flatMap { case (m, _) =>
         parseManifest(m.path, m.content, m.seq, m.specId, c,
           keepDeleted = true).map(f => normalizePath(f.path))
+          .filter(candidates)
       }.toSet
     } else {
       val sconf = GraftFs.serializableConf()
+      val cand = spark.sparkContext.broadcast(candidates)
       val slices = math.min(ms.size,
         math.max(1, spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(ms.map(_._1), slices)
-        .flatMap { m =>
-          parseManifest(m.path, m.content, m.seq, m.specId, sconf.value,
-            keepDeleted = true).map(f => normalizePath(f.path))
-        }.distinct().collect().toSet
+      try {
+        spark.sparkContext.parallelize(ms.map(_._1), slices)
+          .flatMap { m =>
+            parseManifest(m.path, m.content, m.seq, m.specId, sconf.value,
+              keepDeleted = true).map(f => normalizePath(f.path))
+              .filter(cand.value)
+          }.distinct().collect().toSet
+      } finally cand.destroy()
     }
   }
 

@@ -275,9 +275,11 @@ object IcebergWrite {
     // reject paths referenced by ANY retained snapshot, not just the
     // live set: a previously-removed path re-entering while a
     // still-retained delete file names it would apply old deletes to
-    // the new rows (the unique-path assumption becomes a checked guard)
-    val referenced: Set[String] =
-      IcebergIO.everReferencedPaths(spark, meta)
+    // the new rows (the unique-path assumption becomes a checked guard).
+    // Inverted probe: the import's leaf set (small) broadcasts; only
+    // the intersection comes back — never the whole-history path set.
+    val referenced: Set[String] = IcebergIO.referencedAmong(spark, meta,
+      leaves.map(s => IcebergIO.normalizePath(s.getPath.toString)).toSet)
     val dupes = leaves.filter(s =>
       referenced(IcebergIO.normalizePath(s.getPath.toString)))
     require(dupes.isEmpty,
@@ -586,6 +588,17 @@ object IcebergWrite {
         "split pre-upgrade (name-mapped) files from id-stamped ones")
     require(!IcebergIO.resolveByFieldIds(meta),
       s"table already resolves by field id: $tablePath")
+    // Hive-imported tables read identity-partition columns injected from
+    // manifest tuples through a CURRENT-NAME projection (injectedBranch);
+    // the upgrade would unlock renameColumn, after which that projection
+    // silently nulls the renamed column on imported files — the exact
+    // failure the mapping exists to prevent. Refuse loudly; renames stay
+    // unavailable on hive imports.
+    require(!IcebergIO.injectIdentity(meta),
+      s"addNameMapping is unsupported on a hive-imported table " +
+        s"(${IcebergIO.HiveImportProp}): the injected read path resolves " +
+        "by current name, so a post-upgrade rename would silently null " +
+        s"the column on imported files: $tablePath")
     val fieldIdByName = meta.fieldById.map(_.swap)
     val arr = mapper.createArrayNode()
     meta.schema.fields.foreach { f =>

@@ -208,6 +208,39 @@ class CurationSpec extends AnyFunSuite {
     assert(toks2 == Map("a" -> 60L, "b" -> 20L))
   }
 
+  test("mixDomainsByTokens skew cutover: BIT-IDENTICAL rows, dominant " +
+      "group pre-cut") {
+    import spark.implicits._
+    // one dominant group (~90% of the token mass, variable doc lengths —
+    // the cut must hold under non-uniform per-doc token counts) + two
+    // small groups
+    val docs = ((0L until 9000L).map(i =>
+        ("big", i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))) ++
+        (10000L until 10500L).map(i =>
+          ("s1", i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))) ++
+        (20000L until 20500L).map(i =>
+          ("s2", i, Seq.fill((i % 3 + 1).toInt)("w").mkString(" "))))
+      .toDF("g", "id", "text")
+    val weights = Map("big" -> 2, "s1" -> 1, "s2" -> 1)
+    val plain = Curation.mixDomainsByTokens(docs, "g", "id", "text", weights)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the cutover path must select EXACTLY the same rows; the exact
+    // underflow guard must stay silent (survivor mass covers the budget)
+    val cut = Curation.mixDomainsByTokens(docs, "g", "id", "text", weights,
+      skewCutover = Some(1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cut === plain)
+    // ...and deterministically so under repartitioning, at the
+    // strictest setting (every group cut)
+    val cut2 = Curation.mixDomainsByTokens(docs.repartition(13), "g", "id",
+        "text", weights, skewCutover = Some(1L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cut2 === plain)
+    // sanity: the mixture actually trims the dominant group
+    val kept = plain.count(_._1 == "big")
+    assert(kept > 0 && kept < 9000)
+  }
+
   test("lineDedup: cross-doc keep-first, within-doc dupes, order kept") {
     import spark.implicits._
     // 2-token lines. doc 1: [a b][c d][a b] — its OWN later dup drops.

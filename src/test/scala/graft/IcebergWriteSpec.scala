@@ -1797,6 +1797,69 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("retained snapshot"))
   }
 
+  test("addFiles HIVE layout compositions: addColumn, changelog, partition " +
+      "evolution, name-mapping reject") {
+    val dir = s"$root/addfiles_hive_comp"
+    val src = s"$root/addfiles_hive_comp_src"
+    df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .write.partitionBy("name").parquet(src)
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"), fieldIds = false)
+    IcebergWrite.addFiles(spark, dir, src)
+
+    // (a) addNameMapping refused LOUDLY: it would unlock renameColumn,
+    // and the injected read path resolves by current name — a
+    // post-upgrade rename would silently null the column on imports
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.addNameMapping(dir))
+    assert(e.getMessage.contains("hive-imported"), e.getMessage)
+
+    // (b) addColumn: metadata-only; imported files surface NULL for the
+    // new column while injection keeps serving the partition column
+    IcebergWrite.addColumn(dir, "tag", StringType)
+    val afterAdd = IcebergIO.read(spark, dir).orderBy("id").collect()
+    assert(afterAdd.map(_.getString(1)).toSeq === Seq("a", "a", "b"))
+    assert(afterAdd.forall(_.isNullAt(3)), "new column must read NULL")
+    // a post-addColumn append carries the new column physically and
+    // reads back through the same injection
+    val s4 = StructType(schema.fields :+
+      StructField("tag", StringType, nullable = true))
+    val r4 = new java.util.ArrayList[Row]()
+    r4.add(Row(4L, "b", 4.0, "t4"))
+    IcebergWrite.append(spark.createDataFrame(r4, s4).coalesce(1), dir)
+    val got4 = IcebergIO.read(spark, dir).filter(col("id") === 4L)
+      .collect().head
+    assert(got4.getString(1) === "b" && got4.getString(3) === "t4")
+
+    // (c) DML over the injected column + CDC changelog: delete rows and
+    // insert rows both ride with the injected partition values
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "a" && col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L, 4L))
+    val cl = IcebergIO.readChangelog(spark, dir).collect()
+    val inserts = cl.filter(_.getString(4) == "insert")
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(inserts === Seq(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+    val deletes = cl.filter(_.getString(4) == "delete")
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(deletes === Seq(1L -> "a"),
+      "the deleted imported row must appear as a CDC delete WITH its " +
+        "injected partition value")
+
+    // (d) partition evolution: un-partition future writes; imported
+    // old-spec files keep injecting, the filter still prunes them
+    // best-effort while the unpartitioned new file is kept
+    IcebergWrite.updatePartitionSpec(dir, Nil)
+    val r5 = new java.util.ArrayList[Row]()
+    r5.add(Row(5L, "c", 5.0, "t5"))
+    IcebergWrite.append(spark.createDataFrame(r5, s4).coalesce(1), dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L, 3L, 4L, 5L))
+    val all = IcebergIO.read(spark, dir).inputFiles.length
+    val pruned = IcebergIO.readWhere(spark, dir, col("name") === "a")
+    assert(ids(pruned) === Seq(2L))
+    assert(pruned.inputFiles.length < all,
+      s"old-spec imported files must still prune: ${pruned.inputFiles.length} of $all")
+  }
+
   test("rewritePositionDeletes loses the optimistic race CLEANLY") {
     val dir = s"$root/rpd_race"
     IcebergWrite.create(spark, dir, schema)

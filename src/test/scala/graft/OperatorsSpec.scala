@@ -323,6 +323,31 @@ class OperatorsSpec extends AnyFunSuite {
       "embedding", col("id") < 8, 10, nCells = 8, nprobe = 4, m = 16,
       ksub = 32, iters = 1))
     assert(trainedIvf2 >= 20, s"trained IVF+PQ nprobe=4 recall: $trainedIvf2/80")
+    // ---- TRAINED COARSE quantizer (coarseIters > 0): the full
+    // IVFx(trained),PQy(trained) build ----
+    // At full probe the coarse form is irrelevant by construction: every
+    // cell is probed, so trained-coarse IVF+PQ ≡ the trained raw ADC
+    // bit-for-bit (the strongest structural check available).
+    val trainedBoth = Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+        col("id") < 8, 10, nCells = 8, nprobe = 8, m = 16, ksub = 32,
+        iters = 1, coarseIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(trainedBoth === trainedRows)
+    // At a real probe budget the path is deterministic (exact-integer
+    // Lloyd on both stages): measured 31/80 at nprobe=4 vs 40/80 for the
+    // seed coarse — the KNOWN corpus artifact from embed_ivf_recall_trained
+    // (sf0.001 queries id<8 ARE the seed centroids, so seed cells contain
+    // their queries perfectly; on real data the trained cells win). Pin a
+    // floor + probe monotonicity, not superiority.
+    val tc4 = recall(Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+      col("id") < 8, 10, nCells = 8, nprobe = 4, m = 16, ksub = 32,
+      iters = 1, coarseIters = 2))
+    val tc2 = recall(Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+      col("id") < 8, 10, nCells = 8, nprobe = 2, m = 16, ksub = 32,
+      iters = 1, coarseIters = 2))
+    assert(tc4 >= 28, s"trained-coarse IVF+PQ nprobe=4 recall: $tc4/80")
+    assert(tc4 >= tc2,
+      s"recall must not drop as nprobe grows: nprobe=4 $tc4 < nprobe=2 $tc2")
   }
 
   test("frameSample chunks payloads and keeps every Nth frame") {

@@ -162,4 +162,19 @@ class ScaleStressSpec extends AnyFunSuite {
         s"input ~2x the keep budget; plain path for reference: " +
         s"${m.get("plain_skew_sec")}s vs cutover ${m.get("cut_skew_sec")}s)")
   }
+
+  test("mixDomainsByTokens skew cutover keeps a 90%-dominant group in budget") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("mix_tokens_skew"),
+      "artifact predates the token-mix-skew harness — regenerate")
+    val m = root.get("mix_tokens_skew")
+    assert(!m.get("suspect").asBoolean,
+      s"mixDomainsByTokens with the skew cutover took ${m.get("ratio")}x " +
+        s"its balanced-grouping time on a 90%-dominant corpus (threshold " +
+        s"${m.get("threshold")}x — the token-mass hash pre-cut must bound " +
+        s"the window input; plain path for reference: " +
+        s"${m.get("plain_skew_sec")}s vs cutover ${m.get("cut_skew_sec")}s)")
+  }
 }
