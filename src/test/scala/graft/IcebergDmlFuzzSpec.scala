@@ -33,9 +33,26 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
 
   for (seed <- Seq(17, 41))
   test(s"30 random DML ops match the in-memory model at every step (seed $seed)") {
-    val dir = s"/tmp/graft_dml_fuzz_${java.util.UUID.randomUUID().toString.take(8)}"
+    runFuzz(seed, hiveImport = false)
+  }
+
+  // Same sequence over a table whose BASE is a hive-layout import: the
+  // initial files physically lack `p` (injected per file from manifest
+  // tuples), so every verb interaction — deletes scoping on the injected
+  // column, partition-moving updates off imported files, compact folding
+  // imports into table-local files, the changelog replay — runs through
+  // the injection path for as long as imported files stay live.
+  test("30 random DML ops over a HIVE-IMPORTED base match the model " +
+      "(seed 23)") {
+    runFuzz(23, hiveImport = true)
+  }
+
+  private def runFuzz(seed: Int, hiveImport: Boolean): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_dml_fuzz_$tag"
     IcebergFixture.deleteRecursively(dir)
-    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("p"))
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("p"),
+      fieldIds = !hiveImport)
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
@@ -54,7 +71,14 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
 
     // seed the table so every verb has something to chew on
     val initRows = freshIds(20).map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
-    IcebergWrite.append(toDf(initRows), dir)
+    if (hiveImport) {
+      val src = s"/tmp/graft_dml_fuzz_src_$tag"
+      IcebergFixture.deleteRecursively(src)
+      toDf(initRows).write.partitionBy("p").parquet(src)
+      IcebergWrite.addFiles(spark, dir, src)
+    } else {
+      IcebergWrite.append(toDf(initRows), dir)
+    }
     model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
     for (step <- 1 to 30) {
