@@ -255,4 +255,131 @@ object TextAnalysis {
         (sum(col(charsCol)).cast("double") / count(lit(1))).as("avg_chars"),
         sum(tokenCount(col(textCol))).cast("bigint").as("total_toks"),
         expr(s"CAST(percentile($charsCol, 0.5) AS DOUBLE)").as("p50_chars"))
+
+  // ---- BPE tokenizer TRAINING (corpus-scale merge learning) ----------
+
+  /** Escape a learned symbol for embedding as a SQL string literal inside
+    * an `expr(...)` lambda (Spark uses backslash escaping). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Character-symbol sequence of a word, as a SQL expression over
+    * column `w`: `(.)`-split with empties dropped ('.' matches a full
+    * code point in both java.util.regex and RE2, so multibyte text
+    * symbolizes identically across engines). */
+  private val charSymsExpr =
+    "filter(split(regexp_replace(w, '(.)', '$1 '), ' '), x -> x != '')"
+
+  /** One greedy-left BPE merge application as a SQL fold over a symbol
+    * array: scan symbols left to right, fusing `l`+`r` whenever the
+    * accumulator's last symbol is `l` and the next is `r`. Exactly the
+    * reference greedy semantics — a fused symbol (`l||r` ≠ `l`, since
+    * `r` is nonempty) can never immediately re-fuse, and overlapping
+    * `l=r` runs fuse every other pair, left first. Pure per-row
+    * projection: NO shuffle per merge application. */
+  private def mergeFold(symsExpr: String, l: String, r: String): String =
+    s"aggregate($symsExpr, CAST(array() AS ARRAY<STRING>), (acc, s) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(l)} " +
+      s"AND s = ${sqlLit(r)} " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(l + r)})) " +
+      s"ELSE concat(acc, array(s)) END)"
+
+  /** The weighted word vocabulary BPE trains on: one corpus shuffle
+    * keyed on the whitespace word — everything after runs at VOCAB
+    * grain (distinct words × counts), the shape that makes tokenizer
+    * training tractable at corpus scale. */
+  private def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Learn `nMerges` BPE merges over the corpus (Sennrich et al., the
+   * standard subword-tokenizer training loop): words → (word, count)
+   * vocabulary (ONE corpus shuffle); then per merge, count adjacent
+   * symbol pairs weighted by word frequency (a vocab-grain aggregate),
+   * pick the most frequent pair (ties: count desc, then pair bytes asc —
+   * deterministic on any engine), and fuse it greedily in every vocab
+   * word via [[mergeFold]] (per-row, no shuffle). The driver sees ONE
+   * row per iteration (the argmax pair) — aggregates only. No
+   * end-of-word marker (pure inner-word merges; adding one is a
+   * symbolization change, not a loop change).
+   *
+   * Returns (merge_rank, lhs, rhs) in learned order.
+   *
+   * 100 TB shape: the corpus is touched once (word count); each of the
+   * `nMerges` iterations scans only the cached vocabulary, and the pair
+   * aggregate is bounded by (distinct adjacent pairs), far below vocab
+   * size. Iterations persist their fused vocabulary and drop the prior
+   * one, so lineage stays one fold deep regardless of `nMerges`.
+   */
+  def trainBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                     nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    var cur = wordVocab(docs, textCol)
+      .withColumn("syms", expr(charSymsExpr))
+      .select(col("cnt"), col("syms")).persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      for (k <- 1 to nMerges) {
+        val top = cur.filter(size(col("syms")) >= 2)
+          .select(col("cnt"), expr(
+            "explode(transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)))")
+            .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"BPE training exhausted adjacent pairs after ${k - 1} merges " +
+            s"(asked for $nMerges) — every word is a single symbol")
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r))
+        if (k < nMerges) { // the last fused vocab is never re-scanned
+          val next = cur.withColumn("syms", expr(mergeFold("syms", l, r)))
+            .persist()
+          next.count(): Unit // materialize before dropping the parent
+          cur.unpersist()
+          cur = next
+        }
+      }
+    } finally cur.unpersist()
+    import org.apache.spark.sql.{Row, types => T}
+    val rows = merges.toSeq.zipWithIndex.map { case ((l, r), i) =>
+      Row((i + 1).toLong, l, r)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      T.StructType(Seq(
+        T.StructField("merge_rank", T.LongType, nullable = false),
+        T.StructField("lhs", T.StringType, nullable = false),
+        T.StructField("rhs", T.StringType, nullable = false))))
+  }
+
+  /**
+   * Segment the corpus with a learned merge list and count the resulting
+   * BPE tokens per document: each DISTINCT word is symbolized and folded
+   * through the merges ONCE (vocab grain — the merge chain is a pure
+   * projection), then documents re-join their words and sum. Wordless
+   * documents keep a 0 row. Returns (id, n_bpe).
+   */
+  def bpeSegmentCount(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val foldedExpr = merges.foldLeft(charSymsExpr) {
+      case (e, (l, r)) => mergeFold(e, l, r)
+    }
+    val vocab = words.select("w").distinct()
+      .withColumn("n_tok", expr(s"size($foldedExpr)").cast("long"))
+    val perDoc = words.join(vocab, Seq("w"))
+      .groupBy("id").agg(sum("n_tok").as("n_bpe"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
 }

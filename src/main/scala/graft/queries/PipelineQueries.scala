@@ -706,6 +706,117 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- BPE tokenizer training ---------------------------------------
+
+  /** One unrolled BPE merge iteration over vocab CTE `v<k>`: weighted
+    * adjacent-pair counts → argmax pair `t<k>` (count desc, pair bytes
+    * asc) → greedy-left fusion rebuilt as `v<k+1>`. Greedy-left over a
+    * fixed pair is SQL-expressible because overlapping occurrence
+    * positions can only chain when lhs = rhs (S[i]=l, S[i+1]=r=l forces
+    * it), and within such a chain greedy keeps every OTHER position
+    * starting at the first — a gaps-and-islands window. */
+  private def bpeIterCte(k: Int): String = s"""
+    |p$k AS (
+    |  SELECT syms[i.i] AS l, syms[i.i + 1] AS r, SUM(cnt) AS c
+    |  FROM v$k CROSS JOIN LATERAL
+    |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) i
+    |  WHERE len(syms) >= 2 GROUP BY 1, 2
+    |),
+    |t$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+    |e$k AS (
+    |  SELECT w, cnt, i.i AS pos, syms[i.i] AS s
+    |  FROM v$k CROSS JOIN LATERAL
+    |    (SELECT unnest(generate_series(1, len(syms))) AS i) i
+    |),
+    |m$k AS (
+    |  SELECT w, cnt, pos, s,
+    |    COALESCE(s = (SELECT l FROM t$k) AND
+    |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM t$k),
+    |      FALSE) AS isp
+    |  FROM e$k
+    |),
+    |c$k AS (
+    |  SELECT w, cnt, pos, s, isp,
+    |    CASE WHEN isp THEN pos - ROW_NUMBER()
+    |      OVER (PARTITION BY w, isp ORDER BY pos) END AS chain
+    |  FROM m$k
+    |),
+    |s$k AS (
+    |  SELECT w, cnt, pos, s, isp AND (ROW_NUMBER()
+    |      OVER (PARTITION BY w, chain ORDER BY pos) % 2 = 1) AS sel
+    |  FROM c$k
+    |),
+    |o$k AS (
+    |  SELECT w, cnt, pos,
+    |    CASE WHEN sel THEN s || (SELECT r FROM t$k)
+    |         WHEN COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos), FALSE)
+    |           THEN NULL
+    |         ELSE s END AS out
+    |  FROM s$k
+    |),
+    |v${k + 1} AS (
+    |  SELECT w, cnt,
+    |    string_split(string_agg(out, ' ' ORDER BY pos), ' ') AS syms
+    |  FROM o$k GROUP BY w, cnt
+    |)""".stripMargin
+
+  /** Word-vocab setup + `n` unrolled merge iterations. */
+  private def bpeBaseCtes(n: Int): String =
+    """WITH wc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w
+      |),
+      |v0 AS (
+      |  SELECT w, cnt,
+      |    list_filter(string_split(regexp_replace(w, '(.)', '\1 ', 'g'), ' '),
+      |      x -> x <> '') AS syms
+      |  FROM wc
+      |),""".stripMargin +
+      (0 until n).map(bpeIterCte).mkString(",")
+
+  /** BPE tokenizer TRAINING ([[TextAnalysis.trainBpeMerges]]): the
+    * Sennrich merge-learning loop at corpus scale — ONE corpus shuffle
+    * builds the weighted word vocabulary, then each merge is a
+    * vocab-grain pair aggregate + argmax + a per-row greedy fusion fold
+    * (no shuffle). The oracle replays all three iterations, expressing
+    * greedy-left fusion as a gaps-and-islands window (equivalent to the
+    * Spark fold: overlapping pair sites only chain when lhs = rhs, and
+    * greedy keeps alternate sites within a chain). */
+  val textBpeTrain = dfQ("text_bpe_train",
+    bpeBaseCtes(3) + """
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM t0
+      |  UNION ALL SELECT 2, l, r FROM t1
+      |  UNION ALL SELECT 3, l, r FROM t2
+      |) ORDER BY merge_rank""".stripMargin) { (s, _) =>
+    TextAnalysis.trainBpeMerges(s.table("documents"), "doc_id", "text", 3)
+      .orderBy("merge_rank")
+  }
+
+  /** Segment the corpus with the merges just learned
+    * ([[TextAnalysis.bpeSegmentCount]]): distinct words fold through the
+    * merge chain once, documents re-join and sum — the vocab-grain
+    * tokenization shape. The oracle joins each document's words against
+    * the final fused vocabulary `v3` of the training replay. */
+  val textBpeApply = dfQ("text_bpe_apply",
+    bpeBaseCtes(3) + """,
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents),
+      |vt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM v3),
+      |ag AS (SELECT doc_id, SUM(n_tok) AS stok
+      |       FROM dw JOIN vt USING (w) WHERE len(w) > 0 GROUP BY doc_id)
+      |SELECT d.doc_id AS id, CAST(COALESCE(a.stok, 0) AS BIGINT) AS n_bpe
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN ag a USING (doc_id) ORDER BY id""".stripMargin) { (s, _) =>
+    val docs = s.table("documents")
+    val ms = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", ms)
+      .orderBy("id")
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * md5-seed cell assignment (exact-integer idiom) + in-cell
     * keep-lowest-id cosine pruning at 0.35 — the oracle replays the
@@ -1320,7 +1431,7 @@ object PipelineQueries {
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp, textHashedScore,
+    textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     aggTopkSketch)
 }

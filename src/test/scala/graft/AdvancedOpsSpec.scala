@@ -112,6 +112,49 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
 
+  test("trainBpeMerges: frequency-greedy merges, exact greedy-left fusion") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low lowest aaaa aaaaa"),
+      (3L, "newer new aaaa")).toDF("doc_id", "text")
+    // pair weights: (a,a) = 3*2 + 4 = 10 beats (l,o) = (o,w) = 7; after
+    // fusing aa the runs collapse, so (l,o) then (lo,w) follow
+    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("a", "a"), ("l", "o"), ("lo", "w")))
+    // greedy-left on runs: aaaa -> [aa, aa], aaaaa -> [aa, aa, a] —
+    // the pathological case a string replace CANNOT express (it misses
+    // alternate occurrences sharing a delimiter)
+    val counts = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", merges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc1: low(1)+lower(3)+lowest(4)+low(1) = 9
+    // doc2: low(1)+lowest(4)+aaaa(2)+aaaaa(3) = 10
+    // doc3: newer(5)+new(3)+aaaa(2) = 10
+    assert(counts === Seq((1L, 9L), (2L, 10L), (3L, 10L)))
+    // applying to UNSEEN words folds them with the same merges (OOV-safe)
+    val oov = TextAnalysis.bpeSegmentCount(
+      Seq((9L, "lowaa zzz")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // lowaa -> [low, aa] = 2; zzz -> [z,z,z] = 3
+    assert(oov === Seq((9L, 5L)))
+    // wordless documents keep a 0 row; quote-bearing words embed safely
+    // in the fold's SQL literals
+    val edge = TextAnalysis.bpeSegmentCount(
+      Seq((1L, ""), (2L, "d'or d'or")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("d", "'"), ("d'", "o")))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // d'or -> chars d,',o,r -> d' -> d'o -> [d'o, r] = 2 per word
+    assert(edge === Seq((1L, 0L), (2L, 4L)))
+    // asking for more merges than the corpus can yield fails loudly
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.trainBpeMerges(tiny, "doc_id", "text", 3))
+    assert(e.getMessage.contains("exhausted"))
+  }
+
   test("range join matches a plain theta join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
