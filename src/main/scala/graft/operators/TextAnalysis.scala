@@ -359,6 +359,24 @@ object TextAnalysis {
         T.StructField("rhs", T.StringType, nullable = false))))
   }
 
+  /** Per-ROW BPE token count under PRE-TRAINED merges, as one Column —
+    * a pure projection (no explode, no join, no shuffle), so the SAME
+    * expression runs on a batch frame or an append-mode stream: the
+    * serving-path twin of [[bpeSegmentCount]] (identical per-word fold,
+    * so counts are bit-equal; the batch form's vocab-grain join is the
+    * cheaper shape when words repeat across a large corpus, this form
+    * is the right one for rows arriving one at a time). Outer lambda
+    * variables are named apart from the fold's (`tacc`/`w` vs
+    * `acc`/`s`) — Spark resolves nested lambda variables by name. */
+  def bpeTokenCountTrained(textColName: String,
+                           merges: Seq[(String, String)]): Column = {
+    val foldedExpr = merges.foldLeft(charSymsExpr) {
+      case (e, (l, r)) => mergeFold(e, l, r)
+    }
+    expr(s"aggregate(filter(split($textColName, ' '), x -> x != ''), " +
+      s"CAST(0 AS BIGINT), (tacc, w) -> tacc + size($foldedExpr))")
+  }
+
   /**
    * Segment the corpus with a learned merge list and count the resulting
    * BPE tokens per document: each DISTINCT word is symbolized and folded

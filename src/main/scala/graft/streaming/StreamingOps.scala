@@ -152,6 +152,21 @@ object StreamingOps {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /** Count BPE tokens of ARRIVING documents under merges trained
+    * batch-side ([[graft.operators.TextAnalysis.trainBpeMerges]]) — the
+    * deploy-time token-budget meter: train the tokenizer once on the
+    * existing corpus, bill every incoming document as it lands. The
+    * per-row fold ([[graft.operators.TextAnalysis.bpeTokenCountTrained]])
+    * is a pure projection — no explode, no join, no state — so the
+    * stream stays append-mode-safe and counts are bit-equal to the
+    * batch [[graft.operators.TextAnalysis.bpeSegmentCount]] (identical
+    * greedy fold per word). Emits (id, n_bpe) per arriving doc. */
+  def bpeCountStream(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.operators.TextAnalysis.bpeTokenCountTrained(textCol, merges)
+        .as("n_bpe"))
+
   /** Streaming ingest curation — the deploy-time filter chain a
     * training-data pipeline runs on ARRIVING documents, composed from
     * the batch [[graft.operators.Curation]]/[[graft.operators.TextAnalysis]]

@@ -376,6 +376,38 @@ class StreamingSpec extends AnyFunSuite {
       s"doc $id: streaming $s != batch ${batch(id)}") }
   }
 
+  test("streaming BPE token counting matches the batch segmenter doc-for-doc") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // train once batch-side, meter the stream with the frozen merges
+    val merges = graft.operators.TextAnalysis
+      .trainBpeMerges(docsDf, "doc_id", "text", nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size === 3)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val rows = docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.toIndexedSeq)
+    val counted = StreamingOps.bpeCountStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+    assert(counted.isStreaming)
+    StreamingOps.runToMemory(counted, "stream_bpe", OutputMode.Append())
+
+    val streamed = spark.table("stream_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.TextAnalysis
+      .bpeSegmentCount(docsDf, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size === 30)
+    // identical greedy fold per word — counts are bit-equal to the
+    // batch vocab-grain segmenter
+    streamed.foreach { case (id, n) => assert(n === batch(id),
+      s"doc $id: streaming $n != batch ${batch(id)}") }
+  }
+
   test("Iceberg append stream picks up files committed after the stream starts") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
