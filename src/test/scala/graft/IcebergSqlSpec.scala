@@ -324,5 +324,16 @@ class IcebergSqlSpec extends AnyFunSuite {
         "SELECT grp, count(*) c FROM hive_sql GROUP BY grp ORDER BY grp")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // SQL DML routes to the merge-on-read verbs THROUGH the injection:
+    // a DELETE predicated on the injected column, a partition-MOVING
+    // UPDATE of it, and a whole-row MERGE all work over imported files
+    g.sql("DELETE FROM hive_sql WHERE grp = 'c'")
+    g.sql("UPDATE hive_sql SET grp = 'b' WHERE id = 1")
+    rows(4L -> "z", 6L -> "d").createOrReplaceTempView("hive_sql_upd")
+    g.sql("MERGE INTO hive_sql t USING hive_sql_upd s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(g.sql("SELECT id, grp FROM hive_sql ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "b", 2L -> "a", 3L -> "b", 4L -> "z", 6L -> "d"))
   }
 }
