@@ -40,7 +40,11 @@ object ScaleStress {
     // scorer (explode + agg) and PQ-ADC search (encode map-side, search
     // linear in corpus) — all must scale ~linearly
     "cur_line_dedup", "cur_mix_domains", "text_hashed_score",
-    "embed_pq_adc")
+    "embed_pq_adc",
+    // round-14: BPE training (vocab-grain merge loop — the vocab grows
+    // sublinearly in corpus size, so the per-iteration aggregates must
+    // too) and vocab-grain segmentation (distinct-word fold + re-join)
+    "text_bpe_train", "text_bpe_apply")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join
