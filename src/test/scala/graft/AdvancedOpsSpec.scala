@@ -155,6 +155,77 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("BPE greedy fold ≡ chain-parity window selection (the oracle's " +
+      "form) on random runs") {
+    // The oracle replays greedy-left fusion as a gaps-and-islands window
+    // (select every other site within a chain of overlapping occurrence
+    // positions). The real corpus never learns an lhs==rhs merge — the
+    // only case where chains exist — so pin the equivalence on random
+    // run-heavy words instead, against the fold the Spark side executes.
+    def fold(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def islands(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val n = syms.size
+      val isp = (0 until n).map(i =>
+        i + 1 < n && syms(i) == l && syms(i + 1) == r)
+      val sel = Array.fill(n)(false)
+      var i = 0
+      while (i < n) {
+        if (isp(i)) { // chain of consecutive occurrence sites
+          var j = i; var k = 0
+          while (j < n && isp(j)) { sel(j) = k % 2 == 0; j += 1; k += 1 }
+          i = j
+        } else i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = 0
+      while (p < n) {
+        if (sel(p)) { out += (l + r); p += 2 } else { out += syms(p); p += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(19)
+    val alphabet = Vector("a", "b")
+    val pairs = Seq(("a", "a"), ("b", "b"), ("a", "b"), ("aa", "a"),
+      ("aa", "aa"), ("ab", "ab"))
+    (1 to 500).foreach { t =>
+      // run-heavy random word: repeat each drawn symbol 1-4 times
+      val word = (1 to (1 + rnd.nextInt(6))).flatMap { _ =>
+        Seq.fill(1 + rnd.nextInt(4))(alphabet(rnd.nextInt(2)))
+      }
+      // apply 3 random merges sequentially through both formulations
+      var a = word; var b = word
+      (1 to 3).foreach { _ =>
+        val (l, r) = pairs(rnd.nextInt(pairs.size))
+        a = fold(a, l, r).toIndexedSeq
+        b = islands(b, l, r).toIndexedSeq
+        assert(a === b, s"trial $t: fold $a != islands $b on $word ($l,$r)")
+      }
+    }
+    // ...and the SQL fold expression the operator executes agrees with
+    // the Scala fold on a run-heavy corpus through REAL training
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aaaa aabb abab bbbb"), (2L, "aaaaa bbb aab"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", merges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def countRef(text: String): Long = text.split(" ").filter(_.nonEmpty)
+      .map { w =>
+        merges.foldLeft(w.map(_.toString): Seq[String]) {
+          case (s, (l, r)) => fold(s, l, r)
+        }.size.toLong
+      }.sum
+    assert(got === Seq(1L -> countRef("aaaa aabb abab bbbb"),
+      2L -> countRef("aaaaa bbb aab")))
+  }
+
   test("range join matches a plain theta join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
