@@ -1342,6 +1342,27 @@ object IcebergIO {
                 StatsPred.Leaf(n, "in", vs.flatten)
               case _ => StatsPred.Unknown
             }
+          // Prefix predicate (DSL startsWith; the optimizer rewrites
+          // LIKE 'ab%' to StartsWith on the SQL path) → the classic
+          // range form: s startsWith p  ⟺  p <= s < p[:-1]+(next char).
+          // Derived only for a NONEMPTY ASCII prefix: the bound strings
+          // then decide every comparison at a char <= 0x80, where Java's
+          // UTF-16 ordering (statLt) and UTF-8/codepoint ordering agree
+          // — a non-ASCII prefix could mis-order against supplementary
+          // characters in file bounds, so it stays underived (sound
+          // skip). NOT startsWith negates structurally (De Morgan over
+          // the AndP) into the exact complement range — also sound.
+          case "startswith" if args.size == 2 =>
+            (attr(args.head), literal(args(1))) match {
+              case (Some(n), Some(p: String)) if known(n) &&
+                  meta.schema(n).dataType == StringType &&
+                  p.nonEmpty && p.forall(_ < 0x80) =>
+                val upper = p.init + (p.last + 1).toChar
+                StatsPred.AndP(
+                  leaf(n, ">=", p, conj = false),
+                  leaf(n, "<", upper, conj = false))
+              case _ => StatsPred.Unknown
+            }
           case _ => StatsPred.Unknown // unsupported — no pruning from it
         }
       case _ => StatsPred.Unknown

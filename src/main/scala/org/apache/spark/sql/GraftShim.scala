@@ -103,6 +103,8 @@ object GraftShim {
       // no per-element Literal nodes) — convert via the child's type
       case s @ InSet(v, hset)       =>
         PredNode.Fn("in", conv(v) +: hset.toSeq.map(lit(_, v.dataType)))
+      // LIKE 'ab%' reaches the scan rule as StartsWith (LikeSimplification)
+      case StartsWith(l, r)         => PredNode.Fn("startswith", Seq(conv(l), conv(r)))
       case a: AttributeReference    => PredNode.Attr(a.name)
       case l: Literal               => lit(l.value, l.dataType)
       case _                        => PredNode.Other
