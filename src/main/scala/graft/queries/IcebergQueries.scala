@@ -422,6 +422,30 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Prefix predicate ([[IcebergIO.readWhere]] with `startsWith`; LIKE
+    * 'p%' on the SQL surface): derives the `p <= s < p[:-1]+next` range
+    * for stats-bounds file pruning. Pruning effectiveness is
+    * plan-asserted in IcebergSpec; the oracle pins exactness of the
+    * derived range + exact-filter composition. */
+  val icebergPrefixPrune = dfQ("iceberg_prefix_prune",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE starts_with(n_name, 'NATION_1') ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_iceberg_prefix_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val w = new IcebergFixture.Writer(s, dir, nationSorted(s).schema)
+    // several files with distinct name ranges (sorted input split)
+    nationSorted(s).orderBy("n_name").collect()
+      .grouped(7).foreach { rows =>
+        w.append(s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(rows: _*)), nationSorted(s).schema))
+      }
+    IcebergIO.readWhere(s, dir, col("n_name").startsWith("NATION_1"))
+      .orderBy("n_nationkey")
+  }
+
   /** Incremental append scan over the basic fixture: snapshot 1 holds
     * keys < 10, snapshot 2 the rest — reading "changes after snapshot 1"
     * must return exactly the second append, never re-reading the first
@@ -1622,7 +1646,7 @@ object IcebergQueries {
     icebergBucketPrune,
     icebergTimePrune, icebergDatePrune, icebergHistory, icebergFiles,
     icebergStatsPrune, icebergPartitions, icebergManifests, icebergEntries,
-    icebergPushdownWhere, icebergSqlPushdown, icebergSnapshots,
+    icebergPushdownWhere, icebergPrefixPrune, icebergSqlPushdown, icebergSnapshots,
     icebergIncremental, icebergChangelog, icebergRefs, icebergPipeline,
     icebergWriteRoundtrip,
     icebergDeleteWhere, icebergEqDeleteScoped, icebergUpsert,
