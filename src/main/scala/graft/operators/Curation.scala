@@ -335,23 +335,13 @@ object Curation {
     val prefiltered = skewCutover match {
       case None => joined
       case Some(cut) =>
-        require(cut > 0, "skewCutover must be positive")
-        // 60-bit prefix of the SAME md5 the window orders by (see the
-        // row variant for the prefix-vs-boundary argument). The token
-        // boundary sits near hash fraction budget/group_tokens; cut at
-        // 2× that plus ~1000 average-sized documents of slack —
+        // the token boundary sits near hash fraction budget/group_tokens;
+        // cut at 2× that plus ~1000 average-sized documents of slack —
         // bottleneck-capped budgets mean budget <= group_tokens, so the
-        // fraction is meaningful, and `least` caps degenerate cases at
-        // the whole hash space (no cut).
-        val max60 = 1152921504606846976L // 2^60
-        val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long")
+        // fraction is meaningful
         val avgTok = expr("(__gf_n + __gf_rows - 1L) div __gf_rows")
-        val cutoff = least(lit(max60),
-          ceil(lit(max60).cast("double") *
-            (col("__gf_budget") * 2 + lit(1000L) * avgTok) / col("__gf_n"))
-            .cast("long"))
-        joined.filter(col("__gf_rows") <= cut || hv < cutoff)
+        hashPrefixCut(joined, idCol, col("__gf_rows"), cut,
+          col("__gf_budget") * 2 + lit(1000L) * avgTok, col("__gf_n"))
     }
     val withCum = prefiltered
       // exclusive prefix sum: the row that CROSSES the budget is kept
@@ -363,20 +353,55 @@ object Curation {
       case Some(_) =>
         // exact loud guard (see scaladoc): survivor token mass < budget
         // ⟺ some kept row was cut — hard stop, never a silent shrink
-        withCum
-          .withColumn("__gf_smass",
-            sum(col("__gf_tok")).over(Window.partitionBy(groupCol)))
-          .filter(when(col("__gf_smass") < col("__gf_budget"),
-            raise_error(concat(
-              lit("mixDomainsByTokens skew-cutover underflow in group "),
-              col(groupCol).cast("string"))).cast("boolean"))
-            .otherwise(lit(true)))
-          .drop("__gf_smass")
+        cutUnderflowGuard(withCum, groupCol, col("__gf_tok"),
+          col("__gf_budget"), "mixDomainsByTokens")
     }
     checked
       .filter(col("__gf_cum") < col("__gf_budget"))
       .drop("__gf_cum", "__gf_budget", "__gf_tok", "__gf_n", "__gf_rows")
   }
+
+  /** The distributed pre-cut both skew-cutover mixing variants share:
+    * keep rows of small groups (`rowsCol <= cut`) untouched, and in
+    * larger groups keep only rows whose 60-bit prefix of the SAME md5
+    * the downstream window orders by falls below
+    * `fractionNum / fractionDen` of the hash space (capped at the whole
+    * space). A row below the window's keep boundary has a strictly
+    * smaller (md5, id) than the boundary row, hence an md5 prefix <= the
+    * boundary row's — so any cutoff strictly above the boundary prefix
+    * preserves the whole kept set, and the callers' fractions leave wide
+    * slack above their expected boundaries. */
+  private def hashPrefixCut(joined: DataFrame, idCol: String,
+                            rowsCol: Column, cut: Long,
+                            fractionNum: Column,
+                            fractionDen: Column): DataFrame = {
+    require(cut > 0, "skewCutover must be positive")
+    val max60 = 1152921504606846976L // 2^60
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val cutoff = least(lit(max60),
+      ceil(lit(max60).cast("double") * fractionNum / fractionDen)
+        .cast("long"))
+    joined.filter(rowsCol <= cut || hv < cutoff)
+  }
+
+  /** The loud post-cut guard both variants share: the surviving mass of
+    * each group (rows for the row variant, tokens for the token variant)
+    * must cover its budget — below it, some kept row was provably cut
+    * (survivors precede any cut row in hash order, so their mass bounds
+    * the cut row's exclusive prefix sum, which is < budget for kept
+    * rows) and the mixture would silently shrink: hard stop instead. */
+  private def cutUnderflowGuard(df: DataFrame, groupCol: String,
+                                massExpr: Column, budgetCol: Column,
+                                opName: String): DataFrame =
+    df.withColumn("__gf_smass",
+        sum(massExpr).over(Window.partitionBy(groupCol)))
+      .filter(when(col("__gf_smass") < budgetCol,
+        raise_error(concat(
+          lit(s"$opName skew-cutover underflow in group "),
+          col(groupCol).cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__gf_smass")
 
   def mixDomains(docs: DataFrame, groupCol: String, idCol: String,
                  weights: Map[String, Int]): DataFrame =
@@ -417,39 +442,21 @@ object Curation {
     val prefiltered = skewCutover match {
       case None => joined
       case Some(cut) =>
-        require(cut > 0, "skewCutover must be positive")
-        // 60-bit hash prefix of the SAME md5 the rank orders by: a row
-        // below the rank boundary has a strictly smaller (md5, id) than
-        // the boundary row, hence an md5 prefix <= the boundary row's —
-        // so any cutoff at a strictly larger prefix value keeps the
-        // whole top-keep set. Cutoff fraction (2*keep + 1000)/n leaves
-        // huge slack over the expected boundary at keep/n while still
-        // cutting a dominant group to ~2*keep rows before the shuffle.
-        val max60 = 1152921504606846976L // 2^60
-        val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long")
-        val cutoff = least(lit(max60),
-          ceil(lit(max60).cast("double") *
-            (col("__gf_keep") * 2 + lit(1000L)) / col("__gf_n")).cast("long"))
-        joined.filter(col("__gf_n") <= cut || hv < cutoff)
+        // the rank boundary sits near hash fraction keep/n; fraction
+        // (2*keep + 1000)/n leaves huge slack over it while still
+        // cutting a dominant group to ~2*keep rows before the shuffle
+        hashPrefixCut(joined, idCol, col("__gf_n"), cut,
+          col("__gf_keep") * 2 + lit(1000L), col("__gf_n"))
     }
     val ranked = prefiltered
       .withColumn("__gf_rn", row_number().over(byHash))
     val checked = skewCutover match {
       case None => ranked
       case Some(_) =>
-        // loud underflow guard: if the cut left fewer than `keep`
-        // survivors in some group, the mixture would silently shrink —
-        // impossible under a uniform hash with the slack above, so any
-        // occurrence is a bug worth a hard stop
-        ranked
-          .withColumn("__gf_cnt",
-            count(lit(1)).over(Window.partitionBy(groupCol)))
-          .filter(when(col("__gf_cnt") < col("__gf_keep"),
-            raise_error(concat(lit("mixDomains skew-cutover underflow in group "),
-              col(groupCol).cast("string"))).cast("boolean"))
-            .otherwise(lit(true)))
-          .drop("__gf_cnt")
+        // loud underflow guard: fewer than `keep` survivors in some
+        // group would silently shrink the mixture — hard stop instead
+        cutUnderflowGuard(ranked, groupCol, lit(1L), col("__gf_keep"),
+          "mixDomains")
     }
     checked
       .filter(col("__gf_rn") <= col("__gf_keep"))

@@ -359,22 +359,45 @@ object TextAnalysis {
         T.StructField("rhs", T.StringType, nullable = false))))
   }
 
+  /** Each nested fold adds one recursion level to parse/analyze/eval of
+    * the single merge-chain expression — fine for the tens of merges a
+    * study or a filter-stage tokenizer uses, but a production-size merge
+    * list (thousands) would blow the expression tree up. The per-row
+    * form caps loudly at this depth; [[bpeSegmentCount]] materializes
+    * the vocabulary every [[MergeChunk]] folds instead, so IT has no
+    * cap (the trainer's own iterative shape). */
+  val MaxInlineMerges = 64
+
+  /** [[bpeSegmentCount]]'s per-step fold count: merges apply in chunks
+    * of this many nested folds per materialized vocabulary pass. */
+  val MergeChunk = 16
+
   /** Per-ROW BPE token count under PRE-TRAINED merges, as one Column —
     * a pure projection (no explode, no join, no shuffle), so the SAME
     * expression runs on a batch frame or an append-mode stream: the
     * serving-path twin of [[bpeSegmentCount]] (identical per-word fold,
     * so counts are bit-equal; the batch form's vocab-grain join is the
     * cheaper shape when words repeat across a large corpus, this form
-    * is the right one for rows arriving one at a time). Outer lambda
-    * variables are named apart from the fold's (`tacc`/`w` vs
-    * `acc`/`s`) — Spark resolves nested lambda variables by name. */
+    * is the right one for rows arriving one at a time). A NULL text
+    * counts 0, matching the batch form's wordless-doc row. At most
+    * [[MaxInlineMerges]] merges (the whole chain is ONE nested
+    * expression here — see the cap's scaladoc); bigger merge lists
+    * belong on the vocab-grain path. Outer lambda variables are named
+    * apart from the fold's (`tacc`/`w` vs `acc`/`s`) — Spark resolves
+    * nested lambda variables by name. */
   def bpeTokenCountTrained(textColName: String,
                            merges: Seq[(String, String)]): Column = {
+    require(merges.size <= MaxInlineMerges,
+      s"${merges.size} merges exceed the $MaxInlineMerges-deep inline " +
+        "expression cap — segment via bpeSegmentCount (vocab-grain, " +
+        "uncapped) instead")
     val foldedExpr = merges.foldLeft(charSymsExpr) {
       case (e, (l, r)) => mergeFold(e, l, r)
     }
-    expr(s"aggregate(filter(split($textColName, ' '), x -> x != ''), " +
-      s"CAST(0 AS BIGINT), (tacc, w) -> tacc + size($foldedExpr))")
+    coalesce(
+      expr(s"aggregate(filter(split($textColName, ' '), x -> x != ''), " +
+        s"CAST(0 AS BIGINT), (tacc, w) -> tacc + size($foldedExpr))"),
+      lit(0L))
   }
 
   /**
@@ -389,15 +412,37 @@ object TextAnalysis {
     val words = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val foldedExpr = merges.foldLeft(charSymsExpr) {
-      case (e, (l, r)) => mergeFold(e, l, r)
+    // Fold the merge chain over the DISTINCT-word vocabulary in chunks
+    // of [[MergeChunk]] nested folds per materialized pass (persist the
+    // fused frame, drop the prior — the trainer's own iterative shape),
+    // so ANY merge-list size works: expression depth stays bounded while
+    // the corpus is still only touched by the one explode + final join.
+    val chunks = merges.grouped(MergeChunk).toSeq
+    var cur = words.select("w").distinct()
+      .withColumn("syms", expr(charSymsExpr))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val folded = chunk.foldLeft("syms") {
+        case (e, (l, r)) => mergeFold(e, l, r)
+      }
+      cur = cur.withColumn("syms", expr(folded))
+      if (i < chunks.size - 1) { // intermediate pass: materialize + swap
+        cur = cur.persist()
+        cur.count(): Unit
+        persisted.lastOption.foreach(_.unpersist())
+        persisted += cur
+      }
     }
-    val vocab = words.select("w").distinct()
-      .withColumn("n_tok", expr(s"size($foldedExpr)").cast("long"))
+    val vocab = cur.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
     val perDoc = words.join(vocab, Seq("w"))
       .groupBy("id").agg(sum("n_tok").as("n_bpe"))
-    docs.select(col(idCol).as("id")).distinct()
+    val out = docs.select(col(idCol).as("id")).distinct()
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+    // NOTE: intermediate vocab frames stay cached until the caller's
+    // action completes; they are vocab-sized (small) and MEMORY_AND_DISK
+    // by default. The LAST chunk is left unmaterialized so single-chunk
+    // calls (the common case) keep the original one-pass plan.
+    out
   }
 }

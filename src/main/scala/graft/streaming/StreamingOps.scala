@@ -542,6 +542,17 @@ object StreamingOps {
       .load()
   }
 
+  /** File-grain append stream over `<table>/data/`. ALL of its guards
+    * (append-only history, files-live-under-data/, glob-matches-names)
+    * run at CONSTRUCTION time only — the runtime path is a plain
+    * parquet file stream that never re-reads table metadata. So a
+    * mid-stream `addFiles` import (committed in place OUTSIDE data/,
+    * with operation "append" — no non-append fail-fast ever fires)
+    * would NOT reach a stream that is already running; the rows appear
+    * only to readers, and the next RESTART of this stream fails the
+    * construction-time check loudly. Pipelines that import while
+    * streaming must use [[icebergSnapshotStream]], which plans every
+    * micro-batch from the manifests and picks imports up exactly. */
   def icebergAppendStream(spark: SparkSession, tablePath: String,
                           dataFileGlob: String = "data-*.parquet"): DataFrame = {
     val meta = graft.sources.IcebergIO.loadMetadata(tablePath)

@@ -153,6 +153,37 @@ class AdvancedOpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       TextAnalysis.trainBpeMerges(tiny, "doc_id", "text", 3))
     assert(e.getMessage.contains("exhausted"))
+    // a merge list past one chunk (> MergeChunk) exercises the
+    // materialize-per-chunk path and still matches a sequential
+    // reference application
+    def refFold(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val chain = Seq(("a", "b"), ("ab", "a"), ("aba", "b"), ("a", "a"),
+      ("aa", "a"), ("b", "b"), ("bb", "a"), ("b", "a"), ("ba", "b"),
+      ("aa", "bb"), ("ab", "ab"), ("abab", "a"), ("aaa", "b"),
+      ("bab", "a"), ("aab", "b"), ("bba", "a"), ("a", "bab"),
+      ("abab", "abab"), ("b", "aa"), ("baa", "b"))
+    assert(chain.size > TextAnalysis.MergeChunk)
+    val corpus = Seq((1L, "abababa bbbaaa"), (2L, "aaaa babab"))
+      .toDF("doc_id", "text")
+    val gotChunked = TextAnalysis
+      .bpeSegmentCount(corpus, "doc_id", "text", chain)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def refCount(text: String): Long = text.split(" ").filter(_.nonEmpty)
+      .map(w => chain.foldLeft(w.map(_.toString): Seq[String]) {
+        case (s, (l, r)) => refFold(s, l, r)
+      }.size.toLong).sum
+    assert(gotChunked === Seq(1L -> refCount("abababa bbbaaa"),
+      2L -> refCount("aaaa babab")))
+    // the per-row inline form caps loudly past MaxInlineMerges
+    val big = (1 to TextAnalysis.MaxInlineMerges + 1)
+      .map(i => (s"x$i", "y"))
+    val capped = intercept[IllegalArgumentException](
+      TextAnalysis.bpeTokenCountTrained("text", big))
+    assert(capped.getMessage.contains("bpeSegmentCount"))
   }
 
   test("BPE greedy fold ≡ chain-parity window selection (the oracle's " +

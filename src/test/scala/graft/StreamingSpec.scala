@@ -390,7 +390,9 @@ class StreamingSpec extends AnyFunSuite {
       .MemoryStream[(Long, String)](spark)
     val rows = docsDf.select("doc_id", "text").limit(30).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    in.addData(rows.toIndexedSeq)
+    // a NULL-text doc must meter as 0, like the batch form's
+    // wordless-doc row (not NULL — a downstream sum would drop the doc)
+    in.addData(rows.toIndexedSeq :+ (999999L, null.asInstanceOf[String]))
     val counted = StreamingOps.bpeCountStream(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
     assert(counted.isStreaming)
@@ -401,10 +403,13 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.operators.TextAnalysis
       .bpeSegmentCount(docsDf, "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(streamed.size === 30)
+    assert(streamed.size === 31)
+    assert(streamed(999999L) === 0L)
+    val streamedDocs = streamed - 999999L
+    assert(streamedDocs.size === 30)
     // identical greedy fold per word — counts are bit-equal to the
     // batch vocab-grain segmenter
-    streamed.foreach { case (id, n) => assert(n === batch(id),
+    streamedDocs.foreach { case (id, n) => assert(n === batch(id),
       s"doc $id: streaming $n != batch ${batch(id)}") }
   }
 
