@@ -1860,6 +1860,32 @@ class IcebergWriteSpec extends AnyFunSuite {
       s"old-spec imported files must still prune: ${pruned.inputFiles.length} of $all")
   }
 
+  test("addFiles path-reuse guard probes DISTRIBUTED past the manifest " +
+      "threshold (inverted broadcast intersection)") {
+    val dir = s"$root/addfiles_dist_guard"
+    val src1 = s"$root/addfiles_dist_guard_src1"
+    val src2 = s"$root/addfiles_dist_guard_src2"
+    IcebergWrite.create(spark, dir, schema, fieldIds = false)
+    // cross ParallelManifestThreshold: one manifest per append
+    (1 to graft.sources.IcebergIO.ParallelManifestThreshold).foreach(i =>
+      IcebergWrite.append(df((i.toLong, s"w$i", i.toDouble)).coalesce(1), dir))
+    df((100L, "x", 1.0)).coalesce(1).write.parquet(src1)
+    IcebergWrite.addFiles(spark, dir, src1)
+    val meta = graft.sources.IcebergIO.loadMetadata(dir)
+    assert(meta.snapshots.size >
+      graft.sources.IcebergIO.ParallelManifestThreshold)
+    // the re-import reject fires through the executor-side probe
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir, src1))
+    assert(e.getMessage.contains("retained snapshot"))
+    // and a FRESH source still imports (no false positives from the
+    // broadcast intersection)
+    df((200L, "y", 2.0)).coalesce(1).write.parquet(src2)
+    IcebergWrite.addFiles(spark, dir, src2)
+    assert(ids(IcebergIO.read(spark, dir)).filter(_ >= 100L) ===
+      Seq(100L, 200L))
+  }
+
   test("rewritePositionDeletes loses the optimistic race CLEANLY") {
     val dir = s"$root/rpd_race"
     IcebergWrite.create(spark, dir, schema)
