@@ -332,7 +332,8 @@ final class GraftSession private (val spark: SparkSession) {
     // registration shows up in `<name>_files` etc. without
     // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
-      Seq("history", "files", "entries", "partitions", "manifests",
+      Seq("history", "files", "data_files", "delete_files",
+          "entries", "partitions", "manifests",
           "snapshots", "refs", "all_files", "all_entries", "all_manifests",
           "metadata_log_entries", "position_deletes")
         .foreach { kind =>

@@ -776,6 +776,75 @@ object Similarity {
         col("s").getField("adist").as("adist"))
   }
 
+  /**
+   * SQ8 scalar-quantized ANN — the FAISS `ScalarQuantizer(QT_8bit)`
+   * shape and the cheapest compressed index: each dimension is affinely
+   * quantized to an 8-bit code against per-dimension corpus [min, max]
+   * bounds. Training is ONE map-side-combined aggregate collecting 2·d
+   * longs (vs PQ's Lloyd loop); the index is 1 byte/dimension (4×
+   * smaller than float32). Scoring is asymmetric like PQ-ADC: the query
+   * keeps its exact micro-quantized vector and each candidate is
+   * reconstructed from its codes — all arithmetic stays in exact
+   * integers (units of micro·255: `code = ((x-mn)·255) div rng`,
+   * `dist = Σ ((x_q-mn)·255 - code·rng)²`), so the whole pipeline
+   * replays bit-for-bit in SQL. Degenerate dimensions (mx == mn) code
+   * to 0 and reconstruct exactly.
+   *
+   * 100-TB shape: bounds agg → 2·d longs on the driver → broadcast
+   * literals; encoding is a shuffle-free per-row projection; queries
+   * broadcast against the streamed coded corpus (same join shape as
+   * [[pqTopK]]). Overflow bound: |micro·255| ≤ 2.6e8 for unit-scale
+   * inputs, so a 64-dim squared sum stays ≤ ~1.7e19/4 « Long.Max.
+   *
+   * Returns (qid, nid, adist) — approximate squared L2 in (micro·255)²
+   * units — for the top `k` per query, ascending.
+   */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0)
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // train: per-dimension [min, max] in ONE aggregate (2·d longs)
+    val boundsRow = q.select((0 until d).flatMap(i => Seq(
+      min(element_at(col("qv"), i + 1)).as(s"mn$i"),
+      max(element_at(col("qv"), i + 1)).as(s"mx$i"))): _*).head
+    val mn: IndexedSeq[Long] = (0 until d).map(i => boundsRow.getLong(2 * i))
+    val rng: IndexedSeq[Long] =
+      (0 until d).map(i => boundsRow.getLong(2 * i + 1) - boundsRow.getLong(2 * i))
+    val mnLit = typedLit(mn)
+    val rngLit = typedLit(rng)
+    // encode: ((x - mn) * 255) div rng, exact-integer truncating
+    // division via the pmod idiom (operands are non-negative, so
+    // truncation == floor; the double division is exact — numerator
+    // ≤ ~5e8 « 2^53)
+    val codes = zip_with(
+      zip_with(col("qv"), mnLit, (x, m) => (x - m) * lit(255L)),
+      rngLit,
+      (s, r) => when(r === 0L, lit(0L))
+        .otherwise(((s - pmod(s, r)) / r).cast("long")))
+    val encoded = q.select(col("id"),
+      zip_with(codes, rngLit, (c, r) => c * r).as("scaled"))
+    val queries = q.filter(queryPred)
+      .select(col("id").as("qid"),
+        zip_with(col("qv"), mnLit, (x, m) => (x - m) * lit(255L)).as("qadj"))
+    pqTopKSelect(
+      broadcast(queries).join(encoded, col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"),
+          aggregate(zip_with(col("qadj"), col("scaled"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("adist")), k)
+  }
+
+  /** Two-stage SQ8 search: SQ8 shortlist, exact re-rank — the same
+    * production shape as [[pqRerankTopK]] with the cheaper index. */
+  def sq8RerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: org.apache.spark.sql.Column, k: Int,
+                    shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    exactRerank(emb, idCol, vecCol, queryPred, k,
+      sq8TopK(emb, idCol, vecCol, queryPred, shortlist))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
     val hits = ann.select(col("qid"), col("nid"))
       .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))

@@ -1641,6 +1641,31 @@ object IcebergQueries {
       .orderBy("delete_file_name", "pos")
   }
 
+  /** `.data_files` / `.delete_files` content-filtered slices of `.files`
+    * ([[IcebergIO.dataFiles]]/[[IcebergIO.deleteFiles]], the runtime
+    * jar's dot-suffix tables), pinned against [[posDelFixture]] whose
+    * live set is exactly two 10/15-row data files plus two 2-row
+    * position-delete files (content 1). One entry unions both slices —
+    * proving the filter splits the live set with nothing lost. */
+  val icebergDataDeleteFiles = dfQ("iceberg_data_delete_files",
+    """SELECT * FROM (VALUES
+      |  ('data', 'data-00001.parquet', 0, CAST(10 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('data', 'data-00002.parquet', 0, CAST(15 AS BIGINT), CAST(2 AS BIGINT)),
+      |  ('delete', 'delete-00003.parquet', 1, CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+      |  ('delete', 'delete-00004.parquet', 1, CAST(2 AS BIGINT), CAST(4 AS BIGINT)))
+      |  AS t(slice, file_name, content, record_count, sequence_number)
+      |ORDER BY slice, sequence_number""".stripMargin,
+    bench = false) { (s, sfDir) =>
+    import org.apache.spark.sql.functions._
+    val dir = posDelFixture(s, sfDir)
+    val cols = Seq("slice", "file_name", "content", "record_count",
+      "sequence_number").map(col)
+    IcebergIO.dataFiles(s, dir).withColumn("slice", lit("data")).select(cols: _*)
+      .unionByName(IcebergIO.deleteFiles(s, dir)
+        .withColumn("slice", lit("delete")).select(cols: _*))
+      .orderBy("slice", "sequence_number")
+  }
+
   val all: Seq[Q] = Seq(icebergRead, icebergTimeTravel, icebergPosDelete,
     icebergEqDelete, icebergEqDeleteDate, icebergPartitionPrune,
     icebergBucketPrune,
@@ -1660,6 +1685,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
+    icebergDataDeleteFiles,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

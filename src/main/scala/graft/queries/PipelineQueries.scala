@@ -1423,6 +1423,80 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** The shared SQ8 pipeline CTEs ([[Similarity.sq8TopK]] replayed):
+    * micro-quantize, per-dimension [min, max] bounds (the one-aggregate
+    * "training"), 8-bit affine codes (`((x-mn)*255) // rng`, truncating
+    * == floor on the non-negative operands, matching Spark's pmod
+    * idiom), asymmetric exact-integer distance in (micro·255)² units. */
+  private val sq8Ctes =
+    """WITH e AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT i.i, MIN(e.qv[i.i]) AS mn,
+      |         MAX(e.qv[i.i]) - MIN(e.qv[i.i]) AS rng
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+      |  GROUP BY i.i
+      |),
+      |codes AS (
+      |  SELECT e.id, d.i,
+      |    CASE WHEN d.rng = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE ((e.qv[d.i] - d.mn) * 255) // d.rng END AS code,
+      |    d.mn, d.rng
+      |  FROM e CROSS JOIN dims d
+      |),
+      |adist AS (
+      |  SELECT q.id AS qid, c.id AS nid,
+      |    CAST(SUM(((q.qv[c.i] - c.mn) * 255 - c.code * c.rng)
+      |           * ((q.qv[c.i] - c.mn) * 255 - c.code * c.rng)) AS BIGINT)
+      |      AS adist
+      |  FROM e q JOIN codes c ON c.id <> q.id
+      |  WHERE q.id < 8
+      |  GROUP BY q.id, c.id
+      |)""".stripMargin
+
+  /** SQ8 scalar-quantized ANN (asymmetric distance) for queries
+    * vec_id < 8: each of the 64 dimensions compressed to one byte
+    * against corpus min/max bounds — the cheapest compressed index
+    * (training is one aggregate). Exact BIGINT arithmetic end to end. */
+  val embedSq8Adc = dfQ("embed_sq8_adc", sq8Ctes +
+    """,
+      |ranked AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |  FROM adist)
+      |SELECT qid, nid, adist FROM ranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin) { (s, _) =>
+    Similarity.sq8TopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10)
+      .orderBy("qid", "nid")
+  }
+
+  /** Two-stage SQ8 search: 50-candidate SQ8 shortlist, exact re-rank to
+    * the final top-10 — same production shape as `embed_pq_rerank` with
+    * the cheaper index. */
+  val embedSq8Rerank = dfQ("embed_sq8_rerank", sq8Ctes +
+    """,
+      |short AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |    FROM adist) WHERE rn <= 50),
+      |rr AS (
+      |  SELECT s.qid, s.nid,
+      |    CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      |  FROM short s JOIN e q ON q.id = s.qid JOIN e n ON n.id = s.nid
+      |),
+      |rranked AS (SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+      |  FROM rr)
+      |SELECT qid, nid, d2 FROM rranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    Similarity.sq8RerankTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, shortlist = 50)
+      .orderBy("qid", "nid")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
     dedupNgramJaccard,
@@ -1430,6 +1504,7 @@ object PipelineQueries {
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
+    embedSq8Adc, embedSq8Rerank,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,

@@ -2065,6 +2065,8 @@ object IcebergIO {
   private[graft] def metaSchema(kind: String): StructType = kind match {
     case "history"    => historySchema
     case "files"      => filesSchema
+    case "data_files"   => filesSchema
+    case "delete_files" => filesSchema
     case "entries"    => entriesSchema
     case "partitions" => partitionsSchema
     case "manifests"  => manifestsSchema
@@ -2095,6 +2097,29 @@ object IcebergIO {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       filesSchema)
   }
+
+  /** Content-filtered slices of [[files]] — the runtime jar's
+    * `.data_files` (content 0) and `.delete_files` (content 1 position +
+    * content 2 equality deletes) metadata tables. Same schema and
+    * metadata grain as `.files`; the filter runs over the already-local
+    * manifest rows. */
+  def dataFiles(spark: SparkSession, tablePath: String,
+                snapshotId: Option[Long] = None): DataFrame =
+    dataFilesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  def deleteFiles(spark: SparkSession, tablePath: String,
+                  snapshotId: Option[Long] = None): DataFrame =
+    deleteFilesOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  private[sources] def dataFilesOf(spark: SparkSession, meta: TableMetadata,
+                                   tablePath: String,
+                                   snapshotId: Option[Long]): DataFrame =
+    filesOf(spark, meta, tablePath, snapshotId).where(col("content") === 0)
+
+  private[sources] def deleteFilesOf(spark: SparkSession, meta: TableMetadata,
+                                     tablePath: String,
+                                     snapshotId: Option[Long]): DataFrame =
+    filesOf(spark, meta, tablePath, snapshotId).where(col("content") =!= 0)
 
   /** Manifest ENTRIES as a relation — the `.entries` metadata table:
     * one row per manifest entry of the snapshot, INCLUDING status 2

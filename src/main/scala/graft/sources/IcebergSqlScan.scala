@@ -116,6 +116,8 @@ object IcebergMetaScan {
     m.kind match {
       case "history"    => IcebergIO.historyOf(spark, meta)
       case "files"      => IcebergIO.filesOf(spark, meta, m.tablePath, pinned)
+      case "data_files"   => IcebergIO.dataFilesOf(spark, meta, m.tablePath, pinned)
+      case "delete_files" => IcebergIO.deleteFilesOf(spark, meta, m.tablePath, pinned)
       case "entries"    => IcebergIO.entriesOf(spark, meta, m.tablePath, pinned)
       case "partitions" => IcebergIO.partitionsOf(spark, meta, m.tablePath, pinned)
       case "manifests"  => IcebergIO.manifestsOf(spark, meta, m.tablePath, pinned)

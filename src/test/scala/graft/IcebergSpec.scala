@@ -501,6 +501,9 @@ class IcebergSpec extends AnyFunSuite {
     g.registerIceberg("ice_m", dir, metadataTables = true)
     assert(spark.sql("SELECT count(*) FROM ice_m_history").head.getLong(0) === 2L)
     assert(spark.sql("SELECT count(*) FROM ice_m_files").head.getLong(0) === 2L)
+    // content-filtered slices: all live files are data files here
+    assert(spark.sql("SELECT count(*) FROM ice_m_data_files").head.getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM ice_m_delete_files").head.getLong(0) === 0L)
     assert(spark.sql(
       "SELECT record_count FROM ice_m_partitions").head.getLong(0) === 3L)
     assert(spark.sql("SELECT count(*) FROM ice_m_manifests").head.getLong(0) === 2L)
@@ -517,6 +520,7 @@ class IcebergSpec extends AnyFunSuite {
     // ...while the snapshot-pinned registration stays pinned
     assert(spark.sql("SELECT max(id) FROM ice_t1").head.getLong(0) === 2L)
     Seq("ice_t", "ice_t1", "ice_m", "ice_m_history", "ice_m_files",
+      "ice_m_data_files", "ice_m_delete_files",
       "ice_m_partitions", "ice_m_manifests", "ice_m_snapshots", "ice_m_refs")
       .foreach(spark.catalog.dropTempView(_))
   }

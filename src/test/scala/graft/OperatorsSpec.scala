@@ -223,6 +223,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hAll === exact.size, "probing every cell must equal the exact result")
   }
 
+  test("sq8TopK: 8-bit scalar quantization is near-exact; rerank only helps") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(emb, "vec_id", "embedding", col("id") < 4, k = 10)
+    val rows = sq.collect()
+    assert(rows.length === 40) // 4 queries x 10
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.map(_.getLong(2)).toSeq
+      assert(ds == ds.sorted) // exact BIGINTs, ascending per query
+    }
+    // 255 levels per dimension distort distances far less than PQ's 32
+    // codewords per 4-dim subspace — recall should be near-perfect
+    // (unit-norm testdata, so cosineTopK is valid ground truth)
+    val hits = rows.map(r => (r.getLong(0), r.getLong(1))).toSet.count(exact)
+    assert(hits >= 35, s"SQ8 recall too low: $hits/40 exact top-10 pairs")
+    // determinism under repartitioning (bounds agg + pure projections)
+    val again = Similarity.sq8TopK(emb.repartition(7), "vec_id", "embedding",
+        col("id") < 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // exact re-rank over the SQ8 shortlist can only improve recall
+    val rr = Similarity.sq8RerankTopK(emb, "vec_id", "embedding",
+        col("id") < 4, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrHits = rr.count(exact)
+    assert(rrHits >= hits, s"re-rank recall $rrHits below raw SQ8 $hits")
+  }
+
+  test("sq8TopK: degenerate (constant) dimensions code to 0 and reconstruct exactly") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // dim 2 is constant across the corpus (rng = 0); distances must
+    // ignore it exactly rather than divide by zero
+    val emb = Seq(
+      (0L, Array(0.0, 0.1, 7.0)), (1L, Array(0.2, 0.3, 7.0)),
+      (2L, Array(0.9, 0.8, 7.0)), (3L, Array(1.0, 1.0, 7.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.sq8TopK(emb, "vec_id", "embedding", col("id") === 0L, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L)) // nearest first
+  }
+
   test("pqTopK: ADC recall is real, finer quantization never hurts much") {
     val emb = TestSpark.spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 4, 10)
