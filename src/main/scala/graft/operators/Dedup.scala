@@ -355,4 +355,102 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  // --------------------------------------------------------------------
+  // Exact SUBSTRING (duplicated-span) dedup — the distributed
+  // approximation of suffix-array substring dedup (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): every
+  // k-token window is fingerprinted corpus-wide; a window occurring more
+  // than once is a duplicated span, and every occurrence EXCEPT the
+  // globally first (lowest (doc, pos)) is marked. Marked spans are then
+  // merged per document (overlaps collapse, gaps-and-islands) for
+  // counting or stripping. The reference has no such operator; this is
+  // the training-pipeline surface the brief asks for beyond SURVEY §2.
+  //
+  // 100-TB shape: the window explode is O(total tokens) rows carrying a
+  // 32-hex hash; ONE corpus-wide shuffle on the hash (the row_number
+  // window — same key a groupBy would use); island merging and
+  // reassembly are per-DOCUMENT windows (bounded partitions). No
+  // all-pairs stage anywhere; skew on the hash key is impossible
+  // (md5-uniform) except for a pathological single window duplicated
+  // across the whole corpus — which is exactly the span the operator
+  // exists to find, and even then the partition holds (id, pos) pairs
+  // only, not text.
+  // --------------------------------------------------------------------
+
+  /** Merged duplicate-span intervals per doc: (id, s, e), 1-based token
+    * positions, inclusive; islands are disjoint (overlaps merged).
+    * Every occurrence of a window seen >1 times corpus-wide is marked
+    * EXCEPT the globally first in (id, pos) order — the keep-first rule
+    * at span grain. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "window size k must be at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      split(lower(col(textCol)), " ").as("w"))
+    // window starts 1..n-k+1 (guard: Spark sequence(1, 0) DESCENDS
+    // rather than returning empty — gate on size)
+    val wins = toks
+      .filter(size(col("w")) >= k)
+      .select(col("id"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("pos"),
+        col("w"))
+      .select(col("id"), col("pos"),
+        expr(s"md5(array_join(slice(w, pos, $k), ' '))").as("h"))
+    // ONE corpus-wide shuffle: rank occurrences of each fingerprint by
+    // (id, pos); rank >= 2 == duplicated occurrence (implies count > 1)
+    val byHash = Window.partitionBy("h").orderBy("id", "pos")
+    val dup = wins.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") >= 2)
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + (k - 1)).cast("long").as("e"))
+    // per-doc gaps-and-islands merge of overlapping spans
+    val byDoc = Window.partitionBy("id").orderBy("s", "e")
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup.withColumn("pm", prevMax)
+      .withColumn("isl", sum(when(col("pm").isNull || col("s") > col("pm"), 1)
+        .otherwise(0)).over(byDoc))
+      .groupBy("id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select(col("id"), col("s"), col("e"))
+  }
+
+  /** Per-document duplicated-token accounting over [[duplicateSpans]]:
+    * (id, n_toks, n_dup_toks) — every doc appears, zero when nothing
+    * is duplicated. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val lens = docs.select(col(idCol).cast("long").as("id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"))
+    val dup = duplicateSpans(docs, idCol, textCol, k)
+      .groupBy("id").agg(sum(col("e") - col("s") + 1).as("n_dup"))
+    lens.join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_toks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_toks"))
+  }
+
+  /** Strip duplicated spans: tokens covered by a [[duplicateSpans]]
+    * island are dropped, the rest reassemble in order — (id,
+    * text_stripped), every doc present ('' when fully duplicated).
+    * Islands are disjoint, so the coverage join can't multiply rows;
+    * left_anti keeps exactly the uncovered tokens. */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val spans = duplicateSpans(docs, idCol, textCol, k)
+    val kept = toks.join(spans,
+      toks("id") === spans("id") &&
+        toks("pos").between(spans("s"), spans("e")),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ").as("text_stripped"))
+    ids.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
 }

@@ -33,6 +33,73 @@ object PipelineQueries {
       .orderBy("content_hash")
   }
 
+  /** Shared substring-dedup CTEs ([[Dedup.duplicateSpans]] replayed,
+    * k = 5 token windows): fingerprint every window, rank occurrences
+    * per fingerprint by (doc, pos) — rank ≥ 2 == duplicated span
+    * (keep-first at span grain) — then merge overlapping spans per doc
+    * with a gaps-and-islands window. `isl` carries the merged islands. */
+  private val substrCtes =
+    """WITH t AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |           FROM documents),
+      |wins AS (
+      |  SELECT t.id, i.i AS pos,
+      |         md5(array_to_string(t.w[i.i:i.i+4], ' ')) AS h
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(t.w) - 4)) AS i) i
+      |),
+      |occ AS (SELECT id, pos,
+      |          ROW_NUMBER() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+      |        FROM wins),
+      |iv AS (SELECT id, pos AS s, pos + 4 AS e FROM occ WHERE rn >= 2),
+      |mrg AS (SELECT id, s, e,
+      |          MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |        FROM iv),
+      |isl AS (SELECT id, g, MIN(s) AS s, MAX(e) AS e FROM (
+      |          SELECT id, s, e,
+      |            SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY id ORDER BY s, e
+      |                ROWS UNBOUNDED PRECEDING) AS g
+      |          FROM mrg) GROUP BY id, g)""".stripMargin
+
+  /** Duplicated-substring accounting (the distributed form of Lee et
+    * al.'s suffix-array substring dedup): per doc, how many tokens sit
+    * inside a 5-token window that occurs elsewhere in the corpus
+    * (keep-first — the globally first occurrence is never counted). */
+  val dedupSubstring = dfQ("dedup_substring", substrCtes +
+    """,
+      |agg AS (SELECT id, CAST(SUM(e - s + 1) AS BIGINT) AS n_dup
+      |        FROM isl GROUP BY id)
+      |SELECT t.id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+      |  COALESCE(agg.n_dup, CAST(0 AS BIGINT)) AS n_dup_toks
+      |FROM t LEFT JOIN agg ON agg.id = t.id
+      |ORDER BY doc_id""".stripMargin) { (s, _) =>
+    Dedup.substringDupStats(s.table("documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_dup_toks"))
+      .orderBy("doc_id")
+  }
+
+  /** Strip duplicated spans: rebuild each doc from the tokens NOT
+    * covered by a duplicate island — the transform half of substring
+    * dedup ('' when a doc is entirely duplicated material). */
+  val dedupSubstringStrip = dfQ("dedup_substring_strip", substrCtes +
+    """,
+      |toksq AS (SELECT t.id, i.i AS pos, t.w[i.i] AS tok
+      |          FROM t CROSS JOIN LATERAL
+      |            (SELECT unnest(generate_series(1, len(t.w))) AS i) i),
+      |kept AS (SELECT k.id, k.pos, k.tok FROM toksq k
+      |         WHERE NOT EXISTS (SELECT 1 FROM isl
+      |           WHERE isl.id = k.id AND k.pos BETWEEN isl.s AND isl.e)),
+      |res AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS txt
+      |        FROM kept GROUP BY id)
+      |SELECT t.id AS doc_id, COALESCE(res.txt, '') AS text_stripped
+      |FROM t LEFT JOIN res ON res.id = t.id
+      |ORDER BY doc_id""".stripMargin, bench = false) { (s, _) =>
+    Dedup.stripDuplicateSpans(s.table("documents"), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("text_stripped"))
+      .orderBy("doc_id")
+  }
+
   /** Shared CTE chain: documents → shingles → minhash band keys →
     * bucket-local candidates → verified Jaccard pairs at ≥ 0.5
     * (`pairsj`). Composed into both the pair oracle (`dedup_minhash`)
@@ -1499,7 +1566,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
-    dedupNgramJaccard,
+    dedupNgramJaccard, dedupSubstring, dedupSubstringStrip,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,

@@ -54,6 +54,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("substring dedup: keep-first spans, island merge, strip — hand-checked") {
+    val d = Seq(
+      (1L, "a b c d e f"), // globally-first copy of every shared window
+      (2L, "x a b c d y"), // shares "a b c" (pos 2) and "b c d" (pos 3)
+      (3L, "a b c d e f"), // exact copy of doc 1 — fully duplicated
+      (4L, "p q")          // shorter than k — no windows
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 owns the first occurrence of every window -> no spans;
+    // doc 2's two overlapping spans merge to [2,5]; doc 3 merges to [1,6]
+    assert(spans === Set((2L, 2L, 5L), (3L, 1L, 6L)))
+    val stats = Dedup.substringDupStats(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats === Set((1L, 6L, 0L), (2L, 6L, 4L), (3L, 6L, 6L), (4L, 2L, 0L)))
+    val strip = Dedup.stripDuplicateSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(strip === Set((1L, "a b c d e f"), (2L, "x y"), (3L, ""), (4L, "p q")))
+  }
+
   test("simhash16 is equal for identical docs and in [0, 65536)") {
     val m = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
