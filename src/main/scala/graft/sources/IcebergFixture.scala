@@ -140,7 +140,15 @@ object IcebergFixture {
       if (v == 1) Some("""{"name":"block_size_in_bytes","type":"long","field-id":105}""") else None,
       if (v >= 2) Some(
         """{"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}""")
-      else None).flatten
+      else None,
+      // v3: row lineage (first_row_id, spec field 142) and deletion
+      // vectors (referenced_data_file/content_offset/content_size, spec
+      // fields 143-145 — a DV entry names the puffin file in file_path
+      // and the target data file here)
+      if (v >= 3) Some("""{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}""") else None,
+      if (v >= 3) Some("""{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143}""") else None,
+      if (v >= 3) Some("""{"name":"content_offset","type":["null","long"],"default":null,"field-id":144}""") else None,
+      if (v >= 3) Some("""{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""") else None).flatten
     val entryFields: Seq[String] = Seq(
       Some("""{"name":"status","type":"int","field-id":0}"""),
       Some("""{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1}"""),

@@ -206,7 +206,7 @@ object IcebergIO {
     val mdFile = resolveMetadataFile(tablePath)
     val root = mapper.readTree(GraftFs.readUtf8(mdFile))
     val fv = root.get("format-version").asInt()
-    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version: $fv")
+    require(fv >= 1 && fv <= 3, s"unsupported Iceberg format-version: $fv")
     val snaps =
       if (root.has("snapshots"))
         root.get("snapshots").elements().asScala.map { s =>
@@ -626,7 +626,15 @@ object IcebergIO {
                                        snapshotId: Option[Long] = None,
                                        // file_size_in_bytes (manifest
                                        // rewrite carries it forward)
-                                       bytes: Long = 0L)
+                                       bytes: Long = 0L,
+                                       // v3 deletion-vector entries
+                                       // (content 1, format PUFFIN):
+                                       // the target data file and the
+                                       // blob's byte range in the
+                                       // puffin file (spec 143-145)
+                                       referencedDataFile: Option[String] = None,
+                                       contentOffset: Option[Long] = None,
+                                       contentSize: Option[Long] = None)
 
   /** Stream one Avro object container file as GenericRecords. Manifest
     * grain only — data rows never pass through here. Opens via the
@@ -807,6 +815,14 @@ object IcebergIO {
             else entry.get("snapshot_id") match {
               case n: Number => Some(n.longValue()); case _ => None
             }
+          def optStr(field: String): Option[String] =
+            if (df.getSchema.getField(field) == null) None
+            else Option(df.get(field)).map(_.toString)
+          def optLong(field: String): Option[Long] =
+            if (df.getSchema.getField(field) == null) None
+            else df.get(field) match {
+              case n: Number => Some(n.longValue()); case _ => None
+            }
           out += ContentFile(
             df.get("file_path").toString, content,
             df.get("file_format").toString.toUpperCase(java.util.Locale.ROOT),
@@ -814,7 +830,10 @@ object IcebergIO {
             boundsMap("lower_bounds"), boundsMap("upper_bounds"),
             longMap("null_value_counts"), longMap("nan_value_counts"),
             specId = mSpecId, status = status, snapshotId = entrySnap,
-            bytes = fileBytes)
+            bytes = fileBytes,
+            referencedDataFile = optStr("referenced_data_file"),
+            contentOffset = optLong("content_offset"),
+            contentSize = optLong("content_size_in_bytes"))
         }
     }
     out.toSeq
@@ -1407,16 +1426,36 @@ object IcebergIO {
     * path) and `__gf_pos` (row ordinal in that file) — which is what
     * makes a before/after anti-join well-defined without comparing row
     * values (two equal rows in different files stay distinct). */
+  /** Decode one deletion-vector blob into (target file, pos) rows —
+    * runs INSIDE an executor task (object-level so the RDD lambda
+    * captures no enclosing state); the iterator streams bitmap
+    * positions without materializing them. */
+  private[sources] def dvDeleteRows(path: String, offset: Long, length: Long,
+                                    target: String,
+                                    sconf: GraftFs.SerializableConf)
+      : Iterator[Row] = {
+    val it = PuffinIO.readDv(path, offset, length, sconf.value).getLongIterator
+    new Iterator[Row] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Row = Row(target, it.next())
+    }
+  }
+
   private[sources] def mergeRead(spark: SparkSession, meta: TableMetadata,
                                  files: Seq[ContentFile],
                                  withIdentity: Boolean): DataFrame = {
-    val badFmt = files.filter(_.format != "PARQUET")
+    // v3 deletion vectors: content-1 entries in PUFFIN format reference
+    // a data file + a blob byte range instead of holding parquet rows
+    val dvFiles = files.filter(f => f.content == 1 && f.format == "PUFFIN")
+    val badFmt = files.filter(f => f.format != "PARQUET" &&
+      !(f.content == 1 && f.format == "PUFFIN"))
     if (badFmt.nonEmpty)
       throw new UnsupportedOperationException(
         s"non-parquet Iceberg content files are not supported: " +
           badFmt.map(f => s"${f.format}:${f.path}").take(3).mkString(", "))
     val dataFiles = files.filter(_.content == 0)
-    val delPaths  = files.filter(_.content == 1).map(_.path)
+    val delPaths  = files.filter(f => f.content == 1 && f.format != "PUFFIN")
+      .map(_.path)
     val eqFiles   = files.filter(_.content == 2)
     val identityFields = Seq(
       StructField("__gf_file", StringType, nullable = true),
@@ -1445,7 +1484,7 @@ object IcebergIO {
     // stamped files, by mapped name for a table upgraded via
     // addNameMapping) — ONE frame, and a plan identical to a plain
     // read, in the common single-group cases.
-    if (delPaths.isEmpty && eqFiles.isEmpty && !withIdentity)
+    if (delPaths.isEmpty && dvFiles.isEmpty && eqFiles.isEmpty && !withIdentity)
       return stripFieldIds(
         dataBranches(spark, meta, dataFiles, withPos = false)
           .reduce(_ unionByName _))
@@ -1459,14 +1498,41 @@ object IcebergIO {
         .drop("__gf_fileraw"))
       .reduce(_ unionByName _)
 
-    if (delPaths.nonEmpty) {
+    if (delPaths.nonEmpty || dvFiles.nonEmpty) {
       // v2 position deletes, merge-on-read: delete files are parquet rows
       // of (file_path, pos). The delete is a distributed left-anti join on
       // (file, row-ordinal) — no row ever touches the driver.
-      val dels = spark.read.parquet(delPaths: _*).select(
-        regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
-          .as("__gf_file"),
-        col("pos").as("__gf_pos"))
+      val parquetDels =
+        if (delPaths.isEmpty) None
+        else Some(spark.read.parquet(delPaths: _*).select(
+          regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+            .as("__gf_file"),
+          col("pos").as("__gf_pos")))
+      // v3 deletion vectors: each entry's roaring bitmap decodes in an
+      // EXECUTOR task (one task per DV, never on the driver) into the
+      // same (file, pos) shape, then rides the same single anti-join
+      val dvDels =
+        if (dvFiles.isEmpty) None
+        else {
+          val sconf = GraftFs.serializableConf()
+          val infos = dvFiles.map { f =>
+            def missing(what: String) = throw new IllegalStateException(
+              s"deletion-vector entry ${f.path} lacks $what")
+            (f.path,
+              f.contentOffset.getOrElse(missing("content_offset")),
+              f.contentSize.getOrElse(missing("content_size_in_bytes")),
+              normalizePath(f.referencedDataFile.getOrElse(
+                missing("referenced_data_file"))))
+          }
+          val rdd = spark.sparkContext
+            .parallelize(infos, math.max(1, math.min(infos.size, 32)))
+            .flatMap { case (p, off, len, target) =>
+              dvDeleteRows(p, off, len, target, sconf) }
+          Some(spark.createDataFrame(rdd, StructType(Seq(
+            StructField("__gf_file", StringType, nullable = false),
+            StructField("__gf_pos", LongType, nullable = false)))))
+        }
+      val dels = (parquetDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
       data = data.join(dels, Seq("__gf_file", "__gf_pos"), "left_anti")
     }
 

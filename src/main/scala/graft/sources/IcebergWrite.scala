@@ -67,7 +67,16 @@ object IcebergWrite {
                                    existingSeq: Option[Long] = None,
                                    // the snapshot that originally added
                                    // the file (EXISTING entries)
-                                   addedSnapshotId: Option[Long] = None)
+                                   addedSnapshotId: Option[Long] = None,
+                                   // v3: "PUFFIN" for deletion-vector
+                                   // entries, else parquet
+                                   format: String = "PARQUET",
+                                   // v3 DV: (referenced data file,
+                                   // content_offset, content_size)
+                                   dvRef: Option[(String, Long, Long)] = None,
+                                   // v3 row lineage: explicit
+                                   // first_row_id for ADDED data files
+                                   firstRowId: Option[Long] = None)
 
   /** Table-creation entry point: writes `metadata/v1.metadata.json` (+
     * version hint) for an EMPTY table — readable immediately (zero
@@ -82,8 +91,8 @@ object IcebergWrite {
              // false = a NAME-resolution table (no field-id stamping):
              // what [[addFiles]] imports into — its files carry no ids
              fieldIds: Boolean = true): Unit = {
-    require(formatVersion == 1 || formatVersion == 2,
-      s"format-version must be 1 or 2, got $formatVersion")
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"format-version must be 1, 2 or 3, got $formatVersion")
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
@@ -139,6 +148,11 @@ object IcebergWrite {
     // target (imported files carry no ids).
     val props = root.putObject("properties")
     if (fieldIds) props.put(IcebergIO.FieldIdsProp, "true"): Unit
+    // v3 row lineage: the next _row_id to assign; commits advance it by
+    // the records they add, and every ADDED data-file entry records an
+    // explicit first_row_id (spec field 142 — explicit values make the
+    // manifest-level inheritance protocol moot)
+    if (formatVersion >= 3) root.put("next-row-id", 0L)
     root.put("current-snapshot-id", -1L) // spec: -1 = no current snapshot
     root.putArray("snapshots")
     root.putArray("snapshot-log")
@@ -1045,6 +1059,22 @@ object IcebergWrite {
     val files = IcebergIO.liveFiles(spark, snap)
     val posFiles = files.filter(_.content == 1)
     if (posFiles.isEmpty) return snap.snapshotId
+    // format v3: position deletes are DELETION VECTORS (one per target
+    // already) — "rewrite" = consolidate every live DV into ONE puffin
+    // file, dropping dangling targets; eq entries carry EXISTING
+    if (meta.formatVersion >= 3) {
+      val emptyMatches = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("file_path", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false))))
+      return commitDvDelete(spark, tablePath, meta, root, priorVersion,
+        emptyMatches, operation = "replace", consolidate = true,
+        summaryExtra = Map(
+          "rewritten-manifests" -> "true",
+          "rewritten-position-deletes" -> "true",
+          "removed-delete-files" -> posFiles.size.toString))
+    }
     val dataFiles = files.filter(_.content == 0)
     val eqFiles = files.filter(_.content == 2)
     val metaDir = GraftFs.child(tablePath, "metadata")
@@ -1209,10 +1239,19 @@ object IcebergWrite {
       .select(col("__gf_file"), col("__gf_pos"))
     val withEq = IcebergIO.mergeRead(spark, meta, files, withIdentity = true)
       .select(col("__gf_file"), col("__gf_pos"))
-    val killed = withoutEq
+    val killedRaw = withoutEq
       .join(withEq, Seq("__gf_file", "__gf_pos"), "left_anti")
       .select(col("__gf_file").as("file_path"),
         col("__gf_pos").cast("long").as("pos"))
+    // format v3: the killed pairs become DELETION VECTORS (merged into
+    // any existing DVs); the equality manifests are DROPPED
+    if (meta.formatVersion >= 3)
+      return commitDvDelete(spark, tablePath, meta, root, priorVersion,
+        killedRaw, operation = "replace", dropEq = true,
+        summaryExtra = Map(
+          "rewritten-manifests" -> "true",
+          "converted-equality-deletes" -> eqFiles.size.toString))
+    val killed = killedRaw
       .coalesce(1).sortWithinPartitions("file_path", "pos")
     // dangling/no-op equality deletes kill nothing -> the snapshot
     // simply DROPS them
@@ -1468,12 +1507,17 @@ object IcebergWrite {
           .select(dec(col("__gf_fileraw")).as("file_path"),
             col("__gf_pos").as("pos")))
         .reduce(_ unionByName _)
+    // format v3: matched positions become DELETION VECTORS (one puffin
+    // blob per affected file) — the spec disallows new parquet
+    // position-delete files on v3 tables
+    if (meta.formatVersion >= 3)
+      commitDvDelete(spark, tablePath, meta, root, priorVersion, matches)
+    else
+      commitDelete(spark, tablePath, meta, root, priorVersion,
         // spec: position delete rows sorted by (file, position); coalesce
         // AFTER the sort keeps the order in the single output file
-        .orderBy("file_path", "pos")
-        .coalesce(1)
-    commitDelete(spark, tablePath, meta, root, priorVersion, matches,
-      content = 1, equalityIds = Nil)
+        matches.orderBy("file_path", "pos").coalesce(1),
+        content = 1, equalityIds = Nil)
   }
 
   /** Equality DELETE: any current-or-earlier row equal to a `values` row
@@ -1612,9 +1656,23 @@ object IcebergWrite {
           .select(dec(col("__gf_fileraw")).as("file_path"),
             col("__gf_pos").as("pos")))
         .reduce(_ unionByName _)
-        .orderBy("file_path", "pos")
-        .coalesce(1)
-    val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
+
+    // format v3: the position side becomes DELETION VECTORS; the
+    // rewritten rows ride the same snapshot as a separate data manifest
+    if (meta.formatVersion >= 3) {
+      val updated = IcebergIO.readWhere(spark, tablePath, cond)
+        .select(meta.schema.fields.toSeq.map { f =>
+          assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+        }: _*)
+      requireTableSchema(updated, meta)
+      val (dataFiles, partColTypes) =
+        stageDataFiles(updated, tablePath, meta, snapshotId, maxRecordsPerFile)
+      return commitDvDelete(spark, tablePath, meta, root, priorVersion,
+        posRows, operation = "overwrite", extraData = dataFiles,
+        extraDataPct = partColTypes)
+    }
+    val delFile = stageSingleDeleteFile(spark, tablePath,
+      posRows.orderBy("file_path", "pos").coalesce(1), snapshotId,
       content = 1, equalityIds = Nil)
 
     try {
@@ -1796,12 +1854,8 @@ object IcebergWrite {
               .select(dec(col(s"$targetAlias.__gf_fileraw")).as("file_path"),
                 col(s"$targetAlias.__gf_pos").as("pos")))
             .reduce(_ unionByName _)
-            .orderBy("file_path", "pos")
-            .coalesce(1)
       }
-      val delFile = stageSingleDeleteFile(spark, tablePath, posRows, snapshotId,
-        content = 1, equalityIds = Nil)
-      try {
+      {
         // ---- (2) rewrites: first applicable clause per matched pair;
         // UPDATE rows project through their assignments (old row +
         // source visible), DELETE rows just drop
@@ -1844,6 +1898,23 @@ object IcebergWrite {
             stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
           case None => (Nil, deletePartColTypes(meta))
         }
+        // format v3: the position side becomes DELETION VECTORS in the
+        // same snapshot as the rewrite/insert data manifest
+        if (meta.formatVersion >= 3)
+          return commitDvDelete(spark, tablePath, meta, root, priorVersion,
+            posRows, operation = "overwrite", extraData = dataFiles,
+            extraDataPct = partColTypes, summaryExtra = summaryExtra)
+        val delFile =
+          try stageSingleDeleteFile(spark, tablePath,
+            posRows.orderBy("file_path", "pos").coalesce(1), snapshotId,
+            content = 1, equalityIds = Nil)
+          catch {
+            case e: Throwable => // data files staged first: reclaim them
+              dataFiles.foreach(f =>
+                try { GraftFs.delete(f.path, recursive = false): Unit }
+                catch { case _: Exception => () })
+              throw e
+          }
         val del =
           if (delFile.records == 0) {
             GraftFs.delete(delFile.path, recursive = false); Nil
@@ -1852,11 +1923,6 @@ object IcebergWrite {
           del ++ dataFiles, snapshotId, newSeq,
           operation = "overwrite", carryForward = true,
           summaryExtra = summaryExtra)
-      } catch {
-        case e: Throwable =>
-          try { GraftFs.delete(delFile.path, recursive = false): Unit }
-          catch { case _: Exception => () }
-          throw e
       }
     } finally {
       pairs.unpersist(): Unit
@@ -2073,6 +2139,271 @@ object IcebergWrite {
     commitStaged(tablePath, meta, root, priorVersion,
       deletePartColTypes(meta), Seq(nf), snapshotId, newSeq,
       operation = "delete", carryForward = true)
+  }
+
+  /** Rebuild EXISTING equality-delete manifests (one per spec, original
+    * sequence numbers made explicit — inheritance can't apply under the
+    * new snapshot) — the delete-side carry shared by
+    * [[rewritePositionDeletes]]' shape and the v3 DV commits. Returns
+    * manifest-list `added` tuples paired with their spec ids. */
+  private def carryEqManifests(meta: IcebergIO.TableMetadata,
+                               root: ObjectNode, metaDir: String,
+                               eqFiles: Seq[IcebergIO.ContentFile],
+                               snapshotId: Long, newSeq: Long)
+      : Seq[((String, Long, Int, Long, Long, Long, Int), Int)] = {
+    val fieldIdsBySpec: Map[Int, Seq[Int]] =
+      Option(root.get("partition-specs")).map { specs =>
+        specs.elements().asScala.map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(f =>
+              if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+    eqFiles.groupBy(_.specId).toSeq.sortBy(_._1)
+      .map { case (sid, group) =>
+        val specFields = meta.specsById.getOrElse(sid, Nil)
+        val pct: Seq[(String, DataType, Boolean)] =
+          specFields.map { case (name, transform, srcId) =>
+            val src = meta.fieldById.getOrElse(srcId,
+              throw new IllegalArgumentException(
+                s"partition source field id $srcId not in table schema"))
+            (name, storedType(transform, meta.schema(src).dataType), true)
+          }
+        val nfs = group.map { f =>
+          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
+          NewFile(f.path, f.recordCount, f.bytes,
+            partitionValues = pct.map { case (n, _, _) =>
+              f.partitionValues.getOrElse(n, null) },
+            bounds = boundKeys.toSeq.sorted.map(k =>
+              (k, f.lowerBounds(k), f.upperBounds(k))),
+            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
+            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
+            content = 2, equalityIds = f.equalityIds,
+            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+        }
+        val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+          meta.schema, pct, nfs, snapshotId, newSeq,
+          manifestContent = 1, specId = sid,
+          specFieldIds = fieldIdsBySpec.getOrElse(sid, Nil))
+        ((mPath, mLen, 1, snapshotId, newSeq,
+          nfs.map(_.records).sum, nfs.size), sid)
+      }
+  }
+
+  /** EXISTING-entry form of a live deletion-vector manifest entry (its
+    * blob range and original sequence number made explicit). */
+  private def carryDvEntry(f: IcebergIO.ContentFile): NewFile = {
+    def missing(what: String) = throw new IllegalStateException(
+      s"deletion-vector entry ${f.path} lacks $what")
+    NewFile(f.path, f.recordCount, f.bytes,
+      partitionValues = Nil, bounds = Nil, nullCounts = Nil, nanCounts = Nil,
+      content = 1, format = "PUFFIN",
+      dvRef = Some((f.referencedDataFile.getOrElse(missing("referenced_data_file")),
+        f.contentOffset.getOrElse(missing("content_offset")),
+        f.contentSize.getOrElse(missing("content_size_in_bytes")))),
+      existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+  }
+
+  /**
+   * Commit tail for DELETEs on a format-v3 table: matched (file_path,
+   * pos) rows become DELETION VECTORS — one Puffin file holding one
+   * roaring bitmap per affected data file (spec v3 "Position Delete
+   * Vectors"; [[graft.sources.PuffinIO]]). The spec's invariant — at
+   * most ONE live DV per data file, and a new DV REPLACES the previous
+   * one, which it must CONTAIN — makes every DV commit rebuild the
+   * delete side of the manifest list, exactly the
+   * [[rewritePositionDeletes]] shape: data manifests carry VERBATIM,
+   * equality-delete entries carry EXISTING at their original seqs,
+   * unaffected DV entries carry EXISTING, and each affected file's new
+   * positions are OR-merged with its previous DV into an ADDED entry at
+   * the new sequence number (sound for the same reason consolidating
+   * position deletes at a new seq is: they name exact files).
+   *
+   * Scale shape: per-file bitmaps build in EXECUTORS (one groupByKey
+   * over the matched rows — the same shuffle a parquet delete write
+   * would pay); only the compressed bitmap bytes reach the driver,
+   * which assembles the (one) Puffin file. Prior DVs for affected files
+   * are read driver-side — bounded by blobs actually being replaced.
+   *
+   * `extraData` lets UPDATE/MERGE add rewritten data files in the SAME
+   * snapshot (their manifest is separate, same seq — the spec's strict
+   * `data seq < delete seq` can't bite because DVs name exact OLD
+   * files). Returns the snapshot id.
+   */
+  private def commitDvDelete(spark: SparkSession, tablePath: String,
+                             meta: IcebergIO.TableMetadata, root: ObjectNode,
+                             priorVersion: Int, matches: DataFrame,
+                             operation: String = "delete",
+                             extraData: Seq[NewFile] = Nil,
+                             // spec partition column types for the
+                             // extraData manifest (stageDataFiles'
+                             // second return)
+                             extraDataPct: Seq[(String, DataType, Boolean)] = Nil,
+                             // convertEqualityDeletes: the eq manifests
+                             // are DROPPED (their effect is in matches)
+                             dropEq: Boolean = false,
+                             // rewritePositionDeletes: rewrite EVERY
+                             // live DV into the one new puffin file
+                             // (dangling targets dropped)
+                             consolidate: Boolean = false,
+                             summaryExtra: Map[String, String] = Map.empty)
+      : Long = {
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    val fv = meta.formatVersion
+    require(fv >= 3, "deletion vectors require format v3")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot delete from an empty table: $tablePath"))
+    val live = IcebergIO.liveFiles(spark, snap)
+    val dataFiles = live.filter(_.content == 0)
+    val eqFiles = live.filter(_.content == 2)
+    val dvFiles = live.filter(f => f.content == 1 && f.format == "PUFFIN")
+    val strayPos = live.filter(f => f.content == 1 && f.format != "PUFFIN")
+    require(strayPos.isEmpty,
+      s"v3 table holds parquet position-delete files (${strayPos.take(2).map(_.path).mkString(", ")}) " +
+        "— this writer emits only deletion vectors on v3; compact first")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // per-file bitmaps built in executors; only compressed bytes collect
+    import spark.implicits._
+    val grouped: Seq[(String, Array[Byte], Long)] =
+      matches.select(col("file_path").cast("string").as("f"),
+          col("pos").cast("long").as("p"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups((f, it) => PuffinIO.bitmapBytesOf(f, it.map(_._2)))
+        .collect().toSeq
+    if (grouped.isEmpty && extraData.isEmpty && !dropEq && !consolidate)
+      // nothing matched: a no-op delete snapshot carrying everything
+      return commitSnapshot(tablePath, meta, root, priorVersion,
+        deletePartColTypes(meta), Nil, snapshotId, newSeq,
+        operation, carryForward = true, summaryExtra)
+
+    // matched paths come from the scan (scheme-carrying, URL-decoded);
+    // manifests record the create-time form — key both by normalized
+    val recByNorm = dataFiles
+      .map(f => IcebergIO.normalizePath(f.path) -> f.path).toMap
+    val newBms = scala.collection.mutable.Map.empty[String, Roaring64NavigableMap]
+    grouped.foreach { case (raw, bytes, _) =>
+      val rec = recByNorm.getOrElse(IcebergIO.normalizePath(raw),
+        throw new IllegalStateException(
+          s"matched file $raw is not a live data file of $tablePath"))
+      newBms(rec) = PuffinIO.bitmapFromPortable(bytes)
+    }
+    def dvBitmap(f: IcebergIO.ContentFile): org.roaringbitmap.longlong.Roaring64NavigableMap =
+      PuffinIO.readDv(f.path,
+        f.contentOffset.getOrElse(throw new IllegalStateException(
+          s"deletion-vector entry ${f.path} lacks content_offset")),
+        f.contentSize.getOrElse(throw new IllegalStateException(
+          s"deletion-vector entry ${f.path} lacks content_size_in_bytes")))
+    val (oldAffected, oldCarried) =
+      if (consolidate) (dvFiles, Seq.empty[IcebergIO.ContentFile])
+      else {
+        val affectedNorm = newBms.keySet.map(IcebergIO.normalizePath)
+        dvFiles.partition(f => f.referencedDataFile.exists(r =>
+          affectedNorm.contains(IcebergIO.normalizePath(r))))
+      }
+    // invariant: the replacement DV must CONTAIN the replaced one; in
+    // consolidate mode every live DV folds in, and a DV whose target is
+    // no longer a live data file is dangling — dropped, the v2
+    // rewrite's dangling-entry rule
+    oldAffected.foreach { f =>
+      val ref = f.referencedDataFile.getOrElse(
+        throw new IllegalStateException(
+          s"deletion-vector entry ${f.path} lacks referenced_data_file"))
+      recByNorm.get(IcebergIO.normalizePath(ref)) match {
+        case Some(target) => newBms.get(target) match {
+          case Some(bm) => bm.or(dvBitmap(f))
+          case None => newBms(target) = dvBitmap(f)
+        }
+        case None =>
+          require(consolidate, s"DV target $ref is not a live data file")
+      }
+    }
+
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val dataDir = GraftFs.child(tablePath, "data")
+    val addedDv: Seq[NewFile] =
+      if (newBms.isEmpty) Nil
+      else {
+        val puffinPath = GraftFs.child(dataDir,
+          s"dv-$snapshotId-${java.util.UUID.randomUUID().toString.take(8)}.puffin")
+        val targets = newBms.keys.toSeq.sorted
+        val blobs = targets.map { t =>
+          val bm = newBms(t)
+          PuffinIO.Blob(PuffinIO.DvBlobType, PuffinIO.dvPayload(bm),
+            Map("referenced-data-file" -> t,
+              "cardinality" -> bm.getLongCardinality.toString))
+        }
+        val locs = PuffinIO.writePuffin(puffinPath, blobs, snapshotId, newSeq)
+        val fileLen = GraftFs.status(puffinPath).map(_.getLen).getOrElse(0L)
+        targets.zip(locs).map { case (t, (off, len)) =>
+          NewFile(puffinPath, newBms(t).getLongCardinality, fileLen,
+            partitionValues = Nil, bounds = Nil, nullCounts = Nil,
+            nanCounts = Nil, content = 1, format = "PUFFIN",
+            dvRef = Some((t, off, len)))
+        }
+      }
+    val dvManifestFiles = addedDv ++ oldCarried.map(carryDvEntry)
+    val added =
+      (if (dropEq) Nil
+       else carryEqManifests(meta, root, metaDir, eqFiles, snapshotId, newSeq)) ++
+      (if (dvManifestFiles.isEmpty) Nil
+       else {
+         val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema,
+           deletePartColTypes(meta), dvManifestFiles, snapshotId, newSeq,
+           manifestContent = 1, specId = meta.defaultSpecId,
+           specFieldIds = meta.partitionFieldIds)
+         Seq(((mPath, mLen, 1, snapshotId, newSeq,
+           addedDv.map(_.records).sum, dvManifestFiles.size),
+           meta.defaultSpecId))
+       }) ++
+      (if (extraData.isEmpty) Nil
+       else {
+         // v3 row lineage for the rewritten rows
+         val rowIdBase =
+           Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
+         var next = rowIdBase
+         val stamped = extraData.map { f =>
+           val a = f.copy(firstRowId = Some(next)); next += f.records; a
+         }
+         val (mPath, mLen) = writeManifest(metaDir, fv, meta.schema,
+           extraDataPct, stamped, snapshotId, newSeq, manifestContent = 0,
+           specId = meta.defaultSpecId,
+           specFieldIds = meta.partitionFieldIds)
+         Seq(((mPath, mLen, 0, snapshotId, newSeq,
+           stamped.map(_.records).sum, stamped.size), meta.defaultSpecId))
+       })
+    val carriedData = priorManifestEntries(meta, Some(snap.snapshotId))
+      .filter { r =>
+        val c = if (r.getSchema.getField("content") == null) 0L
+          else r.get("content") match {
+            case n: Number => n.longValue(); case _ => 0L }
+        c == 0L
+      }
+    val mlPath = writeManifestList(metaDir, fv, carriedData,
+      added.map(_._1), snapshotId, specId = meta.defaultSpecId,
+      addedSpecIds = added.map(_._2))
+    val counts = Map(
+      "added-delete-files" -> addedDv.size.toString,
+      "added-data-files" -> extraData.size.toString,
+      "added-records" -> extraData.map(_.records).sum.toString,
+      "removed-delete-files" -> oldAffected.size.toString)
+    try publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+      snapshotId, newSeq, operation, counts ++ summaryExtra,
+      nextRowId = Some(
+        Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L) +
+          extraData.map(_.records).sum))
+    catch {
+      case e: Throwable =>
+        (addedDv.map(_.path).distinct ++ extraData.map(_.path)).foreach(p =>
+          try { GraftFs.delete(p, recursive = false): Unit }
+          catch { case _: Exception => () })
+        throw e
+    }
   }
 
   /** Decode SparkPath's URL-encoding without structural changes —
@@ -2351,12 +2682,31 @@ object IcebergWrite {
       case Some(b) => meta.refs.get(b).orElse(meta.currentSnapshotId)
       case None => meta.currentSnapshotId
     }
+    // v3 row lineage: ADDED data files get explicit first_row_id values
+    // assigned sequentially from the table's next-row-id counter
+    val rowIdBase =
+      if (fv >= 3) Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
+      else 0L
+    val files0 =
+      if (fv < 3) files
+      else {
+        var next = rowIdBase
+        files.map { f =>
+          if (f.content == 0 && f.existingSeq.isEmpty) {
+            val assigned = f.copy(firstRowId = Some(next))
+            next += f.records
+            assigned
+          } else f
+        }
+      }
+    val addedDataRecords = files0
+      .filter(f => f.content == 0 && f.existingSeq.isEmpty).map(_.records).sum
     // v2 keeps data and delete files in SEPARATE manifests (a manifest's
     // content is all-data or all-deletes); one commit may carry both
     // kinds — upsert publishes a delete manifest + a data manifest in
     // ONE snapshot at the SAME sequence number, and the spec's strict
     // `data seq < delete seq` rule keeps the delete off its own rows
-    val added = files.groupBy(f => if (f.content > 0) 1 else 0).toSeq
+    val added = files0.groupBy(f => if (f.content > 0) 1 else 0).toSeq
       .sortBy(_._1).map { case (kind, group) =>
         // delete manifests declare partition fields NULLABLE: position
         // deletes leave the tuple unset; scoped equality deletes set it
@@ -2380,7 +2730,8 @@ object IcebergWrite {
       "added-records" -> files.filter(_.content == 0).map(_.records).sum.toString,
       "added-files-size" -> files.map(_.bytes).sum.toString)
     publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
-      snapshotId, newSeq, operation, counts ++ summaryExtra, branch, baseId)
+      snapshotId, newSeq, operation, counts ++ summaryExtra, branch, baseId,
+      nextRowId = if (fv >= 3) Some(rowIdBase + addedDataRecords) else None)
   }
 
   /** The metadata.json tail every snapshot commit shares: bump
@@ -2396,11 +2747,16 @@ object IcebergWrite {
                               operation: String,
                               summaryExtra: Map[String, String],
                               branch: Option[String] = None,
-                              parentId: Option[Long] = None): Long = {
+                              parentId: Option[Long] = None,
+                              // v3: advance the row-lineage counter
+                              // (None = delete/metadata-only commit,
+                              // counter untouched)
+                              nextRowId: Option[Long] = None): Long = {
     val fv = meta.formatVersion
     val now = System.currentTimeMillis()
     val newRoot = root.deepCopy()
     if (fv >= 2) newRoot.put("last-sequence-number", newSeq)
+    nextRowId.foreach(v => newRoot.put("next-row-id", v))
     val priorUpdated = Option(newRoot.get("last-updated-ms")).map(_.asLong).getOrElse(now)
     newRoot.put("last-updated-ms", now)
     val sn = mapper.createObjectNode()
@@ -2679,7 +3035,15 @@ object IcebergWrite {
       val d = new GenericData.Record(dfSchema)
       if (fv >= 2) d.put("content", fm.content)
       d.put("file_path", fm.path)
-      d.put("file_format", "PARQUET")
+      d.put("file_format", fm.format)
+      if (fv >= 3) {
+        fm.firstRowId.foreach(v => d.put("first_row_id", Long.box(v)))
+        fm.dvRef.foreach { case (target, off, size) =>
+          d.put("referenced_data_file", target)
+          d.put("content_offset", Long.box(off))
+          d.put("content_size_in_bytes", Long.box(size))
+        }
+      }
       val partRec = new GenericData.Record(partSchema)
       partColTypes.map(_._1).zip(fm.partitionValues).foreach { case (n, v) =>
         // stored values are already spec primitives (storedColumn emits
