@@ -1641,6 +1641,38 @@ object IcebergQueries {
       .orderBy("delete_file_name", "pos")
   }
 
+  /** Format-v3 DELETE parity: deletes land as DELETION VECTORS (Puffin
+    * roaring bitmaps, [[graft.sources.PuffinIO]]) instead of parquet
+    * position-delete files, and two overlapping deletes exercise the
+    * one-DV-per-file merge invariant (the second DV absorbs the first
+    * where they share files). The oracle replays the composed
+    * complement filter straight off the parquet source — byte-identical
+    * results prove the bitmaps cover exactly the deleted positions. */
+  val icebergDvDelete = dfQ("iceberg_dv_delete",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderkey % 7 <> 3 AND o_orderkey % 5 <> 1
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_dv_rt_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderpriority"), formatVersion = 3)
+    graft.sources.IcebergWrite.append(orders, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("o_orderkey") % 7 === 3)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("o_orderkey") % 5 === 1)
+    IcebergIO.read(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** `.data_files` / `.delete_files` content-filtered slices of `.files`
     * ([[IcebergIO.dataFiles]]/[[IcebergIO.deleteFiles]], the runtime
     * jar's dot-suffix tables), pinned against [[posDelFixture]] whose
@@ -1685,7 +1717,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
-    icebergDataDeleteFiles,
+    icebergDataDeleteFiles, icebergDvDelete,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

@@ -1975,12 +1975,15 @@ object IcebergIO {
             f.content == 2 && f.seq == s.sequenceNumber)
           // files a new position delete names: a metadata-scale read of
           // the (small) delete files' distinct file_path column — never
-          // row data
+          // row data. v3 deletion vectors are cheaper still: the target
+          // rides IN the manifest entry (referenced_data_file)
+          val (newDv, newPosParquet) = newPos.partition(_.format == "PUFFIN")
           val posTargets: Set[String] =
-            if (newPos.isEmpty) Set.empty
-            else spark.read.parquet(newPos.map(_.path): _*)
-              .select("file_path").distinct().collect()
-              .map(r => normalizePath(r.getString(0))).toSet
+            newDv.flatMap(_.referencedDataFile).map(normalizePath).toSet ++
+              (if (newPosParquet.isEmpty) Set.empty[String]
+               else spark.read.parquet(newPosParquet.map(_.path): _*)
+                 .select("file_path").distinct().collect()
+                 .map(r => normalizePath(r.getString(0))).toSet)
           // eq-delete candidates honor the delete files' PARTITION scope
           // (a partition-scoped upsert diffs only its partitions, not the
           // whole parent table): a parent file is a candidate when some
@@ -2607,11 +2610,38 @@ object IcebergIO {
                                          tablePath: String,
                                          snapshotId: Option[Long]): DataFrame = {
     val snap = snapshotOf(meta, snapshotId, tablePath)
-    val posFiles = liveFiles(spark, snap).filter(_.content == 1)
+    val allPos = liveFiles(spark, snap).filter(_.content == 1)
       .sortBy(f => (f.seq, baseName(f.path)))
-    if (posFiles.isEmpty)
+    // v3 deletion vectors surface through the same relation: each blob
+    // decodes (executor-side) into its target's (file, pos) rows, the
+    // owning "delete file" being the puffin container
+    val (dvEntries, posFiles) = allPos.partition(_.format == "PUFFIN")
+    val dvDf: Option[DataFrame] =
+      if (dvEntries.isEmpty) None
+      else {
+        val sconf = GraftFs.serializableConf()
+        val infos = dvEntries.map { f =>
+          def missing(what: String) = throw new IllegalStateException(
+            s"deletion-vector entry ${f.path} lacks $what")
+          (f.path, f.contentOffset.getOrElse(missing("content_offset")),
+            f.contentSize.getOrElse(missing("content_size_in_bytes")),
+            f.referencedDataFile.getOrElse(missing("referenced_data_file")),
+            f.seq)
+        }
+        val rdd = spark.sparkContext
+          .parallelize(infos, math.max(1, math.min(infos.size, 32)))
+          .flatMap { case (p, off, len, target, seq) =>
+            val base = p.split('/').last
+            val tbase = target.split('/').last
+            dvDeleteRows(p, off, len, tbase, sconf)
+              .map(r => Row(r.getString(0), r.getLong(1), base, seq))
+          }
+        Some(spark.createDataFrame(rdd, positionDeletesSchema))
+      }
+    if (posFiles.isEmpty && dvDf.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), positionDeletesSchema)
+    if (posFiles.isEmpty) return dvDf.get
     val mapSchema = StructType(Seq(
       StructField("__gf_dkey", StringType, nullable = false),
       StructField("delete_file_name", StringType, nullable = false),
@@ -2621,7 +2651,7 @@ object IcebergIO {
     val mapDf = spark.createDataFrame(
       new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava), mapSchema)
-    spark.read.parquet(posFiles.map(_.path): _*)
+    val parquetDf = spark.read.parquet(posFiles.map(_.path): _*)
       .withColumn("__gf_dkey0",
         regexp_replace(col("_metadata.file_path"),
           "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
@@ -2637,5 +2667,6 @@ object IcebergIO {
             col("_metadata.file_path"))).cast("string"))
           .as("delete_file_name"),
         col("sequence_number"))
+    dvDf.map(parquetDf.unionByName(_)).getOrElse(parquetDf)
   }
 }

@@ -1986,4 +1986,161 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.cherrypickSnapshot(spark, dir, b1)
     assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 6L))
   }
+
+  // ------------------------------------------------ v3 deletion vectors
+
+  private def dvRows(dir: String) = IcebergIO.deleteFiles(spark, dir)
+    .filter(col("file_format") === "PUFFIN").collect()
+
+  test("v3 DV: delete -> merge-on-read, second delete MERGES, one DV per file") {
+    val dir = s"$root/dv_basic"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    IcebergWrite.append(df((4L, "d", 4.0), (5L, "e", 5.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id").isin(2L, 4L))
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 5L))
+    // one DV per affected data file, format PUFFIN, no parquet deletes
+    val d1 = dvRows(dir)
+    assert(d1.length === 2)
+    assert(d1.map(_.getAs[Long]("record_count")).toSeq.sorted === Seq(1L, 1L))
+    assert(IcebergIO.deleteFiles(spark, dir)
+      .filter(col("file_format") =!= "PUFFIN").count() === 0L)
+    // overlapping second delete: the file-1 DV must MERGE (1 -> 2
+    // positions) into a NEW puffin at the new seq, replacing its old
+    // entry; the UNaffected file-2 DV carries EXISTING in the OLD
+    // puffin at its original seq
+    IcebergWrite.deleteWhere(spark, dir, col("id") <= 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(3L, 5L))
+    val d2 = dvRows(dir)
+    assert(d2.length === 2)
+    assert(d2.map(_.getAs[Long]("record_count")).toSeq.sorted === Seq(1L, 2L))
+    assert(d2.map(_.getAs[String]("file_name")).distinct.length === 2)
+    val merged = d2.find(_.getAs[Long]("record_count") == 2L).get
+    val carried = d2.find(_.getAs[Long]("record_count") == 1L).get
+    assert(merged.getAs[Long]("sequence_number") >
+      carried.getAs[Long]("sequence_number"))
+    // time travel: pre-delete and mid-delete states intact
+    val meta = IcebergIO.loadMetadata(dir)
+    val snaps = meta.snapshots.map(_.snapshotId).sorted
+    assert(ids(IcebergIO.read(spark, dir, Some(snaps(1)))) === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(IcebergIO.read(spark, dir, Some(snaps(2)))) === Seq(1L, 3L, 5L))
+    // .position_deletes decodes the vectors (3 dead positions)
+    val pd = IcebergIO.positionDeletes(spark, dir).collect()
+    assert(pd.length === 3)
+    assert(pd.map(_.getAs[String]("delete_file_name")).forall(_.endsWith(".puffin")))
+  }
+
+  test("v3 DV: updateWhere rewrites through a DV + data manifest in one snapshot") {
+    val dir = s"$root/dv_update"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir)
+    val nBefore = IcebergIO.loadMetadata(dir).snapshots.size
+    IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+      Map("name" -> org.apache.spark.sql.functions.lit("upd")))
+    assert(IcebergIO.loadMetadata(dir).snapshots.size === nBefore + 1)
+    val out = IcebergIO.read(spark, dir).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "upd"))
+    assert(dvRows(dir).length === 1)
+  }
+
+  test("v3 DV: upsert eq-deletes convert to DVs; rewrite consolidates; compact folds") {
+    val dir = s"$root/dv_maint"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.upsert(df((2L, "B", 2.0)).coalesce(1), dir, Seq("id"))
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B"), (3L, "c")))
+    // convert: eq manifests dropped, killed row merged into the DV
+    IcebergWrite.convertEqualityDeletes(spark, dir)
+    assert(IcebergIO.files(spark, dir).filter(col("content") === 2).count() === 0L)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B"), (3L, "c")))
+    val afterConvert = dvRows(dir)
+    assert(afterConvert.map(_.getAs[Long]("record_count")).sum === 2L) // ids 1 and old 2
+    // consolidate + compact
+    IcebergWrite.rewritePositionDeletes(spark, dir)
+    assert(dvRows(dir).map(_.getAs[String]("file_name")).distinct.length === 1)
+    IcebergWrite.compact(spark, dir)
+    assert(IcebergIO.files(spark, dir).filter(col("content") =!= 0).count() === 0L)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B"), (3L, "c")))
+  }
+
+  test("v3 DV: changelog attributes DV deletes to their commit") {
+    val dir = s"$root/dv_cdc"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 3L)
+    val ch = IcebergIO.readChangelog(spark, dir).collect()
+    val byType = ch.groupBy(_.getAs[String]("_change_type"))
+    assert(byType("insert").map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // the two DV commits each contribute exactly their own delete row,
+    // even though the second DV CONTAINS the first's position
+    val dels = byType("delete")
+      .map(r => (r.getLong(0), r.getAs[Int]("_change_ordinal")))
+    assert(dels.sorted.toSeq === Seq((2L, 1), (3L, 2)))
+  }
+
+  test("v3 DV: row lineage counter advances; first_row_id stamped on data files") {
+    val dir = s"$root/dv_rowid"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir)
+    IcebergWrite.append(df((3L, "c", 3.0)).coalesce(1), dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = IcebergIO.loadMetadata(dir)
+    val root0 = mapper.readTree(GraftFs.readUtf8(meta.metadataFile))
+    assert(root0.get("next-row-id").asLong() === 3L)
+    // deletes don't advance the counter
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val meta2 = IcebergIO.loadMetadata(dir)
+    assert(mapper.readTree(GraftFs.readUtf8(meta2.metadataFile))
+      .get("next-row-id").asLong() === 3L)
+  }
+
+  test("v3 DV: delete loses the optimistic race CLEANLY (no stray puffin)") {
+    val dir = s"$root/dv_race"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir)
+    val meta = IcebergIO.loadMetadata(dir)
+    val v = meta.metadataFile.replaceAll(".*/v(\\d+)\\.metadata\\.json$", "$1").toInt
+    val blocker = s"$dir/metadata/v${v + 1}.metadata.json"
+    val os = GraftFs.createNew(blocker)
+    os.write(GraftFs.readUtf8(meta.metadataFile).getBytes("UTF-8")); os.close()
+    def dataFiles(): Seq[String] = GraftFs.list(s"$dir/data")
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    val before = dataFiles()
+    try {
+      val e = intercept[Exception](
+        IcebergWrite.deleteWhere(spark, dir, col("id") === 1L))
+      assert(e.getMessage.toLowerCase.contains("concurrent"))
+      assert(dataFiles() === before) // the loser's puffin must not linger
+    } finally GraftFs.delete(blocker, recursive = false)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
+  }
+
+  test("v3 DV: corrupted blob fails loudly on read") {
+    val dir = s"$root/dv_corrupt"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val puffin = GraftFs.list(s"$dir/data")
+      .map(_.getPath.toString).find(_.endsWith(".puffin")).get
+    val bytes = {
+      val in = GraftFs.open(puffin)
+      try in.readAllBytes() finally in.close()
+    }
+    bytes(10) = (bytes(10) ^ 0x1).toByte // flip a bit inside the vector
+    val os = GraftFs.create(puffin)
+    os.write(bytes); os.close()
+    // local FS keeps a .crc sidecar that now mismatches — remove it so
+    // the failure under test is OUR CRC check, not Hadoop's
+    GraftFs.delete(s"$dir/data/.${puffin.split('/').last}.crc", recursive = false)
+    val e = intercept[Exception](IcebergIO.read(spark, dir).count())
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("magic") ||
+      e.getMessage.contains("length"),
+      s"unexpected failure: ${e.getMessage}")
+  }
 }
