@@ -745,6 +745,12 @@ final class GraftSession private (val spark: SparkSession) {
         arity(2, 2)
         Seq(IcebergWrite.cherrypickSnapshot(spark, icebergPathOf(str(0)),
           num(1))).toDF("current_snapshot_id")
+      case "upgrade_format_version" =>
+        // v2 -> v3 in place: bump format-version + next-row-id, absorb
+        // any parquet position deletes into deletion vectors
+        arity(1, 1)
+        Seq(IcebergWrite.upgradeFormatVersion(spark, icebergPathOf(str(0))))
+          .toDF("snapshot_id")
       case "create_changelog_view" =>
         // runtime-jar procedure: registers `<name>_changes` as a temp
         // view of the CDC rows over (from, to] (defaults: the whole
@@ -761,7 +767,8 @@ final class GraftSession private (val spark: SparkSession) {
           "compact, rewrite_manifests, rewrite_position_deletes, convert_equality_deletes, add_files, " +
           "expire_snapshots, remove_orphan_files, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
-          "create_branch, drop_ref, fast_forward, cherrypick_snapshot, create_changelog_view)")
+          "create_branch, drop_ref, fast_forward, cherrypick_snapshot, " +
+          "upgrade_format_version, create_changelog_view)")
     }
   }
 

@@ -2141,6 +2141,48 @@ object IcebergWrite {
       operation = "delete", carryForward = true)
   }
 
+  /**
+   * Upgrade a v2 table to format-version 3 IN PLACE (the runtime jar's
+   * `ALTER TABLE ... SET TBLPROPERTIES('format-version'='3')` path).
+   * Two steps: (1) a metadata-only optimistic publish bumping
+   * `format-version` and stamping `next-row-id` (0 — pre-upgrade data
+   * files keep a null `first_row_id`; this writer never exposes
+   * `_row_id`, and post-upgrade commits assign fresh explicit values);
+   * (2) if live parquet position-delete files exist, one `replace`
+   * commit ABSORBS their rows into deletion vectors (v3 forbids new
+   * parquet position deletes, and a mixed table would make every
+   * subsequent DV commit's carry logic ambiguous) — dangling rows
+   * naming compacted-away files drop, the rewrite rule. Equality
+   * deletes stay as they are (still legal in v3). Returns the current
+   * snapshot id (-1 for an empty table). */
+  def upgradeFormatVersion(spark: SparkSession, tablePath: String): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion == 2,
+      s"upgrade targets v2 tables only, got v${meta.formatVersion}")
+    val newRoot = root.deepCopy()
+    newRoot.put("format-version", 3)
+    newRoot.put("next-row-id", 0L)
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+    val meta3 = IcebergIO.loadMetadata(tablePath)
+    val snapOpt = meta3.currentSnapshotId
+      .flatMap(id => meta3.snapshots.find(_.snapshotId == id))
+    val posFiles = snapOpt.toSeq
+      .flatMap(s => IcebergIO.liveFiles(spark, s))
+      .filter(f => f.content == 1 && f.format != "PUFFIN")
+    if (posFiles.isEmpty) return snapOpt.map(_.snapshotId).getOrElse(-1L)
+    val (root3, pv3) = loadRawMetadata(meta3.metadataFile)
+    val rows = spark.read.parquet(posFiles.map(_.path): _*)
+      .select(col("file_path").cast("string").as("file_path"),
+        col("pos").cast("long").as("pos"))
+    commitDvDelete(spark, tablePath, meta3, root3, pv3, rows,
+      operation = "replace", absorbLegacyPos = true,
+      summaryExtra = Map(
+        "rewritten-manifests" -> "true",
+        "upgraded-format-version" -> "3",
+        "removed-delete-files" -> posFiles.size.toString))
+  }
+
   /** Rebuild EXISTING equality-delete manifests (one per spec, original
     * sequence numbers made explicit — inheritance can't apply under the
     * new snapshot) — the delete-side carry shared by
@@ -2246,6 +2288,11 @@ object IcebergWrite {
                              // live DV into the one new puffin file
                              // (dangling targets dropped)
                              consolidate: Boolean = false,
+                             // upgradeFormatVersion: legacy parquet
+                             // position-delete files are ABSORBED —
+                             // their rows arrive via `matches` (dangling
+                             // targets skipped) and their entries drop
+                             absorbLegacyPos: Boolean = false,
                              summaryExtra: Map[String, String] = Map.empty)
       : Long = {
     import org.roaringbitmap.longlong.Roaring64NavigableMap
@@ -2260,9 +2307,10 @@ object IcebergWrite {
     val eqFiles = live.filter(_.content == 2)
     val dvFiles = live.filter(f => f.content == 1 && f.format == "PUFFIN")
     val strayPos = live.filter(f => f.content == 1 && f.format != "PUFFIN")
-    require(strayPos.isEmpty,
+    require(strayPos.isEmpty || absorbLegacyPos,
       s"v3 table holds parquet position-delete files (${strayPos.take(2).map(_.path).mkString(", ")}) " +
-        "— this writer emits only deletion vectors on v3; compact first")
+        "— this writer emits only deletion vectors on v3; run " +
+        "upgradeFormatVersion (which absorbs them) or compact first")
     val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
     val newSeq =
       Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
@@ -2276,7 +2324,8 @@ object IcebergWrite {
         .groupByKey(_._1)
         .mapGroups((f, it) => PuffinIO.bitmapBytesOf(f, it.map(_._2)))
         .collect().toSeq
-    if (grouped.isEmpty && extraData.isEmpty && !dropEq && !consolidate)
+    if (grouped.isEmpty && extraData.isEmpty && !dropEq && !consolidate &&
+        !absorbLegacyPos)
       // nothing matched: a no-op delete snapshot carrying everything
       return commitSnapshot(tablePath, meta, root, priorVersion,
         deletePartColTypes(meta), Nil, snapshotId, newSeq,
@@ -2288,10 +2337,16 @@ object IcebergWrite {
       .map(f => IcebergIO.normalizePath(f.path) -> f.path).toMap
     val newBms = scala.collection.mutable.Map.empty[String, Roaring64NavigableMap]
     grouped.foreach { case (raw, bytes, _) =>
-      val rec = recByNorm.getOrElse(IcebergIO.normalizePath(raw),
-        throw new IllegalStateException(
-          s"matched file $raw is not a live data file of $tablePath"))
-      newBms(rec) = PuffinIO.bitmapFromPortable(bytes)
+      recByNorm.get(IcebergIO.normalizePath(raw)) match {
+        case Some(rec) => newBms(rec) = PuffinIO.bitmapFromPortable(bytes)
+        case None =>
+          // absorb mode replays whole historical delete files, which
+          // may name compacted-away targets — dangling rows drop, the
+          // v2 rewrite's rule; a live DELETE matching a dead file is
+          // a planner bug and stays loud
+          if (!absorbLegacyPos) throw new IllegalStateException(
+            s"matched file $raw is not a live data file of $tablePath")
+      }
     }
     def dvBitmap(f: IcebergIO.ContentFile): org.roaringbitmap.longlong.Roaring64NavigableMap =
       PuffinIO.readDv(f.path,

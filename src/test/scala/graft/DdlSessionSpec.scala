@@ -298,6 +298,25 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(DmlSql.parse("ALTER TABLE alt_t SET TBLPROPERTIES ('a'='b')").isEmpty)
   }
 
+  test("CALL system.upgrade_format_version: v3 + DV deletes over SQL DML") {
+    val g = GraftSession.wrap(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upg").toString + "/t"
+    g.writeIceberg(spark.range(6).selectExpr("id", "CAST(id AS DOUBLE) AS v"), dir)
+    g.registerIceberg("upg_t", dir)
+    g.sql("DELETE FROM upg_t WHERE id = 5") // v2: parquet position delete
+    g.sql("CALL system.upgrade_format_version('upg_t')")
+    assert(graft.sources.IcebergIO.loadMetadata(dir).formatVersion === 3)
+    assert(g.sql("SELECT count(*) AS n FROM upg_t").collect().head.getLong(0) === 5L)
+    // SQL DML over the upgraded table routes through deletion vectors
+    g.sql("DELETE FROM upg_t WHERE id IN (0, 1)")
+    assert(g.sql("SELECT count(*) AS n FROM upg_t").collect().head.getLong(0) === 3L)
+    g.sql("UPDATE upg_t SET v = 42.0D WHERE id = 2")
+    assert(g.sql("SELECT v FROM upg_t WHERE id = 2").collect().head.getDouble(0) === 42.0)
+    val dels = graft.sources.IcebergIO.deleteFiles(spark, dir).collect()
+    assert(dels.nonEmpty && dels.forall(_.getAs[String]("file_format") == "PUFFIN"))
+    spark.catalog.dropTempView("upg_t")
+  }
+
   test("CALL system.* procedures: maintenance surface over registered names") {
     val g = GraftSession.wrap(spark)
     val dir = java.nio.file.Files.createTempDirectory("graft_call").toString + "/t"

@@ -2121,6 +2121,38 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(ids(IcebergIO.read(spark, dir)) === Seq(2L))
   }
 
+  test("v2 -> v3 upgrade absorbs parquet position deletes into DVs") {
+    val dir = s"$root/dv_upgrade"
+    IcebergWrite.create(spark, dir, schema) // v2
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L) // parquet pos file
+    IcebergWrite.upsert(df((3L, "C", 3.5)).coalesce(1), dir, Seq("id")) // eq delete
+    val before = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(before === Seq((1L, "a"), (3L, "C"), (4L, "d")))
+    IcebergWrite.upgradeFormatVersion(spark, dir)
+    assert(IcebergIO.loadMetadata(dir).formatVersion === 3)
+    // identical read; parquet pos files gone, their rows now a DV; eq
+    // deletes untouched (still legal in v3)
+    assert(IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === before)
+    val dels = IcebergIO.deleteFiles(spark, dir).collect()
+    assert(dels.count(_.getAs[Int]("content") == 1) === 1)
+    assert(dels.filter(_.getAs[Int]("content") == 1)
+      .forall(_.getAs[String]("file_format") == "PUFFIN"))
+    assert(dels.count(_.getAs[Int]("content") == 2) === 1) // the eq file
+    // post-upgrade deletes are DVs and merge with the absorbed one
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(3L, 4L))
+    val d2 = dvRows(dir)
+    assert(d2.map(_.getAs[Long]("record_count")).sum === 2L) // ids 1 + 2
+    // non-v2 tables refuse loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.upgradeFormatVersion(spark, dir))
+    assert(e.getMessage.contains("v2"))
+  }
+
   test("v3 DV: corrupted blob fails loudly on read") {
     val dir = s"$root/dv_corrupt"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)

@@ -637,6 +637,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg changelog stream over a v3 table: DV commits stream as CDC") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergWrite
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_ice_dv_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def rows(xs: (Long, Double)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    IcebergWrite.create(spark, dir, st, formatVersion = 3)
+    IcebergWrite.append(rows(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), dir)
+    val stream = StreamingOps.icebergChangelogStream(spark, dir)
+    val q = stream.writeStream.format("memory").queryName(s"ice_dv_$tag")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    def got(): Seq[(String, Long)] =
+      spark.table(s"ice_dv_$tag").select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    try {
+      q.processAllAvailable()
+      assert(got() === Seq(("insert", 1L), ("insert", 2L), ("insert", 3L)))
+      // two overlapping DV commits: each streams exactly ITS delete row
+      // (the second DV CONTAINS the first's position — the diff must
+      // not replay it)
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+      q.processAllAvailable()
+      IcebergWrite.deleteWhere(spark, dir, col("id") <= 2L)
+      q.processAllAvailable()
+      assert(got() === Seq(("delete", 1L), ("delete", 2L),
+        ("insert", 1L), ("insert", 2L), ("insert", 3L)))
+      // DV consolidation is data-preserving maintenance: streams nothing
+      IcebergWrite.rewritePositionDeletes(spark, dir)
+      q.processAllAvailable()
+      assert(got().size === 5)
+    } finally q.stop()
+  }
+
   test("iceberg CDC replication: changelog stream + apply sink keep a replica") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
