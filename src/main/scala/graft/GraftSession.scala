@@ -334,7 +334,8 @@ final class GraftSession private (val spark: SparkSession) {
     if (metadataTables) {
       Seq("history", "files", "data_files", "delete_files",
           "entries", "partitions", "manifests",
-          "snapshots", "refs", "all_files", "all_entries", "all_manifests",
+          "snapshots", "refs", "all_files", "all_data_files",
+          "all_delete_files", "all_entries", "all_manifests",
           "metadata_log_entries", "position_deletes")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,

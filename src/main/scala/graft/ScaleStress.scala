@@ -44,7 +44,11 @@ object ScaleStress {
     // round-14: BPE training (vocab-grain merge loop — the vocab grows
     // sublinearly in corpus size, so the per-iteration aggregates must
     // too) and vocab-grain segmentation (distinct-word fold + re-join)
-    "text_bpe_train", "text_bpe_apply")
+    "text_bpe_train", "text_bpe_apply",
+    // round-14: substring dedup (one corpus-wide shuffle on the window
+    // hash + per-doc island windows) and SQ8 ADC (bounds agg + linear
+    // scan) — both must scale ~linearly in corpus size
+    "dedup_substring", "embed_sq8_adc")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

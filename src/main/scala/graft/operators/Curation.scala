@@ -45,6 +45,46 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /**
+   * SPAN-grain decontamination (the surgical upgrade of
+   * [[contaminationHits]]' doc-grain flagging): any k-token window of a
+   * TRAIN doc whose fingerprint appears anywhere in the EVAL set marks
+   * its span; overlapping marked spans merge per doc
+   * (gaps-and-islands), covered tokens are counted AND excised, the
+   * rest reassemble in order. Removing only the leaked benchmark
+   * material — instead of dropping whole documents — is what a training
+   * pipeline actually wants when a long document quotes one benchmark
+   * item. Returns (id, n_toks, n_contam_toks, text_clean) for every
+   * TRAIN doc ('' when fully contaminated).
+   *
+   * Scale shape: the eval window-fingerprint set is benchmark-sized
+   * (KBs–MBs) — broadcast; the train windows stream map-side through
+   * the broadcast semi-join, and only marked spans reach the per-doc
+   * island windows. One reassembly shuffle on doc id. No all-pairs.
+   */
+  def decontaminateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         isEval: Column, k: Int = 8): DataFrame = {
+    val train = docs.filter(!isEval)
+    val evalH = Dedup.windowFingerprints(docs.filter(isEval), idCol,
+      textCol, k).select(col("h")).distinct()
+    val marked = Dedup.windowFingerprints(train, idCol, textCol, k)
+      .join(broadcast(evalH), "h")
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + (k - 1)).cast("long").as("e"))
+    val islands = Dedup.mergeIslands(marked)
+    val lens = train.select(col(idCol).cast("long").as("id"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"))
+    val contam = islands.groupBy("id")
+      .agg(sum(col("e") - col("s") + 1).as("n_contam"))
+    val cleaned = Dedup.stripBySpans(train, idCol, textCol, islands,
+      "text_clean")
+    lens.join(contam, Seq("id"), "left")
+      .join(cleaned, Seq("id"))
+      .select(col("id"), col("n_toks"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam_toks"),
+        col("text_clean"))
+  }
+
   // ---- fixed-token chunking -------------------------------------------
 
   /**

@@ -378,6 +378,62 @@ object Dedup {
   // only, not text.
   // --------------------------------------------------------------------
 
+  /** (id, pos, h): every k-token window's 1-based start + md5
+    * fingerprint — the shared front half of the span operators.
+    * (Guard: Spark `sequence(1, 0)` DESCENDS rather than returning
+    * empty — gate on size.) */
+  private[operators] def windowFingerprints(docs: DataFrame, idCol: String,
+                                            textCol: String,
+                                            k: Int): DataFrame = {
+    require(k >= 2, "window size k must be at least 2 tokens")
+    docs.select(col(idCol).cast("long").as("id"),
+        split(lower(col(textCol)), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("id"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("pos"),
+        col("w"))
+      .select(col("id"), col("pos"),
+        expr(s"md5(array_join(slice(w, pos, $k), ' '))").as("h"))
+  }
+
+  /** Per-doc gaps-and-islands merge of (id, s, e) spans into disjoint
+    * intervals (overlaps collapse) — a per-DOCUMENT window, bounded
+    * partitions. */
+  private[operators] def mergeIslands(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy("s", "e")
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans.withColumn("pm", prevMax)
+      .withColumn("isl", sum(when(col("pm").isNull || col("s") > col("pm"), 1)
+        .otherwise(0)).over(byDoc))
+      .groupBy("id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select(col("id"), col("s"), col("e"))
+  }
+
+  /** Rebuild each doc of `docs` from the tokens NOT covered by an
+    * `islands` interval — (id, text_out), every doc present ('' when
+    * fully covered). Islands are disjoint, so the coverage join can't
+    * multiply rows; left_anti keeps exactly the uncovered tokens. */
+  private[operators] def stripBySpans(docs: DataFrame, idCol: String,
+                                      textCol: String, islands: DataFrame,
+                                      outCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(islands,
+      toks("id") === islands("id") &&
+        toks("pos").between(islands("s"), islands("e")),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ").as(outCol))
+    ids.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col(outCol), lit("")).as(outCol))
+  }
+
   /** Merged duplicate-span intervals per doc: (id, s, e), 1-based token
     * positions, inclusive; islands are disjoint (overlaps merged).
     * Every occurrence of a window seen >1 times corpus-wide is marked
@@ -385,19 +441,8 @@ object Dedup {
     * at span grain. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
-    require(k >= 2, "window size k must be at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-      split(lower(col(textCol)), " ").as("w"))
-    // window starts 1..n-k+1 (guard: Spark sequence(1, 0) DESCENDS
-    // rather than returning empty — gate on size)
-    val wins = toks
-      .filter(size(col("w")) >= k)
-      .select(col("id"),
-        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("pos"),
-        col("w"))
-      .select(col("id"), col("pos"),
-        expr(s"md5(array_join(slice(w, pos, $k), ' '))").as("h"))
+    val wins = windowFingerprints(docs, idCol, textCol, k)
     // ONE corpus-wide shuffle: rank occurrences of each fingerprint by
     // (id, pos); rank >= 2 == duplicated occurrence (implies count > 1)
     val byHash = Window.partitionBy("h").orderBy("id", "pos")
@@ -405,16 +450,7 @@ object Dedup {
       .filter(col("rn") >= 2)
       .select(col("id"), col("pos").cast("long").as("s"),
         (col("pos") + (k - 1)).cast("long").as("e"))
-    // per-doc gaps-and-islands merge of overlapping spans
-    val byDoc = Window.partitionBy("id").orderBy("s", "e")
-    val prevMax = max(col("e")).over(
-      byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    dup.withColumn("pm", prevMax)
-      .withColumn("isl", sum(when(col("pm").isNull || col("s") > col("pm"), 1)
-        .otherwise(0)).over(byDoc))
-      .groupBy("id", "isl")
-      .agg(min("s").as("s"), max("e").as("e"))
-      .select(col("id"), col("s"), col("e"))
+    mergeIslands(dup)
   }
 
   /** Per-document duplicated-token accounting over [[duplicateSpans]]:
@@ -433,24 +469,9 @@ object Dedup {
 
   /** Strip duplicated spans: tokens covered by a [[duplicateSpans]]
     * island are dropped, the rest reassemble in order — (id,
-    * text_stripped), every doc present ('' when fully duplicated).
-    * Islands are disjoint, so the coverage join can't multiply rows;
-    * left_anti keeps exactly the uncovered tokens. */
+    * text_stripped), every doc present ('' when fully duplicated). */
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame = {
-    val ids = docs.select(col(idCol).cast("long").as("id"))
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "tok")))
-      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
-    val spans = duplicateSpans(docs, idCol, textCol, k)
-    val kept = toks.join(spans,
-      toks("id") === spans("id") &&
-        toks("pos").between(spans("s"), spans("e")),
-      "left_anti")
-    val rebuilt = kept.groupBy("id")
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
-        " ").as("text_stripped"))
-    ids.join(rebuilt, Seq("id"), "left")
-      .select(col("id"), coalesce(col("text_stripped"), lit("")).as("text_stripped"))
-  }
+                          k: Int): DataFrame =
+    stripBySpans(docs, idCol, textCol,
+      duplicateSpans(docs, idCol, textCol, k), "text_stripped")
 }

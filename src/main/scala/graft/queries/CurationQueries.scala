@@ -46,6 +46,59 @@ object CurationQueries {
       .orderBy("id")
   }
 
+  /** SPAN-grain decontamination ([[Curation.decontaminateSpans]]): the
+    * same eval split (every 17th doc), but contaminated 3-token windows
+    * are MERGED into islands per train doc, counted, and excised — the
+    * oracle replays fingerprints, the broadcast semi-join, the
+    * gaps-and-islands merge and the reassembly. */
+  val curDecontaminateSpans = dfQ("cur_decontaminate_spans",
+    """WITH t0 AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |            FROM documents),
+      |ev AS (SELECT DISTINCT md5(array_to_string(t.w[i.i:i.i+2], ' ')) AS h
+      |       FROM t0 t CROSS JOIN LATERAL
+      |         (SELECT unnest(generate_series(1, len(t.w) - 2)) AS i) i
+      |       WHERE t.id % 17 = 0),
+      |t AS (SELECT * FROM t0 WHERE id % 17 <> 0),
+      |wins AS (
+      |  SELECT t.id, i.i AS pos,
+      |         md5(array_to_string(t.w[i.i:i.i+2], ' ')) AS h
+      |  FROM t CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(t.w) - 2)) AS i) i
+      |),
+      |iv AS (SELECT w.id, w.pos AS s, w.pos + 2 AS e
+      |       FROM wins w JOIN ev USING (h)),
+      |mrg AS (SELECT id, s, e,
+      |          MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |        FROM iv),
+      |isl AS (SELECT id, g, MIN(s) AS s, MAX(e) AS e FROM (
+      |          SELECT id, s, e,
+      |            SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY id ORDER BY s, e
+      |                ROWS UNBOUNDED PRECEDING) AS g
+      |          FROM mrg) GROUP BY id, g),
+      |toksq AS (SELECT t.id, i.i AS pos, t.w[i.i] AS tok
+      |          FROM t CROSS JOIN LATERAL
+      |            (SELECT unnest(generate_series(1, len(t.w))) AS i) i),
+      |kept AS (SELECT k.id, k.pos, k.tok FROM toksq k
+      |         WHERE NOT EXISTS (SELECT 1 FROM isl
+      |           WHERE isl.id = k.id AND k.pos BETWEEN isl.s AND isl.e)),
+      |res AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS txt
+      |        FROM kept GROUP BY id),
+      |agg AS (SELECT id, CAST(SUM(e - s + 1) AS BIGINT) AS n_contam
+      |        FROM isl GROUP BY id)
+      |SELECT t.id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+      |  COALESCE(agg.n_contam, CAST(0 AS BIGINT)) AS n_contam_toks,
+      |  COALESCE(res.txt, '') AS text_clean
+      |FROM t LEFT JOIN agg ON agg.id = t.id LEFT JOIN res ON res.id = t.id
+      |ORDER BY doc_id""".stripMargin) { (s, _) =>
+    Curation.decontaminateSpans(s.table("documents"), "doc_id", "text",
+        isEval = col("doc_id") % 17 === 0, k = 3)
+      .select(col("id").as("doc_id"), col("n_toks"), col("n_contam_toks"),
+        col("text_clean"))
+      .orderBy("doc_id")
+  }
+
   // ---- fixed-token chunking -------------------------------------------
 
   /** 16-token chunks every 8 tokens (overlapping); hash pins content. */
@@ -379,7 +432,7 @@ object CurationQueries {
   }
 
   val all: Seq[Q] = Seq(
-    curDecontaminate, curChunk, curPack, curPii, curRepetition,
+    curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup,
     pipeCurateMix)

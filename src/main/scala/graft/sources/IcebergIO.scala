@@ -2142,6 +2142,8 @@ object IcebergIO {
     case "snapshots"  => snapshotsSchema
     case "refs"       => refsSchema
     case "all_files"            => filesSchema
+    case "all_data_files"       => filesSchema
+    case "all_delete_files"     => filesSchema
     case "all_entries"          => entriesSchema
     case "all_manifests"        => allManifestsSchema
     case "metadata_log_entries" => metadataLogSchema
@@ -2415,6 +2417,22 @@ object IcebergIO {
     * Metadata grain: manifests only, no data file opened. */
   def allFiles(spark: SparkSession, tablePath: String): DataFrame =
     allFilesOf(spark, loadMetadata(tablePath))
+
+  /** Content-filtered slices of [[allFiles]] — the runtime jar's
+    * `.all_data_files` / `.all_delete_files` dot-suffix tables. */
+  def allDataFiles(spark: SparkSession, tablePath: String): DataFrame =
+    allDataFilesOf(spark, loadMetadata(tablePath))
+
+  def allDeleteFiles(spark: SparkSession, tablePath: String): DataFrame =
+    allDeleteFilesOf(spark, loadMetadata(tablePath))
+
+  private[sources] def allDataFilesOf(spark: SparkSession,
+                                      meta: TableMetadata): DataFrame =
+    allFilesOf(spark, meta).where(col("content") === 0)
+
+  private[sources] def allDeleteFilesOf(spark: SparkSession,
+                                        meta: TableMetadata): DataFrame =
+    allFilesOf(spark, meta).where(col("content") =!= 0)
 
   /** DISTINCT manifests referenced by any valid snapshot, each paired
     * with its first-reference ordinal in the commit-order walk — the

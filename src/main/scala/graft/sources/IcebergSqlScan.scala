@@ -124,6 +124,8 @@ object IcebergMetaScan {
       case "snapshots"  => IcebergIO.snapshotsOf(spark, meta)
       case "refs"       => IcebergIO.refsOf(spark, meta)
       case "all_files"            => IcebergIO.allFilesOf(spark, meta)
+      case "all_data_files"       => IcebergIO.allDataFilesOf(spark, meta)
+      case "all_delete_files"     => IcebergIO.allDeleteFilesOf(spark, meta)
       case "all_entries"          => IcebergIO.allEntriesOf(spark, meta)
       case "all_manifests"        => IcebergIO.allManifestsOf(spark, meta)
       case "metadata_log_entries" => IcebergIO.metadataLogEntriesOf(spark, meta)

@@ -27,6 +27,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("decontaminateSpans: islands merge, excision, full contamination, clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),            // eval
+      (1L, "x a b c d y z"),        // train: windows [a b c](2), [b c d](3) -> island [2,5]
+      (3L, "a b c d e"),            // train: exact eval copy -> fully contaminated
+      (5L, "p q r s t u")           // train: clean
+    ).toDF("id", "text")
+    val out = Curation.decontaminateSpans(docs, "id", "text",
+      isEval = col("id") % 2 === 0, k = 3)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 7L, 4L, "x y z"),
+      (3L, 5L, 5L, ""),
+      (5L, 6L, 0L, "p q r s t u")))
+    // the eval fingerprint set must broadcast
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("chunkFixed: overlap, short tail chunk, content hash") {
     import spark.implicits._
     // 10 tokens, chunkSize 4, stride 2 -> starts 0,2,4,6,8; last is short

@@ -1441,6 +1441,15 @@ class IcebergSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 0L)
     assert(spark.sql("SELECT count(*) FROM allmeta_t_metadata_log_entries")
       .collect().head.getLong(0) === 2L)
+    // content-filtered all_* slices partition the whole-history set
+    val af = spark.sql("SELECT count(*) FROM allmeta_t_all_files")
+      .collect().head.getLong(0)
+    val ad = spark.sql("SELECT count(*) FROM allmeta_t_all_data_files")
+      .collect().head.getLong(0)
+    val adel = spark.sql("SELECT count(*) FROM allmeta_t_all_delete_files")
+      .collect().head.getLong(0)
+    assert(ad + adel === af)
+    assert(adel >= 1L) // the pre-compact delete file is history
   }
 
   test("all_files/all_entries run DISTRIBUTED above the threshold; " +
