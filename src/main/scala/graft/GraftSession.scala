@@ -685,9 +685,16 @@ final class GraftSession private (val spark: SparkSession) {
     import graft.sources.{IcebergIO, IcebergWrite}
     proc match {
       case "rewrite_data_files" | "compact" =>
-        arity(1, 1)
-        Seq(IcebergWrite.compact(spark, icebergPathOf(str(0))))
-          .toDF("snapshot_id")
+        // optional second arg: a WHERE predicate string — only files
+        // whose tuple/stats may match are rewritten (filtered
+        // compaction); without it the whole table rewrites
+        arity(1, 2)
+        val path = icebergPathOf(str(0))
+        val sid =
+          if (args.length == 1) IcebergWrite.compact(spark, path)
+          else IcebergWrite.compactWhere(spark, path,
+            org.apache.spark.sql.functions.expr(str(1)))
+        Seq(sid).toDF("snapshot_id")
       case "rewrite_manifests" =>
         arity(1, 1)
         Seq(IcebergWrite.rewriteManifests(spark, icebergPathOf(str(0))))

@@ -1673,6 +1673,40 @@ object IcebergQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** FILTERED compaction parity ([[graft.sources.IcebergWrite]]
+    * `compactWhere` — the runtime jar's `rewrite_data_files(where)`):
+    * append partitioned orders, delete a keyed slice, compact ONLY two
+    * priorities' partitions (their deletes fold away; the other
+    * partitions carry untouched with the delete file still applying),
+    * then aggregate everything. The oracle replays the complement
+    * filter — identical results prove the rewrite lost nothing and the
+    * carried delete file still applies to the untouched partitions. */
+  val icebergCompactWhere = dfQ("iceberg_compact_where",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderkey % 9 <> 2
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_cw_rt_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val orders = s.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.IcebergWrite.create(s, dir, orders.schema,
+      partitionCols = Seq("o_orderpriority"))
+    graft.sources.IcebergWrite.append(orders, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("o_orderkey") % 9 === 2)
+    graft.sources.IcebergWrite.compactWhere(s, dir,
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    IcebergIO.read(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** `.data_files` / `.delete_files` content-filtered slices of `.files`
     * ([[IcebergIO.dataFiles]]/[[IcebergIO.deleteFiles]], the runtime
     * jar's dot-suffix tables), pinned against [[posDelFixture]] whose
@@ -1717,7 +1751,7 @@ object IcebergQueries {
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
-    icebergDataDeleteFiles, icebergDvDelete,
+    icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

@@ -634,7 +634,11 @@ object IcebergIO {
                                        // puffin file (spec 143-145)
                                        referencedDataFile: Option[String] = None,
                                        contentOffset: Option[Long] = None,
-                                       contentSize: Option[Long] = None)
+                                       contentSize: Option[Long] = None,
+                                       // v3 row lineage (spec field 142)
+                                       // — manifest rewrites must carry
+                                       // it or rows change identity
+                                       firstRowId: Option[Long] = None)
 
   /** Stream one Avro object container file as GenericRecords. Manifest
     * grain only — data rows never pass through here. Opens via the
@@ -833,7 +837,8 @@ object IcebergIO {
             bytes = fileBytes,
             referencedDataFile = optStr("referenced_data_file"),
             contentOffset = optLong("content_offset"),
-            contentSize = optLong("content_size_in_bytes"))
+            contentSize = optLong("content_size_in_bytes"),
+            firstRowId = optLong("first_row_id"))
         }
     }
     out.toSeq

@@ -928,6 +928,142 @@ object IcebergWrite {
     commitData(IcebergIO.read(spark, tablePath), tablePath,
       maxRecordsPerFile, operation = "replace")
 
+  /**
+   * FILTERED compaction — the runtime jar's `rewrite_data_files(table,
+   * where => …)`: rewrite ONLY the data files whose partition tuple /
+   * stats may hold rows matching `cond` (the same planning-time pruning
+   * a read would use — conservative selection can only rewrite extra
+   * files, never lose rows), folding their deletes away; every other
+   * file carries EXISTING at its original sequence number. At 100 TB
+   * this is the difference between compacting one hot partition and
+   * rewriting the table.
+   *
+   * Delete handling: parquet position-delete files are KEPT (one file
+   * may name both rewritten and untouched targets; entries naming
+   * rewritten files dangle harmlessly — the reader's (file, pos)
+   * anti-join matches nothing). v3 deletion vectors of REWRITTEN
+   * targets are DROPPED (a DV names exactly one file); kept targets'
+   * DVs carry. Equality deletes are KEPT: they still apply to
+   * untouched old-seq files, and the rewritten rows move to the new
+   * sequence number as post-delete survivors — exactly the rows the
+   * delete would have left. Row visibility is unchanged BY
+   * CONSTRUCTION, so the `replace` snapshot is skipped by
+   * CDC/incremental/streaming readers. Selecting EVERY data file
+   * degenerates to [[compact]]. Returns the snapshot id (no file
+   * selected → no-op, the current id).
+   */
+  def compactWhere(spark: SparkSession, tablePath: String,
+                   cond: org.apache.spark.sql.Column,
+                   maxRecordsPerFile: Option[Long] = None): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 2,
+      "compactWhere requires format v2 (explicit sequence numbers)")
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot compact an empty table: $tablePath"))
+    val live = IcebergIO.liveFiles(spark, snap)
+    val dataFiles = live.filter(_.content == 0)
+    val deletes = live.filter(_.content != 0)
+    val selected = IcebergIO.pruneDataFilesWhere(meta, dataFiles, cond)
+      .filter(_.content == 0)
+    if (selected.isEmpty) return snap.snapshotId
+    val selectedNorm = selected.map(f => IcebergIO.normalizePath(f.path)).toSet
+    val kept = dataFiles.filterNot(f =>
+      selectedNorm(IcebergIO.normalizePath(f.path)))
+    if (kept.isEmpty) return compact(spark, tablePath, maxRecordsPerFile)
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+    val newSeq =
+      Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
+
+    // post-delete rows of ONLY the selected files (deletes fold away)
+    val rows = IcebergIO.mergeRead(spark, meta, selected ++ deletes,
+      withIdentity = false)
+    val (staged, stagedPct) =
+      stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
+    try {
+      val fieldIdsBySpec: Map[Int, Seq[Int]] =
+        Option(root.get("partition-specs")).map { specs =>
+          specs.elements().asScala.map { s =>
+            s.get("spec-id").asInt() ->
+              s.get("fields").elements().asScala.map(f =>
+                if (f.has("field-id")) f.get("field-id").asInt() else -1).toSeq
+          }.toMap
+        }.getOrElse(Map.empty)
+      // carried set: untouched data + every delete file except DVs of
+      // rewritten targets
+      val carriedFiles = kept ++ deletes.filterNot(f =>
+        f.content == 1 && f.format == "PUFFIN" &&
+          f.referencedDataFile.exists(r =>
+            selectedNorm(IcebergIO.normalizePath(r))))
+      val carriedAdded = carriedFiles
+        .groupBy(f => (if (f.content > 0) 1 else 0, f.specId))
+        .toSeq.sortBy { case ((kind, sid), _) => (kind, sid) }
+        .map { case ((kind, sid), group) =>
+          val specFields = meta.specsById.getOrElse(sid, Nil)
+          val pct: Seq[(String, DataType, Boolean)] =
+            specFields.map { case (name, transform, srcId) =>
+              val src = meta.fieldById.getOrElse(srcId,
+                throw new IllegalArgumentException(
+                  s"partition source field id $srcId not in table schema"))
+              (name, storedType(transform, meta.schema(src).dataType), true)
+            }
+          val nfs = group.map(existingEntry(_, pct))
+          val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+            meta.schema, pct, nfs, snapshotId, newSeq,
+            manifestContent = kind, specId = sid,
+            specFieldIds = fieldIdsBySpec.getOrElse(sid, Nil))
+          ((mPath, mLen, kind, snapshotId, newSeq,
+            nfs.map(_.records).sum, nfs.size), sid)
+        }
+      // the rewritten files, ADDED at the new seq (v3: fresh row ids)
+      val rowIdBase =
+        if (meta.formatVersion >= 3)
+          Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
+        else 0L
+      val stagedStamped =
+        if (meta.formatVersion < 3) staged
+        else {
+          var next = rowIdBase
+          staged.map { f =>
+            val a = f.copy(firstRowId = Some(next)); next += f.records; a }
+        }
+      val addedNew =
+        if (staged.isEmpty) Nil
+        else {
+          val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
+            meta.schema, stagedPct, stagedStamped, snapshotId, newSeq,
+            manifestContent = 0, specId = meta.defaultSpecId,
+            specFieldIds = meta.partitionFieldIds)
+          Seq(((mPath, mLen, 0, snapshotId, newSeq,
+            stagedStamped.map(_.records).sum, stagedStamped.size),
+            meta.defaultSpecId))
+        }
+      val added = carriedAdded ++ addedNew
+      val mlPath = writeManifestList(metaDir, meta.formatVersion,
+        carried = Nil, added = added.map(_._1), snapshotId,
+        specId = meta.defaultSpecId, addedSpecIds = added.map(_._2))
+      publishSnapshot(meta, root, priorVersion, metaDir, mlPath,
+        snapshotId, newSeq, operation = "replace",
+        summaryExtra = Map(
+          "rewritten-manifests" -> "true",
+          "rewritten-data-files" -> selected.size.toString,
+          "added-data-files" -> staged.size.toString),
+        nextRowId =
+          if (meta.formatVersion >= 3)
+            Some(rowIdBase + stagedStamped.map(_.records).sum)
+          else None)
+    } catch {
+      case e: Throwable =>
+        staged.foreach(f =>
+          try { GraftFs.delete(f.path, recursive = false): Unit }
+          catch { case _: Exception => () })
+        throw e
+    }
+  }
+
   /** Expire snapshots older than `olderThanMs` (metadata-only commit:
     * snapshots + snapshot-log entries are dropped; data/manifest files
     * stay on disk — removing them is a separate GC concern). The current
@@ -994,18 +1130,7 @@ object IcebergWrite {
                 s"partition source field id $srcId not in table schema"))
             (name, storedType(transform, meta.schema(src).dataType), true)
           }
-        val nfs = group.map { f =>
-          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
-          NewFile(f.path, f.recordCount, f.bytes,
-            partitionValues = pct.map { case (n, _, _) =>
-              f.partitionValues.getOrElse(n, null) },
-            bounds = boundKeys.toSeq.sorted.map(k =>
-              (k, f.lowerBounds(k), f.upperBounds(k))),
-            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
-            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
-            content = f.content, equalityIds = f.equalityIds,
-            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
-        }
+        val nfs = group.map(existingEntry(_, pct))
         val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
           meta.schema, pct, nfs, snapshotId, newSeq,
           manifestContent = kind, specId = sid,
@@ -1141,18 +1266,7 @@ object IcebergWrite {
                 s"partition source field id $srcId not in table schema"))
             (name, storedType(transform, meta.schema(src).dataType), true)
           }
-        val nfs = group.map { f =>
-          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
-          NewFile(f.path, f.recordCount, f.bytes,
-            partitionValues = pct.map { case (n, _, _) =>
-              f.partitionValues.getOrElse(n, null) },
-            bounds = boundKeys.toSeq.sorted.map(k =>
-              (k, f.lowerBounds(k), f.upperBounds(k))),
-            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
-            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
-            content = 2, equalityIds = f.equalityIds,
-            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
-        }
+        val nfs = group.map(existingEntry(_, pct))
         val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
           meta.schema, pct, nfs, snapshotId, newSeq,
           manifestContent = 1, specId = sid,
@@ -2211,18 +2325,7 @@ object IcebergWrite {
                 s"partition source field id $srcId not in table schema"))
             (name, storedType(transform, meta.schema(src).dataType), true)
           }
-        val nfs = group.map { f =>
-          val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
-          NewFile(f.path, f.recordCount, f.bytes,
-            partitionValues = pct.map { case (n, _, _) =>
-              f.partitionValues.getOrElse(n, null) },
-            bounds = boundKeys.toSeq.sorted.map(k =>
-              (k, f.lowerBounds(k), f.upperBounds(k))),
-            nullCounts = f.nullCounts.toSeq.sortBy(_._1),
-            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
-            content = 2, equalityIds = f.equalityIds,
-            existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
-        }
+        val nfs = group.map(existingEntry(_, pct))
         val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
           meta.schema, pct, nfs, snapshotId, newSeq,
           manifestContent = 1, specId = sid,
@@ -2232,19 +2335,40 @@ object IcebergWrite {
       }
   }
 
-  /** EXISTING-entry form of a live deletion-vector manifest entry (its
-    * blob range and original sequence number made explicit). */
-  private def carryDvEntry(f: IcebergIO.ContentFile): NewFile = {
+  /** EXISTING-status form of a live content file, carrying every field
+    * this reader consumes — stats, partition tuple (aligned with `pct`),
+    * equality ids, v3 DV blob range, v3 first_row_id — at its ORIGINAL
+    * sequence number and adding snapshot. The one construction every
+    * manifest-rebuilding verb shares; dropping a field here silently
+    * corrupts whichever reader consumed it (a rewrite that lost the DV
+    * blob range would fail every subsequent merge-on-read). */
+  private def existingEntry(f: IcebergIO.ContentFile,
+                            pct: Seq[(String, DataType, Boolean)]): NewFile = {
     def missing(what: String) = throw new IllegalStateException(
       s"deletion-vector entry ${f.path} lacks $what")
+    val boundKeys = f.lowerBounds.keySet.intersect(f.upperBounds.keySet)
     NewFile(f.path, f.recordCount, f.bytes,
-      partitionValues = Nil, bounds = Nil, nullCounts = Nil, nanCounts = Nil,
-      content = 1, format = "PUFFIN",
-      dvRef = Some((f.referencedDataFile.getOrElse(missing("referenced_data_file")),
-        f.contentOffset.getOrElse(missing("content_offset")),
-        f.contentSize.getOrElse(missing("content_size_in_bytes")))),
-      existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId)
+      partitionValues = pct.map { case (n, _, _) =>
+        f.partitionValues.getOrElse(n, null) },
+      bounds = boundKeys.toSeq.sorted.map(k =>
+        (k, f.lowerBounds(k), f.upperBounds(k))),
+      nullCounts = f.nullCounts.toSeq.sortBy(_._1),
+      nanCounts = f.nanCounts.toSeq.sortBy(_._1),
+      content = f.content, equalityIds = f.equalityIds,
+      existingSeq = Some(f.seq), addedSnapshotId = f.snapshotId,
+      format = f.format,
+      dvRef = if (f.content == 1 && f.format == "PUFFIN")
+          Some((f.referencedDataFile.getOrElse(missing("referenced_data_file")),
+            f.contentOffset.getOrElse(missing("content_offset")),
+            f.contentSize.getOrElse(missing("content_size_in_bytes"))))
+        else None,
+      firstRowId = f.firstRowId)
   }
+
+  /** EXISTING-entry form of a live deletion-vector manifest entry (its
+    * blob range and original sequence number made explicit). */
+  private def carryDvEntry(f: IcebergIO.ContentFile): NewFile =
+    existingEntry(f, Nil)
 
   /**
    * Commit tail for DELETEs on a format-v3 table: matched (file_path,

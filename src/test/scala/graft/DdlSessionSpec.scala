@@ -308,6 +308,9 @@ class DdlSessionSpec extends AnyFunSuite {
     assert(graft.sources.IcebergIO.loadMetadata(dir).formatVersion === 3)
     assert(g.sql("SELECT count(*) AS n FROM upg_t").collect().head.getLong(0) === 5L)
     // SQL DML over the upgraded table routes through deletion vectors
+    // filtered compaction through the CALL surface (where-string arg)
+    g.sql("CALL system.rewrite_data_files('upg_t', 'id >= 3')")
+    assert(g.sql("SELECT count(*) AS n FROM upg_t").collect().head.getLong(0) === 5L)
     g.sql("DELETE FROM upg_t WHERE id IN (0, 1)")
     assert(g.sql("SELECT count(*) AS n FROM upg_t").collect().head.getLong(0) === 3L)
     g.sql("UPDATE upg_t SET v = 42.0D WHERE id = 2")

@@ -2153,6 +2153,56 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("v2"))
   }
 
+  test("compactWhere: only matching files rewrite; untouched files keep their seq") {
+    val dir = s"$root/cw_basic"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "b", 4.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    val before = IcebergIO.files(spark, dir).collect()
+    val bName = before.filter(r => r.getAs[String]("partition") == "name=b")
+      .map(_.getAs[String]("file_name")).toSeq
+    IcebergWrite.compactWhere(spark, dir, col("name") === "a")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 4L))
+    val after = IcebergIO.files(spark, dir).collect()
+    // partition b's file is byte-identical and keeps its ORIGINAL seq
+    val afterB = after.filter(r => r.getAs[String]("partition") == "name=b")
+    assert(afterB.map(_.getAs[String]("file_name")).toSeq === bName)
+    assert(afterB.forall(_.getAs[Long]("sequence_number") === 1L))
+    // partition a folded to a fresh file at the new seq; the parquet
+    // delete file is carried (it may name untouched targets) but its
+    // entries dangle harmlessly
+    val afterA = after.filter(r => r.getAs[String]("partition") == "name=a"
+      && r.getAs[Int]("content") == 0)
+    assert(afterA.forall(_.getAs[Long]("sequence_number") > 1L))
+    assert(!afterA.map(_.getAs[String]("file_name")).toSet.exists(
+      before.filter(r => r.getAs[String]("partition") == "name=a"
+        && r.getAs[Int]("content") == 0)
+        .map(_.getAs[String]("file_name")).toSet))
+    // replace + marker: CDC sees only the original insert/delete rows
+    val ch = IcebergIO.readChangelog(spark, dir).collect()
+    assert(ch.count(_.getAs[String]("_change_type") == "delete") === 1)
+  }
+
+  test("compactWhere on v3: rewritten target's DV drops, kept target's DV survives") {
+    val dir = s"$root/cw_dv"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"),
+      formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "b", 4.0)), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id").isin(2L, 4L)) // DV per file
+    assert(dvRows(dir).length === 2)
+    IcebergWrite.compactWhere(spark, dir, col("name") === "a")
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L))
+    val dvAfter = dvRows(dir)
+    assert(dvAfter.length === 1) // only partition b's DV remains
+    // manifest rewrite must CARRY the DV blob range (regression: a
+    // rewrite that lost referenced_data_file broke every later read)
+    IcebergWrite.rewriteManifests(spark, dir)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L))
+    assert(dvRows(dir).length === 1)
+  }
+
   test("v3 DV: corrupted blob fails loudly on read") {
     val dir = s"$root/dv_corrupt"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
