@@ -1682,6 +1682,27 @@ class IcebergWriteSpec extends AnyFunSuite {
       .collect().head.getString(1) === "a")
   }
 
+  test("addFiles HIVE layout into a v3 table: DVs delete imported rows in place") {
+    val dir = s"$root/addfiles_hive_dv"
+    val src = s"$root/addfiles_hive_dv_src"
+    df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .write.partitionBy("name").parquet(src)
+    IcebergWrite.create(spark, dir, schema,
+      partitionCols = Seq("name"), fieldIds = false, formatVersion = 3)
+    IcebergWrite.addFiles(spark, dir, src)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 2L, 3L, 4L))
+    // a DV targets the IMPORTED file (outside <table>/data/) by its
+    // recorded source path, through the injected-column predicate
+    IcebergWrite.deleteWhere(spark, dir, col("name") === "a" && col("id") === 2L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L, 3L, 4L))
+    val d = dvRows(dir)
+    assert(d.length === 1 && d.head.getAs[Long]("record_count") === 1L)
+    // a second overlapping delete merges into the imported file's DV
+    IcebergWrite.deleteWhere(spark, dir, col("id") <= 2L)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(3L, 4L))
+    assert(dvRows(dir).map(_.getAs[Long]("record_count")).sum === 2L)
+  }
+
   test("addFiles HIVE layout: escaped string values and DATE partitions") {
     // a space (stays literal in the dir name but URL-encodes in
     // `_metadata.file_path` — exercises the path-key join) and a literal
