@@ -799,12 +799,17 @@ object Similarity {
    * Returns (qid, nid, adist) — approximate squared L2 in (micro·255)²
    * units — for the top `k` per query, ascending.
    */
-  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
-    require(k > 0)
-    val q = microVecs(emb, idCol, vecCol)
-    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
-    // train: per-dimension [min, max] in ONE aggregate (2·d longs)
+  /** The SQ8 column machinery: per-dimension corpus [min, max] bounds
+    * from ONE aggregate (the whole "training"), then two projections of
+    * a `qv` micro-vector column — `scaled` (the reconstructed candidate
+    * in (micro·255) units: `code·rng` where
+    * `code = ((x-mn)·255) div rng`, the pmod exact-integer idiom —
+    * operands non-negative so truncation == floor, the double division
+    * exact at ≤ ~5e8 « 2^53) and `qadj` (the exact query side,
+    * `(x-mn)·255`). Asymmetric distance = Σ (qadj - scaled)². */
+  private final case class Sq8Parts(scaled: Column, qadj: Column)
+
+  private def sq8Parts(q: DataFrame, d: Int): Sq8Parts = {
     val boundsRow = q.select((0 until d).flatMap(i => Seq(
       min(element_at(col("qv"), i + 1)).as(s"mn$i"),
       max(element_at(col("qv"), i + 1)).as(s"mx$i"))): _*).head
@@ -813,26 +818,71 @@ object Similarity {
       (0 until d).map(i => boundsRow.getLong(2 * i + 1) - boundsRow.getLong(2 * i))
     val mnLit = typedLit(mn)
     val rngLit = typedLit(rng)
-    // encode: ((x - mn) * 255) div rng, exact-integer truncating
-    // division via the pmod idiom (operands are non-negative, so
-    // truncation == floor; the double division is exact — numerator
-    // ≤ ~5e8 « 2^53)
     val codes = zip_with(
       zip_with(col("qv"), mnLit, (x, m) => (x - m) * lit(255L)),
       rngLit,
       (s, r) => when(r === 0L, lit(0L))
         .otherwise(((s - pmod(s, r)) / r).cast("long")))
-    val encoded = q.select(col("id"),
-      zip_with(codes, rngLit, (c, r) => c * r).as("scaled"))
+    Sq8Parts(
+      scaled = zip_with(codes, rngLit, (c, r) => c * r),
+      qadj = zip_with(col("qv"), mnLit, (x, m) => (x - m) * lit(255L)))
+  }
+
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0)
+    val q = microVecs(emb, idCol, vecCol)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val parts = sq8Parts(q, d)
+    val encoded = q.select(col("id"), parts.scaled.as("scaled"))
     val queries = q.filter(queryPred)
-      .select(col("id").as("qid"),
-        zip_with(col("qv"), mnLit, (x, m) => (x - m) * lit(255L)).as("qadj"))
+      .select(col("id").as("qid"), parts.qadj.as("qadj"))
     pqTopKSelect(
       broadcast(queries).join(encoded, col("qid") =!= col("id"))
         .select(col("qid"), col("id").as("nid"),
           aggregate(zip_with(col("qadj"), col("scaled"),
               (a, b) => (a - b) * (a - b)),
             lit(0L), (acc, x) => acc + x).as("adist")), k)
+  }
+
+  /**
+   * SQ8 ANN as a STREAM-SAFE enrichment — the serving-path twin of
+   * [[sq8TopK]], shaped like [[pqAnnEnrich]]: the corpus is quantized
+   * once and collapsed into ONE broadcast array of (id, scaled) rows;
+   * each incoming query row computes its exact side and folds the array
+   * to its top-k map-side — pure projections over a broadcast, so the
+   * SAME operator runs on a batch frame or an append-mode stream.
+   * Arithmetic is identical to sq8TopK (exact BIGINTs, self-matches
+   * excluded), so results are bit-equal. Scale note: one executor holds
+   * all scaled codes — 8·d bytes/vector; past RAM, shard the corpus
+   * into several broadcast arrays and merge the per-shard top-k.
+   */
+  def sq8AnnEnrich(queries: DataFrame, idCol: String, vecCol: String,
+                   corpus: DataFrame, corpusIdCol: String,
+                   corpusVecCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
+    val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
+    val parts = sq8Parts(cq, d)
+    val encodedArr = cq
+      .select(struct(col("id"), parts.scaled.as("scaled")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("corpus"))
+    val q = queries.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+    val withQ = q.select(col("id").as("qid"), parts.qadj.as("qadj"))
+      .crossJoin(broadcast(encodedArr))
+    val scored = transform(col("corpus"), c => struct(
+      aggregate(zip_with(col("qadj"), c.getField("scaled"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("adist"),
+      c.getField("id").as("nid")))
+    val kept = filter(scored, s => s.getField("nid") =!= col("qid"))
+    withQ
+      .withColumn("__top", slice(sort_array(kept), 1, k))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__rank", "s")))
+      .select(col("qid"), col("s").getField("nid").as("nid"),
+        col("s").getField("adist").as("adist"))
   }
 
   /** Two-stage SQ8 search: SQ8 shortlist, exact re-rank — the same

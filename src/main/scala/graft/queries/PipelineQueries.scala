@@ -1564,6 +1564,24 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** The broadcast-fold (serving-shape / stream-safe) SQ8 form against
+    * the SAME oracle as `embed_sq8_adc`: one broadcast scaled-codes
+    * array folded per query row instead of a join — a different
+    * physical plan that must produce bit-identical results (and runs
+    * unchanged on an append-mode stream, StreamingSpec-proved). */
+  val embedSq8Enrich = dfQ("embed_sq8_enrich", sq8Ctes +
+    """,
+      |ranked AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |  FROM adist)
+      |SELECT qid, nid, adist FROM ranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    val emb = s.table("embeddings")
+    Similarity.sq8AnnEnrich(emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", emb, "vec_id", "embedding", k = 10)
+      .orderBy("qid", "nid")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip,
@@ -1571,7 +1589,7 @@ object PipelineQueries {
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
-    embedSq8Adc, embedSq8Rerank,
+    embedSq8Adc, embedSq8Rerank, embedSq8Enrich,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
