@@ -1106,6 +1106,40 @@ object IcebergIO {
     readImpl(spark, tablePath, snapshotId, asOfTimestampMs, partitionFilter,
       statsTreeOf(statsFilter), ref)
 
+  /** v3 ROW LINEAGE read surface: the current (or pinned) snapshot with
+    * a `_row_id` metadata column — `first_row_id + position` per the
+    * spec's row-lineage assignment, stable across DELETEs and appends
+    * (a surviving row keeps its id for ever; that is what makes
+    * incremental downstream consumers able to track rows). Files
+    * without an assigned `first_row_id` (imported pre-upgrade data)
+    * read `_row_id` as NULL, per the spec's upgrade rule. Honest
+    * limitation, documented: this writer re-assigns fresh row ids when
+    * a row is physically REWRITTEN (compact/compactWhere/UPDATE) — full
+    * rewrite-stable lineage requires materializing `_row_id` into
+    * rewritten files, which this reader would then prefer; not built.
+    * The per-file first_row_id map rides ONE broadcast join keyed on
+    * the row's file identity — plan size constant in file count. */
+  def readWithRowId(spark: SparkSession, tablePath: String,
+                    snapshotId: Option[Long] = None): DataFrame = {
+    val meta = loadMetadata(tablePath)
+    require(meta.formatVersion >= 3,
+      "_row_id requires format v3 (row lineage); run upgradeFormatVersion first")
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val files = liveFiles(spark, snap)
+    val base = mergeRead(spark, meta, files, withIdentity = true)
+    val mapRows = files.filter(_.content == 0).map(f =>
+      Row(normalizePath(f.path), f.firstRowId.map(Long.box).orNull))
+    val mapDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava),
+      StructType(Seq(
+        StructField("__gf_rfile", StringType, nullable = false),
+        StructField("__gf_first", LongType, nullable = true))))
+    base.join(broadcast(mapDf), col("__gf_file") === col("__gf_rfile"), "left")
+      .withColumn("_row_id", col("__gf_first") + col("__gf_pos"))
+      .drop("__gf_file", "__gf_pos", "__gf_rfile", "__gf_first")
+  }
+
   private def readImpl(spark: SparkSession, tablePath: String,
                        snapshotId: Option[Long],
                        asOfTimestampMs: Option[Long],

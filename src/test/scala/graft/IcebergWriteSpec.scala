@@ -2224,6 +2224,39 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(dvRows(dir).length === 1)
   }
 
+  test("v3 row lineage: _row_id stable across deletes, NULL for pre-upgrade files") {
+    val dir = s"$root/dv_rowid_read"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    IcebergWrite.append(df((4L, "d", 4.0), (5L, "e", 5.0)).coalesce(1), dir)
+    def rowIds(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    val before = rowIds()
+    assert(before.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(before(4L) === 3L || before(4L) === 4L) // second file starts at 3
+    // a DV delete must not move any surviving row's id
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    val after = rowIds()
+    assert(after === before - 2L)
+    // v2 tables refuse; upgraded tables read NULL for pre-upgrade files
+    val dir2 = s"$root/dv_rowid_upg"
+    IcebergWrite.create(spark, dir2, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)).coalesce(1), dir2)
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.readWithRowId(spark, dir2))
+    assert(e.getMessage.contains("format v3"))
+    IcebergWrite.upgradeFormatVersion(spark, dir2)
+    val up = IcebergIO.readWithRowId(spark, dir2).collect()
+    assert(up.forall(_.isNullAt(up.head.fieldIndex("_row_id"))))
+    // post-upgrade appends get fresh explicit ids
+    IcebergWrite.append(df((2L, "b", 2.0)).coalesce(1), dir2)
+    val mixed = IcebergIO.readWithRowId(spark, dir2).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("_row_id"))) None
+         else Some(r.getAs[Long]("_row_id")))).toMap
+    assert(mixed === Map(1L -> None, 2L -> Some(0L)))
+  }
+
   test("v3 DV: corrupted blob fails loudly on read") {
     val dir = s"$root/dv_corrupt"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
