@@ -467,6 +467,38 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup_toks"))
   }
 
+  /**
+   * Quality-aware representative selection over near-dup groups: label
+   * the connected components of `pairs` ([[connectedComponents]]) and
+   * keep the BEST-scoring member per group (ties → lowest id) — the
+   * collapse step a curation pipeline actually wants instead of
+   * keep-lowest-id: among near-duplicates, keep the longest / highest-
+   * quality copy. `scores` is (id, score); higher wins. Returns one row
+   * per multi-member group: (comp, keep_id, n_members, best_score).
+   *
+   * Scale shape: CC is the O(diameter)-round label propagation; the
+   * ranking is one per-GROUP window (bounded partitions — a group is a
+   * near-dup cluster, not the corpus).
+   */
+  def keepBestPerGroup(pairs: DataFrame, aCol: String, bCol: String,
+                       scores: DataFrame, scoreIdCol: String,
+                       scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val sc = scores.select(col(scoreIdCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("score").desc, col("id"))
+    labels.join(sc, Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("comp")
+      .agg(max(when(col("rn") === 1, col("id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("score")).as("best_score"))
+      .select(col("comp"), col("keep_id"), col("n_members"),
+        col("best_score"))
+  }
+
   /** Strip duplicated spans: tokens covered by a [[duplicateSpans]]
     * island are dropped, the rest reassemble in order — (id,
     * text_stripped), every doc present ('' when fully duplicated). */

@@ -895,6 +895,35 @@ object Similarity {
       sq8TopK(emb, idCol, vecCol, queryPred, shortlist))
   }
 
+  /**
+   * Exact cosine RANGE search (FAISS `range_search` parity): every
+   * corpus row whose cosine with the query is ≥ `minCos` — the
+   * radius-based companion of [[cosineTopK]] (dedup wants "everything
+   * closer than t", not a fixed k). Brute-force baseline: queries
+   * broadcast, corpus streams through one map-side join — linear in
+   * corpus size; the bucketed scale path is [[bucketNearPairs]].
+   * Self-matches excluded. Returns (qid, nid, cos), cos as a
+   * deterministic double (the sequential-fold dot both engines
+   * reproduce).
+   */
+  def cosineRangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: org.apache.spark.sql.Column,
+                        minCos: Double): DataFrame = {
+    val all = prep(emb, idCol, vecCol)
+    val queries = all.filter(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("norm2").as("qnorm2"))
+    broadcast(queries).join(all, col("qid") =!= col("id"))
+      .filter(col("norm2") > 0 && col("qnorm2") > 0)
+      .select(col("qid"), col("id").as("nid"),
+        // EXACTLY cosineTopK's expression (sqrt(a)*sqrt(b), not
+        // sqrt(a*b)) so thresholding and the oracle replay agree
+        // bit-for-bit on the double
+        (dotExpr / (sqrt(col("qnorm2")) * sqrt(col("norm2")))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
     val hits = ann.select(col("qid"), col("nid"))
       .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))

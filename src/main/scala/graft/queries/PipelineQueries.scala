@@ -189,6 +189,70 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware representative selection
+    * ([[Dedup.keepBestPerGroup]]): same pair graph + components as
+    * `dedup_groups`, but each group keeps its LONGEST member (word
+    * count, ties → lowest id) — the curation collapse that keeps the
+    * best copy instead of the lowest-id one. Oracle extends the
+    * recursive-CTE component replay with the score argmax. */
+  val dedupKeepBest = dfQ("dedup_keep_best",
+    "WITH RECURSIVE " + minhashCtes + """,
+      |edges AS (
+      |  SELECT a_id AS u, b_id AS v FROM pairsj
+      |  UNION SELECT b_id AS u, a_id AS v FROM pairsj
+      |),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      |),
+      |comps AS (SELECT u AS id, LEAST(u, MIN(v)) AS comp
+      |          FROM reach GROUP BY u),
+      |wc AS (SELECT doc_id AS id,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS score
+      |       FROM documents),
+      |ranked AS (
+      |  SELECT c.comp, c.id, w.score,
+      |    ROW_NUMBER() OVER (PARTITION BY c.comp
+      |      ORDER BY w.score DESC, c.id) AS rn
+      |  FROM comps c JOIN wc w ON w.id = c.id)
+      |SELECT comp, MAX(CASE WHEN rn = 1 THEN id END) AS keep_id,
+      |  COUNT(*) AS n_members, MAX(score) AS best_score
+      |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin) { (s, _) =>
+    val docs = s.table("documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+    Dedup.keepBestPerGroup(pairs, "a_id", "b_id",
+        docs.select(col("doc_id"),
+          size(split(lower(col("text")), " ")).as("score")),
+        "doc_id", "score")
+      .orderBy("comp")
+  }
+
+  /** Exact cosine RANGE search ([[Similarity.cosineRangeSearch]], the
+    * FAISS range_search shape): every neighbor at cosine >= 0.3 of each
+    * query — radius- instead of k-bounded retrieval. */
+  val embedRangeSearch = dfQ("embed_range_search",
+    """WITH e AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT id, v,
+      |        list_sum(list_transform(v, x -> x * x)) AS norm2 FROM e),
+      |q AS (SELECT id AS qid, v AS qv, norm2 AS qnorm2 FROM n WHERE id < 8),
+      |scored AS (
+      |  SELECT q.qid, n.id AS nid,
+      |    list_sum(list_transform(list_zip(q.qv, n.v), p -> p[1] * p[2]))
+      |      / (SQRT(q.qnorm2) * SQRT(n.norm2)) AS cos
+      |  FROM q, n WHERE n.id <> q.qid
+      |)
+      |SELECT qid, nid, ROUND(cos, 4) AS cos FROM scored
+      |WHERE cos >= 0.3 ORDER BY qid, nid""".stripMargin,
+    bench = false) { (s, _) =>
+    Similarity.cosineRangeSearch(s.table("embeddings"), "vec_id",
+        "embedding", col("id") < 8, minCos = 0.3)
+      .orderBy("qid", "nid")
+  }
+
   private val simhashOracle: String = {
     val bits = (0 until 16).map { i =>
       s"(CASE WHEN SUM(CASE WHEN substr(md5(tok), ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -1583,13 +1647,13 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupSimhash,
+    dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
-    embedSq8Adc, embedSq8Rerank, embedSq8Enrich,
+    embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,

@@ -54,6 +54,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("keepBestPerGroup: per-component argmax by score, ties to lowest id") {
+    import spark.implicits._
+    // two components: path {1,2,3} and pair {7,9}; scores favor 2 in
+    // the first, tie between 7 and 9 in the second (lowest id wins)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 20L), (7L, 5L), (9L, 5L))
+      .toDF("id", "s")
+    val got = Dedup.keepBestPerGroup(pairs, "a", "b", scores, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 3L, 30L), (7L, 7L, 2L, 5L)))
+  }
+
   test("substring dedup: keep-first spans, island merge, strip — hand-checked") {
     val d = Seq(
       (1L, "a b c d e f"), // globally-first copy of every shared window
