@@ -2866,20 +2866,24 @@ object IcebergWrite {
     val rowIdBase =
       if (fv >= 3) Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
       else 0L
+    // a PRESET firstRowId (cherry-pick carrying branch-assigned ids) is
+    // respected — its rows' ids were consumed from the counter at the
+    // original commit, so neither assignment nor the advance applies
     val files0 =
       if (fv < 3) files
       else {
         var next = rowIdBase
         files.map { f =>
-          if (f.content == 0 && f.existingSeq.isEmpty) {
+          if (f.content == 0 && f.existingSeq.isEmpty && f.firstRowId.isEmpty) {
             val assigned = f.copy(firstRowId = Some(next))
             next += f.records
             assigned
           } else f
         }
       }
-    val addedDataRecords = files0
-      .filter(f => f.content == 0 && f.existingSeq.isEmpty).map(_.records).sum
+    val addedDataRecords = files
+      .filter(f => f.content == 0 && f.existingSeq.isEmpty && f.firstRowId.isEmpty)
+      .map(_.records).sum
     // v2 keeps data and delete files in SEPARATE manifests (a manifest's
     // content is all-data or all-deletes); one commit may carry both
     // kinds — upsert publishes a delete manifest + a data manifest in
@@ -3111,7 +3115,13 @@ object IcebergWrite {
             bounds = boundKeys.toSeq.sorted.map(k =>
               (k, f.lowerBounds(k), f.upperBounds(k))),
             nullCounts = f.nullCounts.toSeq.sortBy(_._1),
-            nanCounts = f.nanCounts.toSeq.sortBy(_._1))
+            nanCounts = f.nanCounts.toSeq.sortBy(_._1),
+            // v3 row lineage: the branch commit already assigned (and
+            // consumed from next-row-id) these files' row ids — the
+            // pick must CARRY them, not re-assign (firstRowId set here
+            // stops commitSnapshot's assignment: existingSeq is empty
+            // but writeManifest writes the explicit value)
+            firstRowId = f.firstRowId)
         }
         val (mPath, mLen) = writeManifest(metaDir, meta.formatVersion,
           meta.schema, pct, nfs, snapshotId, newSeq,

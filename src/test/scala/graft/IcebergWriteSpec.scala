@@ -2257,6 +2257,29 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(mixed === Map(1L -> None, 2L -> Some(0L)))
   }
 
+  test("v3 row lineage: cherry-pick carries branch-assigned ids, counter stays") {
+    val dir = s"$root/dv_rowid_pick"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).coalesce(1), dir)
+    val b1 = IcebergWrite.append(df((4L, "d", 4.0), (5L, "e", 5.0)).coalesce(1),
+      dir, branch = Some("audit"))
+    IcebergWrite.cherrypickSnapshot(spark, dir, b1)
+    val got = IcebergIO.readWithRowId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    // branch commit consumed ids 3-4 from the table-global counter; the
+    // pick replays them verbatim — no gap, no overlap
+    assert(got.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(mapper.readTree(GraftFs.readUtf8(meta.metadataFile))
+      .get("next-row-id").asLong() === 5L)
+    // a later main append continues from the shared counter
+    IcebergWrite.append(df((6L, "f", 6.0)).coalesce(1), dir)
+    val got2 = IcebergIO.readWithRowId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    assert(got2(6L) === 5L)
+  }
+
   test("v3 DV: corrupted blob fails loudly on read") {
     val dir = s"$root/dv_corrupt"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
