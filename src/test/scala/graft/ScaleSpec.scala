@@ -296,6 +296,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
   }
 
+  test("dedup_substring plan: one hash-keyed rank window, no cartesian") {
+    val p = planOf("dedup_substring")
+    // the corpus-wide stage is ONE row_number window keyed on the
+    // window hash; island merge and stats are doc-keyed — nothing may
+    // collapse to a single partition or cross-join
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+  }
+
+  test("dedup_substring_strip plan: coverage join is id-keyed, never nested-loop") {
+    val p = planOf("dedup_substring_strip")
+    // the token-coverage anti-join carries the doc id as an EQUI key
+    // (the range on pos is a residual) — a nested-loop/cartesian here
+    // would be tokens x islands
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("DDL type normalization maps reference types to Spark types") {
     import graft.ExternalTableDdl.normalizeTypes
     assert(normalizeTypes("(a VARCHAR, b VARCHAR(10), c TEXT)")
