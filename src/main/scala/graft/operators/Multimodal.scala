@@ -33,6 +33,15 @@ case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+/** Perceptual difference-hash of a decoded image, split into two 32-bit
+  * halves so neither engine touches the BIGINT sign bit. */
+case class ImageDHash(
+    media_id: Long,
+    width: Long,
+    height: Long,
+    dhash_hi: Long,
+    dhash_lo: Long)
+
 /** One decoded frame of a multi-frame (video-style) media item: temporal
   * index + dimensions + exact gray-channel pixel sum. */
 case class FrameFeatures(
@@ -188,6 +197,143 @@ object Multimodal {
           img.getRaster.getNumBands.toLong, sr, sg, sb)
       }
     }
+  }
+
+  /**
+   * Perceptual DIFFERENCE HASH (dHash) — the standard image near-dup
+   * fingerprint: downsample to a 9×8 brightness grid, emit one bit per
+   * horizontally adjacent cell pair (left brighter than right), 64 bits
+   * total. This implementation is EXACT-INTEGER end to end so an engine
+   * with no image codec can replay it: the "downsample" is block
+   * SUMMING (pixel x maps to grid column `x*9 div w`, y to row
+   * `y*8 div h`; gray = r+g+b, no division anywhere) and the
+   * brightness comparison cross-multiplies the block sums by the
+   * opposing block's pixel COUNT (`sumL·nR > sumR·nL` ⟺ meanL > meanR,
+   * exactly) — no resampling kernel, no float, no rounding to disagree
+   * about. Bit (row j, col i) lands at position j·8+i; bits 0-31 in
+   * `dhash_lo`, 32-63 in `dhash_hi` (two halves keep both engines off
+   * the BIGINT sign bit). Decode runs in `mapPartitions` like
+   * [[decodeImages]]; everything after is per-image arithmetic.
+   */
+  def imageDHash(media: Dataset[MediaRecord]): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        require(img != null, s"undecodable image payload for media_id=${rec.media_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        // narrower-than-grid images leave trailing cells EMPTY (count
+        // 0); the cross-multiplied comparison treats them consistently
+        // (0 > 0 is false) so the hash stays deterministic + replayable
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val j = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val i = x * 9 / w
+            val rgb = img.getRGB(x, y)
+            sums(j)(i) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            counts(j)(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var hi = 0L; var lo = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val bit = sums(j)(i) * counts(j)(i + 1) >
+              sums(j)(i + 1) * counts(j)(i)
+            if (bit) {
+              val pos = j * 8 + i
+              if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        ImageDHash(rec.media_id, w.toLong, h.toLong, hi, lo)
+      }
+    }
+  }
+
+  /**
+   * Image NEAR-duplicate pairs over [[imageDHash]] fingerprints via
+   * banded blocking (never all-pairs): each 64-bit hash splits into
+   * four 16-bit quarters; by pigeonhole, two hashes within Hamming
+   * distance ≤ 3 agree on at least one quarter — candidate pairs come
+   * ONLY from a self-join on (quarter index, quarter value), then exact
+   * Hamming (`bit_count(xor)`) filters. Same bucket-local shape as the
+   * MinHash LSH family; `maxHamming` > 3 would need more/wider bands
+   * (rejected loudly rather than silently losing recall). Returns
+   * (a_id, b_id, hamming), a_id < b_id.
+   */
+  def dhashNearPairs(hashes: Dataset[ImageDHash], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only to Hamming 3, got $maxHamming")
+    import org.apache.spark.sql.functions._
+    val df = hashes.toDF()
+    // quarters: lo bits 0-15 / 16-31, hi bits 0-15 / 16-31
+    val quarters = df.select(col("media_id"),
+      col("dhash_hi"), col("dhash_lo"),
+      explode(array(
+        struct(lit(0).as("q"), (col("dhash_lo") % 65536).as("qv")),
+        struct(lit(1).as("q"), (col("dhash_lo") / 65536).cast("long").as("qv")),
+        struct(lit(2).as("q"), (col("dhash_hi") % 65536).as("qv")),
+        struct(lit(3).as("q"), (col("dhash_hi") / 65536).cast("long").as("qv"))))
+        .as("b"))
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        col("b.q").as("q"), col("b.qv").as("qv"))
+    val a = quarters.select(col("media_id").as("a_id"),
+      col("dhash_hi").as("a_hi"), col("dhash_lo").as("a_lo"),
+      col("q"), col("qv"))
+    val b = quarters.select(col("media_id").as("b_id"),
+      col("dhash_hi").as("b_hi"), col("dhash_lo").as("b_lo"),
+      col("q"), col("qv"))
+    a.join(b, Seq("q", "qv")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Synthetic NEAR-DUP image media: ids below `half` are
+    * [[syntheticImage]] verbatim; ids in [half, 2·half) re-render id -
+    * half with ONE pixel's red channel bumped (+1 mod 256 at (0,0)) —
+    * a closed-form perturbation an oracle can replay, giving every
+    * high id exactly one near-duplicate partner. */
+  def nearDupImageMedia(docs: DataFrame, half: Long,
+                        format: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < 2 * half)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id < half) syntheticImage(id, format)
+          else syntheticPerturbedImage(id - half, format)
+        MediaRecord(id, "image", bytes, s"synthetic_$format", bytes.length.toLong)
+      })
+  }
+
+  /** [[syntheticImage]] with the (0,0) red channel bumped +1 mod 256. */
+  private def syntheticPerturbedImage(id: Long, format: String): Array[Byte] = {
+    val base = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(syntheticImage(id, format)))
+    val rgb = base.getRGB(0, 0)
+    val r2 = (((rgb >> 16) & 0xff) + 1) % 256
+    base.setRGB(0, 0, (r2 << 16) | (rgb & 0xffff))
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(base, format, out)
+    require(ok, s"no $format image writer available in this JDK")
+    out.toByteArray
   }
 
   // ---- real multi-frame path (animated GIF via javax.imageio) --------

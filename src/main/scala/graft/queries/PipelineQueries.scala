@@ -1193,6 +1193,112 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** The dHash pipeline replayed in SQL over a closed-form pixel grid:
+    * per-pixel gray (r+g+b of the synthetic formulas, with an optional
+    * perturbation CASE), block sums into the 9x8 grid
+    * (`i = x*9 // w`, `j = y*8 // h` — integer division both engines
+    * share), EMPTY trailing cells materialized via a full-grid left
+    * join (narrow images), the cross-multiplied brightness comparison,
+    * and the bit packing into two 32-bit halves. `graySql` must yield
+    * the per-pixel gray for (doc_id, x, y). */
+  private def dhashCtes(srcSql: String, graySql: String): String =
+    s"""WITH dims AS ($srcSql),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, sx.x, sy.y, ($graySql) AS gray
+      |  FROM dims d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) sy
+      |),
+      |cells AS (
+      |  SELECT doc_id, (y * 8) // h AS j, (x * 9) // w AS i,
+      |         CAST(SUM(gray) AS BIGINT) AS s, COUNT(*) AS n
+      |  FROM px GROUP BY doc_id, (y * 8) // h, (x * 9) // w
+      |),
+      |grid AS (
+      |  SELECT d.doc_id, jj.j, ii.i FROM dims d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) jj
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i) ii
+      |),
+      |g2 AS (
+      |  SELECT g.doc_id, g.j, g.i, COALESCE(c.s, 0) AS s, COALESCE(c.n, 0) AS n
+      |  FROM grid g LEFT JOIN cells c
+      |    ON c.doc_id = g.doc_id AND c.j = g.j AND c.i = g.i
+      |),
+      |bits AS (
+      |  SELECT l.doc_id, l.j, l.i,
+      |    CASE WHEN l.s * r.n > r.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM g2 l JOIN g2 r
+      |    ON r.doc_id = l.doc_id AND r.j = l.j AND r.i = l.i + 1
+      |  WHERE l.i < 8
+      |),
+      |hashes AS (
+      |  SELECT b.doc_id AS media_id,
+      |    CAST(SUM(CASE WHEN b.j * 8 + b.i >= 32
+      |      THEN b.bit * (CAST(1 AS BIGINT) << (b.j * 8 + b.i - 32))
+      |      ELSE 0 END) AS BIGINT) AS dhash_hi,
+      |    CAST(SUM(CASE WHEN b.j * 8 + b.i < 32
+      |      THEN b.bit * (CAST(1 AS BIGINT) << (b.j * 8 + b.i))
+      |      ELSE 0 END) AS BIGINT) AS dhash_lo
+      |  FROM bits b GROUP BY b.doc_id
+      |)""".stripMargin
+
+  private val plainGray =
+    "((d.doc_id*31 + sx.x*7 + sy.y*13) % 256) + " +
+    "((d.doc_id*17 + sx.x*11 + sy.y*5) % 256) + " +
+    "((d.doc_id*29 + sx.x*3 + sy.y*19) % 256)"
+
+  /** Perceptual dHash over the REAL PNG decode ([[Multimodal.imageDHash]]):
+    * the oracle has no codec — it replays the exact-integer pipeline
+    * over the closed-form pixel grid, so a match proves decode +
+    * block-sum + comparison + packing end to end. */
+  val mmImageDhash = dfQ("mm_image_dhash", dhashCtes(
+    """SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 64""".stripMargin, plainGray) +
+    """
+      |SELECT h.media_id, CAST(d.w AS BIGINT) AS width,
+      |  CAST(d.h AS BIGINT) AS height, h.dhash_hi, h.dhash_lo
+      |FROM hashes h JOIN dims d ON d.doc_id = h.media_id
+      |ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.imageDHash(Multimodal.pngMedia(s.table("documents"), maxId = 64))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Image NEAR-DUP detection: ids 16-31 re-render ids 0-15 with ONE
+    * pixel perturbed; banded dHash blocking + exact Hamming must find
+    * exactly the pairs an all-pairs Hamming scan finds (the oracle does
+    * the all-pairs form over replayed hashes — independently validating
+    * the 4x16-band blocking's recall guarantee at Hamming <= 2). */
+  val mmImageNearDup = dfQ("mm_image_neardup", dhashCtes(
+    """SELECT m.mid AS doc_id,
+      |    CASE WHEN m.mid < 16 THEN m.mid ELSE m.mid - 16 END AS bid,
+      |    8 + (CASE WHEN m.mid < 16 THEN m.mid ELSE m.mid - 16 END) % 16 AS w,
+      |    8 + (CASE WHEN m.mid < 16 THEN m.mid ELSE m.mid - 16 END) % 12 AS h
+      |  FROM (SELECT doc_id AS mid FROM documents WHERE doc_id < 32) m""".stripMargin,
+    // gray of the BASE id, with the (0,0) red channel bumped +1 mod 256
+    // on the perturbed half
+    "(CASE WHEN d.doc_id >= 16 AND sx.x = 0 AND sy.y = 0 " +
+      "THEN ((d.bid*31 + sx.x*7 + sy.y*13) % 256 + 1) % 256 " +
+      "ELSE (d.bid*31 + sx.x*7 + sy.y*13) % 256 END) + " +
+    "((d.bid*17 + sx.x*11 + sy.y*5) % 256) + " +
+    "((d.bid*29 + sx.x*3 + sy.y*19) % 256)") +
+    """,
+      |pairs AS (
+      |  SELECT a.media_id AS a_id, b.media_id AS b_id,
+      |    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi)) +
+      |         bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT) AS hamming
+      |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |)
+      |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 2
+      |ORDER BY a_id, b_id""".stripMargin,
+    bench = false) { (s, _) =>
+    Multimodal.dhashNearPairs(
+        Multimodal.imageDHash(Multimodal.nearDupImageMedia(
+          s.table("documents"), half = 16, format = "png")),
+        maxHamming = 2)
+      .orderBy("a_id", "b_id")
+  }
+
   /** BMP twin of `mm_decode_png`, reusing [[Multimodal.decodeImages]]
     * UNCHANGED — proves the decode path is codec-generic (`ImageIO.read`
     * sniffs the container), not PNG-special-cased. BMP is lossless, so
@@ -1657,5 +1763,6 @@ object PipelineQueries {
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
+    mmImageDhash, mmImageNearDup,
     aggTopkSketch)
 }

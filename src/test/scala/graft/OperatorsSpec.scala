@@ -426,6 +426,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"recall must not drop as nprobe grows: nprobe=4 $tc4 < nprobe=2 $tc2")
   }
 
+  test("imageDHash: identical images hash equal, one-pixel edits stay near") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = (0L until 8L).map(i => Tuple1(i)).toDF("doc_id")
+    val media = Multimodal.nearDupImageMedia(docs, half = 4, format = "png")
+    val hashes = Multimodal.imageDHash(media)
+    val rows = hashes.collect().map(h => h.media_id -> (h.dhash_hi, h.dhash_lo)).toMap
+    assert(rows.size === 8)
+    // a one-pixel red bump moves at most the two bits touching the
+    // perturbed cell
+    (0L until 4L).foreach { k =>
+      val (ah, al) = rows(k); val (bh, bl) = rows(k + 4)
+      val ham = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+      assert(ham <= 2, s"pair ($k, ${k + 4}) hamming $ham")
+    }
+    // banded pairs find every partner at the guaranteed radius
+    val pairs = Multimodal.dhashNearPairs(hashes, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 4L).foreach(k => assert(pairs.contains((k, k + 4))))
+    // beyond the pigeonhole guarantee the API refuses
+    val e = intercept[IllegalArgumentException](
+      Multimodal.dhashNearPairs(hashes, maxHamming = 4))
+    assert(e.getMessage.contains("Hamming 3"))
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
