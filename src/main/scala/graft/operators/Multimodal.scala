@@ -42,6 +42,14 @@ case class ImageDHash(
     dhash_hi: Long,
     dhash_lo: Long)
 
+/** Perceptual energy-contour fingerprint of a decoded audio clip, split
+  * into two 32-bit halves like [[ImageDHash]]. */
+case class AudioFingerprint(
+    media_id: Long,
+    n_samples: Long,
+    fp_hi: Long,
+    fp_lo: Long)
+
 /** One decoded frame of a multi-frame (video-style) media item: temporal
   * index + dimensions + exact gray-channel pixel sum. */
 case class FrameFeatures(
@@ -273,11 +281,24 @@ object Multimodal {
    * (rejected loudly rather than silently losing recall). Returns
    * (a_id, b_id, hamming), a_id < b_id.
    */
-  def dhashNearPairs(hashes: Dataset[ImageDHash], maxHamming: Int): DataFrame = {
+  def dhashNearPairs(hashes: Dataset[ImageDHash], maxHamming: Int): DataFrame =
+    hashPairs64(hashes.toDF(), "media_id", "dhash_hi", "dhash_lo", maxHamming)
+
+  /** [[dhashNearPairs]] for audio fingerprints — same banding, same
+    * guarantee. */
+  def audioNearPairs(fps: Dataset[AudioFingerprint],
+                     maxHamming: Int): DataFrame =
+    hashPairs64(fps.toDF(), "media_id", "fp_hi", "fp_lo", maxHamming)
+
+  /** The generic banded 64-bit-fingerprint pair generator both
+    * modalities share (hash in two 32-bit halves). */
+  private def hashPairs64(df0: DataFrame, idCol: String, hiCol: String,
+                          loCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding guarantees recall only to Hamming 3, got $maxHamming")
     import org.apache.spark.sql.functions._
-    val df = hashes.toDF()
+    val df = df0.select(col(idCol).as("media_id"),
+      col(hiCol).as("dhash_hi"), col(loCol).as("dhash_lo"))
     // quarters: lo bits 0-15 / 16-31, hi bits 0-15 / 16-31
     val quarters = df.select(col("media_id"),
       col("dhash_hi"), col("dhash_lo"),
@@ -526,6 +547,131 @@ object Multimodal {
           if (n == 0) 0L else mn, if (n == 0) 0L else mx)
       }
     }
+  }
+
+  /**
+   * Perceptual AUDIO fingerprint — the energy-contour analog of
+   * [[imageDHash]] (the Shazam-family shape reduced to its replayable
+   * core): the clip's samples split into 65 time windows
+   * (`sample i → window i*65 div n`), per-window ENERGY (Σ s², exact
+   * BIGINT), and one bit per adjacent window pair (left louder than
+   * right) via the cross-multiplied comparison — 64 bits, exact-integer
+   * end to end over the REAL WAV decode, packed into two 32-bit halves.
+   * A one-sample edit can move at most the two bits touching its
+   * window, so near-duplicate clips land within Hamming 2 and
+   * [[audioNearPairs]]' banding finds them without all-pairs. Mono
+   * PCM_SIGNED 8/16-bit (the [[decodeAudio]] envelope).
+   */
+  def audioFingerprint(media: Dataset[MediaRecord]): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.content))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"undecodable audio payload for media_id=${rec.media_id}", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media_id=${rec.media_id}: only PCM_SIGNED is decodable " +
+            s"without external codecs, got ${fmt.getEncoding}")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"media_id=${rec.media_id}: unsupported sample width $bits")
+        require(fmt.getChannels == 1,
+          s"media_id=${rec.media_id}: fingerprint expects mono, got " +
+            s"${fmt.getChannels} channels")
+        val bytes = ais.readAllBytes()
+        val bytesPerSample = bits / 8
+        val n = bytes.length / bytesPerSample
+        val energy = new Array[Long](65)
+        val counts = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val s: Int =
+            if (bits == 8) bytes(i).toInt
+            else if (fmt.isBigEndian)
+              (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else
+              (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          val w = (i.toLong * 65 / n).toInt
+          energy(w) += s.toLong * s
+          counts(w) += 1
+          i += 1
+        }
+        var hi = 0L; var lo = 0L
+        var w = 0
+        while (w < 64) {
+          if (energy(w) * counts(w + 1) > energy(w + 1) * counts(w)) {
+            if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        AudioFingerprint(rec.media_id, n.toLong, hi, lo)
+      }
+    }
+  }
+
+  /** Deterministic synthetic CHIRP: 16-bit mono PCM whose sample i is
+    * the closed form `(id·31 + i²·911 + i·17) mod 65536 - 32768` — the
+    * quadratic term scrambles the per-window energy contour per id
+    * (unlike [[syntheticWav]]'s linear sweep, whose contour is the same
+    * descending ramp for every id — useless as a FINGERPRINT fixture:
+    * everything looks like a near-dup). `flipFirst` XORs sample 0's
+    * lowest bit (always a valid PCM value, replayable). */
+  def syntheticChirpWav(id: Long, flipFirst: Boolean = false): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val base = ((id * 31 + i.toLong * i * 911 + i * 17) % 65536 - 32768).toInt
+      val s = if (i == 0 && flipFirst) base ^ 1 else base
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+    out.toByteArray
+  }
+
+  /** Synthetic chirp media (the fingerprint fixture). */
+  def chirpWavMedia(docs: DataFrame, maxId: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < maxId)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = syntheticChirpWav(id)
+        MediaRecord(id, "audio", bytes, "synthetic_wav", bytes.length.toLong)
+      })
+  }
+
+  /** Synthetic NEAR-DUP audio media: ids below `half` are
+    * [[syntheticChirpWav]] verbatim; ids in [half, 2·half) re-render
+    * id - half with sample 0's lowest bit flipped. */
+  def nearDupWavMedia(docs: DataFrame, half: Long): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < 2 * half)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id < half) syntheticChirpWav(id)
+          else syntheticChirpWav(id - half, flipFirst = true)
+        MediaRecord(id, "audio", bytes, "synthetic_wav", bytes.length.toLong)
+      })
   }
 
   /** STUB decode: deterministic features from raw bytes. A real pipeline

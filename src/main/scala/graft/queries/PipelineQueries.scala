@@ -1299,6 +1299,95 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** The audio-fingerprint pipeline replayed in SQL: closed-form PCM
+    * samples, per-window energy sums (`w = i*65 // n`, empty trailing
+    * windows materialized), cross-multiplied loudness comparison, bit
+    * packing — [[dhashCtes]]' audio sibling. `sampleSql` yields sample
+    * i of (doc_id, n). */
+  private def audioFpCtes(srcSql: String, sampleSql: String): String =
+    s"""WITH dims AS ($srcSql),
+      |sm AS (
+      |  SELECT d.doc_id, d.n, si.i, ($sampleSql) AS s
+      |  FROM dims d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) si
+      |),
+      |wins AS (
+      |  SELECT doc_id, (i * 65) // n AS w,
+      |         CAST(SUM(s * s) AS BIGINT) AS e, COUNT(*) AS c
+      |  FROM sm GROUP BY doc_id, (i * 65) // n
+      |),
+      |grid AS (
+      |  SELECT d.doc_id, ww.w FROM dims d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) ww
+      |),
+      |g2 AS (
+      |  SELECT g.doc_id, g.w, COALESCE(wi.e, 0) AS e, COALESCE(wi.c, 0) AS c
+      |  FROM grid g LEFT JOIN wins wi
+      |    ON wi.doc_id = g.doc_id AND wi.w = g.w
+      |),
+      |bits AS (
+      |  SELECT l.doc_id, l.w,
+      |    CASE WHEN l.e * r.c > r.e * l.c THEN 1 ELSE 0 END AS bit
+      |  FROM g2 l JOIN g2 r ON r.doc_id = l.doc_id AND r.w = l.w + 1
+      |  WHERE l.w < 64
+      |),
+      |hashes AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(SUM(CASE WHEN w >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END) AS BIGINT)
+      |      AS fp_hi,
+      |    CAST(SUM(CASE WHEN w < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT)
+      |      AS fp_lo
+      |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Energy-contour audio fingerprint over the REAL WAV decode
+    * ([[Multimodal.audioFingerprint]]) — the oracle replays the exact
+    * pipeline from the closed-form PCM samples, no audio codec. */
+  val mmAudioFp = dfQ("mm_audio_fp", audioFpCtes(
+    """SELECT doc_id, 64 + doc_id % 64 AS n
+      |  FROM documents WHERE doc_id < 64""".stripMargin,
+    "(d.doc_id*31 + si.i*si.i*911 + si.i*17) % 65536 - 32768") +
+    """
+      |SELECT h.media_id, CAST(d.n AS BIGINT) AS n_samples, h.fp_hi, h.fp_lo
+      |FROM hashes h JOIN dims d ON d.doc_id = h.media_id
+      |ORDER BY media_id""".stripMargin) { (s, _) =>
+    Multimodal.audioFingerprint(
+        Multimodal.chirpWavMedia(s.table("documents"), maxId = 64))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Audio NEAR-DUP detection: ids 16-31 re-render ids 0-15 with sample
+    * 0's lowest bit flipped; banded fingerprint blocking + exact
+    * Hamming vs the oracle's ALL-PAIRS scan (blocking recall proof,
+    * like `mm_image_neardup`). */
+  val mmAudioNearDup = dfQ("mm_audio_neardup", audioFpCtes(
+    """SELECT m.mid AS doc_id,
+      |    CASE WHEN m.mid < 16 THEN m.mid ELSE m.mid - 16 END AS bid,
+      |    64 + (CASE WHEN m.mid < 16 THEN m.mid ELSE m.mid - 16 END) % 64 AS n
+      |  FROM (SELECT doc_id AS mid FROM documents WHERE doc_id < 32) m""".stripMargin,
+    "CASE WHEN d.doc_id >= 16 AND si.i = 0 " +
+      "THEN xor((d.bid*31 + si.i*si.i*911 + si.i*17) % 65536 - 32768, 1) " +
+      "ELSE (d.bid*31 + si.i*si.i*911 + si.i*17) % 65536 - 32768 END") +
+    """,
+      |pairs AS (
+      |  SELECT a.media_id AS a_id, b.media_id AS b_id,
+      |    CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+      |         bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+      |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |)
+      |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 2
+      |ORDER BY a_id, b_id""".stripMargin,
+    bench = false) { (s, _) =>
+    Multimodal.audioNearPairs(
+        Multimodal.audioFingerprint(Multimodal.nearDupWavMedia(
+          s.table("documents"), half = 16)),
+        maxHamming = 2)
+      .orderBy("a_id", "b_id")
+  }
+
   /** BMP twin of `mm_decode_png`, reusing [[Multimodal.decodeImages]]
     * UNCHANGED — proves the decode path is codec-generic (`ImageIO.read`
     * sniffs the container), not PNG-special-cased. BMP is lossless, so
@@ -1763,6 +1852,6 @@ object PipelineQueries {
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
-    mmImageDhash, mmImageNearDup,
+    mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup,
     aggTopkSketch)
 }

@@ -451,6 +451,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Hamming 3"))
   }
 
+  test("audioFingerprint: discriminates clips, one-sample edits stay near") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val docs = (0L until 8L).map(i => Tuple1(i)).toDF("doc_id")
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.nearDupWavMedia(docs, half = 4))
+    val rows = fps.collect().map(f => f.media_id -> (f.fp_hi, f.fp_lo)).toMap
+    assert(rows.size === 8)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // partner pairs are near; DISTINCT base clips are far (the chirp
+    // fixture scrambles energy contours per id — a fingerprint that
+    // thinks everything is a duplicate is useless)
+    (0L until 4L).foreach(k => assert(ham(rows(k), rows(k + 4)) <= 2))
+    val distinctPairs = for (a <- 0L until 4L; b <- (a + 1) until 4L)
+      yield ham(rows(a), rows(b))
+    assert(distinctPairs.count(_ > 10) >= 4,
+      s"fingerprints barely discriminate: $distinctPairs")
+    val pairs = Multimodal.audioNearPairs(fps, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 4L).foreach(k => assert(pairs.contains((k, k + 4))))
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     import graft.operators.Multimodal
     val docsDf = Seq((1L, "abcdefghij", "en", "s1")).toDF("doc_id", "text", "lang", "source")
