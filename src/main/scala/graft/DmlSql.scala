@@ -61,11 +61,15 @@ object DmlSql {
                          targetAlias: String, sourceAlias: String,
                          clauses: Seq[MergeWhen]) extends Stmt
 
-  /** `ALTER TABLE t ADD COLUMN name TYPE` — metadata-only schema
-    * evolution on a registered Iceberg table (claimed, like INSERT,
-    * only for registered names; catalog tables keep Spark's ALTER). */
+  /** `ALTER TABLE t ADD COLUMN name TYPE [DEFAULT lit]` — metadata-only
+    * schema evolution on a registered Iceberg table (claimed, like
+    * INSERT, only for registered names; catalog tables keep Spark's
+    * ALTER). `default` is the optional literal text after `DEFAULT`,
+    * passed through verbatim (v3 column defaults — pre-existing rows
+    * read it, omitting writers fill it). */
   final case class AlterAddColumn(table: String, colName: String,
-                                  colType: String) extends Stmt
+                                  colType: String,
+                                  default: Option[String]) extends Stmt
   /** `ALTER TABLE t RENAME COLUMN a TO b` (needs field-id resolution). */
   final case class AlterRenameColumn(table: String, from: String,
                                      to: String) extends Stmt
@@ -87,8 +91,10 @@ object DmlSql {
     """(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*$""".r
+  // the reluctant type group makes the FIRST top-level `DEFAULT` the
+  // split point — a DEFAULT inside the literal text stays in the literal
   private val AddColRe =
-    """(?is)^ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$""".r
+    """(?is)^ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$""".r
   private val RenameColRe =
     """(?is)^RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
   private val DropColRe =
@@ -112,7 +118,9 @@ object DmlSql {
     case InsertOverwriteRe(t, query) => Some(InsertOverwrite(t, query.trim))
     case TruncateRe(t) => Some(Truncate(t))
     case AlterRe(t, action) => action.trim match {
-      case AddColRe(name, tpe) => Some(AlterAddColumn(t, name, tpe.trim))
+      case AddColRe(name, tpe, dflt) =>
+        Some(AlterAddColumn(t, name, tpe.trim,
+          Option(dflt).map(_.trim).filter(_.nonEmpty)))
       case RenameColRe(from, to) => Some(AlterRenameColumn(t, from, to))
       case DropColRe(name) => Some(AlterDropColumn(t, name))
       case WidenColRe(name, tpe) => Some(AlterWidenColumn(t, name, tpe.trim))

@@ -336,7 +336,7 @@ final class GraftSession private (val spark: SparkSession) {
           "entries", "partitions", "manifests",
           "snapshots", "refs", "all_files", "all_data_files",
           "all_delete_files", "all_entries", "all_manifests",
-          "metadata_log_entries", "position_deletes")
+          "metadata_log_entries", "position_deletes", "partition_stats")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)
@@ -391,7 +391,7 @@ final class GraftSession private (val spark: SparkSession) {
       case Some(DmlSql.Insert(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.InsertOverwrite(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.Truncate(t)) if icebergPathOpt(t).isEmpty =>
-      case Some(DmlSql.AlterAddColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AlterAddColumn(t, _, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterRenameColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterWidenColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
@@ -463,9 +463,23 @@ final class GraftSession private (val spark: SparkSession) {
           // schema evolution is metadata-only, but the LIVE view's
           // attribute set was captured at registration — re-register so
           // the next query sees the evolved schema
-          case DmlSql.AlterAddColumn(t, name, tpe) =>
-            graft.sources.IcebergWrite.addColumn(icebergPathOf(t), name,
-              org.apache.spark.sql.types.DataType.fromDDL(tpe))
+          case DmlSql.AlterAddColumn(t, name, tpe, dflt) =>
+            val dt = org.apache.spark.sql.types.DataType.fromDDL(tpe)
+            dflt match {
+              case None =>
+                graft.sources.IcebergWrite.addColumn(icebergPathOf(t), name, dt)
+              case Some(litText) =>
+                // evaluate the literal ONCE at ALTER time (DDL
+                // semantics) to the external value the writer's
+                // single-value serializer expects
+                val v = spark.range(1)
+                  .select(expr(litText).cast(dt)).head.get(0)
+                require(v != null,
+                  s"DEFAULT literal '$litText' evaluated to NULL for $tpe " +
+                    "— omit DEFAULT for a null-filled column")
+                graft.sources.IcebergWrite.addColumnWithDefault(
+                  icebergPathOf(t), name, dt, v)
+            }
             registerIceberg(t, icebergPathOf(t))
           case DmlSql.AlterRenameColumn(t, from, to) =>
             graft.sources.IcebergWrite.renameColumn(icebergPathOf(t), from, to)
@@ -726,6 +740,11 @@ final class GraftSession private (val spark: SparkSession) {
           case None => IcebergWrite.removeOrphanFiles(path)
         }
         removed.toDF("orphan_file_location")
+      case "compute_partition_stats" =>
+        arity(1, 1)
+        val statsPath = IcebergWrite.computePartitionStats(
+          spark, icebergPathOf(str(0)))
+        Seq(statsPath).toDF("statistics_path")
       case "rollback_to_snapshot" | "set_current_snapshot" =>
         arity(2, 2)
         IcebergWrite.setCurrentSnapshot(icebergPathOf(str(0)), num(1))
@@ -773,7 +792,7 @@ final class GraftSession private (val spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
           "compact, rewrite_manifests, rewrite_position_deletes, convert_equality_deletes, add_files, " +
-          "expire_snapshots, remove_orphan_files, " +
+          "expire_snapshots, remove_orphan_files, compute_partition_stats, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
           "create_branch, drop_ref, fast_forward, cherrypick_snapshot, " +
           "upgrade_format_version, create_changelog_view)")

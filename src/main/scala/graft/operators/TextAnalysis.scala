@@ -445,4 +445,184 @@ object TextAnalysis {
     // calls (the common case) keep the original one-pass plan.
     out
   }
+
+  /** TF-IDF keyword extraction: the top-k most characteristic tokens per
+    * document — the classic content-tagging / topic-surfacing op of a
+    * curation pipeline. `score = tf × idf` with the smoothed
+    * `idf = ln((N+1)/(df+1))` quantized to integer micro-nats, so the
+    * per-doc ranking (score desc, token asc) is exact and deterministic
+    * cross-engine — `tf` (BIGINT) times `idf_micro` (BIGINT) never
+    * touches float arithmetic.
+    *
+    * Scale shape: one token-grain shuffle builds per-(doc, token) term
+    * frequencies; document frequencies fall out of THAT frame with one
+    * token-grain aggregate (tf rows are already distinct per doc — no
+    * second corpus pass); the corpus size joins as a broadcast 1-row
+    * aggregate; the final top-k is a per-doc window over the doc's own
+    * distinct tokens. No driver-side state at any corpus size. */
+  def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("tok"),
+        (col("tf") * round(log((col("n_docs") + lit(1L)).cast("double") /
+            (col("df") + lit(1L)).cast("double")) * 1e6).cast("long"))
+          .as("score_micro"))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(byDoc).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("id", "tok", "rnk", "score_micro")
+  }
+
+  /** A trained multinomial Naive Bayes text classifier — the deployable
+    * artifact of [[nbTrain]]: `vocab` (tok) the top-V vocabulary,
+    * `clsTok` (label, tok, ctk) per-class token counts over vocab
+    * tokens, `clsTot` (label, ctot) per-class TOTAL token counts (OOV
+    * included — the multinomial denominator), `prior` (label,
+    * prior_micro) the log-prior in integer micro-nats, `vSize` the
+    * vocabulary size. All tables are bounded by V (vocabulary) × L
+    * (labels) — broadcastable at any corpus scale. Consumed by
+    * [[nbPredict]] and the streaming twin
+    * [[graft.streaming.StreamingOps.nbPredictStream]]. */
+  final case class NbModel(vocab: DataFrame, clsTok: DataFrame,
+                           clsTot: DataFrame, prior: DataFrame, vSize: Long)
+
+  /** Train a multinomial Naive Bayes classifier over labeled documents
+    * (the model-based quality/domain filter of a curation pipeline —
+    * CCNet/fastText shape, reduced to pure count aggregates so training
+    * is exact, distributed, and SQL-replayable). One token-grain shuffle
+    * builds the vocabulary and the per-class counts; priors come from
+    * per-class DOCUMENT counts. Laplace (add-one) smoothing throughout:
+    * P(tok|c) = (ctk+1)/(ctot+V+1), with every token outside the top-V
+    * vocabulary falling to the OOV mass 1/(ctot+V+1). Probabilities are
+    * quantized to integer MICRO-NATS (the [[unigramLogProb]] envelope:
+    * exact counts, one `ln` per distinct (token, label), BIGINT sums —
+    * order-independent under any partitioning). */
+  def nbTrain(docs: DataFrame, idCol: String, textCol: String,
+              labelCol: String, vocabSize: Int = 1000): NbModel = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select("tok")
+    val clsTok = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("label", "tok").agg(count(lit(1)).as("ctk"))
+    val clsTot = toks.groupBy("label").agg(count(lit(1)).as("ctot"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val prior = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cdocs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"),
+        round(log(col("cdocs").cast("double") / col("n_docs").cast("double"))
+          * 1e6).cast("long").as("prior_micro"))
+    NbModel(vocab, clsTok, clsTot, prior, vocab.count())
+  }
+
+  /** Score documents against every class of a trained [[NbModel]] and
+    * keep the argmax: predicted label + its total score in micro-nats.
+    * Ties break to the lexicographically smallest label (exact in
+    * integer space, so deterministic cross-engine).
+    *
+    * Scale shape: the only fan-out is tokens × L (labels — single
+    * digits in practice) through BROADCAST joins, immediately collapsed
+    * by a map-side-combined (id, label) aggregate; the final argmax is
+    * a per-doc window over L rows. No corpus-sized model join, no
+    * driver loop — every model table is V×L-bounded and broadcast.
+    * Docs whose text produces no tokens are absent from the output
+    * (`split` never returns an empty array, so only null text drops). */
+  def nbPredict(model: NbModel, docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val labels = model.clsTot.select(col("label"), col("ctot"))
+    val scored = toks
+      .crossJoin(broadcast(labels))
+      .join(broadcast(model.clsTok), Seq("label", "tok"), "left")
+      .select(col("id"), col("label"),
+        round(log((coalesce(col("ctk"), lit(0L)) + lit(1L)).cast("double") /
+            (col("ctot") + lit(model.vSize + 1L)).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+      .groupBy("id", "label").agg(sum("lp_micro").as("tok_lp"))
+      .join(broadcast(model.prior), Seq("label"))
+      .select(col("id"), col("label"),
+        (col("tok_lp") + col("prior_micro")).as("score_micro"))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("label"))
+    scored.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score_micro"))
+  }
+
+  /** Train-and-self-classify in one plan (the oracle-able composition;
+    * serving splits into [[nbTrain]] + [[nbPredict]]). */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, vocabSize: Int = 1000): DataFrame =
+    nbPredict(nbTrain(docs, idCol, textCol, labelCol, vocabSize),
+      docs, idCol, textCol)
+
+  /** The broadcast-fold serving form of [[nbPredict]] — the model
+    * collapsed to LITERALS (token → per-label log-prob array, one OOV
+    * array, one prior array) and the whole classification computed as a
+    * PURE PER-ROW PROJECTION: one SQL `aggregate` fold over the token
+    * array summing L-length vectors, then an argmax. No join, no
+    * aggregation, no window — so the SAME operator runs on an
+    * append-mode stream ([[graft.streaming.StreamingOps.nbPredictStream]])
+    * and is bit-equal to the batch argmax (`array_position` of the max
+    * returns the FIRST hit, and `labels` is sorted ascending — the same
+    * score-desc/label-asc tie-break).
+    *
+    * Driver-side model materialization is V×L longs (~1000 tokens × a
+    * handful of labels = KBs); the per-token log-probs replicate the
+    * distributed scorer's arithmetic exactly — same JVM `Math.log`,
+    * same HALF_UP rounding as Spark's `round`. Boundary: at V×L beyond
+    * broadcast comfort (~100 MB), shard the vocabulary and sum the
+    * per-shard folds — same shape as the PQ broadcast boundary. */
+  def nbPredictFold(model: NbModel, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    // Spark's `round` routes doubles through Scala BigDecimal (the
+    // toString-based constructor) with HALF_UP — replicate exactly
+    def micro(num: Long, den: Long): Long =
+      BigDecimal(Math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    val labels: Seq[String] = model.prior.select("label")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val li = labels.zipWithIndex.toMap
+    val ctot: Map[String, Long] = model.clsTot.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priorMicro: Map[String, Long] = model.prior.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val den = labels.map(l => ctot(l) + model.vSize + 1L)
+    val oovArr: Seq[Long] = den.map(d => micro(1L, d))
+    val priorArr: Seq[Long] = labels.map(priorMicro)
+    val tokMap: Map[String, Seq[Long]] = model.clsTok.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+      .map { case (tok, rows) =>
+        val byLabel = rows.map(t => t._1 -> t._3).toMap
+        tok -> labels.indices.map(i =>
+          micro(byLabel.getOrElse(labels(i), 0L) + 1L, den(i))).toSeq
+      }
+    val lut = typedLit(tokMap)
+    val oov = typedLit(oovArr)
+    val scores = aggregate(
+      tokens(col(textCol)), typedLit(priorArr),
+      (acc, tok) => zip_with(acc,
+        coalesce(element_at(lut, tok), oov), (a, b) => a + b))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), scores.as("scores"))
+      .select(col("id"),
+        element_at(typedLit(labels),
+          array_position(col("scores"), array_max(col("scores"))).cast("int"))
+          .as("pred"),
+        array_max(col("scores")).as("score_micro"))
+  }
 }

@@ -1032,6 +1032,79 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("n_nationkey")
   }
 
+  /** v3 COLUMN DEFAULT VALUES ([[graft.sources.IcebergWrite]]
+    * `addColumnWithDefault`, spec "Default values"): a metadata-only add
+    * where rows written BEFORE the column existed read `initial-default`
+    * (served as a per-file constant for files whose sequence number
+    * predates the add — no footer probing, no rewrite) and appends that
+    * OMIT the column are filled with `write-default` by the writer. The
+    * fixture exercises all three populations: pre-add files (initial 7),
+    * an explicit post-add append (own values), and an omitting post-add
+    * append (write-default 9). The oracle replays the three-way split. */
+  val icebergDefaultValues = dfQ("iceberg_default_values",
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  CASE WHEN n_nationkey < 10 THEN 7
+      |       WHEN n_nationkey < 20 THEN n_nationkey
+      |       ELSE 9 END AS bonus
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.IntegerType
+    val dir = s"/tmp/graft_iceberg_default_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema, formatVersion = 3)
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey < 10"), dir)
+    graft.sources.IcebergWrite.addColumnWithDefault(dir, "bonus", IntegerType,
+      default = 7, writeDefault = Some(9))
+    graft.sources.IcebergWrite.append(
+      nation.filter("n_nationkey >= 10 AND n_nationkey < 20")
+        .withColumn("bonus", col("n_nationkey").cast("int")), dir)
+    // omits `bonus` entirely -> the writer fills write-default
+    graft.sources.IcebergWrite.append(nation.filter("n_nationkey >= 20"), dir)
+    IcebergIO.read(s, dir).orderBy("n_nationkey")
+  }
+
+  /** PARTITION STATISTICS file (spec "Partition statistics",
+    * [[graft.sources.IcebergWrite]] `computePartitionStats` / CALL
+    * `compute_partition_stats`): one registered parquet row per
+    * (partition tuple, spec) with data/delete record+file counts, served
+    * by the `.partition_stats` relation WITHOUT a manifest walk. The
+    * fixture partitions nation by n_regionkey (one file per region by
+    * construction) and deletes two rows merge-on-read, so the stats
+    * carry both the per-region data grain and the unscoped
+    * position-delete row (declared-but-null tuple, printed
+    * `n_regionkey=null` like the other relations); the oracle recomputes
+    * every count from nation itself. */
+  val icebergPartitionStats = dfQ("iceberg_partition_stats",
+    """SELECT 'n_regionkey=' || CAST(n_regionkey AS VARCHAR) AS partition,
+      |  CAST(COUNT(*) AS BIGINT) AS data_record_count,
+      |  1 AS data_file_count,
+      |  CAST(0 AS BIGINT) AS position_delete_record_count,
+      |  0 AS position_delete_file_count
+      |FROM nation GROUP BY n_regionkey
+      |UNION ALL
+      |SELECT 'n_regionkey=null' AS partition,
+      |  CAST(0 AS BIGINT), 0, CAST(2 AS BIGINT), 1
+      |ORDER BY partition""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_pstats_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema,
+      partitionCols = Seq("n_regionkey"))
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") < 2)
+    graft.sources.IcebergWrite.computePartitionStats(s, dir)
+    IcebergIO.partitionStats(s, dir)
+      .select(col("partition"), col("data_record_count"),
+        col("data_file_count"), col("position_delete_record_count"),
+        col("position_delete_file_count"))
+      .orderBy("partition")
+  }
+
   /** Table SORT ORDER ([[graft.sources.IcebergWrite]] `setSortOrder`):
     * the writer range-distributes + sorts new files on the declared
     * key, so per-file bounds are tight and disjoint and a range
@@ -1746,6 +1819,7 @@ object IcebergQueries {
     icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergWidenColumn,
+    icebergDefaultValues, icebergPartitionStats,
     icebergNameMapping,
     icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import Registry._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /**
@@ -194,7 +194,10 @@ object PipelineQueries {
     * `dedup_groups`, but each group keeps its LONGEST member (word
     * count, ties → lowest id) — the curation collapse that keeps the
     * best copy instead of the lowest-id one. Oracle extends the
-    * recursive-CTE component replay with the score argmax. */
+    * recursive-CTE component replay with the score argmax.
+    * bench=false: the pair graph + CC dominate and dedup_groups carries
+    * that throughput gate (the exemption reason); timing the same work
+    * twice per bench run measured 17-48 s of pure GC-pressure noise. */
   val dedupKeepBest = dfQ("dedup_keep_best",
     "WITH RECURSIVE " + minhashCtes + """,
       |edges AS (
@@ -218,7 +221,8 @@ object PipelineQueries {
       |  FROM comps c JOIN wc w ON w.id = c.id)
       |SELECT comp, MAX(CASE WHEN rn = 1 THEN id END) AS keep_id,
       |  COUNT(*) AS n_members, MAX(score) AS best_score
-      |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin) { (s, _) =>
+      |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin,
+    bench = false) { (s, _) =>
     val docs = s.table("documents")
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
@@ -1522,6 +1526,124 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Multinomial Naive Bayes classifier trained on the corpus's own
+    * `lang` labels and self-applied — the model-based domain/quality
+    * filter of a curation pipeline, reduced to exact count aggregates +
+    * the micro-nat integer envelope so the whole train-and-predict plan
+    * is SQL-replayable. vocabSize 20 < the corpus's distinct tokens, so
+    * the OOV smoothing fallback (1/(ctot+V+1)) is exercised; argmax
+    * ties break to the lexicographically smallest label in exact
+    * integer space. */
+  private val nbCtes =
+    """toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents
+      |),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+      |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+      |clstok AS (
+      |  SELECT lang AS label, tok, CAST(COUNT(*) AS BIGINT) AS ctk
+      |  FROM toks JOIN vocab USING (tok) GROUP BY 1, 2),
+      |clstot AS (
+      |  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS ctot
+      |  FROM toks GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |prior AS (
+      |  SELECT lang AS label,
+      |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST((SELECT n_docs FROM nd) AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS prior_micro
+      |  FROM documents GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, l.label,
+      |    CAST(ROUND(LN(CAST(COALESCE(ct.ctk, 0) + 1 AS DOUBLE)
+      |        / CAST(l.ctot + (SELECT v_size FROM vs) + 1 AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS lp_micro
+      |  FROM toks t
+      |  CROSS JOIN clstot l
+      |  LEFT JOIN clstok ct ON ct.label = l.label AND ct.tok = t.tok),
+      |bydl AS (
+      |  SELECT doc_id, label, CAST(SUM(lp_micro) AS BIGINT) AS tok_lp
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, b.label,
+      |    tok_lp + prior_micro AS score_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tok_lp + prior_micro DESC, b.label) AS rn
+      |  FROM bydl b JOIN prior USING (label))""".stripMargin
+
+  val textNbClassify = dfQ("text_nb_classify",
+    "WITH " + nbCtes + """
+      |SELECT doc_id, label AS pred, CAST(score_micro AS BIGINT) AS score_micro
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, _) =>
+    TextAnalysis.nbClassify(s.table("documents"), "doc_id", "text", "lang", 20)
+      .select(col("id").as("doc_id"), col("pred"), col("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Classify-then-mix: the model-based curation composition — route
+    * every document to its PREDICTED domain (Naive Bayes, the entry
+    * above) and draw the exact integer domain-weighted mixture over the
+    * predictions ([[Curation.mixDomains]], weights en:3 others:1,
+    * total 7). One SQL oracle replays the whole pipeline: the NB CTE
+    * chain feeds the mixture's count/threshold/rank replay. */
+  val pipeClassifyMix = dfQ("pipe_classify_mix",
+    "WITH " + nbCtes + """,
+      |preds AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1),
+      |w(pred, wt) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
+      |c AS (SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS n, wt
+      |      FROM preds p JOIN w ON p.pred = w.pred GROUP BY p.pred, wt),
+      |t AS (SELECT MIN(n * 7 // wt) AS tt FROM c),
+      |k AS (SELECT pred, (tt * wt) // 7 AS keep FROM c, t),
+      |r AS (SELECT p.pred, p.doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY p.pred
+      |          ORDER BY md5(CAST(p.doc_id AS VARCHAR)), p.doc_id) AS rn2
+      |      FROM preds p JOIN w ON p.pred = w.pred)
+      |SELECT r.pred, r.doc_id FROM r JOIN k ON r.pred = k.pred
+      |WHERE rn2 <= keep
+      |ORDER BY 1, 2""".stripMargin, bench = false) { (s, _) =>
+    val preds = TextAnalysis
+      .nbClassify(s.table("documents"), "doc_id", "text", "lang", 20)
+      .select(col("id").as("doc_id"), col("pred"))
+    Curation.mixDomains(preds, "pred", "doc_id",
+        Map("en" -> 3, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1))
+      .select("pred", "doc_id")
+      .orderBy("pred", "doc_id")
+  }
+
+  /** TF-IDF keyword extraction ([[TextAnalysis.tfIdfKeywords]]): top-3
+    * most characteristic tokens per document, `tf × idf` in exact
+    * integer micro-nats (idf = ln((N+1)/(df+1)) quantized once per
+    * token, then a pure BIGINT product — the ranking is deterministic
+    * cross-engine; ties break token-ascending). */
+  val textTfIdf = dfQ("text_tfidf_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.tok,
+      |    t.tf * CAST(ROUND(LN(CAST((SELECT n FROM nd) + 1 AS DOUBLE)
+      |        / CAST(d.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS score_micro
+      |  FROM tf t JOIN dfq d USING (tok)),
+      |rankedk AS (
+      |  SELECT doc_id, tok, score_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score_micro DESC, tok) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, tok, CAST(rnk AS INT) AS rnk, score_micro
+      |FROM rankedk WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (s, _) =>
+    TextAnalysis.tfIdfKeywords(s.table("documents"), "doc_id", "text", 3)
+      .select(col("id").as("doc_id"), col("tok"), col("rnk"),
+        col("score_micro"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Bigram-LM quality score: same exact-integer micro-nat envelope as
     * the unigram scorer, upgraded to conditional P(w2|w1) with add-one
     * smoothing over a (vocab+1)-bounded alphabet (OOV mapped FIRST so
@@ -1850,7 +1972,8 @@ object PipelineQueries {
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp, textHashedScore, textBpeTrain, textBpeApply,
+    textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf,
+    textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup,
     aggTopkSketch)

@@ -96,7 +96,25 @@ object IcebergIO {
       // "metadata-log": prior metadata.json files as (timestamp-ms, file)
       // in append order — the `.metadata_log_entries` relation's source
       metadataLog: Seq[(Long, String)] = Seq.empty,
-      lastUpdatedMs: Long = 0L)
+      lastUpdatedMs: Long = 0L,
+      // v3 column default values ([[IcebergWrite.addColumnWithDefault]]):
+      // fields whose schema node carries `initial-default`. `addSeq` is
+      // the table's last-sequence-number AT ADD TIME (graft bookkeeping,
+      // [[DefaultSeqPropPrefix]]) — data files with seq <= addSeq predate
+      // the column and read `initial` as a per-file constant.
+      columnDefaults: Seq[ColumnDefault] = Seq.empty,
+      // spec "Partition statistics": registered stats files as
+      // (snapshot-id, statistics-path) — written by
+      // [[IcebergWrite.computePartitionStats]], served by
+      // [[partitionStats]] without a manifest walk
+      partitionStatistics: Seq[(Long, String)] = Seq.empty)
+
+  /** One v3 default-valued column: spec "Default values" — `initial`
+    * (`initial-default`) is what rows written BEFORE the field existed
+    * read; `write` (`write-default`) is what the writer fills when the
+    * input frame omits the column. */
+  final case class ColumnDefault(fieldId: Int, name: String, addSeq: Long,
+                                 initial: Any, write: Any)
 
   /** Resolve the current metadata JSON file for a table directory:
     * `metadata/version-hint.text` (Hadoop-catalog convention) names the
@@ -201,6 +219,56 @@ object IcebergIO {
     schemaNodeOf(root).get("fields").elements().asScala.map { f =>
       f.get("id").asInt() -> f.get("name").asText()
     }.toMap
+
+  /** Spec "JSON single-value serialization" for the types this engine
+    * offers as column defaults. Inverse of
+    * [[IcebergWrite.singleValueJson]]. */
+  private[sources] def parseSingleValue(n: JsonNode, dt: DataType): Any = dt match {
+    case IntegerType => n.asInt()
+    case LongType    => n.asLong()
+    case DoubleType  => n.asDouble()
+    case BooleanType => n.asBoolean()
+    case StringType  => n.asText()
+    case DateType    => java.time.LocalDate.parse(n.asText())
+    case other => throw new IllegalArgumentException(
+      s"unsupported default-value type: $other")
+  }
+
+  /** graft bookkeeping for v3 column defaults: `<prefix><fieldId>` holds
+    * the table's last-sequence-number when the defaulted column was
+    * added. Content files at or below it predate the column (our writer
+    * physically stamps every later file), so the reader serves
+    * `initial-default` for exactly those files — without opening a
+    * single footer to probe column presence. */
+  val DefaultSeqPropPrefix = "graft.default.seq."
+
+  /** Parse `initial-default`/`write-default` off the current schema's
+    * field nodes. A field carrying `initial-default` WITHOUT our
+    * [[DefaultSeqPropPrefix]] property fails loudly: a foreign writer's
+    * defaulted table needs per-file column-presence knowledge this
+    * engine derives from the seq bookkeeping — reading it as nulls
+    * would be silently wrong. */
+  private def defaultsOf(root: JsonNode, schema: StructType,
+                         properties: Map[String, String]): Seq[ColumnDefault] =
+    schemaNodeOf(root).get("fields").elements().asScala.flatMap { f =>
+      if (!f.has("initial-default")) None
+      else {
+        val fid = f.get("id").asInt()
+        val name = f.get("name").asText()
+        val dt = schema(name).dataType
+        val addSeq = properties.get(s"$DefaultSeqPropPrefix$fid").map(_.toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"column '$name' (field id $fid) has initial-default but no " +
+              s"$DefaultSeqPropPrefix$fid property — this table's defaults " +
+              "were written by another engine; this reader cannot tell " +
+              "which files predate the column. Rewrite (compact) the " +
+              "table with its own writer first."))
+        val init = parseSingleValue(f.get("initial-default"), dt)
+        val wr = if (f.has("write-default"))
+          parseSingleValue(f.get("write-default"), dt) else init
+        Some(ColumnDefault(fid, name, addSeq, init, wr))
+      }
+    }.toSeq
 
   def loadMetadata(tablePath: String): TableMetadata = {
     val mdFile = resolveMetadataFile(tablePath)
@@ -311,10 +379,18 @@ object IcebergIO {
       else Seq.empty
     val lastUpdatedMs: Long =
       if (root.has("last-updated-ms")) root.get("last-updated-ms").asLong() else 0L
+    val partitionStatistics: Seq[(Long, String)] =
+      if (root.has("partition-statistics"))
+        root.get("partition-statistics").elements().asScala.map(e =>
+          (e.get("snapshot-id").asLong(),
+            e.get("statistics-path").asText())).toSeq
+      else Seq.empty
+    val schema = schemaOf(root)
     TableMetadata(fv, root.get("location").asText(), current, snaps,
-      schemaOf(root), fieldIdsOf(root), partitionFields, mdFile, refs,
+      schema, fieldIdsOf(root), partitionFields, mdFile, refs,
       snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds,
-      sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs)
+      sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs,
+      defaultsOf(root, schema, properties), partitionStatistics)
   }
 
   // ------------------------------------------------- field-id resolution
@@ -501,6 +577,20 @@ object IcebergIO {
       Seq(col("__gf_fileraw"), col("__gf_pos")) else Nil): _*)
   }
 
+  /** A default value as a Column whose type matches the table field and
+    * whose nullability is WIDENED to nullable: branch frames union with
+    * normally-read nullable columns, and a single-branch read must
+    * present the same (nullable) schema the table declares. A catalyst
+    * `If(true, lit, null)` keeps its declared nullability through
+    * analysis — the Column-DSL `when(lit(true), …)` is simplified to a
+    * non-nullable literal before the schema is computed. */
+  private def defaultLit(v: Any, dt: DataType): Column =
+    org.apache.spark.sql.GraftShim.column(
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.Literal(true),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
+        org.apache.spark.sql.catalyst.expressions.Literal(null, dt)))
+
   /** Read a set of DATA files with per-group column resolution: files
     * stamped with parquet field ids resolve BY ID ([[dataReadSchema]]),
     * pre-upgrade files of a name-mapped table resolve by their
@@ -528,10 +618,32 @@ object IcebergIO {
       col("_metadata.row_index").as("__gf_pos"))
     val out = Seq.newBuilder[DataFrame]
     if (stamped.nonEmpty) {
-      val base = spark.read.schema(dataReadSchema(spark, meta))
-        .parquet(stamped.map(_.path): _*)
-      out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
-        (if (withPos) posCols else Nil): _*)
+      // v3 column defaults: files that predate a defaulted column (seq
+      // <= its add-seq) read `initial-default` as a per-file constant —
+      // group by the SET of predated columns (bounded by the default
+      // count, not the file count) and project the literals in place.
+      val defs = meta.columnDefaults
+      val groups = stamped
+        .groupBy(f => defs.filter(d => f.seq <= d.addSeq).map(_.name).toSet)
+        .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+      groups.foreach { case (missing, group) =>
+        if (missing.isEmpty) {
+          val base = spark.read.schema(dataReadSchema(spark, meta))
+            .parquet(group.map(_.path): _*)
+          out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
+            (if (withPos) posCols else Nil): _*)
+        } else {
+          val rs = StructType(dataReadSchema(spark, meta)
+            .fields.filterNot(f => missing(f.name)))
+          val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
+          val proj = meta.schema.fields.toSeq.map { f =>
+            if (missing(f.name)) defaultLit(
+              defs.find(_.name == f.name).get.initial, f.dataType).as(f.name)
+            else col(f.name)
+          }
+          out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
+        }
+      }
     }
     if (legacy.nonEmpty) {
       val mapping = nameMappingOf(meta).getOrElse(
@@ -549,7 +661,14 @@ object IcebergIO {
       val proj = meta.schema.fields.toSeq.map { f =>
         mapping.get(idByName(f.name)) match {
           case Some(oldName) => col(oldName).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+          case None =>
+            // legacy files always predate any defaulted column (the
+            // mapping freeze precedes the add, and legacy seq <= the
+            // freeze seq <= the add seq) — serve the initial-default
+            meta.columnDefaults.find(_.name == f.name) match {
+              case Some(d) => defaultLit(d.initial, f.dataType).as(f.name)
+              case None    => lit(null).cast(f.dataType).as(f.name)
+            }
         }
       }
       out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
@@ -2169,6 +2288,73 @@ object IcebergIO {
         StructField("delete_file_name", StringType, nullable = true),
         StructField("sequence_number", LongType, nullable = true)))
 
+  private[graft] val partitionStatsSchema: StructType =
+    StructType(Seq(
+        StructField("partition", StringType, nullable = true),
+        StructField("spec_id", IntegerType, nullable = true),
+        StructField("data_record_count", LongType, nullable = true),
+        StructField("data_file_count", IntegerType, nullable = true),
+        StructField("total_data_file_size_in_bytes", LongType, nullable = true),
+        StructField("position_delete_record_count", LongType, nullable = true),
+        StructField("position_delete_file_count", IntegerType, nullable = true),
+        StructField("equality_delete_record_count", LongType, nullable = true),
+        StructField("equality_delete_file_count", IntegerType, nullable = true)))
+
+  /** The `.partition_stats` metadata table: the REGISTERED partition
+    * statistics file of the current snapshot (spec "Partition
+    * statistics" — written by [[IcebergWrite.computePartitionStats]]),
+    * decoded to the relation grain: one row per (partition tuple, spec),
+    * canonical `k=v/k=v` string form like the other relations. Unlike
+    * `.partitions` (which walks the manifests per query), this READS the
+    * stats parquet — O(partitions), no manifest walk: the point of
+    * materialized partition stats at 100k-file scale. Loud when no stats
+    * file is registered for the snapshot (stale stats must never be
+    * silently served). */
+  def partitionStats(spark: SparkSession, tablePath: String): DataFrame =
+    partitionStatsOf(spark, loadMetadata(tablePath), tablePath, None)
+
+  private[sources] def partitionStatsOf(spark: SparkSession,
+                                        meta: TableMetadata,
+                                        tablePath: String,
+                                        snapshotId: Option[Long]): DataFrame = {
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val path = meta.partitionStatistics
+      .collectFirst { case (sid, p) if sid == snap.snapshotId => p }
+      .getOrElse(throw new IllegalStateException(
+        s"no partition-statistics file registered for snapshot " +
+          s"${snap.snapshotId} of $tablePath — run " +
+          "IcebergWrite.computePartitionStats (CALL " +
+          "system.compute_partition_stats) after the latest commit"))
+    val raw = spark.read.parquet(path)
+    val hasPartition = raw.schema.fieldNames.contains("partition")
+    // canonical k=v string per the row's OWN spec: the unified struct
+    // carries every spec's fields; a row's spec tells which are real
+    // (null-valued fields of the row's spec print as k=null, matching
+    // the manifest-walk relations' String.valueOf form)
+    val partStr: Column =
+      if (!hasPartition) lit("")
+      else {
+        val specs = meta.specsById.toSeq.sortBy(_._1)
+        specs.foldLeft(lit(null).cast(StringType)) { case (acc, (sid, fields)) =>
+          val s = concat_ws("/", fields.map(_._1).sorted.map(n =>
+            concat(lit(s"$n="), coalesce(
+              col(s"partition.$n").cast(StringType), lit("null")))): _*)
+          when(col("spec_id") === sid, s).otherwise(acc)
+        }
+      }
+    raw.select(
+        partStr.as("partition"),
+        col("spec_id"),
+        col("data_record_count"),
+        col("data_file_count"),
+        col("total_data_file_size_in_bytes"),
+        col("position_delete_record_count"),
+        col("position_delete_file_count"),
+        col("equality_delete_record_count"),
+        col("equality_delete_file_count"))
+      .orderBy("spec_id", "partition")
+  }
+
   /** Schema of a metadata relation kind without touching the table. */
   private[graft] def metaSchema(kind: String): StructType = kind match {
     case "history"    => historySchema
@@ -2187,6 +2373,7 @@ object IcebergIO {
     case "all_manifests"        => allManifestsSchema
     case "metadata_log_entries" => metadataLogSchema
     case "position_deletes"     => positionDeletesSchema
+    case "partition_stats"      => partitionStatsSchema
     case other => throw new IllegalArgumentException(
       s"unknown Iceberg metadata relation: $other")
   }

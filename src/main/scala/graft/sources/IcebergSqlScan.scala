@@ -131,6 +131,8 @@ object IcebergMetaScan {
       case "metadata_log_entries" => IcebergIO.metadataLogEntriesOf(spark, meta)
       case "position_deletes" =>
         IcebergIO.positionDeletesOf(spark, meta, m.tablePath, pinned)
+      case "partition_stats" =>
+        IcebergIO.partitionStatsOf(spark, meta, m.tablePath, pinned)
       case other => throw new IllegalArgumentException(
         s"unknown Iceberg metadata relation: $other")
     }

@@ -2,11 +2,11 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, isnan, lit, max, min, regexp_replace, shiftleft, shiftright, sum, when}
 import org.apache.spark.sql.types._
 
@@ -475,6 +475,80 @@ object IcebergWrite {
       f.put("required", false)
       f.put("type", IcebergFixture.icebergType(dataType)): Unit
     }
+    publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
+  }
+
+  /** Spec "JSON single-value serialization" for the default-capable
+    * types. Inverse of [[IcebergIO.parseSingleValue]]. */
+  private[sources] def singleValueJson(node: ObjectNode, key: String,
+                                       v: Any, dt: DataType): Unit = (v, dt) match {
+    case (i: Int, IntegerType)     => node.put(key, i): Unit
+    case (l: Long, LongType)       => node.put(key, l): Unit
+    case (d: Double, DoubleType)   => node.put(key, d): Unit
+    case (b: Boolean, BooleanType) => node.put(key, b): Unit
+    case (s: String, StringType)   => node.put(key, s): Unit
+    case (d: java.time.LocalDate, DateType) =>
+      node.put(key, d.toString): Unit // ISO YYYY-MM-DD, the spec's date form
+    case (d: java.sql.Date, DateType) =>
+      node.put(key, d.toLocalDate.toString): Unit
+    case (other, t) => throw new IllegalArgumentException(
+      s"unsupported default value $other (${other.getClass.getName}) for $t " +
+        "— defaults support int/long/double/boolean/string/date")
+  }
+
+  /** Schema evolution with a v3 DEFAULT VALUE (spec "Default values"):
+    * adds the column with `initial-default` (what rows written BEFORE
+    * the field existed read — served by the scan as a per-file constant
+    * for every data file whose sequence number predates this commit,
+    * [[IcebergIO.dataBranches]]) and `write-default` (what
+    * [[append]]/[[overwrite]] fill when the input frame omits the
+    * column; defaults to the same value). Metadata-only — no data file
+    * is touched, yet old rows immediately read the default instead of
+    * NULL. Requires format v3 (where the spec introduces defaults) and
+    * a field-id table (our writer then physically stamps the column
+    * into every later file, which is what makes the seq split exact —
+    * name-resolution tables can import id-less files at later seqs via
+    * `addFiles`, breaking it). The default must be non-null (a null
+    * default IS the plain [[addColumn]]). */
+  def addColumnWithDefault(tablePath: String, name: String, dataType: DataType,
+                           default: Any,
+                           writeDefault: Option[Any] = None): Unit = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    require(meta.formatVersion >= 3,
+      s"column defaults require format v3 (got v${meta.formatVersion}) — " +
+        "run upgradeFormatVersion first")
+    require(IcebergIO.resolveByFieldIds(meta),
+      "column defaults require a field-id table: a name-resolution table " +
+        "can import id-less files at later sequence numbers (addFiles), " +
+        "which would break the predates-the-column split")
+    require(default != null,
+      "default must be non-null — use addColumn for a null-filled column")
+    require(!meta.schema.fieldNames.contains(name),
+      s"column '$name' already exists in $tablePath")
+    require(!droppedNames(root).contains(name),
+      s"column name '$name' was previously dropped — pick a fresh name")
+    val newRoot = root.deepCopy()
+    val fid = Option(newRoot.get("last-column-id")).map(_.asInt)
+      .getOrElse(meta.schema.size) + 1
+    newRoot.put("last-column-id", fid)
+    evolveSchema(newRoot) { schemaNode =>
+      val f = schemaNode.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      f.put("id", fid)
+      f.put("name", name)
+      f.put("required", false)
+      f.put("type", IcebergFixture.icebergType(dataType))
+      singleValueJson(f, "initial-default", default, dataType)
+      singleValueJson(f, "write-default", writeDefault.getOrElse(default), dataType)
+    }
+    val lastSeq =
+      Option(newRoot.get("last-sequence-number")).map(_.asLong).getOrElse(0L)
+    val props = Option(newRoot.get("properties")) match {
+      case Some(o: ObjectNode) => o
+      case _ => newRoot.putObject("properties")
+    }
+    props.put(s"${IcebergIO.DefaultSeqPropPrefix}$fid", lastSeq.toString)
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }
 
@@ -1505,6 +1579,143 @@ object IcebergWrite {
     }
     walk(tablePath)
     deleted.toSeq
+  }
+
+  /** Compute and REGISTER a partition-statistics file for the current
+    * snapshot (spec "Partition statistics"): one parquet row per
+    * (partition tuple, spec) carrying data/delete record+file counts and
+    * data byte totals, written under `metadata/` with the spec's schema —
+    * the unified partition struct (every spec's fields, spec field ids
+    * stamped) plus the count fields at their reserved ids (1-9) — and
+    * recorded in table metadata's `partition-statistics` list keyed on
+    * the snapshot id. Readers ([[IcebergIO.partitionStats]], the
+    * `.partition_stats` relation) then answer partition-grain questions
+    * from ONE small parquet instead of a whole manifest walk — the point
+    * at 100k-file scale. Deletion-vector entries count as position
+    * deletes (their record count is the bitmap cardinality, the v3
+    * analog). Stats grain is the MANIFEST walk the planner already does;
+    * the file itself is partition-count-sized. Returns the stats path. */
+  def computePartitionStats(spark: SparkSession, tablePath: String): String = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot compute partition stats of an empty table: $tablePath"))
+    val files = IcebergIO.liveFiles(spark, snap)
+
+    // unified partition struct: every spec's fields at their spec field
+    // ids (the reuse rule gives one id per (source, transform) — dedupe
+    // by id), typed as the STORED representation, all nullable (a file
+    // of spec A has nulls in spec B's fields)
+    val unified: Seq[(Int, String, DataType)] = {
+      val b = scala.collection.mutable.LinkedHashMap.empty[Int, (String, DataType)]
+      def addField(f: JsonNode, fallbackId: Int): Unit = {
+        val fid = if (f.has("field-id")) f.get("field-id").asInt() else fallbackId
+        if (!b.contains(fid)) {
+          val name = f.get("name").asText()
+          val transform = f.get("transform").asText()
+          val srcId = if (f.has("source-id")) f.get("source-id").asInt() else -1
+          val srcType = meta.fieldById.get(srcId)
+            .map(n => meta.schema(n).dataType).getOrElse(IntegerType)
+          b += fid -> ((name, storedType(transform, srcType))): Unit
+        }
+      }
+      Option(root.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala).foreach { s =>
+          s.get("fields").elements().asScala.zipWithIndex
+            .foreach { case (f, i) => addField(f, 1000 + i) }
+        }
+      // v1 legacy single-spec form (field ids default 1000+ordinal)
+      if (b.isEmpty)
+        Option(root.get("partition-spec")).toSeq
+          .flatMap(_.elements().asScala).zipWithIndex
+          .foreach { case (f, i) => addField(f, 1000 + i) }
+      b.toSeq.sortBy(_._1).map { case (fid, (n, t)) => (fid, n, t) }
+    }
+    val partStruct = StructType(unified.map { case (fid, n, t) =>
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", fid.toLong).build())
+    })
+    def countField(name: String, t: DataType, fid: Int): StructField =
+      StructField(name, t, nullable = false, new MetadataBuilder()
+        .putLong("parquet.field.id", fid.toLong).build())
+    val statsSchema = StructType(
+      (if (unified.nonEmpty)
+         Seq(StructField("partition", partStruct, nullable = false,
+           new MetadataBuilder().putLong("parquet.field.id", 1L).build()))
+       else Nil) ++ Seq(
+        countField("spec_id", IntegerType, 2),
+        countField("data_record_count", LongType, 3),
+        countField("data_file_count", IntegerType, 4),
+        countField("total_data_file_size_in_bytes", LongType, 5),
+        countField("position_delete_record_count", LongType, 6),
+        countField("position_delete_file_count", IntegerType, 7),
+        countField("equality_delete_record_count", LongType, 8),
+        countField("equality_delete_file_count", IntegerType, 9)))
+
+    // partition grain: same driver walk the planner does (the row count
+    // is bounded by live partitions, not files)
+    val rows = files
+      .groupBy(f => (f.specId,
+        f.partitionValues.toSeq.sortBy(_._1).map(kv => String.valueOf(kv._2))))
+      .toSeq
+      .map { case ((specId, _), fs) =>
+        val tuple = fs.head.partitionValues
+        val data = fs.filter(_.content == 0)
+        val pos = fs.filter(_.content == 1)
+        val eq = fs.filter(_.content == 2)
+        val counts = Seq[Any](specId,
+          data.map(_.recordCount).sum, data.size,
+          data.map(_.bytes).sum,
+          pos.map(_.recordCount).sum, pos.size,
+          eq.map(_.recordCount).sum, eq.size)
+        if (unified.nonEmpty)
+          Row.fromSeq(Row.fromSeq(
+            unified.map { case (_, n, _) => tuple.getOrElse(n, null) }) +: counts)
+        else Row.fromSeq(counts)
+      }
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), statsSchema)
+
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val tmp = GraftFs.child(tablePath,
+      s"_tmp_pstats_${java.util.UUID.randomUUID().toString.take(8)}")
+    val to = GraftFs.child(metaDir,
+      s"partition-stats-${snap.snapshotId}-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val staged = listParquetLeaves(tmp)
+      require(staged.size == 1,
+        s"expected one staged stats file, got ${staged.size}")
+      if (!GraftFs.rename(staged.head.getPath.toString, to))
+        throw new java.io.IOException(
+          s"rename failed: ${staged.head.getPath} -> $to")
+    } finally GraftFs.delete(tmp, recursive = true)
+
+    // register: replace any prior entry for this snapshot (recompute),
+    // keep other snapshots' entries (time travel may still want them)
+    try {
+      val newRoot = root.deepCopy()
+      val arr = arrayNode(newRoot, "partition-statistics")
+      val kept = (0 until arr.size).map(arr.get)
+        .filterNot(_.get("snapshot-id").asLong == snap.snapshotId)
+      arr.removeAll()
+      kept.foreach(arr.add)
+      val e = arr.addObject()
+      e.put("snapshot-id", snap.snapshotId)
+      e.put("statistics-path", to)
+      e.put("file-size-in-bytes",
+        GraftFs.status(to).map(_.getLen).getOrElse(0L))
+      publish(metaDir, priorVersion + 1, newRoot)
+    } catch {
+      case t: Throwable =>
+        GraftFs.delete(to, recursive = false); throw t
+    }
+    to
   }
 
   /** Roll the table back (or forward) to `snapshotId`: a metadata-only
@@ -2655,7 +2866,8 @@ object IcebergWrite {
                          branch: Option[String] = None): Long = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
-    requireTableSchema(df, meta)
+    val df1 = applyWriteDefaults(df, meta)
+    requireTableSchema(df1, meta)
     branch.foreach { b =>
       require(b != "main", "write to main is the default — omit `branch`")
       require(operation == "append",
@@ -2667,11 +2879,28 @@ object IcebergWrite {
         Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
       else snapshotId
     val (files, partColTypes) =
-      stageDataFiles(df, tablePath, meta, snapshotId, maxRecordsPerFile)
+      stageDataFiles(df1, tablePath, meta, snapshotId, maxRecordsPerFile)
     commitStaged(tablePath, meta, root, priorVersion, partColTypes,
       files, snapshotId, newSeq, operation,
       carryForward = operation == "append", summaryExtra = summaryExtra,
       branch = branch)
+  }
+
+  /** Fill `write-default` literals for defaulted columns the input frame
+    * omits (v3 defaults, [[addColumnWithDefault]]) — the spec's writer
+    * rule. Only fires when the omissions are EXACTLY defaulted columns;
+    * any other mismatch falls through untouched so [[requireTableSchema]]
+    * raises its usual loud error. */
+  private def applyWriteDefaults(df: DataFrame,
+                                 meta: IcebergIO.TableMetadata): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    val missing = meta.columnDefaults.filterNot(d => have.contains(d.name))
+    val othersPresent = meta.schema.fieldNames
+      .forall(n => have.contains(n) || missing.exists(_.name == n))
+    if (missing.isEmpty || !othersPresent) df
+    else missing.foldLeft(df)((acc, d) => acc.withColumn(d.name,
+        lit(d.write).cast(meta.schema(d.name).dataType)))
+      .select(meta.schema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Stage `df`'s rows as new data files under `data/` (ONE distributed
@@ -3073,6 +3302,17 @@ object IcebergWrite {
       .filter(f => f.content == 0 && f.seq == source.sequenceNumber)
     require(picked.nonEmpty,
       s"snapshot $sourceSnapshotId added no data files — nothing to pick")
+    // v3 column defaults gate on sequence numbers (file predates the
+    // column ⟺ seq <= add-seq); the pick RE-SEQUENCES files to a fresh
+    // seq, which would lift a pre-default file past the gate and turn
+    // its initial-default rows into NULLs. Refuse that combination.
+    meta.columnDefaults.foreach { d =>
+      require(source.sequenceNumber > d.addSeq,
+        s"cherry-pick of $sourceSnapshotId (seq ${source.sequenceNumber}) " +
+          s"would re-sequence files past defaulted column '${d.name}' " +
+          s"(added at seq ${d.addSeq}) — their initial-default rows would " +
+          "silently read NULL; compact the source branch first")
+    }
     val mainLive: Set[String] = meta.currentSnapshotId
       .flatMap(id => meta.snapshots.find(_.snapshotId == id)).toSeq
       .flatMap(s => IcebergIO.liveFiles(spark, s))

@@ -167,6 +167,21 @@ object StreamingOps {
       graft.operators.TextAnalysis.bpeTokenCountTrained(textCol, merges)
         .as("n_bpe"))
 
+  /** Classify ARRIVING documents with a Naive Bayes model trained
+    * batch-side ([[graft.operators.TextAnalysis.nbTrain]]) — the
+    * deploy-time domain/quality router: train once on the existing
+    * corpus, tag every incoming document with its predicted class. The
+    * model rides as literals and the whole classification is one
+    * per-row `aggregate` fold + argmax
+    * ([[graft.operators.TextAnalysis.nbPredictFold]] — no join, no
+    * aggregation, no window), so the stream stays append-mode-safe and
+    * predictions are bit-equal to the batch
+    * [[graft.operators.TextAnalysis.nbPredict]] argmax. Emits
+    * (id, pred, score_micro) per arriving doc. */
+  def nbPredictStream(docs: DataFrame, idCol: String, textCol: String,
+                      model: graft.operators.TextAnalysis.NbModel): DataFrame =
+    graft.operators.TextAnalysis.nbPredictFold(model, docs, idCol, textCol)
+
   /** Streaming ingest curation — the deploy-time filter chain a
     * training-data pipeline runs on ARRIVING documents, composed from
     * the batch [[graft.operators.Curation]]/[[graft.operators.TextAnalysis]]

@@ -257,6 +257,62 @@ class AdvancedOpsSpec extends AnyFunSuite {
       2L -> countRef("aaaaa bbb aab")))
   }
 
+  test("nbPredictFold: broadcast-fold serving is bit-equal to the join form") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // vocabSize 20 < distinct tokens, so the OOV fallback is exercised
+    val model = TextAnalysis.nbTrain(docs, "doc_id", "text", "lang", 20)
+    val join = TextAnalysis.nbPredict(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fold = TextAnalysis.nbPredictFold(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(join.nonEmpty && fold.keySet === join.keySet)
+    // exact integer micro-nat equality — label AND score, every doc
+    fold.foreach { case (id, p) => assert(p === join(id),
+      s"doc $id: fold $p != join ${join(id)}") }
+    // NOTE: no accuracy assertion on this corpus — the synthetic `lang`
+    // labels are independent of token content, so self-accuracy is
+    // chance-level by construction. Learning is asserted on the
+    // signal-bearing corpus in the next test.
+  }
+
+  test("nbClassify learns a separable corpus (per-class token signal)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // two classes with disjoint content words + shared filler
+    val rnd = new scala.util.Random(7)
+    val sports = Seq("goal", "match", "team", "score", "league")
+    val cooking = Seq("recipe", "oven", "flour", "simmer", "garlic")
+    val filler = Seq("the", "a", "and", "of", "it")
+    def doc(words: Seq[String]) = (0 until 12).map { _ =>
+      if (rnd.nextInt(3) == 0) filler(rnd.nextInt(filler.size))
+      else words(rnd.nextInt(words.size))
+    }.mkString(" ")
+    val docs = ((0 until 40).map(i => (i.toLong, doc(sports), "sports")) ++
+      (40 until 80).map(i => (i.toLong, doc(cooking), "cooking")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(docs, "doc_id", "text", "lang", 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val acc = out.count { case (id, p) => truth(id) == p }
+    assert(acc === 80, s"separable corpus must classify perfectly, got $acc/80")
+  }
+
+  test("nbPredict: argmax ties break to the smallest label; null text drops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // two perfectly symmetric classes -> every score ties; argmax must
+    // pick the lexicographically smallest label in both serving forms
+    val train = Seq((1L, "x x y", "b"), (2L, "x x y", "a")).toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.nbTrain(train, "doc_id", "text", "lang", 10)
+    val apply = Seq((5L, "x y"), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val j = TextAnalysis.nbPredict(model, apply, "doc_id", "text").collect()
+    val f = TextAnalysis.nbPredictFold(model, apply, "doc_id", "text").collect()
+    assert(j.map(_.getLong(0)).toSeq === Seq(5L) && j.head.getString(1) === "a")
+    assert(f.map(_.getLong(0)).toSeq === Seq(5L) && f.head.getString(1) === "a")
+    assert(j.head.getLong(2) === f.head.getLong(2))
+  }
+
   test("range join matches a plain theta join on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -2302,4 +2302,60 @@ class IcebergWriteSpec extends AnyFunSuite {
       e.getMessage.contains("length"),
       s"unexpected failure: ${e.getMessage}")
   }
+
+  test("partition statistics: compute, register, stale-loud, recompute") {
+    val dir = s"$root/pstats"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), dir)
+
+    // no stats registered yet -> loud, names the CALL
+    val e0 = intercept[IllegalStateException](
+      IcebergIO.partitionStats(spark, dir).collect())
+    assert(e0.getMessage.contains("compute_partition_stats"), e0.getMessage)
+
+    val p1 = IcebergWrite.computePartitionStats(spark, dir)
+    assert(p1.contains("/metadata/partition-stats-"), p1)
+    val s1 = IcebergIO.partitionStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3), r.getLong(5))).toSeq
+    assert(s1 === Seq(("name=a", 2L, 1, 0L), ("name=b", 1L, 1, 0L)))
+
+    // a NEW commit makes the stats stale -> loud again (never silently
+    // served for the wrong snapshot)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    val e1 = intercept[IllegalStateException](
+      IcebergIO.partitionStats(spark, dir).collect())
+    assert(e1.getMessage.contains("no partition-statistics"), e1.getMessage)
+
+    // recompute: data counts stay RAW (merge-on-read), the delete file
+    // surfaces as a position-delete row under its declared-null tuple
+    IcebergWrite.computePartitionStats(spark, dir)
+    val s2 = IcebergIO.partitionStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(5), r.getInt(6))).toSeq
+    assert(s2 === Seq(("name=a", 2L, 0L, 0), ("name=b", 1L, 0L, 0),
+      ("name=null", 0L, 1L, 1)))
+  }
+
+  test("partition statistics: SQL view + CALL + partition evolution") {
+    val dir = s"$root/pstats_sql"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    // evolve: un-partition future writes; old files keep their spec
+    IcebergWrite.updatePartitionSpec(dir, Nil)
+    IcebergWrite.append(df((3L, "c", 3.0)), dir)
+
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("pstats_t", dir, metadataTables = true)
+    val got = g.sql("CALL system.compute_partition_stats('pstats_t')")
+      .collect()
+    assert(got.length === 1 && got.head.getString(0).contains("partition-stats-"))
+    // the live view serves rows per (tuple, spec): the evolved append
+    // sits under the new spec with an all-null tuple of spec-0's field
+    val rows = g.sql(
+      "SELECT partition, spec_id, data_record_count FROM pstats_t_partition_stats " +
+        "ORDER BY spec_id, partition").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("name=a", 0, 1L), ("name=b", 0, 1L),
+      ("", 1, 1L)))
+  }
 }

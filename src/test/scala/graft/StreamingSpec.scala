@@ -442,6 +442,36 @@ class StreamingSpec extends AnyFunSuite {
       s"doc $id: streaming $n != batch ${batch(id)}") }
   }
 
+  test("streaming NB classification matches the batch argmax doc-for-doc") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // train BATCH-side on the corpus's own lang labels (vocab 20 < the
+    // distinct-token count, so streamed docs hit the OOV fallback too)
+    val model = graft.operators.TextAnalysis
+      .nbTrain(docsDf, "doc_id", "text", "lang", 20)
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val rows = docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.toIndexedSeq)
+    val preds = StreamingOps.nbPredictStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(preds.isStreaming)
+    StreamingOps.runToMemory(preds, "stream_nb", OutputMode.Append())
+
+    val streamed = spark.table("stream_nb").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val batch = graft.operators.TextAnalysis
+      .nbPredict(model, docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(streamed.size === 30)
+    // deploy-time streaming predictions are bit-identical to the batch
+    // argmax: same label, same integer micro-nat score
+    streamed.foreach { case (id, p) => assert(p === batch(id),
+      s"doc $id: streaming $p != batch ${batch(id)}") }
+  }
+
   test("Iceberg append stream picks up files committed after the stream starts") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
