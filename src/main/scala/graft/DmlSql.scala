@@ -70,6 +70,11 @@ object DmlSql {
   final case class AlterAddColumn(table: String, colName: String,
                                   colType: String,
                                   default: Option[String]) extends Stmt
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]` — routes
+    * to [[graft.sources.IcebergWrite.computeTableStats]] on REGISTERED
+    * Iceberg tables (catalog tables keep Spark's own ANALYZE). */
+  final case class AnalyzeTable(table: String,
+                                columns: Seq[String]) extends Stmt
   /** `ALTER TABLE t RENAME COLUMN a TO b` (needs field-id resolution). */
   final case class AlterRenameColumn(table: String, from: String,
                                      to: String) extends Stmt
@@ -103,6 +108,9 @@ object DmlSql {
     """(?is)^ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+)$""".r
   private val CallRe =
     """(?is)^\s*CALL\s+(?:graft\.)?system\.([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+""" +
+     """STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe =
@@ -129,6 +137,9 @@ object DmlSql {
     case CallRe(proc, args) =>
       Some(Call(proc.toLowerCase(java.util.Locale.ROOT),
         splitTopLevel(args)))
+    case AnalyzeRe(t, cols) =>
+      Some(AnalyzeTable(t, Option(cols).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case DeleteRe(t, where) =>
       Some(Delete(t, Option(where).map(_.trim).filter(_.nonEmpty)))
     case UpdateRe(t, rest) =>

@@ -336,7 +336,8 @@ final class GraftSession private (val spark: SparkSession) {
           "entries", "partitions", "manifests",
           "snapshots", "refs", "all_files", "all_data_files",
           "all_delete_files", "all_entries", "all_manifests",
-          "metadata_log_entries", "position_deletes", "partition_stats")
+          "metadata_log_entries", "position_deletes", "partition_stats",
+          "statistics")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)
@@ -395,10 +396,15 @@ final class GraftSession private (val spark: SparkSession) {
       case Some(DmlSql.AlterRenameColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterWidenColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.AnalyzeTable(t, _)) if icebergPathOpt(t).isEmpty =>
       // CALL has no Spark-native fallback (needs a catalog plugin):
       // always claimed, unknown procedures fail loudly
       case Some(DmlSql.Call(proc, args)) =>
         return callProcedure(proc, args)
+      case Some(DmlSql.AnalyzeTable(t, cols)) =>
+        import spark.implicits._
+        return Seq(graft.sources.IcebergWrite.computeTableStats(
+          spark, icebergPathOf(t), cols)).toDF("statistics_path")
       case Some(stmt) =>
         import org.apache.spark.sql.functions.{expr, lit}
         stmt match {
@@ -692,6 +698,7 @@ final class GraftSession private (val spark: SparkSession) {
       }
     }
     def numOpt(i: Int): Option[Long] = args.lift(i).map(_ => num(i))
+    def strOpt(i: Int): Option[String] = args.lift(i).map(_ => str(i))
     def arity(n: Int, m: Int): Unit =
       require(args.length >= n && args.length <= m,
         s"CALL system.$proc: expected $n${if (m > n) s"-$m" else ""} " +
@@ -745,6 +752,13 @@ final class GraftSession private (val spark: SparkSession) {
         val statsPath = IcebergWrite.computePartitionStats(
           spark, icebergPathOf(str(0)))
         Seq(statsPath).toDF("statistics_path")
+      case "compute_table_stats" =>
+        arity(1, 2)
+        val statsPath = IcebergWrite.computeTableStats(
+          spark, icebergPathOf(str(0)),
+          columns = strOpt(1).toSeq.flatMap(_.split(",")).map(_.trim)
+            .filter(_.nonEmpty))
+        Seq(statsPath).toDF("statistics_path")
       case "rollback_to_snapshot" | "set_current_snapshot" =>
         arity(2, 2)
         IcebergWrite.setCurrentSnapshot(icebergPathOf(str(0)), num(1))
@@ -793,6 +807,7 @@ final class GraftSession private (val spark: SparkSession) {
         s"unknown procedure: CALL system.$other (known: rewrite_data_files/" +
           "compact, rewrite_manifests, rewrite_position_deletes, convert_equality_deletes, add_files, " +
           "expire_snapshots, remove_orphan_files, compute_partition_stats, " +
+          "compute_table_stats, " +
           "rollback_to_snapshot/set_current_snapshot, create_tag, " +
           "create_branch, drop_ref, fast_forward, cherrypick_snapshot, " +
           "upgrade_format_version, create_changelog_view)")

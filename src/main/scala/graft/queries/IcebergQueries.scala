@@ -1105,6 +1105,35 @@ object IcebergQueries {
       .orderBy("partition")
   }
 
+  /** TABLE STATISTICS Puffin file (spec "Table statistics",
+    * [[graft.sources.IcebergWrite]] `computeTableStats` / CALL
+    * `compute_table_stats` / `ANALYZE TABLE`): exact per-column NDV
+    * blobs in a registered Puffin file, served by the `.statistics`
+    * relation with the payload cross-checked against the blob's `ndv`
+    * property. The oracle recomputes each distinct count from nation. */
+  val icebergTableStats = dfQ("iceberg_table_stats",
+    """SELECT 'n_name' AS col_name, CAST(COUNT(DISTINCT n_name) AS BIGINT) AS ndv
+      |FROM nation
+      |UNION ALL
+      |SELECT 'n_nationkey', CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+      |FROM nation
+      |UNION ALL
+      |SELECT 'n_regionkey', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+      |FROM nation
+      |ORDER BY col_name""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_tstats_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    graft.sources.IcebergWrite.create(s, dir, nation.schema)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.computeTableStats(s, dir)
+    IcebergIO.tableStats(s, dir)
+      .select(col("column").as("col_name"), col("ndv"))
+      .orderBy("col_name")
+  }
+
   /** Table SORT ORDER ([[graft.sources.IcebergWrite]] `setSortOrder`):
     * the writer range-distributes + sorts new files on the declared
     * key, so per-file bounds are tight and disjoint and a range
@@ -1819,7 +1848,7 @@ object IcebergQueries {
     icebergSqlAlter,
     icebergRewriteManifests, icebergRollback,
     icebergDropColumn, icebergRenameColumn, icebergWidenColumn,
-    icebergDefaultValues, icebergPartitionStats,
+    icebergDefaultValues, icebergPartitionStats, icebergTableStats,
     icebergNameMapping,
     icebergBranchWap,
     icebergSortOrder, icebergZorder, icebergPartitionEvolution,

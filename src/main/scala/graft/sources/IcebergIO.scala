@@ -107,7 +107,12 @@ object IcebergIO {
       // (snapshot-id, statistics-path) — written by
       // [[IcebergWrite.computePartitionStats]], served by
       // [[partitionStats]] without a manifest walk
-      partitionStatistics: Seq[(Long, String)] = Seq.empty)
+      partitionStatistics: Seq[(Long, String)] = Seq.empty,
+      // spec "Table statistics": registered Puffin statistics files as
+      // (snapshot-id, statistics-path) — written by
+      // [[IcebergWrite.computeTableStats]] (exact per-column NDV blobs),
+      // served by [[tableStats]]
+      statisticsFiles: Seq[(Long, String)] = Seq.empty)
 
   /** One v3 default-valued column: spec "Default values" — `initial`
     * (`initial-default`) is what rows written BEFORE the field existed
@@ -379,9 +384,9 @@ object IcebergIO {
       else Seq.empty
     val lastUpdatedMs: Long =
       if (root.has("last-updated-ms")) root.get("last-updated-ms").asLong() else 0L
-    val partitionStatistics: Seq[(Long, String)] =
-      if (root.has("partition-statistics"))
-        root.get("partition-statistics").elements().asScala.map(e =>
+    def statsList(field: String): Seq[(Long, String)] =
+      if (root.has(field))
+        root.get(field).elements().asScala.map(e =>
           (e.get("snapshot-id").asLong(),
             e.get("statistics-path").asText())).toSeq
       else Seq.empty
@@ -390,7 +395,8 @@ object IcebergIO {
       schema, fieldIdsOf(root), partitionFields, mdFile, refs,
       snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds,
       sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs,
-      defaultsOf(root, schema, properties), partitionStatistics)
+      defaultsOf(root, schema, properties),
+      statsList("partition-statistics"), statsList("statistics"))
   }
 
   // ------------------------------------------------- field-id resolution
@@ -2355,6 +2361,51 @@ object IcebergIO {
       .orderBy("spec_id", "partition")
   }
 
+  private[graft] val tableStatsSchema: StructType =
+    StructType(Seq(
+        StructField("column", StringType, nullable = true),
+        StructField("field_id", IntegerType, nullable = true),
+        StructField("blob_type", StringType, nullable = true),
+        StructField("ndv", LongType, nullable = true)))
+
+  /** The `.statistics` metadata table: the registered Puffin statistics
+    * file's blobs for the current snapshot (spec "Table statistics",
+    * written by [[IcebergWrite.computeTableStats]]) — one row per NDV
+    * blob with the payload VALIDATED against the blob's `ndv` property
+    * (a stats file whose payload and footer disagree is corruption, not
+    * data). Loud when no stats are registered for the snapshot. */
+  def tableStats(spark: SparkSession, tablePath: String): DataFrame =
+    tableStatsOf(spark, loadMetadata(tablePath), tablePath, None)
+
+  private[sources] def tableStatsOf(spark: SparkSession, meta: TableMetadata,
+                                    tablePath: String,
+                                    snapshotId: Option[Long]): DataFrame = {
+    val snap = snapshotOf(meta, snapshotId, tablePath)
+    val path = meta.statisticsFiles
+      .collectFirst { case (sid, p) if sid == snap.snapshotId => p }
+      .getOrElse(throw new IllegalStateException(
+        s"no statistics file registered for snapshot ${snap.snapshotId} " +
+          s"of $tablePath — run IcebergWrite.computeTableStats " +
+          "(CALL system.compute_table_stats / ANALYZE TABLE) after the " +
+          "latest commit"))
+    val rows = PuffinIO.readFooter(path)
+      .filter(_.blobType == PuffinIO.NdvBlobType)
+      .map { b =>
+        val ndv = PuffinIO.parseNdvPayload(
+          PuffinIO.readBlobBytes(path, b.offset, b.length))
+        val fromProps = b.properties.get("ndv").map(_.toLong)
+        require(fromProps.forall(_ == ndv),
+          s"stats blob payload/property mismatch in $path: " +
+            s"payload $ndv vs property ${fromProps.get}")
+        val fid = b.fields.headOption.getOrElse(-1)
+        Row(meta.fieldById.getOrElse(fid, null), fid, b.blobType, ndv)
+      }
+      .sortBy(r => Option(r.getString(0)).getOrElse(""))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      tableStatsSchema)
+  }
+
   /** Schema of a metadata relation kind without touching the table. */
   private[graft] def metaSchema(kind: String): StructType = kind match {
     case "history"    => historySchema
@@ -2374,6 +2425,7 @@ object IcebergIO {
     case "metadata_log_entries" => metadataLogSchema
     case "position_deletes"     => positionDeletesSchema
     case "partition_stats"      => partitionStatsSchema
+    case "statistics"           => tableStatsSchema
     case other => throw new IllegalArgumentException(
       s"unknown Iceberg metadata relation: $other")
   }

@@ -133,6 +133,8 @@ object IcebergMetaScan {
         IcebergIO.positionDeletesOf(spark, meta, m.tablePath, pinned)
       case "partition_stats" =>
         IcebergIO.partitionStatsOf(spark, meta, m.tablePath, pinned)
+      case "statistics" =>
+        IcebergIO.tableStatsOf(spark, meta, m.tablePath, pinned)
       case other => throw new IllegalArgumentException(
         s"unknown Iceberg metadata relation: $other")
     }

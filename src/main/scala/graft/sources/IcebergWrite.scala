@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, isnan, lit, max, min, regexp_replace, shiftleft, shiftright, sum, when}
+import org.apache.spark.sql.functions.{approx_count_distinct, coalesce, col, count, countDistinct, isnan, lit, max, min, regexp_replace, shiftleft, shiftright, sum, when}
 import org.apache.spark.sql.types._
 
 /**
@@ -1710,6 +1710,99 @@ object IcebergWrite {
       e.put("statistics-path", to)
       e.put("file-size-in-bytes",
         GraftFs.status(to).map(_.getLen).getOrElse(0L))
+      publish(metaDir, priorVersion + 1, newRoot)
+    } catch {
+      case t: Throwable =>
+        GraftFs.delete(to, recursive = false); throw t
+    }
+    to
+  }
+
+  /** Compute and REGISTER a table-statistics Puffin file for the current
+    * snapshot (spec "Table statistics"): per-column distinct counts
+    * (NDV) over the table's LIVE rows (merge-on-read — deletes applied),
+    * one [[PuffinIO.NdvBlobType]] blob per column with the count in both
+    * the payload and the blob's `ndv` property (the spec's stats-blob
+    * convention), recorded in table metadata's `statistics` list.
+    * Readers ([[IcebergIO.tableStats]], the `.statistics` relation)
+    * serve NDV without touching a data file — what a cost-based planner
+    * or a dedup-rate monitor reads at 100-TB scale.
+    *
+    * `approximate = true` swaps the exact `count(distinct)` for
+    * HyperLogLog (`approx_count_distinct`) — the realistic choice at
+    * very large scale (exact NDV of a high-cardinality column is a
+    * corpus-sized shuffle); the blob layout is identical. Defaults to
+    * exact, which is what the DuckDB oracle replays. Either way it is
+    * ONE aggregate job over the selected columns. Complex-typed columns
+    * (arrays/structs/maps/binary) are skipped unless explicitly named
+    * (then rejected loudly). Returns the statistics path. */
+  def computeTableStats(spark: SparkSession, tablePath: String,
+                        columns: Seq[String] = Nil,
+                        approximate: Boolean = false): String = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    val snap = meta.currentSnapshotId
+      .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot compute table stats of an empty table: $tablePath"))
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+      case _ => true
+    }
+    val cols: Seq[String] =
+      if (columns.isEmpty) meta.schema.fields.toSeq
+        .filter(f => atomic(f.dataType)).map(_.name)
+      else {
+        columns.foreach { c =>
+          require(meta.schema.fieldNames.contains(c),
+            s"unknown column '$c' (have: ${meta.schema.fieldNames.mkString(", ")})")
+          require(atomic(meta.schema(c).dataType),
+            s"column '$c' has a complex type (${meta.schema(c).dataType}) — " +
+              "NDV stats cover atomic types only")
+        }
+        columns
+      }
+    require(cols.nonEmpty, "no atomic columns to compute stats for")
+    val aggs = cols.map { c =>
+      (if (approximate) approx_count_distinct(col(c))
+       else countDistinct(col(c))).cast("long").as(c)
+    }
+    val row = IcebergIO.read(spark, tablePath).agg(aggs.head, aggs.tail: _*)
+      .head()
+    val idByName = meta.fieldById.map(_.swap)
+    val blobs = cols.zipWithIndex.map { case (c, i) =>
+      val ndv = row.getLong(i)
+      PuffinIO.Blob(PuffinIO.NdvBlobType, PuffinIO.ndvPayload(ndv),
+        Map("ndv" -> ndv.toString), fields = Seq(idByName(c)))
+    }
+    val metaDir = GraftFs.child(tablePath, "metadata")
+    val to = GraftFs.child(metaDir,
+      s"table-stats-${snap.snapshotId}-" +
+        s"${java.util.UUID.randomUUID().toString.take(8)}.puffin")
+    PuffinIO.writePuffin(to, blobs, snap.snapshotId, snap.sequenceNumber)
+    try {
+      val newRoot = root.deepCopy()
+      val arr = arrayNode(newRoot, "statistics")
+      val kept = (0 until arr.size).map(arr.get)
+        .filterNot(_.get("snapshot-id").asLong == snap.snapshotId)
+      arr.removeAll()
+      kept.foreach(arr.add)
+      val e = arr.addObject()
+      e.put("snapshot-id", snap.snapshotId)
+      e.put("statistics-path", to)
+      e.put("file-size-in-bytes", GraftFs.status(to).map(_.getLen).getOrElse(0L))
+      e.put("file-footer-size-in-bytes", PuffinIO.footerSize(to))
+      val bm = e.putArray("blob-metadata")
+      blobs.foreach { b =>
+        val n = bm.addObject()
+        n.put("type", b.blobType)
+        n.put("snapshot-id", snap.snapshotId)
+        n.put("sequence-number", snap.sequenceNumber)
+        val fa = n.putArray("fields")
+        b.fields.foreach(fa.add)
+        val props = n.putObject("properties")
+        b.properties.foreach { case (k, v) => props.put(k, v) }
+      }
       publish(metaDir, priorVersion + 1, newRoot)
     } catch {
       case t: Throwable =>

@@ -44,11 +44,46 @@ object PuffinIO {
   private val mapper = new ObjectMapper()
 
   final case class BlobMeta(blobType: String, offset: Long, length: Long,
-                            properties: Map[String, String])
+                            properties: Map[String, String],
+                            fields: Seq[Int] = Nil)
 
-  /** One blob to write: type + payload bytes + footer properties. */
+  /** One blob to write: type + payload bytes + footer properties +
+    * the schema field ids the blob describes (spec blob metadata
+    * `fields` — empty for deletion vectors, the stats-blob convention
+    * is one source field per NDV blob). */
   final case class Blob(blobType: String, payload: Array[Byte],
-                        properties: Map[String, String])
+                        properties: Map[String, String],
+                        fields: Seq[Int] = Nil)
+
+  /** graft's exact-NDV statistics blob (custom type — the spec lets
+    * readers skip unknown blob types; the standard theta-sketch type
+    * requires the DataSketches library, which a zero-dependency engine
+    * deliberately avoids): payload = 8-byte LITTLE-ENDIAN distinct
+    * count + CRC-32 (BE) over those 8 bytes, `ndv` repeated in the blob
+    * properties (the spec's convention for stats consumers that never
+    * open payloads). */
+  val NdvBlobType = "graft-ndv-exact-v1"
+
+  def ndvPayload(ndv: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12)
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(ndv)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bb.array(), 0, 8)
+    bb.order(java.nio.ByteOrder.BIG_ENDIAN).putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  def parseNdvPayload(bytes: Array[Byte]): Long = {
+    require(bytes.length == 12, s"ndv blob must be 12 bytes, got ${bytes.length}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val ndv = bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val stored = bb.order(java.nio.ByteOrder.BIG_ENDIAN).getInt(8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 0, 8)
+    require(crc.getValue.toInt == stored,
+      f"ndv blob CRC mismatch: stored $stored%08x != computed ${crc.getValue.toInt}%08x")
+    ndv
+  }
 
   /** Serialize a position bitmap as a `deletion-vector-v1` blob payload
     * (length + magic + portable vector + crc). */
@@ -113,7 +148,8 @@ object PuffinIO {
       blobs.zip(located).foreach { case (b, (off, len)) =>
         val n = arr.addObject()
         n.put("type", b.blobType)
-        n.putArray("fields")
+        val fieldsArr = n.putArray("fields")
+        b.fields.foreach(fieldsArr.add)
         // DV blobs: the owning commit is the manifest's business
         n.put("snapshot-id", if (b.blobType == DvBlobType) -1L else snapshotId)
         n.put("sequence-number", if (b.blobType == DvBlobType) -1L else seq)
@@ -176,9 +212,34 @@ object PuffinIO {
           val props = Option(n.get("properties")).map { p =>
             p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
           }.getOrElse(Map.empty[String, String])
+          val fields = Option(n.get("fields")).toSeq
+            .flatMap(_.elements().asScala).map(_.asInt()).toSeq
           BlobMeta(n.get("type").asText(), n.get("offset").asLong(),
-            n.get("length").asLong(), props)
+            n.get("length").asLong(), props, fields)
         }.toSeq
+    } finally in.close()
+  }
+
+  /** Byte size of the file's FOOTER (FooterMagic + payload + size +
+    * flags + Magic) — what the table metadata's statistics entry records
+    * as `file-footer-size-in-bytes`. */
+  def footerSize(path: String,
+                 conf: org.apache.hadoop.conf.Configuration = GraftFs.conf())
+      : Long = {
+    val len = GraftFs.status(path, conf).map(_.getLen).getOrElse(
+      throw new java.io.FileNotFoundException(path))
+    val in = GraftFs.openSeekable(path, conf)
+    try {
+      val b = new Array[Byte](4)
+      in.seek(len - 12)
+      var got = 0
+      while (got < 4) {
+        val r = in.read(b, got, 4 - got)
+        require(r >= 0, s"unexpected EOF reading $path"); got += r
+      }
+      val payloadSize = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      payloadSize.toLong + 16L // Magic + payload + size(4) + flags(4) + Magic
     } finally in.close()
   }
 

@@ -2336,6 +2336,60 @@ class IcebergWriteSpec extends AnyFunSuite {
       ("name=null", 0L, 1L, 1)))
   }
 
+  test("table statistics: NDV blobs, stale-loud, ANALYZE/CALL, approx") {
+    val dir = s"$root/tstats"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 2.0)), dir)
+
+    val e0 = intercept[IllegalStateException](
+      IcebergIO.tableStats(spark, dir).collect())
+    assert(e0.getMessage.contains("compute_table_stats"), e0.getMessage)
+
+    val p1 = IcebergWrite.computeTableStats(spark, dir)
+    assert(p1.endsWith(".puffin") && p1.contains("/metadata/table-stats-"))
+    val s1 = IcebergIO.tableStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(s1 === Map("id" -> 3L, "name" -> 2L, "score" -> 2L))
+
+    // DELETED rows leave the NDV (live-row semantics, not raw-file)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 3L)
+    val e1 = intercept[IllegalStateException](
+      IcebergIO.tableStats(spark, dir).collect()) // stale -> loud
+    assert(e1.getMessage.contains("no statistics"), e1.getMessage)
+    IcebergWrite.computeTableStats(spark, dir)
+    assert(IcebergIO.tableStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+      === Map("id" -> 2L, "name" -> 1L, "score" -> 2L))
+
+    // column subset + unknown/complex-type guards
+    IcebergWrite.computeTableStats(spark, dir, columns = Seq("name"))
+    assert(IcebergIO.tableStats(spark, dir).collect().length === 1)
+    intercept[IllegalArgumentException](
+      IcebergWrite.computeTableStats(spark, dir, columns = Seq("nope")))
+
+    // approximate mode writes the same blob layout (HLL estimate of a
+    // 2-distinct column is exact)
+    IcebergWrite.computeTableStats(spark, dir, approximate = true)
+    assert(IcebergIO.tableStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+      === Map("id" -> 2L, "name" -> 1L, "score" -> 2L))
+
+    // SQL surfaces: ANALYZE TABLE + CALL + the live `_statistics` view
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("tstats_t", dir, metadataTables = true)
+    assert(g.sql("ANALYZE TABLE tstats_t COMPUTE STATISTICS FOR COLUMNS name")
+      .collect().head.getString(0).contains("table-stats-"))
+    assert(g.sql("SELECT col_name, ndv FROM " +
+        "(SELECT column AS col_name, ndv FROM tstats_t_statistics)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("name", 1L)))
+    assert(g.sql("CALL system.compute_table_stats('tstats_t', 'id, score')")
+      .collect().head.getString(0).contains("table-stats-"))
+    assert(g.sql("SELECT count(*) FROM tstats_t_statistics")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("partition statistics: SQL view + CALL + partition evolution") {
     val dir = s"$root/pstats_sql"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
