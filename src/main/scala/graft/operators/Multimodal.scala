@@ -33,6 +33,19 @@ case class ImageFeatures(
     sum_g: Long,
     sum_b: Long)
 
+/** A nearest-neighbor-resized image: stats of the RESIZED frame plus
+  * the losslessly re-encoded payload (PNG). */
+case class ResizedImage(
+    media_id: Long,
+    src_width: Long,
+    src_height: Long,
+    width: Long,
+    height: Long,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    content: Array[Byte])
+
 /** Perceptual difference-hash of a decoded image, split into two 32-bit
   * halves so neither engine touches the BIGINT sign bit. */
 case class ImageDHash(
@@ -203,6 +216,57 @@ object Multimodal {
         }
         ImageFeatures(rec.media_id, w.toLong, h.toLong,
           img.getRaster.getNumBands.toLong, sr, sg, sb)
+      }
+    }
+  }
+
+  /**
+   * NEAREST-NEIGHBOR image resize — the vision-training preprocessing
+   * step (every pipeline normalizes images to a fixed input size before
+   * feature extraction). Decode (real codec, `ImageIO.read`), sample
+   * destination pixel (x, y) from source pixel
+   * `(x·srcW div dstW, y·srcH div dstH)` — EXACT integer index math, no
+   * interpolation kernel, no float — then RE-ENCODE losslessly (PNG)
+   * and emit the resized frame's channel sums. The index math being
+   * pure integer division is what lets a codec-free engine replay the
+   * whole op over a closed-form pixel grid (the `mm_resize_nn` oracle);
+   * bilinear/bicubic kernels would put floats between the engines.
+   * Runs in `mapPartitions` like [[decodeImages]]: per-image work only,
+   * embarrassingly parallel at any corpus size.
+   */
+  def resizeImages(media: Dataset[MediaRecord], dstW: Int,
+                   dstH: Int): Dataset[ResizedImage] = {
+    require(dstW >= 1 && dstH >= 1, "target dimensions must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.content))
+        require(img != null, s"undecodable image payload for media_id=${rec.media_id}")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < dstH) {
+          val sy = y * sh / dstH
+          var x = 0
+          while (x < dstW) {
+            val rgb = img.getRGB(x * sw / dstW, sy)
+            out.setRGB(x, y, rgb)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(out, "png", buf),
+          "no png image writer available in this JDK")
+        ResizedImage(rec.media_id, sw.toLong, sh.toLong,
+          dstW.toLong, dstH.toLong, sr, sg, sb, buf.toByteArray)
       }
     }
   }

@@ -896,6 +896,74 @@ object Similarity {
   }
 
   /**
+   * BINARY QUANTIZATION codes — the third member of the quantization
+   * family (PQ, SQ8, BQ): one SIGN BIT per dimension, packed into
+   * ceil(d/32) 32-bit words (32-bit ints keep both engines clear of the
+   * BIGINT sign bit; XOR/bit_count are sign-agnostic so bit 31 of an
+   * int is safe). 64-dim float vectors compress 256 bytes → 8: the
+   * cheapest index FAISS ships, and the distance (Hamming = number of
+   * differing signs) is pure integer bit arithmetic — exact
+   * cross-engine by construction. Word w, bit b covers dimension
+   * 32·w + b; set iff x > 0 (zeros code as 0 — the sign convention the
+   * oracle replays as `x > 0`).
+   */
+  private def bqCodes(vec: Column, d: Int): Column = {
+    val nWords = (d + 31) / 32
+    val words = (0 until nWords).map { w =>
+      val bits = math.min(32, d - w * 32)
+      (0 until bits).foldLeft(lit(0)) { (acc, b) =>
+        acc.bitwiseOR(
+          when(element_at(vec, w * 32 + b + 1) > lit(0f),
+            lit(1 << b)).otherwise(lit(0)))
+      }
+    }
+    array(words: _*)
+  }
+
+  /**
+   * Hamming top-k over binary-quantized vectors: queries (selected by
+   * `queryPred`) broadcast against the packed corpus codes, distance =
+   * one XOR + popcount fold over the word arrays (64 dims = 2 ints per
+   * row), ties broken on neighbor id. Returns (qid, nid, hdist). The
+   * production first stage of a two-stage search — see
+   * [[bqRerankTopK]]; at 10⁹ vectors the code table is 8 GB where the
+   * floats are 256 GB, which is the point.
+   */
+  def bqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0)
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val coded = emb.select(col(idCol).cast("long").as("id"),
+      bqCodes(col(vecCol), d).as("code"))
+    val queries = coded.filter(queryPred)
+      .select(col("id").as("qid"), col("code").as("qcode"))
+    // GOTCHA: Spark's bit_count SIGN-EXTENDS an int argument to long
+    // before counting — a negative 32-bit XOR word would gain 32
+    // phantom high bits. Mask to the unsigned 32-bit value first.
+    val scored = broadcast(queries).join(coded, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        aggregate(zip_with(col("qcode"), col("code"),
+            (a, b) => bit_count(a.bitwiseXOR(b).cast("long")
+              .bitwiseAND(lit(0xFFFFFFFFL)))),
+          lit(0L), (acc, x) => acc + x).as("hdist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("hdist"), col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("hdist"))
+  }
+
+  /** Two-stage BQ search: Hamming shortlist, exact micro-integer L2
+    * re-rank to the final k — the standard recall-recovery shape
+    * ([[sq8RerankTopK]]'s twin on the cheaper index). */
+  def bqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: org.apache.spark.sql.Column, k: Int,
+                   shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    exactRerank(emb, idCol, vecCol, queryPred, k,
+      bqTopK(emb, idCol, vecCol, queryPred, shortlist))
+  }
+
+  /**
    * Exact cosine RANGE search (FAISS `range_search` parity): every
    * corpus row whose cosine with the query is ≥ `minCos` — the
    * radius-based companion of [[cosineTopK]] (dedup wants "everything

@@ -1197,6 +1197,41 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Nearest-neighbor resize ([[Multimodal.resizeImages]]): real
+    * decode → exact-integer NN sampling (destination (x, y) reads
+    * source `(x·w div 5, y·h div 6)`) → lossless re-encode. The oracle
+    * replays the index math over the closed-form synthetic pixel
+    * formulas on the 5×6 destination grid — valid precisely because NN
+    * resize is pure integer division (an interpolating kernel would put
+    * float arithmetic between the engines). */
+  val mmResizeNn = dfQ("mm_resize_nn",
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      |  FROM documents WHERE doc_id < 64
+      |),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h,
+      |    (sx.x * d.w) // 5 AS srcx, (sy.y * d.h) // 6 AS srcy
+      |  FROM dims d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 4)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 5)) AS y) sy
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(MAX(w) AS BIGINT) AS src_width, CAST(MAX(h) AS BIGINT) AS src_height,
+      |  CAST(5 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+      |  CAST(SUM((doc_id*31 + srcx*7 + srcy*13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id*17 + srcx*11 + srcy*5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id*29 + srcx*3 + srcy*19) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    bench = false) { (s, _) =>
+    Multimodal.resizeImages(
+        Multimodal.pngMedia(s.table("documents"), maxId = 64), 5, 6)
+      .toDF()
+      .select("media_id", "src_width", "src_height", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
   /** The dHash pipeline replayed in SQL over a closed-form pixel grid:
     * per-pixel gray (r+g+b of the synthetic formulas, with an optional
     * perturbation CASE), block sums into the 9x8 grid
@@ -1908,6 +1943,61 @@ object PipelineQueries {
     * vec_id < 8: each of the 64 dimensions compressed to one byte
     * against corpus min/max bounds — the cheapest compressed index
     * (training is one aggregate). Exact BIGINT arithmetic end to end. */
+  /** Shared CTE chain for the BQ entries: sign-bit Hamming distance
+    * computed directly from the floats (`(a>0) <> (b>0)` per dim) —
+    * semantically identical to the packed-word XOR/popcount the Spark
+    * side runs, without replicating the bit packing. */
+  private val bqCtes =
+    """WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |ham AS (
+      |  SELECT q.id AS qid, n.id AS nid,
+      |    CAST(list_sum(list_transform(list_zip(q.v, n.v),
+      |      p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END))
+      |      AS BIGINT) AS hdist
+      |  FROM e q JOIN e n ON n.id <> q.id
+      |  WHERE q.id < 8),
+      |ranked AS (SELECT qid, nid, hdist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hdist, nid) AS rn
+      |  FROM ham)""".stripMargin
+
+  /** Binary-quantization Hamming top-k ([[Similarity.bqTopK]]): one
+    * sign bit per dimension packed into 32-bit words Spark-side
+    * (256 B → 8 B per vector — the cheapest index in the quantization
+    * family), distance = XOR + popcount. The oracle computes the same
+    * Hamming distance from the raw floats — exact equivalence is the
+    * definition of the code. */
+  val embedBqHamming = dfQ("embed_bq_hamming", bqCtes + """
+      |SELECT qid, nid, hdist FROM ranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    Similarity.bqTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10)
+      .orderBy("qid", "nid")
+  }
+
+  /** Two-stage BQ search ([[Similarity.bqRerankTopK]]): 50-candidate
+    * Hamming shortlist, exact micro-integer L2 re-rank to the top-10 —
+    * the recall-recovery production shape on the cheapest index. */
+  val embedBqRerank = dfQ("embed_bq_rerank", bqCtes + """,
+      |short AS (SELECT qid, nid FROM ranked WHERE rn <= 50),
+      |m AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |rr AS (
+      |  SELECT s.qid, s.nid,
+      |    CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      |  FROM short s JOIN m q ON q.id = s.qid JOIN m n ON n.id = s.nid),
+      |rranked AS (SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+      |  FROM rr)
+      |SELECT qid, nid, d2 FROM rranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    Similarity.bqRerankTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, shortlist = 50)
+      .orderBy("qid", "nid")
+  }
+
   val embedSq8Adc = dfQ("embed_sq8_adc", sq8Ctes +
     """,
       |ranked AS (SELECT qid, nid, adist,
@@ -1971,10 +2061,11 @@ object PipelineQueries {
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
+    embedBqHamming, embedBqRerank,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf,
     textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
-    mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup,
+    mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     aggTopkSketch)
 }
