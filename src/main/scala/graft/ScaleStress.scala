@@ -48,7 +48,12 @@ object ScaleStress {
     // round-14: substring dedup (one corpus-wide shuffle on the window
     // hash + per-doc island windows) and SQ8 ADC (bounds agg + linear
     // scan) — both must scale ~linearly in corpus size
-    "dedup_substring", "embed_sq8_adc")
+    "dedup_substring", "embed_sq8_adc",
+    // round-14 third session: NB classify (token-grain shuffle + V×L
+    // broadcast model), TF-IDF (two token-grain aggregates + per-doc
+    // window), BQ Hamming (8 broadcast queries × linear corpus scan) —
+    // all must scale ~linearly in corpus rows
+    "text_nb_classify", "text_tfidf_keywords", "embed_bq_hamming")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

@@ -84,6 +84,18 @@ case class AudioFeatures(
     min_sample: Long,
     max_sample: Long)
 
+/** A nearest-neighbor-resampled audio clip: stats of the RESAMPLED
+  * samples plus the re-encoded 16-bit mono WAV at the target rate. */
+case class ResampledAudio(
+    media_id: Long,
+    src_rate: Long,
+    dst_rate: Long,
+    n_samples: Long,
+    sum_samples: Long,
+    min_sample: Long,
+    max_sample: Long,
+    content: Array[Byte])
+
 /**
  * Multimodal-column handling: treat image/audio/video payloads as opaque
  * `binary` columns with typed metadata, and run decode / feature-extract
@@ -609,6 +621,73 @@ object Multimodal {
           fmt.getChannels.toLong, bits.toLong,
           n.toLong / fmt.getChannels, sum,
           if (n == 0) 0L else mn, if (n == 0) 0L else mx)
+      }
+    }
+  }
+
+  /**
+   * NEAREST-NEIGHBOR audio resample — the rate-normalization step every
+   * audio-training pipeline runs (batch to one sample rate before
+   * featurization). Decode (real RIFF/PCM codec), output sample j reads
+   * input sample `j·srcRate div dstRate` (output length
+   * `n·dstRate div srcRate`) — EXACT integer index math like
+   * [[resizeImages]], no interpolation filter, so a codec-free engine
+   * replays it over the closed-form sample grid — then RE-ENCODE as a
+   * 16-bit mono WAV at the target rate. Mono 16-bit PCM_SIGNED (the
+   * fixture envelope); per-clip work only, `mapPartitions`-parallel.
+   */
+  def resampleAudio(media: Dataset[MediaRecord],
+                    dstRate: Int): Dataset[ResampledAudio] = {
+    require(dstRate >= 1, "target sample rate must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.content))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"undecodable audio payload for media_id=${rec.media_id}", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media_id=${rec.media_id}: resample supports 16-bit mono " +
+            s"PCM_SIGNED, got ${fmt.getEncoding}/${fmt.getSampleSizeInBits}" +
+            s"-bit/${fmt.getChannels}ch")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        def sampleAt(i: Int): Int =
+          if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+          else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+        val srcRate = fmt.getSampleRate.toLong
+        val m = (n.toLong * dstRate / srcRate).toInt
+        val out = new Array[Byte](m * 2)
+        var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+        var j = 0
+        while (j < m) {
+          val s = sampleAt((j.toLong * srcRate / dstRate).toInt)
+          out(2 * j) = (s & 0xff).toByte
+          out(2 * j + 1) = ((s >> 8) & 0xff).toByte
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          j += 1
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          dstRate.toFloat, 16, 1, 2, dstRate.toFloat, false)
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), outFmt, m.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, buf): Unit
+        ResampledAudio(rec.media_id, srcRate, dstRate.toLong, m.toLong,
+          sum, if (m == 0) 0L else mn, if (m == 0) 0L else mx,
+          buf.toByteArray)
       }
     }
   }

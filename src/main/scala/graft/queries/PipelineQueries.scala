@@ -1481,6 +1481,35 @@ object PipelineQueries {
       .orderBy("media_id")
   }
 
+  /** Nearest-neighbor audio resample ([[Multimodal.resampleAudio]]):
+    * 8 kHz fixtures resampled to 16 kHz through the real WAV codec —
+    * output sample j reads input `j·8000 div 16000 = j div 2`, exact
+    * integer, so the oracle replays the index math over the closed-form
+    * sample grid (like the image-resize twin; an interpolating
+    * resampler would put float filter taps between the engines). */
+  val mmResampleAudio = dfQ("mm_resample_audio",
+    """WITH t AS (SELECT doc_id, 64 + doc_id % 64 AS n
+      |           FROM documents WHERE doc_id < 64),
+      |u AS (SELECT doc_id, n, unnest(generate_series(0, 2*n - 1)) AS j FROM t),
+      |s AS (SELECT doc_id,
+      |        (doc_id*31 + (j // 2)*17) % 65536 - 32768 AS smp FROM u)
+      |SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS src_rate,
+      |  CAST(16000 AS BIGINT) AS dst_rate,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
+      |  CAST(MIN(smp) AS BIGINT) AS min_sample,
+      |  CAST(MAX(smp) AS BIGINT) AS max_sample
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    bench = false) { (s, _) =>
+    Multimodal.resampleAudio(
+        Multimodal.wavMedia(s.table("documents"), maxId = 64), 16000)
+      .toDF()
+      .select("media_id", "src_rate", "dst_rate", "n_samples",
+        "sum_samples", "min_sample", "max_sample")
+      .orderBy("media_id")
+  }
+
   /** REAL multi-frame (video-shape) decode through the JDK's animated-GIF
     * reader: synthesize a deterministic grayscale animation per doc_id
     * (frame count + every pixel are a closed form of the id), walk every
@@ -2067,5 +2096,6 @@ object PipelineQueries {
     textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
+    mmResampleAudio,
     aggTopkSketch)
 }

@@ -1518,6 +1518,12 @@ object IcebergWrite {
     }
     filterArray("snapshots", "snapshot-id")
     filterArray("snapshot-log", "snapshot-id")
+    // statistics files of expired snapshots are unreachable (the reader
+    // looks up stats by CURRENT snapshot id) — drop their entries so
+    // removeOrphanFiles can sweep the files (it keeps every path the
+    // metadata still registers)
+    filterArray("statistics", "snapshot-id")
+    filterArray("partition-statistics", "snapshot-id")
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
     expired.size
   }
@@ -1564,6 +1570,12 @@ object IcebergWrite {
         case None => s.manifests.foreach(refManifest)
       }
     }
+    // registered statistics files (table + partition stats) are metadata
+    // the manifest walk never sees — keep them while an entry points at
+    // them (expireSnapshots drops the entries of expired snapshots, so
+    // their files become sweepable then)
+    meta.statisticsFiles.foreach { case (_, p) => ref(p) }
+    meta.partitionStatistics.foreach { case (_, p) => ref(p) }
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def keepByName(n: String): Boolean =
       n.endsWith(".metadata.json") || n == "version-hint.text" ||

@@ -2390,6 +2390,36 @@ class IcebergWriteSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
   }
 
+  test("statistics files survive removeOrphanFiles while registered, sweep after expire") {
+    val dir = s"$root/stats_gc"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val t1 = IcebergWrite.computeTableStats(spark, dir)
+    val p1 = IcebergWrite.computePartitionStats(spark, dir)
+    // registered stats files must NOT be swept (they're metadata the
+    // manifest walk never references)
+    val removed1 = IcebergWrite.removeOrphanFiles(dir, Long.MaxValue)
+    assert(!removed1.exists(r => r.endsWith(".puffin") ||
+      r.contains("partition-stats-")), removed1.mkString(", "))
+    assert(GraftFs.exists(t1) && GraftFs.exists(p1))
+    assert(IcebergIO.tableStats(spark, dir).count() === 3)
+
+    // a new commit + recompute strands the OLD stats entries' snapshot;
+    // expire drops the stale entries, making the old files sweepable
+    IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    IcebergWrite.computeTableStats(spark, dir)
+    IcebergWrite.computePartitionStats(spark, dir)
+    assert(IcebergWrite.expireSnapshots(dir, Long.MaxValue) === 1)
+    // removed paths carry the walk's `file:` scheme — compare suffixes
+    val removed2 = IcebergWrite.removeOrphanFiles(dir, Long.MaxValue)
+      .map(_.stripPrefix("file:"))
+    assert(removed2.contains(t1) && removed2.contains(p1),
+      removed2.mkString(", "))
+    // the CURRENT snapshot's stats are intact
+    assert(IcebergIO.tableStats(spark, dir).count() === 3)
+    assert(IcebergIO.partitionStats(spark, dir).count() === 1)
+  }
+
   test("partition statistics: SQL view + CALL + partition evolution") {
     val dir = s"$root/pstats_sql"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))

@@ -584,6 +584,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(up.find(_.media_id == 13L).get.sum_r == expUp)
   }
 
+  test("resampleAudio: NN indices exact, re-encoded WAV decodes to same stats") {
+    import graft.operators.{MediaRecord, Multimodal}
+    val docsDf = Seq((5L, "t", "en", "s"), (13L, "t", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val media = Multimodal.wavMedia(docsDf, maxId = 64)
+    val up = Multimodal.resampleAudio(media, 16000).collect().sortBy(_.media_id)
+    assert(up.map(_.media_id).toSeq == Seq(5L, 13L))
+    // local truth for id 13: n = 64 + 13 % 64 samples, m = 2n, j reads j/2
+    val id = 13L
+    val n = (64 + id % 64).toInt
+    def smp(i: Int): Long = (id * 31 + i * 17) % 65536 - 32768
+    val expSum = (0 until 2 * n).map(j => smp(j / 2)).sum
+    val got13 = up.find(_.media_id == 13L).get
+    assert(got13.n_samples == 2L * n && got13.sum_samples == expSum)
+    assert(got13.src_rate == 8000L && got13.dst_rate == 16000L)
+    // the emitted content is a REAL WAV at the target rate: re-decoding
+    // through decodeAudio reproduces the emitted stats exactly
+    import spark.implicits._
+    val reDecoded = Multimodal.decodeAudio(
+      spark.createDataset(up.map(r => MediaRecord(
+        r.media_id, "audio", r.content, "resampled", r.content.length.toLong)).toSeq))
+      .collect().map(f => f.media_id -> f).toMap
+    up.foreach { r =>
+      val f = reDecoded(r.media_id)
+      assert(f.sample_rate == 16000L && f.n_samples == r.n_samples &&
+        f.sum_samples == r.sum_samples && f.min_sample == r.min_sample &&
+        f.max_sample == r.max_sample, s"round-trip diverges for ${r.media_id}")
+    }
+    // DOWNSAMPLE: 8 kHz -> 2 kHz keeps every 4th sample
+    val down = Multimodal.resampleAudio(media, 2000).collect()
+      .find(_.media_id == 13L).get
+    val expDown = (0 until n / 4).map(j => smp(j * 4)).sum
+    assert(down.n_samples == (n / 4).toLong && down.sum_samples == expDown)
+  }
+
   test("decodeImages handles LOSSY JPEG through the codec-generic path") {
     import graft.operators.Multimodal
     // dims survive exactly; channel sums land near the closed form —

@@ -315,6 +315,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("text_nb_classify plan: model joins broadcast, one doc-keyed argmax window") {
+    val p = planOf("text_nb_classify")
+    // every model table (labels, class-token counts, priors) is V×L
+    // bounded and must BROADCAST — a sort-merge join against the token
+    // stream would shuffle the corpus once per model table
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
+    val p = planOf("text_tfidf_keywords")
+    // corpus size attaches as a BROADCAST 1-row aggregate (its final
+    // single-partition exchange holds one row per upstream partition —
+    // benign); the tf/df join and the per-doc top-k window are the only
+    // wide stages — never a cartesian
+    assert(p.contains("IdentityBroadcastMode"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("embed_bq_hamming plan: packed queries broadcast, corpus streams") {
+    val p = planOf("embed_bq_hamming")
+    // the code table streams map-side against the broadcast query side
+    // (the point of an 8-byte code: the scan is cheap and linear); a
+    // corpus shuffle or cartesian here defeats the index
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
   test("DDL type normalization maps reference types to Spark types") {
     import graft.ExternalTableDdl.normalizeTypes
     assert(normalizeTypes("(a VARCHAR, b VARCHAR(10), c TEXT)")
