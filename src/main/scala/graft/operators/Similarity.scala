@@ -952,6 +952,45 @@ object Similarity {
       .select(col("qid"), col("nid"), col("hdist"))
   }
 
+  /**
+   * BQ ANN as a STREAM-SAFE enrichment — the broadcast-fold serving
+   * twin of [[bqTopK]] ([[sq8AnnEnrich]]'s shape on the cheapest
+   * index): the corpus is sign-packed ONCE and collapsed into one
+   * broadcast array of (id, code) rows; each incoming query row packs
+   * its own code and folds the array to its top-k map-side — pure
+   * projections over a broadcast, so the SAME operator runs on a batch
+   * frame or an append-mode stream, bit-equal to bqTopK (identical
+   * masked XOR/popcount, same (hdist, nid) tie-break via the struct
+   * sort). Scale note: one executor holds all codes — 4·ceil(d/32)
+   * bytes/vector, ~1 GB per 10⁹ 64-dim vectors, the RAM-resident-index
+   * point of BQ; past that, shard the corpus array and merge
+   * per-shard top-k. */
+  def bqAnnEnrich(queries: DataFrame, idCol: String, vecCol: String,
+                  corpus: DataFrame, corpusIdCol: String,
+                  corpusVecCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
+    val codedArr = corpus
+      .select(struct(col(corpusIdCol).cast("long").as("id"),
+        bqCodes(col(corpusVecCol), d).as("code")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("corpus"))
+    val withQ = queries.select(col(idCol).cast("long").as("qid"),
+        bqCodes(col(vecCol), d).as("qcode"))
+      .crossJoin(broadcast(codedArr))
+    val scored = transform(col("corpus"), c => struct(
+      aggregate(zip_with(col("qcode"), c.getField("code"),
+          (a, b) => bit_count(a.bitwiseXOR(b).cast("long")
+            .bitwiseAND(lit(0xFFFFFFFFL)))),
+        lit(0L), (acc, x) => acc + x).as("hdist"),
+      c.getField("id").as("nid")))
+    val kept = filter(scored, s => s.getField("nid") =!= col("qid"))
+    withQ
+      .withColumn("__top", slice(sort_array(kept), 1, k))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__rank", "s")))
+      .select(col("qid"), col("s").getField("nid").as("nid"),
+        col("s").getField("hdist").as("hdist"))
+  }
+
   /** Two-stage BQ search: Hamming shortlist, exact micro-integer L2
     * re-rank to the final k — the standard recall-recovery shape
     * ([[sq8RerankTopK]]'s twin on the cheaper index). */

@@ -2027,6 +2027,20 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** The broadcast-fold (serving-shape / stream-safe) BQ form against
+    * the SAME oracle as `embed_bq_hamming`: one broadcast packed-codes
+    * array folded per query row — a different physical plan that must
+    * be bit-identical (and runs unchanged on an append-mode stream,
+    * StreamingSpec-proved). */
+  val embedBqEnrich = dfQ("embed_bq_enrich", bqCtes + """
+      |SELECT qid, nid, hdist FROM ranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    val emb = s.table("embeddings")
+    Similarity.bqAnnEnrich(emb.filter(col("vec_id") < 8), "vec_id",
+        "embedding", emb, "vec_id", "embedding", k = 10)
+      .orderBy("qid", "nid")
+  }
+
   val embedSq8Adc = dfQ("embed_sq8_adc", sq8Ctes +
     """,
       |ranked AS (SELECT qid, nid, adist,
@@ -2090,7 +2104,7 @@ object PipelineQueries {
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
-    embedBqHamming, embedBqRerank,
+    embedBqHamming, embedBqRerank, embedBqEnrich,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf,
     textHashedScore, textBpeTrain, textBpeApply,

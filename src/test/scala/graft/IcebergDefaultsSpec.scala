@@ -222,6 +222,48 @@ class IcebergDefaultsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("another engine"), e.getMessage)
   }
 
+  test("CDC changelog over a defaulted table: injected values ride change rows") {
+    val dir = s"$root/cdc"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0)), dir)
+    IcebergWrite.addColumnWithDefault(dir, "tier", IntegerType,
+      default = 5, writeDefault = Some(9))
+    IcebergWrite.append(df((3L, "c", 3.0)), dir)  // write-default 9
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L) // pre-add row
+    val ch = IcebergIO.readChangelog(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(4),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).sorted.toSeq
+    // snapshot-1 inserts read the injected initial-default; the omitted
+    // append's insert reads write-default; the DELETE row of a PRE-ADD
+    // file carries the injected default too (the before/after diff
+    // routes through the same injecting read)
+    assert(ch === Seq((1L, "delete", 5), (1L, "insert", 5),
+      (2L, "insert", 5), (3L, "insert", 9)))
+  }
+
+  test("snapshot stream over a defaulted table: pre-add batches inject") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = s"$root/stream"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.addColumnWithDefault(dir, "tier", IntegerType,
+      default = 5, writeDefault = Some(9))
+    // stream starts AFTER the evolution — replays snapshot 1 (pre-add
+    // file: initial-default injected) then the live append (writer-
+    // filled write-default)
+    val stream = graft.streaming.StreamingOps.icebergSnapshotStream(spark, dir)
+    val q = stream.writeStream.format("memory").queryName("def_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.append(df((2L, "b", 2.0)), dir)
+      q.processAllAvailable()
+      val got = spark.table("def_stream").collect()
+        .map(r => r.getLong(0) -> r.getInt(3)).sorted.toSeq
+      assert(got === Seq(1L -> 5, 2L -> 9))
+    } finally q.stop()
+  }
+
   test("pruning stays sound: pre-add files have no bounds and are kept") {
     val dir = s"$root/prune"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)

@@ -159,6 +159,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming BQ ANN enrich: append-mode Hamming top-k equals batch") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val batch = graft.operators.Similarity.bqTopK(
+        emb, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("id") < 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val queryRows: Seq[(Long, Seq[Float])] = emb
+      .filter("vec_id < 4").select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    in.addData(queryRows.take(2))
+    val enriched = graft.operators.Similarity.bqAnnEnrich(
+      in.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5)
+    assert(enriched.isStreaming)
+    val q = enriched.writeStream.format("memory").queryName("bq_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      in.addData(queryRows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bq_enrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
   test("streaming asof enrich applies latest per-key reference state") {
     import spark.implicits._
     import StreamingOps.EnrichInput
