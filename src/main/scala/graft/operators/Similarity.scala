@@ -1003,6 +1003,33 @@ object Similarity {
   }
 
   /**
+   * MATRYOSHKA (prefix-dimension) two-stage search — the MRL serving
+   * shape (Kusupati et al. 2022): embeddings trained with matryoshka
+   * representation learning rank usefully under their first m
+   * dimensions, so stage 1 scans only the m-dim PREFIX (exact
+   * micro-integer L2 — m/d of the flat-scan cost, the dimensionality
+   * analog of the SQ8/BQ code shrink) and stage 2 re-ranks the
+   * shortlist at full dimension. Both stages are the exact-integer
+   * envelope, so the whole search is SQL-replayable. When
+   * `prefixDims = d`, stage 1 IS the exact search and the result is
+   * invariant to the shortlist size (spec-pinned). */
+  def matryoshkaTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: org.apache.spark.sql.Column, k: Int,
+                     prefixDims: Int, shortlist: Int): DataFrame = {
+    require(k > 0 && shortlist >= k, "need k >= 1 and shortlist >= k")
+    require(prefixDims >= 1, "prefixDims must be >= 1")
+    val q = microVecs(emb, idCol, vecCol)
+    val pre = q.select(col("id"), expr(s"slice(qv, 1, $prefixDims)").as("pv"))
+    val queries = pre.filter(queryPred)
+      .select(col("id").as("qid"), col("pv").as("qpv"))
+    val scored = broadcast(queries).join(pre, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        aggregate(zip_with(col("qpv"), col("pv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("adist"))
+    exactRerank(emb, idCol, vecCol, queryPred, k, pqTopKSelect(scored, shortlist))
+  }
+
+  /**
    * Exact cosine RANGE search (FAISS `range_search` parity): every
    * corpus row whose cosine with the query is ≥ `minCos` — the
    * radius-based companion of [[cosineTopK]] (dedup wants "everything

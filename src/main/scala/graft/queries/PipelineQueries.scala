@@ -2027,6 +2027,42 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** Matryoshka two-stage search ([[Similarity.matryoshkaTopK]]): the
+    * first 16 of 64 dimensions drive a cheap exact-prefix shortlist of
+    * 50, full-dimension exact re-rank to the top-10 — both stages in
+    * the micro-integer envelope, replayed verbatim by the oracle
+    * (prefix = `qv[1:16]` list slice). */
+  val embedMatryoshka = dfQ("embed_matryoshka",
+    """WITH m AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pre AS (SELECT id, qv[1:16] AS pv FROM m),
+      |pdist AS (
+      |  SELECT q.id AS qid, n.id AS nid,
+      |    CAST(list_sum(list_transform(list_zip(q.pv, n.pv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adist
+      |  FROM pre q JOIN pre n ON n.id <> q.id
+      |  WHERE q.id < 8),
+      |short AS (SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+      |    FROM pdist) WHERE rn <= 50),
+      |rr AS (
+      |  SELECT s.qid, s.nid,
+      |    CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+      |  FROM short s JOIN m q ON q.id = s.qid JOIN m n ON n.id = s.nid),
+      |rranked AS (SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+      |  FROM rr)
+      |SELECT qid, nid, d2 FROM rranked WHERE rn <= 10
+      |ORDER BY qid, nid""".stripMargin, bench = false) { (s, _) =>
+    Similarity.matryoshkaTopK(s.table("embeddings"), "vec_id", "embedding",
+        col("id") < 8, k = 10, prefixDims = 16, shortlist = 50)
+      .orderBy("qid", "nid")
+  }
+
   /** The broadcast-fold (serving-shape / stream-safe) BQ form against
     * the SAME oracle as `embed_bq_hamming`: one broadcast packed-codes
     * array folded per query row — a different physical plan that must
@@ -2104,7 +2140,7 @@ object PipelineQueries {
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
     embedIvfRecallTrained, embedIvfRecallCurve, embedPqAdc, embedPqRerank, embedPqEnrich, embedIvfPq,
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
-    embedBqHamming, embedBqRerank, embedBqEnrich,
+    embedBqHamming, embedBqRerank, embedBqEnrich, embedMatryoshka,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf,
     textHashedScore, textBpeTrain, textBpeApply,

@@ -546,6 +546,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r100 >= 55 && r100 >= r50, s"rerank@100 recall $r100/80")
   }
 
+  test("matryoshkaTopK: full prefix is shortlist-invariant; prefix-16 recall") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // prefixDims = d makes stage 1 the exact search — the result must
+    // not depend on the shortlist width
+    val full10 = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        col("id") < 8, k = 10, prefixDims = 64, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full50 = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        col("id") < 8, k = 10, prefixDims = 64, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full10 === full50)
+    // unit-norm corpus: exact L2 ranking == exact cosine ranking
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("id") < 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full10.map(t => (t._1, t._2)) === exact)
+    // prefix-16 shortlist-50: these embeddings are NOT matryoshka-
+    // trained (near-random), so the prefix is a random 16-dim
+    // projection — recall is the JL-style baseline, pinned loosely
+    val m16 = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        col("id") < 8, k = 10, prefixDims = 16, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = m16.intersect(exact).size
+    assert(rec >= 25, s"prefix-16 recall $rec/80")
+  }
+
   test("resizeImages: NN sampling exact, re-encoded PNG decodes to same stats") {
     import graft.operators.Multimodal
     val docsDf = Seq((3L, "t", "en", "s"), (13L, "t", "en", "s"))
