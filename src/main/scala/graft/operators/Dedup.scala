@@ -233,6 +233,54 @@ object Dedup {
       .select(col("a").as("a_id"), col("b").as("b_id"), round(col("jac"), 6).as("jac"))
   }
 
+  /** CROSS-CORPUS MinHash near-dup detection — dedupe corpus A AGAINST
+    * corpus B at document grain (the train-vs-benchmark decontamination
+    * shape: which training docs near-duplicate an eval doc; the
+    * substring-grain companion is
+    * [[graft.operators.Curation.decontaminateSpans]]). Same LSH
+    * machinery as [[minhashNearDups]], but candidates come from a
+    * LEFT-keys × RIGHT-keys bucket join — only cross-side pairs are ever
+    * generated, and within-side duplicates are never compared. Returns
+    * (left_id, right_id, jac) at jac ≥ threshold; ids may collide across
+    * corpora (they are independent keyspaces). Scale note: a flood of
+    * byte-identical docs on ONE side makes its buckets large — run
+    * [[collapseExact]] per side first when that is a real shape (the
+    * same discipline minhashNearDups bakes in). */
+  def minhashNearDupsAgainst(left: DataFrame, leftIdCol: String,
+                             leftTextCol: String,
+                             right: DataFrame, rightIdCol: String,
+                             rightTextCol: String,
+                             numBands: Int = 6, rowsPerBand: Int = 3,
+                             shingleN: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    // each shingle set feeds band keys + the Jaccard intersection + its
+    // size aggregate — persist per side, same rationale as the self form
+    val shL = shingles(left, leftIdCol, leftTextCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shR = shingles(right, rightIdCol, rightTextCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kL = minhashBandKeys(shL, numBands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("a"))
+    val kR = minhashBandKeys(shR, numBands, rowsPerBand)
+      .select(col("band"), col("band_key"), col("id").as("b"))
+    val cands = kL.join(kR, Seq("band", "band_key"))
+      .select("a", "b").distinct()
+    val inter = cands
+      .join(shL.select(col("id").as("a"), col("sh")), "a")
+      .join(shR.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(shL.groupBy("id").agg(count(lit(1)).as("n_a"))
+        .select(col("id").as("a"), col("n_a")), "a")
+      .join(shR.groupBy("id").agg(count(lit(1)).as("n_b"))
+        .select(col("id").as("b"), col("n_b")), "b")
+      .withColumn("jac", col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a").as("left_id"), col("b").as("right_id"),
+        round(col("jac"), 6).as("jac"))
+  }
+
   /** SimHash: 16-bit fingerprint; bit i is the sign of the token-weighted
     * sum of bit i of md5(token) (high bit of hex nibble i). Identical
     * duplicates collide; near-duplicates land within small Hamming

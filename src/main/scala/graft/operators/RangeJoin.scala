@@ -59,6 +59,42 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /**
+   * INTERVAL-OVERLAP join — both sides are intervals, matching when
+   * `[a_lo, a_hi] ∩ [b_lo, b_hi] ≠ ∅` (inclusive bounds; the
+   * genomics/temporal "range overlap" shape). Same binning idea as
+   * [[pointInterval]], with the classic de-duplication trick for
+   * two exploded sides: a pair of overlapping intervals meets in EVERY
+   * shared bin, so the pair is emitted only from the bin containing
+   * `max(a_lo, b_lo)` — the overlap's left edge, which lies in exactly
+   * one bin. One hash shuffle per side on the bin id, no post-join
+   * distinct (which would need a full extra shuffle at scale), never a
+   * nested-loop. Inverted intervals (lo > hi) match nothing.
+   */
+  def intervalOverlap(left: DataFrame, lLoCol: String, lHiCol: String,
+                      right: DataFrame, rLoCol: String, rHiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlap inputs must have disjoint column names, shared: " +
+        shared.mkString(", "))
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "intervalOverlap inputs must not contain a __bin column (reserved)")
+    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi))
+        .withColumn("__bin", explode(sequence(
+          binStart(col(lo), binWidth), binStart(col(hi), binWidth),
+          lit(binWidth))))
+    explodeBins(left, lLoCol, lHiCol)
+      .join(explodeBins(right, rLoCol, rHiCol), Seq("__bin"))
+      // overlap check + emit-once: only the bin holding the overlap's
+      // left edge keeps the pair
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bin") === binStart(greatest(col(lLoCol), col(rLoCol)), binWidth))
+      .drop("__bin")
+  }
+
   /** The start of the bin containing `a` — `a - (a mod w)` with positive
     * mod, so it floors correctly for negative values too. Used as the bin
     * id directly: pure integer arithmetic (no division, no double

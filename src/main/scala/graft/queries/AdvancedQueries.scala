@@ -132,6 +132,47 @@ object AdvancedQueries {
       .orderBy("o_orderkey")
   }
 
+  private val overlapOracle =
+    """WITH a AS (
+      |  SELECT o_orderkey AS a_key,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a_lo,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3 AS a_hi
+      |  FROM orders WHERE o_orderkey < 60),
+      |b AS (
+      |  SELECT o_orderkey AS b_key,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS b_lo,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 5 AS b_hi
+      |  FROM orders WHERE o_orderkey >= 60 AND o_orderkey < 160)
+      |SELECT a.a_key AS a_key, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+      |  CAST(MIN(b.b_key) AS BIGINT) AS first_b
+      |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Interval-OVERLAP join (both sides are ranges — the
+    * genomics/temporal shape): binned equi-join with the
+    * emit-once-from-the-overlap's-left-edge-bin rule, never a
+    * nested-loop and never a dedup shuffle; the oracle is the plain
+    * theta join. */
+  val joinIntervalOverlap = dfQ("join_interval_overlap", overlapOracle,
+    bench = false) { (s, _) =>
+    def days(c: org.apache.spark.sql.Column) =
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val a = s.table("orders").filter(col("o_orderkey") < 60)
+      .select(col("o_orderkey").as("a_key"),
+        days(col("o_orderdate")).as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + 3)
+    val b = s.table("orders")
+      .filter(col("o_orderkey") >= 60 && col("o_orderkey") < 160)
+      .select(col("o_orderkey").as("b_key"),
+        days(col("o_orderdate")).as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + 5)
+    RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+        binWidth = 4)
+      .groupBy("a_key")
+      .agg(count(lit(1)).as("n_overlaps"), min("b_key").as("first_b"))
+      .orderBy("a_key")
+  }
+
   // ---- deterministic sampling / splits --------------------------------
 
   /** Portable deterministic doc hash bucket ∈ [0, 10): md5 of the id's
@@ -223,7 +264,7 @@ object AdvancedQueries {
       |ORDER BY lang, metric""".stripMargin)
 
   val all: Seq[Q] = Seq(
-    joinAsof, joinAsofFwd, joinAsofTol, joinRange,
+    joinAsof, joinAsofFwd, joinAsofTol, joinRange, joinIntervalOverlap,
     sampleHash, sampleSplit, sampleStratified,
     fnExplode, aggPivot, aggUnpivot)
 }

@@ -152,12 +152,45 @@ object PipelineQueries {
     "WITH " + minhashCtes +
       "\nSELECT a_id, b_id, jac FROM pairsj ORDER BY a_id, b_id"
 
+  /** The CROSS-corpus twin of [[minhashCtes]]: identical shingle/band
+    * machinery over the whole documents table, with candidate pairs
+    * drawn LEFT(doc_id < 250) × RIGHT(doc_id >= 250) instead of the
+    * self-join — one targeted rewrite of the `cand` CTE keeps the two
+    * oracles from drifting apart. */
+  private val minhashCrossOracle = "WITH " + minhashCtes.replace(
+    """cand AS (
+      |  SELECT DISTINCT a.id AS a, b.id AS b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      |),""".stripMargin,
+    """cand AS (
+      |  SELECT DISTINCT a.id AS a, b.id AS b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |  WHERE a.id < 250 AND b.id >= 250
+      |),""".stripMargin) +
+    "\nSELECT a_id AS left_id, b_id AS right_id, jac FROM pairsj " +
+    "ORDER BY left_id, right_id"
+
   /** MinHash(18 hashes) + LSH(6 bands × 3 rows) near-dedup, candidates
     * bucket-local, verified by exact shingle Jaccard ≥ 0.5. */
   val dedupMinhash = dfQ("dedup_minhash", minhashOracle) { (s, _) =>
     Dedup.minhashNearDups(s.table("documents"), "doc_id", "text",
         numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Cross-corpus near-dup detection
+    * ([[Dedup.minhashNearDupsAgainst]]): which "training" docs
+    * (doc_id < 250) near-duplicate an "eval" doc (doc_id >= 250) — the
+    * doc-grain decontamination shape; candidates are LEFT × RIGHT
+    * bucket-local only (within-side duplicates never compared). */
+  val dedupCrossMinhash = dfQ("dedup_cross_minhash", minhashCrossOracle,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    Dedup.minhashNearDupsAgainst(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+      .orderBy("left_id", "right_id")
   }
 
   /** Transitive closure over the verified near-dup pairs: DuckDB
@@ -2134,7 +2167,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
-    dedupNgramJaccard, dedupSubstring, dedupSubstringStrip,
+    dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,

@@ -327,4 +327,27 @@ class AdvancedOpsSpec extends AnyFunSuite {
       .select("p", "iv").as[(Long, Int)].collect().sorted.toSeq
     assert(binned == theta)
   }
+
+  test("interval-overlap join matches a theta join exactly — no dup pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // negative bounds, touch-points, long spans crossing many bins,
+    // and inverted intervals (must match nothing) all mixed in
+    def ivs(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextLong() % 500
+      val hi = if (i % 11 == 0) lo - 1 else lo + rnd.nextInt(60)
+      (lo, hi, i)
+    }.toDF(s"${tag}_lo", s"${tag}_hi", s"${tag}_id")
+    val a = ivs(80, "a")
+    val b = ivs(120, "b")
+    val binned = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 16L)
+      .select("a_id", "b_id").as[(Int, Int)].collect().sorted.toSeq
+    val theta = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .filter(col("a_lo") <= col("a_hi") && col("b_lo") <= col("b_hi"))
+      .select("a_id", "b_id").as[(Int, Int)].collect().sorted.toSeq
+    assert(binned == theta)
+    // EXACT equality of sorted multisets above also proves emit-once:
+    // a duplicated pair would surface as a longer list
+    assert(binned.distinct.size == binned.size)
+  }
 }
