@@ -62,6 +62,24 @@ object Curation {
    * the broadcast semi-join, and only marked spans reach the per-doc
    * island windows. One reassembly shuffle on doc id. No all-pairs.
    */
+  /** DOC-grain near-dup decontamination: drop every training document
+    * whose shingle Jaccard with ANY eval document reaches `threshold`
+    * (the whole-doc companion of [[decontaminateSpans]], which excises
+    * sub-document overlaps; this one removes documents that are
+    * near-COPIES of an eval item). Candidates come from
+    * [[Dedup.minhashNearDupsAgainst]] — LEFT×RIGHT bucket-local LSH,
+    * never all-pairs — and the filter is one anti-join on the training
+    * id. Returns the surviving training docs unchanged. */
+  def decontaminateNearDups(train: DataFrame, idCol: String,
+                            textCol: String, eval: DataFrame,
+                            evalIdCol: String, evalTextCol: String,
+                            threshold: Double = 0.5): DataFrame = {
+    val hits = Dedup.minhashNearDupsAgainst(train, idCol, textCol,
+        eval, evalIdCol, evalTextCol, threshold = threshold)
+      .select(col("left_id").as(idCol)).distinct()
+    train.join(hits, Seq(idCol), "left_anti")
+  }
+
   def decontaminateSpans(docs: DataFrame, idCol: String, textCol: String,
                          isEval: Column, k: Int = 8): DataFrame = {
     val train = docs.filter(!isEval)

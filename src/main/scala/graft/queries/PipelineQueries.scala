@@ -193,6 +193,36 @@ object PipelineQueries {
       .orderBy("left_id", "right_id")
   }
 
+  /** Doc-grain near-dup decontamination
+    * ([[graft.operators.Curation.decontaminateNearDups]]): training =
+    * doc_id < 250, eval = doc_id >= 250; every training doc whose
+    * verified cross-corpus Jaccard reaches 0.5 is DROPPED — the oracle
+    * anti-joins the shared cross-pair chain. */
+  val curDecontaminateDocs = dfQ("cur_decontaminate_docs",
+    "WITH " + minhashCtes.replace(
+      """cand AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        |),""".stripMargin,
+      """cand AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.id < 250 AND b.id >= 250
+        |),""".stripMargin) + """
+      |SELECT d.doc_id, d.lang FROM documents d
+      |WHERE d.doc_id < 250
+      |  AND d.doc_id NOT IN (SELECT a_id FROM pairsj)
+      |ORDER BY d.doc_id""".stripMargin,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    Curation.decontaminateNearDups(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Transitive closure over the verified near-dup pairs: DuckDB
     * recursive CTE computes, per doc, the minimum id reachable through
     * the (symmetrized) pair graph — the same labeling
@@ -2168,6 +2198,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
+    curDecontaminateDocs,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,
