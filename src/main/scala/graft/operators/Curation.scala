@@ -62,6 +62,32 @@ object Curation {
    * the broadcast semi-join, and only marked spans reach the per-doc
    * island windows. One reassembly shuffle on doc id. No all-pairs.
    */
+  /** The distinct k-token window fingerprints of a corpus (the broadcast
+    * side of span decontamination): one row per distinct md5 over any
+    * doc's k-token window. Eval/benchmark sets are small by definition —
+    * collect this for [[graft.streaming.StreamingOps.decontaminateStream]]
+    * or let [[decontaminateSpans]] broadcast it internally. */
+  def evalFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8): DataFrame =
+    Dedup.windowFingerprints(docs, idCol, textCol, k)
+      .select(col("h")).distinct()
+
+  /** PER-ROW window-fingerprint array of one document — the streaming
+    * form of [[Dedup.windowFingerprints]]: same md5-over-k-token-window
+    * hashes as a single projection (no explode, no shuffle), so a
+    * contamination check against a broadcast fingerprint set stays
+    * append-mode-safe. Docs shorter than k tokens fingerprint to an
+    * empty array (GOTCHA: Spark `sequence(1, 0)` DESCENDS — the size
+    * gate is mandatory, not defensive). */
+  def windowFingerprintArray(text: Column, k: Int): Column = {
+    require(k >= 2, "window size k must be at least 2 tokens")
+    val w = split(lower(text), " ")
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - lit(k - 1)),
+        pos => md5(array_join(slice(w, pos, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** DOC-grain near-dup decontamination: drop every training document
     * whose shingle Jaccard with ANY eval document reaches `threshold`
     * (the whole-doc companion of [[decontaminateSpans]], which excises

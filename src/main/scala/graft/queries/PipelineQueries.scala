@@ -223,6 +223,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc contamination COUNT against an eval fingerprint set
+    * ([[graft.streaming.StreamingOps.decontaminateStream]] run on a
+    * batch frame — the SAME per-row projection serves the stream, so
+    * this oracle covers the deploy-time gate too): distinct 8-token
+    * window fingerprints each training doc (doc_id < 100) shares with
+    * the eval corpus (doc_id >= 400). */
+  val curDecontamCount = dfQ("cur_decontam_count",
+    """WITH toks AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents),
+      |wf AS (
+      |  SELECT id, unnest(generate_series(1, len(w) - 7)) AS pos, w
+      |  FROM toks WHERE len(w) >= 8),
+      |fp AS (SELECT id, md5(array_to_string(w[pos:pos+7], ' ')) AS h FROM wf),
+      |evalh AS (SELECT DISTINCT h FROM fp WHERE id >= 400),
+      |contam AS (
+      |  SELECT f.id, COUNT(DISTINCT f.h) AS n
+      |  FROM fp f JOIN evalh e ON e.h = f.h WHERE f.id < 100 GROUP BY f.id)
+      |SELECT t.id AS doc_id, CAST(COALESCE(c.n, 0) AS INT) AS n_contam_windows
+      |FROM (SELECT DISTINCT id FROM toks WHERE id < 100) t
+      |LEFT JOIN contam c ON c.id = t.id
+      |ORDER BY doc_id""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val evalFps = Curation.evalFingerprints(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", 8)
+      .collect().map(_.getString(0)).toSeq
+    graft.streaming.StreamingOps.decontaminateStream(
+        docs.filter(col("doc_id") < 100), "doc_id", "text", evalFps,
+        k = 8, maxContamWindows = Int.MaxValue)
+      .select(col("id").as("doc_id"), col("n_contam_windows"))
+      .orderBy("doc_id")
+  }
+
   /** Transitive closure over the verified near-dup pairs: DuckDB
     * recursive CTE computes, per doc, the minimum id reachable through
     * the (symmetrized) pair graph — the same labeling
@@ -2198,7 +2230,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
-    curDecontaminateDocs,
+    curDecontaminateDocs, curDecontamCount,
     dedupEmbedding, dedupSemantic, evUserStats, evSessionize, textWordcount,
     textBpeTokens,
     embedKnnBrute, embedAnnLsh, embedAnnRecall, embedIvf, embedKmeans,

@@ -213,6 +213,32 @@ object StreamingOps {
         col("quality"), Curation.piiRedact(col(textCol)).as("text"))
   }
 
+  /** Streaming benchmark-decontamination gate: drop (or count) arriving
+    * training documents that share k-token window fingerprints with a
+    * benchmark/eval set — the deploy-time twin of
+    * [[graft.operators.Curation.decontaminateSpans]]'s detection stage.
+    * The eval fingerprint set rides as a LITERAL array (benchmarks are
+    * small by definition — collect
+    * [[graft.operators.Curation.evalFingerprints]] once batch-side) and
+    * each arriving doc computes its own fingerprint array per row
+    * ([[graft.operators.Curation.windowFingerprintArray]] — no explode,
+    * no shuffle, no state), so the gate is append-mode-safe. Emits
+    * (id, n_contam_windows, text) for surviving docs, where
+    * `n_contam_windows` counts DISTINCT contaminated window fingerprints
+    * (array_intersect semantics — a repeated window counts once); docs
+    * above `maxContamWindows` drop (default 0 = any overlap drops). */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          evalFingerprints: Seq[String], k: Int = 8,
+                          maxContamWindows: Int = 0): DataFrame = {
+    val contam = size(array_intersect(
+      graft.operators.Curation.windowFingerprintArray(col(textCol), k),
+      typedLit(evalFingerprints)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), contam.as("n_contam_windows"),
+        col(textCol).as("text"))
+      .filter(col("n_contam_windows") <= maxContamWindows)
+  }
+
   case class KeyCount(key: String, n: Long)
 
   /** Tagged union row for [[asofEnrich]]: reference rows (`isRef=true`)

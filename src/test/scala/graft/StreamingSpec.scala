@@ -159,6 +159,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming decontamination gate matches a pure-Scala fingerprint replay") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8
+    // eval = the tail of the corpus; its distinct window fingerprints
+    // collect batch-side (benchmarks are small by definition)
+    val evalFps = graft.operators.Curation.evalFingerprints(
+        docsDf.filter("doc_id >= 400"), "doc_id", "text", k)
+      .collect().map(_.getString(0)).toSeq
+    assert(evalFps.nonEmpty)
+
+    // independent truth: tokenize + window + md5 in plain Scala
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fps(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length < k) Set.empty
+      else (0 to w.length - k).map(i => md5hex(w.slice(i, i + k).mkString(" "))).toSet
+    }
+    val evalSet = evalFps.toSet
+    val train = docsDf.filter("doc_id < 100").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = train.map { case (id, t) =>
+      id -> fps(t).intersect(evalSet).size
+    }.filter(_._2 == 0).map(_._1).toSet
+    assert(expected.size < train.length,
+      "fixture must contain at least one contaminated train doc")
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    in.addData(train.toIndexedSeq)
+    val gated = StreamingOps.decontaminateStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", evalFps, k)
+    assert(gated.isStreaming)
+    StreamingOps.runToMemory(gated, "decontam_stream", OutputMode.Append())
+    val got = spark.table("decontam_stream").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // the contamination COUNT matches the replay too (distinct
+    // fingerprints, not window positions)
+    val counted = StreamingOps.decontaminateStream(
+      spark.createDataFrame(train.toSeq).toDF("doc_id", "text"),
+      "doc_id", "text", evalFps, k, maxContamWindows = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    train.foreach { case (id, t) =>
+      assert(counted(id) === fps(t).intersect(evalSet).size, s"doc $id") }
+  }
+
   test("streaming BQ ANN enrich: append-mode Hamming top-k equals batch") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
