@@ -137,6 +137,29 @@ class ObjectStoreFsSpec extends AnyFunSuite {
     assert(IcebergIO.read(spark, table).count() === 1L)
   }
 
+  test("table + partition statistics verbs run entirely over grafttest://") {
+    val dir = s"$root/iceberg_fs_stats"
+    val table = gt(dir)
+    graft.sources.IcebergWrite.create(spark, table, st,
+      partitionCols = Seq("name"))
+    graft.sources.IcebergWrite.append(df, table)
+    // Puffin write + footer read-back + metadata publish all cross the
+    // scheme registry; the registered statistics-path carries it
+    val tstats = graft.sources.IcebergWrite.computeTableStats(spark, table)
+    // Hadoop prints authority-less URIs with a single slash
+    assert(tstats.startsWith(s"${GraftTestFileSystem.Scheme}:/"), tstats)
+    assert(IcebergIO.tableStats(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+      === Map("id" -> 3L, "name" -> 2L))
+    // partition stats: spark parquet write to a scheme'd tmp dir +
+    // rename + registered read-back
+    val pstats = graft.sources.IcebergWrite.computePartitionStats(spark, table)
+    assert(pstats.startsWith(s"${GraftTestFileSystem.Scheme}:/"), pstats)
+    assert(IcebergIO.partitionStats(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+      === Seq(("name=a", 1L), ("name=b", 1L), ("name=null", 1L)))
+  }
+
   test("Iceberg partition pruning via readWhere over grafttest://") {
     val dir = s"$root/iceberg_fs_prune"
     val w = new IcebergFixture.Writer(spark, dir, st,
