@@ -291,6 +291,41 @@ object Curation {
       .join(broadcast(bl), Seq("host"), "left_anti")
   }
 
+  /**
+   * URL CANONICALIZATION — the normalization a crawl pipeline applies
+   * before URL-grain dedup (the same page arrives as
+   * `HTTPS://Site.com/p/1?utm_source=x#frag` and
+   * `https://site.com/p/1`): strip the fragment, strip tracking query
+   * params (`utm_*`, `fbclid`, `gclid` — then repair dangling `?`/`&`
+   * separators), lowercase the scheme+host prefix (paths stay
+   * case-sensitive per the URL spec), and drop explicit default ports
+   * (`:80` for http, `:443` for https). Pure per-row string ops —
+   * regexp_replace / regexp_extract / substring — so the whole
+   * canonicalization replays exactly in SQL.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    // 1. fragment off first (params before it stay intact)
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // 2. tracking params out; a leading '?utm=..&id=1' leaves '&id=1' —
+    //    repair '?&'/'&&' and a trailing '?'/'&'
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    // the FIRST leftover '&' with no '?' before it becomes the '?' (the
+    // char class excludes both, so greediness can't skip past it)
+    val repaired = regexp_replace(
+      regexp_replace(noTrack, "^([^?&]*)&", "$1?"), "[?&]$", "")
+    // 3. lowercase exactly the scheme://host[:port] prefix
+    val prefix = regexp_extract(repaired, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(prefix),
+      substring(repaired, length(prefix) + 1, lit(1000000)))
+    // 4. default ports off the (now lowercase) prefix. NO lookahead —
+    //    DuckDB's RE2 has none; capture the tail instead (an unmatched
+    //    optional group substitutes empty in BOTH engines)
+    regexp_replace(regexp_replace(lowered,
+      "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+  }
+
   // ---- corpus-wide line-grain dedup ----------------------------------
 
   /**

@@ -179,7 +179,7 @@ object CurationQueries {
 
   val curPii = dfQ("cur_pii", piiOracle) { (s, _) =>
     val t = concat(col("text"), lit(" contact "), col("source"), lit("@ex"),
-      pmod(col("doc_id"), lit(7)).cast("string"), lit(".com via 10.0."),
+      pmod(expr("doc_id div 4"), lit(7)).cast("string"), lit(".com via 10.0."),
       pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 or 555-123-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
     s.table("documents").select(
@@ -257,6 +257,72 @@ object CurationQueries {
     Curation.domainFilter(withUrl, "url", blockedHosts)
       .select(col("doc_id"), col("host"))
       .orderBy("doc_id")
+  }
+
+  /** URL canonicalization ([[Curation.canonicalizeUrl]]): four messy
+    * variants per doc — uppercase scheme/host + default port + tracking
+    * params + fragment; a mid-query tracking param leaving a dangling
+    * '&'; an fbclid-only query; an already-clean URL — all normalized
+    * to one canonical form per page. The oracle replays every rewrite
+    * step in DuckDB (RE2 — the op deliberately avoids lookahead, and
+    * backreferences are `\1` there vs Spark's `$1`). The final count
+    * per canonical URL proves the dedup-by-canonical-URL use. */
+  val curUrlCanon = dfQ("cur_url_canon",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'HTTPS://Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |        || '.Example.com:443/P/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?utm_source=x&id=7#frag'
+      |      WHEN 1 THEN 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |        || '.example.com:80/P/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?utm_campaign=z&id=7&gclid=g'
+      |      WHEN 2 THEN 'https://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |        || '.example.com/P/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?fbclid=abc&id=7'
+      |      ELSE 'https://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |        || '.example.com/P/' || CAST(doc_id // 4 AS VARCHAR) || '?id=7'
+      |    END AS url FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+      |s2 AS (SELECT doc_id, regexp_replace(u,
+      |         '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g') AS u
+      |       FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(
+      |         regexp_replace(u, '^([^?&]*)&', '\1?'), '[?&]$', '') AS u
+      |       FROM s2),
+      |s4 AS (SELECT doc_id, u,
+      |         regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS p
+      |       FROM s3),
+      |s5 AS (SELECT doc_id, lower(p) || substr(u, len(p) + 1) AS u FROM s4),
+      |canon AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+      |    '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2'),
+      |    '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS canon
+      |  FROM s5)
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_variants
+      |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val url = concat(
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(
+        lit("HTTPS://Site"), pmod(expr("doc_id div 4"), lit(7)).cast("string"),
+        lit(".Example.com:443/P/"), expr("doc_id div 4").cast("string"),
+        lit("?utm_source=x&id=7#frag")))
+      .when(pmod(col("doc_id"), lit(4)) === 1, concat(
+        lit("http://site"), pmod(expr("doc_id div 4"), lit(7)).cast("string"),
+        lit(".example.com:80/P/"), expr("doc_id div 4").cast("string"),
+        lit("?utm_campaign=z&id=7&gclid=g")))
+      .when(pmod(col("doc_id"), lit(4)) === 2, concat(
+        lit("https://site"), pmod(expr("doc_id div 4"), lit(7)).cast("string"),
+        lit(".example.com/P/"), expr("doc_id div 4").cast("string"),
+        lit("?fbclid=abc&id=7")))
+      .otherwise(concat(
+        lit("https://site"), pmod(expr("doc_id div 4"), lit(7)).cast("string"),
+        lit(".example.com/P/"), expr("doc_id div 4").cast("string"),
+        lit("?id=7"))))
+    s.table("documents")
+      .select(Curation.canonicalizeUrl(url).as("canon"))
+      .groupBy("canon").agg(count(lit(1)).as("n_variants"))
+      .orderBy("canon")
   }
 
   /** Domain-weighted mixture oracle: the exact integer spec of
@@ -433,7 +499,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
-    curDomainFilter, curMixDomains, curMixSkew, curMixTokens,
+    curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup,
     pipeCurateMix)
 }

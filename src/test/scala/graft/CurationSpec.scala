@@ -291,4 +291,33 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L) // alpha_beta, beta_gamma
     assert(math.abs(r.getLong(2)) <= 2000L) // each weight in [-1000, 1000]
   }
+
+  test("canonicalizeUrl: edge cases the fixture corpus can't synthesize") {
+    import spark.implicits._
+    val cases = Seq(
+      // dangling '&' repair keys on the FIRST separator, not the last
+      ("https://a.com/p?utm_source=x&id=1&x=2", "https://a.com/p?id=1&x=2"),
+      // all params tracking -> query gone entirely
+      ("https://a.com/p?utm_a=1&gclid=2", "https://a.com/p"),
+      // path case preserved; only scheme://host lowercases
+      ("HTTPS://A.COM/CaseSensitive/Path", "https://a.com/CaseSensitive/Path"),
+      // default port dropped only for the matching scheme
+      ("https://a.com:443/p", "https://a.com/p"),
+      ("http://a.com:80/p", "http://a.com/p"),
+      ("https://a.com:8443/p", "https://a.com:8443/p"),
+      ("http://a.com:8080/p", "http://a.com:8080/p"),
+      // bare host with default port and nothing after it
+      ("https://a.com:443", "https://a.com"),
+      // fragment-only junk; no query at all
+      ("https://a.com/p#section", "https://a.com/p"),
+      // utm value containing '#'-free special chars
+      ("https://a.com/p?utm_source=a%20b&q=1", "https://a.com/p?q=1"),
+      // no scheme at all: prefix extract misses, string passes through
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g === want, s"input: $in") }
+  }
 }
