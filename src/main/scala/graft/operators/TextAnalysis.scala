@@ -446,6 +446,49 @@ object TextAnalysis {
     out
   }
 
+  /** GOPHER-style quality-rule bundle (Rae et al. 2021, the standard
+    * pre-training document filter set), reduced to EXACT-INTEGER per-row
+    * flags — every ratio rule is a cross-multiplication, so there is no
+    * float boundary for two engines to disagree on:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen]
+    *    (`minMeanLen·n ≤ Σlen ≤ maxMeanLen·n`);
+    *  - at least `minStopwords` DISTINCT stopwords present (the
+    *    "real prose" signal);
+    *  - ≥ 80% of words contain an alphabetic character (`5·alpha ≥ 4·n`);
+    *  - ≤ 10% pure-symbol words (`10·sym ≤ n`).
+    * Emits one row per doc with the inputs, each rule flag (int 0/1)
+    * and the composite `keep`. Pure per-row projection — apply as a
+    * batch filter or unchanged on an append-mode stream. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                         minStopwords: Int = 2): DataFrame = {
+    val w = tokens(col(textCol))
+    val n = size(w).cast("long")
+    val chars = aggregate(transform(w, x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nStop = size(array_intersect(array_distinct(w),
+      typedLit(stopwords))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = size(filter(w,
+      x => x =!= "" && !x.rlike("[a-zA-Z0-9]"))).cast("long")
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    val fWords = flag(n >= minWords && n <= maxWords)
+    val fMean = flag(chars >= lit(minMeanLen.toLong) * n &&
+      chars <= lit(maxMeanLen.toLong) * n)
+    val fStop = flag(nStop >= minStopwords)
+    val fAlpha = flag(nAlpha * 5 >= n * 4)
+    val fSym = flag(nSym * 10 <= n)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), n.as("n_words"), chars.as("n_chars"),
+        nStop.as("n_stopwords"),
+        fWords.as("flag_words"), fMean.as("flag_mean_len"),
+        fStop.as("flag_stopwords"), fAlpha.as("flag_alpha"),
+        fSym.as("flag_symbols"),
+        (fWords * fMean * fStop * fAlpha * fSym).as("keep"))
+  }
+
   /** TF-IDF keyword extraction: the top-k most characteristic tokens per
     * document — the classic content-tagging / topic-surfacing op of a
     * curation pipeline. `score = tf × idf` with the smoothed

@@ -1803,6 +1803,48 @@ object PipelineQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Gopher-style quality-rule bundle
+    * ([[TextAnalysis.gopherQualityFlags]]): every ratio rule as an
+    * exact-integer cross-multiplication — word-count bounds [30, 90],
+    * mean word length [4, 10], ≥ 2 distinct stopwords, ≥ 80%
+    * alphabetic words, ≤ 10% pure-symbol words — each flag and the
+    * composite keep replayed verbatim in SQL. */
+  val textGopher = dfQ("text_gopher_filter",
+    """WITH t AS (
+      |  SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+      |      AS n_stopwords,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM t),
+      |f AS (
+      |  SELECT id, n_words, n_chars, n_stopwords,
+      |    CASE WHEN n_words >= 30 AND n_words <= 90 THEN 1 ELSE 0 END
+      |      AS flag_words,
+      |    CASE WHEN n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |      THEN 1 ELSE 0 END AS flag_mean_len,
+      |    CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+      |    CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS flag_alpha,
+      |    CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS flag_symbols
+      |  FROM m)
+      |SELECT id, n_words, n_chars, n_stopwords, flag_words, flag_mean_len,
+      |  flag_stopwords, flag_alpha, flag_symbols,
+      |  flag_words * flag_mean_len * flag_stopwords * flag_alpha
+      |    * flag_symbols AS keep
+      |FROM f ORDER BY id""".stripMargin, bench = false) { (s, _) =>
+    TextAnalysis.gopherQualityFlags(s.table("documents"), "doc_id", "text",
+        minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 2)
+      .orderBy("id")
+  }
+
   /** Bigram-LM quality score: same exact-integer micro-nat envelope as
     * the unigram scorer, upgraded to conditional P(w2|w1) with add-one
     * smoothing over a (vocab+1)-bounded alphabet (OOV mapped FIRST so
@@ -2238,7 +2280,7 @@ object PipelineQueries {
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
     embedBqHamming, embedBqRerank, embedBqEnrich, embedMatryoshka,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf,
+    textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
     textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
