@@ -159,6 +159,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("gopher quality flags run unchanged on an append-mode stream") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docsDf.select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    in.addData(rows.toIndexedSeq)
+    // the SAME operator — a pure per-row projection — on the stream
+    val flagged = graft.operators.TextAnalysis.gopherQualityFlags(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10)
+    assert(flagged.isStreaming)
+    StreamingOps.runToMemory(flagged, "gopher_stream", OutputMode.Append())
+    val streamed = spark.table("gopher_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    val batch = graft.operators.TextAnalysis.gopherQualityFlags(
+        docsDf, "doc_id", "text",
+        minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(9)).toMap
+    assert(streamed.size === 40)
+    streamed.foreach { case (id, k) => assert(k === batch(id), s"doc $id") }
+  }
+
   test("streaming decontamination gate matches a pure-Scala fingerprint replay") {
     import spark.implicits._
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
