@@ -1845,6 +1845,54 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Quality-gate → exact-mixture composition: Gopher keep=1 survivors
+    * drawn into the domain-weighted mixture (en:3, others:1, total 7) —
+    * the whole two-stage pipeline as ONE SQL oracle (the gopher flag
+    * chain feeds the mixture's count/threshold/rank replay). */
+  val pipeGopherMix = dfQ("pipe_gopher_mix",
+    """WITH t AS (
+      |  SELECT doc_id AS id, lang, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT id, lang, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM t),
+      |kept AS (
+      |  SELECT id, lang FROM m
+      |  WHERE n_words >= 30 AND n_words <= 90
+      |    AND n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+      |    AND n_sym * 10 <= n_words),
+      |wt(lang, wv) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
+      |c AS (SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n, wv
+      |      FROM kept k JOIN wt ON k.lang = wt.lang GROUP BY k.lang, wv),
+      |tt AS (SELECT MIN(n * 7 // wv) AS tv FROM c),
+      |kp AS (SELECT lang, (tv * wv) // 7 AS keep FROM c, tt),
+      |r AS (SELECT k.lang, k.id,
+      |        ROW_NUMBER() OVER (PARTITION BY k.lang
+      |          ORDER BY md5(CAST(k.id AS VARCHAR)), k.id) AS rn
+      |      FROM kept k JOIN wt ON k.lang = wt.lang)
+      |SELECT r.lang, r.id AS doc_id FROM r JOIN kp ON r.lang = kp.lang
+      |WHERE rn <= keep
+      |ORDER BY 1, 2""".stripMargin, bench = false) { (s, _) =>
+    val flags = TextAnalysis.gopherQualityFlags(s.table("documents"),
+      "doc_id", "text", minWords = 30, maxWords = 90,
+      minMeanLen = 4, maxMeanLen = 10, minStopwords = 2)
+    val kept = s.table("documents").select(col("doc_id"), col("lang"))
+      .join(flags.filter(col("keep") === 1).select(col("id").as("doc_id")),
+        Seq("doc_id"))
+    Curation.mixDomains(kept, "lang", "doc_id",
+        Map("en" -> 3, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1))
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Bigram-LM quality score: same exact-integer micro-nat envelope as
     * the unigram scorer, upgraded to conditional P(w2|w1) with add-one
     * smoothing over a (vocab+1)-bounded alphabet (OOV mapped FIRST so
@@ -2281,6 +2329,7 @@ object PipelineQueries {
     embedBqHamming, embedBqRerank, embedBqEnrich, embedMatryoshka,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
+    pipeGopherMix,
     textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
