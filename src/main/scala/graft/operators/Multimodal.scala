@@ -496,7 +496,24 @@ object Multimodal {
     * multi-frame format the JDK can read (animated GIF in practice —
     * the JDK ships no real video codec, which is exactly why the
     * fixtures are GIF); an undecodable payload fails loudly. */
-  def decodeFrames(media: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
+  def decodeFrames(media: Dataset[MediaRecord]): Dataset[FrameFeatures] =
+    framesImpl(media, every = 1)
+
+  /** FRAME-RATE SAMPLING — the temporal downsampling step a video
+    * pipeline runs before featurization (train on every k-th frame, not
+    * all of them): identical decode path, but only frame indexes
+    * divisible by `every` are DECODED at all — the skip happens at the
+    * reader (indexes never passed to `read`), so the saved work is
+    * real, not a post-decode filter. `frame_idx` keeps the ORIGINAL
+    * index (temporal position survives sampling). */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   every: Int): Dataset[FrameFeatures] = {
+    require(every >= 1, "sampling stride must be >= 1")
+    framesImpl(media, every)
+  }
+
+  private def framesImpl(media: Dataset[MediaRecord],
+                         every: Int): Dataset[FrameFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
@@ -509,7 +526,7 @@ object Multimodal {
         val rd = readers.next()
         rd.setInput(iis)
         val n = rd.getNumImages(true) // force a full frame count scan
-        (0 until n).map { f =>
+        (0 until n by every).map { f =>
           val img = rd.read(f)
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L

@@ -1633,6 +1633,34 @@ object PipelineQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Frame-rate sampling ([[Multimodal.sampleFrames]]): every 2nd frame
+    * of each animated GIF through the REAL multi-frame decoder — the
+    * temporal downsampling a video pipeline runs; skipped indexes are
+    * never decoded, original frame indexes survive. Oracle = the frame
+    * oracle restricted to even indexes. */
+  val mmFrameSample = dfQ("mm_frame_sample",
+    """WITH t AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS nf, 8 + doc_id % 8 AS w,
+      |         8 + doc_id % 6 AS h
+      |  FROM documents WHERE doc_id < 32),
+      |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS fi
+      |      FROM t),
+      |px AS (
+      |  SELECT d.doc_id, d.fi, d.w, d.h, sx.x, sy.y
+      |  FROM f d
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) sx
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) sy)
+      |SELECT doc_id AS media_id, fi AS frame_idx,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(SUM((doc_id*31 + fi*59 + x*7 + y*13) % 256) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, fi ORDER BY media_id, frame_idx""".stripMargin,
+    bench = false) { (s, _) =>
+    Multimodal.sampleFrames(
+        Multimodal.gifMedia(s.table("documents"), maxId = 32), every = 2)
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** Heavy hitters via the SpaceSaving sketch (bounded memory, mergeable
     * — the 100 TB-safe way to get a token histogram without a full
     * shuffle of the vocabulary). Capacity 64 > the corpus vocabulary, so
@@ -2333,6 +2361,6 @@ object PipelineQueries {
     textHashedScore, textBpeTrain, textBpeApply,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
-    mmResampleAudio,
+    mmResampleAudio, mmFrameSample,
     aggTopkSketch)
 }
