@@ -245,23 +245,41 @@ object Dedup {
     * corpora (they are independent keyspaces). Scale note: a flood of
     * byte-identical docs on ONE side makes its buckets large — run
     * [[collapseExact]] per side first when that is a real shape (the
-    * same discipline minhashNearDups bakes in). */
+    * same discipline minhashNearDups bakes in), or cap with
+    * `maxBucket` (per-side bucket exclusion, audited by
+    * [[lshOversizeBuckets]] — a recall trade the caller opts into). */
   def minhashNearDupsAgainst(left: DataFrame, leftIdCol: String,
                              leftTextCol: String,
                              right: DataFrame, rightIdCol: String,
                              rightTextCol: String,
                              numBands: Int = 6, rowsPerBand: Int = 3,
                              shingleN: Int = 3,
-                             threshold: Double = 0.5): DataFrame = {
+                             threshold: Double = 0.5,
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
     // each shingle set feeds band keys + the Jaccard intersection + its
     // size aggregate — persist per side, same rationale as the self form
     val shL = shingles(left, leftIdCol, leftTextCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shR = shingles(right, rightIdCol, rightTextCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kL = minhashBandKeys(shL, numBands, rowsPerBand)
+    // `maxBucket` is the same safety valve as the self form's: a bucket
+    // holding B_l left ids and B_r right ids yields B_l·B_r candidate
+    // pairs, so a flood of near-identical docs on EITHER side can go
+    // quadratic. The cap applies PER SIDE (window over the bucket key,
+    // sharing the join's partitioning); audit the drops with
+    // [[lshOversizeBuckets]] on each side's band keys.
+    def capped(keys: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) keys
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_key")
+        keys.withColumn("__bucket_n", count(lit(1)).over(w))
+          .filter(col("__bucket_n") <= maxBucket)
+          .drop("__bucket_n")
+      }
+    val kL = capped(minhashBandKeys(shL, numBands, rowsPerBand))
       .select(col("band"), col("band_key"), col("id").as("a"))
-    val kR = minhashBandKeys(shR, numBands, rowsPerBand)
+    val kR = capped(minhashBandKeys(shR, numBands, rowsPerBand))
       .select(col("band"), col("band_key"), col("id").as("b"))
     val cands = kL.join(kR, Seq("band", "band_key"))
       .select("a", "b").distinct()

@@ -605,6 +605,37 @@ object TextAnalysis {
       .select(col("id"), col("label").as("pred"), col("score_micro"))
   }
 
+  /** Persist a trained [[NbModel]] as parquet under `dir` (the
+    * train-once / serve-everywhere artifact: a later batch job, a
+    * streaming query, or another cluster loads it without re-reading
+    * the training corpus). Four tiny V×L-bounded tables plus a 1-row
+    * meta frame carrying `vSize`; written with overwrite so recomputed
+    * models replace cleanly. (Recompute from the CORPUS before
+    * re-saving — overwriting a dir with a model LOADED from that same
+    * dir is Spark's generic self-overwrite trap.) */
+  def saveNbModel(model: NbModel, dir: String): Unit = {
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    model.clsTok.write.mode("overwrite").parquet(s"$dir/cls_tok")
+    model.clsTot.write.mode("overwrite").parquet(s"$dir/cls_tot")
+    model.prior.write.mode("overwrite").parquet(s"$dir/prior")
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    Seq(model.vSize).toDF("v_size")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[saveNbModel]]; predictions from the
+    * loaded model are bit-equal to the in-memory one (exact integer
+    * tables round-trip through parquet unchanged). */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): NbModel =
+    NbModel(
+      vocab = spark.read.parquet(s"$dir/vocab"),
+      clsTok = spark.read.parquet(s"$dir/cls_tok"),
+      clsTot = spark.read.parquet(s"$dir/cls_tot"),
+      prior = spark.read.parquet(s"$dir/prior"),
+      vSize = spark.read.parquet(s"$dir/meta").head.getLong(0))
+
   /** Train-and-self-classify in one plan (the oracle-able composition;
     * serving splits into [[nbTrain]] + [[nbPredict]]). */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,

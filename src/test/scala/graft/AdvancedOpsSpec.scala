@@ -298,6 +298,30 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(acc === 80, s"separable corpus must classify perfectly, got $acc/80")
   }
 
+  test("NB model save/load round-trip: predictions bit-equal") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = TextAnalysis.nbTrain(docs, "doc_id", "text", "lang", 20)
+    val dir = s"/tmp/graft_nb_model_${java.util.UUID.randomUUID().toString.take(8)}"
+    TextAnalysis.saveNbModel(model, dir)
+    val loaded = TextAnalysis.loadNbModel(spark, dir)
+    assert(loaded.vSize === model.vSize)
+    val orig = TextAnalysis.nbPredict(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val fromDisk = TextAnalysis.nbPredict(loaded, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fromDisk === orig)
+    // the fold/serving form over the loaded model agrees too
+    val foldDisk = TextAnalysis.nbPredictFold(loaded, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(foldDisk === orig)
+    // re-save (from the in-memory model) overwrites cleanly; NOTE:
+    // saving a LOADED model onto its own source dir is the standard
+    // Spark self-overwrite trap (inputs deleted mid-plan) — don't
+    TextAnalysis.saveNbModel(model, dir)
+    assert(TextAnalysis.loadNbModel(spark, dir).vSize === model.vSize)
+  }
+
   test("nbPredict: argmax ties break to the smallest label; null text drops") {
     import spark.implicits._
     import graft.operators.TextAnalysis

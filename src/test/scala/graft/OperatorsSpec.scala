@@ -546,6 +546,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r100 >= 55 && r100 >= r50, s"rerank@100 recall $r100/80")
   }
 
+  test("minhashNearDupsAgainst: cross-side only; maxBucket bounds floods") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val other = "completely different words about spark iceberg parquet shuffles"
+    // left: a near-dup of an eval doc + noise + a WITHIN-LEFT dup pair
+    val left = Seq((1L, near), (2L, other), (3L, other))
+      .toDF("doc_id", "text")
+    val right = Seq((10L, base), (11L, "unrelated eval text goes here nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(left, "doc_id", "text",
+        right, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross hit found; the within-left dup pair (2,3) NEVER surfaces
+    assert(pairs === Set((1L, 10L)))
+
+    // a flood of identical left docs (UNRELATED text) explodes its own
+    // buckets; the cap excludes exactly those, while the near-dup doc's
+    // small buckets keep matching — the documented recall trade: only
+    // pairs that can ONLY be reached through an oversized bucket are lost
+    val floodRight = Seq((10L, base), (12L, other)).toDF("doc_id", "text")
+    val flood = (100L to 140L).map(i => (i, other)).toDF("doc_id", "text")
+      .unionByName(Seq((1L, near)).toDF("doc_id", "text"))
+    val uncapped = Dedup.minhashNearDupsAgainst(flood, "doc_id", "text",
+        floodRight, "doc_id", "text", threshold = 0.5).count()
+    assert(uncapped === 42L, s"flood + near pairs expected, got $uncapped")
+    val capped = Dedup.minhashNearDupsAgainst(flood, "doc_id", "text",
+        floodRight, "doc_id", "text", threshold = 0.5, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 10L)), s"got $capped")
+  }
+
   test("matryoshkaTopK: full prefix is shortlist-invariant; prefix-16 recall") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
