@@ -75,6 +75,10 @@ object DmlSql {
     * Iceberg tables (catalog tables keep Spark's own ANALYZE). */
   final case class AnalyzeTable(table: String,
                                 columns: Seq[String]) extends Stmt
+  /** `SHOW TBLPROPERTIES t` — table properties of a registered Iceberg
+    * table from its metadata.json (Spark's native form cannot serve a
+    * temp view; catalog tables keep Spark's). */
+  final case class ShowTblProperties(table: String) extends Stmt
   /** `ALTER TABLE t RENAME COLUMN a TO b` (needs field-id resolution). */
   final case class AlterRenameColumn(table: String, from: String,
                                      to: String) extends Stmt
@@ -111,6 +115,8 @@ object DmlSql {
   private val AnalyzeRe =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+""" +
      """STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?\s*;?\s*$""").r
+  private val ShowTblPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe =
@@ -140,6 +146,7 @@ object DmlSql {
     case AnalyzeRe(t, cols) =>
       Some(AnalyzeTable(t, Option(cols).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+    case ShowTblPropsRe(t) => Some(ShowTblProperties(t))
     case DeleteRe(t, where) =>
       Some(Delete(t, Option(where).map(_.trim).filter(_.nonEmpty)))
     case UpdateRe(t, rest) =>

@@ -397,6 +397,11 @@ final class GraftSession private (val spark: SparkSession) {
       case Some(DmlSql.AlterDropColumn(t, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AlterWidenColumn(t, _, _)) if icebergPathOpt(t).isEmpty =>
       case Some(DmlSql.AnalyzeTable(t, _)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.ShowTblProperties(t)) if icebergPathOpt(t).isEmpty =>
+      case Some(DmlSql.ShowTblProperties(t)) =>
+        import spark.implicits._
+        return graft.sources.IcebergIO.loadMetadata(icebergPathOf(t))
+          .properties.toSeq.sortBy(_._1).toDF("key", "value")
       // CALL has no Spark-native fallback (needs a catalog plugin):
       // always claimed, unknown procedures fail loudly
       case Some(DmlSql.Call(proc, args)) =>

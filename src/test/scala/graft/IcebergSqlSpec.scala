@@ -336,4 +336,18 @@ class IcebergSqlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq(1L -> "b", 2L -> "a", 3L -> "b", 4L -> "z", 6L -> "d"))
   }
+
+  test("SHOW TBLPROPERTIES serves a registered table's metadata properties") {
+    val dir = s"$root/tblprops"
+    graft.sources.IcebergWrite.create(spark, dir, st)
+    graft.sources.IcebergWrite.append(rows(1L -> "a"), dir)
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("props_sql", dir)
+    val props = g.sql("SHOW TBLPROPERTIES props_sql").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the writer's field-id discipline stamp is a table property
+    assert(props.get("graft.write.field-ids").contains("true"), props)
+    // unregistered names fall through to Spark (which has no such view)
+    intercept[Exception](g.sql("SHOW TBLPROPERTIES no_such_table").collect())
+  }
 }
