@@ -769,13 +769,14 @@ final class GraftSession private (val spark: SparkSession) {
         IcebergWrite.setCurrentSnapshot(icebergPathOf(str(0)), num(1))
         Seq(num(1)).toDF("current_snapshot_id")
       case "create_tag" | "create_branch" =>
-        arity(2, 3)
+        arity(2, 4)
         val path = icebergPathOf(str(0))
         val snap = numOpt(2).orElse(IcebergIO.loadMetadata(path).currentSnapshotId)
           .getOrElse(throw new IllegalArgumentException(
             s"CALL system.$proc: table '${str(0)}' is empty — pass a snapshot id"))
-        if (proc == "create_tag") IcebergWrite.createTag(path, str(1), snap)
-        else IcebergWrite.createBranch(path, str(1), snap)
+        val maxAge = numOpt(3) // optional max-ref-age-ms (ref retention)
+        if (proc == "create_tag") IcebergWrite.createTag(path, str(1), snap, maxAge)
+        else IcebergWrite.createBranch(path, str(1), snap, maxAge)
         Seq((str(1), snap)).toDF("ref", "snapshot_id")
       case "drop_ref" =>
         arity(2, 2)

@@ -1498,8 +1498,27 @@ object IcebergWrite {
     require(retainLast >= 1, "retainLast must be >= 1")
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    // spec ref retention (`max-ref-age-ms`, non-main refs only): a ref
+    // whose referenced snapshot is older than its age cap is DROPPED by
+    // expiration — its snapshot then unpins like any other (the Iceberg
+    // RemoveSnapshots rule; ref age is measured off the snapshot's
+    // timestamp, since refs carry none of their own)
+    val now = System.currentTimeMillis()
+    val agedOutRefs: Set[String] = Option(root.get("refs")).toSeq
+      .flatMap(_.properties().asScala).flatMap { e =>
+        val name = e.getKey
+        val n = e.getValue
+        if (name == "main" || !n.has("max-ref-age-ms")) None
+        else {
+          val sid = n.get("snapshot-id").asLong
+          val ts = meta.snapshots.find(_.snapshotId == sid)
+            .map(_.timestampMs).getOrElse(Long.MaxValue)
+          if (now - ts > n.get("max-ref-age-ms").asLong) Some(name) else None
+        }
+      }.toSet
+    val liveRefs = meta.refs.filterNot(r => agedOutRefs(r._1))
     val keep: Set[Long] = {
-      val pinned = meta.currentSnapshotId.toSet ++ meta.refs.values
+      val pinned = meta.currentSnapshotId.toSet ++ liveRefs.values
       val recent = meta.snapshots.sortBy(-_.timestampMs)
         .take(retainLast).map(_.snapshotId)
       val young = meta.snapshots.filter(_.timestampMs >= olderThanMs)
@@ -1507,8 +1526,14 @@ object IcebergWrite {
       pinned ++ recent ++ young
     }
     val expired = meta.snapshots.map(_.snapshotId).filterNot(keep).toSet
-    if (expired.isEmpty) return 0
+    if (expired.isEmpty && agedOutRefs.isEmpty) return 0
     val newRoot = root.deepCopy()
+    agedOutRefs.foreach { name =>
+      Option(newRoot.get("refs")).foreach {
+        case o: ObjectNode => o.remove(name): Unit
+        case _ =>
+      }
+    }
     def filterArray(name: String, idField: String): Unit = {
       val arr = arrayNode(newRoot, name)
       val kept = (0 until arr.size).map(arr.get)
@@ -1856,17 +1881,20 @@ object IcebergWrite {
   /** Create a named TAG pinning `snapshotId` (immutable bookmark; the
     * reader resolves it via `read(ref = Some(name))`). Fails on a
     * duplicate name — refs are create-once, drop, re-create. */
-  def createTag(tablePath: String, name: String, snapshotId: Long): Unit =
-    createRef(tablePath, name, snapshotId, "tag")
+  def createTag(tablePath: String, name: String, snapshotId: Long,
+                maxRefAgeMs: Option[Long] = None): Unit =
+    createRef(tablePath, name, snapshotId, "tag", maxRefAgeMs)
 
   /** Create a named BRANCH at `snapshotId`. This writer only commits to
     * `main`, so a created branch is a readable pin like a tag until an
     * external engine moves it — but the type is recorded faithfully. */
-  def createBranch(tablePath: String, name: String, snapshotId: Long): Unit =
-    createRef(tablePath, name, snapshotId, "branch")
+  def createBranch(tablePath: String, name: String, snapshotId: Long,
+                   maxRefAgeMs: Option[Long] = None): Unit =
+    createRef(tablePath, name, snapshotId, "branch", maxRefAgeMs)
 
   private def createRef(tablePath: String, name: String, snapshotId: Long,
-                        refType: String): Unit = {
+                        refType: String,
+                        maxRefAgeMs: Option[Long] = None): Unit = {
     require(name != "main", "'main' moves with commits/setCurrentSnapshot")
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
@@ -1882,6 +1910,13 @@ object IcebergWrite {
     val r = refs.putObject(name)
     r.put("snapshot-id", snapshotId)
     r.put("type", refType)
+    // spec ref retention: [[expireSnapshots]] DROPS this ref once its
+    // referenced snapshot is older than the age cap (the Iceberg
+    // RemoveSnapshots basis — snapshots carry timestamps, refs don't)
+    maxRefAgeMs.foreach { a =>
+      require(a >= 0, "max-ref-age-ms must be >= 0")
+      r.put("max-ref-age-ms", a): Unit
+    }
     newRoot.put("last-updated-ms", System.currentTimeMillis())
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)
   }

@@ -2303,6 +2303,31 @@ class IcebergWriteSpec extends AnyFunSuite {
       s"unexpected failure: ${e.getMessage}")
   }
 
+  test("ref retention: max-ref-age-ms refs drop at expiration, others pin") {
+    val dir = s"$root/refage"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val s2 = IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    // an age-capped tag (0 ms: expires immediately) and a permanent one
+    IcebergWrite.createTag(dir, "ephemeral", s1, maxRefAgeMs = Some(0L))
+    IcebergWrite.createTag(dir, "keeper", s2)
+    // before expiration both refs resolve
+    assert(IcebergIO.read(spark, dir, ref = Some("ephemeral")).count() === 1)
+    val n = IcebergWrite.expireSnapshots(dir, Long.MaxValue)
+    // the aged-out ref is gone AND its snapshot expired with it; the
+    // permanent tag still pins s2
+    assert(n === 1, s"expected exactly the ephemeral tag's snapshot, got $n")
+    val meta = IcebergIO.loadMetadata(dir)
+    assert(!meta.refs.contains("ephemeral") && meta.refs.contains("keeper"))
+    assert(!meta.snapshots.exists(_.snapshotId == s1))
+    assert(IcebergIO.read(spark, dir, ref = Some("keeper")).count() === 2)
+    // a drop with nothing else to expire is still a metadata commit
+    IcebergWrite.createTag(dir, "ephemeral2", s2, maxRefAgeMs = Some(0L))
+    assert(IcebergWrite.expireSnapshots(dir, 0L) === 0) // s2 pinned by keeper
+    assert(!IcebergIO.loadMetadata(dir).refs.contains("ephemeral2"))
+  }
+
   test("partition statistics: compute, register, stale-loud, recompute") {
     val dir = s"$root/pstats"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
