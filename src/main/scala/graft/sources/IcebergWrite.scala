@@ -1517,8 +1517,41 @@ object IcebergWrite {
         }
       }.toSet
     val liveRefs = meta.refs.filterNot(r => agedOutRefs(r._1))
+    // spec BRANCH retention: a branch ref carrying max-snapshot-age-ms /
+    // min-snapshots-to-keep extends the keep set with its own ANCESTRY
+    // (lineage snapshots within the age cap, plus at least the newest
+    // min-snapshots-to-keep of the lineage — the head is lineage[0] and
+    // always kept via the ref pin)
+    val byId = meta.snapshots.map(sn => sn.snapshotId -> sn).toMap
+    val branchKeeps: Set[Long] = Option(root.get("refs")).toSeq
+      .flatMap(_.properties().asScala).flatMap { e =>
+        val n = e.getValue
+        if (agedOutRefs(e.getKey)) Nil
+        else if (!n.has("max-snapshot-age-ms") &&
+          !n.has("min-snapshots-to-keep")) Nil
+        else {
+          val lineage = scala.collection.mutable.ArrayBuffer
+            .empty[IcebergIO.SnapshotInfo]
+          var cur = byId.get(n.get("snapshot-id").asLong)
+          while (cur.isDefined) {
+            lineage += cur.get
+            cur = cur.get.parentId.flatMap(byId.get)
+          }
+          val byAge =
+            if (!n.has("max-snapshot-age-ms")) Nil
+            else lineage.filter(sn =>
+              now - sn.timestampMs <= n.get("max-snapshot-age-ms").asLong)
+              .map(_.snapshotId)
+          val byCount =
+            if (!n.has("min-snapshots-to-keep")) Nil
+            else lineage.take(n.get("min-snapshots-to-keep").asInt)
+              .map(_.snapshotId)
+          byAge ++ byCount
+        }
+      }.toSet
     val keep: Set[Long] = {
-      val pinned = meta.currentSnapshotId.toSet ++ liveRefs.values
+      val pinned = meta.currentSnapshotId.toSet ++ liveRefs.values ++
+        branchKeeps
       val recent = meta.snapshots.sortBy(-_.timestampMs)
         .take(retainLast).map(_.snapshotId)
       val young = meta.snapshots.filter(_.timestampMs >= olderThanMs)
@@ -1889,12 +1922,17 @@ object IcebergWrite {
     * `main`, so a created branch is a readable pin like a tag until an
     * external engine moves it — but the type is recorded faithfully. */
   def createBranch(tablePath: String, name: String, snapshotId: Long,
-                   maxRefAgeMs: Option[Long] = None): Unit =
-    createRef(tablePath, name, snapshotId, "branch", maxRefAgeMs)
+                   maxRefAgeMs: Option[Long] = None,
+                   maxSnapshotAgeMs: Option[Long] = None,
+                   minSnapshotsToKeep: Option[Int] = None): Unit =
+    createRef(tablePath, name, snapshotId, "branch", maxRefAgeMs,
+      maxSnapshotAgeMs, minSnapshotsToKeep)
 
   private def createRef(tablePath: String, name: String, snapshotId: Long,
                         refType: String,
-                        maxRefAgeMs: Option[Long] = None): Unit = {
+                        maxRefAgeMs: Option[Long] = None,
+                        maxSnapshotAgeMs: Option[Long] = None,
+                        minSnapshotsToKeep: Option[Int] = None): Unit = {
     require(name != "main", "'main' moves with commits/setCurrentSnapshot")
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
@@ -1916,6 +1954,21 @@ object IcebergWrite {
     maxRefAgeMs.foreach { a =>
       require(a >= 0, "max-ref-age-ms must be >= 0")
       r.put("max-ref-age-ms", a): Unit
+    }
+    // spec BRANCH retention: [[expireSnapshots]] keeps this branch's
+    // ANCESTRY per these fields (lineage snapshots younger than the age
+    // cap, and at least min-snapshots-to-keep newest) — the branch's
+    // history survives a global expire that would otherwise strip it
+    require(refType == "branch" ||
+        (maxSnapshotAgeMs.isEmpty && minSnapshotsToKeep.isEmpty),
+      "max-snapshot-age-ms / min-snapshots-to-keep apply to branches only")
+    maxSnapshotAgeMs.foreach { a =>
+      require(a >= 0, "max-snapshot-age-ms must be >= 0")
+      r.put("max-snapshot-age-ms", a): Unit
+    }
+    minSnapshotsToKeep.foreach { k =>
+      require(k >= 1, "min-snapshots-to-keep must be >= 1")
+      r.put("min-snapshots-to-keep", k): Unit
     }
     newRoot.put("last-updated-ms", System.currentTimeMillis())
     publish(GraftFs.child(tablePath, "metadata"), priorVersion + 1, newRoot)

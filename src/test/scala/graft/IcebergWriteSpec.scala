@@ -2328,6 +2328,37 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(!IcebergIO.loadMetadata(dir).refs.contains("ephemeral2"))
   }
 
+  test("branch retention: min-snapshots-to-keep preserves lineage ancestry") {
+    val dir = s"$root/branchkeep"
+    IcebergWrite.create(spark, dir, schema)
+    val s1 = IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    val s2 = IcebergWrite.append(df((2L, "b", 2.0)), dir)
+    val s3 = IcebergWrite.append(df((3L, "c", 3.0)), dir)
+    IcebergWrite.createBranch(dir, "audited", s3,
+      minSnapshotsToKeep = Some(3))
+    // a global expire that would keep only the current snapshot must
+    // preserve the branch's whole 3-deep ancestry
+    assert(IcebergWrite.expireSnapshots(dir, Long.MaxValue) === 0)
+    val ids = IcebergIO.loadMetadata(dir).snapshots.map(_.snapshotId).toSet
+    assert(ids === Set(s1, s2, s3))
+    // time travel through the retained ancestry still answers
+    assert(IcebergIO.read(spark, dir, Some(s1)).count() === 1)
+
+    // an age-capped branch (0 ms) keeps only what the ref itself pins:
+    // ancestors strip under the same global expire
+    val dir2 = s"$root/branchage"
+    IcebergWrite.create(spark, dir2, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir2)
+    val t2 = IcebergWrite.append(df((2L, "b", 2.0)), dir2)
+    IcebergWrite.createBranch(dir2, "dev", t2, maxSnapshotAgeMs = Some(0L))
+    assert(IcebergWrite.expireSnapshots(dir2, Long.MaxValue) === 1)
+    assert(IcebergIO.loadMetadata(dir2).snapshots.map(_.snapshotId).toSet
+      === Set(t2))
+    // plain tags are unaffected by branch-retention machinery
+    IcebergWrite.createTag(dir2, "t", t2)
+    assert(IcebergIO.read(spark, dir2, ref = Some("t")).count() === 2)
+  }
+
   test("partition statistics: compute, register, stale-loud, recompute") {
     val dir = s"$root/pstats"
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"))
