@@ -247,7 +247,13 @@ object Dedup {
     * [[collapseExact]] per side first when that is a real shape (the
     * same discipline minhashNearDups bakes in), or cap with
     * `maxBucket` (per-side bucket exclusion, audited by
-    * [[lshOversizeBuckets]] — a recall trade the caller opts into). */
+    * [[lshOversizeBuckets]] — a recall trade the caller opts into).
+    * Cache hygiene (same contract as [[minhashNearDups]]): both sides'
+    * shingle frames persist MEMORY_AND_DISK and the returned frame
+    * depends on them, so they cannot be unpersisted here — repeated
+    * invocations in one session accumulate corpus-sized cache entries
+    * until the caller clears them (`spark.catalog.clearCache()` or
+    * unpersist after materializing), as Bench does between queries. */
   def minhashNearDupsAgainst(left: DataFrame, leftIdCol: String,
                              leftTextCol: String,
                              right: DataFrame, rightIdCol: String,

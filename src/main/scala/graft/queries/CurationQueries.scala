@@ -179,7 +179,7 @@ object CurationQueries {
 
   val curPii = dfQ("cur_pii", piiOracle) { (s, _) =>
     val t = concat(col("text"), lit(" contact "), col("source"), lit("@ex"),
-      pmod(expr("doc_id div 4"), lit(7)).cast("string"), lit(".com via 10.0."),
+      pmod(col("doc_id"), lit(7)).cast("string"), lit(".com via 10.0."),
       pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 or 555-123-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
     s.table("documents").select(

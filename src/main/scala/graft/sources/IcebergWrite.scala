@@ -3090,7 +3090,11 @@ object IcebergWrite {
     val missing = meta.columnDefaults.filterNot(d => have.contains(d.name))
     val othersPresent = meta.schema.fieldNames
       .forall(n => have.contains(n) || missing.exists(_.name == n))
-    if (missing.isEmpty || !othersPresent) df
+    // An unknown/misspelled input column must NOT be silently dropped by
+    // the defaults projection — fall through so requireTableSchema raises
+    // its loud error naming the mismatch.
+    val noExtras = have.subsetOf(meta.schema.fieldNames.toSet)
+    if (missing.isEmpty || !othersPresent || !noExtras) df
     else missing.foldLeft(df)((acc, d) => acc.withColumn(d.name,
         lit(d.write).cast(meta.schema(d.name).dataType)))
       .select(meta.schema.fieldNames.toSeq.map(col): _*)

@@ -264,6 +264,21 @@ class IcebergDefaultsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an omitting append with an unknown column is refused, not filled") {
+    val dir = s"$root/extras"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.addColumnWithDefault(dir, "tier", IntegerType,
+      default = 5, writeDefault = Some(9))
+    // omits `tier` AND misspells `name` as `nmae` — the defaults fill
+    // must NOT silently drop the unknown column; requireTableSchema's
+    // loud mismatch fires instead
+    val bad = df((2L, "b", 2.0)).withColumnRenamed("name", "nmae")
+    val e = intercept[IllegalArgumentException](IcebergWrite.append(bad, dir))
+    assert(e.getMessage.contains("nmae"), e.getMessage)
+    assert(tierById(dir) === Map(1L -> 5)) // nothing committed
+  }
+
   test("pruning stays sound: pre-add files have no bounds and are kept") {
     val dir = s"$root/prune"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
