@@ -1809,6 +1809,47 @@ object IcebergQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** v3 ROW LINEAGE across physical rewrites: append nation sorted by
+    * NAME as one file (row ids 0..24 in name order — a nontrivial
+    * permutation of the keys), DV-delete a keyed slice, [[graft.sources
+    * .IcebergWrite.compact]], UPDATE one row's name, compact AGAIN
+    * (materialized lineage must survive a second rewrite). Surviving
+    * rows must read their ORIGINAL ids — the rewrites materialize
+    * `_row_id` into the new files (the spec's rewrite rule) and the
+    * reader prefers the materialized column. The oracle replays the id
+    * assignment as a window over the original order — the updated row's
+    * id still reflects where it WAS, which no post-rewrite recomputation
+    * could produce. */
+  val icebergRowLineage = dfQ("iceberg_row_lineage",
+    """WITH base AS (
+      |  SELECT n_nationkey, n_name,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS BIGINT) AS row_id
+      |  FROM nation
+      |)
+      |SELECT n_nationkey, row_id,
+      |  CASE WHEN n_nationkey = 7 THEN 'REWRITTEN' ELSE n_name END AS name
+      |FROM base
+      |WHERE n_nationkey % 6 <> 2
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_rowlin_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name")
+      .orderBy("n_name").coalesce(1)
+    graft.sources.IcebergWrite.create(s, dir, nation.schema, formatVersion = 3)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 6 === 2)
+    graft.sources.IcebergWrite.compact(s, dir)
+    graft.sources.IcebergWrite.updateWhere(s, dir, col("n_nationkey") === 7,
+      Map("n_name" -> lit("REWRITTEN")))
+    graft.sources.IcebergWrite.compact(s, dir)
+    IcebergIO.readWithRowId(s, dir)
+      .select(col("n_nationkey"), col("_row_id").as("row_id"),
+        col("n_name").as("name"))
+      .orderBy("n_nationkey")
+  }
+
   /** `.data_files` / `.delete_files` content-filtered slices of `.files`
     * ([[IcebergIO.dataFiles]]/[[IcebergIO.deleteFiles]], the runtime
     * jar's dot-suffix tables), pinned against [[posDelFixture]] whose
@@ -1855,6 +1896,7 @@ object IcebergQueries {
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
+    icebergRowLineage,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

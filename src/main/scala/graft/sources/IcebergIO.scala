@@ -414,6 +414,15 @@ object IcebergIO {
   private[sources] def resolveByFieldIds(meta: TableMetadata): Boolean =
     meta.properties.get(FieldIdsProp).contains("true")
 
+  /** v3 row lineage: the `_row_id` metadata column name and the spec's
+    * reserved field id for its MATERIALIZED form. Rewrite verbs persist
+    * surviving rows' ids into rewritten data files under this id; the
+    * lineage read prefers the materialized value and falls back to the
+    * `first_row_id + position` derivation (the spec's inheritance
+    * rule). */
+  private[graft] val RowLineageCol = "_row_id"
+  private[graft] val RowIdFieldId = 2147483540
+
   /** The spec's name-mapping table property ("Name Mapping
     * Serialization"): a JSON list of `{"field-id": N, "names": [...]}`
     * entries assigning field ids to id-LESS data files by their column
@@ -609,9 +618,16 @@ object IcebergIO {
     * reports it, URL-encoded) and `__gf_pos` (`_metadata.row_index`).
     * Fields added AFTER the upgrade surface as NULL from legacy files
     * even when an unrelated same-named column exists in the old bytes
-    * (by-id semantics — a name-based read would resurrect them). */
+    * (by-id semantics — a name-based read would resurrect them).
+    * With `withRowId` each frame also carries `__gf_mrowid`: the file's
+    * MATERIALIZED `_row_id` column (v3 row lineage — rewrite verbs
+    * persist surviving rows' ids into rewritten files under the spec's
+    * reserved field id), NULL for every file that predates lineage or
+    * was written by a plain append (those derive ids from
+    * `first_row_id + position` downstream). */
   private[sources] def dataBranches(spark: SparkSession, meta: TableMetadata,
-      files: Seq[ContentFile], withPos: Boolean): Seq[DataFrame] = {
+      files: Seq[ContentFile], withPos: Boolean,
+      withRowId: Boolean = false): Seq[DataFrame] = {
     // Hive-import tables ([[HiveImportProp]]): files of a spec with
     // identity partition fields read those SOURCE columns from the
     // manifest tuple (per-file constants), not from parquet — imported
@@ -622,6 +638,19 @@ object IcebergIO {
     val (legacy, stamped) = legacySplit(meta, plain0)
     def posCols = Seq(col("_metadata.file_path").as("__gf_fileraw"),
       col("_metadata.row_index").as("__gf_pos"))
+    // materialized-lineage read column: stamped files resolve it by the
+    // spec's reserved field id (files lacking the id read NULL — the
+    // standard missing-column fill, validated against Spark's fieldId
+    // machinery); name-resolution tables match the literal column name.
+    // Legacy / hive-injected files predate lineage by construction.
+    def rowIdField = StructField(RowLineageCol, LongType, nullable = true,
+      metadata = if (resolveByFieldIds(meta))
+        new MetadataBuilder().putLong("parquet.field.id", RowIdFieldId.toLong).build()
+      else org.apache.spark.sql.types.Metadata.empty)
+    def rowIdCols: Seq[Column] =
+      if (withRowId) Seq(col(RowLineageCol).as("__gf_mrowid")) else Nil
+    def nullRowIdCols: Seq[Column] =
+      if (withRowId) Seq(lit(null).cast(LongType).as("__gf_mrowid")) else Nil
     val out = Seq.newBuilder[DataFrame]
     if (stamped.nonEmpty) {
       // v3 column defaults: files that predate a defaulted column (seq
@@ -634,20 +663,23 @@ object IcebergIO {
         .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
       groups.foreach { case (missing, group) =>
         if (missing.isEmpty) {
-          val base = spark.read.schema(dataReadSchema(spark, meta))
-            .parquet(group.map(_.path): _*)
+          val rs0 = dataReadSchema(spark, meta)
+          val rs = if (withRowId) StructType(rs0.fields :+ rowIdField) else rs0
+          val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
           out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
-            (if (withPos) posCols else Nil): _*)
+            rowIdCols ++ (if (withPos) posCols else Nil): _*)
         } else {
-          val rs = StructType(dataReadSchema(spark, meta)
+          val rs0 = StructType(dataReadSchema(spark, meta)
             .fields.filterNot(f => missing(f.name)))
+          val rs = if (withRowId) StructType(rs0.fields :+ rowIdField) else rs0
           val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
           val proj = meta.schema.fields.toSeq.map { f =>
             if (missing(f.name)) defaultLit(
               defs.find(_.name == f.name).get.initial, f.dataType).as(f.name)
             else col(f.name)
           }
-          out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
+          out += base.select(proj ++ rowIdCols ++
+            (if (withPos) posCols else Nil): _*)
         }
       }
     }
@@ -677,10 +709,13 @@ object IcebergIO {
             }
         }
       }
-      out += base.select(proj ++ (if (withPos) posCols else Nil): _*)
+      out += base.select(proj ++ nullRowIdCols ++
+        (if (withPos) posCols else Nil): _*)
     }
     injected.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
-      out += injectedBranch(spark, meta, inj(sid), group, withPos)
+      val b = injectedBranch(spark, meta, inj(sid), group, withPos)
+      out += (if (withRowId)
+        b.withColumn("__gf_mrowid", lit(null).cast(LongType)) else b)
     }
     out.result()
   }
@@ -1232,26 +1267,38 @@ object IcebergIO {
       statsTreeOf(statsFilter), ref)
 
   /** v3 ROW LINEAGE read surface: the current (or pinned) snapshot with
-    * a `_row_id` metadata column — `first_row_id + position` per the
-    * spec's row-lineage assignment, stable across DELETEs and appends
-    * (a surviving row keeps its id for ever; that is what makes
-    * incremental downstream consumers able to track rows). Files
-    * without an assigned `first_row_id` (imported pre-upgrade data)
-    * read `_row_id` as NULL, per the spec's upgrade rule. Honest
-    * limitation, documented: this writer re-assigns fresh row ids when
-    * a row is physically REWRITTEN (compact/compactWhere/UPDATE) — full
-    * rewrite-stable lineage requires materializing `_row_id` into
-    * rewritten files, which this reader would then prefer; not built.
-    * The per-file first_row_id map rides ONE broadcast join keyed on
-    * the row's file identity — plan size constant in file count. */
+    * a `_row_id` metadata column — the file's MATERIALIZED `_row_id`
+    * when present (rewrite verbs persist surviving rows' ids into
+    * rewritten files, so compact/compactWhere/UPDATE are
+    * lineage-STABLE), else `first_row_id + position` per the spec's
+    * inheritance rule — stable across DELETEs and appends (a surviving
+    * row keeps its id for ever; that is what makes incremental
+    * downstream consumers able to track rows). Files without an
+    * assigned `first_row_id` (imported pre-upgrade data) read `_row_id`
+    * as NULL until a rewrite assigns them fresh ids (the spec's lazy
+    * assignment). The per-file first_row_id map rides ONE broadcast
+    * join keyed on the row's file identity — plan size constant in
+    * file count. */
   def readWithRowId(spark: SparkSession, tablePath: String,
                     snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
     require(meta.formatVersion >= 3,
       "_row_id requires format v3 (row lineage); run upgradeFormatVersion first")
     val snap = snapshotOf(meta, snapshotId, tablePath)
-    val files = liveFiles(spark, snap)
-    val base = mergeRead(spark, meta, files, withIdentity = true)
+    lineageRead(spark, meta, liveFiles(spark, snap))
+      .withColumnRenamed("__gf_rowid", RowLineageCol)
+  }
+
+  /** Table columns + `__gf_rowid` (each row's v3 lineage id:
+    * materialized value preferred, else `first_row_id + position`) over
+    * an explicit content-file set — the shared body of [[readWithRowId]]
+    * and the rewrite verbs' id-preserving input reads
+    * ([[IcebergWrite.compact]]/compactWhere/updateWhere stage this
+    * column back out into the rewritten files). */
+  private[sources] def lineageRead(spark: SparkSession, meta: TableMetadata,
+                                   files: Seq[ContentFile]): DataFrame = {
+    val base = mergeRead(spark, meta, files, withIdentity = true,
+      withRowId = true)
     val mapRows = files.filter(_.content == 0).map(f =>
       Row(normalizePath(f.path), f.firstRowId.map(Long.box).orNull))
     val mapDf = spark.createDataFrame(
@@ -1261,8 +1308,9 @@ object IcebergIO {
         StructField("__gf_rfile", StringType, nullable = false),
         StructField("__gf_first", LongType, nullable = true))))
     base.join(broadcast(mapDf), col("__gf_file") === col("__gf_rfile"), "left")
-      .withColumn("_row_id", col("__gf_first") + col("__gf_pos"))
-      .drop("__gf_file", "__gf_pos", "__gf_rfile", "__gf_first")
+      .withColumn("__gf_rowid",
+        coalesce(col("__gf_mrowid"), col("__gf_first") + col("__gf_pos")))
+      .drop("__gf_file", "__gf_pos", "__gf_mrowid", "__gf_rfile", "__gf_first")
   }
 
   private def readImpl(spark: SparkSession, tablePath: String,
@@ -1607,7 +1655,10 @@ object IcebergIO {
 
   private[sources] def mergeRead(spark: SparkSession, meta: TableMetadata,
                                  files: Seq[ContentFile],
-                                 withIdentity: Boolean): DataFrame = {
+                                 withIdentity: Boolean,
+                                 withRowId: Boolean = false): DataFrame = {
+    require(!withRowId || withIdentity,
+      "withRowId requires withIdentity (lineage derivation needs file+pos)")
     // v3 deletion vectors: content-1 entries in PUFFIN format reference
     // a data file + a blob byte range instead of holding parquet rows
     val dvFiles = files.filter(f => f.content == 1 && f.format == "PUFFIN")
@@ -1623,7 +1674,9 @@ object IcebergIO {
     val eqFiles   = files.filter(_.content == 2)
     val identityFields = Seq(
       StructField("__gf_file", StringType, nullable = true),
-      StructField("__gf_pos", LongType, nullable = true))
+      StructField("__gf_pos", LongType, nullable = true)) ++
+      (if (withRowId) Seq(StructField("__gf_mrowid", LongType, nullable = true))
+       else Nil)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (withIdentity) StructType(meta.schema.fields.toSeq ++ identityFields)
@@ -1631,7 +1684,8 @@ object IcebergIO {
 
     val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
     val outCols: Seq[Column] =
-      if (withIdentity) cols ++ Seq(col("__gf_file"), col("__gf_pos"))
+      if (withIdentity) cols ++ Seq(col("__gf_file"), col("__gf_pos")) ++
+        (if (withRowId) Seq(col("__gf_mrowid")) else Nil)
       else cols
     // Read with the TABLE schema from metadata.json, never inferred from a
     // data file: on a schema-evolved table the sampled file may predate a
@@ -1656,7 +1710,8 @@ object IcebergIO {
     // Every merge-on-read path needs the row's file identity: Spark's
     // file-source metadata column, normalized to scheme-less form so it
     // compares equal to manifest-recorded paths.
-    var data = dataBranches(spark, meta, dataFiles, withPos = true)
+    var data = dataBranches(spark, meta, dataFiles, withPos = true,
+        withRowId = withRowId)
       .map(_.withColumn("__gf_file",
         regexp_replace(col("__gf_fileraw"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
         .drop("__gf_fileraw"))

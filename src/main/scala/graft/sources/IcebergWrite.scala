@@ -996,11 +996,26 @@ object IcebergWrite {
     * files are not removed from disk — see [[expireSnapshots]]). The
     * small-file problem is THE maintenance cost of a long-lived MoR
     * table at scale; `maxRecordsPerFile` bounds the output file grain.
-    * Returns the snapshot id. */
+    * On v3 tables row lineage is PRESERVED: each surviving row's
+    * `_row_id` is materialized into the rewritten files (spec rule —
+    * rewrites must not change row identity), so [[IcebergIO
+    * .readWithRowId]] reads the same ids before and after. Rows that
+    * had no id yet (pre-upgrade files with null `first_row_id`) get
+    * fresh ids from the new files' assignment — the spec's lazy
+    * assignment on first rewrite. Returns the snapshot id. */
   def compact(spark: SparkSession, tablePath: String,
-              maxRecordsPerFile: Option[Long] = None): Long =
-    commitData(IcebergIO.read(spark, tablePath), tablePath,
-      maxRecordsPerFile, operation = "replace")
+              maxRecordsPerFile: Option[Long] = None): Long = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    val rows =
+      if (meta.formatVersion >= 3) {
+        val snap = meta.currentSnapshotId
+          .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+        snap.map(s => IcebergIO.lineageRead(
+            spark, meta, IcebergIO.liveFiles(spark, s)))
+          .getOrElse(IcebergIO.read(spark, tablePath))
+      } else IcebergIO.read(spark, tablePath)
+    commitData(rows, tablePath, maxRecordsPerFile, operation = "replace")
+  }
 
   /**
    * FILTERED compaction — the runtime jar's `rewrite_data_files(table,
@@ -1052,9 +1067,14 @@ object IcebergWrite {
     val newSeq =
       Option(root.get("last-sequence-number")).map(_.asLong).getOrElse(0L) + 1
 
-    // post-delete rows of ONLY the selected files (deletes fold away)
-    val rows = IcebergIO.mergeRead(spark, meta, selected ++ deletes,
-      withIdentity = false)
+    // post-delete rows of ONLY the selected files (deletes fold away);
+    // v3: with each survivor's lineage id, materialized into the
+    // rewritten files (rewrites must not change row identity)
+    val rows =
+      if (meta.formatVersion >= 3)
+        IcebergIO.lineageRead(spark, meta, selected ++ deletes)
+      else IcebergIO.mergeRead(spark, meta, selected ++ deletes,
+        withIdentity = false)
     val (staged, stagedPct) =
       stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
     try {
@@ -2082,7 +2102,11 @@ object IcebergWrite {
     * (never a mix). Partitioned tables get partition-scoped delete
     * files; upserting into an empty table degenerates to an append.
     * `df` must carry the full table schema (whole-row replacement).
-    * Returns the snapshot id. */
+    * v3 row-lineage note: an upsert "update" is semantically a
+    * delete+insert (the equality delete never names positions), so
+    * replaced rows get FRESH `_row_id`s — use [[merge]] (whose matched
+    * UPDATEs rewrite rows and preserve their ids) when lineage across
+    * updates matters. Returns the snapshot id. */
   def upsert(df: DataFrame, tablePath: String, keyCols: Seq[String],
              maxRecordsPerFile: Option[Long] = None,
              summaryExtra: Map[String, String] = Map.empty): Long = {
@@ -2176,13 +2200,21 @@ object IcebergWrite {
         .reduce(_ unionByName _)
 
     // format v3: the position side becomes DELETION VECTORS; the
-    // rewritten rows ride the same snapshot as a separate data manifest
+    // rewritten rows ride the same snapshot as a separate data manifest,
+    // each carrying its CURRENT `_row_id` (materialized into the new
+    // files — an UPDATE rewrites content, not identity; only
+    // `_last_updated_sequence_number`, which this writer doesn't
+    // expose, would change). Input: the pruned raw files + every live
+    // delete file (existing deletes applied, same as readWhere).
     if (meta.formatVersion >= 3) {
-      val updated = IcebergIO.readWhere(spark, tablePath, cond)
+      val deleteFiles = IcebergIO.liveFiles(spark, snap).filter(_.content != 0)
+      val updated = IcebergIO.lineageRead(spark, meta,
+          prunedRaw ++ deleteFiles)
+        .filter(cond)
         .select(meta.schema.fields.toSeq.map { f =>
           assignments.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
-        }: _*)
-      requireTableSchema(updated, meta)
+        } :+ col(LineageCarryCol): _*)
+      requireTableSchema(updated.drop(LineageCarryCol), meta)
       val (dataFiles, partColTypes) =
         stageDataFiles(updated, tablePath, meta, snapshotId, maxRecordsPerFile)
       return commitDvDelete(spark, tablePath, meta, root, priorVersion,
@@ -2334,8 +2366,15 @@ object IcebergWrite {
     // ---- matched pairs from the CURRENT state (deletes applied — a
     // dead row must not be resurrected by an UPDATE). Persisted: the
     // cardinality check and the rewrite projection both read it, and
-    // its size is bounded by the source, not the table.
-    val cur = IcebergIO.read(spark, tablePath)
+    // its size is bounded by the source, not the table. v3: the read
+    // carries each row's lineage id so UPDATE-rewritten rows keep their
+    // `_row_id` (insert rows stage a NULL carry — the reader derives
+    // their fresh ids from the new files' assignment).
+    val v3 = meta.formatVersion >= 3
+    val cur =
+      if (v3) IcebergIO.lineageRead(spark, meta,
+        IcebergIO.liveFiles(spark, snap))
+      else IcebergIO.read(spark, tablePath)
     val pairs = cur.alias(targetAlias).join(src, keyJoin, "inner").persist()
     try {
       if (matchedClauses.nonEmpty) {
@@ -2394,7 +2433,9 @@ object IcebergWrite {
                   when(col("__gf_action") === i, v).otherwise(acc)
                 case (_, acc) => acc
               }.as(f.name)
-            }: _*))
+            } ++ (if (v3)
+              Seq(col(s"$targetAlias.$LineageCarryCol").as(LineageCarryCol))
+            else Nil): _*))
 
         // ---- (3) inserts: source rows matching NO current target key
         // (left_anti keeps source columns only — a NOT MATCHED clause
@@ -2405,12 +2446,16 @@ object IcebergWrite {
             val unmatched = src.join(
               cur.select(keyCols.map(col): _*).distinct().alias(targetAlias),
               keyJoin, "left_anti")
-            Some(insertRows(unmatched, insertClauses, actionIdx(insertClauses), meta))
+            val ins = insertRows(unmatched, insertClauses,
+              actionIdx(insertClauses), meta)
+            Some(if (v3) ins.withColumn(LineageCarryCol,
+              lit(null).cast(LongType)) else ins)
           }
 
         val newRows = (rewrites.toSeq ++ inserts.toSeq)
           .reduceOption(_ unionByName _)
-        newRows.foreach(requireTableSchema(_, meta))
+        newRows.foreach(r => requireTableSchema(
+          if (v3) r.drop(LineageCarryCol) else r, meta))
         val (dataFiles, partColTypes) = newRows match {
           case Some(rows) =>
             stageDataFiles(rows, tablePath, meta, snapshotId, maxRecordsPerFile)
@@ -3025,6 +3070,12 @@ object IcebergWrite {
     * (Iceberg spec "Reserved field ids"). */
   private val PosDeleteFieldIds = Map("file_path" -> 2147483546, "pos" -> 2147483545)
 
+  /** Internal column name a rewrite verb uses to thread each surviving
+    * row's v3 lineage id into [[stageDataFiles]] (written out as the
+    * materialized `_row_id`). `__gf`-prefixed so user frames can never
+    * smuggle one in through the public write verbs. */
+  private val LineageCarryCol = "__gf_rowid"
+
   /** Annotate `df`'s columns with `parquet.field.id` metadata so Spark's
     * parquet writer stamps spec field ids into the files (public
     * `spark.sql.parquet.fieldId.write.enabled` machinery) — the physical
@@ -3059,8 +3110,19 @@ object IcebergWrite {
                          branch: Option[String] = None): Long = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
-    val df1 = applyWriteDefaults(df, meta)
-    requireTableSchema(df1, meta)
+    // v3 lineage carry ([[compact]]'s id-preserving rewrite): the frame
+    // is a full-schema table read plus the internal lineage column —
+    // validate the data columns, stage the carry through untouched.
+    val hasLineage = df.columns.contains(LineageCarryCol)
+    if (hasLineage) {
+      require(meta.formatVersion >= 3,
+        s"$LineageCarryCol requires format v3 (row lineage)")
+      require(operation != "append",
+        "lineage carry is a rewrite-verb mechanism; appends assign fresh ids")
+    }
+    val df1 =
+      if (hasLineage) { requireTableSchema(df.drop(LineageCarryCol), meta); df }
+      else { val d = applyWriteDefaults(df, meta); requireTableSchema(d, meta); d }
     branch.foreach { b =>
       require(b != "main", "write to main is the default — omit `branch`")
       require(operation == "append",
@@ -3133,7 +3195,21 @@ object IcebergWrite {
     // columns are stamped with their spec field ids (the reader's
     // by-id resolution contract); the __gf_p* duplicates never reach
     // the files (partitionBy consumes them).
-    val dfIds = stampFieldIds(df, fieldIdByName)
+    // v3 row lineage: a rewrite verb's input carries `__gf_rowid` (each
+    // surviving row's current lineage id) — it persists into the files
+    // as a MATERIALIZED `_row_id` column under the spec's reserved
+    // field id, which the lineage read prefers over the
+    // first_row_id+position derivation. Plain appends never carry it.
+    val hasLineage = df.columns.contains(LineageCarryCol)
+    val df0 =
+      if (hasLineage)
+        df.withColumnRenamed(LineageCarryCol, IcebergIO.RowLineageCol)
+      else df
+    val stampIds =
+      if (hasLineage)
+        fieldIdByName + (IcebergIO.RowLineageCol -> IcebergIO.RowIdFieldId)
+      else fieldIdByName
+    val dfIds = stampFieldIds(df0, stampIds)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
     // clustering expressions, from the metadata-declared layout: a
     // z-order ([[zorderBy]]) clusters on the interleaved Morton value —

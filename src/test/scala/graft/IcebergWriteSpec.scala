@@ -2257,6 +2257,80 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(mixed === Map(1L -> None, 2L -> Some(0L)))
   }
 
+  test("v3 row lineage: physical rewrites preserve _row_id") {
+    import org.apache.spark.sql.functions.lit
+    val dir = s"$root/rowid_rewrite"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"),
+      formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), dir)
+    IcebergWrite.append(df((4L, "b", 4.0), (5L, "a", 5.0)), dir)
+    def rowIds(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    val before = rowIds()
+    assert(before.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L) // DV delete
+    val base = before - 2L
+
+    // compact rewrites EVERY file: survivors keep their exact ids
+    // (materialized into the new files), the DV folds away
+    IcebergWrite.compact(spark, dir)
+    assert(rowIds() === base)
+    // the preservation is the materialized column, not a first_row_id
+    // coincidence: the rewrite still advanced next-row-id past 5 (new
+    // files get fresh assigned ranges) while the read ids stayed 0-4
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(GraftFs.readUtf8(
+      IcebergIO.loadMetadata(dir).metadataFile))
+      .get("next-row-id").asLong() >= 5L + 4L)
+
+    // compactWhere of ONE partition: rewritten partition keeps ids,
+    // untouched partition's files carry verbatim
+    IcebergWrite.append(df((6L, "a", 6.0)), dir)
+    val with6 = rowIds()
+    assert(with6.keySet === base.keySet + 6L)
+    IcebergWrite.compactWhere(spark, dir, col("name") === "a")
+    assert(rowIds() === with6)
+
+    // a SECOND rewrite over already-materialized files composes
+    IcebergWrite.compact(spark, dir)
+    assert(rowIds() === with6)
+
+    // updateWhere rewrites the row physically: content moves, id stays
+    IcebergWrite.updateWhere(spark, dir, col("id") === 3L,
+      Map("score" -> lit(99.0)))
+    assert(rowIds() === with6)
+    assert(IcebergIO.read(spark, dir).filter(col("id") === 3L)
+      .collect().head.getDouble(2) === 99.0)
+
+    // merge: matched UPDATE keeps the id; NOT MATCHED insert derives a
+    // fresh one from the new file's assignment (never colliding with a
+    // preserved id)
+    val src = df((4L, "b", 40.0), (7L, "c", 7.0))
+    IcebergWrite.merge(spark, dir, src, Seq("id"), Seq(
+      IcebergWrite.WhenMatchedUpdate(Map("score" ->
+        org.apache.spark.sql.functions.expr("s.score"))),
+      IcebergWrite.WhenNotMatchedInsert(Map(
+        "id" -> org.apache.spark.sql.functions.expr("s.id"),
+        "name" -> org.apache.spark.sql.functions.expr("s.name"),
+        "score" -> org.apache.spark.sql.functions.expr("s.score")))))
+    val afterMerge = rowIds()
+    assert(afterMerge.view.filterKeys(_ != 7L).toMap === with6)
+    assert(!with6.values.toSet.contains(afterMerge(7L)))
+    assert(IcebergIO.read(spark, dir).filter(col("id") === 4L)
+      .collect().head.getDouble(2) === 40.0)
+
+    // CDC across the rewrites: replace snapshots are data-preserving and
+    // skipped; net content of the change rows replays the final state
+    val ch = IcebergIO.readChangelog(spark, dir).collect()
+    val net = ch.groupBy(_.getLong(0)).view.mapValues { rows =>
+      rows.count(_.getAs[String]("_change_type") == "insert") -
+        rows.count(_.getAs[String]("_change_type") == "delete")
+    }.toMap
+    val liveIds = ids(IcebergIO.read(spark, dir))
+    liveIds.foreach(i => assert(net(i) === 1, s"id $i"))
+    assert(net(2L) === 0)
+  }
+
   test("v3 row lineage: cherry-pick carries branch-assigned ids, counter stays") {
     val dir = s"$root/dv_rowid_pick"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
