@@ -460,11 +460,21 @@ object TextAnalysis {
     * Emits one row per doc with the inputs, each rule flag (int 0/1)
     * and the composite `keep`. Pure per-row projection — apply as a
     * batch filter or unchanged on an append-mode stream. */
-  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
-                         minWords: Int = 50, maxWords: Int = 100000,
-                         minMeanLen: Int = 3, maxMeanLen: Int = 10,
-                         minStopwords: Int = 2): DataFrame = {
-    val w = tokens(col(textCol))
+  /** The five Gopher rule parameters as one value — threads the bundle
+    * through composition points ([[gopherKeep]], the streaming
+    * [[graft.streaming.StreamingOps.curateStream]] gate) without
+    * five-arg plumbing. Defaults match [[gopherQualityFlags]]. */
+  final case class GopherRules(minWords: Int = 50, maxWords: Int = 100000,
+                               minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                               minStopwords: Int = 2)
+
+  /** The rule INPUTS over a text Column — (n_words, Σ word chars,
+    * distinct stopwords, alphabetic words, pure-symbol words), shared by
+    * the flags relation and the composite [[gopherKeep]] gate so the two
+    * can never drift. */
+  private def gopherCounts(text: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val w = tokens(text)
     val n = size(w).cast("long")
     val chars = aggregate(transform(w, x => length(x).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -473,6 +483,27 @@ object TextAnalysis {
     val nAlpha = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
     val nSym = size(filter(w,
       x => x =!= "" && !x.rlike("[a-zA-Z0-9]"))).cast("long")
+    (n, chars, nStop, nAlpha, nSym)
+  }
+
+  /** The composite Gopher keep decision as ONE boolean Column — the
+    * filter-predicate form of [[gopherQualityFlags]]'s `keep` (exact
+    * same cross-multiplied integer rules), usable as a batch filter or
+    * unchanged on an append-mode stream. */
+  def gopherKeep(text: Column, rules: GopherRules = GopherRules()): Column = {
+    val (n, chars, nStop, nAlpha, nSym) = gopherCounts(text)
+    n >= rules.minWords && n <= rules.maxWords &&
+      chars >= lit(rules.minMeanLen.toLong) * n &&
+      chars <= lit(rules.maxMeanLen.toLong) * n &&
+      nStop >= rules.minStopwords &&
+      nAlpha * 5 >= n * 4 && nSym * 10 <= n
+  }
+
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                         minStopwords: Int = 2): DataFrame = {
+    val (n, chars, nStop, nAlpha, nSym) = gopherCounts(col(textCol))
     def flag(c: Column): Column = when(c, 1).otherwise(0)
     val fWords = flag(n >= minWords && n <= maxWords)
     val fMean = flag(chars >= lit(minMeanLen.toLong) * n &&
@@ -658,10 +689,28 @@ object TextAnalysis {
     * handful of labels = KBs); the per-token log-probs replicate the
     * distributed scorer's arithmetic exactly — same JVM `Math.log`,
     * same HALF_UP rounding as Spark's `round`. Boundary: at V×L beyond
-    * broadcast comfort (~100 MB), shard the vocabulary and sum the
-    * per-shard folds — same shape as the PQ broadcast boundary. */
-  def nbPredictFold(model: NbModel, docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+    * broadcast comfort (~100 MB of literals in one expression) pass
+    * `shards > 1` — the LUT splits into that many map literals whose
+    * per-shard folds sum, bit-equal to the single-literal form (same
+    * shape as the PQ broadcast boundary; pinned in OperatorsSpec). */
+  /** The per-row NB score ARRAY (one micro-nat log-posterior per label,
+    * labels sorted ascending) over a text Column, built from a
+    * driver-materialized model — the per-row fold shared by
+    * [[nbPredictFold]] and the streaming curation gate
+    * ([[graft.streaming.StreamingOps.curateStream]]). Returns the
+    * scores Column and the sorted label list (index i of the array is
+    * labels(i)); derive the prediction with [[nbPredFromScores]].
+    *
+    * `shards` splits the V×L token LUT into that many independent map
+    * literals whose per-shard folds SUM (long addition is associative —
+    * results are bit-equal to the single-literal form, pinned in
+    * OperatorsSpec): the escape hatch for vocabularies past broadcast
+    * comfort (~100 MB of literals in one expression), same shape as the
+    * PQ codebook boundary. OOV mass is added once via the token count
+    * minus the across-shard match count. */
+  def nbScoreArray(model: NbModel, text: Column,
+                   shards: Int = 1): (Column, Seq[String]) = {
+    require(shards >= 1, "shards must be >= 1")
     // Spark's `round` routes doubles through Scala BigDecimal (the
     // toString-based constructor) with HALF_UP — replicate exactly
     def micro(num: Long, den: Long): Long =
@@ -669,7 +718,6 @@ object TextAnalysis {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
     val labels: Seq[String] = model.prior.select("label")
       .collect().map(_.getString(0)).sorted.toSeq
-    val li = labels.zipWithIndex.toMap
     val ctot: Map[String, Long] = model.clsTot.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val priorMicro: Map[String, Long] = model.prior.collect()
@@ -685,18 +733,56 @@ object TextAnalysis {
         tok -> labels.indices.map(i =>
           micro(byLabel.getOrElse(labels(i), 0L) + 1L, den(i))).toSeq
       }
-    val lut = typedLit(tokMap)
     val oov = typedLit(oovArr)
-    val scores = aggregate(
-      tokens(col(textCol)), typedLit(priorArr),
-      (acc, tok) => zip_with(acc,
-        coalesce(element_at(lut, tok), oov), (a, b) => a + b))
+    val scores =
+      if (shards == 1) {
+        val lut = typedLit(tokMap)
+        aggregate(
+          tokens(text), typedLit(priorArr),
+          (acc, tok) => zip_with(acc,
+            coalesce(element_at(lut, tok), oov), (a, b) => a + b))
+      } else {
+        // deterministic split on the token's hash (any partition is
+        // correct — per-shard sums are order-independent long additions;
+        // String.hashCode is spec-defined, stable across JVMs)
+        val byShard: Map[Int, Map[String, Seq[Long]]] = tokMap.groupBy {
+          case (tok, _) => math.floorMod(tok.hashCode, shards)
+        }
+        val zeros = typedLit(labels.map(_ => 0L))
+        val toks = tokens(text)
+        val parts: Seq[(Column, Column)] = (0 until shards).map { s =>
+          val lutS = typedLit(byShard.getOrElse(s, Map.empty[String, Seq[Long]]))
+          val sum = aggregate(toks, zeros, (acc, t) => zip_with(acc,
+            coalesce(element_at(lutS, t), zeros), (a, b) => a + b))
+          val matched = aggregate(toks, lit(0L), (acc, t) =>
+            acc + when(element_at(lutS, t).isNotNull, lit(1L))
+              .otherwise(lit(0L)))
+          (sum, matched)
+        }
+        val oovCount = size(toks).cast("long") - parts.map(_._2).reduce(_ + _)
+        val shardSum = parts.map(_._1)
+          .reduce((a, b) => zip_with(a, b, (x, y) => x + y))
+        zip_with(zip_with(typedLit(priorArr), shardSum, (a, b) => a + b),
+          oov, (a, o) => a + o * oovCount)
+      }
+    (scores, labels)
+  }
+
+  /** The argmax label off an [[nbScoreArray]] scores Column —
+    * score-desc/label-asc tie-break, identical to [[nbPredict]]'s
+    * window form (array_position returns the FIRST max, labels sorted
+    * ascending). */
+  def nbPredFromScores(scores: Column, labels: Seq[String]): Column =
+    element_at(typedLit(labels),
+      array_position(scores, array_max(scores)).cast("int"))
+
+  def nbPredictFold(model: NbModel, docs: DataFrame, idCol: String,
+                    textCol: String, shards: Int = 1): DataFrame = {
+    val (scores, labels) = nbScoreArray(model, col(textCol), shards)
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), scores.as("scores"))
       .select(col("id"),
-        element_at(typedLit(labels),
-          array_position(col("scores"), array_max(col("scores"))).cast("int"))
-          .as("pred"),
+        nbPredFromScores(col("scores"), labels).as("pred"),
         array_max(col("scores")).as("score_micro"))
   }
 }

@@ -193,24 +193,54 @@ object StreamingOps {
     *     (bounded state: the streaming form of `dedup_exact_keep`);
     *  2. language gate (langIdHeuristic == 'en') and quality gate
     *     (qualityScore >= minQuality) — Gopher-style cheap filters;
-    *  3. PII redaction (email/IP/phone → placeholder tokens) on the
+    *  3. OPTIONAL full Gopher rule bundle (`gopher` — the composite
+    *     [[graft.operators.TextAnalysis.gopherKeep]] decision, exact
+    *     same cross-multiplied integer rules as the batch
+    *     `gopherQualityFlags`);
+    *  4. OPTIONAL Naive-Bayes class gate (`nbGate` — a batch-trained
+    *     [[graft.operators.TextAnalysis.NbModel]] plus the label set to
+    *     keep; the prediction is the same per-row fold + argmax as
+    *     [[nbPredictStream]], bit-equal to the batch `nbPredict`);
+    *  5. PII redaction (email/IP/phone → placeholder tokens) on the
     *     text that survives.
     *
-    * Emits (id, ts, lang, quality, text) per kept doc, append-mode-safe
-    * (no aggregation — projections, a filter, and keyed dedup state). */
+    * Emits (id, ts, lang, quality, text) per kept doc — plus `pred`
+    * (the NB label) when `nbGate` is set, so a downstream batch mixer
+    * ([[graft.operators.Curation.mixDomains]]) can weight on it.
+    * Append-mode-safe (no aggregation — projections, filters, and keyed
+    * dedup state; both optional gates are pure per-row folds). */
   def curateStream(docs: DataFrame, idCol: String, tsCol: String,
                    textCol: String, minQuality: Double,
-                   watermarkDelay: String): DataFrame = {
+                   watermarkDelay: String,
+                   gopher: Option[graft.operators.TextAnalysis.GopherRules] = None,
+                   nbGate: Option[(graft.operators.TextAnalysis.NbModel,
+                     Set[String])] = None): DataFrame = {
     import graft.operators.{Curation, TextAnalysis}
-    docs
+    val gated = docs
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .withColumn("lang", TextAnalysis.langIdHeuristic(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("lang") === "en" && col("quality") >= minQuality)
-      .select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
-        col("quality"), Curation.piiRedact(col(textCol)).as("text"))
+      .transform(d => gopher.fold(d)(rules =>
+        d.filter(TextAnalysis.gopherKeep(col(textCol), rules))))
+    nbGate match {
+      case None =>
+        gated.select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
+          col("quality"), Curation.piiRedact(col(textCol)).as("text"))
+      case Some((model, keepLabels)) =>
+        require(keepLabels.nonEmpty, "nbGate needs at least one keep label")
+        val (scores, labels) = TextAnalysis.nbScoreArray(model, col(textCol))
+        gated
+          .withColumn("__nb_scores", scores)
+          .withColumn("pred",
+            TextAnalysis.nbPredFromScores(col("__nb_scores"), labels))
+          .filter(col("pred").isin(keepLabels.toSeq.sorted: _*))
+          .select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
+            col("quality"), col("pred"),
+            Curation.piiRedact(col(textCol)).as("text"))
+    }
   }
 
   /** Streaming benchmark-decontamination gate: drop (or count) arriving

@@ -270,6 +270,18 @@ class AdvancedOpsSpec extends AnyFunSuite {
     // exact integer micro-nat equality — label AND score, every doc
     fold.foreach { case (id, p) => assert(p === join(id),
       s"doc $id: fold $p != join ${join(id)}") }
+    // vocab-sharded fold (the >100 MB-LUT escape hatch): per-shard sums
+    // of long micro-nats are associative, so shards=4 is BIT-EQUAL —
+    // OOV mass added exactly once via the match-count complement
+    val sharded = TextAnalysis
+      .nbPredictFold(model, docs, "doc_id", "text", shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(sharded === fold)
+    // degenerate shard counts: more shards than tokens still exact
+    val over = TextAnalysis
+      .nbPredictFold(model, docs, "doc_id", "text", shards = 64)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(over === fold)
     // NOTE: no accuracy assertion on this corpus — the synthetic `lang`
     // labels are independent of token content, so self-accuracy is
     // chance-level by construction. Learning is asserted on the

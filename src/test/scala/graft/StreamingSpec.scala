@@ -479,6 +479,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchQ.getString(1) === out(6L))
   }
 
+  test("streaming curation with Gopher + NB gates matches the batch composition") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // one doc per content fingerprint so the stream's keyed dedup is a
+    // no-op and the batch replay needs no arrival-order modeling
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "lang", "text")
+    val model = TextAnalysis.nbTrain(docsDf, "doc_id", "text", "lang", 20)
+    val rules = TextAnalysis.GopherRules(minWords = 30, maxWords = 90,
+      minMeanLen = 4, maxMeanLen = 10, minStopwords = 2)
+    val keepLabels = Set("en", "de")
+    val weights = Map("en" -> 3, "de" -> 1)
+
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(uniq.collect().map(r => (r.getLong(0), ts, r.getString(2)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      gopher = Some(rules), nbGate = Some((model, keepLabels)))
+    StreamingOps.runToMemory(curated, "curated_gates", OutputMode.Append())
+    val streamed = spark.table("curated_gates").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5))).toSet
+
+    // batch replay of the same chain through the batch operators
+    val base = uniq.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05)
+    val gKept = base.join(
+      TextAnalysis.gopherQualityFlags(base, "doc_id", "text",
+          minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
+          minStopwords = 2)
+        .filter(col("keep") === 1).select(col("id").as("doc_id")),
+      Seq("doc_id"))
+    val preds = TextAnalysis.nbPredict(model, gKept, "doc_id", "text")
+      .filter(col("pred").isin(keepLabels.toSeq.sorted: _*))
+      .select(col("id").as("doc_id"), col("pred"))
+    val batchKept = gKept.join(preds, Seq("doc_id"))
+      .select(col("doc_id"), col("pred"),
+        Curation.piiRedact(col("text")).as("text"))
+    val batch = batchKept.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // each optional gate is discriminative on this corpus (not vacuous)
+    assert(gKept.count() < base.count(), "gopher gate dropped nothing")
+    assert(batch.size < gKept.count(), "NB label gate dropped nothing")
+
+    // composed with the batch mixer: the streamed survivors feed
+    // mixDomains to the SAME mixture the batch pipeline computes
+    // materialize survivors into a fresh frame — the memory-sink view
+    // self-joins inside mixDomains (group counts vs rows) and the View
+    // node resurfaces the same attribute ids on both sides
+    val survivors = spark.table("curated_gates")
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+      .toDF("doc_id", "pred")
+    val mixS = Curation.mixDomains(survivors, "pred", "doc_id", weights)
+      .select("pred", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    val mixB = Curation.mixDomains(batchKept.select("doc_id", "pred"),
+        "pred", "doc_id", weights)
+      .select("pred", "doc_id").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSet
+    assert(mixS === mixB && mixS.nonEmpty)
+  }
+
   test("streaming bigram scoring matches the batch scorer doc-for-doc") {
     import spark.implicits._
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
