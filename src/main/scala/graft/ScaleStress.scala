@@ -219,6 +219,34 @@ object ScaleStress {
     val wThreshold = 6.0 // 10x files, same rows; O(files) commit + headroom
     val wSuspect = wLarge > 0.5 && wRatio >= wThreshold
 
+    // v3 DELETION-VECTOR delete scale: the same keyed DELETE over the
+    // same row volume spread across 10x the data files — the per-file
+    // roaring-bitmap build (groupByKey in executors) and the delete-side
+    // manifest-list rebuild are both O(files), and the scan is
+    // row-bound, so wall time must grow far sub-linearly in the file
+    // count. Fresh table per trial (deleteWhere mutates); only the
+    // delete commit is timed.
+    def dvDeleteTime(buckets: Int): Double =
+      (1 to 2).map { trial =>
+        val dir = s"/tmp/graft_scale_dv_${buckets}_$trial"
+        graft.sources.IcebergFixture.deleteRecursively(dir)
+        val sdf = spark.read.parquet(s"$src/orders.parquet")
+          .select(col("o_orderkey"),
+            pmod(col("o_orderkey"), lit(buckets.toLong)).cast("int").as("o_bucket"))
+        graft.sources.IcebergWrite.create(spark, dir, sdf.schema,
+          partitionCols = Seq("o_bucket"), formatVersion = 3)
+        graft.sources.IcebergWrite.append(sdf, dir): Unit
+        val t0 = System.nanoTime()
+        graft.sources.IcebergWrite.deleteWhere(spark, dir,
+          pmod(col("o_orderkey"), lit(10L)) === 0L): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val dvSmall = dvDeleteTime(20)
+    val dvLarge = dvDeleteTime(200)
+    val dvRatio = dvLarge / math.max(dvSmall, 1e-3)
+    val dvThreshold = 6.0 // 10x files, same rows; O(files) bitmap+manifest
+    val dvSuspect = dvLarge > 0.5 && dvRatio >= dvThreshold
+
     // Semantic-dedup scale: k grows WITH the corpus (the SemDeDup
     // scaling discipline — cells stay ~constant size), so the in-cell
     // pairwise work grows linearly in the row count, not quadratically.
@@ -351,6 +379,10 @@ object ScaleStress {
       s""""sec_small":${jnum(wSmall)},"sec_large":${jnum(wLarge)},""" +
       s""""ratio":${jnum(wRatio)},"threshold":${jnum(wThreshold)},""" +
       s""""suspect":${wSuspect}},""" +
+      s""""dv_delete":{"files_small":20,"files_large":200,""" +
+      s""""sec_small":${jnum(dvSmall)},"sec_large":${jnum(dvLarge)},""" +
+      s""""ratio":${jnum(dvRatio)},"threshold":${jnum(dvThreshold)},""" +
+      s""""suspect":${dvSuspect}},""" +
       s""""semantic_dedup":{"k_small":8,"k_large":${8 * copies},""" +
       s""""sec_small":${jnum(semSmall)},"sec_large":${jnum(semLarge)},""" +
       s""""ratio":${jnum(semRatio)},"threshold":${jnum(semThreshold)},""" +

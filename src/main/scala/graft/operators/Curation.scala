@@ -480,6 +480,47 @@ object Curation {
       .drop("__gf_cum", "__gf_budget", "__gf_tok", "__gf_n", "__gf_rows")
   }
 
+  /** Per-row KEEP decision for [[resampleByWeight]] as one boolean
+    * Column — deterministic importance sampling with zero RNG state:
+    * keep ⟺ the 40-bit prefix of md5(salt || "_" || id) falls below the
+    * row's weight fraction of the hash space. Exact integers
+    * end-to-end: weight in MICRO units (0..1,000,000 = probability
+    * 0..1) and `hash40 · 10^6 < weight_micro · 2^40` — both sides stay
+    * under 2^61, so the comparison is overflow-free in BOTH engines
+    * (the DuckDB twin is the same cross-multiplication over
+    * `CAST('0x' || substring(md5(...), 1, 10) AS BIGINT)`). A 40-bit
+    * hash gives ~1e-12 probability resolution — far finer than the
+    * micro-unit weights it gates. Out-of-range or NULL weights raise
+    * loudly (a silently clamped weight would skew the mixture). Pure
+    * per-row projection: use as a batch filter or unchanged on an
+    * append-mode stream. */
+  def resampleKeep(id: Column, weightMicro: Column,
+                   salt: String = "rs"): Column = {
+    val max40 = 1099511627776L // 2^40
+    val h = conv(substring(md5(concat(lit(salt), lit("_"),
+      id.cast("string"))), 1, 10), 16, 10).cast("long")
+    val w = when(weightMicro.isNull ||
+        weightMicro < 0 || weightMicro > 1000000L,
+      raise_error(concat(lit("resampleByWeight: weight_micro out of "),
+        lit("[0, 1000000]: "), weightMicro.cast("string"))).cast("long"))
+      .otherwise(weightMicro.cast("long"))
+    h * lit(1000000L) < w * lit(max40)
+  }
+
+  /** Deterministic importance RESAMPLING — the quality-weighted
+    * downsampling step of a training-data pipeline (keep each document
+    * with probability proportional to a quality/classifier score, the
+    * DCLM/FineWeb shape) with no RNG state anywhere: every row decides
+    * its own fate from md5(salt, id), so the sample is reproducible
+    * across runs, partitionings and engines, and a re-run with a new
+    * `salt` draws an independent sample. Keeps the input columns of
+    * surviving rows. Scale shape: one codegen'd per-row filter — no
+    * shuffle, no state, no driver participation at any corpus size. */
+  def resampleByWeight(docs: DataFrame, idCol: String,
+                       weightMicroCol: String,
+                       salt: String = "rs"): DataFrame =
+    docs.filter(resampleKeep(col(idCol), col(weightMicroCol), salt))
+
   /** The distributed pre-cut both skew-cutover mixing variants share:
     * keep rows of small groups (`rowsCol <= cut`) untouched, and in
     * larger groups keep only rows whose 60-bit prefix of the SAME md5

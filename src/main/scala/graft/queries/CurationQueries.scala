@@ -497,9 +497,36 @@ object CurationQueries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Deterministic importance resampling ([[Curation.resampleByWeight]]):
+    * per-row keep ⟺ 40-bit md5 prefix falls below the row's micro-unit
+    * weight fraction of the hash space — the oracle replays the exact
+    * cross-multiplication (`hash40·10^6 < w·2^40`, both under 2^61, no
+    * overflow in either engine). Weights sweep 0..1,000,000 in 100k
+    * steps via `(doc_id·37) mod 11`, so the never-keep and always-keep
+    * extremes are both exercised. */
+  private val resampleOracle =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST((doc_id * 37 % 11) * 100000 AS BIGINT) AS weight_micro
+      |  FROM documents)
+      |SELECT doc_id, weight_micro FROM w
+      |WHERE CAST('0x' || substring(md5('rs_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < weight_micro * 1099511627776
+      |ORDER BY doc_id""".stripMargin
+
+  val curResampleWeight = dfQ("cur_resample_weight", resampleOracle,
+    bench = false) { (s, _) =>
+    val weighted = s.table("documents")
+      .select(col("doc_id"),
+        (pmod(col("doc_id") * 37, lit(11)) * 100000L).cast("long")
+          .as("weight_micro"))
+    Curation.resampleByWeight(weighted, "doc_id", "weight_micro")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
-    curMixTokensSkew, curLineDedup,
+    curMixTokensSkew, curLineDedup, curResampleWeight,
     pipeCurateMix)
 }

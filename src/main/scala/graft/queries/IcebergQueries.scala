@@ -1816,10 +1816,12 @@ object IcebergQueries {
     * (materialized lineage must survive a second rewrite). Surviving
     * rows must read their ORIGINAL ids — the rewrites materialize
     * `_row_id` into the new files (the spec's rewrite rule) and the
-    * reader prefers the materialized column. The oracle replays the id
-    * assignment as a window over the original order — the updated row's
-    * id still reflects where it WAS, which no post-rewrite recomputation
-    * could produce. */
+    * reader prefers the materialized column. `_last_updated_sequence_
+    * number` rides the same machinery: the UPDATE (seq 4) stamps ONLY
+    * its row; both compactions (seqs 3 and 5) preserve everything. The
+    * oracle replays the id assignment as a window over the original
+    * order — the updated row's id still reflects where it WAS, which no
+    * post-rewrite recomputation could produce. */
   val icebergRowLineage = dfQ("iceberg_row_lineage",
     """WITH base AS (
       |  SELECT n_nationkey, n_name,
@@ -1827,7 +1829,9 @@ object IcebergQueries {
       |  FROM nation
       |)
       |SELECT n_nationkey, row_id,
-      |  CASE WHEN n_nationkey = 7 THEN 'REWRITTEN' ELSE n_name END AS name
+      |  CASE WHEN n_nationkey = 7 THEN 'REWRITTEN' ELSE n_name END AS name,
+      |  CAST(CASE WHEN n_nationkey = 7 THEN 4 ELSE 1 END AS BIGINT)
+      |    AS last_upd
       |FROM base
       |WHERE n_nationkey % 6 <> 2
       |ORDER BY n_nationkey""".stripMargin,
@@ -1846,7 +1850,40 @@ object IcebergQueries {
     graft.sources.IcebergWrite.compact(s, dir)
     IcebergIO.readWithRowId(s, dir)
       .select(col("n_nationkey"), col("_row_id").as("row_id"),
-        col("n_name").as("name"))
+        col("n_name").as("name"),
+        col("_last_updated_sequence_number").as("last_upd"))
+      .orderBy("n_nationkey")
+  }
+
+  /** v3 VARIANT column parity: semi-structured rows written through the
+    * Iceberg writer (Spark's native VariantType shares the open Parquet
+    * VARIANT representation with the v3 spec type), DV-deleted,
+    * compacted, then read back BOTH ways — canonical JSON text
+    * (`to_json`) and a typed path extraction (`variant_get`). The
+    * oracle rebuilds the same JSON strings and arithmetic from the
+    * source rows — byte-identical text proves the binary round-trip
+    * lost nothing through the delete + rewrite. */
+  val icebergVariant = dfQ("iceberg_variant",
+    """SELECT n_nationkey,
+      |  '{"k":' || CAST(n_nationkey AS VARCHAR) || ',"name":"'
+      |    || n_name || '"}' AS vj,
+      |  CAST(n_nationkey * 2 AS BIGINT) AS k2
+      |FROM nation
+      |WHERE n_nationkey % 4 <> 1
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_variant_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val df = s.table("nation").selectExpr("n_nationkey",
+      "parse_json(concat('{\"k\":', n_nationkey, ',\"name\":\"', n_name, '\"}')) AS v")
+    graft.sources.IcebergWrite.create(s, dir, df.schema, formatVersion = 3)
+    graft.sources.IcebergWrite.append(df, dir)
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") % 4 === 1)
+    graft.sources.IcebergWrite.compact(s, dir)
+    IcebergIO.read(s, dir).selectExpr("n_nationkey",
+        "to_json(v) AS vj",
+        "CAST(variant_get(v, '$.k', 'long') * 2 AS BIGINT) AS k2")
       .orderBy("n_nationkey")
   }
 
@@ -1896,7 +1933,7 @@ object IcebergQueries {
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
-    icebergRowLineage,
+    icebergRowLineage, icebergVariant,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

@@ -44,6 +44,11 @@ object IcebergFixture {
     case StringType       => "string"
     case BinaryType       => "binary"
     case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    // v3 semi-structured column (the spec's `variant`): Spark's native
+    // VariantType shares the open Parquet VARIANT representation, so
+    // the mapping is a direct passthrough (the WRITER gates it to
+    // format v3 — see IcebergWrite.create)
+    case VariantType      => "variant"
     case other => throw new IllegalArgumentException(
       s"fixture writer supports flat primitive schemas only, got $other")
   }

@@ -177,6 +177,12 @@ object IcebergIO {
         case "timestamptz" => TimestampType
         case "string" | "uuid" => StringType
         case "binary"      => BinaryType
+        // v3 semi-structured type: Spark's VariantType implements the
+        // same open Parquet VARIANT representation (binary value +
+        // binary metadata, VARIANT-annotated group), so the column
+        // reads natively — typed access (`variant_get`, `to_json`)
+        // works through Spark's own machinery
+        case "variant"     => VariantType
         case dec if dec.startsWith("decimal(") =>
           val Array(p, sc) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
           DecimalType(p, sc)
@@ -423,6 +429,15 @@ object IcebergIO {
   private[graft] val RowLineageCol = "_row_id"
   private[graft] val RowIdFieldId = 2147483540
 
+  /** The second v3 row-lineage column: the sequence number of the
+    * snapshot that last MODIFIED the row. Derivation mirrors `_row_id`:
+    * materialized value preferred, else the containing file's data
+    * sequence number — so content-preserving rewrites (compact)
+    * materialize it, while row-modifying writes (UPDATE/MERGE) leave it
+    * null and the new file's seq takes over. */
+  private[graft] val LastUpdatedCol = "_last_updated_sequence_number"
+  private[graft] val LastUpdatedFieldId = 2147483539
+
   /** The spec's name-mapping table property ("Name Mapping
     * Serialization"): a JSON list of `{"field-id": N, "names": [...]}`
     * entries assigning field ids to id-LESS data files by their column
@@ -619,12 +634,14 @@ object IcebergIO {
     * Fields added AFTER the upgrade surface as NULL from legacy files
     * even when an unrelated same-named column exists in the old bytes
     * (by-id semantics — a name-based read would resurrect them).
-    * With `withRowId` each frame also carries `__gf_mrowid`: the file's
-    * MATERIALIZED `_row_id` column (v3 row lineage — rewrite verbs
-    * persist surviving rows' ids into rewritten files under the spec's
-    * reserved field id), NULL for every file that predates lineage or
-    * was written by a plain append (those derive ids from
-    * `first_row_id + position` downstream). */
+    * With `withRowId` each frame also carries `__gf_mrowid` /
+    * `__gf_mlseq`: the file's MATERIALIZED `_row_id` and
+    * `_last_updated_sequence_number` columns (v3 row lineage —
+    * content-preserving rewrites persist them into rewritten files
+    * under the spec's reserved field ids), NULL for every file that
+    * predates lineage or was written by a plain append (those derive
+    * downstream from `first_row_id + position` and the file's data
+    * sequence number). */
   private[sources] def dataBranches(spark: SparkSession, meta: TableMetadata,
       files: Seq[ContentFile], withPos: Boolean,
       withRowId: Boolean = false): Seq[DataFrame] = {
@@ -643,14 +660,19 @@ object IcebergIO {
     // standard missing-column fill, validated against Spark's fieldId
     // machinery); name-resolution tables match the literal column name.
     // Legacy / hive-injected files predate lineage by construction.
-    def rowIdField = StructField(RowLineageCol, LongType, nullable = true,
-      metadata = if (resolveByFieldIds(meta))
-        new MetadataBuilder().putLong("parquet.field.id", RowIdFieldId.toLong).build()
-      else org.apache.spark.sql.types.Metadata.empty)
+    def lineageField(name: String, id: Int) =
+      StructField(name, LongType, nullable = true,
+        metadata = if (resolveByFieldIds(meta))
+          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+        else org.apache.spark.sql.types.Metadata.empty)
+    def rowIdFields = Seq(lineageField(RowLineageCol, RowIdFieldId),
+      lineageField(LastUpdatedCol, LastUpdatedFieldId))
     def rowIdCols: Seq[Column] =
-      if (withRowId) Seq(col(RowLineageCol).as("__gf_mrowid")) else Nil
+      if (withRowId) Seq(col(RowLineageCol).as("__gf_mrowid"),
+        col(LastUpdatedCol).as("__gf_mlseq")) else Nil
     def nullRowIdCols: Seq[Column] =
-      if (withRowId) Seq(lit(null).cast(LongType).as("__gf_mrowid")) else Nil
+      if (withRowId) Seq(lit(null).cast(LongType).as("__gf_mrowid"),
+        lit(null).cast(LongType).as("__gf_mlseq")) else Nil
     val out = Seq.newBuilder[DataFrame]
     if (stamped.nonEmpty) {
       // v3 column defaults: files that predate a defaulted column (seq
@@ -664,14 +686,14 @@ object IcebergIO {
       groups.foreach { case (missing, group) =>
         if (missing.isEmpty) {
           val rs0 = dataReadSchema(spark, meta)
-          val rs = if (withRowId) StructType(rs0.fields :+ rowIdField) else rs0
+          val rs = if (withRowId) StructType(rs0.fields ++ rowIdFields) else rs0
           val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
           out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
             rowIdCols ++ (if (withPos) posCols else Nil): _*)
         } else {
           val rs0 = StructType(dataReadSchema(spark, meta)
             .fields.filterNot(f => missing(f.name)))
-          val rs = if (withRowId) StructType(rs0.fields :+ rowIdField) else rs0
+          val rs = if (withRowId) StructType(rs0.fields ++ rowIdFields) else rs0
           val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
           val proj = meta.schema.fields.toSeq.map { f =>
             if (missing(f.name)) defaultLit(
@@ -715,7 +737,8 @@ object IcebergIO {
     injected.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
       val b = injectedBranch(spark, meta, inj(sid), group, withPos)
       out += (if (withRowId)
-        b.withColumn("__gf_mrowid", lit(null).cast(LongType)) else b)
+        b.withColumn("__gf_mrowid", lit(null).cast(LongType))
+          .withColumn("__gf_mlseq", lit(null).cast(LongType)) else b)
     }
     out.result()
   }
@@ -1276,9 +1299,13 @@ object IcebergIO {
     * downstream consumers able to track rows). Files without an
     * assigned `first_row_id` (imported pre-upgrade data) read `_row_id`
     * as NULL until a rewrite assigns them fresh ids (the spec's lazy
-    * assignment). The per-file first_row_id map rides ONE broadcast
-    * join keyed on the row's file identity — plan size constant in
-    * file count. */
+    * assignment). Also carries `_last_updated_sequence_number` — the
+    * seq of the snapshot that last MODIFIED the row (materialized
+    * preferred, else the file's data seq: compact preserves it,
+    * UPDATE/MERGE advance it to their own seq by leaving the new files'
+    * column null). The per-file (first_row_id, seq) map rides ONE
+    * broadcast join keyed on the row's file identity — plan size
+    * constant in file count. */
   def readWithRowId(spark: SparkSession, tablePath: String,
                     snapshotId: Option[Long] = None): DataFrame = {
     val meta = loadMetadata(tablePath)
@@ -1287,10 +1314,12 @@ object IcebergIO {
     val snap = snapshotOf(meta, snapshotId, tablePath)
     lineageRead(spark, meta, liveFiles(spark, snap))
       .withColumnRenamed("__gf_rowid", RowLineageCol)
+      .withColumnRenamed("__gf_lseq", LastUpdatedCol)
   }
 
-  /** Table columns + `__gf_rowid` (each row's v3 lineage id:
-    * materialized value preferred, else `first_row_id + position`) over
+  /** Table columns + `__gf_rowid` / `__gf_lseq` (each row's v3 lineage
+    * pair: materialized values preferred, else `first_row_id + position`
+    * and the file's data sequence number) over
     * an explicit content-file set — the shared body of [[readWithRowId]]
     * and the rewrite verbs' id-preserving input reads
     * ([[IcebergWrite.compact]]/compactWhere/updateWhere stage this
@@ -1300,17 +1329,21 @@ object IcebergIO {
     val base = mergeRead(spark, meta, files, withIdentity = true,
       withRowId = true)
     val mapRows = files.filter(_.content == 0).map(f =>
-      Row(normalizePath(f.path), f.firstRowId.map(Long.box).orNull))
+      Row(normalizePath(f.path), f.firstRowId.map(Long.box).orNull,
+        Long.box(f.seq)))
     val mapDf = spark.createDataFrame(
       new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(mapRows).asJava),
       StructType(Seq(
         StructField("__gf_rfile", StringType, nullable = false),
-        StructField("__gf_first", LongType, nullable = true))))
+        StructField("__gf_first", LongType, nullable = true),
+        StructField("__gf_fseq", LongType, nullable = false))))
     base.join(broadcast(mapDf), col("__gf_file") === col("__gf_rfile"), "left")
       .withColumn("__gf_rowid",
         coalesce(col("__gf_mrowid"), col("__gf_first") + col("__gf_pos")))
-      .drop("__gf_file", "__gf_pos", "__gf_mrowid", "__gf_rfile", "__gf_first")
+      .withColumn("__gf_lseq", coalesce(col("__gf_mlseq"), col("__gf_fseq")))
+      .drop("__gf_file", "__gf_pos", "__gf_mrowid", "__gf_mlseq",
+        "__gf_rfile", "__gf_first", "__gf_fseq")
   }
 
   private def readImpl(spark: SparkSession, tablePath: String,
@@ -1675,7 +1708,9 @@ object IcebergIO {
     val identityFields = Seq(
       StructField("__gf_file", StringType, nullable = true),
       StructField("__gf_pos", LongType, nullable = true)) ++
-      (if (withRowId) Seq(StructField("__gf_mrowid", LongType, nullable = true))
+      (if (withRowId) Seq(
+         StructField("__gf_mrowid", LongType, nullable = true),
+         StructField("__gf_mlseq", LongType, nullable = true))
        else Nil)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -1685,7 +1720,7 @@ object IcebergIO {
     val cols: Seq[Column] = meta.schema.fieldNames.toSeq.map(col)
     val outCols: Seq[Column] =
       if (withIdentity) cols ++ Seq(col("__gf_file"), col("__gf_pos")) ++
-        (if (withRowId) Seq(col("__gf_mrowid")) else Nil)
+        (if (withRowId) Seq(col("__gf_mrowid"), col("__gf_mlseq")) else Nil)
       else cols
     // Read with the TABLE schema from metadata.json, never inferred from a
     // data file: on a schema-evolved table the sampled file may predate a

@@ -93,6 +93,11 @@ object IcebergWrite {
              fieldIds: Boolean = true): Unit = {
     require(formatVersion >= 1 && formatVersion <= 3,
       s"format-version must be 1, 2 or 3, got $formatVersion")
+    // `variant` is a v3 type (spec "Version 3" column additions) — a
+    // v1/v2 table declaring one would be unreadable to spec readers
+    if (schema.fields.exists(_.dataType == VariantType))
+      require(formatVersion >= 3,
+        "variant columns require format v3 (pass formatVersion = 3)")
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
@@ -997,9 +1002,11 @@ object IcebergWrite {
     * small-file problem is THE maintenance cost of a long-lived MoR
     * table at scale; `maxRecordsPerFile` bounds the output file grain.
     * On v3 tables row lineage is PRESERVED: each surviving row's
-    * `_row_id` is materialized into the rewritten files (spec rule —
-    * rewrites must not change row identity), so [[IcebergIO
-    * .readWithRowId]] reads the same ids before and after. Rows that
+    * `_row_id` AND `_last_updated_sequence_number` are materialized
+    * into the rewritten files (spec rule — a content-preserving rewrite
+    * must change neither row identity nor its last-modified seq), so
+    * [[IcebergIO.readWithRowId]] reads the same values before and
+    * after. Rows that
     * had no id yet (pre-upgrade files with null `first_row_id`) get
     * fresh ids from the new files' assignment — the spec's lazy
     * assignment on first rewrite. Returns the snapshot id. */
@@ -3076,6 +3083,12 @@ object IcebergWrite {
     * smuggle one in through the public write verbs. */
   private val LineageCarryCol = "__gf_rowid"
 
+  /** Companion carry for `_last_updated_sequence_number` — threaded by
+    * CONTENT-PRESERVING rewrites only (compact/compactWhere); the
+    * row-modifying verbs (UPDATE/MERGE) deliberately drop it so the new
+    * file's data seq becomes the row's last-updated seq. */
+  private val LastUpdatedCarryCol = "__gf_lseq"
+
   /** Annotate `df`'s columns with `parquet.field.id` metadata so Spark's
     * parquet writer stamps spec field ids into the files (public
     * `spark.sql.parquet.fieldId.write.enabled` machinery) — the physical
@@ -3113,16 +3126,20 @@ object IcebergWrite {
     // v3 lineage carry ([[compact]]'s id-preserving rewrite): the frame
     // is a full-schema table read plus the internal lineage column —
     // validate the data columns, stage the carry through untouched.
-    val hasLineage = df.columns.contains(LineageCarryCol)
-    if (hasLineage) {
+    val lineageCols =
+      df.columns.filter(Set(LineageCarryCol, LastUpdatedCarryCol)).toSeq
+    if (lineageCols.nonEmpty) {
       require(meta.formatVersion >= 3,
-        s"$LineageCarryCol requires format v3 (row lineage)")
+        s"${lineageCols.mkString(",")} requires format v3 (row lineage)")
       require(operation != "append",
         "lineage carry is a rewrite-verb mechanism; appends assign fresh ids")
     }
     val df1 =
-      if (hasLineage) { requireTableSchema(df.drop(LineageCarryCol), meta); df }
-      else { val d = applyWriteDefaults(df, meta); requireTableSchema(d, meta); d }
+      if (lineageCols.nonEmpty) {
+        requireTableSchema(df.drop(lineageCols: _*), meta); df
+      } else {
+        val d = applyWriteDefaults(df, meta); requireTableSchema(d, meta); d
+      }
     branch.foreach { b =>
       require(b != "main", "write to main is the default — omit `branch`")
       require(operation == "append",
@@ -3200,15 +3217,12 @@ object IcebergWrite {
     // as a MATERIALIZED `_row_id` column under the spec's reserved
     // field id, which the lineage read prefers over the
     // first_row_id+position derivation. Plain appends never carry it.
-    val hasLineage = df.columns.contains(LineageCarryCol)
-    val df0 =
-      if (hasLineage)
-        df.withColumnRenamed(LineageCarryCol, IcebergIO.RowLineageCol)
-      else df
-    val stampIds =
-      if (hasLineage)
-        fieldIdByName + (IcebergIO.RowLineageCol -> IcebergIO.RowIdFieldId)
-      else fieldIdByName
+    val carries: Seq[(String, String, Int)] = Seq(
+      (LineageCarryCol, IcebergIO.RowLineageCol, IcebergIO.RowIdFieldId),
+      (LastUpdatedCarryCol, IcebergIO.LastUpdatedCol,
+        IcebergIO.LastUpdatedFieldId)).filter(c => df.columns.contains(c._1))
+    val df0 = carries.foldLeft(df)((d, c) => d.withColumnRenamed(c._1, c._2))
+    val stampIds = fieldIdByName ++ carries.map(c => c._2 -> c._3)
     val dfIds = stampFieldIds(df0, stampIds)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
     // clustering expressions, from the metadata-declared layout: a

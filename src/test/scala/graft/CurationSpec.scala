@@ -262,6 +262,38 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > 0 && kept < 9000)
   }
 
+  test("resampleByWeight: extremes, monotonicity, rate, salt independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val n = 4000
+    val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("id", "t")
+    def kept(wMicro: Long, salt: String = "rs"): Set[Long] =
+      Curation.resampleByWeight(
+          docs.withColumn("w", lit(wMicro)), "id", "w", salt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // probability extremes are exact, not approximate
+    assert(kept(0L).isEmpty)
+    assert(kept(1000000L).size === n)
+    // per-row monotonicity: a higher weight keeps a SUPERSET (same hash,
+    // higher threshold) — the property that makes weight sweeps coherent
+    val k3 = kept(300000L); val k6 = kept(600000L)
+    assert(k3.subsetOf(k6))
+    // empirical rate within ±4 sigma of the binomial expectation
+    def inBand(got: Int, p: Double): Unit = {
+      val mu = n * p; val s4 = 4 * math.sqrt(n * p * (1 - p))
+      assert(math.abs(got - mu) <= s4, s"rate $got vs $mu +- $s4")
+    }
+    inBand(k3.size, 0.3); inBand(k6.size, 0.6)
+    // a new salt draws an INDEPENDENT sample: overlap near p^2, and
+    // the decision is reproducible (same salt twice = same set)
+    val k6b = kept(600000L, salt = "other")
+    inBand((k6 & k6b).size, 0.36)
+    assert(kept(600000L) === k6)
+    // out-of-range weights fail loudly, never silently clamp
+    val e = intercept[Exception](kept(1000001L))
+    assert(e.getMessage.contains("weight_micro out of"), e.getMessage)
+  }
+
   test("lineDedup: cross-doc keep-first, within-doc dupes, order kept") {
     import spark.implicits._
     // 2-token lines. doc 1: [a b][c d][a b] — its OWN later dup drops.

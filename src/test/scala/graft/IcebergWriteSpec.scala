@@ -2266,15 +2266,24 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.append(df((4L, "b", 4.0), (5L, "a", 5.0)), dir)
     def rowIds(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    def lseqs(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Long]("_last_updated_sequence_number")).toMap
     val before = rowIds()
     assert(before.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    // last-updated = the appending snapshot's seq (1 and 2)
+    assert(lseqs() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
     IcebergWrite.deleteWhere(spark, dir, col("id") === 2L) // DV delete
     val base = before - 2L
+    // a DV delete modifies no surviving row
+    assert(lseqs() === Map(1L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
 
     // compact rewrites EVERY file: survivors keep their exact ids
-    // (materialized into the new files), the DV folds away
+    // (materialized into the new files), the DV folds away — and their
+    // last-updated seqs, even though the new files sit at a later seq
     IcebergWrite.compact(spark, dir)
     assert(rowIds() === base)
+    assert(lseqs() === Map(1L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
     // the preservation is the materialized column, not a first_row_id
     // coincidence: the rewrite still advanced next-row-id past 5 (new
     // files get fresh assigned ranges) while the read ids stayed 0-4
@@ -2295,12 +2304,21 @@ class IcebergWriteSpec extends AnyFunSuite {
     IcebergWrite.compact(spark, dir)
     assert(rowIds() === with6)
 
-    // updateWhere rewrites the row physically: content moves, id stays
+    // updateWhere rewrites the row physically: content moves, id stays,
+    // and ONLY the updated row's last-updated seq advances (to the
+    // update snapshot's seq — the new file's data seq, underived)
+    val lseqPre = lseqs()
     IcebergWrite.updateWhere(spark, dir, col("id") === 3L,
       Map("score" -> lit(99.0)))
     assert(rowIds() === with6)
     assert(IcebergIO.read(spark, dir).filter(col("id") === 3L)
       .collect().head.getDouble(2) === 99.0)
+    val lseqPost = lseqs()
+    assert(lseqPost(3L) > lseqPre(3L), s"updated row seq must advance")
+    assert(lseqPost - 3L === lseqPre - 3L, "other rows' seqs unchanged")
+    // a compact AFTER the update carries the advanced seq verbatim
+    IcebergWrite.compact(spark, dir)
+    assert(lseqs() === lseqPost && rowIds() === with6)
 
     // merge: matched UPDATE keeps the id; NOT MATCHED insert derives a
     // fresh one from the new file's assignment (never colliding with a
@@ -2318,6 +2336,11 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(!with6.values.toSet.contains(afterMerge(7L)))
     assert(IcebergIO.read(spark, dir).filter(col("id") === 4L)
       .collect().head.getDouble(2) === 40.0)
+    // merge: the matched-UPDATE row and the insert both carry the merge
+    // snapshot's seq; untouched rows keep theirs
+    val lseqM = lseqs()
+    assert(lseqM(4L) === lseqM(7L) && lseqM(4L) > lseqPost(4L))
+    assert(lseqM - 4L - 7L === lseqPost - 4L)
 
     // CDC across the rewrites: replace snapshots are data-preserving and
     // skipped; net content of the change rows replays the final state
@@ -2329,6 +2352,40 @@ class IcebergWriteSpec extends AnyFunSuite {
     val liveIds = ids(IcebergIO.read(spark, dir))
     liveIds.foreach(i => assert(net(i) === 1, s"id $i"))
     assert(net(2L) === 0)
+  }
+
+  test("v3 variant column: write/read/typed access/DV delete/compact") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/variant"
+    val df = spark.range(4).selectExpr("id",
+      "parse_json(concat('{\"k\":', id, ',\"s\":\"x', id, '\"}')) as v")
+    // v1/v2 refuse the v3 type loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.create(spark, s"$dir-v2", df.schema))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+    IcebergWrite.create(spark, dir, df.schema, formatVersion = 3)
+    IcebergWrite.append(df, dir)
+    // metadata declares the spec type, the read surfaces Spark's native
+    // VariantType, and typed access works through Spark's own machinery
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = mapper.readTree(GraftFs.readUtf8(
+      IcebergIO.loadMetadata(dir).metadataFile))
+    assert(md.get("schemas").elements().next().get("fields").get(1)
+      .get("type").asText() === "variant")
+    val back = IcebergIO.read(spark, dir)
+    assert(back.schema("v").dataType ===
+      org.apache.spark.sql.types.VariantType)
+    assert(back.selectExpr("variant_get(v, '$.k', 'long')")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // DV delete + lineage + compact compose over the variant column
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.compact(spark, dir)
+    val got = IcebergIO.readWithRowId(spark, dir)
+      .select(col("id"), col("_row_id"), expr("to_json(v)").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0L, 0L, """{"k":0,"s":"x0"}"""),
+      (1L, 1L, """{"k":1,"s":"x1"}"""), (3L, 3L, """{"k":3,"s":"x3"}""")))
   }
 
   test("v3 row lineage: cherry-pick carries branch-assigned ids, counter stays") {

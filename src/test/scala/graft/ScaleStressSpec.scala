@@ -105,6 +105,21 @@ class ScaleStressSpec extends AnyFunSuite {
         "diff bounded by AFFECTED files)")
   }
 
+  test("v3 DV delete cost stays row-bound as the file count grows") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("dv_delete"),
+      "artifact predates the DV-delete harness — regenerate")
+    val d = root.get("dv_delete")
+    assert(!d.get("suspect").asBoolean,
+      s"a keyed DELETE (deletion vectors) over ${d.get("files_large")} " +
+        s"files took ${d.get("ratio")}x the ${d.get("files_small")}-file " +
+        s"time (threshold ${d.get("threshold")}x for 10x files — the " +
+        "per-file bitmap build and manifest rebuild must stay O(files), " +
+        "the scan row-bound)")
+  }
+
   test("semantic dedup scales linearly when k grows with the corpus") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
