@@ -332,12 +332,18 @@ final class GraftSession private (val spark: SparkSession) {
     // registration shows up in `<name>_files` etc. without
     // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
-      Seq("history", "files", "data_files", "delete_files",
+      // row_lineage only exists on v3 tables (everything else is
+      // version-agnostic metadata grain)
+      val v3Only =
+        if (graft.sources.IcebergIO.loadMetadata(path).formatVersion >= 3)
+          Seq("row_lineage")
+        else Nil
+      (Seq("history", "files", "data_files", "delete_files",
           "entries", "partitions", "manifests",
           "snapshots", "refs", "all_files", "all_data_files",
           "all_delete_files", "all_entries", "all_manifests",
           "metadata_log_entries", "position_deletes", "partition_stats",
-          "statistics")
+          "statistics") ++ v3Only)
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)

@@ -521,6 +521,47 @@ object Curation {
                        salt: String = "rs"): DataFrame =
     docs.filter(resampleKeep(col(idCol), col(weightMicroCol), salt))
 
+  /** Per-row SPLIT label for [[splitByHash]] as one Column: the row's
+    * 40-bit md5 fraction walks the cumulative weight intervals (same
+    * exact cross-multiplication as [[resampleKeep]] — `hash40 · 10^6 <
+    * cum_micro · 2^40`, overflow-free both engines), first interval
+    * containing the hash wins. */
+  def splitLabel(id: Column, fractions: Seq[(String, Long)],
+                 salt: String = "split"): Column = {
+    require(fractions.nonEmpty, "splitByHash needs at least one fraction")
+    require(fractions.forall(_._2 > 0), "split weights must be positive")
+    require(fractions.map(_._2).sum == 1000000L,
+      s"split weights must sum to 1000000 micro-units, got " +
+        fractions.map(_._2).sum)
+    val max40 = 1099511627776L // 2^40
+    val h = conv(substring(md5(concat(lit(salt), lit("_"),
+      id.cast("string"))), 1, 10), 16, 10).cast("long")
+    val cums = fractions.scanLeft(0L)(_ + _._2).tail
+    // first-match CASE chain over the cumulative bounds; the final
+    // interval is the unconditional fallback (hash < 2^40 always)
+    fractions.init.zip(cums.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((label, _), cum), acc) =>
+        when(h * lit(1000000L) < lit(cum) * lit(max40), lit(label))
+          .otherwise(acc)
+      }
+  }
+
+  /** Deterministic HASH-BASED dataset split — the train/val/test
+    * assignment step of a training-data pipeline, with the property
+    * that matters at 100 TB: a row's split is a pure function of
+    * (salt, id), so it NEVER changes when the corpus grows, shrinks,
+    * repartitions or re-runs — no eval example ever leaks into
+    * training because yesterday's split was drawn differently.
+    * `fractions` are (label, micro-weight) pairs summing to 1,000,000;
+    * proportions are binomial-exact in expectation (use [[mixDomains]]
+    * when EXACT counts per stratum matter more than stability). Adds a
+    * `split` column. Pure per-row projection — batch or append-mode
+    * stream alike. */
+  def splitByHash(docs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Long)],
+                  salt: String = "split"): DataFrame =
+    docs.withColumn("split", splitLabel(col(idCol), fractions, salt))
+
   /** The distributed pre-cut both skew-cutover mixing variants share:
     * keep rows of small groups (`rowsCol <= cut`) untouched, and in
     * larger groups keep only rows whose 60-bit prefix of the SAME md5

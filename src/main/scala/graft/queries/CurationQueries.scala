@@ -524,9 +524,41 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash split ([[Curation.splitByHash]]): 80/10/10
+    * train/val/test by the 40-bit md5 interval walk; the oracle replays
+    * the cumulative cross-multiplications and aggregates per (lang,
+    * split) so every row's assignment participates in the hash. */
+  private val splitOracle =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) AS hv
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN hv * 1000000 < 800000 * 1099511627776 THEN 'train'
+      |         WHEN hv * 1000000 < 900000 * 1099511627776 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM h)
+      |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM lab GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  val curSplitHash = dfQ("cur_split_hash", splitOracle,
+    bench = false) { (s, _) =>
+    Curation.splitByHash(s.table("documents").select("doc_id", "lang"),
+        "doc_id",
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
-    curMixTokensSkew, curLineDedup, curResampleWeight,
+    curMixTokensSkew, curLineDedup, curResampleWeight, curSplitHash,
     pipeCurateMix)
 }

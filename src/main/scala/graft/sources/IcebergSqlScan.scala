@@ -131,6 +131,11 @@ object IcebergMetaScan {
       case "metadata_log_entries" => IcebergIO.metadataLogEntriesOf(spark, meta)
       case "position_deletes" =>
         IcebergIO.positionDeletesOf(spark, meta, m.tablePath, pinned)
+      case "row_lineage" =>
+        // v3 row lineage as a live relation: table columns + _row_id +
+        // _last_updated_sequence_number (readWithRowId semantics,
+        // honoring the registration's pin)
+        IcebergIO.readWithRowId(spark, m.tablePath, snapshotId = pinned)
       case "partition_stats" =>
         IcebergIO.partitionStatsOf(spark, meta, m.tablePath, pinned)
       case "statistics" =>
@@ -148,9 +153,26 @@ object IcebergMetaScan {
                 ref: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     GraftShim.addOptimization(spark, IcebergScanRule)
+    // row_lineage is the one TABLE-SCHEMA-dependent relation: its
+    // columns are the table's plus the two lineage columns, frozen at
+    // registration like the data view's (re-register after schema
+    // evolution, same contract). Placeholder columns declare nullable —
+    // the materialized plan must never be wider than the leaf.
+    val schema =
+      if (kind == "row_lineage") {
+        val meta = IcebergIO.loadMetadata(tablePath)
+        require(meta.formatVersion >= 3,
+          "row_lineage requires format v3 (row lineage); " +
+            "run upgradeFormatVersion first")
+        org.apache.spark.sql.types.StructType(
+          meta.schema.fields.map(_.copy(nullable = true)).toSeq ++ Seq(
+            org.apache.spark.sql.types.StructField(IcebergIO.RowLineageCol,
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField(IcebergIO.LastUpdatedCol,
+              org.apache.spark.sql.types.LongType, nullable = true)))
+      } else IcebergIO.metaSchema(kind)
     GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
-      asOfTimestampMs, ref,
-      GraftShim.attributes(IcebergIO.metaSchema(kind)))(spark))
+      asOfTimestampMs, ref, GraftShim.attributes(schema))(spark))
   }
 }
 

@@ -294,6 +294,34 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("weight_micro out of"), e.getMessage)
   }
 
+  test("splitByHash: stability under growth, rates, loud weight check") {
+    import spark.implicits._
+    val fr = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+    def splits(n: Int): Map[Long, String] =
+      Curation.splitByHash(
+          (0L until n.toLong).map(i => (i, s"d$i")).toDF("id", "t"), "id", fr)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // THE property: a row's split never moves when the corpus grows —
+    // the small corpus's assignments are a restriction of the large one
+    val s1 = splits(500); val s4 = splits(4000)
+    assert(s1.forall { case (id, l) => s4(id) == l })
+    // every label lands, rates within ±4 sigma of the weights
+    val n = 4000
+    def inBand(got: Int, p: Double): Unit = {
+      val mu = n * p; val band = 4 * math.sqrt(n * p * (1 - p))
+      assert(math.abs(got - mu) <= band, s"rate $got vs $mu +- $band")
+    }
+    inBand(s4.values.count(_ == "train"), 0.8)
+    inBand(s4.values.count(_ == "val"), 0.1)
+    inBand(s4.values.count(_ == "test"), 0.1)
+    // weights that don't sum to 1e6 are refused at construction
+    val e = intercept[IllegalArgumentException](
+      Curation.splitByHash(Seq((1L, "x")).toDF("id", "t"), "id",
+        Seq("a" -> 500000L, "b" -> 400000L)))
+    assert(e.getMessage.contains("sum to 1000000"), e.getMessage)
+  }
+
   test("lineDedup: cross-doc keep-first, within-doc dupes, order kept") {
     import spark.implicits._
     // 2-token lines. doc 1: [a b][c d][a b] — its OWN later dup drops.

@@ -47,12 +47,23 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     runFuzz(23, hiveImport = true)
   }
 
-  private def runFuzz(seed: Int, hiveImport: Boolean): Unit = {
+  // Format-v3 variant: the same interactions over DELETION VECTORS plus
+  // ROW-LINEAGE INVARIANTS at every verification step — _row_id unique
+  // and non-null, and every row NOT touched by an intervening verb
+  // keeps its exact (_row_id, _last_updated_sequence_number) pair, even
+  // across the step-10/20/30 compactions (the materialized-lineage
+  // rewrite path under every verb mix the sequence produces).
+  test("30 random DML ops on a v3 table preserve row lineage (seed 31)") {
+    runFuzz(31, hiveImport = false, formatVersion = 3)
+  }
+
+  private def runFuzz(seed: Int, hiveImport: Boolean,
+                      formatVersion: Int = 2): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"/tmp/graft_dml_fuzz_$tag"
     IcebergFixture.deleteRecursively(dir)
     IcebergWrite.create(spark, dir, schema, partitionCols = Seq("p"),
-      fieldIds = !hiveImport)
+      fieldIds = !hiveImport, formatVersion = formatVersion)
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
@@ -62,11 +73,32 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       nextId += k
       ids
     }
+    // v3 lineage tracking: ids MODIFIED since the last verify (update /
+    // upsert-replace) may change _last_updated (and upserts re-identify);
+    // everything else must keep its exact lineage pair
+    var prevLin = Map.empty[Long, (Long, Long)]
+    var touched = Set.empty[Long]
     def verify(step: String): Unit = {
       val got = IcebergIO.read(spark, dir).orderBy("id").collect()
         .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
       val want = model.toSeq.sortBy(_._1)
       assert(got === want, s"divergence after $step")
+      if (formatVersion >= 3) {
+        val lin = IcebergIO.readWithRowId(spark, dir).collect()
+          .map(r => r.getLong(0) -> ((r.getAs[Long]("_row_id"),
+            r.getAs[Long]("_last_updated_sequence_number")))).toMap
+        assert(lin.size === model.size, s"lineage row count after $step")
+        assert(lin.values.map(_._1).toSeq.distinct.size === lin.size,
+          s"_row_id collision after $step")
+        prevLin.foreach { case (id, pair) =>
+          if (lin.contains(id) && !touched(id))
+            assert(lin(id) === pair,
+              s"untouched row $id lineage moved after $step: " +
+                s"${pair} -> ${lin(id)}")
+        }
+        prevLin = lin
+        touched = Set.empty
+      }
     }
 
     // seed the table so every verb has something to chew on
@@ -98,6 +130,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
           IcebergWrite.updateWhere(spark, dir,
             pmod(col("id"), lit(m.toLong)) === r0.toLong,
             Map("score" -> (col("score") + 100.0)))
+          touched ++= model.keys.filter(_ % m == r0)
           model = model.map { case (id, (p, s)) =>
             id -> ((p, if (id % m == r0) s + 100.0 else s))
           }
@@ -105,6 +138,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
           val from = parts(rnd.nextInt(4)); val to = parts(rnd.nextInt(4))
           IcebergWrite.updateWhere(spark, dir, col("p") === from,
             Map("p" -> lit(to)))
+          touched ++= model.collect { case (id, (p, _)) if p == from => id }
           model = model.map { case (id, (p, s)) =>
             id -> ((if (p == from) to else p, s))
           }
@@ -123,6 +157,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
           val rows = existing ++ fresh
           if (rows.nonEmpty) {
             IcebergWrite.upsert(toDf(rows), dir, Seq("id"))
+            touched ++= rows.map(_._1) // upsert re-identifies (delete+insert)
             model ++= rows.map(r => r._1 -> ((r._2, r._3)))
           }
         case 6 => // maintenance: fold position-delete files (model unchanged)

@@ -128,6 +128,36 @@ class IcebergSqlSpec extends AnyFunSuite {
       .foreach(spark.catalog.dropTempView(_))
   }
 
+  test("row_lineage live view: ids stable across an out-of-band compact") {
+    import graft.sources.IcebergWrite
+    val dir = s"$root/rowlin"
+    IcebergWrite.create(spark, dir, st, formatVersion = 3)
+    IcebergWrite.append(rows((1L, "a"), (2L, "b"), (3L, "a")).coalesce(1), dir)
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("lin3", dir, metadataTables = true)
+    def got(): Seq[(Long, Long, Long)] = g.sql(
+        "SELECT id, _row_id, _last_updated_sequence_number " +
+          "FROM lin3_row_lineage ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got() === Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 2L, 1L)))
+    // out-of-band maintenance: the LIVE view re-resolves and the
+    // materialized lineage keeps every id/seq stable
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.compact(spark, dir)
+    assert(got() === Seq((1L, 0L, 1L), (3L, 2L, 1L)))
+    // predicates + aggregates compose over the view
+    assert(g.sql("SELECT COUNT(*) FROM lin3_row_lineage WHERE _row_id >= 2")
+      .head().getLong(0) === 1L)
+    // v2 tables don't get the view (and the scan refuses if forced)
+    val v2 = s"$root/rowlin2"
+    IcebergWrite.create(spark, v2, st)
+    g.registerIceberg("lin2", v2, metadataTables = true)
+    assert(!spark.catalog.tableExists("lin2_row_lineage"))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.IcebergMetaScan.dataFrame(spark, v2, "row_lineage"))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+  }
+
   test("snapshot pin + WHERE: pruning derives against the pinned snapshot") {
     val dir = s"$root/pinwhere"
     val w = new IcebergFixture.Writer(spark, dir, st, partitionCols = Seq("grp"))
