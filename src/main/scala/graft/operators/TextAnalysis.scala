@@ -667,6 +667,28 @@ object TextAnalysis {
       prior = spark.read.parquet(s"$dir/prior"),
       vSize = spark.read.parquet(s"$dir/meta").head.getLong(0))
 
+  /** Persist a trained BPE merge list ([[trainBpeMerges]]) as parquet —
+    * the tokenizer's train-once / serve-everywhere artifact (the same
+    * contract as [[saveNbModel]]): rank-ordered (lhs, rhs) pairs whose
+    * ORDER is the greedy-application order, so the rank column is
+    * explicit and the loader restores it exactly. Overwrites. */
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "lhs", "rhs")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load merges persisted by [[saveBpeMerges]]; applying the loaded
+    * list ([[bpeTokenCountTrained]], [[graft.streaming.StreamingOps
+    * .bpeCountStream]]) is bit-equal to the in-memory one (strings
+    * round-trip parquet unchanged, order restored by rank). */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Train-and-self-classify in one plan (the oracle-able composition;
     * serving splits into [[nbTrain]] + [[nbPredict]]). */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,

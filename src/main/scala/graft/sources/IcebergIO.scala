@@ -2000,15 +2000,18 @@ object IcebergIO {
   private[graft] def readIncrementalBySeq(spark: SparkSession,
                                           tablePath: String,
                                           fromSeq: Long,
-                                          toSeq: Long): DataFrame = {
+                                          toSeq: Long,
+                                          withRowId: Boolean = false): DataFrame = {
     val meta = loadMetadata(tablePath)
     require(meta.formatVersion >= 2,
       "incremental read needs v2 sequence numbers")
+    require(!withRowId || meta.formatVersion >= 3,
+      "rowLineage requires format v3 (row lineage)")
     val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot with sequence number $toSeq (expired?); available: " +
           meta.snapshots.map(_.sequenceNumber).sorted.mkString(", ")))
-    incrementalImpl(spark, meta, fromSeq, None, toSnap)
+    incrementalImpl(spark, meta, fromSeq, None, toSnap, withRowId)
   }
 
   /** Shared incremental-scan body. `fromId` is the exclusive lower bound
@@ -2018,7 +2021,8 @@ object IcebergIO {
     * `fromSeq = 0`). */
   private def incrementalImpl(spark: SparkSession, meta: TableMetadata,
                               fromSeq: Long, fromId: Option[Long],
-                              toSnap: SnapshotInfo): DataFrame = {
+                              toSnap: SnapshotInfo,
+                              withRowId: Boolean = false): DataFrame = {
     require(toSnap.sequenceNumber >= fromSeq,
       s"toSnapshot ${toSnap.snapshotId} (seq ${toSnap.sequenceNumber}) " +
         s"precedes fromSeq $fromSeq")
@@ -2063,8 +2067,20 @@ object IcebergIO {
           " are not appends")
     val files = liveFiles(spark, toSnap).filter(f =>
       f.content == 0 && f.seq > fromSeq && f.seq <= toSnap.sequenceNumber)
+    val outSchema =
+      if (withRowId) StructType(meta.schema.fields.toSeq ++ Seq(
+        StructField(RowLineageCol, LongType, nullable = true),
+        StructField(LastUpdatedCol, LongType, nullable = true)))
+      else meta.schema
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    else if (withRowId)
+      // appended rows' lineage for incremental consumers: derivation is
+      // first_row_id + position (append files never carry materialized
+      // lineage) but the shared lineageRead keeps one code path
+      lineageRead(spark, meta, files)
+        .withColumnRenamed("__gf_rowid", RowLineageCol)
+        .withColumnRenamed("__gf_lseq", LastUpdatedCol)
     else
       stripFieldIds(
         dataBranches(spark, meta, files, withPos = false)

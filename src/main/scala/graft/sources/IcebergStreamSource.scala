@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Metadata-driven Iceberg streaming source: each micro-batch is planned
@@ -53,12 +53,26 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
 
   /** `.option("changelog", "true")` switches the source to CDC rows. */
   private def changelogMode(parameters: Map[String, String]): Boolean =
-    parameters.get("changelog") match {
+    boolOpt(parameters, "changelog")
+
+  /** `.option("rowLineage", "true")` appends `_row_id` +
+    * `_last_updated_sequence_number` to every streamed row (v3 only) —
+    * the incremental-consumer handle that stays stable for ever. */
+  private def rowLineageMode(parameters: Map[String, String]): Boolean = {
+    val rl = boolOpt(parameters, "rowLineage")
+    require(!(rl && boolOpt(parameters, "changelog")),
+      "rowLineage and changelog are mutually exclusive (change rows " +
+        "carry their own identity columns)")
+    rl
+  }
+
+  private def boolOpt(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name) match {
       case None => false
       case Some(v) if v.equalsIgnoreCase("true") => true
       case Some(v) if v.equalsIgnoreCase("false") => false
       case Some(v) => throw new IllegalArgumentException(
-        s"invalid boolean for option changelog: '$v'")
+        s"invalid boolean for option $name: '$v'")
     }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -69,10 +83,19 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
       "graft-iceberg streams read with the TABLE schema from metadata.json; " +
         "a user-supplied schema would silently diverge from the manifests")
     maxSnaps(parameters): Unit // validate at load() time, synchronously
-    val table = IcebergIO.loadMetadata(tablePath(parameters)).schema
+    val meta = IcebergIO.loadMetadata(tablePath(parameters))
+    if (rowLineageMode(parameters))
+      require(meta.formatVersion >= 3,
+        "rowLineage requires format v3 (row lineage); " +
+          "run upgradeFormatVersion first")
+    val table = meta.schema
     (shortName(),
       if (changelogMode(parameters))
         StructType(table.fields.toSeq ++ IcebergIO.changelogFields)
+      else if (rowLineageMode(parameters))
+        StructType(table.fields.toSeq ++ Seq(
+          StructField(IcebergIO.RowLineageCol, LongType, nullable = true),
+          StructField(IcebergIO.LastUpdatedCol, LongType, nullable = true)))
       else table)
   }
 
@@ -83,13 +106,15 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
                             parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, tablePath(parameters),
       maxSnaps(parameters), Some(metadataPath),
-      changelog = changelogMode(parameters))
+      changelog = changelogMode(parameters),
+      rowLineage = rowLineageMode(parameters))
 }
 
 class IcebergStreamSource(spark: SparkSession, tablePath: String,
                           maxSnapshotsPerTrigger: Option[Int] = None,
                           metadataPath: Option[String] = None,
-                          changelog: Boolean = false)
+                          changelog: Boolean = false,
+                          rowLineage: Boolean = false)
     extends Source {
 
   // pinned at construction: a mid-stream schema evolution is surfaced as
@@ -97,6 +122,9 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
   private val tableSchema: StructType = IcebergIO.loadMetadata(tablePath).schema
   override val schema: StructType =
     if (changelog) StructType(tableSchema.fields.toSeq ++ IcebergIO.changelogFields)
+    else if (rowLineage) StructType(tableSchema.fields.toSeq ++ Seq(
+      StructField(IcebergIO.RowLineageCol, LongType, nullable = true),
+      StructField(IcebergIO.LastUpdatedCol, LongType, nullable = true)))
     else tableSchema
 
   // ---- rate limiting ([[maxSnapshotsPerTrigger]]): a batch covers at
@@ -173,6 +201,13 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
       org.apache.spark.sql.GraftShim.asStreamingRdd(
         IcebergIO.readChangelogBySeq(spark, tablePath,
           start.map(seqOf).getOrElse(0L), seqOf(end)))
+    else if (rowLineage)
+      // the lineage batch joins the per-file first-row-id map — a
+      // multi-relation plan, so it streams behind one lazy RDD leaf
+      // like the changelog form
+      org.apache.spark.sql.GraftShim.asStreamingRdd(
+        IcebergIO.readIncrementalBySeq(spark, tablePath,
+          start.map(seqOf).getOrElse(0L), seqOf(end), withRowId = true))
     else
       org.apache.spark.sql.GraftShim.asStreaming(
         IcebergIO.readIncrementalBySeq(spark, tablePath,

@@ -586,10 +586,18 @@ object StreamingOps {
     * offsets — arbitrary data file names work (no glob), a mid-stream
     * delete commit fails the query loudly instead of streaming phantom
     * rows, and restarts resume from the checkpointed sequence number.
-    * Prefer this over the file-grain [[icebergAppendStream]]. */
+    * Prefer this over the file-grain [[icebergAppendStream]].
+    * `rowLineage = true` (v3 tables) appends `_row_id` +
+    * `_last_updated_sequence_number` to every streamed row — the stable
+    * per-row handle an incremental downstream consumer keys its state
+    * on (it never changes across later deletes, compactions or
+    * updates, so a consumer that saw the row once can always correlate
+    * it). */
   def icebergSnapshotStream(spark: SparkSession, tablePath: String,
-                            maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.format("graft-iceberg").option("path", tablePath)
+                            maxSnapshotsPerTrigger: Option[Int] = None,
+                            rowLineage: Boolean = false): DataFrame = {
+    val r0 = spark.readStream.format("graft-iceberg").option("path", tablePath)
+    val r = if (rowLineage) r0.option("rowLineage", "true") else r0
     maxSnapshotsPerTrigger.fold(r)(n =>
         r.option("maxSnapshotsPerTrigger", n.toString))
       .load()

@@ -255,6 +255,15 @@ class AdvancedOpsSpec extends AnyFunSuite {
       }.sum
     assert(got === Seq(1L -> countRef("aaaa aabb abab bbbb"),
       2L -> countRef("aaaaa bbb aab")))
+    // tokenizer persistence: the saved/loaded merge list applies
+    // bit-equal (order restored by rank — BPE is order-sensitive)
+    val mdir = s"/tmp/graft_bpe_model_${java.util.UUID.randomUUID().toString.take(8)}"
+    TextAnalysis.saveBpeMerges(spark, merges, mdir)
+    val loaded = TextAnalysis.loadBpeMerges(spark, mdir)
+    assert(loaded === merges)
+    val got2 = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", loaded)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === got)
   }
 
   test("nbPredictFold: broadcast-fold serving is bit-equal to the join form") {

@@ -761,6 +761,31 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(IcebergWrite.removeOrphanFiles(dir, future).isEmpty)
   }
 
+  test("v3 DV puffins: live survive the sweep, superseded sweep after expire") {
+    val dir = s"$root/orphans_dv"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .coalesce(1), dir)
+    // two DV commits on the SAME data file: the second puffin absorbs
+    // (replaces) the first, which stays referenced only by history
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    def puffins(): Set[String] = GraftFs.list(s"$dir/data")
+      .map(_.getPath.getName).filter(_.endsWith(".puffin")).toSet
+    val both = puffins()
+    assert(both.size === 2)
+    val future = System.currentTimeMillis() + 60_000
+    // all snapshots retained: every puffin is referenced, nothing sweeps
+    assert(IcebergWrite.removeOrphanFiles(dir, future).isEmpty)
+    assert(IcebergWrite.expireSnapshots(dir, Long.MaxValue) > 0)
+    val swept = IcebergWrite.removeOrphanFiles(dir, future)
+    assert(swept.exists(_.endsWith(".puffin")),
+      s"the superseded DV puffin must sweep, got: $swept")
+    // the LIVE puffin survives and still applies
+    assert(puffins().size === 1)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(3L))
+  }
+
   test("setCurrentSnapshot rolls back; later snapshots stay reachable") {
     val dir = s"$root/rollback"
     IcebergWrite.create(spark, dir, schema)

@@ -479,6 +479,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchQ.getString(1) === out(6L))
   }
 
+  test("iceberg snapshot stream with rowLineage: stable ids ride the stream") {
+    import org.apache.spark.sql.types._
+    import graft.sources.{IcebergIO, IcebergWrite}
+    val dir = s"/tmp/graft_stream_rowlin_${java.util.UUID.randomUUID().toString.take(8)}"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    def rowsDf(xs: (Long, String)*) = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      xs.foreach(x => l.add(org.apache.spark.sql.Row(x._1, x._2)))
+      spark.createDataFrame(l, schema)
+    }
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(rowsDf((1L, "a"), (2L, "b"), (3L, "c")).coalesce(1), dir)
+    val stream = StreamingOps.icebergSnapshotStream(spark, dir,
+      rowLineage = true)
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("id", "name", "_row_id", "_last_updated_sequence_number"))
+    val q = stream.writeStream.format("memory").queryName("rowlin_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.append(rowsDf((4L, "d"), (5L, "e")).coalesce(1), dir)
+      q.processAllAvailable()
+      val streamed = spark.table("rowlin_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      // stream rows carry exactly the batch lineage read's values
+      val batch = IcebergIO.readWithRowId(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("_row_id"),
+          r.getAs[Long]("_last_updated_sequence_number"))).toSet
+      assert(streamed === batch && streamed.size === 5)
+      assert(streamed.map(_._2) === Set(0L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // v2 tables refuse the option loudly at stream construction
+    val v2 = s"$dir-v2"
+    IcebergWrite.create(spark, v2, schema)
+    IcebergWrite.append(rowsDf((1L, "a")), v2)
+    val e = intercept[Exception] {
+      StreamingOps.icebergSnapshotStream(spark, v2, rowLineage = true)
+        .writeStream.format("memory").queryName("rowlin_v2")
+        .outputMode("append").start()
+    }
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
