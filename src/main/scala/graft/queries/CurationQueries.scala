@@ -556,9 +556,71 @@ object CurationQueries {
       .orderBy("lang", "split")
   }
 
+  /** The full curation tail as ONE composition: Gopher quality gate →
+    * length-proportional importance resampling → deterministic
+    * train/val split → per-(lang, split) accounting. Every stage is the
+    * exact-integer primitive its own entry pins; the value of THIS
+    * entry is the composition replayed end-to-end in one SQL oracle
+    * (each stage's survivors feed the next stage's hash decisions). */
+  private val gateResampleSplitOracle =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM t),
+      |kept AS (
+      |  SELECT doc_id, lang,
+      |    LEAST(1000000, n_words * 15000) AS wm
+      |  FROM m
+      |  WHERE n_words >= 30 AND n_words <= 90
+      |    AND n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+      |    AND n_sym * 10 <= n_words),
+      |sampled AS (
+      |  SELECT doc_id, lang FROM kept
+      |  WHERE CAST('0x' || substring(md5('rs_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |          AS BIGINT) * 1000000 < wm * 1099511627776),
+      |lab AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |            AS BIGINT) * 1000000 < 900000 * 1099511627776
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM sampled)
+      |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM lab GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  val pipeGateResampleSplit = dfQ("pipe_gate_resample_split",
+    gateResampleSplitOracle, bench = false) { (s, _) =>
+    import graft.operators.TextAnalysis
+    val flags = TextAnalysis.gopherQualityFlags(s.table("documents"),
+      "doc_id", "text", minWords = 30, maxWords = 90,
+      minMeanLen = 4, maxMeanLen = 10, minStopwords = 2)
+    val kept = flags.filter(col("keep") === 1)
+      .select(col("id").as("doc_id"),
+        least(lit(1000000L), col("n_words") * 15000L).as("wm"))
+      .join(s.table("documents").select("doc_id", "lang"), Seq("doc_id"))
+    val sampled = Curation.resampleByWeight(kept, "doc_id", "wm")
+    Curation.splitByHash(sampled, "doc_id",
+        Seq("train" -> 900000L, "val" -> 100000L))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup, curResampleWeight, curSplitHash,
-    pipeCurateMix)
+    pipeCurateMix, pipeGateResampleSplit)
 }

@@ -524,6 +524,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format v3"), e.getMessage)
   }
 
+  test("resampleByWeight + splitByHash lift to a stream bit-equal to batch") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // pure per-row md5 decisions: the SAME Columns run on an append
+    // stream and must reproduce the batch sample + split exactly
+    val rows = (0L until 500L).map(i => (i, 100000L + (i % 9) * 100000L))
+    val batchDf = rows.toDF("id", "w")
+    val batchKept = Curation.splitByHash(
+        Curation.resampleByWeight(batchDf, "id", "w"), "id",
+        Seq("train" -> 900000L, "val" -> 100000L))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    in.addData(rows.toIndexedSeq)
+    val streamed = Curation.splitByHash(
+      Curation.resampleByWeight(in.toDF().toDF("id", "w"), "id", "w"),
+      "id", Seq("train" -> 900000L, "val" -> 100000L))
+    StreamingOps.runToMemory(streamed, "resample_split_stream",
+      OutputMode.Append())
+    val got = spark.table("resample_split_stream").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got === batchKept && got.nonEmpty && got.size < 500)
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
