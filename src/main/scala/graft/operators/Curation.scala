@@ -496,15 +496,30 @@ object Curation {
     * append-mode stream. */
   def resampleKeep(id: Column, weightMicro: Column,
                    salt: String = "rs"): Column = {
-    val max40 = 1099511627776L // 2^40
-    val h = conv(substring(md5(concat(lit(salt), lit("_"),
-      id.cast("string"))), 1, 10), 16, 10).cast("long")
     val w = when(weightMicro.isNull ||
         weightMicro < 0 || weightMicro > 1000000L,
       raise_error(concat(lit("resampleByWeight: weight_micro out of "),
         lit("[0, 1000000]: "), weightMicro.cast("string"))).cast("long"))
       .otherwise(weightMicro.cast("long"))
-    h * lit(1000000L) < w * lit(max40)
+    hash40(id, salt, "resampleByWeight") * lit(1000000L) < w * lit(Max40)
+  }
+
+  /** 2^40 — the hash-space size both md5-threshold ops compare against. */
+  private val Max40 = 1099511627776L
+
+  /** THE salted 40-bit md5 prefix both [[resampleKeep]] and
+    * [[splitLabel]] decide on — one definition so the documented
+    * "same exact cross-multiplication" contract (and its DuckDB twins)
+    * can never drift between them. A NULL id would hash NULL and make
+    * every comparison silently three-valued (a resample would drop the
+    * row, a split would dump it in the LAST label) — raise instead. */
+  private def hash40(id: Column, salt: String, opName: String): Column = {
+    val guarded = when(id.isNull,
+      raise_error(lit(s"$opName: NULL id — hash-keyed decisions need " +
+        "a non-null id column")).cast("string"))
+      .otherwise(id.cast("string"))
+    conv(substring(md5(concat(lit(salt), lit("_"), guarded)), 1, 10),
+      16, 10).cast("long")
   }
 
   /** Deterministic importance RESAMPLING — the quality-weighted
@@ -533,15 +548,13 @@ object Curation {
     require(fractions.map(_._2).sum == 1000000L,
       s"split weights must sum to 1000000 micro-units, got " +
         fractions.map(_._2).sum)
-    val max40 = 1099511627776L // 2^40
-    val h = conv(substring(md5(concat(lit(salt), lit("_"),
-      id.cast("string"))), 1, 10), 16, 10).cast("long")
+    val h = hash40(id, salt, "splitByHash")
     val cums = fractions.scanLeft(0L)(_ + _._2).tail
     // first-match CASE chain over the cumulative bounds; the final
     // interval is the unconditional fallback (hash < 2^40 always)
     fractions.init.zip(cums.init)
       .foldRight(lit(fractions.last._1): Column) { case (((label, _), cum), acc) =>
-        when(h * lit(1000000L) < lit(cum) * lit(max40), lit(label))
+        when(h * lit(1000000L) < lit(cum) * lit(Max40), lit(label))
           .otherwise(acc)
       }
   }

@@ -438,6 +438,14 @@ object IcebergIO {
   private[graft] val LastUpdatedCol = "_last_updated_sequence_number"
   private[graft] val LastUpdatedFieldId = 2147483539
 
+  /** The lineage column pair as OUTPUT StructFields (nullable longs) —
+    * the one definition every surface appends (lineage read, streaming
+    * source, SQL view, incremental batch), the [[changelogFields]]
+    * pattern. */
+  private[graft] val lineageFields: Seq[StructField] = Seq(
+    StructField(RowLineageCol, LongType, nullable = true),
+    StructField(LastUpdatedCol, LongType, nullable = true))
+
   /** The spec's name-mapping table property ("Name Mapping
     * Serialization"): a JSON list of `{"field-id": N, "names": [...]}`
     * entries assigning field ids to id-LESS data files by their column
@@ -568,11 +576,19 @@ object IcebergIO {
   private def injectedBranch(spark: SparkSession, meta: TableMetadata,
                              fields: Seq[(String, String)],
                              group: Seq[ContentFile],
-                             withPos: Boolean): DataFrame = {
+                             withPos: Boolean,
+                             withRowId: Boolean = false): DataFrame = {
     val srcCols = fields.map(_._2).distinct
     val fieldBySrc = fields.map { case (fn, src) => src -> fn }.toMap
+    // materialized lineage MUST be read here too: compact-rewritten
+    // files stay under the same identity spec as the imports, so they
+    // route through this branch while physically carrying both the
+    // partition column AND the lineage columns (imported files lack
+    // them and read NULL — hive imports are name-resolution tables, so
+    // plain name matching serves both shapes)
     val reduced = StructType(
-      meta.schema.fields.filterNot(f => srcCols.contains(f.name)))
+      meta.schema.fields.filterNot(f => srcCols.contains(f.name)).toSeq ++
+        (if (withRowId) lineageFields else Nil))
     val base = spark.read.schema(reduced).parquet(group.map(_.path): _*)
       .withColumn("__gf_fileraw", col("_metadata.file_path"))
       .withColumn("__gf_pos", col("_metadata.row_index"))
@@ -603,8 +619,11 @@ object IcebergIO {
           .as(f.name)
       else col(f.name)
     }
-    joined.select(proj ++ (if (withPos)
-      Seq(col("__gf_fileraw"), col("__gf_pos")) else Nil): _*)
+    joined.select(proj ++
+      (if (withRowId) Seq(col(RowLineageCol).as("__gf_mrowid"),
+        col(LastUpdatedCol).as("__gf_mlseq")) else Nil) ++
+      (if (withPos)
+        Seq(col("__gf_fileraw"), col("__gf_pos")) else Nil): _*)
   }
 
   /** A default value as a Column whose type matches the table field and
@@ -735,10 +754,7 @@ object IcebergIO {
         (if (withPos) posCols else Nil): _*)
     }
     injected.groupBy(_.specId).toSeq.sortBy(_._1).foreach { case (sid, group) =>
-      val b = injectedBranch(spark, meta, inj(sid), group, withPos)
-      out += (if (withRowId)
-        b.withColumn("__gf_mrowid", lit(null).cast(LongType))
-          .withColumn("__gf_mlseq", lit(null).cast(LongType)) else b)
+      out += injectedBranch(spark, meta, inj(sid), group, withPos, withRowId)
     }
     out.result()
   }
@@ -1307,8 +1323,17 @@ object IcebergIO {
     * broadcast join keyed on the row's file identity — plan size
     * constant in file count. */
   def readWithRowId(spark: SparkSession, tablePath: String,
-                    snapshotId: Option[Long] = None): DataFrame = {
-    val meta = loadMetadata(tablePath)
+                    snapshotId: Option[Long] = None): DataFrame =
+    readWithRowIdOf(spark, loadMetadata(tablePath), tablePath, snapshotId)
+
+  /** [[readWithRowId]] against an ALREADY-LOADED TableMetadata — the
+    * one-load-per-materialization form the SQL view's relation builder
+    * uses (its pin must resolve against the same metadata the relation
+    * serves). */
+  private[sources] def readWithRowIdOf(spark: SparkSession,
+                                       meta: TableMetadata,
+                                       tablePath: String,
+                                       snapshotId: Option[Long]): DataFrame = {
     require(meta.formatVersion >= 3,
       "_row_id requires format v3 (row lineage); run upgradeFormatVersion first")
     val snap = snapshotOf(meta, snapshotId, tablePath)
@@ -2068,9 +2093,7 @@ object IcebergIO {
     val files = liveFiles(spark, toSnap).filter(f =>
       f.content == 0 && f.seq > fromSeq && f.seq <= toSnap.sequenceNumber)
     val outSchema =
-      if (withRowId) StructType(meta.schema.fields.toSeq ++ Seq(
-        StructField(RowLineageCol, LongType, nullable = true),
-        StructField(LastUpdatedCol, LongType, nullable = true)))
+      if (withRowId) StructType(meta.schema.fields.toSeq ++ lineageFields)
       else meta.schema
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)

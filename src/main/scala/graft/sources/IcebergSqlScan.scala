@@ -134,8 +134,9 @@ object IcebergMetaScan {
       case "row_lineage" =>
         // v3 row lineage as a live relation: table columns + _row_id +
         // _last_updated_sequence_number (readWithRowId semantics,
-        // honoring the registration's pin)
-        IcebergIO.readWithRowId(spark, m.tablePath, snapshotId = pinned)
+        // honoring the registration's pin — resolved against THE SAME
+        // metadata load as the pin itself, per the one-load rule above)
+        IcebergIO.readWithRowIdOf(spark, meta, m.tablePath, pinned)
       case "partition_stats" =>
         IcebergIO.partitionStatsOf(spark, meta, m.tablePath, pinned)
       case "statistics" =>
@@ -165,11 +166,8 @@ object IcebergMetaScan {
           "row_lineage requires format v3 (row lineage); " +
             "run upgradeFormatVersion first")
         org.apache.spark.sql.types.StructType(
-          meta.schema.fields.map(_.copy(nullable = true)).toSeq ++ Seq(
-            org.apache.spark.sql.types.StructField(IcebergIO.RowLineageCol,
-              org.apache.spark.sql.types.LongType, nullable = true),
-            org.apache.spark.sql.types.StructField(IcebergIO.LastUpdatedCol,
-              org.apache.spark.sql.types.LongType, nullable = true)))
+          meta.schema.fields.map(_.copy(nullable = true)).toSeq ++
+            IcebergIO.lineageFields)
       } else IcebergIO.metaSchema(kind)
     GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
       asOfTimestampMs, ref, GraftShim.attributes(schema))(spark))

@@ -93,9 +93,7 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
       if (changelogMode(parameters))
         StructType(table.fields.toSeq ++ IcebergIO.changelogFields)
       else if (rowLineageMode(parameters))
-        StructType(table.fields.toSeq ++ Seq(
-          StructField(IcebergIO.RowLineageCol, LongType, nullable = true),
-          StructField(IcebergIO.LastUpdatedCol, LongType, nullable = true)))
+        StructType(table.fields.toSeq ++ IcebergIO.lineageFields)
       else table)
   }
 
@@ -122,9 +120,8 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
   private val tableSchema: StructType = IcebergIO.loadMetadata(tablePath).schema
   override val schema: StructType =
     if (changelog) StructType(tableSchema.fields.toSeq ++ IcebergIO.changelogFields)
-    else if (rowLineage) StructType(tableSchema.fields.toSeq ++ Seq(
-      StructField(IcebergIO.RowLineageCol, LongType, nullable = true),
-      StructField(IcebergIO.LastUpdatedCol, LongType, nullable = true)))
+    else if (rowLineage)
+      StructType(tableSchema.fields.toSeq ++ IcebergIO.lineageFields)
     else tableSchema
 
   // ---- rate limiting ([[maxSnapshotsPerTrigger]]): a batch covers at

@@ -3131,8 +3131,13 @@ object IcebergWrite {
     if (lineageCols.nonEmpty) {
       require(meta.formatVersion >= 3,
         s"${lineageCols.mkString(",")} requires format v3 (row lineage)")
-      require(operation != "append",
-        "lineage carry is a rewrite-verb mechanism; appends assign fresh ids")
+      // ONLY the internal rewrite verb (compact → operation "replace")
+      // may thread lineage carries — a user frame reaching append or
+      // OVERWRITE with a __gf_rowid column would otherwise materialize
+      // arbitrary (possibly colliding) row ids
+      require(operation == "replace",
+        "lineage carry is a rewrite-verb mechanism (compact); " +
+          s"'$operation' frames must not contain ${lineageCols.mkString(",")}")
     }
     val df1 =
       if (lineageCols.nonEmpty) {

@@ -2413,6 +2413,48 @@ class IcebergWriteSpec extends AnyFunSuite {
       (1L, 1L, """{"k":1,"s":"x1"}"""), (3L, 3L, """{"k":3,"s":"x3"}""")))
   }
 
+  test("v3 row lineage: __gf_rowid cannot be smuggled through public verbs") {
+    import org.apache.spark.sql.functions.lit
+    val dir = s"$root/rowlin_smuggle"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    // a user frame carrying the internal lineage column must be refused
+    // by append AND overwrite — only the rewrite verb (replace) threads
+    // carries; accepting it would materialize colliding _row_id values
+    val bad = df((2L, "b", 2.0)).withColumn("__gf_rowid", lit(0L))
+    val e1 = intercept[IllegalArgumentException](IcebergWrite.append(bad, dir))
+    assert(e1.getMessage.contains("rewrite-verb"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.overwrite(bad, dir))
+    assert(e2.getMessage.contains("rewrite-verb"), e2.getMessage)
+    assert(ids(IcebergIO.read(spark, dir)) === Seq(1L))
+  }
+
+  test("v3 row lineage: hive-imported table keeps lineage across compact") {
+    // compact-rewritten files stay under the SAME identity spec as the
+    // imports, so they route through the injection branch — which must
+    // read their materialized lineage, not null it (regression: the
+    // injected branch used to blanket-null __gf_mrowid/__gf_mlseq)
+    val dir = s"$root/rowlin_hive"
+    val src = s"$root/rowlin_hive_src"
+    IcebergWrite.create(spark, dir, schema, partitionCols = Seq("name"),
+      fieldIds = false, formatVersion = 3)
+    df((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .write.partitionBy("name").parquet(src)
+    IcebergWrite.addFiles(spark, dir, src)
+    def lin(): Map[Long, (Long, Long)] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("_row_id"),
+        r.getAs[Long]("_last_updated_sequence_number")))).toMap
+    val before = lin()
+    assert(before.values.map(_._1).toSeq.sorted === Seq(0L, 1L, 2L))
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+    IcebergWrite.compact(spark, dir)
+    assert(lin() === before - 2L)
+    // a second compact over the (already materialized) rewritten files
+    IcebergWrite.compact(spark, dir)
+    assert(lin() === before - 2L)
+  }
+
   test("v3 row lineage: cherry-pick carries branch-assigned ids, counter stays") {
     val dir = s"$root/dv_rowid_pick"
     IcebergWrite.create(spark, dir, schema, formatVersion = 3)
