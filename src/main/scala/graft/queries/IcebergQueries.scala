@@ -1855,6 +1855,53 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** CDC changelog WITH row lineage: every change row carries the row's
+    * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
+    * SHARING one id (the rewrite materializes it), which is what lets a
+    * downstream consumer track rows by identity instead of by key
+    * columns. The oracle replays the id assignment (name-rank over the
+    * single sorted append) and the exact change-row set of the
+    * append → UPDATE → DV-delete sequence; the delete attribution also
+    * proves the merged-DV diff stays exact (the second DV contains the
+    * first's positions, yet only the newly dead row surfaces). */
+  val icebergChangelogLineage = dfQ("iceberg_changelog_lineage",
+    """WITH base AS (
+      |  SELECT n_nationkey, n_name,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS BIGINT) AS row_id
+      |  FROM nation
+      |)
+      |SELECT 'insert' AS change_type, 0 AS ord, n_nationkey, row_id,
+      |  CAST(1 AS BIGINT) AS last_upd, n_name AS name FROM base
+      |UNION ALL
+      |SELECT 'delete', 1, n_nationkey, row_id, CAST(1 AS BIGINT), n_name
+      |FROM base WHERE n_nationkey = 7
+      |UNION ALL
+      |SELECT 'insert', 1, n_nationkey, row_id, CAST(2 AS BIGINT), 'REWRITTEN'
+      |FROM base WHERE n_nationkey = 7
+      |UNION ALL
+      |SELECT 'delete', 2, n_nationkey, row_id, CAST(1 AS BIGINT), n_name
+      |FROM base WHERE n_nationkey = 3
+      |ORDER BY ord, change_type, n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_cdclin_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name")
+      .orderBy("n_name").coalesce(1)
+    graft.sources.IcebergWrite.create(s, dir, nation.schema, formatVersion = 3)
+    graft.sources.IcebergWrite.append(nation, dir)
+    graft.sources.IcebergWrite.updateWhere(s, dir, col("n_nationkey") === 7,
+      Map("n_name" -> lit("REWRITTEN")))
+    graft.sources.IcebergWrite.deleteWhere(s, dir, col("n_nationkey") === 3)
+    IcebergIO.readChangelog(s, dir, withRowId = true)
+      .select(col("_change_type").as("change_type"),
+        col("_change_ordinal").as("ord"), col("n_nationkey"),
+        col("_row_id").as("row_id"),
+        col("_last_updated_sequence_number").as("last_upd"),
+        col("n_name").as("name"))
+      .orderBy("ord", "change_type", "n_nationkey")
+  }
+
   /** v3 VARIANT column parity: semi-structured rows written through the
     * Iceberg writer (Spark's native VariantType shares the open Parquet
     * VARIANT representation with the v3 spec type), DV-deleted,
@@ -1933,7 +1980,7 @@ object IcebergQueries {
     icebergGc,
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
-    icebergRowLineage, icebergVariant,
+    icebergRowLineage, icebergVariant, icebergChangelogLineage,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

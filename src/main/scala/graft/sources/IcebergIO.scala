@@ -1350,7 +1350,8 @@ object IcebergIO {
     * ([[IcebergWrite.compact]]/compactWhere/updateWhere stage this
     * column back out into the rewritten files). */
   private[sources] def lineageRead(spark: SparkSession, meta: TableMetadata,
-                                   files: Seq[ContentFile]): DataFrame = {
+                                   files: Seq[ContentFile],
+                                   keepIdentity: Boolean = false): DataFrame = {
     val base = mergeRead(spark, meta, files, withIdentity = true,
       withRowId = true)
     val mapRows = files.filter(_.content == 0).map(f =>
@@ -1363,12 +1364,16 @@ object IcebergIO {
         StructField("__gf_rfile", StringType, nullable = false),
         StructField("__gf_first", LongType, nullable = true),
         StructField("__gf_fseq", LongType, nullable = false))))
-    base.join(broadcast(mapDf), col("__gf_file") === col("__gf_rfile"), "left")
+    val joined = base
+      .join(broadcast(mapDf), col("__gf_file") === col("__gf_rfile"), "left")
       .withColumn("__gf_rowid",
         coalesce(col("__gf_mrowid"), col("__gf_first") + col("__gf_pos")))
       .withColumn("__gf_lseq", coalesce(col("__gf_mlseq"), col("__gf_fseq")))
-      .drop("__gf_file", "__gf_pos", "__gf_mrowid", "__gf_mlseq",
-        "__gf_rfile", "__gf_first", "__gf_fseq")
+      .drop("__gf_mrowid", "__gf_mlseq", "__gf_rfile", "__gf_first",
+        "__gf_fseq")
+    // the changelog's delete diff anti-joins on physical row identity
+    // AFTER deriving lineage — keep (file, pos) only for that caller
+    if (keepIdentity) joined else joined.drop("__gf_file", "__gf_pos")
   }
 
   private def readImpl(spark: SparkSession, tablePath: String,
@@ -2141,18 +2146,30 @@ object IcebergIO {
     * (compaction, manifest rewrites) change no rows BY CONTRACT and are
     * skipped — a changelog consumer survives table maintenance. v2 only
     * (sequence numbers define "added at this snapshot"). */
+  /** @param withRowId v3 only: every change row also carries `_row_id`
+    *                    + `_last_updated_sequence_number` — an UPDATE's
+    *                    delete+insert pair shares ONE `_row_id` (the
+    *                    rewrite materializes it), so a CDC consumer can
+    *                    track rows by PERMANENT identity instead of by
+    *                    key columns; an upsert's replace shows as an
+    *                    identity change (delete old id, insert new),
+    *                    exactly the delete+insert it is. */
   def readChangelog(spark: SparkSession, tablePath: String,
                     fromSnapshotId: Option[Long] = None,
-                    toSnapshotId: Option[Long] = None): DataFrame = {
+                    toSnapshotId: Option[Long] = None,
+                    withRowId: Boolean = false): DataFrame = {
     val meta = loadMetadata(tablePath)
     require(meta.formatVersion >= 2,
       "changelog read needs v2 sequence numbers")
+    require(!withRowId || meta.formatVersion >= 3,
+      "withRowId requires format v3 (row lineage)")
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
     def snapOf(id: Long): SnapshotInfo = byId.getOrElse(id,
       throw new IllegalArgumentException(
         s"snapshot $id not found; available: " +
           meta.snapshots.map(_.snapshotId).sorted.mkString(", ")))
-    val outSchema = StructType(meta.schema.fields.toSeq ++ changelogFields)
+    val outSchema = StructType(meta.schema.fields.toSeq ++
+      (if (withRowId) lineageFields else Nil) ++ changelogFields)
     def emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], outSchema)
     val toSnapOpt = toSnapshotId.map(snapOf)
@@ -2161,7 +2178,7 @@ object IcebergIO {
     val toSnap = toSnapOpt.get
     fromSnapshotId.foreach(snapOf) // loud unknown-id check up front
     if (fromSnapshotId.contains(toSnap.snapshotId)) return emptyOut
-    changelogImpl(spark, meta, fromSnapshotId, None, toSnap)
+    changelogImpl(spark, meta, fromSnapshotId, None, toSnap, withRowId)
   }
 
   /** Changes with sequence numbers in `(fromSeq, toSeq]` — the streaming
@@ -2171,15 +2188,18 @@ object IcebergIO {
   private[graft] def readChangelogBySeq(spark: SparkSession,
                                         tablePath: String,
                                         fromSeq: Long,
-                                        toSeq: Long): DataFrame = {
+                                        toSeq: Long,
+                                        withRowId: Boolean = false): DataFrame = {
     val meta = loadMetadata(tablePath)
     require(meta.formatVersion >= 2,
       "changelog read needs v2 sequence numbers")
+    require(!withRowId || meta.formatVersion >= 3,
+      "withRowId requires format v3 (row lineage)")
     val toSnap = meta.snapshots.find(_.sequenceNumber == toSeq).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot with sequence number $toSeq (expired?); available: " +
           meta.snapshots.map(_.sequenceNumber).sorted.mkString(", ")))
-    changelogImpl(spark, meta, None, Some(fromSeq), toSnap)
+    changelogImpl(spark, meta, None, Some(fromSeq), toSnap, withRowId)
   }
 
   /** Shared changelog body. The lineage cut is `fromId` (exclusive
@@ -2188,9 +2208,11 @@ object IcebergIO {
     * range is the whole history. */
   private def changelogImpl(spark: SparkSession, meta: TableMetadata,
                             fromId: Option[Long], fromSeq: Option[Long],
-                            toSnap: SnapshotInfo): DataFrame = {
+                            toSnap: SnapshotInfo,
+                            withRowId: Boolean = false): DataFrame = {
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val outSchema = StructType(meta.schema.fields.toSeq ++ changelogFields)
+    val outSchema = StructType(meta.schema.fields.toSeq ++
+      (if (withRowId) lineageFields else Nil) ++ changelogFields)
     def emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], outSchema)
     // Ancestor lineage (from, to], oldest first. Unlike the incremental
@@ -2253,7 +2275,11 @@ object IcebergIO {
           f.content == 1 && f.seq == s.sequenceNumber)
         if (newData.nonEmpty)
           frames += mark(
-            mergeRead(spark, meta, newData ++ newPosForInserts,
+            if (withRowId)
+              lineageRead(spark, meta, newData ++ newPosForInserts)
+                .withColumnRenamed("__gf_rowid", RowLineageCol)
+                .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+            else mergeRead(spark, meta, newData ++ newPosForInserts,
               withIdentity = false),
             "insert")
         // deletes: before/after diff of the affected parent files
@@ -2300,8 +2326,17 @@ object IcebergIO {
               posTargets(normalizePath(f.path)) || eqCandidate(f)))
             .groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
           if (candidates.nonEmpty) {
+            // the BEFORE state carries lineage when asked (derived from
+            // the PARENT's files — the deleted row's identity); the
+            // anti-join right side never needs it
             val before =
-              mergeRead(spark, meta, candidates ++ pDeletes, withIdentity = true)
+              if (withRowId)
+                lineageRead(spark, meta, candidates ++ pDeletes,
+                    keepIdentity = true)
+                  .withColumnRenamed("__gf_rowid", RowLineageCol)
+                  .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+              else mergeRead(spark, meta, candidates ++ pDeletes,
+                withIdentity = true)
             val still = candidates.filter(f => sDataPaths(normalizePath(f.path)))
             val deleted =
               if (still.isEmpty) before

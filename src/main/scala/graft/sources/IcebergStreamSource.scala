@@ -57,14 +57,11 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
 
   /** `.option("rowLineage", "true")` appends `_row_id` +
     * `_last_updated_sequence_number` to every streamed row (v3 only) —
-    * the incremental-consumer handle that stays stable for ever. */
-  private def rowLineageMode(parameters: Map[String, String]): Boolean = {
-    val rl = boolOpt(parameters, "rowLineage")
-    require(!(rl && boolOpt(parameters, "changelog")),
-      "rowLineage and changelog are mutually exclusive (change rows " +
-        "carry their own identity columns)")
-    rl
-  }
+    * the incremental-consumer handle that stays stable for ever.
+    * Composes with `changelog`: change rows then carry lineage too (an
+    * UPDATE's delete+insert pair shares one `_row_id`). */
+  private def rowLineageMode(parameters: Map[String, String]): Boolean =
+    boolOpt(parameters, "rowLineage")
 
   private def boolOpt(parameters: Map[String, String], name: String): Boolean =
     parameters.get(name) match {
@@ -89,12 +86,11 @@ class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister
         "rowLineage requires format v3 (row lineage); " +
           "run upgradeFormatVersion first")
     val table = meta.schema
+    val lin = if (rowLineageMode(parameters)) IcebergIO.lineageFields else Nil
     (shortName(),
       if (changelogMode(parameters))
-        StructType(table.fields.toSeq ++ IcebergIO.changelogFields)
-      else if (rowLineageMode(parameters))
-        StructType(table.fields.toSeq ++ IcebergIO.lineageFields)
-      else table)
+        StructType(table.fields.toSeq ++ lin ++ IcebergIO.changelogFields)
+      else StructType(table.fields.toSeq ++ lin))
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -118,11 +114,12 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
   // pinned at construction: a mid-stream schema evolution is surfaced as
   // a loud failure in getBatch, never as silently misaligned columns
   private val tableSchema: StructType = IcebergIO.loadMetadata(tablePath).schema
-  override val schema: StructType =
-    if (changelog) StructType(tableSchema.fields.toSeq ++ IcebergIO.changelogFields)
-    else if (rowLineage)
-      StructType(tableSchema.fields.toSeq ++ IcebergIO.lineageFields)
-    else tableSchema
+  override val schema: StructType = {
+    val lin = if (rowLineage) IcebergIO.lineageFields else Nil
+    if (changelog) StructType(tableSchema.fields.toSeq ++ lin ++
+      IcebergIO.changelogFields)
+    else StructType(tableSchema.fields.toSeq ++ lin)
+  }
 
   // ---- rate limiting ([[maxSnapshotsPerTrigger]]): a batch covers at
   // most N snapshots of backlog. The cap needs a BASE — the last
@@ -197,7 +194,8 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
     if (changelog)
       org.apache.spark.sql.GraftShim.asStreamingRdd(
         IcebergIO.readChangelogBySeq(spark, tablePath,
-          start.map(seqOf).getOrElse(0L), seqOf(end)))
+          start.map(seqOf).getOrElse(0L), seqOf(end),
+          withRowId = rowLineage))
     else if (rowLineage)
       // the lineage batch joins the per-file first-row-id map — a
       // multi-relation plan, so it streams behind one lazy RDD leaf

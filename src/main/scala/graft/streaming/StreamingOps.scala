@@ -613,9 +613,11 @@ object StreamingOps {
     * nothing. The natural feed for a downstream materialized view or
     * keyed-state pipeline (`foreachBatch` + [[icebergUpsertSink]]). */
   def icebergChangelogStream(spark: SparkSession, tablePath: String,
-                             maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.format("graft-iceberg").option("path", tablePath)
+                             maxSnapshotsPerTrigger: Option[Int] = None,
+                             rowLineage: Boolean = false): DataFrame = {
+    val r0 = spark.readStream.format("graft-iceberg").option("path", tablePath)
       .option("changelog", "true")
+    val r = if (rowLineage) r0.option("rowLineage", "true") else r0
     maxSnapshotsPerTrigger.fold(r)(n =>
         r.option("maxSnapshotsPerTrigger", n.toString))
       .load()

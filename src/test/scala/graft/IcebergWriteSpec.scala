@@ -2413,6 +2413,45 @@ class IcebergWriteSpec extends AnyFunSuite {
       (1L, 1L, """{"k":1,"s":"x1"}"""), (3L, 3L, """{"k":3,"s":"x3"}""")))
   }
 
+  test("v3 changelog with lineage: an UPDATE pair shares ONE _row_id") {
+    import org.apache.spark.sql.functions.lit
+    val dir = s"$root/cdc_rowid"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .coalesce(1), dir)
+    IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+      Map("score" -> lit(99.0)))
+    IcebergWrite.upsert(df((3L, "c", 33.0), (4L, "d", 4.0)), dir, Seq("id"))
+    val ch = IcebergIO.readChangelog(spark, dir, withRowId = true)
+      .collect().map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Int]("_change_ordinal"), r.getLong(0),
+        r.getAs[Long]("_row_id"), r.getDouble(2))).toSet
+    // ordinal 0: the three appended rows with their assigned ids
+    assert(ch.filter(_._2 == 0) === Set(
+      ("insert", 0, 1L, 0L, 1.0), ("insert", 0, 2L, 1L, 2.0),
+      ("insert", 0, 3L, 2L, 3.0)))
+    // ordinal 1 (UPDATE): delete + insert of row 2 share _row_id 1 — a
+    // CDC consumer sees a true UPDATE at permanent-identity grain
+    assert(ch.filter(_._2 == 1) === Set(
+      ("delete", 1, 2L, 1L, 2.0), ("insert", 1, 2L, 1L, 99.0)))
+    // ordinal 2 (upsert): the replaced row CHANGES identity (the
+    // documented delete+insert semantics) and the fresh insert gets a
+    // new id — no id ever collides with a live one
+    val ord2 = ch.filter(_._2 == 2)
+    val del3 = ord2.find(t => t._1 == "delete" && t._3 == 3L).get
+    val ins3 = ord2.find(t => t._1 == "insert" && t._3 == 3L).get
+    val ins4 = ord2.find(t => t._1 == "insert" && t._3 == 4L).get
+    assert(del3._4 === 2L && ins3._4 != 2L && ins4._4 != ins3._4)
+    assert(ord2.size === 3)
+    // v2 refuses withRowId loudly
+    val v2 = s"$root/cdc_rowid_v2"
+    IcebergWrite.create(spark, v2, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), v2)
+    val e = intercept[IllegalArgumentException](
+      IcebergIO.readChangelog(spark, v2, withRowId = true))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+  }
+
   test("v3 row lineage: __gf_rowid cannot be smuggled through public verbs") {
     import org.apache.spark.sql.functions.lit
     val dir = s"$root/rowlin_smuggle"

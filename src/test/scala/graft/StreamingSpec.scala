@@ -879,6 +879,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iceberg changelog stream composes with rowLineage: update pair shares one id") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.IcebergWrite
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"/tmp/graft_stream_cdclin_$tag"
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def rows(xs: (Long, Double)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    IcebergWrite.create(spark, dir, st, formatVersion = 3)
+    IcebergWrite.append(rows(1L -> 1.0, 2L -> 2.0).coalesce(1), dir)
+    val stream = StreamingOps.icebergChangelogStream(spark, dir,
+      rowLineage = true)
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "v", "_row_id",
+      "_last_updated_sequence_number", "_change_type", "_change_ordinal",
+      "_commit_snapshot_id"))
+    val q = stream.writeStream.format("memory").queryName(s"cdclin_$tag")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+        Map("v" -> lit(99.0)))
+      q.processAllAvailable()
+      val got = spark.table(s"cdclin_$tag")
+        .select("_change_type", "id", "_row_id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === Set(("insert", 1L, 0L, 1.0), ("insert", 2L, 1L, 2.0),
+        ("delete", 2L, 1L, 2.0), ("insert", 2L, 1L, 99.0)))
+    } finally q.stop()
+  }
+
   test("iceberg changelog stream: delete/upsert/compact commits stream as CDC") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
