@@ -1015,6 +1015,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KEYLESS CDC replication: _row_id is the replica key (lineage stream)") {
+    // a source table with NO natural key (duplicate content rows) still
+    // replicates exactly: the lineage stream puts the permanent _row_id
+    // on every change row and the ordinary apply sink keys on it
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.{IcebergIO, IcebergWrite}
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val src = s"/tmp/graft_cdclin_src_$tag"
+    val dst = s"/tmp/graft_cdclin_dst_$tag"
+    val ckpt = s"/tmp/graft_cdclin_ckpt_$tag"
+    val st = StructType(Seq(
+      StructField("payload", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true)))
+    def rows(xs: (String, Double)*) = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
+    IcebergWrite.create(spark, src, st, formatVersion = 3)
+    // the replica stores the lineage pair as ordinary columns — the
+    // _row_id is ITS key, last-updated rides as replica metadata
+    IcebergWrite.create(spark, dst, StructType(st.fields.toSeq ++ Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType,
+        nullable = true))))
+    // duplicate payloads: no column combination identifies a row
+    IcebergWrite.append(rows("x" -> 1.0, "x" -> 1.0, "y" -> 2.0)
+      .coalesce(1), src)
+    val q = StreamingOps.icebergCdcApplySink(
+      StreamingOps.icebergChangelogStream(spark, src, rowLineage = true),
+      dst, Seq("_row_id"), ckpt)
+    def replica(): Set[(String, Double, Long)] =
+      IcebergIO.read(spark, dst).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    try {
+      q.processAllAvailable()
+      assert(replica() === Set(("x", 1.0, 0L), ("x", 1.0, 1L),
+        ("y", 2.0, 2L)))
+      // update ONE of the duplicate rows (predicate reaches both "x"
+      // rows is wrong — use v-based update touching all x's, then check
+      // ids distinguish them); delete by content kills both x rows
+      IcebergWrite.updateWhere(spark, src, col("payload") === "y",
+        Map("v" -> lit(20.0)))
+      q.processAllAvailable()
+      assert(replica() === Set(("x", 1.0, 0L), ("x", 1.0, 1L),
+        ("y", 20.0, 2L)))
+      IcebergWrite.deleteWhere(spark, src, col("payload") === "x")
+      q.processAllAvailable()
+      assert(replica() === Set(("y", 20.0, 2L)))
+    } finally q.stop()
+  }
+
   test("iceberg CDC replication: changelog stream + apply sink keep a replica") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
