@@ -332,23 +332,23 @@ final class GraftSession private (val spark: SparkSession) {
     // registration shows up in `<name>_files` etc. without
     // re-registering — the dot-suffix tables' per-query semantics.
     if (metadataTables) {
-      // row_lineage only exists on v3 tables (everything else is
-      // version-agnostic metadata grain)
-      val v3Only =
-        if (graft.sources.IcebergIO.loadMetadata(path).formatVersion >= 3)
-          Seq("row_lineage")
-        else Nil
-      (Seq("history", "files", "data_files", "delete_files",
+      Seq("history", "files", "data_files", "delete_files",
           "entries", "partitions", "manifests",
           "snapshots", "refs", "all_files", "all_data_files",
           "all_delete_files", "all_entries", "all_manifests",
           "metadata_log_entries", "position_deletes", "partition_stats",
-          "statistics") ++ v3Only)
+          "statistics")
         .foreach { kind =>
           graft.sources.IcebergMetaScan.dataFrame(spark, path, kind,
               snapshotId, asOfTimestampMs, ref)
             .createOrReplaceTempView(s"${name}_$kind")
         }
+      // row_lineage (v3 only) is TABLE-sized, not metadata-grain: it
+      // rides the data-scan leaf so WHERE pruning composes
+      if (graft.sources.IcebergIO.loadMetadata(path).formatVersion >= 3)
+        graft.sources.IcebergTableScan.dataFrame(spark, path, snapshotId,
+            asOfTimestampMs, ref, rowLineage = true)
+          .createOrReplaceTempView(s"${name}_row_lineage")
     }
   }
 

@@ -496,10 +496,15 @@ object Curation {
     * append-mode stream. */
   def resampleKeep(id: Column, weightMicro: Column,
                    salt: String = "rs"): Column = {
+    // the integrality check catches a 0..1 PROBABILITY column passed
+    // where micro units are expected (0.85 would cast("long") to 0 and
+    // silently drop the whole corpus)
     val w = when(weightMicro.isNull ||
-        weightMicro < 0 || weightMicro > 1000000L,
-      raise_error(concat(lit("resampleByWeight: weight_micro out of "),
-        lit("[0, 1000000]: "), weightMicro.cast("string"))).cast("long"))
+        weightMicro < 0 || weightMicro > 1000000L ||
+        weightMicro.cast("double") =!= weightMicro.cast("long").cast("double"),
+      raise_error(concat(lit("resampleByWeight: weight_micro must be an "),
+        lit("integral micro-unit in [0, 1000000]: "),
+        weightMicro.cast("string"))).cast("long"))
       .otherwise(weightMicro.cast("long"))
     hash40(id, salt, "resampleByWeight") * lit(1000000L) < w * lit(Max40)
   }

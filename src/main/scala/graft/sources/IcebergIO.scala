@@ -446,6 +446,12 @@ object IcebergIO {
     StructField(RowLineageCol, LongType, nullable = true),
     StructField(LastUpdatedCol, LongType, nullable = true))
 
+  /** Internal lineage carries → their public column names — the one
+    * rename every lineage surface applies to [[lineageRead]] output. */
+  private def renameLineage(df: DataFrame): DataFrame =
+    df.withColumnRenamed("__gf_rowid", RowLineageCol)
+      .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+
   /** The spec's name-mapping table property ("Name Mapping
     * Serialization"): a JSON list of `{"field-id": N, "names": [...]}`
     * entries assigning field ids to id-LESS data files by their column
@@ -1337,9 +1343,7 @@ object IcebergIO {
     require(meta.formatVersion >= 3,
       "_row_id requires format v3 (row lineage); run upgradeFormatVersion first")
     val snap = snapshotOf(meta, snapshotId, tablePath)
-    lineageRead(spark, meta, liveFiles(spark, snap))
-      .withColumnRenamed("__gf_rowid", RowLineageCol)
-      .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+    renameLineage(lineageRead(spark, meta, liveFiles(spark, snap)))
   }
 
   /** Table columns + `__gf_rowid` / `__gf_lseq` (each row's v3 lineage
@@ -1381,8 +1385,12 @@ object IcebergIO {
                        asOfTimestampMs: Option[Long],
                        partitionFilter: Map[String, Any],
                        statsPred: StatsPred,
-                       ref: Option[String]): DataFrame = {
+                       ref: Option[String],
+                       withRowId: Boolean = false): DataFrame = {
     val meta = loadMetadata(tablePath)
+    require(!withRowId || meta.formatVersion >= 3,
+      "row_lineage requires format v3 (row lineage); " +
+        "run upgradeFormatVersion first")
     // ONE resolution policy for snapshotId / as-of / ref (named refs are
     // pinned snapshot ids — `VERSION AS OF 'tag'` in engine dialects;
     // as-of follows snapshot-log when present): [[resolveSnapshotId]],
@@ -1414,8 +1422,11 @@ object IcebergIO {
     snap match {
       case None => // table exists but has no snapshot yet: empty, schema kept
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], meta.schema)
-      case Some(s) => readSnapshot(spark, meta, s, resolvedBySpec, statsPred)
+          spark.sparkContext.emptyRDD[Row],
+          if (withRowId) StructType(meta.schema.fields.toSeq ++ lineageFields)
+          else meta.schema)
+      case Some(s) =>
+        readSnapshot(spark, meta, s, resolvedBySpec, statsPred, withRowId)
     }
   }
 
@@ -1516,12 +1527,23 @@ object IcebergIO {
                                 predTree: org.apache.spark.sql.GraftShim.PredNode,
                                 snapshotId: Option[Long] = None,
                                 asOfTimestampMs: Option[Long] = None,
-                                ref: Option[String] = None): DataFrame = {
+                                ref: Option[String] = None,
+                                withRowId: Boolean = false): DataFrame = {
     val meta = loadMetadata(tablePath)
     val (partFilter, tree) = derivePruning(meta, predTree)
     readImpl(spark, tablePath, snapshotId, asOfTimestampMs, partFilter,
-      tree, ref)
+      tree, ref, withRowId)
   }
+
+  /** The unpruned LINEAGE scan the SQL view's no-filter case
+    * materializes: the current (or pinned) snapshot's rows + lineage
+    * pair, resolved through the same pin policy as the data view. */
+  private[graft] def readLineage(spark: SparkSession, tablePath: String,
+                                 snapshotId: Option[Long] = None,
+                                 asOfTimestampMs: Option[Long] = None,
+                                 ref: Option[String] = None): DataFrame =
+    readImpl(spark, tablePath, snapshotId, asOfTimestampMs, Map.empty,
+      StatsPred.Unknown, ref, withRowId = true)
 
   /** Derive (partition-equality filter, stats predicate tree) from a
     * neutral predicate tree — shared by [[readWhere]] (Column DSL) and
@@ -1668,7 +1690,8 @@ object IcebergIO {
   private def readSnapshot(spark: SparkSession, meta: TableMetadata,
                            snap: SnapshotInfo,
                            filterBySpec: Map[Int, Map[String, Any]] = Map.empty,
-                           statsPred: StatsPred = StatsPred.Unknown): DataFrame = {
+                           statsPred: StatsPred = StatsPred.Unknown,
+                           withRowId: Boolean = false): DataFrame = {
     val allFiles = liveFiles(spark, snap)
     // Resolve stats predicates once (field ids, type normalization) into
     // one per-file keep function; unknown columns fail loudly.
@@ -1688,7 +1711,8 @@ object IcebergIO {
           f.partitionValues.get(k).forall(pv => String.valueOf(pv) == String.valueOf(v))
         } && keepByStats(f))
     }
-    mergeRead(spark, meta, files, withIdentity = false)
+    if (withRowId) renameLineage(lineageRead(spark, meta, files))
+    else mergeRead(spark, meta, files, withIdentity = false)
   }
 
   /** Merge-on-read over an EXPLICIT content-file set: reads the data
@@ -2106,9 +2130,7 @@ object IcebergIO {
       // appended rows' lineage for incremental consumers: derivation is
       // first_row_id + position (append files never carry materialized
       // lineage) but the shared lineageRead keeps one code path
-      lineageRead(spark, meta, files)
-        .withColumnRenamed("__gf_rowid", RowLineageCol)
-        .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+      renameLineage(lineageRead(spark, meta, files))
     else
       stripFieldIds(
         dataBranches(spark, meta, files, withPos = false)
@@ -2276,9 +2298,8 @@ object IcebergIO {
         if (newData.nonEmpty)
           frames += mark(
             if (withRowId)
-              lineageRead(spark, meta, newData ++ newPosForInserts)
-                .withColumnRenamed("__gf_rowid", RowLineageCol)
-                .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+              renameLineage(lineageRead(spark, meta,
+                newData ++ newPosForInserts))
             else mergeRead(spark, meta, newData ++ newPosForInserts,
               withIdentity = false),
             "insert")
@@ -2331,10 +2352,8 @@ object IcebergIO {
             // anti-join right side never needs it
             val before =
               if (withRowId)
-                lineageRead(spark, meta, candidates ++ pDeletes,
-                    keepIdentity = true)
-                  .withColumnRenamed("__gf_rowid", RowLineageCol)
-                  .withColumnRenamed("__gf_lseq", LastUpdatedCol)
+                renameLineage(lineageRead(spark, meta,
+                  candidates ++ pDeletes, keepIdentity = true))
               else mergeRead(spark, meta, candidates ++ pDeletes,
                 withIdentity = true)
             val still = candidates.filter(f => sDataPaths(normalizePath(f.path)))

@@ -40,7 +40,12 @@ final case class IcebergTableScan(
     snapshotId: Option[Long],
     asOfTimestampMs: Option[Long],
     ref: Option[String],
-    output: Seq[Attribute])(
+    output: Seq[Attribute],
+    // v3 row lineage: materialize with _row_id +
+    // _last_updated_sequence_number appended — the <name>_row_lineage
+    // view rides THIS leaf (not the metadata path) so WHERE-driven
+    // partition/stats pruning composes with lineage
+    rowLineage: Boolean = false)(
     // second parameter list (Spark's ExternalRDD pattern): the OWNING
     // session rides along outside the case-class equality/tree args, so
     // materialization in a multi-session JVM uses this session's Hadoop
@@ -64,12 +69,23 @@ object IcebergTableScan {
   def dataFrame(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                 snapshotId: Option[Long] = None,
                 asOfTimestampMs: Option[Long] = None,
-                ref: Option[String] = None)
+                ref: Option[String] = None,
+                rowLineage: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     GraftShim.addOptimization(spark, IcebergScanRule)
-    val schema = IcebergIO.loadMetadata(tablePath).schema
+    val meta = IcebergIO.loadMetadata(tablePath)
+    if (rowLineage)
+      require(meta.formatVersion >= 3,
+        "row_lineage requires format v3 (row lineage); " +
+          "run upgradeFormatVersion first")
+    val schema =
+      if (rowLineage)
+        org.apache.spark.sql.types.StructType(
+          meta.schema.fields.map(_.copy(nullable = true)).toSeq ++
+            IcebergIO.lineageFields)
+      else meta.schema
     GraftShim.dataFrame(spark, IcebergTableScan(tablePath, snapshotId,
-      asOfTimestampMs, ref, GraftShim.attributes(schema))(spark))
+      asOfTimestampMs, ref, GraftShim.attributes(schema), rowLineage)(spark))
   }
 }
 
@@ -131,12 +147,6 @@ object IcebergMetaScan {
       case "metadata_log_entries" => IcebergIO.metadataLogEntriesOf(spark, meta)
       case "position_deletes" =>
         IcebergIO.positionDeletesOf(spark, meta, m.tablePath, pinned)
-      case "row_lineage" =>
-        // v3 row lineage as a live relation: table columns + _row_id +
-        // _last_updated_sequence_number (readWithRowId semantics,
-        // honoring the registration's pin — resolved against THE SAME
-        // metadata load as the pin itself, per the one-load rule above)
-        IcebergIO.readWithRowIdOf(spark, meta, m.tablePath, pinned)
       case "partition_stats" =>
         IcebergIO.partitionStatsOf(spark, meta, m.tablePath, pinned)
       case "statistics" =>
@@ -154,23 +164,12 @@ object IcebergMetaScan {
                 ref: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     GraftShim.addOptimization(spark, IcebergScanRule)
-    // row_lineage is the one TABLE-SCHEMA-dependent relation: its
-    // columns are the table's plus the two lineage columns, frozen at
-    // registration like the data view's (re-register after schema
-    // evolution, same contract). Placeholder columns declare nullable —
-    // the materialized plan must never be wider than the leaf.
-    val schema =
-      if (kind == "row_lineage") {
-        val meta = IcebergIO.loadMetadata(tablePath)
-        require(meta.formatVersion >= 3,
-          "row_lineage requires format v3 (row lineage); " +
-            "run upgradeFormatVersion first")
-        org.apache.spark.sql.types.StructType(
-          meta.schema.fields.map(_.copy(nullable = true)).toSeq ++
-            IcebergIO.lineageFields)
-      } else IcebergIO.metaSchema(kind)
+    // NOTE row_lineage is NOT a metadata kind: it is a TABLE-sized data
+    // relation and rides [[IcebergTableScan]] (rowLineage = true) so
+    // WHERE-driven pruning and honest size stats compose
     GraftShim.dataFrame(spark, IcebergMetaScan(tablePath, kind, snapshotId,
-      asOfTimestampMs, ref, GraftShim.attributes(schema))(spark))
+      asOfTimestampMs, ref,
+      GraftShim.attributes(IcebergIO.metaSchema(kind)))(spark))
   }
 }
 
@@ -204,8 +203,14 @@ object IcebergScanRule extends Rule[LogicalPlan] {
     val spark = rel.session
     val df = cond match {
       case Some(c) =>
+        // lineage-column conjuncts derive nothing (unknown to the
+        // manifests — sound skip); table-column conjuncts prune exactly
+        // as on the data view
         IcebergIO.readPruned(spark, rel.tablePath, GraftShim.predicateTreeOf(c),
-          rel.snapshotId, rel.asOfTimestampMs, rel.ref)
+          rel.snapshotId, rel.asOfTimestampMs, rel.ref, rel.rowLineage)
+      case None if rel.rowLineage =>
+        IcebergIO.readLineage(spark, rel.tablePath, rel.snapshotId,
+          rel.asOfTimestampMs, rel.ref)
       case None =>
         IcebergIO.read(spark, rel.tablePath, rel.snapshotId,
           rel.asOfTimestampMs, ref = rel.ref)

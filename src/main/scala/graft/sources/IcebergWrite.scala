@@ -462,6 +462,11 @@ object IcebergWrite {
   def addColumn(tablePath: String, name: String, dataType: DataType): Unit = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
+    // same boundary as create(): a v1/v2 metadata.json declaring the
+    // v3-only type would be unreadable to spec readers
+    if (dataType == VariantType)
+      require(meta.formatVersion >= 3,
+        "variant columns require format v3; run upgradeFormatVersion first")
     require(!meta.schema.fieldNames.contains(name),
       s"column '$name' already exists in $tablePath")
     require(!droppedNames(root).contains(name),

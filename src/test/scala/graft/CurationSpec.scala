@@ -291,7 +291,16 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(600000L) === k6)
     // out-of-range weights fail loudly, never silently clamp
     val e = intercept[Exception](kept(1000001L))
-    assert(e.getMessage.contains("weight_micro out of"), e.getMessage)
+    assert(e.getMessage.contains("weight_micro must be"), e.getMessage)
+    // a FRACTIONAL weight (a 0..1 probability where micro units are
+    // expected) raises instead of cast-truncating to 0 and silently
+    // dropping the corpus
+    val e2 = intercept[Exception] {
+      Curation.resampleByWeight(
+          docs.withColumn("w", lit(0.85)), "id", "w")
+        .count()
+    }
+    assert(e2.getMessage.contains("integral micro-unit"), e2.getMessage)
   }
 
   test("splitByHash: stability under growth, rates, loud weight check") {

@@ -2384,10 +2384,18 @@ class IcebergWriteSpec extends AnyFunSuite {
     val dir = s"$root/variant"
     val df = spark.range(4).selectExpr("id",
       "parse_json(concat('{\"k\":', id, ',\"s\":\"x', id, '\"}')) as v")
-    // v1/v2 refuse the v3 type loudly
+    // v1/v2 refuse the v3 type loudly — at create AND at schema
+    // evolution (an addColumn slipping it into v2 metadata would be
+    // unreadable to spec readers)
     val e = intercept[IllegalArgumentException](
       IcebergWrite.create(spark, s"$dir-v2", df.schema))
     assert(e.getMessage.contains("format v3"), e.getMessage)
+    val v2t = s"$dir-v2add"
+    IcebergWrite.create(spark, v2t, schema)
+    val eAdd = intercept[IllegalArgumentException](
+      IcebergWrite.addColumn(v2t, "v",
+        org.apache.spark.sql.types.VariantType))
+    assert(eAdd.getMessage.contains("format v3"), eAdd.getMessage)
     IcebergWrite.create(spark, dir, df.schema, formatVersion = 3)
     IcebergWrite.append(df, dir)
     // metadata declares the spec type, the read surfaces Spark's native
