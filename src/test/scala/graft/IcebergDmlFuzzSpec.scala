@@ -53,8 +53,9 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
   // keeps its exact (_row_id, _last_updated_sequence_number) pair, even
   // across the step-10/20/30 compactions (the materialized-lineage
   // rewrite path under every verb mix the sequence produces).
-  test("30 random DML ops on a v3 table preserve row lineage (seed 31)") {
-    runFuzz(31, hiveImport = false, formatVersion = 3)
+  for (seed <- Seq(31, 47))
+  test(s"30 random DML ops on a v3 table preserve row lineage (seed $seed)") {
+    runFuzz(seed, hiveImport = false, formatVersion = 3)
   }
 
   private def runFuzz(seed: Int, hiveImport: Boolean,
