@@ -308,7 +308,14 @@ final class GraftSession private (val spark: SparkSession) {
     * registration are visible without re-registering, and SQL `WHERE`
     * predicates drive partition + manifest-stats pruning (the
     * `readWhere` derivation, now on the SQL surface). Pass `snapshotId`
-    * to pin (snapshots are immutable, so the pin is stable). */
+    * to pin (snapshots are immutable, so the pin is stable).
+    *
+    * One registration-time freeze: the v3-only `<name>_row_lineage` view
+    * is created only when the table is ALREADY format v3 at registration
+    * (its schema depends on the format version, unlike the
+    * metadata-grain views whose schemas are static constants). A v2
+    * table upgraded to v3 after registration must be re-registered to
+    * gain the view; every other `<name>_*` view resolves live. */
   def registerIceberg(name: String, path: String,
                       snapshotId: Option[Long] = None,
                       metadataTables: Boolean = false,

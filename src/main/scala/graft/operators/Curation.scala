@@ -577,8 +577,12 @@ object Curation {
     * stream alike. */
   def splitByHash(docs: DataFrame, idCol: String,
                   fractions: Seq[(String, Long)],
-                  salt: String = "split"): DataFrame =
+                  salt: String = "split"): DataFrame = {
+    require(!docs.columns.contains("split"),
+      "splitByHash adds a 'split' column; the input already has one — " +
+        "rename it first (withColumn would silently overwrite it)")
     docs.withColumn("split", splitLabel(col(idCol), fractions, salt))
+  }
 
   /** The distributed pre-cut both skew-cutover mixing variants share:
     * keep rows of small groups (`rowsCol <= cut`) untouched, and in

@@ -696,25 +696,6 @@ object TextAnalysis {
     nbPredict(nbTrain(docs, idCol, textCol, labelCol, vocabSize),
       docs, idCol, textCol)
 
-  /** The broadcast-fold serving form of [[nbPredict]] — the model
-    * collapsed to LITERALS (token → per-label log-prob array, one OOV
-    * array, one prior array) and the whole classification computed as a
-    * PURE PER-ROW PROJECTION: one SQL `aggregate` fold over the token
-    * array summing L-length vectors, then an argmax. No join, no
-    * aggregation, no window — so the SAME operator runs on an
-    * append-mode stream ([[graft.streaming.StreamingOps.nbPredictStream]])
-    * and is bit-equal to the batch argmax (`array_position` of the max
-    * returns the FIRST hit, and `labels` is sorted ascending — the same
-    * score-desc/label-asc tie-break).
-    *
-    * Driver-side model materialization is V×L longs (~1000 tokens × a
-    * handful of labels = KBs); the per-token log-probs replicate the
-    * distributed scorer's arithmetic exactly — same JVM `Math.log`,
-    * same HALF_UP rounding as Spark's `round`. Boundary: at V×L beyond
-    * broadcast comfort (~100 MB of literals in one expression) pass
-    * `shards > 1` — the LUT splits into that many map literals whose
-    * per-shard folds sum, bit-equal to the single-literal form (same
-    * shape as the PQ broadcast boundary; pinned in OperatorsSpec). */
   /** The per-row NB score ARRAY (one micro-nat log-posterior per label,
     * labels sorted ascending) over a text Column, built from a
     * driver-materialized model — the per-row fold shared by
@@ -798,6 +779,25 @@ object TextAnalysis {
     element_at(typedLit(labels),
       array_position(scores, array_max(scores)).cast("int"))
 
+  /** The broadcast-fold serving form of [[nbPredict]] — the model
+    * collapsed to LITERALS (token → per-label log-prob array, one OOV
+    * array, one prior array) and the whole classification computed as a
+    * PURE PER-ROW PROJECTION: one SQL `aggregate` fold over the token
+    * array summing L-length vectors, then an argmax. No join, no
+    * aggregation, no window — so the SAME operator runs on an
+    * append-mode stream ([[graft.streaming.StreamingOps.nbPredictStream]])
+    * and is bit-equal to the batch argmax (`array_position` of the max
+    * returns the FIRST hit, and `labels` is sorted ascending — the same
+    * score-desc/label-asc tie-break).
+    *
+    * Driver-side model materialization is V×L longs (~1000 tokens × a
+    * handful of labels = KBs); the per-token log-probs replicate the
+    * distributed scorer's arithmetic exactly — same JVM `Math.log`,
+    * same HALF_UP rounding as Spark's `round`. Boundary: at V×L beyond
+    * broadcast comfort (~100 MB of literals in one expression) pass
+    * `shards > 1` — the LUT splits into that many map literals whose
+    * per-shard folds sum, bit-equal to the single-literal form (same
+    * shape as the PQ broadcast boundary; pinned in OperatorsSpec). */
   def nbPredictFold(model: NbModel, docs: DataFrame, idCol: String,
                     textCol: String, shards: Int = 1): DataFrame = {
     val (scores, labels) = nbScoreArray(model, col(textCol), shards)

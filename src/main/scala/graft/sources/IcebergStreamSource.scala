@@ -113,7 +113,17 @@ class IcebergStreamSource(spark: SparkSession, tablePath: String,
 
   // pinned at construction: a mid-stream schema evolution is surfaced as
   // a loud failure in getBatch, never as silently misaligned columns
-  private val tableSchema: StructType = IcebergIO.loadMetadata(tablePath).schema
+  private val tableSchema: StructType = {
+    val meta = IcebergIO.loadMetadata(tablePath)
+    // refused at construction (not first getBatch): a v2 table must not
+    // advertise the lineage schema it can never serve — mirrors the
+    // provider's sourceSchema check for the DataStreamReader path
+    if (rowLineage)
+      require(meta.formatVersion >= 3,
+        "rowLineage requires format v3 (row lineage); " +
+          "run upgradeFormatVersion first")
+    meta.schema
+  }
   override val schema: StructType = {
     val lin = if (rowLineage) IcebergIO.lineageFields else Nil
     if (changelog) StructType(tableSchema.fields.toSeq ++ lin ++
