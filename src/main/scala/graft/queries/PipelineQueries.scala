@@ -2345,6 +2345,134 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  // ---- HTML → text extraction (round 16) ------------------------------
+
+  /** SQL twin of [[graft.operators.HtmlExtract.syntheticHtml]] — must stay
+    * byte-identical to the Spark fixture (the extraction output is the
+    * compared surface, so a one-char drift shows up as a hash mismatch). */
+  private val syntheticHtmlSql: String =
+    "'<html><head><title>doc ' || doc_id || '</title>" +
+      "<style>p { color: #333; }</style>" +
+      "<script>var x = 1; if (x < 2) { x = 3; }</script>" +
+      "</head><body>" +
+      "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+      "<a href=\"/contact\">contact us</a></nav>" +
+      "<h1>document ' || doc_id || '</h1>" +
+      "<p>' || text || ' alpha &amp; beta</p>" +
+      "<p>short tail</p>" +
+      "<div><a href=\"/buy\">click here to buy</a> now</div>" +
+      "<!-- tracking pixel -->" +
+      "<footer>copyright &amp; terms <a href=\"/tos\">tos</a>" +
+      "</footer></body></html>'"
+
+  /** Entity decode — replay of [[graft.operators.HtmlExtract.decodeEntities]]
+    * (same pair order; `&amp;` last). */
+  private def hxDecode(s: String): String =
+    s"replace(replace(replace(replace(replace(replace($s, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&')"
+
+  /** markup fragment → visible text (HtmlExtract.visibleText replay). */
+  private def hxClean(x: String): String =
+    s"trim(regexp_replace(${hxDecode(
+      s"regexp_replace($x, '(?s)<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+
+  /** Joined anchor text of a raw block (HtmlExtract's AnchorRe).
+    * DuckDB's array_to_string returns NULL on an EMPTY list (Spark's
+    * array_join returns '') — coalesce pins the no-anchor block to
+    * link_chars 0 instead of a NULL that would silently drop it from
+    * the keep filter. */
+  private def hxAnchor(x: String): String =
+    s"coalesce(array_to_string(regexp_extract_all($x, " +
+      "'(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')"
+
+  /** The whole extraction replayed over the same synthetic page: strip
+    * script/style/comments, split at block tags (chr(1) sentinel),
+    * per-block clean text + anchor chars via list_zip (positional struct
+    * access — kept pairs are `p[1]`=clean, `p[2]`=link_chars), then the
+    * jusText keep rule as exact-integer cross-multiplications. */
+  private val htmlCtes: String =
+    s"""WITH h AS (
+      |  SELECT doc_id AS id, $syntheticHtmlSql AS html FROM documents),
+      |nh AS (
+      |  SELECT id, regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g') AS nohead FROM h),
+      |rawb AS (
+      |  SELECT id, string_split(regexp_replace(nohead,
+      |      '(?i)</?(blockquote|section|article|aside|header|footer|title|thead|tbody|table|form|nav|div|ul|ol|li|dl|dt|dd|pre|tr|td|th|p|h[1-6]|br|hr)(\\s[^>]*)?/?>',
+      |      chr(1), 'g'), chr(1)) AS raw FROM nh),
+      |blocks AS (
+      |  SELECT id, list_filter(list_zip(
+      |      list_transform(raw, x -> ${hxClean("x")}),
+      |      list_transform(raw, x -> len(${hxClean(hxAnchor("x"))}))),
+      |    p -> p[1] <> '') AS bl FROM rawb),
+      |docgrain AS (
+      |  SELECT id, CAST(len(bl) AS BIGINT) AS n_blocks,
+      |    list_filter(bl, p -> len(string_split(p[1], ' ')) >= 10
+      |      AND p[2] * 1000 <= len(p[1]) * 300
+      |      AND len(list_intersect(list_distinct(string_split(p[1], ' ')),
+      |        ['the','a','of','and','to','in','is','it'])) >= 1) AS kept
+      |  FROM blocks),
+      |extracted AS (
+      |  SELECT id, coalesce(array_to_string(
+      |      list_transform(kept, p -> p[1]), chr(10)), '') AS text,
+      |    n_blocks, CAST(len(kept) AS BIGINT) AS n_kept FROM docgrain)""".stripMargin
+
+  /** HTML → text extraction + boilerplate removal over the synthetic
+    * page fixture (script/style subtrees must not leak; nav, heading,
+    * ad and footer blocks must drop; the body paragraph — with an
+    * entity to pin decoding — must survive verbatim). */
+  val textHtmlExtract = dfQ("text_html_extract", htmlCtes +
+    "\nSELECT id, text, n_blocks, n_kept FROM extracted ORDER BY id") {
+    (s, _) =>
+    val docs = s.table("documents").withColumn("html",
+      graft.operators.HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+    graft.operators.HtmlExtract.extractHtmlText(docs, "doc_id", "html")
+      .orderBy("id")
+  }
+
+  /** The extraction feeding the Gopher quality gate — the real pipeline
+    * head (crawl HTML → text → quality flags) as ONE SQL oracle. */
+  val pipeHtmlGopher = dfQ("pipe_html_gopher", htmlCtes +
+    """,
+      |t AS (SELECT id, string_split(lower(text), ' ') AS w FROM extracted),
+      |m AS (SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT)
+      |      AS n_stopwords,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM t)
+      |SELECT id, n_words, n_chars, n_stopwords,
+      |  CASE WHEN n_words >= 30 AND n_words <= 90 THEN 1 ELSE 0 END
+      |    AS flag_words,
+      |  CASE WHEN n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |    THEN 1 ELSE 0 END AS flag_mean_len,
+      |  CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+      |  CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS flag_alpha,
+      |  CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS flag_symbols,
+      |  (CASE WHEN n_words >= 30 AND n_words <= 90 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |      THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END) AS keep
+      |FROM m ORDER BY id""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents").withColumn("html",
+      graft.operators.HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+    val extracted =
+      graft.operators.HtmlExtract.extractHtmlText(docs, "doc_id", "html")
+    TextAnalysis.gopherQualityFlags(extracted, "id", "text",
+        minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
+        minStopwords = 2)
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -2362,5 +2490,6 @@ object PipelineQueries {
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,
+    textHtmlExtract, pipeHtmlGopher,
     aggTopkSketch)
 }

@@ -204,19 +204,40 @@ object StreamingOps {
     *  5. PII redaction (email/IP/phone → placeholder tokens) on the
     *     text that survives.
     *
+    * Three more OPTIONAL stages complete the one-call streaming tail
+    * (each a pure per-row projection, bit-equal to its batch twin):
+    *
+    *  0. `html` — the document arrives as RAW HTML: `textCol` is first
+    *     replaced by [[graft.operators.HtmlExtract.extractedHtmlText]]
+    *     (boilerplate-stripped prose), so dedup fingerprints and every
+    *     gate see extracted text, exactly like the batch pipeline head
+    *     (`pipe_html_gopher`);
+    *  6. `resample` = (weightMicroCol, salt) — deterministic importance
+    *     sampling on the surviving docs
+    *     ([[graft.operators.Curation.resampleKeep]]), applied AFTER all
+    *     gates like the batch `pipe_gate_resample_split`;
+    *  7. `split` — a train/val/test `split` column
+    *     ([[graft.operators.Curation.splitLabel]]) on what remains.
+    *
     * Emits (id, ts, lang, quality, text) per kept doc — plus `pred`
     * (the NB label) when `nbGate` is set, so a downstream batch mixer
-    * ([[graft.operators.Curation.mixDomains]]) can weight on it.
+    * ([[graft.operators.Curation.mixDomains]]) can weight on it, plus
+    * `split` when `split` is set.
     * Append-mode-safe (no aggregation — projections, filters, and keyed
-    * dedup state; both optional gates are pure per-row folds). */
+    * dedup state; every optional stage is a pure per-row fold). */
   def curateStream(docs: DataFrame, idCol: String, tsCol: String,
                    textCol: String, minQuality: Double,
                    watermarkDelay: String,
                    gopher: Option[graft.operators.TextAnalysis.GopherRules] = None,
                    nbGate: Option[(graft.operators.TextAnalysis.NbModel,
-                     Set[String])] = None): DataFrame = {
-    import graft.operators.{Curation, TextAnalysis}
-    val gated = docs
+                     Set[String])] = None,
+                   html: Option[graft.operators.HtmlExtract.HtmlRules] = None,
+                   resample: Option[(String, String)] = None,
+                   split: Option[Seq[(String, Long)]] = None): DataFrame = {
+    import graft.operators.{Curation, HtmlExtract, TextAnalysis}
+    val source = html.fold(docs)(rules => docs.withColumn(textCol,
+      HtmlExtract.extractedHtmlText(col(textCol), rules)))
+    val gated = source
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
@@ -225,10 +246,8 @@ object StreamingOps {
       .filter(col("lang") === "en" && col("quality") >= minQuality)
       .transform(d => gopher.fold(d)(rules =>
         d.filter(TextAnalysis.gopherKeep(col(textCol), rules))))
-    nbGate match {
-      case None =>
-        gated.select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
-          col("quality"), Curation.piiRedact(col(textCol)).as("text"))
+    val withPred = nbGate match {
+      case None => gated
       case Some((model, keepLabels)) =>
         require(keepLabels.nonEmpty, "nbGate needs at least one keep label")
         val (scores, labels) = TextAnalysis.nbScoreArray(model, col(textCol))
@@ -237,10 +256,17 @@ object StreamingOps {
           .withColumn("pred",
             TextAnalysis.nbPredFromScores(col("__nb_scores"), labels))
           .filter(col("pred").isin(keepLabels.toSeq.sorted: _*))
-          .select(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
-            col("quality"), col("pred"),
-            Curation.piiRedact(col(textCol)).as("text"))
     }
+    val sampled = resample.fold(withPred) { case (wCol, salt) =>
+      withPred.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
+    }
+    val cols =
+      Seq(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
+        col("quality")) ++
+        (if (nbGate.isDefined) Seq(col("pred")) else Nil) ++
+        Seq(Curation.piiRedact(col(textCol)).as("text")) ++
+        split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split"))
+    sampled.select(cols: _*)
   }
 
   /** Streaming benchmark-decontamination gate: drop (or count) arriving

@@ -548,6 +548,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batchKept && got.nonEmpty && got.size < 500)
   }
 
+  test("curateStream html/resample/split stages ≡ the batch pipeline tail") {
+    import spark.implicits._
+    import graft.operators.{Curation, HtmlExtract, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // docs arrive as synthetic HTML pages with a per-doc quality weight;
+    // every stage of the one-call streaming tail (extract → lang/quality
+    // → gopher → resample → split) is a pure per-row projection, so the
+    // stream must reproduce the batch composition EXACTLY
+    val rules = TextAnalysis.GopherRules(minWords = 30, maxWords = 90,
+      minMeanLen = 4, maxMeanLen = 10, minStopwords = 2)
+    val fractions = Seq("train" -> 800000L, "val" -> 100000L,
+      "test" -> 100000L)
+    // one doc per content fingerprint so the stream's keyed dedup is a
+    // no-op and the batch replay needs no arrival-order modeling
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1)
+    val withHtml = uniq.select(col("doc_id"),
+      HtmlExtract.syntheticHtml(col("doc_id"), col("text")).as("html"),
+      (pmod(col("doc_id"), lit(10L)) * 100000L).as("w"))
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Long)](spark)
+    in.addData(withHtml.collect()
+      .map(r => (r.getLong(0), ts, r.getString(1), r.getLong(2)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "html", "w"), "doc_id", "ts", "html",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      gopher = Some(rules), html = Some(HtmlExtract.HtmlRules()),
+      resample = Some(("w", "rs16")), split = Some(fractions))
+    StreamingOps.runToMemory(curated, "curate_html_tail", OutputMode.Append())
+    val streamed = spark.table("curate_html_tail").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5))).toSet
+
+    // batch replay through the batch operators
+    val extracted = HtmlExtract
+      .extractHtmlText(withHtml, "doc_id", "html")
+      .join(withHtml.select(col("doc_id").as("id"), col("w")), Seq("id"))
+      .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05 &&
+        TextAnalysis.gopherKeep(col("text"), rules))
+    val batch = Curation.splitByHash(
+        Curation.resampleByWeight(extracted, "id", "w", "rs16"),
+        "id", fractions)
+      .select(col("id"), Curation.piiRedact(col("text")).as("text"),
+        col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    // every stage discriminates on this corpus (none vacuous)
+    assert(batch.size < 500)
+    assert(streamed.map(_._3).size > 1 || batch.size < 5) // splits present
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
