@@ -45,11 +45,19 @@ object DmlSql {
                               star: Boolean) extends MergeWhen
   /** `WHEN MATCHED [AND c] THEN DELETE`. */
   final case class WhenDelete(cond: Option[String]) extends MergeWhen
-  /** `WHEN NOT MATCHED [AND c] THEN INSERT *` (star = true) or
-    * `... INSERT (cols) VALUES (exprs)`. */
+  /** `WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT *` (star = true)
+    * or `... INSERT (cols) VALUES (exprs)`. */
   final case class WhenInsert(cond: Option[String],
                               cols: Seq[String], exprs: Seq[String],
                               star: Boolean) extends MergeWhen
+  /** `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` — the full-sync
+    * shape: target rows absent from the source drop. */
+  final case class WhenSourceDelete(cond: Option[String]) extends MergeWhen
+  /** `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET col = expr, ...`
+    * — flag/retire target rows absent from the source (expressions see
+    * the TARGET alias only). */
+  final case class WhenSourceUpdate(cond: Option[String],
+                                    sets: Seq[(String, String)]) extends MergeWhen
 
   /** `MERGE INTO t [AS a] USING s [AS b] ON <equi keys> WHEN ...` —
     * keyCols extracted from the ON spine; clauses in statement order
@@ -172,7 +180,11 @@ object DmlSql {
   }
 
   private val MatchedHead = """(?is)^MATCHED(\s.*)?$""".r
-  private val NotMatchedHead = """(?is)^NOT\s+MATCHED(\s.*)?$""".r
+  private val NotMatchedBySourceHead =
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(\s.*)?$""".r
+  // BY TARGET is the ANSI-explicit spelling of the plain NOT MATCHED
+  private val NotMatchedHead =
+    """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(\s.*)?$""".r
   private val InsertAction =
     """(?is)^INSERT\s*(?:\*|\(\s*([^)]*?)\s*\)\s*VALUES\s*\((.*)\))\s*$""".r
 
@@ -196,6 +208,24 @@ object DmlSql {
       (cond, action.trim)
     }
     clause.trim match {
+      case NotMatchedBySourceHead(rest) =>
+        val (cond, action) = condAndAction(Option(rest).getOrElse(""))
+        val up = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+        action match {
+          case a if a.equalsIgnoreCase("DELETE") => WhenSourceDelete(cond)
+          case up(sets) =>
+            val as = splitTopLevel(sets).map { a =>
+              val i = a.indexOf('=')
+              require(i > 0, s"malformed SET assignment: '$a'")
+              val lhs = a.substring(0, i).trim
+              require(lhs.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"SET target must be a plain column name, got '$lhs'")
+              lhs -> a.substring(i + 1).trim
+            }
+            WhenSourceUpdate(cond, as)
+          case other => throw new IllegalArgumentException(
+            s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET or DELETE, got '$other'")
+        }
       case NotMatchedHead(rest) =>
         val (cond, action) = condAndAction(Option(rest).getOrElse(""))
         action match {

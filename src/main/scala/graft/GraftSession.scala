@@ -480,6 +480,12 @@ final class GraftSession private (val spark: SparkSession) {
                   case DmlSql.WhenInsert(c, cols, exprs, false) =>
                     IcebergWrite.WhenNotMatchedInsert(
                       cols.zip(exprs.map(expr)).toMap, c.map(expr))
+                  case DmlSql.WhenSourceDelete(c) =>
+                    IcebergWrite.WhenNotMatchedBySourceDelete(c.map(expr))
+                  case DmlSql.WhenSourceUpdate(c, sets) =>
+                    IcebergWrite.WhenNotMatchedBySourceUpdate(
+                      sets.map { case (n, e) => n -> expr(e) }.toMap,
+                      c.map(expr))
                 }
                 IcebergWrite.merge(spark, path, spark.table(source), keys,
                   built, targetAlias = tAlias, sourceAlias = sAlias)

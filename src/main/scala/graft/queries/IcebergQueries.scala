@@ -780,9 +780,12 @@ object IcebergQueries {
     * partition source), and a column-list INSERT for unmatched source
     * keys — applied first-match-wins in ONE atomic snapshot
     * (position-delete manifest + data manifest at the same sequence
-    * number). The oracle replays the clause algebra in SQL: a LEFT JOIN
-    * decides each target row's fate, an anti-join produces the
-    * inserts. */
+    * number). A SECOND merge then exercises `WHEN NOT MATCHED BY
+    * SOURCE` (the ANSI full-sync shape): target rows absent from the
+    * sync source either DELETE or flag via UPDATE, first-match-wins.
+    * The oracle replays the clause algebra in SQL: a LEFT JOIN decides
+    * each target row's fate, an anti-join produces the inserts, and the
+    * by-source pass is one CASE + filter over the merged state. */
   val icebergMergeInto = dfQ("iceberg_merge_into",
     """WITH src AS (
       |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey + 50000000
@@ -802,9 +805,19 @@ object IcebergQueries {
       |  SELECT s.o_orderkey, 'N' AS o_orderstatus,
       |         CAST(s.delta AS DOUBLE) AS o_totalprice
       |  FROM src s LEFT JOIN orders o ON s.o_orderkey = o.o_orderkey
-      |  WHERE o.o_orderkey IS NULL)
-      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
-      |  SELECT * FROM kept UNION ALL SELECT * FROM ins) u
+      |  WHERE o.o_orderkey IS NULL),
+      |state1 AS (
+      |  SELECT * FROM kept UNION ALL SELECT * FROM ins),
+      |sync AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0),
+      |synced AS (
+      |  SELECT st.o_orderkey,
+      |    CASE WHEN y.o_orderkey IS NOT NULL THEN st.o_orderstatus
+      |         ELSE 'X' END AS o_orderstatus,
+      |    st.o_totalprice
+      |  FROM state1 st LEFT JOIN sync y ON st.o_orderkey = y.o_orderkey
+      |  WHERE y.o_orderkey IS NOT NULL OR st.o_orderstatus <> 'N')
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM synced
       |WHERE o_orderkey % 4 = 1
       |ORDER BY o_orderkey""".stripMargin,
     bench = false) { (s, _) =>
@@ -831,6 +844,15 @@ object IcebergQueries {
              |  o_totalprice = t.o_totalprice + s.delta, o_orderstatus = 'U'
              |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
              |  VALUES (s.o_orderkey, 'N', s.delta)""".stripMargin)
+    // full-sync pass: rows whose key is absent from the sync source
+    // either flag ('X') or drop ('N' rows), first-match-wins; matched
+    // rows are untouched (no MATCHED clause at all)
+    s.table("orders").filter(pmod(key, lit(5L)) === 0L)
+      .select(col("o_orderkey"))
+      .createOrReplaceTempView(s"${vn}_sync")
+    g.sql(s"""MERGE INTO $vn t USING ${vn}_sync s ON t.o_orderkey = s.o_orderkey
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'N' THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""".stripMargin)
     g.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $vn " +
       "WHERE o_orderkey % 4 = 1 ORDER BY o_orderkey")
   }

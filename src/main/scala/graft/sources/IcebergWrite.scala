@@ -2114,15 +2114,41 @@ object IcebergWrite {
     * (never a mix). Partitioned tables get partition-scoped delete
     * files; upserting into an empty table degenerates to an append.
     * `df` must carry the full table schema (whole-row replacement).
-    * v3 row-lineage note: an upsert "update" is semantically a
+    *
+    * v3 row-lineage: by default an upsert "update" is semantically a
     * delete+insert (the equality delete never names positions), so
-    * replaced rows get FRESH `_row_id`s — use [[merge]] (whose matched
-    * UPDATEs rewrite rows and preserve their ids) when lineage across
-    * updates matters. Returns the snapshot id. */
+    * replaced rows get FRESH `_row_id`s. Pass `preserveLineage = true`
+    * (format v3 only) to route matched keys through the MERGE UPDATE
+    * carry path instead — a key that exists keeps its `_row_id` across
+    * the upsert (the row's content changes, its identity does not),
+    * while new keys still insert with fresh ids. Identity-preserving
+    * upserts are what a keyed streaming replica chain wants: the
+    * replica's lineage then tracks the source row across arbitrary
+    * update bursts. The preserving form uses position deletes
+    * (deletion vectors) on the matched rows instead of an equality
+    * delete — same one-snapshot atomicity, and it requires the SOURCE
+    * keys to be unique (the MERGE cardinality rule; plain upsert
+    * tolerates duplicate source keys by letting the eq-delete collapse
+    * them, which has no well-defined identity anyway).
+    * Returns the snapshot id. */
   def upsert(df: DataFrame, tablePath: String, keyCols: Seq[String],
              maxRecordsPerFile: Option[Long] = None,
-             summaryExtra: Map[String, String] = Map.empty): Long = {
+             summaryExtra: Map[String, String] = Map.empty,
+             preserveLineage: Boolean = false): Long = {
     val spark = df.sparkSession
+    if (preserveLineage) {
+      val m = IcebergIO.loadMetadata(tablePath)
+      require(m.formatVersion >= 3,
+        "upsert(preserveLineage = true) requires format v3 (row lineage); " +
+          "run upgradeFormatVersion first")
+      requireTableSchema(df, m) // whole-row contract, same as plain upsert
+      val allCols = df.columns.toSeq
+        .map(n => n -> col(s"__gf_us.$n")).toMap
+      return merge(spark, tablePath, df, keyCols,
+        Seq(WhenMatchedUpdate(allCols), WhenNotMatchedInsert(allCols)),
+        targetAlias = "__gf_ut", sourceAlias = "__gf_us",
+        maxRecordsPerFile = maxRecordsPerFile, summaryExtra = summaryExtra)
+    }
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
     require(meta.formatVersion >= 2, "upsert requires format v2 (equality deletes)")
@@ -2287,6 +2313,18 @@ object IcebergWrite {
     * SOURCE alias only (there is no target row, same as SQL). */
   final case class WhenNotMatchedInsert(values: Map[String, Column],
                                         cond: Option[Column] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — drop target
+    * rows whose key matches NO source row: the full-sync (snapshot
+    * replication) shape. Conditions reference the TARGET alias only
+    * (there is no source row, same as SQL). */
+  final case class WhenNotMatchedBySourceDelete(cond: Option[Column] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...` — flag
+    * or retire target rows absent from the source without deleting
+    * them; assignments/conditions reference the TARGET alias only.
+    * v3: rewritten rows keep their `_row_id` (same carry as matched
+    * UPDATEs). */
+  final case class WhenNotMatchedBySourceUpdate(assignments: Map[String, Column],
+                                                cond: Option[Column] = None) extends MergeClause
 
   /** Full conditional `MERGE INTO` in ONE atomic snapshot — the general
     * form [[upsert]] (whole-row, unconditional) is the fast path of.
@@ -2334,12 +2372,27 @@ object IcebergWrite {
     require(targetAlias != sourceAlias, "target and source aliases must differ")
     val matchedClauses = clauses.filter {
       case _: WhenNotMatchedInsert => false
+      case _: WhenNotMatchedBySourceDelete => false
+      case _: WhenNotMatchedBySourceUpdate => false
       case _ => true
     }
     val insertClauses = clauses.collect { case c: WhenNotMatchedInsert => c }
+    val bySourceClauses: Seq[MergeClause] = clauses.filter {
+      case _: WhenNotMatchedBySourceDelete => true
+      case _: WhenNotMatchedBySourceUpdate => true
+      case _ => false
+    }
     matchedClauses.foreach {
       case WhenMatchedUpdate(as, _) =>
         require(as.nonEmpty, "UPDATE clause needs at least one assignment")
+        as.keys.foreach(n => require(meta.schema.fieldNames.contains(n),
+          s"assignment column '$n' not in table schema"))
+      case _ =>
+    }
+    bySourceClauses.foreach {
+      case WhenNotMatchedBySourceUpdate(as, _) =>
+        require(as.nonEmpty,
+          "NOT MATCHED BY SOURCE UPDATE needs at least one assignment")
         as.keys.foreach(n => require(meta.schema.fieldNames.contains(n),
           s"assignment column '$n' not in table schema"))
       case _ =>
@@ -2424,6 +2477,24 @@ object IcebergWrite {
                 col(s"$targetAlias.__gf_pos").as("pos")))
             .reduce(_ unionByName _)
       }
+      // ---- (1b) NOT MATCHED BY SOURCE: positions of target rows whose
+      // key matches NO source row and some clause applies (UPDATE
+      // rewrites and DELETE drops both remove the old position; the OR
+      // of the clause conditions is exactly "first applicable exists").
+      // Same raw-scan contract as (1): dead rows may re-delete, a no-op.
+      val anyBySourceCond =
+        bySourceClauses.map(_.cond.getOrElse(lit(true))).reduceOption(_ || _)
+      val bsPosRows = anyBySourceCond.map { c =>
+        IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
+          .map(_.alias(targetAlias).join(src, keyJoin, "left_anti").filter(c)
+            .select(dec(col(s"$targetAlias.__gf_fileraw")).as("file_path"),
+              col(s"$targetAlias.__gf_pos").as("pos")))
+          .reduce(_ unionByName _)
+      }
+      val allPosRows = bsPosRows match {
+        case Some(b) => posRows.unionByName(b)
+        case None => posRows
+      }
       {
         // ---- (2) rewrites: first applicable clause per matched pair;
         // UPDATE rows project through their assignments (old row +
@@ -2449,6 +2520,33 @@ object IcebergWrite {
               Seq(col(s"$targetAlias.$LineageCarryCol").as(LineageCarryCol))
             else Nil): _*))
 
+        // ---- (2b) NOT MATCHED BY SOURCE rewrites: first applicable
+        // clause per unmatched CURRENT target row (deletes applied — a
+        // dead row must not be resurrected); UPDATE rows project through
+        // their assignments (target columns only), DELETE rows drop.
+        // v3: rewritten rows carry their _row_id like matched UPDATEs.
+        val bsIdx = actionIdx(bySourceClauses)
+        val bsUpdateIdxs = bySourceClauses.zipWithIndex.collect {
+          case (_: WhenNotMatchedBySourceUpdate, i) => i
+        }
+        val bsRewrites =
+          if (bsUpdateIdxs.isEmpty) None
+          else Some(cur.alias(targetAlias).join(src, keyJoin, "left_anti")
+            .withColumn("__gf_action", bsIdx)
+            .filter(col("__gf_action").isin(bsUpdateIdxs.map(Integer.valueOf): _*))
+            .select(meta.schema.fields.toSeq.map { f =>
+              val old = col(s"$targetAlias.${f.name}")
+              bySourceClauses.zipWithIndex.foldRight(old) {
+                case ((c: WhenNotMatchedBySourceUpdate, i), acc) =>
+                  val v = c.assignments.get(f.name)
+                    .map(_.cast(f.dataType)).getOrElse(old)
+                  when(col("__gf_action") === i, v).otherwise(acc)
+                case (_, acc) => acc
+              }.as(f.name)
+            } ++ (if (v3)
+              Seq(col(s"$targetAlias.$LineageCarryCol").as(LineageCarryCol))
+            else Nil): _*))
+
         // ---- (3) inserts: source rows matching NO current target key
         // (left_anti keeps source columns only — a NOT MATCHED clause
         // referencing the target alias fails resolution, loudly)
@@ -2464,7 +2562,7 @@ object IcebergWrite {
               lit(null).cast(LongType)) else ins)
           }
 
-        val newRows = (rewrites.toSeq ++ inserts.toSeq)
+        val newRows = (rewrites.toSeq ++ bsRewrites.toSeq ++ inserts.toSeq)
           .reduceOption(_ unionByName _)
         newRows.foreach(r => requireTableSchema(
           if (v3) r.drop(LineageCarryCol) else r, meta))
@@ -2477,11 +2575,11 @@ object IcebergWrite {
         // same snapshot as the rewrite/insert data manifest
         if (meta.formatVersion >= 3)
           return commitDvDelete(spark, tablePath, meta, root, priorVersion,
-            posRows, operation = "overwrite", extraData = dataFiles,
+            allPosRows, operation = "overwrite", extraData = dataFiles,
             extraDataPct = partColTypes, summaryExtra = summaryExtra)
         val delFile =
           try stageSingleDeleteFile(spark, tablePath,
-            posRows.orderBy("file_path", "pos").coalesce(1), snapshotId,
+            allPosRows.orderBy("file_path", "pos").coalesce(1), snapshotId,
             content = 1, equalityIds = Nil)
           catch {
             case e: Throwable => // data files staged first: reclaim them

@@ -462,7 +462,8 @@ object StreamingOps {
     * by-key promise would silently break; dedupe upstream
     * (`dropDuplicates`/aggregation) to pick a winner first. */
   def commitStreamBatchUpsert(batch: DataFrame, tablePath: String,
-                              keyCols: Seq[String], batchId: Long): Boolean = {
+                              keyCols: Seq[String], batchId: Long,
+                              preserveLineage: Boolean = false): Boolean = {
     val replay = lastStreamBatchId(tablePath).exists(_ >= batchId)
     if (!replay) {
       val n = batch.count()
@@ -471,7 +472,8 @@ object StreamingOps {
         s"batch $batchId carries duplicate keys (${n - k} extra rows on " +
           s"${keyCols.mkString(",")}) — dedupe upstream before the upsert sink")
       graft.sources.IcebergWrite.upsert(batch, tablePath, keyCols,
-        summaryExtra = Map(StreamBatchKey -> batchId.toString)): Unit
+        summaryExtra = Map(StreamBatchKey -> batchId.toString),
+        preserveLineage = preserveLineage): Unit
     }
     !replay
   }
@@ -543,17 +545,29 @@ object StreamingOps {
     * ingestion with keyed deduplication in one operator. Same replay
     * protection as [[icebergAppendSink]] (batch ids in the snapshot
     * summary); each batch's keys must be unique after upstream dedupe
-    * ([[commitStreamBatchUpsert]] enforces this loudly). */
+    * ([[commitStreamBatchUpsert]] enforces this loudly).
+    *
+    * `preserveLineage` (format v3 tables): each batch routes through the
+    * identity-preserving MERGE path — a key updated across many batches
+    * keeps ONE `_row_id` for its whole streamed life, so downstream
+    * identity-grain CDC consumers of THIS table see updates as updates,
+    * never as delete+insert churn. */
   def icebergUpsertSink(stream: DataFrame, tablePath: String,
-                        keyCols: Seq[String], checkpointLocation: String)
+                        keyCols: Seq[String], checkpointLocation: String,
+                        preserveLineage: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fail at wiring time, not first batch: the sink never creates
-    graft.sources.IcebergIO.loadMetadata(tablePath): Unit
+    // fail at wiring time, not first batch: the sink never creates —
+    // and the v3 requirement of the preserving path fails here too
+    val meta = graft.sources.IcebergIO.loadMetadata(tablePath)
+    require(!preserveLineage || meta.formatVersion >= 3,
+      "icebergUpsertSink(preserveLineage = true) requires format v3 " +
+        "(row lineage); run upgradeFormatVersion first")
     stream.writeStream
       .option("checkpointLocation", checkpointLocation)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        commitStreamBatchUpsert(batch.toDF(), tablePath, keyCols, batchId): Unit
+        commitStreamBatchUpsert(batch.toDF(), tablePath, keyCols, batchId,
+          preserveLineage): Unit
       }
       .start()
   }

@@ -74,11 +74,13 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       nextId += k
       ids
     }
-    // v3 lineage tracking: ids MODIFIED since the last verify (update /
-    // upsert-replace) may change _last_updated (and upserts re-identify);
-    // everything else must keep its exact lineage pair
+    // v3 lineage tracking, three strengths: untouched rows keep their
+    // EXACT lineage pair; MODIFIED rows (update / preserving upsert) may
+    // advance _last_updated but must keep their _row_id; RE-IDENTIFIED
+    // rows (plain upsert = delete+insert) may change both
     var prevLin = Map.empty[Long, (Long, Long)]
     var touched = Set.empty[Long]
+    var reIdentified = Set.empty[Long]
     def verify(step: String): Unit = {
       val got = IcebergIO.read(spark, dir).orderBy("id").collect()
         .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
@@ -92,13 +94,20 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
         assert(lin.values.map(_._1).toSeq.distinct.size === lin.size,
           s"_row_id collision after $step")
         prevLin.foreach { case (id, pair) =>
-          if (lin.contains(id) && !touched(id))
-            assert(lin(id) === pair,
-              s"untouched row $id lineage moved after $step: " +
-                s"${pair} -> ${lin(id)}")
+          if (lin.contains(id) && !reIdentified(id)) {
+            if (!touched(id))
+              assert(lin(id) === pair,
+                s"untouched row $id lineage moved after $step: " +
+                  s"${pair} -> ${lin(id)}")
+            else
+              assert(lin(id)._1 === pair._1,
+                s"modified row $id changed _row_id after $step: " +
+                  s"${pair._1} -> ${lin(id)._1}")
+          }
         }
         prevLin = lin
         touched = Set.empty
+        reIdentified = Set.empty
       }
     }
 
@@ -115,7 +124,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
     for (step <- 1 to 30) {
-      val op = rnd.nextInt(8)
+      val op = rnd.nextInt(9)
       op match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(5))
@@ -150,21 +159,47 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
           IcebergWrite.deleteEquality(
             toDf(Seq((0L, victim, 0.0))).select("p").distinct(), dir)
           model = model.filter { case (_, (p, _)) => p != victim }
-        case 5 => // upsert: replace a few survivors + insert a few fresh
+        case 5 => // upsert: replace a few survivors + insert a few fresh;
+          // on v3 half the draws go identity-PRESERVING — matched keys
+          // must then keep their _row_id through every later verb
           val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
             .map(i => (i, parts(rnd.nextInt(4)), -1.0 * i))
           val fresh = freshIds(rnd.nextInt(3))
             .map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
           val rows = existing ++ fresh
+          val preserve = formatVersion >= 3 && rnd.nextBoolean()
           if (rows.nonEmpty) {
-            IcebergWrite.upsert(toDf(rows), dir, Seq("id"))
-            touched ++= rows.map(_._1) // upsert re-identifies (delete+insert)
+            IcebergWrite.upsert(toDf(rows), dir, Seq("id"),
+              preserveLineage = preserve)
+            if (preserve) touched ++= rows.map(_._1) // _row_id preserved
+            else reIdentified ++= rows.map(_._1) // delete+insert
             model ++= rows.map(r => r._1 -> ((r._2, r._3)))
           }
         case 6 => // maintenance: fold position-delete files (model unchanged)
           IcebergWrite.rewritePositionDeletes(spark, dir)
         case 7 => // maintenance: equality -> positional (model unchanged)
           IcebergWrite.convertEqualityDeletes(spark, dir)
+        case 8 => // full-sync MERGE: the table becomes the source exactly
+          // (matched keys UPDATE in place — v3 lineage preserved —
+          // unmatched source keys insert, NOT MATCHED BY SOURCE deletes
+          // the rest)
+          val keep = rnd.shuffle(model.toSeq).take(model.size / 2)
+            .map { case (id, (p, _)) => (id, p, -2.0 * id) }
+          val fresh = freshIds(1 + rnd.nextInt(2))
+            .map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
+          val src = keep ++ fresh
+          if (src.nonEmpty) {
+            import org.apache.spark.sql.functions.expr
+            IcebergWrite.merge(spark, dir, toDf(src), Seq("id"), Seq(
+              IcebergWrite.WhenMatchedUpdate(Map(
+                "p" -> expr("s.p"), "score" -> expr("s.score"))),
+              IcebergWrite.WhenNotMatchedInsert(Map(
+                "id" -> expr("s.id"), "p" -> expr("s.p"),
+                "score" -> expr("s.score"))),
+              IcebergWrite.WhenNotMatchedBySourceDelete()))
+            touched ++= keep.map(_._1) // UPDATE rewrites preserve _row_id
+            model = src.map(r => r._1 -> ((r._2, r._3))).toMap
+          }
       }
       if (step % 10 == 0) IcebergWrite.compact(spark, dir)
       if (step % 5 == 0 || step == 30) verify(s"step $step (op $op)")

@@ -2379,6 +2379,97 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(net(2L) === 0)
   }
 
+  test("v3 upsert(preserveLineage): matched keys keep their _row_id") {
+    val dir = s"$root/rowid_upsert"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)), dir)
+    def rowIds(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    val before = rowIds()
+    assert(before.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L))
+
+    // update half the keys + insert a new one, identity-preserving:
+    // matched rows keep their EXACT ids, the insert derives a fresh one
+    val src = df((1L, "a", 10.0), (3L, "c", 30.0), (5L, "e", 5.0))
+    IcebergWrite.upsert(src, dir, Seq("id"), preserveLineage = true)
+    val after = rowIds()
+    assert(after.view.filterKeys(_ != 5L).toMap === before)
+    assert(!before.values.toSet.contains(after(5L)))
+    // content did change (it was an update, not a no-op)
+    val scores = IcebergIO.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores === Map(1L -> 10.0, 2L -> 2.0, 3L -> 30.0, 4L -> 4.0,
+      5L -> 5.0))
+
+    // a second preserving upsert over the REWRITTEN (materialized-id)
+    // files composes; plain upsert on the same keys churns identity
+    IcebergWrite.upsert(df((1L, "a", 100.0)), dir, Seq("id"),
+      preserveLineage = true)
+    assert(rowIds() === after)
+    IcebergWrite.upsert(df((2L, "b", 200.0)), dir, Seq("id"))
+    val churned = rowIds()
+    assert(churned(2L) !== after(2L), "plain upsert must re-assign")
+    assert(churned - 2L === after - 2L)
+
+    // identity-grain CDC sees the preserving upsert as an UPDATE pair
+    // sharing one id (the delete+insert of the plain form shows two)
+    IcebergWrite.upsert(df((4L, "d", 400.0)), dir, Seq("id"),
+      preserveLineage = true)
+    val chAll = IcebergIO.readChangelog(spark, dir, withRowId = true)
+      .filter(col("id") === 4L).collect()
+    val maxOrd = chAll.map(_.getAs[Int]("_change_ordinal")).max
+    val ch = chAll.filter(_.getAs[Int]("_change_ordinal") == maxOrd)
+    assert(ch.length === 2)
+    assert(ch.map(_.getAs[Long]("_row_id")).toSet.size === 1)
+
+    // v2 tables refuse the flag loudly
+    val v2 = s"$dir-v2"
+    IcebergWrite.create(spark, v2, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), v2)
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.upsert(df((1L, "a", 2.0)), v2, Seq("id"),
+        preserveLineage = true))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+  }
+
+  test("merge WHEN NOT MATCHED BY SOURCE: delete/flag unmatched targets") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_bysource"
+    IcebergWrite.create(spark, dir, schema, formatVersion = 3)
+    IcebergWrite.append(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0), (5L, "e", 5.0)), dir)
+    def rowIds(): Map[Long, Long] = IcebergIO.readWithRowId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    val before = rowIds()
+    // full-sync: source holds keys 1-3 (1 updated, 3 new content unused);
+    // 4 flags (score below 4.5? no — first clause), 5 deletes
+    val src = df((1L, "a", 10.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    IcebergWrite.merge(spark, dir, src, Seq("id"), Seq(
+      IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("s.score"))),
+      IcebergWrite.WhenNotMatchedBySourceUpdate(
+        Map("name" -> expr("concat(t.name, '_stale')")),
+        cond = Some(expr("t.score < 4.5"))),
+      IcebergWrite.WhenNotMatchedBySourceDelete()))
+    val got = IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // 4 (score 4.0 < 4.5) flags; 5 (score 5.0) falls to DELETE
+    assert(got === Set((1L, "a", 10.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d_stale", 4.0)))
+    // lineage: the flagged rewrite AND the matched update keep _row_id
+    val after = rowIds()
+    assert(after === (before - 5L))
+
+    // a by-source-only merge (no MATCHED/INSERT clause at all) works:
+    // the pure retention-sweep shape
+    IcebergWrite.merge(spark, dir, df((1L, "a", 0.0)), Seq("id"),
+      Seq(IcebergWrite.WhenNotMatchedBySourceDelete(
+        cond = Some(expr("t.name = 'd_stale'")))))
+    assert(IcebergIO.read(spark, dir).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
+    assert(rowIds() === after - 4L)
+  }
+
   test("v3 variant column: write/read/typed access/DV delete/compact") {
     import org.apache.spark.sql.functions.expr
     val dir = s"$root/variant"

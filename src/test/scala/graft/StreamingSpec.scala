@@ -1123,6 +1123,18 @@ class StreamingSpec extends AnyFunSuite {
       IcebergWrite.deleteWhere(spark, src, col("payload") === "x")
       q.processAllAvailable()
       assert(replica() === Set(("y", 20.0, 2L)))
+      // an identity-PRESERVING upsert updates the replica in place: the
+      // matched row keeps its replica key (_row_id) across the upsert
+      IcebergWrite.upsert(rows("y" -> 200.0), src, Seq("payload"),
+        preserveLineage = true)
+      q.processAllAvailable()
+      assert(replica() === Set(("y", 200.0, 2L)))
+      // the PLAIN upsert churns identity: same content, NEW replica key
+      // — exactly the weakness preserveLineage closes
+      IcebergWrite.upsert(rows("y" -> 2000.0), src, Seq("payload"))
+      q.processAllAvailable()
+      val r = replica()
+      assert(r.size === 1 && r.head._2 == 2000.0 && r.head._3 != 2L)
     } finally q.stop()
   }
 
