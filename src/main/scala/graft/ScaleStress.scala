@@ -53,7 +53,10 @@ object ScaleStress {
     // broadcast model), TF-IDF (two token-grain aggregates + per-doc
     // window), BQ Hamming (8 broadcast queries × linear corpus scan) —
     // all must scale ~linearly in corpus rows
-    "text_nb_classify", "text_tfidf_keywords", "embed_bq_hamming")
+    "text_nb_classify", "text_tfidf_keywords", "embed_bq_hamming",
+    // round-16: HTML extraction (pure per-row regex + list arithmetic —
+    // the canonical zero-exchange projection, must scale ~linearly)
+    "text_html_extract")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join
@@ -247,6 +250,30 @@ object ScaleStress {
     val dvThreshold = 6.0 // 10x files, same rows; O(files) bitmap+manifest
     val dvSuspect = dvLarge > 0.5 && dvRatio >= dvThreshold
 
+    // v3 ROW-LINEAGE READ scale: readWithRowId adds one per-file
+    // (first_row_id, seq) broadcast map join and the materialized/
+    // derived coalesce on top of the ordinary scan — both O(files),
+    // while the scan stays row-bound. Reuses the dv_delete trial-2
+    // tables (20 vs 200 files holding the SAME rows, one DV each), so
+    // the lineage read also pays the DV anti-join exactly as a live
+    // table would. The agg forces both lineage columns to materialize.
+    def lineageReadTime(buckets: Int): Double = {
+      val dir = s"/tmp/graft_scale_dv_${buckets}_2"
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.IcebergIO.readWithRowId(spark, dir)
+          .agg(sum(col("_row_id")),
+            sum(col("_last_updated_sequence_number")))
+          .collect(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val lrSmall = lineageReadTime(20)
+    val lrLarge = lineageReadTime(200)
+    val lrRatio = lrLarge / math.max(lrSmall, 1e-3)
+    val lrThreshold = 6.0 // 10x files, same rows; O(files) map + open cost
+    val lrSuspect = lrLarge > 0.5 && lrRatio >= lrThreshold
+
     // Semantic-dedup scale: k grows WITH the corpus (the SemDeDup
     // scaling discipline — cells stay ~constant size), so the in-cell
     // pairwise work grows linearly in the row count, not quadratically.
@@ -383,6 +410,10 @@ object ScaleStress {
       s""""sec_small":${jnum(dvSmall)},"sec_large":${jnum(dvLarge)},""" +
       s""""ratio":${jnum(dvRatio)},"threshold":${jnum(dvThreshold)},""" +
       s""""suspect":${dvSuspect}},""" +
+      s""""lineage_read":{"files_small":20,"files_large":200,""" +
+      s""""sec_small":${jnum(lrSmall)},"sec_large":${jnum(lrLarge)},""" +
+      s""""ratio":${jnum(lrRatio)},"threshold":${jnum(lrThreshold)},""" +
+      s""""suspect":${lrSuspect}},""" +
       s""""semantic_dedup":{"k_small":8,"k_large":${8 * copies},""" +
       s""""sec_small":${jnum(semSmall)},"sec_large":${jnum(semLarge)},""" +
       s""""ratio":${jnum(semRatio)},"threshold":${jnum(semThreshold)},""" +

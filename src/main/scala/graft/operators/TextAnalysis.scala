@@ -807,4 +807,175 @@ object TextAnalysis {
         nbPredFromScores(col("scores"), labels).as("pred"),
         array_max(col("scores")).as("score_micro"))
   }
+
+  // ---- fastText-style hashed n-gram LINEAR classifier -----------------
+
+  /** The deployable artifact of [[hashedLinearTrain]] — the
+    * fastText-shaped quality/domain router: linear inference over
+    * HASHED unigram + bigram features (the hashing trick bounds the
+    * feature space at `buckets` slots regardless of corpus vocabulary,
+    * so the model is O(buckets × labels) at ANY corpus scale — no
+    * vocabulary selection pass, bigrams included for word order).
+    * `bucketTok` (label, slot, ctk) per-class slot counts, `clsTot`
+    * (label, ctot) per-class total feature counts, `prior` (label,
+    * prior_micro) — all broadcastable. Training is closed-form count
+    * aggregation (the NB likelihood over the hashed feature space —
+    * exact, distributed, one shuffle, SQL-replayable) rather than
+    * fastText's SGD, which no second engine could replay; inference is
+    * the same dot-product-plus-bias linear form fastText serves. */
+  final case class HashedLinearModel(bucketTok: DataFrame, clsTot: DataFrame,
+                                     prior: DataFrame, buckets: Int,
+                                     seed: String)
+
+  /** Per-feature hash slot: 52-bit md5 prefix of (seed, feature) mod
+    * `buckets` — the [[hashedBigramScore]] idiom, portable to any
+    * md5-capable engine (13 hex chars keep every intermediate below
+    * 2^53). */
+  private def featureSlot(f: Column, buckets: Int, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed), lit("_"), f)), 1, 13),
+      16, 10).cast("long"), lit(buckets.toLong))
+
+  /** A document's hashed feature-slot array: unigrams plus adjacent
+    * bigrams (`w1_w2`), each through [[featureSlot]] — pure per-row
+    * array arithmetic (stream-safe). */
+  private def featureSlots(text: Column, buckets: Int,
+                           seed: String): Column = {
+    val w = tokens(text)
+    val bigrams = zip_with(slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit("_"), b))
+    transform(concat(w, bigrams), f => featureSlot(f, buckets, seed))
+  }
+
+  /** Train the hashed linear classifier: one feature-grain shuffle to
+    * per-(label, slot) counts plus per-label totals and document-count
+    * priors. Laplace smoothing over the BUCKET space:
+    * `w(slot|l) = ln((ctk+1)/(ctot+buckets+1))` in integer micro-nats;
+    * slots never seen under a label fall to the default mass
+    * `ln(1/(ctot+buckets+1))`. */
+  def hashedLinearTrain(docs: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, buckets: Int = 4096,
+                        seed: String = "hl"): HashedLinearModel = {
+    require(buckets > 0, "buckets must be positive")
+    val feats = docs.select(col(labelCol).as("label"),
+      explode(featureSlots(col(textCol), buckets, seed)).as("slot"))
+    val bucketTok = feats.groupBy("label", "slot")
+      .agg(count(lit(1)).as("ctk"))
+    val clsTot = feats.groupBy("label").agg(count(lit(1)).as("ctot"))
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val prior = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("cdocs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("label"),
+        round(log(col("cdocs").cast("double") / col("n_docs").cast("double"))
+          * 1e6).cast("long").as("prior_micro"))
+    HashedLinearModel(bucketTok, clsTot, prior, buckets, seed)
+  }
+
+  /** Score documents against every class and keep the argmax — same
+    * scale shape as [[nbPredict]]: features × L through broadcast
+    * joins, collapsed by a map-side-combined aggregate, per-doc window
+    * argmax (score desc, label asc — deterministic cross-engine). */
+  def hashedLinearPredict(model: HashedLinearModel, docs: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = docs.select(col(idCol).as("id"),
+      explode(featureSlots(col(textCol), model.buckets, model.seed))
+        .as("slot"))
+    val labels = model.clsTot.select(col("label"), col("ctot"))
+    val scored = feats
+      .crossJoin(broadcast(labels))
+      .join(broadcast(model.bucketTok), Seq("label", "slot"), "left")
+      .select(col("id"), col("label"),
+        round(log((coalesce(col("ctk"), lit(0L)) + lit(1L)).cast("double") /
+            (col("ctot") + lit(model.buckets.toLong + 1L)).cast("double"))
+          * 1e6).cast("long").as("lp_micro"))
+      .groupBy("id", "label").agg(sum("lp_micro").as("feat_lp"))
+      .join(broadcast(model.prior), Seq("label"))
+      .select(col("id"), col("label"),
+        (col("feat_lp") + col("prior_micro")).as("score_micro"))
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("label"))
+    scored.withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score_micro"))
+  }
+
+  /** Train-and-self-classify in one plan (the oracle-able composition;
+    * serving splits into [[hashedLinearTrain]] +
+    * [[hashedLinearPredict]]). */
+  def hashedLinearClassify(docs: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, buckets: Int = 4096,
+                           seed: String = "hl"): DataFrame =
+    hashedLinearPredict(
+      hashedLinearTrain(docs, idCol, textCol, labelCol, buckets, seed),
+      docs, idCol, textCol)
+
+  /** The broadcast-fold serving form of [[hashedLinearPredict]] — the
+    * model collapsed to one slot→weights map literal plus default and
+    * prior arrays, the whole classification a PURE PER-ROW PROJECTION
+    * (one fold over the feature-slot array, then an argmax) — bit-equal
+    * to the join form and streaming-safe, exactly the [[nbPredictFold]]
+    * contract. Driver-side materialization is min(buckets, distinct
+    * features) × L longs. */
+  def hashedLinearPredictFold(model: HashedLinearModel, docs: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    def micro(num: Long, den: Long): Long =
+      BigDecimal(Math.log(num.toDouble / den.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    val labels: Seq[String] = model.prior.select("label")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val ctot: Map[String, Long] = model.clsTot.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priorMicro: Map[String, Long] = model.prior.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val den = labels.map(l => ctot(l) + model.buckets.toLong + 1L)
+    val defaultArr: Seq[Long] = den.map(d => micro(1L, d))
+    val priorArr: Seq[Long] = labels.map(priorMicro)
+    val slotMap: Map[Long, Seq[Long]] = model.bucketTok.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2)
+      .map { case (slot, rows) =>
+        val byLabel = rows.map(t => t._1 -> t._3).toMap
+        slot -> labels.indices.map(i =>
+          micro(byLabel.getOrElse(labels(i), 0L) + 1L, den(i))).toSeq
+      }
+    val lut = typedLit(slotMap)
+    val dflt = typedLit(defaultArr)
+    val scores = aggregate(
+      featureSlots(col(textCol), model.buckets, model.seed),
+      typedLit(priorArr),
+      (acc, s) => zip_with(acc,
+        coalesce(element_at(lut, s), dflt), (a, b) => a + b))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), scores.as("scores"))
+      .select(col("id"),
+        nbPredFromScores(col("scores"), labels).as("pred"),
+        array_max(col("scores")).as("score_micro"))
+  }
+
+  /** Persist a trained [[HashedLinearModel]] under `dir` (the same
+    * train-once / serve-everywhere contract as [[saveNbModel]]):
+    * three bounded tables plus a 1-row meta frame (buckets, seed). */
+  def saveHashedLinear(model: HashedLinearModel, dir: String): Unit = {
+    model.bucketTok.write.mode("overwrite").parquet(s"$dir/bucket_tok")
+    model.clsTot.write.mode("overwrite").parquet(s"$dir/cls_tot")
+    model.prior.write.mode("overwrite").parquet(s"$dir/prior")
+    val spark = model.bucketTok.sparkSession
+    import spark.implicits._
+    Seq((model.buckets, model.seed)).toDF("buckets", "seed")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[saveHashedLinear]]; predictions are
+    * bit-equal to the in-memory one. */
+  def loadHashedLinear(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): HashedLinearModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    HashedLinearModel(
+      bucketTok = spark.read.parquet(s"$dir/bucket_tok"),
+      clsTot = spark.read.parquet(s"$dir/cls_tot"),
+      prior = spark.read.parquet(s"$dir/prior"),
+      buckets = meta.getInt(0), seed = meta.getString(1))
+  }
 }

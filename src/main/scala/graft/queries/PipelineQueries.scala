@@ -2345,6 +2345,64 @@ object PipelineQueries {
       .orderBy("qid", "nid")
   }
 
+  /** fastText-style hashed n-gram LINEAR classifier
+    * ([[TextAnalysis.hashedLinearClassify]]): unigram + bigram features
+    * through the 52-bit-md5 hashing trick into 64 slots (small enough
+    * that collisions are exercised), closed-form count training (the NB
+    * likelihood over the hashed space — SQL-replayable where fastText's
+    * SGD is not), linear micro-nat inference, argmax ties to the
+    * smallest label. The oracle replays training AND inference. */
+  val textHashlinClassify = dfQ("text_hashlin_classify",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(list_concat(w,
+      |    list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+      |      p -> p[1] || '_' || p[2]))) AS feat
+      |  FROM t),
+      |slots AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('hl_' || feat), 1, 13) AS BIGINT) % 64
+      |      AS slot
+      |  FROM feats),
+      |bucktok AS (
+      |  SELECT lang AS label, slot, CAST(COUNT(*) AS BIGINT) AS ctk
+      |  FROM slots GROUP BY 1, 2),
+      |clstot AS (
+      |  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS ctot
+      |  FROM slots GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |prior AS (
+      |  SELECT lang AS label,
+      |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST((SELECT n_docs FROM nd) AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS prior_micro
+      |  FROM documents GROUP BY 1),
+      |scored AS (
+      |  SELECT s.doc_id, l.label,
+      |    CAST(ROUND(LN(CAST(COALESCE(bt.ctk, 0) + 1 AS DOUBLE)
+      |        / CAST(l.ctot + 65 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM slots s
+      |  CROSS JOIN clstot l
+      |  LEFT JOIN bucktok bt ON bt.label = l.label AND bt.slot = s.slot),
+      |bydl AS (
+      |  SELECT doc_id, label, CAST(SUM(lp_micro) AS BIGINT) AS feat_lp
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, b.label,
+      |    feat_lp + prior_micro AS score_micro,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY feat_lp + prior_micro DESC, b.label) AS rn
+      |  FROM bydl b JOIN prior USING (label))
+      |SELECT doc_id, label AS pred, CAST(score_micro AS BIGINT) AS score_micro
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, _) =>
+    TextAnalysis.hashedLinearClassify(s.table("documents"), "doc_id", "text",
+        "lang", buckets = 64, seed = "hl")
+      .select(col("id").as("doc_id"), col("pred"), col("score_micro"))
+      .orderBy("doc_id")
+  }
+
   // ---- HTML → text extraction (round 16) ------------------------------
 
   /** SQL twin of [[graft.operators.HtmlExtract.syntheticHtml]] — must stay
@@ -2490,6 +2548,6 @@ object PipelineQueries {
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,
-    textHtmlExtract, pipeHtmlGopher,
+    textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     aggTopkSketch)
 }

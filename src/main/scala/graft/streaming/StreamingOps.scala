@@ -182,6 +182,19 @@ object StreamingOps {
                       model: graft.operators.TextAnalysis.NbModel): DataFrame =
     graft.operators.TextAnalysis.nbPredictFold(model, docs, idCol, textCol)
 
+  /** Streaming hashed-linear classification — the fastText-shaped twin
+    * of [[nbPredictStream]]: a batch-trained
+    * [[graft.operators.TextAnalysis.HashedLinearModel]] served as one
+    * slot→weights literal fold per arriving doc
+    * ([[graft.operators.TextAnalysis.hashedLinearPredictFold]] — pure
+    * projection, append-mode-safe, bit-equal to the batch join form). */
+  def hashedLinearPredictStream(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                model: graft.operators.TextAnalysis
+                                  .HashedLinearModel): DataFrame =
+    graft.operators.TextAnalysis
+      .hashedLinearPredictFold(model, docs, idCol, textCol)
+
   /** Streaming ingest curation — the deploy-time filter chain a
     * training-data pipeline runs on ARRIVING documents, composed from
     * the batch [[graft.operators.Curation]]/[[graft.operators.TextAnalysis]]

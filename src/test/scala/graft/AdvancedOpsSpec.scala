@@ -395,4 +395,50 @@ class AdvancedOpsSpec extends AnyFunSuite {
     // a duplicated pair would surface as a longer list
     assert(binned.distinct.size == binned.size)
   }
+
+  test("hashedLinear learns a separable corpus; fold/save-load bit-equal") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // same separable fixture as NB's learning assert: disjoint content
+    // words + shared filler — bigram features and hashed buckets must
+    // still carry the signal through collisions (64 slots, 35 distinct
+    // unigrams + bigrams hashed into them)
+    val rnd = new scala.util.Random(7)
+    val sports = Seq("goal", "match", "team", "score", "league")
+    val cooking = Seq("recipe", "oven", "flour", "simmer", "garlic")
+    val filler = Seq("the", "a", "and", "of", "it")
+    def doc(words: Seq[String]) = (0 until 12).map { _ =>
+      if (rnd.nextInt(3) == 0) filler(rnd.nextInt(filler.size))
+      else words(rnd.nextInt(words.size))
+    }.mkString(" ")
+    val docs = ((0 until 40).map(i => (i.toLong, doc(sports), "sports")) ++
+      (40 until 80).map(i => (i.toLong, doc(cooking), "cooking")))
+      .toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val join = TextAnalysis.hashedLinearPredict(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val truth = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val acc = join.count { case (id, (p, _)) => truth(id) == p }
+    assert(acc === 80, s"separable corpus must classify perfectly, got $acc/80")
+
+    // broadcast-fold serving form: bit-equal to the join form
+    val fold = TextAnalysis
+      .hashedLinearPredictFold(model, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(fold === join)
+
+    // persistence: the loaded model predicts bit-equal
+    val dir = s"/tmp/graft_hl_model_${java.util.UUID.randomUUID().toString.take(8)}"
+    TextAnalysis.saveHashedLinear(model, dir)
+    val loaded = TextAnalysis.loadHashedLinear(spark, dir)
+    assert(loaded.buckets === 64 && loaded.seed === "hl")
+    val reloaded = TextAnalysis
+      .hashedLinearPredict(loaded, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(reloaded === join)
+  }
 }

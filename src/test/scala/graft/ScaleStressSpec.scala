@@ -120,6 +120,21 @@ class ScaleStressSpec extends AnyFunSuite {
         "the scan row-bound)")
   }
 
+  test("v3 lineage read cost stays O(files) above a row-bound scan") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("lineage_read"),
+      "artifact predates the lineage-read harness — regenerate")
+    val l = root.get("lineage_read")
+    assert(!l.get("suspect").asBoolean,
+      s"readWithRowId over ${l.get("files_large")} files took " +
+        s"${l.get("ratio")}x the ${l.get("files_small")}-file time " +
+        s"(threshold ${l.get("threshold")}x for 10x files — the per-file " +
+        "broadcast map and materialized/derived coalesce must stay " +
+        "O(files), the scan row-bound)")
+  }
+
   test("semantic dedup scales linearly when k grows with the corpus") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")

@@ -774,6 +774,30 @@ class StreamingSpec extends AnyFunSuite {
       s"doc $id: streaming $p != batch ${batch(id)}") }
   }
 
+  test("streaming hashed-linear classification matches the batch argmax") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.TextAnalysis
+      .hashedLinearTrain(docsDf, "doc_id", "text", "lang", buckets = 64)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val rows = docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.toIndexedSeq)
+    val preds = StreamingOps.hashedLinearPredictStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(preds.isStreaming)
+    StreamingOps.runToMemory(preds, "stream_hl", OutputMode.Append())
+    val streamed = spark.table("stream_hl").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val batch = graft.operators.TextAnalysis
+      .hashedLinearPredict(model, docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(streamed.size === 30)
+    streamed.foreach { case (id, p) => assert(p === batch(id),
+      s"doc $id: streaming $p != batch ${batch(id)}") }
+  }
+
   test("Iceberg append stream picks up files committed after the stream starts") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
