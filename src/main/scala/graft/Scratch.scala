@@ -5,22 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.HtmlExtract
 
 /** Scratchpad main — overwrite freely (tools/run.sh graft.Scratch).
-  * Current: HTML extraction smoke test over the synthetic page. */
+  * Current: isolated timing of text_html_extract at sf0.1. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").appName("scratch").getOrCreate()
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .limit(5)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .withColumn("html",
         HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
-    val blocks = HtmlExtract.htmlBlocks(docs, "doc_id", "html")
-    blocks.show(40, 60)
-    val out = HtmlExtract.extractHtmlText(docs, "doc_id", "html")
-    out.show(5, 120)
-    out.select("n_blocks", "n_kept").groupBy("n_blocks", "n_kept").count().show()
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      HtmlExtract.extractHtmlText(docs, "doc_id", "html")
+        .write.format("noop").mode("overwrite").save()
+      println(s"iter $i: " + ((System.nanoTime() - t0) / 1e9))
+    }
     spark.stop()
   }
 }

@@ -105,30 +105,47 @@ object HtmlExtract {
     * `{clean, total_chars, link_chars, n_words, n_stop, keep}` — the
     * whole jusText rule chain on one row. Blocks that are empty after
     * tag-stripping are dropped (they are tag-boundary artifacts, not
-    * content). */
+    * content).
+    *
+    * PERF: Column `val`s inline their whole subtree at every reference —
+    * a single-stage struct would re-run the multi-regex [[visibleText]]
+    * chain once per referencing field (~6× per block, measured 3-4×
+    * wall). The NESTED transforms below bind each regex-heavy value to a
+    * lambda variable once (stage 1), derive the cheap word counts from
+    * the bound field (stage 2), and the pure-arithmetic keep flag last
+    * (stage 3) — each regex executes exactly once per block. */
   def blockStructs(html: Column, rules: HtmlRules = HtmlRules()): Column = {
     val stops = TextAnalysis.stopwords
-    val measured = transform(rawBlocks(html), b => {
-      val clean = visibleText(b)
-      val anchor = visibleText(
-        array_join(regexp_extract_all(b, lit(AnchorRe), lit(1)), " "))
+    // stage 1: the two regex-heavy extractions, once per block each
+    val extracted = transform(rawBlocks(html), b => struct(
+      visibleText(b).as("clean"),
+      length(visibleText(
+          array_join(regexp_extract_all(b, lit(AnchorRe), lit(1)), " ")))
+        .cast("long").as("link_chars")))
+    // stage 2: word-grain measurements off the BOUND clean field
+    val measured = transform(extracted, s => {
+      val clean = s.getField("clean")
       val words = split(clean, " ")
-      val nWords = size(words).cast("long")
-      val nStop =
-        size(filter(words, w => w.isin(stops.map(lit): _*))).cast("long")
-      val totalChars = length(clean).cast("long")
-      val linkChars = length(anchor).cast("long")
       struct(
         clean.as("clean"),
-        totalChars.as("total_chars"),
-        linkChars.as("link_chars"),
-        nWords.as("n_words"),
-        nStop.as("n_stop"),
-        (nWords >= rules.minWords &&
-          linkChars * lit(1000L) <= totalChars * lit(rules.maxLinkMilli) &&
-          nStop >= rules.minStopwords).as("keep"))
+        length(clean).cast("long").as("total_chars"),
+        s.getField("link_chars").as("link_chars"),
+        size(words).cast("long").as("n_words"),
+        size(filter(words, w => w.isin(stops.map(lit): _*))).cast("long")
+          .as("n_stop"))
     })
-    filter(measured, s => s.getField("clean") =!= "")
+    // stage 3: the keep decision as pure arithmetic over bound fields
+    val flagged = transform(measured, s => struct(
+      s.getField("clean").as("clean"),
+      s.getField("total_chars").as("total_chars"),
+      s.getField("link_chars").as("link_chars"),
+      s.getField("n_words").as("n_words"),
+      s.getField("n_stop").as("n_stop"),
+      (s.getField("n_words") >= rules.minWords &&
+        s.getField("link_chars") * lit(1000L) <=
+          s.getField("total_chars") * lit(rules.maxLinkMilli) &&
+        s.getField("n_stop") >= rules.minStopwords).as("keep")))
+    filter(flagged, s => s.getField("clean") =!= "")
   }
 
   /** The extracted-document Column — kept blocks joined with `\n`, plus
@@ -152,16 +169,29 @@ object HtmlExtract {
         when(col("b.keep"), 1L).otherwise(0L).as("keep"))
 
   /** Doc-grain extraction: `(id, text, n_blocks, n_kept)` — `text` is the
-    * boilerplate-free document the rest of the pipeline consumes. */
+    * boilerplate-free document the rest of the pipeline consumes. Two
+    * projections: the first materializes the block array ONCE per row,
+    * the second's three consumers read the materialized column (a
+    * single-select form would inline the whole extraction three
+    * times — same duplication trap as [[blockStructs]]'s doc). */
   def extractHtmlText(docs: DataFrame, idCol: String, htmlCol: String,
-                      rules: HtmlRules = HtmlRules()): DataFrame = {
-    val blocks = blockStructs(col(htmlCol), rules)
-    val kept = filter(blocks, s => s.getField("keep"))
+                      rules: HtmlRules = HtmlRules()): DataFrame =
     docs.select(col(idCol).as("id"),
-      array_join(transform(kept, s => s.getField("clean")), "\n").as("text"),
-      size(blocks).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"))
-  }
+        blockStructs(col(htmlCol), rules).as("__gf_blocks"))
+      .select(col("id"),
+        array_join(transform(
+            filter(col("__gf_blocks"), s => s.getField("keep")),
+            s => s.getField("clean")), "\n").as("text"),
+        size(col("__gf_blocks")).cast("long").as("n_blocks"),
+        size(filter(col("__gf_blocks"), s => s.getField("keep")))
+          .cast("long").as("n_kept"))
+
+  /** The page TITLE as visible text (first `<title>` element, entity-
+    * decoded, whitespace-collapsed; '' when absent) — the one piece of
+    * head metadata a crawl pipeline keeps (dedup keys, display). Pure
+    * per-row, stream-safe. */
+  def htmlTitle(html: Column): Column =
+    visibleText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
 
   /** Deterministic synthetic page for the fixtures/oracle: the document
     * text wrapped in a realistic page skeleton — head with title, style

@@ -1877,6 +1877,49 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Identity-PRESERVING keyed upsert (`upsert(preserveLineage = true)`,
+    * round 16): matched keys route through the MERGE UPDATE carry, so
+    * an upserted-but-matched row keeps its EXACT `_row_id` while its
+    * `_last_updated_sequence_number` advances to the upsert commit's
+    * seq (2); untouched rows keep both. Inserted rows get fresh ids
+    * whose exact values depend on staged-file order — the spec test
+    * pins their freshness; this oracle pins the original keys, where
+    * determinism is total. */
+  val icebergUpsertLineage = dfQ("iceberg_upsert_lineage",
+    """WITH base AS (
+      |  SELECT n_nationkey, n_name,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS BIGINT) AS row_id
+      |  FROM nation
+      |)
+      |SELECT n_nationkey, row_id,
+      |  CASE WHEN n_nationkey % 5 = 0 THEN 'UPSERTED' ELSE n_name END AS name,
+      |  CAST(CASE WHEN n_nationkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS last_upd
+      |FROM base
+      |ORDER BY n_nationkey""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_iceberg_upslin_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val nation = s.table("nation").select("n_nationkey", "n_name")
+      .orderBy("n_name").coalesce(1)
+    graft.sources.IcebergWrite.create(s, dir, nation.schema, formatVersion = 3)
+    graft.sources.IcebergWrite.append(nation, dir)
+    val src = nation.filter(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey"), lit("UPSERTED").as("n_name"))
+      .unionByName(nation.filter(col("n_nationkey") < 3)
+        .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+          lit("NEW").as("n_name")))
+    graft.sources.IcebergWrite.upsert(src, dir, Seq("n_nationkey"),
+      preserveLineage = true)
+    IcebergIO.readWithRowId(s, dir)
+      .filter(col("n_nationkey") < 100)
+      .select(col("n_nationkey"), col("_row_id").as("row_id"),
+        col("n_name").as("name"),
+        col("_last_updated_sequence_number").as("last_upd"))
+      .orderBy("n_nationkey")
+  }
+
   /** CDC changelog WITH row lineage: every change row carries the row's
     * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
     * SHARING one id (the rewrite materializes it), which is what lets a
@@ -2003,6 +2046,7 @@ object IcebergQueries {
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergRowLineage, icebergVariant, icebergChangelogLineage,
+    icebergUpsertLineage,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

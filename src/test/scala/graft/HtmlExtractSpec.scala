@@ -100,6 +100,20 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(strict._3 === 0L && loose._3 === 1L)
   }
 
+  test("htmlTitle extracts the decoded title; empty when absent") {
+    val r = HtmlExtract.htmlTitle(col("html"))
+    val rows = Seq(
+      (1L, "<html><head><title>Fish &amp; Chips  menu</title></head>" +
+        "<body><p>x</p></body></html>"),
+      (2L, "<body><p>no head</p></body>"),
+      (3L, "<TITLE>caps <b>bold</b></TITLE>"))
+      .toDF("id", "html").select(col("id"), r.as("t")).orderBy("id")
+      .collect().map(_.getString(1))
+    assert(rows(0) === "Fish & Chips menu")
+    assert(rows(1) === "")
+    assert(rows(2) === "caps bold")
+  }
+
   test("uppercase tags and self-closing forms segment too") {
     val (text, nBlocks, nKept) = extract(
       s"<P>$prose</P><BR/><DIV class=\"x\">tiny</DIV>")

@@ -1393,4 +1393,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(read() === Seq(("a", 10L), ("b", 2L), ("c", 3L)))
   }
 
+  test("iceberg upsert sink preserveLineage: streamed updates keep _row_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ice_upslin").toString
+    val table = s"$root/t"
+    val st = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    graft.sources.IcebergWrite.create(spark, table, st, formatVersion = 3)
+    def lineage() = graft.sources.IcebergIO.readWithRowId(spark, table)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("_row_id")).toMap
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](spark)
+    in.addData(("a", 1L), ("b", 2L))
+    val q = StreamingOps.icebergUpsertSink(in.toDF().toDF("k", "v"),
+      table, Seq("k"), s"$root/ckpt", preserveLineage = true)
+    try {
+      q.processAllAvailable()
+      val ids0 = lineage()
+      // a second micro-batch UPDATES 'a' and inserts 'c': the streamed
+      // update must keep a's _row_id across its whole streamed life
+      in.addData(("a", 10L), ("c", 3L))
+      q.processAllAvailable()
+      val ids1 = lineage()
+      assert(ids1("a") === ids0("a") && ids1("b") === ids0("b"))
+      assert(!ids0.values.toSet.contains(ids1("c")))
+    } finally q.stop()
+    // v2 tables refuse the flag at wiring time
+    val v2 = s"$root/v2"
+    graft.sources.IcebergWrite.create(spark, v2, st)
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.icebergUpsertSink(in.toDF().toDF("k", "v"),
+        v2, Seq("k"), s"$root/ckpt2", preserveLineage = true))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+  }
+
 }
