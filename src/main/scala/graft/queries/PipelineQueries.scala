@@ -2531,6 +2531,83 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** The COMPLETE crawl-pipeline head as one oracle: raw HTML pages →
+    * boilerplate-stripped text → hashed-linear domain classification
+    * (trained on the extracted text) → exact domain-weighted mixture.
+    * Every stage is individually oracled above; this entry pins their
+    * COMPOSITION — extraction output feeds training AND inference, and
+    * the mixture draws on predicted (not source) labels. */
+  val pipeHtmlClassifyMix = dfQ("pipe_html_classify_mix", htmlCtes +
+    """,
+      |t2 AS (
+      |  SELECT e.id AS doc_id, d.lang, string_split(lower(e.text), ' ') AS w
+      |  FROM extracted e JOIN documents d ON d.doc_id = e.id),
+      |feats AS (
+      |  SELECT doc_id, lang, unnest(list_concat(w,
+      |    list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+      |      p -> p[1] || '_' || p[2]))) AS feat
+      |  FROM t2),
+      |slots AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('hl_' || feat), 1, 13) AS BIGINT) % 64
+      |      AS slot
+      |  FROM feats),
+      |bucktok AS (
+      |  SELECT lang AS label, slot, CAST(COUNT(*) AS BIGINT) AS ctk
+      |  FROM slots GROUP BY 1, 2),
+      |clstot AS (
+      |  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS ctot
+      |  FROM slots GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t2),
+      |prior AS (
+      |  SELECT lang AS label,
+      |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+      |        / CAST((SELECT n_docs FROM nd) AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS prior_micro
+      |  FROM t2 GROUP BY 1),
+      |scored AS (
+      |  SELECT s.doc_id, l.label,
+      |    CAST(ROUND(LN(CAST(COALESCE(bt.ctk, 0) + 1 AS DOUBLE)
+      |        / CAST(l.ctot + 65 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM slots s
+      |  CROSS JOIN clstot l
+      |  LEFT JOIN bucktok bt ON bt.label = l.label AND bt.slot = s.slot),
+      |bydl AS (
+      |  SELECT doc_id, label, CAST(SUM(lp_micro) AS BIGINT) AS feat_lp
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, b.label,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY feat_lp + prior_micro DESC, b.label) AS rn
+      |  FROM bydl b JOIN prior USING (label)),
+      |preds AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1),
+      |wt(pred, wv) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
+      |c AS (SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS n, wv
+      |      FROM preds p JOIN wt ON p.pred = wt.pred GROUP BY p.pred, wv),
+      |th AS (SELECT MIN(n * 7 // wv) AS tt FROM c),
+      |k AS (SELECT pred, (tt * wv) // 7 AS keep FROM c, th),
+      |r AS (SELECT p.pred, p.doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY p.pred
+      |          ORDER BY md5(CAST(p.doc_id AS VARCHAR)), p.doc_id) AS rn2
+      |      FROM preds p JOIN wt ON p.pred = wt.pred)
+      |SELECT r.pred, r.doc_id FROM r JOIN k ON r.pred = k.pred
+      |WHERE rn2 <= keep
+      |ORDER BY 1, 2""".stripMargin, bench = false) { (s, _) =>
+    val docsH = s.table("documents").withColumn("html",
+      graft.operators.HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+    val extracted =
+      graft.operators.HtmlExtract.extractHtmlText(docsH, "doc_id", "html")
+        .join(s.table("documents")
+          .select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    val preds = TextAnalysis.hashedLinearClassify(extracted, "id", "text",
+        "lang", buckets = 64, seed = "hl")
+      .select(col("id").as("doc_id"), col("pred"))
+    Curation.mixDomains(preds, "pred", "doc_id",
+        Map("en" -> 3, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1))
+      .select("pred", "doc_id")
+      .orderBy("pred", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -2549,5 +2626,6 @@ object PipelineQueries {
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
+    pipeHtmlClassifyMix,
     aggTopkSketch)
 }

@@ -326,6 +326,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("text_html_extract plan: pure per-row projection, zero exchange before the sort") {
+    val p = planOf("text_html_extract")
+    // the whole extraction is regex + list arithmetic on one row — the
+    // ONLY wide stage allowed is the entry's final ORDER BY (a range
+    // exchange); any join/aggregate exchange means the operator stopped
+    // being the zero-exchange projection it is designed to be
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"plan:\n$p")
+    assert(!p.contains("hashpartitioning"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("text_hashlin_classify plan: model joins broadcast, one argmax window") {
+    val p = planOf("text_hashlin_classify")
+    // hashed-slot model tables are O(buckets × labels) and must
+    // BROADCAST against the feature stream — same contract as NB
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
   test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
     val p = planOf("text_tfidf_keywords")
     // corpus size attaches as a BROADCAST 1-row aggregate (its final
