@@ -454,11 +454,19 @@ final class GraftSession private (val spark: SparkSession) {
             import graft.sources.IcebergWrite
             val path = icebergPathOf(t)
             clauses match {
-              // canonical whole-row pair -> the equality-delete upsert
-              // fast path (ONE commit, no position-pair scan)
+              // canonical whole-row pair -> the upsert fast path. On v2
+              // that is the equality-delete commit (no position-pair
+              // scan); on v3 the IDENTITY-PRESERVING form — ANSI MERGE
+              // UPDATE is an in-place update, so a matched row must keep
+              // its _row_id exactly like the conditional-clause path
+              // below does (the two MERGE spellings may not disagree on
+              // row identity).
               case Seq(DmlSql.WhenUpdate(None, _, true),
                        DmlSql.WhenInsert(None, _, _, true)) =>
-                IcebergWrite.upsert(spark.table(source), path, keys)
+                val v3 = graft.sources.IcebergIO.loadMetadata(path)
+                  .formatVersion >= 3
+                IcebergWrite.upsert(spark.table(source), path, keys,
+                  preserveLineage = v3)
               case _ =>
                 val schema = graft.sources.IcebergIO.loadMetadata(path).schema
                 // star forms expand to every table column from the

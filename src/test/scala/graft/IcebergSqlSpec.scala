@@ -418,6 +418,35 @@ class IcebergSqlSpec extends AnyFunSuite {
       Seq(1L -> "b", 2L -> "a", 3L -> "b", 4L -> "z", 6L -> "d"))
   }
 
+  test("SQL whole-row MERGE on v3 preserves _row_id (both MERGE spellings agree)") {
+    import graft.sources.IcebergWrite
+    val dir = s"$root/mergelin"
+    IcebergWrite.create(spark, dir, st, formatVersion = 3)
+    IcebergWrite.append(rows(1L -> "a", 2L -> "b", 3L -> "c"), dir)
+    def ids() = IcebergIO.readWithRowId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("_row_id")).toMap
+    val before = ids()
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("mergelin_sql", dir)
+    rows(2L -> "B", 4L -> "d").createOrReplaceTempView("mergelin_src")
+    // the canonical whole-row pair — ANSI MERGE UPDATE is in-place, so
+    // on v3 the fast path must keep matched ids like the conditional
+    // clause path does
+    g.sql("MERGE INTO mergelin_sql t USING mergelin_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = ids()
+    assert(after.view.filterKeys(_ != 4L).toMap === before)
+    assert(!before.values.toSet.contains(after(4L)))
+    assert(g.sql("SELECT grp FROM mergelin_sql WHERE id = 2").collect()
+      .head.getString(0) === "B")
+    // NOT MATCHED BY SOURCE parses via the BY TARGET spelling too and
+    // sweeps rows absent from the source
+    rows(1L -> "a", 2L -> "B").createOrReplaceTempView("mergelin_sync")
+    g.sql("MERGE INTO mergelin_sql t USING mergelin_sync s ON t.id = s.id " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(ids().keySet === Set(1L, 2L))
+  }
+
   test("SHOW TBLPROPERTIES serves a registered table's metadata properties") {
     val dir = s"$root/tblprops"
     graft.sources.IcebergWrite.create(spark, dir, st)
