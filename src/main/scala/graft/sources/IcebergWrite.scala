@@ -2463,13 +2463,17 @@ object IcebergWrite {
       val anyMatchedCond =
         matchedClauses.map(_.cond.getOrElse(lit(true))).reduceOption(_ || _)
       val dec = org.apache.spark.sql.functions.udf((s: String) => decodeSparkPath(s))
+      // typed empty (file_path, pos) frame — also the degenerate result
+      // when the table holds a current snapshot but ZERO live data files
+      // (post-TRUNCATE): dataBranches returns no branch there, and a
+      // reduce over none would throw (latent until round 16)
+      def emptyPos = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("file_path", StringType, nullable = false),
+          StructField("pos", LongType, nullable = false))))
       val posRows = anyMatchedCond match {
-        case None =>
-          // no MATCHED clause: nothing to delete — typed empty frame
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("file_path", StringType, nullable = false),
-              StructField("pos", LongType, nullable = false))))
+        case None => emptyPos // no MATCHED clause: nothing to delete
+        case _ if rawFiles.isEmpty => emptyPos
         case Some(c) =>
           IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
             .map(_.alias(targetAlias).join(src, keyJoin, "inner").filter(c)
@@ -2484,7 +2488,7 @@ object IcebergWrite {
       // Same raw-scan contract as (1): dead rows may re-delete, a no-op.
       val anyBySourceCond =
         bySourceClauses.map(_.cond.getOrElse(lit(true))).reduceOption(_ || _)
-      val bsPosRows = anyBySourceCond.map { c =>
+      val bsPosRows = anyBySourceCond.filter(_ => rawFiles.nonEmpty).map { c =>
         IcebergIO.dataBranches(spark, meta, rawFiles, withPos = true)
           .map(_.alias(targetAlias).join(src, keyJoin, "left_anti").filter(c)
             .select(dec(col(s"$targetAlias.__gf_fileraw")).as("file_path"),

@@ -2470,6 +2470,27 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(rowIds() === after - 4L)
   }
 
+  test("merge on a TRUNCATED table (snapshot, zero files) inserts cleanly") {
+    import org.apache.spark.sql.functions.expr
+    val dir = s"$root/merge_truncated"
+    IcebergWrite.create(spark, dir, schema)
+    IcebergWrite.append(df((1L, "a", 1.0)), dir)
+    IcebergWrite.overwrite(df(), dir) // truncate: current snapshot, no files
+    assert(IcebergIO.read(spark, dir).count() === 0L)
+    // regression: the position-pair scan used to reduce over ZERO data
+    // branches and throw empty.reduceLeft — with matched AND by-source
+    // clauses present, both now degrade to the typed empty frame
+    IcebergWrite.merge(spark, dir, df((2L, "b", 2.0)), Seq("id"), Seq(
+      IcebergWrite.WhenMatchedUpdate(Map("score" -> expr("s.score"))),
+      IcebergWrite.WhenNotMatchedBySourceDelete(),
+      IcebergWrite.WhenNotMatchedInsert(Map(
+        "id" -> expr("s.id"), "name" -> expr("s.name"),
+        "score" -> expr("s.score")))))
+    assert(IcebergIO.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((2L, "b", 2.0)))
+  }
+
   test("v3 variant column: write/read/typed access/DV delete/compact") {
     import org.apache.spark.sql.functions.expr
     val dir = s"$root/variant"
