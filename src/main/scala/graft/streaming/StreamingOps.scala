@@ -225,11 +225,16 @@ object StreamingOps {
     *     (boilerplate-stripped prose), so dedup fingerprints and every
     *     gate see extracted text, exactly like the batch pipeline head
     *     (`pipe_html_gopher`);
-    *  6. `resample` = (weightMicroCol, salt) — deterministic importance
+    *  6. `decontam` = (evalFingerprints, k, maxContamWindows) — the
+    *     benchmark-decontamination gate ([[decontaminateStream]]'s
+    *     per-row window-fingerprint intersect against the broadcast
+    *     eval set): docs sharing more than `maxContamWindows` k-token
+    *     windows with an eval item drop;
+    *  7. `resample` = (weightMicroCol, salt) — deterministic importance
     *     sampling on the surviving docs
     *     ([[graft.operators.Curation.resampleKeep]]), applied AFTER all
     *     gates like the batch `pipe_gate_resample_split`;
-    *  7. `split` — a train/val/test `split` column
+    *  8. `split` — a train/val/test `split` column
     *     ([[graft.operators.Curation.splitLabel]]) on what remains.
     *
     * Emits (id, ts, lang, quality, text) per kept doc — plus `pred`
@@ -245,6 +250,7 @@ object StreamingOps {
                    nbGate: Option[(graft.operators.TextAnalysis.NbModel,
                      Set[String])] = None,
                    html: Option[graft.operators.HtmlExtract.HtmlRules] = None,
+                   decontam: Option[(Seq[String], Int, Int)] = None,
                    resample: Option[(String, String)] = None,
                    split: Option[Seq[(String, Long)]] = None): DataFrame = {
     import graft.operators.{Curation, HtmlExtract, TextAnalysis}
@@ -270,8 +276,13 @@ object StreamingOps {
             TextAnalysis.nbPredFromScores(col("__nb_scores"), labels))
           .filter(col("pred").isin(keepLabels.toSeq.sorted: _*))
     }
-    val sampled = resample.fold(withPred) { case (wCol, salt) =>
-      withPred.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
+    val decontamed = decontam.fold(withPred) { case (fps, k, maxW) =>
+      withPred.filter(size(array_intersect(
+        Curation.windowFingerprintArray(col(textCol), k),
+        typedLit(fps))) <= maxW)
+    }
+    val sampled = resample.fold(decontamed) { case (wCol, salt) =>
+      decontamed.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
     }
     val cols =
       Seq(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),

@@ -578,10 +578,17 @@ class StreamingSpec extends AnyFunSuite {
     in.addData(withHtml.collect()
       .map(r => (r.getLong(0), ts, r.getString(1), r.getLong(2)))
       .toIndexedSeq)
+    // eval set for the decontamination stage: the extracted text of two
+    // docs — they (and near-copies) must drop from the curated stream
+    val evalFps = Curation.evalFingerprints(
+        HtmlExtract.extractHtmlText(withHtml.limit(2), "doc_id", "html"),
+        "id", "text", k = 8)
+      .collect().map(_.getString(0)).toSeq
     val curated = StreamingOps.curateStream(
       in.toDF().toDF("doc_id", "ts", "html", "w"), "doc_id", "ts", "html",
       minQuality = 0.05, watermarkDelay = "10 seconds",
       gopher = Some(rules), html = Some(HtmlExtract.HtmlRules()),
+      decontam = Some((evalFps, 8, 0)),
       resample = Some(("w", "rs16")), split = Some(fractions))
     StreamingOps.runToMemory(curated, "curate_html_tail", OutputMode.Append())
     val streamed = spark.table("curate_html_tail").collect()
@@ -594,8 +601,13 @@ class StreamingSpec extends AnyFunSuite {
       .filter(TextAnalysis.langIdHeuristic(col("text")) === "en" &&
         TextAnalysis.qualityScore(col("text")) >= 0.05 &&
         TextAnalysis.gopherKeep(col("text"), rules))
+    val decontamed = extracted.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(
+          Curation.windowFingerprintArray(col("text"), 8),
+          org.apache.spark.sql.functions.typedLit(evalFps))) <= 0)
     val batch = Curation.splitByHash(
-        Curation.resampleByWeight(extracted, "id", "w", "rs16"),
+        Curation.resampleByWeight(decontamed, "id", "w", "rs16"),
         "id", fractions)
       .select(col("id"), Curation.piiRedact(col("text")).as("text"),
         col("split"))
