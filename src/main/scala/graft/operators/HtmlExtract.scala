@@ -51,7 +51,8 @@ object HtmlExtract {
   final case class HtmlRules(
       minWords: Int = 10,
       maxLinkMilli: Long = 300L,
-      minStopwords: Int = 1)
+      minStopwords: Int = 1,
+      promoteNearGood: Boolean = false)
 
   /** Block-boundary tags, LONGEST-FIRST (see class doc). `<a>`, `<b>`,
     * `<span>`, … are inline: they stay inside their block so link
@@ -134,19 +135,61 @@ object HtmlExtract {
         size(filter(words, w => w.isin(stops.map(lit): _*))).cast("long")
           .as("n_stop"))
     })
-    // stage 3: the keep decision as pure arithmetic over bound fields
-    val flagged = transform(measured, s => struct(
+    // stage 3: the keep decision as pure arithmetic over bound fields;
+    // a NEAR-GOOD block fails ONLY the length rule (link density and
+    // stopword presence both pass — short prose, not navigation)
+    val flagged = transform(measured, s => {
+      val linkOk = s.getField("link_chars") * lit(1000L) <=
+        s.getField("total_chars") * lit(rules.maxLinkMilli)
+      val stopOk = s.getField("n_stop") >= rules.minStopwords
+      val keep = s.getField("n_words") >= rules.minWords && linkOk && stopOk
+      struct(
+        s.getField("clean").as("clean"),
+        s.getField("total_chars").as("total_chars"),
+        s.getField("link_chars").as("link_chars"),
+        s.getField("n_words").as("n_words"),
+        s.getField("n_stop").as("n_stop"),
+        keep.as("keep"),
+        (!keep && linkOk && stopOk).as("near_good"))
+    })
+    val nonEmpty = filter(flagged, s => s.getField("clean") =!= "")
+    if (!rules.promoteNearGood) dropNearGood(nonEmpty)
+    else {
+      // jusText's context rule (one-hop form): a near-good block with a
+      // KEPT neighbor (at base grain, over the non-empty blocks) is
+      // promoted — short prose between paragraphs survives, isolated
+      // short boilerplate still drops. The array(...)→transform wrapper
+      // BINDS the block array to a lambda variable so neighbor lookups
+      // (try_element_at, 1-based) don't re-inline the whole extraction
+      // per block (the Column-tree duplication trap, see class doc).
+      val promoted = transform(array(nonEmpty), arr =>
+        transform(arr, (s, i) => {
+          def keptAt(pos: Column) = coalesce(
+            try_element_at(arr, pos).getField("keep"), lit(false))
+          struct(
+            s.getField("clean").as("clean"),
+            s.getField("total_chars").as("total_chars"),
+            s.getField("link_chars").as("link_chars"),
+            s.getField("n_words").as("n_words"),
+            s.getField("n_stop").as("n_stop"),
+            (s.getField("keep") || (s.getField("near_good") &&
+              (keptAt(i) || keptAt(i + lit(2))))).as("keep"),
+            s.getField("near_good").as("near_good"))
+        }))
+      dropNearGood(promoted.getItem(0))
+    }
+  }
+
+  /** Strip the internal near_good scratch field so the public struct
+    * shape is rule-independent. */
+  private def dropNearGood(blocks: Column): Column =
+    transform(blocks, s => struct(
       s.getField("clean").as("clean"),
       s.getField("total_chars").as("total_chars"),
       s.getField("link_chars").as("link_chars"),
       s.getField("n_words").as("n_words"),
       s.getField("n_stop").as("n_stop"),
-      (s.getField("n_words") >= rules.minWords &&
-        s.getField("link_chars") * lit(1000L) <=
-          s.getField("total_chars") * lit(rules.maxLinkMilli) &&
-        s.getField("n_stop") >= rules.minStopwords).as("keep")))
-    filter(flagged, s => s.getField("clean") =!= "")
-  }
+      s.getField("keep").as("keep")))
 
   /** The extracted-document Column — kept blocks joined with `\n`, plus
     * nothing else: the pure per-row form the STREAMING lift uses. */
@@ -192,6 +235,13 @@ object HtmlExtract {
     * per-row, stream-safe. */
   def htmlTitle(html: Column): Column =
     visibleText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** The declared page language (`<html lang="…">`, first match; ''
+    * when absent) — the crawl-side language hint a pipeline checks
+    * against its own lang-id. Pure per-row, stream-safe. */
+  def htmlLang(html: Column): Column =
+    regexp_extract(html,
+      "(?is)<html[^>]*?\\slang\\s*=\\s*[\"']?([A-Za-z-]+)", 1)
 
   /** Deterministic synthetic page for the fixtures/oracle: the document
     * text wrapped in a realistic page skeleton — head with title, style

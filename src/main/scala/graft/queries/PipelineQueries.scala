@@ -2531,6 +2531,89 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Head-metadata extraction ([[graft.operators.HtmlExtract.htmlTitle]] /
+    * `htmlLang`): decoded `<title>` text and the `<html lang>` attribute
+    * — the two metadata fields a crawl pipeline keys on (dedup keys,
+    * declared-vs-detected language checks). */
+  val textHtmlMeta = dfQ("text_html_meta",
+    """SELECT doc_id AS id,
+      |  'Doc ' || doc_id || ' & notes' AS title,
+      |  lang AS lang_attr
+      |FROM documents ORDER BY id""".stripMargin, bench = false) { (s, _) =>
+    import graft.operators.HtmlExtract
+    val docs = s.table("documents").withColumn("html",
+      concat(lit("<html lang=\""), col("lang"),
+        lit("\"><head><title>Doc "), col("doc_id"),
+        lit(" &amp; notes</title></head><body><p>"), col("text"),
+        lit("</p></body></html>")))
+    docs.select(col("doc_id").as("id"),
+        HtmlExtract.htmlTitle(col("html")).as("title"),
+        HtmlExtract.htmlLang(col("html")).as("lang_attr"))
+      .orderBy("id")
+  }
+
+  /** jusText near-good CONTEXT promotion
+    * (`HtmlRules(promoteNearGood = true)`): a block failing ONLY the
+    * length rule (link density + stopwords pass — short prose) is
+    * promoted when a NEIGHBOR block is kept; isolated short blocks and
+    * link-dense blocks never promote. The page plants one of each: a
+    * promotable heading beside the body paragraph, a link-dense div
+    * (never near-good), an isolated short heading (near-good, no kept
+    * neighbor) and a no-stopword stub. The oracle replays the flagged
+    * list and the one-hop promotion with DuckDB's index lambdas
+    * (1-based, out-of-range index → NULL → coalesce false). */
+  val textHtmlNearGood = dfQ("text_html_neargood",
+    s"""WITH h AS (
+      |  SELECT doc_id AS id,
+      |    '<p>' || text || '</p><h2>notes on the rest</h2>' ||
+      |    '<div><a href="/x">all of the links</a></div>' ||
+      |    '<h3>a lone note here</h3><p>tiny</p>' AS html
+      |  FROM documents),
+      |rawb AS (
+      |  SELECT id, string_split(regexp_replace(html,
+      |      '(?i)</?(blockquote|section|article|aside|header|footer|title|thead|tbody|table|form|nav|div|ul|ol|li|dl|dt|dd|pre|tr|td|th|p|h[1-6]|br|hr)(\\s[^>]*)?/?>',
+      |      chr(1), 'g'), chr(1)) AS raw FROM h),
+      |blocks AS (
+      |  SELECT id, list_filter(list_zip(
+      |      list_transform(raw, x -> ${hxClean("x")}),
+      |      list_transform(raw, x -> len(${hxClean(hxAnchor("x"))}))),
+      |    p -> p[1] <> '') AS bl FROM rawb),
+      |flagged AS (
+      |  SELECT id, list_transform(bl, p -> struct_pack(
+      |      clean := p[1],
+      |      keep := len(string_split(p[1], ' ')) >= 10
+      |        AND p[2] * 1000 <= len(p[1]) * 300
+      |        AND len(list_intersect(list_distinct(string_split(p[1], ' ')),
+      |          ['the','a','of','and','to','in','is','it'])) >= 1,
+      |      ng := NOT (len(string_split(p[1], ' ')) >= 10)
+      |        AND p[2] * 1000 <= len(p[1]) * 300
+      |        AND len(list_intersect(list_distinct(string_split(p[1], ' ')),
+      |          ['the','a','of','and','to','in','is','it'])) >= 1)) AS fl
+      |  FROM blocks),
+      |promoted AS (
+      |  SELECT id, list_transform(fl, (s, i) -> struct_pack(
+      |      clean := s.clean,
+      |      keep := s.keep OR (s.ng AND (coalesce(fl[i-1].keep, false)
+      |        OR coalesce(fl[i+1].keep, false))))) AS pr
+      |  FROM flagged),
+      |fin AS (
+      |  SELECT id, pr, list_filter(pr, s -> s.keep) AS kept FROM promoted)
+      |SELECT id,
+      |  coalesce(array_to_string(list_transform(kept, s -> s.clean),
+      |    chr(10)), '') AS text,
+      |  CAST(len(pr) AS BIGINT) AS n_blocks,
+      |  CAST(len(kept) AS BIGINT) AS n_kept
+      |FROM fin ORDER BY id""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents").withColumn("html",
+      concat(lit("<p>"), col("text"),
+        lit("</p><h2>notes on the rest</h2>" +
+          "<div><a href=\"/x\">all of the links</a></div>" +
+          "<h3>a lone note here</h3><p>tiny</p>")))
+    graft.operators.HtmlExtract.extractHtmlText(docs, "doc_id", "html",
+        graft.operators.HtmlExtract.HtmlRules(promoteNearGood = true))
+      .orderBy("id")
+  }
+
   /** The COMPLETE crawl-pipeline head as one oracle: raw HTML pages →
     * boilerplate-stripped text → hashed-linear domain classification
     * (trained on the extracted text) → exact domain-weighted mixture.
@@ -2626,6 +2709,6 @@ object PipelineQueries {
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
-    pipeHtmlClassifyMix,
+    pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     aggTopkSketch)
 }

@@ -100,6 +100,26 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(strict._3 === 0L && loose._3 === 1L)
   }
 
+  test("promoteNearGood keeps short prose beside kept blocks, not islands") {
+    val p2 = "a second paragraph of the same prose it keeps going and " +
+      "going along nicely"
+    // "the end is here" (4 words, has stopwords, no links) is NEAR-GOOD:
+    // dropped under base rules, promoted when adjacent to a kept block
+    val page = s"<p>$prose</p><h2>the end is here</h2>" +
+      "<nav><a href=\"/\">all of the links in here</a></nav>" +
+      s"<h3>the lone short one</h3><div>junk</div><p>$p2</p>"
+    val base = extract(page)
+    val promo = extract(page, HtmlRules(promoteNearGood = true))
+    assert(base._3 === 2L) // only the two long paragraphs
+    // promotion adds "the end is here" (next to a kept paragraph) but
+    // NOT "the lone short one" (neighbors: nav-dropped and junk-dropped)
+    assert(promo._3 === 3L)
+    assert(promo._1 === s"$prose\nthe end is here\n$p2")
+    // the nav block passes stopwords but fails LINK DENSITY: never
+    // near-good, never promoted even though it sits beside kept blocks
+    assert(!promo._1.contains("links in here"))
+  }
+
   test("htmlTitle extracts the decoded title; empty when absent") {
     val r = HtmlExtract.htmlTitle(col("html"))
     val rows = Seq(
