@@ -1920,6 +1920,41 @@ object IcebergQueries {
       .orderBy("n_nationkey")
   }
 
+  /** v3 `timestamp_ns` READ path (round 16, the last practical v3 type):
+    * Spark has no nanosecond timestamp, so the documented API boundary
+    * is ns-since-epoch LONGs — the read path maps the spec type to
+    * LongType and sets Spark's legacy nanos conf automatically (its only
+    * effect: the otherwise-ERRORING read of NANOS-annotated parquet
+    * returns ns longs). The fixture file is written with parquet-hadoop's
+    * Group API (Spark itself cannot produce a NANOS annotation — which is
+    * also why such tables are READ-ONLY to the writer, spec-tested).
+    * Lenient-read posture: the type is accepted at any format version on
+    * read, like `variant`; only writes are version/type-gated. */
+  val icebergTimestampNs = dfQ("iceberg_timestamp_ns",
+    """SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |  CAST(n_nationkey AS BIGINT) * 1000000000 + 123456789 AS ts_ns
+      |FROM nation ORDER BY id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.types._
+    val dir = s"/tmp/graft_iceberg_tsns_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts_ns", LongType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "timestamp_ns").build())))
+    val w = new IcebergFixture.Writer(s, dir, schema)
+    val rows = s.table("nation").select("n_nationkey").collect()
+      .map(r => (r.getInt(0).toLong,
+        r.getInt(0).toLong * 1000000000L + 123456789L))
+      .sortBy(_._1).toSeq
+    val file = new java.io.File(s"$dir/data/ns-00001.parquet")
+    file.getParentFile.mkdirs()
+    IcebergFixture.writeNsParquet(file.getAbsolutePath, "ts_ns", rows)
+    w.appendExternalFile(file, rows.size.toLong)
+    IcebergIO.read(s, dir).orderBy("id")
+  }
+
   /** CDC changelog WITH row lineage: every change row carries the row's
     * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
     * SHARING one id (the rewrite materializes it), which is what lets a
@@ -2046,7 +2081,7 @@ object IcebergQueries {
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergRowLineage, icebergVariant, icebergChangelogLineage,
-    icebergUpsertLineage,
+    icebergUpsertLineage, icebergTimestampNs,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

@@ -53,6 +53,37 @@ object IcebergFixture {
       s"fixture writer supports flat primitive schemas only, got $other")
   }
 
+  /** Write a TIMESTAMP(NANOS)-annotated parquet file — something Spark
+    * itself CANNOT produce — via parquet-hadoop's Group API: the data
+    * shape a foreign v3 writer gives a `timestamp_ns` column. Columns
+    * (id INT64, nsCol INT64/timestamp-nanos), required. Used by the
+    * ns-timestamp fixtures; the engine reads such files as ns longs
+    * under Spark's legacy nanos conf (set automatically by the Iceberg
+    * read path). */
+  def writeNsParquet(path: String, nsCol: String,
+                     rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.Type.Repetition
+    val mt = Types.buildMessage()
+      .addField(Types.primitive(PrimitiveTypeName.INT64, Repetition.REQUIRED)
+        .named("id"))
+      .addField(Types.primitive(PrimitiveTypeName.INT64, Repetition.REQUIRED)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named(nsCol))
+      .named("graft_ns_fixture")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(mt, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(mt).build()
+    val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+    try rows.foreach { case (id, ns) =>
+      w.write(f.newGroup().append("id", id).append(nsCol, ns))
+    } finally w.close()
+  }
+
   private[sources] def schemaJson(st: StructType, schemaId: Int): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")
@@ -63,7 +94,13 @@ object IcebergFixture {
       fn.put("id", i + 1)
       fn.put("name", f.name)
       fn.put("required", !f.nullable)
-      fn.put("type", icebergType(f.dataType))
+      // a StructField may OVERRIDE the derived spec type via metadata
+      // key "iceberg.type" — how foreign-only types with a widened Spark
+      // surface (timestamp_ns -> ns LONGs) enter a fixture schema
+      fn.put("type",
+        if (f.metadata.contains("iceberg.type"))
+          f.metadata.getString("iceberg.type")
+        else icebergType(f.dataType))
     }
     n
   }
@@ -421,6 +458,24 @@ object IcebergFixture {
       * whose columns are a strict subset of the table schema, simulating
       * a file written BEFORE a column was added (schema evolution on
       * read: the reader must surface the missing column as nulls). */
+    /** Commit an EXTERNALLY-written parquet file verbatim (no stats
+      * read-back, no bounds — missing bounds keep the file under every
+      * stats filter, sound): how a fixture represents a file this
+      * engine's own writer could never produce (e.g. a
+      * TIMESTAMP(NANOS)-annotated column from a foreign Iceberg
+      * writer). Unpartitioned tables only; caller supplies the row
+      * count. */
+    def appendExternalFile(file: File, rows: Long): Long = {
+      require(partitionCols.isEmpty,
+        "appendExternalFile is unpartitioned-table only")
+      require(file.isFile, s"no such file: $file")
+      val next = seq + 1
+      val fm = FileMeta(rec(file.getAbsolutePath), 0, rows, file.length())
+      allFiles :+= fm
+      commit(Seq(fm), next, "append")
+      next
+    }
+
     def appendRaw(df: DataFrame): Long = {
       require(partitionCols.isEmpty, "appendRaw is unpartitioned-table only")
       require(df.schema.fieldNames.forall(schema.fieldNames.contains),

@@ -108,6 +108,9 @@ object IcebergIO {
       // [[IcebergWrite.computePartitionStats]], served by
       // [[partitionStats]] without a manifest walk
       partitionStatistics: Seq[(Long, String)] = Seq.empty,
+      // v3 nanosecond-timestamp columns (read as ns longs; table is
+      // read-only to the writer — see [[nsColumnsOf]])
+      nsColumns: Set[String] = Set.empty,
       // spec "Table statistics": registered Puffin statistics files as
       // (snapshot-id, statistics-path) — written by
       // [[IcebergWrite.computeTableStats]] (exact per-column NDV blobs),
@@ -163,7 +166,8 @@ object IcebergIO {
 
   /** Iceberg schema JSON -> Spark StructType (primitives + struct/list/map;
     * spec: https://iceberg.apache.org/spec/#schemas-and-data-types). */
-  private[graft] def toSparkType(t: JsonNode): (DataType, Boolean) = {
+  private[graft] def toSparkType(t: JsonNode,
+                                 topLevel: Boolean = true): (DataType, Boolean) = {
     if (t.isTextual) {
       val s = t.asText()
       val dt = s match {
@@ -175,6 +179,16 @@ object IcebergIO {
         case "date"        => DateType
         case "timestamp"   => TimestampNTZType
         case "timestamptz" => TimestampType
+        // v3 nanosecond timestamps: Spark has NO nanosecond timestamp
+        // type, so the documented API boundary is ns-since-epoch LONGs
+        // (the same surface spark.sql.legacy.parquet.nanosAsLong gives
+        // plain parquet readers; readers of such tables get that conf
+        // set automatically — see [[dataBranches]]). READ-ONLY: the
+        // writer refuses data/eq-delete writes against ns columns
+        // (Spark cannot produce a NANOS-annotated value to store).
+        // Top-level only — a nested ns column would silently surface as
+        // an unexplained long, so it stays a loud unsupported.
+        case "timestamp_ns" | "timestamptz_ns" if topLevel => LongType
         case "string" | "uuid" => StringType
         case "binary"      => BinaryType
         // v3 semi-structured type: Spark's VariantType implements the
@@ -194,17 +208,17 @@ object IcebergIO {
     } else t.get("type").asText() match {
       case "struct" =>
         val fields = t.get("fields").elements().asScala.map { f =>
-          val (dt, _) = toSparkType(f.get("type"))
+          val (dt, _) = toSparkType(f.get("type"), topLevel = false)
           StructField(f.get("name").asText(), dt, nullable = !f.get("required").asBoolean())
         }.toArray
         (StructType(fields), false)
       case "list" =>
-        val (et, _) = toSparkType(t.get("element"))
+        val (et, _) = toSparkType(t.get("element"), topLevel = false)
         (ArrayType(et, containsNull = !t.get("element-required").asBoolean()), false)
       case "map" =>
-        val (kt, _) = toSparkType(t.get("key"))
+        val (kt, _) = toSparkType(t.get("key"), topLevel = false)
         require(kt == StringType, s"only string map keys supported, got $kt")
-        val (vt, _) = toSparkType(t.get("value"))
+        val (vt, _) = toSparkType(t.get("value"), topLevel = false)
         (MapType(StringType, vt, valueContainsNull = !t.get("value-required").asBoolean()), false)
       case other =>
         throw new IllegalArgumentException(s"unsupported Iceberg nested type: $other")
@@ -222,7 +236,25 @@ object IcebergIO {
     } else root.get("schema")
 
   private def schemaOf(root: JsonNode): StructType =
-    toSparkType(schemaNodeOf(root))._1.asInstanceOf[StructType]
+    // fields of the ROOT struct are the table's top-level columns —
+    // parse each with topLevel=true so ns timestamps are accepted as
+    // COLUMNS (LongType surface) but stay refused when nested deeper
+    StructType(schemaNodeOf(root).get("fields").elements().asScala.map { f =>
+      val (dt, _) = toSparkType(f.get("type"), topLevel = true)
+      StructField(f.get("name").asText(), dt,
+        nullable = !f.get("required").asBoolean())
+    }.toArray)
+
+  /** Top-level column names whose spec type is a NANOSECOND timestamp
+    * (`timestamp_ns` / `timestamptz_ns`) — they read as ns-since-epoch
+    * longs and make the table read-only to this engine's writer. */
+  private def nsColumnsOf(root: JsonNode): Set[String] =
+    schemaNodeOf(root).get("fields").elements().asScala.collect {
+      case f if f.get("type").isTextual &&
+          (f.get("type").asText() == "timestamp_ns" ||
+            f.get("type").asText() == "timestamptz_ns") =>
+        f.get("name").asText()
+    }.toSet
 
   /** Top-level field-id -> column-name map (the spec keys equality
     * deletes by field id, not name). */
@@ -402,7 +434,8 @@ object IcebergIO {
       snapshotLog, properties, defaultSpecId, specsById, partitionFieldIds,
       sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs,
       defaultsOf(root, schema, properties),
-      statsList("partition-statistics"), statsList("statistics"))
+      statsList("partition-statistics"), nsColumnsOf(root),
+      statsList("statistics"))
   }
 
   // ------------------------------------------------- field-id resolution
@@ -675,6 +708,13 @@ object IcebergIO {
     // manifest tuple (per-file constants), not from parquet — imported
     // files physically lack them. One branch per such spec (bounded by
     // the spec count, not the partition count).
+    // ns-timestamp columns read as longs only under Spark's legacy
+    // nanos conf — set it for the session on first touch (the conf's
+    // ONLY effect is turning the otherwise-ERRORING read of
+    // NANOS-annotated parquet into ns longs, so no working behavior
+    // changes; documented side effect of reading a ns table)
+    if (meta.nsColumns.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val inj = injectBySpec(meta)
     val (injected, plain0) = files.partition(f => inj.contains(f.specId))
     val (legacy, stamped) = legacySplit(meta, plain0)

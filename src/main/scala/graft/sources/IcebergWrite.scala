@@ -2630,6 +2630,12 @@ object IcebergWrite {
     * ids, name- and type-checked against the table schema. */
   private def resolveEqualityIds(values: DataFrame,
                                  meta: IcebergIO.TableMetadata): Seq[Int] = {
+    // eq-delete VALUES on a ns column would store plain INT64 under a
+    // timestamp_ns delete schema — same read-only boundary as data writes
+    val nsHit = values.columns.filter(meta.nsColumns.contains)
+    require(nsHit.isEmpty,
+      s"equality delete keys on nanosecond-timestamp columns " +
+        s"(${nsHit.sorted.mkString(", ")}) — read-only to this engine")
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
     values.schema.fields.toSeq.map { f =>
       val id = fieldIdByName.getOrElse(f.name,
@@ -3300,6 +3306,14 @@ object IcebergWrite {
                              meta: IcebergIO.TableMetadata, snapshotId: Long,
                              maxRecordsPerFile: Option[Long])
       : (Seq[NewFile], Seq[(String, DataType, Boolean)]) = {
+    // v3 ns-timestamp tables are READ-ONLY to this writer: Spark cannot
+    // produce a NANOS-annotated parquet value, so any data write would
+    // store a plain INT64 under a timestamp_ns schema — refused at the
+    // one staging choke point every data-writing verb routes through
+    require(meta.nsColumns.isEmpty,
+      s"table has nanosecond-timestamp columns " +
+        s"(${meta.nsColumns.toSeq.sorted.mkString(", ")}) — read-only to " +
+        "this engine (Spark has no nanosecond timestamp type)")
     val spark = df.sparkSession
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
 

@@ -2491,6 +2491,67 @@ class IcebergWriteSpec extends AnyFunSuite {
       Seq((2L, "b", 2.0)))
   }
 
+  test("timestamp_ns tables: read as ns longs, read-only to the writer") {
+    import org.apache.spark.sql.types._
+    val dir = s"$root/tsns"
+    val nsSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts_ns", LongType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "timestamp_ns").build())))
+    val w = new graft.sources.IcebergFixture.Writer(spark, dir, nsSchema)
+    val rows = Seq((1L, 1500000000123456789L), (2L, 1600000000987654321L))
+    val file = new java.io.File(s"$dir/data/ns-00001.parquet")
+    file.getParentFile.mkdirs()
+    graft.sources.IcebergFixture.writeNsParquet(
+      file.getAbsolutePath, "ts_ns", rows)
+    w.appendExternalFile(file, 2L)
+    // reads surface EXACT ns longs (the NANOS annotation would error a
+    // plain Spark read; the iceberg path sets the legacy conf itself)
+    val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === rows)
+    // SQL surface too (registered live view)
+    val g = graft.GraftSession.wrap(spark)
+    g.registerIceberg("tsns_sql", dir)
+    assert(g.sql("SELECT max(ts_ns) FROM tsns_sql").collect()
+      .head.getLong(0) === 1600000000987654321L)
+    // every data-writing verb refuses loudly (Spark cannot produce a
+    // NANOS-annotated value — a write would corrupt the column's type)
+    val df2 = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(org.apache.spark.sql.Row(3L, 1L))),
+      StructType(nsSchema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable))))
+    val eApp = intercept[IllegalArgumentException](
+      IcebergWrite.append(df2, dir))
+    assert(eApp.getMessage.contains("read-only"), eApp.getMessage)
+    intercept[IllegalArgumentException](
+      IcebergWrite.updateWhere(spark, dir, col("id") === 1L,
+        Map("ts_ns" -> org.apache.spark.sql.functions.lit(0L))))
+    intercept[IllegalArgumentException](
+      IcebergWrite.deleteEquality(
+        df2.select("ts_ns"), dir))
+    intercept[IllegalArgumentException](IcebergWrite.compact(spark, dir))
+    // a NESTED ns type stays a loud unsupported at schema parse
+    val badMeta = s"$root/tsns_nested"
+    GraftFs.mkdirs(s"$badMeta/metadata")
+    def put(path: String, text: String): Unit = {
+      val out = GraftFs.create(path)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val nested = GraftFs.readUtf8(IcebergIO.loadMetadata(dir).metadataFile)
+      .replace("\"timestamp_ns\"",
+        "{\"type\":\"struct\",\"fields\":[{\"id\":99,\"name\":\"x\"," +
+          "\"required\":true,\"type\":\"timestamp_ns\"}]}")
+    put(s"$badMeta/metadata/v1.metadata.json", nested)
+    put(s"$badMeta/metadata/version-hint.text", "1")
+    val eNested = intercept[IllegalArgumentException](
+      IcebergIO.loadMetadata(badMeta))
+    assert(eNested.getMessage.contains("unsupported"), eNested.getMessage)
+  }
+
   test("v3 variant column: write/read/typed access/DV delete/compact") {
     import org.apache.spark.sql.functions.expr
     val dir = s"$root/variant"
