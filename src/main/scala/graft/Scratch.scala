@@ -1,37 +1,26 @@
 package graft
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import graft.sources.{IcebergIO, IcebergWrite}
+import graft.operators.TextAnalysis
 
-/** Scratchpad main — overwrite freely. Current: merge on a TRUNCATED
-  * table (current snapshot, zero data files). */
+/** Scratchpad main — overwrite freely. Current: isolated timing of
+  * text_hashlin_classify at sf0.1 after the (doc, slot) collapse. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").appName("scratch").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val st = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("v", StringType, nullable = true)))
-    def rows(xs: (Long, String)*) = spark.createDataFrame(
-      new java.util.ArrayList[Row](
-        java.util.Arrays.asList(xs.map(x => Row(x._1, x._2)): _*)), st)
-    val dir = s"/tmp/scratch_trunc_${java.util.UUID.randomUUID().toString.take(8)}"
-    IcebergWrite.create(spark, dir, st)
-    IcebergWrite.append(rows(1L -> "a"), dir)
-    IcebergWrite.overwrite(rows(), dir) // truncate: zero live files
-    println("live rows after truncate: " + IcebergIO.read(spark, dir).count())
-    try {
-      IcebergWrite.merge(spark, dir, rows(2L -> "b"), Seq("id"), Seq(
-        IcebergWrite.WhenMatchedUpdate(Map("v" -> expr("s.v"))),
-        IcebergWrite.WhenNotMatchedInsert(Map(
-          "id" -> expr("s.id"), "v" -> expr("s.v")))))
-      println("merge ok; rows=" + IcebergIO.read(spark, dir).count())
-    } catch { case e: Throwable => println("MERGE FAILED: " + e) }
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      TextAnalysis.hashedLinearClassify(docs, "doc_id", "text", "lang",
+          buckets = 64, seed = "hl")
+        .write.format("noop").mode("overwrite").save()
+      println(s"iter $i: " + ((System.nanoTime() - t0) / 1e9))
+    }
     spark.stop()
   }
 }

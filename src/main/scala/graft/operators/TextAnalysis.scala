@@ -879,17 +879,23 @@ object TextAnalysis {
   def hashedLinearPredict(model: HashedLinearModel, docs: DataFrame,
                           idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collapse to (doc, slot, multiplicity) BEFORE the ×L label fan-out:
+    // a slot hit m times contributes m·w(slot,l) — one integer multiply,
+    // bit-equal to summing m occurrence rows, and the fan-out volume
+    // drops from features×L to distinct-slots×L (bounded by buckets)
     val feats = docs.select(col(idCol).as("id"),
-      explode(featureSlots(col(textCol), model.buckets, model.seed))
-        .as("slot"))
+        explode(featureSlots(col(textCol), model.buckets, model.seed))
+          .as("slot"))
+      .groupBy("id", "slot").agg(count(lit(1)).as("m"))
     val labels = model.clsTot.select(col("label"), col("ctot"))
     val scored = feats
       .crossJoin(broadcast(labels))
       .join(broadcast(model.bucketTok), Seq("label", "slot"), "left")
       .select(col("id"), col("label"),
-        round(log((coalesce(col("ctk"), lit(0L)) + lit(1L)).cast("double") /
-            (col("ctot") + lit(model.buckets.toLong + 1L)).cast("double"))
-          * 1e6).cast("long").as("lp_micro"))
+        (col("m") *
+          round(log((coalesce(col("ctk"), lit(0L)) + lit(1L)).cast("double") /
+              (col("ctot") + lit(model.buckets.toLong + 1L)).cast("double"))
+            * 1e6).cast("long")).as("lp_micro"))
       .groupBy("id", "label").agg(sum("lp_micro").as("feat_lp"))
       .join(broadcast(model.prior), Seq("label"))
       .select(col("id"), col("label"),
