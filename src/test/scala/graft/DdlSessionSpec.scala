@@ -259,6 +259,24 @@ class DdlSessionSpec extends AnyFunSuite {
         DmlSql.WhenInsert(None, Nil, Nil, true)))) =>
       case other => fail(s"unexpected parse: $other")
     }
+    // BY SOURCE clauses parse (DELETE, conditional UPDATE SET, and the
+    // explicit BY TARGET spelling of the plain NOT MATCHED)
+    DmlSql.parse("MERGE INTO a t USING b s ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v = 'gone' THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET y = 'stale' " +
+      "WHEN NOT MATCHED BY TARGET THEN INSERT *") match {
+      case Some(DmlSql.Merge("a", "b", Seq("k"), "t", "s", cs)) =>
+        assert(cs === Seq(
+          DmlSql.WhenSourceDelete(Some("t.v = 'gone'")),
+          DmlSql.WhenSourceUpdate(None, Seq("y" -> "'stale'")),
+          DmlSql.WhenInsert(None, Nil, Nil, star = true)))
+      case other => fail(s"unexpected parse: $other")
+    }
+    // BY SOURCE supports UPDATE SET / DELETE only (no INSERT — there is
+    // no source row)
+    intercept[IllegalArgumentException](DmlSql.parse(
+      "MERGE INTO a t USING b s ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE THEN INSERT *"))
     // guards: NOT MATCHED + DELETE, MATCHED + INSERT, count mismatch
     intercept[IllegalArgumentException](DmlSql.parse(
       "MERGE INTO a t USING b s ON t.k = s.k WHEN NOT MATCHED THEN DELETE"))
