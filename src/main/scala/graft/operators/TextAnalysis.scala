@@ -926,6 +926,22 @@ object TextAnalysis {
     * features) × L longs. */
   def hashedLinearPredictFold(model: HashedLinearModel, docs: DataFrame,
                               idCol: String, textCol: String): DataFrame = {
+    val (scores, labels) = hashedLinearScoreArray(model, col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), scores.as("scores"))
+      .select(col("id"),
+        nbPredFromScores(col("scores"), labels).as("pred"),
+        array_max(col("scores")).as("score_micro"))
+  }
+
+  /** The per-row hashed-linear score ARRAY (one micro-nat score per
+    * label, labels sorted ascending) over a text Column — the
+    * [[nbScoreArray]] twin: the model collapses to ONE slot→weights map
+    * literal plus default and prior arrays, the score is a single fold
+    * over the feature-slot array. Shared by [[hashedLinearPredictFold]]
+    * and the streaming curation gate. */
+  def hashedLinearScoreArray(model: HashedLinearModel,
+                             text: Column): (Column, Seq[String]) = {
     def micro(num: Long, den: Long): Long =
       BigDecimal(Math.log(num.toDouble / den.toDouble) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
@@ -949,15 +965,11 @@ object TextAnalysis {
     val lut = typedLit(slotMap)
     val dflt = typedLit(defaultArr)
     val scores = aggregate(
-      featureSlots(col(textCol), model.buckets, model.seed),
+      featureSlots(text, model.buckets, model.seed),
       typedLit(priorArr),
       (acc, s) => zip_with(acc,
         coalesce(element_at(lut, s), dflt), (a, b) => a + b))
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), scores.as("scores"))
-      .select(col("id"),
-        nbPredFromScores(col("scores"), labels).as("pred"),
-        array_max(col("scores")).as("score_micro"))
+    (scores, labels)
   }
 
   /** Persist a trained [[HashedLinearModel]] under `dir` (the same

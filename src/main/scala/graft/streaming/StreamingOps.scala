@@ -213,7 +213,10 @@ object StreamingOps {
     *  4. OPTIONAL Naive-Bayes class gate (`nbGate` — a batch-trained
     *     [[graft.operators.TextAnalysis.NbModel]] plus the label set to
     *     keep; the prediction is the same per-row fold + argmax as
-    *     [[nbPredictStream]], bit-equal to the batch `nbPredict`);
+    *     [[nbPredictStream]], bit-equal to the batch `nbPredict`) — or
+    *     the hashed-linear twin (`hlGate`, a
+    *     [[graft.operators.TextAnalysis.HashedLinearModel]]); at most
+    *     one classifier gate (both emit `pred`);
     *  5. PII redaction (email/IP/phone → placeholder tokens) on the
     *     text that survives.
     *
@@ -250,6 +253,8 @@ object StreamingOps {
                    nbGate: Option[(graft.operators.TextAnalysis.NbModel,
                      Set[String])] = None,
                    html: Option[graft.operators.HtmlExtract.HtmlRules] = None,
+                   hlGate: Option[(graft.operators.TextAnalysis.HashedLinearModel,
+                     Set[String])] = None,
                    decontam: Option[(Seq[String], Int, Int)] = None,
                    resample: Option[(String, String)] = None,
                    split: Option[Seq[(String, Long)]] = None): DataFrame = {
@@ -265,11 +270,21 @@ object StreamingOps {
       .filter(col("lang") === "en" && col("quality") >= minQuality)
       .transform(d => gopher.fold(d)(rules =>
         d.filter(TextAnalysis.gopherKeep(col(textCol), rules))))
-    val withPred = nbGate match {
+    require(nbGate.isEmpty || hlGate.isEmpty,
+      "at most one classifier gate (nbGate / hlGate) — both emit `pred`")
+    val scoreGate: Option[(org.apache.spark.sql.Column, Seq[String], Set[String])] =
+      nbGate.map { case (m, keep) =>
+        val (sc, ls) = TextAnalysis.nbScoreArray(m, col(textCol))
+        (sc, ls, keep)
+      }.orElse(hlGate.map { case (m, keep) =>
+        val (sc, ls) = TextAnalysis.hashedLinearScoreArray(m, col(textCol))
+        (sc, ls, keep)
+      })
+    val withPred = scoreGate match {
       case None => gated
-      case Some((model, keepLabels)) =>
-        require(keepLabels.nonEmpty, "nbGate needs at least one keep label")
-        val (scores, labels) = TextAnalysis.nbScoreArray(model, col(textCol))
+      case Some((scores, labels, keepLabels)) =>
+        require(keepLabels.nonEmpty,
+          "a classifier gate needs at least one keep label")
         gated
           .withColumn("__nb_scores", scores)
           .withColumn("pred",
@@ -287,7 +302,7 @@ object StreamingOps {
     val cols =
       Seq(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
         col("quality")) ++
-        (if (nbGate.isDefined) Seq(col("pred")) else Nil) ++
+        (if (scoreGate.isDefined) Seq(col("pred")) else Nil) ++
         Seq(Curation.piiRedact(col(textCol)).as("text")) ++
         split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split"))
     sampled.select(cols: _*)

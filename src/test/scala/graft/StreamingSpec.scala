@@ -619,6 +619,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._3).size > 1 || batch.size < 5) // splits present
   }
 
+  test("curateStream hlGate ≡ batch hashed-linear filter (and excludes nbGate)") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    val model = TextAnalysis.hashedLinearTrain(docsDf, "doc_id", "text",
+      "lang", buckets = 64)
+    val keepLabels = Set("en", "de")
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(uniq.collect().map(r => (r.getLong(0), ts, r.getString(1)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      hlGate = Some((model, keepLabels)))
+    StreamingOps.runToMemory(curated, "curate_hl", OutputMode.Append())
+    val streamed = spark.table("curate_hl").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5))).toSet
+    // batch replay: lang/quality gates then the hashed-linear argmax
+    val base = uniq.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05)
+    val preds = TextAnalysis.hashedLinearPredict(model, base, "doc_id", "text")
+      .filter(col("pred").isin(keepLabels.toSeq.sorted: _*))
+      .select(col("id").as("doc_id"), col("pred"))
+    val batch = base.join(preds, Seq("doc_id"))
+      .select(col("doc_id"), col("pred"),
+        Curation.piiRedact(col("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(batch.size < base.count(), "hl label gate dropped nothing")
+    // the two classifier gates are mutually exclusive (both emit pred)
+    val nb = TextAnalysis.nbTrain(docsDf, "doc_id", "text", "lang", 20)
+    val e = intercept[IllegalArgumentException](StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      nbGate = Some((nb, keepLabels)), hlGate = Some((model, keepLabels))))
+    assert(e.getMessage.contains("at most one"), e.getMessage)
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
