@@ -75,6 +75,15 @@ final class GraftSession private (val spark: SparkSession) {
     * @param statsFilter     (column, op, value) predicates pruned against
     *                        manifest min/max column bounds at planning
     *                        time (op in `= < <= > >=`)
+    *
+    * Side effect (all Iceberg read surfaces, incl. [[registerIceberg]]):
+    * the first read of a table with a v3 `timestamp_ns` column sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` for the REST OF THE
+    * SESSION — required because Spark re-reads that conf at every scan
+    * execution (a scoped set/restore would break this table's own lazy
+    * reads, and the parquet source clobbers per-relation options). Its
+    * only effect is that unrelated plain-parquet reads of
+    * NANOS-annotated files then return ns longs instead of erroring.
     */
   def readIceberg(path: String, snapshotId: Option[Long] = None,
                   asOfTimestampMs: Option[Long] = None,

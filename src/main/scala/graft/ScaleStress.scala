@@ -56,7 +56,11 @@ object ScaleStress {
     "text_nb_classify", "text_tfidf_keywords", "embed_bq_hamming",
     // round-16: HTML extraction (pure per-row regex + list arithmetic —
     // the canonical zero-exchange projection, must scale ~linearly)
-    "text_html_extract")
+    "text_html_extract",
+    // round-17: the COMPOSED crawl head — extract → hashed-linear
+    // classify (trained on the extracted corpus) → exact mixture; every
+    // stage is row- or model-bound, so the composition must too
+    "pipe_html_classify_mix")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join
@@ -229,8 +233,11 @@ object ScaleStress {
     // row-bound, so wall time must grow far sub-linearly in the file
     // count. Fresh table per trial (deleteWhere mutates); only the
     // delete commit is timed.
-    def dvDeleteTime(buckets: Int): Double =
-      (1 to 2).map { trial =>
+    // Returns (min wall time, the LAST trial's table dir) — the dir is
+    // handed to the lineage-read block explicitly so that block can
+    // never silently time a stale /tmp table from a previous run.
+    def dvDeleteTime(buckets: Int): (Double, String) = {
+      val trials = (1 to 2).map { trial =>
         val dir = s"/tmp/graft_scale_dv_${buckets}_$trial"
         graft.sources.IcebergFixture.deleteRecursively(dir)
         val sdf = spark.read.parquet(s"$src/orders.parquet")
@@ -242,10 +249,12 @@ object ScaleStress {
         val t0 = System.nanoTime()
         graft.sources.IcebergWrite.deleteWhere(spark, dir,
           pmod(col("o_orderkey"), lit(10L)) === 0L): Unit
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    val dvSmall = dvDeleteTime(20)
-    val dvLarge = dvDeleteTime(200)
+        ((System.nanoTime() - t0) / 1e9, dir)
+      }
+      (trials.map(_._1).min, trials.last._2)
+    }
+    val (dvSmall, dvSmallDir) = dvDeleteTime(20)
+    val (dvLarge, dvLargeDir) = dvDeleteTime(200)
     val dvRatio = dvLarge / math.max(dvSmall, 1e-3)
     val dvThreshold = 6.0 // 10x files, same rows; O(files) bitmap+manifest
     val dvSuspect = dvLarge > 0.5 && dvRatio >= dvThreshold
@@ -257,8 +266,11 @@ object ScaleStress {
     // tables (20 vs 200 files holding the SAME rows, one DV each), so
     // the lineage read also pays the DV anti-join exactly as a live
     // table would. The agg forces both lineage columns to materialize.
-    def lineageReadTime(buckets: Int): Double = {
-      val dir = s"/tmp/graft_scale_dv_${buckets}_2"
+    // Dirs come FROM the dv block's return value (created this run),
+    // never re-derived by name.
+    def lineageReadTime(dir: String): Double = {
+      require(new java.io.File(dir, "metadata").isDirectory,
+        s"lineage-read block handed a non-table dir: $dir")
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.sources.IcebergIO.readWithRowId(spark, dir)
@@ -268,8 +280,8 @@ object ScaleStress {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val lrSmall = lineageReadTime(20)
-    val lrLarge = lineageReadTime(200)
+    val lrSmall = lineageReadTime(dvSmallDir)
+    val lrLarge = lineageReadTime(dvLargeDir)
     val lrRatio = lrLarge / math.max(lrSmall, 1e-3)
     val lrThreshold = 6.0 // 10x files, same rows; O(files) map + open cost
     val lrSuspect = lrLarge > 0.5 && lrRatio >= lrThreshold
@@ -389,6 +401,30 @@ object ScaleStress {
     val mtThreshold = skewThreshold
     val mtSuspect = mtCutSkew > 0.5 && mtRatio >= mtThreshold
 
+    // Connected-components DIAMETER stress: a shuffled path graph is the
+    // adversarial shape for component labeling (diameter = n-1; plain
+    // min-label propagation needs O(n) rounds). The large/small-star
+    // alternation must converge in O(log n) ALTERNATIONS — 10x the
+    // nodes may add only ~log(10)≈3-4 alternations, never 10x. Rounds
+    // are the gated quantity (wall time recorded as evidence; per-round
+    // cost is edge-bound and machine-noisy at this tiny edge count).
+    def ccPath(n: Int): (Double, Int) = {
+      val rnd = new scala.util.Random(13)
+      val perm = rnd.shuffle((0L until n.toLong).toVector)
+      import spark.implicits._
+      val pairs = perm.sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("a", "b").repartition(32)
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+        .write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9,
+        graft.operators.Dedup.lastCcRounds.get())
+    }
+    val (ccSmallSec, ccSmallRounds) = ccPath(2000)
+    val (ccLargeSec, ccLargeRounds) = ccPath(20000)
+    val ccRoundSlack = 4 // log2(10x) + headroom
+    val ccSuspect = ccLargeRounds > ccSmallRounds + ccRoundSlack
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -430,6 +466,10 @@ object ScaleStress {
       s""""cut_skew_sec":${jnum(mtCutSkew)},"cut_balanced_sec":${jnum(mtCutBal)},""" +
       s""""ratio":${jnum(mtRatio)},"threshold":${jnum(mtThreshold)},""" +
       s""""suspect":${mtSuspect}},""" +
+      s""""cc_path":{"nodes_small":2000,"nodes_large":20000,""" +
+      s""""sec_small":${jnum(ccSmallSec)},"sec_large":${jnum(ccLargeSec)},""" +
+      s""""rounds_small":$ccSmallRounds,"rounds_large":$ccLargeRounds,""" +
+      s""""round_slack":$ccRoundSlack,"suspect":${ccSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

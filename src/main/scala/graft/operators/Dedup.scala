@@ -356,27 +356,42 @@ object Dedup {
     * labeled by its minimum member id, so a keep-one-representative
     * filter is a single `id === comp` predicate.
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labeled with its own id; each round replaces a node's label with
-    * the min of its own and its neighbors' labels. The minimum id of a
-    * component reaches every member in at most `diameter` rounds — and
-    * dedup graphs are near-cliques (duplicate clusters), so the loop
-    * converges in a handful of rounds even at corpus scale. Each round
-    * is one shuffled join + one aggregate, all distributed; the driver
-    * sees ONLY the per-round changed-label count (a scalar), never row
-    * data. Labels are persisted per round and the previous round is
-    * unpersisted, so peak footprint is two (id, comp) frames.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"). Each round rewires the EDGE SET toward a star per
+    * component rooted at the component's minimum id: large-star hangs
+    * every neighbor LARGER than a node off the minimum of the node's
+    * closed neighborhood, small-star does the same for the smaller
+    * neighbors. Both operations provably preserve connectivity, the
+    * component minimum is a fixpoint, and the alternation converges in
+    * O(log n) rounds on ANY graph shape — a path/chain graph (the
+    * worst case that forces min-label propagation into O(diameter)
+    * rounds) stars up exponentially fast. Each round is one groupBy
+    * aggregate + one join, all distributed; the driver sees only
+    * per-round scalar counts, never row data. The per-round frame is
+    * persisted and the previous round unpersisted, so peak footprint
+    * is two edge frames.
     *
-    * Fails loudly (rather than returning a partial labeling) if
-    * `maxIter` rounds don't converge — a graph with diameter > maxIter
-    * is not a dedup-cluster shape and the caller should raise the bound
-    * deliberately.
+    * Converged = one full (large, small) alternation leaves the edge
+    * set a fixpoint of BOTH phases (every node's neighborhood already
+    * hangs off its minimum); at that point the edges ARE the stars and
+    * the labels read off as `min(id, min neighbor)`. Fails loudly
+    * (rather than returning a partial labeling) if `maxIter`
+    * alternations don't converge.
     *
     * Returns (id, comp): every id that appears in `pairs`, labeled with
-    * the minimum id reachable from it. Reference semantics analog:
-    * duplicate-cluster grouping in web-scale dedup pipelines (the
-    * reference engine has no graph surface; this is the Spark-native
-    * completion of its dedup story). */
+    * the minimum id reachable from it — identical labels to min-label
+    * propagation (both compute the component minimum), in
+    * exponentially fewer rounds on high-diameter graphs. Reference
+    * semantics analog: duplicate-cluster grouping in web-scale dedup
+    * pipelines (the reference engine has no graph surface; this is the
+    * Spark-native completion of its dedup story). */
+  /** Diagnostic hook (scale harness / specs only, NOT operator
+    * contract): number of (large, small) alternations the most recent
+    * [[connectedComponents]] call on this JVM took to converge. */
+  private[graft] val lastCcRounds =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -386,45 +401,103 @@ object Dedup {
     // join + Jaccard verification) both branches would recompute it —
     // measured 2× the whole pair pipeline at sf0.1. One pass, then the
     // tiny edge list persists and feeds every round.
-    val edges = pairs
+    val edges0 = pairs
       .select(explode(array(
         struct(col(aCol).as("u"), col(bCol).as("v")),
         struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(lvl)
-    // `persisted` tracks the CACHED frame of the current round (labels may
-    // be a projection of it, and unpersist on a derived frame is a no-op).
-    var persisted = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .persist(lvl)
-    var labels = persisted
-    var changed = 1L
+    // node set pinned up front: star rounds drop already-starred leaf
+    // edges' duplicates, but every original node must surface in the
+    // final labeling even if its component fully contracts early
+    val nodes = edges0.select(col("u").as("id")).distinct().persist(lvl)
+    nodes.count(): Unit
+
+    // one star phase over the SYMMETRIZED current edges: hang each
+    // neighbor on `side` of u off m(u) = min of u's CLOSED neighborhood;
+    // the small phase also emits u's own (u, m(u)) edge — the paper's
+    // Γ⁺ includes u, and dropping it would lose a leaf whose only
+    // neighbor is its (smaller) root. Self-loops drop. Emitted edges
+    // are kept canonical (child, root: u > v) and distinct — the frame
+    // stays one row per undirected edge.
+    def phase(sym: DataFrame, large: Boolean): DataFrame = {
+      val m = sym.groupBy("u")
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val sel = if (large) col("v") > col("u") else col("v") < col("u")
+      val hung = sym.join(m, "u")
+        .filter(sel)
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+      val own = if (large) hung
+        else hung.unionByName(
+          m.select(col("u"), col("m").as("v"))) // u >= m by construction
+      own.filter(col("u") =!= col("v")).distinct()
+    }
+    def symmetrize(e: DataFrame): DataFrame = e
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // exact set-difference count — edge lists are pair-scale (verified
+    // near-dup pairs), orders of magnitude below the corpus, so the
+    // convergence check is cheap relative to the phases themselves
+    def diff(a: DataFrame, b: DataFrame): Long =
+      a.join(b, Seq("u", "v"), "left_anti").count() +
+        b.join(a, Seq("u", "v"), "left_anti").count()
+
+    // canonical initial edge set (child, root) ordered u > v.
+    // LINEAGE DISCIPLINE: every round's frame is EAGERLY
+    // local-checkpointed, not merely persisted — each phase references
+    // its input 2-3 times (min-aggregate join + the small phase's own
+    // union) and the convergence diff twice more, so the LOGICAL plan
+    // of round r would reference round r-1's plan multiply and grow
+    // EXPONENTIALLY; persist caches data but the analyzer/optimizer
+    // still walks the full tree every round (measured: the first
+    // un-checkpointed variant hung the optimizer before round 10 on a
+    // 200-node path). The checkpoint truncates the plan to an RDD scan;
+    // edge frames are pair-scale (verified near-dup pairs), so the
+    // executor-local blocks are negligible next to the corpus.
+    var cur = edges0
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    edges0.unpersist()
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
-      // min neighbor label per node, folded into the node's own label.
-      // The OLD label rides along in the persisted frame so the
-      // convergence check is a filter+count over it, not a third join
-      // back against the previous round.
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("comp").as("vc")), "v")
-        .groupBy("u").agg(min(col("vc")).as("nc"))
-      val next = labels
-        .join(nbrMin.select(col("u").as("id"), col("nc")), Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .persist(lvl)
-      changed = next.filter(col("comp") =!= col("old")).count()
-      persisted.unpersist()
-      persisted = next
-      labels = next.select(col("id"), col("comp"))
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val t0 = System.nanoTime()
+      val afterLarge = phase(symmetrize(cur), large = true)
+        .localCheckpoint(true)
+      val afterSmall = phase(symmetrize(afterLarge), large = false)
+        .localCheckpoint(true)
+      val d1 = diff(cur, afterLarge)
+      val d2 = diff(afterLarge, afterSmall)
+      converged = d1 == 0 && d2 == 0
+      if (sys.props.contains("graft.cc.debug") ||
+          sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"cc round $rounds d1=$d1 d2=$d2 " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      cur.unpersist()
+      afterLarge.unpersist()
+      cur = afterSmall
       rounds += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter if the pair " +
-        "graph genuinely has that diameter")
-    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter " +
+        "large/small-star alternations — pathological id space; raise " +
+        "maxIter deliberately")
+    lastCcRounds.set(rounds)
+    // at the star fixpoint every edge is (leaf, root): a node's label is
+    // the min over its closed neighborhood; contracted-away nodes keep
+    // their root via the canonical (u > v) edge they last appeared in
+    val fromEdges = symmetrize(cur)
+      .groupBy("u").agg(least(col("u"), min(col("v"))).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+    val labels = nodes
+      .join(fromEdges, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     labels
   }
 

@@ -879,6 +879,19 @@ object TextAnalysis {
   def hashedLinearPredict(model: HashedLinearModel, docs: DataFrame,
                           idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("label"))
+    hashedLinearScored(model, docs, idCol, textCol)
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score_micro"))
+  }
+
+  /** Per-(doc, label) micro-nat score frame — the join-form inference
+    * body shared by [[hashedLinearPredict]] (argmax on top) and
+    * [[hashedLinearMargin]] (target-vs-best-other margin on top). */
+  private def hashedLinearScored(model: HashedLinearModel, docs: DataFrame,
+                                 idCol: String, textCol: String): DataFrame = {
     // collapse to (doc, slot, multiplicity) BEFORE the ×L label fan-out:
     // a slot hit m times contributes m·w(slot,l) — one integer multiply,
     // bit-equal to summing m occurrence rows, and the fan-out volume
@@ -888,7 +901,7 @@ object TextAnalysis {
           .as("slot"))
       .groupBy("id", "slot").agg(count(lit(1)).as("m"))
     val labels = model.clsTot.select(col("label"), col("ctot"))
-    val scored = feats
+    feats
       .crossJoin(broadcast(labels))
       .join(broadcast(model.bucketTok), Seq("label", "slot"), "left")
       .select(col("id"), col("label"),
@@ -900,11 +913,72 @@ object TextAnalysis {
       .join(broadcast(model.prior), Seq("label"))
       .select(col("id"), col("label"),
         (col("feat_lp") + col("prior_micro")).as("score_micro"))
-    val byDoc = Window.partitionBy("id")
-      .orderBy(col("score_micro").desc, col("label"))
-    scored.withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("label").as("pred"), col("score_micro"))
+  }
+
+  /** Binary-selection MARGIN of `target` against the best OTHER label,
+    * in exact integer micro-nats: `score(target) − max_{l≠target}
+    * score(l)` per document — positive means the classifier would pick
+    * `target`. This is the quantity a DCLM-style data-selection
+    * pipeline thresholds on (argmax alone cannot trade precision
+    * against recall). Same scale shape as [[hashedLinearPredict]]:
+    * broadcast model joins, one doc-grain aggregate, no new shuffle
+    * beyond the scored frame's. A document whose margin cannot be
+    * formed (target label or all other labels absent from the model)
+    * fails loudly rather than scoring NULL. */
+  def hashedLinearMargin(model: HashedLinearModel, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         target: String): DataFrame =
+    hashedLinearScored(model, docs, idCol, textCol)
+      .groupBy("id")
+      .agg((max(when(col("label") === target, col("score_micro"))) -
+        max(when(col("label") =!= target, col("score_micro"))))
+        .as("margin"))
+      .filter(when(col("margin").isNull,
+        raise_error(lit(s"hashedLinearMargin: target '$target' or all " +
+          "other labels absent from the model")).cast("boolean"))
+        .otherwise(lit(true)))
+
+  /** Classifier calibration: the threshold sweep a selection pipeline
+    * runs before choosing its operating point. For each candidate
+    * threshold, a row is SELECTED iff `scoreCol >= thr`; the sweep
+    * returns exact TP/FP/FN counts against the boolean `positiveCol`
+    * plus integer micro-unit precision (`1e6·tp/(tp+fp)`, defined as
+    * 1e6 for an empty selection) and recall (`1e6·tp/(tp+fn)`, 1e6
+    * when no positives exist). Scale shape: thresholds are a tiny
+    * literal list — the explode fans each row into |T| flag tuples
+    * that partial aggregation collapses map-side to |T| rows per
+    * partition, so the shuffle carries |T|×partitions rows regardless
+    * of corpus size. NULL scores/labels fail loudly (a silent drop
+    * would skew every count). */
+  def calibrationSweep(scored: DataFrame, scoreCol: String,
+                       positiveCol: String,
+                       thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "calibrationSweep needs >= 1 threshold")
+    require(thresholds == thresholds.distinct.sorted,
+      "thresholds must be strictly increasing")
+    scored
+      .select(col(scoreCol).cast("long").as("__gf_s"),
+        col(positiveCol).cast("boolean").as("__gf_p"))
+      .filter(when(col("__gf_s").isNull || col("__gf_p").isNull,
+        raise_error(lit("calibrationSweep: NULL score or label")))
+        .otherwise(lit(true)).cast("boolean"))
+      .select(explode(typedLit(thresholds)).as("thr"),
+        col("__gf_s"), col("__gf_p"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("__gf_s") >= col("thr") && col("__gf_p"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__gf_s") >= col("thr") && !col("__gf_p"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__gf_s") < col("thr") && col("__gf_p"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(1000000L))
+          .otherwise(expr("tp * 1000000L div (tp + fp)"))
+          .as("precision_micro"),
+        when(col("tp") + col("fn") === 0L, lit(1000000L))
+          .otherwise(expr("tp * 1000000L div (tp + fn)"))
+          .as("recall_micro"))
   }
 
   /** Train-and-self-classify in one plan (the oracle-able composition;

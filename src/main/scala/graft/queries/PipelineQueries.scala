@@ -2352,7 +2352,12 @@ object PipelineQueries {
     * likelihood over the hashed space — SQL-replayable where fastText's
     * SGD is not), linear micro-nat inference, argmax ties to the
     * smallest label. The oracle replays training AND inference. */
-  val textHashlinClassify = dfQ("text_hashlin_classify",
+  /** Hashed-linear training + per-(doc, label) scoring replay over the
+    * raw `documents` corpus (B=64, seed "hl", lang labels) up through
+    * `bydl` + `prior` — SHARED by [[textHashlinClassify]] (argmax on
+    * top) and [[textClassifyCalibrate]] (margin sweep on top) so the
+    * two replays cannot drift. */
+  private val hlDocScoreCtes: String =
     """WITH t AS (
       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
       |  FROM documents),
@@ -2388,7 +2393,10 @@ object PipelineQueries {
       |  LEFT JOIN bucktok bt ON bt.label = l.label AND bt.slot = s.slot),
       |bydl AS (
       |  SELECT doc_id, label, CAST(SUM(lp_micro) AS BIGINT) AS feat_lp
-      |  FROM scored GROUP BY 1, 2),
+      |  FROM scored GROUP BY 1, 2)""".stripMargin
+
+  val textHashlinClassify = dfQ("text_hashlin_classify", hlDocScoreCtes +
+    """,
       |ranked AS (
       |  SELECT doc_id, b.label,
       |    feat_lp + prior_micro AS score_micro,
@@ -2401,6 +2409,50 @@ object PipelineQueries {
         "lang", buckets = 64, seed = "hl")
       .select(col("id").as("doc_id"), col("pred"), col("score_micro"))
       .orderBy("doc_id")
+  }
+
+  /** Classifier CALIBRATION sweep ([[TextAnalysis.hashedLinearMargin]] +
+    * [[TextAnalysis.calibrationSweep]]): the DCLM-style data-selection
+    * workflow — score every doc's 'en'-vs-best-other micro-nat margin,
+    * then exact TP/FP/FN + integer precision/recall at each candidate
+    * threshold. The oracle replays training, the margin and the whole
+    * sweep; monotone recall across thresholds falls out of the pinned
+    * rows. */
+  val textClassifyCalibrate = dfQ("text_classify_calibrate",
+    hlDocScoreCtes +
+    """,
+      |sc AS (SELECT b.doc_id, b.label, feat_lp + prior_micro AS sc
+      |  FROM bydl b JOIN prior USING (label)),
+      |marg AS (SELECT doc_id,
+      |    CAST(MAX(CASE WHEN label = 'en' THEN sc END)
+      |      - MAX(CASE WHEN label <> 'en' THEN sc END) AS BIGINT) AS margin
+      |  FROM sc GROUP BY doc_id),
+      |lbl AS (SELECT m.doc_id, m.margin, d.lang = 'en' AS pos
+      |  FROM marg m JOIN documents d USING (doc_id)),
+      |thr(thr) AS (VALUES (-2000000), (-1000000), (-500000), (-200000),
+      |  (0), (200000), (1000000)),
+      |cnt AS (SELECT thr,
+      |    CAST(SUM(CASE WHEN margin >= thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN margin >= thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN margin < thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |  FROM lbl CROSS JOIN thr GROUP BY thr)
+      |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+      |  CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)
+      |    ELSE tp * 1000000 // (tp + fp) END AS precision_micro,
+      |  CASE WHEN tp + fn = 0 THEN CAST(1000000 AS BIGINT)
+      |    ELSE tp * 1000000 // (tp + fn) END AS recall_micro
+      |FROM cnt ORDER BY thr""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val marg = TextAnalysis.hashedLinearMargin(model, docs, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(
+      docs.select(col("doc_id").as("id"), (col("lang") === "en").as("pos")),
+      Seq("id"))
+    TextAnalysis.calibrationSweep(scored, "margin", "pos",
+        Seq(-2000000L, -1000000L, -500000L, -200000L, 0L, 200000L, 1000000L))
+      .orderBy("thr")
   }
 
   // ---- HTML → text extraction (round 16) ------------------------------
@@ -2614,15 +2666,13 @@ object PipelineQueries {
       .orderBy("id")
   }
 
-  /** The COMPLETE crawl-pipeline head as one oracle: raw HTML pages →
-    * boilerplate-stripped text → hashed-linear domain classification
-    * (trained on the extracted text) → exact domain-weighted mixture.
-    * Every stage is individually oracled above; this entry pins their
-    * COMPOSITION — extraction output feeds training AND inference, and
-    * the mixture draws on predicted (not source) labels. */
-  val pipeHtmlClassifyMix = dfQ("pipe_html_classify_mix", htmlCtes +
-    """,
-      |t2 AS (
+  /** Hashed-linear classification replayed over `extracted` (train on
+    * ALL extracted docs with their source lang labels, B=64 slots, seed
+    * "hl", argmax predict) — produces `preds(doc_id, pred)`. SHARED by
+    * [[pipeHtmlClassifyMix]] and [[pipeCrawlIceberg]] so the two
+    * chains' classification replays cannot drift apart. */
+  private val hlPredsCtes: String =
+    """t2 AS (
       |  SELECT e.id AS doc_id, d.lang, string_split(lower(e.text), ' ') AS w
       |  FROM extracted e JOIN documents d ON d.doc_id = e.id),
       |feats AS (
@@ -2663,7 +2713,17 @@ object PipelineQueries {
       |    ROW_NUMBER() OVER (PARTITION BY doc_id
       |      ORDER BY feat_lp + prior_micro DESC, b.label) AS rn
       |  FROM bydl b JOIN prior USING (label)),
-      |preds AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1),
+      |preds AS (SELECT doc_id, label AS pred FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** The COMPLETE crawl-pipeline head as one oracle: raw HTML pages →
+    * boilerplate-stripped text → hashed-linear domain classification
+    * (trained on the extracted text) → exact domain-weighted mixture.
+    * Every stage is individually oracled above; this entry pins their
+    * COMPOSITION — extraction output feeds training AND inference, and
+    * the mixture draws on predicted (not source) labels. */
+  val pipeHtmlClassifyMix = dfQ("pipe_html_classify_mix", htmlCtes +
+    ",\n" + hlPredsCtes +
+    """,
       |wt(pred, wv) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
       |c AS (SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS n, wv
       |      FROM preds p JOIN wt ON p.pred = wt.pred GROUP BY p.pred, wv),
@@ -2691,6 +2751,167 @@ object PipelineQueries {
       .orderBy("pred", "doc_id")
   }
 
+  /** THE end-to-end crawl→Iceberg pipeline as ONE verified chain
+    * (VERDICT-r16 #1): synthetic crawl HTML → boilerplate-stripped text
+    * ([[graft.operators.HtmlExtract]]) → Gopher quality gate → MinHash
+    * near-dup removal (drop the higher id of each verified pair) →
+    * doc-grain decontamination against the eval split (id%17=0, 8-gram
+    * windows) → hashed-linear domain classification (trained on the
+    * extracted corpus) → exact domain-weighted mixture → importance
+    * resampling → train/val hash split → WRITTEN to a partitioned v3
+    * Iceberg table (initial append, then a `preserveLineage` upsert
+    * bumping rev on even doc_ids) → READ BACK via `readWithRowId`.
+    *
+    * The oracle replays every curation stage to predict the final table
+    * CONTENT (write verified by read-back equality), and the lineage
+    * columns are pinned through oracle-predictable INVARIANTS instead
+    * of raw ids (id assignment order is the writer's): `id_stable` — a
+    * row's `_row_id` after the update burst equals its id after the
+    * initial load (1 for every row: matched keys keep identity through
+    * the preserving upsert, untouched rows derive the same id) —
+    * `lseq_adv` — `_last_updated_sequence_number` advanced exactly for
+    * the updated (even) keys — and `id_uniq` — no two rows share a
+    * `_row_id`. */
+  val pipeCrawlIceberg = dfQ("pipe_crawl_iceberg", htmlCtes +
+    """,
+      |gt AS (SELECT id AS doc_id, text,
+      |    string_split(lower(text), ' ') AS w FROM extracted),
+      |gm AS (SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM gt),
+      |gkept AS (SELECT doc_id, text, n_words FROM gm
+      |  WHERE n_words >= 30 AND n_words <= 90
+      |    AND n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+      |    AND n_sym * 10 <= n_words),
+      |""".stripMargin +
+    minhashCtes.replace(
+      "SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM documents",
+      "SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM gkept") +
+    """,
+      |dd AS (SELECT g.* FROM gkept g
+      |  WHERE NOT EXISTS (SELECT 1 FROM pairsj p WHERE p.b_id = g.doc_id)),
+      |evtoks AS (SELECT id, string_split(lower(text), ' ') AS w
+      |  FROM extracted WHERE id % 17 = 0),
+      |evshi AS (SELECT id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM evtoks WHERE len(w) >= 8),
+      |evsh AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS sh FROM evshi),
+      |trtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM dd WHERE doc_id % 17 <> 0),
+      |trshi AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM trtoks WHERE len(w) >= 8),
+      |trsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM trshi),
+      |contam AS (SELECT DISTINCT doc_id FROM trsh JOIN evsh USING (sh)),
+      |clean AS (SELECT d.* FROM dd d WHERE d.doc_id % 17 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = d.doc_id)),
+      |""".stripMargin +
+    hlPredsCtes +
+    """,
+      |lab AS (SELECT c.doc_id, c.n_words, p.pred
+      |  FROM clean c JOIN preds p USING (doc_id)),
+      |wt(pred, wv) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1), ('zh', 1)),
+      |mc AS (SELECT l.pred, CAST(COUNT(*) AS BIGINT) AS n, wv
+      |  FROM lab l JOIN wt ON l.pred = wt.pred GROUP BY l.pred, wv),
+      |th AS (SELECT MIN(n * 7 // wv) AS tt FROM mc),
+      |kk AS (SELECT pred, (tt * wv) // 7 AS keep FROM mc, th),
+      |rr AS (SELECT l.pred, l.doc_id, l.n_words,
+      |    ROW_NUMBER() OVER (PARTITION BY l.pred
+      |      ORDER BY md5(CAST(l.doc_id AS VARCHAR)), l.doc_id) AS rn2
+      |  FROM lab l JOIN wt ON l.pred = wt.pred),
+      |mixed AS (SELECT rr.pred, rr.doc_id, rr.n_words
+      |  FROM rr JOIN kk ON rr.pred = kk.pred WHERE rn2 <= keep),
+      |sampled AS (SELECT doc_id, pred, n_words FROM mixed
+      |  WHERE CAST('0x' || substring(md5('rs_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) * 1000000 < LEAST(1000000, n_words * 15000) * 1099511627776),
+      |fin AS (SELECT doc_id, pred, n_words,
+      |    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < 900000 * 1099511627776
+      |      THEN 'train' ELSE 'val' END AS split
+      |  FROM sampled)
+      |SELECT doc_id, pred, split, n_words,
+      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS rev,
+      |  1 AS id_stable,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS lseq_adv,
+      |  CAST(1 AS BIGINT) AS id_uniq
+      |FROM fin ORDER BY doc_id""".stripMargin, bench = false) { (s, _) =>
+    import graft.operators.HtmlExtract
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    // head: crawl HTML -> text -> quality gate
+    val docsH = s.table("documents").withColumn("html",
+      HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+    val extracted = HtmlExtract.extractHtmlText(docsH, "doc_id", "html")
+    val flags = TextAnalysis.gopherQualityFlags(extracted, "id", "text",
+      minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
+      minStopwords = 2)
+    val gkept = flags.filter(col("keep") === 1).select("id", "n_words")
+      .join(extracted.select("id", "text"), Seq("id"))
+    // near-dup removal: drop the higher id of each verified pair
+    val pairs = Dedup.minhashNearDups(gkept, "id", "text",
+      numBands = 6, rowsPerBand = 3, shingleN = 3, threshold = 0.5)
+    val dd = gkept.join(pairs.select(col("b_id").as("id")), Seq("id"),
+      "left_anti")
+    // decontamination: the eval split (id%17=0) of the EXTRACTED corpus
+    // is the benchmark; train docs sharing any 8-gram window drop, and
+    // the benchmark rows themselves never enter the training set
+    val combined = extracted.filter(col("id") % 17 === 0)
+      .select("id", "text")
+      .unionByName(dd.filter(col("id") % 17 =!= 0).select("id", "text"))
+    val hits = Curation.contaminationHits(combined, "id", "text",
+      isEval = col("id") % 17 === 0, n = 8)
+    val clean = dd.filter(col("id") % 17 =!= 0)
+      .join(hits.select("id"), Seq("id"), "left_anti")
+    // classify (trained on the whole extracted corpus) -> exact mixture
+    val preds = TextAnalysis.hashedLinearClassify(
+      extracted.join(s.table("documents")
+        .select(col("doc_id").as("id"), col("lang")), Seq("id")),
+      "id", "text", "lang", buckets = 64, seed = "hl")
+    val lab = clean.join(preds.select("id", "pred"), Seq("id"))
+    val mixed = Curation.mixDomains(lab, "pred", "id",
+      Map("en" -> 3, "de" -> 1, "es" -> 1, "fr" -> 1, "zh" -> 1))
+    // importance resample on length weight, then the stable hash split
+    val sampled = Curation.resampleByWeight(
+      mixed.withColumn("wm", least(lit(1000000L), col("n_words") * 15000L)),
+      "id", "wm")
+    val fin = Curation.splitByHash(sampled, "id",
+      Seq("train" -> 900000L, "val" -> 100000L))
+      .select(col("id").as("doc_id"), col("pred"), col("split"),
+        col("n_words"), lit(1).as("rev"))
+    // tail: v3 Iceberg table partitioned by split — initial load, then
+    // an identity-preserving upsert bumping rev on the even keys
+    val dir = s"/tmp/graft_pipe_crawl_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, fin.schema, partitionCols = Seq("split"),
+      formatVersion = 3)
+    IcebergWrite.append(fin, dir)
+    val snap1 = IcebergIO.loadMetadata(dir).snapshots.map(_.snapshotId).max
+    val read1 = IcebergIO.readWithRowId(s, dir, Some(snap1))
+      .select(col("doc_id"), col("_row_id").as("rid1"),
+        col("_last_updated_sequence_number").as("lseq1"))
+    IcebergWrite.upsert(fin.filter(col("doc_id") % 2 === 0)
+        .withColumn("rev", lit(2)),
+      dir, Seq("doc_id"), preserveLineage = true): Unit
+    val read2 = IcebergIO.readWithRowId(s, dir)
+    val uniq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_row_id"))
+    read2.join(read1, Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("split"), col("n_words"),
+        col("rev"),
+        when(col("_row_id") === col("rid1"), 1).otherwise(0).as("id_stable"),
+        when(col("_last_updated_sequence_number") > col("lseq1"), 1)
+          .otherwise(0).as("lseq_adv"),
+        count(lit(1)).over(uniq).as("id_uniq"))
+      .orderBy("doc_id")
+  }
+
+  private val crawlTag: String = java.util.UUID.randomUUID().toString.take(8)
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -2710,5 +2931,6 @@ object PipelineQueries {
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
+    pipeCrawlIceberg, textClassifyCalibrate,
     aggTopkSketch)
 }

@@ -463,12 +463,23 @@ object IcebergFixture {
       * stats filter, sound): how a fixture represents a file this
       * engine's own writer could never produce (e.g. a
       * TIMESTAMP(NANOS)-annotated column from a foreign Iceberg
-      * writer). Unpartitioned tables only; caller supplies the row
-      * count. */
+      * writer). Unpartitioned tables only; the caller-supplied row
+      * count is validated against the parquet footer (a wrong count
+      * would silently corrupt record_count in the .files/.entries
+      * relations and changelog accounting). */
     def appendExternalFile(file: File, rows: Long): Long = {
       require(partitionCols.isEmpty,
         "appendExternalFile is unpartitioned-table only")
       require(file.isFile, s"no such file: $file")
+      val footerRows = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), GraftFs.conf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      require(footerRows == rows,
+        s"appendExternalFile: caller-supplied row count $rows disagrees " +
+          s"with the parquet footer ($footerRows) for $file")
       val next = seq + 1
       val fm = FileMeta(rec(file.getAbsolutePath), 0, rows, file.length())
       allFiles :+= fm

@@ -709,10 +709,18 @@ object IcebergIO {
     // files physically lack them. One branch per such spec (bounded by
     // the spec count, not the partition count).
     // ns-timestamp columns read as longs only under Spark's legacy
-    // nanos conf — set it for the session on first touch (the conf's
-    // ONLY effect is turning the otherwise-ERRORING read of
-    // NANOS-annotated parquet into ns longs, so no working behavior
-    // changes; documented side effect of reading a ns table)
+    // nanos conf — set it for the session on first touch. DELIBERATELY
+    // SESSION-WIDE and permanent: ParquetFileFormat re-stamps the
+    // hadoop-conf key from the SESSION conf at every scan build
+    // (verified in the 4.1.2 bytecode), so a per-relation reader
+    // option is clobbered, and a set-build-restore would break this
+    // very table's lazy reads (the conf is read at each execution, not
+    // at DataFrame construction). The conf's ONLY effect is turning
+    // the otherwise-ERRORING read of NANOS-annotated parquet into ns
+    // longs, so no working behavior changes — but for the rest of the
+    // session, unrelated plain-parquet reads of NANOS files return
+    // longs instead of failing loudly. Documented at the GraftSession
+    // surface (readIceberg/registerIceberg scaladoc).
     if (meta.nsColumns.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val inj = injectBySpec(meta)

@@ -35,13 +35,26 @@ class OperatorsSpec extends AnyFunSuite {
       7L -> 7L, 9L -> 7L))
   }
 
-  test("connectedComponents fails loudly when maxIter is below the diameter") {
-    // path of 6 nodes: min label needs 5 propagation rounds to reach the end
-    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+  test("connectedComponents fails loudly when maxIter is too low") {
+    // a 64-node path needs several large/small-star alternations
+    // (O(log n)); one alternation provably cannot star it up
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
     val ex = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, "a", "b", maxIter = 2)
+      Dedup.connectedComponents(pairs, "a", "b", maxIter = 1)
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents stars up a high-diameter path in O(log n) rounds") {
+    // the shape min-label propagation CANNOT do in few rounds: a
+    // 512-node shuffled path (diameter 511) must converge well inside
+    // the default 25 alternations — the Kiveris large/small-star bound
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0L until 512L).toVector)
+    val pairs = perm.sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 512 && comps.forall(_._2 == 0L))
   }
 
   test("minhashNearDups finds exact and near duplicates, not unrelated docs") {

@@ -135,6 +135,21 @@ class ScaleStressSpec extends AnyFunSuite {
         "O(files), the scan row-bound)")
   }
 
+  test("connected components alternation count stays logarithmic in path length") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("cc_path"),
+      "artifact predates the cc-path harness — regenerate")
+    val c = root.get("cc_path")
+    assert(!c.get("suspect").asBoolean,
+      s"connectedComponents took ${c.get("rounds_large")} large/small-star " +
+        s"alternations on a ${c.get("nodes_large")}-node path vs " +
+        s"${c.get("rounds_small")} on ${c.get("nodes_small")} nodes " +
+        s"(slack ${c.get("round_slack")} — 10x the diameter must add " +
+        "only ~log(10) alternations, the Kiveris bound)")
+  }
+
   test("semantic dedup scales linearly when k grows with the corpus") {
     val f = new java.io.File("BENCH_SCALE.json")
     assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")

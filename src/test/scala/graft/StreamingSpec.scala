@@ -1491,4 +1491,238 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format v3"), e.getMessage)
   }
 
+  test("crash-restart fuzz: CDC replica converges across kills and mid-commit crashes") {
+    // VERDICT-r16 #2: a seeded kill/resume fuzz over
+    // icebergChangelogStream → icebergCdcApplySink. The query is KILLED
+    // at random batch boundaries (stop + fresh query on the same
+    // checkpoint) and twice the test plants the exact half-state a
+    // crash BETWEEN the sink's two commits leaves behind (net deletes
+    // eq-deleted on the replica, NO batch stamp — the documented
+    // last-commit-stamp design), before the restart replays the batch.
+    // The replica must converge to the source model exactly after
+    // every resync, with no duplicate keys ever.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.{IcebergIO, IcebergWrite}
+    Seq(41, 59).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_crash_cdc_$seed").toString
+      val src = s"$root/src"; val rep = s"$root/rep"
+      val st = StructType(Seq(
+        StructField("k", LongType, nullable = true),
+        StructField("v", LongType, nullable = true)))
+      IcebergWrite.create(spark, src, st, formatVersion = 3)
+      IcebergWrite.create(spark, rep, st, formatVersion = 3)
+      val model = scala.collection.mutable.Map[Long, Long]()
+      val deletedSinceSync = scala.collection.mutable.Set[Long]()
+      def burst(): Unit = (0 until 1 + rnd.nextInt(2)).foreach { _ =>
+        if (rnd.nextBoolean() || model.isEmpty) {
+          val rows = (0 until 1 + rnd.nextInt(4))
+            .map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+            .distinctBy(_._1)
+          IcebergWrite.upsert(rows.toDF("k", "v"), src, Seq("k")): Unit
+          rows.foreach { case (k, v) =>
+            model(k) = v; deletedSinceSync.remove(k): Unit }
+        } else {
+          val ks = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          IcebergWrite.deleteWhere(spark, src,
+            col("k").isin(ks: _*)): Unit
+          ks.foreach { k => model.remove(k): Unit; deletedSinceSync += k }
+        }
+      }
+      def runSink(): Unit = {
+        val q = StreamingOps.icebergCdcApplySink(
+          StreamingOps.icebergChangelogStream(spark, src), rep, Seq("k"),
+          s"$root/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        deletedSinceSync.clear()
+        val got = IcebergIO.read(spark, rep).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got.map(_._1).distinct.size === got.size,
+          s"seed $seed: replica carries duplicate keys")
+        assert(got === model.toSeq.sorted,
+          s"seed $seed: replica diverged from the source model")
+      }
+      (1 to 10).foreach { i =>
+        burst()
+        if ((i == 4 || i == 7) && deletedSinceSync.nonEmpty) {
+          // mid-commit crash: a strict subset (possibly all) of the
+          // pending batch's net deletes already applied, unstamped
+          val half = rnd.shuffle(deletedSinceSync.toSeq)
+            .take(1 + rnd.nextInt(deletedSinceSync.size))
+          IcebergWrite.deleteEquality(half.toDF("k"), rep): Unit
+        }
+        if (rnd.nextBoolean() || i == 10) runSink()
+      }
+    }
+  }
+
+  test("crash-restart fuzz: preserveLineage upsert replica keeps ids across kills") {
+    // the identity-preserving twin: keyed bursts through
+    // icebergUpsertSink(preserveLineage) with kills at random batch
+    // boundaries. The preserving path commits ONE atomic merge snapshot
+    // (no mid-commit window to crash into); the fuzz pins exactly-once
+    // content AND that a key's _row_id from its FIRST appearance
+    // survives every later update and restart.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.{IcebergIO, IcebergWrite}
+    Seq(17, 73).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_crash_ups_$seed").toString
+      val table = s"$root/t"
+      val st = StructType(Seq(
+        StructField("k", LongType, nullable = true),
+        StructField("v", LongType, nullable = true)))
+      IcebergWrite.create(spark, table, st, formatVersion = 3)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      val model = scala.collection.mutable.Map[Long, Long]()
+      val firstRid = scala.collection.mutable.Map[Long, Long]()
+      // bursts pending between sink runs drain as ONE micro-batch after
+      // a restart — keep them key-disjoint (the sink's duplicate-key
+      // guard is a loud contract, deduping upstream is the caller's job)
+      val pending = scala.collection.mutable.Set[Long]()
+      def runSink(): Unit = {
+        val q = StreamingOps.icebergUpsertSink(in.toDF().toDF("k", "v"),
+          table, Seq("k"), s"$root/ckpt", preserveLineage = true)
+        try q.processAllAvailable() finally q.stop()
+        pending.clear()
+        val rows = IcebergIO.readWithRowId(spark, table).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("_row_id")))
+        assert(rows.map(_._3).distinct.length === rows.length,
+          s"seed $seed: duplicate _row_id in the replica")
+        assert(rows.map(r => (r._1, r._2)).sorted.toSeq ===
+          model.toSeq.sorted, s"seed $seed: replica content diverged")
+        rows.foreach { case (k, _, rid) =>
+          firstRid.get(k) match {
+            case Some(r0) => assert(r0 === rid,
+              s"seed $seed: key $k lost its _row_id ($r0 -> $rid)")
+            case None => firstRid(k) = rid
+          }
+        }
+      }
+      (1 to 8).foreach { i =>
+        val batch = (0 until 1 + rnd.nextInt(4))
+          .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+          .distinctBy(_._1).filterNot(p => pending(p._1))
+        if (batch.nonEmpty) {
+          in.addData(batch.toIndexedSeq)
+          pending ++= batch.map(_._1)
+          batch.foreach { case (k, v) => model(k) = v }
+        }
+        if (rnd.nextBoolean() || i == 8) runSink()
+      }
+    }
+  }
+
+  test("crawl streaming twin: curateStream → preserveLineage upsert replica") {
+    // the streaming twin of the pipe_crawl_iceberg entry: the COMPLETE
+    // one-call curation tail (html extract → lang/quality → gopher →
+    // hashed-linear gate → decontam → resample → split) feeding the
+    // identity-preserving Iceberg upsert sink — a second burst
+    // re-sending modified pages UPDATES the replica rows IN PLACE
+    // (matched keys keep _row_id), untouched rows coexist unchanged
+    import spark.implicits._
+    import graft.operators.{Curation, HtmlExtract, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    val model = TextAnalysis.hashedLinearTrain(docsDf, "doc_id", "text",
+      "lang", buckets = 64)
+    val rules = TextAnalysis.GopherRules(minWords = 30, maxWords = 90,
+      minMeanLen = 4, maxMeanLen = 10, minStopwords = 2)
+    val fractions = Seq("train" -> 900000L, "val" -> 100000L)
+    val evalFps = Curation.evalFingerprints(
+        HtmlExtract.extractHtmlText(
+          uniq.limit(2).withColumn("html",
+            HtmlExtract.syntheticHtml(col("doc_id"), col("text"))),
+          "doc_id", "html"),
+        "id", "text", k = 8)
+      .collect().map(_.getString(0)).toSeq
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Long)](spark)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "html", "w"), "doc_id", "ts", "html",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      gopher = Some(rules), html = Some(HtmlExtract.HtmlRules()),
+      hlGate = Some((model, Set("en", "de"))),
+      decontam = Some((evalFps, 8, 0)),
+      resample = Some(("w", "rs17")), split = Some(fractions))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_twin")
+      .toString
+    val table = s"$root/t"
+    graft.sources.IcebergWrite.create(spark, table,
+      org.apache.spark.sql.types.StructType(
+        curated.schema.fields.map(_.copy(nullable = true))),
+      formatVersion = 3)
+    def snap() = graft.sources.IcebergIO.readWithRowId(spark, table)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("_row_id"), r.getAs[String]("text")))
+      .toMap
+
+    val ts1 = new java.sql.Timestamp(1704067200000L)
+    val pages = uniq.collect().map(r => (r.getLong(0), r.getString(1)))
+    def page(id: Long, text: String, ts: java.sql.Timestamp) = {
+      val html = docsDf.sparkSession.range(1)
+        .select(HtmlExtract.syntheticHtml(lit(id), lit(text)))
+        .head().getString(0)
+      (id, ts, html, (id % 10) * 100000L)
+    }
+    val q = StreamingOps.icebergUpsertSink(curated, table, Seq("id"),
+      s"$root/ckpt", preserveLineage = true)
+    try {
+      in.addData(pages.map(p => page(p._1, p._2, ts1)).toIndexedSeq)
+      q.processAllAvailable()
+      val s1 = snap()
+      assert(s1.nonEmpty, "burst 1 produced no survivors")
+
+      // burst 2: re-send a slice of the SURVIVORS with the first two
+      // words swapped (same gopher counts; new fingerprint so the keyed
+      // dedup passes) — whichever of them re-survive the gates must
+      // UPDATE their replica row in place
+      val ts2 = new java.sql.Timestamp(1704067260000L)
+      val resend = pages.filter(p => s1.contains(p._1)).take(12).map {
+        case (id, text) =>
+          val w = text.split(" ")
+          val swapped =
+            if (w.length >= 2) (Seq(w(1), w(0)) ++ w.drop(2)).mkString(" ")
+            else text
+          page(id, swapped, ts2)
+      }
+      in.addData(resend.toIndexedSeq)
+      q.processAllAvailable()
+      val s2 = snap()
+
+      // no row ever disappears from an upsert replica, ids stay unique
+      assert(s1.keySet.subsetOf(s2.keySet))
+      assert(s2.values.map(_._1).toSet.size === s2.size)
+      // EVERY pre-existing key keeps its _row_id — updated or not
+      s1.foreach { case (id, (rid, _)) => assert(s2(id)._1 === rid,
+        s"doc $id lost its _row_id across the update burst") }
+      val updated = s1.keySet.filter(id => s2(id)._2 != s1(id)._2)
+      assert(updated.nonEmpty, "no re-sent page survived the gates")
+      assert(s1.keySet.exists(id => !updated(id)), "all rows updated")
+      // updated rows carry exactly the re-sent page's curated text
+      val resentById = resend.map(t => t._1 -> t._3).toMap
+      updated.foreach { id =>
+        val expect = docsDf.sparkSession.range(1)
+          .select(Curation.piiRedact(HtmlExtract.extractedHtmlText(
+            lit(resentById(id)), HtmlExtract.HtmlRules())))
+          .head().getString(0)
+        assert(s2(id)._2 === expect, s"doc $id text not the updated page")
+      }
+    } finally q.stop()
+  }
+
 }
