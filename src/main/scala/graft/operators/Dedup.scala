@@ -461,6 +461,7 @@ object Dedup {
     var cur = edges0
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")) // caller self-pairs add nothing
       .distinct()
       .localCheckpoint(true)
     edges0.unpersist()

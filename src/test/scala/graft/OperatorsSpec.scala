@@ -45,6 +45,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents equals union-find on random graphs (property)") {
+    // permanence insurance for the star alternation: labels must match a
+    // driver-side union-find on arbitrary shapes — sparse random, dense
+    // random, disconnected islands, self-pairs
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b): Unit
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    Seq(3, 19, 101).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(80)
+      val pairs = (0 until n).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)) :+ (7L, 7L)
+      val got = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(pairs), s"seed $seed diverged from union-find")
+    }
+  }
+
   test("connectedComponents stars up a high-diameter path in O(log n) rounds") {
     // the shape min-label propagation CANNOT do in few rounds: a
     // 512-node shuffled path (diameter 511) must converge well inside
