@@ -1046,6 +1046,47 @@ object TextAnalysis {
     (scores, labels)
   }
 
+  /** Per-row FOLD form of [[hashedLinearMargin]]: `score(target) −
+    * max_{l≠target} score(l)` as one Column over the
+    * [[hashedLinearScoreArray]] fold — bit-equal to the join form and
+    * streaming-safe (pure projection, no shuffle). The score array is
+    * BOUND through a transform lambda before being read twice (the
+    * round-16 column-tree lesson: a Scala `val c: Column` inlines its
+    * whole subtree at every reference, and this one is a fold over all
+    * feature slots). */
+  def hashedLinearMarginFold(model: HashedLinearModel, text: Column,
+                             target: String): Column = {
+    val (scores, labels) = hashedLinearScoreArray(model, text)
+    val ti = labels.indexOf(target)
+    require(ti >= 0,
+      s"hashedLinearMarginFold: target '$target' not a model label " +
+        s"(${labels.mkString(",")})")
+    require(labels.size >= 2,
+      "hashedLinearMarginFold needs at least one non-target label")
+    element_at(transform(array(scores), s =>
+      element_at(s, lit(ti + 1)) -
+        array_max(concat(slice(s, 1, ti),
+          slice(s, ti + 2, labels.size - ti - 1)))), 1)
+  }
+
+  /** Pick the OPERATING threshold from a [[calibrationSweep]] frame:
+    * the smallest threshold whose precision reaches
+    * `minPrecisionMicro` — smallest because precision climbs and
+    * recall falls with the threshold, so the qualifying minimum keeps
+    * the most recall at the required precision. The sweep is
+    * candidate-threshold-sized (a literal list) — collecting it is
+    * O(|T|) at any corpus scale. Fails loudly when no candidate
+    * qualifies (silently selecting nothing would look like an empty
+    * corpus downstream). */
+  def pickThreshold(sweep: DataFrame, minPrecisionMicro: Long): Long = {
+    val qual = sweep.filter(col("precision_micro") >= minPrecisionMicro)
+      .agg(min(col("thr"))).head()
+    require(!qual.isNullAt(0),
+      s"pickThreshold: no candidate threshold reaches precision " +
+        s"$minPrecisionMicro micro — widen the sweep or lower the target")
+    qual.getLong(0)
+  }
+
   /** Persist a trained [[HashedLinearModel]] under `dir` (the same
     * train-once / serve-everywhere contract as [[saveNbModel]]):
     * three bounded tables plus a 1-row meta frame (buckets, seed). */

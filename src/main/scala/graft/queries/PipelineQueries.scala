@@ -2418,10 +2418,11 @@ object PipelineQueries {
     * threshold. The oracle replays training, the margin and the whole
     * sweep; monotone recall across thresholds falls out of the pinned
     * rows. */
-  val textClassifyCalibrate = dfQ("text_classify_calibrate",
-    hlDocScoreCtes +
-    """,
-      |sc AS (SELECT b.doc_id, b.label, feat_lp + prior_micro AS sc
+  /** Margin + threshold-sweep replay over [[hlDocScoreCtes]]'s scores —
+    * SHARED by [[textClassifyCalibrate]] (reports the sweep) and
+    * [[pipeCalibrateSelect]] (picks the operating point and selects). */
+  private val hlSweepCtes: String =
+    """sc AS (SELECT b.doc_id, b.label, feat_lp + prior_micro AS sc
       |  FROM bydl b JOIN prior USING (label)),
       |marg AS (SELECT doc_id,
       |    CAST(MAX(CASE WHEN label = 'en' THEN sc END)
@@ -2435,7 +2436,11 @@ object PipelineQueries {
       |    CAST(SUM(CASE WHEN margin >= thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
       |    CAST(SUM(CASE WHEN margin >= thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
       |    CAST(SUM(CASE WHEN margin < thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn
-      |  FROM lbl CROSS JOIN thr GROUP BY thr)
+      |  FROM lbl CROSS JOIN thr GROUP BY thr)""".stripMargin
+
+  val textClassifyCalibrate = dfQ("text_classify_calibrate",
+    hlDocScoreCtes + ",\n" + hlSweepCtes +
+    """
       |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
       |  CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)
       |    ELSE tp * 1000000 // (tp + fp) END AS precision_micro,
@@ -2453,6 +2458,46 @@ object PipelineQueries {
     TextAnalysis.calibrationSweep(scored, "margin", "pos",
         Seq(-2000000L, -1000000L, -500000L, -200000L, 0L, 200000L, 1000000L))
       .orderBy("thr")
+  }
+
+  /** The complete DCLM-style SELECTION loop as one oracle: calibrate
+    * (the [[textClassifyCalibrate]] sweep), PICK the operating point
+    * ([[TextAnalysis.pickThreshold]] — smallest threshold reaching the
+    * precision target, keeping the most recall), then SELECT the docs
+    * whose margin clears it, accounted per source lang. The oracle
+    * replays training, margins, the sweep, the pick and the selection. */
+  val pipeCalibrateSelect = dfQ("pipe_calibrate_select",
+    hlDocScoreCtes + ",\n" + hlSweepCtes +
+    """,
+      |pk AS (SELECT MIN(thr) AS pthr FROM cnt
+      |  WHERE (CASE WHEN tp + fp = 0 THEN 1000000
+      |    ELSE tp * 1000000 // (tp + fp) END) >= 520000),
+      |sel AS (SELECT l.doc_id, d.lang FROM lbl l
+      |  JOIN documents d USING (doc_id) CROSS JOIN pk
+      |  WHERE l.margin >= pk.pthr)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  (SELECT CAST(pthr AS BIGINT) FROM pk) AS thr
+      |FROM sel GROUP BY lang ORDER BY lang""".stripMargin,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val marg = TextAnalysis.hashedLinearMargin(model, docs, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(
+      docs.select(col("doc_id").as("id"), (col("lang") === "en").as("pos")),
+      Seq("id"))
+    val sweep = TextAnalysis.calibrationSweep(scored, "margin", "pos",
+      Seq(-2000000L, -1000000L, -500000L, -200000L, 0L, 200000L, 1000000L))
+    val thr = TextAnalysis.pickThreshold(sweep, minPrecisionMicro = 520000L)
+    marg.filter(col("margin") >= thr)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .withColumn("thr", lit(thr))
+      .orderBy("lang")
   }
 
   // ---- HTML → text extraction (round 16) ------------------------------
@@ -2931,6 +2976,6 @@ object PipelineQueries {
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
-    pipeCrawlIceberg, textClassifyCalibrate,
+    pipeCrawlIceberg, textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }

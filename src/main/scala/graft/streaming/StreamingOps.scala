@@ -215,8 +215,16 @@ object StreamingOps {
     *     keep; the prediction is the same per-row fold + argmax as
     *     [[nbPredictStream]], bit-equal to the batch `nbPredict`) — or
     *     the hashed-linear twin (`hlGate`, a
-    *     [[graft.operators.TextAnalysis.HashedLinearModel]]); at most
-    *     one classifier gate (both emit `pred`);
+    *     [[graft.operators.TextAnalysis.HashedLinearModel]]) — or the
+    *     CALIBRATED margin gate (`hlMargin` = (model, target,
+    *     minMarginMicro): keep docs whose
+    *     [[graft.operators.TextAnalysis.hashedLinearMarginFold]] for
+    *     `target` reaches the operating threshold a
+    *     [[graft.operators.TextAnalysis.calibrationSweep]] +
+    *     `pickThreshold` chose batch-side — the DCLM selection shape;
+    *     emits `margin_micro`); at most ONE classifier gate
+    *     (`nbGate`/`hlGate` emit `pred`, `hlMargin` emits
+    *     `margin_micro`);
     *  5. PII redaction (email/IP/phone → placeholder tokens) on the
     *     text that survives.
     *
@@ -257,7 +265,9 @@ object StreamingOps {
                      Set[String])] = None,
                    decontam: Option[(Seq[String], Int, Int)] = None,
                    resample: Option[(String, String)] = None,
-                   split: Option[Seq[(String, Long)]] = None): DataFrame = {
+                   split: Option[Seq[(String, Long)]] = None,
+                   hlMargin: Option[(graft.operators.TextAnalysis.HashedLinearModel,
+                     String, Long)] = None): DataFrame = {
     import graft.operators.{Curation, HtmlExtract, TextAnalysis}
     val source = html.fold(docs)(rules => docs.withColumn(textCol,
       HtmlExtract.extractedHtmlText(col(textCol), rules)))
@@ -270,8 +280,8 @@ object StreamingOps {
       .filter(col("lang") === "en" && col("quality") >= minQuality)
       .transform(d => gopher.fold(d)(rules =>
         d.filter(TextAnalysis.gopherKeep(col(textCol), rules))))
-    require(nbGate.isEmpty || hlGate.isEmpty,
-      "at most one classifier gate (nbGate / hlGate) — both emit `pred`")
+    require(Seq(nbGate, hlGate, hlMargin).count(_.isDefined) <= 1,
+      "at most one classifier gate (nbGate / hlGate / hlMargin)")
     val scoreGate: Option[(org.apache.spark.sql.Column, Seq[String], Set[String])] =
       nbGate.map { case (m, keep) =>
         val (sc, ls) = TextAnalysis.nbScoreArray(m, col(textCol))
@@ -281,7 +291,12 @@ object StreamingOps {
         (sc, ls, keep)
       })
     val withPred = scoreGate match {
-      case None => gated
+      case None => hlMargin.fold(gated) { case (m, target, minMargin) =>
+        gated
+          .withColumn("margin_micro",
+            TextAnalysis.hashedLinearMarginFold(m, col(textCol), target))
+          .filter(col("margin_micro") >= minMargin)
+      }
       case Some((scores, labels, keepLabels)) =>
         require(keepLabels.nonEmpty,
           "a classifier gate needs at least one keep label")
@@ -303,6 +318,7 @@ object StreamingOps {
       Seq(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
         col("quality")) ++
         (if (scoreGate.isDefined) Seq(col("pred")) else Nil) ++
+        (if (hlMargin.isDefined) Seq(col("margin_micro")) else Nil) ++
         Seq(Curation.piiRedact(col(textCol)).as("text")) ++
         split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split"))
     sampled.select(cols: _*)

@@ -45,6 +45,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("hashedLinearMarginFold ≡ join-form margin for every target position") {
+    // real corpus so slots collide; targets at the FIRST, middle and
+    // LAST label index exercise both zero-length slice edges of the
+    // max-over-others concat
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = TextAnalysis.hashedLinearTrain(real, "doc_id", "text",
+      "lang", buckets = 64)
+    Seq("de", "es", "zh").foreach { target =>
+      val joinForm = TextAnalysis.hashedLinearMargin(model, real,
+          "doc_id", "text", target)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val foldForm = real.select(col("doc_id"),
+          TextAnalysis.hashedLinearMarginFold(model, col("text"), target)
+            .as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(foldForm === joinForm, s"target $target fold != join")
+    }
+    // unknown target fails loudly at plan build
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.hashedLinearMarginFold(model, col("text"), "xx"))
+    assert(e.getMessage.contains("not a model label"))
+  }
+
+  test("pickThreshold takes the smallest qualifying threshold, loud when none") {
+    val sweep = Seq(
+      (-100L, 900000L), (0L, 940000L), (100L, 960000L))
+      .toDF("thr", "precision_micro")
+    assert(TextAnalysis.pickThreshold(sweep, 940000L) === 0L)
+    assert(TextAnalysis.pickThreshold(sweep, 900000L) === -100L)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.pickThreshold(sweep, 990000L))
+    assert(e.getMessage.contains("no candidate threshold"))
+  }
+
   test("connectedComponents equals union-find on random graphs (property)") {
     // permanence insurance for the star alternation: labels must match a
     // driver-side union-find on arbitrary shapes — sparse random, dense

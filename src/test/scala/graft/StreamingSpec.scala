@@ -668,6 +668,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at most one"), e.getMessage)
   }
 
+  test("curateStream hlMargin gate ≡ batch calibrated-margin filter") {
+    // the CALIBRATED selection gate: a batch-side sweep picks the
+    // operating threshold, the stream keeps docs whose per-row margin
+    // fold clears it — bit-equal to the batch margin filter, and
+    // mutually exclusive with the argmax gates
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    val model = TextAnalysis.hashedLinearTrain(docsDf, "doc_id", "text",
+      "lang", buckets = 64)
+    // operating point from the batch calibration workflow
+    val marg = TextAnalysis.hashedLinearMargin(model, docsDf, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(docsDf.select(col("doc_id").as("id"),
+      (col("lang") === "en").as("pos")), Seq("id"))
+    val sweep = TextAnalysis.calibrationSweep(scored, "margin", "pos",
+      Seq(-1000000L, 0L, 1000000L))
+    val thr = TextAnalysis.pickThreshold(sweep, minPrecisionMicro = 500000L)
+
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(uniq.collect().map(r => (r.getLong(0), ts, r.getString(1)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      hlMargin = Some((model, "en", thr)))
+    StreamingOps.runToMemory(curated, "curate_hlm", OutputMode.Append())
+    val streamed = spark.table("curate_hlm").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getString(5))).toSet
+    // batch replay: lang/quality gates then the margin filter
+    val base = uniq.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05)
+    val batch = base
+      .withColumn("m",
+        TextAnalysis.hashedLinearMarginFold(model, col("text"), "en"))
+      .filter(col("m") >= thr)
+      .select(col("doc_id"), col("m"),
+        Curation.piiRedact(col("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(batch.size < base.count(), "margin gate dropped nothing")
+    // margin gate excludes the argmax gates
+    val e = intercept[IllegalArgumentException](StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      hlGate = Some((model, Set("en"))),
+      hlMargin = Some((model, "en", thr))))
+    assert(e.getMessage.contains("at most one"), e.getMessage)
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
