@@ -541,6 +541,48 @@ object Curation {
                        salt: String = "rs"): DataFrame =
     docs.filter(resampleKeep(col(idCol), col(weightMicroCol), salt))
 
+  /** Deterministic importance UPSAMPLING — the EPOCHING twin of
+    * [[resampleByWeight]] for weights above one: a document with
+    * `weight_micro = w` emits `w div 1e6` whole copies plus one more
+    * with probability `(w mod 1e6)/1e6`, decided by the SAME salted
+    * 40-bit md5 cross-multiplication as [[resampleKeep]] — "2.5 epochs
+    * of wiki" is two copies of every doc and a deterministic,
+    * reproducible half getting a third. Weights below 1e6 degrade to
+    * exactly [[resampleByWeight]]'s draw (zero whole copies + the
+    * fractional keep); expected emitted mass equals the weight, and
+    * per-row output is MONOTONE in the weight (raising a doc's weight
+    * never removes a copy). Each emitted row carries a 0-based `copy`
+    * index so downstream keys on (id, copy) never collide. NULL,
+    * negative, fractional, or absurd (> 1e6 epochs) weights raise
+    * loudly. Pure per-row explode — no shuffle, no state, no driver
+    * participation at any corpus size. */
+  def upsampleByWeight(docs: DataFrame, idCol: String,
+                       weightMicroCol: String,
+                       salt: String = "us"): DataFrame = {
+    require(!docs.columns.contains("copy"),
+      "upsampleByWeight adds a 'copy' column; the input already has " +
+        "one — rename it first (withColumn would silently overwrite it)")
+    val wm = col(weightMicroCol)
+    val w = when(wm.isNull || wm < 0 || wm > 1000000000000L ||
+        wm.cast("double") =!= wm.cast("long").cast("double"),
+      raise_error(concat(lit("upsampleByWeight: weight_micro must be "),
+        lit("an integral micro-unit in [0, 1e12]: "),
+        wm.cast("string"))).cast("long"))
+      .otherwise(wm.cast("long"))
+    // whole copies: exact — the numerator is a multiple of 1e6 and the
+    // guard caps w below 2^53, so the double division cannot round
+    val whole = ((w - pmod(w, lit(1000000L))) / lit(1000000L)).cast("long")
+    val frac = pmod(w, lit(1000000L))
+    val extra = when(
+      hash40(col(idCol), salt, "upsampleByWeight") * lit(1000000L) <
+        frac * lit(Max40), 1L).otherwise(0L)
+    docs.withColumn("__gf_copies", whole + extra)
+      .filter(col("__gf_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__gf_copies") - 1)))
+      .drop("__gf_copies")
+  }
+
   /** Per-row SPLIT label for [[splitByHash]] as one Column: the row's
     * 40-bit md5 fraction walks the cumulative weight intervals (same
     * exact cross-multiplication as [[resampleKeep]] — `hash40 · 10^6 <

@@ -556,6 +556,35 @@ object CurationQueries {
       .orderBy("lang", "split")
   }
 
+  /** Deterministic importance UPSAMPLING ([[Curation.upsampleByWeight]]):
+    * per-lang epoch weights (en 2.5×, de 1.0×, others 0.4×) — whole
+    * copies by integer division, the fractional copy by the shared
+    * resample hash threshold; the oracle replays division, draw and the
+    * 0-based copy explode row for row. */
+  val curUpsampleWeight = dfQ("cur_upsample_weight",
+    """WITH w AS (SELECT doc_id, lang,
+      |    CASE WHEN lang = 'en' THEN 2500000
+      |         WHEN lang = 'de' THEN 1000000 ELSE 400000 END AS wm
+      |  FROM documents),
+      |cp AS (SELECT doc_id, lang,
+      |    wm // 1000000 + CASE WHEN
+      |      CAST('0x' || substring(md5('us_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < (wm % 1000000) * 1099511627776
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM w),
+      |ex AS (SELECT doc_id, lang,
+      |    unnest(generate_series(0, copies - 1)) AS cp_i
+      |  FROM cp WHERE copies > 0)
+      |SELECT doc_id, lang, CAST(cp_i AS BIGINT) AS copy
+      |FROM ex ORDER BY doc_id, copy""".stripMargin, bench = false) { (s, _) =>
+    val w = s.table("documents").select(col("doc_id"), col("lang"),
+      when(col("lang") === "en", 2500000L)
+        .when(col("lang") === "de", 1000000L)
+        .otherwise(400000L).as("wm"))
+    Curation.upsampleByWeight(w, "doc_id", "wm")
+      .select("doc_id", "lang", "copy").orderBy("doc_id", "copy")
+  }
+
   /** The full curation tail as ONE composition: Gopher quality gate →
     * length-proportional importance resampling → deterministic
     * train/val split → per-(lang, split) accounting. Every stage is the
@@ -621,6 +650,7 @@ object CurationQueries {
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
-    curMixTokensSkew, curLineDedup, curResampleWeight, curSplitHash,
+    curMixTokensSkew, curLineDedup, curResampleWeight, curUpsampleWeight,
+    curSplitHash,
     pipeCurateMix, pipeGateResampleSplit)
 }

@@ -2891,7 +2891,11 @@ object PipelineQueries {
     // head: crawl HTML -> text -> quality gate
     val docsH = s.table("documents").withColumn("html",
       HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
+    // the regex-heavy extraction feeds SIX consumers (gopher flags, the
+    // text join, the eval split, classifier train + predict, decontam) —
+    // materialize it once, exactly as a production pipeline would
     val extracted = HtmlExtract.extractHtmlText(docsH, "doc_id", "html")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flags = TextAnalysis.gopherQualityFlags(extracted, "id", "text",
       minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
       minStopwords = 2)
@@ -2942,6 +2946,7 @@ object PipelineQueries {
     IcebergWrite.upsert(fin.filter(col("doc_id") % 2 === 0)
         .withColumn("rev", lit(2)),
       dir, Seq("doc_id"), preserveLineage = true): Unit
+    extracted.unpersist() // both writes done; reads below hit the table
     val read2 = IcebergIO.readWithRowId(s, dir)
     val uniq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_row_id"))

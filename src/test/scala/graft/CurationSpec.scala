@@ -303,6 +303,54 @@ class CurationSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("integral micro-unit"), e2.getMessage)
   }
 
+  test("upsampleByWeight: mass, monotonicity, resample degeneration, guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val n = 4000
+    val docs = (0L until n.toLong).map(i => (i, s"d$i")).toDF("id", "t")
+    def copies(wMicro: Long, salt: String = "us"): Map[Long, Long] =
+      Curation.upsampleByWeight(
+          docs.withColumn("w", lit(wMicro)), "id", "w", salt)
+        .groupBy("id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // whole weights are exact replication, copy indexes 0..k-1
+    assert(copies(2000000L).values.toSet === Set(2L))
+    val idx = Curation.upsampleByWeight(
+        docs.withColumn("w", lit(3000000L)), "id", "w")
+      .groupBy("id")
+      .agg(org.apache.spark.sql.functions.collect_set("copy").as("c"))
+      .head().getAs[Seq[Long]]("c").toSet
+    assert(idx === Set(0L, 1L, 2L))
+    // expected mass: 2.5e6 micro -> ~2.5 copies per doc (±4 sigma)
+    val m25 = copies(2500000L)
+    assert(m25.values.forall(c => c == 2L || c == 3L))
+    val total = m25.values.sum.toDouble
+    assert(math.abs(total - 2.5 * n) <= 4 * math.sqrt(n * 0.25),
+      s"mass $total vs ${2.5 * n}")
+    // per-row monotone in the weight — a raise never removes a copy
+    val lo = copies(1900000L); val hi = copies(2100000L)
+    assert(lo.keySet.forall(k => lo(k) <= hi(k)))
+    // below 1e6 it IS resampleByWeight (same salt, same hash draw)
+    val up = copies(600000L, salt = "z1").keySet
+    val rs = Curation.resampleByWeight(
+        docs.withColumn("w", lit(600000L)), "id", "w", salt = "z1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(up === rs)
+    // guards: fractional and absurd weights raise, copy column refused
+    val e = intercept[Exception](copies(1000000000001L))
+    assert(e.getMessage.contains("micro-unit"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Curation.upsampleByWeight(
+        docs.withColumn("w", lit(1.5)), "id", "w").count()
+    }
+    assert(e2.getMessage.contains("integral micro-unit"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Curation.upsampleByWeight(
+        docs.withColumn("w", lit(1L)).withColumn("copy", lit(1)),
+        "id", "w"))
+    assert(e3.getMessage.contains("copy"), e3.getMessage)
+  }
+
   test("splitByHash: stability under growth, rates, loud weight check") {
     import spark.implicits._
     val fr = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)

@@ -348,6 +348,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("hashedLinearMarginFold plan: pure per-row projection, zero exchange") {
+    // the serving-form margin (the streaming hlMargin gate's body) must
+    // stay a single codegen'd projection — model as literals, one fold,
+    // no join/aggregate exchange anywhere
+    val spark = TestSpark.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.TextAnalysis.hashedLinearTrain(
+      docs, "doc_id", "text", "lang", buckets = 64)
+    val p = docs.select(
+        graft.operators.TextAnalysis.hashedLinearMarginFold(
+          model, org.apache.spark.sql.functions.col("text"), "en"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"plan:\n$p")
+    assert(!p.contains("Join"), s"plan:\n$p")
+  }
+
   test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
     val p = planOf("text_tfidf_keywords")
     // corpus size attaches as a BROADCAST 1-row aggregate (its final
