@@ -60,7 +60,12 @@ object ScaleStress {
     // round-17: the COMPOSED crawl head — extract → hashed-linear
     // classify (trained on the extracted corpus) → exact mixture; every
     // stage is row- or model-bound, so the composition must too
-    "pipe_html_classify_mix")
+    "pipe_html_classify_mix",
+    // round-17: epoch-shuffled packing — the hash-span two-phase prefix
+    // sum (phase 1 over one row per hash span, phase 2 windowed within
+    // spans) must scale ~linearly; a naive global-window form would
+    // funnel the whole corpus through one partition and blow up here
+    "cur_pack_shuffled")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

@@ -210,6 +210,80 @@ object Curation {
       .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
   }
 
+  /**
+   * Epoch-SHUFFLED sequence packing — [[packOffsets]] over a
+   * deterministic global shuffle order instead of id order: the
+   * assembly step after [[upsampleByWeight]], where a doc's copies must
+   * scatter across the epoch instead of sitting adjacent (adjacent
+   * copies of the same document in one training bin are the classic
+   * epoching bug). The order key is the 60-bit md5 prefix of
+   * (salt, id, copy) — a pure function of the row, so the layout is
+   * reproducible across runs, partitionings and engines, and a new
+   * `salt` draws an independent shuffle. Ties (hash collisions) break
+   * on (id, copy), so the order is TOTAL and deterministic even when
+   * two rows share a prefix.
+   *
+   * Returns (id, copy, n_toks, offset, bin, bin_end, spans) exactly like
+   * [[packOffsets]].
+   *
+   * Scale shape: the same two-phase distributed prefix sum — but the
+   * coarse ranges are HASH spans (`part` = hash div partSpan), which are
+   * uniform by construction, so the parts stay balanced no matter how
+   * skewed the id space is (packOffsets' id-range parts degrade when ids
+   * cluster). Phase 1's unpartitioned window runs over one row per part
+   * (2^60 / partSpan rows max); phase 2 windows within a part. No
+   * corpus-sized window, no driver participation.
+   */
+  def packShuffled(docs: DataFrame, idCol: String, copyCol: String,
+                   textCol: String, binTokens: Long,
+                   salt: String = "ep",
+                   partSpan: Long = 1L << 50): DataFrame = {
+    require(binTokens > 0 && partSpan > 0, "binTokens/partSpan must be > 0")
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(copyCol).cast("long").as("copy"),
+      size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"),
+      hash60(col(idCol), col(copyCol), salt, "packShuffled").as("hk"))
+      .withColumn("part", expr(s"hk div ${partSpan}L"))
+    val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
+    val partOffsets = partTotals.select(
+      col("part"),
+      coalesce(
+        sum(col("pt")).over(
+          Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("part_off"))
+    // parts are hk ranges, so ascending (part, hk, id, copy) IS the
+    // ascending global (hk, id, copy) order — same-hk rows can't straddle
+    // a part boundary because part is a pure function of hk
+    val within = Window.partitionBy("part").orderBy("hk", "id", "copy")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(partOffsets), "part")
+      .select(col("id"), col("copy"), col("n_toks"),
+        (col("part_off") + coalesce(sum(col("n_toks")).over(within), lit(0L)))
+          .as("offset"))
+      .select(
+        col("id"), col("copy"), col("n_toks"), col("offset"),
+        expr(s"offset div ${binTokens}L").as("bin"),
+        expr(s"greatest(offset, offset + n_toks - 1) div ${binTokens}L")
+          .as("bin_end"))
+      .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
+  }
+
+  /** 60-bit salted md5 prefix over (id, copy) — [[packShuffled]]'s
+    * shuffle-order key (15 hex chars < 2^63, overflow-safe in both
+    * engines; DuckDB twin `CAST('0x' || substring(md5(...), 1, 15) AS
+    * BIGINT)`). NULLs raise for the same reason [[hash40]]'s do. */
+  private def hash60(id: Column, copy: Column, salt: String,
+                     opName: String): Column = {
+    def guard(c: Column, what: String) = when(c.isNull,
+      raise_error(lit(s"$opName: NULL $what — hash-keyed decisions need " +
+        s"a non-null $what column")).cast("string"))
+      .otherwise(c.cast("string"))
+    conv(substring(md5(concat(lit(salt), lit("_"), guard(id, "id"),
+      lit("_"), guard(copy, "copy"))), 1, 15), 16, 10).cast("long")
+  }
+
   // ---- PII redaction ----------------------------------------------------
 
   /** Redaction patterns, applied in this order (emails first — they

@@ -647,10 +647,119 @@ object CurationQueries {
       .orderBy("lang", "split")
   }
 
+  /** Epoch-SHUFFLED packing ([[Curation.packShuffled]]): the same
+    * concat-and-split layout as cur_pack, but over the deterministic
+    * md5(salt, id, copy) shuffle order — the oracle replays the naive
+    * GLOBAL window sum ordered by (hash, id, copy) that the hash-span
+    * two-phase form must reproduce exactly. `copy` varies per row
+    * (doc_id mod 3) so it genuinely participates in the hash. Output is
+    * ordered by tok_offset — the shuffle order itself is the compared
+    * surface (offsets are strictly increasing: every doc counts >= 1
+    * token, so the order tie-break never reaches the compare). */
+  private val packShuffledOracle =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(doc_id % 3 AS BIGINT) AS cp,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(doc_id AS VARCHAR) || '_'
+      |      || CAST(doc_id % 3 AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM documents),
+      |o AS (
+      |  SELECT id, cp, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id, cp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_offset
+      |  FROM t)
+      |SELECT id, cp AS copy, n_toks, tok_offset,
+      |  tok_offset // 256 AS bin,
+      |  GREATEST(tok_offset, tok_offset + n_toks - 1) // 256 AS bin_end,
+      |  GREATEST(tok_offset, tok_offset + n_toks - 1) // 256
+      |    - tok_offset // 256 + 1 AS spans
+      |FROM o ORDER BY tok_offset""".stripMargin
+
+  val curPackShuffled = dfQ("cur_pack_shuffled", packShuffledOracle,
+    bench = false) { (s, _) =>
+    Curation.packShuffled(
+        s.table("documents").withColumn("cp", pmod(col("doc_id"), lit(3L))),
+        "doc_id", "cp", "text", binTokens = 256L, partSpan = 1L << 55)
+      .withColumnRenamed("offset", "tok_offset")
+      .orderBy("tok_offset")
+  }
+
+  /** The full TRAINING-EPOCH ASSEMBLY tail as ONE composition:
+    * deterministic 90/10 split → per-source epoch weights (2.5x / 1.5x /
+    * 0.7x — whole copies AND both fractional directions exercised) →
+    * [[Curation.upsampleByWeight]] epoching → [[Curation.packShuffled]]
+    * into 512-token bins → per-bin accounting (docs, tokens, bin-
+    * straddlers). Every stage is the exact-integer primitive its own
+    * entry pins; THIS entry pins the composition — each stage's
+    * survivors/copies feed the next stage's hash decisions, ending in
+    * the physical training-bin layout a dataloader would consume. */
+  private val epochAssemblyOracle =
+    """WITH lab AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  WHERE CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) * 1000000 < 900000 * 1099511627776),
+      |w AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN source IN ('src0', 'src1') THEN 2500000
+      |         WHEN source = 'src2' THEN 1500000 ELSE 700000 END AS wm
+      |  FROM lab),
+      |cp AS (
+      |  SELECT doc_id, text,
+      |    wm // 1000000 + CASE WHEN
+      |      CAST('0x' || substring(md5('us_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < (wm % 1000000) * 1099511627776
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM w),
+      |ex AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, copies - 1)) AS cp_i
+      |  FROM cp WHERE copies > 0),
+      |t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(cp_i AS BIGINT) AS cp_i,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(doc_id AS VARCHAR) || '_'
+      |      || CAST(cp_i AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM ex),
+      |o AS (
+      |  SELECT id, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id, cp_i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_offset
+      |  FROM t)
+      |SELECT tok_offset // 512 AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS toks,
+      |  CAST(SUM(CASE WHEN GREATEST(tok_offset, tok_offset + n_toks - 1) // 512
+      |    > tok_offset // 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+      |  MIN(id) AS min_id
+      |FROM o GROUP BY bin ORDER BY bin""".stripMargin
+
+  val pipeEpochAssembly = dfQ("pipe_epoch_assembly", epochAssemblyOracle,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents").select("doc_id", "text", "source")
+    val train = Curation.splitByHash(docs, "doc_id",
+        Seq("train" -> 900000L, "val" -> 100000L))
+      .filter(col("split") === "train")
+    val weighted = train.withColumn("wm",
+      when(col("source").isin("src0", "src1"), 2500000L)
+        .when(col("source") === "src2", 1500000L)
+        .otherwise(700000L))
+    val epoch = Curation.upsampleByWeight(weighted, "doc_id", "wm")
+    Curation.packShuffled(epoch, "doc_id", "copy", "text",
+        binTokens = 512L, partSpan = 1L << 55)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("toks"),
+        sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_straddle"),
+        min("id").as("min_id"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup, curResampleWeight, curUpsampleWeight,
-    curSplitHash,
-    pipeCurateMix, pipeGateResampleSplit)
+    curSplitHash, curPackShuffled,
+    pipeCurateMix, pipeGateResampleSplit, pipeEpochAssembly)
 }

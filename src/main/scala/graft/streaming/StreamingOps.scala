@@ -267,7 +267,8 @@ object StreamingOps {
                    resample: Option[(String, String)] = None,
                    split: Option[Seq[(String, Long)]] = None,
                    hlMargin: Option[(graft.operators.TextAnalysis.HashedLinearModel,
-                     String, Long)] = None): DataFrame = {
+                     String, Long)] = None,
+                   upsample: Option[(String, String)] = None): DataFrame = {
     import graft.operators.{Curation, HtmlExtract, TextAnalysis}
     val source = html.fold(docs)(rules => docs.withColumn(textCol,
       HtmlExtract.extractedHtmlText(col(textCol), rules)))
@@ -314,14 +315,23 @@ object StreamingOps {
     val sampled = resample.fold(decontamed) { case (wCol, salt) =>
       decontamed.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
     }
+    // EPOCHING on a stream: upsampleByWeight is a pure per-row filter +
+    // bounded sequence explode (no state, no shuffle), so "2.5 epochs of
+    // this source" lifts onto append mode unchanged; all of a doc's
+    // copies land in one micro-batch and share its split label (the
+    // label hashes the id alone)
+    val epoched = upsample.fold(sampled) { case (wCol, salt) =>
+      Curation.upsampleByWeight(sampled, idCol, wCol, salt)
+    }
     val cols =
       Seq(col(idCol).as("id"), col(tsCol).as("ts"), col("lang"),
         col("quality")) ++
         (if (scoreGate.isDefined) Seq(col("pred")) else Nil) ++
         (if (hlMargin.isDefined) Seq(col("margin_micro")) else Nil) ++
         Seq(Curation.piiRedact(col(textCol)).as("text")) ++
-        split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split"))
-    sampled.select(cols: _*)
+        split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split")) ++
+        (if (upsample.isDefined) Seq(col("copy")) else Nil)
+    epoched.select(cols: _*)
   }
 
   /** Streaming benchmark-decontamination gate: drop (or count) arriving

@@ -92,6 +92,51 @@ class CurationSpec extends AnyFunSuite {
     assert(d14.getAs[Long]("bin") == 4L && d14.getAs[Long]("spans") == 1L)
   }
 
+  test("packShuffled: hash-span two-phase sum equals the naive global " +
+      "shuffle-order cumsum; salts draw independent layouts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (id, copy) rows with multiple copies per doc and varied lengths;
+    // partSpan 2^55 forces up to 32 hash-span parts over 46 rows
+    val docs = (0L until 20L).flatMap { i =>
+      (0L to i % 3).map(c => (i, c, ("w " * (1 + (i % 5).toInt)).trim))
+    }.toDF("id", "copy", "text")
+    val out = Curation.packShuffled(docs, "id", "copy", "text",
+      binTokens = 8L, partSpan = 1L << 55)
+    val got = out.select("id", "copy", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive replay: ONE global window over the same 60-bit order key
+    val hk = expr("CAST(conv(substring(md5(concat('ep_', CAST(id AS STRING)," +
+      " '_', CAST(copy AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val naive = docs.select(col("id"), col("copy"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_toks"),
+        hk.as("hk"))
+      .withColumn("off", coalesce(
+        sum(col("n_toks")).over(Window.orderBy("hk", "id", "copy")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("off"))
+      .toMap
+    assert(got === naive)
+    // copies of one doc scatter: doc 17's three copies are not adjacent
+    // in the layout (the whole point vs packOffsets' id order)
+    val offs17 = (0L to 2L).map(c => naive((17L, c))).sorted
+    assert(offs17.sliding(2).exists(p => p(1) - p(0) > 3),
+      s"doc 17 copies adjacent: $offs17")
+    // a different salt draws a different layout
+    val other = Curation.packShuffled(docs, "id", "copy", "text",
+      binTokens = 8L, salt = "ep2", partSpan = 1L << 55)
+      .select("id", "copy", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(other !== got)
+    // NULL copy raises (silent three-valued hash decisions forbidden)
+    val withNull = docs.withColumn("copy",
+      when(col("id") === 7L, lit(null)).otherwise(col("copy")))
+    val e = intercept[Exception] {
+      Curation.packShuffled(withNull, "id", "copy", "text", 8L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("piiRedact masks email/ip/phone; piiCount counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -58,8 +58,24 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     runFuzz(seed, hiveImport = false, formatVersion = 3)
   }
 
+  // Upgrade-mid-sequence variant: the table is BORN v2, runs a third of
+  // the sequence accumulating parquet position deletes / eq deletes, then
+  // upgradeFormatVersion flips it to v3 BETWEEN two random ops — the
+  // absorb-legacy-pos-deletes rewrite, DV commits over mixed pre/post
+  // files, and lineage derivation over files with NULL first_row_id all
+  // run under the same verb storm the pure-v3 runs pin. Lineage
+  // invariants are the null-tolerant forms: pre-upgrade files read NULL
+  // _row_id (documented), but non-null ids stay unique, never revert to
+  // null, and follow the same touched/re-identified rules.
+  for (seed <- Seq(19, 53))
+  test(s"30 random DML ops with a v2->v3 upgrade at step 12 (seed $seed)") {
+    runFuzz(seed, hiveImport = false, formatVersion = 2,
+      upgradeAtStep = Some(12))
+  }
+
   private def runFuzz(seed: Int, hiveImport: Boolean,
-                      formatVersion: Int = 2): Unit = {
+                      formatVersion: Int = 2,
+                      upgradeAtStep: Option[Int] = None): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"/tmp/graft_dml_fuzz_$tag"
     IcebergFixture.deleteRecursively(dir)
@@ -68,6 +84,8 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
+    // current format version — advances when upgradeAtStep fires
+    var fv = formatVersion
 
     def freshIds(k: Int): Seq[Long] = {
       val ids = (nextId until nextId + k)
@@ -86,14 +104,32 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
       val want = model.toSeq.sortBy(_._1)
       assert(got === want, s"divergence after $step")
-      if (formatVersion >= 3) {
-        val lin = IcebergIO.readWithRowId(spark, dir).collect()
-          .map(r => r.getLong(0) -> ((r.getAs[Long]("_row_id"),
-            r.getAs[Long]("_last_updated_sequence_number")))).toMap
-        assert(lin.size === model.size, s"lineage row count after $step")
+      if (fv >= 3) {
+        val linRows = IcebergIO.readWithRowId(spark, dir).collect()
+        assert(linRows.length === model.size, s"lineage row count after $step")
+        // Rows living in PRE-UPGRADE files legitimately read NULL
+        // lineage (no first_row_id on carried v2 files — documented in
+        // upgradeFormatVersion); a table born v3 must never have one.
+        val lin = linRows.flatMap { r =>
+          val ri = r.fieldIndex("_row_id")
+          if (r.isNullAt(ri)) None
+          else {
+            assert(!r.isNullAt(r.fieldIndex("_last_updated_sequence_number")),
+              s"row ${r.getLong(0)}: non-null _row_id with null " +
+                s"_last_updated after $step")
+            Some(r.getLong(0) -> ((r.getAs[Long]("_row_id"),
+              r.getAs[Long]("_last_updated_sequence_number"))))
+          }
+        }.toMap
+        if (upgradeAtStep.isEmpty)
+          assert(lin.size === model.size, s"null lineage on a born-v3 " +
+            s"table after $step")
         assert(lin.values.map(_._1).toSeq.distinct.size === lin.size,
           s"_row_id collision after $step")
         prevLin.foreach { case (id, pair) =>
+          if (model.contains(id))
+            assert(lin.contains(id),
+              s"row $id lineage reverted to NULL after $step")
           if (lin.contains(id) && !reIdentified(id)) {
             if (!touched(id))
               assert(lin(id) === pair,
@@ -124,6 +160,11 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
     for (step <- 1 to 30) {
+      if (upgradeAtStep.contains(step)) {
+        IcebergWrite.upgradeFormatVersion(spark, dir)
+        fv = 3
+        verify(s"upgrade at step $step")
+      }
       val op = rnd.nextInt(9)
       op match {
         case 0 => // append fresh rows
@@ -167,7 +208,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
           val fresh = freshIds(rnd.nextInt(3))
             .map(i => (i, parts(rnd.nextInt(4)), i.toDouble))
           val rows = existing ++ fresh
-          val preserve = formatVersion >= 3 && rnd.nextBoolean()
+          val preserve = fv >= 3 && rnd.nextBoolean()
           if (rows.nonEmpty) {
             IcebergWrite.upsert(toDf(rows), dir, Seq("id"),
               preserveLineage = preserve)

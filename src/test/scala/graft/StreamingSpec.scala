@@ -729,6 +729,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at most one"), e.getMessage)
   }
 
+  test("curateStream upsample stage ≡ batch epoching; copies share split") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    // per-doc epoch weights: 1.5 / 2.2 / 2.9 epochs — whole copies AND
+    // the fractional draw both exercised on every weight
+    val weighted = uniq.withColumn("w",
+      lit(1500000L) + pmod(col("doc_id"), lit(3L)) * 700000L)
+    val fractions = Seq("train" -> 900000L, "val" -> 100000L)
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String, Long)](spark)
+    in.addData(weighted.collect()
+      .map(r => (r.getLong(0), ts, r.getString(1), r.getLong(2)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text", "w"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      split = Some(fractions), upsample = Some(("w", "us17")))
+    StreamingOps.runToMemory(curated, "curate_epoch", OutputMode.Append())
+    val streamed = spark.table("curate_epoch").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("split"),
+        r.getAs[Long]("copy"))).toSet
+    // batch replay: lang/quality gates, then epoching, split on the id
+    val survivors = weighted.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05)
+    val batch = Curation
+      .upsampleByWeight(survivors, "doc_id", "w", "us17")
+      .withColumn("split", Curation.splitLabel(col("doc_id"), fractions))
+      .select("doc_id", "split", "copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    // epoching produced real multi-copy docs, and every doc's copies
+    // carry ONE split label (the label hashes the id alone)
+    assert(streamed.exists(_._3 >= 2))
+    assert(streamed.groupBy(_._1).forall(_._2.map(_._2).size == 1))
+  }
+
   test("streaming curation with Gopher + NB gates matches the batch composition") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
