@@ -270,6 +270,52 @@ object Curation {
       .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
   }
 
+  /**
+   * Materialize [[packShuffled]]'s layout into the actual per-bin token
+   * streams a dataloader would consume: each document's token range is
+   * cut at the bin boundaries it straddles, the fragments shuffle ONCE
+   * on the bin id, and each bin reassembles its exact `binTokens`-token
+   * stream in global offset order. Returns
+   * (bin, n_frags, n_toks, bin_md5) — the content hash pins the full
+   * reassembled stream without materializing corpus-sized strings in
+   * the result (the last bin may be short; every other bin carries
+   * exactly `binTokens` tokens).
+   *
+   * Scale shape: one bounded explode (a doc emits one row per bin it
+   * touches — ceil(n_toks/binTokens)+1 rows) + ONE shuffle keyed on
+   * `bin`; per-bin state is bounded by `binTokens` tokens regardless of
+   * corpus size, so the collect_list aggregate can never blow up a
+   * reducer.
+   */
+  def packShuffledBins(docs: DataFrame, idCol: String, copyCol: String,
+                       textCol: String, binTokens: Long,
+                       salt: String = "ep",
+                       partSpan: Long = 1L << 50): DataFrame = {
+    val placement = packShuffled(docs, idCol, copyCol, textCol, binTokens,
+      salt, partSpan)
+    val toks = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(copyCol).cast("long").as("copy"),
+      split(lower(col(textCol)), " ").as("w"))
+    placement.join(toks, Seq("id", "copy"))
+      .withColumn("b", explode(expr("sequence(bin, bin_end)")))
+      .select(
+        col("b").as("bin"),
+        // the fragment's global token position — max(offset, b·B): the
+        // doc either starts inside the bin or is cut at its left edge
+        greatest(col("offset"), col("b") * binTokens).as("gpos"),
+        expr(s"slice(w, CAST(greatest(0L, b * ${binTokens}L - offset) AS INT) + 1," +
+          s" CAST(least(n_toks, (b + 1) * ${binTokens}L - offset)" +
+          s" - greatest(0L, b * ${binTokens}L - offset) AS INT))").as("frag"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_frags"),
+        sum(size(col("frag"))).cast("long").as("n_toks"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("gpos"), col("frag")))),
+          p => p.getField("frag"))))).as("bin_md5"))
+  }
+
   /** 60-bit salted md5 prefix over (id, copy) — [[packShuffled]]'s
     * shuffle-order key (15 hex chars < 2^63, overflow-safe in both
     * engines; DuckDB twin `CAST('0x' || substring(md5(...), 1, 15) AS

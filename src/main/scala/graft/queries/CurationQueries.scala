@@ -686,6 +686,53 @@ object CurationQueries {
       .orderBy("tok_offset")
   }
 
+  /** Materialized training bins ([[Curation.packShuffledBins]]): the
+    * shuffled layout cut into actual per-bin token streams — fragments
+    * at bin boundaries, reassembled in global offset order, content
+    * pinned by md5 of the full stream (the strongest possible check:
+    * one missing/duplicated/misordered token anywhere flips the hash).
+    * The oracle replays the naive window layout, the boundary slice
+    * arithmetic, and the ordered reassembly via string_agg. */
+  private val packBinsOracle =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(doc_id % 3 AS BIGINT) AS cp,
+      |    string_split(lower(text), ' ') AS w,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(doc_id AS VARCHAR) || '_'
+      |      || CAST(doc_id % 3 AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM documents),
+      |lay AS (
+      |  SELECT id, w, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id, cp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM t),
+      |ex AS (
+      |  SELECT id, w, n_toks, toff,
+      |    unnest(generate_series(toff // 256,
+      |      GREATEST(toff, toff + n_toks - 1) // 256)) AS b
+      |  FROM lay),
+      |fr AS (
+      |  SELECT b AS bin,
+      |    GREATEST(toff, b * 256) AS gpos,
+      |    list_slice(w, GREATEST(0, b * 256 - toff) + 1,
+      |      LEAST(n_toks, (b + 1) * 256 - toff)) AS frag
+      |  FROM ex)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_frags,
+      |  CAST(SUM(len(frag)) AS BIGINT) AS n_toks,
+      |  md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gpos))
+      |    AS bin_md5
+      |FROM fr GROUP BY bin ORDER BY bin""".stripMargin
+
+  val curPackBins = dfQ("cur_pack_bins", packBinsOracle,
+    bench = false) { (s, _) =>
+    Curation.packShuffledBins(
+        s.table("documents").withColumn("cp", pmod(col("doc_id"), lit(3L))),
+        "doc_id", "cp", "text", binTokens = 256L, partSpan = 1L << 55)
+      .orderBy("bin")
+  }
+
   /** The full TRAINING-EPOCH ASSEMBLY tail as ONE composition:
     * deterministic 90/10 split → per-source epoch weights (2.5x / 1.5x /
     * 0.7x — whole copies AND both fractional directions exercised) →
@@ -760,6 +807,6 @@ object CurationQueries {
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup, curResampleWeight, curUpsampleWeight,
-    curSplitHash, curPackShuffled,
+    curSplitHash, curPackShuffled, curPackBins,
     pipeCurateMix, pipeGateResampleSplit, pipeEpochAssembly)
 }

@@ -137,6 +137,36 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("packShuffledBins: every non-final bin holds exactly binTokens " +
+      "tokens and the content hashes match a pure-Scala replay") {
+    import spark.implicits._
+    val docs = (0L until 20L).flatMap { i =>
+      (0L to i % 3).map(c => (i, c, ("w" + i + " ") * (1 + (i % 5).toInt)))
+    }.map(t => (t._1, t._2, t._3.trim)).toDF("id", "copy", "text")
+    val bins = Curation.packShuffledBins(docs, "id", "copy", "text",
+        binTokens = 8L, partSpan = 1L << 55)
+      .orderBy("bin").collect()
+    val totalToks = docs.select(
+      sum(size(split(lower(col("text")), " ")))).head.getLong(0)
+    assert(bins.map(_.getAs[Long]("n_toks")).sum === totalToks)
+    assert(bins.map(_.getAs[Long]("bin")).toSeq ===
+      (0L until bins.length.toLong))
+    bins.init.foreach(b =>
+      assert(b.getAs[Long]("n_toks") === 8L, s"short non-final bin $b"))
+    // pure-Scala replay: rebuild the global shuffled token stream from
+    // the same 60-bit hash order, cut it every 8 tokens, md5 each bin
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).toLowerCase))
+      .sortBy { case (i, c, _) =>
+        (BigInt(md5hex(s"ep_${i}_$c").take(15), 16).toLong, i, c) }
+    val stream = ordered.flatMap(_._3.split(" "))
+    val want = stream.grouped(8).map(g => md5hex(g.mkString(" "))).toSeq
+    assert(bins.map(_.getAs[String]("bin_md5")).toSeq === want)
+  }
+
   test("piiRedact masks email/ip/phone; piiCount counts matches") {
     import spark.implicits._
     val df = Seq(
