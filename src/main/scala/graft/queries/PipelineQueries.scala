@@ -2,6 +2,7 @@ package graft.queries
 
 import Registry._
 import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -2818,6 +2819,52 @@ object PipelineQueries {
     * the updated (even) keys — and `id_uniq` — no two rows share a
     * `_row_id`. */
   val pipeCrawlIceberg = dfQ("pipe_crawl_iceberg", htmlCtes +
+    crawlFinCtes +
+    """
+      |SELECT doc_id, pred, split, n_words,
+      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS rev,
+      |  1 AS id_stable,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS lseq_adv,
+      |  CAST(1 AS BIGINT) AS id_uniq
+      |FROM fin ORDER BY doc_id""".stripMargin, bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val (fin, extracted) = crawlFin(s)
+    // tail: v3 Iceberg table partitioned by split — initial load, then
+    // an identity-preserving upsert bumping rev on the even keys
+    val dir = s"/tmp/graft_pipe_crawl_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, fin.schema, partitionCols = Seq("split"),
+      formatVersion = 3)
+    IcebergWrite.append(fin, dir)
+    val snap1 = IcebergIO.loadMetadata(dir).snapshots.map(_.snapshotId).max
+    val read1 = IcebergIO.readWithRowId(s, dir, Some(snap1))
+      .select(col("doc_id"), col("_row_id").as("rid1"),
+        col("_last_updated_sequence_number").as("lseq1"))
+    IcebergWrite.upsert(fin.filter(col("doc_id") % 2 === 0)
+        .withColumn("rev", lit(2)),
+      dir, Seq("doc_id"), preserveLineage = true): Unit
+    extracted.unpersist() // both writes done; reads below hit the table
+    val read2 = IcebergIO.readWithRowId(s, dir)
+    val uniq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_row_id"))
+    read2.join(read1, Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("split"), col("n_words"),
+        col("rev"),
+        when(col("_row_id") === col("rid1"), 1).otherwise(0).as("id_stable"),
+        when(col("_last_updated_sequence_number") > col("lseq1"), 1)
+          .otherwise(0).as("lseq_adv"),
+        count(lit(1)).over(uniq).as("id_uniq"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle CTE chain for the SHARED crawl pipeline head+mid (extract →
+    * gopher gate → minhash dedup → 8-gram decontamination →
+    * hashed-linear classify → mixture → resample → split), ending at
+    * `fin(doc_id, pred, split, n_words)`. Appended after [[htmlCtes]];
+    * shared by [[pipeCrawlIceberg]] and [[pipeCrawlEpoch]] so the two
+    * chains' replays cannot drift apart. Lazy: it is declared after its
+    * first referencing val (both entries force it at object init). */
+  private lazy val crawlFinCtes: String =
     """,
       |gt AS (SELECT id AS doc_id, text,
       |    string_split(lower(text), ' ') AS w FROM extracted),
@@ -2879,15 +2926,15 @@ object PipelineQueries {
       |    CASE WHEN CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
       |        AS BIGINT) * 1000000 < 900000 * 1099511627776
       |      THEN 'train' ELSE 'val' END AS split
-      |  FROM sampled)
-      |SELECT doc_id, pred, split, n_words,
-      |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS rev,
-      |  1 AS id_stable,
-      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS lseq_adv,
-      |  CAST(1 AS BIGINT) AS id_uniq
-      |FROM fin ORDER BY doc_id""".stripMargin, bench = false) { (s, _) =>
+      |  FROM sampled)""".stripMargin
+
+  /** SHARED Spark-side crawl head+mid (the chain [[crawlFinCtes]]
+    * replays): returns (`fin(doc_id, pred, split, n_words, rev=1)`,
+    * `extracted` — PERSISTED; the caller owns unpersisting it once its
+    * downstream frames have materialized, or relies on Verify's
+    * per-query cache clear). */
+  private def crawlFin(s: SparkSession): (DataFrame, DataFrame) = {
     import graft.operators.HtmlExtract
-    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
     // head: crawl HTML -> text -> quality gate
     val docsH = s.table("documents").withColumn("html",
       HtmlExtract.syntheticHtml(col("doc_id"), col("text")))
@@ -2932,35 +2979,65 @@ object PipelineQueries {
       Seq("train" -> 900000L, "val" -> 100000L))
       .select(col("id").as("doc_id"), col("pred"), col("split"),
         col("n_words"), lit(1).as("rev"))
-    // tail: v3 Iceberg table partitioned by split — initial load, then
-    // an identity-preserving upsert bumping rev on the even keys
-    val dir = s"/tmp/graft_pipe_crawl_$crawlTag"
-    IcebergFixture.deleteRecursively(dir)
-    IcebergWrite.create(s, dir, fin.schema, partitionCols = Seq("split"),
-      formatVersion = 3)
-    IcebergWrite.append(fin, dir)
-    val snap1 = IcebergIO.loadMetadata(dir).snapshots.map(_.snapshotId).max
-    val read1 = IcebergIO.readWithRowId(s, dir, Some(snap1))
-      .select(col("doc_id"), col("_row_id").as("rid1"),
-        col("_last_updated_sequence_number").as("lseq1"))
-    IcebergWrite.upsert(fin.filter(col("doc_id") % 2 === 0)
-        .withColumn("rev", lit(2)),
-      dir, Seq("doc_id"), preserveLineage = true): Unit
-    extracted.unpersist() // both writes done; reads below hit the table
-    val read2 = IcebergIO.readWithRowId(s, dir)
-    val uniq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_row_id"))
-    read2.join(read1, Seq("doc_id"))
-      .select(col("doc_id"), col("pred"), col("split"), col("n_words"),
-        col("rev"),
-        when(col("_row_id") === col("rid1"), 1).otherwise(0).as("id_stable"),
-        when(col("_last_updated_sequence_number") > col("lseq1"), 1)
-          .otherwise(0).as("lseq_adv"),
-        count(lit(1)).over(uniq).as("id_uniq"))
-      .orderBy("doc_id")
+    (fin, extracted)
   }
 
   private val crawlTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  /** The crawl chain continued into TRAINING-EPOCH ASSEMBLY — the other
+    * product tail: the same shared head+mid as [[pipeCrawlIceberg]]
+    * (extract → gate → dedup → decontam → classify → mix → resample →
+    * split), then train-only per-predicted-domain epoch weights (en 2x,
+    * others 1.2x) → [[Curation.upsampleByWeight]] →
+    * [[Curation.packShuffled]] into 256-token bins → per-bin
+    * accounting. Pins that the epoch tail composes with the crawl
+    * head's survivors (every upstream hash decision feeds the layout),
+    * completing crawl-HTML → training-bin coverage as one oracle. */
+  val pipeCrawlEpoch = dfQ("pipe_crawl_epoch", htmlCtes +
+    crawlFinCtes +
+    """,
+      |etr AS (SELECT doc_id, pred FROM fin WHERE split = 'train'),
+      |ewm AS (SELECT doc_id,
+      |    CASE WHEN pred = 'en' THEN 2000000 ELSE 1200000 END AS wm2
+      |  FROM etr),
+      |ecp AS (SELECT doc_id,
+      |    wm2 // 1000000 + CASE WHEN
+      |      CAST('0x' || substring(md5('us_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < (wm2 % 1000000) * 1099511627776
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM ewm),
+      |eex AS (SELECT doc_id, unnest(generate_series(0, copies - 1)) AS cp_i
+      |  FROM ecp WHERE copies > 0),
+      |ptk AS (SELECT e.doc_id AS id, CAST(cp_i AS BIGINT) AS cp_i,
+      |    CAST(len(string_split(lower(x.text), ' ')) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(e.doc_id AS VARCHAR) || '_'
+      |      || CAST(cp_i AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM eex e JOIN extracted x ON x.id = e.doc_id),
+      |po AS (SELECT id, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id, cp_i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM ptk)
+      |SELECT toff // 256 AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS toks, MIN(id) AS min_id
+      |FROM po GROUP BY bin ORDER BY bin""".stripMargin,
+    bench = false) { (s, _) =>
+    val (fin, extracted) = crawlFin(s)
+    val trainDocs = fin.filter(col("split") === "train")
+      .join(extracted.select(col("id").as("doc_id"), col("text")),
+        Seq("doc_id"))
+      .withColumn("wm2",
+        when(col("pred") === "en", 2000000L).otherwise(1200000L))
+    val epoch = Curation.upsampleByWeight(trainDocs, "doc_id", "wm2")
+    // extracted stays persisted through lazy evaluation of the result;
+    // Verify/check clear the cache per query (see crawlFin's contract)
+    Curation.packShuffled(epoch, "doc_id", "copy", "text",
+        binTokens = 256L, partSpan = 1L << 55)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
+        min("id").as("min_id"))
+      .orderBy("bin")
+  }
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
@@ -2981,6 +3058,7 @@ object PipelineQueries {
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
-    pipeCrawlIceberg, textClassifyCalibrate, pipeCalibrateSelect,
+    pipeCrawlIceberg, pipeCrawlEpoch, textClassifyCalibrate,
+    pipeCalibrateSelect,
     aggTopkSketch)
 }
