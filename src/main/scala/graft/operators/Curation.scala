@@ -185,8 +185,24 @@ object Curation {
       // integral `div`, not `/`: long/long Column division is DOUBLE and
       // silently loses precision above 2^53 (repo invariant).
       expr(s"CAST($idCol AS BIGINT) div ${partRange}L").as("part"))
-    // Phase 1: per-part totals, then exclusive cumsum over the TINY
-    // per-part table (one row per partRange of ids).
+    binOffsets(base, binTokens,
+      orderCols = Seq("id"), keepCols = Seq("id", "n_toks"))
+  }
+
+  /** THE two-phase distributed bin-offset scaffolding [[packOffsets]]
+    * and [[packShuffled]] share — one definition so the documented
+    * "identical to the naive global window" contract cannot drift
+    * between the id-ordered and hash-ordered forms. `base` carries a
+    * `part` column (coarse ranges of the global order), `n_toks`, and
+    * the order/keep columns. Phase 1: per-part totals, then an
+    * exclusive cumsum over the TINY per-part table (the only
+    * unpartitioned window, bounded at #parts rows). Phase 2: a
+    * within-part running sum, window partitioned by part — `part` must
+    * be a monotone function of `orderCols`' total order so ascending
+    * (part, orderCols) IS the ascending global order. */
+  private def binOffsets(base: DataFrame, binTokens: Long,
+                         orderCols: Seq[String],
+                         keepCols: Seq[String]): DataFrame = {
     val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
     val partOffsets = partTotals.select(
       col("part"),
@@ -194,19 +210,17 @@ object Curation {
         sum(col("pt")).over(
           Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)).as("part_off"))
-    // Phase 2: within-part running sum, window partitioned by part.
-    val within = Window.partitionBy("part").orderBy("id")
+    val within = Window.partitionBy("part").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .join(broadcast(partOffsets), "part")
-      .select(col("id"), col("n_toks"),
+      .select(keepCols.map(col) :+
         (col("part_off") + coalesce(sum(col("n_toks")).over(within), lit(0L)))
-          .as("offset"))
-      .select(
-        col("id"), col("n_toks"), col("offset"),
+          .as("offset"): _*)
+      .select(keepCols.map(col) ++ Seq(col("offset"),
         expr(s"offset div ${binTokens}L").as("bin"),
         expr(s"greatest(offset, offset + n_toks - 1) div ${binTokens}L")
-          .as("bin_end"))
+          .as("bin_end")): _*)
       .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
   }
 
@@ -245,29 +259,12 @@ object Curation {
       size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"),
       hash60(col(idCol), col(copyCol), salt, "packShuffled").as("hk"))
       .withColumn("part", expr(s"hk div ${partSpan}L"))
-    val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
-    val partOffsets = partTotals.select(
-      col("part"),
-      coalesce(
-        sum(col("pt")).over(
-          Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).as("part_off"))
     // parts are hk ranges, so ascending (part, hk, id, copy) IS the
     // ascending global (hk, id, copy) order — same-hk rows can't straddle
     // a part boundary because part is a pure function of hk
-    val within = Window.partitionBy("part").orderBy("hk", "id", "copy")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .join(broadcast(partOffsets), "part")
-      .select(col("id"), col("copy"), col("n_toks"),
-        (col("part_off") + coalesce(sum(col("n_toks")).over(within), lit(0L)))
-          .as("offset"))
-      .select(
-        col("id"), col("copy"), col("n_toks"), col("offset"),
-        expr(s"offset div ${binTokens}L").as("bin"),
-        expr(s"greatest(offset, offset + n_toks - 1) div ${binTokens}L")
-          .as("bin_end"))
-      .withColumn("spans", (col("bin_end") - col("bin") + 1).cast("long"))
+    binOffsets(base, binTokens,
+      orderCols = Seq("hk", "id", "copy"),
+      keepCols = Seq("id", "copy", "n_toks"))
   }
 
   /**
@@ -319,16 +316,11 @@ object Curation {
   /** 60-bit salted md5 prefix over (id, copy) — [[packShuffled]]'s
     * shuffle-order key (15 hex chars < 2^63, overflow-safe in both
     * engines; DuckDB twin `CAST('0x' || substring(md5(...), 1, 15) AS
-    * BIGINT)`). NULLs raise for the same reason [[hash40]]'s do. */
+    * BIGINT)`). Shares [[saltedHashLong]] with [[hash40]]. */
   private def hash60(id: Column, copy: Column, salt: String,
-                     opName: String): Column = {
-    def guard(c: Column, what: String) = when(c.isNull,
-      raise_error(lit(s"$opName: NULL $what — hash-keyed decisions need " +
-        s"a non-null $what column")).cast("string"))
-      .otherwise(c.cast("string"))
-    conv(substring(md5(concat(lit(salt), lit("_"), guard(id, "id"),
-      lit("_"), guard(copy, "copy"))), 1, 15), 16, 10).cast("long")
-  }
+                     opName: String): Column =
+    saltedHashLong(Seq(id -> "id", copy -> "copy"), salt, opName,
+      hexChars = 15)
 
   // ---- PII redaction ----------------------------------------------------
 
@@ -638,12 +630,24 @@ object Curation {
     * can never drift between them. A NULL id would hash NULL and make
     * every comparison silently three-valued (a resample would drop the
     * row, a split would dump it in the LAST label) — raise instead. */
-  private def hash40(id: Column, salt: String, opName: String): Column = {
-    val guarded = when(id.isNull,
-      raise_error(lit(s"$opName: NULL id — hash-keyed decisions need " +
-        "a non-null id column")).cast("string"))
-      .otherwise(id.cast("string"))
-    conv(substring(md5(concat(lit(salt), lit("_"), guarded)), 1, 10),
+  private def hash40(id: Column, salt: String, opName: String): Column =
+    saltedHashLong(Seq(id -> "id"), salt, opName, hexChars = 10)
+
+  /** THE salted md5-prefix long both hash widths derive from: md5 over
+    * `salt` + ("_" + value) per input column, first `hexChars` hex
+    * digits as a BIGINT (4·hexChars bits; callers keep every
+    * cross-multiplication under 2^63 in both engines). NULL inputs
+    * raise — a NULL would hash NULL and make every downstream
+    * comparison silently three-valued. */
+  private def saltedHashLong(parts: Seq[(Column, String)], salt: String,
+                             opName: String, hexChars: Int): Column = {
+    val pieces = parts.flatMap { case (c, what) =>
+      Seq(lit("_"), when(c.isNull,
+        raise_error(lit(s"$opName: NULL $what — hash-keyed decisions need " +
+          s"a non-null $what column")).cast("string"))
+        .otherwise(c.cast("string")))
+    }
+    conv(substring(md5(concat(lit(salt) +: pieces: _*)), 1, hexChars),
       16, 10).cast("long")
   }
 

@@ -246,12 +246,21 @@ object StreamingOps {
     *     ([[graft.operators.Curation.resampleKeep]]), applied AFTER all
     *     gates like the batch `pipe_gate_resample_split`;
     *  8. `split` — a train/val/test `split` column
-    *     ([[graft.operators.Curation.splitLabel]]) on what remains.
+    *     ([[graft.operators.Curation.splitLabel]]) on what remains;
+    *  9. `upsample` = (weightMicroCol, salt) — deterministic EPOCHING
+    *     ([[graft.operators.Curation.upsampleByWeight]]): each
+    *     surviving doc emits its whole copies plus the hash-drawn
+    *     fractional copy, a pure per-row filter + bounded explode; all
+    *     of a doc's copies land in one micro-batch and share its
+    *     id-keyed `split` label.
     *
     * Emits (id, ts, lang, quality, text) per kept doc — plus `pred`
-    * (the NB label) when `nbGate` is set, so a downstream batch mixer
+    * (the classifier label) when `nbGate`/`hlGate` is set, so a
+    * downstream batch mixer
     * ([[graft.operators.Curation.mixDomains]]) can weight on it, plus
-    * `split` when `split` is set.
+    * `margin_micro` when `hlMargin` is set, plus `split` when `split`
+    * is set, plus the 0-based `copy` index when `upsample` is set (one
+    * output row per emitted copy).
     * Append-mode-safe (no aggregation — projections, filters, and keyed
     * dedup state; every optional stage is a pure per-row fold). */
   def curateStream(docs: DataFrame, idCol: String, tsCol: String,

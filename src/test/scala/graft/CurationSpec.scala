@@ -134,7 +134,7 @@ class CurationSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       Curation.packShuffled(withNull, "id", "copy", "text", 8L).collect()
     }
-    assert(e.getMessage != null)
+    assert(e.getMessage.contains("NULL copy"), e.getMessage)
   }
 
   test("packShuffledBins: every non-final bin holds exactly binTokens " +

@@ -84,8 +84,11 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, (String, Double)]
     var nextId = 0L
-    // current format version — advances when upgradeAtStep fires
+    // current format version — advances when upgradeAtStep fires; rows
+    // whose ids were allocated AFTER the upgrade must carry non-null
+    // lineage (they only ever live in post-upgrade files)
     var fv = formatVersion
+    var idsFromUpgrade: Option[Long] = None
 
     def freshIds(k: Int): Seq[Long] = {
       val ids = (nextId until nextId + k)
@@ -124,6 +127,14 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
         if (upgradeAtStep.isEmpty)
           assert(lin.size === model.size, s"null lineage on a born-v3 " +
             s"table after $step")
+        // guards the upgrade variant against vacuous passes: if lineage
+        // stamping broke entirely post-upgrade, every id allocated after
+        // the upgrade would read NULL and this fires
+        idsFromUpgrade.foreach { w =>
+          model.keys.filter(_ >= w).foreach(id =>
+            assert(lin.contains(id),
+              s"post-upgrade row $id read NULL lineage after $step"))
+        }
         assert(lin.values.map(_._1).toSeq.distinct.size === lin.size,
           s"_row_id collision after $step")
         prevLin.foreach { case (id, pair) =>
@@ -163,6 +174,7 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       if (upgradeAtStep.contains(step)) {
         IcebergWrite.upgradeFormatVersion(spark, dir)
         fv = 3
+        idsFromUpgrade = Some(nextId)
         verify(s"upgrade at step $step")
       }
       val op = rnd.nextInt(9)
