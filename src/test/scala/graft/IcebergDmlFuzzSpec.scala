@@ -73,9 +73,23 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       upgradeAtStep = Some(12))
   }
 
+  // SNAPSHOT-ISOLATION fuzz: a reader thread hammers the table in a
+  // loop WHILE the writer runs the full verb storm; every read must be
+  // EXACTLY one of the committed states the model walked through —
+  // never a torn mix of two commits, never a half-published metadata
+  // file. This pins the atomic optimistic publish and the stale/empty
+  // version-hint fallback (resolveMetadataFile's max-vN listing) under
+  // real concurrent load, which no single-threaded spec reaches.
+  test("concurrent reader observes only exact committed states during " +
+      "the DML storm (seed 61)") {
+    runFuzz(61, hiveImport = false, formatVersion = 3,
+      concurrentReads = true)
+  }
+
   private def runFuzz(seed: Int, hiveImport: Boolean,
                       formatVersion: Int = 2,
-                      upgradeAtStep: Option[Int] = None): Unit = {
+                      upgradeAtStep: Option[Int] = None,
+                      concurrentReads: Boolean = false): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val dir = s"/tmp/graft_dml_fuzz_$tag"
     IcebergFixture.deleteRecursively(dir)
@@ -170,6 +184,34 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     }
     model ++= initRows.map(r => r._1 -> ((r._2, r._3)))
 
+    // committed-state history for the snapshot-isolation reader: every
+    // verb publishes exactly ONE data-visible state, so the set of
+    // post-op model snapshots IS the set of readable table contents
+    val states =
+      scala.collection.mutable.Set.empty[Seq[(Long, (String, Double))]]
+    def record(): Unit = { states += model.toSeq.sortBy(_._1): Unit }
+    record()
+    val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val readerSeen = new java.util.concurrent
+      .ConcurrentLinkedQueue[Seq[(Long, (String, Double))]]()
+    val reader: Option[Thread] = if (!concurrentReads) None else Some {
+      val t = new Thread(() => {
+        try {
+          while (!readerStop.get) {
+            val got = IcebergIO.read(spark, dir).orderBy("id").collect()
+              .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+              .toSeq
+            readerSeen.add(got): Unit
+          }
+        } catch { case e: Throwable => readerErr.set(e) }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+
     for (step <- 1 to 30) {
       if (upgradeAtStep.contains(step)) {
         IcebergWrite.upgradeFormatVersion(spark, dir)
@@ -254,8 +296,29 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
             model = src.map(r => r._1 -> ((r._2, r._3))).toMap
           }
       }
+      record()
       if (step % 10 == 0) IcebergWrite.compact(spark, dir)
       if (step % 5 == 0 || step == 30) verify(s"step $step (op $op)")
+    }
+    reader.foreach { t =>
+      readerStop.set(true)
+      t.join(60000)
+      Option(readerErr.get).foreach(e =>
+        throw new AssertionError("concurrent reader thread failed", e))
+      import scala.jdk.CollectionConverters._
+      val seen = readerSeen.asScala.toSeq
+      assert(seen.nonEmpty, "reader thread never completed a read")
+      // the storm takes tens of seconds and each read is sub-second, so
+      // the reader always witnesses multiple distinct commits
+      assert(seen.distinct.size >= 2,
+        s"reader saw only ${seen.distinct.size} distinct state(s) over " +
+          s"${seen.size} reads")
+      seen.zipWithIndex.foreach { case (g, i) =>
+        assert(states.contains(g),
+          s"read $i observed a state OUTSIDE the committed history " +
+            s"(${g.size} rows; sample ${g.take(3)}) — torn or " +
+            "half-published snapshot")
+      }
     }
     // final shape sanity: history intact, entries readable, files live
     assert(IcebergIO.snapshotIds(dir).nonEmpty)
