@@ -251,12 +251,39 @@ object Curation {
   def packShuffled(docs: DataFrame, idCol: String, copyCol: String,
                    textCol: String, binTokens: Long,
                    salt: String = "ep",
-                   partSpan: Long = 1L << 50): DataFrame = {
+                   partSpan: Long = 1L << 50): DataFrame =
+    packShuffledCore(docs, idCol, copyCol,
+      size(split(lower(col(textCol)), " ")).cast("long"),
+      binTokens, salt, partSpan)
+
+  /** [[packShuffled]] by a PRECOMPUTED per-row token count instead of
+    * whitespace tokenization — the production form when bins are
+    * budgeted in REAL tokenizer units (e.g.
+    * [[TextAnalysis.bpeSegmentCount]]'s BPE counts): same deterministic
+    * md5(salt, id, copy) layout, same hash-span two-phase prefix sum.
+    * NULL or negative counts raise; a zero-count row keeps a placement
+    * row (its bin) but occupies no tokens. */
+  def packShuffledByCount(docs: DataFrame, idCol: String, copyCol: String,
+                          nToksCol: String, binTokens: Long,
+                          salt: String = "ep",
+                          partSpan: Long = 1L << 50): DataFrame = {
+    val n = col(nToksCol)
+    val guarded = when(n.isNull || n < 0,
+      raise_error(concat(lit("packShuffledByCount: token counts must be "),
+        lit("non-null and >= 0: "), n.cast("string"))).cast("long"))
+      .otherwise(n.cast("long"))
+    packShuffledCore(docs, idCol, copyCol, guarded, binTokens, salt, partSpan)
+  }
+
+  private def packShuffledCore(docs: DataFrame, idCol: String,
+                               copyCol: String, nToks: Column,
+                               binTokens: Long, salt: String,
+                               partSpan: Long): DataFrame = {
     require(binTokens > 0 && partSpan > 0, "binTokens/partSpan must be > 0")
     val base = docs.select(
       col(idCol).cast("long").as("id"),
       col(copyCol).cast("long").as("copy"),
-      size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"),
+      nToks.as("n_toks"),
       hash60(col(idCol), col(copyCol), salt, "packShuffled").as("hk"))
       .withColumn("part", expr(s"hk div ${partSpan}L"))
     // parts are hk ranges, so ascending (part, hk, id, copy) IS the

@@ -1048,6 +1048,52 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Pack the corpus into training bins budgeted in REAL tokenizer
+    * units ([[Curation.packShuffledByCount]] over
+    * [[TextAnalysis.bpeSegmentCount]]'s counts): the learned 3-merge
+    * BPE vocabulary sizes every document, then the deterministic
+    * shuffled layout cuts 128-BPE-token bins — tokenize-then-pack, the
+    * production epoch-assembly budget. The oracle chains the full BPE
+    * training replay into the hash-order window layout. */
+  val curPackBpe = dfQ("cur_pack_bpe",
+    bpeBaseCtes(3) + """,
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents),
+      |vt AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM v3),
+      |ag AS (SELECT doc_id, SUM(n_tok) AS stok
+      |       FROM dw JOIN vt USING (w) WHERE len(w) > 0 GROUP BY doc_id),
+      |cnt AS (SELECT d.doc_id AS id, CAST(COALESCE(a.stok, 0) AS BIGINT)
+      |    AS n_bpe
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN ag a USING (doc_id)),
+      |pk AS (SELECT id, CAST(id % 2 AS BIGINT) AS cp, n_bpe,
+      |    CAST('0x' || substring(md5('ep_' || CAST(id AS VARCHAR) || '_'
+      |      || CAST(id % 2 AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM cnt),
+      |po AS (SELECT id, cp, n_bpe,
+      |    CAST(COALESCE(SUM(n_bpe) OVER (ORDER BY hk, id, cp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_offset
+      |  FROM pk)
+      |SELECT id, cp AS copy, n_bpe AS n_toks, tok_offset,
+      |  tok_offset // 128 AS bin,
+      |  GREATEST(tok_offset, tok_offset + n_bpe - 1) // 128 AS bin_end,
+      |  GREATEST(tok_offset, tok_offset + n_bpe - 1) // 128
+      |    - tok_offset // 128 + 1 AS spans
+      |FROM po ORDER BY tok_offset, id""".stripMargin,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val ms = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", ms)
+      .withColumn("cp", pmod(col("id"), lit(2L)))
+    Curation.packShuffledByCount(counts, "id", "cp", "n_bpe",
+        binTokens = 128L, partSpan = 1L << 55)
+      .withColumnRenamed("offset", "tok_offset")
+      .orderBy("tok_offset", "id")
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * md5-seed cell assignment (exact-integer idiom) + in-cell
     * keep-lowest-id cosine pruning at 0.35 — the oracle replays the
@@ -3052,7 +3098,7 @@ object PipelineQueries {
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
     pipeGopherMix,
-    textHashedScore, textBpeTrain, textBpeApply,
+    textHashedScore, textBpeTrain, textBpeApply, curPackBpe,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,

@@ -137,6 +137,38 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL copy"), e.getMessage)
   }
 
+  test("packShuffledByCount: bit-equal to packShuffled on whitespace " +
+      "counts; zero rows occupy nothing; bad counts raise") {
+    import spark.implicits._
+    val docs = (0L until 15L).map(i =>
+      (i, i % 2, ("t " * (1 + (i % 4).toInt)).trim)).toDF("id", "copy", "text")
+    val withN = docs.withColumn("n",
+      size(split(lower(col("text")), " ")).cast("long"))
+    val a = Curation.packShuffled(docs, "id", "copy", "text", 4L,
+      partSpan = 1L << 55).orderBy("id", "copy").collect().toSeq
+    val b = Curation.packShuffledByCount(withN, "id", "copy", "n", 4L,
+      partSpan = 1L << 55).orderBy("id", "copy").collect().toSeq
+    assert(a === b)
+    // a zero-count row keeps a placement row but shifts no offsets
+    val withZero = withN.withColumn("n",
+      when(col("id") === 3L, 0L).otherwise(col("n")))
+    val z = Curation.packShuffledByCount(withZero, "id", "copy", "n", 4L,
+      partSpan = 1L << 55)
+    val zRows = z.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getAs[Long]("n_toks"), r.getAs[Long]("bin"),
+        r.getAs[Long]("bin_end"))).toMap
+    assert(zRows((3L, 1L))._1 === 0L)
+    assert(zRows((3L, 1L))._2 === zRows((3L, 1L))._3) // spans one bin
+    assert(z.agg(sum("n_toks")).head.getLong(0) ===
+      withN.filter(col("id") =!= 3L).agg(sum("n")).head.getLong(0))
+    val e = intercept[Exception] {
+      Curation.packShuffledByCount(
+        withN.withColumn("n", col("n") - 10L), "id", "copy", "n", 4L)
+        .collect()
+    }
+    assert(e.getMessage.contains("token counts"), e.getMessage)
+  }
+
   test("packShuffledBins: every non-final bin holds exactly binTokens " +
       "tokens and the content hashes match a pure-Scala replay") {
     import spark.implicits._
