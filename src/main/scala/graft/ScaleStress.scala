@@ -65,7 +65,11 @@ object ScaleStress {
     // sum (phase 1 over one row per hash span, phase 2 windowed within
     // spans) must scale ~linearly; a naive global-window form would
     // funnel the whole corpus through one partition and blow up here
-    "cur_pack_shuffled")
+    "cur_pack_shuffled",
+    // round-17: bin materialization — one bounded explode + ONE shuffle
+    // keyed on bin with per-bin collect_list state capped at binTokens;
+    // bin count grows with the corpus, per-bin state does not
+    "cur_pack_bins")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

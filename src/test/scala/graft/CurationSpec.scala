@@ -137,6 +137,37 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL copy"), e.getMessage)
   }
 
+  test("packShuffled family equals a driver-side replay on random " +
+      "corpora (property)") {
+    import spark.implicits._
+    // permanence insurance for the hash-span two-phase sum: placement
+    // must match a pure-Scala replay on arbitrary shapes — random ids,
+    // random copies, zero-token rows, random bin sizes and part spans
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq(5, 23, 77).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 40 + rnd.nextInt(60)).map { k =>
+        (rnd.nextInt(1000).toLong, (k % 4).toLong, rnd.nextInt(5).toLong)
+      }.distinctBy(r => (r._1, r._2))
+      val binT = 1L + rnd.nextInt(16)
+      val span = 1L << (40 + rnd.nextInt(20))
+      val got = Curation.packShuffledByCount(rows.toDF("id", "copy", "n"),
+          "id", "copy", "n", binT, partSpan = span)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Long]("n_toks"), r.getAs[Long]("offset"),
+            r.getAs[Long]("bin"), r.getAs[Long]("bin_end"))).toMap
+      val ordered = rows.sortBy { case (i, c, _) =>
+        (BigInt(md5hex(s"ep_${i}_$c").take(15), 16).toLong, i, c) }
+      val offs = ordered.scanLeft(0L)((acc, r) => acc + r._3).init
+      val want = ordered.zip(offs).map { case ((i, c, n), o) =>
+        (i, c) -> (n, o, o / binT, math.max(o, o + n - 1) / binT) }.toMap
+      assert(got === want, s"seed $seed diverged from the replay " +
+        s"(binT=$binT, span=$span)")
+    }
+  }
+
   test("packShuffledByCount: bit-equal to packShuffled on whitespace " +
       "counts; zero rows occupy nothing; bad counts raise") {
     import spark.implicits._
