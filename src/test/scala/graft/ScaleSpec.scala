@@ -364,6 +364,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"plan:\n$p")
   }
 
+  test("cur_pack_shuffled plan: corpus window part-partitioned, single " +
+      "partition only over the per-part totals") {
+    val p = planOf("cur_pack_shuffled")
+    // the scale-killer this two-phase form exists to avoid is a GLOBAL
+    // unpartitioned running sum over corpus rows; the one allowed
+    // SinglePartition exchange is the per-part-totals cumsum (one row
+    // per hash span), whose offsets broadcast back map-side
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, s"plan:\n$p")
+    // the row-grain running sum is partitioned by the hash span and
+    // ordered by (hk, id, copy)
+    assert("""\], \[part#\d+L\], \[hk#""".r.findFirstIn(p).isDefined,
+      s"plan:\n$p")
+    assert(p.contains("BroadcastExchange"), s"plan:\n$p")
+  }
+
   test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
     val p = planOf("text_tfidf_keywords")
     // corpus size attaches as a BROADCAST 1-row aggregate (its final
