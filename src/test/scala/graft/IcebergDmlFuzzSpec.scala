@@ -86,6 +86,18 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       concurrentReads = true)
   }
 
+  // The same isolation property across the v2->v3 UPGRADE: the upgrade
+  // publishes TWO commits (metadata bump, then the absorb-legacy-pos
+  // replace) and flips the reader's delete-application path from
+  // parquet position deletes to DVs — a read landing anywhere in that
+  // window must still see exactly one committed state (both upgrade
+  // commits are data-preserving by contract).
+  test("concurrent reader stays consistent across a mid-storm v2->v3 " +
+      "upgrade (seed 67)") {
+    runFuzz(67, hiveImport = false, formatVersion = 2,
+      upgradeAtStep = Some(12), concurrentReads = true)
+  }
+
   private def runFuzz(seed: Int, hiveImport: Boolean,
                       formatVersion: Int = 2,
                       upgradeAtStep: Option[Int] = None,

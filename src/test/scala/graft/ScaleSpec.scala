@@ -379,6 +379,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"plan:\n$p")
   }
 
+  test("cur_pack_bins plan: bin agg combines map-side, no cartesian") {
+    val p = planOf("cur_pack_bins")
+    // fragment reassembly is ONE shuffle keyed on bin with map-side
+    // partial collect_list (per-bin state capped at binTokens); the
+    // placement→tokens join must never degrade to a nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(p.contains("partial_collect_list"), s"plan:\n$p")
+    assert("""Exchange hashpartitioning\(bin#""".r.findAllIn(p).size == 1,
+      s"plan:\n$p")
+  }
+
   test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
     val p = planOf("text_tfidf_keywords")
     // corpus size attaches as a BROADCAST 1-row aggregate (its final
