@@ -268,9 +268,15 @@ object Curation {
                           salt: String = "ep",
                           partSpan: Long = 1L << 50): DataFrame = {
     val n = col(nToksCol)
-    val guarded = when(n.isNull || n < 0,
+    // the integrality check blocks the cast-truncation trap a DOUBLE
+    // count column would hit (3.7 silently packing as 3 — the same
+    // guard resampleKeep carries for its weights); coalesce keeps the
+    // diagnostic readable when n itself is NULL
+    val guarded = when(n.isNull || n < 0 ||
+        n.cast("double") =!= n.cast("long").cast("double"),
       raise_error(concat(lit("packShuffledByCount: token counts must be "),
-        lit("non-null and >= 0: "), n.cast("string"))).cast("long"))
+        lit("non-null integral >= 0: "),
+        coalesce(n.cast("string"), lit("NULL")))).cast("long"))
       .otherwise(n.cast("long"))
     packShuffledCore(docs, idCol, copyCol, guarded, binTokens, salt, partSpan)
   }

@@ -672,6 +672,15 @@ object TextAnalysis {
     * contract as [[saveNbModel]]): rank-ordered (lhs, rhs) pairs whose
     * ORDER is the greedy-application order, so the rank column is
     * explicit and the loader restores it exactly. Overwrites. */
+  /** Collect [[trainBpeMerges]]' (merge_rank, lhs, rhs) frame into the
+    * ordered in-memory merge list the apply-side helpers take — the ONE
+    * place that knows that frame's column layout, so a schema change
+    * cannot silently desync the call sites ([[loadBpeMerges]] is the
+    * persistence-format twin). */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("merge_rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
                     merges: Seq[(String, String)], dir: String): Unit = {
     import spark.implicits._

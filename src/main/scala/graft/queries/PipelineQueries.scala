@@ -1041,9 +1041,8 @@ object PipelineQueries {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN ag a USING (doc_id) ORDER BY id""".stripMargin) { (s, _) =>
     val docs = s.table("documents")
-    val ms = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
     TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", ms)
       .orderBy("id")
   }
@@ -1083,9 +1082,8 @@ object PipelineQueries {
       |FROM po ORDER BY tok_offset, id""".stripMargin,
     bench = false) { (s, _) =>
     val docs = s.table("documents")
-    val ms = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
     val counts = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", ms)
       .withColumn("cp", pmod(col("id"), lit(2L)))
     Curation.packShuffledByCount(counts, "id", "cp", "n_bpe",

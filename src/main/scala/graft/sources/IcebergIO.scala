@@ -143,12 +143,16 @@ object IcebergIO {
       if (!GraftFs.isFile(hint, c)) None
       else {
         // The hint write is not atomic on every FS (truncate-then-write):
-        // a concurrent reader can observe it empty or pointing at a
-        // version mid-publish. The Iceberg Hadoop-table convention is to
-        // fall back to a directory listing in exactly that case — never
-        // fail a read on a transient hint state (matches
-        // HadoopTableOperations' refresh behavior).
-        val v = GraftFs.readUtf8(hint, c).trim
+        // a concurrent reader can observe it empty, pointing at a
+        // version mid-publish, or mid-rewrite (local-FS .crc sidecar
+        // ChecksumException / EOF). The Iceberg Hadoop-table convention
+        // is to fall back to a directory listing in exactly those
+        // cases — never fail a read on a transient hint state (matches
+        // HadoopTableOperations' refresh behavior), so the read itself
+        // is also guarded.
+        val v = try GraftFs.readUtf8(hint, c).trim catch {
+          case scala.util.control.NonFatal(_) => ""
+        }
         val f = GraftFs.child(mdDir, s"v$v.metadata.json")
         if (v.nonEmpty && v.forall(_.isDigit) && GraftFs.isFile(f, c)) Some(f)
         else None

@@ -121,9 +121,8 @@ class AdvancedOpsSpec extends AnyFunSuite {
       (3L, "newer new aaaa")).toDF("doc_id", "text")
     // pair weights: (a,a) = 3*2 + 4 = 10 beats (l,o) = (o,w) = 7; after
     // fusing aa the runs collapse, so (l,o) then (lo,w) follow
-    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
     assert(merges === Seq(("a", "a"), ("l", "o"), ("lo", "w")))
     // greedy-left on runs: aaaa -> [aa, aa], aaaaa -> [aa, aa, a] —
     // the pathological case a string replace CANNOT express (it misses
@@ -242,9 +241,8 @@ class AdvancedOpsSpec extends AnyFunSuite {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "aaaa aabb abab bbbb"), (2L, "aaaaa bbb aab"))
       .toDF("doc_id", "text")
-    val merges = TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
     val got = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", merges)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     def countRef(text: String): Long = text.split(" ").filter(_.nonEmpty)

@@ -198,6 +198,22 @@ class CurationSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("token counts"), e.getMessage)
+    // fractional counts must RAISE, never cast-truncate (3.7 -> 3)
+    val ef = intercept[Exception] {
+      Curation.packShuffledByCount(
+        withN.withColumn("n", col("n") + lit(0.7)), "id", "copy", "n", 4L)
+        .collect()
+    }
+    assert(ef.getMessage.contains("integral"), ef.getMessage)
+    // NULL counts raise with a READABLE diagnostic (not a null message)
+    val en = intercept[Exception] {
+      Curation.packShuffledByCount(
+        withN.withColumn("n",
+          when(col("id") === 2L, lit(null)).otherwise(col("n"))),
+        "id", "copy", "n", 4L).collect()
+    }
+    assert(en.getMessage.contains("token counts") &&
+      en.getMessage.contains("NULL"), en.getMessage)
   }
 
   test("packShuffledBins: every non-final bin holds exactly binTokens " +

@@ -202,6 +202,10 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
     val states =
       scala.collection.mutable.Set.empty[Seq[(Long, (String, Double))]]
     def record(): Unit = { states += model.toSeq.sortBy(_._1): Unit }
+    // the EMPTY create() state is also committed history: a reader
+    // resolving through a torn/stale version hint may legitimately land
+    // on v1 (the pre-append metadata) — stale is fine, torn is not
+    states += Seq.empty
     record()
     val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val readerErr =
@@ -224,7 +228,10 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       t
     }
 
-    for (step <- 1 to 30) {
+    // stop the reader even when the storm itself throws — a live daemon
+    // reader would keep firing Spark jobs for the rest of the JVM,
+    // obscuring the original failure and perturbing later suites
+    try for (step <- 1 to 30) {
       if (upgradeAtStep.contains(step)) {
         IcebergWrite.upgradeFormatVersion(spark, dir)
         fv = 3
@@ -311,10 +318,12 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       record()
       if (step % 10 == 0) IcebergWrite.compact(spark, dir)
       if (step % 5 == 0 || step == 30) verify(s"step $step (op $op)")
+    } finally {
+      readerStop.set(true)
+      reader.foreach(_.join(60000))
     }
     reader.foreach { t =>
-      readerStop.set(true)
-      t.join(60000)
+      assert(!t.isAlive, "reader thread still running after join timeout")
       Option(readerErr.get).foreach(e =>
         throw new AssertionError("concurrent reader thread failed", e))
       import scala.jdk.CollectionConverters._

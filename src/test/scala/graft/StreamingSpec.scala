@@ -880,10 +880,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // train once batch-side, meter the stream with the frozen merges
-    val merges = graft.operators.TextAnalysis
-      .trainBpeMerges(docsDf, "doc_id", "text", nMerges = 3)
-      .orderBy("merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = graft.operators.TextAnalysis.collectMerges(
+      graft.operators.TextAnalysis
+        .trainBpeMerges(docsDf, "doc_id", "text", nMerges = 3))
     assert(merges.size === 3)
 
     val in = org.apache.spark.sql.execution.streaming.runtime
