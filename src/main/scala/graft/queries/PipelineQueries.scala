@@ -3028,6 +3028,59 @@ object PipelineQueries {
 
   private val crawlTag: String = java.util.UUID.randomUUID().toString.take(8)
 
+  /** INCREMENTAL curation — the nightly-crawl shape: an Iceberg table
+    * takes a base load, then a delta append; `readIncremental` from the
+    * base snapshot yields EXACTLY the delta rows, which flow through
+    * the Gopher quality gate into per-lang accounting. The oracle
+    * predicts the delta by replaying the load split (doc_id % 3 = 0 is
+    * the second append), so the snapshot-range read itself is part of
+    * the compared surface — a row leaking from the base load or
+    * dropped from the delta breaks the counts. */
+  val pipeIncrementalCurate = dfQ("pipe_incremental_curate",
+    """WITH delta AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |m AS (
+      |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(w, x -> x <> ''
+      |      AND NOT regexp_matches(x, '[a-zA-Z0-9]'))) AS BIGINT) AS n_sym
+      |  FROM delta),
+      |kept AS (
+      |  SELECT doc_id, lang, n_words FROM m
+      |  WHERE n_words >= 30 AND n_words <= 90
+      |    AND n_chars >= 4 * n_words AND n_chars <= 10 * n_words
+      |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4
+      |    AND n_sym * 10 <= n_words)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  CAST(SUM(n_words) AS BIGINT) AS toks
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val docs = s.table("documents").select("doc_id", "lang", "text")
+    val dir = s"/tmp/graft_pipe_incr_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, docs.schema)
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), dir)
+    val snap1 = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), dir)
+    val delta = IcebergIO.readIncremental(s, dir, snap1)
+    val flags = TextAnalysis.gopherQualityFlags(delta, "doc_id", "text",
+      minWords = 30, maxWords = 90, minMeanLen = 4, maxMeanLen = 10,
+      minStopwords = 2)
+    flags.filter(col("keep") === 1).select("id", "n_words")
+      .join(delta.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"), sum("n_words").as("toks"))
+      .orderBy("lang")
+  }
+
   /** The crawl chain continued into TRAINING-EPOCH ASSEMBLY — the other
     * product tail: the same shared head+mid as [[pipeCrawlIceberg]]
     * (extract → gate → dedup → decontam → classify → mix → resample →
@@ -3102,7 +3155,7 @@ object PipelineQueries {
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
-    pipeCrawlIceberg, pipeCrawlEpoch, textClassifyCalibrate,
-    pipeCalibrateSelect,
+    pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
+    textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }
