@@ -667,11 +667,6 @@ object TextAnalysis {
       prior = spark.read.parquet(s"$dir/prior"),
       vSize = spark.read.parquet(s"$dir/meta").head.getLong(0))
 
-  /** Persist a trained BPE merge list ([[trainBpeMerges]]) as parquet —
-    * the tokenizer's train-once / serve-everywhere artifact (the same
-    * contract as [[saveNbModel]]): rank-ordered (lhs, rhs) pairs whose
-    * ORDER is the greedy-application order, so the rank column is
-    * explicit and the loader restores it exactly. Overwrites. */
   /** Collect [[trainBpeMerges]]' (merge_rank, lhs, rhs) frame into the
     * ordered in-memory merge list the apply-side helpers take — the ONE
     * place that knows that frame's column layout, so a schema change
@@ -681,6 +676,11 @@ object TextAnalysis {
     merges.orderBy("merge_rank").select("lhs", "rhs")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Persist a trained BPE merge list ([[trainBpeMerges]]) as parquet —
+    * the tokenizer's train-once / serve-everywhere artifact (the same
+    * contract as [[saveNbModel]]): rank-ordered (lhs, rhs) pairs whose
+    * ORDER is the greedy-application order, so the rank column is
+    * explicit and the loader restores it exactly. Overwrites. */
   def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
                     merges: Seq[(String, String)], dir: String): Unit = {
     import spark.implicits._

@@ -3126,14 +3126,20 @@ object PipelineQueries {
       .withColumn("wm2",
         when(col("pred") === "en", 2000000L).otherwise(1200000L))
     val epoch = Curation.upsampleByWeight(trainDocs, "doc_id", "wm2")
-    // extracted stays persisted through lazy evaluation of the result;
-    // Verify/check clear the cache per query (see crawlFin's contract)
-    Curation.packShuffled(epoch, "doc_id", "copy", "text",
+    val binned = Curation.packShuffled(epoch, "doc_id", "copy", "text",
         binTokens = 256L, partSpan = 1L << 55)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
         min("id").as("min_id"))
       .orderBy("bin")
+    // materialize the (bin-scale) aggregate locally so `extracted` can
+    // be unpersisted NOW — long-lived harnesses (Scratch, registry
+    // loops) must not leak one corpus-sized cache entry per invocation
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        binned.collect(): _*)), binned.schema)
+    extracted.unpersist()
+    local.orderBy("bin")
   }
 
   val all: Seq[Q] = Seq(
