@@ -320,21 +320,60 @@ object Curation {
   def packShuffledBins(docs: DataFrame, idCol: String, copyCol: String,
                        textCol: String, binTokens: Long,
                        salt: String = "ep",
-                       partSpan: Long = 1L << 50): DataFrame = {
-    val placement = packShuffled(docs, idCol, copyCol, textCol, binTokens,
-      salt, partSpan)
-    val toks = docs.select(
+                       partSpan: Long = 1L << 50): DataFrame =
+    packShuffledBinsSegs(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(copyCol).cast("long").as("copy"),
+        split(lower(col(textCol)), " ").as("segs")),
+      "id", "copy", "segs", binTokens, salt, partSpan)
+
+  /**
+   * [[packShuffledBins]] over PRECOMPUTED per-row segment arrays
+   * instead of whitespace tokenization — the production form when bins
+   * are budgeted AND materialized in real tokenizer units: feed
+   * [[graft.operators.TextAnalysis.bpeSegments]]' streams and both the
+   * placement (counts = `size(segs)`, exactly what
+   * [[packShuffledByCount]] over [[graft.operators.TextAnalysis
+   * .bpeSegmentCount]] budgets — the two route every word through the
+   * same vocab fold) and the bin contents are cut at BPE-segment grain.
+   * This closes the gap between "bins are budgeted right" and "the
+   * dataloader reads the right bytes".
+   *
+   * Same output contract as [[packShuffledBins]]:
+   * (bin, n_frags, n_toks, bin_md5). NULL segment arrays raise (the
+   * [[packShuffledByCount]] guard). A ZERO-length segment array keeps
+   * its placement row but contributes no fragment to any bin — n_frags
+   * counts only non-empty fragments, so a bin's hash is a pure function
+   * of its token stream (an empty fragment carries no tokens and must
+   * not perturb the count an auditor reconciles against n_toks).
+   *
+   * Scale shape: identical to [[packShuffledBins]] — one bounded
+   * explode + ONE shuffle keyed on `bin`, per-bin state capped at
+   * `binTokens` regardless of corpus size.
+   */
+  def packShuffledBinsSegs(docs: DataFrame, idCol: String, copyCol: String,
+                           segsCol: String, binTokens: Long,
+                           salt: String = "ep",
+                           partSpan: Long = 1L << 50): DataFrame = {
+    val base = docs.select(
       col(idCol).cast("long").as("id"),
       col(copyCol).cast("long").as("copy"),
-      split(lower(col(textCol)), " ").as("w"))
-    placement.join(toks, Seq("id", "copy"))
+      col(segsCol).as("segs"))
+      .withColumn("__n", when(col("segs").isNull,
+          raise_error(lit("packShuffledBinsSegs: NULL segment array"))
+            .cast("long"))
+        .otherwise(size(col("segs")).cast("long")))
+    val placement = packShuffledByCount(base, "id", "copy", "__n",
+      binTokens, salt, partSpan)
+    placement.join(base.select("id", "copy", "segs"), Seq("id", "copy"))
+      .filter(col("n_toks") > 0)
       .withColumn("b", explode(expr("sequence(bin, bin_end)")))
       .select(
         col("b").as("bin"),
         // the fragment's global token position — max(offset, b·B): the
         // doc either starts inside the bin or is cut at its left edge
         greatest(col("offset"), col("b") * binTokens).as("gpos"),
-        expr(s"slice(w, CAST(greatest(0L, b * ${binTokens}L - offset) AS INT) + 1," +
+        expr(s"slice(segs, CAST(greatest(0L, b * ${binTokens}L - offset) AS INT) + 1," +
           s" CAST(least(n_toks, (b + 1) * ${binTokens}L - offset)" +
           s" - greatest(0L, b * ${binTokens}L - offset) AS INT))").as("frag"))
       .groupBy("bin")

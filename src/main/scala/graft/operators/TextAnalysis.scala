@@ -412,14 +412,33 @@ object TextAnalysis {
     val words = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    // Fold the merge chain over the DISTINCT-word vocabulary in chunks
-    // of [[MergeChunk]] nested folds per materialized pass (persist the
-    // fused frame, drop the prior — the trainer's own iterative shape),
-    // so ANY merge-list size works: expression depth stays bounded while
-    // the corpus is still only touched by the one explode + final join.
+    val vocab = foldedVocabSyms(words.select("w").distinct(), merges)
+      .select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    val perDoc = words.join(vocab, Seq("w"))
+      .groupBy("id").agg(sum("n_tok").as("n_bpe"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
+  /** Fold the merge chain over a DISTINCT-word vocabulary frame (one
+    * `w` column) in chunks of [[MergeChunk]] nested folds per
+    * materialized pass (persist the fused frame, drop the prior — the
+    * trainer's own iterative shape), so ANY merge-list size works:
+    * expression depth stays bounded while the corpus is only ever
+    * touched by the caller's one explode + final join. Returns
+    * (w, syms). Shared by [[bpeSegmentCount]] (counting) and
+    * [[bpeSegments]] (materialized per-document streams) so the two
+    * can never disagree on a word's segmentation.
+    *
+    * NOTE: intermediate vocab frames stay cached until the caller's
+    * action completes; they are vocab-sized (small) and MEMORY_AND_DISK
+    * by default. The LAST chunk is left unmaterialized so single-chunk
+    * calls (the common case) keep the original one-pass plan. */
+  private def foldedVocabSyms(distinctWords: DataFrame,
+                              merges: Seq[(String, String)]): DataFrame = {
     val chunks = merges.grouped(MergeChunk).toSeq
-    var cur = words.select("w").distinct()
-      .withColumn("syms", expr(charSymsExpr))
+    var cur = distinctWords.withColumn("syms", expr(charSymsExpr))
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val folded = chunk.foldLeft("syms") {
@@ -433,17 +452,44 @@ object TextAnalysis {
         persisted += cur
       }
     }
-    val vocab = cur.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    cur
+  }
+
+  /** Materialized per-document BPE segment STREAMS under a learned
+    * merge list — the array-valued twin of [[bpeSegmentCount]]
+    * (`size(segs)` is bit-equal to its `n_bpe` by construction: both
+    * route every word through [[foldedVocabSyms]]'s one fold): each
+    * DISTINCT word folds through the merges ONCE (vocab grain), then
+    * documents reassemble their words' segment arrays in word order.
+    * Wordless documents keep an EMPTY-array row. Returns (id, segs).
+    *
+    * This is the tokenize-then-MATERIALIZE shape
+    * [[graft.operators.Curation.packShuffledBinsSegs]] consumes: bins
+    * budgeted in real BPE units get their contents cut at BPE-segment
+    * grain, not whitespace grain.
+    *
+    * Scale shape: the corpus pays one word explode + one vocab join +
+    * one doc-grain reassembly aggregate (per-doc state = that doc's own
+    * segments — never corpus-sized); the merge fold itself runs at
+    * vocab grain only. */
+  def bpeSegments(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) > 0)
+    val vocab = foldedVocabSyms(words.select("w").distinct(), merges)
+    // array_sort of (wpos, syms) structs orders by the first field, so
+    // flatten rebuilds the document's segment stream in word order
     val perDoc = words.join(vocab, Seq("w"))
-      .groupBy("id").agg(sum("n_tok").as("n_bpe"))
-    val out = docs.select(col(idCol).as("id")).distinct()
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("syms")))),
+        p => p.getField("syms"))).as("segs"))
+    docs.select(col(idCol).as("id")).distinct()
       .join(perDoc, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
-    // NOTE: intermediate vocab frames stay cached until the caller's
-    // action completes; they are vocab-sized (small) and MEMORY_AND_DISK
-    // by default. The LAST chunk is left unmaterialized so single-chunk
-    // calls (the common case) keep the original one-pass plan.
-    out
+      .select(col("id"),
+        coalesce(col("segs"), expr("CAST(array() AS ARRAY<STRING>)"))
+          .as("segs"))
   }
 
   /** GOPHER-style quality-rule bundle (Rae et al. 2021, the standard

@@ -1092,6 +1092,66 @@ object PipelineQueries {
       .orderBy("tok_offset", "id")
   }
 
+  /** BPE-GRAIN bin materialization ([[Curation.packShuffledBinsSegs]]
+    * over [[TextAnalysis.bpeSegments]]): where cur_pack_bpe pins that
+    * bins are BUDGETED in real tokenizer units, this pins that the
+    * materialized per-bin streams ARE those units — each document's
+    * learned-BPE segment stream is cut at the 128-BPE-token bin
+    * boundaries and every bin's reassembled content is hashed. The
+    * oracle chains the full 3-merge training replay into per-word
+    * segment arrays (v3), reassembles each document's stream in word
+    * order, replays the hash-order window layout, the boundary slice
+    * arithmetic, and the ordered per-bin reassembly — the last
+    * unverified step between "bins budgeted right" and "the dataloader
+    * reads the right bytes". */
+  val curPackBinsBpe = dfQ("cur_pack_bins_bpe",
+    bpeBaseCtes(3) + """,
+      |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dw AS (SELECT doc_id, i.i AS wpos, ws[i.i] AS w
+      |       FROM dws CROSS JOIN LATERAL
+      |         (SELECT unnest(generate_series(1, len(ws))) AS i) i
+      |       WHERE len(ws[i.i]) > 0),
+      |sg AS (SELECT doc_id, flatten(list(syms ORDER BY wpos)) AS segs
+      |       FROM dw JOIN v3 USING (w) GROUP BY doc_id),
+      |seg AS (SELECT d.doc_id AS id,
+      |    COALESCE(s.segs, CAST([] AS VARCHAR[])) AS segs
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN sg s ON s.doc_id = d.doc_id),
+      |pk AS (SELECT id, CAST(id % 2 AS BIGINT) AS cp, segs,
+      |    CAST(len(segs) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(id AS VARCHAR) || '_'
+      |      || CAST(id % 2 AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM seg),
+      |po AS (SELECT id, segs, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id, cp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM pk),
+      |bex AS (SELECT id, segs, n_toks, toff,
+      |    unnest(generate_series(toff // 128,
+      |      GREATEST(toff, toff + n_toks - 1) // 128)) AS b
+      |  FROM po WHERE n_toks > 0),
+      |fr AS (SELECT b AS bin,
+      |    GREATEST(toff, b * 128) AS gpos,
+      |    list_slice(segs, GREATEST(0, b * 128 - toff) + 1,
+      |      LEAST(n_toks, (b + 1) * 128 - toff)) AS frag
+      |  FROM bex)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_frags,
+      |  CAST(SUM(len(frag)) AS BIGINT) AS n_toks,
+      |  md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gpos))
+      |    AS bin_md5
+      |FROM fr GROUP BY bin ORDER BY bin""".stripMargin,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
+    val segs = TextAnalysis.bpeSegments(docs, "doc_id", "text", ms)
+      .withColumn("cp", pmod(col("id"), lit(2L)))
+    Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
+        binTokens = 128L, partSpan = 1L << 55)
+      .orderBy("bin")
+  }
+
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
     * md5-seed cell assignment (exact-integer idiom) + in-cell
     * keep-lowest-id cosine pruning at 0.35 — the oracle replays the
@@ -3142,6 +3202,174 @@ object PipelineQueries {
     local.orderBy("bin")
   }
 
+  /** The epoch tail PERSISTED — a training run consumes bins from
+    * storage, not from a DataFrame: deterministic 90/10 split →
+    * per-source epoch weights → [[Curation.upsampleByWeight]] →
+    * [[Curation.packShuffledBins]] MATERIALIZED per-bin token streams →
+    * WRITTEN to a v3 Iceberg table (initial append, then a
+    * `preserveLineage` upsert bumping rev on even bins) → READ BACK via
+    * `readWithRowId`. The oracle replays split, epoching, the
+    * hash-order layout, the boundary slices and every bin's content
+    * hash to predict the final TABLE content; lineage is pinned through
+    * the [[pipeCrawlIceberg]] invariants (`id_stable` — every bin keeps
+    * its `_row_id` through the preserving update — `lseq_adv` — the
+    * sequence number advanced exactly for the rewritten even bins — and
+    * `id_uniq`), never raw ids. */
+  val pipeEpochIceberg = dfQ("pipe_epoch_iceberg",
+    """WITH lab AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  WHERE CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) * 1000000 < 900000 * 1099511627776),
+      |w AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN source IN ('src0', 'src1') THEN 2500000
+      |         WHEN source = 'src2' THEN 1500000 ELSE 700000 END AS wm
+      |  FROM lab),
+      |cp AS (
+      |  SELECT doc_id, text,
+      |    wm // 1000000 + CASE WHEN
+      |      CAST('0x' || substring(md5('us_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < (wm % 1000000) * 1099511627776
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM w),
+      |ex AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, copies - 1)) AS cp_i
+      |  FROM cp WHERE copies > 0),
+      |t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(cp_i AS BIGINT) AS cpn,
+      |    string_split(lower(text), ' ') AS wd,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_t,
+      |    CAST('0x' || substring(md5('ep_' || CAST(doc_id AS VARCHAR) || '_'
+      |      || CAST(cp_i AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM ex),
+      |lay AS (
+      |  SELECT id, wd, n_t,
+      |    CAST(COALESCE(SUM(n_t) OVER (ORDER BY hk, id, cpn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM t),
+      |bex AS (
+      |  SELECT id, wd, n_t, toff,
+      |    unnest(generate_series(toff // 256,
+      |      GREATEST(toff, toff + n_t - 1) // 256)) AS b
+      |  FROM lay),
+      |fr AS (
+      |  SELECT b AS bin, GREATEST(toff, b * 256) AS gpos,
+      |    list_slice(wd, GREATEST(0, b * 256 - toff) + 1,
+      |      LEAST(n_t, (b + 1) * 256 - toff)) AS frag
+      |  FROM bex),
+      |bins AS (
+      |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_frags,
+      |    CAST(SUM(len(frag)) AS BIGINT) AS n_toks,
+      |    md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gpos))
+      |      AS bin_md5
+      |  FROM fr GROUP BY bin)
+      |SELECT bin, n_frags, n_toks, bin_md5,
+      |  CASE WHEN bin % 2 = 0 THEN 2 ELSE 1 END AS rev,
+      |  1 AS id_stable,
+      |  CASE WHEN bin % 2 = 0 THEN 1 ELSE 0 END AS lseq_adv,
+      |  CAST(1 AS BIGINT) AS id_uniq
+      |FROM bins ORDER BY bin""".stripMargin, bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val docs = s.table("documents").select("doc_id", "text", "source")
+    val train = Curation.splitByHash(docs, "doc_id",
+        Seq("train" -> 900000L, "val" -> 100000L))
+      .filter(col("split") === "train")
+    val weighted = train.withColumn("wm",
+      when(col("source").isin("src0", "src1"), 2500000L)
+        .when(col("source") === "src2", 1500000L)
+        .otherwise(700000L))
+    val epoch = Curation.upsampleByWeight(weighted, "doc_id", "wm")
+    val bins = Curation.packShuffledBins(epoch, "doc_id", "copy", "text",
+        binTokens = 256L, partSpan = 1L << 55)
+      .withColumn("rev", lit(1))
+    val dir = s"/tmp/graft_pipe_epochice_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, bins.schema, formatVersion = 3)
+    IcebergWrite.append(bins, dir)
+    val snap1 = IcebergIO.loadMetadata(dir).snapshots.map(_.snapshotId).max
+    val read1 = IcebergIO.readWithRowId(s, dir, Some(snap1))
+      .select(col("bin"), col("_row_id").as("rid1"),
+        col("_last_updated_sequence_number").as("lseq1"))
+    IcebergWrite.upsert(
+      IcebergIO.read(s, dir, Some(snap1))
+        .filter(pmod(col("bin"), lit(2L)) === 0L).withColumn("rev", lit(2)),
+      dir, Seq("bin"), preserveLineage = true): Unit
+    val read2 = IcebergIO.readWithRowId(s, dir)
+    val uniq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_row_id"))
+    read2.join(read1, Seq("bin"))
+      .select(col("bin"), col("n_frags"), col("n_toks"), col("bin_md5"),
+        col("rev"),
+        when(col("_row_id") === col("rid1"), 1).otherwise(0).as("id_stable"),
+        when(col("_last_updated_sequence_number") > col("lseq1"), 1)
+          .otherwise(0).as("lseq_adv"),
+        count(lit(1)).over(uniq).as("id_uniq"))
+      .orderBy("bin")
+  }
+
+  /** INCREMENTAL epoch assembly — the nightly-delta twin of
+    * [[pipeEpochIceberg]] (composing [[pipeIncrementalCurate]]'s
+    * snapshot-range read with the epoch tail): base load + delta append
+    * → `readIncremental` from the base snapshot yields EXACTLY the
+    * delta → per-lang epoch weights → [[Curation.upsampleByWeight]] →
+    * [[Curation.packShuffled]] packs ONLY the delta epoch → per-bin
+    * accounting. The oracle predicts the delta by replaying the load
+    * split (doc_id % 3 = 0 is the second append), so a row leaking from
+    * the base load or dropped from the delta breaks the layout. */
+  val pipeEpochIncremental = dfQ("pipe_epoch_incremental",
+    """WITH delta AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0),
+      |w AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN lang = 'en' THEN 2000000 ELSE 1200000 END AS wm
+      |  FROM delta),
+      |cp AS (
+      |  SELECT doc_id, text,
+      |    wm // 1000000 + CASE WHEN
+      |      CAST('0x' || substring(md5('us_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |        AS BIGINT) * 1000000 < (wm % 1000000) * 1099511627776
+      |      THEN 1 ELSE 0 END AS copies
+      |  FROM w),
+      |ex AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, copies - 1)) AS cp_i
+      |  FROM cp WHERE copies > 0),
+      |t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id, CAST(cp_i AS BIGINT) AS cpn,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_t,
+      |    CAST('0x' || substring(md5('ep_' || CAST(doc_id AS VARCHAR) || '_'
+      |      || CAST(cp_i AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM ex),
+      |lay AS (
+      |  SELECT id, n_t,
+      |    CAST(COALESCE(SUM(n_t) OVER (ORDER BY hk, id, cpn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM t)
+      |SELECT toff // 256 AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_t) AS BIGINT) AS toks, MIN(id) AS min_id
+      |FROM lay GROUP BY bin ORDER BY bin""".stripMargin,
+    bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val docs = s.table("documents").select("doc_id", "lang", "text")
+    val dir = s"/tmp/graft_pipe_epinc_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, docs.schema)
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), dir)
+    val snap1 = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), dir)
+    val delta = IcebergIO.readIncremental(s, dir, snap1)
+    val weighted = delta.withColumn("wm",
+      when(col("lang") === "en", 2000000L).otherwise(1200000L))
+    val epoch = Curation.upsampleByWeight(weighted, "doc_id", "wm")
+    Curation.packShuffled(epoch, "doc_id", "copy", "text",
+        binTokens = 256L, partSpan = 1L << 55)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
+        min("id").as("min_id"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -3155,13 +3383,14 @@ object PipelineQueries {
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
     textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
     pipeGopherMix,
-    textHashedScore, textBpeTrain, textBpeApply, curPackBpe,
+    textHashedScore, textBpeTrain, textBpeApply, curPackBpe, curPackBinsBpe,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
     mmImageDhash, mmImageNearDup, mmAudioFp, mmAudioNearDup, mmResizeNn,
     mmResampleAudio, mmFrameSample,
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
+    pipeEpochIceberg, pipeEpochIncremental,
     textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }

@@ -185,6 +185,58 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(capped.getMessage.contains("bpeSegmentCount"))
   }
 
+  test("bpeSegments: per-doc streams match the reference fold in word " +
+      "order; size ≡ bpeSegmentCount; wordless docs keep an empty array") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low lowest aaaa aaaaa"),
+      (3L, ""),
+      (4L, "newer new aaaa")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("l", "o"), ("lo", "w"))
+    def refFold(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def refSegs(text: String): Seq[String] = text.split(" ")
+      .filter(_.nonEmpty).toSeq.flatMap(w =>
+        merges.foldLeft(w.map(_.toString): Seq[String]) {
+          case (s, (l, r)) => refFold(s, l, r)
+        })
+    val got = TextAnalysis.bpeSegments(docs, "doc_id", "text", merges)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val want = docs.collect().map(r => (r.getLong(0),
+      refSegs(r.getString(1)))).sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.find(_._1 == 3L).get._2 === Seq.empty[String])
+    // size(segs) is bit-equal to the counting twin — both route every
+    // word through the same vocab fold
+    val counts = TextAnalysis.bpeSegmentCount(docs, "doc_id", "text", merges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map { case (i, s) => (i, s.size.toLong) } === counts)
+    // a merge list past one chunk exercises the materialize-per-chunk
+    // path on the segments form too
+    val chain = Seq(("a", "b"), ("ab", "a"), ("aba", "b"), ("a", "a"),
+      ("aa", "a"), ("b", "b"), ("bb", "a"), ("b", "a"), ("ba", "b"),
+      ("aa", "bb"), ("ab", "ab"), ("abab", "a"), ("aaa", "b"),
+      ("bab", "a"), ("aab", "b"), ("bba", "a"), ("a", "bab"))
+    assert(chain.size > TextAnalysis.MergeChunk)
+    val corpus = Seq((1L, "abababa bbbaaa"), (2L, "aaaa babab"))
+      .toDF("doc_id", "text")
+    val gotChunked = TextAnalysis.bpeSegments(corpus, "doc_id", "text", chain)
+      .orderBy("id").collect().map(_.getSeq[String](1)).toSeq
+    def refChain(text: String): Seq[String] = text.split(" ")
+      .filter(_.nonEmpty).toSeq.flatMap(w =>
+        chain.foldLeft(w.map(_.toString): Seq[String]) {
+          case (s, (l, r)) => refFold(s, l, r)
+        })
+    assert(gotChunked === Seq(refChain("abababa bbbaaa"),
+      refChain("aaaa babab")))
+  }
+
   test("BPE greedy fold ≡ chain-parity window selection (the oracle's " +
       "form) on random runs") {
     // The oracle replays greedy-left fusion as a gaps-and-islands window

@@ -246,6 +246,97 @@ class CurationSpec extends AnyFunSuite {
     assert(bins.map(_.getAs[String]("bin_md5")).toSeq === want)
   }
 
+  test("multi-epoch packShuffled: bit-equal replay, per-salt layouts " +
+      "independent, every epoch covers each doc exactly copies(doc) times") {
+    import spark.implicits._
+    val docs = (0L until 300L).map { i =>
+      (i, (("w" + i + " ") * (1 + (i % 7).toInt)).trim,
+        1500000L + (i % 3) * 700000L)
+    }.toDF("id", "text", "wm")
+    val epoch = Curation.upsampleByWeight(docs, "id", "wm")
+    // the epoching draw is salt-independent ACROSS epochs when the
+    // trainer holds the upsample salt fixed — copies(doc) is the
+    // per-epoch coverage contract
+    val copies = epoch.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def layout(salt: String) =
+      Curation.packShuffled(epoch, "id", "copy", "text", binTokens = 16L,
+          salt = salt, partSpan = 1L << 55)
+        .collect()
+        .map(r => ((r.getAs[Long]("id"), r.getAs[Long]("copy")),
+          r.getAs[Long]("offset")))
+    val l1 = layout("ep1")
+    // identical under replay: the layout is a pure function of
+    // (corpus, salt) — a resumed trainer re-derives the same bins
+    assert(l1.sortBy(_._1).toSeq === layout("ep1").sortBy(_._1).toSeq)
+    val l2 = layout("ep2")
+    // coverage: each epoch places exactly the upsampled multiset — each
+    // (id, copy) once, so each doc appears exactly copies(doc) times
+    for (l <- Seq(l1, l2)) {
+      assert(l.map(_._1).distinct.length === l.length)
+      assert(l.map(_._1._1).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap === copies)
+    }
+    // independence: a fresh salt draws an unrelated shuffle — Spearman
+    // rank correlation between the two epochs' global orders is near
+    // zero (deterministic given the fixed salts, so safe to pin)
+    val r1 = l1.sortBy(_._2).map(_._1).zipWithIndex.toMap
+    val r2 = l2.sortBy(_._2).map(_._1).zipWithIndex.toMap
+    val n = r1.size.toDouble
+    val d2 = r1.map { case (k, a) =>
+      val d = (a - r2(k)).toDouble; d * d }.sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1))
+    assert(math.abs(rho) < 0.2, s"epoch orders correlated: rho=$rho")
+  }
+
+  test("packShuffledBinsSegs: segment-grain streams replay exactly; " +
+      "zero-segment rows occupy no bin; NULL segment arrays raise") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 0L, Seq("a", "b", "c")),
+      (1L, 0L, Seq.empty[String]), // zero-token doc: placement only
+      (2L, 0L, Seq("d", "e", "f", "g", "h")),
+      (2L, 1L, Seq("d2", "e2")),
+      (3L, 0L, Seq("i")),
+      (4L, 0L, Seq("j", "k", "l", "m", "n", "o", "p"))
+    ).toDF("id", "copy", "segs")
+    val bins = Curation.packShuffledBinsSegs(docs, "id", "copy", "segs",
+        binTokens = 4L, partSpan = 1L << 55)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("n_toks")).sum === 18L)
+    assert(bins.map(_.getAs[Long]("bin")).toSeq ===
+      (0L until bins.length.toLong))
+    bins.init.foreach(b =>
+      assert(b.getAs[Long]("n_toks") === 4L, s"short non-final bin $b"))
+    // pure-Scala replay: hash order, global stream, cut every 4 tokens
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+      .sortBy { case (i, c, _) =>
+        (BigInt(md5hex(s"ep_${i}_$c").take(15), 16).toLong, i, c) }
+    val stream = ordered.flatMap(_._3)
+    val want = stream.grouped(4).map(g => md5hex(g.mkString(" "))).toSeq
+    assert(bins.map(_.getAs[String]("bin_md5")).toSeq === want)
+    // n_frags counts only non-empty fragments: replay by intersecting
+    // each doc's token interval with each bin's interval
+    val offsets = ordered.scanLeft(0L)(_ + _._3.size).init
+    val wantFrags = bins.indices.map { b =>
+      ordered.zip(offsets).count { case ((_, _, s), off) =>
+        s.nonEmpty && off < (b + 1) * 4L && off + s.size > b * 4L }.toLong
+    }
+    assert(bins.map(_.getAs[Long]("n_frags")).toSeq === wantFrags)
+    // NULL segment arrays raise loudly
+    val en = intercept[Exception] {
+      Curation.packShuffledBinsSegs(
+        docs.withColumn("segs",
+          when(col("id") === 2L, lit(null)).otherwise(col("segs"))),
+        "id", "copy", "segs", 4L).collect()
+    }
+    assert(en.getMessage.contains("NULL"), en.getMessage)
+  }
+
   test("piiRedact masks email/ip/phone; piiCount counts matches") {
     import spark.implicits._
     val df = Seq(

@@ -391,6 +391,20 @@ class ScaleSpec extends AnyFunSuite {
       s"plan:\n$p")
   }
 
+  test("cur_pack_bins_bpe plan: BPE-grain bin agg combines map-side, " +
+      "one bin-keyed exchange, no cartesian") {
+    val p = planOf("cur_pack_bins_bpe")
+    // same contract as the whitespace form: the BPE chain (vocab fold +
+    // doc reassembly) adds its own narrow/keyed stages but the bin
+    // reassembly stays ONE bin-keyed shuffle with map-side partial
+    // collect_list, and no join anywhere degrades to a nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+    assert(p.contains("partial_collect_list"), s"plan:\n$p")
+    assert("""Exchange hashpartitioning\(bin#""".r.findAllIn(p).size == 1,
+      s"plan:\n$p")
+  }
+
   test("text_tfidf_keywords plan: df joins tf without a second corpus pass") {
     val p = planOf("text_tfidf_keywords")
     // corpus size attaches as a BROADCAST 1-row aggregate (its final
