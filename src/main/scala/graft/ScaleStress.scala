@@ -434,6 +434,39 @@ object ScaleStress {
     val ccRoundSlack = 4 // log2(10x) + headroom
     val ccSuspect = ccLargeRounds > ccSmallRounds + ccRoundSlack
 
+    // Pack-layout skew: packShuffled's coarse parts are HASH spans —
+    // uniform by construction — so a corpus whose ids all cluster
+    // inside ONE packOffsets id-range part (the degradation the hash
+    // order exists to avoid: the raw 10x corpus ids span < 2^20, so
+    // packOffsets' within-part running sum serializes on one reducer)
+    // must cost the same as the same rows with ids spread over ~1000
+    // parts. packOffsets on the clustered ids is recorded alongside as
+    // the evidence of what the hash order buys.
+    def packTime(docs: DataFrame, shuffled: Boolean): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        (if (shuffled)
+          graft.operators.Curation.packShuffled(docs, "doc_id", "cp",
+            "text", binTokens = 512L)
+        else
+          graft.operators.Curation.packOffsets(docs, "doc_id", "text",
+            binTokens = 512L))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val packDocs = spark.read.parquet(s"$dst/documents.parquet")
+      .select(col("doc_id"), col("text")).withColumn("cp", lit(0L))
+    // clustered: the corpus's own dense ids (every one in id-part 0);
+    // spread: the same rows strided so packOffsets would see ~1000
+    // id-range parts — packShuffled must not care which it gets
+    val packSpread = packDocs.withColumn("doc_id", col("doc_id") * 2048L)
+    val packShufClustered = packTime(packDocs, shuffled = true)
+    val packShufSpread = packTime(packSpread, shuffled = true)
+    val packOffsetsClustered = packTime(packDocs, shuffled = false)
+    val packRatio = packShufClustered / math.max(packShufSpread, 1e-3)
+    val packThreshold = skewThreshold
+    val packSuspect = packShufClustered > 0.5 && packRatio >= packThreshold
+
     val json =
       s"""{"copies":$copies,"base_dir":"$src","queries":{${rows.mkString(",")}},""" +
       s""""quadratic_threshold":${jnum(quadratic)},"suspect_quadratic":[${suspects.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -479,6 +512,11 @@ object ScaleStress {
       s""""sec_small":${jnum(ccSmallSec)},"sec_large":${jnum(ccLargeSec)},""" +
       s""""rounds_small":$ccSmallRounds,"rounds_large":$ccLargeRounds,""" +
       s""""round_slack":$ccRoundSlack,"suspect":${ccSuspect}},""" +
+      s""""pack_skew":{"offsets_clustered_sec":${jnum(packOffsetsClustered)},""" +
+      s""""shuffled_clustered_sec":${jnum(packShufClustered)},""" +
+      s""""shuffled_spread_sec":${jnum(packShufSpread)},""" +
+      s""""ratio":${jnum(packRatio)},"threshold":${jnum(packThreshold)},""" +
+      s""""suspect":${packSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

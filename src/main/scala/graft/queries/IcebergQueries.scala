@@ -1955,6 +1955,55 @@ object IcebergQueries {
     IcebergIO.read(s, dir).orderBy("id")
   }
 
+  /** v3 `unknown` type READ path (spec: the bottom type stores NOTHING;
+    * readers must surface it as null — files omit the column entirely).
+    * The fixture declares the column via the metadata override (a
+    * foreign writer's shape) and its data file physically lacks it; the
+    * read projects a typed-null literal without ever asking parquet for
+    * the column. After the foreign load, this engine's OWN writer
+    * appends through the same table (the staging choke point omits the
+    * column per spec), proving the table stays fully writable — the
+    * round-17 loud-fail would have left it unreadable entirely. The
+    * NullType result column casts to VARCHAR (a void column cannot land
+    * in a parquet result file). Lenient-read posture like
+    * `timestamp_ns`: accepted at any format version on read. */
+  val icebergUnknownType = dfQ("iceberg_unknown_type",
+    """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+      |  CAST(NULL AS VARCHAR) AS u,
+      |  CASE WHEN n_nationkey % 2 = 0 THEN 'w' ELSE 'f' END AS src
+      |FROM nation ORDER BY id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = s"/tmp/graft_iceberg_unknown_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("u", StringType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "unknown").build()),
+      StructField("src", StringType, nullable = false)))
+    val w = new IcebergFixture.Writer(s, dir, schema)
+    val base = s.table("nation")
+      .select(col("n_nationkey").cast("long").as("id"),
+        col("n_name").as("name"),
+        when(pmod(col("n_nationkey"), lit(2)) === 0, "w").otherwise("f")
+          .as("src"))
+    // the foreign file: odd keys, column `u` physically absent
+    w.appendRaw(base.filter(col("src") === "f"))
+    // this engine's writer: even keys — `u` rides as the null literal
+    // the schema contract demands and is OMITTED from the file
+    graft.sources.IcebergWrite.append(
+      base.filter(col("src") === "w")
+        .select(col("id"), col("name"), lit(null).as("u"), col("src")),
+      dir)
+    IcebergIO.read(s, dir)
+      .select(col("id"), col("name"), col("u").cast("string").as("u"),
+        col("src"))
+      .orderBy("id")
+  }
+
   /** CDC changelog WITH row lineage: every change row carries the row's
     * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
     * SHARING one id (the rewrite materializes it), which is what lets a
@@ -2081,7 +2130,7 @@ object IcebergQueries {
     icebergAllFiles, icebergAllManifests, icebergAllEntries, icebergMetadataLog, icebergPositionDeletes,
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergRowLineage, icebergVariant, icebergChangelogLineage,
-    icebergUpsertLineage, icebergTimestampNs,
+    icebergUpsertLineage, icebergTimestampNs, icebergUnknownType,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

@@ -49,6 +49,11 @@ object IcebergFixture {
     // the mapping is a direct passthrough (the WRITER gates it to
     // format v3 — see IcebergWrite.create)
     case VariantType      => "variant"
+    // NullType is the surface of the v3 `unknown` bottom type: reads
+    // project null, writes OMIT the column from data files (the spec's
+    // writer behavior — see IcebergWrite.stageDataFiles). create() and
+    // addColumn gate it to format v3 like `variant`.
+    case NullType         => "unknown"
     case other => throw new IllegalArgumentException(
       s"fixture writer supports flat primitive schemas only, got $other")
   }

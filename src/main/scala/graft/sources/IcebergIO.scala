@@ -193,6 +193,17 @@ object IcebergIO {
         // Top-level only — a nested ns column would silently surface as
         // an unexplained long, so it stays a loud unsupported.
         case "timestamp_ns" | "timestamptz_ns" if topLevel => LongType
+        // v3 bottom type: a column that stores NOTHING — the spec
+        // requires readers to surface it as null (files omit the column
+        // or store all-null). Spark's NullType is the honest mapping;
+        // the read path NEVER asks parquet for such a column
+        // ([[dataBranches]] strips it from physical read schemas and
+        // projects a null literal), and the writer refuses data writes
+        // against tables carrying one (read-only, like the ns
+        // timestamps — Spark's parquet sink cannot express "write this
+        // column by omitting it"). Top-level only, like ns: a nested
+        // unknown would surface as an unexplained void field.
+        case "unknown" if topLevel => NullType
         case "string" | "uuid" => StringType
         case "binary"      => BinaryType
         // v3 semi-structured type: Spark's VariantType implements the
@@ -630,7 +641,8 @@ object IcebergIO {
     // them and read NULL — hive imports are name-resolution tables, so
     // plain name matching serves both shapes)
     val reduced = StructType(
-      meta.schema.fields.filterNot(f => srcCols.contains(f.name)).toSeq ++
+      meta.schema.fields.filterNot(f =>
+        srcCols.contains(f.name) || f.dataType == NullType).toSeq ++
         (if (withRowId) lineageFields else Nil))
     val base = spark.read.schema(reduced).parquet(group.map(_.path): _*)
       .withColumn("__gf_fileraw", col("_metadata.file_path"))
@@ -654,7 +666,8 @@ object IcebergIO {
         regexp_replace(col("__gf_fileraw"), "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/"))
       .join(broadcast(mapDf), col("__gf_injkey0") === col("__gf_injkey"), "left")
     val proj = meta.schema.fields.toSeq.map { f =>
-      if (srcCols.contains(f.name))
+      if (f.dataType == NullType) lit(null).as(f.name)
+      else if (srcCols.contains(f.name))
         when(col("__gf_injkey").isNotNull, col(s"__gf_inj_${f.name}"))
           .otherwise(raise_error(concat(
             lit("identity-injection missed file (path-key mismatch): "),
@@ -762,18 +775,19 @@ object IcebergIO {
         .toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
       groups.foreach { case (missing, group) =>
         if (missing.isEmpty) {
-          val rs0 = dataReadSchema(spark, meta)
+          val rs0 = readableFields(dataReadSchema(spark, meta))
           val rs = if (withRowId) StructType(rs0.fields ++ rowIdFields) else rs0
           val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
-          out += base.select(meta.schema.fieldNames.toSeq.map(col) ++
+          out += base.select(meta.schema.fields.toSeq.map(tableCol) ++
             rowIdCols ++ (if (withPos) posCols else Nil): _*)
         } else {
-          val rs0 = StructType(dataReadSchema(spark, meta)
+          val rs0 = StructType(readableFields(dataReadSchema(spark, meta))
             .fields.filterNot(f => missing(f.name)))
           val rs = if (withRowId) StructType(rs0.fields ++ rowIdFields) else rs0
           val base = spark.read.schema(rs).parquet(group.map(_.path): _*)
           val proj = meta.schema.fields.toSeq.map { f =>
-            if (missing(f.name)) defaultLit(
+            if (f.dataType == NullType) lit(null).as(f.name)
+            else if (missing(f.name)) defaultLit(
               defs.find(_.name == f.name).get.initial, f.dataType).as(f.name)
             else col(f.name)
           }
@@ -791,12 +805,13 @@ object IcebergIO {
       // in these files under by-id semantics), with their upgrade-time
       // names and NO id metadata -> plain name resolution
       val mapped = meta.schema.fields.toSeq
-        .filter(f => mapping.contains(idByName(f.name)))
+        .filter(f => f.dataType != NullType && mapping.contains(idByName(f.name)))
       val legSchema = StructType(mapped.map(f =>
         StructField(mapping(idByName(f.name)), f.dataType, nullable = true)))
       val base = spark.read.schema(legSchema).parquet(legacy.map(_.path): _*)
       val proj = meta.schema.fields.toSeq.map { f =>
-        mapping.get(idByName(f.name)) match {
+        if (f.dataType == NullType) lit(null).as(f.name)
+        else mapping.get(idByName(f.name)) match {
           case Some(oldName) => col(oldName).as(f.name)
           case None =>
             // legacy files always predate any defaulted column (the
@@ -816,6 +831,17 @@ object IcebergIO {
     }
     out.result()
   }
+
+  /** v3 `unknown` columns (surfaced as NullType) must NEVER reach a
+    * parquet read schema — Spark's parquet source rejects void columns,
+    * and spec files may omit the column entirely. Physical read schemas
+    * strip them ([[readableFields]]); projections re-create the column
+    * as a null literal per the spec's read-as-null rule ([[tableCol]]). */
+  private[sources] def readableFields(s: StructType): StructType =
+    StructType(s.fields.filterNot(_.dataType == NullType))
+
+  private def tableCol(f: StructField): Column =
+    if (f.dataType == NullType) lit(null).as(f.name) else col(f.name)
 
   /** Spark's parquet reader/writer honors the `parquet.field.id` entry
     * in a StructField's metadata (public `spark.sql.parquet.fieldId.*`

@@ -93,11 +93,15 @@ object IcebergWrite {
              fieldIds: Boolean = true): Unit = {
     require(formatVersion >= 1 && formatVersion <= 3,
       s"format-version must be 1, 2 or 3, got $formatVersion")
-    // `variant` is a v3 type (spec "Version 3" column additions) — a
-    // v1/v2 table declaring one would be unreadable to spec readers
+    // `variant` and `unknown` (NullType surface) are v3 types (spec
+    // "Version 3" column additions) — a v1/v2 table declaring one would
+    // be unreadable to spec readers
     if (schema.fields.exists(_.dataType == VariantType))
       require(formatVersion >= 3,
         "variant columns require format v3 (pass formatVersion = 3)")
+    if (schema.fields.exists(_.dataType == org.apache.spark.sql.types.NullType))
+      require(formatVersion >= 3,
+        "unknown (NullType) columns require format v3 (pass formatVersion = 3)")
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
@@ -253,8 +257,11 @@ object IcebergWrite {
         s"hive partition column '$src' has type $dt — only " +
           "int/long/string/date directory values are parseable")
     }
-    val fileSchema = StructType(
-      meta.schema.fields.filterNot(f => partSrc.exists(_._2 == f.name)))
+    // `unknown` (NullType) columns are legitimately ABSENT from every
+    // data file (spec: the type stores nothing) — they must not be
+    // required of import sources nor read back for stats
+    val fileSchema = IcebergIO.readableFields(StructType(
+      meta.schema.fields.filterNot(f => partSrc.exists(_._2 == f.name))))
     val leaves = listParquetLeaves(sourceDir)
     require(leaves.nonEmpty, s"no .parquet files under $sourceDir")
     val leafPaths = leaves.map(_.getPath.toString)
@@ -462,11 +469,15 @@ object IcebergWrite {
   def addColumn(tablePath: String, name: String, dataType: DataType): Unit = {
     val meta = IcebergIO.loadMetadata(tablePath)
     val (root, priorVersion) = loadRawMetadata(meta.metadataFile)
-    // same boundary as create(): a v1/v2 metadata.json declaring the
+    // same boundary as create(): a v1/v2 metadata.json declaring a
     // v3-only type would be unreadable to spec readers
     if (dataType == VariantType)
       require(meta.formatVersion >= 3,
         "variant columns require format v3; run upgradeFormatVersion first")
+    if (dataType == org.apache.spark.sql.types.NullType)
+      require(meta.formatVersion >= 3,
+        "unknown (NullType) columns require format v3; run " +
+          "upgradeFormatVersion first")
     require(!meta.schema.fieldNames.contains(name),
       s"column '$name' already exists in $tablePath")
     require(!droppedNames(root).contains(name),
@@ -528,6 +539,9 @@ object IcebergWrite {
     require(meta.formatVersion >= 3,
       s"column defaults require format v3 (got v${meta.formatVersion}) — " +
         "run upgradeFormatVersion first")
+    require(dataType != org.apache.spark.sql.types.NullType,
+      "unknown (NullType) columns cannot carry a default — the type " +
+        "stores no values; use the plain addColumn")
     require(IcebergIO.resolveByFieldIds(meta),
       "column defaults require a field-id table: a name-resolution table " +
         "can import id-less files at later sequence numbers (addFiles), " +
@@ -2636,6 +2650,13 @@ object IcebergWrite {
     require(nsHit.isEmpty,
       s"equality delete keys on nanosecond-timestamp columns " +
         s"(${nsHit.sorted.mkString(", ")}) — read-only to this engine")
+    // an `unknown` column has no values, so no row can be addressed by
+    // equality on it — refuse before the delete-file write
+    val unkHit = values.schema.fields.filter(_.dataType ==
+      org.apache.spark.sql.types.NullType).map(_.name)
+    require(unkHit.isEmpty,
+      s"equality delete keys on v3 `unknown` columns " +
+        s"(${unkHit.sorted.mkString(", ")}) — the type stores no values")
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
     values.schema.fields.toSeq.map { f =>
       val id = fieldIdByName.getOrElse(f.name,
@@ -3314,6 +3335,16 @@ object IcebergWrite {
       s"table has nanosecond-timestamp columns " +
         s"(${meta.nsColumns.toSeq.sorted.mkString(", ")}) — read-only to " +
         "this engine (Spark has no nanosecond timestamp type)")
+    // v3 `unknown` columns (NullType surface) store NOTHING — the
+    // spec's writer behavior is to OMIT the column from data files
+    // entirely (readers re-surface null). Drop them from the physical
+    // write at this one choke point every data-writing verb routes
+    // through; bounds/null-count stats never mention them (optional
+    // per spec), and the read path projects the null literal back.
+    val writeSchema = IcebergIO.readableFields(meta.schema)
+    val unknownCols: Seq[String] =
+      meta.schema.fields.filter(_.dataType == NullType).map(_.name).toSeq
+    val dfW = if (unknownCols.isEmpty) df else df.drop(unknownCols: _*)
     val spark = df.sparkSession
     val fieldIdByName: Map[String, Int] = meta.fieldById.map(_.swap)
 
@@ -3346,8 +3377,8 @@ object IcebergWrite {
     val carries: Seq[(String, String, Int)] = Seq(
       (LineageCarryCol, IcebergIO.RowLineageCol, IcebergIO.RowIdFieldId),
       (LastUpdatedCarryCol, IcebergIO.LastUpdatedCol,
-        IcebergIO.LastUpdatedFieldId)).filter(c => df.columns.contains(c._1))
-    val df0 = carries.foldLeft(df)((d, c) => d.withColumnRenamed(c._1, c._2))
+        IcebergIO.LastUpdatedFieldId)).filter(c => dfW.columns.contains(c._1))
+    val df0 = carries.foldLeft(dfW)((d, c) => d.withColumnRenamed(c._1, c._2))
     val stampIds = fieldIdByName ++ carries.map(c => c._2 -> c._3)
     val dfIds = stampFieldIds(df0, stampIds)
     val tmp = GraftFs.child(tablePath, s"_tmp_commit_${snapshotId}_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -3410,7 +3441,7 @@ object IcebergWrite {
       // over a read-back of the staged files (explicit leaf paths: no
       // partition-column inference; every table column is IN the files —
       // partitionBy only dropped the derived __gf_p* duplicates)
-      val stats = perFileStats(spark, meta.schema, fieldIdByName,
+      val stats = perFileStats(spark, writeSchema, fieldIdByName,
         staged.map(_.getPath.toString), storedCols)
 
       // a staged file absent from the stats map contributed no rows to
@@ -3421,7 +3452,7 @@ object IcebergWrite {
       val (statless, withStats) = staged.partition(
         s => !stats.contains(IcebergIO.normalizePath(s.getPath.toString)))
       if (statless.nonEmpty) {
-        val n = spark.read.schema(meta.schema)
+        val n = spark.read.schema(writeSchema)
           .parquet(statless.map(_.getPath.toString): _*).count()
         require(n == 0L,
           s"read-back produced no stats for ${statless.size} staged " +

@@ -153,11 +153,16 @@ class IcebergSchemaFuzzSpec extends AnyFunSuite {
           cols :+= (n -> t)
           writeDefaults += (n -> wd)
           rows = rows.map(_ + (n -> init))
-        case 1 => // plain add (old rows read null)
+        case 1 => // plain add (old rows read null); coin-flip adds a v3
+          // `unknown` column instead — it stores nothing, reads null
+          // from every file, and the writer omits it physically, so it
+          // must survive the whole verb storm (appends, DV deletes,
+          // compactions, drops) without ever holding a value
           colSeq += 1
           val n = s"c$colSeq"
-          IcebergWrite.addColumn(dir, n, LongType)
-          cols :+= (n -> LongType)
+          val t: DataType = if (rnd.nextBoolean()) NullType else LongType
+          IcebergWrite.addColumn(dir, n, t)
+          cols :+= (n -> t)
         case 2 if cols.size > 2 => // drop a random non-id column
           val victim = cols.drop(1)(rnd.nextInt(cols.size - 1))._1
           IcebergWrite.dropColumn(spark, dir, victim)
@@ -172,10 +177,11 @@ class IcebergSchemaFuzzSpec extends AnyFunSuite {
             else cols
           val fresh = (0 until 1 + rnd.nextInt(3)).map { _ =>
             val id = nextId; nextId += 1
-            appendCols.map {
-              case ("id", _) => "id" -> (id: Any)
-              case (n, LongType) => n -> (id * 10: Any)
-              case (n, _) => n -> (s"v$id": Any)
+            appendCols.flatMap {
+              case (_, NullType) => None // unknown: no value to carry
+              case ("id", _) => Some("id" -> (id: Any))
+              case (n, LongType) => Some(n -> (id * 10: Any))
+              case (n, _) => Some(n -> (s"v$id": Any))
             }.toMap
           }
           IcebergWrite.append(dfOf(fresh, appendCols), dir)

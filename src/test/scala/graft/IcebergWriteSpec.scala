@@ -2552,6 +2552,92 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(eNested.getMessage.contains("unsupported"), eNested.getMessage)
   }
 
+  test("v3 unknown columns: read-as-null, writes omit the column, DML " +
+      "composes, v1/v2 + default + eq-key gates hold") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import org.apache.spark.sql.types._
+    val dir = s"$root/unknown"
+    val uSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("u", NullType, nullable = true),
+      StructField("v", StringType, nullable = false)))
+    // v1/v2 refuse the v3 type at create AND at schema evolution
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.create(spark, s"$dir-v2", uSchema))
+    assert(e.getMessage.contains("format v3"), e.getMessage)
+    val v2t = s"$dir-v2add"
+    IcebergWrite.create(spark, v2t, schema)
+    val eAdd = intercept[IllegalArgumentException](
+      IcebergWrite.addColumn(v2t, "u", NullType))
+    assert(eAdd.getMessage.contains("format v3"), eAdd.getMessage)
+    // v3 create + append: the column never reaches a data file, yet
+    // every read surfaces it as a typed null
+    IcebergWrite.create(spark, dir, uSchema, formatVersion = 3)
+    val df = spark.range(6).select(col("id"),
+      lit(null).as("u"), concat(lit("x"), col("id")).as("v"))
+    IcebergWrite.append(df, dir)
+    val got = IcebergIO.read(spark, dir)
+    assert(got.schema("u").dataType === NullType)
+    assert(got.collect().forall(_.isNullAt(1)))
+    assert(!spark.read.parquet(s"$dir/data").schema.fieldNames.contains("u"),
+      "unknown column leaked into a physical data file")
+    // DML lifecycle over the unknown-typed table: DV delete, UPDATE,
+    // compact, preserving upsert — all route the omission choke point
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+    IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+      Map("v" -> lit("upd")))
+    IcebergWrite.compact(spark, dir)
+    IcebergWrite.upsert(
+      spark.range(1).select(lit(7L).as("id"), lit(null).as("u"),
+        lit("ups").as("v")),
+      dir, Seq("id"), preserveLineage = true): Unit
+    val fin = IcebergIO.readWithRowId(spark, dir).orderBy("id").collect()
+    assert(fin.map(_.getAs[Long]("id")).toSeq ===
+      Seq(0L, 2L, 3L, 4L, 5L, 7L))
+    assert(fin.forall(_.isNullAt(fin.head.fieldIndex("u"))))
+    assert(fin.find(_.getAs[Long]("id") == 2L).get
+      .getAs[String]("v") === "upd")
+    assert(fin.map(_.getAs[Long]("_row_id")).distinct.length === fin.length)
+    // equality deletes keyed on the unknown column are refused — the
+    // type stores no values, so no row can be addressed by it
+    val eEq = intercept[IllegalArgumentException](
+      IcebergWrite.deleteEquality(spark.range(1).select(lit(null).as("u")),
+        dir))
+    assert(eEq.getMessage.contains("stores no values"), eEq.getMessage)
+    // defaults on an unknown column are refused (nothing to default)
+    val eDef = intercept[IllegalArgumentException](
+      IcebergWrite.addColumnWithDefault(dir, "u2", NullType, "x"))
+    assert(eDef.getMessage.contains("default"), eDef.getMessage)
+    // SQL surface: the registered live view serves the column as null
+    val g = GraftSession.wrap(spark)
+    g.registerIceberg("unk_sql", dir)
+    assert(g.sql("SELECT count(*) FROM unk_sql WHERE u IS NULL")
+      .collect().head.getLong(0) === 6L)
+    // mid-life addColumn of an unknown column on v3 is metadata-only
+    IcebergWrite.addColumn(dir, "u2", NullType)
+    val got2 = IcebergIO.read(spark, dir)
+    assert(got2.schema("u2").dataType === NullType)
+    assert(got2.select("u2").collect().forall(_.isNullAt(0)))
+    // a NESTED unknown stays a loud unsupported at schema parse (same
+    // boundary as nested ns timestamps)
+    val badMeta = s"$root/unknown_nested"
+    GraftFs.mkdirs(s"$badMeta/metadata")
+    def put(path: String, text: String): Unit = {
+      val out = GraftFs.create(path)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val nested = GraftFs.readUtf8(IcebergIO.loadMetadata(dir).metadataFile)
+      .replace("\"unknown\"",
+        "{\"type\":\"struct\",\"fields\":[{\"id\":99,\"name\":\"x\"," +
+          "\"required\":false,\"type\":\"unknown\"}]}")
+    put(s"$badMeta/metadata/v1.metadata.json", nested)
+    put(s"$badMeta/metadata/version-hint.text", "1")
+    val eNested = intercept[IllegalArgumentException](
+      IcebergIO.loadMetadata(badMeta))
+    assert(eNested.getMessage.contains("unsupported"), eNested.getMessage)
+  }
+
   test("v3 variant column: write/read/typed access/DV delete/compact") {
     import org.apache.spark.sql.functions.expr
     val dir = s"$root/variant"

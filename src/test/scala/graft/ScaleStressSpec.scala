@@ -222,4 +222,20 @@ class ScaleStressSpec extends AnyFunSuite {
         s"the window input; plain path for reference: " +
         s"${m.get("plain_skew_sec")}s vs cutover ${m.get("cut_skew_sec")}s)")
   }
+
+  test("packShuffled hash-span parts stay balanced under id clustering") {
+    val f = new java.io.File("BENCH_SCALE.json")
+    assume(f.isFile, "no BENCH_SCALE.json — run tools/run.sh graft.ScaleStress")
+    val root = new ObjectMapper().readTree(f)
+    assume(root.has("pack_skew"),
+      "artifact predates the pack-skew harness — regenerate")
+    val p = root.get("pack_skew")
+    assert(!p.get("suspect").asBoolean,
+      s"packShuffled on id-clustered rows took ${p.get("ratio")}x its " +
+        s"id-spread time (threshold ${p.get("threshold")}x — the md5 " +
+        s"hash spans must be blind to the id distribution; packOffsets' " +
+        s"id-range parts on the same clustered corpus: " +
+        s"${p.get("offsets_clustered_sec")}s vs packShuffled " +
+        s"${p.get("shuffled_clustered_sec")}s)")
+  }
 }

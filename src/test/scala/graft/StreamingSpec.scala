@@ -720,6 +720,28 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed === batch && streamed.nonEmpty)
     assert(batch.size < base.count(), "margin gate dropped nothing")
+    // the sweep's PREDICTED operating point is exactly REALIZED by the
+    // stream: recompute the sweep over the gated population the stream
+    // actually scores, then reconcile the selected set's tp/fp against
+    // the sweep row at the picked threshold — this closes the
+    // sweep→pick→gate COMPOSITION, not just the gate
+    val gatedScored = base
+      .withColumn("m",
+        TextAnalysis.hashedLinearMarginFold(model, col("text"), "en"))
+      .join(docsDf.select(col("doc_id"),
+        (col("lang") === "en").as("pos")), Seq("doc_id"))
+    val gatedSweep = TextAnalysis.calibrationSweep(gatedScored, "m", "pos",
+      (Seq(-1000000L, 0L, 1000000L) :+ thr).distinct.sorted)
+    val predicted = gatedSweep.filter(col("thr") === thr).collect().head
+    val posIds = docsDf.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val realizedTp = streamed.count(t => posIds.contains(t._1)).toLong
+    val realizedFp = streamed.size.toLong - realizedTp
+    assert(realizedTp === predicted.getAs[Long]("tp") &&
+      realizedFp === predicted.getAs[Long]("fp"),
+      s"stream selection (tp=$realizedTp, fp=$realizedFp) != sweep " +
+        s"prediction (tp=${predicted.getAs[Long]("tp")}, " +
+        s"fp=${predicted.getAs[Long]("fp")})")
     // margin gate excludes the argmax gates
     val e = intercept[IllegalArgumentException](StreamingOps.curateStream(
       in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
