@@ -3370,6 +3370,103 @@ object PipelineQueries {
       .orderBy("bin")
   }
 
+  /** MULTI-EPOCH assembly persisted: TWO epoch layouts of the SAME
+    * train corpus under different pack salts ("ep1"/"ep2"), each
+    * accounted per bin, written to ONE v3 Iceberg table PARTITIONED by
+    * the epoch label, and read back — the storage shape a multi-epoch
+    * training run consumes. Every output row also carries the EXACT
+    * integer Spearman statistic between the two epochs' global orders
+    * (`rho_num` = 6·Σd² over the per-doc offset ranks, `rho_den` =
+    * n·(n²−1); rho = 1 − num/den ≈ 0 for independent shuffles — the
+    * CurationSpec property pins the bound, THIS entry pins the exact
+    * integers cross-engine): epoch independence is in the compared
+    * surface, not just a test-side claim. */
+  val pipeEpochMulti = dfQ("pipe_epoch_multi",
+    """WITH lab AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE CAST('0x' || substring(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 10)
+      |      AS BIGINT) * 1000000 < 900000 * 1099511627776),
+      |t1 AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_t,
+      |    CAST('0x' || substring(md5('ep1_' || CAST(doc_id AS VARCHAR) || '_0'),
+      |      1, 15) AS BIGINT) AS hk
+      |  FROM lab),
+      |t2 AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_t,
+      |    CAST('0x' || substring(md5('ep2_' || CAST(doc_id AS VARCHAR) || '_0'),
+      |      1, 15) AS BIGINT) AS hk
+      |  FROM lab),
+      |l1 AS (
+      |  SELECT id, n_t,
+      |    CAST(COALESCE(SUM(n_t) OVER (ORDER BY hk, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY hk, id) AS BIGINT) AS rk
+      |  FROM t1),
+      |l2 AS (
+      |  SELECT id, n_t,
+      |    CAST(COALESCE(SUM(n_t) OVER (ORDER BY hk, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY hk, id) AS BIGINT) AS rk
+      |  FROM t2),
+      |rho AS (
+      |  SELECT CAST(6 * SUM((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT)
+      |      AS rho_num,
+      |    CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS BIGINT) AS rho_den
+      |  FROM l1 a JOIN l2 b USING (id)),
+      |acct AS (
+      |  SELECT 'ep1' AS epoch, toff // 256 AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_t) AS BIGINT) AS toks, MIN(id) AS min_id
+      |  FROM l1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'ep2', toff // 256,
+      |    CAST(COUNT(*) AS BIGINT), CAST(SUM(n_t) AS BIGINT), MIN(id)
+      |  FROM l2 GROUP BY 2)
+      |SELECT epoch, bin, n_docs, toks, min_id, rho_num, rho_den
+      |FROM acct, rho ORDER BY epoch, bin""".stripMargin,
+    bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val docs = s.table("documents").select("doc_id", "text")
+    val train = Curation.splitByHash(docs, "doc_id",
+        Seq("train" -> 900000L, "val" -> 100000L))
+      .filter(col("split") === "train")
+      .withColumn("cp", lit(0L))
+    def acct(salt: String): DataFrame =
+      Curation.packShuffled(train, "doc_id", "cp", "text",
+          binTokens = 256L, salt = salt, partSpan = 1L << 55)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
+          min("id").as("min_id"))
+        .withColumn("epoch", lit(salt))
+        .select("epoch", "bin", "n_docs", "toks", "min_id")
+    val bins = acct("ep1").unionByName(acct("ep2"))
+    val dir = s"/tmp/graft_pipe_epmulti_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, bins.schema, partitionCols = Seq("epoch"),
+      formatVersion = 3)
+    IcebergWrite.append(bins, dir)
+    // the exact integer Spearman statistic between the two epoch orders
+    def ranks(salt: String): DataFrame =
+      Curation.packShuffled(train, "doc_id", "cp", "text",
+          binTokens = 256L, salt = salt, partSpan = 1L << 55)
+        .select(col("id"), row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("offset"))
+          .cast("long").as(s"rk_$salt"))
+    val rho = ranks("ep1").join(ranks("ep2"), Seq("id"))
+      .agg(
+        (sum((col("rk_ep1") - col("rk_ep2")) *
+          (col("rk_ep1") - col("rk_ep2"))) * 6L).as("rho_num"),
+        (count(lit(1)) * (count(lit(1)) * count(lit(1)) - 1L)).as("rho_den"))
+    IcebergIO.read(s, dir).crossJoin(broadcast(rho))
+      .select("epoch", "bin", "n_docs", "toks", "min_id",
+        "rho_num", "rho_den")
+      .orderBy("epoch", "bin")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -3390,7 +3487,7 @@ object PipelineQueries {
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
-    pipeEpochIceberg, pipeEpochIncremental,
+    pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
     textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }

@@ -337,6 +337,46 @@ class CurationSpec extends AnyFunSuite {
     assert(en.getMessage.contains("NULL"), en.getMessage)
   }
 
+  test("packShuffledBinsSegs randomized sweep: every (corpus, binTokens, " +
+      "salt) draw matches the pure-Scala replay exactly (seed 47)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (trial <- 1 to 5) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val binTokens = 3L + rnd.nextInt(14)
+      val salt = s"fz$trial"
+      // segment lengths 0..9 — zero-length rows land in every trial
+      val rows = (0L until nDocs.toLong).map { i =>
+        val copies = 1 + rnd.nextInt(2)
+        (i, rnd.nextInt(copies).toLong,
+          Seq.tabulate(rnd.nextInt(10))(j => s"t${i}_$j"))
+      }.distinct
+      val docs = rows.toDF("id", "copy", "segs")
+      val got = Curation.packShuffledBinsSegs(docs, "id", "copy", "segs",
+          binTokens, salt = salt, partSpan = 1L << 55)
+        .orderBy("bin").collect()
+        .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_frags"),
+          r.getAs[Long]("n_toks"), r.getAs[String]("bin_md5")))
+      // replay: hash order, global stream, cut every binTokens
+      val ordered = rows.sortBy { case (i, c, _) =>
+        (BigInt(md5hex(s"${salt}_${i}_$c").take(15), 16).toLong, i, c) }
+      val stream = ordered.flatMap(_._3)
+      val offsets = ordered.scanLeft(0L)(_ + _._3.size).init
+      val want = stream.grouped(binTokens.toInt).zipWithIndex.map {
+        case (g, b) =>
+          val frags = ordered.zip(offsets).count { case ((_, _, s), off) =>
+            s.nonEmpty && off < (b + 1) * binTokens &&
+              off + s.size > b * binTokens }
+          (b.toLong, frags.toLong, g.size.toLong, md5hex(g.mkString(" ")))
+      }.toSeq
+      assert(got.toSeq === want,
+        s"trial $trial (nDocs=$nDocs, binTokens=$binTokens) diverged")
+    }
+  }
+
   test("piiRedact masks email/ip/phone; piiCount counts matches") {
     import spark.implicits._
     val df = Seq(
