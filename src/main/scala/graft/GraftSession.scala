@@ -688,9 +688,15 @@ final class GraftSession private (val spark: SparkSession) {
       s"$verb $name: query produces ${df.columns.length} " +
         s"column(s), table has ${target.fields.length}")
     df.toDF(target.fieldNames.toSeq: _*)
-      .select(target.fields.toSeq.map(f =>
-        org.apache.spark.sql.functions.col(f.name)
-          .cast(f.dataType).as(f.name)): _*)
+      .select(target.fields.toSeq.map { f =>
+        // nothing casts TO the v3 `unknown` (NullType) surface — the
+        // column stores no values, so whatever the query produced for
+        // that slot is replaced by the null literal the writer omits
+        if (f.dataType == org.apache.spark.sql.types.NullType)
+          org.apache.spark.sql.functions.lit(null).as(f.name)
+        else org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)
+      }: _*)
   }
 
   private def icebergPathOpt(name: String): Option[String] =

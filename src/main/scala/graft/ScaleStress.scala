@@ -436,12 +436,15 @@ object ScaleStress {
 
     // Pack-layout skew: packShuffled's coarse parts are HASH spans —
     // uniform by construction — so a corpus whose ids all cluster
-    // inside ONE packOffsets id-range part (the degradation the hash
-    // order exists to avoid: the raw 10x corpus ids span < 2^20, so
-    // packOffsets' within-part running sum serializes on one reducer)
-    // must cost the same as the same rows with ids spread over ~1000
-    // parts. packOffsets on the clustered ids is recorded alongside as
-    // the evidence of what the hash order buys.
+    // inside ONE packOffsets id-range part (the raw 10x corpus: its
+    // ids span < 2^20, so packOffsets funnels every row through one
+    // within-part window partition) must cost the same as the same
+    // rows with ids spread over ~1000 parts. THE GATE is that
+    // invariance; packOffsets on the clustered ids is recorded as
+    // CONTEXT only — at this corpus size its single-partition window
+    // is not yet the bottleneck (it can even run faster, having no md5
+    // to compute), the degradation is a row-count effect that bites at
+    // the scales the two-phase design targets.
     def packTime(docs: DataFrame, shuffled: Boolean): Double =
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -3435,36 +3435,48 @@ object PipelineQueries {
         Seq("train" -> 900000L, "val" -> 100000L))
       .filter(col("split") === "train")
       .withColumn("cp", lit(0L))
-    def acct(salt: String): DataFrame =
+    // each salt's layout is computed ONCE and persisted — the bin
+    // aggregate AND the rank projection both derive from it (an
+    // unpersisted reuse would run the two-phase prefix sum twice per
+    // salt); the local materialization at the end bounds the caches'
+    // lifetime to this call
+    def layout(salt: String): DataFrame =
       Curation.packShuffled(train, "doc_id", "cp", "text",
-          binTokens = 256L, salt = salt, partSpan = 1L << 55)
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
-          min("id").as("min_id"))
-        .withColumn("epoch", lit(salt))
-        .select("epoch", "bin", "n_docs", "toks", "min_id")
-    val bins = acct("ep1").unionByName(acct("ep2"))
+          binTokens = 256L, salt = salt, partSpan = 1L << 55).persist()
+    val lay = Seq("ep1", "ep2").map(salt => salt -> layout(salt))
+    def acct(salt: String, l: DataFrame): DataFrame = l
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("toks"),
+        min("id").as("min_id"))
+      .withColumn("epoch", lit(salt))
+      .select("epoch", "bin", "n_docs", "toks", "min_id")
+    val bins = acct(lay.head._1, lay.head._2)
+      .unionByName(acct(lay(1)._1, lay(1)._2))
     val dir = s"/tmp/graft_pipe_epmulti_$crawlTag"
     IcebergFixture.deleteRecursively(dir)
     IcebergWrite.create(s, dir, bins.schema, partitionCols = Seq("epoch"),
       formatVersion = 3)
     IcebergWrite.append(bins, dir)
     // the exact integer Spearman statistic between the two epoch orders
-    def ranks(salt: String): DataFrame =
-      Curation.packShuffled(train, "doc_id", "cp", "text",
-          binTokens = 256L, salt = salt, partSpan = 1L << 55)
-        .select(col("id"), row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("offset"))
-          .cast("long").as(s"rk_$salt"))
-    val rho = ranks("ep1").join(ranks("ep2"), Seq("id"))
+    def ranks(salt: String, l: DataFrame): DataFrame = l
+      .select(col("id"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("offset"))
+        .cast("long").as(s"rk_$salt"))
+    val rho = ranks(lay.head._1, lay.head._2)
+      .join(ranks(lay(1)._1, lay(1)._2), Seq("id"))
       .agg(
         (sum((col("rk_ep1") - col("rk_ep2")) *
           (col("rk_ep1") - col("rk_ep2"))) * 6L).as("rho_num"),
         (count(lit(1)) * (count(lit(1)) * count(lit(1)) - 1L)).as("rho_den"))
-    IcebergIO.read(s, dir).crossJoin(broadcast(rho))
+    val joined = IcebergIO.read(s, dir).crossJoin(broadcast(rho))
       .select("epoch", "bin", "n_docs", "toks", "min_id",
         "rho_num", "rho_den")
       .orderBy("epoch", "bin")
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        joined.collect(): _*)), joined.schema)
+    lay.foreach(_._2.unpersist())
+    local.orderBy("epoch", "bin")
   }
 
   val all: Seq[Q] = Seq(

@@ -837,7 +837,7 @@ object IcebergIO {
     * and spec files may omit the column entirely. Physical read schemas
     * strip them ([[readableFields]]); projections re-create the column
     * as a null literal per the spec's read-as-null rule ([[tableCol]]). */
-  private[sources] def readableFields(s: StructType): StructType =
+  private[graft] def readableFields(s: StructType): StructType =
     StructType(s.fields.filterNot(_.dataType == NullType))
 
   private def tableCol(f: StructField): Column =

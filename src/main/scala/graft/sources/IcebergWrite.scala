@@ -104,6 +104,10 @@ object IcebergWrite {
         "unknown (NullType) columns require format v3 (pass formatVersion = 3)")
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
+    require(partitionCols.forall(c =>
+        schema(c).dataType != org.apache.spark.sql.types.NullType),
+      "unknown (NullType) columns cannot be partition sources — the " +
+        "type stores no values")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
       "partitionTransforms keys must be partition columns")
     val metaDir = GraftFs.child(tablePath, "metadata")
@@ -786,6 +790,10 @@ object IcebergWrite {
     require(cols.forall(meta.schema.fieldNames.contains),
       s"sort columns ${cols.mkString(",")} not all in table schema " +
         s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(cols.forall(c =>
+        meta.schema(c).dataType != org.apache.spark.sql.types.NullType),
+      "unknown (NullType) columns cannot be sort keys — the type " +
+        "stores no values")
     require(cols.isEmpty || !meta.properties.contains(ZorderProp),
       s"table declares a z-order ($ZorderProp); clear it " +
         "(zorderBy(path, Nil)) before setting a sort order")
@@ -936,6 +944,10 @@ object IcebergWrite {
     require(partitionCols.forall(meta.schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema " +
         s"(have: ${meta.schema.fieldNames.mkString(", ")})")
+    require(partitionCols.forall(c =>
+        meta.schema(c).dataType != org.apache.spark.sql.types.NullType),
+      "unknown (NullType) columns cannot be partition sources — the " +
+        "type stores no values")
     require(partitionTransforms.keySet.subsetOf(partitionCols.toSet),
       "partitionTransforms keys must be partition columns")
     // validate every transform resolves against its source type NOW —
@@ -1863,6 +1875,10 @@ object IcebergWrite {
         s"cannot compute table stats of an empty table: $tablePath"))
     def atomic(dt: DataType): Boolean = dt match {
       case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+      // the v3 `unknown` bottom type stores no values — an NDV blob for
+      // it would be a stat over nothing (same boundary as eq-deletes
+      // and defaults on it)
+      case org.apache.spark.sql.types.NullType => false
       case _ => true
     }
     val cols: Seq[String] =
@@ -1873,8 +1889,9 @@ object IcebergWrite {
           require(meta.schema.fieldNames.contains(c),
             s"unknown column '$c' (have: ${meta.schema.fieldNames.mkString(", ")})")
           require(atomic(meta.schema(c).dataType),
-            s"column '$c' has a complex type (${meta.schema(c).dataType}) — " +
-              "NDV stats cover atomic types only")
+            s"column '$c' has a complex or valueless type " +
+              s"(${meta.schema(c).dataType}) — NDV stats cover atomic " +
+              "value types only")
         }
         columns
       }

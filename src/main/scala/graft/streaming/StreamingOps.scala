@@ -795,9 +795,20 @@ object StreamingOps {
         s"dataFileGlob '$dataFileGlob' does not match existing data " +
           s"file(s) ${misses.take(3).mkString(", ")} — the stream would " +
           "be silently empty; pass a glob matching this writer's naming")
-    spark.readStream
-      .schema(meta.schema)
+    // v3 `unknown` columns never reach a parquet read schema (Spark's
+    // parquet source rejects void columns; the files omit them) — read
+    // the physical fields and project the null literal back, exactly
+    // like the batch read path (IcebergIO.dataBranches)
+    val physical = graft.sources.IcebergIO.readableFields(meta.schema)
+    val base = spark.readStream
+      .schema(physical)
       .option("pathGlobFilter", dataFileGlob)
       .parquet(graft.sources.GraftFs.child(tablePath, "data"))
+    if (physical.length == meta.schema.length) base
+    else base.select(meta.schema.fields.toSeq.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.NullType)
+        org.apache.spark.sql.functions.lit(null).as(f.name)
+      else org.apache.spark.sql.functions.col(f.name)
+    }: _*)
   }
 }

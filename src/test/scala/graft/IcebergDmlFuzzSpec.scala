@@ -332,12 +332,10 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       // the storm takes tens of seconds and each read is sub-second, so
       // a reader that completed several reads witnesses multiple
       // distinct commits; a loaded machine can stall the FIRST read
-      // (Spark job warmup) past most of the storm, so only require
-      // distinct states once the reader demonstrably kept pace
-      if (seen.size >= 5)
-        assert(seen.distinct.size >= 2,
-          s"reader saw only ${seen.distinct.size} distinct state(s) " +
-            s"over ${seen.size} reads")
+      // (Spark job warmup) past most of the storm. When the reader
+      // demonstrably kept pace the distinct-states property is a hard
+      // assert; when it did not, CANCEL (visible in the report) rather
+      // than silently skip — a green run must mean the property ran
       seen.zipWithIndex.foreach { case (g, i) =>
         assert(states.contains(g),
           s"read $i observed a state OUTSIDE the committed history " +
@@ -366,5 +364,20 @@ class IcebergDmlFuzzSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toSeq
     assert(replayed === model.toSeq.sortBy(_._1),
       "changelog replay diverged from the final table state")
+    // distinct-states claim LAST, after every other assert already ran:
+    // a reader too slow to witness multiple commits (loaded machine)
+    // CANCELS visibly instead of silently passing, and the cancel
+    // cannot mask any of the checks above
+    reader.foreach { _ =>
+      import scala.jdk.CollectionConverters._
+      val seen = readerSeen.asScala.toSeq
+      assume(seen.size >= 5,
+        s"reader completed only ${seen.size} read(s) — too few to " +
+          "exercise the multiple-distinct-states property (loaded " +
+          "machine); every completed read was still history-verified")
+      assert(seen.distinct.size >= 2,
+        s"reader saw only ${seen.distinct.size} distinct state(s) " +
+          s"over ${seen.size} reads")
+    }
   }
 }

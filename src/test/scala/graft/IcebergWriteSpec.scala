@@ -2608,11 +2608,47 @@ class IcebergWriteSpec extends AnyFunSuite {
     val eDef = intercept[IllegalArgumentException](
       IcebergWrite.addColumnWithDefault(dir, "u2", NullType, "x"))
     assert(eDef.getMessage.contains("default"), eDef.getMessage)
+    // unknown columns can never anchor physical layout: partition
+    // source (create + evolution) and sort key all refuse
+    val ePart = intercept[IllegalArgumentException](
+      IcebergWrite.create(spark, s"$dir-part", uSchema,
+        partitionCols = Seq("u"), formatVersion = 3))
+    assert(ePart.getMessage.contains("stores no values"), ePart.getMessage)
+    val eEvo = intercept[IllegalArgumentException](
+      IcebergWrite.updatePartitionSpec(dir, Seq("u")))
+    assert(eEvo.getMessage.contains("stores no values"), eEvo.getMessage)
+    val eSort = intercept[IllegalArgumentException](
+      IcebergWrite.setSortOrder(dir, Seq("u")))
+    assert(eSort.getMessage.contains("stores no values"), eSort.getMessage)
+    // ANALYZE skips the valueless column by default and refuses it
+    // explicitly — no NDV blob over nothing
+    IcebergWrite.computeTableStats(spark, dir): Unit
+    assert(!IcebergIO.tableStats(spark, dir).collect()
+      .exists(_.toString.contains("\"u\"")))
+    val eNdv = intercept[IllegalArgumentException](
+      IcebergWrite.computeTableStats(spark, dir, columns = Seq("u")))
+    assert(eNdv.getMessage.contains("valueless"), eNdv.getMessage)
     // SQL surface: the registered live view serves the column as null
     val g = GraftSession.wrap(spark)
     g.registerIceberg("unk_sql", dir)
     assert(g.sql("SELECT count(*) FROM unk_sql WHERE u IS NULL")
       .collect().head.getLong(0) === 6L)
+    // SQL INSERT aligns a TYPED null (or any expression) in the unknown
+    // slot to the null literal instead of cast-to-void failing
+    g.sql("INSERT INTO unk_sql SELECT CAST(8 AS BIGINT), " +
+      "CAST(NULL AS STRING), 'n8'")
+    assert(g.sql("SELECT count(*) FROM unk_sql WHERE u IS NULL")
+      .collect().head.getLong(0) === 7L)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 8L)
+    // the file-grain streaming source strips the void column from the
+    // physical schema and projects the null back, like the batch path
+    // (fresh append-only table: the source refuses DML histories)
+    val sDir = s"$dir-stream"
+    IcebergWrite.create(spark, sDir, uSchema, formatVersion = 3)
+    IcebergWrite.append(df, sDir)
+    val streamed = graft.streaming.StreamingOps
+      .icebergAppendStream(spark, sDir)
+    assert(streamed.schema("u").dataType === NullType)
     // mid-life addColumn of an unknown column on v3 is metadata-only
     IcebergWrite.addColumn(dir, "u2", NullType)
     val got2 = IcebergIO.read(spark, dir)
