@@ -946,65 +946,76 @@ object PipelineQueries {
     * positions can only chain when lhs = rhs (S[i]=l, S[i+1]=r=l forces
     * it), and within such a chain greedy keeps every OTHER position
     * starting at the first — a gaps-and-islands window. */
-  private def bpeIterCte(k: Int): String = s"""
-    |p$k AS (
+  private def bpeIterCte(k: Int, pfx: String = ""): String = s"""
+    |${pfx}p$k AS (
     |  SELECT syms[i.i] AS l, syms[i.i + 1] AS r, SUM(cnt) AS c
-    |  FROM v$k CROSS JOIN LATERAL
+    |  FROM ${pfx}v$k CROSS JOIN LATERAL
     |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) i
     |  WHERE len(syms) >= 2 GROUP BY 1, 2
     |),
-    |t$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-    |e$k AS (
+    |${pfx}t$k AS MATERIALIZED (SELECT l, r FROM ${pfx}p$k ORDER BY c DESC, l, r LIMIT 1),
+    |${pfx}e$k AS (
     |  SELECT w, cnt, i.i AS pos, syms[i.i] AS s
-    |  FROM v$k CROSS JOIN LATERAL
+    |  FROM ${pfx}v$k CROSS JOIN LATERAL
     |    (SELECT unnest(generate_series(1, len(syms))) AS i) i
     |),
-    |m$k AS (
+    |${pfx}m$k AS (
     |  SELECT w, cnt, pos, s,
-    |    COALESCE(s = (SELECT l FROM t$k) AND
-    |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM t$k),
+    |    COALESCE(s = (SELECT l FROM ${pfx}t$k) AND
+    |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM ${pfx}t$k),
     |      FALSE) AS isp
-    |  FROM e$k
+    |  FROM ${pfx}e$k
     |),
-    |c$k AS (
+    |${pfx}c$k AS (
     |  SELECT w, cnt, pos, s, isp,
     |    CASE WHEN isp THEN pos - ROW_NUMBER()
     |      OVER (PARTITION BY w, isp ORDER BY pos) END AS chain
-    |  FROM m$k
+    |  FROM ${pfx}m$k
     |),
-    |s$k AS (
+    |${pfx}s$k AS (
     |  SELECT w, cnt, pos, s, isp AND (ROW_NUMBER()
     |      OVER (PARTITION BY w, chain ORDER BY pos) % 2 = 1) AS sel
-    |  FROM c$k
+    |  FROM ${pfx}c$k
     |),
-    |o$k AS (
+    |${pfx}o$k AS (
     |  SELECT w, cnt, pos,
-    |    CASE WHEN sel THEN s || (SELECT r FROM t$k)
+    |    CASE WHEN sel THEN s || (SELECT r FROM ${pfx}t$k)
     |         WHEN COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos), FALSE)
     |           THEN NULL
     |         ELSE s END AS out
-    |  FROM s$k
+    |  FROM ${pfx}s$k
     |),
-    |v${k + 1} AS (
+    |${pfx}v${k + 1} AS MATERIALIZED (
     |  SELECT w, cnt,
     |    string_split(string_agg(out, ' ' ORDER BY pos), ' ') AS syms
-    |  FROM o$k GROUP BY w, cnt
+    |  FROM ${pfx}o$k GROUP BY w, cnt
     |)""".stripMargin
+
+  /** Word-vocab setup + `n` unrolled merge iterations, WITHOUT the
+    * leading `WITH` — composable after other CTE chains. `corpus` is
+    * the relation the vocabulary counts over (must expose a `text`
+    * column); parameterizing it is what lets the crawl chain train its
+    * tokenizer on the chain's OWN survivors instead of raw documents
+    * ([[pipeCrawlBpeBins]]), with zero drift from the standalone
+    * entries. */
+  private def bpeBodyCtes(n: Int, corpus: String,
+                          pfx: String = ""): String =
+    s"""${pfx}wc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $corpus)
+      |  WHERE len(w) > 0 GROUP BY w
+      |),
+      |${pfx}v0 AS MATERIALIZED (
+      |  SELECT w, cnt,
+      |    list_filter(string_split(regexp_replace(w, '(.)', '\\1 ', 'g'), ' '),
+      |      x -> x <> '') AS syms
+      |  FROM ${pfx}wc
+      |),""".stripMargin +
+      (0 until n).map(k => bpeIterCte(k, pfx)).mkString(",")
 
   /** Word-vocab setup + `n` unrolled merge iterations. */
   private def bpeBaseCtes(n: Int): String =
-    """WITH wc AS (
-      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |  WHERE len(w) > 0 GROUP BY w
-      |),
-      |v0 AS (
-      |  SELECT w, cnt,
-      |    list_filter(string_split(regexp_replace(w, '(.)', '\1 ', 'g'), ' '),
-      |      x -> x <> '') AS syms
-      |  FROM wc
-      |),""".stripMargin +
-      (0 until n).map(bpeIterCte).mkString(",")
+    "WITH " + bpeBodyCtes(n, "documents")
 
   /** BPE tokenizer TRAINING ([[TextAnalysis.trainBpeMerges]]): the
     * Sennrich merge-learning loop at corpus scale — ONE corpus shuffle
@@ -3479,6 +3490,78 @@ object PipelineQueries {
     local.orderBy("epoch", "bin")
   }
 
+  /** The crawl chain ended in REAL-TOKENIZER-UNIT training bins — the
+    * complete production tail as ONE oracle: the shared crawl head+mid
+    * ([[crawlFinCtes]]: extract → gopher → minhash dedup → 8-gram
+    * decontam → classify → mix → resample → split), then a BPE
+    * tokenizer TRAINED ON THE CHAIN'S OWN TRAIN SURVIVORS (3 merges —
+    * [[bpeBodyCtes]] over the `btr` corpus, zero drift from the
+    * standalone BPE entries), each survivor's learned-BPE segment
+    * stream ([[TextAnalysis.bpeSegments]]), and
+    * [[Curation.packShuffledBinsSegs]] cutting 128-BPE-token bins whose
+    * contents are pinned by md5. Every upstream hash decision (gopher
+    * survivors feed vocabulary counts; the split feeds the corpus; the
+    * layout hash feeds the cut points) flows into the final bin
+    * hashes — crawl-HTML → the exact bytes a dataloader reads. */
+  val pipeCrawlBpeBins = dfQ("pipe_crawl_bpe_bins", htmlCtes +
+    crawlFinCtes + ",\n|btr AS MATERIALIZED (SELECT f.doc_id, x.text FROM fin f\n|  JOIN extracted x ON x.id = f.doc_id WHERE f.split = 'train'),\n".stripMargin +
+    bpeBodyCtes(3, "btr", pfx = "bp") +
+    """,
+      |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM btr),
+      |dw AS (SELECT doc_id, i.i AS wpos, ws[i.i] AS w
+      |       FROM dws CROSS JOIN LATERAL
+      |         (SELECT unnest(generate_series(1, len(ws))) AS i) i
+      |       WHERE len(ws[i.i]) > 0),
+      |sg AS (SELECT doc_id, flatten(list(syms ORDER BY wpos)) AS segs
+      |       FROM dw JOIN bpv3 USING (w) GROUP BY doc_id),
+      |seg AS (SELECT d.doc_id AS id,
+      |    COALESCE(s.segs, CAST([] AS VARCHAR[])) AS segs
+      |  FROM (SELECT DISTINCT doc_id FROM btr) d
+      |  LEFT JOIN sg s ON s.doc_id = d.doc_id),
+      |pk AS (SELECT id, segs, CAST(len(segs) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(id AS VARCHAR) || '_0'),
+      |      1, 15) AS BIGINT) AS hk
+      |  FROM seg),
+      |po AS (SELECT id, segs, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM pk),
+      |bex AS (SELECT id, segs, n_toks, toff,
+      |    unnest(generate_series(toff // 128,
+      |      GREATEST(toff, toff + n_toks - 1) // 128)) AS b
+      |  FROM po WHERE n_toks > 0),
+      |fr AS (SELECT b AS bin,
+      |    GREATEST(toff, b * 128) AS gpos,
+      |    list_slice(segs, GREATEST(0, b * 128 - toff) + 1,
+      |      LEAST(n_toks, (b + 1) * 128 - toff)) AS frag
+      |  FROM bex)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_frags,
+      |  CAST(SUM(len(frag)) AS BIGINT) AS n_toks,
+      |  md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gpos))
+      |    AS bin_md5
+      |FROM fr GROUP BY bin ORDER BY bin""".stripMargin,
+    bench = false) { (s, _) =>
+    val (fin, extracted) = crawlFin(s)
+    val trainDocs = fin.filter(col("split") === "train")
+      .join(extracted.select(col("id").as("doc_id"), col("text")),
+        Seq("doc_id"))
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(trainDocs, "doc_id", "text", 3))
+    val segs = TextAnalysis.bpeSegments(trainDocs, "doc_id", "text", ms)
+      .withColumn("cp", lit(0L))
+    val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
+        binTokens = 128L, partSpan = 1L << 55)
+      .orderBy("bin")
+    // bin-scale aggregate materialized locally so `extracted` (and the
+    // trainer's ephemeral caches) release before the frame returns
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        bins.collect(): _*)), bins.schema)
+    extracted.unpersist()
+    local.orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -3500,6 +3583,7 @@ object PipelineQueries {
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
     pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
+    pipeCrawlBpeBins,
     textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }
