@@ -400,6 +400,30 @@ object TextAnalysis {
       lit(0L))
   }
 
+  /** Per-ROW BPE segment ARRAY under PRE-TRAINED merges, as one
+    * Column — the array-valued twin of [[bpeTokenCountTrained]] (same
+    * inline fold, same [[MaxInlineMerges]] cap) and the serving-path
+    * twin of [[bpeSegments]] (bit-equal arrays: both apply the same
+    * greedy fold per word in word order): a pure projection, so the
+    * SAME expression runs on a batch frame or an append-mode stream —
+    * the shape a streaming gate uses to tokenize arriving docs with a
+    * batch-trained tokenizer. A NULL text yields an EMPTY array,
+    * matching the batch form's wordless-doc row. */
+  def bpeSegmentsTrained(textColName: String,
+                         merges: Seq[(String, String)]): Column = {
+    require(merges.size <= MaxInlineMerges,
+      s"${merges.size} merges exceed the $MaxInlineMerges-deep inline " +
+        "expression cap — segment via bpeSegments (vocab-grain, " +
+        "uncapped) instead")
+    val foldedExpr = merges.foldLeft(charSymsExpr) {
+      case (e, (l, r)) => mergeFold(e, l, r)
+    }
+    coalesce(
+      expr(s"flatten(transform(filter(split($textColName, ' '), " +
+        s"x -> x != ''), w -> $foldedExpr))"),
+      expr("CAST(array() AS ARRAY<STRING>)"))
+  }
+
   /**
    * Segment the corpus with a learned merge list and count the resulting
    * BPE tokens per document: each DISTINCT word is symbolized and folded

@@ -2004,6 +2004,69 @@ object IcebergQueries {
       .orderBy("id")
   }
 
+  /** v3 `geometry` READ path (spec: geospatial values are WKB in
+    * GEOMETRY-annotated BYTE_ARRAY columns): Spark has no geometry
+    * type, so the documented API boundary is the raw WKB bytes
+    * (BinaryType) — possible precisely because this reader always scans
+    * with an explicit schema (an INFERRED Spark read of the annotation
+    * errors with PARQUET_TYPE_ILLEGAL). The fixture file is written
+    * with parquet-hadoop's Group API carrying real WKB points
+    * (x = key, y = 2·key); the oracle RECONSTRUCTS every point's exact
+    * WKB hex from first principles — IEEE754 double bits of the integer
+    * coordinates computed with exact BIGINT arithmetic, byte-reversed
+    * into little-endian, prefixed with the point type tag — so the
+    * byte-level passthrough is verified cross-engine, not just row
+    * counts. Such tables are READ-ONLY to the writer (spec-tested).
+    * Lenient-read posture like `timestamp_ns`. */
+  val icebergGeometry = dfQ("iceberg_geometry",
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+      |vals AS (
+      |  SELECT id, 'x' AS wq, id AS v FROM k
+      |  UNION ALL SELECT id, 'y', id * 2 FROM k),
+      |eb AS (SELECT id, wq, v,
+      |    CASE WHEN v = 0 THEN 0
+      |      ELSE CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) END AS e
+      |  FROM vals),
+      |bt AS (SELECT id, wq,
+      |    CASE WHEN v = 0 THEN 0
+      |      ELSE (1023 + e) * 4503599627370496
+      |        + (v * CAST(pow(2.0, 52 - e) AS BIGINT) - 4503599627370496)
+      |      END AS b
+      |  FROM eb),
+      |hx AS (SELECT id, wq, lpad(lower(to_hex(b)), 16, '0') AS h FROM bt),
+      |le AS (SELECT id, wq,
+      |    substr(h,15,2) || substr(h,13,2) || substr(h,11,2) ||
+      |    substr(h,9,2) || substr(h,7,2) || substr(h,5,2) ||
+      |    substr(h,3,2) || substr(h,1,2) AS hle
+      |  FROM hx)
+      |SELECT x.id, '0101000000' || x.hle || y.hle AS geo
+      |FROM (SELECT id, hle FROM le WHERE wq = 'x') x
+      |JOIN (SELECT id, hle FROM le WHERE wq = 'y') y USING (id)
+      |ORDER BY x.id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = s"/tmp/graft_iceberg_geo_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom", BinaryType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "geometry(OGC:CRS84)").build())))
+    val w = new IcebergFixture.Writer(s, dir, schema)
+    val rows = s.table("nation").select("n_nationkey").collect()
+      .map(_.getInt(0).toLong).sorted.toSeq
+      .map(k => (k, IcebergFixture.wkbPoint(k.toDouble, k * 2.0)))
+    val file = new java.io.File(s"$dir/data/geo-00001.parquet")
+    file.getParentFile.mkdirs()
+    IcebergFixture.writeGeoParquet(file.getAbsolutePath, "geom",
+      "OGC:CRS84", rows)
+    w.appendExternalFile(file, rows.size.toLong)
+    IcebergIO.read(s, dir)
+      .select(col("id"), lower(hex(col("geom"))).as("geo"))
+      .orderBy("id")
+  }
+
   /** CDC changelog WITH row lineage: every change row carries the row's
     * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
     * SHARING one id (the rewrite materializes it), which is what lets a
@@ -2131,6 +2194,7 @@ object IcebergQueries {
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergRowLineage, icebergVariant, icebergChangelogLineage,
     icebergUpsertLineage, icebergTimestampNs, icebergUnknownType,
+    icebergGeometry,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

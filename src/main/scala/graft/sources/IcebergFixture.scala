@@ -89,6 +89,45 @@ object IcebergFixture {
     } finally w.close()
   }
 
+  /** Write a GEOMETRY-annotated parquet file (WKB point payloads) —
+    * something Spark's sink CANNOT produce — via parquet-hadoop's Group
+    * API: the data shape a foreign v3 writer gives a `geometry` column.
+    * Columns (id INT64, geoCol BINARY/geometry(crs)), required. The
+    * engine reads such files as raw WKB BinaryType (the read path
+    * always supplies an explicit schema; an INFERRED Spark read of the
+    * annotation errors with PARQUET_TYPE_ILLEGAL). */
+  def writeGeoParquet(path: String, geoCol: String, crs: String,
+                      rows: Seq[(Long, Array[Byte])]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.Type.Repetition
+    val mt = Types.buildMessage()
+      .addField(Types.primitive(PrimitiveTypeName.INT64, Repetition.REQUIRED)
+        .named("id"))
+      .addField(Types.primitive(PrimitiveTypeName.BINARY, Repetition.REQUIRED)
+        .as(LogicalTypeAnnotation.geometryType(crs))
+        .named(geoCol))
+      .named("graft_geo_fixture")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(mt, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(mt).build()
+    val f = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+    try rows.foreach { case (id, wkb) =>
+      w.write(f.newGroup().append("id", id).append(geoCol,
+        org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb)))
+    } finally w.close()
+  }
+
+  /** Little-endian WKB point — the geometry fixtures' payload. */
+  def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+    bb.array()
+  }
+
   private[sources] def schemaJson(st: StructType, schemaId: Int): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")

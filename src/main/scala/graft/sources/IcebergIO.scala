@@ -111,6 +111,9 @@ object IcebergIO {
       // v3 nanosecond-timestamp columns (read as ns longs; table is
       // read-only to the writer — see [[nsColumnsOf]])
       nsColumns: Set[String] = Set.empty,
+      // v3 geometry/geography columns (read as WKB BinaryType; the
+      // table is read-only to the writer — see [[geoColumnsOf]])
+      geoColumns: Set[String] = Set.empty,
       // spec "Table statistics": registered Puffin statistics files as
       // (snapshot-id, statistics-path) — written by
       // [[IcebergWrite.computeTableStats]] (exact per-column NDV blobs),
@@ -204,6 +207,16 @@ object IcebergIO {
         // column by omitting it"). Top-level only, like ns: a nested
         // unknown would surface as an unexplained void field.
         case "unknown" if topLevel => NullType
+        // v3 geospatial types: the spec stores values as WKB in
+        // GEOMETRY/GEOGRAPHY-annotated BYTE_ARRAY columns — Spark has
+        // no geometry type, so the documented API boundary is the raw
+        // WKB bytes (BinaryType). Works because this reader ALWAYS
+        // scans with an explicit schema (an inferred read of the
+        // annotated parquet errors); READ-ONLY to the writer (Spark's
+        // sink cannot produce the annotation — see geoColumnsOf).
+        // Top-level only, like the ns types.
+        case g if topLevel && (g.startsWith("geometry") ||
+          g.startsWith("geography")) => BinaryType
         case "string" | "uuid" => StringType
         case "binary"      => BinaryType
         // v3 semi-structured type: Spark's VariantType implements the
@@ -268,6 +281,18 @@ object IcebergIO {
       case f if f.get("type").isTextual &&
           (f.get("type").asText() == "timestamp_ns" ||
             f.get("type").asText() == "timestamptz_ns") =>
+        f.get("name").asText()
+    }.toSet
+
+  /** Top-level column names whose spec type is `geometry`/`geography`
+    * — they read as WKB BinaryType and make the table read-only to this
+    * engine's writer (Spark's sink cannot produce the GEOMETRY/
+    * GEOGRAPHY parquet annotation the spec requires of data files). */
+  private def geoColumnsOf(root: JsonNode): Set[String] =
+    schemaNodeOf(root).get("fields").elements().asScala.collect {
+      case f if f.get("type").isTextual &&
+          (f.get("type").asText.startsWith("geometry") ||
+            f.get("type").asText.startsWith("geography")) =>
         f.get("name").asText()
     }.toSet
 
@@ -450,6 +475,7 @@ object IcebergIO {
       sortOrderFields, defaultSortOrderId, metadataLog, lastUpdatedMs,
       defaultsOf(root, schema, properties),
       statsList("partition-statistics"), nsColumnsOf(root),
+      geoColumnsOf(root),
       statsList("statistics"))
   }
 

@@ -2667,6 +2667,10 @@ object IcebergWrite {
     require(nsHit.isEmpty,
       s"equality delete keys on nanosecond-timestamp columns " +
         s"(${nsHit.sorted.mkString(", ")}) — read-only to this engine")
+    val geoHit = values.columns.filter(meta.geoColumns.contains)
+    require(geoHit.isEmpty,
+      s"equality delete keys on geometry/geography columns " +
+        s"(${geoHit.sorted.mkString(", ")}) — read-only to this engine")
     // an `unknown` column has no values, so no row can be addressed by
     // equality on it — refuse before the delete-file write
     val unkHit = values.schema.fields.filter(_.dataType ==
@@ -3352,6 +3356,13 @@ object IcebergWrite {
       s"table has nanosecond-timestamp columns " +
         s"(${meta.nsColumns.toSeq.sorted.mkString(", ")}) — read-only to " +
         "this engine (Spark has no nanosecond timestamp type)")
+    // geometry/geography data files must carry the parquet GEOMETRY/
+    // GEOGRAPHY annotation, which Spark's sink cannot produce — a write
+    // would store plain BINARY under a geospatial schema
+    require(meta.geoColumns.isEmpty,
+      s"table has geometry/geography columns " +
+        s"(${meta.geoColumns.toSeq.sorted.mkString(", ")}) — read-only " +
+        "to this engine (Spark cannot write the geospatial annotation)")
     // v3 `unknown` columns (NullType surface) store NOTHING — the
     // spec's writer behavior is to OMIT the column from data files
     // entirely (readers re-surface null). Drop them from the physical

@@ -235,6 +235,18 @@ class AdvancedOpsSpec extends AnyFunSuite {
         })
     assert(gotChunked === Seq(refChain("abababa bbbaaa"),
       refChain("aaaa babab")))
+    // the inline per-row Column form (streaming-safe serving path) is
+    // bit-equal to the vocab-grain batch form — including the
+    // wordless-doc empty array — and caps loudly past MaxInlineMerges
+    val inline = docs.select(col("doc_id").as("id"),
+        TextAnalysis.bpeSegmentsTrained("text", merges).as("segs"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(inline === got)
+    val big = (1 to TextAnalysis.MaxInlineMerges + 1).map(i => (s"x$i", "y"))
+    val cappedSegs = intercept[IllegalArgumentException](
+      TextAnalysis.bpeSegmentsTrained("text", big))
+    assert(cappedSegs.getMessage.contains("bpeSegments"))
   }
 
   test("BPE greedy fold ≡ chain-parity window selection (the oracle's " +

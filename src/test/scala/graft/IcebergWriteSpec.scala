@@ -2674,6 +2674,80 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(eNested.getMessage.contains("unsupported"), eNested.getMessage)
   }
 
+  test("v3 geometry/geography: WKB BinaryType read, tables read-only " +
+      "to the writer, nested type stays loud") {
+    import org.apache.spark.sql.functions.{hex, lower, lit}
+    val dir = s"$root/geo"
+    val geoSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom", BinaryType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "geometry(OGC:CRS84)").build()),
+      StructField("area", BinaryType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "geography(OGC:CRS84, spherical)")
+            .build())))
+    val w = new IcebergFixture.Writer(spark, dir,
+      StructType(geoSchema.fields.take(2)))
+    val rows = (0L until 5L).map(i =>
+      (i, IcebergFixture.wkbPoint(i.toDouble, i * 3.0)))
+    val file = new java.io.File(s"$dir/data/geo-00001.parquet")
+    file.getParentFile.mkdirs()
+    IcebergFixture.writeGeoParquet(file.getAbsolutePath, "geom",
+      "OGC:CRS84", rows)
+    w.appendExternalFile(file, rows.size.toLong)
+    // exact byte-level round trip of the WKB payloads
+    val got = IcebergIO.read(spark, dir)
+      .select(col("id"), lower(hex(col("geom"))).as("g"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === rows.map { case (i, b) =>
+      (i, b.map("%02x".format(_)).mkString) })
+    assert(IcebergIO.read(spark, dir).schema("geom").dataType === BinaryType)
+    // GEOGRAPHY maps to BinaryType at schema parse too (metadata-level)
+    val metaTxt = GraftFs.readUtf8(IcebergIO.loadMetadata(dir).metadataFile)
+    def put(path: String, text: String): Unit = {
+      val out = GraftFs.create(path)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val geogDir = s"$root/geog"
+    GraftFs.mkdirs(s"$geogDir/metadata")
+    put(s"$geogDir/metadata/v1.metadata.json", metaTxt.replace(
+      "\"geometry(OGC:CRS84)\"", "\"geography(OGC:CRS84, spherical)\""))
+    put(s"$geogDir/metadata/version-hint.text", "1")
+    assert(IcebergIO.loadMetadata(geogDir).schema("geom").dataType
+      === BinaryType)
+    // every data write and geo-keyed equality delete refuses loudly
+    val df2 = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(org.apache.spark.sql.Row(9L,
+          IcebergFixture.wkbPoint(9.0, 9.0)))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("geom", BinaryType, nullable = false))))
+    val eApp = intercept[IllegalArgumentException](
+      IcebergWrite.append(df2, dir))
+    assert(eApp.getMessage.contains("read-only"), eApp.getMessage)
+    intercept[IllegalArgumentException](IcebergWrite.compact(spark, dir))
+    intercept[IllegalArgumentException](
+      IcebergWrite.updateWhere(spark, dir, col("id") === 1L,
+        Map("geom" -> lit(Array[Byte]()))))
+    val eEq = intercept[IllegalArgumentException](
+      IcebergWrite.deleteEquality(df2.select("geom"), dir))
+    assert(eEq.getMessage.contains("geometry"), eEq.getMessage)
+    // a NESTED geospatial type stays a loud unsupported at schema parse
+    val badDir = s"$root/geo_nested"
+    GraftFs.mkdirs(s"$badDir/metadata")
+    put(s"$badDir/metadata/v1.metadata.json", metaTxt.replace(
+      "\"geometry(OGC:CRS84)\"",
+      "{\"type\":\"struct\",\"fields\":[{\"id\":99,\"name\":\"g\"," +
+        "\"required\":false,\"type\":\"geometry(OGC:CRS84)\"}]}"))
+    put(s"$badDir/metadata/version-hint.text", "1")
+    val eNested = intercept[IllegalArgumentException](
+      IcebergIO.loadMetadata(badDir))
+    assert(eNested.getMessage.contains("unsupported"), eNested.getMessage)
+  }
+
   test("v3 variant column: write/read/typed access/DV delete/compact") {
     import org.apache.spark.sql.functions.expr
     val dir = s"$root/variant"
