@@ -690,10 +690,21 @@ final class GraftSession private (val spark: SparkSession) {
     df.toDF(target.fieldNames.toSeq: _*)
       .select(target.fields.toSeq.map { f =>
         // nothing casts TO the v3 `unknown` (NullType) surface — the
-        // column stores no values, so whatever the query produced for
-        // that slot is replaced by the null literal the writer omits
-        if (f.dataType == org.apache.spark.sql.types.NullType)
-          org.apache.spark.sql.functions.lit(null).as(f.name)
+        // column stores no values. Only a genuinely-null supplied
+        // expression may pass: a non-null value in the slot would
+        // otherwise vanish silently (the writer omits the column), so
+        // it raises instead of being discarded
+        if (f.dataType == org.apache.spark.sql.types.NullType) {
+          import org.apache.spark.sql.functions._
+          when(col(f.name).isNotNull,
+              raise_error(concat(
+                lit(s"$verb $name: column '${f.name}' has Iceberg type " +
+                  "`unknown` and stores no values — the supplied "),
+                lit("non-null value ("),
+                coalesce(col(f.name).cast("string"), lit("?")),
+                lit(") would be silently discarded; insert NULL"))))
+            .otherwise(lit(null)).as(f.name)
+        }
         else org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)
       }: _*)

@@ -284,20 +284,28 @@ object Curation {
   private def packShuffledCore(docs: DataFrame, idCol: String,
                                copyCol: String, nToks: Column,
                                binTokens: Long, salt: String,
-                               partSpan: Long): DataFrame = {
+                               partSpan: Long,
+                               // extra payload columns carried verbatim
+                               // through phase 2 into the output —
+                               // [[packShuffledBinsSegs]] threads its
+                               // segment arrays here so the placement
+                               // never joins back against the (possibly
+                               // expensive) input a second time
+                               extraKeep: Seq[String] = Nil): DataFrame = {
     require(binTokens > 0 && partSpan > 0, "binTokens/partSpan must be > 0")
-    val base = docs.select(
+    val base = docs.select(Seq(
       col(idCol).cast("long").as("id"),
       col(copyCol).cast("long").as("copy"),
       nToks.as("n_toks"),
       hash60(col(idCol), col(copyCol), salt, "packShuffled").as("hk"))
+      ++ extraKeep.map(col): _*)
       .withColumn("part", expr(s"hk div ${partSpan}L"))
     // parts are hk ranges, so ascending (part, hk, id, copy) IS the
     // ascending global (hk, id, copy) order — same-hk rows can't straddle
     // a part boundary because part is a pure function of hk
     binOffsets(base, binTokens,
       orderCols = Seq("hk", "id", "copy"),
-      keepCols = Seq("id", "copy", "n_toks"))
+      keepCols = Seq("id", "copy", "n_toks") ++ extraKeep)
   }
 
   /**
@@ -349,7 +357,15 @@ object Curation {
    *
    * Scale shape: identical to [[packShuffledBins]] — one bounded
    * explode + ONE shuffle keyed on `bin`, per-bin state capped at
-   * `binTokens` regardless of corpus size.
+   * `binTokens` regardless of corpus size. The segment arrays ride
+   * THROUGH the prefix-sum scaffolding as a carried payload column
+   * (never joined back), so `docs` is referenced exactly twice: the
+   * per-part totals aggregate and the phase-2 running sum. CALLER
+   * CACHE OBLIGATION (the [[graft.operators.Dedup.minhashNearDupsAgainst]]
+   * convention): when the segment input is itself an expensive pipeline
+   * (e.g. [[graft.operators.TextAnalysis.bpeSegments]]' word explode +
+   * vocab join + reassembly), persist `docs` around the action or that
+   * pipeline evaluates twice.
    */
   def packShuffledBinsSegs(docs: DataFrame, idCol: String, copyCol: String,
                            segsCol: String, binTokens: Long,
@@ -359,13 +375,13 @@ object Curation {
       col(idCol).cast("long").as("id"),
       col(copyCol).cast("long").as("copy"),
       col(segsCol).as("segs"))
-      .withColumn("__n", when(col("segs").isNull,
+    val placement = packShuffledCore(base, "id", "copy",
+      when(col("segs").isNull,
           raise_error(lit("packShuffledBinsSegs: NULL segment array"))
             .cast("long"))
-        .otherwise(size(col("segs")).cast("long")))
-    val placement = packShuffledByCount(base, "id", "copy", "__n",
-      binTokens, salt, partSpan)
-    placement.join(base.select("id", "copy", "segs"), Seq("id", "copy"))
+        .otherwise(size(col("segs")).cast("long")),
+      binTokens, salt, partSpan, extraKeep = Seq("segs"))
+    placement
       .filter(col("n_toks") > 0)
       .withColumn("b", explode(expr("sequence(bin, bin_end)")))
       .select(

@@ -1156,11 +1156,22 @@ object PipelineQueries {
     val docs = s.table("documents")
     val ms = TextAnalysis.collectMerges(
       TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
+    // packShuffledBinsSegs' documented caller cache obligation: the
+    // bpeSegments pipeline is expensive (word explode + vocab join +
+    // reassembly) and the materializer reads it twice — persist, then
+    // materialize the bin-scale aggregate locally so the cache releases
+    // before the frame returns (the pipe_crawl_epoch pattern)
     val segs = TextAnalysis.bpeSegments(docs, "doc_id", "text", ms)
       .withColumn("cp", pmod(col("id"), lit(2L)))
-    Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
+      .persist()
+    val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
         binTokens = 128L, partSpan = 1L << 55)
       .orderBy("bin")
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        bins.collect(): _*)), bins.schema)
+    segs.unpersist()
+    local.orderBy("bin")
   }
 
   /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]):
@@ -3548,16 +3559,22 @@ object PipelineQueries {
         Seq("doc_id"))
     val ms = TextAnalysis.collectMerges(
       TextAnalysis.trainBpeMerges(trainDocs, "doc_id", "text", 3))
+    // packShuffledBinsSegs' caller cache obligation: the crawl-chain-fed
+    // segment pipeline is the expensive kind — persist it for the
+    // materializer's two reads
     val segs = TextAnalysis.bpeSegments(trainDocs, "doc_id", "text", ms)
       .withColumn("cp", lit(0L))
+      .persist()
     val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
         binTokens = 128L, partSpan = 1L << 55)
       .orderBy("bin")
-    // bin-scale aggregate materialized locally so `extracted` (and the
-    // trainer's ephemeral caches) release before the frame returns
+    // bin-scale aggregate materialized locally so `extracted`, `segs`
+    // (and the trainer's ephemeral caches) release before the frame
+    // returns
     val local = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(
         bins.collect(): _*)), bins.schema)
+    segs.unpersist()
     extracted.unpersist()
     local.orderBy("bin")
   }

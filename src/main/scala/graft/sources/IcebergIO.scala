@@ -269,9 +269,46 @@ object IcebergIO {
     // COLUMNS (LongType surface) but stay refused when nested deeper
     StructType(schemaNodeOf(root).get("fields").elements().asScala.map { f =>
       val (dt, _) = toSparkType(f.get("type"), topLevel = true)
+      // the v3 spec requires `unknown` fields be optional — a required
+      // unknown is spec-invalid and the reader would have to project a
+      // nullable null literal into a non-nullable slot; fail loudly
+      if (dt == org.apache.spark.sql.types.NullType &&
+          f.get("required").asBoolean())
+        throw new IllegalArgumentException(
+          s"spec-invalid table: unknown column '${f.get("name").asText()}' " +
+            "is declared required — the v3 spec requires unknown fields " +
+            "be optional")
       StructField(f.get("name").asText(), dt,
-        nullable = !f.get("required").asBoolean())
+        nullable = !f.get("required").asBoolean(),
+        metadata = specTypeMetadata(f.get("type"), dt))
     }.toArray)
+
+  /** ADVICE-r18 #4: the ORIGINAL spec type string is carried as
+    * StructField metadata (the established `iceberg.type` override key,
+    * honored by [[IcebergFixture.schemaJson]]) whenever the Spark
+    * surface type would NOT round-trip back to it — `timestamp_ns` /
+    * `timestamptz_ns` (LongType surface), `geometry`/`geography` (WKB
+    * BinaryType surface), `uuid` (StringType) and `fixed[N]`
+    * (BinaryType). Without this, a verb still permitted on such a table
+    * (DV commits, metadata maintenance) would re-embed the manifest
+    * `schema` property with the WIDENED type ("long"/"binary") and the
+    * manifest metadata would drift from metadata.json for foreign
+    * inspectors. Comparison surfaces are unaffected:
+    * [[IcebergWrite.requireTableSchema]] compares (name, dataType) only
+    * and read OUTPUT schemas strip metadata ([[stripFieldIds]]). */
+  private def specTypeMetadata(typeNode: JsonNode,
+                               dt: DataType): org.apache.spark.sql.types.Metadata = {
+    val keep = typeNode.isTextual && {
+      val t = typeNode.asText()
+      t == "timestamp_ns" || t == "timestamptz_ns" || t == "uuid" ||
+        t.startsWith("geometry") || t.startsWith("geography") ||
+        t.startsWith("fixed")
+    }
+    if (keep)
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("iceberg.type", typeNode.asText()).build()
+    else org.apache.spark.sql.types.Metadata.empty
+  }
 
   /** Top-level column names whose spec type is a NANOSECOND timestamp
     * (`timestamp_ns` / `timestamptz_ns`) — they read as ns-since-epoch
@@ -899,7 +936,12 @@ object IcebergIO {
     * must not leak the resolution mechanism (schema equality in callers
     * and tests compares metadata). */
   private def stripFieldIds(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(_.metadata.contains("parquet.field.id")))
+    // both internal metadata keys are scrubbed from OUTPUT schemas: the
+    // field-id annotations AND the `iceberg.type` spec-type carry that
+    // loadMetadata stamps for non-round-tripping types (ns timestamps,
+    // geometry/geography, uuid, fixed) — callers see plain columns
+    if (df.schema.fields.exists(f => f.metadata.contains("parquet.field.id")
+        || f.metadata.contains("iceberg.type")))
       df.select(df.schema.fields.map(f =>
         col(f.name).as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
     else df

@@ -102,6 +102,14 @@ object IcebergWrite {
     if (schema.fields.exists(_.dataType == org.apache.spark.sql.types.NullType))
       require(formatVersion >= 3,
         "unknown (NullType) columns require format v3 (pass formatVersion = 3)")
+    // the v3 spec requires `unknown` fields be OPTIONAL — a required
+    // unknown would write "required": true into metadata.json
+    // (spec-invalid for foreign readers) while the read path projects a
+    // nullable null literal into a field declared non-nullable
+    schema.fields.filter(_.dataType == org.apache.spark.sql.types.NullType)
+      .foreach(f => require(f.nullable,
+        s"unknown (NullType) column '${f.name}' must be nullable — the " +
+          "v3 spec requires unknown fields be optional"))
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionCols.forall(c =>

@@ -460,4 +460,27 @@ class IcebergSqlSpec extends AnyFunSuite {
     // unregistered names fall through to Spark (which has no such view)
     intercept[Exception](g.sql("SHOW TBLPROPERTIES no_such_table").collect())
   }
+
+  test("INSERT into an `unknown` column: NULL passes, non-null raises " +
+      "instead of silently discarding") {
+    val dir = s"$root/unknown_insert"
+    graft.sources.IcebergWrite.create(spark, dir, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("u", NullType, nullable = true))), formatVersion = 3)
+    val g = graft.GraftSession.wrap(spark)
+    g.registerIceberg("unk_ins", dir)
+    g.sql("INSERT INTO unk_ins VALUES (1, NULL)")
+    assert(g.sql("SELECT id FROM unk_ins").collect().map(_.getLong(0))
+      .toSeq === Seq(1L))
+    // a non-null value in the unknown slot would vanish (the writer
+    // omits the column physically) — the alignment guard raises instead
+    val e = intercept[Exception](
+      g.sql("INSERT INTO unk_ins VALUES (2, 'oops')"))
+    assert(e.getMessage.contains("unknown") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown")),
+      e.getMessage)
+    // nothing landed from the failed insert
+    assert(g.sql("SELECT count(*) FROM unk_ins").collect().head.getLong(0)
+      === 1L)
+  }
 }

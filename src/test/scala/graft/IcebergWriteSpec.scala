@@ -3112,4 +3112,79 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(rows === Seq(("name=a", 0, 1L), ("name=b", 0, 1L),
       ("", 1, 1L)))
   }
+
+  test("spec-type carry: manifests written on ns/geo tables round-trip " +
+      "the original type string; required unknown refused both ways") {
+    val dir = s"$root/ns_carry"
+    val nsSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts_ns", LongType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "timestamp_ns").build())))
+    val w = new IcebergFixture.Writer(spark, dir, nsSchema)
+    val rows = Seq((1L, 1500000000123456789L), (2L, 1600000000987654321L))
+    val file = new java.io.File(s"$dir/data/ns-00001.parquet")
+    file.getParentFile.mkdirs()
+    IcebergFixture.writeNsParquet(file.getAbsolutePath, "ts_ns", rows)
+    w.appendExternalFile(file, 2L)
+    // an eq-delete keyed on a NON-ns column is still permitted on an ns
+    // table — its delete manifest embeds the table schema via
+    // schemaJson; loadMetadata's iceberg.type carry must keep the spec
+    // string "timestamp_ns" (not the widened "long") in that embed
+    val del = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(Row(1L))),
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    graft.sources.IcebergWrite.deleteEquality(del, dir)
+    assert(IcebergIO.read(spark, dir).count() === 1L)
+    val manifests = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(_.getName.startsWith("manifest-"))
+    assert(manifests.nonEmpty)
+    val schemas = manifests.map { mf =>
+      val r = new org.apache.avro.file.DataFileReader(
+        mf, new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.getMetaString("schema") finally r.close()
+    }
+    assert(schemas.forall(_.contains("timestamp_ns")),
+      s"manifest schema drifted from metadata.json: ${schemas.toSeq}")
+    assert(!schemas.exists(_.contains("\"ts_ns\",\"required\":true," +
+      "\"type\":\"long\"")), "widened long leaked into a manifest embed")
+
+    // create() refuses a REQUIRED unknown (v3 spec: unknown is optional)
+    val e = intercept[IllegalArgumentException](
+      IcebergWrite.create(spark, s"$root/req_unknown", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("u", NullType, nullable = false))),
+        formatVersion = 3))
+    assert(e.getMessage.contains("optional"), e.getMessage)
+
+    // a FOREIGN table declaring a required unknown fails loudly at load
+    IcebergWrite.create(spark, s"$root/opt_unknown", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("u", NullType, nullable = true))), formatVersion = 3)
+    val metaFile = IcebergIO.loadMetadata(s"$root/opt_unknown").metadataFile
+    val badDir = s"$root/req_unknown_foreign"
+    GraftFs.mkdirs(s"$badDir/metadata")
+    def put(path: String, text: String): Unit = {
+      val out = GraftFs.create(path)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = om.readTree(GraftFs.readUtf8(metaFile))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemasNode = tree.get("schemas")
+    schemasNode.forEach { sn =>
+      sn.get("fields").forEach { fn =>
+        if (fn.get("name").asText() == "u")
+          fn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("required", true)
+      }
+    }
+    put(s"$badDir/metadata/v1.metadata.json", om.writeValueAsString(tree))
+    put(s"$badDir/metadata/version-hint.text", "1")
+    val ef = intercept[IllegalArgumentException](
+      IcebergIO.loadMetadata(badDir))
+    assert(ef.getMessage.contains("optional"), ef.getMessage)
+  }
 }
