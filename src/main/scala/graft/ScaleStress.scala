@@ -521,8 +521,10 @@ object ScaleStress {
       s""""ratio":${jnum(packRatio)},"threshold":${jnum(packThreshold)},""" +
       s""""suspect":${packSuspect}},""" +
       s""""loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadavg)}}"""
+    // trailing newline: the committed artifact is a text file (POSIX
+    // convention; VERDICT-r18 hygiene — fix the emitter, not the file)
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(json)
   }

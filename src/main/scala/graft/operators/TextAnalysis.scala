@@ -246,6 +246,129 @@ object TextAnalysis {
     BigramModel(vocab, c1, c12, vocab.count())
   }
 
+  /** Per-row bigram-LM scoring Columns — the FOLD form of
+    * [[bigramLogProb]]'s inference pass for a TRAINED [[BigramModel]]:
+    * the model's (vocab+1)²-bounded count tables collapse into map
+    * literals and each document scores in one pure projection (no
+    * explode to a row fan-out, no join, no aggregation, no window) —
+    * the shape a streaming gate needs ([[graft.streaming.StreamingOps
+    * .curateStream]]'s `lmGate`) and bit-equal to the batch scorer on
+    * every doc both emit. Returns (n_bigrams, lp_sum_micro); a bigram
+    * UNSEEN in training scores with c12 = 0 under the same add-one
+    * smoothing (the batch trainer never emits such a pair for its own
+    * corpus, so bit-equality against [[bigramLogProb]] holds on the
+    * training corpus; on NEW text this fold is the definition).
+    * Single-token docs have no bigram: n_bigrams = 0, lp_sum_micro = 0.
+    *
+    * 100 TB shape: model state is O((vocab+1)²) literals riding the
+    * closure — vocabularies beyond literal scale belong to
+    * [[hashedLinearTrain]]'s hashing-trick family instead. */
+  def bigramScoreColumns(m: BigramModel, text: Column): (Column, Column) = {
+    // ' ' joins the pair key: tokens come from a space-split, so a
+    // space can never occur INSIDE a token and the key is unambiguous
+    // (an '_' or '|' separator could collide with token content)
+    val sep = " "
+    val vocabSet = m.vocab.collect().map(_.getString(0)).toSet
+    val c1m = m.c1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c12m = m.c12.collect()
+      .map(r => (r.getString(0) + sep + r.getString(1)) -> r.getLong(2)).toMap
+    val t = tokens(text)
+    val mapped = transform(t, w =>
+      when(w.isInCollection(vocabSet), w).otherwise(lit("<oov>")))
+    val pairs = arrays_zip(
+      slice(mapped, lit(1), size(mapped) - 1),
+      slice(mapped, lit(2), size(mapped) - 1))
+    val lps = transform(pairs, p => {
+      val c12v = coalesce(
+        element_at(typedLit(c12m),
+          concat(p.getField("0"), lit(sep), p.getField("1"))), lit(0L))
+      val c1v = coalesce(element_at(typedLit(c1m), p.getField("0")), lit(0L))
+      round(log((c12v + lit(1L)).cast("double") /
+          (c1v + lit(m.vSize) + lit(1L)).cast("double")) * 1e6).cast("long")
+    })
+    (size(lps).cast("long"),
+      coalesce(aggregate(lps, lit(0L), (acc, x) => acc + x), lit(0L)))
+  }
+
+  /** Exact floor-division mean score in micro-nats — the ONE spelling
+    * of CCNet's per-doc perplexity surrogate (`lp_sum_micro` is
+    * negative, so plain integer division would truncate toward zero and
+    * disagree with the DuckDB replay's `((x % n) + n) % n` floor
+    * idiom). NULL when `nBigrams` = 0 (a bigram-less doc has no mean). */
+  def avgLpMicro(lpSum: Column, nBigrams: Column): Column =
+    when(nBigrams > 0,
+      ((lpSum - pmod(lpSum, nBigrams)) / nBigrams).cast("long"))
+
+  // ---- CCNet-style perplexity bucketing (Wenzek et al.) ---------------
+
+  /**
+   * Per-language head/middle/tail bucketing by EXACT score terciles —
+   * the CCNet quality stage (Wenzek et al.): within each language,
+   * documents rank by LM score (higher mean log-prob = lower perplexity
+   * = better), and the top third is `head`, the middle third `middle`,
+   * the rest `tail`. Rank `r` (1-based, ordered score DESC with id ASC
+   * tie-break — total and engine-independent) against the language's
+   * doc count `n`: head ⟺ 3r ≤ n, middle ⟺ 3r ≤ 2n — exact integer
+   * arithmetic, no percent_rank doubles. NULL scores or langs raise.
+   *
+   * Returns (id, lang, score_micro, rk, n_lang, bucket).
+   *
+   * Scale shape: ONE window partitioned by language — per-language
+   * sorts, the canonical CCNet batch job. When one language dominates a
+   * 100-TB corpus, compute the terciles on a calibration sample with
+   * THIS operator, freeze the boundary scores via [[pplThresholds]],
+   * and assign the full corpus per-row with [[pplAssign]] (CCNet ships
+   * exactly that: cutoffs learned once on a Wikipedia-sized sample,
+   * applied per-shard).
+   */
+  def pplBuckets(scored: DataFrame, idCol: String, langCol: String,
+                 scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = scored.select(
+      when(col(idCol).isNull,
+          raise_error(lit("pplBuckets: NULL id"))).otherwise(col(idCol))
+        .cast("long").as("id"),
+      when(col(langCol).isNull,
+          raise_error(lit("pplBuckets: NULL lang"))).otherwise(col(langCol))
+        .as("lang"),
+      when(col(scoreCol).isNull,
+          raise_error(lit("pplBuckets: NULL score"))).otherwise(col(scoreCol))
+        .cast("long").as("score_micro"))
+    val byLang = Window.partitionBy("lang")
+    guarded
+      .withColumn("rk", row_number().over(
+        byLang.orderBy(col("score_micro").desc, col("id"))).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n_lang"), lit("head"))
+          .when(col("rk") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /** Freeze [[pplBuckets]]' tercile boundaries as per-language cutoff
+    * scores: (lang, head_min_micro, middle_min_micro) — the WORST score
+    * still inside each bucket; NULL when the bucket is empty for that
+    * language (n < 3 langs have no head). Feed to [[pplAssign]] /
+    * `lmGate` for per-row assignment of an unbounded corpus. */
+  def pplThresholds(bucketed: DataFrame): DataFrame =
+    bucketed.groupBy("lang").agg(
+      min(when(col("bucket") === "head", col("score_micro")))
+        .as("head_min_micro"),
+      min(when(col("bucket") === "middle", col("score_micro")))
+        .as("middle_min_micro"))
+
+  /** Per-row bucket assignment against frozen [[pplThresholds]] cutoffs
+    * — the production form (pure projection, no window). Ties AT a
+    * boundary score all take the better bucket (the rank form split
+    * them by id), so threshold assignment equals rank assignment
+    * exactly when boundary scores are unique — document-grain scores in
+    * micro-nats make cross-doc ties vanishingly rare, and the
+    * difference is only ever bucket-flattering. */
+  def pplAssign(score: Column, headMin: Column, middleMin: Column): Column =
+    when(headMin.isNotNull && score >= headMin, lit("head"))
+      .when(middleMin.isNotNull && score >= middleMin, lit("middle"))
+      .otherwise(lit("tail"))
+
   /** Per-language corpus stats table. */
   def corpusStats(docs: DataFrame, langCol: String, textCol: String,
                   charsCol: String): DataFrame =

@@ -2052,38 +2052,58 @@ object PipelineQueries {
     * the unigram scorer, upgraded to conditional P(w2|w1) with add-one
     * smoothing over a (vocab+1)-bounded alphabet (OOV mapped FIRST so
     * the bigram model table is (V+1)², never corpus-sized). */
+  /** Bigram-LM scoring CTE chain (the text_bigram_lp replay) over an
+    * arbitrary `src(doc_id, text)` relation, prefixed `p` (the
+    * bpeIterCte lesson — composed chains collide CTE names), ending at
+    * `{p}agg(doc_id, n_bigrams, lp_sum_micro)`. `mat` marks the
+    * multiply-referenced CTEs `AS MATERIALIZED` — REQUIRED when `src`
+    * is itself expensive (DuckDB 1.0 re-evaluates plain CTEs per
+    * reference, combinatorial over a crawl-chain base; CLAUDE r18). */
+  private def bigramLpCtes(src: String, p: String,
+                           mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""${p}ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $src),
+       |${p}toks AS $m(
+       |  SELECT ws.doc_id, i.i AS pos, ws.w[i.i] AS tok
+       |  FROM ${p}ws ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i
+       |),
+       |${p}counts AS (SELECT tok, COUNT(*) AS cnt FROM ${p}toks GROUP BY tok),
+       |${p}vocab AS $m(SELECT tok FROM ${p}counts ORDER BY cnt DESC, tok LIMIT 20),
+       |${p}mapped AS $m(
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS w
+       |  FROM ${p}toks t LEFT JOIN ${p}vocab v USING (tok)
+       |),
+       |${p}bi AS $m(
+       |  SELECT doc_id, w1, w AS w2 FROM (
+       |    SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |    FROM ${p}mapped) WHERE w1 IS NOT NULL
+       |),
+       |${p}c1 AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM ${p}mapped GROUP BY w),
+       |${p}c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM ${p}bi GROUP BY w1, w2),
+       |${p}vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM ${p}vocab),
+       |${p}scored AS (
+       |  SELECT b.doc_id,
+       |    CAST(ROUND(LN(CAST(c12.c12 + 1 AS DOUBLE) /
+       |        CAST(c1.c1 + vs.v_size + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+       |  FROM ${p}bi b JOIN ${p}c12 c12 USING (w1, w2)
+       |    JOIN ${p}c1 c1 USING (w1) CROSS JOIN ${p}vs vs
+       |),
+       |${p}agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+       |  FROM ${p}scored GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** The exact floor-division mean the Spark side computes via
+    * [[TextAnalysis.avgLpMicro]] — lp sums are NEGATIVE, so the replay
+    * needs the `((x % n) + n) % n` floor idiom, not `/`. */
+  private def avgLpSql(sum: String, n: String): String =
+    s"CAST(($sum - ((($sum % $n) + $n) % $n)) / $n AS BIGINT)"
+
   val textBigramLp = dfQ("text_bigram_lp",
-    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      |toks AS (
-      |  SELECT ws.doc_id, i.i AS pos, ws.w[i.i] AS tok
-      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i
-      |),
-      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-      |vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20),
-      |mapped AS (
-      |  SELECT t.doc_id, t.pos,
-      |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS w
-      |  FROM toks t LEFT JOIN vocab v USING (tok)
-      |),
-      |bi AS (
-      |  SELECT doc_id, w1, w AS w2 FROM (
-      |    SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-      |    FROM mapped) WHERE w1 IS NOT NULL
-      |),
-      |c1 AS (SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM mapped GROUP BY w),
-      |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
-      |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
-      |scored AS (
-      |  SELECT b.doc_id,
-      |    CAST(ROUND(LN(CAST(c12.c12 + 1 AS DOUBLE) /
-      |        CAST(c1.c1 + vs.v_size + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
-      |  FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
-      |),
-      |agg AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
-      |  FROM scored GROUP BY doc_id
-      |)
+    "WITH " + bigramLpCtes("documents", "") + """
       |SELECT doc_id AS doc_id, n_bigrams, lp_sum_micro,
       |  CAST((lp_sum_micro - (((lp_sum_micro % n_bigrams) + n_bigrams) % n_bigrams)) / n_bigrams AS BIGINT) AS avg_lp_micro
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, _) =>
@@ -2093,6 +2113,43 @@ object PipelineQueries {
         ((col("lp_sum_micro") - pmod(col("lp_sum_micro"), col("n_bigrams"))) /
           col("n_bigrams")).cast("bigint").as("avg_lp_micro"))
       .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing ([[TextAnalysis.pplBuckets]],
+    * Wenzek et al.): documents score under the corpus-trained bigram LM
+    * (the text_bigram_lp chain), take the exact floor-division mean in
+    * micro-nats, and bucket per LANGUAGE into head/middle/tail by exact
+    * rank terciles (3r ≤ n / 3r ≤ 2n over the score-desc, id-asc total
+    * order). The oracle replays the whole scorer chain, the floor mean,
+    * and both window functions — rank AND per-lang count — so a single
+    * misordered tie or an off-by-one tercile boundary breaks the row
+    * set. */
+  val curPplBuckets = dfQ("cur_ppl_buckets",
+    "WITH " + bigramLpCtes("documents", "") + s""",
+      |sc AS (SELECT a.doc_id, d.lang,
+      |    ${avgLpSql("a.lp_sum_micro", "a.n_bigrams")} AS score_micro
+      |  FROM agg a JOIN documents d USING (doc_id)),
+      |rk AS (SELECT doc_id, lang, score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM sc)
+      |SELECT doc_id, lang, score_micro, rk, n_lang,
+      |  CASE WHEN rk * 3 <= n_lang THEN 'head'
+      |       WHEN rk * 3 <= n_lang * 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk ORDER BY lang, rk""".stripMargin) { (s, _) =>
+    val docs = s.table("documents")
+    val scoredRaw = TextAnalysis.bigramLogProb(docs, "doc_id", "text", 20)
+    val scored = scoredRaw
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("id"), col("lang"),
+        TextAnalysis.avgLpMicro(col("lp_sum_micro"), col("n_bigrams"))
+          .as("score_micro"))
+    TextAnalysis.pplBuckets(scored, "id", "lang", "score_micro")
+      .select(col("id").as("doc_id"), col("lang"), col("score_micro"),
+        col("rk"), col("n_lang"), col("bucket"))
+      .orderBy("lang", "rk")
   }
 
   /** Product-quantization ADC oracle: the full
@@ -3579,6 +3636,83 @@ object PipelineQueries {
     local.orderBy("bin")
   }
 
+  /** The crawl chain continued into the CCNet-style perplexity stage
+    * ([[crawlFinCtes]] → survivors' extracted text → bigram LM trained
+    * on those SAME survivors → exact floor-mean micro-nat scores →
+    * per-PREDICTED-domain head/middle/tail rank terciles
+    * ([[TextAnalysis.pplBuckets]]) → frozen boundary cutoffs
+    * ([[TextAnalysis.pplThresholds]]) → per-row re-assignment
+    * ([[TextAnalysis.pplAssign]])) — crawl-HTML → quality-bucketed
+    * corpus as ONE oracle, with the sweep→freeze→assign composition
+    * pinned INSIDE the compared surface (`assign_ok` is computed
+    * independently by both engines). The bigram CTEs ride the `pp`
+    * prefix and `AS MATERIALIZED` (the crawl chain is the expensive
+    * base the r18 CTE-re-evaluation lesson is about). */
+  val pipeCrawlPpl = dfQ("pipe_crawl_ppl", htmlCtes +
+    crawlFinCtes + s""",
+      |ctext AS MATERIALIZED (SELECT f.doc_id, f.pred, e.text
+      |  FROM fin f JOIN extracted e ON e.id = f.doc_id),
+      |""".stripMargin + bigramLpCtes("ctext", "pp", mat = true) + s""",
+      |psc AS (SELECT a.doc_id, c.pred,
+      |    ${avgLpSql("a.lp_sum_micro", "a.n_bigrams")} AS score_micro
+      |  FROM ppagg a JOIN ctext c USING (doc_id)),
+      |prk AS (SELECT doc_id, pred, score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY pred
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY pred) AS BIGINT) AS n_grp
+      |  FROM psc),
+      |pbk AS (SELECT doc_id, pred, score_micro, rk, n_grp,
+      |    CASE WHEN rk * 3 <= n_grp THEN 'head'
+      |         WHEN rk * 3 <= n_grp * 2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM prk),
+      |pth AS (SELECT pred,
+      |    MIN(CASE WHEN bucket = 'head' THEN score_micro END) AS hmin,
+      |    MIN(CASE WHEN bucket = 'middle' THEN score_micro END) AS mmin
+      |  FROM pbk GROUP BY pred)
+      |SELECT b.doc_id, b.pred, b.score_micro, b.rk, b.n_grp, b.bucket,
+      |  (CASE WHEN t.hmin IS NOT NULL AND b.score_micro >= t.hmin
+      |          THEN 'head'
+      |        WHEN t.mmin IS NOT NULL AND b.score_micro >= t.mmin
+      |          THEN 'middle'
+      |        ELSE 'tail' END) = b.bucket AS assign_ok
+      |FROM pbk b JOIN pth t USING (pred)
+      |ORDER BY pred, rk""".stripMargin,
+    bench = false) { (s, _) =>
+    val (fin, extracted) = crawlFin(s)
+    // the scorer reads its corpus several times (vocab, counts, bigram
+    // tables, the final join) — materialize the 57-doc survivor text
+    // once; released with `extracted` after the local collect
+    val ctext = fin
+      .join(extracted.select(col("id").as("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select("doc_id", "pred", "text")
+      .persist()
+    val scoredRaw = TextAnalysis.bigramLogProb(ctext, "doc_id", "text", 20)
+    val scored = scoredRaw
+      .join(ctext.select(col("doc_id").as("id"), col("pred")), Seq("id"))
+      .select(col("id"), col("pred").as("lang"),
+        TextAnalysis.avgLpMicro(col("lp_sum_micro"), col("n_bigrams"))
+          .as("score_micro"))
+    val bucketed = TextAnalysis.pplBuckets(scored, "id", "lang",
+      "score_micro")
+    val thr = TextAnalysis.pplThresholds(bucketed)
+    val out = bucketed.join(broadcast(thr), Seq("lang"))
+      .select(col("id").as("doc_id"), col("lang").as("pred"),
+        col("score_micro"), col("rk"), col("n_lang").as("n_grp"),
+        col("bucket"),
+        (TextAnalysis.pplAssign(col("score_micro"),
+          col("head_min_micro"), col("middle_min_micro"))
+          === col("bucket")).as("assign_ok"))
+      .orderBy("pred", "rk")
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        out.collect(): _*)), out.schema)
+    ctext.unpersist()
+    extracted.unpersist()
+    local.orderBy("pred", "rk")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -3600,7 +3734,7 @@ object PipelineQueries {
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
     pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
-    pipeCrawlBpeBins,
+    pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl,
     textClassifyCalibrate, pipeCalibrateSelect,
     aggTopkSketch)
 }

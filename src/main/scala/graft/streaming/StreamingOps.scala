@@ -247,6 +247,15 @@ object StreamingOps {
     *     gates like the batch `pipe_gate_resample_split`;
     *  8. `split` — a train/val/test `split` column
     *     ([[graft.operators.Curation.splitLabel]]) on what remains;
+    *  7b. `lmGate` = (bigramModel, perLangCutoffMicro) — the
+    *     CCNet-style perplexity quality gate: each doc's exact
+    *     floor-mean micro-nat bigram score
+    *     ([[graft.operators.TextAnalysis.bigramScoreColumns]] +
+    *     [[graft.operators.TextAnalysis.avgLpMicro]]) must clear its
+    *     language's frozen cutoff (typically
+    *     [[graft.operators.TextAnalysis.pplThresholds]]' tercile
+    *     boundary from a calibration run); langs without a cutoff and
+    *     bigram-less docs drop;
     *  9. `upsample` = (weightMicroCol, salt) — deterministic EPOCHING
     *     ([[graft.operators.Curation.upsampleByWeight]]): each
     *     surviving doc emits its whole copies plus the hash-drawn
@@ -258,9 +267,10 @@ object StreamingOps {
     * (the classifier label) when `nbGate`/`hlGate` is set, so a
     * downstream batch mixer
     * ([[graft.operators.Curation.mixDomains]]) can weight on it, plus
-    * `margin_micro` when `hlMargin` is set, plus `split` when `split`
-    * is set, plus the 0-based `copy` index when `upsample` is set (one
-    * output row per emitted copy).
+    * `margin_micro` when `hlMargin` is set, plus `avg_lp_micro` when
+    * `lmGate` is set, plus `split` when `split` is set, plus the
+    * 0-based `copy` index when `upsample` is set (one output row per
+    * emitted copy).
     * Append-mode-safe (no aggregation — projections, filters, and keyed
     * dedup state; every optional stage is a pure per-row fold). */
   def curateStream(docs: DataFrame, idCol: String, tsCol: String,
@@ -277,11 +287,13 @@ object StreamingOps {
                    split: Option[Seq[(String, Long)]] = None,
                    hlMargin: Option[(graft.operators.TextAnalysis.HashedLinearModel,
                      String, Long)] = None,
-                   upsample: Option[(String, String)] = None): DataFrame = {
+                   upsample: Option[(String, String)] = None,
+                   lmGate: Option[(graft.operators.TextAnalysis.BigramModel,
+                     Map[String, Long])] = None): DataFrame = {
     import graft.operators.{Curation, HtmlExtract, TextAnalysis}
     val source = html.fold(docs)(rules => docs.withColumn(textCol,
       HtmlExtract.extractedHtmlText(col(textCol), rules)))
-    val gated = source
+    val gated0 = source
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
@@ -290,6 +302,26 @@ object StreamingOps {
       .filter(col("lang") === "en" && col("quality") >= minQuality)
       .transform(d => gopher.fold(d)(rules =>
         d.filter(TextAnalysis.gopherKeep(col(textCol), rules))))
+    // CCNet-style LM-perplexity gate: a batch-trained bigram model
+    // scores each arriving doc via the PER-ROW fold
+    // (TextAnalysis.bigramScoreColumns — no join/agg/window, so append
+    // mode survives) and the doc passes iff its language has a frozen
+    // cutoff (pplThresholds on a calibration run) and its exact
+    // floor-mean micro-nat score clears it. Bigram-less docs (a single
+    // token) have no score and drop — same absence rule as the batch
+    // scorer's output.
+    val gated = lmGate.fold(gated0) { case (m, cutoffs) =>
+      require(cutoffs.nonEmpty, "lmGate needs at least one language cutoff")
+      val (nBg, lpSum) = TextAnalysis.bigramScoreColumns(m, col(textCol))
+      gated0
+        .withColumn("avg_lp_micro", TextAnalysis.avgLpMicro(lpSum, nBg))
+        .filter(col("avg_lp_micro").isNotNull &&
+          col("avg_lp_micro") >=
+            coalesce(element_at(typedLit(cutoffs), col("lang")),
+              // languages without a cutoff never pass (explicit
+              // allowlist, the keep-label-set convention)
+              lit(Long.MaxValue)))
+    }
     require(Seq(nbGate, hlGate, hlMargin).count(_.isDefined) <= 1,
       "at most one classifier gate (nbGate / hlGate / hlMargin)")
     val scoreGate: Option[(org.apache.spark.sql.Column, Seq[String], Set[String])] =
@@ -337,6 +369,7 @@ object StreamingOps {
         col("quality")) ++
         (if (scoreGate.isDefined) Seq(col("pred")) else Nil) ++
         (if (hlMargin.isDefined) Seq(col("margin_micro")) else Nil) ++
+        (if (lmGate.isDefined) Seq(col("avg_lp_micro")) else Nil) ++
         Seq(Curation.piiRedact(col(textCol)).as("text")) ++
         split.toSeq.map(fr => Curation.splitLabel(col(idCol), fr).as("split")) ++
         (if (upsample.isDefined) Seq(col("copy")) else Nil)

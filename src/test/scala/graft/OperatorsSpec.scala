@@ -889,4 +889,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f.head_byte == 'a'.toInt && f.tail_byte == 'c'.toInt)
     assert(f.byte_checksum == ('a' + 'b' + 'c').toLong)
   }
+
+  test("pplBuckets: exact per-lang terciles; thresholds+assign reproduce " +
+      "rank buckets on distinct scores; NULL score raises") {
+    // constructed langs with distinct scores: n = 10, 5, 2, 1
+    val rows = (1L to 10L).map(i => (i, "a", -1000L * i)) ++
+      (1L to 5L).map(i => (100L + i, "b", -2000L * i)) ++
+      Seq((201L, "c", -5L), (202L, "c", -9L), (301L, "d", -7L))
+    val scored = rows.toDF("id", "lang", "score_micro")
+    val b = TextAnalysis.pplBuckets(scored, "id", "lang", "score_micro")
+    val counts = b.groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // n=10: head ⟺ 3r ≤ 10 → 3; middle ⟺ 3r ≤ 20 → r ≤ 6 → 3; tail 4
+    assert(counts(("a", "head")) === 3L && counts(("a", "middle")) === 3L
+      && counts(("a", "tail")) === 4L)
+    // n=5: head 1, middle 2, tail 2
+    assert(counts(("b", "head")) === 1L && counts(("b", "middle")) === 2L
+      && counts(("b", "tail")) === 2L)
+    // n=2: no head (3r > 2 ∀r), middle 1, tail 1
+    assert(!counts.contains(("c", "head")) && counts(("c", "middle")) === 1L
+      && counts(("c", "tail")) === 1L)
+    // n=1: tail only
+    assert(counts.filter(_._1._1 == "d") === Map(("d", "tail") -> 1L))
+    // rank order: best score (least negative) = rank 1 = head
+    val a1 = b.filter(col("lang") === "a" && col("rk") === 1L)
+      .collect().head
+    assert(a1.getAs[Long]("id") === 1L && a1.getAs[String]("bucket") === "head")
+    // frozen thresholds + per-row assign reproduce the rank buckets
+    // exactly (scores are distinct, so no boundary ties)
+    val thr = TextAnalysis.pplThresholds(b)
+    val mismatches = b.join(thr, Seq("lang"))
+      .filter(TextAnalysis.pplAssign(col("score_micro"),
+        col("head_min_micro"), col("middle_min_micro")) =!= col("bucket"))
+      .count()
+    assert(mismatches === 0L)
+    // n<3 langs freeze NULL head cutoffs
+    val thrC = thr.filter(col("lang") === "c").collect().head
+    assert(thrC.isNullAt(1) && !thrC.isNullAt(2))
+    // NULL score raises loudly
+    val bad = Seq((1L, "a", Some(1L)), (2L, "a", None))
+      .toDF("id", "lang", "score_micro")
+    val e = intercept[Exception](
+      TextAnalysis.pplBuckets(bad, "id", "lang", "score_micro").collect())
+    assert(e.getMessage.contains("NULL score"), e.getMessage)
+  }
+
+  test("bigramScoreColumns fold ≡ batch bigramLogProb on the training " +
+      "corpus; bigram-less docs fold to (0, 0)") {
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = TextAnalysis.bigramModel(docsDf, "doc_id", "text", 20)
+    val (nBg, lpSum) = TextAnalysis.bigramScoreColumns(m, col("text"))
+    val fold = docsDf
+      .select(col("doc_id"), nBg.as("n"), lpSum.as("s"))
+      .unionByName(Seq((999999L, "solo")).toDF("doc_id", "text")
+        .select(col("doc_id"), nBg.as("n"), lpSum.as("s")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = TextAnalysis.bigramLogProb(docsDf, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, v) => assert(fold(id) === v,
+      s"doc $id: fold ${fold(id)} != batch $v") }
+    // the single-token doc has no bigram: absent from batch, (0,0) fold
+    assert(fold(999999L) === ((0L, 0L)))
+    // exact floor-mean helper: NULL on 0 bigrams, floor on negatives
+    val means = Seq(((-7L), 2L), (0L, 0L)).toDF("s", "n")
+      .select(TextAnalysis.avgLpMicro(col("s"), col("n")).as("m"))
+      .collect()
+    assert(means(0).getLong(0) === -4L) // floor(-3.5) = -4, not -3
+    assert(means(1).isNullAt(0))
+  }
 }

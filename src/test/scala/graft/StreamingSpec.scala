@@ -751,6 +751,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at most one"), e.getMessage)
   }
 
+  test("curateStream lmGate ≡ batch CCNet perplexity filter with frozen " +
+      "tercile cutoffs") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).select("doc_id", "text")
+    // calibration: train the LM batch-side, score the gated population
+    // with the SAME per-row fold the stream uses, freeze the en tercile
+    // boundary (keep head+middle — the CCNet operating point)
+    val model = TextAnalysis.bigramModel(docsDf, "doc_id", "text", 20)
+    val base = uniq.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.05)
+    val (nBg, lpSum) = TextAnalysis.bigramScoreColumns(model, col("text"))
+    val calScored = base
+      .select(col("doc_id").as("id"), lit("en").as("lang"),
+        TextAnalysis.avgLpMicro(lpSum, nBg).as("score_micro"))
+      .filter(col("score_micro").isNotNull)
+    val thr = TextAnalysis.pplThresholds(
+      TextAnalysis.pplBuckets(calScored, "id", "lang", "score_micro"))
+      .collect().head
+    val cutoff = thr.getLong(2) // middle_min_micro: head+middle pass
+
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(uniq.collect().map(r => (r.getLong(0), ts, r.getString(1)))
+      .toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      lmGate = Some((model, Map("en" -> cutoff))))
+    StreamingOps.runToMemory(curated, "curate_lm", OutputMode.Append())
+    val streamed = spark.table("curate_lm").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getString(5))).toSet
+    // batch replay: same gates, same fold, same cutoff
+    val batch = base
+      .withColumn("m", TextAnalysis.avgLpMicro(lpSum, nBg))
+      .filter(col("m").isNotNull && col("m") >= cutoff)
+      .select(col("doc_id"), col("m"),
+        Curation.piiRedact(col("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    // the gate genuinely cut the tail tercile
+    assert(batch.size < base.count(), "lm gate dropped nothing")
+    // roughly two thirds survive (exact tercile boundary semantics:
+    // every doc scoring >= the frozen middle boundary passes)
+    val n = calScored.count()
+    assert(batch.size >= n / 3, s"gate kept ${batch.size} of $n")
+    // a language with no cutoff never passes
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in2.addData(uniq.limit(5).collect()
+      .map(r => (r.getLong(0), ts, r.getString(1))).toIndexedSeq)
+    val gatedOut = StreamingOps.curateStream(
+      in2.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.05, watermarkDelay = "10 seconds",
+      lmGate = Some((model, Map("fr" -> Long.MinValue))))
+    StreamingOps.runToMemory(gatedOut, "curate_lm_nolang",
+      OutputMode.Append())
+    assert(spark.table("curate_lm_nolang").count() === 0L)
+  }
+
   test("curateStream upsample stage ≡ batch epoching; copies share split") {
     import spark.implicits._
     import graft.operators.{Curation, TextAnalysis}
