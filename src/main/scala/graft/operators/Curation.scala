@@ -177,7 +177,8 @@ object Curation {
    * `Window.orderBy(id)` would funnel 100 TB through one partition.
    */
   def packOffsets(docs: DataFrame, idCol: String, textCol: String,
-                  binTokens: Long, partRange: Long = 1L << 20): DataFrame = {
+                  binTokens: Long, partRange: Long = 1L << 20,
+                  maxPartRows: Long = 1L << 27): DataFrame = {
     require(binTokens > 0 && partRange > 0, "binTokens/partRange must be > 0")
     val base = docs.select(
       col(idCol).cast("long").as("id"),
@@ -185,8 +186,20 @@ object Curation {
       // integral `div`, not `/`: long/long Column division is DOUBLE and
       // silently loses precision above 2^53 (repo invariant).
       expr(s"CAST($idCol AS BIGINT) div ${partRange}L").as("part"))
+    // packOffsets' coarse ranges are ID ranges — on a clustered id
+    // space (the raw-crawl shape: every id inside one partRange span)
+    // they silently collapse into ONE part and the "distributed" phase-2
+    // window degenerates to the global sort this operator exists to
+    // avoid. The guard raises at `maxPartRows` rows in a single part
+    // (the skew is only knowable at execution) instead of quietly
+    // funneling a corpus through one partition; packShuffled's
+    // hash-span parts are uniform by construction and need no guard.
     binOffsets(base, binTokens,
-      orderCols = Seq("id"), keepCols = Seq("id", "n_toks"))
+      orderCols = Seq("id"), keepCols = Seq("id", "n_toks"),
+      maxPartRows = maxPartRows,
+      guardHint = "ids cluster into one partRange span — raise " +
+        "partRange-granularity (lower partRange), or use packShuffled " +
+        "(hash-uniform parts)")
   }
 
   /** THE two-phase distributed bin-offset scaffolding [[packOffsets]]
@@ -202,14 +215,31 @@ object Curation {
     * (part, orderCols) IS the ascending global order. */
   private def binOffsets(base: DataFrame, binTokens: Long,
                          orderCols: Seq[String],
-                         keepCols: Seq[String]): DataFrame = {
-    val partTotals = base.groupBy("part").agg(sum(col("n_toks")).as("pt"))
+                         keepCols: Seq[String],
+                         maxPartRows: Long = Long.MaxValue,
+                         guardHint: String = ""): DataFrame = {
+    val partTotals = base.groupBy("part")
+      .agg(sum(col("n_toks")).as("pt"), count(lit(1)).as("__prows"))
     val partOffsets = partTotals.select(
-      col("part"),
+      col("part"), col("__prows"),
       coalesce(
         sum(col("pt")).over(
           Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)).as("part_off"))
+        lit(0L)).as("__po"))
+      .select(
+        col("part"),
+        // the skew guard rides the TINY per-part aggregate: a part
+        // whose row count exceeds the cap would make phase 2's
+        // partitioned window effectively global — fail loudly with the
+        // caller's hint instead of silently degrading (the skew is only
+        // knowable at execution)
+        when(col("__prows") > maxPartRows,
+            raise_error(concat(
+              lit(s"binOffsets: a single part holds more than " +
+                s"$maxPartRows rows ("),
+              col("__prows").cast("string"),
+              lit(s") — $guardHint"))).cast("long"))
+          .otherwise(col("__po")).as("part_off"))
     val within = Window.partitionBy("part").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     base

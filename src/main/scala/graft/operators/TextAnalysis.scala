@@ -1289,6 +1289,75 @@ object TextAnalysis {
     qual.getLong(0)
   }
 
+  /**
+   * EXACT ROC AUC by the Mann-Whitney rank-sum identity with
+   * average-rank tie handling — the threshold-free completion of the
+   * [[calibrationSweep]] evaluation loop: AUC = P(score⁺ > score⁻) +
+   * ½·P(score⁺ = score⁻), computed as exact integer pair counts.
+   * Per distinct score s with p_s positives and g_s negatives:
+   * concordant pairs Σ p_s·negBelow(s) plus tie pairs ½·Σ p_s·g_s, over
+   * n_pos·n_neg total — returned as the REDUCED-FREE integer pair
+   * (auc_num = 2·Σ p_s·negBelow + Σ p_s·g_s, auc_den = 2·n_pos·n_neg)
+   * so the value is exact in any engine, plus the floor-divided
+   * `auc_micro`. Doubling clears the half-tie term — this IS the
+   * average-rank Mann-Whitney statistic. One output row per `byCols`
+   * group (a single global row when empty); `auc_micro`/`auc_den` are
+   * NULL/0 when a group lacks both classes. NULL scores or labels
+   * raise.
+   *
+   * Scale shape: one shuffle to score-grain (p_s, g_s) aggregates,
+   * then the negBelow prefix sum runs TWO-PHASE exactly like the
+   * packing operators' [[graft.operators.Curation.packOffsets]]
+   * scaffolding — per-part totals (the only cross-part window runs
+   * over one row per `partSpan` score range) and a within-part running
+   * sum — so no corpus-sized single-partition window exists even when
+   * every document's micro-nat score is distinct. Truncating `div` is
+   * monotone non-decreasing over the full signed range, so part is a
+   * valid coarse range of the score order for negative scores too.
+   * BIGINT envelope: exact while n_pos·n_neg < 2^62 (≈ 2 billion docs
+   * per class per group — beyond any real evaluation set; DuckDB
+   * raises rather than wraps if ever exceeded).
+   */
+  def rocAuc(scored: DataFrame, scoreCol: String, posCol: String,
+             byCols: Seq[String] = Nil,
+             partSpan: Long = 1L << 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(partSpan > 0, "partSpan must be > 0")
+    val keys = byCols.map(col)
+    val base = scored.select(keys ++ Seq(
+      when(col(scoreCol).isNull,
+          raise_error(lit("rocAuc: NULL score"))).otherwise(col(scoreCol))
+        .cast("long").as("__s"),
+      when(col(posCol).isNull,
+          raise_error(lit("rocAuc: NULL label"))).otherwise(col(posCol))
+        .cast("boolean").as("__pos")): _*)
+    val per = base.groupBy(keys :+ col("__s"): _*)
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("g"))
+      .withColumn("part", expr(s"__s div ${partSpan}L"))
+    val partTotals = per.groupBy(keys :+ col("part"): _*)
+      .agg(sum(col("g")).as("pg"))
+    val acrossParts = Window.partitionBy(keys: _*).orderBy("part")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partOffsets = partTotals.withColumn("part_off",
+      coalesce(sum(col("pg")).over(acrossParts), lit(0L)))
+    val withinPart = Window.partitionBy(keys :+ col("part"): _*)
+      .orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = per
+      .join(broadcast(partOffsets.select(keys :+ col("part") :+
+        col("part_off"): _*)), byCols :+ "part")
+      .withColumn("neg_lt",
+        col("part_off") + coalesce(sum(col("g")).over(withinPart), lit(0L)))
+    cum.groupBy(keys: _*)
+      .agg(sum(col("p")).as("n_pos"), sum(col("g")).as("n_neg"),
+        sum(col("p") * lit(2L) * col("neg_lt") + col("p") * col("g"))
+          .as("auc_num"))
+      .withColumn("auc_den", col("n_pos") * col("n_neg") * lit(2L))
+      .withColumn("auc_micro",
+        when(col("auc_den") > 0,
+          expr("(auc_num * 1000000L) div auc_den")))
+  }
+
   /** Persist a trained [[HashedLinearModel]] under `dir` (the same
     * train-once / serve-everywhere contract as [[saveNbModel]]):
     * three bounded tables plus a 1-row meta frame (buckets, seed). */

@@ -2067,6 +2067,114 @@ object IcebergQueries {
       .orderBy("id")
   }
 
+  /** The geometry WRITE path ([[graft.sources.IcebergWrite.create]]
+    * declaring a `geometry` column via the `iceberg.type` override +
+    * [[graft.sources.IcebergWrite.addFiles]] importing foreign
+    * GEOMETRY-annotated WKB parquet): geo tables are PRODUCIBLE now,
+    * not just readable — the import path validates the WKB column's
+    * BYTE_ARRAY physical type from the footers (Spark cannot infer over
+    * the annotation), and the table stays DML-capable for eq-deletes
+    * keyed on ordinary columns. The oracle recomputes every surviving
+    * point's WKB hex from integer coordinates via the IEEE-754
+    * bit-arithmetic trick. */
+  val icebergGeoImport = dfQ("iceberg_geo_import",
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+      |  WHERE n_nationkey <> 3),
+      |vals AS (
+      |  SELECT id, 'x' AS wq, id + 1 AS v FROM k
+      |  UNION ALL SELECT id, 'y', id * 3 FROM k),
+      |eb AS (SELECT id, wq, v,
+      |    CASE WHEN v = 0 THEN 0
+      |      ELSE CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) END AS e
+      |  FROM vals),
+      |bt AS (SELECT id, wq,
+      |    CASE WHEN v = 0 THEN 0
+      |      ELSE (1023 + e) * 4503599627370496
+      |        + (v * CAST(pow(2.0, 52 - e) AS BIGINT) - 4503599627370496)
+      |      END AS b
+      |  FROM eb),
+      |hx AS (SELECT id, wq, lpad(lower(to_hex(b)), 16, '0') AS h FROM bt),
+      |le AS (SELECT id, wq,
+      |    substr(h,15,2) || substr(h,13,2) || substr(h,11,2) ||
+      |    substr(h,9,2) || substr(h,7,2) || substr(h,5,2) ||
+      |    substr(h,3,2) || substr(h,1,2) AS hle
+      |  FROM hx)
+      |SELECT x.id, '0101000000' || x.hle || y.hle AS geo
+      |FROM (SELECT id, hle FROM le WHERE wq = 'x') x
+      |JOIN (SELECT id, hle FROM le WHERE wq = 'y') y USING (id)
+      |ORDER BY x.id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergWrite
+    val dir = s"/tmp/graft_iceberg_geoimp_$tag"
+    val src = s"/tmp/graft_iceberg_geoimp_src_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergFixture.deleteRecursively(src)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom", BinaryType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "geometry(OGC:CRS84)").build())))
+    IcebergWrite.create(s, dir, schema, formatVersion = 3,
+      fieldIds = false)
+    val keys = s.table("nation").select("n_nationkey").collect()
+      .map(_.getInt(0).toLong).sorted.toSeq
+    val (even, odd) = keys.partition(_ % 2 == 0)
+    new java.io.File(src).mkdirs()
+    Seq("even" -> even, "odd" -> odd).foreach { case (tagName, ks) =>
+      IcebergFixture.writeGeoParquet(s"$src/geo-$tagName.parquet", "geom",
+        "OGC:CRS84",
+        ks.map(k => (k, IcebergFixture.wkbPoint((k + 1).toDouble, k * 3.0))))
+    }
+    IcebergWrite.addFiles(s, dir, src)
+    // the imported geo table stays DML-capable for eq-deletes keyed on
+    // ordinary columns (the WKB column itself is refused as a key)
+    val del = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(org.apache.spark.sql.Row(3L))),
+      StructType(Seq(StructField("id", LongType, nullable = false))))
+    IcebergWrite.deleteEquality(del, dir)
+    IcebergIO.read(s, dir)
+      .select(col("id"), lower(hex(col("geom"))).as("geo"))
+      .orderBy("id")
+  }
+
+  /** The `timestamp_ns` WRITE path by the same import route: create
+    * declares the ns column via the `iceberg.type` override (LongType
+    * surface), addFiles validates INT64 physical types from the
+    * footers and imports foreign NANOS-annotated parquet — ns tables
+    * are producible end-to-end. The oracle recomputes the closed-form
+    * ns payloads. */
+  val icebergNsImport = dfQ("iceberg_ns_import",
+    """SELECT CAST(n_nationkey AS BIGINT) AS id,
+      |  CAST(1500000000000000000 + CAST(n_nationkey AS BIGINT) * 1234567
+      |    AS BIGINT) AS ts_ns
+      |FROM nation ORDER BY id""".stripMargin,
+    bench = false) { (s, _) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.sources.IcebergWrite
+    val dir = s"/tmp/graft_iceberg_nsimp_$tag"
+    val src = s"/tmp/graft_iceberg_nsimp_src_$tag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergFixture.deleteRecursively(src)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts_ns", LongType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "timestamp_ns").build())))
+    IcebergWrite.create(s, dir, schema, formatVersion = 3,
+      fieldIds = false)
+    val rows = s.table("nation").select("n_nationkey").collect()
+      .map(_.getInt(0).toLong).sorted.toSeq
+      .map(k => (k, 1500000000000000000L + k * 1234567L))
+    new java.io.File(src).mkdirs()
+    IcebergFixture.writeNsParquet(s"$src/ns-import.parquet", "ts_ns", rows)
+    IcebergWrite.addFiles(s, dir, src)
+    IcebergIO.read(s, dir).select("id", "ts_ns").orderBy("id")
+  }
+
   /** CDC changelog WITH row lineage: every change row carries the row's
     * permanent `_row_id` — an UPDATE surfaces as a delete+insert pair
     * SHARING one id (the rewrite materializes it), which is what lets a
@@ -2194,7 +2302,7 @@ object IcebergQueries {
     icebergDataDeleteFiles, icebergDvDelete, icebergCompactWhere,
     icebergRowLineage, icebergVariant, icebergChangelogLineage,
     icebergUpsertLineage, icebergTimestampNs, icebergUnknownType,
-    icebergGeometry,
+    icebergGeometry, icebergGeoImport, icebergNsImport,
     icebergAddFilesHive,
     icebergRewritePosDeletes, icebergCherrypick, icebergAddFiles, icebergConvertEqDeletes,
     icebergBenchScan, icebergBenchPrune, icebergBenchSql, icebergBenchWrite,

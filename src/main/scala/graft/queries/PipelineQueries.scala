@@ -953,7 +953,15 @@ object PipelineQueries {
     |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) i
     |  WHERE len(syms) >= 2 GROUP BY 1, 2
     |),
-    |${pfx}t$k AS MATERIALIZED (SELECT l, r FROM ${pfx}p$k ORDER BY c DESC, l, r LIMIT 1),
+    |${pfx}t$k AS MATERIALIZED (SELECT l, r FROM ${pfx}p$k ORDER BY c DESC, l, r LIMIT 1),""".stripMargin +
+    bpeApplyCte(k, pfx, pfx)
+
+  /** The FUSION half of [[bpeIterCte]] — one greedy-left merge
+    * application `{pfx}v{k}` → `{pfx}v{k+1}` driven by the pair CTE
+    * `{tpfx}t{k}`. Split out so a FROZEN tokenizer (pairs trained on a
+    * different corpus under prefix `tpfx`) can be applied to new words
+    * — the incremental-crawl re-binning entry's replay. */
+  private def bpeApplyCte(k: Int, pfx: String, tpfx: String): String = s"""
     |${pfx}e$k AS (
     |  SELECT w, cnt, i.i AS pos, syms[i.i] AS s
     |  FROM ${pfx}v$k CROSS JOIN LATERAL
@@ -961,8 +969,8 @@ object PipelineQueries {
     |),
     |${pfx}m$k AS (
     |  SELECT w, cnt, pos, s,
-    |    COALESCE(s = (SELECT l FROM ${pfx}t$k) AND
-    |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM ${pfx}t$k),
+    |    COALESCE(s = (SELECT l FROM ${tpfx}t$k) AND
+    |      lead(s) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM ${tpfx}t$k),
     |      FALSE) AS isp
     |  FROM ${pfx}e$k
     |),
@@ -979,7 +987,7 @@ object PipelineQueries {
     |),
     |${pfx}o$k AS (
     |  SELECT w, cnt, pos,
-    |    CASE WHEN sel THEN s || (SELECT r FROM ${pfx}t$k)
+    |    CASE WHEN sel THEN s || (SELECT r FROM ${tpfx}t$k)
     |         WHEN COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY pos), FALSE)
     |           THEN NULL
     |         ELSE s END AS out
@@ -2605,7 +2613,10 @@ object PipelineQueries {
   /** Margin + threshold-sweep replay over [[hlDocScoreCtes]]'s scores —
     * SHARED by [[textClassifyCalibrate]] (reports the sweep) and
     * [[pipeCalibrateSelect]] (picks the operating point and selects). */
-  private val hlSweepCtes: String =
+  /** Margin + pos-label replay over [[hlDocScoreCtes]]'s scores (ends
+    * at `lbl(doc_id, margin, pos)`) — shared by the sweep entries AND
+    * [[textClassifyAuc]]'s rank-sum replay. */
+  private val hlMarginCtes: String =
     """sc AS (SELECT b.doc_id, b.label, feat_lp + prior_micro AS sc
       |  FROM bydl b JOIN prior USING (label)),
       |marg AS (SELECT doc_id,
@@ -2613,7 +2624,9 @@ object PipelineQueries {
       |      - MAX(CASE WHEN label <> 'en' THEN sc END) AS BIGINT) AS margin
       |  FROM sc GROUP BY doc_id),
       |lbl AS (SELECT m.doc_id, m.margin, d.lang = 'en' AS pos
-      |  FROM marg m JOIN documents d USING (doc_id)),
+      |  FROM marg m JOIN documents d USING (doc_id))""".stripMargin
+
+  private val hlSweepCtes: String = hlMarginCtes + """,
       |thr(thr) AS (VALUES (-2000000), (-1000000), (-500000), (-200000),
       |  (0), (200000), (1000000)),
       |cnt AS (SELECT thr,
@@ -2642,6 +2655,44 @@ object PipelineQueries {
     TextAnalysis.calibrationSweep(scored, "margin", "pos",
         Seq(-2000000L, -1000000L, -500000L, -200000L, 0L, 200000L, 1000000L))
       .orderBy("thr")
+  }
+
+  /** EXACT ROC AUC ([[TextAnalysis.rocAuc]]): the Mann-Whitney
+    * rank-sum identity with average-rank ties over the 'en' margin —
+    * the threshold-free completion of the calibrate loop. The oracle
+    * replays training, the margins, the per-score (p, g) collapse, the
+    * negatives-below prefix sum, and the doubled integer pair counts
+    * (auc_num/auc_den exact, auc_micro floor-divided) — a single tied
+    * pair counted wrong breaks the row. */
+  val textClassifyAuc = dfQ("text_classify_auc",
+    hlDocScoreCtes + ",\n" + hlMarginCtes + """,
+      |per AS (SELECT margin AS s,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS g
+      |  FROM lbl GROUP BY margin),
+      |auccum AS (SELECT s, p, g,
+      |    CAST(COALESCE(SUM(g) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS neg_lt
+      |  FROM per),
+      |aucfin AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(g) AS BIGINT) AS n_neg,
+      |    CAST(SUM(2 * p * neg_lt + p * g) AS BIGINT) AS auc_num
+      |  FROM auccum)
+      |SELECT n_pos, n_neg, auc_num,
+      |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+      |  CAST((auc_num * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+      |    AS auc_micro
+      |FROM aucfin""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val marg = TextAnalysis.hashedLinearMargin(model, docs, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(
+      docs.select(col("doc_id").as("id"), (col("lang") === "en").as("pos")),
+      Seq("id"))
+    TextAnalysis.rocAuc(scored, "margin", "pos")
   }
 
   /** The complete DCLM-style SELECTION loop as one oracle: calibrate
@@ -3713,6 +3764,96 @@ object PipelineQueries {
     local.orderBy("pred", "rk")
   }
 
+  /** The production NIGHTLY loop: an Iceberg table takes a base load
+    * and a delta append; the BPE tokenizer is trained ONCE on the base
+    * snapshot and FROZEN; `readIncremental` yields exactly the delta,
+    * which is segmented under the frozen merges
+    * ([[TextAnalysis.bpeSegments]]) and re-binned
+    * ([[Curation.packShuffledBinsSegs]], 128 BPE tokens) — delta-only
+    * bins in base-trained tokenizer units. The oracle replays the base
+    * training (prefix `fz`), then APPLIES the frozen pairs to the
+    * delta's OWN word vocabulary via the fusion-only [[bpeApplyCte]]
+    * (delta words unseen in the base corpus segment under the same
+    * greedy folds — the Spark fold does exactly this), the snapshot
+    * split, and the full hash-order bin materialization. */
+  val pipeIncrementalBpeBins = dfQ("pipe_incremental_bpe_bins",
+    "WITH bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),\n" +
+    bpeBodyCtes(3, "bdocs", "fz") + """,
+      |ddocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |dvv0 AS MATERIALIZED (
+      |  SELECT w, CAST(1 AS BIGINT) AS cnt,
+      |    list_filter(string_split(regexp_replace(w, '(.)', '\1 ', 'g'), ' '),
+      |      x -> x <> '') AS syms
+      |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |        FROM ddocs)
+      |  WHERE len(w) > 0
+      |),""".stripMargin +
+    (0 until 3).map(k => bpeApplyCte(k, "dv", "fz")).mkString(",") + s""",
+      |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ddocs),
+      |dwp AS (SELECT doc_id, i.i AS wpos, ws[i.i] AS w
+      |       FROM dws CROSS JOIN LATERAL
+      |         (SELECT unnest(generate_series(1, len(ws))) AS i) i
+      |       WHERE len(ws[i.i]) > 0),
+      |dsg AS (SELECT doc_id, flatten(list(syms ORDER BY wpos)) AS segs
+      |       FROM dwp JOIN dvv3 USING (w) GROUP BY doc_id),
+      |dseg AS (SELECT d.doc_id AS id,
+      |    COALESCE(g.segs, CAST([] AS VARCHAR[])) AS segs
+      |  FROM (SELECT DISTINCT doc_id FROM ddocs) d
+      |  LEFT JOIN dsg g ON g.doc_id = d.doc_id),
+      |ipk AS (SELECT id, segs, CAST(len(segs) AS BIGINT) AS n_toks,
+      |    CAST('0x' || substring(md5('ep_' || CAST(id AS VARCHAR) || '_0'),
+      |      1, 15) AS BIGINT) AS hk
+      |  FROM dseg),
+      |ipo AS (SELECT id, segs, n_toks,
+      |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY hk, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS toff
+      |  FROM ipk),
+      |ibex AS (SELECT id, segs, n_toks, toff,
+      |    unnest(generate_series(toff // 128,
+      |      GREATEST(toff, toff + n_toks - 1) // 128)) AS b
+      |  FROM ipo WHERE n_toks > 0),
+      |ifr AS (SELECT b AS bin,
+      |    GREATEST(toff, b * 128) AS gpos,
+      |    list_slice(segs, GREATEST(0, b * 128 - toff) + 1,
+      |      LEAST(n_toks, (b + 1) * 128 - toff)) AS frag
+      |  FROM ibex)
+      |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_frags,
+      |  CAST(SUM(len(frag)) AS BIGINT) AS n_toks,
+      |  md5(string_agg(array_to_string(frag, ' '), ' ' ORDER BY gpos))
+      |    AS bin_md5
+      |FROM ifr GROUP BY bin ORDER BY bin""".stripMargin,
+    bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val docs = s.table("documents").select("doc_id", "text")
+    val dir = s"/tmp/graft_pipe_incr_bpe_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, docs.schema)
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), dir)
+    val snap1 = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    // the FROZEN tokenizer: trained on the base snapshot's rows read
+    // back from the table (collectMerges is eager — the merge list is
+    // materialized BEFORE the delta lands)
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(IcebergIO.read(s, dir), "doc_id",
+        "text", 3))
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), dir)
+    val delta = IcebergIO.readIncremental(s, dir, snap1)
+    // packShuffledBinsSegs' caller cache obligation (expensive segment
+    // input): persist, materialize the bin aggregate locally, release
+    val segs = TextAnalysis.bpeSegments(delta, "doc_id", "text", ms)
+      .withColumn("cp", lit(0L))
+      .persist()
+    val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
+        binTokens = 128L, partSpan = 1L << 55)
+      .orderBy("bin")
+    val local = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        bins.collect(): _*)), bins.schema)
+    segs.unpersist()
+    local.orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupExactKeep, dedupMinhash, dedupGroups, dedupKeepBest, dedupSimhash,
     dedupNgramJaccard, dedupSubstring, dedupSubstringStrip, dedupCrossMinhash,
@@ -3734,7 +3875,7 @@ object PipelineQueries {
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
     pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
-    pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl,
-    textClassifyCalibrate, pipeCalibrateSelect,
+    pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl, pipeIncrementalBpeBins,
+    textClassifyCalibrate, pipeCalibrateSelect, textClassifyAuc,
     aggTopkSketch)
 }

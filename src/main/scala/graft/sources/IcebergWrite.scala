@@ -110,6 +110,27 @@ object IcebergWrite {
       .foreach(f => require(f.nullable,
         s"unknown (NullType) column '${f.name}' must be nullable — the " +
           "v3 spec requires unknown fields be optional"))
+    // widened-surface spec types enter a schema via the `iceberg.type`
+    // metadata override (geometry/geography over BinaryType WKB, ns
+    // timestamps over LongType) — v3-only like variant/unknown, and the
+    // Spark carrier type must be the documented API boundary or reads
+    // would decode garbage
+    schema.fields.filter(_.metadata.contains("iceberg.type")).foreach { f =>
+      val t = f.metadata.getString("iceberg.type")
+      if (t.startsWith("geometry") || t.startsWith("geography")) {
+        require(formatVersion >= 3,
+          s"$t columns require format v3 (pass formatVersion = 3)")
+        require(f.dataType == BinaryType,
+          s"column '${f.name}': $t stores WKB — declare BinaryType, " +
+            s"got ${f.dataType}")
+      } else if (t == "timestamp_ns" || t == "timestamptz_ns") {
+        require(formatVersion >= 3,
+          s"$t columns require format v3 (pass formatVersion = 3)")
+        require(f.dataType == LongType,
+          s"column '${f.name}': $t reads as ns-since-epoch longs — " +
+            s"declare LongType, got ${f.dataType}")
+      }
+    }
     require(partitionCols.forall(schema.fieldNames.contains),
       s"partition columns ${partitionCols.mkString(",")} not all in schema")
     require(partitionCols.forall(c =>
@@ -285,7 +306,9 @@ object IcebergWrite {
     // files (directory names are the single source of truth).
     val required = fileSchema.fieldNames.toSet
     val forbidden = partSrc.map(_._2).toSet
-    leafFooterNames(spark, leafPaths).foreach { case (p, names) =>
+    val footerFields = leafFooterFields(spark, leafPaths)
+    footerFields.foreach { case (p, fields) =>
+      val names = fields.keySet
       val missing = required -- names
       require(missing.isEmpty,
         s"source file $p lacks table column(s): ${missing.toSeq.sorted.mkString(", ")}")
@@ -295,13 +318,39 @@ object IcebergWrite {
           s"column(s) ${clash.toSeq.sorted.mkString(", ")} — the " +
           "directory name must be the single source of the value")
     }
-    // type gate: the merged footer schema must agree on every shared
-    // column's type (per-leaf names above + one type signature here)
-    val srcSig = spark.read.parquet(leafPaths: _*)
-      .schema.fields.map(f => (f.name, f.dataType)).toSet
-    val tblSig = fileSchema.fields.map(f => (f.name, f.dataType)).toSet
-    require(tblSig.subsetOf(srcSig),
-      s"source files lack table columns: ${(tblSig -- srcSig).mkString(", ")}")
+    // widened-surface columns (geometry/geography WKB, ns timestamps):
+    // Spark cannot INFER a schema over their parquet annotations, so
+    // the merged-infer type gate below is impossible for such tables —
+    // instead the footers' PHYSICAL types pin the widened columns
+    // (BYTE_ARRAY for WKB, INT64 for ns) and the stats read-back (an
+    // EXPLICIT-schema scan, which the annotations permit) validates the
+    // remaining columns at decode time. This is the geo/ns WRITE path:
+    // tables with such columns are producible by import, while the
+    // data-write verbs stay refused (Spark's sink cannot emit the
+    // annotations the spec requires).
+    val widened: Set[String] = meta.nsColumns ++ meta.geoColumns
+    if (meta.nsColumns.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (widened.isEmpty) {
+      // type gate: the merged footer schema must agree on every shared
+      // column's type (per-leaf names above + one type signature here)
+      val srcSig = spark.read.parquet(leafPaths: _*)
+        .schema.fields.map(f => (f.name, f.dataType)).toSet
+      val tblSig = fileSchema.fields.map(f => (f.name, f.dataType)).toSet
+      require(tblSig.subsetOf(srcSig),
+        s"source files lack table columns: ${(tblSig -- srcSig).mkString(", ")}")
+    } else footerFields.foreach { case (p, fields) =>
+      meta.geoColumns.filter(required.contains).foreach { c =>
+        require(fields.get(c).contains("BINARY"),
+          s"source file $p column '$c' must be BYTE_ARRAY (WKB) for a " +
+            s"geometry/geography column, got ${fields.getOrElse(c, "absent")}")
+      }
+      meta.nsColumns.filter(required.contains).foreach { c =>
+        require(fields.get(c).contains("INT64"),
+          s"source file $p column '$c' must be INT64 for a ns-timestamp " +
+            s"column, got ${fields.getOrElse(c, "absent")}")
+      }
+    }
 
     // hive tuple per leaf, parsed from its k=v path segments
     val tupleByLeaf: Map[String, Seq[Any]] =
@@ -442,24 +491,33 @@ object IcebergWrite {
     * a merge. Distributed past [[IcebergIO.ParallelManifestThreshold]]
     * files (footer opens are O(files); a 1e5-file import must not
     * serialize them on the driver). */
-  private def leafFooterNames(spark: SparkSession,
-                              paths: Seq[String]): Seq[(String, Set[String])] = {
-    def names(p: String, conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+  /** Per-leaf footer fields as (column name → parquet PRIMITIVE type
+    * name, "GROUP" for nested) — the name set serves the column-presence
+    * gate, the physical types pin widened-surface columns (geometry WKB
+    * = BINARY, ns timestamps = INT64) that Spark's schema inference
+    * cannot see past. */
+  private def leafFooterFields(spark: SparkSession,
+                               paths: Seq[String]): Seq[(String, Map[String, String])] = {
+    def fields(p: String, conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      try r.getFileMetaData.getSchema.getFields.asScala.map { f =>
+        f.getName -> (if (f.isPrimitive)
+          f.asPrimitiveType().getPrimitiveTypeName.name
+        else "GROUP")
+      }.toMap
       finally r.close()
     }
     if (paths.size < IcebergIO.ParallelManifestThreshold) {
       val c = GraftFs.conf()
-      paths.map(p => p -> names(p, c))
+      paths.map(p => p -> fields(p, c))
     } else {
       val sconf = GraftFs.serializableConf()
       val slices = math.min(paths.size,
         math.max(1, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(paths, slices)
-        .map(p => p -> names(p, sconf.value)).collect().toSeq
+        .map(p => p -> fields(p, sconf.value)).collect().toSeq
     }
   }
 

@@ -722,4 +722,26 @@ class CurationSpec extends AnyFunSuite {
     got.zip(cases).foreach { case (g, (in, want)) =>
       assert(g === want, s"input: $in") }
   }
+
+  test("packOffsets skew guard: a part over maxPartRows raises and names " +
+      "packShuffled; packShuffled packs the same clustered ids fine") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // every id inside ONE default 2^20 id-range part — the raw-crawl
+    // clustered shape the r18 pack_skew block measures
+    val docs = (1L to 50L).map(i => (i, "a b c")).toDF("id", "text")
+    val e = intercept[Exception](
+      Curation.packOffsets(docs, "id", "text", binTokens = 8L,
+        maxPartRows = 10L).collect())
+    assert(e.getMessage.contains("packShuffled"), e.getMessage)
+    // the default cap (2^27) is far above any sane per-part bound at
+    // test scale — the guard is inert on healthy inputs
+    assert(Curation.packOffsets(docs, "id", "text", 8L).count() === 50L)
+    // hash-span parts are uniform by construction: the SAME clustered
+    // ids pack under packShuffled with a 10-row-per-part economy intact
+    val shuffled = Curation.packShuffled(
+      docs.withColumn("cp", org.apache.spark.sql.functions.lit(0L)),
+      "id", "cp", "text", binTokens = 8L, partSpan = 1L << 55)
+    assert(shuffled.count() === 50L)
+  }
 }

@@ -3187,4 +3187,66 @@ class IcebergWriteSpec extends AnyFunSuite {
       IcebergIO.loadMetadata(badDir))
     assert(ef.getMessage.contains("optional"), ef.getMessage)
   }
+
+  test("geo/ns import path: create declares widened types via iceberg.type " +
+      "(v3-gated, carrier-typed); addFiles validates physical types") {
+    // create() refuses widened types on v2 and wrong carrier types
+    val geoSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("geom", BinaryType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "geometry(OGC:CRS84)").build())))
+    val e2 = intercept[IllegalArgumentException](IcebergWrite.create(
+      spark, s"$root/geo_v2", geoSchema, formatVersion = 2,
+      fieldIds = false))
+    assert(e2.getMessage.contains("format v3"), e2.getMessage)
+    val badCarrier = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts_ns", IntegerType, nullable = false,
+        metadata = new MetadataBuilder()
+          .putString("iceberg.type", "timestamp_ns").build())))
+    val e3 = intercept[IllegalArgumentException](IcebergWrite.create(
+      spark, s"$root/ns_badcarrier", badCarrier, formatVersion = 3,
+      fieldIds = false))
+    assert(e3.getMessage.contains("LongType"), e3.getMessage)
+
+    // a PLAIN parquet file (geom stored as INT64) must be refused by
+    // the footer physical-type gate — a name-only check would import it
+    // and the read would decode garbage
+    val dir = s"$root/geoimp_neg"
+    IcebergWrite.create(spark, dir, geoSchema, formatVersion = 3,
+      fieldIds = false)
+    val src = s"$root/geoimp_neg_src"
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(Row(1L, 2L))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("geom", LongType, nullable = false))))
+      .coalesce(1).write.parquet(src)
+    val e4 = intercept[IllegalArgumentException](
+      IcebergWrite.addFiles(spark, dir, src))
+    assert(e4.getMessage.contains("BYTE_ARRAY"), e4.getMessage)
+
+    // the happy path: annotated WKB imports and round-trips bytes
+    val src2 = s"$root/geoimp_ok_src"
+    new java.io.File(src2).mkdirs()
+    val pts = Seq(1L -> IcebergFixture.wkbPoint(1.0, 2.0),
+      2L -> IcebergFixture.wkbPoint(3.0, 4.0))
+    IcebergFixture.writeGeoParquet(s"$src2/g.parquet", "geom",
+      "OGC:CRS84", pts)
+    val dir2 = s"$root/geoimp_ok"
+    IcebergWrite.create(spark, dir2, geoSchema, formatVersion = 3,
+      fieldIds = false)
+    IcebergWrite.addFiles(spark, dir2, src2)
+    val got = IcebergIO.read(spark, dir2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSeq
+    assert(got === pts.map { case (i, b) => (i, b.toSeq) })
+    // data-write verbs stay refused on the imported geo table
+    val eApp = intercept[IllegalArgumentException](IcebergWrite.append(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          java.util.Arrays.asList(Row(9L, Array[Byte](1)))),
+        StructType(geoSchema.fields.map(f =>
+          StructField(f.name, f.dataType, f.nullable)))), dir2))
+    assert(eApp.getMessage.contains("read-only"), eApp.getMessage)
+  }
 }

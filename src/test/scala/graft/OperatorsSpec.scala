@@ -934,6 +934,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL score"), e.getMessage)
   }
 
+  test("rocAuc: exact Mann-Whitney with average-rank ties, per-group, " +
+      "degenerate groups, ≡ naive pair count") {
+    // hand-checked: pos scores {3, 2}, neg {2, 1}: pairs (3,2)+(3,1)+
+    // (2,1) concordant = 3, tie (2,2) = 1 → AUC = (3 + 0.5)/4 = 0.875
+    val hand = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("s", "pos")
+    val r = TextAnalysis.rocAuc(hand, "s", "pos").collect().head
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Long]("auc_num"), r.getAs[Long]("auc_den"),
+      r.getAs[Long]("auc_micro")) === ((2L, 2L, 7L, 8L, 875000L)))
+    // perfect separation = 1.0; anti-separation = 0.0; one-class NULL
+    val grouped = (Seq(("sep", 10L, true), ("sep", 9L, true),
+      ("sep", 1L, false),
+      ("anti", 1L, true), ("anti", 9L, false),
+      ("mono", 5L, true), ("mono", 4L, true)))
+      .toDF("grp", "s", "pos")
+    val byG = TextAnalysis.rocAuc(grouped, "s", "pos", byCols = Seq("grp"))
+      .collect().map { r =>
+        val i = r.fieldIndex("auc_micro")
+        r.getString(0) -> (if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    assert(byG("sep") === Some(1000000L))
+    assert(byG("anti") === Some(0L))
+    assert(byG("mono") === None) // no negatives: den 0, AUC undefined
+    // randomized equivalence vs the naive O(n^2) pair count, with a
+    // tiny partSpan so scores straddle many parts (the two-phase prefix
+    // sum is what's under test); negative scores exercise the
+    // truncating-div monotonicity argument
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(_ =>
+      (rnd.nextInt(41).toLong - 20L, rnd.nextBoolean()))
+    val naive = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val num = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (num, 2L * pos.size * neg.size)
+    }
+    val got = TextAnalysis.rocAuc(rows.toDF("s", "pos"), "s", "pos",
+      partSpan = 8L).collect().head
+    assert((got.getAs[Long]("auc_num"), got.getAs[Long]("auc_den"))
+      === naive)
+    // NULL label raises
+    val e = intercept[Exception](TextAnalysis.rocAuc(
+      Seq((1L, Some(true)), (2L, None)).toDF("s", "pos"), "s", "pos")
+      .collect())
+    assert(e.getMessage.contains("NULL label"), e.getMessage)
+  }
+
   test("bigramScoreColumns fold ≡ batch bigramLogProb on the training " +
       "corpus; bigram-less docs fold to (0, 0)") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
