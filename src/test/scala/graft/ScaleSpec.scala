@@ -138,6 +138,21 @@ class ScaleSpec extends AnyFunSuite {
       s"found a single-partition stage (global funnel):\n$p")
   }
 
+  test("cur_ppl_buckets plan: scorer joins broadcast, tercile windows " +
+      "lang-partitioned, no global funnel") {
+    val p = planOf("cur_ppl_buckets")
+    // the bigram model tables still broadcast through the composed plan
+    // (the doc-grain lang attach may legitimately shuffle-join — it is
+    // corpus × corpus on the id)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast model joins, plan:\n$p")
+    // rank + count windows both partition by lang — the per-language
+    // CCNet sort, never a corpus-global window
+    assert(p.contains("row_number"), s"plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"found a single-partition stage (global funnel):\n$p")
+  }
+
   test("kmeans assignment plan: centroid attach is a one-row broadcast, map-side fold") {
     // the codebook query's OUTPUT is a LocalTableScan (stats collected
     // during training) — inspect the per-iteration assignment job itself
