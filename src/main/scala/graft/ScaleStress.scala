@@ -69,7 +69,14 @@ object ScaleStress {
     // round-17: bin materialization — one bounded explode + ONE shuffle
     // keyed on bin with per-bin collect_list state capped at binTokens;
     // bin count grows with the corpus, per-bin state does not
-    "cur_pack_bins")
+    "cur_pack_bins",
+    // round-19: CCNet perplexity bucketing (bigram scorer + windows
+    // PARTITIONED by lang — per-language sorts, never a corpus-global
+    // window) and exact Mann-Whitney AUC (score-grain aggregate + the
+    // packOffsets-style two-phase prefix sum; micro-nat margins are
+    // ~all-distinct so the score-grain table IS corpus-sized — the
+    // two-phase shape is exactly what this sweep pins)
+    "cur_ppl_buckets", "text_classify_auc")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

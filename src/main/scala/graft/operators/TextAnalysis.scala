@@ -1318,6 +1318,97 @@ object TextAnalysis {
    * per class per group — beyond any real evaluation set; DuckDB
    * raises rather than wraps if ever exceeded).
    */
+  /**
+   * EXACT average precision (the PR-curve summary, [[rocAuc]]'s
+   * companion): AP = (1/P) · Σ_{i=1..P} i / r_i over the positives,
+   * where r_i is the i-th positive's 1-based rank in the TOTAL order
+   * (score DESC, id ASC — deterministic under ties, pinned here rather
+   * than sklearn's interpolation variants). Each term is quantized
+   * exactly — `term_micro = floor(i·10^6 / r_i)` — and the output row
+   * carries (n_pos, n, sum_term_micro, ap_micro = floor(Σ/P)): every
+   * intermediate is an integer, so the DuckDB replay is bit-exact.
+   * One output row per `byCols` group; zero-positive groups surface
+   * NULL ap_micro. NULL scores/labels/ids raise.
+   *
+   * Scale shape: ranks decompose as (rows with a strictly better
+   * score) + (row_number within the score group by id) — the first
+   * term is a score-grain cumulative sum computed with the SAME
+   * two-phase prefix-sum scaffolding as [[rocAuc]] (truncating-div
+   * parts are monotone over the signed range), the second a window
+   * partitioned by (group, score). No corpus-sized single-partition
+   * stage even with all-distinct micro-nat scores.
+   */
+  def averagePrecision(scored: DataFrame, scoreCol: String,
+                       posCol: String, idCol: String,
+                       byCols: Seq[String] = Nil,
+                       partSpan: Long = 1L << 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(partSpan > 0, "partSpan must be > 0")
+    val keys = byCols.map(col)
+    val base = scored.select(keys ++ Seq(
+      when(col(scoreCol).isNull,
+          raise_error(lit("averagePrecision: NULL score")))
+        .otherwise(col(scoreCol)).cast("long").as("__s"),
+      when(col(posCol).isNull,
+          raise_error(lit("averagePrecision: NULL label")))
+        .otherwise(col(posCol)).cast("boolean").as("__pos"),
+      when(col(idCol).isNull,
+          raise_error(lit("averagePrecision: NULL id")))
+        .otherwise(col(idCol)).cast("long").as("__id")): _*)
+    // score-grain totals; parts ASCEND with __s but ranks DESCEND, so
+    // the "strictly better" cumsum runs over the REVERSED part order
+    val per = base.groupBy(keys :+ col("__s"): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("pcnt"))
+      .withColumn("part", expr(s"__s div ${partSpan}L"))
+    val partTotals = per.groupBy(keys :+ col("part"): _*)
+      .agg(sum(col("cnt")).as("pc"), sum(col("pcnt")).as("pp"))
+    val desc = Window.partitionBy(keys: _*).orderBy(col("part").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partOffsets = partTotals
+      .withColumn("above_all", coalesce(sum(col("pc")).over(desc), lit(0L)))
+      .withColumn("above_pos", coalesce(sum(col("pp")).over(desc), lit(0L)))
+    val withinDesc = Window.partitionBy(keys :+ col("part"): _*)
+      .orderBy(col("__s").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val scoreBetter = per
+      .join(broadcast(partOffsets.select(keys :+ col("part") :+
+        col("above_all") :+ col("above_pos"): _*)), byCols :+ "part")
+      .withColumn("better_all",
+        col("above_all") + coalesce(sum(col("cnt")).over(withinDesc), lit(0L)))
+      .withColumn("better_pos",
+        col("above_pos") + coalesce(sum(col("pcnt")).over(withinDesc), lit(0L)))
+      .select(keys ++ Seq(col("__s"), col("better_all"), col("better_pos")): _*)
+    // per-row rank (and per-positive index i) = strictly-better counts
+    // + the within-score id order; only positives contribute terms
+    val byScore = Window.partitionBy(keys :+ col("__s"): _*).orderBy("__id")
+    val posRanked = base
+      .withColumn("rn_all", row_number().over(byScore).cast("long"))
+      .withColumn("rn_pos",
+        sum(when(col("__pos"), 1L).otherwise(0L)).over(
+          byScore.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__pos"))
+      .join(scoreBetter, byCols :+ "__s")
+      .select(keys ++ Seq(
+        (col("better_all") + col("rn_all")).as("r"),
+        (col("better_pos") + col("rn_pos")).as("i")): _*)
+    val posAgg = posRanked
+      .select(keys :+ expr("(i * 1000000L) div r").as("term_micro"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("term_micro")).as("sum_term_micro"))
+    val totals = base.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    // groups with ZERO positives vanish from posAgg (the positive
+    // filter) — keep them from the totals side with NULL ap_micro
+    val joined =
+      if (byCols.isEmpty) posAgg.crossJoin(totals)
+      else totals.join(posAgg, byCols, "left")
+    joined.select(keys ++ Seq(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"), col("n"),
+      coalesce(col("sum_term_micro"), lit(0L)).as("sum_term_micro"),
+      when(coalesce(col("n_pos"), lit(0L)) > 0,
+        expr("sum_term_micro div n_pos")).as("ap_micro")): _*)
+  }
+
   def rocAuc(scored: DataFrame, scoreCol: String, posCol: String,
              byCols: Seq[String] = Nil,
              partSpan: Long = 1L << 40): DataFrame = {

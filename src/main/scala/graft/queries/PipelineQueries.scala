@@ -2160,6 +2160,53 @@ object PipelineQueries {
       .orderBy("lang", "rk")
   }
 
+  /** The CCNet quality stage composed into the training mixture as ONE
+    * oracle: score → per-lang rank terciles ([[TextAnalysis.pplBuckets]])
+    * → DROP the tail tercile → exact domain-weighted mixture
+    * ([[Curation.mixDomains]]) over the survivors. Pins that the
+    * quality gate feeds the mixer's group counts (and therefore the
+    * budget T and every per-lang keep rank) — the oracle replays the
+    * scorer, both windows, the tail drop and the full integer mixture
+    * spec. */
+  val pipePplMix = dfQ("pipe_ppl_mix",
+    "WITH " + bigramLpCtes("documents", "") + s""",
+      |msc AS (SELECT a.doc_id, d.lang,
+      |    ${avgLpSql("a.lp_sum_micro", "a.n_bigrams")} AS score_micro
+      |  FROM agg a JOIN documents d USING (doc_id)),
+      |mrk AS (SELECT doc_id, lang, score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM msc),
+      |kept AS (SELECT doc_id, lang FROM mrk WHERE rk * 3 <= n_lang * 2),
+      |pw(lang, wt) AS (VALUES ('en', 3), ('de', 1), ('fr', 1),
+      |  ('es', 1), ('zh', 1)),
+      |pc AS (SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n, wt
+      |  FROM kept k JOIN pw ON k.lang = pw.lang GROUP BY k.lang, wt),
+      |pt AS (SELECT MIN(n * 7 // wt) AS tt FROM pc),
+      |pk2 AS (SELECT lang, (tt * wt) // 7 AS keep FROM pc, pt),
+      |pr AS (SELECT k.lang, k.doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY k.lang
+      |      ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rn
+      |  FROM kept k JOIN pw ON k.lang = pw.lang)
+      |SELECT pr.lang AS lang, pr.doc_id
+      |FROM pr JOIN pk2 ON pr.lang = pk2.lang WHERE rn <= keep
+      |ORDER BY 1, 2""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val scored = TextAnalysis.bigramLogProb(docs, "doc_id", "text", 20)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("id"), col("lang"),
+        TextAnalysis.avgLpMicro(col("lp_sum_micro"), col("n_bigrams"))
+          .as("score_micro"))
+    val kept = TextAnalysis.pplBuckets(scored, "id", "lang", "score_micro")
+      .filter(col("bucket") =!= "tail")
+      .select(col("id").as("doc_id"), col("lang"))
+    Curation.mixDomains(kept, "lang", "doc_id",
+        Map("en" -> 3, "de" -> 1, "fr" -> 1, "es" -> 1, "zh" -> 1))
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Product-quantization ADC oracle: the full
     * [[Similarity.pqTopK]] recipe replayed in SQL — micro-quantized
     * vectors, the 8 lowest-md5(id) seed vectors sliced into 4×16-dim
@@ -2693,6 +2740,83 @@ object PipelineQueries {
       docs.select(col("doc_id").as("id"), (col("lang") === "en").as("pos")),
       Seq("id"))
     TextAnalysis.rocAuc(scored, "margin", "pos")
+  }
+
+  /** EXACT average precision ([[TextAnalysis.averagePrecision]]): the
+    * PR-curve summary over the 'en' margins under the pinned total
+    * order (score desc, id asc) — every per-positive term
+    * floor(i·10^6/r_i) is an exact integer, so the replay (plain global
+    * windows in DuckDB vs the two-phase distributed ranks in Spark) is
+    * bit-exact. Completes the threshold-free eval pair with
+    * text_classify_auc. */
+  val textClassifyAp = dfQ("text_classify_ap",
+    hlDocScoreCtes + ",\n" + hlMarginCtes + """,
+      |apr AS (SELECT doc_id, margin, pos,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, doc_id)
+      |      AS BIGINT) AS r,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) OVER (
+      |      ORDER BY margin DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS i
+      |  FROM lbl),
+      |apt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |    CAST(SUM((i * 1000000) // r) AS BIGINT) AS sum_term_micro
+      |  FROM apr WHERE pos),
+      |apn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lbl)
+      |SELECT n_pos, n, sum_term_micro,
+      |  CAST(sum_term_micro // n_pos AS BIGINT) AS ap_micro
+      |FROM apt CROSS JOIN apn""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val marg = TextAnalysis.hashedLinearMargin(model, docs, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(
+      docs.select(col("doc_id").as("id"), (col("lang") === "en").as("pos")),
+      Seq("id"))
+    TextAnalysis.averagePrecision(scored, "margin", "pos", "id")
+  }
+
+  /** Per-GROUP exact AUC ([[TextAnalysis.rocAuc]] with `byCols`): the
+    * same Mann-Whitney rank-sum identity computed independently per
+    * `source` — the per-slice classifier-evaluation shape (how well
+    * does the 'en' margin rank within each crawl source?). Degenerate
+    * groups (one class only) surface NULL auc_micro / zero auc_den
+    * rather than a fabricated value. */
+  val textClassifyAucBySrc = dfQ("text_classify_auc_by_src",
+    hlDocScoreCtes + ",\n" + hlMarginCtes + """,
+      |lbls AS (SELECT l.doc_id, l.margin, l.pos, d.source
+      |  FROM lbl l JOIN documents d USING (doc_id)),
+      |per AS (SELECT source, margin AS s,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+      |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS g
+      |  FROM lbls GROUP BY source, margin),
+      |auccum AS (SELECT source, s, p, g,
+      |    CAST(COALESCE(SUM(g) OVER (PARTITION BY source ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS neg_lt
+      |  FROM per),
+      |aucfin AS (SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+      |    CAST(SUM(g) AS BIGINT) AS n_neg,
+      |    CAST(SUM(2 * p * neg_lt + p * g) AS BIGINT) AS auc_num
+      |  FROM auccum GROUP BY source)
+      |SELECT source, n_pos, n_neg, auc_num,
+      |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+      |  CASE WHEN n_pos * n_neg > 0
+      |    THEN CAST((auc_num * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+      |    END AS auc_micro
+      |FROM aucfin ORDER BY source""".stripMargin, bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val model = TextAnalysis.hashedLinearTrain(docs, "doc_id", "text",
+      "lang", buckets = 64, seed = "hl")
+    val marg = TextAnalysis.hashedLinearMargin(model, docs, "doc_id",
+      "text", target = "en")
+    val scored = marg.join(
+      docs.select(col("doc_id").as("id"),
+        (col("lang") === "en").as("pos"), col("source")),
+      Seq("id"))
+    TextAnalysis.rocAuc(scored, "margin", "pos", byCols = Seq("source"))
+      .orderBy("source")
   }
 
   /** The complete DCLM-style SELECTION loop as one oracle: calibrate
@@ -3875,7 +3999,7 @@ object PipelineQueries {
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
     pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
-    pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl, pipeIncrementalBpeBins,
-    textClassifyCalibrate, pipeCalibrateSelect, textClassifyAuc,
+    pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl, pipeIncrementalBpeBins, pipePplMix,
+    textClassifyCalibrate, pipeCalibrateSelect, textClassifyAuc, textClassifyAucBySrc, textClassifyAp,
     aggTopkSketch)
 }

@@ -983,6 +983,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL label"), e.getMessage)
   }
 
+  test("averagePrecision: exact terms under the pinned total order, " +
+      "per-group, zero-positive groups, ≡ naive replay") {
+    // hand-checked, ties included: rows (id, score, pos) ordered by
+    // (score desc, id asc): (1,5,T) r=1 i=1; (2,5,F) r=2; (3,4,T) r=3
+    // i=2; (4,4,T) r=4 i=3 → AP = (1/1 + 2/3 + 3/4)/3
+    // terms: 1000000 + 666666 + 750000 = 2416666; ap = 805555
+    val hand = Seq((1L, 5L, true), (2L, 5L, false), (3L, 4L, true),
+      (4L, 4L, true)).toDF("id", "s", "pos")
+    val r = TextAnalysis.averagePrecision(hand, "s", "pos", "id")
+      .collect().head
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n"),
+      r.getAs[Long]("sum_term_micro"), r.getAs[Long]("ap_micro"))
+      === ((3L, 4L, 2416666L, 805555L)))
+    // per-group + a zero-positive group surfaces NULL ap_micro
+    val grouped = Seq(("a", 1L, 9L, true), ("a", 2L, 1L, false),
+      ("z", 1L, 5L, false), ("z", 2L, 3L, false)).toDF("g", "id", "s", "pos")
+    val byG = TextAnalysis.averagePrecision(grouped, "s", "pos", "id",
+      byCols = Seq("g")).collect().map { row =>
+      val i = row.fieldIndex("ap_micro")
+      row.getString(0) -> (if (row.isNullAt(i)) None else Some(row.getLong(i)))
+    }.toMap
+    assert(byG("a") === Some(1000000L)) // perfect: the positive ranks 1st
+    assert(byG("z") === None)
+    // randomized equivalence vs a naive single-threaded replay, tiny
+    // partSpan so scores straddle many parts (two-phase ranks under
+    // test), negative scores included
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(31).toLong - 15L, rnd.nextBoolean()))
+    val naive = {
+      val ordered = rows.sortBy(t => (-t._2, t._1))
+      var i = 0L; var sum = 0L; var r0 = 0L
+      ordered.foreach { case (_, _, pos) =>
+        r0 += 1; if (pos) { i += 1; sum += (i * 1000000L) / r0 }
+      }
+      (i, sum)
+    }
+    val got = TextAnalysis.averagePrecision(rows.toDF("id", "s", "pos"),
+      "s", "pos", "id", partSpan = 8L).collect().head
+    assert((got.getAs[Long]("n_pos"), got.getAs[Long]("sum_term_micro"))
+      === naive)
+  }
+
   test("bigramScoreColumns fold ≡ batch bigramLogProb on the training " +
       "corpus; bigram-less docs fold to (0, 0)") {
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

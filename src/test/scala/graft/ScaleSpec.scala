@@ -408,7 +408,21 @@ class ScaleSpec extends AnyFunSuite {
 
   test("cur_pack_bins_bpe plan: BPE-grain bin agg combines map-side, " +
       "one bin-keyed exchange, no cartesian") {
-    val p = planOf("cur_pack_bins_bpe")
+    // the REGISTRY entry materializes its bin aggregate locally (the
+    // cache-release pattern — r19), so the pin inspects the OPERATOR'S
+    // distributed plan directly: the same bpeSegments →
+    // packShuffledBinsSegs chain the entry runs before collecting
+    import graft.operators.{Curation, TextAnalysis}
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val ms = TextAnalysis.collectMerges(
+      TextAnalysis.trainBpeMerges(docs, "doc_id", "text", 3))
+    val segs = TextAnalysis.bpeSegments(docs, "doc_id", "text", ms)
+      .withColumn("cp", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(2L)))
+    val p = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
+        binTokens = 128L, partSpan = 1L << 55)
+      .orderBy("bin").queryExecution.executedPlan.toString
     // same contract as the whitespace form: the BPE chain (vocab fold +
     // doc reassembly) adds its own narrow/keyed stages but the bin
     // reassembly stays ONE bin-keyed shuffle with map-side partial
