@@ -286,7 +286,11 @@ object TextAnalysis {
       round(log((c12v + lit(1L)).cast("double") /
           (c1v + lit(m.vSize) + lit(1L)).cast("double")) * 1e6).cast("long")
     })
-    (size(lps).cast("long"),
+    // the count does NOT reference `lps` — a Column val INLINES its
+    // whole tree at every reference (the r16 column-duplication trap),
+    // and size(lps) would re-run every map lookup just to count;
+    // |pairs| = |tokens| - 1 exactly (split always yields >= 1 token)
+    (size(t).cast("long") - lit(1L),
       coalesce(aggregate(lps, lit(0L), (acc, x) => acc + x), lit(0L)))
   }
 

@@ -314,7 +314,15 @@ object StreamingOps {
       require(cutoffs.nonEmpty, "lmGate needs at least one language cutoff")
       val (nBg, lpSum) = TextAnalysis.bigramScoreColumns(m, col(textCol))
       gated0
-        .withColumn("avg_lp_micro", TextAnalysis.avgLpMicro(lpSum, nBg))
+        // bind the fold ONCE: avgLpMicro references its sum argument
+        // twice, and an inlined Column tree would re-run the whole
+        // map-lookup fold per reference (the r16 duplication trap) —
+        // the intermediate projection makes the second reference a
+        // cheap attribute
+        .withColumn("__bg_s", lpSum)
+        .withColumn("avg_lp_micro",
+          TextAnalysis.avgLpMicro(col("__bg_s"), nBg))
+        .drop("__bg_s")
         .filter(col("avg_lp_micro").isNotNull &&
           col("avg_lp_micro") >=
             coalesce(element_at(typedLit(cutoffs), col("lang")),
