@@ -1,20 +1,16 @@
 package graft
 
-/** Scratchpad main — overwrite freely (repo convention). Currently:
-  * refresh ONE entry's oracle SQL inside an existing Verify dump's
-  * oracle_sql.json so `check.py --no-verify <name>` re-compares against
-  * the recompiled SQL without a full Spark rerun. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val Array(outDir, name) = args.take(2)
-    val sql = SparkEntry.oracleSql(name)
-    val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(java.nio.file.Files.readAllBytes(p))
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    root.put(name, sql)
-    java.nio.file.Files.write(p, om.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root))
-    println(s"refreshed oracle for $name in $p")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("scratch")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    // is `div` a registered FunctionRegistry name (callable via call_function)?
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(
+      call_function("div", lit(-7L), lit(2L)).as("d"))
+    df.show()
+    println("TYPE=" + df.schema.head.dataType)
+    spark.stop()
   }
 }

@@ -300,8 +300,12 @@ object TextAnalysis {
     * disagree with the DuckDB replay's `((x % n) + n) % n` floor
     * idiom). NULL when `nBigrams` = 0 (a bigram-less doc has no mean). */
   def avgLpMicro(lpSum: Column, nBigrams: Column): Column =
+    // integral `div`, never `/`: long/long Column `/` is DOUBLE and
+    // silently loses precision above 2^53 (repo invariant); the
+    // pmod-adjusted numerator is exactly divisible, so truncating div
+    // IS the floor division
     when(nBigrams > 0,
-      ((lpSum - pmod(lpSum, nBigrams)) / nBigrams).cast("long"))
+      call_function("div", lpSum - pmod(lpSum, nBigrams), nBigrams))
 
   // ---- CCNet-style perplexity bucketing (Wenzek et al.) ---------------
 
@@ -1293,35 +1297,22 @@ object TextAnalysis {
     qual.getLong(0)
   }
 
-  /**
-   * EXACT ROC AUC by the Mann-Whitney rank-sum identity with
-   * average-rank tie handling — the threshold-free completion of the
-   * [[calibrationSweep]] evaluation loop: AUC = P(score⁺ > score⁻) +
-   * ½·P(score⁺ = score⁻), computed as exact integer pair counts.
-   * Per distinct score s with p_s positives and g_s negatives:
-   * concordant pairs Σ p_s·negBelow(s) plus tie pairs ½·Σ p_s·g_s, over
-   * n_pos·n_neg total — returned as the REDUCED-FREE integer pair
-   * (auc_num = 2·Σ p_s·negBelow + Σ p_s·g_s, auc_den = 2·n_pos·n_neg)
-   * so the value is exact in any engine, plus the floor-divided
-   * `auc_micro`. Doubling clears the half-tie term — this IS the
-   * average-rank Mann-Whitney statistic. One output row per `byCols`
-   * group (a single global row when empty); `auc_micro`/`auc_den` are
-   * NULL/0 when a group lacks both classes. NULL scores or labels
-   * raise.
-   *
-   * Scale shape: one shuffle to score-grain (p_s, g_s) aggregates,
-   * then the negBelow prefix sum runs TWO-PHASE exactly like the
-   * packing operators' [[graft.operators.Curation.packOffsets]]
-   * scaffolding — per-part totals (the only cross-part window runs
-   * over one row per `partSpan` score range) and a within-part running
-   * sum — so no corpus-sized single-partition window exists even when
-   * every document's micro-nat score is distinct. Truncating `div` is
-   * monotone non-decreasing over the full signed range, so part is a
-   * valid coarse range of the score order for negative scores too.
-   * BIGINT envelope: exact while n_pos·n_neg < 2^62 (≈ 2 billion docs
-   * per class per group — beyond any real evaluation set; DuckDB
-   * raises rather than wraps if ever exceeded).
-   */
+  /** Column names the rank-eval internals claim — a `byCols` name
+    * colliding with one would be silently REPLACED mid-pipeline
+    * (withColumn) or duplicated, corrupting the grouping; refused
+    * loudly instead (the r5 as-of-join disjoint-names convention). */
+  private val EvalInternalNames: Set[String] = Set(
+    "part", "p", "g", "cnt", "pcnt", "pc", "pp", "pg", "part_off",
+    "neg_lt", "above_all", "above_pos", "better_all", "better_pos",
+    "rn_all", "rn_pos", "r", "i", "term_micro", "n_pos", "n_neg", "n",
+    "auc_num", "auc_den", "auc_micro", "sum_term_micro", "ap_micro")
+
+  private def requireEvalByCols(byCols: Seq[String], op: String): Unit =
+    byCols.foreach(c => require(!c.startsWith("__") &&
+        !EvalInternalNames(c),
+      s"$op: byCols name '$c' collides with an internal column — " +
+        "rename the grouping column"))
+
   /**
    * EXACT average precision (the PR-curve summary, [[rocAuc]]'s
    * companion): AP = (1/P) · Σ_{i=1..P} i / r_i over the positives,
@@ -1348,6 +1339,7 @@ object TextAnalysis {
                        partSpan: Long = 1L << 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(partSpan > 0, "partSpan must be > 0")
+    requireEvalByCols(byCols, "averagePrecision")
     val keys = byCols.map(col)
     val base = scored.select(keys ++ Seq(
       when(col(scoreCol).isNull,
@@ -1413,11 +1405,41 @@ object TextAnalysis {
         expr("sum_term_micro div n_pos")).as("ap_micro")): _*)
   }
 
+  /**
+   * EXACT ROC AUC by the Mann-Whitney rank-sum identity with
+   * average-rank tie handling — the threshold-free completion of the
+   * [[calibrationSweep]] evaluation loop: AUC = P(score⁺ > score⁻) +
+   * ½·P(score⁺ = score⁻), computed as exact integer pair counts.
+   * Per distinct score s with p_s positives and g_s negatives:
+   * concordant pairs Σ p_s·negBelow(s) plus tie pairs ½·Σ p_s·g_s, over
+   * n_pos·n_neg total — returned as the REDUCED-FREE integer pair
+   * (auc_num = 2·Σ p_s·negBelow + Σ p_s·g_s, auc_den = 2·n_pos·n_neg)
+   * so the value is exact in any engine, plus the floor-divided
+   * `auc_micro`. Doubling clears the half-tie term — this IS the
+   * average-rank Mann-Whitney statistic. One output row per `byCols`
+   * group (a single global row when empty); `auc_micro`/`auc_den` are
+   * NULL/0 when a group lacks both classes. NULL scores or labels
+   * raise.
+   *
+   * Scale shape: one shuffle to score-grain (p_s, g_s) aggregates,
+   * then the negBelow prefix sum runs TWO-PHASE exactly like the
+   * packing operators' [[graft.operators.Curation.packOffsets]]
+   * scaffolding — per-part totals (the only cross-part window runs
+   * over one row per `partSpan` score range) and a within-part running
+   * sum — so no corpus-sized single-partition window exists even when
+   * every document's micro-nat score is distinct. Truncating `div` is
+   * monotone non-decreasing over the full signed range, so part is a
+   * valid coarse range of the score order for negative scores too.
+   * BIGINT envelope: exact while n_pos·n_neg < 2^62 (≈ 2 billion docs
+   * per class per group — beyond any real evaluation set; DuckDB
+   * raises rather than wraps if ever exceeded).
+   */
   def rocAuc(scored: DataFrame, scoreCol: String, posCol: String,
              byCols: Seq[String] = Nil,
              partSpan: Long = 1L << 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(partSpan > 0, "partSpan must be > 0")
+    requireEvalByCols(byCols, "rocAuc")
     val keys = byCols.map(col)
     val base = scored.select(keys ++ Seq(
       when(col(scoreCol).isNull,

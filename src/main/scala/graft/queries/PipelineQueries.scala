@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** Materialize a SMALL result into a LocalRelation so upstream
+    * persisted frames can release before the entry returns — THE
+    * cache-release idiom (pipe_crawl_epoch pattern), defined once. */
+  private def materializeLocal(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(new java.util.ArrayList(
+      java.util.Arrays.asList(df.collect(): _*)), df.schema)
+
   // ---- deduplication --------------------------------------------------
 
   val dedupExact = sqlQ("dedup_exact",
@@ -1175,9 +1182,7 @@ object PipelineQueries {
     val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
         binTokens = 128L, partSpan = 1L << 55)
       .orderBy("bin")
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        bins.collect(): _*)), bins.schema)
+    val local = materializeLocal(s, bins)
     segs.unpersist()
     local.orderBy("bin")
   }
@@ -2111,9 +2116,9 @@ object PipelineQueries {
     s"CAST(($sum - ((($sum % $n) + $n) % $n)) / $n AS BIGINT)"
 
   val textBigramLp = dfQ("text_bigram_lp",
-    "WITH " + bigramLpCtes("documents", "") + """
+    "WITH " + bigramLpCtes("documents", "") + s"""
       |SELECT doc_id AS doc_id, n_bigrams, lp_sum_micro,
-      |  CAST((lp_sum_micro - (((lp_sum_micro % n_bigrams) + n_bigrams) % n_bigrams)) / n_bigrams AS BIGINT) AS avg_lp_micro
+      |  ${avgLpSql("lp_sum_micro", "n_bigrams")} AS avg_lp_micro
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, _) =>
     TextAnalysis.bigramLogProb(s.table("documents"), "doc_id", "text", 20)
       .select(col("id").as("doc_id"),
@@ -3449,9 +3454,7 @@ object PipelineQueries {
     // materialize the (bin-scale) aggregate locally so `extracted` can
     // be unpersisted NOW — long-lived harnesses (Scratch, registry
     // loops) must not leak one corpus-sized cache entry per invocation
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        binned.collect(): _*)), binned.schema)
+    val local = materializeLocal(s, binned)
     extracted.unpersist()
     local.orderBy("bin")
   }
@@ -3726,9 +3729,7 @@ object PipelineQueries {
       .select("epoch", "bin", "n_docs", "toks", "min_id",
         "rho_num", "rho_den")
       .orderBy("epoch", "bin")
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        joined.collect(): _*)), joined.schema)
+    val local = materializeLocal(s, joined)
     lay.foreach(_._2.unpersist())
     local.orderBy("epoch", "bin")
   }
@@ -3803,9 +3804,7 @@ object PipelineQueries {
     // bin-scale aggregate materialized locally so `extracted`, `segs`
     // (and the trainer's ephemeral caches) release before the frame
     // returns
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        bins.collect(): _*)), bins.schema)
+    val local = materializeLocal(s, bins)
     segs.unpersist()
     extracted.unpersist()
     local.orderBy("bin")
@@ -3880,9 +3879,7 @@ object PipelineQueries {
           col("head_min_micro"), col("middle_min_micro"))
           === col("bucket")).as("assign_ok"))
       .orderBy("pred", "rk")
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        out.collect(): _*)), out.schema)
+    val local = materializeLocal(s, out)
     ctext.unpersist()
     extracted.unpersist()
     local.orderBy("pred", "rk")
@@ -3971,9 +3968,7 @@ object PipelineQueries {
     val bins = Curation.packShuffledBinsSegs(segs, "id", "cp", "segs",
         binTokens = 128L, partSpan = 1L << 55)
       .orderBy("bin")
-    val local = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(
-        bins.collect(): _*)), bins.schema)
+    val local = materializeLocal(s, bins)
     segs.unpersist()
     local.orderBy("bin")
   }

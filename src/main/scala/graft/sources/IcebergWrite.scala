@@ -350,6 +350,19 @@ object IcebergWrite {
           s"source file $p column '$c' must be INT64 for a ns-timestamp " +
             s"column, got ${fields.getOrElse(c, "absent")}")
       }
+      // the NON-widened columns get the same gate strength as the
+      // merged-infer path would give them — legal parquet physical
+      // types per Spark type from the same footer map (a mismatch
+      // would otherwise surface as an opaque decode error deep in the
+      // stats job, or import silently under Spark's type widening)
+      fileSchema.fields.filterNot(f => widened(f.name)).foreach { f =>
+        val legal = legalPhysicalTypes(f.dataType)
+        if (legal.nonEmpty)
+          require(fields.get(f.name).exists(legal.contains),
+            s"source file $p column '${f.name}' has physical type " +
+              s"${fields.getOrElse(f.name, "absent")} — table type " +
+              s"${f.dataType} expects one of ${legal.mkString("/")}")
+      }
     }
 
     // hive tuple per leaf, parsed from its k=v path segments
@@ -491,6 +504,22 @@ object IcebergWrite {
     * a merge. Distributed past [[IcebergIO.ParallelManifestThreshold]]
     * files (footer opens are O(files); a 1e5-file import must not
     * serialize them on the driver). */
+  /** Legal parquet PRIMITIVE types for a Spark column type — the
+    * widened-import gate's per-column check (empty set = no opinion,
+    * e.g. nested GROUP columns). Decimals legally store in several
+    * physicals, so all are admitted. */
+  private def legalPhysicalTypes(dt: DataType): Set[String] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Set("INT64")
+    case IntegerType | DateType => Set("INT32")
+    case StringType | BinaryType => Set("BINARY")
+    case DoubleType => Set("DOUBLE")
+    case FloatType => Set("FLOAT")
+    case BooleanType => Set("BOOLEAN")
+    case _: DecimalType =>
+      Set("INT32", "INT64", "BINARY", "FIXED_LEN_BYTE_ARRAY")
+    case _ => Set.empty
+  }
+
   /** Per-leaf footer fields as (column name → parquet PRIMITIVE type
     * name, "GROUP" for nested) — the name set serves the column-presence
     * gate, the physical types pin widened-surface columns (geometry WKB

@@ -314,15 +314,16 @@ object StreamingOps {
       require(cutoffs.nonEmpty, "lmGate needs at least one language cutoff")
       val (nBg, lpSum) = TextAnalysis.bigramScoreColumns(m, col(textCol))
       gated0
-        // bind the fold ONCE: avgLpMicro references its sum argument
-        // twice, and an inlined Column tree would re-run the whole
-        // map-lookup fold per reference (the r16 duplication trap) —
-        // the intermediate projection makes the second reference a
-        // cheap attribute
+        // bind BOTH fold outputs once: avgLpMicro references its sum
+        // argument twice and its count three times, and an inlined
+        // Column tree would re-run the whole tree per reference (the
+        // r16 duplication trap) — the intermediate projection makes
+        // every later reference a cheap attribute
         .withColumn("__bg_s", lpSum)
+        .withColumn("__bg_n", nBg)
         .withColumn("avg_lp_micro",
-          TextAnalysis.avgLpMicro(col("__bg_s"), nBg))
-        .drop("__bg_s")
+          TextAnalysis.avgLpMicro(col("__bg_s"), col("__bg_n")))
+        .drop("__bg_s", "__bg_n")
         .filter(col("avg_lp_micro").isNotNull &&
           col("avg_lp_micro") >=
             coalesce(element_at(typedLit(cutoffs), col("lang")),

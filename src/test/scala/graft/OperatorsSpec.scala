@@ -996,11 +996,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n"),
       r.getAs[Long]("sum_term_micro"), r.getAs[Long]("ap_micro"))
       === ((3L, 4L, 2416666L, 805555L)))
-    // per-group + a zero-positive group surfaces NULL ap_micro
+    // per-group + a zero-positive group surfaces NULL ap_micro; a
+    // byCols name colliding with an internal ("g") is refused loudly
+    intercept[IllegalArgumentException](TextAnalysis.averagePrecision(
+      hand.withColumnRenamed("id", "g"), "s", "pos", "g",
+      byCols = Seq("g")))
     val grouped = Seq(("a", 1L, 9L, true), ("a", 2L, 1L, false),
-      ("z", 1L, 5L, false), ("z", 2L, 3L, false)).toDF("g", "id", "s", "pos")
+      ("z", 1L, 5L, false), ("z", 2L, 3L, false))
+      .toDF("grp", "id", "s", "pos")
     val byG = TextAnalysis.averagePrecision(grouped, "s", "pos", "id",
-      byCols = Seq("g")).collect().map { row =>
+      byCols = Seq("grp")).collect().map { row =>
       val i = row.fieldIndex("ap_micro")
       row.getString(0) -> (if (row.isNullAt(i)) None else Some(row.getLong(i)))
     }.toMap
