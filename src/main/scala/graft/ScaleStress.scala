@@ -76,7 +76,22 @@ object ScaleStress {
     // packOffsets-style two-phase prefix sum; micro-nat margins are
     // ~all-distinct so the score-grain table IS corpus-sized — the
     // two-phase shape is exactly what this sweep pins)
-    "cur_ppl_buckets", "text_classify_auc")
+    "cur_ppl_buckets", "text_classify_auc",
+    // round-19 continuation: the Bloom decontamination gate (filter
+    // build is one aggregate bounded by bits/32 rows regardless of key
+    // cardinality; the probe is one distinct + broadcast join + per-key
+    // agg — all corpus-linear) and the trigram stupid-backoff scorer
+    // (one LAG shuffle keyed on doc id + (V+1)^arity-bounded broadcast
+    // model joins)
+    "cur_bloom_gate", "text_trigram_sb",
+    // round-19 continuation: C4 line-grain cleaning — a pure per-row
+    // projection (synthetic page build + one filtered line lambda),
+    // the zero-exchange class that must scale ~linearly
+    "text_c4_clean",
+    // round-19 continuation: corpus datasheet — exact per-group
+    // percentiles pay one (lang, source)-partitioned sort; group count
+    // is fixed, so the per-group n log n must stay near-linear overall
+    "cur_corpus_report")
 
   /** Queries whose shuffle keys include `user_id` — the ones a skewed key
     * distribution can break (single hot reducer / exploding join

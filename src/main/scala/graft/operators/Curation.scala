@@ -129,6 +129,222 @@ object Curation {
         col("text_clean"))
   }
 
+  // ---- Bloom-filter membership (scalable decontamination gates) -------
+
+  /** A built Bloom filter small enough to ship as a broadcast literal:
+    * `words` maps 32-bit-word index → word value (absent index = all
+    * zero), plus the (bits, k, seed) parameters that built it. Produced
+    * by [[collectBloom]]; consumed by the per-row [[bloomMaybeContains]]
+    * fold (the streaming-gate form). */
+  final case class BloomFilter(words: Map[Long, Long], bits: Long, k: Int,
+                               seed: String)
+
+  private def requireBloom(bits: Long, k: Int): Unit = {
+    require(bits >= 32 && bits % 32 == 0,
+      s"bloom bits must be a positive multiple of 32, got $bits")
+    require(k >= 1 && k <= 16,
+      s"bloom hash count k must be in [1, 16], got $k (keeps the " +
+        "double-hashing intermediate h1 + k*h2 < 2^57, BIGINT-safe in " +
+        "both engines)")
+  }
+
+  /**
+   * The `k` bit positions of one key in a `bits`-bit Bloom filter, as an
+   * array<long> Column. Double hashing from ONE md5 (Kirsch–Mitzenmacher,
+   * the same engine-portable idiom the minhash family uses): the md5 hex
+   * splits into two 52-bit halves h1/h2 and position_i = (h1 + i·h2) mod
+   * bits — every intermediate stays < 2^57, exact BIGINT in Spark AND
+   * DuckDB. The md5 is bound to a lambda variable so it evaluates once
+   * per key, not once per position. NULL keys raise (loud posture — a
+   * silent skip would under-build the filter and silently pass
+   * contaminated members).
+   */
+  def bloomPositions(key: Column, bits: Long, k: Int,
+                     seed: String): Column = {
+    requireBloom(bits, k)
+    val guarded = when(key.isNull,
+      raise_error(lit("bloomPositions: NULL key"))).otherwise(key)
+    element_at(
+      transform(array(md5(concat(lit(seed), lit("_"), guarded))), hh => {
+        val h1 = conv(substring(hh, 1, 13), 16, 10).cast("long")
+        val h2 = conv(substring(hh, 14, 13), 16, 10).cast("long")
+        transform(sequence(lit(0), lit(k - 1)),
+          i => pmod(h1 + i.cast("long") * h2, lit(bits)))
+      }), 1)
+  }
+
+  private def bloomWordIdx(p: Column): Column = shiftright(p, 5)
+  private def bloomMask(p: Column): Column =
+    call_function("shiftleft", lit(1L), pmod(p, lit(32L)).cast("int"))
+
+  /**
+   * Build a `bits`-bit Bloom filter over `keys(keyCol)` as a compact
+   * (word_idx, word) DataFrame — word = bitwise OR of the 32-bit masks
+   * landing in that word (values < 2^32, so the sign bit is never
+   * touched and a DuckDB replay's `<<` cannot overflow).
+   *
+   * THE 100-TB decontamination shape: an exact broadcast membership set
+   * over a large blocklist (URLs seen, fingerprints already ingested,
+   * previously-trained shards) stops fitting executors long before the
+   * corpus stops growing; the Bloom filter caps the gate's memory at
+   * bits/8 bytes with a bounded, tunable false-positive rate — and for
+   * decontamination/dedup gates a false POSITIVE only over-drops (never
+   * leaks), so correctness is one-sided by construction.
+   *
+   * Scale shape: one explode (k rows per key) into ONE aggregate shuffle
+   * bounded by bits/32 rows — never by key cardinality. Nothing
+   * key-scale ever sits on the driver.
+   */
+  def bloomBuild(keys: DataFrame, keyCol: String, bits: Long, k: Int,
+                 seed: String): DataFrame = {
+    requireBloom(bits, k)
+    keys.select(explode(bloomPositions(col(keyCol), bits, k, seed)).as("p"))
+      .select(bloomWordIdx(col("p")).as("word_idx"),
+        bloomMask(col("p")).as("m"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(m)").as("word"))
+  }
+
+  /**
+   * Probe: one row per DISTINCT key of `keys(keyCol)` with
+   * `bloom_hit` = true iff ALL k bits are set (the standard maybe-member
+   * verdict; false is definitive non-membership). The filter table
+   * (≤ bits/32 rows) is broadcast; the probe side needs one distinct +
+   * one per-key aggregate, both keyed on the probed value — no
+   * key×filter product anywhere.
+   */
+  def bloomProbe(keys: DataFrame, keyCol: String, filter: DataFrame,
+                 bits: Long, k: Int, seed: String): DataFrame = {
+    requireBloom(bits, k)
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(bloomPositions(col(keyCol), bits, k, seed)).as("p"))
+      .select(col(keyCol), bloomWordIdx(col("p")).as("word_idx"),
+        bloomMask(col("p")).as("m"))
+      .join(broadcast(filter), Seq("word_idx"), "left")
+      .groupBy(col(keyCol))
+      .agg((sum(when(col("word").isNotNull &&
+          (col("word").bitwiseAND(col("m")) === col("m")), 1L)
+        .otherwise(0L)) === lit(k.toLong)).as("bloom_hit"))
+  }
+
+  /** Collect a built filter into a [[BloomFilter]] literal for the
+    * per-row fold form. Bounded by construction at bits/32 entries;
+    * capped at 2^28 bits (32 MiB of set bits, ≤ 8.4 M map entries) —
+    * beyond that, stay on the join-form [[bloomProbe]]. */
+  def collectBloom(filter: DataFrame, bits: Long, k: Int,
+                   seed: String): BloomFilter = {
+    requireBloom(bits, k)
+    require(bits <= (1L << 28),
+      s"collectBloom caps at 2^28 bits; got $bits — use the join-form " +
+        "bloomProbe for larger filters")
+    val words = filter.collect()
+      .map(r => r.getAs[Long]("word_idx") -> r.getAs[Long]("word")).toMap
+    BloomFilter(words, bits, k, seed)
+  }
+
+  /** Persist a [[BloomFilter]] as parquet — the nightly-loop artifact
+    * (today's ingest probes yesterday's filter): one row per set word
+    * plus the (bits, k, seed) parameters stamped on every row, so a
+    * load with mismatched parameters fails loudly instead of silently
+    * probing the wrong positions. */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession, f: BloomFilter,
+                dir: String): Unit = {
+    import spark.implicits._
+    f.words.toSeq.map { case (i, w) => (i, w, f.bits, f.k, f.seed) }
+      .toDF("word_idx", "word", "bits", "k", "seed")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a filter persisted by [[saveBloom]]; probing the loaded
+    * filter is bit-equal to the in-memory one (longs round-trip parquet
+    * unchanged). An empty filter (no member ever inserted) is legal and
+    * loads as refuse-all — but parameterless (the empty parquet has no
+    * stamped rows), so loading requires at least one word; build-time
+    * keys are never empty in practice and the loud error beats a
+    * silently parameter-less filter. */
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+                dir: String): BloomFilter = {
+    val rows = spark.read.parquet(dir).collect()
+    require(rows.nonEmpty,
+      s"loadBloom: no rows in $dir — an empty filter carries no " +
+        "(bits, k, seed) parameters to validate against")
+    val params = rows.map(r => (r.getAs[Long]("bits"), r.getAs[Int]("k"),
+      r.getAs[String]("seed"))).distinct
+    require(params.length == 1,
+      s"loadBloom: inconsistent parameter stamps in $dir: " +
+        params.mkString(", "))
+    val (bits, k, seed) = params.head
+    requireBloom(bits, k)
+    BloomFilter(rows.map(r => r.getAs[Long]("word_idx") ->
+      r.getAs[Long]("word")).toMap, bits, k, seed)
+  }
+
+  /** Per-row maybe-member fold under a broadcast-literal [[BloomFilter]]
+    * — the streaming-gate twin of [[bloomProbe]] (pure projection: no
+    * join, no aggregate, append-mode safe) and bit-equal to it on every
+    * key both evaluate. NULL keys raise via [[bloomPositions]]. */
+  def bloomMaybeContains(key: Column, f: BloomFilter): Column = {
+    val words = typedLit(f.words)
+    forall(bloomPositions(key, f.bits, f.k, f.seed), p => {
+      val w = element_at(words, bloomWordIdx(p))
+      w.isNotNull && (w.bitwiseAND(bloomMask(p)) === bloomMask(p))
+    })
+  }
+
+  // ---- corpus datasheet -----------------------------------------------
+
+  /**
+   * Per-group corpus DATASHEET ("datasheets for datasets" shape): one
+   * row per `groupCols` tuple with exact integer statistics a corpus
+   * audit publishes — doc/token totals, EXACT nearest-rank token-count
+   * percentiles (p50/p95 over the total order (token_count, id), so
+   * ties are deterministic), the exact micro-unit mean, and the exact
+   * duplicate-text fraction (by content fingerprint).
+   *
+   * Percentile definition: value at 1-indexed rank `ceil(p·n/100)` =
+   * `(p·n + 99) div 100` — pure integer arithmetic, replayable
+   * bit-for-bit cross-engine (no interpolating `percentile_cont`).
+   *
+   * Scale shape: one per-row token-count projection, ONE window shuffle
+   * partitioned by the group (the per-group sort IS the price of exact
+   * percentiles — a 100 TB datasheet that can tolerate error should use
+   * `approx_percentile` instead; this operator is the exact audit), and
+   * one final aggregate. Nothing global, nothing driver-side.
+   */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group column")
+    val gcols = groupCols.map(col)
+    val base = docs.select(gcols :+
+      col(idCol).cast("long").as("__id") :+
+      size(split(lower(col(textCol)), " ")).cast("long").as("__nt") :+
+      md5(lower(regexp_replace(col(textCol), " +", " "))).as("__fp"): _*)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__nt"), col("__id"))
+    val cw = Window.partitionBy(gcols: _*)
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+    def atRank(p: Int): Column =
+      max(when(col("__rn") ===
+        call_function("div", col("__cnt") * p + lit(99L), lit(100L)),
+        col("__nt")))
+    ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        min(col("__nt")).as("tok_min"),
+        atRank(50).as("tok_p50"),
+        atRank(95).as("tok_p95"),
+        max(col("__nt")).as("tok_max"),
+        call_function("div", sum(col("__nt")) * lit(1000000L),
+          count(lit(1))).as("mean_tok_micro"),
+        countDistinct(col("__fp")).cast("long").as("n_distinct_texts"))
+      .withColumn("dup_frac_micro",
+        call_function("div",
+          (col("n_docs") - col("n_distinct_texts")) * lit(1000000L),
+          col("n_docs")))
+  }
+
   // ---- fixed-token chunking -------------------------------------------
 
   /**

@@ -175,6 +175,137 @@ object TextAnalysis {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /**
+   * C4-style LINE-GRAIN page cleaning (Raffel et al. 2020, the C4
+   * corpus rules): keep only lines that end in terminal punctuation
+   * (`. ! ? "`) AND carry at least `minLineWords` words; drop the whole
+   * page when it contains any of `badPhrases` (case-insensitive), a
+   * curly brace (the C4 "no code" heuristic), or fewer than
+   * `minKeptLines` surviving lines. Returns one row per input doc:
+   * `(id, n_lines, n_kept, bad_phrase, has_curly, dropped, text_clean)`
+   * — flags rather than a silent filter, so callers can count what each
+   * rule removed (the datasheet a pipeline audit wants).
+   *
+   * Scale shape: a pure per-row projection — one regex-filtered lambda
+   * over the line array (bound ONCE to a named column; the r16
+   * column-tree duplication trap), zero joins, zero shuffles, trivially
+   * streaming-safe. All decisions are exact string/integer predicates,
+   * so a DuckDB replay is bit-exact (entry `text_c4_clean`).
+   */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minKeptLines: Int = 3,
+              badPhrases: Seq[String] = Seq("lorem ipsum"),
+              banCurlyBrace: Boolean = true): DataFrame = {
+    require(minLineWords >= 1, "minLineWords must be >= 1")
+    require(minKeptLines >= 0, "minKeptLines must be >= 0")
+    require(badPhrases.forall(_.nonEmpty), "empty bad phrase")
+    val staged = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__page"), split(col(textCol), "\n").as("__lines"))
+    val keptArr = filter(col("__lines"), l =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minLineWords)
+    val staged2 = staged.select(col("id"), col("__page"), col("__lines"),
+      keptArr.as("__kept"))
+    val badp = badPhrases.map(p => lower(col("__page")).contains(lit(p)))
+      .reduce(_ || _)
+    val curly =
+      if (banCurlyBrace) col("__page").contains(lit("{")) else lit(false)
+    staged2.select(col("id"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(col("__kept")).cast("long").as("n_kept"),
+      badp.as("bad_phrase"), curly.as("has_curly"),
+      (badp || curly || size(col("__kept")) < lit(minKeptLines))
+        .as("dropped"),
+      array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
+  /** round(1e6·ln 0.4) as a FIXED literal — the stupid-backoff penalty
+    * in micro-nats. A literal (not a computed ln) so backoff levels are
+    * pure integer addition with zero cross-engine libm exposure. */
+  val StupidBackoffPenaltyMicro: Long = -916291L
+
+  /**
+   * Trigram STUPID-BACKOFF LM quality score (Brants et al. 2007,
+   * "Large Language Models in Machine Translation" — the backoff scheme
+   * designed FOR web-scale corpora: raw count ratios, a constant 0.4
+   * back-off multiplier, no discount normalization, no held-out
+   * tuning). Per trigram position:
+   *
+   *   S(w3 | w1 w2) = c123 / c12                if c123 ≥ trigramMin
+   *                 = 0.4 · c23 / c2            elif c23 ≥ bigramMin
+   *                 = 0.4² · c3 / N             otherwise
+   *
+   * `trigramMin`/`bigramMin` are the standard count-pruning thresholds
+   * (a production n-gram table drops singletons — that is ALSO what
+   * makes backoff reachable when scoring the training corpus itself,
+   * where every observed trigram otherwise has c123 ≥ 1). Scores are
+   * log micro-nats: the 0.4 penalty is the fixed integer literal
+   * [[StupidBackoffPenaltyMicro]] per backoff level, so only the
+   * count-RATIO ln is libm (the same documented 1-ulp envelope as the
+   * bigram scorer); sums are exact BIGINT, order-independent.
+   *
+   * Scale shape: OOV maps to one bucket FIRST, so every model table is
+   * (vocab+1)^arity-bounded — (V+1)³ at worst — and broadcast; the
+   * token-grain work is the one LAG shuffle keyed on doc id plus
+   * map-side joins. Returns (id, n_trigrams, lp_sum_micro). Docs with
+   * fewer than 3 tokens have no trigram and are absent.
+   */
+  def trigramStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                           vocabSize: Int = 20, trigramMin: Long = 2L,
+                           bigramMin: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1 && vocabSize <= 256,
+      s"vocabSize must be in [1, 256] (the (V+1)^3 trigram table is " +
+        s"broadcast — keep it bounded), got $vocabSize")
+    require(trigramMin >= 1L && bigramMin >= 1L,
+      "count-pruning thresholds must be >= 1")
+    val pen = lit(StupidBackoffPenaltyMicro)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        when(col("in_v").isNotNull, col("tok")).otherwise(lit("<oov>")).as("w"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val tri = mapped
+      .withColumn("w2", lag("w", 1).over(byDoc))
+      .withColumn("w1", lag("w", 2).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .select(col("id"), col("w1"), col("w2"), col("w").as("w3"))
+    val uni = mapped.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bi = mapped.withColumn("wp", lag("w", 1).over(byDoc))
+      .filter(col("wp").isNotNull)
+      .groupBy(col("wp").as("b1"), col("w").as("b2"))
+      .agg(count(lit(1)).as("cb"))
+    val triKept = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= lit(trigramMin))
+    val nTotal = mapped.agg(count(lit(1)).cast("long").as("n_total"))
+    val lnMicro = (num: Column, den: Column) =>
+      round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    tri
+      .join(broadcast(triKept), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("c12"))), Seq("w1", "w2"))
+      .join(broadcast(bi.filter(col("cb") >= lit(bigramMin))
+        .select(col("b1").as("w2"), col("b2").as("w3"),
+          col("cb").as("c23"))), Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+        Seq("w2"))
+      .join(broadcast(uni.select(col("w").as("w3"), col("cu").as("c3"))),
+        Seq("w3"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("id"),
+        when(col("ct").isNotNull, lnMicro(col("ct"), col("c12")))
+          .when(col("c23").isNotNull,
+            pen + lnMicro(col("c23"), col("c2")))
+          .otherwise(pen + pen + lnMicro(col("c3"), col("n_total")))
+          .as("lp_micro"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        sum("lp_micro").as("lp_sum_micro"))
+  }
+
   /** Hashing-trick linear scorer over token BIGRAMS — the plumbing of a
     * fastText-style model-based quality filter: each bigram hashes into
     * one of `buckets` weight slots, the document's score is the mean

@@ -803,10 +803,261 @@ object CurationQueries {
       .orderBy("bin")
   }
 
+  // ---- Bloom-filter decontamination gate --------------------------------
+
+  /** Bloom-gated decontamination ([[Curation.bloomBuild]]/[[Curation
+    * .bloomProbe]]): eval docs' (every 17th) 8-token window fingerprints
+    * build a 16384-bit / 5-hash Bloom filter; every train window probes
+    * it. Per train doc: window count, bloom-flagged count, TRUE-hit count
+    * (exact membership, so the oracle pins the false-positive behavior
+    * too — a flagged-but-clean window is a REPLAYED false positive, not
+    * noise), and the doc-grain drop verdict. The oracle rebuilds the
+    * filter from the same double-hashed positions with `bit_or` and
+    * replays every probe — bit-for-bit, including which words collide. */
+  /** The Bloom decontamination CTE chain over `documents` (eval = every
+    * 17th doc; 8-token windows; 16384-bit / 5-hash filter, seed 'bl'):
+    * ends at `wins(id, h)` (every doc's window fingerprints) and
+    * `pr(h, bloom_hit)` (per distinct TRAIN fingerprint, the replayed
+    * probe verdict) plus `ev(h)` (exact eval membership). Shared by
+    * cur_bloom_gate and pipe_bloom_mix so the replays cannot drift. */
+  private val bloomChainCtes =
+    """t0 AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |            FROM documents),
+      |wins AS (
+      |  SELECT id, md5(array_to_string(w[i.i:i.i+7], ' ')) AS h
+      |  FROM t0 CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(1, len(w) - 7)) AS i) i
+      |  WHERE len(w) >= 8),
+      |ev AS (SELECT DISTINCT h FROM wins WHERE id % 17 = 0),
+      |epp AS (
+      |  SELECT (CAST('0x' || substr(md5('bl_' || h), 1, 13) AS BIGINT)
+      |        + i * CAST('0x' || substr(md5('bl_' || h), 14, 13) AS BIGINT))
+      |        % 16384 AS p
+      |  FROM (SELECT h, unnest(generate_series(0, 4)) AS i FROM ev)),
+      |filt AS (SELECT p // 32 AS word_idx,
+      |                bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      |         FROM epp GROUP BY 1),
+      |tk AS (SELECT DISTINCT h FROM wins WHERE id % 17 <> 0),
+      |tpp AS (
+      |  SELECT h, (CAST('0x' || substr(md5('bl_' || h), 1, 13) AS BIGINT)
+      |           + i * CAST('0x' || substr(md5('bl_' || h), 14, 13) AS BIGINT))
+      |           % 16384 AS p
+      |  FROM (SELECT h, unnest(generate_series(0, 4)) AS i FROM tk)),
+      |pr AS (
+      |  SELECT t.h,
+      |    (SUM(CASE WHEN f.word IS NOT NULL AND (f.word & t.m) = t.m
+      |         THEN 1 ELSE 0 END) = 5) AS bloom_hit
+      |  FROM (SELECT h, p // 32 AS word_idx,
+      |               CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS m FROM tpp) t
+      |  LEFT JOIN filt f USING (word_idx)
+      |  GROUP BY t.h)""".stripMargin
+
+  private val bloomGateOracle =
+    "WITH " + bloomChainCtes + """
+      |SELECT w.id AS doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_wins,
+      |  CAST(SUM(CASE WHEN pr.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bloom_hits,
+      |  CAST(SUM(CASE WHEN e2.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_hits,
+      |  (SUM(CASE WHEN pr.bloom_hit THEN 1 ELSE 0 END) > 0) AS dropped
+      |FROM wins w
+      |JOIN pr ON pr.h = w.h
+      |LEFT JOIN ev e2 ON e2.h = w.h
+      |WHERE w.id % 17 <> 0
+      |GROUP BY w.id
+      |ORDER BY doc_id""".stripMargin
+
+  val curBloomGate = dfQ("cur_bloom_gate", bloomGateOracle) { (s, _) =>
+    val docs = s.table("documents")
+    val isEval = col("doc_id") % 17 === 0
+    val bits = 16384L; val k = 5; val seed = "bl"
+    val evalFp = Curation.evalFingerprints(docs.filter(isEval), "doc_id",
+      "text", k = 8)
+    val filt = Curation.bloomBuild(evalFp, "h", bits, k, seed)
+    val trainW = docs.filter(!isEval)
+      .select(col("doc_id").cast("long").as("id"),
+        explode(Curation.windowFingerprintArray(col("text"), 8)).as("h"))
+    val probed = Curation.bloomProbe(trainW, "h", filt, bits, k, seed)
+    trainW
+      .join(probed, Seq("h"))
+      .join(broadcast(evalFp.select(col("h"), lit(1L).as("t"))),
+        Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_wins"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_true_hits"))
+      .select(col("id").as("doc_id"), col("n_wins"), col("n_bloom_hits"),
+        col("n_true_hits"), (col("n_bloom_hits") > 0).as("dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom gate → exact mixture COMPOSITION: the bloom-flagged docs drop
+    * doc-grain (any maybe-member window), the survivors mix per language
+    * under [[Curation.mixDomains]]' exact integer spec — the gate's
+    * false positives (replayed, not modeled) change which rows exist
+    * when the mixture's bottleneck and rank decisions run, so the whole
+    * chain is in the compared surface. */
+  private val bloomMixOracle =
+    "WITH " + bloomChainCtes + """,
+      |flag AS (SELECT DISTINCT w.id FROM wins w JOIN pr ON pr.h = w.h
+      |         WHERE w.id % 17 <> 0 AND pr.bloom_hit),
+      |kept AS (SELECT d.lang, CAST(d.doc_id AS BIGINT) AS doc_id
+      |         FROM documents d
+      |         WHERE d.doc_id % 17 <> 0 AND NOT EXISTS
+      |           (SELECT 1 FROM flag WHERE flag.id = d.doc_id)),
+      |mw(lang, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1)),
+      |c AS (SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n, wt
+      |      FROM kept k JOIN mw ON k.lang = mw.lang GROUP BY k.lang, wt),
+      |t AS (SELECT MIN(n * 10 // wt) AS tt FROM c),
+      |kp AS (SELECT lang, (tt * wt) // 10 AS keep FROM c, t),
+      |r AS (SELECT k.lang, k.doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY k.lang
+      |          ORDER BY md5(CAST(k.doc_id AS VARCHAR)), k.doc_id) AS rn
+      |      FROM kept k JOIN mw ON k.lang = mw.lang)
+      |SELECT r.lang AS lang, r.doc_id FROM r JOIN kp ON r.lang = kp.lang
+      |WHERE rn <= keep
+      |ORDER BY 1, 2""".stripMargin
+
+  val pipeBloomMix = dfQ("pipe_bloom_mix", bloomMixOracle,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val isEval = col("doc_id") % 17 === 0
+    val bits = 16384L; val k = 5; val seed = "bl"
+    val evalFp = Curation.evalFingerprints(docs.filter(isEval), "doc_id",
+      "text", k = 8)
+    val filt = Curation.bloomBuild(evalFp, "h", bits, k, seed)
+    val trainW = docs.filter(!isEval)
+      .select(col("doc_id").cast("long").as("id"),
+        explode(Curation.windowFingerprintArray(col("text"), 8)).as("h"))
+    val flagged = trainW
+      .join(Curation.bloomProbe(trainW, "h", filt, bits, k, seed), Seq("h"))
+      .filter(col("bloom_hit"))
+      .select(col("id").as("doc_id")).distinct()
+    val kept = docs.filter(!isEval)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .join(flagged, Seq("doc_id"), "left_anti")
+    Curation.mixDomains(kept, "lang", "doc_id",
+        Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 1))
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Corpus datasheet ([[Curation.corpusReport]]): per (lang, source)
+    * exact totals, nearest-rank p50/p95 token counts over the pinned
+    * (count, id) total order, exact micro mean and duplicate-text
+    * fraction. The oracle replays the rank arithmetic — value at rank
+    * `(p·n + 99) // 100` — bit-for-bit. */
+  private val corpusReportOracle =
+    """WITH b AS (
+      |  SELECT lang, source, CAST(doc_id AS BIGINT) AS id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+      |    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY nt, id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang, source) AS cnt
+      |  FROM b)
+      |SELECT lang, source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  MIN(nt) AS tok_min,
+      |  MAX(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN nt END) AS tok_p50,
+      |  MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN nt END) AS tok_p95,
+      |  MAX(nt) AS tok_max,
+      |  CAST((SUM(nt) * 1000000) // COUNT(*) AS BIGINT) AS mean_tok_micro,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+      |  CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 1000000) // COUNT(*)
+      |    AS BIGINT) AS dup_frac_micro
+      |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val curCorpusReport = dfQ("cur_corpus_report", corpusReportOracle) { (s, _) =>
+    Curation.corpusReport(s.table("documents"), "doc_id", "text",
+        Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+
+  // ---- declarative data-quality expectations ---------------------------
+
+  /** [[graft.operators.Expectations]] over `orders` (+ `customer` as the
+    * FK dimension): the mixed pass/fail verdict table — four row-grain
+    * checks fused into ONE aggregate pass, uniqueness via the key-tuple
+    * distinct, referential integrity via one anti-join. The range /
+    * domain / custkey-unique checks FAIL by construction (non-zero
+    * violation counts in the compared surface), so the oracle pins real
+    * violation arithmetic, not six zeros. `check` is a reserved word in
+    * DuckDB — the output column is `check_name`. */
+  private val expectationsOracle =
+    """WITH r AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR
+      |      NOT (o_totalprice >= 0 AND o_totalprice <= 100000)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL OR
+      |      NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL OR
+      |      o_orderstatus NOT IN ('O', 'F')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_set
+      |  FROM orders),
+      |u1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - (SELECT COUNT(*) FROM
+      |    (SELECT DISTINCT o_orderkey FROM orders)) AS BIGINT) AS v
+      |  FROM orders),
+      |u2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) - (SELECT COUNT(*) FROM
+      |    (SELECT DISTINCT o_custkey FROM orders)) AS BIGINT) AS v
+      |  FROM orders),
+      |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_custkey IS NOT NULL)
+      |SELECT * FROM (
+      |  SELECT 'custkey_not_null' AS check_name, 'not_null' AS kind,
+      |    n AS n_rows, v_nn AS n_violations, v_nn = 0 AS pass FROM r
+      |  UNION ALL
+      |  SELECT 'totalprice_range', 'in_range', n, v_rng, v_rng = 0 FROM r
+      |  UNION ALL
+      |  SELECT 'orderpriority_format', 'matches', n, v_re, v_re = 0 FROM r
+      |  UNION ALL
+      |  SELECT 'orderstatus_domain', 'in_set', n, v_set, v_set = 0 FROM r
+      |  UNION ALL
+      |  SELECT 'orderkey_unique', 'unique', n, v, v = 0 FROM u1
+      |  UNION ALL
+      |  SELECT 'custkey_unique', 'unique', n, v, v = 0 FROM u2
+      |  UNION ALL
+      |  SELECT 'custkey_fk', 'ref_integrity', n, v, v = 0 FROM fk)
+      |ORDER BY check_name""".stripMargin
+
+  val curExpectations = dfQ("cur_expectations", expectationsOracle,
+    bench = false) { (s, _) =>
+    import graft.operators.Expectations
+    val orders = s.table("orders")
+    Expectations.validate(orders, Seq(
+        Expectations.NotNull("custkey_not_null", "o_custkey"),
+        Expectations.InRange("totalprice_range", "o_totalprice",
+          lit(0.0), lit(100000.0)),
+        Expectations.Matches("orderpriority_format", "o_orderpriority",
+          "^[1-5]-[A-Z ]+$"),
+        Expectations.InSet("orderstatus_domain", "o_orderstatus",
+          Seq("O", "F")),
+        Expectations.Unique("orderkey_unique", Seq("o_orderkey")),
+        Expectations.Unique("custkey_unique", Seq("o_custkey")),
+        Expectations.RefIntegrity("custkey_fk", Seq("o_custkey"),
+          s.table("customer"), Seq("c_custkey"))))
+      .select(col("check").as("check_name"), col("kind"), col("n_rows"),
+        col("n_violations"), col("pass"))
+      .orderBy("check_name")
+  }
+
   val all: Seq[Q] = Seq(
     curDecontaminate, curDecontaminateSpans, curChunk, curPack, curPii, curRepetition,
     curDomainFilter, curUrlCanon, curMixDomains, curMixSkew, curMixTokens,
     curMixTokensSkew, curLineDedup, curResampleWeight, curUpsampleWeight,
-    curSplitHash, curPackShuffled, curPackBins,
-    pipeCurateMix, pipeGateResampleSplit, pipeEpochAssembly)
+    curSplitHash, curPackShuffled, curPackBins, curBloomGate, curExpectations,
+    curCorpusReport,
+    pipeCurateMix, pipeGateResampleSplit, pipeEpochAssembly, pipeBloomMix)
 }

@@ -2128,6 +2128,139 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Trigram stupid-backoff LM score ([[TextAnalysis
+    * .trigramStupidBackoff]], Brants et al. 2007): count-pruned trigram
+    * table (singletons dropped, which is ALSO what makes the backoff
+    * branches reachable on a self-scored corpus), constant integer
+    * penalty per backoff level, micro-nat ln only over count ratios.
+    * The oracle replays the vocabulary, all three count tables, the
+    * pruning thresholds and the three-branch CASE bit-for-bit. */
+  val textTrigramSb = dfQ("text_trigram_sb",
+    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |toks AS (
+      |  SELECT ws.doc_id, i.i AS pos, ws.w[i.i] AS tok
+      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+      |mapped AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS w
+      |  FROM toks t LEFT JOIN vocab v USING (tok)),
+      |tri AS (
+      |  SELECT doc_id, w1, w2, w AS w3 FROM (
+      |    SELECT doc_id, w,
+      |      lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |      lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      |    FROM mapped) WHERE w1 IS NOT NULL),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM mapped GROUP BY w),
+      |bi AS (
+      |  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+      |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b1,
+      |           w AS b2
+      |    FROM mapped) WHERE b1 IS NOT NULL GROUP BY b1, b2),
+      |trik AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS ct
+      |         FROM tri GROUP BY w1, w2, w3 HAVING COUNT(*) >= 2),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM mapped),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CASE
+      |      WHEN tk.ct IS NOT NULL THEN
+      |        CAST(ROUND(LN(CAST(tk.ct AS DOUBLE) / CAST(c12.cb AS DOUBLE))
+      |          * 1000000) AS BIGINT)
+      |      WHEN c23.cb IS NOT NULL THEN
+      |        -916291 + CAST(ROUND(LN(CAST(c23.cb AS DOUBLE) /
+      |          CAST(u2.cu AS DOUBLE)) * 1000000) AS BIGINT)
+      |      ELSE
+      |        -1832582 + CAST(ROUND(LN(CAST(u3.cu AS DOUBLE) /
+      |          CAST(nt.n_total AS DOUBLE)) * 1000000) AS BIGINT)
+      |    END AS lp_micro
+      |  FROM tri t
+      |  LEFT JOIN trik tk ON tk.w1 = t.w1 AND tk.w2 = t.w2 AND tk.w3 = t.w3
+      |  JOIN bi c12 ON c12.b1 = t.w1 AND c12.b2 = t.w2
+      |  LEFT JOIN (SELECT * FROM bi WHERE cb >= 2) c23
+      |    ON c23.b1 = t.w2 AND c23.b2 = t.w3
+      |  JOIN uni u2 ON u2.w = t.w2
+      |  JOIN uni u3 ON u3.w = t.w3
+      |  CROSS JOIN nt)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |  CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, _) =>
+    TextAnalysis.trigramStupidBackoff(s.table("documents"), "doc_id",
+        "text", vocabSize = 20, trigramMin = 2L, bigramMin = 2L)
+      .select(col("id").as("doc_id"), col("n_trigrams"), col("lp_sum_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style line-grain cleaning ([[TextAnalysis.c4Clean]], Raffel et
+    * al. 2020). The corpus has no line/punctuation structure, so a
+    * synthetic PAGE is constructed deterministically on BOTH sides (the
+    * cur_pii trick): 6-token lines, terminal '.' on lines where
+    * (id + line) % 3 ≠ 0, a "lorem ipsum" line injected on id % 37 = 0
+    * and a curly-brace code line on id % 41 = 0 — so every rule
+    * (terminal punct, min words/line, bad phrase, curly, min kept
+    * lines) fires on real rows and the verdict flags + cleaned-text
+    * md5s are all in the compared surface. */
+  val textC4Clean = dfQ("text_c4_clean",
+    """WITH t0 AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w
+      |            FROM documents),
+      |ln AS (
+      |  SELECT id, j.j AS j,
+      |    array_to_string(w[6*j.j+1 : 6*j.j+6], ' ') ||
+      |    CASE WHEN (id + j.j) % 3 = 0 THEN '' ELSE '.' END AS line
+      |  FROM t0 CROSS JOIN LATERAL
+      |    (SELECT unnest(generate_series(0, (len(w)+5)//6 - 1)) AS j) j),
+      |ex AS (
+      |  SELECT id, j, line FROM ln
+      |  UNION ALL
+      |  SELECT id, 1000000, 'lorem ipsum dolor sit amet consectetur.'
+      |  FROM t0 WHERE id % 37 = 0
+      |  UNION ALL
+      |  SELECT id, 1000001, 'function f() { return 0 }.'
+      |  FROM t0 WHERE id % 41 = 0),
+      |pg AS (SELECT id, string_agg(line, chr(10) ORDER BY j) AS page
+      |       FROM ex GROUP BY id),
+      |rep AS (SELECT id, page, string_split(page, chr(10)) AS ls FROM pg),
+      |fin AS (SELECT id,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+      |    AND len(string_split(l, ' ')) >= 5) AS kept,
+      |  contains(page, 'lorem ipsum') AS bad_phrase,
+      |  contains(page, '{') AS has_curly
+      |  FROM rep)
+      |SELECT id AS doc_id, n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept, bad_phrase, has_curly,
+      |  (bad_phrase OR has_curly OR len(kept) < 3) AS dropped,
+      |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+      |FROM fin ORDER BY doc_id""".stripMargin) { (s, _) =>
+    // synthetic page, byte-identical to the oracle's CTE chain; the
+    // token array binds to a lambda variable so split() runs once/row
+    val pageCol = element_at(
+      transform(array(split(lower(col("text")), " ")), wv => {
+        val nl = call_function("div", (size(wv) + lit(5)).cast("long"),
+          lit(6L))
+        val lines = transform(sequence(lit(0L), nl - lit(1L)), j =>
+          concat(
+            array_join(slice(wv, (j * lit(6L) + lit(1L)).cast("int"),
+              lit(6)), " "),
+            when(pmod(col("doc_id") + j, lit(3L)) === 0L, lit(""))
+              .otherwise(lit("."))))
+        array_join(concat(lines,
+          when(pmod(col("doc_id"), lit(37L)) === 0L,
+            array(lit("lorem ipsum dolor sit amet consectetur.")))
+            .otherwise(array().cast("array<string>")),
+          when(pmod(col("doc_id"), lit(41L)) === 0L,
+            array(lit("function f() { return 0 }.")))
+            .otherwise(array().cast("array<string>"))), "\n")
+      }), 1)
+    val pages = s.table("documents")
+      .select(col("doc_id").cast("long").as("doc_id"), pageCol.as("page"))
+    TextAnalysis.c4Clean(pages, "doc_id", "page")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("bad_phrase"), col("has_curly"), col("dropped"),
+        md5(col("text_clean")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing ([[TextAnalysis.pplBuckets]],
     * Wenzek et al.): documents score under the corpus-trained bigram LM
     * (the text_bigram_lp chain), take the exact floor-division mean in
@@ -3400,6 +3533,93 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** INCREMENTAL INGEST DEDUP via a persisted Bloom filter — the
+    * nightly-loop companion of [[pipeIncrementalCurate]]: the BASE
+    * snapshot's content fingerprints build a Bloom filter which is
+    * SAVED and RELOADED ([[Curation.saveBloom]]/[[Curation.loadBloom]]
+    * — tonight's run probes last night's artifact), then the
+    * `readIncremental` delta probes it per row
+    * ([[Curation.bloomMaybeContains]]). Per-lang accounting carries the
+    * flagged count AND the exact re-ingestion truth (a flagged-but-new
+    * doc is a REPLAYED false positive). The oracle rebuilds filter and
+    * probes from the predicted base/delta split, so the snapshot-pinned
+    * base read, the incremental delta read, the persistence round-trip
+    * and every probe bit are all in the compared surface. */
+  val pipeIncrementalBloom = dfQ("pipe_incremental_bloom",
+    """WITH basefp AS (
+      |  SELECT md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |bpp AS (
+      |  SELECT (CAST('0x' || substr(md5('inc_' || fp), 1, 13) AS BIGINT)
+      |        + i * CAST('0x' || substr(md5('inc_' || fp), 14, 13) AS BIGINT))
+      |        % 16384 AS p
+      |  FROM (SELECT fp, unnest(generate_series(0, 4)) AS i FROM basefp)),
+      |filt AS (SELECT p // 32 AS word_idx,
+      |                bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      |         FROM bpp GROUP BY 1),
+      |delta AS (
+      |  SELECT doc_id, lang,
+      |    md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dk AS (SELECT DISTINCT fp FROM delta),
+      |dpp AS (
+      |  SELECT fp, (CAST('0x' || substr(md5('inc_' || fp), 1, 13) AS BIGINT)
+      |           + i * CAST('0x' || substr(md5('inc_' || fp), 14, 13) AS BIGINT))
+      |           % 16384 AS p
+      |  FROM (SELECT fp, unnest(generate_series(0, 4)) AS i FROM dk)),
+      |pr AS (
+      |  SELECT t.fp,
+      |    (SUM(CASE WHEN f.word IS NOT NULL AND (f.word & t.m) = t.m
+      |         THEN 1 ELSE 0 END) = 5) AS flagged
+      |  FROM (SELECT fp, p // 32 AS word_idx,
+      |               CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS m FROM dpp) t
+      |  LEFT JOIN filt f USING (word_idx)
+      |  GROUP BY t.fp),
+      |bset AS (SELECT DISTINCT fp FROM basefp)
+      |SELECT d.lang AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_delta,
+      |  CAST(SUM(CASE WHEN pr.flagged THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_dup,
+      |  CAST(SUM(CASE WHEN pr.flagged THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+      |FROM delta d JOIN pr ON pr.fp = d.fp
+      |LEFT JOIN bset b ON b.fp = d.fp
+      |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    bench = false) { (s, _) =>
+    import graft.sources.{IcebergFixture, IcebergIO, IcebergWrite}
+    val bits = 16384L; val k = 5; val seed = "inc"
+    val docs = s.table("documents").select("doc_id", "lang", "text")
+    val dir = s"/tmp/graft_pipe_incr_bloom_$crawlTag"
+    IcebergFixture.deleteRecursively(dir)
+    IcebergWrite.create(s, dir, docs.schema)
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), dir)
+    val snap1 = IcebergIO.loadMetadata(dir).currentSnapshotId.get
+    IcebergWrite.append(docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), dir)
+    // last night's artifact: filter over the PINNED base snapshot,
+    // persisted and reloaded
+    val baseFp = IcebergIO.read(s, dir, snapshotId = Some(snap1))
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val bloomDir = s"/tmp/graft_pipe_incr_bloom_f_$crawlTag"
+    IcebergFixture.deleteRecursively(bloomDir)
+    Curation.saveBloom(s, Curation.collectBloom(
+      Curation.bloomBuild(baseFp, "fp", bits, k, seed), bits, k, seed),
+      bloomDir)
+    val bf = Curation.loadBloom(s, bloomDir)
+    val delta = IcebergIO.readIncremental(s, dir, snap1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    delta
+      .withColumn("flagged", Curation.bloomMaybeContains(col("fp"), bf))
+      .join(baseFp.distinct().withColumn("t", lit(1L)), Seq("fp"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("flagged"), 0L).otherwise(1L)).as("n_new"))
+      .orderBy("lang")
+  }
+
   /** The crawl chain continued into TRAINING-EPOCH ASSEMBLY — the other
     * product tail: the same shared head+mid as [[pipeCrawlIceberg]]
     * (extract → gate → dedup → decontam → classify → mix → resample →
@@ -3984,7 +4204,7 @@ object PipelineQueries {
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
     embedBqHamming, embedBqRerank, embedBqEnrich, embedMatryoshka,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
+    textBigramLp, textTrigramSb, textC4Clean, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
     pipeGopherMix,
     textHashedScore, textBpeTrain, textBpeApply, curPackBpe, curPackBinsBpe,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,
@@ -3993,6 +4213,7 @@ object PipelineQueries {
     textHtmlExtract, pipeHtmlGopher, textHashlinClassify,
     pipeHtmlClassifyMix, textHtmlMeta, textHtmlNearGood,
     pipeCrawlIceberg, pipeCrawlEpoch, pipeIncrementalCurate,
+    pipeIncrementalBloom,
     pipeEpochIceberg, pipeEpochIncremental, pipeEpochMulti,
     pipeCrawlBpeBins, curPplBuckets, pipeCrawlPpl, pipeIncrementalBpeBins, pipePplMix,
     textClassifyCalibrate, pipeCalibrateSelect, textClassifyAuc, textClassifyAucBySrc, textClassifyAp,

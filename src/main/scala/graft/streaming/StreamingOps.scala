@@ -241,6 +241,14 @@ object StreamingOps {
     *     per-row window-fingerprint intersect against the broadcast
     *     eval set): docs sharing more than `maxContamWindows` k-token
     *     windows with an eval item drop;
+    *  6b. `bloomDecontam` = (bloomFilter, k, maxFlaggedWindows) — the
+    *     SCALED form of the same gate for blocklists too large to ship
+    *     as an exact literal set: k-token window fingerprints probe a
+    *     broadcast-literal [[graft.operators.Curation.BloomFilter]]
+    *     ([[graft.operators.Curation.bloomMaybeContains]], a pure
+    *     per-row fold); docs with more than `maxFlaggedWindows`
+    *     maybe-member windows drop. False positives only over-drop —
+    *     never leak — the correct one-sidedness for decontamination;
     *  7. `resample` = (weightMicroCol, salt) — deterministic importance
     *     sampling on the surviving docs
     *     ([[graft.operators.Curation.resampleKeep]]), applied AFTER all
@@ -283,6 +291,8 @@ object StreamingOps {
                    hlGate: Option[(graft.operators.TextAnalysis.HashedLinearModel,
                      Set[String])] = None,
                    decontam: Option[(Seq[String], Int, Int)] = None,
+                   bloomDecontam: Option[(graft.operators.Curation.BloomFilter,
+                     Int, Int)] = None,
                    resample: Option[(String, String)] = None,
                    split: Option[Seq[(String, Long)]] = None,
                    hlMargin: Option[(graft.operators.TextAnalysis.HashedLinearModel,
@@ -362,8 +372,13 @@ object StreamingOps {
         Curation.windowFingerprintArray(col(textCol), k),
         typedLit(fps))) <= maxW)
     }
-    val sampled = resample.fold(decontamed) { case (wCol, salt) =>
-      decontamed.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
+    val bloomed = bloomDecontam.fold(decontamed) { case (bf, k, maxW) =>
+      decontamed.filter(size(org.apache.spark.sql.functions.filter(
+        Curation.windowFingerprintArray(col(textCol), k),
+        h => Curation.bloomMaybeContains(h, bf))) <= maxW)
+    }
+    val sampled = resample.fold(bloomed) { case (wCol, salt) =>
+      bloomed.filter(Curation.resampleKeep(col(idCol), col(wCol), salt))
     }
     // EPOCHING on a stream: upsampleByWeight is a pure per-row filter +
     // bounded sequence explode (no state, no shuffle), so "2.5 epochs of

@@ -744,4 +744,163 @@ class CurationSpec extends AnyFunSuite {
       "id", "cp", "text", binTokens = 8L, partSpan = 1L << 55)
     assert(shuffled.count() === 50L)
   }
+
+  test("bloom filter: zero false negatives, fold ≡ join probe, guards") {
+    import spark.implicits._
+    val bits = 4096L; val k = 4; val seed = "bt"
+    val members = (0L until 200L).map(i => s"member_$i").toDF("key")
+    val filt = Curation.bloomBuild(members, "key", bits, k, seed)
+    filt.cache()
+    // word values are 32-bit masks — the sign bit is never touched
+    assert(filt.filter(col("word") < 0L || col("word") >= (1L << 32))
+      .count() === 0L)
+    val probes = (0L until 500L).map(i => s"member_$i").toDF("key")
+    val probed = Curation.bloomProbe(probes, "key", filt, bits, k, seed)
+    // no false negatives: every built member must hit
+    assert(probed.join(members, "key").filter(!col("bloom_hit"))
+      .count() === 0L)
+    // fold twin is bit-equal to the join form on every probed key
+    val bf = Curation.collectBloom(filt, bits, k, seed)
+    val fold = probes.select(col("key"),
+      Curation.bloomMaybeContains(col("key"), bf).as("fh"))
+    assert(probed.join(fold, "key").filter(col("bloom_hit") =!= col("fh"))
+      .count() === 0L)
+    // at this load (800 of 4096 bits) SOME non-member must miss — the
+    // filter is not saturated into all-true
+    assert(probed.filter(!col("bloom_hit")).count() > 0L)
+    filt.unpersist()
+    // guards: NULL key raises loudly; bad parameters refuse
+    val nullKey = Seq((1L, null: String)).toDF("id", "key")
+    val err = intercept[Exception](
+      Curation.bloomBuild(nullKey, "key", bits, k, seed).collect())
+    assert(err.getMessage.contains("NULL key"), err.getMessage)
+    intercept[IllegalArgumentException](
+      Curation.bloomBuild(members, "key", 100L, k, seed)) // not mult of 32
+    intercept[IllegalArgumentException](
+      Curation.bloomBuild(members, "key", bits, 17, seed)) // k too high
+    intercept[IllegalArgumentException](
+      Curation.collectBloom(filt, 1L << 29, k, seed)) // collect cap
+  }
+
+  test("bloom filter persistence: save/load round-trip is bit-equal; " +
+      "empty load raises") {
+    import spark.implicits._
+    val bits = 2048L; val k = 3; val seed = "pers"
+    val keys = (0L until 100L).map(i => s"k_$i").toDF("key")
+    val bf = Curation.collectBloom(
+      Curation.bloomBuild(keys, "key", bits, k, seed), bits, k, seed)
+    val dir = s"/tmp/graft_bloom_persist_${java.util.UUID.randomUUID()}"
+    try {
+      Curation.saveBloom(spark, bf, dir)
+      val loaded = Curation.loadBloom(spark, dir)
+      assert(loaded === bf)
+      // probing the loaded filter is bit-equal on members AND non-members
+      val probes = (0L until 200L).map(i => s"k_$i").toDF("key")
+      val a = probes.select(col("key"),
+        Curation.bloomMaybeContains(col("key"), bf).as("h")).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val b = probes.select(col("key"),
+        Curation.bloomMaybeContains(col("key"), loaded).as("h")).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(a === b)
+      // an empty save carries no parameter stamps — load refuses loudly
+      val emptyDir = s"/tmp/graft_bloom_empty_${java.util.UUID.randomUUID()}"
+      Curation.saveBloom(spark,
+        Curation.BloomFilter(Map.empty, bits, k, seed), emptyDir)
+      val e = intercept[IllegalArgumentException](
+        Curation.loadBloom(spark, emptyDir))
+      assert(e.getMessage.contains("no rows"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("bloom filter: false positives possible at high load, one-sided") {
+    import spark.implicits._
+    // saturate a tiny filter so false positives provably occur — and
+    // verify the gate errs ONLY toward over-dropping (a non-member can
+    // hit, a member can never miss)
+    val bits = 64L; val k = 2; val seed = "sat"
+    val members = (0L until 40L).map(i => s"m_$i").toDF("key")
+    val filt = Curation.bloomBuild(members, "key", bits, k, seed)
+    val nonMembers = (0L until 40L).map(i => s"x_$i").toDF("key")
+    val fp = Curation.bloomProbe(nonMembers, "key", filt, bits, k, seed)
+      .filter(col("bloom_hit")).count()
+    assert(fp > 0L, "expected false positives on a saturated 64-bit filter")
+    val fn = Curation.bloomProbe(members, "key", filt, bits, k, seed)
+      .filter(!col("bloom_hit")).count()
+    assert(fn === 0L)
+  }
+
+  test("corpusReport: exact nearest-rank percentiles, dup fraction, guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "a"),
+      (2L, "g1", "a b"),
+      (3L, "g1", "a b c"),
+      (4L, "g1", "a b c d"),
+      (5L, "g1", "a b"),   // duplicate text of doc 2
+      (6L, "g2", "x y z")
+    ).toDF("id", "grp", "text")
+    val out = Curation.corpusReport(docs, "id", "text", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    // counts sorted: 1,2,2,3,4 — p50 rank (5·50+99)//100 = 3 → 2;
+    // p95 rank (5·95+99)//100 = 5 → 4
+    assert(g1.getAs[Long]("n_docs") === 5L)
+    assert(g1.getAs[Long]("n_tokens") === 12L)
+    assert(g1.getAs[Long]("tok_min") === 1L)
+    assert(g1.getAs[Long]("tok_p50") === 2L)
+    assert(g1.getAs[Long]("tok_p95") === 4L)
+    assert(g1.getAs[Long]("tok_max") === 4L)
+    assert(g1.getAs[Long]("mean_tok_micro") === 2400000L)
+    assert(g1.getAs[Long]("n_distinct_texts") === 4L)
+    assert(g1.getAs[Long]("dup_frac_micro") === 200000L)
+    // singleton group: both percentile ranks resolve to the one row
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("tok_p50") === 3L && g2.getAs[Long]("tok_p95") === 3L)
+    assert(g2.getAs[Long]("dup_frac_micro") === 0L)
+    intercept[IllegalArgumentException](
+      Curation.corpusReport(docs, "id", "text", Nil))
+  }
+
+  test("expectations: mixed verdicts, one-pass row checks, guards") {
+    import spark.implicits._
+    import graft.operators.Expectations
+    val df = Seq(
+      (1L, "a", 10.0, "ok"),
+      (2L, "b", -5.0, "ok"),   // range violation
+      (2L, "c", 20.0, "bad"),  // dup id, set violation
+      (4L, null, 30.0, "ok")   // null name
+    ).toDF("id", "name", "score", "status")
+    val dim = Seq(1L, 2L).toDF("id") // 4 is a dangling FK
+    val out = Expectations.validate(df, Seq(
+      Expectations.NotNull("name_nn", "name"),
+      Expectations.InRange("score_rng", "score", lit(0.0), lit(25.0)),
+      Expectations.Matches("status_re", "status", "^[a-z]+$"),
+      Expectations.InSet("status_set", "status", Seq("ok")),
+      Expectations.Unique("id_uniq", Seq("id")),
+      Expectations.RefIntegrity("id_fk", Seq("id"), dim, Seq("id"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("name_nn") === (("not_null", 4L, 1L, false)))
+    assert(out("score_rng") === (("in_range", 4L, 2L, false))) // -5, 30
+    assert(out("status_re") === (("matches", 4L, 0L, true)))
+    assert(out("status_set") === (("in_set", 4L, 1L, false)))
+    assert(out("id_uniq") === (("unique", 4L, 1L, false)))
+    assert(out("id_fk") === (("ref_integrity", 4L, 1L, false)))
+    // guards
+    intercept[IllegalArgumentException](Expectations.validate(df, Nil))
+    intercept[IllegalArgumentException](Expectations.validate(df, Seq(
+      Expectations.NotNull("x", "name"), Expectations.NotNull("x", "status"))))
+    intercept[IllegalArgumentException](Expectations.validate(df, Seq(
+      Expectations.RefIntegrity("bad", Seq("id", "name"), dim, Seq("id")))))
+    // NULL FK components are SKIPPED (SQL FK semantics), not violations
+    val withNullKey = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "name")
+    val fk = Expectations.validate(withNullKey, Seq(
+      Expectations.RefIntegrity("fk", Seq("id"), dim, Seq("id"))))
+      .collect()(0)
+    assert(fk.getLong(2) === 1L && fk.getLong(3) === 0L) // 1 evaluated, 0 bad
+  }
 }

@@ -1055,4 +1055,106 @@ class OperatorsSpec extends AnyFunSuite {
     assert(means(0).getLong(0) === -4L) // floor(-3.5) = -4, not -3
     assert(means(1).isNullAt(0))
   }
+
+  test("c4Clean: line rules (terminal punct, min words), doc-grain drops " +
+      "(bad phrase, curly, min kept), flags and cleaned text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon.\nshort one.\n" +
+        "no terminal punct here at all\nsecond good line stays here!\n" +
+        "third fine line is long enough?\n" +
+        "fourth \"quoted line has five words\""),
+      (2L, "lorem ipsum dolor sit amet here.\ngood line with five words."),
+      (3L, "code line { with brace here.\nanother good line right here."),
+      (4L, "only one good line here today.\ntiny.\nbad")
+    ).toDF("id", "text")
+    val out = TextAnalysis.c4Clean(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 lines; kept = 1 (.), 4 (!), 5 (?), 6 (") — 2 fails min
+    // words, 3 has no terminal punct; no doc-grain flag
+    assert(out(1L).getLong(1) === 6L && out(1L).getLong(2) === 4L)
+    assert(!out(1L).getBoolean(3) && !out(1L).getBoolean(4) &&
+      !out(1L).getBoolean(5))
+    assert(out(1L).getString(6) ===
+      "alpha beta gamma delta epsilon.\nsecond good line stays here!\n" +
+        "third fine line is long enough?\n" +
+        "fourth \"quoted line has five words\"")
+    // doc 2: both lines keep line-grain, but the bad phrase drops the doc
+    assert(out(2L).getLong(2) === 2L && out(2L).getBoolean(3) &&
+      out(2L).getBoolean(5))
+    // doc 3: curly brace drops the doc (line-grain still keeps both)
+    assert(out(3L).getLong(2) === 2L && out(3L).getBoolean(4) &&
+      out(3L).getBoolean(5))
+    // doc 4: only 1 kept line < minKeptLines=3 — dropped with no flags
+    assert(out(4L).getLong(2) === 1L && !out(4L).getBoolean(3) &&
+      !out(4L).getBoolean(4) && out(4L).getBoolean(5))
+    // guards
+    intercept[IllegalArgumentException](
+      TextAnalysis.c4Clean(docs, "id", "text", minLineWords = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.c4Clean(docs, "id", "text", badPhrases = Seq("")))
+  }
+
+  test("trigramStupidBackoff ≡ naive replay; all three backoff branches " +
+      "reachable; OOV mapping under a small vocab") {
+    import spark.implicits._
+    val raw = Seq(1L -> "a b c a b c", 2L -> "x y z w", 3L -> "p q r",
+      4L -> "s q r")
+    val docs = raw.toDF("doc_id", "text")
+    // exact scala replay of the operator's contract (HALF_UP micro-nat
+    // rounding matches Spark round-on-double)
+    def naive(vocabSize: Int): (Map[Long, (Long, Long)], (Int, Int, Int)) = {
+      val toks = raw.map { case (id, t) => id -> t.toLowerCase.split(" ").toSeq }
+      val cnt = toks.flatMap(_._2).groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      val vocab = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(vocabSize).map(_._1).toSet
+      val mapped = toks.map { case (id, ws) =>
+        id -> ws.map(w => if (vocab(w)) w else "<oov>") }
+      val uni = mapped.flatMap(_._2).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val bi = mapped.flatMap { case (_, ws) =>
+        ws.sliding(2).filter(_.size == 2).map(s => (s(0), s(1))) }
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tri = mapped.flatMap { case (_, ws) =>
+        ws.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2))) }
+        .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = mapped.map(_._2.size).sum.toLong
+      def lnM(a: Long, b: Long): Long =
+        BigDecimal(math.log(a.toDouble / b.toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      var b1 = 0; var b2 = 0; var b3 = 0
+      val agg = scala.collection.mutable.Map[Long, (Long, Long)]()
+      mapped.foreach { case (id, ws) =>
+        ws.sliding(3).filter(_.size == 3).foreach { s =>
+          val t3 = (s(0), s(1), s(2))
+          val lp =
+            if (tri(t3) >= 2L) { b1 += 1; lnM(tri(t3), bi((s(0), s(1)))) }
+            else if (bi.getOrElse((s(1), s(2)), 0L) >= 2L) {
+              b2 += 1; -916291L + lnM(bi((s(1), s(2))), uni(s(1)))
+            } else { b3 += 1; -1832582L + lnM(uni(s(2)), n) }
+          val (c, t) = agg.getOrElse(id, (0L, 0L)); agg(id) = (c + 1, t + lp)
+        } }
+      (agg.toMap, (b1, b2, b3))
+    }
+    for (v <- Seq(20, 4)) {
+      val (want, branches) = naive(v)
+      val got = TextAnalysis.trigramStupidBackoff(docs, "doc_id", "text", v)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got === want, s"vocabSize $v")
+      if (v == 20)
+        assert(branches._1 > 0 && branches._2 > 0 && branches._3 > 0,
+          s"fixture must exercise all three backoff branches: $branches")
+    }
+    // the penalty constant is round(1e6 ln 0.4) — pin it against libm
+    assert(TextAnalysis.StupidBackoffPenaltyMicro ===
+      BigDecimal(math.log(0.4) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    intercept[IllegalArgumentException](
+      TextAnalysis.trigramStupidBackoff(docs, "doc_id", "text", 300))
+    intercept[IllegalArgumentException](
+      TextAnalysis.trigramStupidBackoff(docs, "doc_id", "text", 20,
+        trigramMin = 0L))
+  }
 }

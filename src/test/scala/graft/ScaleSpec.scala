@@ -153,6 +153,29 @@ class ScaleSpec extends AnyFunSuite {
       s"found a single-partition stage (global funnel):\n$p")
   }
 
+  test("cur_bloom_gate plan: filter + truth tables broadcast, no cartesian") {
+    val p = planOf("cur_bloom_gate")
+    // the bits/32-row filter table and the eval truth set both ride
+    // broadcasts; the fingerprint-keyed joins may legitimately shuffle
+    // (corpus × corpus on h)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected >=2 broadcast joins (filter words + truth set), plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("text_trigram_sb plan: all model tables broadcast, no cartesian") {
+    val p = planOf("text_trigram_sb")
+    // trigram/bigram/unigram count tables are (V+1)^arity-bounded and
+    // must ALL broadcast (tri, c12, c23, u2, u3); the N total is a 1-row
+    // broadcast (its upstream global agg legitimately contains a
+    // SinglePartition exchange — the tfidf pin lesson)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"expected >=5 broadcast model joins, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a model join fell back to a shuffle join:\n$p")
+  }
+
   test("kmeans assignment plan: centroid attach is a one-row broadcast, map-side fold") {
     // the codebook query's OUTPUT is a LocalTableScan (stats collected
     // during training) — inspect the per-iteration assignment job itself

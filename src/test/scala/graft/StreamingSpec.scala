@@ -231,6 +231,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(counted(id) === fps(t).intersect(evalSet).size, s"doc $id") }
   }
 
+  test("curateStream bloomDecontam ≡ batch bloom fold; bloom drops ⊇ exact drops") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8; val bits = 1L << 18; val hk = 5; val seed = "sbl"
+    // eval blocklist built batch-side, collected into a literal filter
+    val evalFp = Curation.evalFingerprints(
+      docsDf.filter("doc_id >= 400"), "doc_id", "text", k)
+    val bf = Curation.collectBloom(
+      Curation.bloomBuild(evalFp, "h", bits, hk, seed), bits, hk, seed)
+    // one doc per content fingerprint so the stream's keyed dedup is a no-op
+    val fpw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy("doc_id")
+    val uniq = docsDf
+      .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(fpw))
+      .filter(col("__rn") === 1).filter("doc_id < 200")
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(uniq.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts, r.getString(1))).toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.0, watermarkDelay = "10 seconds",
+      bloomDecontam = Some((bf, k, 0)))
+    StreamingOps.runToMemory(curated, "bloom_stream", OutputMode.Append())
+    val streamed = spark.table("bloom_stream").collect()
+      .map(_.getLong(0)).toSet
+
+    // batch twin: the same base gates + the same per-row bloom fold
+    val base = uniq.filter(
+      TextAnalysis.langIdHeuristic(col("text")) === "en" &&
+        TextAnalysis.qualityScore(col("text")) >= 0.0)
+    val kept = base.filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(
+          Curation.windowFingerprintArray(col("text"), k),
+          h => Curation.bloomMaybeContains(h, bf))) <= 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === kept && streamed.nonEmpty)
+    // one-sidedness: a bloom false positive only OVER-drops — every doc
+    // the exact gate drops, the bloom gate drops too
+    val exactKept = base.filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect(
+          Curation.windowFingerprintArray(col("text"), k),
+          org.apache.spark.sql.functions.typedLit(
+            evalFp.collect().map(_.getString(0)).toSeq))) <= 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.subsetOf(exactKept))
+    // the gate discriminates on this corpus (contaminated docs exist)
+    assert(base.count() > kept.size)
+  }
+
   test("streaming BQ ANN enrich: append-mode Hamming top-k equals batch") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
