@@ -195,27 +195,46 @@ object TextAnalysis {
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 5, minKeptLines: Int = 3,
               badPhrases: Seq[String] = Seq("lorem ipsum"),
-              banCurlyBrace: Boolean = true): DataFrame = {
-    require(minLineWords >= 1, "minLineWords must be >= 1")
-    require(minKeptLines >= 0, "minKeptLines must be >= 0")
-    require(badPhrases.forall(_.nonEmpty), "empty bad phrase")
-    val staged = docs.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("__page"), split(col(textCol), "\n").as("__lines"))
-    val keptArr = filter(col("__lines"), l =>
-      l.rlike("[.!?\"]$") && size(split(l, " ")) >= minLineWords)
-    val staged2 = staged.select(col("id"), col("__page"), col("__lines"),
-      keptArr.as("__kept"))
-    val badp = badPhrases.map(p => lower(col("__page")).contains(lit(p)))
+              banCurlyBrace: Boolean = true): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        c4Columns(col(textCol), C4Rules(minLineWords, minKeptLines,
+          badPhrases, banCurlyBrace)).as("__c4"))
+      .select(col("id"), col("__c4.n_lines"), col("__c4.n_kept"),
+        col("__c4.bad_phrase"), col("__c4.has_curly"),
+        col("__c4.dropped"), col("__c4.text_clean"))
+
+  /** The C4 rule parameters as a value object — the streaming gate's
+    * configuration ([[graft.streaming.StreamingOps.curateStream]]'s
+    * `c4=`). */
+  final case class C4Rules(minLineWords: Int = 5, minKeptLines: Int = 3,
+                           badPhrases: Seq[String] = Seq("lorem ipsum"),
+                           banCurlyBrace: Boolean = true)
+
+  /** The per-row CORE of [[c4Clean]] as one struct Column
+    * `(n_lines, n_kept, bad_phrase, has_curly, dropped, text_clean)` —
+    * shared by the batch operator and the streaming gate so the two
+    * cannot disagree. The line array and the kept array each bind to a
+    * lambda variable (the r16 duplication trap: an inlined Column tree
+    * re-runs per reference). */
+  def c4Columns(text: Column, rules: C4Rules): Column = {
+    require(rules.minLineWords >= 1, "minLineWords must be >= 1")
+    require(rules.minKeptLines >= 0, "minKeptLines must be >= 0")
+    require(rules.badPhrases.forall(_.nonEmpty), "empty bad phrase")
+    val badp = rules.badPhrases.map(p => lower(text).contains(lit(p)))
       .reduce(_ || _)
     val curly =
-      if (banCurlyBrace) col("__page").contains(lit("{")) else lit(false)
-    staged2.select(col("id"),
-      size(col("__lines")).cast("long").as("n_lines"),
-      size(col("__kept")).cast("long").as("n_kept"),
-      badp.as("bad_phrase"), curly.as("has_curly"),
-      (badp || curly || size(col("__kept")) < lit(minKeptLines))
-        .as("dropped"),
-      array_join(col("__kept"), "\n").as("text_clean"))
+      if (rules.banCurlyBrace) text.contains(lit("{")) else lit(false)
+    element_at(transform(array(split(text, "\n")), ls =>
+      element_at(transform(array(filter(ls, l =>
+        l.rlike("[.!?\"]$") &&
+          size(split(l, " ")) >= rules.minLineWords)), kp =>
+        struct(
+          size(ls).cast("long").as("n_lines"),
+          size(kp).cast("long").as("n_kept"),
+          badp.as("bad_phrase"), curly.as("has_curly"),
+          (badp || curly || size(kp) < lit(rules.minKeptLines))
+            .as("dropped"),
+          array_join(kp, "\n").as("text_clean"))), 1)), 1)
   }
 
   /** round(1e6·ln 0.4) as a FIXED literal — the stupid-backoff penalty
@@ -304,6 +323,102 @@ object TextAnalysis {
       .groupBy("id")
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum("lp_micro").as("lp_sum_micro"))
+  }
+
+  /** A trained stupid-backoff trigram LM as driver-side literals — the
+    * deployable artifact of [[trigramStupidBackoff]]'s training pass.
+    * `tri` holds only count-pruned trigrams (`ct >= trigramMin`); `bi`
+    * holds ALL bigrams (it serves both the c12 denominator and, via the
+    * `>= bigramMin` check at lookup, the backoff membership); keys are
+    * space-joined (tokens come from a space split, so the separator is
+    * collision-free). All maps are (vocab+1)^arity-bounded. */
+  final case class TrigramModel(vocabSet: Set[String],
+                                tri: Map[String, Long],
+                                bi: Map[String, Long],
+                                uni: Map[String, Long], nTotal: Long,
+                                trigramMin: Long, bigramMin: Long)
+
+  /** Train the trigram model batch-side — the exact table derivation of
+    * [[trigramStupidBackoff]], collected (bounded by (V+1)³). */
+  def trigramModel(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 20, trigramMin: Long = 2L,
+                   bigramMin: Long = 2L): TrigramModel = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1 && vocabSize <= 256,
+      s"vocabSize must be in [1, 256], got $vocabSize")
+    require(trigramMin >= 1L && bigramMin >= 1L,
+      "count-pruning thresholds must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    val mapped = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        when(col("in_v").isNotNull, col("tok")).otherwise(lit("<oov>")).as("w"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val triC = mapped
+      .withColumn("w2", lag("w", 1).over(byDoc))
+      .withColumn("w1", lag("w", 2).over(byDoc))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w").as("w3"))
+      .agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= lit(trigramMin))
+      .collect().map(r => (r.getString(0) + " " + r.getString(1) + " " +
+        r.getString(2)) -> r.getLong(3)).toMap
+    val biC = mapped.withColumn("wp", lag("w", 1).over(byDoc))
+      .filter(col("wp").isNotNull)
+      .groupBy(col("wp"), col("w"))
+      .agg(count(lit(1)).as("cb"))
+      .collect().map(r =>
+        (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val uniC = mapped.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TrigramModel(vocab.collect().map(_.getString(0)).toSet, triC, biC,
+      uniC, uniC.values.sum, trigramMin, bigramMin)
+  }
+
+  /** Per-row stupid-backoff scoring Columns — the FOLD form of
+    * [[trigramStupidBackoff]]'s inference for a trained
+    * [[TrigramModel]] (map literals, one pure projection — no join, no
+    * window, streaming-safe) and bit-equal to the batch scorer on every
+    * doc both emit (same three-branch CASE, same pruning predicates).
+    * On NEW text, a token absent from the training tables backs its
+    * unigram count to 1 (a singleton estimate — the batch form never
+    * meets this case on its own corpus). Returns
+    * (n_trigrams, lp_sum_micro); docs under 3 tokens fold to (0, 0). */
+  def trigramScoreColumns(m: TrigramModel, text: Column): (Column, Column) = {
+    val sep = " "
+    val pen = lit(StupidBackoffPenaltyMicro)
+    val t = tokens(text)
+    val mapped = transform(t, w =>
+      when(w.isInCollection(m.vocabSet), w).otherwise(lit("<oov>")))
+    val len3 = greatest(size(mapped) - lit(2), lit(0))
+    val trips = arrays_zip(
+      slice(mapped, lit(1), len3),
+      slice(mapped, lit(2), len3),
+      slice(mapped, lit(3), len3))
+    def lnM(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den.cast("double")) * 1e6).cast("long")
+    val lps = transform(trips, p => {
+      val ct = element_at(typedLit(m.tri),
+        concat(p.getField("0"), lit(sep), p.getField("1"), lit(sep),
+          p.getField("2")))
+      val c12 = coalesce(element_at(typedLit(m.bi),
+        concat(p.getField("0"), lit(sep), p.getField("1"))), lit(1L))
+      val c23 = element_at(typedLit(m.bi),
+        concat(p.getField("1"), lit(sep), p.getField("2")))
+      val c2 = coalesce(element_at(typedLit(m.uni), p.getField("1")), lit(1L))
+      val c3 = coalesce(element_at(typedLit(m.uni), p.getField("2")), lit(1L))
+      when(ct.isNotNull, lnM(ct, c12))
+        .when(c23.isNotNull && c23 >= lit(m.bigramMin),
+          pen + lnM(c23, c2))
+        .otherwise(pen + pen + lnM(c3, lit(m.nTotal)))
+    })
+    // |trips| = max(|tokens| - 2, 0) exactly — don't size(lps) (the
+    // r16 duplication trap would re-run every map lookup just to count)
+    (greatest(size(t).cast("long") - lit(2L), lit(0L)),
+      coalesce(aggregate(lps, lit(0L), (acc, x) => acc + x), lit(0L)))
   }
 
   /** Hashing-trick linear scorer over token BIGRAMS — the plumbing of a

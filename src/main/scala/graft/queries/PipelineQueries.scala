@@ -2135,33 +2135,37 @@ object PipelineQueries {
     * penalty per backoff level, micro-nat ln only over count ratios.
     * The oracle replays the vocabulary, all three count tables, the
     * pruning thresholds and the three-branch CASE bit-for-bit. */
-  val textTrigramSb = dfQ("text_trigram_sb",
-    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      |toks AS (
+  /** Trigram stupid-backoff scoring CTE chain (the text_trigram_sb
+    * replay) over `documents`, prefixed `p` (composed chains collide
+    * CTE names — the bpeIterCte lesson), ending at
+    * `{p}agg(doc_id, n_trigrams, lp_sum_micro)`. */
+  private def trigramSbCtes(p: String): String =
+    s"""${p}ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |${p}toks AS (
       |  SELECT ws.doc_id, i.i AS pos, ws.w[i.i] AS tok
-      |  FROM ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i),
-      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-      |vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 20),
-      |mapped AS (
+      |  FROM ${p}ws ws CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(ws.w))) AS i) i),
+      |${p}counts AS (SELECT tok, COUNT(*) AS cnt FROM ${p}toks GROUP BY tok),
+      |${p}vocab AS (SELECT tok FROM ${p}counts ORDER BY cnt DESC, tok LIMIT 20),
+      |${p}mapped AS (
       |  SELECT t.doc_id, t.pos,
       |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS w
-      |  FROM toks t LEFT JOIN vocab v USING (tok)),
-      |tri AS (
+      |  FROM ${p}toks t LEFT JOIN ${p}vocab v USING (tok)),
+      |${p}tri AS (
       |  SELECT doc_id, w1, w2, w AS w3 FROM (
       |    SELECT doc_id, w,
       |      lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
       |      lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-      |    FROM mapped) WHERE w1 IS NOT NULL),
-      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM mapped GROUP BY w),
-      |bi AS (
+      |    FROM ${p}mapped) WHERE w1 IS NOT NULL),
+      |${p}uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM ${p}mapped GROUP BY w),
+      |${p}bi AS (
       |  SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
       |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b1,
       |           w AS b2
-      |    FROM mapped) WHERE b1 IS NOT NULL GROUP BY b1, b2),
-      |trik AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS ct
-      |         FROM tri GROUP BY w1, w2, w3 HAVING COUNT(*) >= 2),
-      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM mapped),
-      |scored AS (
+      |    FROM ${p}mapped) WHERE b1 IS NOT NULL GROUP BY b1, b2),
+      |${p}trik AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS ct
+      |         FROM ${p}tri GROUP BY w1, w2, w3 HAVING COUNT(*) >= 2),
+      |${p}nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ${p}mapped),
+      |${p}scored AS (
       |  SELECT t.doc_id,
       |    CASE
       |      WHEN tk.ct IS NOT NULL THEN
@@ -2174,21 +2178,60 @@ object PipelineQueries {
       |        -1832582 + CAST(ROUND(LN(CAST(u3.cu AS DOUBLE) /
       |          CAST(nt.n_total AS DOUBLE)) * 1000000) AS BIGINT)
       |    END AS lp_micro
-      |  FROM tri t
-      |  LEFT JOIN trik tk ON tk.w1 = t.w1 AND tk.w2 = t.w2 AND tk.w3 = t.w3
-      |  JOIN bi c12 ON c12.b1 = t.w1 AND c12.b2 = t.w2
-      |  LEFT JOIN (SELECT * FROM bi WHERE cb >= 2) c23
+      |  FROM ${p}tri t
+      |  LEFT JOIN ${p}trik tk ON tk.w1 = t.w1 AND tk.w2 = t.w2 AND tk.w3 = t.w3
+      |  JOIN ${p}bi c12 ON c12.b1 = t.w1 AND c12.b2 = t.w2
+      |  LEFT JOIN (SELECT * FROM ${p}bi WHERE cb >= 2) c23
       |    ON c23.b1 = t.w2 AND c23.b2 = t.w3
-      |  JOIN uni u2 ON u2.w = t.w2
-      |  JOIN uni u3 ON u3.w = t.w3
-      |  CROSS JOIN nt)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-      |  CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
-      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, _) =>
+      |  JOIN ${p}uni u2 ON u2.w = t.w2
+      |  JOIN ${p}uni u3 ON u3.w = t.w3
+      |  CROSS JOIN ${p}nt nt),
+      |${p}agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |    CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+      |  FROM ${p}scored GROUP BY doc_id)""".stripMargin
+
+  val textTrigramSb = dfQ("text_trigram_sb",
+    "WITH " + trigramSbCtes("") + """
+      |SELECT doc_id, n_trigrams, lp_sum_micro
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, _) =>
     TextAnalysis.trigramStupidBackoff(s.table("documents"), "doc_id",
         "text", vocabSize = 20, trigramMin = 2L, bigramMin = 2L)
       .select(col("id").as("doc_id"), col("n_trigrams"), col("lp_sum_micro"))
       .orderBy("doc_id")
+  }
+
+  /** The CCNet tercile stage driven by the TRIGRAM stupid-backoff score
+    * — [[TextAnalysis.pplBuckets]] is score-agnostic, and this pins the
+    * composition with the richer LM (floor-mean per trigram position,
+    * per-lang exact terciles over the scored docs; docs under 3 tokens
+    * have no score and are absent, exactly like the bigram form). */
+  val curPplBucketsTri = dfQ("cur_ppl_buckets_tri",
+    "WITH " + trigramSbCtes("") + s""",
+      |sc AS (SELECT a.doc_id, d.lang,
+      |    ${avgLpSql("a.lp_sum_micro", "a.n_trigrams")} AS score_micro
+      |  FROM agg a JOIN documents d USING (doc_id)),
+      |rk AS (SELECT doc_id, lang, score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM sc)
+      |SELECT doc_id, lang, score_micro, rk, n_lang,
+      |  CASE WHEN rk * 3 <= n_lang THEN 'head'
+      |       WHEN rk * 3 <= n_lang * 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk ORDER BY lang, rk""".stripMargin,
+    bench = false) { (s, _) =>
+    val docs = s.table("documents")
+    val scored = TextAnalysis.trigramStupidBackoff(docs, "doc_id", "text", 20)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("id"), col("lang"),
+        TextAnalysis.avgLpMicro(col("lp_sum_micro"), col("n_trigrams"))
+          .as("score_micro"))
+    TextAnalysis.pplBuckets(scored, "id", "lang", "score_micro")
+      .select(col("id").as("doc_id"), col("lang"), col("score_micro"),
+        col("rk"), col("n_lang"), col("bucket"))
+      .orderBy("lang", "rk")
   }
 
   /** C4-style line-grain cleaning ([[TextAnalysis.c4Clean]], Raffel et
@@ -4204,7 +4247,7 @@ object PipelineQueries {
     embedSq8Adc, embedSq8Rerank, embedSq8Enrich, embedRangeSearch,
     embedBqHamming, embedBqRerank, embedBqEnrich, embedMatryoshka,
     textStats, textQuality, textLangId, textFingerprint, textUnigramLp,
-    textBigramLp, textTrigramSb, textC4Clean, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
+    textBigramLp, textTrigramSb, curPplBucketsTri, textC4Clean, textNbClassify, pipeClassifyMix, textTfIdf, textGopher,
     pipeGopherMix,
     textHashedScore, textBpeTrain, textBpeApply, curPackBpe, curPackBinsBpe,
     mmBinaryMeta, mmFeatures, mmFrames, mmDecodePng, mmDecodeBmp, mmDecodeWav, mmDecodeGifFrames,

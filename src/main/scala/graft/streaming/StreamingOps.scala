@@ -152,6 +152,23 @@ object StreamingOps {
         sum("lp_micro").as("lp_sum_micro"))
   }
 
+  /** Score a STREAM of documents under a batch-trained stupid-backoff
+    * trigram model ([[graft.operators.TextAnalysis.trigramModel]]) via
+    * the per-row fold ([[graft.operators.TextAnalysis
+    * .trigramScoreColumns]] — map-literal tables, one pure projection,
+    * no window/join/state, append-mode safe). Bit-equal to the batch
+    * [[graft.operators.TextAnalysis.trigramStupidBackoff]] on every doc
+    * both emit. Emits (id, n_trigrams, lp_sum_micro) per arriving doc
+    * (trigram-less docs fold to (0, 0)). */
+  def scoreStreamTrigram(docs: DataFrame, idCol: String, textCol: String,
+                         model: graft.operators.TextAnalysis.TrigramModel)
+      : DataFrame = {
+    val (n, s) = graft.operators.TextAnalysis
+      .trigramScoreColumns(model, col(textCol))
+    docs.select(col(idCol).as("id"), n.as("n_trigrams"),
+      s.as("lp_sum_micro"))
+  }
+
   /** Count BPE tokens of ARRIVING documents under merges trained
     * batch-side ([[graft.operators.TextAnalysis.trainBpeMerges]]) — the
     * deploy-time token-budget meter: train the tokenizer once on the
@@ -241,6 +258,11 @@ object StreamingOps {
     *     per-row window-fingerprint intersect against the broadcast
     *     eval set): docs sharing more than `maxContamWindows` k-token
     *     windows with an eval item drop;
+    *  5b. `c4` = C4 line-grain cleaning rules
+    *     ([[graft.operators.TextAnalysis.c4Columns]], Raffel et al.
+    *     2020) applied to the (extracted) page BEFORE dedup and every
+    *     gate: rule-dropped docs vanish, survivors carry the CLEANED
+    *     text through the rest of the tail;
     *  6b. `bloomDecontam` = (bloomFilter, k, maxFlaggedWindows) — the
     *     SCALED form of the same gate for blocklists too large to ship
     *     as an exact literal set: k-token window fingerprints probe a
@@ -288,6 +310,7 @@ object StreamingOps {
                    nbGate: Option[(graft.operators.TextAnalysis.NbModel,
                      Set[String])] = None,
                    html: Option[graft.operators.HtmlExtract.HtmlRules] = None,
+                   c4: Option[graft.operators.TextAnalysis.C4Rules] = None,
                    hlGate: Option[(graft.operators.TextAnalysis.HashedLinearModel,
                      Set[String])] = None,
                    decontam: Option[(Seq[String], Int, Int)] = None,
@@ -303,7 +326,19 @@ object StreamingOps {
     import graft.operators.{Curation, HtmlExtract, TextAnalysis}
     val source = html.fold(docs)(rules => docs.withColumn(textCol,
       HtmlExtract.extractedHtmlText(col(textCol), rules)))
-    val gated0 = source
+    // C4 line-grain cleaning runs FIRST on the (extracted) page — docs
+    // the rules drop never reach dedup/gates, survivors carry the
+    // CLEANED text forward (so fingerprints and every later gate see
+    // what training would see). Pure per-row (TextAnalysis.c4Columns,
+    // shared with the batch operator) — append-mode safe.
+    val c4ed = c4.fold(source) { rules =>
+      source
+        .withColumn("__c4", TextAnalysis.c4Columns(col(textCol), rules))
+        .filter(!col("__c4.dropped"))
+        .withColumn(textCol, col("__c4.text_clean"))
+        .drop("__c4")
+    }
+    val gated0 = c4ed
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")

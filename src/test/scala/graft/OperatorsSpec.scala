@@ -1056,6 +1056,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(means(1).isNullAt(0))
   }
 
+  test("trigramScoreColumns fold ≡ batch trigramStupidBackoff on the " +
+      "training corpus; trigram-less docs fold to (0, 0)") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = TextAnalysis.trigramModel(docsDf, "doc_id", "text", 20)
+    val (n3, lpSum) = TextAnalysis.trigramScoreColumns(m, col("text"))
+    val fold = docsDf
+      .select(col("doc_id"), n3.as("n"), lpSum.as("s"))
+      .unionByName(Seq((999999L, "just two")).toDF("doc_id", "text")
+        .select(col("doc_id"), n3.as("n"), lpSum.as("s")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val batch = TextAnalysis.trigramStupidBackoff(docsDf, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, v) => assert(fold(id) === v,
+      s"doc $id: fold ${fold(id)} != batch $v") }
+    assert(fold(999999L) === ((0L, 0L)))
+  }
+
   test("c4Clean: line rules (terminal punct, min words), doc-grain drops " +
       "(bad phrase, curly, min kept), flags and cleaned text") {
     import spark.implicits._

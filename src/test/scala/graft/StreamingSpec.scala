@@ -285,6 +285,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(base.count() > kept.size)
   }
 
+  test("curateStream c4 stage ≡ batch c4Clean: dropped docs vanish, " +
+      "survivors carry cleaned text") {
+    import spark.implicits._
+    import graft.operators.{Curation, TextAnalysis}
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("doc_id < 150")
+    // synthesize punctuated pages (the corpus has no line structure)
+    val pages = docsDf.select("doc_id", "text").collect().map { r =>
+      val id = r.getLong(0); val w = r.getString(1).toLowerCase.split(" ")
+      val lines = w.grouped(6).zipWithIndex.map { case (g, j) =>
+        g.mkString(" ") + (if ((id + j) % 3 == 0) "" else ".") }.toSeq
+      val extra =
+        (if (id % 37 == 0) Seq("lorem ipsum dolor sit amet consectetur.")
+         else Nil) ++
+          (if (id % 41 == 0) Seq("function f() { return 0 }.") else Nil)
+      (id, (lines ++ extra).mkString("\n"))
+    }.toSeq
+    val rules = TextAnalysis.C4Rules()
+    val pagesDf = pages.toDF("doc_id", "page")
+    val verdicts = TextAnalysis.c4Clean(pagesDf, "doc_id", "page").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getString(6)))).toMap
+    // keep one doc per distinct CLEANED text so the stream's keyed dedup
+    // is a no-op on the survivors (dropped docs never reach it)
+    val keepIds = verdicts.toSeq.filterNot(_._2._1)
+      .groupBy(_._2._2).map(_._2.map(_._1).min).toSet
+    val inputIds = keepIds ++ verdicts.filter(_._2._1).keys
+    val ts = new java.sql.Timestamp(1704067200000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    in.addData(pages.filter(p => inputIds(p._1))
+      .map { case (id, p) => (id, ts, p) }.toIndexedSeq)
+    val curated = StreamingOps.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+      minQuality = 0.0, watermarkDelay = "10 seconds", c4 = Some(rules))
+    StreamingOps.runToMemory(curated, "c4_stream", OutputMode.Append())
+    val streamed = spark.table("c4_stream").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
+    // batch twin: c4Clean survivors -> base gates on the CLEANED text
+    val batch = pagesDf.filter(col("doc_id").isin(keepIds.toSeq: _*))
+      .join(TextAnalysis.c4Clean(pagesDf, "doc_id", "page")
+        .select(col("id").as("doc_id"), col("text_clean")), Seq("doc_id"))
+      .filter(TextAnalysis.langIdHeuristic(col("text_clean")) === "en" &&
+        TextAnalysis.qualityScore(col("text_clean")) >= 0.0)
+      .select(col("doc_id"),
+        Curation.piiRedact(col("text_clean")).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch && streamed.nonEmpty)
+    // every rule-dropped doc vanished from the stream
+    verdicts.filter(_._2._1).keys.foreach(id => assert(!streamed.contains(id)))
+    // and cleaning is real: some survivor lost at least one line
+    assert(streamed.exists { case (id, t) =>
+      t.length < pages.find(_._1 == id).get._2.length })
+  }
+
   test("streaming BQ ANN enrich: append-mode Hamming top-k equals batch") {
     import spark.implicits._
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
@@ -1020,6 +1074,31 @@ class StreamingSpec extends AnyFunSuite {
     // bit-identical to the training-time batch scores
     streamed.foreach { case (id, s) => assert(s === batch(id),
       s"doc $id: streaming $s != batch ${batch(id)}") }
+  }
+
+  test("streaming trigram stupid-backoff scoring matches batch doc-for-doc") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.operators.TextAnalysis
+      .trigramModel(docsDf, "doc_id", "text", vocabSize = 20)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    in.addData(docsDf.select("doc_id", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toIndexedSeq)
+    val scored = StreamingOps.scoreStreamTrigram(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(scored.isStreaming)
+    StreamingOps.runToMemory(scored, "stream_trigram", OutputMode.Append())
+    val streamed = spark.table("stream_trigram").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.TextAnalysis
+      .trigramStupidBackoff(docsDf, "doc_id", "text", 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (id, s) =>
+      assert(s === batch.getOrElse(id, (0L, 0L)),
+        s"doc $id: streaming $s != batch ${batch.get(id)}") }
   }
 
   test("streaming BPE token counting matches the batch segmenter doc-for-doc") {
