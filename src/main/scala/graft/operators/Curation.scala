@@ -280,6 +280,37 @@ object Curation {
       r.getAs[Long]("word")).toMap, bits, k, seed)
   }
 
+  /** Merge two filters built with IDENTICAL (bits, k, seed) — bitwise OR
+    * per word, so `merge(build(A), build(B)) == build(A ∪ B)` exactly
+    * (OR is associative/commutative/idempotent): the nightly loop folds
+    * yesterday's filter with today's increment instead of rebuilding
+    * over the whole history. Mismatched parameters raise. */
+  def mergeBloom(a: BloomFilter, b: BloomFilter): BloomFilter = {
+    require(a.bits == b.bits && a.k == b.k && a.seed == b.seed,
+      s"mergeBloom: parameter mismatch ((${a.bits},${a.k},${a.seed}) vs " +
+        s"(${b.bits},${b.k},${b.seed}))")
+    BloomFilter((a.words.keySet ++ b.words.keySet).map(i =>
+      i -> (a.words.getOrElse(i, 0L) | b.words.getOrElse(i, 0L))).toMap,
+      a.bits, a.k, a.seed)
+  }
+
+  /** Saturation diagnostics of a built filter table: (n_words,
+    * n_set_bits, fill_micro, fp_rate_est) — fill = set-bits/bits in
+    * exact micro units; fp_rate_est = (fill)^k as a DOUBLE (the
+    * standard (1 - e^{-kn/m})^k once bits are set — diagnostic only,
+    * not oracle-grade). Word values stay under 2^32 so Spark's
+    * `bit_count` sign-extension trap (CLAUDE r14) cannot fire. */
+  def bloomStats(filter: DataFrame, bits: Long, k: Int): DataFrame = {
+    requireBloom(bits, k)
+    filter.agg(count(lit(1)).cast("long").as("n_words"),
+        coalesce(sum(bit_count(col("word"))), lit(0L)).cast("long")
+          .as("n_set_bits"))
+      .withColumn("fill_micro",
+        call_function("div", col("n_set_bits") * lit(1000000L), lit(bits)))
+      .withColumn("fp_rate_est",
+        pow(col("n_set_bits").cast("double") / lit(bits.toDouble), k))
+  }
+
   /** Per-row maybe-member fold under a broadcast-literal [[BloomFilter]]
     * — the streaming-gate twin of [[bloomProbe]] (pure projection: no
     * join, no aggregate, append-mode safe) and bit-equal to it on every

@@ -92,9 +92,11 @@ object Expectations {
     val rowFrame: Option[DataFrame] =
       if (rowChecks.isEmpty) None
       else {
+        // coalesce: `sum` over ZERO rows is NULL — an empty relation
+        // (a quiet streaming micro-batch) must verdict as 0 violations
         val aggs = count(lit(1)).cast("long").as("__n") +:
-          rowChecks.map(c => sum(when(rowViolation(c).get, 1L)
-            .otherwise(0L)).as(s"__v_${c.name}"))
+          rowChecks.map(c => coalesce(sum(when(rowViolation(c).get, 1L)
+            .otherwise(0L)), lit(0L)).as(s"__v_${c.name}"))
         val one = df.agg(aggs.head, aggs.tail: _*)
         // one row -> one verdict row per check via an inline exploded map
         Some(one.select(explode(map(rowChecks.flatMap(c =>
@@ -108,8 +110,9 @@ object Expectations {
         val keyed = df.groupBy(cols0.map(col): _*)
           .agg(count(lit(1)).cast("long").as("__c"))
         Some(keyed.agg(
-          sum(col("__c")).cast("long").as("n_rows"),
-          sum(col("__c") - lit(1L)).cast("long").as("n_violations"))
+          coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_rows"),
+          coalesce(sum(col("__c") - lit(1L)), lit(0L)).cast("long")
+            .as("n_violations"))
           .select(lit(name).as("check"), col("n_violations"), col("n_rows")))
       case RefIntegrity(name, cols0, dim, dimCols) =>
         require(cols0.size == dimCols.size,

@@ -760,6 +760,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming DATA-QUALITY AUDIT sink: per micro-batch, evaluate the
+    * declared [[graft.operators.Expectations]] checks against the
+    * batch's rows and APPEND the verdict rows (stamped `batch_id`) to
+    * an Iceberg audit table — the continuously-written quality ledger a
+    * production ingest keeps next to the data (alerting tails the
+    * table; a failed check is a row with `pass = false`, never a
+    * swallowed exception). Exactly-once via the same batch-id replay
+    * guard as [[icebergAppendSink]]; an EMPTY micro-batch audits as
+    * zero violations (the checks are defined over zero rows). The audit
+    * table must exist with columns
+    * (check, kind, n_rows, n_violations, pass, batch_id). */
+  def expectationsAuditSink(stream: DataFrame,
+      checks: Seq[graft.operators.Expectations.Check], tablePath: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.sources.IcebergIO.loadMetadata(tablePath): Unit
+    require(checks.nonEmpty, "expectationsAuditSink: no checks given")
+    stream.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val verdicts = graft.operators.Expectations
+          .validate(batch.toDF(), checks)
+          .withColumn("batch_id", lit(batchId))
+        commitStreamBatch(verdicts, tablePath, batchId): Unit
+      }
+      .start()
+  }
+
   /** Streaming read of an APPEND-ONLY Iceberg table: each micro-batch
     * picks up data files committed since the last one — the streaming
     * twin of [[graft.sources.IcebergIO.readIncremental]], composed from

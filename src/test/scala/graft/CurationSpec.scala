@@ -815,6 +815,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeBloom ≡ build over the union; bloomStats saturation; guards") {
+    import spark.implicits._
+    val bits = 2048L; val k = 3; val seed = "mg"
+    val a = (0L until 80L).map(i => s"a_$i").toDF("key")
+    val b = (0L until 80L).map(i => s"b_$i").toDF("key")
+    def bf(df: org.apache.spark.sql.DataFrame) = Curation.collectBloom(
+      Curation.bloomBuild(df, "key", bits, k, seed), bits, k, seed)
+    val merged = Curation.mergeBloom(bf(a), bf(b))
+    val whole = bf(a.unionByName(b))
+    assert(merged === whole) // OR of ORs — exact, not approximate
+    intercept[IllegalArgumentException](Curation.mergeBloom(bf(a),
+      Curation.BloomFilter(Map.empty, bits, k, "other")))
+    // stats: fill matches a scala popcount of the words; estimate sane
+    val filt = Curation.bloomBuild(a, "key", bits, k, seed)
+    val st = Curation.bloomStats(filt, bits, k).collect()(0)
+    val setBits = bf(a).words.values.map(java.lang.Long.bitCount(_).toLong).sum
+    assert(st.getAs[Long]("n_set_bits") === setBits)
+    assert(st.getAs[Long]("fill_micro") === setBits * 1000000L / bits)
+    val est = st.getAs[Double]("fp_rate_est")
+    assert(est > 0.0 && est < 1.0)
+  }
+
   test("bloom filter: false positives possible at high load, one-sided") {
     import spark.implicits._
     // saturate a tiny filter so false positives provably occur — and

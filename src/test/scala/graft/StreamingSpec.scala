@@ -1747,6 +1747,54 @@ class StreamingSpec extends AnyFunSuite {
         s"$root/nope", s"$root/ckpt2"))
   }
 
+  test("expectations audit sink: per-batch verdict rows land in the " +
+      "audit table; empty input verdicts zero violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.Expectations
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_exp_sink").toString
+    val table = s"$root/audit"; val ckpt = s"$root/ckpt"
+    val st = StructType(Seq(
+      StructField("check", StringType, nullable = true),
+      StructField("kind", StringType, nullable = true),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("n_violations", LongType, nullable = true),
+      StructField("pass", BooleanType, nullable = true),
+      StructField("batch_id", LongType, nullable = true)))
+    graft.sources.IcebergWrite.create(spark, table, st)
+    val checks = Seq(
+      Expectations.NotNull("k_nn", "k"),
+      Expectations.InRange("v_rng", "v", lit(0L), lit(10L)),
+      Expectations.Unique("k_uniq", Seq("k")))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)](spark)
+    in.addData(("a", 1L), ("b", 20L)) // one range violation
+    val q = StreamingOps.expectationsAuditSink(
+      in.toDF().toDF("k", "v"), checks, table, ckpt)
+    try {
+      q.processAllAvailable()
+      in.addData(("c", 2L), ("c", 3L)) // duplicate key
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = graft.sources.IcebergIO.read(spark, table).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("pass")))).toMap
+    assert(rows.size === 6) // 3 checks x 2 batches
+    assert(rows((0L, "v_rng")) === ((2L, 1L, false)))
+    assert(rows((0L, "k_uniq")) === ((2L, 0L, true)))
+    assert(rows((1L, "v_rng")) === ((2L, 0L, true)))
+    assert(rows((1L, "k_uniq")) === ((2L, 1L, false)))
+    assert(rows((1L, "k_nn")) === ((2L, 0L, true)))
+    // an empty relation verdicts as zero rows, zero violations, pass
+    val ev = Expectations.validate(
+      Seq.empty[(String, Long)].toDF("k", "v"), checks).collect()
+    assert(ev.length === 3)
+    ev.foreach(r => assert(r.getLong(2) === 0L && r.getLong(3) === 0L &&
+      r.getBoolean(4), r.toString))
+  }
+
   test("iceberg upsert sink: keyed merge, exactly-once across restarts") {
     import spark.implicits._
     import org.apache.spark.sql.types._
