@@ -115,7 +115,14 @@ object Curation {
       .join(broadcast(evalH), "h")
       .select(col("id"), col("pos").cast("long").as("s"),
         (col("pos") + (k - 1)).cast("long").as("e"))
+    // r19: islands feed BOTH the contaminated-token aggregate and the
+    // strip-reassembly anti-join; without a persist each consumer
+    // re-ran the whole train window-fingerprint explode + md5 chain.
+    // The frame is span-scale (only contaminated intervals — bounded
+    // by eval-set overlap, far below the corpus), so the cache is tiny;
+    // Bench/Verify clear it between runs.
     val islands = Dedup.mergeIslands(marked)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = train.select(col(idCol).cast("long").as("id"),
       size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"))
     val contam = islands.groupBy("id")
@@ -724,30 +731,43 @@ object Curation {
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       dupThreshold: Double = 0.9,
                       gramThreshold: Double = 0.2): DataFrame = {
+    // r19 optimization (guide §2.4): the 2-gram metric used to explode
+    // every adjacent pair corpus-wide and aggregate it in TWO shuffles
+    // ((id, gram) counts, then per-id max). The most-repeated-2-gram
+    // mass is a PER-DOCUMENT statistic, so it folds per row instead:
+    // sort the doc's gram array, then one pass tracking the current
+    // run length and the best cnt·len(gram) seen. max over
+    // {cnt_i·len_i / n_chars} equals (max cnt_i·len_i) / n_chars
+    // because double division by a positive constant is monotone —
+    // bit-identical to the grouped form. The whole operator is now a
+    // pure projection: ZERO exchanges (the before plan had 2), nothing
+    // corpus-wide ever shuffles.
     val toks = docs.select(col(idCol).as("id"),
       split(lower(col(textCol)), " ").as("w"),
       length(col(textCol)).cast("double").as("n_chars"))
-    val word = toks.select(col("id"),
+    val bestMass = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(0, size(w) - 2),
+        |    i -> concat_ws(' ', w[i], w[i + 1]))),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (acc, g) -> CASE WHEN acc.prev IS NOT NULL AND g = acc.prev
+        |    THEN named_struct('prev', g, 'run', acc.run + 1L,
+        |      'best', GREATEST(acc.best, (acc.run + 1L) * length(g)))
+        |    ELSE named_struct('prev', g, 'run', 1L,
+        |      'best', GREATEST(acc.best, CAST(length(g) AS BIGINT))) END,
+        |  acc -> acc.best)""".stripMargin)
+    val withTop = toks.select(col("id"),
       size(col("w")).cast("long").as("n_toks"),
       (lit(1.0) - size(array_distinct(col("w"))).cast("double") /
         size(col("w")).cast("double")).as("dup_word_frac"),
-      col("n_chars"))
-    // non-distinct 2-grams: the most frequent one's character mass
-    val grams = toks
-      .filter(size(col("w")) >= 2)
-      .select(col("id"), col("n_chars"), explode(expr(
-        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i + 1]))")).as("g"))
-    val top = grams.groupBy("id", "n_chars", "g")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("id")
-      .agg(max(col("cnt") * length(col("g")).cast("double") / col("n_chars"))
+      when(size(col("w")) >= 2,
+        bestMass.cast("double") / col("n_chars")).otherwise(lit(0.0))
         .as("top_gram_frac"))
-    word.join(top, Seq("id"), "left")
-      .select(col("id"), col("n_toks"),
-        round(col("dup_word_frac"), 6).as("dup_word_frac"),
-        round(coalesce(col("top_gram_frac"), lit(0.0)), 6).as("top_gram_frac"),
-        (col("dup_word_frac") > dupThreshold ||
-          coalesce(col("top_gram_frac"), lit(0.0)) > gramThreshold).as("flagged"))
+    withTop.select(col("id"), col("n_toks"),
+      round(col("dup_word_frac"), 6).as("dup_word_frac"),
+      round(col("top_gram_frac"), 6).as("top_gram_frac"),
+      (col("dup_word_frac") > dupThreshold ||
+        col("top_gram_frac") > gramThreshold).as("flagged"))
   }
 
   // ---- domain blocklist filtering ---------------------------------------

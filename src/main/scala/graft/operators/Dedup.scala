@@ -394,25 +394,21 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Symmetrize in ONE projection (explode of both orientations), not a
-    // self-union: a union references the input plan twice, and when
-    // `pairs` is an expensive unpersisted pipeline (minhash candidate
-    // join + Jaccard verification) both branches would recompute it —
-    // measured 2× the whole pair pipeline at sf0.1. One pass, then the
-    // tiny edge list persists and feeds every round.
-    val edges0 = pairs
-      .select(explode(array(
-        struct(col(aCol).as("u"), col(bCol).as("v")),
-        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // ONE evaluation of the (possibly expensive, unpersisted) pair
+    // pipeline: canonicalize straight to (u >= v) and checkpoint.
+    // canonical(symmetrized set) == canonical(pairs) — the old
+    // symmetrize-then-distinct pass doubled the distinct's input for
+    // nothing, and the separate node-set persist + count cost two more
+    // jobs; the node set now derives lazily from this same checkpointed
+    // base in the final labeling job (r19 optimization: at bench scale
+    // the CC loop is job-count-bound — every removed action is wall
+    // time). Self-pairs stay in `base` so their nodes surface in the
+    // labeling even though the star rounds drop them.
+    val base = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
       .distinct()
-      .persist(lvl)
-    // node set pinned up front: star rounds drop already-starred leaf
-    // edges' duplicates, but every original node must surface in the
-    // final labeling even if its component fully contracts early
-    val nodes = edges0.select(col("u").as("id")).distinct().persist(lvl)
-    nodes.count(): Unit
+      .localCheckpoint(true)
 
     // one star phase over the SYMMETRIZED current edges: hang each
     // neighbor on `side` of u off m(u) = min of u's CLOSED neighborhood;
@@ -439,12 +435,12 @@ object Dedup {
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    // exact set-difference count — edge lists are pair-scale (verified
-    // near-dup pairs), orders of magnitude below the corpus, so the
-    // convergence check is cheap relative to the phases themselves
-    def diff(a: DataFrame, b: DataFrame): Long =
-      a.join(b, Seq("u", "v"), "left_anti").count() +
-        b.join(a, Seq("u", "v"), "left_anti").count()
+    // exact symmetric set difference — edge lists are pair-scale
+    // (verified near-dup pairs), orders of magnitude below the corpus,
+    // so the convergence check is cheap relative to the phases
+    def symDiff(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("u", "v"), "left_anti").unionByName(
+        b.join(a, Seq("u", "v"), "left_anti"))
 
     // canonical initial edge set (child, root) ordered u > v.
     // LINEAGE DISCIPLINE: every round's frame is EAGERLY
@@ -458,29 +454,27 @@ object Dedup {
     // 200-node path). The checkpoint truncates the plan to an RDD scan;
     // edge frames are pair-scale (verified near-dup pairs), so the
     // executor-local blocks are negligible next to the corpus.
-    var cur = edges0
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")) // caller self-pairs add nothing
-      .distinct()
-      .localCheckpoint(true)
-    edges0.unpersist()
+    var cur = base.filter(col("u") =!= col("v")) // self-pairs add nothing
     var rounds = 0
     var converged = false
+    val debug = sys.props.contains("graft.cc.debug") ||
+      sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && rounds < maxIter) {
       val t0 = System.nanoTime()
       val afterLarge = phase(symmetrize(cur), large = true)
         .localCheckpoint(true)
       val afterSmall = phase(symmetrize(afterLarge), large = false)
         .localCheckpoint(true)
-      val d1 = diff(cur, afterLarge)
-      val d2 = diff(afterLarge, afterSmall)
-      converged = d1 == 0 && d2 == 0
-      if (sys.props.contains("graft.cc.debug") ||
-          sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"cc round $rounds d1=$d1 d2=$d2 " +
+      // BOTH phases' fixpoint checks in ONE job (r19: the old per-diff
+      // count() pairs cost four scheduler round-trips per alternation —
+      // the dominant cost once the edge list is small; isEmpty stops at
+      // the first differing edge instead of counting them all)
+      converged = symDiff(cur, afterLarge)
+        .unionByName(symDiff(afterLarge, afterSmall)).isEmpty
+      if (debug)
+        println(f"cc round $rounds converged=$converged " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-      cur.unpersist()
+      if (rounds > 0) cur.unpersist() // round-0 input is the shared base
       afterLarge.unpersist()
       cur = afterSmall
       rounds += 1
@@ -492,10 +486,13 @@ object Dedup {
     lastCcRounds.set(rounds)
     // at the star fixpoint every edge is (leaf, root): a node's label is
     // the min over its closed neighborhood; contracted-away nodes keep
-    // their root via the canonical (u > v) edge they last appeared in
+    // their root via the canonical (u > v) edge they last appeared in.
+    // The node set derives from the checkpointed `base` (cheap RDD
+    // scan), so isolated/self-pair nodes surface with comp = id.
     val fromEdges = symmetrize(cur)
       .groupBy("u").agg(least(col("u"), min(col("v"))).as("comp"))
       .select(col("u").as("id"), col("comp"))
+    val nodes = symmetrize(base).select(col("u").as("id")).distinct()
     val labels = nodes
       .join(fromEdges, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

@@ -694,9 +694,18 @@ object TextAnalysis {
                      nMerges: Int): DataFrame = {
     require(nMerges > 0, "nMerges must be positive")
     val spark = docs.sparkSession
+    // r19 (guide §1/job-count): generations persist WITHOUT an eager
+    // count() job — the next iteration's argmax action materializes the
+    // cache read-through (each generation is one fold over its cached
+    // parent, so the lazy chain stays one level deep). Parents stay
+    // cached until the loop ends: vocab frames are (distinct words)-
+    // scale, tiny next to the corpus, and dropping the per-merge
+    // materialize-then-unpersist pair removes nMerges−1 jobs per train.
+    val gens = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var cur = wordVocab(docs, textCol)
       .withColumn("syms", expr(charSymsExpr))
       .select(col("cnt"), col("syms")).persist()
+    gens += cur
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       for (k <- 1 to nMerges) {
@@ -715,14 +724,12 @@ object TextAnalysis {
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         merges += ((l, r))
         if (k < nMerges) { // the last fused vocab is never re-scanned
-          val next = cur.withColumn("syms", expr(mergeFold("syms", l, r)))
+          cur = cur.withColumn("syms", expr(mergeFold("syms", l, r)))
             .persist()
-          next.count(): Unit // materialize before dropping the parent
-          cur.unpersist()
-          cur = next
+          gens += cur
         }
       }
-    } finally cur.unpersist()
+    } finally gens.foreach(_.unpersist())
     import org.apache.spark.sql.{Row, types => T}
     val rows = merges.toSeq.zipWithIndex.map { case ((l, r), i) =>
       Row((i + 1).toLong, l, r)

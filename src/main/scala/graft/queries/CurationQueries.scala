@@ -872,12 +872,21 @@ object CurationQueries {
     val docs = s.table("documents")
     val isEval = col("doc_id") % 17 === 0
     val bits = 16384L; val k = 5; val seed = "bl"
+    // r19: the eval fingerprint set feeds the filter build AND the
+    // true-hit join, and the train window frame feeds the probe's
+    // distinct AND the per-doc accounting join — without persists each
+    // consumer re-scanned documents and re-ran the per-window md5
+    // explode (4 parquet scans in the before plan, 2 of them full
+    // window-fingerprint passes). Both frames are query-local caches
+    // (Bench/Verify clear the cache between runs).
     val evalFp = Curation.evalFingerprints(docs.filter(isEval), "doc_id",
       "text", k = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filt = Curation.bloomBuild(evalFp, "h", bits, k, seed)
     val trainW = docs.filter(!isEval)
       .select(col("doc_id").cast("long").as("id"),
         explode(Curation.windowFingerprintArray(col("text"), 8)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = Curation.bloomProbe(trainW, "h", filt, bits, k, seed)
     trainW
       .join(probed, Seq("h"))
