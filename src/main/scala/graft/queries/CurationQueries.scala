@@ -873,12 +873,12 @@ object CurationQueries {
     val isEval = col("doc_id") % 17 === 0
     val bits = 16384L; val k = 5; val seed = "bl"
     // r19: the eval fingerprint set feeds the filter build AND the
-    // true-hit join, and the train window frame feeds the probe's
-    // distinct AND the per-doc accounting join — without persists each
-    // consumer re-scanned documents and re-ran the per-window md5
-    // explode (4 parquet scans in the before plan, 2 of them full
-    // window-fingerprint passes). Both frames are query-local caches
-    // (Bench/Verify clear the cache between runs).
+    // true-hit join — persisted (it is distinct-fingerprint-scale,
+    // tiny, and one consumer is a broadcast build). The train window
+    // frame is deliberately NOT cached even though two consumers read
+    // it: an A/B measured the occurrence-scale cache a wash at bench
+    // scale, and the repo's minhash precedent (cache tiny projections,
+    // never occurrence/corpus-scale frames) is the right 100-TB call.
     val evalFp = Curation.evalFingerprints(docs.filter(isEval), "doc_id",
       "text", k = 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -886,7 +886,6 @@ object CurationQueries {
     val trainW = docs.filter(!isEval)
       .select(col("doc_id").cast("long").as("id"),
         explode(Curation.windowFingerprintArray(col("text"), 8)).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = Curation.bloomProbe(trainW, "h", filt, bits, k, seed)
     trainW
       .join(probed, Seq("h"))
