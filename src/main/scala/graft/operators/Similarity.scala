@@ -474,16 +474,20 @@ object Similarity {
                                    lutCols: Seq[Column],
                                    adist: Column)
 
-  private def pqParts(q: DataFrame, d: Int, m: Int, ksub: Int): PqParts = {
+  private def pqParts(q: DataFrame, m: Int, ksub: Int): PqParts = {
     require(m > 0 && ksub > 0)
-    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
-    val ds = d / m
     val seeds: IndexedSeq[IndexedSeq[Long]] = q
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy("h", "id").limit(ksub)
       .select("qv").collect()
       .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
     require(seeds.size == ksub, s"corpus smaller than ksub=$ksub")
+    // r19: the dimension comes off the seed rows this collect already
+    // fetched — the seeded PQ paths used to pay a separate 1-row
+    // dimension-probe job per query construction (guide §1.2 job count)
+    val d = seeds.head.size
+    require(d % m == 0, s"dimension $d not divisible by m=$m subspaces")
+    val ds = d / m
     pqPartsFromCodebooks(seeds,
       (0 until m).map(j => seeds.map(_.slice(j * ds, j * ds + ds))), m, ds,
       ksub)
@@ -569,8 +573,7 @@ object Similarity {
              m: Int, ksub: Int): DataFrame = {
     require(k > 0)
     val q = microVecs(emb, idCol, vecCol)
-    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
-    val pq = pqParts(q, d, m, ksub)
+    val pq = pqParts(q, m, ksub)
     val encoded = q.select(col("id") +: pq.codeCols: _*)
     val queries = q.filter(queryPred)
       .select(col("id").as("qid") +: pq.lutCols: _*)
@@ -598,8 +601,7 @@ object Similarity {
     val cents = buildIvfCentroids(emb, idCol, vecCol, nCells)
     val assigned = assignCells(all, cents).select(col("id"), col("cell"))
     val q = microVecs(emb, idCol, vecCol)
-    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
-    val pq = pqParts(q, d, m, ksub)
+    val pq = pqParts(q, m, ksub)
     val encoded = q.select(col("id") +: pq.codeCols: _*)
       .join(assigned, Seq("id"))
     val qprobes = assignQueryCells(all.filter(queryPred), cents, nprobe)
@@ -726,8 +728,7 @@ object Similarity {
                   ksub: Int): DataFrame = {
     require(k > 0)
     val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
-    val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
-    enrichWithParts(queries, idCol, vecCol, cq, pqParts(cq, d, m, ksub), k, m)
+    enrichWithParts(queries, idCol, vecCol, cq, pqParts(cq, m, ksub), k, m)
   }
 
   /** [[pqAnnEnrich]] with TRAINED codebooks ([[pqTrainedParts]]) — the
