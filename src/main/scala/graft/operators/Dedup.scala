@@ -184,46 +184,77 @@ object Dedup {
                       numBands: Int = 6, rowsPerBand: Int = 3,
                       shingleN: Int = 3, threshold: Double = 0.5,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // The tiny (content-hash, id) projection is computed once and
-    // persisted: it feeds the rep-id aggregation AND the member mapping,
-    // so the member path never rescans or rehashes the corpus. The TEXT
-    // column is deliberately NOT cached — reps keep the one unavoidable
-    // text shuffle (min per hash group) straight off the source; an
-    // experiment caching (ch, member, txt) measured no faster at sf0.1
-    // and a corpus-sized cache is the riskier bet at scale. memberOf IS
-    // persisted: it drives the two fan-out joins AND the intra
-    // self-join, and is two id columns wide.
+    // The narrow (content-hash, id, shingleable) projection is computed
+    // once and persisted: it feeds the dup-group aggregate AND the
+    // dup-member mapping. The TEXT column is deliberately NOT cached —
+    // a corpus-sized cache is the riskier bet at scale (r10 A/B).
+    // `shingleable` rides along so the intra-pair gate (does the group's
+    // text shingle at all?) never needs a corpus-scale distinct over the
+    // shingle set: lower()/split() preserve token count, so
+    // size(split(lower(text))) >= n  ⟺  the doc survives `shingles`.
     val keyed = docs
-      .select(md5(col(textCol)).as("ch"), col(idCol).as("member"))
+      .select(md5(col(textCol)).as("ch"), col(idCol).as("member"),
+        (size(split(lower(col(textCol)), " ")) >= shingleN).as("shingleable"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = collapseExact(docs, idCol, textCol)
-    val memberOf = keyed
-      .join(keyed.groupBy("ch").agg(min(col("member")).as("rep")), "ch")
-      .select("rep", "member")
+    // ONE corpus-scale aggregate keyed on the content hash (narrow rows:
+    // hash + id + bool — the text never shuffles anywhere in this
+    // pipeline, r20). Groups with >1 member are the ONLY ones the
+    // fan-out machinery has to know about; on a duplicate-light corpus
+    // (post-exact-dedup web data, every bench fixture) `dupGroups` is
+    // tiny and every join below it becomes a map-side broadcast under
+    // AQE — the fan-out cost scales with DUPLICATES, not the corpus.
+    val dupGroups = keyed.groupBy("ch")
+      .agg(min(col("member")).as("rep"), count(lit(1)).as("nm"),
+        max(col("shingleable")).as("shingleable"))
+      .filter(col("nm") > 1)
+    // (rep, member, shingleable) for dup-group members only; feeds the
+    // two fan-out left-joins and the intra self-join (both sides) — the
+    // group-level shingleable flag rides along so the intra gate is a
+    // filter on this one persisted frame, not a second group aggregate
+    val dupM = keyed.select("ch", "member")
+      .join(dupGroups.select("ch", "rep", "shingleable"), "ch")
+      .select("rep", "member", "shingleable")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The shingle set feeds four consumers (signatures, both Jaccard
-    // sides, the shingled-rep filter); without a persist the text would
-    // be re-scanned and re-shingled per consumer — at corpus scale that
-    // multiplies the dominant cost. MEMORY_AND_DISK spills instead of
-    // OOMing. The cache entry lives until the caller drops it
+    // one representative row per distinct text WITHOUT re-hashing or
+    // shuffling the text (the old collapseExact groupBy moved the whole
+    // text column through an exchange): drop the non-representative
+    // members of dup groups — a broadcast anti-join against the tiny
+    // non-rep id set — and rename in place. Identical (id, txt) set:
+    // within a group texts are byte-identical and min(id) survives.
+    val nonReps = dupM.filter(col("member") =!= col("rep"))
+      .select(col("member").as("__gf_nr"))
+    val reps = docs
+      .join(nonReps, docs(idCol) === nonReps("__gf_nr"), "left_anti")
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+    // The shingle set feeds three consumers (signatures, both Jaccard
+    // sides); without a persist the text would be re-scanned and
+    // re-shingled per consumer — at corpus scale that multiplies the
+    // dominant cost. MEMORY_AND_DISK spills instead of OOMing. The
+    // cache entry lives until the caller drops it
     // (`spark.catalog.clearCache()` or unpersist) — repeated invocations
     // in one session should clear between runs, as Bench does.
     val sh = shingles(reps, "id", "txt", shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashBandKeys(sh, numBands, rowsPerBand), maxBucket)
     val repPairs = jaccard(cands, sh).filter(col("jac") >= threshold)
-    // fan cross-group rep pairs out to all member pairs; member ids may
-    // order differently than rep ids, so re-normalize with least/greatest
+    // fan cross-group rep pairs out to all member pairs. A rep absent
+    // from dupM is its own single member (coalesce) — the left joins
+    // touch ONLY dup-group rows, never a corpus-scale identity map.
+    // Member ids may order differently than rep ids, so re-normalize
+    // with least/greatest.
     val cross = repPairs
-      .join(memberOf.select(col("rep").as("a"), col("member").as("ma")), "a")
-      .join(memberOf.select(col("rep").as("b"), col("member").as("mb")), "b")
-      .select(least(col("ma"), col("mb")).as("a"),
-        greatest(col("ma"), col("mb")).as("b"), col("jac"))
+      .join(dupM.select(col("rep").as("a"), col("member").as("ma")),
+        Seq("a"), "left")
+      .join(dupM.select(col("rep").as("b"), col("member").as("mb")),
+        Seq("b"), "left")
+      .select(least(coalesce(col("ma"), col("a")), coalesce(col("mb"), col("b"))).as("a"),
+        greatest(coalesce(col("ma"), col("a")), coalesce(col("mb"), col("b"))).as("b"),
+        col("jac"))
     // intra-group pairs: jac = 1.0 exactly (identical shingle sets), only
     // for groups whose text shingles at all — too-short texts produce no
-    // candidates in the uncollapsed pipeline either
-    val shingledReps = sh.select(col("id").as("rep")).distinct()
-    val dupMembers = memberOf.join(shingledReps, "rep")
+    // candidates in the uncollapsed pipeline either. The gate is the
+    // precomputed `shingleable` flag, not a join against the shingle set.
+    val dupMembers = dupM.filter(col("shingleable"))
     val intra = dupMembers.select(col("rep"), col("member").as("a"))
       .join(dupMembers.select(col("rep"), col("member").as("b")), "rep")
       .filter(col("a") < col("b"))
@@ -558,17 +589,25 @@ object Dedup {
   /** Rebuild each doc of `docs` from the tokens NOT covered by an
     * `islands` interval — (id, text_out), every doc present ('' when
     * fully covered). Islands are disjoint, so the coverage join can't
-    * multiply rows; left_anti keeps exactly the uncovered tokens. */
+    * multiply rows; left_anti keeps exactly the uncovered tokens.
+    * `broadcastIslands`: callers that KNOW the island set is bounded
+    * (span decontamination — intervals only where train text overlaps
+    * an eval window) hint the broadcast so the token explosion streams
+    * map-side instead of shuffling on doc id; the substring-dedup
+    * caller keeps AQE's choice (its islands are corpus-derived and can
+    * be corpus-scale). */
   private[operators] def stripBySpans(docs: DataFrame, idCol: String,
                                       textCol: String, islands: DataFrame,
-                                      outCol: String): DataFrame = {
+                                      outCol: String,
+                                      broadcastIslands: Boolean = false): DataFrame = {
     val ids = docs.select(col(idCol).cast("long").as("id"))
     val toks = docs.select(col(idCol).cast("long").as("id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "tok")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = toks.join(islands,
-      toks("id") === islands("id") &&
-        toks("pos").between(islands("s"), islands("e")),
+    val isl = if (broadcastIslands) broadcast(islands) else islands
+    val kept = toks.join(isl,
+      toks("id") === isl("id") &&
+        toks("pos").between(isl("s"), isl("e")),
       "left_anti")
     val rebuilt = kept.groupBy("id")
       .agg(array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
