@@ -28,6 +28,17 @@ object Similarity {
   private def vdot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
 
+  /** Native exact-integer folds over BIGINT micro-vectors (see
+    * [[graft.functions.LongVecFold]]) — same NULL/length semantics as
+    * the `aggregate(zip_with(...))` forms they replace. */
+  private def vdotLong(a: Column, b: Column): Column =
+    GraftShim.column(graft.functions.VecDotLong(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  private def vl2Long(a: Column, b: Column): Column =
+    GraftShim.column(graft.functions.VecL2Long(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
   /** (id, v: array<double>, norm2) projection of an embeddings table. */
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"),
@@ -283,34 +294,25 @@ object Similarity {
     assignKmeansCells(q, seeds)
   }
 
-  /** Map-side nearest-centroid assignment over quantized vectors: exact
-    * BIGINT L2 against a broadcast (cell, cqv) struct array, strict `<`
-    * over the cell-ascending fold so ties take the lowest cell. */
+  /** Map-side nearest-centroid assignment over quantized vectors: the
+    * exact BIGINT L2 argmin (ties to the lowest cell) as ONE native
+    * expression over the centroid table held as a flat literal —
+    * [[graft.functions.PqEncode]] with a single subspace. r20: the old
+    * broadcast-struct-array HOF fold evaluated interpreted
+    * (corpus × k × d closure calls — the dominant per-row cost of
+    * semantic dedup and every Lloyd iteration); `strict` keeps the exact
+    * zip_with degenerate-length semantics, so results are bit-identical.
+    * Pure projection — no centroid join in the plan at all. */
   private def assignKmeansCells(q: DataFrame,
                                 cents: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
-    import org.apache.spark.sql.{Row, types => T}
-    val spark = q.sparkSession
-    val rows = cents.zipWithIndex.map { case (cv, i) => Row(i.toLong, cv) }
-    val centDf = spark.createDataFrame(
-      new java.util.ArrayList[Row](rows.asJava),
-      T.StructType(Seq(
-        T.StructField("cell", T.LongType, nullable = false),
-        T.StructField("cqv", T.ArrayType(T.LongType, containsNull = false),
-          nullable = false))))
-    val centArr = centDf.agg(
-      sort_array(collect_list(struct(col("cell"), col("cqv")))).as("cents"))
-    val scored = transform(col("cents"), c => struct(
-      aggregate(zip_with(col("qv"), c.getField("cqv"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("dist"),
-      c.getField("cell").as("cell")))
-    val best = aggregate(scored,
-      struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("cell")),
-      (acc, s) => when(s.getField("dist") < acc.getField("dist"), s)
-        .otherwise(acc))
-    q.crossJoin(broadcast(centArr))
-      .withColumn("cell", best.getField("cell"))
-      .drop("cents")
+    val d = cents.head.size
+    require(cents.forall(_.size == d), "ragged centroid table")
+    val flat = new Array[Long](cents.size * d)
+    for (c <- cents.indices; i <- 0 until d) flat(c * d + i) = cents(c)(i)
+    q.withColumn("cell", element_at(
+      GraftShim.column(graft.functions.PqEncode(
+        GraftShim.expression(col("qv")), flat, 1, d, cents.size,
+        strict = true)), 1))
   }
 
   /** SemDeDup-style SEMANTIC deduplication (cluster-then-prune, after
@@ -348,18 +350,17 @@ object Similarity {
     // reference re-runs the assignment pass (the unionByName
     // double-compute lesson, generalized)
     val assigned = assignKmeansCells(q, cents)
-      .withColumn("n2",
-        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("n2", vdotLong(col("qv"), col("qv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell").as("a_cell"), col("id").as("a_id"),
       col("qv").as("a_qv"), col("n2").as("a_n2"))
     val b = assigned.select(col("cell").as("b_cell"), col("id").as("b_id"),
       col("qv").as("b_qv"), col("n2").as("b_n2"))
-    // exact BIGINT dot over the quantized vectors; the cosine itself is
-    // double, but both engines derive it from identical integers so the
-    // threshold compare is bit-stable cross-engine
-    val cos = aggregate(zip_with(col("a_qv"), col("b_qv"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x).cast("double") /
+    // exact BIGINT dot over the quantized vectors (native codegen fold,
+    // r20 — the zip_with form ran interpreted per candidate pair); the
+    // cosine itself is double, but both engines derive it from identical
+    // integers so the threshold compare is bit-stable cross-engine
+    val cos = vdotLong(col("a_qv"), col("b_qv")).cast("double") /
       (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))
     val dropIds = a.join(b,
         col("a_cell") === col("b_cell") && col("a_id") < col("b_id") &&
@@ -465,13 +466,17 @@ object Similarity {
       expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
 
-  /** The PQ building blocks over a seed codebook: encode columns
-    * (`c0..c{m-1}`), per-query LUT columns (`lut0..`), and the ADC sum.
-    * Seeds come from the `ksub` lowest-md5(id) corpus vectors (shared
-    * seed set across subspaces; deterministic, no RNG). */
+  /** The PQ building blocks over a seed codebook: the encode column
+    * (`codes`: m codes as one array), the per-query flattened LUT
+    * column (`lutf`: m·ksub distances), and the ADC sum. Seeds come
+    * from the `ksub` lowest-md5(id) corpus vectors (shared seed set
+    * across subspaces; deterministic, no RNG). Encode and LUT are the
+    * native [[graft.functions.PqEncode]]/[[graft.functions.PqLut]]
+    * expressions (r20: the HOF forms evaluated interpreted — m·ksub·ds
+    * closure calls per corpus row — and dominated every PQ query). */
   private final case class PqParts(seeds: IndexedSeq[IndexedSeq[Long]],
-                                   codeCols: Seq[Column],
-                                   lutCols: Seq[Column],
+                                   codesCol: Column,
+                                   lutCol: Column,
                                    adist: Column)
 
   private def pqParts(q: DataFrame, m: Int, ksub: Int): PqParts = {
@@ -499,30 +504,31 @@ object Similarity {
   private def pqPartsFromCodebooks(seeds: IndexedSeq[IndexedSeq[Long]],
                                    cbs: Seq[IndexedSeq[IndexedSeq[Long]]],
                                    m: Int, ds: Int, ksub: Int): PqParts = {
-    def cbLit(j: Int): Column = typedLit(cbs(j))
-    def subv(j: Int): Column = expr(s"slice(qv, ${j * ds + 1}, $ds)")
-    def subDist(sub: Column, cv: Column): Column =
-      aggregate(zip_with(sub, cv, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+    // flat long[] reference object shipped once per task inside the
+    // native expressions: cb((j*ksub + c)*ds + i)
+    val flat = new Array[Long](m * ksub * ds)
+    for (j <- 0 until m; c <- 0 until ksub; i <- 0 until ds)
+      flat((j * ksub + c) * ds + i) = cbs(j)(c)(i)
     // ENCODE: per subspace, argmin over the codebook (ties -> lowest)
-    val codeCols = (0 until m).map { j =>
-      val scored = transform(sequence(lit(0), lit(ksub - 1)), c => struct(
-        subDist(subv(j), element_at(cbLit(j), c + 1)).as("dist"),
-        c.cast("long").as("code")))
-      aggregate(scored,
-        struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("code")),
-        (acc, s) => when(s.getField("dist") < acc.getField("dist"), s)
-          .otherwise(acc))
-        .getField("code").as(s"c$j")
-    }
-    val lutCols = (0 until m).map { j =>
-      transform(cbLit(j), cv => subDist(subv(j), cv)).as(s"lut$j")
-    }
-    val adist = (0 until m)
-      .map(j => element_at(col(s"lut$j"), col(s"c$j").cast("int") + 1))
-      .reduce(_ + _)
-    PqParts(seeds, codeCols, lutCols, adist)
+    val codesCol = GraftShim.column(graft.functions.PqEncode(
+      GraftShim.expression(col("qv")), flat, m, ds, ksub)).as("codes")
+    val lutCol = GraftShim.column(graft.functions.PqLut(
+      GraftShim.expression(col("qv")), flat, m, ds, ksub)).as("lutf")
+    // the ADC sum stays a plain codegen expression: m flat-LUT lookups
+    // (1-based entry j*ksub + code + 1) — identical values to the old
+    // per-subspace element_at(lut_j, c_j + 1)
+    val adist = pqAdcSum(col("lutf"), j => element_at(col("codes"), j + 1),
+      m, ksub)
+    PqParts(seeds, codesCol, lutCol, adist)
   }
+
+  /** Σ_j lutf[j·ksub + code_j + 1] — the ADC distance over the
+    * flattened LUT; `codeOf(j)` supplies subspace j's code column. */
+  private def pqAdcSum(lutf: Column, codeOf: Int => Column,
+                       m: Int, ksub: Int): Column =
+    (0 until m)
+      .map(j => element_at(lutf, codeOf(j).cast("int") + lit(j * ksub + 1)))
+      .reduce(_ + _)
 
   private def pqTopKSelect(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -560,9 +566,9 @@ object Similarity {
     val q = microVecs(emb, idCol, vecCol)
     val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
     val pq = pqTrainedParts(emb, idCol, vecCol, d, m, ksub, iters)
-    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val encoded = q.select(col("id"), pq.codesCol)
     val queries = q.filter(queryPred)
-      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .select(col("id").as("qid"), pq.lutCol)
     pqTopKSelect(
       broadcast(queries).join(encoded, col("qid") =!= col("id"))
         .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
@@ -574,9 +580,9 @@ object Similarity {
     require(k > 0)
     val q = microVecs(emb, idCol, vecCol)
     val pq = pqParts(q, m, ksub)
-    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val encoded = q.select(col("id"), pq.codesCol)
     val queries = q.filter(queryPred)
-      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .select(col("id").as("qid"), pq.lutCol)
     pqTopKSelect(
       broadcast(queries).join(encoded, col("qid") =!= col("id"))
         .select(col("qid"), col("id").as("nid"), pq.adist.as("adist")), k)
@@ -602,12 +608,12 @@ object Similarity {
     val assigned = assignCells(all, cents).select(col("id"), col("cell"))
     val q = microVecs(emb, idCol, vecCol)
     val pq = pqParts(q, m, ksub)
-    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val encoded = q.select(col("id"), pq.codesCol)
       .join(assigned, Seq("id"))
     val qprobes = assignQueryCells(all.filter(queryPred), cents, nprobe)
       .select(col("id").as("qid"), col("cell"))
     val queries = q.filter(queryPred)
-      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .select(col("id").as("qid"), pq.lutCol)
       .join(qprobes, Seq("qid"))
     // (queries × nprobe) rows broadcast; the encoded corpus streams
     // through one hash join on the cell key — an item matches at most
@@ -641,12 +647,12 @@ object Similarity {
     val q = microVecs(emb, idCol, vecCol)
     val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
     val pq = pqTrainedParts(emb, idCol, vecCol, d, m, ksub, iters)
-    val encoded = q.select(col("id") +: pq.codeCols: _*)
+    val encoded = q.select(col("id"), pq.codesCol)
       .join(assigned, Seq("id"))
     val qprobes = assignQueryCells(all.filter(queryPred), cents, nprobe)
       .select(col("id").as("qid"), col("cell"))
     val queries = q.filter(queryPred)
-      .select(col("id").as("qid") +: pq.lutCols: _*)
+      .select(col("id").as("qid"), pq.lutCol)
       .join(qprobes, Seq("qid"))
     pqTopKSelect(
       encoded.join(broadcast(queries), Seq("cell"))
@@ -700,8 +706,7 @@ object Similarity {
     val withQ = short.join(broadcast(queries), Seq("qid"))
     val scored = corpus.join(broadcast(withQ), Seq("nid"))
       .select(col("qid"), col("nid"),
-        aggregate(zip_with(col("qqv"), col("nv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        vl2Long(col("qqv"), col("nv")).as("d2"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -728,7 +733,8 @@ object Similarity {
                   ksub: Int): DataFrame = {
     require(k > 0)
     val cq = microVecs(corpus, corpusIdCol, corpusVecCol)
-    enrichWithParts(queries, idCol, vecCol, cq, pqParts(cq, m, ksub), k, m)
+    enrichWithParts(queries, idCol, vecCol, cq, pqParts(cq, m, ksub), k,
+      m, ksub)
   }
 
   /** [[pqAnnEnrich]] with TRAINED codebooks ([[pqTrainedParts]]) — the
@@ -744,30 +750,28 @@ object Similarity {
     val d = corpus.select(size(col(corpusVecCol)).as("d")).head.getInt(0)
     enrichWithParts(queries, idCol, vecCol, cq,
       pqTrainedParts(corpus, corpusIdCol, corpusVecCol, d, m, ksub, iters),
-      k, m)
+      k, m, ksub)
   }
 
   /** The broadcast-fold body both enrich forms share. */
   private def enrichWithParts(queries: DataFrame, idCol: String,
                               vecCol: String, cq: DataFrame, pq: PqParts,
-                              k: Int, m: Int): DataFrame = {
+                              k: Int, m: Int, ksub: Int): DataFrame = {
     // ONE row holding every (id, codes) struct — the broadcast index
-    val encodedArr = cq.select(col("id") +: pq.codeCols: _*)
-      .select(struct(col("id"),
-        array((0 until m).map(j => col(s"c$j")): _*).as("codes")).as("e"))
+    val encodedArr = cq.select(col("id"), pq.codesCol)
+      .select(struct(col("id"), col("codes")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("corpus"))
     val q = queries.select(col(idCol).cast("long").as("id"),
       expr(s"transform($vecCol, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
-    val withLuts = q.select(col("id").as("qid") +: pq.lutCols: _*)
+    val withLuts = q.select(col("id").as("qid"), pq.lutCol)
       .crossJoin(broadcast(encodedArr))
     // score every corpus entry with m lookups, sort, keep k — one fold
     // per query row; (adist, nid) struct order makes sort_array rank by
     // distance then id, exactly pqTopK's ordering
     val scored = transform(col("corpus"), c => struct(
-      (0 until m).map(j => element_at(col(s"lut$j"),
-          element_at(c.getField("codes"), j + 1).cast("int") + 1))
-        .reduce(_ + _).as("adist"),
+      pqAdcSum(col("lutf"), j => element_at(c.getField("codes"), j + 1),
+        m, ksub).as("adist"),
       c.getField("id").as("nid")))
     val kept = filter(scored, s => s.getField("nid") =!= col("qid"))
     withLuts
@@ -841,9 +845,7 @@ object Similarity {
     pqTopKSelect(
       broadcast(queries).join(encoded, col("qid") =!= col("id"))
         .select(col("qid"), col("id").as("nid"),
-          aggregate(zip_with(col("qadj"), col("scaled"),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("adist")), k)
+          vl2Long(col("qadj"), col("scaled")).as("adist")), k)
   }
 
   /**

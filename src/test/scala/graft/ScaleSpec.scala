@@ -176,19 +176,21 @@ class ScaleSpec extends AnyFunSuite {
       s"a model join fell back to a shuffle join:\n$p")
   }
 
-  test("kmeans assignment plan: centroid attach is a one-row broadcast, map-side fold") {
+  test("kmeans assignment plan: centroid argmin is a pure projection, no join") {
     // the codebook query's OUTPUT is a LocalTableScan (stats collected
     // during training) — inspect the per-iteration assignment job itself
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val p = graft.operators.Similarity
       .kmeansAssignmentForPlan(emb, "vec_id", "embedding", 4)
       .queryExecution.executedPlan.toString
-    // the centroid array rides a 1-row broadcast crossJoin (NL join over a
-    // single build row = map-side attach); the corpus-by-k join must NOT
-    // materialize as a hash/sort-merge join on a row-exploded centroid set
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"),
-      s"centroid attach went through a shuffle join:\n$p")
+    // r20: the centroid table is a flat literal inside the native
+    // PqEncode expression — the corpus-by-k argmin is a map-side
+    // projection with NO join of any kind and no exchange (the old
+    // shape was a 1-row broadcast crossJoin + interpreted fold)
+    assert(!p.contains("Join"), s"centroid attach grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must stay map-side:\n$p")
+    assert(p.contains("pqencode") || p.contains("PqEncode"),
+      s"expected the native encode expression in the plan:\n$p")
   }
 
   test("partitioned write prunes partitions at read (lang=en only)") {
