@@ -61,6 +61,15 @@ object Curation {
    * (KBs–MBs) — broadcast; the train windows stream map-side through
    * the broadcast semi-join, and only marked spans reach the per-doc
    * island windows. One reassembly shuffle on doc id. No all-pairs.
+   *
+   * CACHE HYGIENE (caller obligation, same contract as
+   * [[graft.operators.Dedup.minhashNearDups]]): the merged-islands
+   * frame persists MEMORY_AND_DISK (it feeds both the contamination
+   * aggregate and the strip anti-join) and the returned frame depends
+   * on it, so it cannot be unpersisted here — repeated invocations in
+   * one long-lived session accumulate span-scale cache entries until
+   * the caller clears them (`spark.catalog.clearCache()` or unpersist
+   * after materializing), as Bench/Verify do between queries.
    */
   /** The distinct k-token window fingerprints of a corpus (the broadcast
     * side of span decontamination): one row per distinct md5 over any
@@ -127,8 +136,11 @@ object Curation {
       size(split(lower(col(textCol)), " ")).cast("long").as("n_toks"))
     val contam = islands.groupBy("id")
       .agg(sum(col("e") - col("s") + 1).as("n_contam"))
+    // r20: islands are eval-bounded here (only train∩eval overlap spans
+    // exist) — hint the broadcast so the strip's token explosion streams
+    // map-side instead of shuffling the token stream on doc id (§3)
     val cleaned = Dedup.stripBySpans(train, idCol, textCol, islands,
-      "text_clean")
+      "text_clean", broadcastIslands = true)
     lens.join(contam, Seq("id"), "left")
       .join(cleaned, Seq("id"))
       .select(col("id"), col("n_toks"),
@@ -180,8 +192,8 @@ object Curation {
       }), 1)
   }
 
-  private def bloomWordIdx(p: Column): Column = shiftright(p, 5)
-  private def bloomMask(p: Column): Column =
+  private[graft] def bloomWordIdx(p: Column): Column = shiftright(p, 5)
+  private[graft] def bloomMask(p: Column): Column =
     call_function("shiftleft", lit(1L), pmod(p, lit(32L)).cast("int"))
 
   /**

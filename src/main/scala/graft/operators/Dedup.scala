@@ -359,15 +359,26 @@ object Dedup {
   def blockedJaccard(docs: DataFrame, idCol: String, textCol: String,
                      blockCols: Seq[String], shingleN: Int = 3,
                      threshold: Double = 0.3): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), struct(blockCols.map(col): _*).as("blk"),
-      col(textCol).as("txt"))
-    val sh = shingles(base.select(col("id"), col("txt")), "id", "txt", shingleN)
+    // r20: the block tuple is functionally dependent on the doc id, so
+    // it rides THROUGH the shingle distinct instead of being attached by
+    // an id-keyed join afterwards — the old `sh ⋈ base` block-attach
+    // evaluated once per self-join side (two extra id shuffles plus two
+    // base scans in the plan). Same (id, sh) distinct cardinality, one
+    // persisted frame feeding all three consumers.
+    val toks = docs.select(col(idCol).as("id"),
+      struct(blockCols.map(col): _*).as("blk"),
+      split(lower(col(textCol)), " ").as("w"))
+    val sh = toks.filter(size(col("w")) >= shingleN)
+      .select(col("id"), col("blk"), explode(expr(
+        s"transform(sequence(0, size(w) - $shingleN), i -> concat_ws(' ', ${
+          (0 until shingleN).map(j => s"w[i + $j]").mkString(", ")}))"
+      )).as("sh"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shBlk = sh.join(base.select(col("id"), col("blk")), "id")
     // shingle-first co-occurrence join: only shingles two block-mates share
     // generate rows — never the pairs×shingles cross product
-    val inter = shBlk.select(col("blk"), col("sh"), col("id").as("a"))
-      .join(shBlk.select(col("blk"), col("sh"), col("id").as("b")), Seq("blk", "sh"))
+    val inter = sh.select(col("blk"), col("sh"), col("id").as("a"))
+      .join(sh.select(col("blk"), col("sh"), col("id").as("b")), Seq("blk", "sh"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
