@@ -874,27 +874,46 @@ object CurationQueries {
     val bits = 16384L; val k = 5; val seed = "bl"
     // r19: the eval fingerprint set feeds the filter build AND the
     // true-hit join — persisted (it is distinct-fingerprint-scale,
-    // tiny, and one consumer is a broadcast build). The train window
-    // frame is deliberately NOT cached even though two consumers read
-    // it: an A/B measured the occurrence-scale cache a wash at bench
-    // scale, and the repo's minhash precedent (cache tiny projections,
-    // never occurrence/corpus-scale frames) is the right 100-TB call.
+    // tiny, and one consumer is a broadcast build).
+    // r20 (§2): ONE pass over the train window stream. The old shape
+    // probed the DISTINCT fingerprints and joined the verdicts back to
+    // the occurrence stream — the window-md5 explode chain evaluated
+    // twice (probe distinct + accounting join) and the plan carried 4
+    // exchanges. Now the stream collapses once to (id, h, nw)
+    // multiplicities; the k-position probe explodes THAT frame against
+    // the broadcast filter and re-aggregates on the SAME (id, h) keys —
+    // partitioning is preserved through the broadcast join, so no new
+    // exchange — and the doc-grain accounting is one more narrow
+    // aggregate. 4 exchanges -> 2, window chain evaluated once. (The
+    // per-row fold form and the occurrence-scale cache were both A/B'd
+    // slower in r19 — this is the third shape, measured faster.)
     val evalFp = Curation.evalFingerprints(docs.filter(isEval), "doc_id",
       "text", k = 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filt = Curation.bloomBuild(evalFp, "h", bits, k, seed)
-    val trainW = docs.filter(!isEval)
+    val occ = docs.filter(!isEval)
       .select(col("doc_id").cast("long").as("id"),
         explode(Curation.windowFingerprintArray(col("text"), 8)).as("h"))
-    val probed = Curation.bloomProbe(trainW, "h", filt, bits, k, seed)
-    trainW
-      .join(probed, Seq("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("nw"))
+    val verdicts = occ
+      .select(col("id"), col("h"), col("nw"),
+        explode(Curation.bloomPositions(col("h"), bits, k, seed)).as("p"))
+      .select(col("id"), col("h"), col("nw"),
+        Curation.bloomWordIdx(col("p")).as("word_idx"),
+        Curation.bloomMask(col("p")).as("m"))
+      .join(broadcast(filt), Seq("word_idx"), "left")
+      .groupBy("id", "h")
+      .agg(min(col("nw")).as("nw"),
+        (sum(when(col("word").isNotNull &&
+            (col("word").bitwiseAND(col("m")) === col("m")), 1L)
+          .otherwise(0L)) === lit(k.toLong)).as("bloom_hit"))
+    verdicts
       .join(broadcast(evalFp.select(col("h"), lit(1L).as("t"))),
         Seq("h"), "left")
       .groupBy("id")
-      .agg(count(lit(1)).as("n_wins"),
-        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
-        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_true_hits"))
+      .agg(sum(col("nw")).as("n_wins"),
+        sum(when(col("bloom_hit"), col("nw")).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("t").isNotNull, col("nw")).otherwise(0L)).as("n_true_hits"))
       .select(col("id").as("doc_id"), col("n_wins"), col("n_bloom_hits"),
         col("n_true_hits"), (col("n_bloom_hits") > 0).as("dropped"))
       .orderBy("doc_id")
