@@ -697,15 +697,17 @@ object TextAnalysis {
     // r19 (guide §1/job-count): generations persist WITHOUT an eager
     // count() job — the next iteration's argmax action materializes the
     // cache read-through (each generation is one fold over its cached
-    // parent, so the lazy chain stays one level deep). Parents stay
-    // cached until the loop ends: vocab frames are (distinct words)-
-    // scale, tiny next to the corpus, and dropping the per-merge
-    // materialize-then-unpersist pair removes nMerges−1 jobs per train.
-    val gens = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // parent, so the lazy chain stays one level deep). r20 (§5): the
+    // argmax at iteration k is the action that fills generation k's
+    // cache, after which generation k−1's cache has no consumer left —
+    // unpersist it right there, capping live cached generations at 2
+    // (was O(nMerges): fine at bench merge counts, but a production
+    // train of 10⁴ merges would hold 10⁴ vocab-scale frames and lean on
+    // LRU eviction). The job-count win is untouched — no extra action.
+    var parent: Option[DataFrame] = None
     var cur = wordVocab(docs, textCol)
       .withColumn("syms", expr(charSymsExpr))
       .select(col("cnt"), col("syms")).persist()
-    gens += cur
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       for (k <- 1 to nMerges) {
@@ -718,18 +720,24 @@ object TextAnalysis {
           .agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()
+        // cur's cache is materialized now; its parent has no reader left
+        parent.foreach(_.unpersist())
+        parent = None
         require(top.nonEmpty,
           s"BPE training exhausted adjacent pairs after ${k - 1} merges " +
             s"(asked for $nMerges) — every word is a single symbol")
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         merges += ((l, r))
         if (k < nMerges) { // the last fused vocab is never re-scanned
+          parent = Some(cur)
           cur = cur.withColumn("syms", expr(mergeFold("syms", l, r)))
             .persist()
-          gens += cur
         }
       }
-    } finally gens.foreach(_.unpersist())
+    } finally {
+      parent.foreach(_.unpersist())
+      cur.unpersist()
+    }
     import org.apache.spark.sql.{Row, types => T}
     val rows = merges.toSeq.zipWithIndex.map { case ((l, r), i) =>
       Row((i + 1).toLong, l, r)
