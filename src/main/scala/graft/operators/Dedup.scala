@@ -96,7 +96,16 @@ object Dedup {
     * original plan shape (no window inserted). */
   def lshCandidates(bandKeys: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
     val src =
-      if (maxBucket == Int.MaxValue) bandKeys
+      if (maxBucket == Int.MaxValue)
+        // r20: the band-key frame feeds BOTH sides of the self-join
+        // below, and without a persist the whole signature chain (the
+        // 18-hash projection + per-id min aggregate over every shingle
+        // row — the pipeline's heaviest map-side compute) evaluated
+        // once per side (two aggregate instances in the r20 before-
+        // plan). Rows are (id, band, band_key) — docs×bands scale,
+        // tiny; caller clears the cache between runs (same convention
+        // as minhashNearDups).
+        bandKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else {
         // bucket-size window shares the (band, band_key) partitioning the
         // join needs anyway — one extra sort within partitions, no
