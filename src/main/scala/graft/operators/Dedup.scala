@@ -469,17 +469,28 @@ object Dedup {
     // are kept canonical (child, root: u > v) and distinct — the frame
     // stays one row per undirected edge.
     def phase(sym: DataFrame, large: Boolean): DataFrame = {
-      val m = sym.groupBy("u")
-        .agg(least(col("u"), min(col("v"))).as("m"))
+      // r20: m(u) rides a WINDOW over the same u-shuffle the old
+      // groupBy used, so the hang-off needs no join back (the join
+      // re-shuffled both sides — one full edge shuffle per phase
+      // deleted). Each row emits its hung edge (when selected) and, in
+      // the small phase, its node's own (u, m(u)) edge in ONE
+      // projection; the per-row own-edge duplicates collapse in the
+      // same distinct that canonicalized edges always needed.
+      import org.apache.spark.sql.expressions.Window
+      val m = least(col("u"),
+        min(col("v")).over(Window.partitionBy("u"))).as("m")
+      val withM = sym.select(col("u"), col("v"), m)
       val sel = if (large) col("v") > col("u") else col("v") < col("u")
-      val hung = sym.join(m, "u")
-        .filter(sel)
-        .select(greatest(col("v"), col("m")).as("u"),
-          least(col("v"), col("m")).as("v"))
-      val own = if (large) hung
-        else hung.unionByName(
-          m.select(col("u"), col("m").as("v"))) // u >= m by construction
-      own.filter(col("u") =!= col("v")).distinct()
+      val hung = when(sel, struct(greatest(col("v"), col("m")).as("u"),
+        least(col("v"), col("m")).as("v")))
+      val emitted =
+        if (large) array(hung)
+        else array(hung,
+          struct(col("u"), col("m").as("v"))) // u >= m by construction
+      withM
+        .select(explode(filter(emitted, e => e.isNotNull)).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     }
     def symmetrize(e: DataFrame): DataFrame = e
       .select(explode(array(
